@@ -1,0 +1,114 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.formula.Term
+
+/** Formula term → Spark `Column` design-matrix compiler.
+  *
+  * Mirrors the semantics of the reference's SQL model-matrix generator
+  * (reference sql_model_matrix.R:34-175): factor (string/boolean) columns
+  * expand to one-hot dummy columns dropping the first (reference) level,
+  * interactions take the cross product of per-variable expansions, and a
+  * factor inside an interaction keeps ALL levels unless it is an FE var or
+  * the complementary term is itself in the model (the drop_ref rule,
+  * sql_model_matrix.R:115-121). Emits `Column`s, not SQL strings — the
+  * resulting plan is fully Catalyst-optimizable (codegen'd CASE WHEN).
+  */
+object ModelMatrix {
+
+  /** One design-matrix column: internal name uses `_x_` for interactions
+    * (display-normalized to `:` later, reference utils.R:6). */
+  final case class MMCol(name: String, col: Column)
+
+  final case class Expansion(
+      cols: List[MMCol],
+      factorLevels: Map[String, Seq[String]]
+  )
+
+  /** A factor column is string-, boolean-typed (reference
+    * sql_model_matrix.R:87-98 treats character/factor/logical as factors). */
+  def isFactor(df: DataFrame, v: String): Boolean =
+    df.schema(v).dataType match {
+      case StringType | BooleanType => true
+      case _ => false
+    }
+
+  /** Distinct non-null levels, capped + sorted (reference probes
+    * `SELECT DISTINCT v FROM (… LIMIT 100000) ORDER BY v`). One small
+    * collect per factor var; levels are assumed stable for the fit. */
+  def factorLevels(df: DataFrame, v: String, maxLevels: Int = 100000): Seq[String] =
+    df.limit(maxLevels)
+      .select(col(v).cast(StringType).as(v))
+      .where(col(v).isNotNull)
+      .distinct()
+      .orderBy(v)
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+
+  /** Expand formula terms into design columns over `df`. */
+  def expand(
+      df: DataFrame,
+      terms: List[Term],
+      feVars: Seq[String],
+      maxLevels: Int = 100000
+  ): Expansion = {
+    val vars = terms.flatMap(_.parts).distinct
+    val levels: Map[String, Seq[String]] =
+      vars.filter(isFactor(df, _)).map(v => v -> factorLevels(df, v, maxLevels)).toMap
+    val allLabels: Set[String] = terms.map(t => t.parts.mkString(":")).toSet
+
+    val cols = terms.flatMap { term =>
+      val expansions: List[List[MMCol]] = term.parts.map { v =>
+        val dropRef =
+          if (term.isInteraction && levels.contains(v)) {
+            val otherSorted = term.parts.filterNot(_ == v).sorted.mkString(":")
+            feVars.contains(v) || allLabels.contains(otherSorted)
+          } else true
+        expandVariable(v, levels, dropRef)
+      }
+      crossProduct(expansions)
+    }
+    // de-duplicate by name, preserving first occurrence (mirrors R terms())
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, MMCol]
+    cols.foreach(c => if (!seen.contains(c.name)) seen(c.name) = c)
+    Expansion(seen.values.toList, levels)
+  }
+
+  /** Factor → dummy list (drop first level when dropRef); numeric passes
+    * through cast to double. Single-level factors degrade to a constant
+    * (reference sql_model_matrix.R:138-140). */
+  private def expandVariable(
+      v: String,
+      levels: Map[String, Seq[String]],
+      dropRef: Boolean
+  ): List[MMCol] =
+    levels.get(v) match {
+      case Some(lvls) if lvls.length >= 2 =>
+        val kept = if (dropRef) lvls.tail else lvls
+        kept.toList.map { lvl =>
+          MMCol(
+            s"$v$lvl",
+            when(col(v).cast(StringType) === lit(lvl), 1.0).otherwise(0.0)
+          )
+        }
+      case Some(_) => List(MMCol(s"${v}_constant", lit(1.0)))
+      case None => List(MMCol(v, col(v).cast(DoubleType)))
+    }
+
+  private def crossProduct(expansions: List[List[MMCol]]): List[MMCol] =
+    expansions match {
+      case Nil => Nil
+      case single :: Nil => single
+      case first :: rest =>
+        val tail = crossProduct(rest)
+        for (a <- first; b <- tail)
+          yield MMCol(s"${a.name}_x_${b.name}", a.col * b.col)
+    }
+
+  /** `_x_` → `:` for user-facing coefficient names (reference utils.R:6). */
+  def displayName(internal: String): String = internal.replace("_x_", ":")
+}

@@ -1,0 +1,526 @@
+package graft.reg
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.formula.{Formula, Vcov}
+import graft.linalg.LinAlg
+import graft.model.ModelMatrix
+import graft.model.ModelMatrix.MMCol
+
+/** OLS / fixed-effects regression on Spark DataFrames.
+  *
+  * Spark-native re-implementation of the reference engine's capabilities
+  * (reference R/dbreg.R): a formula `y ~ x1 + x2 | fe1 + fe2` is compiled
+  * into one-to-three DataFrame aggregation plans (Catalyst handles pushdown,
+  * partial aggregation and codegen), a tiny sufficient-statistics result is
+  * collected, and the estimates are finished with dense linear algebra on
+  * the driver. Four acceleration strategies (reference dbreg.R:302-380):
+  *
+  *  - `moments`  — one global aggregation of the [1,X,y] moment triangle
+  *  - `compress` — group-by compression (Wong et al. 2021); WLS on cells
+  *  - `demean`   — within transform for 1-2 FE (FWL)
+  *  - `mundlak`  — group-mean regressors for K FE (Mundlak 1978)
+  *  - `auto`     — cost-based chooser using cheap probe aggregations
+  *
+  * Scale notes: no step ever collects row-level data; every collect is a
+  * 1-row moment vector, a ≤`compressNmax`-cell table, or a per-cluster score
+  * table. Group-mean tables are cached (they are reused by the vcov second
+  * pass) and broadcast when small, so the big-table joins are broadcast hash
+  * joins with no shuffle of the fact table.
+  */
+object Dbreg {
+
+  val MaxDesignCols = 120 // guard: p(p+1)/2 agg columns must stay codegen-friendly
+
+  def fit(
+      formula: String,
+      df: DataFrame,
+      vcov: String = "iid",
+      strategy: String = "auto",
+      compressRatio: Option[Double] = None,
+      compressNmax: Long = 1000000L,
+      ssc: String = "full",
+      verbose: Boolean = false
+  ): DbregResult = {
+    val f = Formula.parse(formula)
+    val v = Vcov.parse(vcov)
+    fitParsed(f, df, v, strategy, compressRatio, compressNmax, ssc, verbose)
+  }
+
+  def fitParsed(
+      f: Formula,
+      df: DataFrame,
+      v: Vcov,
+      strategy: String = "auto",
+      compressRatio: Option[Double] = None,
+      compressNmax: Long = 1000000L,
+      ssc: String = "full",
+      verbose: Boolean = false
+  ): DbregResult = {
+    val clusterCol = v match { case Vcov.Cluster(c) => Some(c); case _ => None }
+    // P1/P2: prune to the columns the model touches, drop missings
+    val needed = (f.allInputCols ++ clusterCol).distinct
+    needed.foreach { c =>
+      require(df.columns.contains(c), s"column '$c' not found in DataFrame")
+    }
+    val filterCols = (f.allInputCols ++ clusterCol).distinct
+    val base = df
+      .select(needed.map(col): _*)
+      .filter(filterCols.map(col(_).isNotNull).reduce(_ && _))
+
+    val chosen = chooseStrategy(strategy, f, base, compressRatio, compressNmax, verbose)
+    if (verbose) println(s"[dbreg] strategy: $chosen")
+    chosen match {
+      case "moments" => fitMoments(f, base, v, ssc)
+      case "demean" => fitDemean(f, base, v, ssc)
+      case "mundlak" => fitMundlak(f, base, v, ssc)
+      case "compress" => fitCompress(f, base, v, ssc, compressNmax)
+      case other => throw new IllegalArgumentException(s"unknown strategy: $other")
+    }
+  }
+
+  // ---------------------------------------------------------------- chooser
+
+  /** Auto decision tree (reference dbreg.R:494-701). Probes: COUNT(*),
+    * COUNT(DISTINCT x+fe tuple), continuous-x heuristic
+    * (approx_count_distinct > min(50, 0.2n), dbreg.R:421-440), and a 2-FE
+    * balance check. All probes are single aggregate jobs.
+    */
+  private def chooseStrategy(
+      strategy: String,
+      f: Formula,
+      base: DataFrame,
+      compressRatio: Option[Double],
+      compressNmax: Long,
+      verbose: Boolean
+  ): String = {
+    val nFe = f.fe.length
+    var chosen = strategy
+    if (strategy == "auto") {
+      val ratioThreshold = compressRatio.getOrElse(if (nFe == 1 || nFe == 2) 0.6 else 0.01)
+      val keyCols = (f.xvars ++ f.fe).distinct
+      val nTotal = base.count()
+      val nCells = base.select(keyCols.map(col): _*).distinct().count()
+      val ratio = nCells.toDouble / math.max(nTotal, 1L).toDouble
+      val failRatio = ratio > ratioThreshold
+      val failNmax = nCells > compressNmax
+      if (verbose)
+        println(f"[dbreg] auto: n=$nTotal%,d cells=$nCells%,d ratio=$ratio%.4f (threshold $ratioThreshold)")
+
+      if (nFe == 0) {
+        val anyContinuous = hasContinuousX(f, base, nTotal)
+        chosen =
+          if (anyContinuous || failRatio || failNmax) "moments" else "compress"
+      } else if (nFe == 1 || nFe == 2) {
+        if (failRatio || failNmax) {
+          if (nFe == 2) {
+            if (isBalanced(base, f.fe)) chosen = "demean"
+            else
+              throw new IllegalStateException(
+                "[dbreg] Exact TWFE infeasible for unbalanced panel under current transfer limits. " +
+                  "Use strategy='compress' with relaxed thresholds (exact TWFE) or strategy='mundlak' (CRE).")
+          } else chosen = "demean"
+        } else chosen = "compress"
+      } else {
+        chosen = "compress"
+      }
+    }
+    // guards (reference dbreg.R:676-699)
+    if (chosen == "moments" && nFe > 0) chosen = "compress"
+    if (chosen == "demean" && !(nFe == 1 || nFe == 2)) chosen = "compress"
+    chosen
+  }
+
+  private def hasContinuousX(f: Formula, base: DataFrame, nTotal: Long): Boolean = {
+    val numericXs = f.xvars.filterNot(ModelMatrix.isFactor(base, _))
+    if (numericXs.isEmpty) false
+    else {
+      val aggs = numericXs.map(x => approx_count_distinct(col(x)).as(s"_acd_$x"))
+      val row = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val cut = math.min(50.0, 0.2 * nTotal)
+      numericXs.exists(x => row.getAs[Long](s"_acd_$x").toDouble > cut)
+    }
+  }
+
+  /** Balanced panel ⟺ all fe1×fe2 cell counts identical (A9). */
+  private def isBalanced(base: DataFrame, fe: Seq[String]): Boolean =
+    base
+      .groupBy(fe.map(col): _*)
+      .count()
+      .agg(countDistinct(col("count")).as("k"))
+      .collect()(0)
+      .getAs[Long]("k") == 1L
+
+  // ------------------------------------------------------------- strategies
+
+  /** Internal design bundle: `df` holds `__g_y` plus design columns with
+    * safe internal names; display names run parallel. The intercept is an
+    * explicit constant column so that collinearity dropping and the meat
+    * passes treat it uniformly. */
+  private final case class Design(
+      df: DataFrame,
+      xNames: IndexedSeq[String],
+      displayNames: IndexedSeq[String]
+  )
+
+  private val Y = "__g_y"
+
+  private def buildDesign(
+      base: DataFrame,
+      f: Formula,
+      carry: Seq[String],
+      intercept: Boolean
+  ): Design = {
+    val mm = ModelMatrix.expand(base, f.terms, f.fe)
+    val all: List[MMCol] =
+      (if (intercept) List(MMCol("(Intercept)", lit(1.0))) else Nil) ++ mm.cols
+    val xNames = all.indices.map(i => s"__g_x$i")
+    val cols = carry.map(col) ++
+      Seq(col(f.y).cast("double").as(Y)) ++
+      all.zipWithIndex.map { case (c, i) => c.col.cast("double").as(xNames(i)) }
+    Design(base.select(cols: _*), xNames, all.map(c => ModelMatrix.displayName(c.name)).toIndexedSeq)
+  }
+
+  /** Moments strategy (reference dbreg.R:703-872): one pass, no FE. */
+  private def fitMoments(f: Formula, base: DataFrame, v: Vcov, ssc: String): DbregResult = {
+    val cluster = v match { case Vcov.Cluster(c) => Seq(c); case _ => Nil }
+    val d = buildDesign(base, f, cluster, f.intercept)
+    val mom = MomentsKernel.compute(d.df, Y, d.xNames, intercept = false)
+    finish(f, d, mom, v, ssc,
+      strategy = "moments",
+      nobs = mom.nRows, nobsOrig = mom.nRows,
+      dfFe = 0.0, tss = mom.sumYSq - mom.sumY * mom.sumY / mom.n,
+      dfResOf = (n, pKept) => math.max(n - pKept, 1.0),
+      clusterK = (pKept, _) => pKept)
+  }
+
+  /** Demean / within strategy, 1-2 FE (reference dbreg.R:874-1235). */
+  private def fitDemean(f: Formula, base: DataFrame, v: Vcov, ssc: String): DbregResult = {
+    val cluster = v match { case Vcov.Cluster(c) => Seq(c); case _ => Nil }
+    val d0 = buildDesign(base, f, f.fe ++ cluster, intercept = false)
+    val valueCols = Y +: d0.xNames
+
+    def meansOver(keys: Seq[String], suffix: String): DataFrame =
+      d0.df
+        .groupBy(keys.map(col): _*)
+        .agg(
+          avg(valueCols.head).as(valueCols.head + suffix),
+          valueCols.tail.map(c => avg(c).as(c + suffix)): _*)
+
+    val (demeaned, nFe1, nFe2, cleanup) = f.fe match {
+      case Seq(fe1) =>
+        val gm = meansOver(Seq(fe1), "_m").persist(StorageLevel.MEMORY_AND_DISK)
+        val n1 = gm.count()
+        val joined = d0.df.join(maybeBroadcast(gm, n1), Seq(fe1))
+        val tilde = cluster.map(col) ++
+          valueCols.map(c => (col(c) - col(c + "_m")).as(c))
+        (joined.select(tilde: _*), n1, 1L, () => { gm.unpersist(); () })
+      case Seq(fe1, fe2) =>
+        val um = meansOver(Seq(fe1), "_u").persist(StorageLevel.MEMORY_AND_DISK)
+        val tm = meansOver(Seq(fe2), "_t").persist(StorageLevel.MEMORY_AND_DISK)
+        val om = d0.df.agg(
+          avg(valueCols.head).as(valueCols.head + "_o"),
+          valueCols.tail.map(c => avg(c).as(c + "_o")): _*)
+        val n1 = um.count(); val n2 = tm.count()
+        val joined = d0.df
+          .join(maybeBroadcast(um, n1), Seq(fe1))
+          .join(maybeBroadcast(tm, n2), Seq(fe2))
+          .crossJoin(broadcast(om))
+        val tilde = cluster.map(col) ++
+          valueCols.map(c => (col(c) - col(c + "_u") - col(c + "_t") + col(c + "_o")).as(c))
+        (joined.select(tilde: _*), n1, n2, () => { um.unpersist(); tm.unpersist(); () })
+      case other =>
+        throw new IllegalArgumentException(s"demean supports 1-2 FE, got ${other.length}")
+    }
+
+    val mom = MomentsKernel.compute(demeaned, Y, d0.xNames, intercept = false)
+    val dfFe = nFe1.toDouble + nFe2.toDouble - 1.0
+    val res = finish(f, d0.copy(df = demeaned), mom, v, ssc,
+      strategy = "demean",
+      nobs = mom.nRows, nobsOrig = mom.nRows,
+      dfFe = dfFe, tss = mom.sumYSq, // within TSS (reference dbreg.R:1214)
+      dfResOf = (n, pKept) => math.max(n - pKept - dfFe, 1.0),
+      clusterK = (pKept, nested) => pKept + dfFe - nested,
+      nestedBase = Some(base))
+    cleanup()
+    res
+  }
+
+  /** Mundlak / correlated-random-effects strategy (reference dbreg.R:1237-1502). */
+  private def fitMundlak(f: Formula, base: DataFrame, v: Vcov, ssc: String): DbregResult = {
+    require(f.fe.nonEmpty, "mundlak requires at least one fixed effect")
+    val cluster = v match { case Vcov.Cluster(c) => Seq(c); case _ => Nil }
+    val d0 = buildDesign(base, f, f.fe ++ cluster, intercept = false)
+
+    var aug = d0.df
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val barNames = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    f.fe.foreach { fe =>
+      val ms = d0.df
+        .groupBy(col(fe))
+        .agg(
+          avg(d0.xNames.head).as(s"${d0.xNames.head}_bar_$fe"),
+          d0.xNames.tail.map(c => avg(c).as(s"${c}_bar_$fe")): _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nLev = ms.count()
+      caches += ms
+      aug = aug.join(maybeBroadcast(ms, nLev), Seq(fe))
+      d0.xNames.zip(d0.displayNames).foreach { case (xn, dn) =>
+        barNames += ((s"${xn}_bar_$fe", s"${dn}_bar_$fe"))
+      }
+    }
+    val interceptName = "__g_const"
+    val augWithConst = aug.withColumn(interceptName, lit(1.0))
+    val xAll = (interceptName +: d0.xNames) ++ barNames.map(_._1)
+    val dispAll = ("(Intercept)" +: d0.displayNames) ++ barNames.map(_._2)
+    val d = Design(augWithConst, xAll.toIndexedSeq, dispAll.toIndexedSeq)
+
+    val mom = MomentsKernel.compute(d.df, Y, d.xNames, intercept = false)
+    val res = finish(f, d, mom, v, ssc,
+      strategy = "mundlak",
+      nobs = mom.nRows, nobsOrig = mom.nRows,
+      dfFe = 0.0, tss = mom.sumYSq - mom.sumY * mom.sumY / mom.n,
+      dfResOf = (n, pKept) => math.max(n - pKept, 1.0),
+      clusterK = (pKept, _) => pKept,
+      nestedBase = Some(base))
+    caches.foreach(_.unpersist())
+    res
+  }
+
+  /** Compress strategy (reference dbreg.R:1504-1716; Wong et al. 2021).
+    * Cells = GROUP BY (x…, fe…); exact WLS on cells with weight n. The
+    * normal equations are re-aggregated distributively over the compressed
+    * DF (cells never need to reach the driver), which avoids the reference's
+    * sparse-dummy-matrix memory blow-up (benchmark.R:93-109).
+    */
+  private def fitCompress(
+      f: Formula,
+      base: DataFrame,
+      v: Vcov,
+      ssc: String,
+      compressNmax: Long
+  ): DbregResult = {
+    val cellKeys = (f.xvars ++ f.fe).distinct
+    val comp = base
+      .groupBy(cellKeys.map(col): _*)
+      .agg(
+        count(lit(1)).cast("double").as("__g_n"),
+        sum(col(f.y).cast("double")).as("__g_sy"),
+        sum(col(f.y).cast("double") * col(f.y).cast("double")).as("__g_syy"))
+      .withColumn(Y, col("__g_sy") / col("__g_n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nCells = comp.count()
+
+    // design columns over the cells: x expansion + FE dummies
+    val mm = ModelMatrix.expand(comp, f.terms, f.fe)
+    val feDummies: List[MMCol] = f.fe.flatMap { fe =>
+      // ALL levels (no 100k cap here: FE dummies must cover every group)
+      val lvls = comp
+        .select(col(fe).cast("string").as(fe))
+        .where(col(fe).isNotNull)
+        .distinct()
+        .orderBy(fe)
+        .collect()
+        .map(_.getString(0))
+        .toSeq
+      if (lvls.length < 2) Nil
+      else
+        lvls.tail.map { lvl =>
+          MMCol(s"$fe$lvl", when(col(fe).cast("string") === lit(lvl), 1.0).otherwise(0.0))
+        }
+    }.toList
+    val all: List[MMCol] =
+      (if (f.intercept) List(MMCol("(Intercept)", lit(1.0))) else Nil) ++ mm.cols ++ feDummies
+    require(all.size <= MaxDesignCols,
+      s"compress design has ${all.size} columns (> $MaxDesignCols); " +
+        "use demean/mundlak for high-cardinality fixed effects")
+    val xNames = all.indices.map(i => s"__g_x$i")
+    val designed = comp.select(
+      (cellKeys.map(col) ++ Seq(col("__g_n"), col("__g_sy"), col("__g_syy"), col(Y)) ++
+        all.zipWithIndex.map { case (c, i) => c.col.cast("double").as(xNames(i)) }): _*)
+    val d = Design(designed, xNames, all.map(c => ModelMatrix.displayName(c.name)).toIndexedSeq)
+
+    val mom = MomentsKernel.compute(
+      d.df, Y, d.xNames, intercept = false, weightName = Some("__g_n"),
+      extraAggs = Seq("_true_syy" -> sum(col("__g_syy"))))
+    val trueSyy = mom.extra("_true_syy")
+    val nOrig = mom.n.round
+    // weighted Xᵀy with ȳ equals the true Xᵀy (x constant within cell), but
+    // Σw·ȳ² ≠ Σy² — substitute the true Σy² for RSS/TSS.
+    val momTrue = mom.copy(sumYSq = trueSyy)
+
+    val res = finish(f, d, momTrue, v, ssc,
+      strategy = "compress",
+      nobs = nCells, nobsOrig = nOrig,
+      dfFe = 0.0, tss = trueSyy - mom.sumY * mom.sumY / mom.n,
+      dfResOf = (_, _) => math.max(nOrig.toDouble - all.size, 1.0),
+      clusterK = (_, nested) => all.size - nested,
+      nestedBase = Some(base),
+      compressCells = Some(CompressCells(base, cellKeys, all)))
+    comp.unpersist()
+    res.copy(compressionRatio = Some(nCells.toDouble / math.max(nOrig, 1L)))
+  }
+
+  private final case class CompressCells(
+      base: DataFrame,
+      cellKeys: Seq[String],
+      designCols: List[MMCol]
+  )
+
+  // ------------------------------------------------------------- finishing
+
+  /** Solve, collinearity-drop, RSS/TSS, then the requested vcov including
+    * the second-pass meat aggregations. */
+  private def finish(
+      f: Formula,
+      d: Design,
+      mom: MomentsResult,
+      v: Vcov,
+      ssc: String,
+      strategy: String,
+      nobs: Long,
+      nobsOrig: Long,
+      dfFe: Double,
+      tss: Double,
+      dfResOf: (Double, Double) => Double,
+      clusterK: (Double, Double) => Double,
+      nestedBase: Option[DataFrame] = None,
+      compressCells: Option[CompressCells] = None
+  ): DbregResult = {
+    val collin = LinAlg.detectCollinearity(mom.xtx, mom.xty)
+    val keptIdx = collin.keepIdx
+    val keptX = keptIdx.map(d.xNames)
+    val keptDisp = keptIdx.map(d.displayNames)
+    val dropped = collin.dropIdx.map(d.displayNames)
+
+    val solved = LinAlg.solveWithFallback(collin.xtx, collin.xty)
+    val beta = solved.beta
+    val xtxInv = solved.xtxInv
+
+    val rss = {
+      val bXty = beta.dot(collin.xty)
+      val bXtXb = beta.dot(collin.xtx * beta)
+      mom.sumYSq - 2.0 * bXty + bXtXb
+    }
+    val pKept = keptX.length.toDouble
+    val dfRes = dfResOf(nobsOrig.toDouble, pKept)
+
+    def resid(df: DataFrame): Column =
+      keptX.zipWithIndex.foldLeft(col(Y).cast("double")) { case (acc, (nm, i)) =>
+        acc - lit(beta(i)) * col(nm).cast("double")
+      }
+
+    val (vmat, vtype, nClusters) = v match {
+      case Vcov.Iid =>
+        (LinAlg.vcovIid(xtxInv, rss, dfRes), "iid", None)
+
+      case Vcov.Hc1 =>
+        val meat = compressCells match {
+          case Some(_) =>
+            // per-cell grouped residuals: rss_g = Σy²_g − 2ŷ_g Σy_g + n_g ŷ_g²
+            val yhat = keptX.zipWithIndex
+              .map { case (nm, i) => lit(beta(i)) * col(nm).cast("double") }
+              .reduce(_ + _)
+            val cells = d.df
+              .withColumn("__g_yhat", yhat)
+              .withColumn(
+                "__g_rssg",
+                col("__g_syy") - lit(2.0) * col("__g_yhat") * col("__g_sy") +
+                  col("__g_n") * col("__g_yhat") * col("__g_yhat"))
+            MomentsKernel.meatTriangle(cells, col("__g_rssg"), keptX, intercept = false)
+          case None =>
+            val e = resid(d.df)
+            MomentsKernel.meatTriangle(d.df, e * e, keptX, intercept = false)
+        }
+        (LinAlg.vcovHc1(xtxInv, meat, nobsOrig.toDouble, dfRes), "hc1", None)
+
+      case Vcov.Cluster(cl) =>
+        val scores = compressCells match {
+          case Some(cc) =>
+            // cluster×cell stats, ŷ from the cell's x values (A12)
+            val gc = cc.base
+              .groupBy((cl +: cc.cellKeys).distinct.map(col): _*)
+              .agg(
+                count(lit(1)).cast("double").as("__g_n"),
+                sum(col(f.y).cast("double")).as("__g_sy"))
+            val withDesign = cc.designCols.zipWithIndex.foldLeft(gc) {
+              case (acc, (c, i)) => acc.withColumn(s"__g_x$i", c.col.cast("double"))
+            }
+            val yhat = keptX.zipWithIndex
+              .map { case (nm, i) => lit(beta(i)) * col(nm).cast("double") }
+              .reduce(_ + _)
+            val withResid = withDesign
+              .withColumn("__g_rsum", col("__g_sy") - col("__g_n") * yhat)
+            withResid
+              .groupBy(col(cl))
+              .agg(
+                sum(col("__g_rsum") * col(keptX.head)).as(s"__s0"),
+                keptX.tail.zipWithIndex.map { case (nm, i) =>
+                  sum(col("__g_rsum") * col(nm)).as(s"__s${i + 1}")
+                }: _*)
+          case None =>
+            val e = resid(d.df)
+            d.df
+              .groupBy(col(cl))
+              .agg(
+                sum(e * col(keptX.head)).as("__s0"),
+                keptX.tail.zipWithIndex.map { case (nm, i) =>
+                  sum(e * col(nm)).as(s"__s${i + 1}")
+                }: _*)
+        }
+        val sNames = keptX.indices.map(i => s"__s$i")
+        val cached = scores.persist(StorageLevel.MEMORY_AND_DISK)
+        val g = cached.count()
+        val meat = MomentsKernel.meatTriangle(cached, lit(1.0), sNames, intercept = false)
+        cached.unpersist()
+        val nested =
+          if (ssc == "nested") nestedBase.map(countNestedFeLevels(_, f.fe, cl)).getOrElse(0.0)
+          else 0.0
+        val k = clusterK(pKept, nested)
+        (LinAlg.vcovCr1(xtxInv, meat, nobsOrig.toDouble, g.toDouble, k), "cluster", Some(g))
+    }
+
+    val coeftable = keptDisp.zipWithIndex.map { case (nm, i) =>
+      val se = math.sqrt(vmat(i, i))
+      val t = beta(i) / se
+      CoefRow(nm, beta(i), se, t, LinAlg.pValue(t, dfRes))
+    }
+    DbregResult(
+      coeftable = coeftable,
+      vcov = vmat,
+      vcovType = vtype,
+      strategy = strategy,
+      nobs = nobs,
+      nobsOrig = nobsOrig,
+      dfResidual = dfRes,
+      rss = rss,
+      tss = tss,
+      fe = f.fe,
+      collinDropped = dropped,
+      nClusters = nClusters
+    )
+  }
+
+  /** ssc="nested": total levels of FE vars nested within the cluster var
+    * (reference dbreg.R:1718-1752). */
+  private def countNestedFeLevels(base: DataFrame, fe: Seq[String], cluster: String): Double =
+    fe.map { f =>
+      val spans = base
+        .groupBy(col(f))
+        .agg(countDistinct(col(cluster)).as("__g_nc"))
+        .filter(col("__g_nc") > 1)
+        .limit(1)
+        .count()
+      if (spans == 0)
+        base.agg(countDistinct(col(f)).cast("double").as("n")).collect()(0).getAs[Double]("n")
+      else 0.0
+    }.sum
+
+  /** Broadcast aggregate tables when plausibly small; group-mean tables
+    * with more rows flow through a shuffle join instead. */
+  private def maybeBroadcast(df: DataFrame, nRows: Long): DataFrame =
+    if (nRows <= 2000000L) broadcast(df) else df
+}

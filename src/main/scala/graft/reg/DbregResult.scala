@@ -1,0 +1,69 @@
+package graft.reg
+
+import breeze.linalg.DenseMatrix
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.linalg.LinAlg
+
+/** One row of the coefficient table (reference utils.R:10-17). */
+final case class CoefRow(
+    term: String,
+    estimate: Double,
+    stdError: Double,
+    statistic: Double,
+    pValue: Double
+)
+
+/** Fit result — the Spark analogue of the reference's `dbreg` object
+  * (reference dbreg.R:2087-2100). Tiny, driver-resident.
+  */
+final case class DbregResult(
+    coeftable: Seq[CoefRow],
+    vcov: DenseMatrix[Double],
+    vcovType: String,
+    strategy: String,
+    nobs: Long,        // rows the final aggregation saw (cells for compress)
+    nobsOrig: Long,    // N after missing-value filter
+    dfResidual: Double,
+    rss: Double,
+    tss: Double,
+    fe: Seq[String],
+    collinDropped: Seq[String],
+    nClusters: Option[Long] = None,
+    compressionRatio: Option[Double] = None
+) {
+  def terms: Seq[String] = coeftable.map(_.term)
+  def coef: Map[String, Double] = coeftable.map(r => r.term -> r.estimate).toMap
+  def se: Map[String, Double] = coeftable.map(r => r.term -> r.stdError).toMap
+
+  /** R² / adjusted R² / RMSE (reference gof.R:22-24). For the demean
+    * strategy these are within-R² (tss is the demeaned total SS,
+    * reference dbreg.R:1214). */
+  def r2: Double = 1.0 - rss / tss
+  def adjR2: Double = 1.0 - (rss / dfResidual) / (tss / (nobsOrig - 1.0))
+  def rmse: Double = math.sqrt(rss / nobsOrig)
+
+  /** Two-sided confidence intervals at `level`. */
+  def confint(level: Double = 0.95): Seq[(String, Double, Double)] = {
+    val crit = LinAlg.tCrit(level, dfResidual)
+    coeftable.map(r => (r.term, r.estimate - crit * r.stdError, r.estimate + crit * r.stdError))
+  }
+
+  /** Coefficient table as a queryable DataFrame. */
+  def toDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    coeftable.toDF("term", "estimate", "std_error", "statistic", "p_value")
+  }
+
+  override def toString: String = {
+    val header = f"dbreg-spark [$strategy] n=$nobsOrig%,d (aggregated to $nobs%,d) vcov=$vcovType"
+    val lines = coeftable.map { r =>
+      f"  ${r.term}%-28s ${r.estimate}% .6e  ${r.stdError}% .4e  ${r.statistic}% 8.3f  ${r.pValue}% .4g"
+    }
+    val gof = f"  R²=$r2%.6f adjR²=$adjR2%.6f rmse=$rmse%.6g df=$dfResidual%.0f"
+    val collin =
+      if (collinDropped.nonEmpty) s"\n  dropped (collinear): ${collinDropped.mkString(", ")}" else ""
+    (header +: "  term                         estimate      std.error    statistic  p.value" +: lines)
+      .mkString("\n") + "\n" + gof + collin
+  }
+}

@@ -1,0 +1,229 @@
+package graft
+
+import breeze.linalg.{DenseMatrix, DenseVector, inv}
+import graft.reg.Dbreg
+
+/** Differential tests: every strategy against a textbook dense OLS computed
+  * driver-side on the same data (the role fixest/lm play in the reference's
+  * tinytest suite, cf. SURVEY.md §5).
+  */
+case class PanelRow(
+    y: Double, x1: Double, x2: Double, x3: Double,
+    unit: String, time: String, grp: String, fct: String)
+
+object DensePanel {
+  // deterministic balanced panel: 20 units × 5 periods
+  val rows: Seq[PanelRow] = {
+    val rng = new scala.util.Random(42)
+    for (u <- 0 until 20; t <- 0 until 5) yield {
+      val x1 = (u + t) % 4
+      val x2 = math.sin(u * 2.7 + t * 1.3) * 2.0
+      val uEff = (u % 7) * 0.4
+      val tEff = t * 0.25
+      val eps = rng.nextGaussian() * 0.5
+      val y = 1.0 + 0.5 * x1 - 0.3 * x2 + uEff + tEff + eps
+      PanelRow(y, x1.toDouble, x2, x1 * 2.0, s"u$u", s"t$t",
+        s"g${u % 5}", if (u % 3 == 0) "a" else if (u % 3 == 1) "b" else "c")
+    }
+  }
+
+  /** Dense OLS with explicit design matrix. Returns (beta, seIid, seHc1). */
+  def ols(x: DenseMatrix[Double], y: DenseVector[Double], dfRes: Double)
+      : (DenseVector[Double], DenseVector[Double], DenseVector[Double]) = {
+    val xtx = x.t * x
+    val xty = x.t * y
+    val xtxInv = inv(xtx)
+    val beta = xtxInv * xty
+    val e = y - x * beta
+    val rss = e.dot(e)
+    val n = x.rows
+    val p = x.cols
+    val vIid = xtxInv * (rss / dfRes)
+    val meat = DenseMatrix.zeros[Double](p, p)
+    for (i <- 0 until n) {
+      val xi = x(i, ::).t
+      meat += (xi * xi.t) * (e(i) * e(i))
+    }
+    val vHc1 = (xtxInv * meat * xtxInv) * (n.toDouble / dfRes)
+    def diagSqrt(m: DenseMatrix[Double]) =
+      DenseVector.tabulate(p)(i => math.sqrt(m(i, i)))
+    (beta, diagSqrt(vIid), diagSqrt(vHc1))
+  }
+
+  def clusterSe(
+      x: DenseMatrix[Double], y: DenseVector[Double],
+      clusters: Seq[String], k: Double): DenseVector[Double] = {
+    val xtxInv = inv(x.t * x)
+    val beta = xtxInv * (x.t * y)
+    val e = y - x * beta
+    val n = x.rows; val p = x.cols
+    val byG = clusters.zipWithIndex.groupBy(_._1)
+    val meat = DenseMatrix.zeros[Double](p, p)
+    byG.values.foreach { idxs =>
+      val s = DenseVector.zeros[Double](p)
+      idxs.foreach { case (_, i) => s += x(i, ::).t * e(i) }
+      meat += s * s.t
+    }
+    val g = byG.size.toDouble
+    val scale = (g / (g - 1.0)) * (n.toDouble / (n.toDouble - k))
+    val v = (xtxInv * meat * xtxInv) * scale
+    DenseVector.tabulate(p)(i => math.sqrt(v(i, i)))
+  }
+}
+
+class DbregSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val df = spark.createDataFrame(DensePanel.rows)
+  private val n = DensePanel.rows.length
+  private val tol = 1e-8
+
+  private def denseXy(
+      cols: Seq[PanelRow => Double], intercept: Boolean = true
+  ): (DenseMatrix[Double], DenseVector[Double]) = {
+    val fns = (if (intercept) Seq((_: PanelRow) => 1.0) else Nil) ++ cols
+    val x = DenseMatrix.tabulate(n, fns.length)((i, j) => fns(j)(DensePanel.rows(i)))
+    val y = DenseVector(DensePanel.rows.map(_.y).toArray)
+    (x, y)
+  }
+
+  private def assertClose(a: Double, b: Double, t: Double = tol, msg: String = "") =
+    assert(math.abs(a - b) <= t * math.max(1.0, math.abs(b)), s"$msg: $a vs $b")
+
+  test("moments matches dense OLS (iid + hc1)") {
+    val (x, y) = denseXy(Seq(_.x1, _.x2))
+    val (beta, seIid, seHc1) = DensePanel.ols(x, y, n - 3.0)
+    val fit = Dbreg.fit("y ~ x1 + x2", df, strategy = "moments")
+    assert(fit.terms == Seq("(Intercept)", "x1", "x2"))
+    assertClose(fit.coef("x1"), beta(1), tol, "beta x1")
+    assertClose(fit.coef("x2"), beta(2), tol, "beta x2")
+    assertClose(fit.se("(Intercept)"), seIid(0), tol, "se0")
+    assertClose(fit.se("x1"), seIid(1), tol, "se1")
+    val fitH = Dbreg.fit("y ~ x1 + x2", df, vcov = "hc1", strategy = "moments")
+    assertClose(fitH.se("x1"), seHc1(1), tol, "hc1 se x1")
+    assertClose(fitH.se("x2"), seHc1(2), tol, "hc1 se x2")
+  }
+
+  test("moments matches dense clustered CR1") {
+    val (x, y) = denseXy(Seq(_.x1, _.x2))
+    val seCl = DensePanel.clusterSe(x, y, DensePanel.rows.map(_.grp), 3.0)
+    val fit = Dbreg.fit("y ~ x1 + x2", df, vcov = "~grp", strategy = "moments")
+    assertClose(fit.se("x1"), seCl(1), tol, "cl se x1")
+    assert(fit.nClusters.contains(5L))
+  }
+
+  test("compress equals moments on discrete regressors") {
+    val m = Dbreg.fit("y ~ x1", df, strategy = "moments")
+    val c = Dbreg.fit("y ~ x1", df, strategy = "compress")
+    assertClose(c.coef("x1"), m.coef("x1"), 1e-8, "beta")
+    assertClose(c.se("x1"), m.se("x1"), 1e-8, "se")
+    assertClose(c.rss, m.rss, 1e-8, "rss")
+    assert(c.nobs < m.nobs) // actually compressed
+    val mh = Dbreg.fit("y ~ x1", df, vcov = "hc1", strategy = "moments")
+    val ch = Dbreg.fit("y ~ x1", df, vcov = "hc1", strategy = "compress")
+    assertClose(ch.se("x1"), mh.se("x1"), 1e-8, "hc1 se")
+    val mc = Dbreg.fit("y ~ x1", df, vcov = "~grp", strategy = "moments")
+    val cc = Dbreg.fit("y ~ x1", df, vcov = "~grp", strategy = "compress")
+    assertClose(cc.se("x1"), mc.se("x1"), 1e-8, "cluster se")
+  }
+
+  test("demean 1 FE matches dense LSDV") {
+    // dense: intercept + x1 + x2 + unit dummies (drop first)
+    val units = DensePanel.rows.map(_.unit).distinct.sorted
+    val dums = units.tail.map(u => (r: PanelRow) => if (r.unit == u) 1.0 else 0.0)
+    val (x, y) = denseXy(Seq((r: PanelRow) => r.x1, (r: PanelRow) => r.x2) ++ dums)
+    val dfRes = n - 2.0 - units.size // = n - p - n_fe1
+    val (beta, seIid, _) = DensePanel.ols(x, y, dfRes)
+    val fit = Dbreg.fit("y ~ x1 + x2 | unit", df, strategy = "demean")
+    assertClose(fit.coef("x1"), beta(1), 1e-7, "beta x1")
+    assertClose(fit.coef("x2"), beta(2), 1e-7, "beta x2")
+    assertClose(fit.se("x1"), seIid(1), 1e-7, "se x1")
+    assertClose(fit.dfResidual, dfRes, tol, "df")
+  }
+
+  test("demean 2 FE (balanced) matches dense TWFE") {
+    val units = DensePanel.rows.map(_.unit).distinct.sorted
+    val times = DensePanel.rows.map(_.time).distinct.sorted
+    val du = units.tail.map(u => (r: PanelRow) => if (r.unit == u) 1.0 else 0.0)
+    val dt = times.tail.map(t => (r: PanelRow) => if (r.time == t) 1.0 else 0.0)
+    val (x, y) = denseXy(Seq((r: PanelRow) => r.x1, (r: PanelRow) => r.x2) ++ du ++ dt)
+    val dfRes = n - 2.0 - (units.size + times.size - 1)
+    val (beta, seIid, _) = DensePanel.ols(x, y, dfRes)
+    val fit = Dbreg.fit("y ~ x1 + x2 | unit + time", df, strategy = "demean")
+    assertClose(fit.coef("x1"), beta(1), 1e-7, "beta x1")
+    assertClose(fit.coef("x2"), beta(2), 1e-7, "beta x2")
+    assertClose(fit.se("x2"), seIid(2), 1e-7, "se x2")
+  }
+
+  test("compress with FE equals demean coefficients") {
+    val c = Dbreg.fit("y ~ x1 + x2 | unit", df, strategy = "compress")
+    val d = Dbreg.fit("y ~ x1 + x2 | unit", df, strategy = "demean")
+    assertClose(c.coef("x1"), d.coef("x1"), 1e-7, "beta x1")
+    assertClose(c.coef("x2"), d.coef("x2"), 1e-7, "beta x2")
+  }
+
+  test("mundlak matches dense CRE (x + group means)") {
+    val unitMeans: Map[String, (Double, Double)] =
+      DensePanel.rows.groupBy(_.unit).map { case (u, rs) =>
+        u -> (rs.map(_.x1).sum / rs.size, rs.map(_.x2).sum / rs.size)
+      }
+    val (x, y) = denseXy(Seq(
+      (r: PanelRow) => r.x1, (r: PanelRow) => r.x2,
+      (r: PanelRow) => unitMeans(r.unit)._1,
+      (r: PanelRow) => unitMeans(r.unit)._2))
+    val (beta, _, _) = DensePanel.ols(x, y, n - 5.0)
+    val fit = Dbreg.fit("y ~ x1 + x2 | unit", df, strategy = "mundlak")
+    assertClose(fit.coef("x1"), beta(1), 1e-7, "beta x1")
+    assertClose(fit.coef("x2"), beta(2), 1e-7, "beta x2")
+  }
+
+  test("collinear column detected and dropped by name") {
+    val fit = Dbreg.fit("y ~ x1 + x3 + x2", df, strategy = "moments")
+    assert(fit.collinDropped == Seq("x3") || fit.collinDropped == Seq("x1"))
+    assert(fit.coeftable.length == 3) // intercept + 2 kept
+  }
+
+  test("factor regressor expands to dummies dropping first level") {
+    val lvls = Seq("a", "b", "c")
+    val dums = lvls.tail.map(l => (r: PanelRow) => if (r.fct == l) 1.0 else 0.0)
+    val (x, y) = denseXy(Seq((r: PanelRow) => r.x2) ++ dums)
+    val (beta, seIid, _) = DensePanel.ols(x, y, n - 4.0)
+    val fit = Dbreg.fit("y ~ x2 + fct", df, strategy = "moments")
+    assert(fit.terms == Seq("(Intercept)", "x2", "fctb", "fctc"))
+    assertClose(fit.coef("fctb"), beta(2), 1e-7, "beta fctb")
+    assertClose(fit.se("fctc"), seIid(3), 1e-7, "se fctc")
+  }
+
+  test("interaction numeric:factor matches dense") {
+    // y ~ x2 + fct + x2:fct — with both mains present, interaction drops ref
+    val lvls = Seq("a", "b", "c")
+    val dums = lvls.tail.map(l => (r: PanelRow) => if (r.fct == l) 1.0 else 0.0)
+    val inter = lvls.tail.map(l => (r: PanelRow) => if (r.fct == l) r.x2 else 0.0)
+    val (x, y) = denseXy(Seq((r: PanelRow) => r.x2) ++ dums ++ inter)
+    val (beta, _, _) = DensePanel.ols(x, y, n - 6.0)
+    val fit = Dbreg.fit("y ~ x2*fct", df, strategy = "moments")
+    assertClose(fit.coef("x2"), beta(1), 1e-7, "x2")
+    assertClose(fit.coef("x2:fctb"), beta(4), 1e-7, "x2:fctb")
+    assertClose(fit.coef("x2:fctc"), beta(5), 1e-7, "x2:fctc")
+  }
+
+  test("auto chooser follows the reference decision tree") {
+    // n=100: cells(x1)=4 → ratio .04 > .01 ⇒ moments; continuous x2 ⇒ moments;
+    // cells(x1,unit)=80 → ratio .8 > .6 ⇒ demean
+    assert(Dbreg.fit("y ~ x1", df).strategy == "moments")
+    assert(Dbreg.fit("y ~ x2", df).strategy == "moments")
+    assert(Dbreg.fit("y ~ x1 | unit", df).strategy == "demean")
+    // replicate 50×: ratios shrink 50-fold ⇒ compress on both
+    val big = (1 to 50).map(_ => df).reduce(_ union _)
+    assert(Dbreg.fit("y ~ x1", big).strategy == "compress")
+    assert(Dbreg.fit("y ~ x1 | unit", big).strategy == "compress")
+  }
+
+  test("r2 and confint are sane") {
+    val fit = Dbreg.fit("y ~ x1 + x2", df, strategy = "moments")
+    assert(fit.r2 > 0.0 && fit.r2 < 1.0)
+    val ci = fit.confint(0.95).map(c => c._1 -> (c._2, c._3)).toMap
+    val (lo, hi) = ci("x1")
+    assert(lo < fit.coef("x1") && fit.coef("x1") < hi)
+  }
+}
