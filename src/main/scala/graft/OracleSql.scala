@@ -1,0 +1,497 @@
+package graft
+
+import graft.pipeline.Dedup
+
+/** DuckDB oracle SQL for every entry in [[Queries.all]] (same parquet
+  * tables, registered as views by the driver). Column aliases match the
+  * Spark side exactly; every multi-row result carries an ORDER BY over a
+  * total order.
+  */
+object OracleSql {
+
+  /** base relation fragment (P1/P2). */
+  private val B =
+    """(SELECT l_extendedprice AS y, CAST(l_quantity AS DOUBLE) AS x1,
+      |        l_discount AS x2, l_returnflag AS fe1, l_linestatus AS fe2,
+      |        l_quantity, l_returnflag, l_linestatus
+      | FROM lineitem
+      | WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      |   AND l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+      |   AND l_linestatus IS NOT NULL)""".stripMargin
+
+  /** md5-derived 32-bit hash (mirrors TextOps.hash32). */
+  private def hash32(e: String) = s"('0x' || substr(md5($e),1,8))::BIGINT"
+
+  /** lowercased whitespace tokens, empties removed. */
+  private def toks(e: String) =
+    s"list_filter(string_split_regex(lower($e), '\\s+'), t -> len(t) > 0)"
+
+  /** word-bigram shingles from a token list. */
+  private def bigrams(t: String) =
+    s"list_transform(range(1, len($t)), i -> $t[i] || ' ' || $t[i+1])"
+
+  /** distinct (id, bigram-shingle) pairs over documents. */
+  private val ShingleSets =
+    s"""sh AS (SELECT DISTINCT doc_id AS id, unnest(${bigrams(toks("text"))}) AS shingle
+       |       FROM documents)""".stripMargin
+
+  private val MinhashTable: String = {
+    val rows = (0 until Dedup.NumHashes)
+      .map(i => s"(${i}, ${Dedup.minhashA(i)}, ${Dedup.minhashB(i)})")
+      .mkString(", ")
+    s"hashes(i, a, b) AS (SELECT * FROM (VALUES $rows))"
+  }
+
+  val all: Map[String, String] = Map(
+    "q01_moments_agg" ->
+      s"""SELECT count(*) AS n_total,
+         | sum(y) AS sum_y, sum(y*y) AS sum_y_sq,
+         | sum(x1) AS sum_x1, sum(x1*y) AS sum_x1_y, sum(x1*x1) AS sum_x1_sq,
+         | sum(x2) AS sum_x2, sum(x2*y) AS sum_x2_y, sum(x2*x2) AS sum_x2_sq,
+         | sum(x1*x2) AS sum_x1_x2
+         |FROM $B t""".stripMargin,
+
+    "q02_compress_cells" ->
+      s"""SELECT l_quantity, l_returnflag, l_linestatus,
+         | count(*) AS n, sum(y) AS sum_y, sum(y*y) AS sum_y_sq,
+         | sum(y)/count(*) AS mean_y, sqrt(count(*)) AS wts
+         |FROM $B t
+         |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+
+    "q03_group_means" ->
+      s"""SELECT l_returnflag, avg(y) AS y_mean, avg(x1) AS x1_mean, avg(x2) AS x2_mean
+         |FROM $B t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q04_overall_means" ->
+      s"SELECT avg(y) AS y_mean, avg(x1) AS x1_mean, avg(x2) AS x2_mean FROM $B t",
+
+    "q05_demean_moments_1fe" ->
+      s"""WITH base AS (SELECT fe1, y, x1 FROM $B t),
+         |gm AS (SELECT fe1, avg(y) ym, avg(x1) xm FROM base GROUP BY fe1),
+         |d AS (SELECT b.fe1, b.y - g.ym AS yt, b.x1 - g.xm AS xt
+         |      FROM base b JOIN gm g USING (fe1))
+         |SELECT count(*) AS n_total, count(DISTINCT fe1) AS n_fe1,
+         | sum(yt*yt) AS sum_y_sq, sum(xt*xt) AS sum_x_sq, sum(xt*yt) AS sum_x_y
+         |FROM d""".stripMargin,
+
+    "q06_demean_moments_2fe" ->
+      s"""WITH base AS (SELECT fe1, fe2, y, x1 FROM $B t),
+         |um AS (SELECT fe1, avg(y) yu, avg(x1) xu FROM base GROUP BY fe1),
+         |tm AS (SELECT fe2, avg(y) yt2, avg(x1) xt2 FROM base GROUP BY fe2),
+         |om AS (SELECT avg(y) yo, avg(x1) xo FROM base),
+         |d AS (SELECT b.y - u.yu - t.yt2 + o.yo AS ytil,
+         |             b.x1 - u.xu - t.xt2 + o.xo AS xtil
+         |      FROM base b JOIN um u USING (fe1) JOIN tm t USING (fe2) CROSS JOIN om o)
+         |SELECT count(*) AS n_total, sum(ytil*ytil) AS sum_y_sq,
+         | sum(xtil*xtil) AS sum_x_sq, sum(xtil*ytil) AS sum_x_y
+         |FROM d""".stripMargin,
+
+    "q07_mundlak_moments" ->
+      s"""WITH base AS (SELECT fe1, y, x1 FROM $B t),
+         |gm AS (SELECT fe1, avg(x1) xbar FROM base GROUP BY fe1),
+         |a AS (SELECT b.y, b.x1, g.xbar FROM base b JOIN gm g USING (fe1))
+         |SELECT count(*) AS n_total, sum(x1) AS sum_x, sum(xbar) AS sum_xbar,
+         | sum(x1*xbar) AS sum_x_xbar, sum(x1*x1) AS sum_x_sq,
+         | sum(xbar*xbar) AS sum_xbar_sq, sum(x1*y) AS sum_x_y,
+         | sum(xbar*y) AS sum_xbar_y, sum(y) AS sum_y, sum(y*y) AS sum_y_sq
+         |FROM a""".stripMargin,
+
+    "q08_hc1_meat" ->
+      s"""SELECT sum(e*e) AS m_cc, sum(e*e*x1) AS m_cx, sum(e*e*x1*x1) AS m_xx
+         |FROM (SELECT x1, y - 50000.0 - (-20.0)*x1 AS e FROM $B t) s""".stripMargin,
+
+    "q09_cluster_scores" ->
+      s"""SELECT l_returnflag, sum(e) AS s0, sum(e*x1) AS s1
+         |FROM (SELECT l_returnflag, x1, y - 50000.0 - (-20.0)*x1 AS e FROM $B t) s
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_counts_distinct" ->
+      s"""SELECT count(*) AS n_total, count(DISTINCT fe1) AS n_fe,
+         | (SELECT count(*) FROM
+         |   (SELECT DISTINCT l_quantity, l_returnflag, l_linestatus FROM $B t2) u)
+         |   AS n_cells
+         |FROM $B t""".stripMargin,
+
+    "q11_balance_check" ->
+      s"""SELECT count(DISTINCT cnt) AS n_distinct_counts
+         |FROM (SELECT count(*) AS cnt FROM $B t GROUP BY fe1, fe2) g""".stripMargin,
+
+    "q12_nested_fe_check" ->
+      s"""SELECT count(*) AS n_nonnested
+         |FROM (SELECT fe1 FROM $B t GROUP BY fe1
+         |      HAVING count(DISTINCT fe2) > 1) g""".stripMargin,
+
+    "q13_dummies_interactions" ->
+      s"""SELECT
+         | sum(CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END) AS sum_dn,
+         | sum(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS sum_dr,
+         | sum(CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END * x1) AS sum_dn_x,
+         | sum(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END * x1) AS sum_dr_x,
+         | sum(CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END * x1 * y) AS sum_dn_x_y
+         |FROM $B t""".stripMargin,
+
+    "q14_poly_spline_terms" ->
+      s"""SELECT sum(power(x1, 2)) AS sum_x_p2, sum(power(x1, 3)) AS sum_x_p3,
+         | sum(CASE WHEN x1 > 25.0 THEN 1.0 ELSE 0.0 END) AS sum_step,
+         | sum(CASE WHEN x1 > 25.0 THEN power(x1 - 25.0, 1) ELSE 0.0 END) AS sum_tp1,
+         | sum(CASE WHEN x1 > 25.0 THEN power(x1 - 25.0, 2) ELSE 0.0 END) AS sum_tp2
+         |FROM $B t""".stripMargin,
+
+    "q15_casts_filters" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        | sum(CAST(o_totalprice AS DOUBLE)) AS sum_price,
+        | sum(CAST(o_custkey AS DOUBLE)) AS sum_cust
+        |FROM orders
+        |WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL""".stripMargin,
+
+    "q16_ntile_bins" ->
+      """SELECT bin, count(*) AS n, sum(l_extendedprice) AS sum_y,
+        | min(l_extendedprice) AS min_y, max(l_extendedprice) AS max_y
+        |FROM (SELECT l_extendedprice,
+        |        ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |          AS bin
+        |      FROM lineitem) t
+        |GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q17_equal_width_bins" ->
+      """WITH mm AS (SELECT min(l_extendedprice) mn, max(l_extendedprice) mx
+        |            FROM lineitem)
+        |SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn)/10.0)), 9)
+        |            AS INT) AS bin,
+        | count(*) AS n, avg(l_extendedprice) AS avg_y
+        |FROM lineitem, mm
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q18_bin_geometry" ->
+      s"""SELECT bin, min(x1) AS min_x, max(x1) AS max_x,
+         | (min(x1)+max(x1))/2.0 AS mid_x, avg(x1) AS avg_x, count(*) AS n
+         |FROM (SELECT x1,
+         |        CASE WHEN x1 <= 10 THEN 0 WHEN x1 <= 20 THEN 1
+         |             WHEN x1 <= 30 THEN 2 WHEN x1 <= 40 THEN 3 ELSE 4 END AS bin
+         |      FROM $B t) s
+         |GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q19_factor_levels" ->
+      """SELECT DISTINCT l_returnflag FROM lineitem
+        |WHERE l_returnflag IS NOT NULL ORDER BY 1""".stripMargin,
+
+    "q20_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q21_hash_sample" ->
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         |WHERE ${hash32("o_orderkey::VARCHAR")} % 20 = 0
+         |ORDER BY o_orderkey""".stripMargin,
+
+    // ---- end-to-end fit oracles: independent SQL algebra ----
+    "q22_ols_simple_fit" ->
+      s"""WITH m AS (SELECT count(*)::DOUBLE n, sum(x1) sx, sum(y) sy,
+         |   sum(x1*x1) sxx, sum(x1*y) sxy, sum(y*y) syy FROM $B t),
+         |s AS (SELECT n, sx, sy, sxx, sxy, syy,
+         |   (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1,
+         |   sy/n - (n*sxy - sx*sy)/(n*sxx - sx*sx) * sx/n AS b0 FROM m),
+         |r AS (SELECT *, syy - 2*(b0*sy + b1*sxy)
+         |        + (b0*b0*n + 2*b0*b1*sx + b1*b1*sxx) AS rss,
+         |        n*sxx - sx*sx AS det FROM s)
+         |SELECT * FROM (
+         | SELECT '(Intercept)' AS term, b0 AS estimate,
+         |   sqrt(rss/(n-2) * sxx/det) AS std_error,
+         |   b0 / sqrt(rss/(n-2) * sxx/det) AS statistic FROM r
+         | UNION ALL
+         | SELECT 'l_quantity', b1, sqrt(rss/(n-2) * n/det),
+         |   b1 / sqrt(rss/(n-2) * n/det) FROM r) u
+         |ORDER BY term""".stripMargin,
+
+    "q23_ols_multi_fit" ->
+      s"""WITH m AS (SELECT count(*)::DOUBLE n, sum(x1) s1, sum(x2) s2, sum(y) sy,
+         |   sum(x1*x1) s11, sum(x2*x2) s22, sum(x1*x2) s12,
+         |   sum(x1*y) s1y, sum(x2*y) s2y, sum(y*y) syy FROM $B t),
+         |c AS (SELECT n, s1/n xb1, s2/n xb2, sy/n yb,
+         |   s11 - s1*s1/n AS a, s22 - s2*s2/n AS b2c, s12 - s1*s2/n AS c,
+         |   s1y - s1*sy/n AS d, s2y - s2*sy/n AS e, syy - sy*sy/n AS f FROM m),
+         |sol AS (SELECT *, a*b2c - c*c AS det,
+         |   (b2c*d - c*e)/(a*b2c - c*c) AS b1,
+         |   (a*e - c*d)/(a*b2c - c*c) AS b2 FROM c),
+         |r AS (SELECT *, yb - b1*xb1 - b2*xb2 AS b0,
+         |   f - b1*d - b2*e AS rss FROM sol)
+         |SELECT * FROM (
+         | SELECT '(Intercept)' AS term, b0 AS estimate,
+         |   sqrt(rss/(n-3) * (1.0/n + (b2c*xb1*xb1 - 2*c*xb1*xb2 + a*xb2*xb2)/det))
+         |     AS std_error FROM r
+         | UNION ALL
+         | SELECT 'l_discount', b2, sqrt(rss/(n-3) * a/det) FROM r
+         | UNION ALL
+         | SELECT 'l_quantity', b1, sqrt(rss/(n-3) * b2c/det) FROM r) u
+         |ORDER BY term""".stripMargin,
+
+    "q24_demean_fit" ->
+      s"""WITH base AS (SELECT fe1, y, x1 FROM $B t),
+         |gm AS (SELECT fe1, avg(y) ym, avg(x1) xm, count(*) cnt FROM base GROUP BY fe1),
+         |d AS (SELECT b.y - g.ym AS yt, b.x1 - g.xm AS xt
+         |      FROM base b JOIN gm g USING (fe1)),
+         |m AS (SELECT count(*)::DOUBLE n,
+         |        (SELECT count(*) FROM gm)::DOUBLE g,
+         |        sum(xt*xt) sxx, sum(xt*yt) sxy, sum(yt*yt) syy FROM d),
+         |r AS (SELECT *, sxy/sxx AS b1, syy - sxy*sxy/sxx AS rss,
+         |        n - 1 - g AS df FROM m)
+         |SELECT 'l_quantity' AS term, b1 AS estimate,
+         |  sqrt(rss/df/sxx) AS std_error
+         |FROM r""".stripMargin,
+
+    "q25_mundlak_fit" ->
+      s"""WITH base AS (SELECT fe1, y, x1 FROM $B t),
+         |gm AS (SELECT fe1, avg(x1) xbar FROM base GROUP BY fe1),
+         |a AS (SELECT b.y, b.x1, g.xbar FROM base b JOIN gm g USING (fe1)),
+         |m AS (SELECT count(*)::DOUBLE n, sum(x1) s1, sum(xbar) s2, sum(y) sy,
+         |   sum(x1*x1) s11, sum(xbar*xbar) s22, sum(x1*xbar) s12,
+         |   sum(x1*y) s1y, sum(xbar*y) s2y, sum(y*y) syy FROM a),
+         |c AS (SELECT n, s1/n xb1, s2/n xb2, sy/n yb,
+         |   s11 - s1*s1/n AS a2, s22 - s2*s2/n AS b2c, s12 - s1*s2/n AS c,
+         |   s1y - s1*sy/n AS d, s2y - s2*sy/n AS e, syy - sy*sy/n AS f FROM m),
+         |sol AS (SELECT *, a2*b2c - c*c AS det,
+         |   (b2c*d - c*e)/(a2*b2c - c*c) AS b1,
+         |   (a2*e - c*d)/(a2*b2c - c*c) AS b2 FROM c),
+         |r AS (SELECT *, yb - b1*xb1 - b2*xb2 AS b0, f - b1*d - b2*e AS rss FROM sol)
+         |SELECT * FROM (
+         | SELECT '(Intercept)' AS term, b0 AS estimate,
+         |   sqrt(rss/(n-3) * (1.0/n + (b2c*xb1*xb1 - 2*c*xb1*xb2 + a2*xb2*xb2)/det))
+         |     AS std_error FROM r
+         | UNION ALL
+         | SELECT 'l_quantity', b1, sqrt(rss/(n-3) * b2c/det) FROM r
+         | UNION ALL
+         | SELECT 'l_quantity_bar_l_returnflag', b2, sqrt(rss/(n-3) * a2/det) FROM r) u
+         |ORDER BY term""".stripMargin,
+
+    "q26_hc1_fit" ->
+      s"""WITH m AS (SELECT count(*)::DOUBLE n, sum(x1) sx, sum(y) sy,
+         |   sum(x1*x1) sxx, sum(x1*y) sxy, sum(y*y) syy FROM $B t),
+         |s AS (SELECT n, sx, sxx, sy, sxy, syy,
+         |   (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1,
+         |   sy/n - (n*sxy - sx*sy)/(n*sxx - sx*sx) * sx/n AS b0 FROM m),
+         |meat AS (SELECT sum(e*e) m00, sum(e*e*x1) m01, sum(e*e*x1*x1) m11
+         |  FROM (SELECT x1, y - (SELECT b0 FROM s) - (SELECT b1 FROM s)*x1 AS e
+         |        FROM $B t) q),
+         |v AS (SELECT n, b0, b1,
+         |   sxx/(n*sxx - sx*sx) AS ai00, -sx/(n*sxx - sx*sx) AS ai01,
+         |   n/(n*sxx - sx*sx) AS ai11, m00, m01, m11
+         |  FROM s, meat),
+         |f AS (SELECT n, b0, b1,
+         |   (ai00*ai00*m00 + 2*ai00*ai01*m01 + ai01*ai01*m11) * (n/(n-2)) AS v00,
+         |   (ai01*ai01*m00 + 2*ai01*ai11*m01 + ai11*ai11*m11) * (n/(n-2)) AS v11
+         |  FROM v)
+         |SELECT * FROM (
+         | SELECT '(Intercept)' AS term, b0 AS estimate, sqrt(v00) AS std_error FROM f
+         | UNION ALL
+         | SELECT 'l_quantity', b1, sqrt(v11) FROM f) u
+         |ORDER BY term""".stripMargin,
+
+    "q27_cluster_fit" ->
+      s"""WITH m AS (SELECT count(*)::DOUBLE n, sum(x1) sx, sum(y) sy,
+         |   sum(x1*x1) sxx, sum(x1*y) sxy FROM $B t),
+         |s AS (SELECT n, sx, sxx,
+         |   (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1,
+         |   sy/n - (n*sxy - sx*sy)/(n*sxx - sx*sx) * sx/n AS b0 FROM m),
+         |sc AS (SELECT fe1, sum(y - (SELECT b0 FROM s) - (SELECT b1 FROM s)*x1) s0,
+         |          sum((y - (SELECT b0 FROM s) - (SELECT b1 FROM s)*x1)*x1) s1
+         |       FROM $B t GROUP BY fe1),
+         |meat AS (SELECT count(*)::DOUBLE g, sum(s0*s0) m00, sum(s0*s1) m01,
+         |          sum(s1*s1) m11 FROM sc),
+         |v AS (SELECT n, b0, b1, g, m00, m01, m11,
+         |   sxx/(n*sxx - sx*sx) AS ai00, -sx/(n*sxx - sx*sx) AS ai01,
+         |   n/(n*sxx - sx*sx) AS ai11
+         |  FROM s, meat),
+         |f AS (SELECT n, b0, b1,
+         |   (ai00*ai00*m00 + 2*ai00*ai01*m01 + ai01*ai01*m11)
+         |     * (g/(g-1)) * (n/(n-2)) AS v00,
+         |   (ai01*ai01*m00 + 2*ai01*ai11*m01 + ai11*ai11*m11)
+         |     * (g/(g-1)) * (n/(n-2)) AS v11
+         |  FROM v)
+         |SELECT * FROM (
+         | SELECT '(Intercept)' AS term, b0 AS estimate, sqrt(v00) AS std_error FROM f
+         | UNION ALL
+         | SELECT 'l_quantity', b1, sqrt(v11) FROM f) u
+         |ORDER BY term""".stripMargin,
+
+    // ---- pipeline oracles ----
+    "q30_dedup_exact" ->
+      s"""SELECT sum(n_docs) AS n_docs, count(*) AS n_unique,
+         | sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+         |FROM (SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) fp,
+         |        count(*) AS n_docs, min(doc_id) AS keep_id
+         |      FROM documents GROUP BY 1) g""".stripMargin,
+
+    "q31_jaccard_pairs" ->
+      s"""WITH $ShingleSets,
+         |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+         |common AS (SELECT a.id id1, b.id id2, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2,
+         |  common::DOUBLE / (s1.sz + s2.sz - common) AS jaccard
+         |FROM common JOIN sizes s1 ON common.id1 = s1.id
+         |  JOIN sizes s2 ON common.id2 = s2.id
+         |WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.4
+         |ORDER BY id1, id2""".stripMargin,
+
+    "q32_minhash_sigs" ->
+      s"""WITH $ShingleSets,
+         |$MinhashTable,
+         |hx AS (SELECT id, ${hash32("shingle")} % ${Dedup.MinhashP} AS x FROM sh),
+         |mh AS (SELECT id, i, min((x * a + b) % ${Dedup.MinhashP}) AS h
+         |  FROM hx CROSS JOIN hashes GROUP BY id, i)
+         |SELECT id, string_agg(h::VARCHAR, ',' ORDER BY i) AS sig
+         |FROM mh GROUP BY id ORDER BY id""".stripMargin,
+
+    "q33_minhash_pairs" ->
+      s"""WITH $ShingleSets,
+         |$MinhashTable,
+         |hx AS (SELECT id, ${hash32("shingle")} % ${Dedup.MinhashP} AS x FROM sh),
+         |mh AS (SELECT id, i, min((x * a + b) % ${Dedup.MinhashP}) AS h
+         |  FROM hx CROSS JOIN hashes GROUP BY id, i),
+         |bk AS (SELECT id, i // ${Dedup.BandRows} AS band,
+         |         string_agg(h::VARCHAR, ',' ORDER BY i) AS bucket
+         |       FROM mh GROUP BY id, i // ${Dedup.BandRows}),
+         |cand AS (SELECT DISTINCT a.id id1, b.id id2
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+         |common AS (SELECT c.id1, c.id2, count(*) AS common
+         |  FROM cand c JOIN sh a ON a.id = c.id1 JOIN sh b ON b.id = c.id2
+         |    AND a.shingle = b.shingle
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, common::DOUBLE / (s1.sz + s2.sz - common) AS jaccard
+         |FROM common JOIN sizes s1 ON common.id1 = s1.id
+         |  JOIN sizes s2 ON common.id2 = s2.id
+         |WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.5
+         |ORDER BY id1, id2""".stripMargin,
+
+    "q34_simhash" -> {
+      val bitSums = (0 until Dedup.SimhashBits)
+        .map(k => s"sum(CASE WHEN (x >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS b$k")
+        .mkString(",\n ")
+      val value = (0 until Dedup.SimhashBits)
+        .map(k => s"CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id AS id, unnest(${toks("text")}) AS tok
+         |  FROM documents),
+         |hx AS (SELECT id, ${hash32("tok")} % 65536 AS x FROM tok),
+         |bits AS (SELECT id, $bitSums FROM hx GROUP BY id)
+         |SELECT id, ($value)::BIGINT AS simhash FROM bits ORDER BY id""".stripMargin
+    },
+
+    "q35_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+        |  FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |   list_sum(list_transform(range(1, len(e.embedding)+1),
+        |     i -> q.qvec[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |   / (sqrt(list_sum(list_transform(range(1, len(q.qvec)+1),
+        |        i -> q.qvec[i]::DOUBLE * q.qvec[i]::DOUBLE)))
+        |    * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+        |        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT *, row_number() OVER
+        |   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q36_knn_lsh" -> {
+      val planeW =
+        s"(${hash32("'plane_' || pp || '_dim_' || dd")} % 1000)::DOUBLE / 1000.0 - 0.5"
+      s"""WITH planes AS (SELECT pp, dd, $planeW AS w
+         |  FROM (SELECT unnest(range(0, 8)) AS pp) tp,
+         |       (SELECT unnest(range(0, 64)) AS dd) td),
+         |proj AS (SELECT e.vec_id, pl.pp,
+         |    sum(e.embedding[pl.dd + 1]::DOUBLE * pl.w) AS s
+         |  FROM embeddings e, planes pl GROUP BY 1, 2),
+         |sigs AS (SELECT vec_id, sum(CASE WHEN s >= 0 THEN 1 << pp ELSE 0 END)
+         |    AS bucket FROM proj GROUP BY vec_id),
+         |sv AS (SELECT s.vec_id, s.bucket, e.embedding
+         |  FROM sigs s JOIN embeddings e USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, bucket, embedding AS qvec FROM sv
+         |  WHERE vec_id IN (0,1,2,3,4)),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |   list_sum(list_transform(range(1, len(e.embedding)+1),
+         |     i -> q.qvec[i]::DOUBLE * e.embedding[i]::DOUBLE))
+         |   / (sqrt(list_sum(list_transform(range(1, len(q.qvec)+1),
+         |        i -> q.qvec[i]::DOUBLE * q.qvec[i]::DOUBLE)))
+         |    * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+         |        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS cos
+         |  FROM sv e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q37_text_analysis" -> {
+      def score(markers: Seq[String]) = {
+        val lst = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"""CASE WHEN len(t) = 0 THEN 0.0 ELSE
+           | len(list_filter(t, x -> list_contains($lst, x)))::DOUBLE / len(t) END"""
+          .stripMargin.replaceAll("\n", "")
+      }
+      val Seq(en, es, fr, de) = graft.pipeline.TextOps.LangMarkers.map(m => score(m._2))
+      s"""WITH tk AS (SELECT doc_id, text, ${toks("text")} AS t FROM documents),
+         |sc AS (SELECT doc_id, text, t, $en AS s_en, $es AS s_es, $fr AS s_fr,
+         |   $de AS s_de FROM tk),
+         |f1 AS (SELECT *, 'en' AS b1, s_en AS v1 FROM sc),
+         |f2 AS (SELECT *, CASE WHEN s_es > v1 THEN 'es' ELSE b1 END AS b2,
+         |   CASE WHEN s_es > v1 THEN s_es ELSE v1 END AS v2 FROM f1),
+         |f3 AS (SELECT *, CASE WHEN s_fr > v2 THEN 'fr' ELSE b2 END AS b3,
+         |   CASE WHEN s_fr > v2 THEN s_fr ELSE v2 END AS v3 FROM f2),
+         |f4 AS (SELECT *, CASE WHEN s_de > v3 THEN 'de' ELSE b3 END AS b4,
+         |   CASE WHEN s_de > v3 THEN s_de ELSE v3 END AS v4 FROM f3),
+         |lang AS (SELECT doc_id, text, t,
+         |   CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |        WHEN v4 > 0.0 THEN b4 ELSE 'und' END AS lang_pred FROM f4),
+         |quality AS (SELECT doc_id, text, t, lang_pred,
+         |   least(len(text)::DOUBLE / 500.0, 1.0) AS len_score,
+         |   least((len(regexp_replace(text,
+         |     '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE
+         |     / greatest(len(text), 1)) * 4.0, 1.0) AS punct_pen,
+         |   least((CASE WHEN len(t) = 0 THEN 0.0 ELSE
+         |     len(list_filter(t, x -> list_contains(
+         |       ['the','a','an','and','of','to','in','is','was','for','on',
+         |        'with','that','it'], x)))::DOUBLE / len(t) END) * 5.0, 1.0)
+         |     AS stop_score
+         |  FROM lang)
+         |SELECT doc_id, lang_pred,
+         | round(len_score * 0.5 + stop_score * 0.3 + (1.0 - punct_pen) * 0.2, 6)
+         |   AS quality,
+         | len(t) AS n_tokens,
+         | len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]'))
+         |   AS n_subwords,
+         | md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |FROM quality ORDER BY doc_id""".stripMargin
+    },
+
+    "q38_text_quality_agg" ->
+      s"""SELECT source, count(*) AS n,
+         | avg(len(${toks("text")})) AS avg_tokens,
+         | avg(CASE WHEN len(${toks("text")}) = 0 THEN 0.0 ELSE
+         |   len(list_filter(${toks("text")}, x -> list_contains(
+         |     ['the','a','an','and','of','to','in','is','was','for','on',
+         |      'with','that','it'], x)))::DOUBLE / len(${toks("text")}) END)
+         |   AS avg_stopword_ratio,
+         | avg(len(text)) AS avg_chars
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q39_multimodal_features" ->
+      """SELECT doc_id AS id,
+        | octet_length(encode(text)) AS n_bytes,
+        | unicode(substr(text, 1, 1)) AS head_byte,
+        | unicode(substr(text, len(text), 1)) AS tail_byte,
+        | (list_sum(list_transform(regexp_extract_all(text, '.'),
+        |    c -> unicode(c))) % 997)::BIGINT AS byte_sum_mod
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_event_windows" ->
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+        | event_type, count(*) AS n, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

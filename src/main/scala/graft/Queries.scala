@@ -1,0 +1,372 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.reg.Dbreg
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+
+/** The operator battery behind [[SparkEntry.queries]].
+  *
+  * One entry per operator row of SURVEY.md §2 (plus the training-pipeline
+  * operators). Every query is deterministic (explicit ORDER BY with a total
+  * order) and has a DuckDB-equivalent oracle in [[OracleSql]] unless noted.
+  */
+object Queries {
+
+  private def li(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
+  private def ord(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
+  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
+  private def ev(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
+
+  private val y = col("l_extendedprice").cast("double")
+  private val x1 = col("l_quantity").cast("double")
+  private val x2 = col("l_discount").cast("double")
+
+  /** base relation of the regression queries: P1 column pruning + P2
+    * missing-value filter (reference dbreg.R:450-468). */
+  private def base(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .select(col("l_extendedprice"), col("l_quantity"), col("l_discount"),
+        col("l_returnflag"), col("l_linestatus"))
+      .filter(
+        col("l_extendedprice").isNotNull && col("l_quantity").isNotNull &&
+          col("l_discount").isNotNull && col("l_returnflag").isNotNull &&
+          col("l_linestatus").isNotNull)
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  val all: Map[String, Q] = Map[String, Q](
+    // ---- A2: single-row moments aggregate ----
+    "q01_moments_agg" -> ((s, dir) =>
+      base(s, dir).agg(
+        count(lit(1)).as("n_total"),
+        sum(y).as("sum_y"), sum(y * y).as("sum_y_sq"),
+        sum(x1).as("sum_x1"), sum(x1 * y).as("sum_x1_y"), sum(x1 * x1).as("sum_x1_sq"),
+        sum(x2).as("sum_x2"), sum(x2 * y).as("sum_x2_y"), sum(x2 * x2).as("sum_x2_sq"),
+        sum(x1 * x2).as("sum_x1_x2"))),
+
+    // ---- A1: compression group-by ----
+    "q02_compress_cells" -> ((s, dir) =>
+      base(s, dir)
+        .groupBy(col("l_quantity"), col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(y).as("sum_y"), sum(y * y).as("sum_y_sq"))
+        .withColumn("mean_y", col("sum_y") / col("n"))
+        .withColumn("wts", sqrt(col("n")))
+        .orderBy("l_quantity", "l_returnflag", "l_linestatus")),
+
+    // ---- A3: group means per FE ----
+    "q03_group_means" -> ((s, dir) =>
+      base(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(avg(y).as("y_mean"), avg(x1).as("x1_mean"), avg(x2).as("x2_mean"))
+        .orderBy("l_returnflag")),
+
+    // ---- A4: overall means ----
+    "q04_overall_means" -> ((s, dir) =>
+      base(s, dir).agg(avg(y).as("y_mean"), avg(x1).as("x1_mean"), avg(x2).as("x2_mean"))),
+
+    // ---- A5 + J1: demeaned moments, 1 FE ----
+    "q05_demean_moments_1fe" -> ((s, dir) => {
+      val b = base(s, dir)
+      val gm = b.groupBy(col("l_returnflag"))
+        .agg(avg(y).as("ym"), avg(x1).as("xm"))
+      val d = b.join(broadcast(gm), "l_returnflag")
+        .select(col("l_returnflag"), (y - col("ym")).as("yt"), (x1 - col("xm")).as("xt"))
+      d.agg(
+        count(lit(1)).as("n_total"),
+        countDistinct(col("l_returnflag")).as("n_fe1"),
+        sum(col("yt") * col("yt")).as("sum_y_sq"),
+        sum(col("xt") * col("xt")).as("sum_x_sq"),
+        sum(col("xt") * col("yt")).as("sum_x_y"))
+    }),
+
+    // ---- A5 + J2: double-demeaned moments, 2 FE (balanced-panel algebra) ----
+    "q06_demean_moments_2fe" -> ((s, dir) => {
+      val b = base(s, dir)
+      val um = b.groupBy(col("l_returnflag")).agg(avg(y).as("yu"), avg(x1).as("xu"))
+      val tm = b.groupBy(col("l_linestatus")).agg(avg(y).as("yt2"), avg(x1).as("xt2"))
+      val om = b.agg(avg(y).as("yo"), avg(x1).as("xo"))
+      val d = b
+        .join(broadcast(um), "l_returnflag")
+        .join(broadcast(tm), "l_linestatus")
+        .crossJoin(broadcast(om))
+        .select(
+          (y - col("yu") - col("yt2") + col("yo")).as("ytil"),
+          (x1 - col("xu") - col("xt2") + col("xo")).as("xtil"))
+      d.agg(
+        count(lit(1)).as("n_total"),
+        sum(col("ytil") * col("ytil")).as("sum_y_sq"),
+        sum(col("xtil") * col("xtil")).as("sum_x_sq"),
+        sum(col("xtil") * col("ytil")).as("sum_x_y"))
+    }),
+
+    // ---- A6 + J3: Mundlak augmented moments ----
+    "q07_mundlak_moments" -> ((s, dir) => {
+      val b = base(s, dir)
+      val gm = b.groupBy(col("l_returnflag")).agg(avg(x1).as("xbar"))
+      val a = b.join(broadcast(gm), "l_returnflag")
+      a.agg(
+        count(lit(1)).as("n_total"),
+        sum(x1).as("sum_x"), sum(col("xbar")).as("sum_xbar"),
+        sum(x1 * col("xbar")).as("sum_x_xbar"),
+        sum(x1 * x1).as("sum_x_sq"), sum(col("xbar") * col("xbar")).as("sum_xbar_sq"),
+        sum(x1 * y).as("sum_x_y"), sum(col("xbar") * y).as("sum_xbar_y"),
+        sum(y).as("sum_y"), sum(y * y).as("sum_y_sq"))
+    }),
+
+    // ---- A10: HC1 meat with inlined coefficient literals ----
+    "q08_hc1_meat" -> ((s, dir) => {
+      val e = y - lit(50000.0) - lit(-20.0) * x1
+      base(s, dir).agg(
+        sum(e * e).as("m_cc"),
+        sum(e * e * x1).as("m_cx"),
+        sum(e * e * x1 * x1).as("m_xx"))
+    }),
+
+    // ---- A11: per-cluster score vectors ----
+    "q09_cluster_scores" -> ((s, dir) => {
+      val e = y - lit(50000.0) - lit(-20.0) * x1
+      base(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(e).as("s0"), sum(e * x1).as("s1"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- A7/A8: counts + distinct-tuple count ----
+    "q10_counts_distinct" -> ((s, dir) => {
+      val b = base(s, dir)
+      b.agg(
+        count(lit(1)).as("n_total"),
+        countDistinct(col("l_returnflag")).as("n_fe"),
+        countDistinct(col("l_quantity"), col("l_returnflag"), col("l_linestatus"))
+          .as("n_cells"))
+    }),
+
+    // ---- A9: balance check ----
+    "q11_balance_check" -> ((s, dir) =>
+      base(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .count()
+        .agg(countDistinct(col("count")).as("n_distinct_counts"))),
+
+    // ---- A13: nested-FE detection ----
+    "q12_nested_fe_check" -> ((s, dir) =>
+      base(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_linestatus")).as("nc"))
+        .filter(col("nc") > 1)
+        .agg(count(lit(1)).as("n_nonnested"))),
+
+    // ---- P3/P4: factor dummies + interactions (aggregated) ----
+    "q13_dummies_interactions" -> ((s, dir) => {
+      val dN = when(col("l_returnflag") === "N", 1.0).otherwise(0.0)
+      val dR = when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
+      base(s, dir).agg(
+        sum(dN).as("sum_dn"), sum(dR).as("sum_dr"),
+        sum(dN * x1).as("sum_dn_x"), sum(dR * x1).as("sum_dr_x"),
+        sum(dN * x1 * y).as("sum_dn_x_y"))
+    }),
+
+    // ---- P5/P6: polynomial + truncated-power spline terms ----
+    "q14_poly_spline_terms" -> ((s, dir) => {
+      val k = lit(25.0)
+      base(s, dir).agg(
+        sum(pow(x1, 2)).as("sum_x_p2"),
+        sum(pow(x1, 3)).as("sum_x_p3"),
+        sum(when(x1 > k, 1.0).otherwise(0.0)).as("sum_step"),
+        sum(when(x1 > k, pow(x1 - k, 1)).otherwise(0.0)).as("sum_tp1"),
+        sum(when(x1 > k, pow(x1 - k, 2)).otherwise(0.0)).as("sum_tp2"))
+    }),
+
+    // ---- P2/P8: missing filter + casts on orders ----
+    "q15_casts_filters" -> ((s, dir) =>
+      ord(s, dir)
+        .filter(col("o_totalprice").isNotNull && col("o_custkey").isNotNull)
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("o_totalprice").cast("double")).as("sum_price"),
+          sum(col("o_custkey").cast("double")).as("sum_cust"))),
+
+    // ---- W1: NTILE quantile binning (deterministic total order) ----
+    "q16_ntile_bins" -> ((s, dir) => {
+      val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      li(s, dir)
+        .withColumn("bin", ntile(10).over(w))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(y).as("sum_y"),
+          min(col("l_extendedprice")).as("min_y"), max(col("l_extendedprice")).as("max_y"))
+        .orderBy("bin")
+    }),
+
+    // ---- W2: equal-width bins from global min/max ----
+    "q17_equal_width_bins" -> ((s, dir) => {
+      val mm = li(s, dir).agg(min(y).as("mn"), max(y).as("mx"))
+      li(s, dir)
+        .crossJoin(broadcast(mm))
+        .withColumn(
+          "bin",
+          least(floor((y - col("mn")) / ((col("mx") - col("mn")) / 10.0)), lit(9.0))
+            .cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), avg(y).as("avg_y"))
+        .orderBy("bin")
+    }),
+
+    // ---- A14 + P7: manual-bin geometry ----
+    "q18_bin_geometry" -> ((s, dir) => {
+      val bin = when(x1 <= 10, 0).when(x1 <= 20, 1).when(x1 <= 30, 2)
+        .when(x1 <= 40, 3).otherwise(4)
+      base(s, dir)
+        .withColumn("bin", bin)
+        .groupBy("bin")
+        .agg(
+          min(x1).as("min_x"), max(x1).as("max_x"),
+          ((min(x1) + max(x1)) / 2.0).as("mid_x"),
+          avg(x1).as("avg_x"), count(lit(1)).as("n"))
+        .orderBy("bin")
+    }),
+
+    // ---- O2: factor-level discovery ----
+    "q19_factor_levels" -> ((s, dir) =>
+      li(s, dir)
+        .select(col("l_returnflag"))
+        .filter(col("l_returnflag").isNotNull)
+        .distinct()
+        .orderBy("l_returnflag")),
+
+    // ---- O3/O5: top-k with deterministic tiebreak ----
+    "q20_topk_orders" -> ((s, dir) =>
+      ord(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // ---- O4: deterministic hash sampling (scalable alternative to RNG) ----
+    "q21_hash_sample" -> ((s, dir) =>
+      ord(s, dir)
+        .filter(TextOps.hash32(col("o_orderkey").cast("string")) % 20 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    // ---- end-to-end fits (K1-K8 driver kernels against SQL algebra) ----
+    "q22_ols_simple_fit" -> ((s, dir) => {
+      val fit = Dbreg.fit("l_extendedprice ~ l_quantity", li(s, dir), strategy = "moments")
+      fit.toDF(s).select(col("term"), col("estimate"), col("std_error"), col("statistic"))
+        .orderBy("term")
+    }),
+    "q23_ols_multi_fit" -> ((s, dir) => {
+      val fit = Dbreg.fit("l_extendedprice ~ l_quantity + l_discount", li(s, dir),
+        strategy = "compress")
+      fit.toDF(s).select(col("term"), col("estimate"), col("std_error")).orderBy("term")
+    }),
+    "q24_demean_fit" -> ((s, dir) => {
+      val fit = Dbreg.fit("l_extendedprice ~ l_quantity | l_returnflag", li(s, dir),
+        strategy = "demean")
+      fit.toDF(s).select(col("term"), col("estimate"), col("std_error")).orderBy("term")
+    }),
+    "q25_mundlak_fit" -> ((s, dir) => {
+      val fit = Dbreg.fit("l_extendedprice ~ l_quantity | l_returnflag", li(s, dir),
+        strategy = "mundlak")
+      fit.toDF(s).select(col("term"), col("estimate"), col("std_error")).orderBy("term")
+    }),
+    "q26_hc1_fit" -> ((s, dir) => {
+      val fit = Dbreg.fit("l_extendedprice ~ l_quantity", li(s, dir),
+        vcov = "hc1", strategy = "moments")
+      fit.toDF(s).select(col("term"), col("estimate"), col("std_error")).orderBy("term")
+    }),
+    "q27_cluster_fit" -> ((s, dir) => {
+      val fit = Dbreg.fit("l_extendedprice ~ l_quantity", li(s, dir),
+        vcov = "~l_returnflag", strategy = "moments")
+      fit.toDF(s).select(col("term"), col("estimate"), col("std_error")).orderBy("term")
+    })
+  ) ++ pipelineQueries
+
+  // ------------------------------------------------------------ pipeline ops
+
+  private def pipelineQueries: Map[String, Q] = Map[String, Q](
+    // dedup: exact fingerprint groups (summary, 1 row)
+    "q30_dedup_exact" -> ((s, dir) => {
+      val g = Dedup.exactGroups(docs(s, dir), "doc_id", "text")
+      g.agg(
+        sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(when(col("n_docs") > 1, 1).otherwise(0)).as("n_dup_groups"))
+    }),
+
+    // dedup: all-pairs word-bigram Jaccard ≥ 0.4
+    "q31_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 2, threshold = 0.4)
+        .orderBy("id1", "id2")),
+
+    // dedup: MinHash signatures (stringified for cross-engine compare)
+    "q32_minhash_sigs" -> ((s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", n = 2)
+        .select(col("id"), concat_ws(",", col("sig").cast("array<string>")).as("sig"))
+        .orderBy("id")),
+
+    // dedup: MinHash+LSH candidates verified by true Jaccard
+    "q33_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text", n = 2, threshold = 0.5)
+        .orderBy("id1", "id2")),
+
+    // dedup: 16-bit SimHash signatures
+    "q34_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("id")),
+
+    // similarity: brute-force cosine top-5 for 5 query vectors
+    "q35_knn_brute" -> ((s, dir) =>
+      Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 5)
+        .orderBy("query_id", "rank")),
+
+    // similarity: sign-LSH bucketed top-5 (same queries, approximate)
+    "q36_knn_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(emb(s, dir), "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 5,
+        dim = 64, nPlanes = 8)
+        .orderBy("query_id", "rank")),
+
+    // text analysis: language ID + quality + token counts + fingerprint
+    "q37_text_analysis" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.subwordCount(col("text")).as("n_subwords"),
+        TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // text analysis: aggregate quality stats per source
+    "q38_text_quality_agg" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          avg(TextOps.tokenCount(col("text"))).as("avg_tokens"),
+          avg(TextOps.stopwordRatio(col("text"))).as("avg_stopword_ratio"),
+          avg(length(col("text"))).as("avg_chars"))
+        .orderBy("source")),
+
+    // multimodal: binary payload + stubbed decode features
+    "q39_multimodal_features" -> ((s, dir) =>
+      Multimodal.documentFeatures(s, docs(s, dir))
+        .select(col("id"), col("n_bytes"), col("head_byte"), col("tail_byte"),
+          col("byte_sum_mod"))
+        .orderBy("id")),
+
+    // events: tumbling-window aggregation (batch form of the streaming shape).
+    // The events parquet stores TIMESTAMP(NANOS); read as raw nanos and use
+    // integer division (not double, which loses precision above 2^53 ns).
+    "q40_event_windows" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      ev(s, dir)
+        .groupBy(
+          expr("CAST(ts DIV 3600000000000 AS BIGINT) * 3600").as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .orderBy("hour_epoch", "event_type")
+    })
+  )
+}

@@ -1,0 +1,161 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. Everything is expressed as DataFrame transforms
+  * (explode → shuffle-by-key → aggregate) so each stage scales horizontally:
+  * the only joins are key-equi joins on shingle/bucket keys, which Spark
+  * executes as shuffled hash joins partitioned by the key — no broadcast of
+  * the corpus, no driver materialization.
+  *
+  * All hashes derive from md5 (via [[TextOps.hash32]]) rather than engine
+  * hash functions, so every operator has a bit-identical SQL oracle.
+  */
+object Dedup {
+
+  /** Exact-duplicate groups: fingerprint → (n, first doc id kept).
+    * Plain hash groupBy; at scale this is one shuffle on the fingerprint. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("keep_id"))
+
+  /** Distinct (id, shingle) pairs — the exploded set-representation that
+    * Jaccard/MinHash build on. One row per distinct shingle per doc. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(
+        col(idCol).as("id"),
+        explode(TextOps.wordShingles(TextOps.tokens(col(textCol)), n)).as("shingle"))
+      .distinct()
+
+  /** All-pairs n-gram Jaccard similarity ≥ threshold.
+    *
+    * candidate generation = self-equi-join on shingle (only pairs sharing at
+    * least one shingle are ever materialized), then |A∩B| via groupBy(pair)
+    * and |A∪B| = |A|+|B|−|A∩B|. For corpora with very hot shingles, use
+    * [[minhashPairs]] instead (banded LSH bounds the join fan-out).
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val common = a
+      .join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") /
+          (col("sz1") + col("sz2") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** MinHash parameters: h_i(x) = (a_i·x' + b_i) mod P with x' = hash32 mod P.
+    * Coefficients are fixed literals so Spark and the SQL oracle agree. */
+  val MinhashP = 1000003L
+  val NumHashes = 16
+  val BandRows = 4 // 4 bands × 4 rows
+  def minhashA(i: Int): Long = 1L + 7919L * i
+  def minhashB(i: Int): Long = 104729L * (i + 1) % MinhashP
+
+  /** MinHash signatures: one row per doc, `sig` = array of NumHashes minima.
+    * Shuffle pattern: explode shingles → groupBy(id) with NumHashes `min`
+    * partial aggregates — map-side combine keeps the shuffle tiny. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n)
+      .withColumn("x", TextOps.hash32(col("shingle")) % MinhashP)
+    val mins = (0 until NumHashes).map { i =>
+      min((col("x") * minhashA(i) + minhashB(i)) % MinhashP).as(s"h$i")
+    }
+    sh.groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH band buckets: (id, band, bucket-string). Docs sharing a bucket in
+    * any band are candidate near-duplicates. */
+  def lshBuckets(sigs: DataFrame): DataFrame = {
+    val nBands = NumHashes / BandRows
+    val bands = (0 until nBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        concat_ws(",",
+          (0 until BandRows).map(r => element_at(col("sig"), b * BandRows + r + 1).cast("string")): _*
+        ).as("bucket"))
+    }
+    sigs.select(col("id"), explode(array(bands: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs, verified with true n-gram Jaccard.
+    * The candidate join is equi on (band, bucket) — fan-out bounded by
+    * bucket sizes, the standard web-scale dedup shape. */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n)
+    val bk = lshBuckets(sigs)
+    val cand = bk.as("a")
+      .join(bk.as("b"), Seq("band", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    // verify candidates with exact Jaccard on shingle sets
+    val sh = shingleSets(df, idCol, textCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val sh2 = sh.withColumnRenamed("id", "id2b").withColumnRenamed("shingle", "s2")
+    val common = cand
+      .join(sh.withColumnRenamed("id", "id1").withColumnRenamed("shingle", "s1"), "id1")
+      .join(sh2, col("id2") === col("id2b") && col("s1") === col("s2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") /
+          (col("sz1") + col("sz2") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** 16-bit SimHash over unigram tokens: bit k of the signature is the sign
+    * of Σ_tokens (±1 by bit k of the token hash). One explode + one groupBy. */
+  val SimhashBits = 16
+
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("x", TextOps.hash32(col("tok")) % 65536)
+    val bitSums = (0 until SimhashBits).map { k =>
+      sum(when(shiftright(col("x"), k) % 2 === 1, 1).otherwise(-1)).as(s"b$k")
+    }
+    tok.groupBy("id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col("id"),
+        (0 until SimhashBits)
+          .map(k => when(col(s"b$k") > 0, math.pow(2, k).toLong).otherwise(0L))
+          .reduce((a, b) => a + b)
+          .as("simhash"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline (one shuffle-free map +
+  * per-query top-k via window). The LSH variant buckets vectors by
+  * random-hyperplane signs so at scale only same-bucket pairs are compared —
+  * the signature join is a key-equi join, broadcastable on the query side.
+  * All arithmetic uses `zip_with`/`aggregate` higher-order functions
+  * (codegen'd) — no UDFs.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query id.
+    *
+    * The query set is tiny ⇒ broadcast; the corpus side streams through a
+    * broadcast nested-loop join with no shuffle of the corpus. Top-k uses a
+    * per-query window (partition count = |queries|, each partition k-bounded).
+    */
+  def bruteForceTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int
+  ): DataFrame = {
+    val queries = broadcast(
+      emb
+        .filter(col(idCol).isInCollection(queryIds))
+        .select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val scored = emb
+      .join(queries, col(idCol) =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col(idCol).as("neighbor_id"),
+        cosine(col("qvec"), col(vecCol)).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived value in [-0.5, 0.5). Cross-engine reproducible. */
+  private def planeComponent(plane: Int, d: Int): Column =
+    (conv(substring(md5(lit(s"plane_${plane}_dim_$d")), 1, 8), 16, 10).cast("long") % 1000)
+      .cast("double") / 1000.0 - lit(0.5)
+
+  /** Sign-LSH bucket signature: bit per hyperplane from sign(v·r_p). */
+  def lshSignature(vec: Column, dim: Int, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val d = (0 until dim)
+        .map(i => element_at(vec, i + 1).cast("double") * planeComponent(p, i))
+        .reduce(_ + _)
+      when(d >= 0, math.pow(2, p).toLong).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: compare only vectors sharing the LSH bucket with the
+    * query (scale path: bucket join instead of full cross product). Falls
+    * back to fewer-than-k results when the bucket is small — the standard
+    * recall/cost trade. */
+  def lshTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      dim: Int,
+      nPlanes: Int = 8
+  ): DataFrame = {
+    val sig = emb.select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      lshSignature(col(vecCol), dim, nPlanes).as("bucket"))
+    val queries = broadcast(
+      sig
+        .filter(col("id").isInCollection(queryIds))
+        .select(col("id").as("query_id"), col("vec").as("qvec"), col("bucket")))
+    val scored = sig
+      .join(queries, Seq("bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
+    * buckets (exact within-bucket). */
+  def cosineNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      nPlanes: Int = 8
+  ): DataFrame = {
+    val sig = emb.select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      lshSignature(col(vecCol), dim, nPlanes).as("bucket"))
+    sig.as("a")
+      .join(sig.as("b"), Seq("bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id1"),
+        col("b.id").as("id2"),
+        cosine(col("a.vec"), col("b.vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, n-gram shingles, language ID, quality scoring, token
+  * counting, fingerprinting. All pure `Column` expressions built from
+  * codegen'd built-ins — no UDFs — so they stay inside whole-stage codegen
+  * and push down through Catalyst like any other projection.
+  */
+object TextOps {
+
+  /** Lowercased whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles (space-joined) from a token array. */
+  def wordShingles(toks: Column, n: Int): Column = {
+    require(n >= 1)
+    if (n == 1) toks
+    else
+      transform(
+        sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)
+      )
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word chunks + individual non-word chars.
+    * (regexp_count of `\w+|[^\w\s]` — a cheap proxy for tokenizer load.) */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"))
+
+  /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", ""))
+    punct.cast("double") / greatest(length(text), lit(1)).cast("double")
+  }
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, 0.0).otherwise(
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        size(t).cast("double"))
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "was", "for", "on", "with", "that", "it")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, 0.0).otherwise(
+      size(filter(t, x => x.isInCollection(EnglishStopwords))).cast("double") /
+        size(t).cast("double"))
+  }
+
+  /** Marker-word sets for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit")
+  )
+
+  /** Per-language marker score: marker hits / tokens. */
+  def langScore(text: Column, lang: String): Column = {
+    val markers = LangMarkers.toMap.apply(lang)
+    val t = tokens(text)
+    when(size(t) === 0, 0.0).otherwise(
+      size(filter(t, x => x.isInCollection(markers))).cast("double") /
+        size(t).cast("double"))
+  }
+
+  /** Heuristic language ID: CJK characters ⇒ "zh"; otherwise the marker set
+    * with the highest hit ratio (ties break by LangMarkers order); "und"
+    * when nothing scores. Deterministic and SQL-expressible by design so it
+    * can be oracle-checked. */
+  def langId(text: Column): Column = {
+    val hasCjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0
+    val scored = LangMarkers.map { case (l, _) => (l, langScore(text, l)) }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (l, s)) =>
+        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(hasCjk, "zh").otherwise(when(best._2 > 0.0, best._1).otherwise("und"))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with modest
+    * punctuation and some stopwords (a cheap C4-style filter signal). */
+  def qualityScore(text: Column): Column = {
+    val lenScore =
+      least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 4.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round((lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2), 6)
+  }
+
+  /** Exact content fingerprint: md5 of whitespace-normalized lowercase text.
+    * (Identical expression exists in every SQL engine ⇒ oracle-friendly.) */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** First 8 md5 hex chars as a BIGINT in [0, 2^32) — the deterministic,
+    * cross-engine numeric hash used by MinHash/SimHash. */
+  def hash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+}
