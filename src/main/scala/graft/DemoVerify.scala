@@ -44,3 +44,39 @@ object DemoVerify {
     spark.stop()
   }
 }
+
+/** Binscatter drive: real parquet, both paths + probes. */
+object DemoBinsreg {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    import graft.binsreg.Dbbinsreg
+
+    println("=== canonical (0,0) quantile binscatter: tip-style query ===")
+    val r0 = Dbbinsreg.fit("l_extendedprice ~ l_quantity", li, nbins = 10, degree = 0)
+    r0.points.foreach(p => println(f"bin ${p.bin}%2d x=${p.x}%8.2f fit=${p.fit}%10.1f ± ${p.se}%8.1f [${p.lwr}%10.1f, ${p.upr}%10.1f]"))
+
+    println("\n=== linear spline (1,1) with FE + hc1 ===")
+    val r1 = Dbbinsreg.fit("l_extendedprice ~ l_quantity | l_returnflag", li,
+      nbins = 6, degree = 1, smoothness = 1, vcov = "hc1")
+    r1.points.foreach(p => println(f"bin ${p.bin}%2d x=${p.x}%8.2f fit=${p.fit}%10.1f se=${p.se}%8.1f"))
+    println(s"line points: ${r1.line.length}, knots: ${r1.knots.mkString(",")}")
+
+    println("\n=== probe: equal-spaced bins + control ===")
+    val r2 = Dbbinsreg.fit("l_extendedprice ~ l_quantity + l_discount", li,
+      nbins = 5, binspos = "es", degree = 1)
+    println(r2.points.map(p => f"${p.fit}%10.1f").mkString(" "))
+
+    println("\n=== probe: bad smoothness > degree+1 ===")
+    try { Dbbinsreg.fit("l_extendedprice ~ l_quantity", li, degree = 0, smoothness = 2) }
+    catch { case e: Exception => println(s"OK -> ${e.getMessage}") }
+
+    println("\n=== probe: interaction as binning var refused ===")
+    try { Dbbinsreg.fit("l_extendedprice ~ l_quantity:l_discount", li) }
+    catch { case e: Exception => println(s"OK -> ${e.getMessage}") }
+    spark.stop()
+  }
+}

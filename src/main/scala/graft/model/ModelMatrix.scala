@@ -54,12 +54,21 @@ object ModelMatrix {
       df: DataFrame,
       terms: List[Term],
       feVars: Seq[String],
-      maxLevels: Int = 100000
+      maxLevels: Int = 100000,
+      intercept: Boolean = true
   ): Expansion = {
     val vars = terms.flatMap(_.parts).distinct
     val levels: Map[String, Seq[String]] =
       vars.filter(isFactor(df, _)).map(v => v -> factorLevels(df, v, maxLevels)).toMap
     val allLabels: Set[String] = terms.map(t => t.parts.mkString(":")).toSet
+
+    // R semantics: in a no-intercept formula the FIRST factor term keeps all
+    // its levels (it absorbs the intercept's role).
+    val firstFactorMain: Option[String] =
+      if (intercept) None
+      else terms.collectFirst {
+        case t if !t.isInteraction && levels.contains(t.parts.head) => t.parts.head
+      }
 
     val cols = terms.flatMap { term =>
       val expansions: List[List[MMCol]] = term.parts.map { v =>
@@ -67,7 +76,7 @@ object ModelMatrix {
           if (term.isInteraction && levels.contains(v)) {
             val otherSorted = term.parts.filterNot(_ == v).sorted.mkString(":")
             feVars.contains(v) || allLabels.contains(otherSorted)
-          } else true
+          } else !(firstFactorMain.contains(v) && !term.isInteraction)
         expandVariable(v, levels, dropRef)
       }
       crossProduct(expansions)

@@ -174,9 +174,12 @@ object Dbreg {
       carry: Seq[String],
       intercept: Boolean
   ): Design = {
-    val mm = ModelMatrix.expand(base, f.terms, f.fe)
+    // drop-ref behavior follows the FORMULA's intercept (user's `0 +`), while
+    // `intercept` only controls the explicit constant column (strategies like
+    // demean absorb it and pass false here).
+    val mm = ModelMatrix.expand(base, f.terms, f.fe, intercept = f.intercept)
     val all: List[MMCol] =
-      (if (intercept) List(MMCol("(Intercept)", lit(1.0))) else Nil) ++ mm.cols
+      (if (intercept && f.intercept) List(MMCol("(Intercept)", lit(1.0))) else Nil) ++ mm.cols
     val xNames = all.indices.map(i => s"__g_x$i")
     val cols = carry.map(col) ++
       Seq(col(f.y).cast("double").as(Y)) ++
@@ -315,7 +318,7 @@ object Dbreg {
     val nCells = comp.count()
 
     // design columns over the cells: x expansion + FE dummies
-    val mm = ModelMatrix.expand(comp, f.terms, f.fe)
+    val mm = ModelMatrix.expand(comp, f.terms, f.fe, intercept = f.intercept)
     val feDummies: List[MMCol] = f.fe.flatMap { fe =>
       // ALL levels (no 100k cap here: FE dummies must cover every group)
       val lvls = comp

@@ -1,0 +1,126 @@
+package graft
+
+import breeze.linalg.{DenseMatrix, DenseVector, inv}
+import graft.binsreg.Dbbinsreg
+
+class BinsregSpec extends SparkTestBase {
+
+  // deterministic scatter: y = sin(x) + structured noise
+  case class Pt(y: Double, x: Double, w: Double, g: String)
+  private lazy val data: Seq[Pt] = {
+    val rng = new scala.util.Random(7)
+    (0 until 2000).map { i =>
+      val x = rng.nextDouble() * 10.0
+      val w = rng.nextDouble()
+      val g = s"g${i % 4}"
+      val y = math.sin(x) + 0.3 * w + (i % 4) * 0.1 + rng.nextGaussian() * 0.2
+      Pt(y, x, w, g)
+    }
+  }
+  private lazy val df = spark.createDataFrame(data)
+
+  private def assertClose(a: Double, b: Double, t: Double, msg: String) =
+    assert(math.abs(a - b) <= t * math.max(1.0, math.abs(b)), s"$msg: $a vs $b")
+
+  test("canonical binscatter (0,0) equal-spaced: per-bin means, pooled sigma") {
+    val r = Dbbinsreg.fit("y ~ x", df, nbins = 5, binspos = "es", degree = 0)
+    assert(r.nbins == 5 && r.nobs == 2000)
+    // dense check: bin means and pooled-variance SEs
+    val mn = data.map(_.x).min; val mx = data.map(_.x).max
+    def bin(x: Double) = (1 until 5).count(k => x > mn + (mx - mn) * k / 5)
+    val groups = data.groupBy(p => bin(p.x))
+    val binMeans = groups.map { case (b, ps) => b -> ps.map(_.y).sum / ps.size }
+    val rss = groups.values.flatMap { ps =>
+      val m = ps.map(_.y).sum / ps.size; ps.map(p => math.pow(p.y - m, 2))
+    }.sum
+    val sigma2 = rss / (2000 - 5)
+    r.points.foreach { p =>
+      assertClose(p.fit, binMeans(p.bin), 1e-7, s"bin ${p.bin} mean")
+      val n = groups(p.bin).size
+      assertClose(p.se, math.sqrt(sigma2 / n), 1e-7, s"bin ${p.bin} se")
+      assert(p.lwr < p.fit && p.fit < p.upr)
+    }
+  }
+
+  test("quantile bins give near-equal counts") {
+    val r = Dbbinsreg.fit("y ~ x", df, nbins = 10, binspos = "qs", degree = 0)
+    assert(r.bins.length == 10)
+    val counts = r.bins.map(_.n)
+    assert(counts.min > 100 && counts.max < 400, s"counts: $counts") // ~200 each
+  }
+
+  test("degree-1 unconstrained matches dense per-bin linear model") {
+    val r = Dbbinsreg.fit("y ~ x", df, nbins = 4, binspos = "es", degree = 1)
+    // dense: X = [1_b, 1_b * u_b] per bin
+    val mn = data.map(_.x).min; val mx = data.map(_.x).max
+    val edges = (0 to 4).map(i => mn + (mx - mn) * i / 4)
+    def bin(x: Double) = (1 until 4).count(k => x > edges(k))
+    val lefts = data.groupBy(p => bin(p.x)).map { case (b, ps) => b -> ps.map(_.x).min }
+    val hs = data.groupBy(p => bin(p.x)).map { case (b, ps) =>
+      b -> (ps.map(_.x).max - ps.map(_.x).min)
+    }
+    val n = data.size
+    val xm = DenseMatrix.zeros[Double](n, 8)
+    val yv = DenseVector(data.map(_.y).toArray)
+    data.zipWithIndex.foreach { case (p, i) =>
+      val b = bin(p.x)
+      val u = (p.x - lefts(b)) / hs(b)
+      xm(i, b) = 1.0
+      xm(i, 4 + b) = u
+    }
+    val beta = inv(xm.t * xm) * (xm.t * yv)
+    val xmeans = data.groupBy(p => bin(p.x)).map { case (b, ps) => b -> ps.map(_.x).sum / ps.size }
+    r.points.foreach { p =>
+      val u = (xmeans(p.bin) - lefts(p.bin)) / hs(p.bin)
+      val expect = beta(p.bin) + beta(4 + p.bin) * u
+      assertClose(p.fit, expect, 1e-6, s"bin ${p.bin} fit")
+    }
+  }
+
+  test("linear spline (1,1) matches dense truncated-power fit") {
+    val r = Dbbinsreg.fit("y ~ x", df, nbins = 4, binspos = "es", degree = 1, smoothness = 1)
+    val mn = data.map(_.x).min; val mx = data.map(_.x).max
+    val knots = (1 until 4).map(k => mn + (mx - mn) * k / 4)
+    val n = data.size
+    val xm = DenseMatrix.zeros[Double](n, 5) // 1, x, (x-k)+ ×3
+    val yv = DenseVector(data.map(_.y).toArray)
+    data.zipWithIndex.foreach { case (p, i) =>
+      xm(i, 0) = 1.0; xm(i, 1) = p.x
+      knots.zipWithIndex.foreach { case (k, j) =>
+        xm(i, 2 + j) = if (p.x > k) p.x - k else 0.0
+      }
+    }
+    val beta = inv(xm.t * xm) * (xm.t * yv)
+    val xmeans = data.groupBy { p =>
+      (1 until 4).count(k => p.x > mn + (mx - mn) * k / 4)
+    }.map { case (b, ps) => b -> ps.map(_.x).sum / ps.size }
+    r.points.foreach { p =>
+      val xv = xmeans(p.bin)
+      val expect = beta(0) + beta(1) * xv +
+        knots.zipWithIndex.map { case (k, j) =>
+          if (xv > k) beta(2 + j) * (xv - k) else 0.0
+        }.sum
+      assertClose(p.fit, expect, 1e-6, s"bin ${p.bin} spline fit")
+    }
+    // line is continuous across knots for s=1
+    val sortedLine = r.line.sortBy(_.x)
+    sortedLine.sliding(2).foreach { case Seq(a, b2) =>
+      assert(math.abs(b2.fit - a.fit) < 0.5, s"jump at ${a.x} -> ${b2.x}")
+    }
+  }
+
+  test("controls and FE compose with binning") {
+    val r = Dbbinsreg.fit("y ~ x + w | g", df, nbins = 5, binspos = "qs", degree = 0)
+    assert(r.points.length == 5)
+    assert(r.model.fe == Seq("g"))
+    assert(r.points.forall(p => p.se > 0 && !p.fit.isNaN))
+  }
+
+  test("hc1 and cluster vcov flow through") {
+    val rh = Dbbinsreg.fit("y ~ x", df, nbins = 5, degree = 0, vcov = "hc1")
+    val rc = Dbbinsreg.fit("y ~ x", df, nbins = 5, degree = 0, vcov = "~g")
+    assert(rh.model.vcovType == "hc1")
+    assert(rc.model.vcovType == "cluster")
+    assert(rh.points.forall(_.se > 0) && rc.points.forall(_.se > 0))
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = sf("sf0.001", "documents")
+  private lazy val embs = sf("sf0.001", "embeddings")
+
+  test("exact dedup finds planted duplicates") {
+    val planted = docs.limit(5).withColumn("doc_id", col("doc_id") + 100000)
+    val withDups = docs.union(planted)
+    val groups = Dedup.exactGroups(withDups, "doc_id", "text")
+    val dups = groups.filter(col("n_docs") > 1)
+    assert(dups.count() == 5)
+    // keep_id is the original (minimum) id
+    assert(dups.agg(max(col("keep_id"))).collect()(0).getLong(0) < 100000)
+  }
+
+  test("jaccard of a doc with itself is 1; near-dup detection") {
+    val d2 = docs.limit(3).withColumn("doc_id", col("doc_id") + 100000)
+    val pairs = Dedup.jaccardPairs(docs.limit(3).union(d2), "doc_id", "text",
+      n = 2, threshold = 0.99).collect()
+    assert(pairs.length == 3)
+    assert(pairs.forall(_.getDouble(2) == 1.0))
+  }
+
+  test("minhash LSH recovers exact duplicates") {
+    val d2 = docs.limit(4).withColumn("doc_id", col("doc_id") + 100000)
+    val pairs = Dedup.minhashPairs(docs.limit(4).union(d2), "doc_id", "text",
+      n = 2, threshold = 0.9).collect()
+    assert(pairs.length >= 4) // all 4 identical pairs bucket together
+  }
+
+  test("simhash: identical docs share signature, signatures vary") {
+    val s = Dedup.simhash(docs.limit(50), "doc_id", "text")
+    val sigs = s.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.size == 50)
+    assert(sigs.values.toSet.size > 10) // not degenerate
+    val dup = Dedup.simhash(
+      docs.limit(1).union(docs.limit(1).withColumn("doc_id", lit(999999L))),
+      "doc_id", "text").collect().map(_.getLong(1))
+    assert(dup(0) == dup(1))
+  }
+
+  test("brute-force kNN: self excluded, cosine in [-1,1], k rows per query") {
+    val r = Similarity.bruteForceTopK(embs, "vec_id", "embedding", Seq(0L, 1L), 5).collect()
+    assert(r.length == 10)
+    assert(r.forall(x => x.getDouble(2) >= -1.0001 && x.getDouble(2) <= 1.0001))
+    assert(r.forall(x => x.getLong(1) != x.getLong(0)))
+    // ranks are 1..5 per query, cos non-increasing
+    val byQ = r.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to 5))
+      assert(sorted.sliding(2).forall { case Array(a, b) =>
+        a.getDouble(2) >= b.getDouble(2) - 1e-12 })
+    }
+  }
+
+  test("LSH kNN retrieves a planted duplicate vector (same bucket, cos=1)") {
+    val dup = embs.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(99999L))
+    val withDup = embs.union(dup)
+    val lsh = Similarity.lshTopK(withDup, "vec_id", "embedding", Seq(0L), 5, dim = 64)
+      .collect()
+    assert(lsh.forall(x => x.getDouble(2) <= 1.0001))
+    val top = lsh.filter(_.getInt(3) == 1).head
+    assert(top.getLong(1) == 99999L, s"expected planted dup first, got $top")
+    assert(math.abs(top.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("langId picks marker language deterministically") {
+    val d = Seq(
+      (1L, "the cat and the dog went to the market in the morning"),
+      (2L, "el gato y la casa de la playa en un día"),
+      (3L, "xyzzy qwerty plugh")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "en" && r(2L) == "es" && r(3L) == "und")
+  }
+
+  test("quality score bounded and monotone-ish in stopword richness") {
+    val d = Seq(
+      (1L, "the cat and the dog is in the house with a ball for it was"),
+      (2L, "zz qq ww")).toDF("doc_id", "text")
+    val r = d.select(TextOps.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(r.forall(v => v >= 0.0 && v <= 1.0))
+    assert(r(0) > r(1))
+  }
+
+  test("multimodal: batch feature extraction preserves rows and is deterministic") {
+    val f1 = Multimodal.documentFeatures(spark, docs)
+    val f2 = Multimodal.documentFeatures(spark, docs)
+    assert(f1.count() == docs.count())
+    val a = f1.orderBy("id").collect().map(_.getLong(4))
+    val b = f2.orderBy("id").collect().map(_.getLong(4))
+    assert(a.sameElements(b))
+    // feature vector shape
+    val row = f1.filter(col("id") === 0).collect()(0)
+    assert(row.getAs[scala.collection.Seq[Double]]("feature").length == 8)
+  }
+
+  test("frame sampling produces k frames per doc") {
+    val bin = Multimodal.asBinary(docs.limit(10), "doc_id", "text")
+    val frames = Multimodal.frameSample(bin, k = 4)
+    assert(frames.count() == 40)
+    assert(frames.groupBy("id").count().collect().forall(_.getLong(1) == 4))
+  }
+}
