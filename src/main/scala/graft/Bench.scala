@@ -1,24 +1,112 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.binsreg.Dbbinsreg
+import graft.pipeline.{Dedup, Similarity, TextOps}
+import graft.reg.Dbreg
+
+/** Benchmark main — runs the headline operator set on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Protocol mirrors the reference benchmark harness (BASELINE.md: 3
+  * iterations, median elapsed) with a warmup pass so JIT/codegen and
+  * parquet footer reads don't pollute the first measurement. DataFrame
+  * queries execute to completion via the noop sink (no driver
+  * serialization in the timing).
+  */
 object Bench {
+  private val Iters = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    def sink(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // ---- headline workload ----
+    val workload: Seq[(String, () => Unit)] = Seq(
+      // the reference benchmark shape: y ~ x1 + x2 | fe1 + fe2
+      "fit_twfe_compress" -> (() => {
+        Dbreg.fit("l_extendedprice ~ l_quantity + l_discount | l_returnflag + l_linestatus",
+          li, strategy = "compress"); ()
+      }),
+      "fit_twfe_auto" -> (() => {
+        Dbreg.fit("l_extendedprice ~ l_quantity + l_discount | l_returnflag + l_linestatus",
+          li, strategy = "auto"); ()
+      }),
+      "fit_demean_hc1" -> (() => {
+        Dbreg.fit("l_extendedprice ~ l_quantity + l_discount | l_returnflag",
+          li, vcov = "hc1", strategy = "demean"); ()
+      }),
+      "fit_mundlak" -> (() => {
+        Dbreg.fit("l_extendedprice ~ l_quantity + l_discount | l_returnflag",
+          li, strategy = "mundlak"); ()
+      }),
+      "fit_moments_cluster" -> (() => {
+        Dbreg.fit("l_extendedprice ~ l_quantity + l_discount", li,
+          vcov = "~l_returnflag", strategy = "moments"); ()
+      }),
+      "binsreg_canonical" -> (() => {
+        Dbbinsreg.fit("l_extendedprice ~ l_quantity", li, nbins = 10, degree = 0); ()
+      }),
+      "binsreg_spline_fe" -> (() => {
+        Dbbinsreg.fit("l_extendedprice ~ l_quantity | l_returnflag", li,
+          nbins = 8, degree = 1, smoothness = 1); ()
+      }),
+      "dedup_exact" -> (() => sink(Dedup.exactGroups(docs, "doc_id", "text"))),
+      "dedup_minhash_lsh" -> (() =>
+        sink(Dedup.minhashPairs(docs, "doc_id", "text", n = 2, threshold = 0.5))),
+      "dedup_simhash" -> (() => sink(Dedup.simhash(docs, "doc_id", "text"))),
+      "knn_brute" -> (() =>
+        sink(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          Seq(0L, 1L, 2L, 3L, 4L), 10))),
+      "knn_lsh" -> (() =>
+        sink(Similarity.lshTopK(emb, "vec_id", "embedding",
+          Seq(0L, 1L, 2L, 3L, 4L), 10, dim = 64))),
+      "text_analysis" -> (() => {
+        import org.apache.spark.sql.functions.col
+        sink(docs
+          .withColumn("__t", TextOps.tokens(col("text")))
+          .select(
+            col("doc_id"),
+            TextOps.langIdT(col("text"), col("__t")).as("lang"),
+            TextOps.qualityScoreT(col("text"), col("__t")).as("q"),
+            TextOps.fingerprint(col("text")).as("fp")))
+      })
+    )
+
+    // warmup: touch parquet footers + JIT the agg/join codepaths
+    li.count(); docs.count(); emb.count()
+    Dbreg.fit("l_extendedprice ~ l_quantity", li, strategy = "moments")
+
+    val results = workload.map { case (name, fn) =>
+      val times = (1 to Iters).map { _ =>
+        val t0 = System.nanoTime()
+        try fn()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(Iters / 2) // median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -328,24 +328,28 @@ object Queries {
         .orderBy("query_id", "rank")),
 
     // text analysis: language ID + quality + token counts + fingerprint
+    // (tokenize ONCE per row, reuse the array for every feature)
     "q37_text_analysis" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        TextOps.langId(col("text")).as("lang_pred"),
-        TextOps.qualityScore(col("text")).as("quality"),
-        TextOps.tokenCount(col("text")).as("n_tokens"),
-        TextOps.subwordCount(col("text")).as("n_subwords"),
-        TextOps.fingerprint(col("text")).as("fp"))
+      docs(s, dir)
+        .withColumn("__t", TextOps.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          TextOps.langIdT(col("text"), col("__t")).as("lang_pred"),
+          TextOps.qualityScoreT(col("text"), col("__t")).as("quality"),
+          size(col("__t")).as("n_tokens"),
+          TextOps.subwordCount(col("text")).as("n_subwords"),
+          TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
     // text analysis: aggregate quality stats per source
     "q38_text_quality_agg" -> ((s, dir) =>
       docs(s, dir)
+        .withColumn("__t", TextOps.tokens(col("text")))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n"),
-          avg(TextOps.tokenCount(col("text"))).as("avg_tokens"),
-          avg(TextOps.stopwordRatio(col("text"))).as("avg_stopword_ratio"),
+          avg(size(col("__t"))).as("avg_tokens"),
+          avg(TextOps.stopwordRatioT(col("__t"))).as("avg_stopword_ratio"),
           avg(length(col("text"))).as("avg_chars"))
         .orderBy("source")),
 

@@ -46,6 +46,7 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a
@@ -74,13 +75,17 @@ object Dedup {
   /** MinHash signatures: one row per doc, `sig` = array of NumHashes minima.
     * Shuffle pattern: explode shingles → groupBy(id) with NumHashes `min`
     * partial aggregates — map-side combine keeps the shuffle tiny. */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, n)
-      .withColumn("x", TextOps.hash32(col("shingle")) % MinhashP)
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
+    minhashSignaturesFrom(shingleSets(df, idCol, textCol, n))
+
+  /** Signature aggregation over a precomputed (id, shingle) set — lets
+    * callers compute/cache the shingle explosion once. */
+  def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
+    val hx = sh.withColumn("x", TextOps.hash32(col("shingle")) % MinhashP)
     val mins = (0 until NumHashes).map { i =>
       min((col("x") * minhashA(i) + minhashB(i)) % MinhashP).as(s"h$i")
     }
-    sh.groupBy("id")
+    hx.groupBy("id")
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -110,15 +115,17 @@ object Dedup {
       n: Int = 2,
       threshold: Double = 0.5
   ): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, n)
+    // one shingle explosion feeds signatures, sizes, AND verification —
+    // cached because three downstream aggregations reuse it
+    val sh = shingleSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignaturesFrom(sh)
     val bk = lshBuckets(sigs)
     val cand = bk.as("a")
       .join(bk.as("b"), Seq("band", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    // verify candidates with exact Jaccard on shingle sets
-    val sh = shingleSets(df, idCol, textCol, n)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val sh2 = sh.withColumnRenamed("id", "id2b").withColumnRenamed("shingle", "s2")
     val common = cand

@@ -51,13 +51,16 @@ object TextOps {
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "was", "for", "on", "with", "that", "it")
 
-  /** Fraction of tokens that are (English) stopwords. */
-  def stopwordRatio(text: Column): Column = {
-    val t = tokens(text)
+  /** Fraction of tokens that are (English) stopwords.
+    * Prefer the `(text, toks)` overload when several text features share one
+    * row — tokenizing once and reusing the array column keeps the hot path
+    * to a single regex split per row. */
+  def stopwordRatio(text: Column): Column = stopwordRatioT(tokens(text))
+
+  def stopwordRatioT(t: Column): Column =
     when(size(t) === 0, 0.0).otherwise(
       size(filter(t, x => x.isInCollection(EnglishStopwords))).cast("double") /
         size(t).cast("double"))
-  }
 
   /** Marker-word sets for the n-gram/stopword language-ID heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
@@ -68,9 +71,11 @@ object TextOps {
   )
 
   /** Per-language marker score: marker hits / tokens. */
-  def langScore(text: Column, lang: String): Column = {
+  def langScore(text: Column, lang: String): Column =
+    langScoreT(tokens(text), lang)
+
+  def langScoreT(t: Column, lang: String): Column = {
     val markers = LangMarkers.toMap.apply(lang)
-    val t = tokens(text)
     when(size(t) === 0, 0.0).otherwise(
       size(filter(t, x => x.isInCollection(markers))).cast("double") /
         size(t).cast("double"))
@@ -80,9 +85,11 @@ object TextOps {
     * with the highest hit ratio (ties break by LangMarkers order); "und"
     * when nothing scores. Deterministic and SQL-expressible by design so it
     * can be oracle-checked. */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdT(text, tokens(text))
+
+  def langIdT(text: Column, t: Column): Column = {
     val hasCjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0
-    val scored = LangMarkers.map { case (l, _) => (l, langScore(text, l)) }
+    val scored = LangMarkers.map { case (l, _) => (l, langScoreT(t, l)) }
     val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
       case ((bl, bs), (l, s)) =>
         (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
@@ -92,11 +99,13 @@ object TextOps {
 
   /** Composite quality score in [0,1]: favors mid-length docs with modest
     * punctuation and some stopwords (a cheap C4-style filter signal). */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = qualityScoreT(text, tokens(text))
+
+  def qualityScoreT(text: Column, t: Column): Column = {
     val lenScore =
       least(length(text).cast("double") / lit(500.0), lit(1.0))
     val punctPenalty = least(punctRatio(text) * 4.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatioT(t) * 5.0, lit(1.0))
     round((lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2), 6)
   }
 
