@@ -55,7 +55,8 @@ object ModelMatrix {
       terms: List[Term],
       feVars: Seq[String],
       maxLevels: Int = 100000,
-      intercept: Boolean = true
+      intercept: Boolean = true,
+      expandMains: Boolean = true
   ): Expansion = {
     val vars = terms.flatMap(_.parts).distinct
     val levels: Map[String, Seq[String]] =
@@ -71,15 +72,20 @@ object ModelMatrix {
       }
 
     val cols = terms.flatMap { term =>
-      val expansions: List[List[MMCol]] = term.parts.map { v =>
-        val dropRef =
-          if (term.isInteraction && levels.contains(v)) {
-            val otherSorted = term.parts.filterNot(_ == v).sorted.mkString(":")
-            feVars.contains(v) || allLabels.contains(otherSorted)
-          } else !(firstFactorMain.contains(v) && !term.isInteraction)
-        expandVariable(v, levels, dropRef)
+      if (!term.isInteraction && !expandMains) {
+        // reference `expand = "interactions"`: main effects pass through
+        List(MMCol(term.parts.head, col(term.parts.head)))
+      } else {
+        val expansions: List[List[MMCol]] = term.parts.map { v =>
+          val dropRef =
+            if (term.isInteraction && levels.contains(v)) {
+              val otherSorted = term.parts.filterNot(_ == v).sorted.mkString(":")
+              feVars.contains(v) || allLabels.contains(otherSorted)
+            } else !(firstFactorMain.contains(v) && !term.isInteraction)
+          expandVariable(v, levels, dropRef)
+        }
+        crossProduct(expansions)
       }
-      crossProduct(expansions)
     }
     // de-duplicate by name, preserving first occurrence (mirrors R terms())
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, MMCol]
@@ -120,4 +126,23 @@ object ModelMatrix {
 
   /** `_x_` → `:` for user-facing coefficient names (reference utils.R:6). */
   def displayName(internal: String): String = internal.replace("_x_", ":")
+
+  /** Public design-matrix compiler — the Spark analogue of the reference's
+    * exported `sql_model_matrix()` (reference sql_model_matrix.R:34-68):
+    * appends one numeric column per design term to `df`.
+    *
+    * @param expandMains when false (reference `expand = "interactions"`),
+    *   main-effect factors pass through unexpanded and only interactions
+    *   are one-hot crossed.
+    */
+  def designMatrix(
+      df: DataFrame,
+      rhsTerms: List[Term],
+      feVars: Seq[String] = Nil,
+      intercept: Boolean = true,
+      expandMains: Boolean = true
+  ): DataFrame = {
+    val e = expand(df, rhsTerms, feVars, intercept = intercept, expandMains = expandMains)
+    df.select(df.columns.map(col) ++ e.cols.map(c => c.col.as(c.name)): _*)
+  }
 }

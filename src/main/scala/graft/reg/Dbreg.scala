@@ -163,7 +163,8 @@ object Dbreg {
   private final case class Design(
       df: DataFrame,
       xNames: IndexedSeq[String],
-      displayNames: IndexedSeq[String]
+      displayNames: IndexedSeq[String],
+      cols: List[MMCol]
   )
 
   private val Y = "__g_y"
@@ -184,7 +185,24 @@ object Dbreg {
     val cols = carry.map(col) ++
       Seq(col(f.y).cast("double").as(Y)) ++
       all.zipWithIndex.map { case (c, i) => c.col.cast("double").as(xNames(i)) }
-    Design(base.select(cols: _*), xNames, all.map(c => ModelMatrix.displayName(c.name)).toIndexedSeq)
+    Design(base.select(cols: _*), xNames,
+      all.map(c => ModelMatrix.displayName(c.name)).toIndexedSeq, all)
+  }
+
+  /** Attach a plain linear predictor (moments/compress/mundlak shape):
+    * termCols maps kept display names to expressions over new data. */
+  private def withLinearPredictor(
+      res: DbregResult,
+      termCols: Map[String, Column],
+      preJoin: DataFrame => DataFrame = identity,
+      offsetCol: Option[Column] = None,
+      intervalsSupported: Boolean = true
+  ): DbregResult = {
+    val beta = breeze.linalg.DenseVector(res.coeftable.map(_.estimate).toArray)
+    res.copy(predictor = Some(new LinearPredictor(
+      res.terms, termCols, beta, res.vcov,
+      res.rss / res.dfResidual, res.dfResidual,
+      preJoin, offsetCol, intervalsSupported)))
   }
 
   /** Moments strategy (reference dbreg.R:703-872): one pass, no FE. */
@@ -192,12 +210,14 @@ object Dbreg {
     val cluster = v match { case Vcov.Cluster(c) => Seq(c); case _ => Nil }
     val d = buildDesign(base, f, cluster, f.intercept)
     val mom = MomentsKernel.compute(d.df, Y, d.xNames, intercept = false)
-    finish(f, d, mom, v, ssc,
+    val res = finish(f, d, mom, v, ssc,
       strategy = "moments",
       nobs = mom.nRows, nobsOrig = mom.nRows,
       dfFe = 0.0, tss = mom.sumYSq - mom.sumY * mom.sumY / mom.n,
       dfResOf = (n, pKept) => math.max(n - pKept, 1.0),
       clusterK = (pKept, _) => pKept)
+    withLinearPredictor(res,
+      d.cols.map(c => ModelMatrix.displayName(c.name) -> c.col).toMap)
   }
 
   /** Demean / within strategy, 1-2 FE (reference dbreg.R:874-1235). */
@@ -213,14 +233,29 @@ object Dbreg {
           avg(valueCols.head).as(valueCols.head + suffix),
           valueCols.tail.map(c => avg(c).as(c + suffix)): _*)
 
-    val (demeaned, nFe1, nFe2, cleanup) = f.fe match {
+    val dispToInt = d0.displayNames.zip(d0.xNames).toMap
+
+    // FE intercepts for prediction: α_g = ȳ_g − x̄_g'β̂ over kept terms
+    def alphaAdj(res: DbregResult, suffix: String): Column =
+      res.coeftable
+        .map(r => lit(r.estimate) * col(dispToInt(r.term) + suffix))
+        .reduceOption(_ + _)
+        .getOrElse(lit(0.0))
+
+    val (demeaned, nFe1, nFe2, cleanup, alphaBuilder) = f.fe match {
       case Seq(fe1) =>
         val gm = meansOver(Seq(fe1), "_m").persist(StorageLevel.MEMORY_AND_DISK)
         val n1 = gm.count()
         val joined = d0.df.join(maybeBroadcast(gm, n1), Seq(fe1))
         val tilde = cluster.map(col) ++
           valueCols.map(c => (col(c) - col(c + "_m")).as(c))
-        (joined.select(tilde: _*), n1, 1L, () => { gm.unpersist(); () })
+        val builder = (res: DbregResult) => {
+          val alpha = gm.select(col(fe1), (col(Y + "_m") - alphaAdj(res, "_m")).as("__g_alpha"))
+          // left join: unseen FE levels yield a visible null fit, not a
+          // silently dropped row
+          ((nd: DataFrame) => nd.join(broadcast(alpha), Seq(fe1), "left"), col("__g_alpha"))
+        }
+        (joined.select(tilde: _*), n1, 1L, () => { gm.unpersist(); () }, builder)
       case Seq(fe1, fe2) =>
         val um = meansOver(Seq(fe1), "_u").persist(StorageLevel.MEMORY_AND_DISK)
         val tm = meansOver(Seq(fe2), "_t").persist(StorageLevel.MEMORY_AND_DISK)
@@ -234,7 +269,18 @@ object Dbreg {
           .crossJoin(broadcast(om))
         val tilde = cluster.map(col) ++
           valueCols.map(c => (col(c) - col(c + "_u") - col(c + "_t") + col(c + "_o")).as(c))
-        (joined.select(tilde: _*), n1, n2, () => { um.unpersist(); tm.unpersist(); () })
+        val builder = (res: DbregResult) => {
+          val au = um.select(col(fe1), (col(Y + "_u") - alphaAdj(res, "_u")).as("__g_au"))
+          val at = tm.select(col(fe2), (col(Y + "_t") - alphaAdj(res, "_t")).as("__g_at"))
+          val ag = om.select((col(Y + "_o") - alphaAdj(res, "_o")).as("__g_ag"))
+          val pre = (nd: DataFrame) =>
+            nd.join(broadcast(au), Seq(fe1), "left")
+              .join(broadcast(at), Seq(fe2), "left")
+              .crossJoin(broadcast(ag))
+          (pre, col("__g_au") + col("__g_at") - col("__g_ag"))
+        }
+        (joined.select(tilde: _*), n1, n2,
+          () => { um.unpersist(); tm.unpersist(); () }, builder)
       case other =>
         throw new IllegalArgumentException(s"demean supports 1-2 FE, got ${other.length}")
     }
@@ -249,7 +295,11 @@ object Dbreg {
       clusterK = (pKept, nested) => pKept + dfFe - nested,
       nestedBase = Some(base))
     cleanup()
-    res
+    val (preJoin, offset) = alphaBuilder(res)
+    withLinearPredictor(res,
+      d0.cols.map(c => ModelMatrix.displayName(c.name) -> c.col).toMap,
+      preJoin = preJoin, offsetCol = Some(offset),
+      intervalsSupported = false)
   }
 
   /** Mundlak / correlated-random-effects strategy (reference dbreg.R:1237-1502). */
@@ -260,6 +310,7 @@ object Dbreg {
 
     var aug = d0.df
     val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val meansByFe = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
     val barNames = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     f.fe.foreach { fe =>
       val ms = d0.df
@@ -270,6 +321,7 @@ object Dbreg {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nLev = ms.count()
       caches += ms
+      meansByFe += ((fe, ms))
       aug = aug.join(maybeBroadcast(ms, nLev), Seq(fe))
       d0.xNames.zip(d0.displayNames).foreach { case (xn, dn) =>
         barNames += ((s"${xn}_bar_$fe", s"${dn}_bar_$fe"))
@@ -279,7 +331,7 @@ object Dbreg {
     val augWithConst = aug.withColumn(interceptName, lit(1.0))
     val xAll = (interceptName +: d0.xNames) ++ barNames.map(_._1)
     val dispAll = ("(Intercept)" +: d0.displayNames) ++ barNames.map(_._2)
-    val d = Design(augWithConst, xAll.toIndexedSeq, dispAll.toIndexedSeq)
+    val d = Design(augWithConst, xAll.toIndexedSeq, dispAll.toIndexedSeq, Nil)
 
     val mom = MomentsKernel.compute(d.df, Y, d.xNames, intercept = false)
     val res = finish(f, d, mom, v, ssc,
@@ -290,7 +342,17 @@ object Dbreg {
       clusterK = (pKept, _) => pKept,
       nestedBase = Some(base))
     caches.foreach(_.unpersist())
-    res
+    // prediction: original x expressions + group-mean columns re-joined
+    val termCols =
+      ((("(Intercept)", lit(1.0))) +:
+        d0.cols.map(c => (ModelMatrix.displayName(c.name), c.col))) ++
+        barNames.toList.map { case (internal, display) => (display, col(internal)) }
+    val meansList = meansByFe.toList
+    val preJoin = (nd: DataFrame) =>
+      meansList.foldLeft(nd) { case (acc, (fe, ms)) =>
+        acc.join(broadcast(ms), Seq(fe), "left")
+      }
+    withLinearPredictor(res, termCols.toMap, preJoin = preJoin)
   }
 
   /** Compress strategy (reference dbreg.R:1504-1716; Wong et al. 2021).
@@ -344,7 +406,8 @@ object Dbreg {
     val designed = comp.select(
       (cellKeys.map(col) ++ Seq(col("__g_n"), col("__g_sy"), col("__g_syy"), col(Y)) ++
         all.zipWithIndex.map { case (c, i) => c.col.cast("double").as(xNames(i)) }): _*)
-    val d = Design(designed, xNames, all.map(c => ModelMatrix.displayName(c.name)).toIndexedSeq)
+    val d = Design(designed, xNames,
+      all.map(c => ModelMatrix.displayName(c.name)).toIndexedSeq, all)
 
     val mom = MomentsKernel.compute(
       d.df, Y, d.xNames, intercept = false, weightName = Some("__g_n"),
@@ -364,7 +427,9 @@ object Dbreg {
       nestedBase = Some(base),
       compressCells = Some(CompressCells(base, cellKeys, all)))
     comp.unpersist()
-    res.copy(compressionRatio = Some(nCells.toDouble / math.max(nOrig, 1L)))
+    withLinearPredictor(
+      res.copy(compressionRatio = Some(nCells.toDouble / math.max(nOrig, 1L))),
+      all.map(c => ModelMatrix.displayName(c.name) -> c.col).toMap)
   }
 
   private final case class CompressCells(

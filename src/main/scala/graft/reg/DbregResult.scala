@@ -30,8 +30,23 @@ final case class DbregResult(
     fe: Seq[String],
     collinDropped: Seq[String],
     nClusters: Option[Long] = None,
-    compressionRatio: Option[Double] = None
+    compressionRatio: Option[Double] = None,
+    @transient predictor: Option[Predictor] = None
 ) {
+  /** Distributed prediction on new data (reference stats-methods.R:94-236).
+    * interval: "none" | "confidence" | "prediction". For the demean
+    * strategy intervals are downgraded to point predictions (reference
+    * parity, stats-methods.R:104-111). */
+  def predict(
+      newdata: DataFrame,
+      interval: String = "none",
+      level: Double = 0.95
+  ): DataFrame =
+    predictor
+      .getOrElse(throw new UnsupportedOperationException(
+        s"predict not available for strategy $strategy"))
+      .predict(newdata, interval, level)
+
   def terms: Seq[String] = coeftable.map(_.term)
   def coef: Map[String, Double] = coeftable.map(r => r.term -> r.estimate).toMap
   def se: Map[String, Double] = coeftable.map(r => r.term -> r.stdError).toMap
@@ -53,6 +68,18 @@ final case class DbregResult(
   def toDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
     coeftable.toDF("term", "estimate", "std_error", "statistic", "p_value")
+  }
+
+  /** broom-style tidiers (reference R/tidiers.R): `tidy` = per-term rows,
+    * `glance` = one-row model summary. */
+  def tidy(spark: SparkSession): DataFrame = toDF(spark)
+
+  def glance(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((r2, adjR2, rmse, nobs, nobsOrig, dfResidual, rss, tss, strategy, vcovType,
+      nClusters.getOrElse(0L)))
+      .toDF("r2", "adj_r2", "rmse", "nobs", "nobs_orig", "df_residual", "rss", "tss",
+        "strategy", "vcov_type", "n_clusters")
   }
 
   override def toString: String = {
