@@ -1,0 +1,114 @@
+package graft.streaming
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+import graft.linalg.LinAlg
+
+/** Streaming extensions (beyond the reference's batch-only surface,
+  * SURVEY.md §2.10): the moments strategy's sufficient statistics are plain
+  * sums, so OLS over a stream is one incremental `groupBy().agg(sum…)` —
+  * Spark maintains the partial aggregates in the state store and the driver
+  * can solve the normal equations from any micro-batch's output.
+  */
+object StreamingReg {
+
+  /** Column list of the [1, X, y] moment sums for `y ~ xs` (upper triangle).
+    * Works on both batch and streaming DataFrames. */
+  def momentAggs(y: String, xs: Seq[String]): Seq[Column] = {
+    val yc = col(y).cast("double")
+    def x(i: Int) = col(xs(i)).cast("double")
+    val p = xs.length
+    Seq(
+      count(lit(1)).cast("double").as("n"),
+      sum(yc).as("sum_y"),
+      sum(yc * yc).as("sum_y_sq")) ++
+      (0 until p).flatMap(i =>
+        Seq(sum(x(i)).as(s"sum_x$i"), sum(x(i) * yc).as(s"sum_x${i}_y"))) ++
+      (for (i <- 0 until p; j <- i until p)
+        yield sum(x(i) * x(j)).as(s"sum_x${i}_x$j"))
+  }
+
+  /** Incremental sufficient statistics for `y ~ xs`, optionally keyed.
+    * On a streaming input use output mode "complete" (no watermark) or key
+    * by a window column with a watermark for bounded state. */
+  def momentsStream(df: DataFrame, y: String, xs: Seq[String], keys: Seq[Column] = Nil): DataFrame = {
+    val aggs = momentAggs(y, xs)
+    if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Solve OLS (with intercept) from one row of [[momentsStream]] output —
+    * call from `foreachBatch` or on a memory-sink table. */
+  def solve(row: Row, p: Int): DenseVector[Double] = {
+    def d(name: String) = row.getAs[Any](name) match {
+      case null => 0.0
+      case v: Number => v.doubleValue
+    }
+    val dim = p + 1
+    val xtx = DenseMatrix.zeros[Double](dim, dim)
+    val xty = DenseVector.zeros[Double](dim)
+    xtx(0, 0) = d("n"); xty(0) = d("sum_y")
+    for (i <- 0 until p) {
+      xtx(0, i + 1) = d(s"sum_x$i"); xtx(i + 1, 0) = xtx(0, i + 1)
+      xty(i + 1) = d(s"sum_x${i}_y")
+      for (j <- i until p) {
+        val v = d(s"sum_x${i}_x$j")
+        xtx(i + 1, j + 1) = v; xtx(j + 1, i + 1) = v
+      }
+    }
+    LinAlg.solveWithFallback(xtx, xty).beta
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream — the
+    * streaming form of the batch q40 shape. `tsCol` must be TimestampType. */
+  def windowedEventAgg(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      window_ : String = "1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+
+  /** Per-key running statistics via mapGroupsWithState — the custom-state
+    * escape hatch for semantics windowed aggs can't express. */
+  final case class RunningStats(n: Long, mean: Double, m2: Double) {
+    def variance: Double = if (n > 1) m2 / (n - 1) else 0.0
+  }
+
+  def runningStatsPerKey(
+      events: DataFrame,
+      keyCol: String,
+      valueCol: String
+  ): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val typed = events
+      .select(col(keyCol).cast("string").as("k"), col(valueCol).cast("double").as("v"))
+      .as[(String, Double)]
+    typed
+      .groupByKey(_._1)
+      .mapGroupsWithState[RunningStats, (String, Long, Double, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (key, values, state: GroupState[RunningStats]) =>
+          var s = state.getOption.getOrElse(RunningStats(0L, 0.0, 0.0))
+          values.foreach { case (_, v) =>
+            // Welford update: numerically stable running mean/variance
+            val n1 = s.n + 1
+            val delta = v - s.mean
+            val mean1 = s.mean + delta / n1
+            s = RunningStats(n1, mean1, s.m2 + delta * (v - mean1))
+          }
+          state.update(s)
+          (key, s.n, s.mean, s.variance)
+      }
+      .toDF("key", "n", "mean", "variance")
+  }
+}

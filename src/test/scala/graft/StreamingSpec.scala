@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingReg
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming moments accumulate across micro-batches and solve to batch OLS") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Double, Double)] // (y, x)
+    val df = input.toDF().toDF("y", "x")
+    val agg = StreamingReg.momentsStream(df, "y", Seq("x"))
+    val q = agg.writeStream.format("memory").queryName("mom").outputMode("complete").start()
+
+    val batch1 = (1 to 50).map(i => (2.0 + 3.0 * i + (i % 5) * 0.1, i.toDouble))
+    val batch2 = (51 to 100).map(i => (2.0 + 3.0 * i + (i % 5) * 0.1, i.toDouble))
+    input.addData(batch1: _*); q.processAllAvailable()
+    input.addData(batch2: _*); q.processAllAvailable()
+    val row = spark.table("mom").collect()(0)
+    q.stop()
+
+    val beta = StreamingReg.solve(row, 1)
+    // batch OLS on the union for comparison
+    val all = batch1 ++ batch2
+    val n = all.size.toDouble
+    val sx = all.map(_._2).sum; val sy = all.map(_._1).sum
+    val sxx = all.map(p => p._2 * p._2).sum; val sxy = all.map(p => p._1 * p._2).sum
+    val b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val b0 = sy / n - b1 * sx / n
+    assert(math.abs(beta(0) - b0) < 1e-8, s"${beta(0)} vs $b0")
+    assert(math.abs(beta(1) - b1) < 1e-8, s"${beta(1)} vs $b1")
+  }
+
+  test("watermarked windowed aggregation over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "etype", "value")
+    val agg = StreamingReg.windowedEventAgg(df, "ts", "etype", "value", "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("win").outputMode("complete").start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData(
+      (t(10, 5), "click", 1.0), (t(10, 40), "click", 2.0),
+      (t(10, 20), "view", 5.0), (t(11, 10), "click", 3.0))
+    q.processAllAvailable()
+    val rows = spark.table("win")
+      .select(col("window.start").cast("string"), col("etype"), col("n"), col("sum_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    q.stop()
+    assert(rows(("2024-01-01 10:00:00", "click")) == (2L, 3.0))
+    assert(rows(("2024-01-01 10:00:00", "view")) == (1L, 5.0))
+    assert(rows(("2024-01-01 11:00:00", "click")) == (1L, 3.0))
+  }
+
+  test("mapGroupsWithState running stats match direct computation") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val df = input.toDF().toDF("k", "v")
+    val out = StreamingReg.runningStatsPerKey(df, "k", "v")
+    val q = out.writeStream.format("memory").queryName("rs").outputMode("update").start()
+    input.addData(("a", 1.0), ("a", 3.0), ("b", 10.0))
+    q.processAllAvailable()
+    input.addData(("a", 5.0), ("b", 20.0))
+    q.processAllAvailable()
+    val rows = spark.table("rs").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    q.stop()
+    // latest state for a: n=3 mean=3 var=4 ; b: n=2 mean=15 var=50
+    assert(rows(("a", 3L))._1 == 3.0)
+    assert(math.abs(rows(("a", 3L))._2 - 4.0) < 1e-12)
+    assert(rows(("b", 2L)) == (15.0, 50.0))
+  }
+}
