@@ -399,9 +399,14 @@ object Dbreg {
     }.toList
     val all: List[MMCol] =
       (if (f.intercept) List(MMCol("(Intercept)", lit(1.0))) else Nil) ++ mm.cols ++ feDummies
-    require(all.size <= MaxDesignCols,
-      s"compress design has ${all.size} columns (> $MaxDesignCols); " +
-        "use demean/mundlak for high-cardinality fixed effects")
+    if (all.size > MaxDesignCols) {
+      // high-cardinality FE: p(p+1)/2 agg columns would swamp codegen —
+      // switch to the driver-side sparse WLS over collected cells (the
+      // reference's own client-side path, bounded by compressNmax)
+      val res = CompressDriver.fit(f, base, comp, cellKeys, v, ssc, compressNmax, nCells)
+      comp.unpersist()
+      return res
+    }
     val xNames = all.indices.map(i => s"__g_x$i")
     val designed = comp.select(
       (cellKeys.map(col) ++ Seq(col("__g_n"), col("__g_sy"), col("__g_syy"), col(Y)) ++
@@ -458,20 +463,19 @@ object Dbreg {
       nestedBase: Option[DataFrame] = None,
       compressCells: Option[CompressCells] = None
   ): DbregResult = {
-    val collin = LinAlg.detectCollinearity(mom.xtx, mom.xty)
-    val keptIdx = collin.keepIdx
+    val solved = LinAlg.solveDetecting(mom.xtx, mom.xty)
+    val keptIdx = solved.keepIdx
     val keptX = keptIdx.map(d.xNames)
     val keptDisp = keptIdx.map(d.displayNames)
-    val dropped = collin.dropIdx.map(d.displayNames)
-
-    val solved = LinAlg.solveWithFallback(collin.xtx, collin.xty)
+    val dropped = solved.dropIdx.map(d.displayNames)
     val beta = solved.beta
     val xtxInv = solved.xtxInv
 
     val rss = {
-      val bXty = beta.dot(collin.xty)
-      val bXtXb = beta.dot(collin.xtx * beta)
-      mom.sumYSq - 2.0 * bXty + bXtXb
+      val xtyK = breeze.linalg.DenseVector(keptIdx.map(mom.xty(_)).toArray)
+      val xtxK = breeze.linalg.DenseMatrix.tabulate(keptIdx.length, keptIdx.length)(
+        (i, j) => mom.xtx(keptIdx(i), keptIdx(j)))
+      mom.sumYSq - 2.0 * beta.dot(xtyK) + beta.dot(xtxK * beta)
     }
     val pKept = keptX.length.toDouble
     val dfRes = dfResOf(nobsOrig.toDouble, pKept)
@@ -575,17 +579,7 @@ object Dbreg {
   /** ssc="nested": total levels of FE vars nested within the cluster var
     * (reference dbreg.R:1718-1752). */
   private def countNestedFeLevels(base: DataFrame, fe: Seq[String], cluster: String): Double =
-    fe.map { f =>
-      val spans = base
-        .groupBy(col(f))
-        .agg(countDistinct(col(cluster)).as("__g_nc"))
-        .filter(col("__g_nc") > 1)
-        .limit(1)
-        .count()
-      if (spans == 0)
-        base.agg(countDistinct(col(f)).cast("double").as("n")).collect()(0).getAs[Double]("n")
-      else 0.0
-    }.sum
+    NestedFe.count(base, fe, cluster)
 
   /** Broadcast aggregate tables when plausibly small; group-mean tables
     * with more rows flow through a shuffle join instead. */
