@@ -80,3 +80,26 @@ object DemoBinsreg {
     spark.stop()
   }
 }
+
+/** CB bands + manual knots drive. */
+object DemoCb {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    import graft.binsreg.Dbbinsreg
+    println("=== binscatter with sup-t confidence bands ===")
+    val r = Dbbinsreg.fit("l_extendedprice ~ l_quantity", li, nbins = 8, degree = 0, cb = true)
+    r.points.foreach(p => println(f"bin ${p.bin} fit=${p.fit}%9.1f CI=[${p.lwr}%9.1f,${p.upr}%9.1f] CB=[${p.cbLwr}%9.1f,${p.cbUpr}%9.1f]"))
+    println("=== manual knots ===")
+    val m = Dbbinsreg.fit("l_extendedprice ~ l_quantity", li,
+      manualKnots = Some(Array(10.0, 25.0, 40.0)), degree = 0)
+    m.bins.foreach(b => println(f"bin ${b.bin}: [${b.left}%5.1f, ${b.right}%5.1f] n=${b.n}"))
+    println("=== probe: cb requested on spline -> warned & skipped ===")
+    val sc = Dbbinsreg.fit("l_extendedprice ~ l_quantity", li, nbins = 5, degree = 1, smoothness = 1, cb = true)
+    println(s"spline cbLwr all NaN: ${sc.points.forall(_.cbLwr.isNaN)}")
+    spark.stop()
+  }
+}

@@ -26,7 +26,9 @@ import graft.reg.{Dbreg, DbregResult}
 object Dbbinsreg {
 
   final case class BinInfo(bin: Int, left: Double, right: Double, xMean: Double, n: Long)
-  final case class BinPoint(bin: Int, x: Double, fit: Double, se: Double, lwr: Double, upr: Double)
+  final case class BinPoint(
+      bin: Int, x: Double, fit: Double, se: Double, lwr: Double, upr: Double,
+      cbLwr: Double = Double.NaN, cbUpr: Double = Double.NaN)
   final case class LinePoint(bin: Int, x: Double, fit: Double)
   final case class BinsregResult(
       points: Seq[BinPoint],
@@ -56,7 +58,11 @@ object Dbbinsreg {
       smoothness: Int = 0,
       vcov: String = "iid",
       level: Double = 0.95,
-      lineGrid: Int = 20
+      lineGrid: Int = 20,
+      manualKnots: Option[Array[Double]] = None,
+      cb: Boolean = false,
+      cbSims: Int = 2000,
+      cbSeed: Long = 42L
   ): BinsregResult = {
     require(degree >= 0 && smoothness >= 0 && smoothness <= degree + 1,
       s"invalid (degree, smoothness) = ($degree, $smoothness)")
@@ -75,16 +81,22 @@ object Dbbinsreg {
 
     val x = col(xvar).cast("double")
 
-    // ---- bin edges (K12 / W1-W2 equivalents) ----
-    val breaks: Array[Double] = binspos match {
-      case "qs" =>
-        val probs = (0 to nbins).map(_.toDouble / nbins).toArray
-        base.stat.approxQuantile(xvar, probs, 1e-4).distinct.sorted
-      case "es" =>
+    // ---- bin edges (K12 / W1-W2 equivalents; manual knots = reference
+    // binspos numeric vector) ----
+    val breaks: Array[Double] = manualKnots match {
+      case Some(ks) =>
         val r = base.agg(min(x).as("mn"), max(x).as("mx")).collect()(0)
-        val (mn, mx) = (r.getDouble(0), r.getDouble(1))
-        (0 to nbins).map(i => mn + (mx - mn) * i / nbins).toArray
-      case other => throw new IllegalArgumentException(s"binspos must be qs|es, got $other")
+        (r.getDouble(0) +: ks.sorted.toVector :+ r.getDouble(1)).distinct.sorted.toArray
+      case None => binspos match {
+        case "qs" =>
+          val probs = (0 to nbins).map(_.toDouble / nbins).toArray
+          base.stat.approxQuantile(xvar, probs, 1e-4).distinct.sorted
+        case "es" =>
+          val r = base.agg(min(x).as("mn"), max(x).as("mx")).collect()(0)
+          val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+          (0 to nbins).map(i => mn + (mx - mn) * i / nbins).toArray
+        case other => throw new IllegalArgumentException(s"binspos must be qs|es, got $other")
+      }
     }
     val b = breaks.length - 1
     require(b >= 1, "need at least one bin after deduplicating edges")
@@ -118,8 +130,14 @@ object Dbbinsreg {
         controlVars.map(v => v -> row.getAs[Double](v)).toMap
       }
 
+    if (cb && smoothness > 0)
+      // reference parity: CBs warned & skipped for constrained fits
+      // (dbbinsreg.R:1299-1303)
+      System.err.println("[dbbinsreg] confidence bands not supported for smoothness > 0; skipping")
+    val cbOpt = if (cb && smoothness == 0) Some((cbSims, cbSeed)) else None
+
     if (smoothness == 0) fitUnconstrained(f, binned, geo, degree, vcov, level, lineGrid,
-      controls.map(_.label), controlMeans, interiorKnots, nobs)
+      controls.map(_.label), controlMeans, interiorKnots, nobs, cbOpt)
     else fitConstrained(f, binned, geo, degree, smoothness, interiorKnots, vcov, level,
       lineGrid, controls.map(_.label), controlMeans, nobs, xvar)
   }
@@ -138,7 +156,8 @@ object Dbbinsreg {
       controlTerms: Seq[String],
       controlMeans: Map[String, Double],
       knots: Seq[Double],
-      nobs: Long
+      nobs: Long,
+      cbOpt: Option[(Int, Long)]
   ): BinsregResult = {
     val x = col(f.terms.head.parts.head).cast("double")
     val width = math.max(2, geo.map(_.bin).max.toString.length)
@@ -185,7 +204,7 @@ object Dbbinsreg {
         } else controlMeans.getOrElse(t, 0.0)
       }.toArray)
     }
-    evalResult(model, geo, knots, wRow, level, lineGrid, nobs, offset)
+    evalResult(model, geo, knots, wRow, level, lineGrid, nobs, offset, cbOpt)
   }
 
   /** s ≥ 1: global truncated-power spline basis (reference
@@ -237,10 +256,11 @@ object Dbbinsreg {
           if (xv > knots(ki)) math.pow(xv - knots(ki), r) else 0.0
         } else controlMeans.getOrElse(t, 0.0)
       }.toArray)
-    evalResult(model, geo, knots, wRow, level, lineGrid, nobs, offset)
+    evalResult(model, geo, knots, wRow, level, lineGrid, nobs, offset, None)
   }
 
-  /** fit/SE/CI at bin means + line grid (K10): se = √(wᵀVw). */
+  /** fit/SE/CI at bin means + line grid (K10), optional sup-t confidence
+    * bands via simulation (K11, reference dbbinsreg.R:1675-1686). */
   private def evalResult(
       model: DbregResult,
       geo: Seq[BinInfo],
@@ -249,16 +269,41 @@ object Dbbinsreg {
       level: Double,
       lineGrid: Int,
       nobs: Long,
-      offset: Double
+      offset: Double,
+      cbOpt: Option[(Int, Long)]
   ): BinsregResult = {
     val beta = DenseVector(model.coeftable.map(_.estimate).toArray)
     val v = model.vcov
     val crit = LinAlg.tCrit(level, model.dfResidual)
+
+    // sup-t critical value: draws from N(0, WVWᵀ), sup_b |z_b|/se_b
+    val cbCrit: Double = cbOpt match {
+      case None => Double.NaN
+      case Some((nsims, seed)) =>
+        val b = geo.length
+        val wm = DenseMatrix.zeros[Double](b, beta.length)
+        geo.zipWithIndex.foreach { case (g, i) => wm(i, ::) := wRow(g.bin, g.xMean).t }
+        val vp = wm * v * wm.t
+        val ses = (0 until b).map(i => math.sqrt(math.max(vp(i, i), 1e-300)))
+        val jitter = breeze.linalg.trace(vp) / b * 1e-10 + 1e-300
+        val lch = breeze.linalg.cholesky(vp + DenseMatrix.eye[Double](b) * jitter)
+        val rng = new scala.util.Random(seed)
+        val sups = Array.fill(nsims) {
+          val g = DenseVector.fill(b)(rng.nextGaussian())
+          val z = lch * g
+          (0 until b).map(i => math.abs(z(i)) / ses(i)).max
+        }.sorted
+        sups(math.min((level * nsims).toInt, nsims - 1))
+    }
+
     val points = geo.map { g =>
       val w = wRow(g.bin, g.xMean)
       val fit = offset + w.dot(beta)
       val se = math.sqrt(math.max(w.dot(v * w), 0.0))
-      BinPoint(g.bin, g.xMean, fit, se, fit - crit * se, fit + crit * se)
+      val (cl, cu) =
+        if (cbCrit.isNaN) (Double.NaN, Double.NaN)
+        else (fit - cbCrit * se, fit + cbCrit * se)
+      BinPoint(g.bin, g.xMean, fit, se, fit - crit * se, fit + crit * se, cl, cu)
     }
     val line = geo.flatMap { g =>
       (0 until lineGrid).map { i =>

@@ -81,7 +81,10 @@ object LinAlg {
         }
     }
 
-  /** dpotrf + dpotrs + dpotri; None if not positive definite. */
+  /** dpotrf + dpotrs + dpotri; None if not (comfortably) positive definite.
+    * A tiny Cholesky pivot means numerical rank deficiency that dpotrf can
+    * slip past with rounding noise — route those to the pivoted-QR path
+    * (same 1e-10 relative tolerance as the rank test). */
   private def choleskySolveInv(
       xtx: DenseMatrix[Double],
       xty: DenseVector[Double]
@@ -94,6 +97,16 @@ object LinAlg {
     val info = new org.netlib.util.intW(0)
     lapack.dpotrf("L", p, a, p, info)
     if (info.`val` != 0) return None
+    // pivot check: L_ii² spans the conditioning of the factorization
+    var maxPiv = 0.0; var minPiv = Double.MaxValue
+    var d = 0
+    while (d < p) {
+      val piv = a(d * p + d) * a(d * p + d)
+      if (piv > maxPiv) maxPiv = piv
+      if (piv < minPiv) minPiv = piv
+      d += 1
+    }
+    if (minPiv <= 1e-10 * maxPiv) return None
     val b = xty.toArray.clone()
     lapack.dpotrs("L", p, 1, a, p, b, p, info)
     if (info.`val` != 0) return None

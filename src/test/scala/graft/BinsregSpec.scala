@@ -116,6 +116,29 @@ class BinsregSpec extends SparkTestBase {
     assert(r.points.forall(p => p.se > 0 && !p.fit.isNaN))
   }
 
+  test("sup-t confidence bands are wider than pointwise CIs") {
+    val r = Dbbinsreg.fit("y ~ x", df, nbins = 6, degree = 0, cb = true)
+    r.points.foreach { p =>
+      assert(!p.cbLwr.isNaN && !p.cbUpr.isNaN)
+      assert(p.cbLwr <= p.lwr + 1e-12 && p.cbUpr >= p.upr - 1e-12,
+        s"band must contain CI: $p")
+    }
+    // deterministic under fixed seed
+    val r2 = Dbbinsreg.fit("y ~ x", df, nbins = 6, degree = 0, cb = true)
+    r.points.zip(r2.points).foreach { case (a, b) => assert(a.cbLwr == b.cbLwr) }
+    // constrained path refuses bands (reference parity): NaN columns
+    val rc = Dbbinsreg.fit("y ~ x", df, nbins = 6, degree = 1, smoothness = 1, cb = true)
+    assert(rc.points.forall(_.cbLwr.isNaN))
+  }
+
+  test("manual knots define the bins") {
+    val r = Dbbinsreg.fit("y ~ x", df, manualKnots = Some(Array(2.5, 5.0, 7.5)), degree = 0)
+    assert(r.nbins == 4)
+    assert(r.knots == Seq(2.5, 5.0, 7.5))
+    val counts = r.bins.map(_.n).sum
+    assert(counts == 2000)
+  }
+
   test("hc1 and cluster vcov flow through") {
     val rh = Dbbinsreg.fit("y ~ x", df, nbins = 5, degree = 0, vcov = "hc1")
     val rc = Dbbinsreg.fit("y ~ x", df, nbins = 5, degree = 0, vcov = "~g")
