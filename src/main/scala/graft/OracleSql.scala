@@ -313,6 +313,35 @@ object OracleSql {
          | SELECT 'l_quantity', b1, sqrt(v11) FROM f) u
          |ORDER BY term""".stripMargin,
 
+    "q28_binsreg_points" ->
+      s"""WITH mm AS (SELECT min(CAST(l_quantity AS DOUBLE)) mn,
+         |              max(CAST(l_quantity AS DOUBLE)) mx FROM $B t),
+         |binned AS (SELECT y, x1,
+         |   (CASE WHEN x1 > mn + (mx-mn)*1/5 THEN 1 ELSE 0 END +
+         |    CASE WHEN x1 > mn + (mx-mn)*2/5 THEN 1 ELSE 0 END +
+         |    CASE WHEN x1 > mn + (mx-mn)*3/5 THEN 1 ELSE 0 END +
+         |    CASE WHEN x1 > mn + (mx-mn)*4/5 THEN 1 ELSE 0 END) AS bin
+         |  FROM $B t, mm),
+         |g AS (SELECT bin, avg(x1) x, avg(y) fit, count(*) n,
+         |        sum(y*y) syy, sum(y) sy FROM binned GROUP BY bin),
+         |tot AS (SELECT sum(syy - sy*sy/n) AS rss, sum(n) AS nn,
+         |          count(*) AS b FROM g)
+         |SELECT bin, x, fit, sqrt((rss/(nn - b)) / n) AS se
+         |FROM g, tot ORDER BY bin""".stripMargin,
+
+    "q29_predict_fit" ->
+      s"""WITH m AS (SELECT count(*)::DOUBLE n, sum(x1) sx, sum(y) sy,
+         |   sum(x1*x1) sxx, sum(x1*y) sxy FROM $B t),
+         |s AS (SELECT (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1,
+         |   sy/n - (n*sxy - sx*sy)/(n*sxx - sx*sx) * sx/n AS b0 FROM m)
+         |SELECT l_orderkey, l_linenumber,
+         |  (SELECT b0 FROM s) + (SELECT b1 FROM s) * CAST(l_quantity AS DOUBLE) AS fit
+         |FROM lineitem
+         |WHERE l_orderkey <= 100 AND l_extendedprice IS NOT NULL
+         |  AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+         |  AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     // ---- pipeline oracles ----
     "q30_dedup_exact" ->
       s"""SELECT sum(n_docs) AS n_docs, count(*) AS n_unique,

@@ -281,6 +281,22 @@ object Queries {
       val fit = Dbreg.fit("l_extendedprice ~ l_quantity", li(s, dir),
         vcov = "~l_returnflag", strategy = "moments")
       fit.toDF(s).select(col("term"), col("estimate"), col("std_error")).orderBy("term")
+    }),
+
+    // ---- K10: binscatter points (per-bin mean + pooled-sigma SE) ----
+    "q28_binsreg_points" -> ((s, dir) => {
+      val r = graft.binsreg.Dbbinsreg.fit(
+        "l_extendedprice ~ l_quantity", li(s, dir), nbins = 5, binspos = "es", degree = 0)
+      r.pointsDF(s).select(col("bin"), col("x"), col("fit"), col("se")).orderBy("bin")
+    }),
+
+    // ---- K9: distributed prediction (fit column on a deterministic subset) ----
+    "q29_predict_fit" -> ((s, dir) => {
+      val data = li(s, dir)
+      val fit = Dbreg.fit("l_extendedprice ~ l_quantity", data, strategy = "moments")
+      fit.predict(data.filter(col("l_orderkey") <= 100))
+        .select(col("l_orderkey"), col("l_linenumber"), col("fit"))
+        .orderBy("l_orderkey", "l_linenumber")
     })
   ) ++ pipelineQueries
 

@@ -41,7 +41,7 @@ object Dbbinsreg {
   ) {
     def pointsDF(spark: SparkSession): DataFrame = {
       import spark.implicits._
-      points.toDF("bin", "x", "fit", "se", "lwr", "upr")
+      points.toDF("bin", "x", "fit", "se", "lwr", "upr", "cb_lwr", "cb_upr")
     }
     def lineDF(spark: SparkSession): DataFrame = {
       import spark.implicits._

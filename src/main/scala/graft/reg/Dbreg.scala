@@ -102,8 +102,14 @@ object Dbreg {
     if (strategy == "auto") {
       val ratioThreshold = compressRatio.getOrElse(if (nFe == 1 || nFe == 2) 0.6 else 0.01)
       val keyCols = (f.xvars ++ f.fe).distinct
-      val nTotal = base.count()
-      val nCells = base.select(keyCols.map(col): _*).distinct().count()
+      // one probe job: COUNT(*) + exact COUNT(DISTINCT key-tuple) together
+      val probe = base
+        .agg(
+          count(lit(1)).as("__n"),
+          countDistinct(col(keyCols.head), keyCols.tail.map(col): _*).as("__cells"))
+        .collect()(0)
+      val nTotal = probe.getAs[Long]("__n")
+      val nCells = probe.getAs[Long]("__cells")
       val ratio = nCells.toDouble / math.max(nTotal, 1L).toDouble
       val failRatio = ratio > ratioThreshold
       val failNmax = nCells > compressNmax
