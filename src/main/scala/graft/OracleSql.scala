@@ -35,6 +35,15 @@ object OracleSql {
     s"""sh AS (SELECT DISTINCT doc_id AS id, unnest(${bigrams(toks("text"))}) AS shingle
        |       FROM documents)""".stripMargin
 
+  /** list-based cosine between two FLOAT[] columns. */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($b)+1),
+       |     i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       |   / (sqrt(list_sum(list_transform(range(1, len($a)+1),
+       |        i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+       |    * sqrt(list_sum(list_transform(range(1, len($b)+1),
+       |        i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))""".stripMargin
+
   private val MinhashTable: String = {
     val rows = (0 until Dedup.NumHashes)
       .map(i => s"(${i}, ${Dedup.minhashA(i)}, ${Dedup.minhashB(i)})")
@@ -455,6 +464,34 @@ object OracleSql {
          |SELECT query_id, neighbor_id, cos, rank FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    "q41_knn_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |av AS (SELECT e.vec_id AS id, e.embedding AS vec, c.cent_id,
+         |    ${cosSql("e.embedding", "c.cvec")} AS cos_c
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (SELECT id, vec, cent_id AS cell FROM (
+         |   SELECT *, row_number() OVER
+         |     (PARTITION BY id ORDER BY cos_c DESC, cent_id ASC) AS r FROM av) t
+         |  WHERE r = 1),
+         |qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+         |  WHERE vec_id IN (0,1,2,3,4)),
+         |pav AS (SELECT q.query_id, q.qvec, c.cent_id,
+         |    ${cosSql("q.qvec", "c.cvec")} AS cos_c
+         |  FROM qv q CROSS JOIN cents c),
+         |pr AS (SELECT query_id, qvec, cent_id AS cell FROM (
+         |   SELECT *, row_number() OVER
+         |     (PARTITION BY query_id ORDER BY cos_c DESC, cent_id ASC) AS r
+         |   FROM pav) t WHERE r <= 4),
+         |scored AS (SELECT p.query_id, a.id AS neighbor_id,
+         |    ${cosSql("p.qvec", "a.vec")} AS cos
+         |  FROM assigned a JOIN pr p ON a.cell = p.cell AND a.id <> p.query_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q37_text_analysis" -> {
       def score(markers: Seq[String]) = {

@@ -343,6 +343,12 @@ object Queries {
         dim = 64, nPlanes = 8)
         .orderBy("query_id", "rank")),
 
+    // similarity: IVF coarse-quantizer top-5 (deterministic centroids)
+    "q41_knn_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 5,
+        nCentroids = 16, nprobe = 4)
+        .orderBy("query_id", "rank")),
+
     // text analysis: language ID + quality + token counts + fingerprint
     // (tokenize ONCE per row, reuse the array for every feature)
     "q37_text_analysis" -> ((s, dir) =>

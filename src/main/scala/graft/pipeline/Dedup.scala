@@ -43,10 +43,23 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 2,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxShingleDocFreq: Option[Long] = None
   ): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh0 = shingleSets(df, idCol, textCol, n)
+    // optional scale valve: drop shingles appearing in more than
+    // `maxShingleDocFreq` docs BEFORE the self-join — hot shingles dominate
+    // the O(freq²) pair fan-out while carrying almost no similarity signal.
+    // Jaccard is then computed over the filtered shingle sets.
+    val sh = maxShingleDocFreq match {
+      case None => sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case Some(cap) =>
+        val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+          .select("shingle")
+        sh0.join(freq, Seq("shingle"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a

@@ -107,6 +107,58 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** IVF-style approximate top-k: vectors are assigned to their nearest of
+    * C coarse centroids (inverted file cells); queries only scan the
+    * `nprobe` nearest cells. Centroids here are the C lowest-id vectors —
+    * deterministic and cross-engine reproducible; swap in trained k-means
+    * centroids for better recall without changing the plan shape.
+    *
+    * Scale shape: assignment is one broadcast join (C rows) + argmin,
+    * cell scan is a key-equi join on cell id — the corpus shuffles once on
+    * cell id, queries broadcast. */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      nCentroids: Int = 16,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val cents = broadcast(
+      emb.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cvec")))
+    // nearest centroid per vector (rank over the C-way cross)
+    val wAssign = Window.partitionBy("id").orderBy(col("cos_c").desc, col("cent_id").asc)
+    val assigned = emb
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(cents)
+      .select(col("id"), col("vec"), col("cent_id"), cosine(col("vec"), col("cvec")).as("cos_c"))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("id"), col("vec"), col("cent_id").as("cell"))
+    // nprobe nearest cells per query
+    val wProbe = Window.partitionBy("query_id").orderBy(col("cos_c").desc, col("cent_id").asc)
+    val probes = emb
+      .filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .join(cents)
+      .select(col("query_id"), col("qvec"), col("cent_id"),
+        cosine(col("qvec"), col("cvec")).as("cos_c"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cent_id").as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (exact within-bucket). */
   def cosineNearDupPairs(

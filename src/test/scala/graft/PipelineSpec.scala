@@ -72,6 +72,24 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(top.getDouble(2) - 1.0) < 1e-9)
   }
 
+  test("IVF kNN retrieves a planted duplicate and respects k") {
+    val dup = embs.filter(col("vec_id") === 7).withColumn("vec_id", lit(88888L))
+    val r = Similarity.ivfTopK(embs.union(dup), "vec_id", "embedding",
+      Seq(7L), 5, nCentroids = 8, nprobe = 3).collect()
+    assert(r.nonEmpty && r.length <= 5)
+    val top = r.minBy(_.getInt(3))
+    assert(top.getLong(1) == 88888L && math.abs(top.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("hot-shingle cap prunes pair fan-out but keeps exact duplicates") {
+    val d2 = docs.limit(3).withColumn("doc_id", col("doc_id") + 100000)
+    val base = docs.limit(3).union(d2)
+    val capped = Dedup.jaccardPairs(base, "doc_id", "text", n = 2,
+      threshold = 0.99, maxShingleDocFreq = Some(3L)).collect()
+    assert(capped.length == 3) // duplicate pairs survive the cap
+    assert(capped.forall(_.getDouble(2) == 1.0))
+  }
+
   test("langId picks marker language deterministically") {
     val d = Seq(
       (1L, "the cat and the dog went to the market in the morning"),
