@@ -82,6 +82,26 @@ object Dbreg {
     }
   }
 
+  /** The compressed cell table for a formula, without fitting — the
+    * analogue of the reference's `data_only = TRUE` (dbreg.R:57-61):
+    * GROUP BY (x…, fe…) with n / Σy / Σy² / ȳ / √n weights. */
+  def compressedData(formula: String, df: DataFrame): DataFrame = {
+    val f = Formula.parse(formula)
+    val needed = f.allInputCols.distinct
+    val base = df
+      .select(needed.map(col): _*)
+      .filter(needed.map(col(_).isNotNull).reduce(_ && _))
+    val cellKeys = (f.xvars ++ f.fe).distinct
+    base
+      .groupBy(cellKeys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(f.y).cast("double")).as("sum_y"),
+        sum(col(f.y).cast("double") * col(f.y).cast("double")).as("sum_y_sq"))
+      .withColumn("mean_y", col("sum_y") / col("n"))
+      .withColumn("wts", sqrt(col("n")))
+  }
+
   // ---------------------------------------------------------------- chooser
 
   /** Auto decision tree (reference dbreg.R:494-701). Probes: COUNT(*),

@@ -219,6 +219,15 @@ class DbregSpec extends SparkTestBase {
     assert(Dbreg.fit("y ~ x1 | unit", big).strategy == "compress")
   }
 
+  test("compressedData returns the cell table (data_only parity)") {
+    val cells = Dbreg.compressedData("y ~ x1 | unit", df)
+    assert(cells.columns.toSet ==
+      Set("x1", "unit", "n", "sum_y", "sum_y_sq", "mean_y", "wts"))
+    val total = cells.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(total == DensePanel.rows.length)
+    assert(cells.count() < DensePanel.rows.length)
+  }
+
   test("r2 and confint are sane") {
     val fit = Dbreg.fit("y ~ x1 + x2", df, strategy = "moments")
     assert(fit.r2 > 0.0 && fit.r2 < 1.0)
