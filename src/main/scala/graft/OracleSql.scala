@@ -526,7 +526,7 @@ object OracleSql {
          |     AS stop_score
          |  FROM lang)
          |SELECT doc_id, lang_pred,
-         | round(len_score * 0.5 + stop_score * 0.3 + (1.0 - punct_pen) * 0.2, 6)
+         | len_score * 0.5 + stop_score * 0.3 + (1.0 - punct_pen) * 0.2
          |   AS quality,
          | len(t) AS n_tokens,
          | len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]'))

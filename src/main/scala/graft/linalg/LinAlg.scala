@@ -66,12 +66,23 @@ object LinAlg {
       xtx: DenseMatrix[Double],
       xty: DenseVector[Double],
       tol: Double = 1e-10
-  ): SolveOutcome =
-    choleskySolveInv(xtx, xty) match {
+  ): SolveOutcome = {
+    // scale-equilibrate: D⁻½ XᵀX D⁻½ with D = diag(XᵀX). Columns of wildly
+    // different magnitude otherwise make both the rank tolerance and the
+    // Cholesky pivots meaningless (a 1e10-scale column hides a collinear
+    // 1e0-scale one). Indices are unaffected; β and V unscale afterwards.
+    val p = xtx.cols
+    val d = DenseVector.tabulate(p)(i => {
+      val v = math.sqrt(math.abs(xtx(i, i))); if (v > 0) v else 1.0
+    })
+    val xtxS = DenseMatrix.tabulate(p, p)((i, j) => xtx(i, j) / (d(i) * d(j)))
+    val xtyS = DenseVector.tabulate(p)(i => xty(i) / d(i))
+
+    val scaled = choleskySolveInv(xtxS, xtyS) match {
       case Some((beta, inv)) =>
-        SolveOutcome(beta, inv, xtx.cols match { case p => 0 until p }, IndexedSeq.empty)
+        SolveOutcome(beta, inv, 0 until p, IndexedSeq.empty)
       case None =>
-        val collin = detectCollinearity(xtx, xty, tol)
+        val collin = detectCollinearity(xtxS, xtyS, tol)
         choleskySolveInv(collin.xtx, collin.xty) match {
           case Some((beta, inv)) =>
             SolveOutcome(beta, inv, collin.keepIdx, collin.dropIdx)
@@ -80,6 +91,12 @@ object LinAlg {
             SolveOutcome(s.beta, s.xtxInv, collin.keepIdx, collin.dropIdx)
         }
     }
+    val keep = scaled.keepIdx
+    val beta = DenseVector.tabulate(keep.length)(i => scaled.beta(i) / d(keep(i)))
+    val inv = DenseMatrix.tabulate(keep.length, keep.length)(
+      (i, j) => scaled.xtxInv(i, j) / (d(keep(i)) * d(keep(j))))
+    SolveOutcome(beta, inv, keep, scaled.dropIdx)
+  }
 
   /** dpotrf + dpotrs + dpotri; None if not (comfortably) positive definite.
     * A tiny Cholesky pivot means numerical rank deficiency that dpotrf can

@@ -106,7 +106,9 @@ object TextOps {
       least(length(text).cast("double") / lit(500.0), lit(1.0))
     val punctPenalty = least(punctRatio(text) * 4.0, lit(1.0))
     val stopScore = least(stopwordRatioT(t) * 5.0, lit(1.0))
-    round((lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2), 6)
+    // no rounding: round-half rules differ across engines at digit
+    // boundaries; raw doubles compare cleanly under relative tolerance
+    lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2
   }
 
   /** Exact content fingerprint: md5 of whitespace-normalized lowercase text.

@@ -27,12 +27,15 @@ private[graft] object CompressDriver {
       cellKeys: Seq[String],
       v: Vcov,
       ssc: String,
-      compressNmax: Long,
-      nCells: Long
+      compressNmax: Long
   ): DbregResult = {
-    require(nCells <= compressNmax,
-      s"compressed size $nCells exceeds compress_nmax=$compressNmax; " +
-        "raise compressNmax or use demean/mundlak")
+    val nCells = comp.limit((compressNmax + 1).toInt).count() match {
+      case c if c > compressNmax =>
+        throw new IllegalArgumentException(
+          s"compressed size exceeds compress_nmax=$compressNmax; " +
+            "raise compressNmax or use demean/mundlak")
+      case c => c
+    }
 
     // ---- driver-side design metadata ----
     val factorLevels: Map[String, Array[String]] =

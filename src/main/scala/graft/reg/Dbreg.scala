@@ -403,7 +403,8 @@ object Dbreg {
         sum(col(f.y).cast("double") * col(f.y).cast("double")).as("__g_syy"))
       .withColumn(Y, col("__g_sy") / col("__g_n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nCells = comp.count()
+    // cell count comes free from the moments pass (mom.nRows) — the first
+    // action below materializes the cache; no separate count job
 
     // design columns over the cells: x expansion + FE dummies
     val mm = ModelMatrix.expand(comp, f.terms, f.fe, intercept = f.intercept)
@@ -429,7 +430,7 @@ object Dbreg {
       // high-cardinality FE: p(p+1)/2 agg columns would swamp codegen —
       // switch to the driver-side sparse WLS over collected cells (the
       // reference's own client-side path, bounded by compressNmax)
-      val res = CompressDriver.fit(f, base, comp, cellKeys, v, ssc, compressNmax, nCells)
+      val res = CompressDriver.fit(f, base, comp, cellKeys, v, ssc, compressNmax)
       comp.unpersist()
       return res
     }
@@ -445,6 +446,7 @@ object Dbreg {
       extraAggs = Seq("_true_syy" -> sum(col("__g_syy"))))
     val trueSyy = mom.extra("_true_syy")
     val nOrig = mom.n.round
+    val nCells = mom.nRows
     // weighted Xᵀy with ȳ equals the true Xᵀy (x constant within cell), but
     // Σw·ȳ² ≠ Σy² — substitute the true Σy² for RSS/TSS.
     val momTrue = mom.copy(sumYSq = trueSyy)

@@ -30,14 +30,22 @@ private[graft] final case class MomentsResult(
   */
 private[graft] object MomentsKernel {
 
+  /** Above this many regressors the p(p+1)/2 `sum` columns strain codegen;
+    * switch to the fused TypedImperativeAggregate (graft.functions.MomentsAgg)
+    * which carries the whole triangle in one buffer per partition. */
+  val FusedThreshold = 24
+
   def compute(
       df: DataFrame,
       yName: String,
       xNames: Seq[String],
       intercept: Boolean,
       weightName: Option[String] = None,
-      extraAggs: Seq[(String, Column)] = Nil
+      extraAggs: Seq[(String, Column)] = Nil,
+      forceFused: Option[Boolean] = None
   ): MomentsResult = {
+    if (forceFused.getOrElse(xNames.length > FusedThreshold))
+      return computeFused(df, yName, xNames, intercept, weightName, extraAggs)
     val p = xNames.length
     val y = col(yName).cast("double")
     val w = weightName.map(c => col(c).cast("double"))
@@ -88,6 +96,53 @@ private[graft] object MomentsKernel {
       xty(i + off) = d(s"_sxy$i")
       for (j <- i until p) {
         val s = d(s"_sxx_${i}_$j")
+        xtx(i + off, j + off) = s; xtx(j + off, i + off) = s
+      }
+    }
+    val names =
+      (if (intercept) Array("(Intercept)") else Array.empty[String]) ++ xNames
+    val extras = extraAggs.map { case (nm, _) => nm -> d(nm) }.toMap
+    MomentsResult(names, xtx, xty, nRows, n, sumY, sumYSq, extras)
+  }
+
+  /** Fused one-buffer variant (wide p): single custom aggregate instead of
+    * p(p+1)/2 sum columns. Same semantics, same partial+final execution. */
+  private def computeFused(
+      df: DataFrame,
+      yName: String,
+      xNames: Seq[String],
+      intercept: Boolean,
+      weightName: Option[String],
+      extraAggs: Seq[(String, Column)]
+  ): MomentsResult = {
+    val p = xNames.length
+    val w = weightName.map(col(_).cast("double")).getOrElse(lit(1.0))
+    val mcol = graft.functions.MomentsAgg(w, col(yName), xNames.map(col)).as("_m")
+    val aggs = Seq(mcol, count(lit(1)).as("_nrows")) ++
+      extraAggs.map { case (nm, c) => c.as(nm) }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val arr = row.getAs[scala.collection.Seq[Double]]("_m")
+    val nRows = row.getAs[Long]("_nrows")
+    def d(name: String): Double = row.getAs[Any](name) match {
+      case null => 0.0
+      case v: Double => v
+      case v: Number => v.doubleValue
+    }
+
+    val n = arr(0); val sumY = arr(1); val sumYSq = arr(2)
+    val dim = if (intercept) p + 1 else p
+    val off = if (intercept) 1 else 0
+    val xtx = DenseMatrix.zeros[Double](dim, dim)
+    val xty = DenseVector.zeros[Double](dim)
+    if (intercept) {
+      xtx(0, 0) = n; xty(0) = sumY
+      for (i <- 0 until p) { val s = arr(3 + i); xtx(0, i + off) = s; xtx(i + off, 0) = s }
+    }
+    var k = 3 + 2 * p
+    for (i <- 0 until p) {
+      xty(i + off) = arr(3 + p + i)
+      for (j <- i until p) {
+        val s = arr(k); k += 1
         xtx(i + off, j + off) = s; xtx(j + off, i + off) = s
       }
     }
