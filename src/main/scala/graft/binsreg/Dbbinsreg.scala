@@ -62,8 +62,21 @@ object Dbbinsreg {
       manualKnots: Option[Array[Double]] = None,
       cb: Boolean = false,
       cbSims: Int = 2000,
-      cbSeed: Long = 42L
+      cbSeed: Long = 42L,
+      line: Option[(Int, Int)] = None
   ): BinsregResult = {
+    // reference execute_separate_binsreg (dbbinsreg.R:649-740): when the
+    // line's (degree, smoothness) differ from the points', fit two models
+    // and combine — points/CIs from the first, the line from the second.
+    line match {
+      case Some((ld, ls)) if (ld, ls) != (degree, smoothness) =>
+        val pointsFit = fit(formula, df, nbins, binspos, degree, smoothness,
+          vcov, level, lineGrid, manualKnots, cb, cbSims, cbSeed, line = None)
+        val lineFit = fit(formula, df, nbins, binspos, ld, ls,
+          vcov, level, lineGrid, manualKnots, line = None)
+        return pointsFit.copy(line = lineFit.line)
+      case _ => ()
+    }
     require(degree >= 0 && smoothness >= 0 && smoothness <= degree + 1,
       s"invalid (degree, smoothness) = ($degree, $smoothness)")
     val f = Formula.parse(formula)

@@ -131,6 +131,18 @@ class BinsregSpec extends SparkTestBase {
     assert(rc.points.forall(_.cbLwr.isNaN))
   }
 
+  test("separate points/line params fit two models (points constant, line spline)") {
+    val r = Dbbinsreg.fit("y ~ x", df, nbins = 5, binspos = "es", degree = 0,
+      line = Some((1, 1)))
+    // points are per-bin means (degree 0)...
+    val r0 = Dbbinsreg.fit("y ~ x", df, nbins = 5, binspos = "es", degree = 0)
+    r.points.zip(r0.points).foreach { case (a, b) => assert(a.fit == b.fit) }
+    // ...but the line comes from the continuous spline fit
+    val r1 = Dbbinsreg.fit("y ~ x", df, nbins = 5, binspos = "es",
+      degree = 1, smoothness = 1)
+    r.line.zip(r1.line).foreach { case (a, b) => assert(a.fit == b.fit) }
+  }
+
   test("manual knots define the bins") {
     val r = Dbbinsreg.fit("y ~ x", df, manualKnots = Some(Array(2.5, 5.0, 7.5)), degree = 0)
     assert(r.nbins == 4)
