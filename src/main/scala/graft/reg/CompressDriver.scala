@@ -217,7 +217,9 @@ private[graft] object CompressDriver {
       fe = f.fe,
       collinDropped = solved.dropIdx.map(i => ModelMatrix.displayName(names(i))),
       nClusters = nClusters,
-      compressionRatio = Some(nCells.toDouble / math.max(nOrig, 1.0))
+      compressionRatio = Some(nCells.toDouble / math.max(nOrig, 1.0)),
+      queryPlan = comp.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
     )
   }
 }

@@ -600,7 +600,8 @@ object Dbreg {
       tss = tss,
       fe = f.fe,
       collinDropped = dropped,
-      nClusters = nClusters
+      nClusters = nClusters,
+      queryPlan = mom.plan
     )
   }
 

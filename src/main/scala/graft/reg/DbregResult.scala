@@ -31,7 +31,8 @@ final case class DbregResult(
     collinDropped: Seq[String],
     nClusters: Option[Long] = None,
     compressionRatio: Option[Double] = None,
-    @transient predictor: Option[Predictor] = None
+    @transient predictor: Option[Predictor] = None,
+    queryPlan: String = "" // physical plan of the main aggregation (sql_only analogue)
 ) {
   /** Distributed prediction on new data (reference stats-methods.R:94-236).
     * interval: "none" | "confidence" | "prediction". For the demean

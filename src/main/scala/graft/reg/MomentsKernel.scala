@@ -15,7 +15,8 @@ private[graft] final case class MomentsResult(
     n: Double, // Σw (== nRows unweighted)
     sumY: Double,
     sumYSq: Double,
-    extra: Map[String, Double]
+    extra: Map[String, Double],
+    plan: String = "" // formatted physical plan of the aggregation (sql_only analogue)
 )
 
 /** Single-pass sufficient-statistics aggregation (reference dbreg.R:724-757).
@@ -68,7 +69,10 @@ private[graft] object MomentsKernel {
       aggs += sum(ww(x(i) * x(j))).as(s"_sxx_${i}_$j")
     extraAggs.foreach { case (nm, c) => aggs += c.as(nm) }
 
-    val row = df.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
+    val aggDf = df.agg(aggs.head, aggs.tail.toSeq: _*)
+    val planStr = aggDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    val row = aggDf.collect()(0)
     def d(name: String): Double = row.getAs[Any](name) match {
       case null => 0.0
       case v: Double => v
@@ -102,7 +106,7 @@ private[graft] object MomentsKernel {
     val names =
       (if (intercept) Array("(Intercept)") else Array.empty[String]) ++ xNames
     val extras = extraAggs.map { case (nm, _) => nm -> d(nm) }.toMap
-    MomentsResult(names, xtx, xty, nRows, n, sumY, sumYSq, extras)
+    MomentsResult(names, xtx, xty, nRows, n, sumY, sumYSq, extras, planStr)
   }
 
   /** Fused one-buffer variant (wide p): single custom aggregate instead of
@@ -120,7 +124,10 @@ private[graft] object MomentsKernel {
     val mcol = graft.functions.MomentsAgg(w, col(yName), xNames.map(col)).as("_m")
     val aggs = Seq(mcol, count(lit(1)).as("_nrows")) ++
       extraAggs.map { case (nm, c) => c.as(nm) }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val aggDf = df.agg(aggs.head, aggs.tail: _*)
+    val planStr = aggDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    val row = aggDf.collect()(0)
     val arr = row.getAs[scala.collection.Seq[Double]]("_m")
     val nRows = row.getAs[Long]("_nrows")
     def d(name: String): Double = row.getAs[Any](name) match {
@@ -149,7 +156,7 @@ private[graft] object MomentsKernel {
     val names =
       (if (intercept) Array("(Intercept)") else Array.empty[String]) ++ xNames
     val extras = extraAggs.map { case (nm, _) => nm -> d(nm) }.toMap
-    MomentsResult(names, xtx, xty, nRows, n, sumY, sumYSq, extras)
+    MomentsResult(names, xtx, xty, nRows, n, sumY, sumYSq, extras, planStr)
   }
 
   /** Meat triangle Σ s²·xᵢxⱼ over `df` given a per-row scale column
