@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink + skew utilities for cluster-scale layouts (SURVEY §2.1 S6
+  * beyond caching, and the salting/bucketing patterns a 100 TB deployment
+  * needs).
+  */
+object ScaleOps {
+
+  /** Hive-partitioned parquet sink: downstream reads with a filter on
+    * `partitionCols` prune whole directories (PartitionFilters in the scan).
+    * Keep partition columns low-cardinality (date, source, shard). */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      mode: String = "overwrite"
+  ): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed table sink: co-locates rows by `bucketCols` so equi-joins and
+    * aggregations on those keys skip the shuffle entirely (both sides
+    * bucketed with the same count). Requires a table (bucketing metadata
+    * lives in the catalog, not in raw parquet). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      mode: String = "overwrite"
+  ): Unit =
+    df.write
+      .mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Two-stage salted aggregation for skewed group keys.
+    *
+    * Stage 1 groups by (key, salt) — the hot key's rows spread over
+    * `saltBuckets` reducers; stage 2 re-aggregates the per-salt partials.
+    * Only ALGEBRAIC aggregates compose this way; the caller provides the
+    * per-stage expressions:
+    *
+    * {{{
+    * saltedAggregate(df, Seq("user_id"), 32,
+    *   partials = Seq(count(lit(1)).as("n"), sum($"v").as("s")),
+    *   finals   = Seq(sum($"n").as("n"), sum($"s").as("s")))
+    * }}}
+    *
+    * (Plain hash aggregates already do map-side partials; salting matters
+    * for skewed HIGH-cardinality aggregations where a single reducer key
+    * would otherwise own a hot group's entire final merge, and for skewed
+    * joins via the same salt column.)
+    */
+  def saltedAggregate(
+      df: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int,
+      partials: Seq[Column],
+      finals: Seq[Column]
+  ): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val stage1 = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+    stage1
+      .groupBy(keys.map(col): _*)
+      .agg(finals.head, finals.tail: _*)
+  }
+
+  /** Salted broadcast-side explode for skewed joins: replicate the small
+    * side `saltBuckets`× with an explicit salt, salt the big side randomly,
+    * join on (key, salt). Use when AQE's skew-join split isn't available
+    * (e.g. bucketed inputs) — otherwise prefer AQE. */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltBuckets: Int
+  ): DataFrame = {
+    val saltedBig = big.withColumn(
+      "__salt", pmod(pmod(hash(col(key), monotonically_increasing_id()), lit(saltBuckets)) + lit(saltBuckets), lit(saltBuckets)))
+    val saltedSmall = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedBig.join(broadcast(saltedSmall), Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Read a partitioned dataset with pruning-friendly defaults. */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
