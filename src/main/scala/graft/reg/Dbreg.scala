@@ -408,16 +408,18 @@ object Dbreg {
 
     // design columns over the cells: x expansion + FE dummies
     val mm = ModelMatrix.expand(comp, f.terms, f.fe, intercept = f.intercept)
+    // ALL FE levels (no 100k cap: dummies must cover every group), fetched
+    // for every FE in ONE aggregation job via collect_set over the cells
+    val feLevels: Map[String, Seq[String]] =
+      if (f.fe.isEmpty) Map.empty
+      else {
+        val aggs = f.fe.map(fe => collect_set(col(fe).cast("string")).as(fe))
+        val row = comp.agg(aggs.head, aggs.tail: _*).collect()(0)
+        f.fe.map(fe =>
+          fe -> row.getAs[scala.collection.Seq[String]](fe).sorted.toSeq).toMap
+      }
     val feDummies: List[MMCol] = f.fe.flatMap { fe =>
-      // ALL levels (no 100k cap here: FE dummies must cover every group)
-      val lvls = comp
-        .select(col(fe).cast("string").as(fe))
-        .where(col(fe).isNotNull)
-        .distinct()
-        .orderBy(fe)
-        .collect()
-        .map(_.getString(0))
-        .toSeq
+      val lvls = feLevels(fe)
       if (lvls.length < 2) Nil
       else
         lvls.tail.map { lvl =>

@@ -23,8 +23,20 @@ class ScaleOpsSpec extends SparkTestBase {
   test("bucketed table join avoids shuffle on the bucketed key") {
     val li = sf("sf0.001", "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
     val od = sf("sf0.001", "orders").select("o_orderkey", "o_totalprice")
-    spark.sql("DROP TABLE IF EXISTS graft_li_b")
-    spark.sql("DROP TABLE IF EXISTS graft_od_b")
+    // DROP TABLE leaves the managed location behind across JVM sessions —
+    // clear both the catalog entry and the warehouse directory
+    Seq("graft_li_b", "graft_od_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     ScaleOps.writeBucketed(li, "graft_li_b", Seq("l_orderkey"), 4)
     ScaleOps.writeBucketed(od.withColumnRenamed("o_orderkey", "l_orderkey"),
       "graft_od_b", Seq("l_orderkey"), 4)
