@@ -546,6 +546,11 @@ object OracleSql {
          | avg(len(text)) AS avg_chars
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    "q42_vocab_topk" ->
+      s"""SELECT token, count(*) AS n
+         |FROM (SELECT unnest(${toks("text")}) AS token FROM documents) t
+         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
     "q39_multimodal_features" ->
       """SELECT doc_id AS id,
         | octet_length(encode(text)) AS n_bytes,

@@ -375,6 +375,15 @@ object Queries {
           avg(length(col("text"))).as("avg_chars"))
         .orderBy("source")),
 
+    // text analysis: corpus vocabulary top-k (explode → count → top-k)
+    "q42_vocab_topk" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50)),
+
     // multimodal: binary payload + stubbed decode features
     "q39_multimodal_features" -> ((s, dir) =>
       Multimodal.documentFeatures(s, docs(s, dir))

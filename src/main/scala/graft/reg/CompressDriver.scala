@@ -219,7 +219,10 @@ private[graft] object CompressDriver {
       nClusters = nClusters,
       compressionRatio = Some(nCells.toDouble / math.max(nOrig, 1.0)),
       queryPlan = comp.queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode)
+        org.apache.spark.sql.execution.SimpleMode),
+      feTerms = feLookups.flatMap { case (fe, pos) =>
+        pos.keys.map(l => s"$fe$l")
+      }
     )
   }
 }

@@ -463,7 +463,9 @@ object Dbreg {
       compressCells = Some(CompressCells(base, cellKeys, all)))
     comp.unpersist()
     withLinearPredictor(
-      res.copy(compressionRatio = Some(nCells.toDouble / math.max(nOrig, 1L))),
+      res.copy(
+        compressionRatio = Some(nCells.toDouble / math.max(nOrig, 1L)),
+        feTerms = feDummies.map(c => ModelMatrix.displayName(c.name))),
       all.map(c => ModelMatrix.displayName(c.name) -> c.col).toMap)
   }
 

@@ -32,8 +32,13 @@ final case class DbregResult(
     nClusters: Option[Long] = None,
     compressionRatio: Option[Double] = None,
     @transient predictor: Option[Predictor] = None,
-    queryPlan: String = "" // physical plan of the main aggregation (sql_only analogue)
+    queryPlan: String = "", // physical plan of the main aggregation (sql_only analogue)
+    feTerms: Seq[String] = Nil // FE dummy terms (compress), for fe= filtering
 ) {
+  /** Coefficient rows excluding FE dummies (the reference's `fe = "none"`
+    * print filter for compress fits). */
+  def coeftableMain: Seq[CoefRow] = coeftable.filterNot(r => feTerms.contains(r.term))
+
   /** Distributed prediction on new data (reference stats-methods.R:94-236).
     * interval: "none" | "confidence" | "prediction". For the demean
     * strategy intervals are downgraded to point predictions (reference

@@ -46,6 +46,18 @@ class CompressDriverSpec extends SparkTestBase {
     assert(cl.se("x1") > 0)
   }
 
+  test("feTerms filter hides FE dummies from the main coefficient table") {
+    val c = Dbreg.fit("y ~ x1 + x2 | unit", df, strategy = "compress")
+    assert(c.feTerms.nonEmpty)
+    val main = c.coeftableMain.map(_.term)
+    assert(main.forall(t => !t.startsWith("unitu")))
+    assert(main.contains("x1") && main.contains("x2"))
+    // distributed path too
+    val d = Dbreg.fit("y ~ x1 + x2 | grp", df, strategy = "compress")
+    assert(d.feTerms.forall(_.startsWith("grp")))
+    assert(d.coeftableMain.map(_.term).count(_.startsWith("grp")) == 0)
+  }
+
   test("driver path agrees with distributed path on low-cardinality model") {
     // same model on grp (6 levels) runs distributed; force driver by using
     // unit (300) then compare x-coefs of the two FE specs is meaningless —
