@@ -332,6 +332,13 @@ object Queries {
     "q34_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("id")),
 
+    // dedup: transitive duplicate clusters (connected components over
+    // the Jaccard pair graph)
+    "q43_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 2, threshold = 0.4))
+        .orderBy("id")),
+
     // similarity: brute-force cosine top-5 for 5 query vectors
     "q35_knn_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 5)

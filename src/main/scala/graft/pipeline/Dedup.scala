@@ -157,6 +157,49 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Transitive duplicate clusters from a pair list: connected components
+    * via min-label propagation (each iteration is one equi-join + groupBy —
+    * the standard DataFrame-native CC loop, no driver graph). Returns
+    * (id, cluster) where cluster = smallest id in the component.
+    *
+    * Iterations needed = graph diameter; near-dup graphs are shallow
+    * (dup chains of length d converge in ⌈log d⌉+1 rounds of min-propagation
+    * through both edge directions). */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "nbr"), col("b") === col("nbr"))
+        .groupBy(col("a"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("a"), "left")
+        .select(
+          labels("id"),
+          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.as("u")
+        .join(labels.as("l"), "id")
+        .filter(col("u.label") =!= col("l.label"))
+        .limit(1)
+        .count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** 16-bit SimHash over unigram tokens: bit k of the signature is the sign
     * of Σ_tokens (±1 by bit k of the token hash). One explode + one groupBy. */
   val SimhashBits = 16

@@ -283,11 +283,24 @@ object Dbreg {
         }
         (joined.select(tilde: _*), n1, 1L, () => { gm.unpersist(); () }, builder)
       case Seq(fe1, fe2) =>
-        val um = meansOver(Seq(fe1), "_u").persist(StorageLevel.MEMORY_AND_DISK)
-        val tm = meansOver(Seq(fe2), "_t").persist(StorageLevel.MEMORY_AND_DISK)
-        val om = d0.df.agg(
-          avg(valueCols.head).as(valueCols.head + "_o"),
-          valueCols.tail.map(c => avg(c).as(c + "_o")): _*)
+        // unit means, time means AND overall means from ONE pass over the
+        // base via GROUPING SETS ((fe1),(fe2),()) — at cluster scale this
+        // replaces three scans of the fact table with one
+        val gsets = d0.df
+          .groupingSets(Seq(Seq(col(fe1)), Seq(col(fe2)), Seq.empty), col(fe1), col(fe2))
+          .agg(
+            avg(valueCols.head).as(valueCols.head + "_gs"),
+            valueCols.tail.map(c => avg(c).as(c + "_gs")) :+ grouping_id().as("__gid"): _*)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // grouping_id bit = 1 when the column is aggregated away:
+        // {fe1} → 0b01, {fe2} → 0b10, {} → 0b11
+        def slice(gid: Int, keep: Seq[String], suffix: String): DataFrame =
+          gsets.filter(col("__gid") === gid)
+            .select(keep.map(col) ++
+              valueCols.map(c => col(c + "_gs").as(c + suffix)): _*)
+        val um = slice(1, Seq(fe1), "_u")
+        val tm = slice(2, Seq(fe2), "_t")
+        val om = slice(3, Nil, "_o")
         val n1 = um.count(); val n2 = tm.count()
         val joined = d0.df
           .join(maybeBroadcast(um, n1), Seq(fe1))
@@ -306,7 +319,7 @@ object Dbreg {
           (pre, col("__g_au") + col("__g_at") - col("__g_ag"))
         }
         (joined.select(tilde: _*), n1, n2,
-          () => { um.unpersist(); tm.unpersist(); () }, builder)
+          () => { gsets.unpersist(); () }, builder)
       case other =>
         throw new IllegalArgumentException(s"demean supports 1-2 FE, got ${other.length}")
     }
