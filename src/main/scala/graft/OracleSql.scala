@@ -568,6 +568,13 @@ object OracleSql {
          | avg(len(text)) AS avg_chars
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    "q44_stratified_topk" ->
+      """SELECT source, doc_id, rn FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
+
     "q42_vocab_topk" ->
       s"""SELECT token, count(*) AS n
          |FROM (SELECT unnest(${toks("text")}) AS token FROM documents) t

@@ -391,6 +391,17 @@ object Queries {
         .orderBy(col("n").desc, col("token").asc)
         .limit(50)),
 
+    // stratified per-group top-k via PARTITIONED window (vs q16's global
+    // window): first 3 docs per source by id
+    "q44_stratified_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("doc_id"), col("rn"))
+        .orderBy("source", "rn")
+    }),
+
     // multimodal: binary payload + stubbed decode features
     "q39_multimodal_features" -> ((s, dir) =>
       Multimodal.documentFeatures(s, docs(s, dir))

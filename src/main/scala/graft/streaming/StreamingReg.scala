@@ -77,6 +77,21 @@ object StreamingReg {
       .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
 
+  /** Streaming exact-dedup: drop events whose fingerprint was already seen
+    * within the watermark horizon (bounded state — the streaming form of
+    * the batch exactGroups dedup). */
+  def streamingDedup(
+      events: DataFrame,
+      tsCol: String,
+      fingerprintCol: Column,
+      watermark: String = "1 hour"
+  ): DataFrame =
+    events
+      .withColumn("__fp", fingerprintCol)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Per-key running statistics via mapGroupsWithState — the custom-state
     * escape hatch for semantics windowed aggs can't express. */
   final case class RunningStats(n: Long, mean: Double, m2: Double) {

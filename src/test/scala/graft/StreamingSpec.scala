@@ -58,6 +58,22 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(("2024-01-01 11:00:00", "click")) == (1L, 3.0))
   }
 
+  test("streaming dedup drops repeated fingerprints within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val out = StreamingReg.streamingDedup(df, "ts", md5(col("text")), "1 hour")
+    val q = out.writeStream.format("memory").queryName("dd").outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    input.addData((t(0), "aaa"), (t(1), "bbb"), (t(2), "aaa"))
+    q.processAllAvailable()
+    input.addData((t(3), "aaa"), (t(4), "ccc"))
+    q.processAllAvailable()
+    val texts = spark.table("dd").collect().map(_.getString(1)).sorted
+    q.stop()
+    assert(texts.toSeq == Seq("aaa", "bbb", "ccc")) // dups within watermark dropped
+  }
+
   test("mapGroupsWithState running stats match direct computation") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
