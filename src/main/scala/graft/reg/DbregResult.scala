@@ -64,6 +64,9 @@ final case class DbregResult(
   def adjR2: Double = 1.0 - (rss / dfResidual) / (tss / (nobsOrig - 1.0))
   def rmse: Double = math.sqrt(rss / nobsOrig)
 
+  /** Goodness-of-fit map (reference `gof()` export, gof.R:22-24). */
+  def gof: Map[String, Double] = Map("r2" -> r2, "adj_r2" -> adjR2, "rmse" -> rmse)
+
   /** Two-sided confidence intervals at `level`. */
   def confint(level: Double = 0.95): Seq[(String, Double, Double)] = {
     val crit = LinAlg.tCrit(level, dfResidual)
