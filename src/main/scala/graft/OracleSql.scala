@@ -589,6 +589,13 @@ object OracleSql {
         |    c -> unicode(c))) % 997)::BIGINT AS byte_sum_mod
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q45_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | avg(json_extract_string(props, '$.k')::INT) AS avg_k,
+        | sum(CASE WHEN json_extract_string(props, '$.k')::INT > 50
+        |     THEN 1 ELSE 0 END) AS n_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q40_event_windows" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
         | event_type, count(*) AS n, sum(value) AS sum_value

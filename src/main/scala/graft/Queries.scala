@@ -409,6 +409,19 @@ object Queries {
           col("byte_sum_mod"))
         .orderBy("id")),
 
+    // semi-structured: JSON field extraction + aggregation over events.props
+    "q45_json_extract" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      ev(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          avg(col("k")).as("avg_k"),
+          sum(when(col("k") > 50, 1).otherwise(0)).as("n_high"))
+        .orderBy("event_type")
+    }),
+
     // events: tumbling-window aggregation (batch form of the streaming shape).
     // The events parquet stores TIMESTAMP(NANOS); read as raw nanos and use
     // integer division (not double, which loses precision above 2^53 ns).

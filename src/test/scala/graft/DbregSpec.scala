@@ -1,6 +1,7 @@
 package graft
 
 import breeze.linalg.{DenseMatrix, DenseVector, inv}
+import org.apache.spark.sql.functions.col
 import graft.reg.Dbreg
 
 /** Differential tests: every strategy against a textbook dense OLS computed
@@ -217,6 +218,20 @@ class DbregSpec extends SparkTestBase {
     val big = (1 to 50).map(_ => df).reduce(_ union _)
     assert(Dbreg.fit("y ~ x1", big).strategy == "compress")
     assert(Dbreg.fit("y ~ x1 | unit", big).strategy == "compress")
+  }
+
+  test("auto on unbalanced high-ratio 2-FE panel errors with guidance") {
+    // duplicate one unit's rows -> unequal cell counts (the balance probe
+    // checks COUNT(DISTINCT per-cell count), matching the reference);
+    // x2 continuous keeps the compression ratio high
+    val unbal = df.union(df.filter(col("unit") === "u1"))
+    val e = intercept[IllegalStateException] {
+      Dbreg.fit("y ~ x2 | unit + time", unbal, strategy = "auto")
+    }
+    assert(e.getMessage.contains("compress") && e.getMessage.contains("mundlak"))
+    // but explicit mundlak works on the same data
+    val m = Dbreg.fit("y ~ x2 | unit + time", unbal, strategy = "mundlak")
+    assert(!m.coef("x2").isNaN)
   }
 
   test("compressedData returns the cell table (data_only parity)") {
