@@ -63,7 +63,8 @@ object Dbbinsreg {
       cb: Boolean = false,
       cbSims: Int = 2000,
       cbSeed: Long = 42L,
-      line: Option[(Int, Int)] = None
+      line: Option[(Int, Int)] = None,
+      quantileRelErr: Double = 1e-4 // approxQuantile precision (randcut analogue)
   ): BinsregResult = {
     // reference execute_separate_binsreg (dbbinsreg.R:649-740): when the
     // line's (degree, smoothness) differ from the points', fit two models
@@ -71,9 +72,11 @@ object Dbbinsreg {
     line match {
       case Some((ld, ls)) if (ld, ls) != (degree, smoothness) =>
         val pointsFit = fit(formula, df, nbins, binspos, degree, smoothness,
-          vcov, level, lineGrid, manualKnots, cb, cbSims, cbSeed, line = None)
+          vcov, level, lineGrid, manualKnots, cb, cbSims, cbSeed, line = None,
+          quantileRelErr = quantileRelErr)
         val lineFit = fit(formula, df, nbins, binspos, ld, ls,
-          vcov, level, lineGrid, manualKnots, line = None)
+          vcov, level, lineGrid, manualKnots, line = None,
+          quantileRelErr = quantileRelErr)
         return pointsFit.copy(line = lineFit.line)
       case _ => ()
     }
@@ -103,7 +106,7 @@ object Dbbinsreg {
       case None => binspos match {
         case "qs" =>
           val probs = (0 to nbins).map(_.toDouble / nbins).toArray
-          base.stat.approxQuantile(xvar, probs, 1e-4).distinct.sorted
+          base.stat.approxQuantile(xvar, probs, quantileRelErr).distinct.sorted
         case "es" =>
           val r = base.agg(min(x).as("mn"), max(x).as("mx")).collect()(0)
           val (mn, mx) = (r.getDouble(0), r.getDouble(1))
