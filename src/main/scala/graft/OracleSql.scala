@@ -575,6 +575,19 @@ object OracleSql {
         |  FROM documents) t
         |WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
 
+    "q46_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id AS id, ${toks("text")} AS t FROM documents),
+         |bg AS (SELECT id, unnest(${bigrams("t")}) AS bg FROM toks),
+         |bgw AS (SELECT id, bg, string_split(bg, ' ')[1] AS w1 FROM bg),
+         |bgc AS (SELECT bg, count(*) AS c_bg FROM bgw GROUP BY bg),
+         |uni AS (SELECT unnest(t) AS w1 FROM toks),
+         |unic AS (SELECT w1, count(*) AS c_w1 FROM uni GROUP BY w1),
+         |v AS (SELECT count(*)::DOUBLE AS vocab FROM unic)
+         |SELECT id, avg(ln((c_bg + 1.0) / (c_w1 + vocab))) AS lm_score,
+         |  count(*) AS n_bigrams
+         |FROM bgw JOIN bgc USING (bg) JOIN unic USING (w1) CROSS JOIN v
+         |GROUP BY id ORDER BY id""".stripMargin,
+
     "q42_vocab_topk" ->
       s"""SELECT token, count(*) AS n
          |FROM (SELECT unnest(${toks("text")}) AS token FROM documents) t

@@ -402,6 +402,10 @@ object Queries {
         .orderBy("source", "rn")
     }),
 
+    // text analysis: corpus-trained bigram LM quality score per doc
+    "q46_lm_score" -> ((s, dir) =>
+      TextOps.bigramLmScores(docs(s, dir), "doc_id", "text").orderBy("id")),
+
     // multimodal: binary payload + stubbed decode features
     "q39_multimodal_features" -> ((s, dir) =>
       Multimodal.documentFeatures(s, docs(s, dir))

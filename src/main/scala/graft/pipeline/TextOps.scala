@@ -120,4 +120,32 @@ object TextOps {
     * cross-engine numeric hash used by MinHash/SimHash. */
   def hash32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Corpus-trained bigram language-model score per document: the mean log
+    * probability of the doc's bigrams under add-one-smoothed corpus counts —
+    * the KenLM-style quality-filter signal, built entirely from DataFrame
+    * aggregations (train = two groupBys over the corpus; score = one join).
+    *
+    * score(d) = mean over bigrams (w1,w2) of
+    *   log( (count(w1,w2) + 1) / (count(w1) + V) )
+    * where V = unigram vocabulary size. Lower = more surprising text.
+    */
+  def bigramLmScores(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    val bigrams = toks.select(
+      col("id"),
+      explode(wordShingles(col("t"), 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val uniCounts = toks.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val vocab = uniCounts.count() // V (driver scalar; vocabulary is small)
+    bigrams
+      .join(broadcast(bgCounts), "bg")
+      .join(broadcast(uniCounts), "w1")
+      .withColumn("logp",
+        log((col("c_bg") + 1.0) / (col("c_w1") + lit(vocab.toDouble))))
+      .groupBy("id")
+      .agg(avg(col("logp")).as("lm_score"), count(lit(1)).as("n_bigrams"))
+  }
 }
