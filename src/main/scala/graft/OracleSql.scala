@@ -575,6 +575,22 @@ object OracleSql {
         |  FROM documents) t
         |WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
 
+    "q47_embedding_dup_clusters" ->
+      s"""WITH pairs AS (SELECT a.vec_id id1, b.vec_id id2
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45),
+         |edges AS (SELECT id1 a, id2 b FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |comp AS (
+         |  WITH RECURSIVE reach(id, label) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+         |  )
+         |  SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+         |SELECT id, cluster FROM comp ORDER BY id""".stripMargin,
+
     "q46_lm_score" ->
       s"""WITH toks AS (SELECT doc_id AS id, ${toks("text")} AS t FROM documents),
          |bg AS (SELECT id, unnest(${bigrams("t")}) AS bg FROM toks),

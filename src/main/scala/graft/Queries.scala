@@ -402,6 +402,13 @@ object Queries {
         .orderBy("source", "rn")
     }),
 
+    // embedding near-duplicate clusters: exact cosine pairs → connected
+    // components (composition of Similarity + Dedup operators)
+    "q47_embedding_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Similarity.cosineNearDupPairsExact(emb(s, dir), "vec_id", "embedding", 0.45))
+        .orderBy("id")),
+
     // text analysis: corpus-trained bigram LM quality score per doc
     "q46_lm_score" -> ((s, dir) =>
       TextOps.bigramLmScores(docs(s, dir), "doc_id", "text").orderBy("id")),

@@ -159,6 +159,21 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Exact all-pairs cosine near-duplicate pairs (brute baseline — use the
+    * LSH variant below when n² is off the table). */
+  def cosineNearDupPairsExact(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val a = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (exact within-bucket). */
   def cosineNearDupPairs(
