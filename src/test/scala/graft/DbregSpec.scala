@@ -220,6 +220,25 @@ class DbregSpec extends SparkTestBase {
     assert(Dbreg.fit("y ~ x1 | unit", big).strategy == "compress")
   }
 
+  test("ssc=nested subtracts nested FE levels from K in the CR1 correction") {
+    // unit (20 levels) is nested in grp (unit u -> grp u%5): K drops by 20
+    val full = Dbreg.fit("y ~ x1 + x2 | unit", df, vcov = "~grp",
+      strategy = "demean", ssc = "full")
+    val nested = Dbreg.fit("y ~ x1 + x2 | unit", df, vcov = "~grp",
+      strategy = "demean", ssc = "nested")
+    // same meat/bread; only the scale factor differs:
+    // full K = 2 + 20 = 22, nested K = 2 + 20 - 20 = 2
+    val n = 100.0; val g = 5.0
+    val ratio = ((g / (g - 1)) * (n / (n - 2.0))) / ((g / (g - 1)) * (n / (n - 22.0)))
+    val seRatio = nested.se("x1") / full.se("x1")
+    assert(math.abs(seRatio - math.sqrt(ratio)) < 1e-10,
+      s"se ratio $seRatio vs expected ${math.sqrt(ratio)}")
+    // time FE (5 levels) spans multiple grp clusters -> NOT nested, K unchanged
+    val t1 = Dbreg.fit("y ~ x1 | time", df, vcov = "~grp", strategy = "demean", ssc = "full")
+    val t2 = Dbreg.fit("y ~ x1 | time", df, vcov = "~grp", strategy = "demean", ssc = "nested")
+    assert(math.abs(t1.se("x1") - t2.se("x1")) < 1e-12)
+  }
+
   test("auto on unbalanced high-ratio 2-FE panel errors with guidance") {
     // duplicate one unit's rows -> unequal cell counts (the balance probe
     // checks COUNT(DISTINCT per-cell count), matching the reference);
