@@ -625,6 +625,14 @@ object OracleSql {
         |     THEN 1 ELSE 0 END) AS n_high
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q48_frame_sample" ->
+      """SELECT doc_id AS id, f.frame,
+        | md5(substr(text, (floor(len(text) * f.frame / 4) + 1)::INT, 16))
+        |   AS frame_md5
+        |FROM documents
+        |CROSS JOIN (SELECT unnest(range(0, 4)) AS frame) f
+        |ORDER BY id, f.frame""".stripMargin,
+
     "q40_event_windows" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
         | event_type, count(*) AS n, sum(value) AS sum_value

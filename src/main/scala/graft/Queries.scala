@@ -433,6 +433,14 @@ object Queries {
         .orderBy("event_type")
     }),
 
+    // multimodal: frame sampling — evenly spaced payload slices, md5'd for
+    // cross-engine compare
+    "q48_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.asBinary(docs(s, dir), "doc_id", "text"), k = 4)
+        .select(col("id"), col("frame"), md5(col("frame_bytes")).as("frame_md5"))
+        .orderBy("id", "frame")),
+
     // events: tumbling-window aggregation (batch form of the streaming shape).
     // The events parquet stores TIMESTAMP(NANOS); read as raw nanos and use
     // integer division (not double, which loses precision above 2^53 ns).

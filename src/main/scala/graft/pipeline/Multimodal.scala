@@ -65,7 +65,9 @@ object Multimodal {
         lit(f).as("frame"),
         substring(
           col("payload"),
-          (col("n_bytes") * f / k + 1).cast("int"),
+          // explicit floor: integer-division semantics identical across
+          // engines (double casts round rather than truncate in some)
+          (floor(col("n_bytes") * f / k) + 1).cast("int"),
           lit(frameBytes)).as("bytes"))
     }
     bin.select(col("id"), explode(array(frames: _*)).as("fr"))
