@@ -34,6 +34,10 @@ object Bench {
     def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     def docs = spark.read.parquet(s"$sfDir/documents.parquet")
     def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // Single-row-group parquet can't split, so per-row-CPU-heavy pipelines
+    // (regex/explode) need explicit fan-out; aggregation-dominated fits are
+    // faster on the unshuffled scan.
+    def docsWide = graft.sources.ScaleOps.normalizeParallelism(docs, cpus.toInt)
 
     def sink(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -80,7 +84,7 @@ object Bench {
           Seq(0L, 1L, 2L, 3L, 4L), 10, dim = 64))),
       "text_analysis" -> (() => {
         import org.apache.spark.sql.functions.col
-        sink(docs
+        sink(docsWide
           .withColumn("__t", TextOps.tokens(col("text")))
           .select(
             col("doc_id"),

@@ -24,12 +24,26 @@ object Dedup {
         min(col(idCol)).as("keep_id"))
 
   /** Distinct (id, shingle) pairs — the exploded set-representation that
-    * Jaccard/MinHash build on. One row per distinct shingle per doc. */
+    * Jaccard/MinHash build on. One row per distinct shingle per doc.
+    *
+    * The input is fanned out to the session's default parallelism first:
+    * tokenize+shingle+explode is per-row-CPU-bound, and an under-split
+    * source (e.g. one parquet row group) would pin the whole stage to one
+    * core. Everything derived from the shingle set (mins, counts, set
+    * intersections) is order-independent, so the shuffle cannot change any
+    * downstream result. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(
-        col(idCol).as("id"),
-        explode(TextOps.wordShingles(TextOps.tokens(col(textCol)), n)).as("shingle"))
-      .distinct()
+    graft.sources.ScaleOps
+      .normalizeParallelism(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")),
+        df.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col("id"),
+        // per-row array_distinct replaces a global DISTINCT: (id, shingle)
+        // duplicates can only occur within one document, so deduping the
+        // array before the explode gives the identical set with no shuffle
+        explode(array_distinct(TextOps.wordShingles(TextOps.tokens(col("__text")), n)))
+          .as("shingle"))
 
   /** All-pairs n-gram Jaccard similarity ≥ threshold.
     *
@@ -85,11 +99,33 @@ object Dedup {
   def minhashA(i: Int): Long = 1L + 7919L * i
   def minhashB(i: Int): Long = 104729L * (i + 1) % MinhashP
 
-  /** MinHash signatures: one row per doc, `sig` = array of NumHashes minima.
-    * Shuffle pattern: explode shingles → groupBy(id) with NumHashes `min`
-    * partial aggregates — map-side combine keeps the shuffle tiny. */
+  /** Per-document distinct shingle ARRAY — the narrow (no explode, no
+    * shuffle) set representation. Signature computation, set sizes, and
+    * candidate verification are all per-row array expressions over this. */
+  def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    graft.sources.ScaleOps
+      .normalizeParallelism(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")),
+        df.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col("id"),
+        array_distinct(TextOps.wordShingles(TextOps.tokens(col("__text")), n)).as("sharr"))
+
+  /** MinHash signature column from a shingle-array column: hash each
+    * shingle once, then NumHashes `array_min`s of affine re-hashes. Pure
+    * per-row expressions — computing signatures is a narrow map, no
+    * explode/groupBy/shuffle at any scale. */
+  def minhashSigCol(sharr: Column): Column = {
+    val xs = transform(sharr, s => TextOps.hash32(s) % MinhashP)
+    array((0 until NumHashes).map { i =>
+      array_min(transform(xs, x => (x * minhashA(i) + minhashB(i)) % MinhashP))
+    }: _*)
+  }
+
+  /** MinHash signatures: one row per doc, `sig` = array of NumHashes minima. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
-    minhashSignaturesFrom(shingleSets(df, idCol, textCol, n))
+    shingleArrays(df, idCol, textCol, n)
+      .select(col("id"), minhashSigCol(col("sharr")).as("sig"))
 
   /** Signature aggregation over a precomputed (id, shingle) set — lets
     * callers compute/cache the shingle explosion once. */
@@ -119,8 +155,14 @@ object Dedup {
   }
 
   /** MinHash+LSH near-duplicate pairs, verified with true n-gram Jaccard.
-    * The candidate join is equi on (band, bucket) — fan-out bounded by
-    * bucket sizes, the standard web-scale dedup shape. */
+    *
+    * Shape: one narrow scan builds per-doc shingle arrays + signatures;
+    * the only wide operations are the (band, bucket) self-equi-join for
+    * candidates and two id-equi joins attaching the candidate pair's two
+    * shingle arrays. Verification is `array_intersect` per candidate pair —
+    * document size is bounded, so the per-pair cost is constant and the
+    * join fan-out is bounded by LSH bucket sizes (the standard web-scale
+    * dedup shape). */
   def minhashPairs(
       df: DataFrame,
       idCol: String,
@@ -128,31 +170,23 @@ object Dedup {
       n: Int = 2,
       threshold: Double = 0.5
   ): DataFrame = {
-    // one shingle explosion feeds signatures, sizes, AND verification —
-    // cached because three downstream aggregations reuse it
-    val sh = shingleSets(df, idCol, textCol, n)
+    val sh = shingleArrays(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minhashSignaturesFrom(sh)
+    val sigs = sh.select(col("id"), minhashSigCol(col("sharr")).as("sig"))
     val bk = lshBuckets(sigs)
     val cand = bk.as("a")
       .join(bk.as("b"), Seq("band", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val sh2 = sh.withColumnRenamed("id", "id2b").withColumnRenamed("shingle", "s2")
-    val common = cand
-      .join(sh.withColumnRenamed("id", "id1").withColumnRenamed("shingle", "s1"), "id1")
-      .join(sh2, col("id2") === col("id2b") && col("s1") === col("s2"))
-      .groupBy("id1", "id2")
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
-      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+    cand
+      .join(sh.select(col("id").as("id1"), col("sharr").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("sharr").as("sh2")), "id2")
+      .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn(
         "jaccard",
         col("common").cast("double") /
-          (col("sz1") + col("sz2") - col("common")).cast("double"))
+          (size(col("sh1")) + size(col("sh2")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }

@@ -56,17 +56,30 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * md5-derived value in [-0.5, 0.5). Cross-engine reproducible. */
-  private def planeComponent(plane: Int, d: Int): Column =
-    (conv(substring(md5(lit(s"plane_${plane}_dim_$d")), 1, 8), 16, 10).cast("long") % 1000)
-      .cast("double") / 1000.0 - lit(0.5)
+    * md5-derived value in [-0.5, 0.5). Computed on the driver with the
+    * exact arithmetic of the SQL oracle's
+    * `('0x'||substr(md5(s),1,8))::BIGINT % 1000 / 1000.0 - 0.5`, so the
+    * constants are bit-identical cross-engine — but the per-row expression
+    * is a single literal array per plane instead of 64 md5 subtrees
+    * (the folded-tree version spent more time in planning/codegen than in
+    * execution). */
+  private def planeComponent(plane: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane_${plane}_dim_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    (java.lang.Long.parseLong(hex, 16) % 1000).toDouble / 1000.0 - 0.5
+  }
 
-  /** Sign-LSH bucket signature: bit per hyperplane from sign(v·r_p). */
+  /** Sign-LSH bucket signature: bit per hyperplane from sign(v·r_p).
+    * The projection folds zip_with products in ascending index order —
+    * the same accumulation order as the SQL oracle's list_sum. */
   def lshSignature(vec: Column, dim: Int, nPlanes: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val d = (0 until dim)
-        .map(i => element_at(vec, i + 1).cast("double") * planeComponent(p, i))
-        .reduce(_ + _)
+      val plane = typedLit((0 until dim).map(i => planeComponent(p, i)).toArray)
+      val d = aggregate(
+        zip_with(vec, plane, (x, w) => x.cast("double") * w),
+        lit(0.0),
+        (acc, v) => acc + v)
       when(d >= 0, math.pow(2, p).toLong).otherwise(0L)
     }
     bits.reduce(_ + _)

@@ -38,6 +38,21 @@ object ScaleOps {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Raise a source's partition count to at least `minPartitions` so every
+    * core participates in the scan-side work.
+    *
+    * Needed when the physical layout under-splits: parquet can only split at
+    * row-group boundaries, so a single-row-group file (common for small
+    * extracts and some writers' defaults) always scans as ONE task no matter
+    * what `maxPartitionBytes` says. On a production layout (many files /
+    * many row groups) this is a no-op. The round-robin shuffle moves raw
+    * bytes once and unlocks N-way parallelism for every downstream stage —
+    * a win whenever per-row work (regex, explode, hashing) dominates, which
+    * is exactly the text/dedup pipeline shape. */
+  def normalizeParallelism(df: DataFrame, minPartitions: Int): DataFrame =
+    if (df.rdd.getNumPartitions >= minPartitions) df
+    else df.repartition(minPartitions)
+
   /** Two-stage salted aggregation for skewed group keys.
     *
     * Stage 1 groups by (key, salt) — the hot key's rows spread over
