@@ -372,6 +372,98 @@ object OracleSql {
          |  AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // WLS: weighted centered algebra; w = 100·discount + 1 > 0 always
+    "q49_wls_fit" ->
+      s"""WITH b AS (SELECT l_extendedprice AS y, CAST(l_quantity AS DOUBLE) AS x,
+         |    l_discount*100.0 + 1.0 AS w FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+         |    AND l_discount IS NOT NULL AND l_discount*100.0 + 1.0 > 0.0),
+         |m AS (SELECT count(*)::DOUBLE n, sum(w) sw, sum(w*x) swx, sum(w*y) swy,
+         |   sum(w*x*x) swxx, sum(w*x*y) swxy, sum(w*y*y) swyy FROM b),
+         |r AS (SELECT *, (swxy - swx*swy/sw) / (swxx - swx*swx/sw) AS b1 FROM m),
+         |r2 AS (SELECT *, (swy - b1*swx)/sw AS b0, sw*swxx - swx*swx AS det FROM r),
+         |f AS (SELECT *, swyy - b0*swy - b1*swxy AS rss FROM r2)
+         |SELECT term, estimate, std_error FROM (
+         | SELECT '(Intercept)' AS term, b0 AS estimate,
+         |   sqrt(rss/(n-2) * swxx/det) AS std_error FROM f
+         | UNION ALL
+         | SELECT 'l_quantity', b1, sqrt(rss/(n-2) * sw/det) FROM f) u
+         |ORDER BY term""".stripMargin,
+
+    // prediction standard errors: se_fit² = σ²·xᵀ(XᵀX)⁻¹x closed form
+    "q50_predict_se" ->
+      s"""WITH b AS (SELECT l_orderkey, l_linenumber, l_extendedprice AS y,
+         |    CAST(l_quantity AS DOUBLE) AS x FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+         |grid AS (SELECT l_orderkey, l_linenumber,
+         |    CAST(min(l_quantity) AS DOUBLE) AS x FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+         |    AND l_orderkey <= 50 GROUP BY 1, 2),
+         |m AS (SELECT count(*)::DOUBLE n, sum(x) sx, sum(y) sy, sum(x*x) sxx,
+         |   sum(x*y) sxy, sum(y*y) syy FROM b),
+         |s AS (SELECT *, (sxy - sx*sy/n)/(sxx - sx*sx/n) AS b1 FROM m),
+         |s2 AS (SELECT *, (sy - b1*sx)/n AS b0, n*sxx - sx*sx AS det FROM s),
+         |f AS (SELECT *, (syy - b0*sy - b1*sxy)/(n-2) AS sig2 FROM s2)
+         |SELECT l_orderkey, l_linenumber, b0 + b1*x AS fit,
+         |  sqrt(sig2*(sxx - 2*x*sx + x*x*n)/det) AS se_fit,
+         |  sqrt(sig2*(sxx - 2*x*sx + x*x*n)/det + sig2) AS se_pred
+         |FROM grid, f
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // gof: R² / adjusted R² / RMSE from the 2-regressor closed form
+    "q51_gof" ->
+      s"""WITH m AS (SELECT count(*)::DOUBLE n, sum(x1) s1, sum(x2) s2, sum(y) sy,
+         |   sum(x1*x1) s11, sum(x2*x2) s22, sum(x1*x2) s12,
+         |   sum(x1*y) s1y, sum(x2*y) s2y, sum(y*y) syy FROM $B t),
+         |c AS (SELECT n, s1/n xb1, s2/n xb2, sy/n yb,
+         |   s11 - s1*s1/n AS a, s22 - s2*s2/n AS b2c, s12 - s1*s2/n AS c,
+         |   s1y - s1*sy/n AS d, s2y - s2*sy/n AS e, syy - sy*sy/n AS f FROM m),
+         |sol AS (SELECT *, (b2c*d - c*e)/(a*b2c - c*c) AS b1,
+         |   (a*e - c*d)/(a*b2c - c*c) AS b2 FROM c),
+         |r AS (SELECT *, f - b1*d - b2*e AS rss FROM sol)
+         |SELECT 1.0 - rss/f AS r2,
+         |  1.0 - (rss/(n-3))/(f/(n-1)) AS adj_r2,
+         |  sqrt(rss/n) AS rmse, n::BIGINT AS n
+         |FROM r""".stripMargin,
+
+    // winnowing fingerprints: min-hash per sliding window of 4 char-8-grams
+    "q52_winnow_fingerprint" ->
+      s"""WITH g AS (SELECT doc_id AS id,
+         |    CASE WHEN len(text) < 8 THEN CAST([] AS BIGINT[])
+         |         ELSE list_transform(range(1, len(text)-6),
+         |                i -> ${hash32("substr(text, i::INT, 8)")}) END AS kg
+         |  FROM documents),
+         |f AS (SELECT id,
+         |    CASE WHEN len(kg) = 0 THEN CAST([] AS BIGINT[])
+         |         ELSE list_distinct(list_transform(
+         |                range(1, greatest(len(kg)-3, 1)+1),
+         |                i -> list_min(kg[i:i+3]))) END AS fps
+         |  FROM g)
+         |SELECT id, len(fps) AS n_fp, list_min(fps) AS min_fp
+         |FROM f ORDER BY id""".stripMargin,
+
+    // embedding near-dup pairs via sign-LSH buckets (plane construction
+    // identical to q36)
+    "q53_embedding_lsh_pairs" -> {
+      val planeW =
+        s"(${hash32("'plane_' || pp || '_dim_' || dd")} % 1000)::DOUBLE / 1000.0 - 0.5"
+      s"""WITH planes AS (SELECT pp, dd, $planeW AS w
+         |  FROM (SELECT unnest(range(0, 4)) AS pp) tp,
+         |       (SELECT unnest(range(0, 64)) AS dd) td),
+         |proj AS (SELECT e.vec_id, pl.pp,
+         |    sum(e.embedding[pl.dd + 1]::DOUBLE * pl.w) AS s
+         |  FROM embeddings e, planes pl GROUP BY 1, 2),
+         |sigs AS (SELECT vec_id, sum(CASE WHEN s >= 0 THEN 1 << pp ELSE 0 END)
+         |    AS bucket FROM proj GROUP BY vec_id),
+         |sv AS (SELECT s.vec_id, s.bucket, e.embedding
+         |  FROM sigs s JOIN embeddings e USING (vec_id)),
+         |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |   ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM sv a JOIN sv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id1, id2, cos FROM pairs WHERE cos >= 0.45
+         |ORDER BY id1, id2""".stripMargin
+    },
+
     // ---- pipeline oracles ----
     "q30_dedup_exact" ->
       s"""SELECT sum(n_docs)::BIGINT AS n_docs, count(*) AS n_unique,

@@ -334,6 +334,41 @@ object Queries {
       fit.predict(data.filter(col("l_orderkey") <= 100))
         .select(col("l_orderkey"), col("l_linenumber"), col("fit"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- WLS (beyond-reference extension): weighted moments = exact WLS ----
+    "q49_wls_fit" -> ((s, dir) => {
+      val data = li(s, dir).withColumn("w", col("l_discount") * 100.0 + 1.0)
+      val fit = Dbreg.fit("l_extendedprice ~ l_quantity", data,
+        strategy = "moments", weights = Some("w"))
+      fit.toDF(s).select(col("term"), col("estimate"), col("std_error")).orderBy("term")
+    }),
+
+    // ---- K9: prediction standard errors (confidence + prediction width) ----
+    // (l_orderkey, l_linenumber) is not unique in the synthetic lineitem, so
+    // the newdata grid is deduped deterministically (min quantity per key)
+    // before predicting — both engines build the identical grid.
+    "q50_predict_se" -> ((s, dir) => {
+      val data = li(s, dir)
+      val fit = Dbreg.fit("l_extendedprice ~ l_quantity", data, strategy = "moments")
+      val sub = data.filter(col("l_orderkey") <= 50)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min(col("l_quantity")).as("l_quantity"))
+      val pc = fit.predict(sub, interval = "confidence")
+        .select(col("l_orderkey"), col("l_linenumber"), col("fit"), col("se").as("se_fit"))
+      val pp = fit.predict(sub, interval = "prediction")
+        .select(col("l_orderkey"), col("l_linenumber"), col("se").as("se_pred"))
+      pc.join(pp, Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- gof: R², adjusted R², RMSE (reference gof.R:10-27) ----
+    "q51_gof" -> ((s, dir) => {
+      val fit = Dbreg.fit("l_extendedprice ~ l_quantity + l_discount", li(s, dir),
+        strategy = "moments")
+      import s.implicits._
+      Seq((fit.r2, fit.adjR2, fit.rmse, fit.nobsOrig))
+        .toDF("r2", "adj_r2", "rmse", "n")
     })
   ) ++ pipelineQueries
 
@@ -449,6 +484,21 @@ object Queries {
     // text analysis: corpus-trained bigram LM quality score per doc
     "q46_lm_score" -> ((s, dir) =>
       TextOps.bigramLmScores(docs(s, dir), "doc_id", "text").orderBy("id")),
+
+    // fingerprinting: winnowing over char-8-gram hashes, window 4
+    "q52_winnow_fingerprint" -> ((s, dir) =>
+      TextOps.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 8, w = 4)
+        .select(col("id"), size(col("fps")).as("n_fp"), array_min(col("fps")).as("min_fp"))
+        .orderBy("id")),
+
+    // similarity: embedding near-dup pairs via sign-LSH buckets (the scale
+    // path for q47's exact all-pairs variant). 4 planes = 16 buckets: at
+    // this corpus size 8 planes shatters every near-dup pair into different
+    // buckets (recall 0) — bucket count must track corpus size.
+    "q53_embedding_lsh_pairs" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
+        dim = 64, threshold = 0.45, nPlanes = 4)
+        .orderBy("id1", "id2")),
 
     // multimodal: binary payload + stubbed decode features
     "q39_multimodal_features" -> ((s, dir) =>

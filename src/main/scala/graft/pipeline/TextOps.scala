@@ -121,6 +121,44 @@ object TextOps {
   def hash32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
+  /** Winnowing document fingerprints (Schleimer et al. 2003 selection rule
+    * over positional character k-gram hashes): hash every k-gram, then keep
+    * the minimum hash of each sliding window of `w` consecutive k-grams.
+    * The distinct kept hashes are the document's fingerprints — robust to
+    * local edits, and any substring match of length ≥ w+k−1 shares at least
+    * one fingerprint. Pure per-row array expressions: no explode, no
+    * shuffle, embarrassingly parallel at any scale.
+    *
+    * Returns (idCol, fps array<bigint>). Built as STAGED projections: the
+    * k-gram hash array must be a bound attribute before the window pass —
+    * inlining it into the window lambda re-evaluates the whole hash array
+    * per window element (O(n²) hashing; measured 185 s vs 2 s on the sf0.01
+    * corpus). The multi-use references also stop CollapseProject from
+    * re-inlining the stage. */
+  def winnowFingerprints(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int
+  ): org.apache.spark.sql.DataFrame = {
+    val staged = df.select(
+      col(idCol).as("id"),
+      when(length(col(textCol)) < k, array().cast("array<bigint>"))
+        .otherwise(
+          transform(
+            sequence(lit(1), length(col(textCol)) - (k - 1)),
+            i => hash32(col(textCol).substr(i, lit(k))))).as("kg"))
+    staged.select(
+      col("id"),
+      when(size(col("kg")) === 0, array().cast("array<bigint>"))
+        .otherwise(
+          array_distinct(
+            transform(
+              sequence(lit(1), greatest(size(col("kg")) - (w - 1), lit(1))),
+              i => array_min(slice(col("kg"), i, lit(w)))))).as("fps"))
+  }
+
   /** Corpus-trained bigram language-model score per document: the mean log
     * probability of the doc's bigrams under add-one-smoothed corpus counts —
     * the KenLM-style quality-filter signal, built entirely from DataFrame

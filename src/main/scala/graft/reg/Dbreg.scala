@@ -43,11 +43,12 @@ object Dbreg {
       compressRatio: Option[Double] = None,
       compressNmax: Long = 1000000L,
       ssc: String = "full",
-      verbose: Boolean = false
+      verbose: Boolean = false,
+      weights: Option[String] = None
   ): DbregResult = {
     val f = Formula.parse(formula)
     val v = Vcov.parse(vcov)
-    fitParsed(f, df, v, strategy, compressRatio, compressNmax, ssc, verbose)
+    fitParsed(f, df, v, strategy, compressRatio, compressNmax, ssc, verbose, weights)
   }
 
   def fitParsed(
@@ -58,23 +59,33 @@ object Dbreg {
       compressRatio: Option[Double] = None,
       compressNmax: Long = 1000000L,
       ssc: String = "full",
-      verbose: Boolean = false
+      verbose: Boolean = false,
+      weights: Option[String] = None
   ): DbregResult = {
     val clusterCol = v match { case Vcov.Cluster(c) => Some(c); case _ => None }
     // P1/P2: prune to the columns the model touches, drop missings
-    val needed = (f.allInputCols ++ clusterCol).distinct
+    val needed = (f.allInputCols ++ clusterCol ++ weights).distinct
     needed.foreach { c =>
       require(df.columns.contains(c), s"column '$c' not found in DataFrame")
     }
-    val filterCols = (f.allInputCols ++ clusterCol).distinct
-    val base = df
+    val filterCols = needed
+    val base0 = df
       .select(needed.map(col): _*)
       .filter(filterCols.map(col(_).isNotNull).reduce(_ && _))
+    // analytic weights (beyond-reference extension): rows with w <= 0 are
+    // dropped, mirroring fixest's handling of non-positive weights
+    val base = weights.fold(base0)(w => base0.filter(col(w) > 0.0))
 
-    val chosen = chooseStrategy(strategy, f, base, compressRatio, compressNmax, verbose)
+    weights.foreach { _ =>
+      require(f.fe.isEmpty && (strategy == "auto" || strategy == "moments"),
+        "weights are supported for the moments strategy without fixed effects")
+    }
+    val chosen =
+      if (weights.isDefined) "moments"
+      else chooseStrategy(strategy, f, base, compressRatio, compressNmax, verbose)
     if (verbose) println(s"[dbreg] strategy: $chosen")
     chosen match {
-      case "moments" => fitMoments(f, base, v, ssc)
+      case "moments" => fitMoments(f, base, v, ssc, weights)
       case "demean" => fitDemean(f, base, v, ssc)
       case "mundlak" => fitMundlak(f, base, v, ssc)
       case "compress" => fitCompress(f, base, v, ssc, compressNmax)
@@ -231,17 +242,27 @@ object Dbreg {
       preJoin, offsetCol, intervalsSupported)))
   }
 
-  /** Moments strategy (reference dbreg.R:703-872): one pass, no FE. */
-  private def fitMoments(f: Formula, base: DataFrame, v: Vcov, ssc: String): DbregResult = {
+  /** Moments strategy (reference dbreg.R:703-872): one pass, no FE.
+    * With `weights` the same pass computes the weighted triangle
+    * [1,X,y]ᵀW[1,X,y] — exact WLS from one aggregation. */
+  private def fitMoments(
+      f: Formula,
+      base: DataFrame,
+      v: Vcov,
+      ssc: String,
+      weights: Option[String] = None
+  ): DbregResult = {
     val cluster = v match { case Vcov.Cluster(c) => Seq(c); case _ => Nil }
-    val d = buildDesign(base, f, cluster, f.intercept)
-    val mom = MomentsKernel.compute(d.df, Y, d.xNames, intercept = false)
+    val d = buildDesign(base, f, cluster ++ weights, f.intercept)
+    val mom = MomentsKernel.compute(d.df, Y, d.xNames, intercept = false,
+      weightName = weights)
     val res = finish(f, d, mom, v, ssc,
       strategy = "moments",
       nobs = mom.nRows, nobsOrig = mom.nRows,
       dfFe = 0.0, tss = mom.sumYSq - mom.sumY * mom.sumY / mom.n,
       dfResOf = (n, pKept) => math.max(n - pKept, 1.0),
-      clusterK = (pKept, _) => pKept)
+      clusterK = (pKept, _) => pKept,
+      weightCol = weights)
     withLinearPredictor(res,
       d.cols.map(c => ModelMatrix.displayName(c.name) -> c.col).toMap)
   }
@@ -506,7 +527,8 @@ object Dbreg {
       dfResOf: (Double, Double) => Double,
       clusterK: (Double, Double) => Double,
       nestedBase: Option[DataFrame] = None,
-      compressCells: Option[CompressCells] = None
+      compressCells: Option[CompressCells] = None,
+      weightCol: Option[String] = None
   ): DbregResult = {
     val solved = LinAlg.solveDetecting(mom.xtx, mom.xty)
     val keptIdx = solved.keepIdx
@@ -550,7 +572,9 @@ object Dbreg {
             MomentsKernel.meatTriangle(cells, col("__g_rssg"), keptX, intercept = false)
           case None =>
             val e = resid(d.df)
-            MomentsKernel.meatTriangle(d.df, e * e, keptX, intercept = false)
+            // WLS score = w·e·x ⇒ HC1 meat scale = (w·e)²
+            val s = weightCol.map(wc => e * col(wc).cast("double")).getOrElse(e)
+            MomentsKernel.meatTriangle(d.df, s * s, keptX, intercept = false)
         }
         (LinAlg.vcovHc1(xtxInv, meat, nobsOrig.toDouble, dfRes), "hc1", None)
 
@@ -579,7 +603,9 @@ object Dbreg {
                   sum(col("__g_rsum") * col(nm)).as(s"__s${i + 1}")
                 }: _*)
           case None =>
-            val e = resid(d.df)
+            val e0 = resid(d.df)
+            // WLS cluster score = Σ_g w·e·x
+            val e = weightCol.map(wc => e0 * col(wc).cast("double")).getOrElse(e0)
             d.df
               .groupBy(col(cl))
               .agg(

@@ -269,4 +269,52 @@ class DbregSpec extends SparkTestBase {
     val (lo, hi) = ci("x1")
     assert(lo < fit.coef("x1") && fit.coef("x1") < hi)
   }
+
+  test("weighted moments fit matches dense WLS (iid and hc1)") {
+    val wOf = (r: PanelRow) => 1.0 + (r.x1 - r.x2).abs // positive weights
+    val wdf = df.withColumn("w",
+      org.apache.spark.sql.functions.abs(col("x1") - col("x2")) + 1.0)
+    // dense WLS: scale rows by sqrt(w); rss = Σ w e²; df = n − p
+    val (x0, y0) = denseXy(Seq(_.x1, _.x2))
+    val sw = DenseVector(DensePanel.rows.map(r => math.sqrt(wOf(r))).toArray)
+    val xw = DenseMatrix.tabulate(n, x0.cols)((i, j) => x0(i, j) * sw(i))
+    val yw = DenseVector.tabulate(n)(i => y0(i) * sw(i))
+    val xtxInv = inv(xw.t * xw)
+    val beta = xtxInv * (xw.t * yw)
+    val ew = yw - xw * beta // √w-scaled residuals
+    val rss = ew.dot(ew)
+    val dfRes = n.toDouble - x0.cols
+    val seIid = DenseVector.tabulate(x0.cols)(i =>
+      math.sqrt(xtxInv(i, i) * rss / dfRes))
+    val meat = DenseMatrix.zeros[Double](x0.cols, x0.cols)
+    for (i <- 0 until n) { // score = w·e·x = √w·ew·x
+      val xi = x0(i, ::).t
+      meat += (xi * xi.t) * (wOf(DensePanel.rows(i)) * ew(i) * ew(i))
+    }
+    val vH = (xtxInv * meat * xtxInv) * (n.toDouble / dfRes)
+
+    val fit = Dbreg.fit("y ~ x1 + x2", wdf, strategy = "moments", weights = Some("w"))
+    val terms = Seq("(Intercept)", "x1", "x2")
+    terms.zipWithIndex.foreach { case (t, i) =>
+      assert(math.abs(fit.coef(t) - beta(i)) < tol, s"beta $t")
+      assert(math.abs(fit.se(t) - seIid(i)) < tol, s"se $t")
+    }
+    val fitH = Dbreg.fit("y ~ x1 + x2", wdf, vcov = "hc1",
+      strategy = "moments", weights = Some("w"))
+    terms.zipWithIndex.foreach { case (t, i) =>
+      assert(math.abs(fitH.se(t) - math.sqrt(vH(i, i))) < tol, s"hc1 se $t")
+    }
+  }
+
+  test("weights refuse fixed effects and non-moments strategies") {
+    val wdf = df.withColumn("w", org.apache.spark.sql.functions.lit(2.0))
+    val e1 = intercept[IllegalArgumentException] {
+      Dbreg.fit("y ~ x1 | unit", wdf, weights = Some("w"))
+    }
+    assert(e1.getMessage.contains("weights"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dbreg.fit("y ~ x1", wdf, strategy = "compress", weights = Some("w"))
+    }
+    assert(e2.getMessage.contains("weights"))
+  }
 }

@@ -147,4 +147,28 @@ class PipelineSpec extends SparkTestBase {
     assert(frames.count() == 40)
     assert(frames.groupBy("id").count().collect().forall(_.getLong(1) == 4))
   }
+
+  test("winnowing fingerprints: duplicates share all, near-dups share some") {
+    val fp = TextOps.winnowFingerprints(docs.limit(10), "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toSet).toMap
+    assert(fp.values.forall(_.nonEmpty)) // every doc yields fingerprints
+    // identical text ⇒ identical fingerprint set
+    val dup = docs.limit(10).withColumn("doc_id", col("doc_id") + 100000)
+    val fpDup = TextOps.winnowFingerprints(dup, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    fp.foreach { case (id, s) => assert(fpDup(id + 100000) == s) }
+    // guarantee: docs sharing a substring of length ≥ w+k−1 = 11 share ≥1
+    // fingerprint — append noise to one doc and check overlap survives
+    val edited = docs.limit(10)
+      .withColumn("doc_id", col("doc_id") + 200000)
+      .withColumn("text", concat(lit("zzqy xv17 prefix blob "), col("text")))
+    val fpEd = TextOps.winnowFingerprints(edited, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    fp.foreach { case (id, s) =>
+      assert(fpEd(id + 200000).intersect(s).nonEmpty, s"doc $id shares none")
+    }
+    // distinct docs should not all collide into one set
+    assert(fp.values.toSet.size > 1)
+  }
 }
