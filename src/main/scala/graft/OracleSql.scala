@@ -746,6 +746,21 @@ object OracleSql {
         |CROSS JOIN (SELECT unnest(range(0, 4)) AS frame) f
         |ORDER BY id, f.frame""".stripMargin,
 
+    "q54_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS tus
+        |  FROM events),
+        |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |         OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |         ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(event_id) AS first_event,
+        |  (max(tus) - min(tus))::BIGINT AS dur_us,
+        |  sum(value) AS sum_value
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
     "q40_event_windows" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
         | event_type, count(*) AS n, sum(value) AS sum_value

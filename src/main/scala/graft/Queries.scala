@@ -528,6 +528,35 @@ object Queries {
         .select(col("id"), col("frame"), md5(col("frame_bytes")).as("frame_md5"))
         .orderBy("id", "frame")),
 
+    // events: gap-based sessionization — per-user lag window marks session
+    // starts (gap > 30 min), a running sum numbers sessions, then one
+    // groupBy per (user, session). Timestamps stay integer nanoseconds
+    // end-to-end so session boundaries are bit-exact cross-engine. The
+    // windows partition by user_id — parallel in the number of users, the
+    // standard sessionization shape at any scale.
+    "q54_sessionize" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // microsecond precision: DuckDB's TIMESTAMP truncates the parquet
+      // nanos to µs, so both engines work on ts DIV 1000
+      val base = ev(s, dir).withColumn("tus", expr("ts DIV 1000"))
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val gapUs = 1800L * 1000000L // 30 min
+      base
+        .withColumn("__prev", lag(col("tus"), 1).over(w))
+        .withColumn("__new",
+          when(col("__prev").isNull || col("tus") - col("__prev") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          (max(col("tus")) - min(col("tus"))).as("dur_us"),
+          sum(col("value")).as("sum_value"))
+        .orderBy("user_id", "session_idx")
+    }),
+
     // events: tumbling-window aggregation (batch form of the streaming shape).
     // The events parquet stores TIMESTAMP(NANOS); read as raw nanos and use
     // integer division (not double, which loses precision above 2^53 ns).

@@ -44,11 +44,13 @@ object Dbreg {
       compressNmax: Long = 1000000L,
       ssc: String = "full",
       verbose: Boolean = false,
-      weights: Option[String] = None
+      weights: Option[String] = None,
+      probeMode: String = "exact"
   ): DbregResult = {
     val f = Formula.parse(formula)
     val v = Vcov.parse(vcov)
-    fitParsed(f, df, v, strategy, compressRatio, compressNmax, ssc, verbose, weights)
+    fitParsed(f, df, v, strategy, compressRatio, compressNmax, ssc, verbose, weights,
+      probeMode)
   }
 
   def fitParsed(
@@ -60,7 +62,8 @@ object Dbreg {
       compressNmax: Long = 1000000L,
       ssc: String = "full",
       verbose: Boolean = false,
-      weights: Option[String] = None
+      weights: Option[String] = None,
+      probeMode: String = "exact"
   ): DbregResult = {
     val clusterCol = v match { case Vcov.Cluster(c) => Some(c); case _ => None }
     // P1/P2: prune to the columns the model touches, drop missings
@@ -82,7 +85,8 @@ object Dbreg {
     }
     val chosen =
       if (weights.isDefined) "moments"
-      else chooseStrategy(strategy, f, base, compressRatio, compressNmax, verbose)
+      else chooseStrategy(strategy, f, base, compressRatio, compressNmax, verbose,
+        probeMode)
     if (verbose) println(s"[dbreg] strategy: $chosen")
     chosen match {
       case "moments" => fitMoments(f, base, v, ssc, weights)
@@ -126,18 +130,28 @@ object Dbreg {
       base: DataFrame,
       compressRatio: Option[Double],
       compressNmax: Long,
-      verbose: Boolean
+      verbose: Boolean,
+      probeMode: String = "exact"
   ): String = {
     val nFe = f.fe.length
     var chosen = strategy
     if (strategy == "auto") {
       val ratioThreshold = compressRatio.getOrElse(if (nFe == 1 || nFe == 2) 0.6 else 0.01)
       val keyCols = (f.xvars ++ f.fe).distinct
-      // one probe job: COUNT(*) + exact COUNT(DISTINCT key-tuple) together
+      // one probe job: COUNT(*) + COUNT(DISTINCT key-tuple) together.
+      // probeMode="exact" matches the reference's probes (A8); "approx"
+      // swaps in approx_count_distinct (HLL, ~2% rel error) — the probe
+      // then needs no distinct shuffle, which is the right trade at data
+      // sizes where the probe would rival the fit itself. A 2% error is
+      // irrelevant to a 0.6-vs-0.01 threshold decision.
+      val cellsAgg = probeMode match {
+        case "exact" => countDistinct(col(keyCols.head), keyCols.tail.map(col): _*)
+        case "approx" => approx_count_distinct(struct(keyCols.map(col): _*))
+        case other => throw new IllegalArgumentException(
+          s"probeMode must be exact|approx, got $other")
+      }
       val probe = base
-        .agg(
-          count(lit(1)).as("__n"),
-          countDistinct(col(keyCols.head), keyCols.tail.map(col): _*).as("__cells"))
+        .agg(count(lit(1)).as("__n"), cellsAgg.as("__cells"))
         .collect()(0)
       val nTotal = probe.getAs[Long]("__n")
       val nCells = probe.getAs[Long]("__cells")
