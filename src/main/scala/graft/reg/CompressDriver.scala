@@ -60,7 +60,18 @@ private[graft] object CompressDriver {
     }
     def strVal(r: Row, c: String): String = String.valueOf(r.getAs[Any](c))
 
-    // per-term expansion mirroring ModelMatrix (dummies drop first level)
+    // per-term expansion mirroring ModelMatrix, including the drop-ref rule
+    // (F4): a factor inside an interaction keeps ALL its levels unless it is
+    // an FE var or the complementary term is itself in the model; in a
+    // no-intercept formula the first factor main term keeps all levels.
+    val allLabels: Set[String] = f.terms.map(t => t.parts.mkString(":")).toSet
+    val firstFactorMain: Option[String] =
+      if (f.intercept) None
+      else f.terms.collectFirst {
+        case t if !t.isInteraction && f.xvars.contains(t.parts.head) &&
+          factorLevels.contains(t.parts.head) => t.parts.head
+      }
+    val seenNames = scala.collection.mutable.HashSet.empty[String]
     f.terms.foreach { term =>
       val partKinds: List[Either[String, (String, Array[String])]] = term.parts.map { p =>
         factorLevels.get(p) match {
@@ -69,14 +80,16 @@ private[graft] object CompressDriver {
         }
       }
       val factorParts = partKinds.collect { case Right(x) => x }
+      def emit(nm: String, fn: Row => Double): Unit =
+        if (!seenNames.contains(nm)) { // dedupe across terms (mirrors terms())
+          seenNames += nm
+          val idx = names.length
+          names += nm
+          evals += ((r: Row) => { val vv = fn(r); if (vv == 0.0) Nil else Seq(idx -> vv) })
+        }
       if (factorParts.isEmpty) {
-        val idx = names.length
-        names += term.parts.mkString(":")
-        evals += ((r: Row) => Seq(idx -> term.parts.map(numVal(r, _)).product))
+        emit(term.parts.mkString(":"), (r: Row) => term.parts.map(numVal(r, _)).product)
       } else {
-        // cross product of kept levels (drop first level per factor — the
-        // interaction-only keep-all rule is a refinement left to the
-        // distributed path; collinearity detection covers the rest)
         def rec(kinds: List[Either[String, (String, Array[String])]]): List[(String, Row => Double)] =
           kinds match {
             case Nil => List(("", (_: Row) => 1.0))
@@ -85,7 +98,12 @@ private[graft] object CompressDriver {
                 (if (nm.isEmpty) p else s"$p:$nm", (r: Row) => numVal(r, p) * fn(r))
               }
             case Right((p, lv)) :: rest =>
-              val kept = lv.drop(1)
+              val dropRef =
+                if (term.isInteraction)
+                  f.fe.contains(p) ||
+                    allLabels.contains(term.parts.filterNot(_ == p).sorted.mkString(":"))
+                else !firstFactorMain.contains(p)
+              val kept = if (dropRef) lv.drop(1) else lv
               for {
                 l <- kept.toList
                 (nm, fn) <- rec(rest)
@@ -93,11 +111,7 @@ private[graft] object CompressDriver {
                 if (nm.isEmpty) s"$p$l" else s"$p$l:$nm",
                 (r: Row) => (if (strVal(r, p) == l) 1.0 else 0.0) * fn(r))
           }
-        rec(partKinds).foreach { case (nm, fn) =>
-          val idx = names.length
-          names += nm
-          evals += ((r: Row) => { val vv = fn(r); if (vv == 0.0) Nil else Seq(idx -> vv) })
-        }
+        rec(partKinds).foreach { case (nm, fn) => emit(nm, fn) }
       }
     }
     // FE dummies (drop first level each; intercept carries the base)

@@ -67,4 +67,18 @@ class CompressDriverSpec extends SparkTestBase {
     val dem = Dbreg.fit("y ~ x1 + x2 | grp", df, strategy = "demean")
     assert(close(dist.coef("x1"), dem.coef("x1")))
   }
+
+  test("driver path applies the interaction keep-all-levels rule (F4)") {
+    // grp appears ONLY in the interaction and its complement (x1) is not a
+    // term of the model ⇒ ALL 6 grp levels must be kept, not 5
+    val c = Dbreg.fit("y ~ x2 + x1:grp | unit", df, strategy = "compress")
+    val levels = (0 until 6).map(g => s"x1:grpg$g")
+    levels.foreach(t => assert(c.coef.contains(t), s"missing $t"))
+    // and the values agree with the demean strategy (ModelMatrix expansion)
+    val d = Dbreg.fit("y ~ x2 + x1:grp | unit", df, strategy = "demean")
+    levels.foreach(t => assert(close(c.coef(t), d.coef(t)), s"$t: ${c.coef(t)} vs ${d.coef(t)}"))
+    // complement present ⇒ reference level dropped (x1 + x1:grp)
+    val c2 = Dbreg.fit("y ~ x1 + x1:grp | unit", df, strategy = "compress")
+    assert(!c2.coef.contains("x1:grpg0") && c2.coef.contains("x1:grpg1"))
+  }
 }
