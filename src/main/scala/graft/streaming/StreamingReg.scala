@@ -92,6 +92,77 @@ object StreamingReg {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Finalized session emitted by [[streamingSessionize]]. */
+  final case class Session(
+      key: String, startMs: Long, endMs: Long, nEvents: Long, sumValue: Double)
+
+  /** Open-session state for [[streamingSessionize]] (public: the state
+    * encoder's generated code must be able to reach the accessors). */
+  final case class SessionState(
+      startMs: Long, endMs: Long, n: Long, sumV: Double)
+
+  /** Streaming gap-based sessionization — the stateful-streaming form of
+    * the batch q54 shape (lag window + running session index).
+    *
+    * State per key is one open session (bounded). A micro-batch's events
+    * extend the open session or close it and start a new one when the gap
+    * exceeds `gapMs`; the event-time timeout closes idle sessions once the
+    * watermark passes their horizon, so state cannot grow without bound.
+    * Emits only FINALIZED sessions (closed by a gap or by timeout). */
+  def streamingSessionize(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      gapMs: Long = 30L * 60L * 1000L,
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(
+        col(keyCol).cast("string").as("k"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(valueCol).cast("double").as("v"))
+      .withWatermark("ts", watermark) // after the projection, so the tag
+      .as[(String, java.sql.Timestamp, Double)] // survives onto the used attr
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed the open session's horizon: finalize it
+            val s = state.get
+            state.remove()
+            Iterator(Session(key, s.startMs, s.endMs, s.n, s.sumV))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, math.max(s.endMs, t), s.n + 1, s.sumV + v))
+                case Some(s) =>
+                  out += Session(key, s.startMs, s.endMs, s.n, s.sumV)
+                  cur = Some(SessionState(t, t, 1L, v))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the open session once event time passes end + gap
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            out.iterator
+          }
+      }
+      .toDF("key", "start_ms", "end_ms", "n_events", "sum_value")
+  }
+
   /** Per-key running statistics via mapGroupsWithState — the custom-state
     * escape hatch for semantics windowed aggs can't express. */
   final case class RunningStats(n: Long, mean: Double, m2: Double) {

@@ -92,4 +92,30 @@ class StreamingSpec extends SparkTestBase {
     assert(math.abs(rows(("a", 3L))._2 - 4.0) < 1e-12)
     assert(rows(("b", 2L)) == (15.0, 50.0))
   }
+
+  test("streaming sessionization closes sessions by gap and by timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "user", "value")
+    val sess = StreamingReg.streamingSessionize(df, "ts", "user", "value",
+      gapMs = 30L * 60L * 1000L, watermark = "10 minutes")
+    val q = sess.writeStream.format("memory").queryName("sess").outputMode("append").start()
+    def t(h: Int, m: Int, s: Int = 0) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:$s%02d")
+    // batch 1: A has two events 10s apart (one session); B one event
+    input.addData((t(10, 0), "A", 1.0), (t(10, 0, 10), "A", 2.0), (t(10, 0, 5), "B", 7.0))
+    q.processAllAvailable()
+    // batch 2: A reappears 3h later — gap closes A's first session
+    // immediately; the watermark advancing to ~12:50 times out B's session
+    input.addData((t(13, 0), "A", 9.0))
+    q.processAllAvailable()
+    input.addData((t(13, 1), "A", 1.0)) // extra batch so timeouts fire
+    q.processAllAvailable()
+    val rows = spark.table("sess").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getDouble(4))).toSet
+    q.stop()
+    assert(rows.contains(("A", 2L, 3.0)), s"A session missing in $rows") // 2 events, 1+2
+    assert(rows.contains(("B", 1L, 7.0)), s"B session missing in $rows")
+    // A's 13:00 session is still open — not emitted
+    assert(!rows.exists { case (k, _, sv) => k == "A" && sv >= 9.0 })
+  }
 }
