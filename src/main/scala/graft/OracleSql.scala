@@ -426,6 +426,21 @@ object OracleSql {
          |  sqrt(rss/n) AS rmse, n::BIGINT AS n
          |FROM r""".stripMargin,
 
+    // TF-IDF: per-doc top term by tf·ln(N/df), token-asc tiebreak
+    "q55_tfidf_top_term" ->
+      s"""WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |tok AS (SELECT doc_id AS id, unnest(${toks("text")}) AS token
+         |  FROM documents),
+         |tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |x AS (SELECT id, token, tf,
+         |   tf::DOUBLE * ln((SELECT n FROM nn) / df::DOUBLE) AS tfidf
+         |  FROM tf JOIN dfc USING (token)),
+         |r AS (SELECT *, row_number() OVER
+         |   (PARTITION BY id ORDER BY tfidf DESC, token ASC) AS rn FROM x)
+         |SELECT id, token, tf, tfidf FROM r WHERE rn = 1
+         |ORDER BY id""".stripMargin,
+
     // winnowing fingerprints: min-hash per sliding window of 4 char-8-grams
     "q52_winnow_fingerprint" ->
       s"""WITH g AS (SELECT doc_id AS id,
@@ -441,6 +456,41 @@ object OracleSql {
          |  FROM g)
          |SELECT id, len(fps) AS n_fp, list_min(fps) AS min_fp
          |FROM f ORDER BY id""".stripMargin,
+
+    // k-means, 2 Lloyd iterations unrolled: assignment = per-id argmax of
+    // cosine over the flattened (cell, dim, weight) centroid table; update
+    // = per-(cell, dim) averages with COALESCE fallback for empty cells
+    "q56_kmeans_cells" -> {
+      def assign(cf: String, out: String) =
+        s"""p_$out AS (SELECT ef.id, c.cell, sum(ef.x * c.w) AS dot,
+           |    sqrt(sum(c.w * c.w)) AS nc
+           |  FROM ef JOIN $cf c USING (i) GROUP BY 1, 2),
+           |s_$out AS (SELECT p.id, p.cell, p.dot / (en.nv * p.nc) AS cos
+           |  FROM p_$out p JOIN en ON p.id = en.id),
+           |$out AS (SELECT id, cell FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY id ORDER BY cos DESC, cell ASC) AS rn FROM s_$out)
+           |  WHERE rn = 1)""".stripMargin
+      def update(a: String, prev: String, out: String) =
+        s"""${out}_raw AS (SELECT a.cell, ef.i, avg(ef.x) AS w
+           |  FROM $a a JOIN ef ON a.id = ef.id GROUP BY 1, 2),
+           |$out AS (SELECT p.cell, p.i, coalesce(r.w, p.w) AS w
+           |  FROM $prev p LEFT JOIN ${out}_raw r
+           |    ON p.cell = r.cell AND p.i = r.i)""".stripMargin
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |dims AS (SELECT unnest(range(1, 65)) AS i),
+         |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, vec
+         |  FROM (SELECT id, vec FROM e ORDER BY id LIMIT 8) t),
+         |c0f AS (SELECT cell, i, vec[i]::DOUBLE AS w FROM c0, dims),
+         |ef AS (SELECT id, i, vec[i]::DOUBLE AS x FROM e, dims),
+         |en AS (SELECT id, sqrt(sum(x*x)) AS nv FROM ef GROUP BY id),
+         |${assign("c0f", "a1")},
+         |${update("a1", "c0f", "c1f")},
+         |${assign("c1f", "a2")},
+         |${update("a2", "c1f", "c2f")},
+         |${assign("c2f", "a3")}
+         |SELECT cell::BIGINT AS cell, count(*) AS n, min(id) AS min_id
+         |FROM a3 GROUP BY cell ORDER BY cell""".stripMargin
+    },
 
     // embedding near-dup pairs via sign-LSH buckets (plane construction
     // identical to q36)

@@ -485,11 +485,32 @@ object Queries {
     "q46_lm_score" -> ((s, dir) =>
       TextOps.bigramLmScores(docs(s, dir), "doc_id", "text").orderBy("id")),
 
+    // text analysis: per-document top TF-IDF term (deterministic tiebreak)
+    "q55_tfidf_top_term" -> ((s, dir) => {
+      val w = Window.partitionBy("id").orderBy(col("tfidf").desc, col("token").asc)
+      TextOps.tfidf(docs(s, dir), "doc_id", "text")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("token"), col("tf"), col("tfidf"))
+        .orderBy("id")
+    }),
+
     // fingerprinting: winnowing over char-8-gram hashes, window 4
     "q52_winnow_fingerprint" -> ((s, dir) =>
       TextOps.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 8, w = 4)
         .select(col("id"), size(col("fps")).as("n_fp"), array_min(col("fps")).as("min_fp"))
         .orderBy("id")),
+
+    // similarity: distributed k-means (2 Lloyd iterations, cosine
+    // assignment, deterministic init from the k lowest-id vectors) —
+    // cluster membership summary
+    "q56_kmeans_cells" -> ((s, dir) => {
+      val (assigned, _) = Similarity.kmeans(emb(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2, dim = 64)
+      assigned.groupBy("cell")
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"))
+        .orderBy("cell")
+    }),
 
     // similarity: embedding near-dup pairs via sign-LSH buckets (the scale
     // path for q47's exact all-pairs variant). 4 planes = 16 buckets: at

@@ -172,6 +172,62 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Distributed k-means (Lloyd's algorithm) over an embedding column with
+    * cosine assignment. Deterministic: centroids initialize from the k
+    * lowest-id vectors, assignment ties break by centroid id.
+    *
+    * Scale shape per iteration: assignment = one broadcast of k·dim
+    * centroid literals + a narrow per-row argmax (no shuffle of the
+    * corpus); update = posexplode to (cell, dim) keyed averages — a
+    * k·dim-cell aggregation with map-side partials. Only k·dim numbers
+    * ever reach the driver. Returns (assignments DF (id, cell), centroids).
+    */
+  def kmeans(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      dim: Int
+  ): (DataFrame, Array[Array[Double]]) = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    var cents: Array[Array[Double]] = base
+      .orderBy("id").limit(k).collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+
+    def assignDf: DataFrame = {
+      // stage the row norm once (multi-use attribute: referenced by every
+      // cell's cosine, and multi-use blocks CollapseProject re-inlining);
+      // centroid norms are folds over literals — constant-folded at plan time
+      val staged = base.select(col("id"), col("vec"), norm(col("vec")).as("__nv"))
+      val scored = (0 until cents.length).map { c =>
+        val cl = typedLit(cents(c))
+        struct((dot(col("vec"), cl) / (col("__nv") * norm(cl))).as("cos"),
+          lit(-c).as("negCell"))
+      }
+      // argmax by (cos desc, cell asc): struct ordering is field-by-field,
+      // so max of (cos, -cell) picks the highest cos and, on ties, the
+      // lowest cell. A when-otherwise fold here would duplicate the
+      // accumulated subtree per step (2^k expression blowup).
+      staged.withColumn("__best", array_max(array(scored: _*)))
+        .select(col("id"), col("vec"), (-col("__best.negCell")).as("cell"))
+    }
+
+    var assigned = assignDf
+    for (_ <- 1 to iters) {
+      val upd = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      val next = Array.tabulate(cents.length)(c => cents(c).clone())
+      upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next // cells with no members keep their previous centroid
+      assigned = assignDf
+    }
+    (assigned.select(col("id"), col("cell")), cents)
+  }
+
   /** Exact all-pairs cosine near-duplicate pairs (brute baseline — use the
     * LSH variant below when n² is off the table). */
   def cosineNearDupPairsExact(

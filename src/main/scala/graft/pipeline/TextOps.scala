@@ -159,6 +159,31 @@ object TextOps {
               i => array_min(slice(col("kg"), i, lit(w)))))).as("fps"))
   }
 
+  /** Corpus TF-IDF: per (doc, token) weight tf·ln(N/df).
+    *
+    * tf = term count in the doc, df = number of docs containing the token,
+    * N = corpus size. Shape: one explode → per-doc term counts (map-side
+    * combine) → token-keyed df counts joined back (broadcast when the
+    * vocabulary is small, shuffled hash join on the token key otherwise) —
+    * every stage is keyed aggregation/join, nothing collects. Returns
+    * (id, token, tf, tfidf). */
+  def tfidf(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val n = df.count().toDouble // corpus size (driver scalar, one count job)
+    val tf = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(dfc, "token")
+      .select(
+        col("id"), col("token"), col("tf"),
+        (col("tf").cast("double") * log(lit(n) / col("df").cast("double"))).as("tfidf"))
+  }
+
   /** Corpus-trained bigram language-model score per document: the mean log
     * probability of the doc's bigrams under add-one-smoothed corpus counts —
     * the KenLM-style quality-filter signal, built entirely from DataFrame

@@ -148,6 +148,22 @@ class PipelineSpec extends SparkTestBase {
     assert(frames.groupBy("id").count().collect().forall(_.getLong(1) == 4))
   }
 
+  test("kmeans: assignments cover all vectors, planted duplicate joins its twin's cell") {
+    val (assigned, cents) = Similarity.kmeans(embs, "vec_id", "embedding",
+      k = 4, iters = 2, dim = 64)
+    val rows = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.size == embs.count())
+    assert(rows.values.forall(c => c >= 0 && c < 4))
+    assert(cents.length == 4 && cents.forall(_.length == 64))
+    // a duplicated vector must land in the same cell as the original
+    val dup = embs.limit(1).withColumn("vec_id", col("vec_id") + 100000)
+    val (a2, _) = Similarity.kmeans(embs.union(dup), "vec_id", "embedding",
+      k = 4, iters = 2, dim = 64)
+    val m = a2.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val origId = embs.select(min("vec_id")).collect()(0).getLong(0)
+    assert(m(origId) == m(origId + 100000))
+  }
+
   test("winnowing fingerprints: duplicates share all, near-dups share some") {
     val fp = TextOps.winnowFingerprints(docs.limit(10), "doc_id", "text", k = 8, w = 4)
       .collect().map(r => r.getLong(0) ->
