@@ -241,7 +241,8 @@ object OracleSql {
          |   (a*e - c*d)/(a*b2c - c*c) AS b2 FROM c),
          |r AS (SELECT *, yb - b1*xb1 - b2*xb2 AS b0,
          |   f - b1*d - b2*e AS rss FROM sol)
-         |SELECT * FROM (
+         |SELECT term, estimate::REAL AS estimate, std_error::REAL AS std_error
+         |FROM (
          | SELECT '(Intercept)' AS term, b0 AS estimate,
          |   sqrt(rss/(n-3) * (1.0/n + (b2c*xb1*xb1 - 2*c*xb1*xb2 + a*xb2*xb2)/det))
          |     AS std_error FROM r

@@ -284,10 +284,16 @@ object Queries {
       fit.toDF(s).select(col("term"), col("estimate"), col("std_error"), col("statistic"))
         .orderBy("term")
     }),
+    // float32 outputs: the compress-path cell summation order varies with
+    // the partition count, leaving ~1e-13 rel noise vs the oracle algebra —
+    // double→float32 rounding is IEEE-identical in both engines, so the
+    // printed value cannot flip (same hardening as q25).
     "q23_ols_multi_fit" -> ((s, dir) => {
       val fit = Dbreg.fit("l_extendedprice ~ l_quantity + l_discount", li(s, dir),
         strategy = "compress")
-      fit.toDF(s).select(col("term"), col("estimate"), col("std_error")).orderBy("term")
+      fit.toDF(s).select(col("term"),
+        col("estimate").cast("float").as("estimate"),
+        col("std_error").cast("float").as("std_error")).orderBy("term")
     }),
     "q24_demean_fit" -> ((s, dir) => {
       val fit = Dbreg.fit("l_extendedprice ~ l_quantity | l_returnflag", li(s, dir),
