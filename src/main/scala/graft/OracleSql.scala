@@ -568,6 +568,30 @@ object OracleSql {
          |WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.5
          |ORDER BY id1, id2""".stripMargin,
 
+    "q57_dedup_corpus" ->
+      s"""WITH $ShingleSets,
+         |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+         |common AS (SELECT a.id id1, b.id id2, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id1, id2 FROM common
+         |  JOIN sizes s1 ON common.id1 = s1.id
+         |  JOIN sizes s2 ON common.id2 = s2.id
+         |  WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.4),
+         |edges AS (SELECT id1 a, id2 b FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |comp AS (
+         |  WITH RECURSIVE reach(id, label) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+         |  )
+         |  SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+         |dropped AS (SELECT id FROM comp WHERE id <> cluster)
+         |SELECT count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_kept_ids
+         |FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin,
+
     "q43_dup_clusters" ->
       s"""WITH $ShingleSets,
          |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),

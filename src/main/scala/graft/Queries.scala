@@ -507,6 +507,14 @@ object Queries {
         .select(col("id"), size(col("fps")).as("n_fp"), array_min(col("fps")).as("min_fp"))
         .orderBy("id")),
 
+    // dedup ACTION: drop all but the minimum-id member of each transitive
+    // near-duplicate cluster (left-anti join; corpus never shuffled)
+    "q57_dedup_corpus" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 2, threshold = 0.4)
+      Dedup.dedupCorpus(docs(s, dir), "doc_id", pairs)
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids"))
+    }),
+
     // similarity: distributed k-means (2 Lloyd iterations, cosine
     // assignment, deterministic init from the k lowest-id vectors) —
     // cluster membership summary

@@ -234,6 +234,18 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Deduplicate a corpus: keep one representative (minimum id) per
+    * duplicate cluster, drop every other member. `pairs` is any
+    * near-duplicate pair list (Jaccard, MinHash, embedding-cosine…);
+    * clusters close transitively. The filter is a broadcast/left-anti join
+    * on the id — the corpus itself is never shuffled. */
+  def dedupCorpus(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = duplicateClusters(pairs)
+      .filter(col("id") =!= col("cluster")) // non-representative members
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** 16-bit SimHash over unigram tokens: bit k of the signature is the sign
     * of Σ_tokens (±1 by bit k of the token hash). One explode + one groupBy. */
   val SimhashBits = 16

@@ -93,6 +93,28 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(("b", 2L)) == (15.0, 50.0))
   }
 
+  test("minhash signatures are computable on a stream (narrow per-row ops)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.{Dedup, TextOps}
+    val texts = Seq((1L, "the quick brown fox jumps"), (2L, "a completely different doc"))
+    val input = MemoryStream[(Long, String)]
+    val sigExpr = Dedup.minhashSigCol(
+      org.apache.spark.sql.functions.array_distinct(
+        TextOps.wordShingles(TextOps.tokens(col("text")), 2)))
+    val out = input.toDF().toDF("id", "text").select(col("id"), sigExpr.as("sig"))
+    val q = out.writeStream.format("memory").queryName("msig").outputMode("append").start()
+    input.addData(texts: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("msig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    q.stop()
+    // identical to the batch signatures on the same rows
+    val batch = Dedup.minhashSignatures(
+      spark.createDataFrame(texts).toDF("id", "text"), "id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming sessionization closes sessions by gap and by timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
