@@ -136,11 +136,21 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int,
       nCentroids: Int = 16,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      trainedCentroids: Option[Array[Array[Double]]] = None
   ): DataFrame = {
-    val cents = broadcast(
-      emb.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).as("cent_id"), col(vecCol).as("cvec")))
+    // default cells = the C lowest-id vectors (deterministic, oracle-able);
+    // pass kmeans(...)._2 as trainedCentroids for better recall at the same
+    // plan shape
+    val cents = broadcast(trainedCentroids match {
+      case Some(cs) =>
+        import emb.sparkSession.implicits._
+        cs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+          .toDF("cent_id", "cvec")
+      case None =>
+        emb.orderBy(col(idCol)).limit(nCentroids)
+          .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
+    })
     // nearest centroid per vector (rank over the C-way cross)
     val wAssign = Window.partitionBy("id").orderBy(col("cos_c").desc, col("cent_id").asc)
     val assigned = emb

@@ -164,6 +164,21 @@ class PipelineSpec extends SparkTestBase {
     assert(m(origId) == m(origId + 100000))
   }
 
+  test("IVF with trained k-means centroids matches exact top-1 at least as often") {
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("rank") === 1).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = top1(Similarity.bruteForceTopK(embs, "vec_id", "embedding", qs, 5))
+    val default_ = top1(Similarity.ivfTopK(embs, "vec_id", "embedding", qs, 5))
+    val (_, cents) = Similarity.kmeans(embs, "vec_id", "embedding", k = 16, iters = 3, dim = 64)
+    val trained = top1(Similarity.ivfTopK(embs, "vec_id", "embedding", qs, 5,
+      trainedCentroids = Some(cents)))
+    def hits(m: Map[Long, Long]) = qs.count(q => m.get(q) == exact.get(q))
+    assert(hits(trained) >= hits(default_), s"trained ${hits(trained)} < default ${hits(default_)}")
+    assert(trained.size == qs.size)
+  }
+
   test("winnowing fingerprints: duplicates share all, near-dups share some") {
     val fp = TextOps.winnowFingerprints(docs.limit(10), "doc_id", "text", k = 8, w = 4)
       .collect().map(r => r.getLong(0) ->
