@@ -15,11 +15,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Codegen'd native expression (graft.functions.DotProduct): the HOF
+    * spelling `aggregate(zip_with(a,b,_*_), 0.0, _+_)` is CodegenFallback
+    * and pays interpreted lambda dispatch per element in the similarity
+    * hot loops. Accumulation order (ascending, 0.0 seed) is identical, so
+    * results are bit-compatible with both the HOF version and the DuckDB
+    * oracles' list_sum. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.VectorExprs.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -76,10 +79,7 @@ object Similarity {
   def lshSignature(vec: Column, dim: Int, nPlanes: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
       val plane = typedLit((0 until dim).map(i => planeComponent(p, i)).toArray)
-      val d = aggregate(
-        zip_with(vec, plane, (x, w) => x.cast("double") * w),
-        lit(0.0),
-        (acc, v) => acc + v)
+      val d = dot(vec, plane)
       when(d >= 0, math.pow(2, p).toLong).otherwise(0L)
     }
     bits.reduce(_ + _)

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+
+/** The native DotProduct expression must be BIT-identical to the HOF
+  * spelling it replaced (same accumulation order), and honor the HOF's
+  * null semantics. */
+class VectorExprsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("bit-identical to the aggregate/zip_with spelling on float arrays") {
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rng.nextFloat() * 2 - 1),
+      Array.fill(64)(rng.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      VectorExprs.dotProduct(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("mixed float/double (literal centroid) matches, and codegen survives wide use") {
+    val rng = new scala.util.Random(8)
+    val cent = Array.fill(64)(rng.nextDouble() - 0.5)
+    val df = Seq.fill(20)(Array.fill(64)(rng.nextFloat())).toDF("a")
+    val got = df.select(
+      VectorExprs.dotProduct(col("a"), typedLit(cent)).as("native"),
+      hofDot(col("a"), typedLit(cent)).as("hof")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("null array, length mismatch, and null element give NULL") {
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))), // 11.0
+      (None, Some(Seq(1.0f))),                        // null input
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f)))        // length mismatch
+    ).toDF("a", "b")
+    val got = df.select(VectorExprs.dotProduct(col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) == 11.0)
+    assert(got(1).isNullAt(0) && got(2).isNullAt(0))
+    val withNullElem = spark.sql(
+      "SELECT array(1.0D, NULL) AS a, array(1.0D, 2.0D) AS b")
+    assert(withNullElem.select(VectorExprs.dotProduct(col("a"), col("b")))
+      .collect()(0).isNullAt(0))
+  }
+}
