@@ -306,6 +306,18 @@ class DbregSpec extends SparkTestBase {
     }
   }
 
+  test("unit weights reproduce the unweighted fit exactly") {
+    val wdf = df.withColumn("w", org.apache.spark.sql.functions.lit(1.0))
+    val unw = Dbreg.fit("y ~ x1 + x2", df, strategy = "moments")
+    val w1 = Dbreg.fit("y ~ x1 + x2", wdf, strategy = "moments", weights = Some("w"))
+    unw.coeftable.zip(w1.coeftable).foreach { case (a, b) =>
+      assert(a.term == b.term)
+      assert(math.abs(a.estimate - b.estimate) < 1e-12)
+      assert(math.abs(a.stdError - b.stdError) < 1e-12)
+    }
+    assert(unw.nobsOrig == w1.nobsOrig && math.abs(unw.rss - w1.rss) < 1e-6)
+  }
+
   test("approx probe mode reaches the same auto decision") {
     val exact = Dbreg.fit("y ~ x1 | unit", df, strategy = "auto")
     val approx = Dbreg.fit("y ~ x1 | unit", df, strategy = "auto", probeMode = "approx")
