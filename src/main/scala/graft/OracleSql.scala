@@ -836,6 +836,21 @@ object OracleSql {
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
 
+    "q58_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |    event_type, value FROM events),
+        |l AS (SELECT user_id, tus, 1 AS side, event_id AS tb, event_id, value,
+        |    NULL::DOUBLE AS rv FROM e WHERE event_type = 'view'),
+        |r AS (SELECT user_id, tus, 0 AS side, event_id AS tb,
+        |    NULL::BIGINT AS event_id, NULL::DOUBLE AS value, value AS rv
+        |  FROM e WHERE event_type = 'click'),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |c AS (SELECT *, last_value(rv IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY tus, side, tb
+        |     ROWS UNBOUNDED PRECEDING) AS click_value_asof FROM u)
+        |SELECT user_id, event_id, tus, value, click_value_asof
+        |FROM c WHERE side = 1 ORDER BY user_id, tus, event_id""".stripMargin,
+
     "q40_event_windows" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
         | event_type, count(*) AS n, sum(value) AS sum_value

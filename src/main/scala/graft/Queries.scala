@@ -592,6 +592,25 @@ object Queries {
         .orderBy("user_id", "session_idx")
     }),
 
+    // as-of join: attach the most recent prior click's value to every view
+    // event per user (union + keyed ordered window carry-forward — the
+    // sort-merge-shaped as-of composition, parallel in the number of keys)
+    "q58_asof_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = ev(s, dir).withColumn("tus", expr("ts DIV 1000"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tus"), col("event_id"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tus"), col("event_id"),
+          col("value").as("click_value"))
+      graft.operators.AsOf
+        .joinAsOf(views, clicks, "user_id", "tus", Seq("click_value"),
+          tieBreakCol = Some("event_id"))
+        .select(col("user_id"), col("event_id"), col("tus"), col("value"),
+          col("click_value_asof"))
+        .orderBy("user_id", "tus", "event_id")
+    }),
+
     // events: tumbling-window aggregation (batch form of the streaming shape).
     // The events parquet stores TIMESTAMP(NANOS); read as raw nanos and use
     // integer division (not double, which loses precision above 2^53 ns).
