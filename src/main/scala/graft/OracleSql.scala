@@ -373,6 +373,20 @@ object OracleSql {
          |  AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // grouped regression: per-group 1-regressor closed form
+    "q59_grouped_fit" ->
+      s"""WITH m AS (SELECT fe1 AS grp, count(*)::DOUBLE n, sum(x1) sx, sum(y) sy,
+         |   sum(x1*x1) sxx, sum(x1*y) sxy, sum(y*y) syy FROM $B t GROUP BY fe1),
+         |s AS (SELECT *, (sxy - sx*sy/n)/(sxx - sx*sx/n) AS b1 FROM m),
+         |s2 AS (SELECT *, (sy - b1*sx)/n AS b0, n*sxx - sx*sx AS det FROM s),
+         |f AS (SELECT *, (syy - b0*sy - b1*sxy)/(n-2) AS sig2 FROM s2)
+         |SELECT grp AS "group", term, estimate, std_error FROM (
+         | SELECT grp, '(Intercept)' AS term, b0 AS estimate,
+         |   sqrt(sig2 * sxx/det) AS std_error FROM f
+         | UNION ALL
+         | SELECT grp, 'l_quantity', b1, sqrt(sig2 * n/det) FROM f) u
+         |ORDER BY "group", term""".stripMargin,
+
     // WLS: weighted centered algebra; w = 100·discount + 1 > 0 always
     "q49_wls_fit" ->
       s"""WITH b AS (SELECT l_extendedprice AS y, CAST(l_quantity AS DOUBLE) AS x,

@@ -342,6 +342,12 @@ object Queries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // ---- grouped regression: one fit per group from one keyed agg pass ----
+    "q59_grouped_fit" -> ((s, dir) =>
+      Dbreg.fitGrouped("l_extendedprice ~ l_quantity", li(s, dir), "l_returnflag")
+        .select(col("group"), col("term"), col("estimate"), col("std_error"))
+        .orderBy("group", "term")),
+
     // ---- WLS (beyond-reference extension): weighted moments = exact WLS ----
     "q49_wls_fit" -> ((s, dir) => {
       val data = li(s, dir).withColumn("w", col("l_discount") * 100.0 + 1.0)

@@ -97,6 +97,81 @@ object Dbreg {
     }
   }
 
+  /** Grouped regression: one OLS fit PER GROUP from a single keyed
+    * aggregation pass — the "millions of small models" shape. The shuffle
+    * carries one moment row per (group × task) thanks to map-side partials;
+    * only G moment rows reach the driver (guarded by `maxGroups`), where
+    * each group's normal equations solve independently.
+    *
+    * Returns a DataFrame (group, term, estimate, std_error, n, r2).
+    * Restrictions: no fixed effects (use the FE strategies per group
+    * instead), iid standard errors.
+    */
+  def fitGrouped(
+      formula: String,
+      df: DataFrame,
+      groupCol: String,
+      maxGroups: Long = 100000L
+  ): DataFrame = {
+    val f = Formula.parse(formula)
+    require(f.fe.isEmpty, "fitGrouped supports formulas without fixed effects")
+    val needed = (f.allInputCols :+ groupCol).distinct
+    needed.foreach(c => require(df.columns.contains(c), s"column '$c' not found"))
+    val base = df.select(needed.map(col): _*)
+      .filter(needed.map(col(_).isNotNull).reduce(_ && _))
+    val d = buildDesign(base, f, Seq(groupCol), f.intercept)
+    val p = d.xNames.length
+    val y = col(Y)
+    def x(i: Int) = col(d.xNames(i))
+    val aggs = scala.collection.mutable.ArrayBuffer[Column]()
+    aggs += count(lit(1)).as("_n")
+    aggs += sum(y).as("_sy")
+    aggs += sum(y * y).as("_syy")
+    for (i <- 0 until p) {
+      aggs += sum(x(i)).as(s"_sx$i")
+      aggs += sum(x(i) * y).as(s"_sxy$i")
+    }
+    for (i <- 0 until p; j <- i until p)
+      aggs += sum(x(i) * x(j)).as(s"_sxx_${i}_$j")
+    val grouped = d.df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail.toSeq: _*)
+    val rows = grouped.limit((maxGroups + 1).toInt).collect()
+    require(rows.length <= maxGroups,
+      s"more than maxGroups=$maxGroups groups; raise the guard or pre-filter")
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = rows.toSeq.flatMap { r =>
+      def dd(name: String): Double = r.getAs[Any](name) match {
+        case null => 0.0
+        case v: Number => v.doubleValue
+      }
+      val g = String.valueOf(r.getAs[Any](groupCol))
+      val n = r.getAs[Long]("_n").toDouble
+      val xtx = breeze.linalg.DenseMatrix.tabulate(p, p)((i, j) =>
+        if (i <= j) dd(s"_sxx_${i}_$j") else dd(s"_sxx_${j}_$i"))
+      val xty = breeze.linalg.DenseVector.tabulate(p)(i => dd(s"_sxy$i"))
+      val solved = LinAlg.solveDetecting(xtx, xty)
+      val beta = solved.beta
+      val keep = solved.keepIdx
+      val syy = dd("_syy"); val sy = dd("_sy")
+      val rss = {
+        val xtyK = breeze.linalg.DenseVector(keep.map(xty(_)).toArray)
+        val xtxK = breeze.linalg.DenseMatrix.tabulate(keep.length, keep.length)(
+          (i, j) => xtx(keep(i), keep(j)))
+        syy - 2.0 * beta.dot(xtyK) + beta.dot(xtxK * beta)
+      }
+      val tss = syy - sy * sy / n
+      val dfRes = math.max(n - keep.length, 1.0)
+      val xtxInv = solved.xtxInv
+      keep.zipWithIndex.map { case (origIdx, ki) =>
+        val se = math.sqrt(xtxInv(ki, ki) * rss / dfRes)
+        (g, d.displayNames(origIdx), beta(ki), se, n.round,
+          if (tss > 0) 1.0 - rss / tss else 0.0)
+      }
+    }
+    out.toDF("group", "term", "estimate", "std_error", "n", "r2")
+  }
+
   /** The compressed cell table for a formula, without fitting — the
     * analogue of the reference's `data_only = TRUE` (dbreg.R:57-61):
     * GROUP BY (x…, fe…) with n / Σy / Σy² / ȳ / √n weights. */

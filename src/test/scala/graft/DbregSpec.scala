@@ -306,6 +306,22 @@ class DbregSpec extends SparkTestBase {
     }
   }
 
+  test("fitGrouped matches fitting each group separately") {
+    val grouped = Dbreg.fitGrouped("y ~ x1 + x2", df, "grp")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val groups = DensePanel.rows.map(_.grp).distinct
+    groups.foreach { g =>
+      val one = Dbreg.fit("y ~ x1 + x2", df.filter(col("grp") === g), strategy = "moments")
+      one.coeftable.foreach { row =>
+        val (est, se) = grouped((g, row.term))
+        assert(math.abs(est - row.estimate) < 1e-9, s"$g ${row.term} est")
+        assert(math.abs(se - row.stdError) < 1e-9, s"$g ${row.term} se")
+      }
+    }
+  }
+
   test("unit weights reproduce the unweighted fit exactly") {
     val wdf = df.withColumn("w", org.apache.spark.sql.functions.lit(1.0))
     val unw = Dbreg.fit("y ~ x1 + x2", df, strategy = "moments")
