@@ -373,6 +373,11 @@ object OracleSql {
          |  AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    "q60_percentiles" ->
+      s"""SELECT l_returnflag, quantile_cont(y, 0.25) AS p25,
+         | quantile_cont(y, 0.5) AS p50, quantile_cont(y, 0.9) AS p90
+         |FROM $B t GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // grouped regression: per-group 1-regressor closed form
     "q59_grouped_fit" ->
       s"""WITH m AS (SELECT fe1 AS grp, count(*)::DOUBLE n, sum(x1) sx, sum(y) sy,

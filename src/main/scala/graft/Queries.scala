@@ -256,6 +256,17 @@ object Queries {
         .orderBy("bin")
     }),
 
+    // ---- exact percentiles (sort-based aggregate; the exact-small-n
+    // complement of the approxQuantile scale path) ----
+    "q60_percentiles" -> ((s, dir) =>
+      base(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"))
+        .orderBy("l_returnflag")),
+
     // ---- O2: factor-level discovery ----
     "q19_factor_levels" -> ((s, dir) =>
       li(s, dir)
