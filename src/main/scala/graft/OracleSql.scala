@@ -294,6 +294,44 @@ object OracleSql {
          | SELECT 'l_quantity_bar_grp20', b2, sqrt(rss/(n-3) * a2/det) FROM r) u
          |ORDER BY term""".stripMargin,
 
+    // compress+cluster: slope-block sandwich via block inversion — the
+    // slope rows of (X'X)^-1 dotted with a cluster score equal the centered
+    // 2x2 inverse dotted with the CENTERED scores, so no 3x3 algebra needed
+    "q61_compress_cluster_fit" ->
+      s"""WITH b AS (SELECT y, x1 AS x,
+         |    CASE WHEN fe2 = 'O' THEN 1.0 ELSE 0.0 END AS dmy, fe1 AS cl
+         |  FROM $B t),
+         |m AS (SELECT count(*)::DOUBLE n, sum(x) sx, sum(dmy) sd, sum(y) sy,
+         |   sum(x*x) sxx, sum(dmy*dmy) sdd, sum(x*dmy) sxd,
+         |   sum(x*y) sxy, sum(dmy*y) sdy FROM b),
+         |c AS (SELECT *, sx/n xb, sd/n db, sy/n yb,
+         |   sxx - sx*sx/n AS a11, sdd - sd*sd/n AS a22, sxd - sx*sd/n AS a12,
+         |   sxy - sx*sy/n AS c1, sdy - sd*sy/n AS c2 FROM m),
+         |sol AS (SELECT *, a11*a22 - a12*a12 AS det,
+         |   (a22*c1 - a12*c2)/(a11*a22 - a12*a12) AS b1,
+         |   (a11*c2 - a12*c1)/(a11*a22 - a12*a12) AS b2 FROM c),
+         |sc AS (SELECT b.cl,
+         |   sum((b.y - s.yb - s.b1*(b.x - s.xb) - s.b2*(b.dmy - s.db))
+         |       * (b.x - s.xb)) AS s1,
+         |   sum((b.y - s.yb - s.b1*(b.x - s.xb) - s.b2*(b.dmy - s.db))
+         |       * (b.dmy - s.db)) AS s2
+         |  FROM b, sol s GROUP BY b.cl),
+         |mt AS (SELECT sum(s1*s1) m11, sum(s1*s2) m12, sum(s2*s2) m22,
+         |   count(*)::DOUBLE g FROM sc),
+         |v AS (SELECT sol.*, mt.*,
+         |   (mt.g/(mt.g - 1.0)) * (sol.n/(sol.n - 3.0)) AS sscale
+         |  FROM sol, mt)
+         |SELECT term, estimate::REAL AS estimate, std_error::REAL AS std_error
+         |FROM (
+         | SELECT 'l_quantity' AS term, b1 AS estimate,
+         |   sqrt(sscale * (a22*a22*m11 - 2*a22*a12*m12 + a12*a12*m22)
+         |     / (det*det)) AS std_error FROM v
+         | UNION ALL
+         | SELECT 'l_linestatusO', b2,
+         |   sqrt(sscale * (a12*a12*m11 - 2*a11*a12*m12 + a11*a11*m22)
+         |     / (det*det)) FROM v) u
+         |ORDER BY term""".stripMargin,
+
     "q26_hc1_fit" ->
       s"""WITH m AS (SELECT count(*)::DOUBLE n, sum(x1) sx, sum(y) sy,
          |   sum(x1*x1) sxx, sum(x1*y) sxy, sum(y*y) syy FROM $B t),

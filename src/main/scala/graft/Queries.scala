@@ -337,6 +337,20 @@ object Queries {
       fit.toDF(s).select(col("term"), col("estimate"), col("std_error")).orderBy("term")
     }),
 
+    // ---- A12: compress strategy with clustered SEs, end-to-end (cell-level
+    // scores ≡ row-level scores because x is constant within a cell).
+    // float32 outputs: driver Cholesky vs oracle closed form differ ~1e-12.
+    "q61_compress_cluster_fit" -> ((s, dir) => {
+      val fit = Dbreg.fit("l_extendedprice ~ l_quantity | l_linestatus", li(s, dir),
+        vcov = "~l_returnflag", strategy = "compress")
+      fit.toDF(s)
+        .filter(col("term").isin("l_quantity", "l_linestatusO"))
+        .select(col("term"),
+          col("estimate").cast("float").as("estimate"),
+          col("std_error").cast("float").as("std_error"))
+        .orderBy("term")
+    }),
+
     // ---- K10: binscatter points (per-bin mean + pooled-sigma SE) ----
     "q28_binsreg_points" -> ((s, dir) => {
       val r = graft.binsreg.Dbbinsreg.fit(
