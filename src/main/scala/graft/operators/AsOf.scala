@@ -31,6 +31,19 @@ object AsOf {
       tieBreakCol: Option[String] = None
   ): DataFrame = {
     val lCols = left.columns
+    // the implementation reserves scratch names and appends `_asof` output
+    // columns; reject inputs that would silently collide
+    val reserved = Set("__ts", "__side", "__tb") ++ valueCols.map(c => s"__r_$c")
+    val lClash = lCols.filter(reserved)
+    require(lClash.isEmpty,
+      s"left columns collide with joinAsOf's reserved names: ${lClash.mkString(", ")}")
+    require(valueCols.distinct.length == valueCols.length,
+      s"valueCols contains duplicates: ${valueCols.mkString(", ")}")
+    val outClash = valueCols.map(c => s"${c}_asof").filter(lCols.contains)
+    require(outClash.isEmpty,
+      s"output columns would duplicate left columns: ${outClash.mkString(", ")}")
+    valueCols.foreach(c => require(right.columns.contains(c),
+      s"valueCol '$c' not found in right"))
     val tb: DataFrame => Column =
       df => tieBreakCol.map(df.apply).getOrElse(lit(0L)).cast("long")
     // tag: right rows (0) sort before left rows (1) at the same timestamp

@@ -26,6 +26,12 @@ object Dedup {
   /** Distinct (id, shingle) pairs — the exploded set-representation that
     * Jaccard/MinHash build on. One row per distinct shingle per doc.
     *
+    * PRECONDITION: `idCol` must be unique. Duplicates are deduped within one
+    * row's array only (`array_distinct`), not across rows sharing an id —
+    * duplicate ids would inflate set sizes and deflate Jaccard downstream.
+    * A global dropDuplicates here would cost a full corpus shuffle, so the
+    * contract is on the caller (true of every (id, text) entry point below).
+    *
     * The input is fanned out to the session's default parallelism first:
     * tokenize+shingle+explode is per-row-CPU-bound, and an under-split
     * source (e.g. one parquet row group) would pin the whole stage to one
@@ -45,12 +51,23 @@ object Dedup {
         explode(array_distinct(TextOps.wordShingles(TextOps.tokens(col("__text")), n)))
           .as("shingle"))
 
+  /** Default hot-shingle valve for [[jaccardPairs]]: shingles appearing in
+    * more than this many documents are excluded from candidate generation.
+    * The self-join fan-out is O(doc_freq²) per shingle, so one stopword-like
+    * shingle at corpus scale is a job-killer; capping at 1000 bounds any
+    * single shingle's contribution to ~500k pairs while keeping small-corpus
+    * results exact (the testdata's max bigram doc-freq is 46 at sf0.01,
+    * 338 at sf0.1 — far below the cap). */
+  val DefaultMaxShingleDocFreq = 1000L
+
   /** All-pairs n-gram Jaccard similarity ≥ threshold.
     *
     * candidate generation = self-equi-join on shingle (only pairs sharing at
     * least one shingle are ever materialized), then |A∩B| via groupBy(pair)
-    * and |A∪B| = |A|+|B|−|A∩B|. For corpora with very hot shingles, use
-    * [[minhashPairs]] instead (banded LSH bounds the join fan-out).
+    * and |A∪B| = |A|+|B|−|A∩B|. The hot-shingle valve is ON by default
+    * ([[DefaultMaxShingleDocFreq]]); pass `None` for the exact all-pairs
+    * baseline. For web-scale corpora, prefer [[minhashPairs]] (banded LSH
+    * bounds the join fan-out structurally rather than by exclusion).
     */
   def jaccardPairs(
       df: DataFrame,
@@ -58,7 +75,7 @@ object Dedup {
       textCol: String,
       n: Int = 2,
       threshold: Double = 0.5,
-      maxShingleDocFreq: Option[Long] = None
+      maxShingleDocFreq: Option[Long] = Some(DefaultMaxShingleDocFreq)
   ): DataFrame = {
     val sh0 = shingleSets(df, idCol, textCol, n)
     // optional scale valve: drop shingles appearing in more than
@@ -192,14 +209,25 @@ object Dedup {
   }
 
   /** Transitive duplicate clusters from a pair list: connected components
-    * via min-label propagation (each iteration is one equi-join + groupBy —
-    * the standard DataFrame-native CC loop, no driver graph). Returns
-    * (id, cluster) where cluster = smallest id in the component.
+    * via min-label propagation with POINTER JUMPING — each iteration first
+    * takes the min label over graph neighbors (one edge join + groupBy),
+    * then shortcuts through the label table itself (label ← label(label)),
+    * so label distances halve each round and convergence is O(log diameter)
+    * joins rather than O(diameter). No driver graph; every step is a keyed
+    * equi-join/aggregate. Returns (id, cluster), cluster = smallest id in
+    * the component.
     *
-    * Iterations needed = graph diameter; near-dup graphs are shallow
-    * (dup chains of length d converge in ⌈log d⌉+1 rounds of min-propagation
-    * through both edge directions). */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Iterative joins grow the logical plan without bound, so every
+    * `checkpointEvery` rounds the label table is eagerly
+    * `localCheckpoint`ed — lineage is truncated and all earlier cached
+    * frames released. Deep chains (pathological dup graphs) therefore run
+    * in bounded planning time and bounded storage. */
+  def duplicateClusters(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      checkpointEvery: Int = 5
+  ): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val edges = pairs
       .select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
@@ -207,25 +235,51 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // frames whose cached blocks may still back `labels`' lineage; released
+    // at the next eager checkpoint (which cuts the lineage) or left to the
+    // context cleaner at exit
+    var pendingRelease: List[DataFrame] = Nil
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
+      // (1) propagate: min label over graph neighbors
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "nbr"), col("b") === col("nbr"))
         .groupBy(col("a"))
         .agg(min(col("label")).as("nlabel"))
-      val updated = labels
+      val prop = labels
         .join(neighborMin, labels("id") === neighborMin("a"), "left")
         .select(
           labels("id"),
           least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (2) shortcut: label ← min(label, label(label)) — pointer jumping
+      val lbl2 = prop.select(col("id").as("__lid"), col("label").as("__llabel"))
+      val raw = prop
+        .join(lbl2, prop("label") === lbl2("__lid"), "left")
+        .select(
+          prop("id"),
+          least(prop("label"), coalesce(col("__llabel"), prop("label"))).as("label"))
+      val ckptRound = (i + 1) % checkpointEvery == 0 || i + 1 == maxIter
+      val updated =
+        if (ckptRound) raw.localCheckpoint() // eager: materializes + cuts lineage
+        else raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = updated.as("u")
         .join(labels.as("l"), "id")
         .filter(col("u.label") =!= col("l.label"))
         .limit(1)
         .count()
-      labels.unpersist()
+      if (ckptRound) {
+        // `updated` is fully materialized with no lineage: every older frame
+        // (including earlier checkpoints) is now safe to release
+        (labels :: pendingRelease).foreach(_.unpersist())
+        pendingRelease = Nil
+      } else {
+        // a lazily-persisted `updated` may still recompute partitions from
+        // `labels` (the convergence probe's limit(1) short-circuits), so
+        // defer the release; at most checkpointEvery-1 small label frames
+        // are ever held
+        pendingRelease ::= labels
+      }
       labels = updated
       converged = changed == 0
       i += 1

@@ -201,9 +201,11 @@ object Similarity {
       dim: Int
   ): (DataFrame, Array[Array[Double]]) = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // getSeq[Number] so array<float> and array<double> embeddings both work
+    // (the rest of the similarity API — DotProduct, ivfTopK — accepts both)
     var cents: Array[Array[Double]] = base
       .orderBy("id").limit(k).collect()
-      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      .map(_.getSeq[Number](1).toArray.map(_.doubleValue))
 
     def assignDf: DataFrame = {
       // stage the row norm once (multi-use attribute: referenced by every

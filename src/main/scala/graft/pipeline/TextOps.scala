@@ -192,22 +192,47 @@ object TextOps {
     * score(d) = mean over bigrams (w1,w2) of
     *   log( (count(w1,w2) + 1) / (count(w1) + V) )
     * where V = unigram vocabulary size. Lower = more surprising text.
+    *
+    * Scale shape: the count-table joins are token-keyed and deliberately
+    * NOT broadcast-hinted — the bigram vocabulary grows roughly linearly
+    * with corpus size, so at web scale a forced broadcast OOMs every
+    * executor. A shuffled hash join on the token key is the right default;
+    * AQE still downgrades to broadcast when the tables are genuinely small.
+    * `minCount` is the KenLM-style vocabulary floor: n-grams seen fewer
+    * than `minCount` times are pruned from the model (their probability
+    * falls back to the add-one-smoothing floor), bounding model size
+    * independently of corpus size.
     */
-  def bigramLmScores(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+  def bigramLmScores(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 1L
+  ): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
     val bigrams = toks.select(
       col("id"),
       explode(wordShingles(col("t"), 2)).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
-    val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("c_bg"))
-    val uniCounts = toks.select(explode(col("t")).as("w1"))
+    val bgCountsAll = bigrams.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val uniCountsAll = toks.select(explode(col("t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c_w1"))
-    val vocab = uniCounts.count() // V (driver scalar; vocabulary is small)
+    val (bgCounts, uniCounts) =
+      if (minCount > 1L)
+        (bgCountsAll.filter(col("c_bg") >= minCount),
+         uniCountsAll.filter(col("c_w1") >= minCount))
+      else (bgCountsAll, uniCountsAll)
+    // V counts the retained vocabulary (one count job, driver scalar only)
+    val vocab = uniCounts.count()
+    // Left joins so pruned n-grams fall back to zero counts (pure smoothing
+    // floor) instead of silently dropping the doc's bigram from the mean.
     bigrams
-      .join(broadcast(bgCounts), "bg")
-      .join(broadcast(uniCounts), "w1")
+      .join(bgCounts, Seq("bg"), "left")
+      .join(uniCounts, Seq("w1"), "left")
       .withColumn("logp",
-        log((col("c_bg") + 1.0) / (col("c_w1") + lit(vocab.toDouble))))
+        log((coalesce(col("c_bg"), lit(0L)) + 1.0) /
+          (coalesce(col("c_w1"), lit(0L)) + lit(vocab.toDouble))))
       .groupBy("id")
       .agg(avg(col("logp")).as("lm_score"), count(lit(1)).as("n_bigrams"))
   }

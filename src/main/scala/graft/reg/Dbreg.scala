@@ -5,6 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import scala.jdk.CollectionConverters._
+
 import graft.formula.{Formula, Vcov}
 import graft.linalg.LinAlg
 import graft.model.ModelMatrix
@@ -134,13 +136,24 @@ object Dbreg {
     for (i <- 0 until p; j <- i until p)
       aggs += sum(x(i) * x(j)).as(s"_sxx_${i}_$j")
     val grouped = d.df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail.toSeq: _*)
-    val rows = grouped.limit((maxGroups + 1).toInt).collect()
-    require(rows.length <= maxGroups,
-      s"more than maxGroups=$maxGroups groups; raise the guard or pre-filter")
+    require(maxGroups >= 1L, s"maxGroups must be >= 1, got $maxGroups")
+    // limit() takes an Int: only apply it when maxGroups+1 fits (it merely
+    // short-circuits the guard; the streamed count below enforces the bound)
+    val capped =
+      if (maxGroups < Int.MaxValue.toLong) grouped.limit((maxGroups + 1).toInt)
+      else grouped
+    // stream partition-at-a-time: the driver holds one partition of moment
+    // rows, not all G — raising maxGroups to "millions of small models"
+    // costs O(p²) per in-flight row, not O(G·p²) resident
+    val it = capped.toLocalIterator()
 
     val spark = df.sparkSession
     import spark.implicits._
-    val out = rows.toSeq.flatMap { r =>
+    var nGroups = 0L
+    val out = it.asScala.flatMap { r =>
+      nGroups += 1
+      require(nGroups <= maxGroups,
+        s"more than maxGroups=$maxGroups groups; raise the guard or pre-filter")
       def dd(name: String): Double = r.getAs[Any](name) match {
         case null => 0.0
         case v: Number => v.doubleValue
@@ -169,7 +182,7 @@ object Dbreg {
           if (tss > 0) 1.0 - rss / tss else 0.0)
       }
     }
-    out.toDF("group", "term", "estimate", "std_error", "n", "r2")
+    out.toSeq.toDF("group", "term", "estimate", "std_error", "n", "r2")
   }
 
   /** The compressed cell table for a formula, without fitting — the

@@ -26,6 +26,17 @@ class AsOfSpec extends SparkTestBase {
       100L -> None, 101L -> Some(7.5), 102L -> Some(8.5), 103L -> None))
   }
 
+  test("joinAsOf rejects reserved-name collisions, duplicate/missing valueCols") {
+    val r = Seq((1L, 5L, 2.0)).toDF("k", "ts", "v")
+    val lReserved = Seq((1L, 10L, 1.0)).toDF("k", "ts", "__side")
+    intercept[IllegalArgumentException] { AsOf.joinAsOf(lReserved, r, "k", "ts", Seq("v")) }
+    val lOut = Seq((1L, 10L, 1.0)).toDF("k", "ts", "v_asof")
+    intercept[IllegalArgumentException] { AsOf.joinAsOf(lOut, r, "k", "ts", Seq("v")) }
+    val l = Seq((1L, 10L)).toDF("k", "ts")
+    intercept[IllegalArgumentException] { AsOf.joinAsOf(l, r, "k", "ts", Seq("v", "v")) }
+    intercept[IllegalArgumentException] { AsOf.joinAsOf(l, r, "k", "ts", Seq("nope")) }
+  }
+
   test("ties among right rows at one timestamp resolve to the highest tiebreak") {
     val views = Seq((1L, 20L, 100L, 0.0)).toDF("user_id", "tus", "event_id", "value")
     val clicks = Seq((1L, 20L, 900L, 1.0), (1L, 20L, 901L, 2.0))

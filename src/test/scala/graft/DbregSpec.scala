@@ -322,6 +322,20 @@ class DbregSpec extends SparkTestBase {
     }
   }
 
+  test("fitGrouped: maxGroups guard neither overflows nor under-enforces") {
+    // a near-Long.MaxValue guard must not overflow limit()'s Int argument
+    val all = Dbreg.fitGrouped("y ~ x1 + x2", df, "grp", maxGroups = Long.MaxValue - 1)
+    val nGroups = DensePanel.rows.map(_.grp).distinct.length.toLong
+    assert(all.select("group").distinct().count() == nGroups)
+    // and a too-small guard still fires (rows stream, so it fires early)
+    intercept[IllegalArgumentException] {
+      Dbreg.fitGrouped("y ~ x1 + x2", df, "grp", maxGroups = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Dbreg.fitGrouped("y ~ x1 + x2", df, "grp", maxGroups = 0L)
+    }
+  }
+
   test("unit weights reproduce the unweighted fit exactly") {
     val wdf = df.withColumn("w", org.apache.spark.sql.functions.lit(1.0))
     val unw = Dbreg.fit("y ~ x1 + x2", df, strategy = "moments")

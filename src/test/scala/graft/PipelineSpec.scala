@@ -90,6 +90,55 @@ class PipelineSpec extends SparkTestBase {
     assert(capped.forall(_.getDouble(2) == 1.0))
   }
 
+  test("default hot-shingle cap excludes corpus-scale hot shingles from candidates") {
+    // 1102 docs share the bigram "hot hot" (doc-freq > DefaultMaxShingleDocFreq);
+    // docs 3000/3001 are similar ONLY through that hot shingle
+    val hot = (0 until 1100).map(i => (10000L + i, s"hot hot u${i}a u${i}b u${i}c"))
+    val normal = Seq(
+      (2000L, "alpha beta gamma delta"), (2001L, "alpha beta gamma delta"),
+      (3000L, "hot hot p3000x"), (3001L, "hot hot q3001y"))
+    val d = (hot ++ normal).toDF("doc_id", "text")
+    val withCap = Dedup.jaccardPairs(d, "doc_id", "text", n = 2, threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withCap.contains((2000L, 2001L))) // normal-shingle pair survives
+    assert(!withCap.contains((3000L, 3001L))) // hot-shingle-only pair pruned
+    // the exact (uncapped) baseline still sees the hot-shingle-only pair
+    val noCap = Dedup.jaccardPairs(d, "doc_id", "text", n = 2, threshold = 0.25,
+      maxShingleDocFreq = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(noCap.contains((3000L, 3001L)) && noCap.contains((2000L, 2001L)))
+  }
+
+  test("duplicate clusters: 50-long chain converges within default maxIter") {
+    // pointer jumping makes label distance halve per round: a diameter-50
+    // path needs ~log2(50) iterations, not 50; checkpointEvery=3 exercises
+    // the lineage-truncation path several times
+    val pairs = (0L until 50L).map(i => (i, i + 1, 1.0)).toDF("id1", "id2", "jaccard")
+    val cl = Dedup.duplicateClusters(pairs, checkpointEvery = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cl.length == 51)
+    assert(cl.forall(_._2 == 0L), s"unconverged labels: ${cl.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("kmeans accepts array<double> embeddings like the rest of the similarity API") {
+    val dbl = embs.withColumn("embedding", col("embedding").cast("array<double>"))
+    val (assigned, cents) = Similarity.kmeans(dbl, "vec_id", "embedding", k = 2, iters = 1, dim = 64)
+    assert(assigned.count() == embs.count())
+    assert(cents.length == 2 && cents.forall(_.length == 64))
+  }
+
+  test("bigram LM vocabulary floor prunes rare n-grams but keeps scores finite") {
+    val d = docs.limit(100)
+    val floored = TextOps.bigramLmScores(d, "doc_id", "text", minCount = 5L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(floored.length == 100)
+    assert(floored.forall { case (_, s) => s < 0.0 && !s.isNaN && !s.isInfinite })
+    val base = TextOps.bigramLmScores(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // pruning moves mass to the smoothing floor, so some scores must change
+    assert(floored.exists { case (id, s) => math.abs(s - base(id)) > 1e-12 })
+  }
+
   test("langId picks marker language deterministically") {
     val d = Seq(
       (1L, "the cat and the dog went to the market in the morning"),

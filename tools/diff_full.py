@@ -31,6 +31,9 @@ def main():
         oc, orr = canon(orows, [c.lower() for c in ocols])
         print(f"== {name} cols={sc}")
         nshow = 0
+        if len(sr) != len(orr):
+            print(f"  ROW COUNT MISMATCH: spark={len(sr)} oracle={len(orr)}")
+            nshow += 1
         for i, (a, b) in enumerate(zip(sr, orr)):
             for j, (x, yv) in enumerate(zip(a, b)):
                 if isinstance(x, float) or isinstance(yv, float):
