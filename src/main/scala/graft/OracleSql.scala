@@ -294,6 +294,18 @@ object OracleSql {
          | SELECT 'l_quantity_bar_grp20', b2, sqrt(rss/(n-3) * a2/det) FROM r) u
          |ORDER BY term""".stripMargin,
 
+    // sql_only roundtrips: the oracle IS the generated SQL — running it in
+    // DuckDB each round proves Dbreg.sqlOnly emits runnable, correct SQL
+    "q62_sqlgen_moments" -> graft.reg.SqlGen.sqlOnlyWithLevels(
+      "l_extendedprice ~ l_quantity + l_returnflag",
+      Queries.SqlGenLevels, "lineitem", "moments"),
+    "q63_sqlgen_compress" -> graft.reg.SqlGen.sqlOnlyWithLevels(
+      Queries.SqlGenCompressFormula, Queries.SqlGenLevels, "lineitem", "compress"),
+    "q64_sqlgen_demean" -> graft.reg.SqlGen.sqlOnlyWithLevels(
+      Queries.SqlGenSmallFormula, Queries.SqlGenLevels, "lineitem", "demean"),
+    "q65_sqlgen_mundlak" -> graft.reg.SqlGen.sqlOnlyWithLevels(
+      Queries.SqlGenSmallFormula, Queries.SqlGenLevels, "lineitem", "mundlak"),
+
     // compress+cluster: slope-block sandwich via block inversion — the
     // slope rows of (X'X)^-1 dotted with a cluster score equal the centered
     // 2x2 inverse dotted with the CENTERED scores, so no 3x3 algebra needed

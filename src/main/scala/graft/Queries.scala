@@ -38,6 +38,90 @@ object Queries {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  // ---- sql_only roundtrip machinery ------------------------------------
+  // The q62-q65 oracles are SqlGen's generated SQL; these Spark twins mirror
+  // the generated text expression-for-expression (same design columns from
+  // the same structural expansion, same aggregate aliases).
+
+  /** Fixed TPC-H levels so the oracle text is computable without a session. */
+  val SqlGenLevels: Map[String, Seq[String]] =
+    Map("l_returnflag" -> Seq("A", "N", "R"), "l_linestatus" -> Seq("F", "O"))
+  val SqlGenCompressFormula =
+    "l_extendedprice ~ l_quantity + l_returnflag | l_linestatus"
+  /** Small-magnitude vars: demean/mundlak roundtrips compare full-precision
+    * float sums, which tolerate reorder noise only at O(1) magnitudes. */
+  val SqlGenSmallFormula = "l_discount ~ l_tax | l_returnflag"
+
+  private def sqlgenBaseDF(
+      d: DataFrame,
+      f: graft.formula.Formula,
+      st: graft.model.ModelMatrix.StructExpansion,
+      withFe: Boolean
+  ): DataFrame = {
+    import graft.model.ModelMatrix
+    val sel = (col(f.y).cast("double").as("y") ::
+      st.cols.map(dc => ModelMatrix.renderCol(dc).col.as(dc.name))) ++
+      (if (withFe) f.fe.map(col) else Nil)
+    d.filter(f.allInputCols.distinct.map(col(_).isNotNull).reduce(_ && _))
+      .select(sel: _*)
+  }
+
+  /** Moment-triangle aggregates with SqlGen.momentSelect's aliases. */
+  private def triangleAggs(names: List[String]): Seq[Column] = {
+    val yc = col("y")
+    val b = scala.collection.mutable.ArrayBuffer[Column]()
+    b += count(lit(1)).as("n_total")
+    b += sum(yc).as("sum_y")
+    b += sum(yc * yc).as("sum_y_y")
+    names.foreach { x =>
+      b += sum(col(x)).as(s"sum_$x")
+      b += sum(col(x) * yc).as(s"sum_${x}_y")
+    }
+    for (i <- names.indices; j <- i until names.length)
+      b += sum(col(names(i)) * col(names(j))).as(s"sum_${names(i)}_${names(j)}")
+    b.toSeq
+  }
+
+  private def sqlgenParsed(formula: String) = {
+    val f = graft.formula.Formula.parse(formula)
+    (f, graft.model.ModelMatrix.expandStructure(f.terms, SqlGenLevels, f.fe))
+  }
+
+  private def sqlgenMomentsDF(d: DataFrame, formula: String): DataFrame = {
+    val (f, st) = sqlgenParsed(formula)
+    val base = sqlgenBaseDF(d, f, st, withFe = false)
+    val aggs = triangleAggs(st.cols.map(_.name))
+    base.agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def sqlgenDemeanDF(d: DataFrame, formula: String): DataFrame = {
+    val (f, st) = sqlgenParsed(formula)
+    val names = st.cols.map(_.name)
+    val vars = "y" :: names
+    val base = sqlgenBaseDF(d, f, st, withFe = true)
+    val fe1 = f.fe.head
+    val mAggs = vars.map(v => avg(col(v)).as(s"m_${v}_g"))
+    val gm = base.groupBy(col(fe1)).agg(mAggs.head, mAggs.tail: _*)
+    val demeaned = base.join(gm, Seq(fe1))
+      .select(vars.map(v => (col(v) - col(s"m_${v}_g")).as(v)): _*)
+    val aggs = triangleAggs(names)
+    demeaned.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(gm.agg(count(lit(1)).as("n_fe1")))
+  }
+
+  private def sqlgenMundlakDF(d: DataFrame, formula: String): DataFrame = {
+    val (f, st) = sqlgenParsed(formula)
+    val names = st.cols.map(_.name)
+    val base = sqlgenBaseDF(d, f, st, withFe = true)
+    val augmented = f.fe.foldLeft(base) { (acc, fe) =>
+      val mAggs = names.map(x => avg(col(x)).as(s"m_${x}_$fe"))
+      acc.join(base.groupBy(col(fe)).agg(mAggs.head, mAggs.tail: _*), Seq(fe))
+    }
+    val meanNames = f.fe.flatMap(fe => names.map(x => s"m_${x}_$fe"))
+    val aggs = triangleAggs(names ++ meanNames)
+    augmented.agg(aggs.head, aggs.tail: _*)
+  }
+
   val all: Map[String, Q] = Map[String, Q](
     // ---- A2: single-row moments aggregate ----
     "q01_moments_agg" -> ((s, dir) =>
@@ -350,6 +434,20 @@ object Queries {
           col("std_error").cast("float").as("std_error"))
         .orderBy("term")
     }),
+
+    // ---- sql_only parity roundtrips: the ORACLE text for these four
+    // entries is SqlGen's generated SQL VERBATIM (OracleSql delegates to
+    // SqlGen.sqlOnlyWithLevels), so the driver's DuckDB pass proves the
+    // generated SQL is runnable AND agrees with the engine's aggregation.
+    "q62_sqlgen_moments" -> ((s, dir) =>
+      sqlgenMomentsDF(li(s, dir), "l_extendedprice ~ l_quantity + l_returnflag")),
+    "q63_sqlgen_compress" -> ((s, dir) =>
+      Dbreg.compressedData(SqlGenCompressFormula, li(s, dir))
+        .orderBy("l_quantity", "l_returnflag", "l_linestatus")),
+    "q64_sqlgen_demean" -> ((s, dir) =>
+      sqlgenDemeanDF(li(s, dir), SqlGenSmallFormula)),
+    "q65_sqlgen_mundlak" -> ((s, dir) =>
+      sqlgenMundlakDF(li(s, dir), SqlGenSmallFormula)),
 
     // ---- K10: binscatter points (per-bin mean + pooled-sigma SE) ----
     "q28_binsreg_points" -> ((s, dir) => {

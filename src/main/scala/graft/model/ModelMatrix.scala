@@ -28,6 +28,27 @@ object ModelMatrix {
       factorLevels: Map[String, Seq[String]]
   )
 
+  /** Structural form of one design column: a product of atoms. Both the
+    * Spark `Column` renderer (below) and the SQL-text renderer
+    * (graft.reg.SqlGen) consume this, so the engine's design matrix and the
+    * `sqlOnly` output cannot diverge. */
+  sealed trait Atom
+  /** Numeric variable, cast to double. */
+  final case class NumericAtom(v: String) extends Atom
+  /** One-hot dummy: 1.0 when `v` (as string) equals `level`. */
+  final case class DummyAtom(v: String, level: String) extends Atom
+  /** Constant (single-level factor degrades to this). */
+  final case class ConstAtom(value: Double) extends Atom
+  /** Pass-through main effect (reference `expand = "interactions"` mode). */
+  final case class RawAtom(v: String) extends Atom
+
+  final case class DesignCol(name: String, atoms: List[Atom])
+
+  final case class StructExpansion(
+      cols: List[DesignCol],
+      factorLevels: Map[String, Seq[String]]
+  )
+
   /** A factor column is string-, boolean-typed (reference
     * sql_model_matrix.R:87-98 treats character/factor/logical as factors). */
   def isFactor(df: DataFrame, v: String): Boolean =
@@ -49,18 +70,16 @@ object ModelMatrix {
       .map(_.getString(0))
       .toSeq
 
-  /** Expand formula terms into design columns over `df`. */
-  def expand(
-      df: DataFrame,
+  /** Expand formula terms into the structural (renderer-independent) form,
+    * given pre-discovered factor levels. All drop-ref / intercept semantics
+    * live here and ONLY here. */
+  def expandStructure(
       terms: List[Term],
+      levels: Map[String, Seq[String]],
       feVars: Seq[String],
-      maxLevels: Int = 100000,
       intercept: Boolean = true,
       expandMains: Boolean = true
-  ): Expansion = {
-    val vars = terms.flatMap(_.parts).distinct
-    val levels: Map[String, Seq[String]] =
-      vars.filter(isFactor(df, _)).map(v => v -> factorLevels(df, v, maxLevels)).toMap
+  ): StructExpansion = {
     val allLabels: Set[String] = terms.map(t => t.parts.mkString(":")).toSet
 
     // R semantics: in a no-intercept formula the FIRST factor term keeps all
@@ -74,9 +93,9 @@ object ModelMatrix {
     val cols = terms.flatMap { term =>
       if (!term.isInteraction && !expandMains) {
         // reference `expand = "interactions"`: main effects pass through
-        List(MMCol(term.parts.head, col(term.parts.head)))
+        List(DesignCol(term.parts.head, List(RawAtom(term.parts.head))))
       } else {
-        val expansions: List[List[MMCol]] = term.parts.map { v =>
+        val expansions: List[List[DesignCol]] = term.parts.map { v =>
           val dropRef =
             if (term.isInteraction && levels.contains(v)) {
               val otherSorted = term.parts.filterNot(_ == v).sorted.mkString(":")
@@ -88,9 +107,38 @@ object ModelMatrix {
       }
     }
     // de-duplicate by name, preserving first occurrence (mirrors R terms())
-    val seen = scala.collection.mutable.LinkedHashMap.empty[String, MMCol]
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, DesignCol]
     cols.foreach(c => if (!seen.contains(c.name)) seen(c.name) = c)
-    Expansion(seen.values.toList, levels)
+    StructExpansion(seen.values.toList, levels)
+  }
+
+  /** Render one atom as a Spark `Column`. */
+  def atomCol(a: Atom): Column = a match {
+    case NumericAtom(v) => col(v).cast(DoubleType)
+    case DummyAtom(v, lvl) => when(col(v).cast(StringType) === lit(lvl), 1.0).otherwise(0.0)
+    case ConstAtom(x) => lit(x)
+    case RawAtom(v) => col(v)
+  }
+
+  // reduceRight preserves the historical a*(b*(c…)) association (float
+  // multiply is not associative; oracle hashes depend on the exact tree)
+  def renderCol(dc: DesignCol): MMCol =
+    MMCol(dc.name, dc.atoms.map(atomCol).reduceRight(_ * _))
+
+  /** Expand formula terms into design columns over `df`. */
+  def expand(
+      df: DataFrame,
+      terms: List[Term],
+      feVars: Seq[String],
+      maxLevels: Int = 100000,
+      intercept: Boolean = true,
+      expandMains: Boolean = true
+  ): Expansion = {
+    val vars = terms.flatMap(_.parts).distinct
+    val levels: Map[String, Seq[String]] =
+      vars.filter(isFactor(df, _)).map(v => v -> factorLevels(df, v, maxLevels)).toMap
+    val st = expandStructure(terms, levels, feVars, intercept, expandMains)
+    Expansion(st.cols.map(renderCol), st.factorLevels)
   }
 
   /** Factor → dummy list (drop first level when dropRef); numeric passes
@@ -100,28 +148,23 @@ object ModelMatrix {
       v: String,
       levels: Map[String, Seq[String]],
       dropRef: Boolean
-  ): List[MMCol] =
+  ): List[DesignCol] =
     levels.get(v) match {
       case Some(lvls) if lvls.length >= 2 =>
         val kept = if (dropRef) lvls.tail else lvls
-        kept.toList.map { lvl =>
-          MMCol(
-            s"$v$lvl",
-            when(col(v).cast(StringType) === lit(lvl), 1.0).otherwise(0.0)
-          )
-        }
-      case Some(_) => List(MMCol(s"${v}_constant", lit(1.0)))
-      case None => List(MMCol(v, col(v).cast(DoubleType)))
+        kept.toList.map(lvl => DesignCol(s"$v$lvl", List(DummyAtom(v, lvl))))
+      case Some(_) => List(DesignCol(s"${v}_constant", List(ConstAtom(1.0))))
+      case None => List(DesignCol(v, List(NumericAtom(v))))
     }
 
-  private def crossProduct(expansions: List[List[MMCol]]): List[MMCol] =
+  private def crossProduct(expansions: List[List[DesignCol]]): List[DesignCol] =
     expansions match {
       case Nil => Nil
       case single :: Nil => single
       case first :: rest =>
         val tail = crossProduct(rest)
         for (a <- first; b <- tail)
-          yield MMCol(s"${a.name}_x_${b.name}", a.col * b.col)
+          yield DesignCol(s"${a.name}_x_${b.name}", a.atoms ++ b.atoms)
     }
 
   /** `_x_` → `:` for user-facing coefficient names (reference utils.R:6). */

@@ -185,6 +185,18 @@ object Dbreg {
     out.toSeq.toDF("group", "term", "estimate", "std_error", "n", "r2")
   }
 
+  /** The generated ANSI SQL for a strategy's aggregation — the analogue of
+    * the reference's `sql_only = TRUE` (reference dbreg.R:760-762): returns
+    * a runnable SQL string (DuckDB dialect-compatible) over a table named
+    * `table`, starting with `WITH`, factors expanded as CASE WHEN. The
+    * engine executes Catalyst plans, not this text; see [[SqlGen]]. */
+  def sqlOnly(
+      formula: String,
+      df: DataFrame,
+      table: String,
+      strategy: String = "compress"
+  ): String = SqlGen.sqlOnly(formula, df, table, strategy)
+
   /** The compressed cell table for a formula, without fitting — the
     * analogue of the reference's `data_only = TRUE` (dbreg.R:57-61):
     * GROUP BY (x…, fe…) with n / Σy / Σy² / ȳ / √n weights. */

@@ -322,6 +322,39 @@ class DbregSpec extends SparkTestBase {
     }
   }
 
+  test("sqlOnly emits the reference's sql_only contract for all four strategies") {
+    // reference test_trade.R:49-57: returns a string starting with WITH;
+    // test_interactions.R:179-185: factor expansion appears as CASE WHEN
+    val li = sf("sf0.001", "lineitem")
+    val fml = "l_extendedprice ~ l_quantity + l_returnflag"
+    val strategies = Seq("moments", "compress", "demean", "mundlak")
+    val sqls = strategies.map { st =>
+      val fe = if (st == "demean" || st == "mundlak") " | l_linestatus" else ""
+      st -> Dbreg.sqlOnly(fml + fe, li, "lineitem", st)
+    }.toMap
+    sqls.values.foreach { s =>
+      assert(s.startsWith("WITH"), s.take(40))
+      assert(s.contains("FROM lineitem"))
+    }
+    // factor expansion reaches the SQL (except compress, which groups raw values)
+    Seq("moments", "demean", "mundlak").foreach { st =>
+      assert(sqls(st).contains("CASE WHEN"), st)
+      assert(sqls(st).contains("'N'") || sqls(st).contains("'A'"), st) // literal levels
+    }
+    assert(sqls("compress").contains("GROUP BY"))
+    // 2-FE demean variant renders the double-demean algebra
+    val two = Dbreg.sqlOnly("l_extendedprice ~ l_quantity | l_returnflag + l_linestatus",
+      li, "lineitem", "demean")
+    assert(two.contains("CROSS JOIN") && two.contains("n_fe2"))
+    // dump for external runnability checks (DuckDB executes these verbatim)
+    val dir = java.nio.file.Paths.get("/tmp/sqlgen")
+    java.nio.file.Files.createDirectories(dir)
+    (sqls + ("demean2" -> two)).foreach { case (st, s) =>
+      java.nio.file.Files.write(dir.resolve(s"$st.sql"), s.getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] { Dbreg.sqlOnly(fml, li, "lineitem", "nope") }
+  }
+
   test("fitGrouped: maxGroups guard neither overflows nor under-enforces") {
     // a near-Long.MaxValue guard must not overflow limit()'s Int argument
     val all = Dbreg.fitGrouped("y ~ x1 + x2", df, "grp", maxGroups = Long.MaxValue - 1)
