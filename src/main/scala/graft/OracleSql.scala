@@ -306,6 +306,17 @@ object OracleSql {
     "q65_sqlgen_mundlak" -> graft.reg.SqlGen.sqlOnlyWithLevels(
       Queries.SqlGenSmallFormula, Queries.SqlGenLevels, "lineitem", "mundlak"),
 
+    // K13 Lagrange: identical expression tree (same association, constant
+    // denominators) so doubles are bit-identical cross-engine
+    "q66_lagrange_interp" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  2.0 * ((x - 25.0) * (x - 50.0) / ((1.0 - 25.0) * (1.0 - 50.0)))
+        |  + 5.0 * ((x - 1.0) * (x - 50.0) / ((25.0 - 1.0) * (25.0 - 50.0)))
+        |  + 9.0 * ((x - 1.0) * (x - 25.0) / ((50.0 - 1.0) * (50.0 - 25.0))) AS y_interp
+        |FROM (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS x
+        |      FROM lineitem WHERE l_orderkey <= 100) t
+        |ORDER BY 1, 2""".stripMargin,
+
     // compress+cluster: slope-block sandwich via block inversion — the
     // slope rows of (X'X)^-1 dotted with a cluster score equal the centered
     // 2x2 inverse dotted with the CENTERED scores, so no 3x3 algebra needed

@@ -449,6 +449,15 @@ object Queries {
     "q65_sqlgen_mundlak" -> ((s, dir) =>
       sqlgenMundlakDF(li(s, dir), SqlGenSmallFormula)),
 
+    // ---- K13: Lagrange 3-point interpolation as a per-row expression ----
+    "q66_lagrange_interp" -> ((s, dir) =>
+      li(s, dir).filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.binsreg.Dbbinsreg.lagrangeInterp3(
+            col("l_quantity").cast("double"),
+            Seq(1.0, 25.0, 50.0), Seq(2.0, 5.0, 9.0)).as("y_interp"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // ---- K10: binscatter points (per-bin mean + pooled-sigma SE) ----
     "q28_binsreg_points" -> ((s, dir) => {
       val r = graft.binsreg.Dbbinsreg.fit(

@@ -25,6 +25,21 @@ import graft.reg.{Dbreg, DbregResult}
   */
 object Dbbinsreg {
 
+  /** Lagrange interpolation through 3 control points (K13, reference
+    * dbbinsreg.R:1605-1624): evaluates the unique quadratic through
+    * (xPts(i), yPts(i)) at `x`. A pure per-row arithmetic `Column` —
+    * codegen'd, no UDF, embarrassingly parallel at any scale; the
+    * denominators are plan-time constants (Catalyst constant-folds them). */
+  def lagrangeInterp3(x: Column, xPts: Seq[Double], yPts: Seq[Double]): Column = {
+    require(xPts.length == 3 && yPts.length == 3,
+      s"need exactly 3 control points, got ${xPts.length}/${yPts.length}")
+    require(xPts.distinct.length == 3, s"x control points must be distinct: $xPts")
+    val l0 = (x - xPts(1)) * (x - xPts(2)) / lit((xPts(0) - xPts(1)) * (xPts(0) - xPts(2)))
+    val l1 = (x - xPts(0)) * (x - xPts(2)) / lit((xPts(1) - xPts(0)) * (xPts(1) - xPts(2)))
+    val l2 = (x - xPts(0)) * (x - xPts(1)) / lit((xPts(2) - xPts(0)) * (xPts(2) - xPts(1)))
+    lit(yPts(0)) * l0 + lit(yPts(1)) * l1 + lit(yPts(2)) * l2
+  }
+
   final case class BinInfo(bin: Int, left: Double, right: Double, xMean: Double, n: Long)
   final case class BinPoint(
       bin: Int, x: Double, fit: Double, se: Double, lwr: Double, upr: Double,

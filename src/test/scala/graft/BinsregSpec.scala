@@ -158,4 +158,23 @@ class BinsregSpec extends SparkTestBase {
     assert(rc.model.vcovType == "cluster")
     assert(rh.points.forall(_.se > 0) && rc.points.forall(_.se > 0))
   }
+
+  test("lagrangeInterp3 hits the control points and reproduces quadratics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the interpolant of a quadratic IS that quadratic: q(x) = 2x² - 3x + 1
+    def q(x: Double) = 2.0 * x * x - 3.0 * x + 1.0
+    val xPts = Seq(0.0, 2.0, 5.0)
+    val xs = Seq(0.0, 1.0, 2.0, 3.5, 5.0, -1.0, 10.0).toDF("x")
+    val out = xs.select(col("x"),
+      Dbbinsreg.lagrangeInterp3(col("x"), xPts, xPts.map(q)).as("y"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1))
+    out.foreach { case (x, y) => assert(math.abs(y - q(x)) < 1e-9, s"x=$x") }
+    intercept[IllegalArgumentException] {
+      Dbbinsreg.lagrangeInterp3(col("x"), Seq(1.0, 1.0, 2.0), Seq(0.0, 0.0, 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Dbbinsreg.lagrangeInterp3(col("x"), Seq(1.0, 2.0), Seq(0.0, 0.0))
+    }
+  }
 }
