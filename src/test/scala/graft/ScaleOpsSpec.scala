@@ -48,6 +48,38 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(joined.count() == li.join(od, li("l_orderkey") === od("o_orderkey")).count())
   }
 
+  test("normalizeParallelism is a no-op on a production multi-row-group layout") {
+    // the shipped testdata is one row group per file, so every pipeline run
+    // takes the repartition branch; this fixture takes the PRODUCTION branch
+    // (scan already splits) and pins its behavior + results
+    val docs = sf("sf0.01", "documents")
+    val dir = Files.createTempDirectory("graft_multirg").toString
+    docs.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", (16 * 1024).toString)
+      .parquet(dir)
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      // parquet only splits at row-group boundaries AND Spark only cuts
+      // byte-range splits below maxPartitionBytes — set both small
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
+      val rg = spark.read.parquet(dir)
+      val n = rg.rdd.getNumPartitions
+      assert(n >= 4, s"fixture should scan as a split source, got $n partitions")
+      val out = ScaleOps.normalizeParallelism(rg, 4)
+      assert(out eq rg, "production path must not insert a shuffle")
+      // pipelines built on the no-op path agree with the fan-out path
+      val a = graft.pipeline.Dedup.minhashSignatures(rg, "doc_id", "text")
+        .orderBy("id").collect()
+      val b = graft.pipeline.Dedup.minhashSignatures(docs, "doc_id", "text")
+        .orderBy("id").collect()
+      assert(a.length == b.length && a.length == docs.count())
+      a.zip(b).foreach { case (ra, rb) =>
+        assert(ra.getLong(0) == rb.getLong(0))
+        assert(ra.getSeq[Long](1) == rb.getSeq[Long](1), s"sig mismatch id=${ra.getLong(0)}")
+      }
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+  }
+
   test("salted aggregation equals plain aggregation") {
     val li = sf("sf0.001", "lineitem")
     val plain = li.groupBy("l_returnflag")
