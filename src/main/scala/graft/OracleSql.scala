@@ -317,6 +317,29 @@ object OracleSql {
         |      FROM lineitem WHERE l_orderkey <= 100) t
         |ORDER BY 1, 2""".stripMargin,
 
+    // multimodal real decodes: the BMP/WAV payloads are deterministic in
+    // doc_id (Multimodal.syntheticBmp/syntheticWav), so the decoded stats
+    // have closed forms. BMP: 5×4 px, stride 16, pixel-area byte at file
+    // offset m is (doc_id·31+m) mod 256, channels B,G,R at +0/+1/+2.
+    // Sums of small ints in doubles are exact, so avg is bit-identical.
+    "q67_bmp_decode" ->
+      """SELECT d.doc_id, 5 AS width, 4 AS height,
+        |  avg(((d.doc_id*31 + (54 + rr.r*16 + 3*xx.x)) % 256)::DOUBLE) AS mean_b,
+        |  avg(((d.doc_id*31 + (54 + rr.r*16 + 3*xx.x + 1)) % 256)::DOUBLE) AS mean_g,
+        |  avg(((d.doc_id*31 + (54 + rr.r*16 + 3*xx.x + 2)) % 256)::DOUBLE) AS mean_r
+        |FROM documents d,
+        |  (SELECT unnest(range(0,4)) AS r) rr,
+        |  (SELECT unnest(range(0,5)) AS x) xx
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // WAV: 64 mono 16-bit samples, sample k = (doc_id·7+k·13) mod 65536 − 32768
+    "q68_wav_decode" ->
+      """SELECT d.doc_id, CAST(64 AS BIGINT) AS n_samples, 8000 AS sample_rate,
+        |  avg(((d.doc_id*7 + kk.k*13) % 65536 - 32768)::DOUBLE) AS mean_amp,
+        |  max(abs((d.doc_id*7 + kk.k*13) % 65536 - 32768)) AS peak_amp
+        |FROM documents d, (SELECT unnest(range(0,64)) AS k) kk
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
     // compress+cluster: slope-block sandwich via block inversion — the
     // slope rows of (X'X)^-1 dotted with a cluster score equal the centered
     // 2x2 inverse dotted with the CENTERED scores, so no 3x3 algebra needed

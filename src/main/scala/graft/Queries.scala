@@ -458,6 +458,26 @@ object Queries {
             Seq(1.0, 25.0, 50.0), Seq(2.0, 5.0, 9.0)).as("y_interp"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // ---- multimodal: REAL pure-JVM decodes over spec-compliant fixtures.
+    // The payload is a deterministic function of doc_id, so the decoded
+    // statistics have a closed form the DuckDB oracle computes
+    // independently — a wrong header offset, row stride, padding skip, or
+    // sample sign in the decoder breaks the hash match. ----
+    "q67_bmp_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      Multimodal.bmpFeatures(ids.map(id =>
+        Multimodal.BinaryDoc(id, Multimodal.syntheticBmp(id), "image/bmp", 0)))
+        .toDF().orderBy("doc_id")
+    }),
+    "q68_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      Multimodal.wavFeatures(ids.map(id =>
+        Multimodal.BinaryDoc(id, Multimodal.syntheticWav(id), "audio/wav", 0)))
+        .toDF().orderBy("doc_id")
+    }),
+
     // ---- K10: binscatter points (per-bin mean + pooled-sigma SE) ----
     "q28_binsreg_points" -> ((s, dir) => {
       val r = graft.binsreg.Dbbinsreg.fit(

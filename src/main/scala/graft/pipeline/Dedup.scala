@@ -118,7 +118,11 @@ object Dedup {
 
   /** Per-document distinct shingle ARRAY — the narrow (no explode, no
     * shuffle) set representation. Signature computation, set sizes, and
-    * candidate verification are all per-row array expressions over this. */
+    * candidate verification are all per-row array expressions over this.
+    *
+    * PRECONDITION: `idCol` must be unique (same contract as
+    * [[shingleSets]]) — duplicate ids would produce duplicate rows that
+    * skew pair similarity downstream. */
   def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     graft.sources.ScaleOps
       .normalizeParallelism(
@@ -171,41 +175,103 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** Default LSH bucket-size valve for [[minhashPairs]]: representative
+    * buckets larger than this are excluded from candidate generation. The
+    * (band, bucket) self-join fan-out is O(bucket²); after the exact-class
+    * collapse a bucket this hot means >1000 *distinct* near-identical
+    * shingle sets colliding, which at web scale is boilerplate — capping
+    * bounds any bucket's contribution to ~500k candidate pairs, mirroring
+    * [[DefaultMaxShingleDocFreq]]. Testdata buckets stay far below the cap,
+    * so small-corpus results are exact. */
+  val DefaultMaxBucketSize = 1000L
+
   /** MinHash+LSH near-duplicate pairs, verified with true n-gram Jaccard.
     *
-    * Shape: one narrow scan builds per-doc shingle arrays + signatures;
-    * the only wide operations are the (band, bucket) self-equi-join for
-    * candidates and two id-equi joins attaching the candidate pair's two
-    * shingle arrays. Verification is `array_intersect` per candidate pair —
+    * Shape: one narrow scan builds per-doc shingle arrays; docs are then
+    * collapsed to one REPRESENTATIVE per distinct shingle set before any
+    * banding. Signatures are a pure function of the shingle set, so every
+    * member of an exact class has the representative's signature, buckets,
+    * and pairwise Jaccard — running LSH on representatives and re-expanding
+    * afterwards returns the *identical* pair set while the candidate join
+    * never sees a duplicate class. That matters because real corpora put
+    * million-doc boilerplate/mirror classes into ONE bucket, and O(bucket²)
+    * candidate generation on raw ids is a job-killer; on representatives
+    * the class contributes one row. Residual hot buckets (many *distinct*
+    * near-identical sets) are capped by `maxBucketSize` (on by default;
+    * `None` restores the exact uncapped join).
+    *
+    * Expansion is itself keyed (class-fingerprint equi-joins): within-class
+    * pairs carry Jaccard 1.0 by construction; cross-class pairs inherit the
+    * verified representative Jaccard. Output size is the true pair count —
+    * the quadratic cost of listing a duplicate class's pairs is inherent to
+    * the pair-list contract (use [[dedupCorpus]]/[[exactGroups]] to drop
+    * duplicates without materializing pairs).
+    *
+    * Verification is `array_intersect` per candidate representative pair —
     * document size is bounded, so the per-pair cost is constant and the
-    * join fan-out is bounded by LSH bucket sizes (the standard web-scale
+    * join fan-out is bounded by capped bucket sizes (the standard web-scale
     * dedup shape). */
   def minhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 2,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBucketSize: Option[Long] = Some(DefaultMaxBucketSize)
   ): DataFrame = {
     val sh = shingleArrays(df, idCol, textCol, n)
+    // exact-class collapse: canonical fingerprint of the (sorted) shingle
+    // set; one representative (min id) per class enters LSH
+    val keyed = sh
+      .withColumn("__fp", md5(concat_ws("", array_sort(col("sharr")))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = sh.select(col("id"), minhashSigCol(col("sharr")).as("sig"))
-    val bk = lshBuckets(sigs)
+    val memb = keyed.select(col("__fp"), col("id"))
+    val reps = keyed.groupBy("__fp").agg(min(col("id")).as("id"))
+    val repSh = keyed.join(reps, Seq("__fp", "id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = repSh.select(col("id"), minhashSigCol(col("sharr")).as("sig"))
+    val bk0 = lshBuckets(sigs)
+    // bucket-size valve (post-collapse): drop residual hot buckets before
+    // the O(bucket²) self-join, mirroring the jaccardPairs shingle valve
+    val bk = maxBucketSize match {
+      case None => bk0
+      case Some(cap) =>
+        val ok = bk0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= cap)
+          .select("band", "bucket")
+        bk0.join(ok, Seq("band", "bucket"), "left_semi")
+    }
     val cand = bk.as("a")
       .join(bk.as("b"), Seq("band", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    cand
-      .join(sh.select(col("id").as("id1"), col("sharr").as("sh1")), "id1")
-      .join(sh.select(col("id").as("id2"), col("sharr").as("sh2")), "id2")
+    val repPairs = cand
+      .join(repSh.select(col("id").as("id1"), col("sharr").as("sh1"), col("__fp").as("fp1")), "id1")
+      .join(repSh.select(col("id").as("id2"), col("sharr").as("sh2"), col("__fp").as("fp2")), "id2")
       .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn(
         "jaccard",
         col("common").cast("double") /
           (size(col("sh1")) + size(col("sh2")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
+      .select("fp1", "fp2", "jaccard")
+    // cross-class expansion: every member pair inherits the representative
+    // pair's Jaccard (signatures and sets are class-level invariants)
+    val cross = repPairs
+      .join(memb.select(col("__fp").as("fp1"), col("id").as("__ida")), "fp1")
+      .join(memb.select(col("__fp").as("fp2"), col("id").as("__idb")), "fp2")
+      .select(
+        least(col("__ida"), col("__idb")).as("id1"),
+        greatest(col("__ida"), col("__idb")).as("id2"),
+        col("jaccard"))
+    // within-class expansion: exact duplicates share their full shingle set
+    val within = memb.as("x")
+      .join(memb.as("y"), col("x.__fp") === col("y.__fp") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"), lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= threshold)
+    cross.unionAll(within)
   }
 
   /** Transitive duplicate clusters from a pair list: connected components
@@ -218,7 +284,8 @@ object Dedup {
     * the component.
     *
     * Iterative joins grow the logical plan without bound, so every
-    * `checkpointEvery` rounds the label table is eagerly
+    * `checkpointEvery` rounds (clamped to ≤5 — see `stretch` below; plan
+    * TREES expand exponentially between truncations) the label table is eagerly
     * `localCheckpoint`ed — lineage is truncated and all earlier cached
     * frames released. Deep chains (pathological dup graphs) therefore run
     * in bounded planning time and bounded storage. */
@@ -228,6 +295,13 @@ object Dedup {
       checkpointEvery: Int = 5
   ): DataFrame = {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    // each round references the label plan 4× (two propagate joins + the
+    // pointer-jump self-join), so the analyzed logical plan grows ~4^k
+    // between truncations — and Spark walks/prints it as a TREE (execution
+    // descriptions, AQE logging), which is exponential in k regardless of
+    // caching. Clamp the un-checkpointed stretch so a large/converge-early
+    // setting can never OOM the driver on plan strings.
+    val stretch = math.min(checkpointEvery, 5)
     val edges = pairs
       .select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
@@ -259,7 +333,7 @@ object Dedup {
         .select(
           prop("id"),
           least(prop("label"), coalesce(col("__llabel"), prop("label"))).as("label"))
-      val ckptRound = (i + 1) % checkpointEvery == 0 || i + 1 == maxIter
+      val ckptRound = (i + 1) % stretch == 0 || i + 1 == maxIter
       val updated =
         if (ckptRound) raw.localCheckpoint() // eager: materializes + cuts lineage
         else raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -5,7 +5,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import scala.jdk.CollectionConverters._
 
 import graft.formula.{Formula, Vcov}
 import graft.linalg.LinAlg
@@ -102,8 +101,14 @@ object Dbreg {
   /** Grouped regression: one OLS fit PER GROUP from a single keyed
     * aggregation pass — the "millions of small models" shape. The shuffle
     * carries one moment row per (group × task) thanks to map-side partials;
-    * only G moment rows reach the driver (guarded by `maxGroups`), where
-    * each group's normal equations solve independently.
+    * each group's normal equations then solve EXECUTOR-SIDE (a narrow
+    * flatMap over the aggregated moment rows), so the result is a real
+    * distributed DataFrame — nothing is ever resident on the driver, and
+    * G scales to millions of groups.
+    *
+    * `maxGroups` is an optional sanity guard (one cheap count over the
+    * cached moment table when set below Long.MaxValue); pass
+    * `Long.MaxValue` to disable the extra job entirely.
     *
     * Returns a DataFrame (group, term, estimate, std_error, n, r2).
     * Restrictions: no fixed effects (use the FE strategies per group
@@ -113,7 +118,7 @@ object Dbreg {
       formula: String,
       df: DataFrame,
       groupCol: String,
-      maxGroups: Long = 100000L
+      maxGroups: Long = 10000000L
   ): DataFrame = {
     val f = Formula.parse(formula)
     require(f.fe.isEmpty, "fitGrouped supports formulas without fixed effects")
@@ -137,32 +142,37 @@ object Dbreg {
       aggs += sum(x(i) * x(j)).as(s"_sxx_${i}_$j")
     val grouped = d.df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail.toSeq: _*)
     require(maxGroups >= 1L, s"maxGroups must be >= 1, got $maxGroups")
-    // limit() takes an Int: only apply it when maxGroups+1 fits (it merely
-    // short-circuits the guard; the streamed count below enforces the bound)
-    val capped =
-      if (maxGroups < Int.MaxValue.toLong) grouped.limit((maxGroups + 1).toInt)
-      else grouped
-    // stream partition-at-a-time: the driver holds one partition of moment
-    // rows, not all G — raising maxGroups to "millions of small models"
-    // costs O(p²) per in-flight row, not O(G·p²) resident
-    val it = capped.toLocalIterator()
 
     val spark = df.sparkSession
     import spark.implicits._
-    var nGroups = 0L
-    val out = it.asScala.flatMap { r =>
-      nGroups += 1
-      require(nGroups <= maxGroups,
-        s"more than maxGroups=$maxGroups groups; raise the guard or pre-filter")
+    // optional guard: one cheap count over the cached moment table (G small
+    // rows) — the base scan/agg runs once; the solve below reuses the cache
+    val moments =
+      if (maxGroups < Long.MaxValue) {
+        val m = grouped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val g = m.count()
+        require(g <= maxGroups,
+          s"$g groups exceeds maxGroups=$maxGroups; raise the guard or pre-filter")
+        m
+      } else grouped
+
+    // executor-side per-group solve: a narrow flatMap over the moment rows.
+    // Each row is one group's sufficient statistics (O(p²) doubles); the
+    // Cholesky/QR solve is local to it, so the output is a distributed
+    // DataFrame and G scales to millions without driver memory growth.
+    val displayNames = d.displayNames
+    val xNames = d.xNames
+    val out = moments.flatMap { r =>
       def dd(name: String): Double = r.getAs[Any](name) match {
         case null => 0.0
         case v: Number => v.doubleValue
       }
+      val pN = xNames.length
       val g = String.valueOf(r.getAs[Any](groupCol))
       val n = r.getAs[Long]("_n").toDouble
-      val xtx = breeze.linalg.DenseMatrix.tabulate(p, p)((i, j) =>
+      val xtx = breeze.linalg.DenseMatrix.tabulate(pN, pN)((i, j) =>
         if (i <= j) dd(s"_sxx_${i}_$j") else dd(s"_sxx_${j}_$i"))
-      val xty = breeze.linalg.DenseVector.tabulate(p)(i => dd(s"_sxy$i"))
+      val xty = breeze.linalg.DenseVector.tabulate(pN)(i => dd(s"_sxy$i"))
       val solved = LinAlg.solveDetecting(xtx, xty)
       val beta = solved.beta
       val keep = solved.keepIdx
@@ -178,11 +188,11 @@ object Dbreg {
       val xtxInv = solved.xtxInv
       keep.zipWithIndex.map { case (origIdx, ki) =>
         val se = math.sqrt(xtxInv(ki, ki) * rss / dfRes)
-        (g, d.displayNames(origIdx), beta(ki), se, n.round,
+        (g, displayNames(origIdx), beta(ki), se, n.round,
           if (tss > 0) 1.0 - rss / tss else 0.0)
       }
     }
-    out.toSeq.toDF("group", "term", "estimate", "std_error", "n", "r2")
+    out.toDF("group", "term", "estimate", "std_error", "n", "r2")
   }
 
   /** The generated ANSI SQL for a strategy's aggregation — the analogue of

@@ -87,21 +87,26 @@ object ScaleOps {
       .agg(finals.head, finals.tail: _*)
   }
 
-  /** Salted broadcast-side explode for skewed joins: replicate the small
-    * side `saltBuckets`× with an explicit salt, salt the big side randomly,
-    * join on (key, salt). Use when AQE's skew-join split isn't available
-    * (e.g. bucketed inputs) — otherwise prefer AQE. */
+  /** Salted join for skewed keys: replicate the small side `saltBuckets`×
+    * with an explicit salt, salt the big side pseudo-randomly, join on
+    * (key, salt) — the hot key's rows now shuffle to `saltBuckets` reducers
+    * instead of one. Salting matters exactly when the small side CANNOT be
+    * broadcast (too big, or bucketed inputs where AQE's skew split is
+    * unavailable); when it can, pass `broadcastSmall = true` and the salt
+    * merely rides along. Otherwise prefer AQE's skew-join handling. */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
       key: String,
-      saltBuckets: Int
+      saltBuckets: Int,
+      broadcastSmall: Boolean = false
   ): DataFrame = {
     val saltedBig = big.withColumn(
       "__salt", pmod(pmod(hash(col(key), monotonically_increasing_id()), lit(saltBuckets)) + lit(saltBuckets), lit(saltBuckets)))
-    val saltedSmall = small
+    val saltedSmall0 = small
       .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
-    saltedBig.join(broadcast(saltedSmall), Seq(key, "__salt")).drop("__salt")
+    val saltedSmall = if (broadcastSmall) broadcast(saltedSmall0) else saltedSmall0
+    saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
   /** Read a partitioned dataset with pruning-friendly defaults. */

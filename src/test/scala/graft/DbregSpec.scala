@@ -355,6 +355,26 @@ class DbregSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Dbreg.sqlOnly(fml, li, "lineitem", "nope") }
   }
 
+  test("fitGrouped: a million tiny groups solve executor-side, output stays distributed") {
+    import spark.implicits._
+    // 10^6 groups × 3 rows: the moment agg shuffles 10^6 small rows, every
+    // per-group Cholesky runs in the flatMap on executors, and the result
+    // is a distributed DataFrame — the driver never holds G×(p+1) rows
+    val g = 1000000L
+    val data = spark.range(3L * g).select(
+      (col("id") % g).as("grp"),
+      (col("id") % 7).cast("double").as("x"))
+      .withColumn("y", col("x") * 2.0 + (col("grp") % 11).cast("double"))
+    val fit = Dbreg.fitGrouped("y ~ x", data, "grp")
+    // no LocalTableScan: the plan must not route through a driver-side Seq
+    assert(!fit.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    assert(fit.count() == 2L * g) // (Intercept) + x per group
+    // spot-check: within every group y = 2x + c exactly, so slope = 2
+    val bad = fit.filter(col("term") === "x")
+      .filter(org.apache.spark.sql.functions.abs(col("estimate") - 2.0) > 1e-8).count()
+    assert(bad == 0L, s"$bad groups with wrong slope")
+  }
+
   test("fitGrouped: maxGroups guard neither overflows nor under-enforces") {
     // a near-Long.MaxValue guard must not overflow limit()'s Int argument
     val all = Dbreg.fitGrouped("y ~ x1 + x2", df, "grp", maxGroups = Long.MaxValue - 1)

@@ -34,6 +34,57 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.length >= 4) // all 4 identical pairs bucket together
   }
 
+  test("minhash LSH: a 1000-doc identical class never transits buckets") {
+    // exact classes collapse to one representative BEFORE banding, so even
+    // the most aggressive bucket cap (1) cannot prune a duplicate class —
+    // the within-class pairs come from fingerprint expansion, not the
+    // O(bucket²) candidate join. 1000 identical docs would otherwise put
+    // 10^6 candidate rows through every band.
+    val cls = (0 until 1000).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+    val lone = Seq((5000L, "completely different text with other words here"))
+    val pairs = Dedup.minhashPairs((cls ++ lone).toDF("doc_id", "text"),
+      "doc_id", "text", n = 2, threshold = 0.5, maxBucketSize = Some(1L))
+    assert(pairs.count() == 1000L * 999L / 2L) // the full pair list, C(1000,2)
+    assert(pairs.filter(col("jaccard") =!= 1.0).isEmpty)
+  }
+
+  test("minhash LSH bucket valve prunes residual hot buckets, exact pairs survive") {
+    // 60 DISTINCT near-identical docs (one unique trailing token each):
+    // after collapse they are 60 separate representatives colliding in the
+    // same bucket — exactly the residual-hot-bucket case the valve caps
+    val hot = (0 until 60).map(i =>
+      (100L + i, s"common alpha beta gamma delta epsilon zeta eta theta iota kappa u$i"))
+    val dups = Seq((9000L, "quick brown fox jumps over dogs"),
+      (9001L, "quick brown fox jumps over dogs"))
+    val d = (hot ++ dups).toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(d, "doc_id", "text", n = 2, threshold = 0.5,
+      maxBucketSize = Some(10L)).collect()
+    // the hot near-dup pairs are pruned; the exact-dup pair is immune
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((9000L, 9001L)))
+    assert(capped.head.getDouble(2) == 1.0)
+    // the uncapped baseline sees the hot cross pairs too
+    val open = Dedup.minhashPairs(d, "doc_id", "text", n = 2, threshold = 0.5,
+      maxBucketSize = None)
+    assert(open.count() > 1000L) // C(60,2) = 1770 hot pairs + the dup pair
+  }
+
+  test("minhash LSH cross-class expansion inherits representative jaccard") {
+    // two exact classes whose representatives are near-duplicates: every
+    // member-pair across the classes must surface with the rep-level score
+    val a = (1L to 3L).map(i => (i, "one two three four five"))
+    val b = (4L to 6L).map(i => (i, "one two three four six"))
+    val pairs = Dedup.minhashPairs((a ++ b).toDF("doc_id", "text"),
+      "doc_id", "text", n = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // within: C(3,2)=3 per class at 1.0; cross: 3×3=9 at the rep jaccard
+    assert(pairs.size == 15)
+    val within = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+    within.foreach(p => assert(pairs(p) == 1.0, s"$p"))
+    val crossScore = pairs((1L, 4L))
+    assert(crossScore == 3.0 / 5.0) // |A∩B|=3 of 4+4 shingles
+    for (x <- 1L to 3L; y <- 4L to 6L) assert(pairs((x, y)) == crossScore, s"($x,$y)")
+  }
+
   test("simhash: identical docs share signature, signatures vary") {
     val s = Dedup.simhash(docs.limit(50), "doc_id", "text")
     val sigs = s.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -107,6 +158,44 @@ class PipelineSpec extends SparkTestBase {
       maxShingleDocFreq = None)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(noCap.contains((3000L, 3001L)) && noCap.contains((2000L, 2001L)))
+  }
+
+  test("duplicate clusters equal a union-find oracle on seeded random graphs") {
+    // property test (seeded loop — scalacheck bridge isn't in the offline
+    // cache): random graphs up to n=200, compared against a driver-side
+    // union-find, across checkpointEvery settings that hit the boundary
+    // cases (every round, mid-loop, never-within-maxIter)
+    val rnd = new scala.util.Random(424242)
+    val configs = Seq((40, 1), (120, 2), (200, 7), (60, 25)) // (n, checkpointEvery)
+    configs.foreach { case (n, ckpt) =>
+      val nEdges = n + rnd.nextInt(n)
+      val edges = (0 until nEdges).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      // union-find oracle with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val minOfRoot = touched.groupBy(id => find(id.toInt)).map { case (r, ids) => r -> ids.min }
+      val expected = touched.map(id => id -> minOfRoot(find(id.toInt))).toMap
+      val got = Dedup.duplicateClusters(
+        edges.map(e => (e._1, e._2, 1.0)).toDF("id1", "id2", "jaccard"),
+        checkpointEvery = ckpt)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"n=$n ckpt=$ckpt: ${got.toSet.diff(expected.toSet).take(5)}")
+    }
   }
 
   test("duplicate clusters: 50-long chain converges within default maxIter") {
@@ -188,6 +277,54 @@ class PipelineSpec extends SparkTestBase {
     // feature vector shape
     val row = f1.filter(col("id") === 0).collect()(0)
     assert(row.getAs[scala.collection.Seq[Double]]("feature").length == 8)
+  }
+
+  test("BMP decode: closed-form channel means, bad input fails loudly") {
+    val id = 42L
+    val f = Multimodal.decodeBmp(id, Multimodal.syntheticBmp(id))
+    assert(f.width == 5 && f.height == 4)
+    // independent recomputation from the generator contract
+    def mean(c: Int): Double = {
+      val vs = for (r <- 0 until 4; x <- 0 until 5)
+        yield ((id * 31 + (54 + r * 16 + 3 * x + c)) % 256).toDouble
+      vs.sum / vs.length
+    }
+    assert(f.mean_b == mean(0) && f.mean_g == mean(1) && f.mean_r == mean(2))
+    // width not divisible by 4: padding must be skipped, not averaged in.
+    // A decoder that reads stride bytes as pixels shifts the means.
+    val wide = Multimodal.decodeBmp(7L, Multimodal.syntheticBmp(7L, width = 3, height = 2))
+    val expect3 = (for (r <- 0 until 2; x <- 0 until 3)
+      yield ((7L * 31 + (54 + r * 12 + 3 * x)) % 256).toDouble)
+    assert(wide.mean_b == expect3.sum / expect3.length)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp(1L, Array[Byte](1, 2, 3))
+    }
+    intercept[IllegalArgumentException] { // JPEG magic, not BMP
+      Multimodal.decodeBmp(1L, Array.fill[Byte](64)(0xff.toByte))
+    }
+  }
+
+  test("WAV decode: chunk walk skips unknown/odd chunks, samples signed LE") {
+    val id = 9L
+    val base = Multimodal.syntheticWav(id, nSamples = 64)
+    val f = Multimodal.decodeWav(id, base)
+    assert(f.n_samples == 64 && f.sample_rate == 8000)
+    val samples = (0 until 64).map(k => (id * 7 + k * 13) % 65536 - 32768)
+    assert(f.mean_amp == samples.sum.toDouble / 64)
+    assert(f.peak_amp == samples.map(math.abs).max)
+    // splice an odd-length unknown chunk between WAVE and fmt: a correct
+    // walker skips it (word-aligned) and still finds fmt/data
+    val junk = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = base.take(12) ++ junk ++ base.drop(12)
+    // fix the RIFF size field
+    val riffLen = spliced.length - 8
+    spliced(4) = (riffLen & 0xff).toByte; spliced(5) = ((riffLen >> 8) & 0xff).toByte
+    spliced(6) = ((riffLen >> 16) & 0xff).toByte; spliced(7) = ((riffLen >> 24) & 0xff).toByte
+    val g = Multimodal.decodeWav(id, spliced)
+    assert(g == f.copy())
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(1L, Array.fill[Byte](50)('x'))
+    }
   }
 
   test("frame sampling produces k frames per doc") {

@@ -99,4 +99,48 @@ class ScaleOpsSpec extends SparkTestBase {
     val salted = ScaleOps.saltedJoin(li, od, "l_orderkey", 4).count()
     assert(plain == salted)
   }
+
+  test("salted join bounds the hot key's partition, unsalted does not") {
+    // planted skew: 90% of the big side shares one key. With broadcast and
+    // AQE's skew split disabled (the regime saltedJoin exists for — e.g.
+    // bucketed inputs), the unsalted shuffle join lands the hot key on ONE
+    // reducer; salting spreads it over saltBuckets reducers. Assert on the
+    // physical partition sizes of the joined output, not just the values.
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevP = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val n = 100000L
+      val big = spark.range(n).select(
+        when(col("id") % 10 < 9, lit("hot"))
+          .otherwise(concat(lit("k"), (col("id") % 50).cast("string"))).as("key"),
+        col("id").as("v"))
+      val dims = (Seq("hot") ++ (0 until 50).map("k" + _)).map(k => (k, k.length))
+      val small = spark.createDataFrame(dims).toDF("key", "dim")
+
+      def partSizes(df: org.apache.spark.sql.DataFrame): Array[Int] =
+        df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+
+      val unsalted = big.join(small, "key")
+      val salted = ScaleOps.saltedJoin(big, small, "key", saltBuckets = 16)
+      // same join result
+      assert(unsalted.count() == salted.count())
+      val su = unsalted.agg(sum("v")).collect()(0).getLong(0)
+      val ss = salted.agg(sum("v")).collect()(0).getLong(0)
+      assert(su == ss)
+      // plan shape: the hot key dominates one unsalted partition (~90k rows);
+      // salted must spread it across reducers
+      val uMax = partSizes(unsalted).max
+      val sMax = partSizes(salted).max
+      assert(uMax >= (n * 0.9).toInt, s"expected hot key on one reducer, max=$uMax")
+      assert(sMax <= uMax / 3, s"salting did not spread the hot key: $sMax vs $uMax")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.conf.set("spark.sql.shuffle.partitions", prevP)
+    }
+  }
 }
