@@ -43,12 +43,18 @@ object Dedup {
       .normalizeParallelism(
         df.select(col(idCol).as("id"), col(textCol).as("__text")),
         df.sparkSession.sparkContext.defaultParallelism)
+      // STAGE the token array as a bound attribute before shingling: the
+      // wordShingles lambda references its input n+1 times per element, and
+      // HOF lambdas get no CSE — an inline tokens(text) would re-run the
+      // regex tokenize O(n·shingles) times per document (measured 20×+ at
+      // sf10). Multi-use attributes also block CollapseProject re-inlining.
+      .select(col("id"), TextOps.tokens(col("__text")).as("__toks"))
       .select(
         col("id"),
         // per-row array_distinct replaces a global DISTINCT: (id, shingle)
         // duplicates can only occur within one document, so deduping the
         // array before the explode gives the identical set with no shuffle
-        explode(array_distinct(TextOps.wordShingles(TextOps.tokens(col("__text")), n)))
+        explode(array_distinct(TextOps.wordShingles(col("__toks"), n)))
           .as("shingle"))
 
   /** Default hot-shingle valve for [[jaccardPairs]]: shingles appearing in
@@ -128,9 +134,11 @@ object Dedup {
       .normalizeParallelism(
         df.select(col(idCol).as("id"), col(textCol).as("__text")),
         df.sparkSession.sparkContext.defaultParallelism)
+      // staged tokens: same HOF-lambda re-evaluation trap as shingleSets
+      .select(col("id"), TextOps.tokens(col("__text")).as("__toks"))
       .select(
         col("id"),
-        array_distinct(TextOps.wordShingles(TextOps.tokens(col("__text")), n)).as("sharr"))
+        array_distinct(TextOps.wordShingles(col("__toks"), n)).as("sharr"))
 
   /** MinHash signature column from a shingle-array column: hash each
     * shingle once, then NumHashes `array_min`s of affine re-hashes. Pure
@@ -143,10 +151,23 @@ object Dedup {
     }: _*)
   }
 
+  /** Staged signature projection over a frame holding a `sharr` column:
+    * hash every shingle ONCE into a bound attribute, then take the 16
+    * affine minima from it. Passing [[minhashSigCol]] inline instead would
+    * re-evaluate the md5 hashing 16× per row — the hash array is referenced
+    * by every `array_min`, and top-level projections get no CSE across
+    * expressions (measured 16× the md5 cost at sf10). The multi-use
+    * attribute also blocks CollapseProject from re-inlining. */
+  private def withSig(sharrFrame: DataFrame, keep: Seq[String]): DataFrame =
+    sharrFrame
+      .select(keep.map(col) :+ transform(col("sharr"), s => TextOps.hash32(s) % MinhashP).as("__xs"): _*)
+      .select(keep.map(col) :+ array((0 until NumHashes).map { i =>
+        array_min(transform(col("__xs"), x => (x * minhashA(i) + minhashB(i)) % MinhashP))
+      }: _*).as("sig"): _*)
+
   /** MinHash signatures: one row per doc, `sig` = array of NumHashes minima. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
-    shingleArrays(df, idCol, textCol, n)
-      .select(col("id"), minhashSigCol(col("sharr")).as("sig"))
+    withSig(shingleArrays(df, idCol, textCol, n), Seq("id"))
 
   /** Signature aggregation over a precomputed (id, shingle) set — lets
     * callers compute/cache the shingle explosion once. */
@@ -226,10 +247,13 @@ object Dedup {
       .withColumn("__fp", md5(concat_ws("", array_sort(col("sharr")))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val memb = keyed.select(col("__fp"), col("id"))
-    val reps = keyed.groupBy("__fp").agg(min(col("id")).as("id"))
-    val repSh = keyed.join(reps, Seq("__fp", "id"))
+    // one keyed agg picks the representative AND carries its shingle array
+    // (any member's works: signature/Jaccard are set-level invariants) —
+    // no second join against the corpus
+    val repSh = keyed.groupBy("__fp")
+      .agg(min(col("id")).as("id"), min_by(col("sharr"), col("id")).as("sharr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = repSh.select(col("id"), minhashSigCol(col("sharr")).as("sig"))
+    val sigs = withSig(repSh, Seq("id"))
     val bk0 = lshBuckets(sigs)
     // bucket-size valve (post-collapse): drop residual hot buckets before
     // the O(bucket²) self-join, mirroring the jaccardPairs shingle valve

