@@ -49,6 +49,29 @@ class BinsregSpec extends SparkTestBase {
     assert(counts.min > 100 && counts.max < 400, s"counts: $counts") // ~200 each
   }
 
+  test("histQuantiles matches exact quantiles to the relErr contract") {
+    import org.apache.spark.sql.functions.col
+    val base = df.select(col("x")).filter(col("x").isNotNull)
+    val probs = Array(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val got = Dbbinsreg.histQuantiles(base, "x", probs, relErr = 1e-4)
+    val sorted = data.map(_.x).sorted
+    val range = sorted.last - sorted.head
+    probs.zip(got).foreach { case (p, q) =>
+      // exact order statistic at ceil(p*n); bound = one bucket width
+      val exact =
+        if (p <= 0.0) sorted.head
+        else if (p >= 1.0) sorted.last
+        else sorted(math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1))
+      assert(math.abs(q - exact) <= range * 1e-3 + 1e-12,
+        s"p=$p: hist=$q exact=$exact (range=$range)")
+    }
+    // endpoints are the exact min/max
+    assert(got.head == sorted.head && got.last == sorted.last)
+    // degenerate: constant column collapses to a single break
+    val const = df.select((col("x") * 0.0 + 5.0).as("x"))
+    assert(Dbbinsreg.histQuantiles(const, "x", probs, 1e-4).toSeq == Seq(5.0))
+  }
+
   test("degree-1 unconstrained matches dense per-bin linear model") {
     val r = Dbbinsreg.fit("y ~ x", df, nbins = 4, binspos = "es", degree = 1)
     // dense: X = [1_b, 1_b * u_b] per bin
