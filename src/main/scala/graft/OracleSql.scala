@@ -306,6 +306,35 @@ object OracleSql {
     "q65_sqlgen_mundlak" -> graft.reg.SqlGen.sqlOnlyWithLevels(
       Queries.SqlGenSmallFormula, Queries.SqlGenLevels, "lineitem", "mundlak"),
 
+    // histogram-CDF quantile breaks: the oracle recomputes the same
+    // 1024-bucket histogram and within-bucket linear interpolation in SQL.
+    // Every step is the identical IEEE-double expression (w = (mx-mn)/1024,
+    // bucket = least(floor((x-mn)/w), 1023), break = mn + w*(b + (p*n -
+    // cum_below)/count_b)), so the breaks are bit-identical cross-engine.
+    "q69_hist_quantile_breaks" ->
+      """WITH stats AS (
+        |  SELECT min(CAST(l_quantity AS DOUBLE)) AS mn,
+        |         max(CAST(l_quantity AS DOUBLE)) AS mx,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |hist AS (
+        |  SELECT CAST(least(floor((CAST(l_quantity AS DOUBLE) - s.mn)
+        |           / ((s.mx - s.mn) / 1024)), 1023) AS INT) AS b,
+        |         CAST(count(*) AS DOUBLE) AS c
+        |  FROM lineitem, stats s WHERE l_quantity IS NOT NULL GROUP BY 1),
+        |cumh AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum FROM hist),
+        |probs AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS prob),
+        |sel AS (
+        |  SELECT p.prob, min(h.b) AS b
+        |  FROM probs p JOIN cumh h ON h.cum >= p.prob * (SELECT n FROM stats)
+        |  GROUP BY p.prob)
+        |SELECT sel.prob AS prob,
+        |  s.mn + ((s.mx - s.mn) / 1024) * (sel.b
+        |    + (sel.prob * s.n
+        |       - COALESCE((SELECT max(c2.cum) FROM cumh c2 WHERE c2.b < sel.b), 0))
+        |      / (SELECT c3.c FROM cumh c3 WHERE c3.b = sel.b)) AS qbreak
+        |FROM sel, stats s ORDER BY prob""".stripMargin,
+
     // K13 Lagrange: identical expression tree (same association, constant
     // denominators) so doubles are bit-identical cross-engine
     "q66_lagrange_interp" ->

@@ -478,6 +478,18 @@ object Queries {
         .toDF().orderBy("doc_id")
     }),
 
+    // ---- K12 at scale: histogram-CDF quantile breaks (the "qs" binning
+    // path — replaces approxQuantile; see PLANS.md §12). Deterministic
+    // double arithmetic, so the DuckDB oracle re-derives the identical
+    // interpolated breaks from the same 1024-bucket histogram. ----
+    "q69_hist_quantile_breaks" -> ((s, dir) => {
+      import s.implicits._
+      val probs = Array(0.1, 0.25, 0.5, 0.75, 0.9)
+      val b = li(s, dir).select(col("l_quantity")).filter(col("l_quantity").isNotNull)
+      val qs = graft.binsreg.Dbbinsreg.histQuantiles(b, "l_quantity", probs, relErr = 1e-3)
+      probs.zip(qs).toSeq.toDF("prob", "qbreak").orderBy("prob")
+    }),
+
     // ---- K10: binscatter points (per-bin mean + pooled-sigma SE) ----
     "q28_binsreg_points" -> ((s, dir) => {
       val r = graft.binsreg.Dbbinsreg.fit(
