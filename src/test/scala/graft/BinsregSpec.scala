@@ -72,6 +72,37 @@ class BinsregSpec extends SparkTestBase {
     assert(Dbbinsreg.histQuantiles(const, "x", probs, 1e-4).toSeq == Seq(5.0))
   }
 
+  test("histQuantiles property: within one bucket width of the exact order statistic") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val probs = Array(0.05, 0.25, 0.5, 0.75, 0.95)
+    val shapes: Seq[(String, Int => Double)] = Seq(
+      ("uniform", _ => rng.nextDouble() * 100),
+      ("exponential-skew", _ => -math.log(rng.nextDouble() + 1e-12) * 10),
+      ("few-distinct", _ => (rng.nextInt(7) * 13).toDouble),
+      ("spike-90pct", i => if (i % 10 == 0) rng.nextDouble() * 50 else 42.0))
+    for ((name, gen) <- shapes; trial <- 1 to 3) {
+      val n = 500 + rng.nextInt(2500)
+      val xs = (0 until n).map(gen)
+      val df = xs.toDF("x")
+      // relErr=1e-3 floors at 1024 buckets -> bound is one bucket width
+      val got = Dbbinsreg.histQuantiles(df.select(col("x")), "x", probs, 1e-3)
+      val sorted = xs.sorted
+      val width = (sorted.last - sorted.head) / 1024.0
+      if (sorted.head == sorted.last) {
+        assert(got.toSeq == Seq(sorted.head), s"$name/$trial constant")
+      } else {
+        assert(got.toSeq == got.toSeq.sorted, s"$name/$trial monotone: ${got.toSeq}")
+        probs.zip(got).foreach { case (p, q) =>
+          val exact = sorted(math.min(n - 1, math.ceil(p * n).toInt - 1))
+          assert(math.abs(q - exact) <= width + 1e-9,
+            s"$name/$trial p=$p: hist=$q exact=$exact width=$width n=$n")
+        }
+      }
+    }
+  }
+
   test("degree-1 unconstrained matches dense per-bin linear model") {
     val r = Dbbinsreg.fit("y ~ x", df, nbins = 4, binspos = "es", degree = 1)
     // dense: X = [1_b, 1_b * u_b] per bin
