@@ -156,6 +156,45 @@ class DbregSpec extends SparkTestBase {
     assertClose(fit.se("x2"), seIid(2), 1e-7, "se x2")
   }
 
+  test("demean/mundlak above the inline-means threshold take the join branch (120 levels)") {
+    // InlineMeansMaxLevels = 64: every other FE test uses tiny factors, so
+    // this is the only coverage of the broadcast-join tier of
+    // withMeanColumns. 120 units × 3 periods, balanced.
+    val rng = new scala.util.Random(7)
+    val rows = for (u <- 0 until 120; t <- 0 until 3) yield {
+      val x = rng.nextGaussian() + (u % 10) * 0.1
+      val y = 0.7 * x + (u % 13) * 0.3 + t * 0.2 + rng.nextGaussian() * 0.3
+      (y, x, s"u$u", s"t$t")
+    }
+    val wdf = spark.createDataFrame(rows).toDF("y", "x1", "unit", "time")
+    val m = rows.length
+    val units = rows.map(_._3).distinct.sorted
+    val times = rows.map(_._4).distinct.sorted
+    def dense(extra: Seq[((Double, Double, String, String)) => Double], dfRes: Double) = {
+      val fns = Seq((_: (Double, Double, String, String)) => 1.0,
+        (r: (Double, Double, String, String)) => r._2) ++ extra
+      val x = DenseMatrix.tabulate(m, fns.length)((i, j) => fns(j)(rows(i)))
+      val y = DenseVector(rows.map(_._1).toArray)
+      DensePanel.ols(x, y, dfRes)
+    }
+    // 1 FE (join branch for the unit means)
+    val du = units.tail.map(u => (r: (Double, Double, String, String)) =>
+      if (r._3 == u) 1.0 else 0.0)
+    val (b1, se1, _) = dense(du, m - 1.0 - units.size)
+    val fit1 = Dbreg.fit("y ~ x1 | unit", wdf, strategy = "demean")
+    assertClose(fit1.coef("x1"), b1(1), 1e-7, "wide demean beta")
+    assertClose(fit1.se("x1"), se1(1), 1e-7, "wide demean se")
+    // 2 FE: unit takes the join branch, time the inline branch, overall a literal
+    val dt = times.tail.map(t => (r: (Double, Double, String, String)) =>
+      if (r._4 == t) 1.0 else 0.0)
+    val (b2, _, _) = dense(du ++ dt, m - 1.0 - (units.size + times.size - 1))
+    val fit2 = Dbreg.fit("y ~ x1 | unit + time", wdf, strategy = "demean")
+    assertClose(fit2.coef("x1"), b2(1), 1e-7, "wide twfe beta")
+    // mundlak with a >64-level mean join: CRE slope equals the within slope
+    val fitM = Dbreg.fit("y ~ x1 | unit", wdf, strategy = "mundlak")
+    assertClose(fitM.coef("x1"), fit1.coef("x1"), 1e-7, "wide mundlak beta")
+  }
+
   test("compress with FE equals demean coefficients") {
     val c = Dbreg.fit("y ~ x1 + x2 | unit", df, strategy = "compress")
     val d = Dbreg.fit("y ~ x1 + x2 | unit", df, strategy = "demean")
