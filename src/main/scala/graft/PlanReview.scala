@@ -56,6 +56,28 @@ object PlanReview {
     show("brute-force kNN") {
       graft.pipeline.Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(0L, 1L), 5)
     }
+    // 7. histogram quantile breaks (PLANS.md §12): both scans narrow, the
+    // bucket groupBy partial+final, at most `buckets` rows on the exchange
+    show("histQuantiles bucket histogram") {
+      val base = li.select(col("l_quantity")).filter(col("l_quantity").isNotNull)
+      val x = col("l_quantity").cast("double")
+      base.groupBy(least(floor((x - 1.0) / ((50.0 - 1.0) / 1024)), lit(1023))
+          .cast("int").as("__b"))
+        .agg(count(lit(1)).as("__c"))
+    }
+    // 8. inline means (PLANS.md §3 tier 1): a <=64-level demean moment
+    // pass is ONE projection over the scan — no join operator in the plan
+    // (the fitted plan is consumed inside fit(), so re-derive its shape)
+    show("demean with inlined means (no join)") {
+      val b = li.select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("y"))
+      val means = b.groupBy("l_returnflag").agg(avg("y").as("ym")).collect()
+      val lookup = means.foldLeft(lit(null).cast("double")) { (acc, r) =>
+        when(col("l_returnflag") === lit(r.getString(0)),
+          lit(r.getDouble(1))).otherwise(acc)
+      }
+      b.select((col("y") - lookup).as("yt")).agg(sum(col("yt") * col("yt")))
+    }
     spark.stop()
   }
 }
