@@ -309,10 +309,14 @@ object Dedup {
     *
     * Iterative joins grow the logical plan without bound, so every
     * `checkpointEvery` rounds (clamped to ≤5 — see `stretch` below; plan
-    * TREES expand exponentially between truncations) the label table is eagerly
-    * `localCheckpoint`ed — lineage is truncated and all earlier cached
+    * TREES expand exponentially between truncations) the label table is
+    * eagerly checkpointed — lineage is truncated and all earlier cached
     * frames released. Deep chains (pathological dup graphs) therefore run
-    * in bounded planning time and bounded storage. */
+    * in bounded planning time and bounded storage. When the session has a
+    * reliable checkpoint dir configured (`sc.setCheckpointDir`), the
+    * truncation uses `checkpoint()` so a long job survives executor loss
+    * (preemption is routine on big clusters); otherwise `localCheckpoint()`
+    * — executor-local blocks, fine for single-node/ephemeral runs. */
   def duplicateClusters(
       pairs: DataFrame,
       maxIter: Int = 20,
@@ -359,8 +363,12 @@ object Dedup {
           least(prop("label"), coalesce(col("__llabel"), prop("label"))).as("label"))
       val ckptRound = (i + 1) % stretch == 0 || i + 1 == maxIter
       val updated =
-        if (ckptRound) raw.localCheckpoint() // eager: materializes + cuts lineage
-        else raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (ckptRound) {
+          // eager either way: materializes + cuts lineage. Reliable when a
+          // checkpoint dir is configured (survives executor loss at scale).
+          if (raw.sparkSession.sparkContext.getCheckpointDir.isDefined) raw.checkpoint()
+          else raw.localCheckpoint()
+        } else raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = updated.as("u")
         .join(labels.as("l"), "id")
         .filter(col("u.label") =!= col("l.label"))

@@ -209,6 +209,29 @@ class PipelineSpec extends SparkTestBase {
     assert(cl.forall(_._2 == 0L), s"unconverged labels: ${cl.filter(_._2 != 0L).take(5).toSeq}")
   }
 
+  test("duplicate clusters: reliable checkpoint path when a checkpoint dir is set") {
+    // on clusters, sc.setCheckpointDir makes the lineage truncation use
+    // reliable checkpoint() (survives executor loss); assert same labels
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val had = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = (0L until 20L).map(i => (i, i + 1, 1.0)).toDF("id1", "id2", "jaccard")
+      val cl = Dedup.duplicateClusters(pairs, checkpointEvery = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(cl.length == 21 && cl.forall(_._2 == 0L))
+      // the reliable branch actually ran: checkpoint files exist under dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "expected reliable checkpoint files on disk")
+    } finally {
+      // restore: Spark has no unset; point the shared session back at the
+      // prior dir if there was one, else at a scratch dir other tests ignore
+      spark.sparkContext.setCheckpointDir(had.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-rest").toString))
+    }
+  }
+
   test("kmeans accepts array<double> embeddings like the rest of the similarity API") {
     val dbl = embs.withColumn("embedding", col("embedding").cast("array<double>"))
     val (assigned, cents) = Similarity.kmeans(dbl, "vec_id", "embedding", k = 2, iters = 1, dim = 64)
