@@ -67,7 +67,10 @@ object Dbbinsreg {
       relErr: Double
   ): Array[Double] = {
     val x = col(xvar).cast("double")
-    val r = base.agg(min(x).as("mn"), max(x).as("mx"), count(x).as("n")).collect()(0)
+    // NaN passes isNotNull and would poison max() and every break; exclude
+    // it like the reference's na.rm quantiles do
+    val clean = base.filter(!isnan(x))
+    val r = clean.agg(min(x).as("mn"), max(x).as("mx"), count(x).as("n")).collect()(0)
     if (r.isNullAt(0) || r.getLong(2) == 0L) return Array.empty
     val (mn, mx, n) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
     if (mn == mx) return Array(mn)
@@ -75,7 +78,7 @@ object Dbbinsreg {
     val w = (mx - mn) / buckets
     val bucketCol = least(floor((x - mn) / w), lit(buckets - 1)).cast("int")
     val hist = new Array[Long](buckets)
-    base.groupBy(bucketCol.as("__b")).agg(count(lit(1)).as("__c"))
+    clean.groupBy(bucketCol.as("__b")).agg(count(lit(1)).as("__c"))
       .collect().foreach(row => hist(row.getInt(0)) = row.getLong(1))
     val cum = hist.scanLeft(0L)(_ + _) // cum(i) = rows strictly below bucket i
     probs.map { p =>

@@ -70,6 +70,13 @@ class BinsregSpec extends SparkTestBase {
     // degenerate: constant column collapses to a single break
     val const = df.select((col("x") * 0.0 + 5.0).as("x"))
     assert(Dbbinsreg.histQuantiles(const, "x", probs, 1e-4).toSeq == Seq(5.0))
+    // NaN rows are excluded (na.rm semantics), not propagated into breaks
+    import spark.implicits._
+    val withNan = df.select(col("x"))
+      .unionAll(Seq(Double.NaN, Double.NaN).toDF("x"))
+    val gotNan = Dbbinsreg.histQuantiles(withNan, "x", probs, 1e-4)
+    assert(gotNan.forall(v => !v.isNaN))
+    assert(gotNan.head == sorted.head && gotNan.last == sorted.last)
   }
 
   test("histQuantiles property: within one bucket width of the exact order statistic") {
