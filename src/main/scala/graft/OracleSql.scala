@@ -700,6 +700,34 @@ object OracleSql {
          |WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.5
          |ORDER BY id1, id2""".stripMargin,
 
+    "q70_contamination" ->
+      s"""WITH $ShingleSets,
+         |bsh AS (SELECT DISTINCT shingle FROM sh WHERE id % 37 = 0),
+         |h AS (SELECT s.id, count(*) AS n_shingles,
+         |             count(b.shingle) AS n_contaminated
+         |      FROM sh s LEFT JOIN bsh b ON s.shingle = b.shingle
+         |      GROUP BY s.id)
+         |SELECT id, n_shingles, n_contaminated,
+         |  n_contaminated::DOUBLE / n_shingles AS contamination
+         |FROM h
+         |WHERE n_contaminated::DOUBLE / n_shingles >= 0.8
+         |ORDER BY id""".stripMargin,
+
+    "q71_repetition" ->
+      s"""WITH t AS (SELECT doc_id AS id, ${toks("text")} AS t FROM documents),
+         |tok AS (SELECT id, unnest(t) AS tok FROM t),
+         |tc AS (SELECT id, count(*) AS n_tokens,
+         |              count(DISTINCT tok) AS nd FROM tok GROUP BY id),
+         |bg AS (SELECT id, unnest(${bigrams("t")}) AS b FROM t),
+         |bgc AS (SELECT id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         |top AS (SELECT id, max(c)::DOUBLE / sum(c)::DOUBLE AS top_bigram_frac
+         |        FROM bgc GROUP BY id)
+         |SELECT tc.id, tc.n_tokens,
+         |  tc.nd::DOUBLE / tc.n_tokens AS distinct_token_ratio,
+         |  top.top_bigram_frac
+         |FROM tc LEFT JOIN top USING (id)
+         |ORDER BY tc.id""".stripMargin,
+
     "q57_dedup_corpus" ->
       s"""WITH $ShingleSets,
          |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),

@@ -78,6 +78,13 @@ object PlanReview {
       }
       b.select((col("y") - lookup).as("yt")).agg(sum(col("yt") * col("yt")))
     }
+    // 9. contamination probe: benchmark shingle set broadcast (BuildRight
+    // of a BroadcastHashJoin), corpus side a narrow explode — the corpus
+    // is shuffled only by the final partial+final agg on doc id
+    show("benchmark contamination (broadcast probe)") {
+      graft.pipeline.Dedup.contamination(
+        docs, docs.filter(col("doc_id") % 37 === 0), "doc_id", "text", 2)
+    }
     spark.stop()
   }
 }

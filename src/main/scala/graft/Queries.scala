@@ -685,6 +685,20 @@ object Queries {
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids"))
     }),
 
+    // decontamination: corpus docs sharing ≥ 80% of their bigram shingles
+    // with a benchmark set (a deterministic doc_id-slice stands in for the
+    // held-out suite); benchmark shingle set broadcast, corpus never shuffled
+    "q70_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contamination(d, d.filter(col("doc_id") % 37 === 0), "doc_id", "text", n = 2)
+        .filter(col("contamination") >= 0.8)
+        .orderBy("id")
+    }),
+
+    // quality: Gopher-style repetition signals, shuffle-free per-row arrays
+    "q71_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(docs(s, dir), "doc_id", "text").orderBy("id")),
+
     // similarity: distributed k-means (2 Lloyd iterations, cosine
     // assignment, deterministic init from the k lowest-id vectors) —
     // cluster membership summary

@@ -406,6 +406,51 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark-contamination check (the GPT-3-style train/test
+    * decontamination measure, Brown et al. 2020 appendix C): for every
+    * corpus document, the fraction of its DISTINCT word n-gram shingles
+    * that appear anywhere in a benchmark corpus. Documents above a caller
+    * -chosen fraction get dropped before training.
+    *
+    * Scale shape: benchmark suites are tiny next to a training corpus
+    * (thousands of docs vs billions), so the benchmark's distinct shingle
+    * set is broadcast by default and the corpus streams through a map-side
+    * left probe — the corpus shingles are never shuffled; the only shuffle
+    * is the final partial+final aggregate keyed on doc id. For an oversized
+    * benchmark set `broadcastBenchmark = false` keeps the same plan as a
+    * shingle-keyed shuffled join — still linear, never corpus×corpus.
+    *
+    * Returns (id, n_shingles, n_contaminated, contamination) — one row per
+    * corpus doc with ≥ 1 shingle (a doc shorter than n tokens has no
+    * n-gram measure, matching the reference decontamination recipes that
+    * skip sub-n fragments). Same unique-id precondition as [[shingleSets]].
+    */
+  def contamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      broadcastBenchmark: Boolean = true
+  ): DataFrame = {
+    val cs = shingleSets(corpus, idCol, textCol, n)
+    val bs0 = shingleSets(benchmark, idCol, textCol, n)
+      .select(col("shingle"))
+      .distinct()
+    val bs = (if (broadcastBenchmark) broadcast(bs0) else bs0)
+      .withColumn("__hit", lit(1L))
+    // benchmark side is distinct ⇒ the left join preserves corpus-shingle
+    // multiplicity exactly; count/sum then aggregate per doc map-side first
+    cs.join(bs, Seq("shingle"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn(
+        "contamination",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** 16-bit SimHash over unigram tokens: bit k of the signature is the sign
     * of Σ_tokens (±1 by bit k of the token hash). One explode + one groupBy. */
   val SimhashBits = 16

@@ -15,15 +15,19 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
-  /** Word n-gram shingles (space-joined) from a token array. */
+  /** Word n-gram shingles (space-joined) from a token array. Empty for
+    * docs with fewer than n tokens — `sequence(1, stop)` DESCENDS when
+    * stop < 1 (yielding [1, 0] and an out-of-bounds element_at), so the
+    * short-doc case must branch before the sequence, not clamp inside it. */
   def wordShingles(toks: Column, n: Int): Column = {
     require(n >= 1)
     if (n == 1) toks
     else
-      transform(
-        sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)
-      )
+      when(size(toks) < n, array().cast("array<string>")).otherwise(
+        transform(
+          sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)
+        ))
   }
 
   /** Whitespace token count. */
@@ -235,5 +239,52 @@ object TextOps {
           (coalesce(col("c_w1"), lit(0L)) + lit(vocab.toDouble))))
       .groupBy("id")
       .agg(avg(col("logp")).as("lm_score"), count(lit(1)).as("n_bigrams"))
+  }
+
+  /** Gopher-style repetition signals per document (Rae et al. 2021, table
+    * A1: repetitious text is a dominant low-quality mode): token count,
+    * distinct-token ratio, and the fraction of word-bigram occurrences
+    * taken by the single most frequent bigram. Entirely per-row array
+    * expressions — sort the bigram array, then a run-length scan with
+    * `aggregate` — so the operator is a shuffle-free narrow projection at
+    * any corpus size. (The corpus-level alternative, explode + (id, bigram)
+    * counts, pays a full shuffle for a per-row answer.)
+    *
+    * Returns (id, n_tokens, distinct_token_ratio, top_bigram_frac); the
+    * ratios are null for docs with 0 tokens / < 2 tokens respectively.
+    * Arrays are STAGED as bound attributes between projections — see
+    * [[winnowFingerprints]] for why inlining multi-use HOF inputs is O(n²).
+    */
+  def repetitionStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val staged = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      .select(col("id"), col("__t"),
+        array_sort(wordShingles(col("__t"), 2)).as("__bg"))
+    // longest equal run in the sorted bigram array = max multiplicity;
+    // state is (prev element, current run, best run)
+    val bestRun = aggregate(
+      col("__bg"),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    staged.select(
+      col("id"),
+      size(col("__t")).cast("bigint").as("n_tokens"),
+      when(size(col("__t")) === 0, lit(null).cast("double"))
+        .otherwise(size(array_distinct(col("__t"))).cast("double") /
+          size(col("__t")).cast("double"))
+        .as("distinct_token_ratio"),
+      when(size(col("__bg")) === 0, lit(null).cast("double"))
+        .otherwise(bestRun.cast("double") / size(col("__bg")).cast("double"))
+        .as("top_bigram_frac"))
   }
 }

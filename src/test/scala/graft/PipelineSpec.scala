@@ -411,4 +411,37 @@ class PipelineSpec extends SparkTestBase {
     // distinct docs should not all collide into one set
     assert(fp.values.toSet.size > 1)
   }
+
+  test("contamination: known bigram overlap, broadcast and shuffled paths agree") {
+    // corpus doc 1 "a b c d" → bigrams {ab, bc, cd}; benchmark "b c d e" →
+    // {bc, cd, de}: contamination 2/3. Doc 2 shares nothing. Doc 3 is an
+    // exact benchmark copy → 1.0.
+    val corpus = Seq(
+      (1L, "a b c d"), (2L, "x y z w"), (3L, "b c d e")).toDF("doc_id", "text")
+    val bench = Seq((100L, "b c d e")).toDF("doc_id", "text")
+    def run(bcast: Boolean) =
+      Dedup.contamination(corpus, bench, "doc_id", "text", n = 2, broadcastBenchmark = bcast)
+        .orderBy("id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val got = run(bcast = true)
+    assert(got == Seq((1L, 3L, 2L, 2.0 / 3.0), (2L, 3L, 0L, 0.0), (3L, 3L, 3L, 1.0)))
+    assert(run(bcast = false) == got)
+  }
+
+  test("repetition stats: hand-computed ratios, degenerate docs get nulls") {
+    // "x x x y": 4 tokens, 2 distinct → ratio 0.5; sorted bigrams
+    // [x x, x x, x y] → best run 2 of 3 → 2/3. "p q": one bigram → 1.0.
+    // "solo": no bigram → null frac. "": no tokens → both null.
+    val df = Seq(
+      (1L, "x x x y"), (2L, "p q"), (3L, "solo"), (4L, "")).toDF("doc_id", "text")
+    val rows = TextOps.repetitionStats(df, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(4L, 2L, 1L, 0L))
+    assert(rows(0).getDouble(2) == 0.5 && rows(0).getDouble(3) == 2.0 / 3.0)
+    assert(rows(1).getDouble(2) == 1.0 && rows(1).getDouble(3) == 1.0)
+    assert(rows(2).getDouble(2) == 1.0 && rows(2).isNullAt(3))
+    assert(rows(3).isNullAt(2) && rows(3).isNullAt(3))
+  }
 }
