@@ -94,17 +94,27 @@ object Bench {
       })
     )
 
+    // optional subset selector for big-SF runs (e.g. the 180M-row baseline
+    // replication only needs the fit queries): comma-separated names or
+    // prefixes; unset = full workload
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case None => workload
+      case Some(sel) =>
+        val keys = sel.split(",").map(_.trim).filter(_.nonEmpty)
+        workload.filter { case (name, _) => keys.exists(name.startsWith) }
+    }
+
     // warmup: touch parquet footers, JIT/codegen every workload's codepath,
     // and materialize the persisted intermediates some pipelines share —
     // the timed iterations then measure warm steady-state throughput
     li.count(); docs.count(); emb.count()
     Dbreg.fit("l_extendedprice ~ l_quantity", li, strategy = "moments")
-    workload.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
     }
 
-    val results = workload.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to Iters).map { _ =>
         val t0 = System.nanoTime()
         try fn()

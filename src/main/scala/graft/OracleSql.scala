@@ -728,6 +728,54 @@ object OracleSql {
          |FROM tc LEFT JOIN top USING (id)
          |ORDER BY tc.id""".stripMargin,
 
+    "q72_simhash_pairs" -> {
+      // brute-force all-pairs Hamming filter — the LSH banding in
+      // Dedup.simhashPairs has perfect recall at maxHamming < nBands, so
+      // the engine's banded result must equal this exact computation
+      val bitSums = (0 until Dedup.SimhashBits)
+        .map(k => s"sum(CASE WHEN (x >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS b$k")
+        .mkString(",\n ")
+      val value = (0 until Dedup.SimhashBits)
+        .map(k => s"CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id AS id, unnest(${toks("text")}) AS tok
+         |  FROM documents),
+         |hx AS (SELECT id, ${hash32("tok")} AS x FROM tok),
+         |bits AS (SELECT id, $bitSums FROM hx GROUP BY id),
+         |sig AS (SELECT id, ($value)::BIGINT AS simhash FROM bits)
+         |SELECT a.id AS id1, b.id AS id2,
+         |  bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+         |FROM sig a JOIN sig b ON a.id < b.id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id1, id2""".stripMargin
+    },
+
+    "q73_pii_scrub" -> {
+      import graft.pipeline.TextOps
+      // identical plant expression as the Spark side, rendered in SQL.
+      // Single line: a leading `||` after a margin would lose one pipe to
+      // the OUTER template's stripMargin.
+      val plant = Seq(
+        "text", "' contact user'", "doc_id::VARCHAR", "'@example.com'",
+        "' ip 10.'", "(doc_id % 256)::VARCHAR", "'.0.1'",
+        "' call +1 415-555-'", "lpad((doc_id % 10000)::VARCHAR, 4, '0')",
+        "CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END",
+        "' see https://example.com/a?b=c'"
+      ).mkString(" || ")
+      val countCols = TextOps.PiiPatterns.map { case (name, pat, _) =>
+        s"len(regexp_extract_all(text, '$pat'))::BIGINT AS n_$name"
+      }.mkString(",\n  ")
+      val redacted = TextOps.PiiPatterns.foldLeft("text") {
+        case (acc, (_, pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
+      }
+      s"""WITH planted AS (SELECT doc_id, $plant AS text FROM documents)
+         |SELECT doc_id,
+         |  $countCols,
+         |  md5($redacted) AS redacted_md5
+         |FROM planted
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q57_dedup_corpus" ->
       s"""WITH $ShingleSets,
          |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),

@@ -699,6 +699,35 @@ object Queries {
     "q71_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(docs(s, dir), "doc_id", "text").orderBy("id")),
 
+    // dedup: SimHash near-dup pairs via bit-band LSH + exact popcount
+    // verify. maxHamming=3 → 4 bands: pigeonhole makes recall perfect, so
+    // the result equals the brute-force all-pairs filter the oracle runs.
+    "q72_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("id1", "id2")),
+
+    // PII scrub: per-category counts + redacted-text fingerprint over a
+    // deterministically PII-planted corpus (the raw testdata has no PII,
+    // so the plant makes every count column non-trivial; the oracle plants
+    // the identical strings)
+    "q73_pii_scrub" -> ((s, dir) => {
+      val planted = docs(s, dir).select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"),
+          lit(" call +1 415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          when(col("doc_id") % 3 === 0, lit(" ssn 123-45-6789")).otherwise(lit("")),
+          lit(" see https://example.com/a?b=c")
+        ).as("text"))
+      val counts = TextOps.piiCounts(col("text")).map { case (n, c) => c.as(s"n_$n") }
+      planted.select(
+        col("doc_id") +: counts :+
+          md5(TextOps.redactPii(col("text"))).as("redacted_md5"): _*)
+        .orderBy("doc_id")
+    }),
+
     // similarity: distributed k-means (2 Lloyd iterations, cosine
     // assignment, deterministic init from the k lowest-id vectors) —
     // cluster membership summary

@@ -451,25 +451,120 @@ object Dedup {
         col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
   }
 
-  /** 16-bit SimHash over unigram tokens: bit k of the signature is the sign
-    * of Σ_tokens (±1 by bit k of the token hash). One explode + one groupBy. */
+  /** Default SimHash width: bit k of the signature is the sign of
+    * Σ_tokens (±1 by bit k of the token hash). 16 bits keeps the signature
+    * arithmetic oracle-friendly; [[simhashPairs]] at corpus scale should use
+    * `bits = 32` (wider buckets — see the Scaladoc there). */
   val SimhashBits = 16
 
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash signature per document: one explode + one groupBy (map-side
+    * partials), so the corpus is shuffled once, keyed on the doc id. Bit k
+    * (k < bits ≤ 32) is taken from bit k of the 32-bit token hash, so
+    * narrowing `bits` is a pure truncation — the default 16-bit signature
+    * is the low half of the 32-bit one. */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = SimhashBits): DataFrame = {
+    require(bits >= 1 && bits <= 32, s"simhash bits must be in [1,32], got $bits")
     val tok = df
       .select(col(idCol).as("id"),
         explode(TextOps.tokens(col(textCol))).as("tok"))
-      .withColumn("x", TextOps.hash32(col("tok")) % 65536)
-    val bitSums = (0 until SimhashBits).map { k =>
+      .withColumn("x", TextOps.hash32(col("tok")))
+    val bitSums = (0 until bits).map { k =>
       sum(when(shiftright(col("x"), k) % 2 === 1, 1).otherwise(-1)).as(s"b$k")
     }
     tok.groupBy("id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(
         col("id"),
-        (0 until SimhashBits)
-          .map(k => when(col(s"b$k") > 0, math.pow(2, k).toLong).otherwise(0L))
+        (0 until bits)
+          .map(k => when(col(s"b$k") > 0, 1L << k).otherwise(0L))
           .reduce((a, b) => a + b)
           .as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs within Hamming distance `maxHamming`,
+    * found by bit-band LSH (Manku et al., WWW 2007 shape): split the
+    * signature into `maxHamming + 1` equal bit bands — any two signatures
+    * within the distance agree exactly on at least one band (pigeonhole),
+    * so a (band, band-bits) equi-self-join has PERFECT recall and the
+    * verify step (`bit_count(s1 ^ s2)`, codegen'd) makes precision exact.
+    * No approximation anywhere: the result equals the brute-force
+    * all-pairs filter, which is what the oracle computes.
+    *
+    * Scale shape mirrors [[minhashPairs]]: docs collapse to one
+    * representative per DISTINCT signature before banding (identical-doc
+    * classes contribute one row to the join, not O(class²)); candidates,
+    * verification, and re-expansion are all keyed equi-joins; residual hot
+    * buckets are capped by `maxBucketSize`. One structural caveat the
+    * MinHash path doesn't have: a band holds `bits / (maxHamming+1)` bits,
+    * so the bucket key space is only 2^bandBits — at 16 bits × 4 bands
+    * that is 16 buckets/band, which saturates on large corpora. At scale
+    * use `bits = 32` (256 buckets/band at maxHamming 3) and rely on the
+    * representative collapse + cap; production systems widen further
+    * (64-bit sigs), which our md5-derived 32-bit token hash can't express
+    * without a second hash column — documented trade-off for oracle
+    * bit-compatibility.
+    *
+    * Returns (id1, id2, hamming), id1 < id2. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bits: Int = SimhashBits,
+      maxBucketSize: Option[Long] = Some(DefaultMaxBucketSize)
+  ): DataFrame = {
+    val nBands = maxHamming + 1
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(bits % nBands == 0,
+      s"bits ($bits) must be divisible by maxHamming + 1 ($nBands) for equal bit bands")
+    val w = bits / nBands
+    val sigs = simhash(df, idCol, textCol, bits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signature-class collapse: identical docs (and distinct docs that
+    // happen to collide on all bits — hamming 0 by definition) enter the
+    // banded join as ONE representative row
+    val reps = sigs.groupBy("simhash").agg(min(col("id")).as("id"))
+    val bandCols = (0 until nBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        (shiftright(col("simhash"), b * w) % lit(1L << w)).as("bucket"))
+    }
+    val bk0 = reps
+      .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bk = maxBucketSize match {
+      case None => bk0
+      case Some(cap) =>
+        val ok = bk0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= cap)
+          .select("band", "bucket")
+        bk0.join(ok, Seq("band", "bucket"), "left_semi")
+    }
+    // candidate = share any band; verify = exact popcount of the XOR —
+    // both sigs ride along with the band rows, so no join back to reps
+    val repPairs = bk.as("a")
+      .join(bk.as("b"), Seq("band", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("rid1"), col("b.id").as("rid2"),
+        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .filter(col("hamming") <= maxHamming)
+    // expansion: every member of each signature class inherits its
+    // representative's verified pairs; within-class pairs are hamming 0
+    val memb = sigs
+    val cross = repPairs
+      .join(memb.select(col("simhash").as("s1"), col("id").as("__ida")), "s1")
+      .join(memb.select(col("simhash").as("s2"), col("id").as("__idb")), "s2")
+      .select(
+        least(col("__ida"), col("__idb")).as("id1"),
+        greatest(col("__ida"), col("__idb")).as("id2"),
+        col("hamming"))
+    val within = memb.as("x")
+      .join(memb.as("y"), col("x.simhash") === col("y.simhash") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"), lit(0).as("hamming"))
+    cross.unionAll(within)
   }
 }

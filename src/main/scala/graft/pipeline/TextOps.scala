@@ -115,6 +115,46 @@ object TextOps {
     lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2
   }
 
+  /** PII patterns (Dolma/CCNet-style scrub taggers). Deliberately the
+    * Java-regex ∩ RE2 common subset — no lookaround, ASCII classes only —
+    * so Spark's codegen'd regexp functions and the DuckDB oracle match
+    * byte-for-byte. Conservative by design: high-precision shapes (emails,
+    * dotted IPv4, NANP-ish phones, SSN-format ids, absolute http(s) URLs),
+    * not an NER pass — the standard cheap pre-training scrub. */
+  val UrlPattern = "https?://\\S+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "(\\+?\\d{1,3}[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val SsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** (name, pattern, replacement token) in REDACTION ORDER: URLs swallow
+    * embedded emails/digits first, emails next (their local part would
+    * otherwise feed the digit patterns), then the digit shapes from most
+    * to least specific (SSN's fixed 3-2-4 layout before the looser phone,
+    * phone before bare IPv4). Counting uses the same order-independent
+    * patterns; redaction applies them sequentially. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("url", UrlPattern, "<URL>"),
+    ("email", EmailPattern, "<EMAIL>"),
+    ("ssn", SsnPattern, "<SSN>"),
+    ("phone", PhonePattern, "<PHONE>"),
+    ("ipv4", Ipv4Pattern, "<IP>")
+  )
+
+  /** Per-category PII match counts as (name → count column). Pure
+    * regexp_count projections — codegen'd, no shuffle, linear scan. */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (name, pat, _) =>
+      name -> regexp_count(text, lit(pat)).cast("long")
+    }
+
+  /** Redact all PII categories with placeholder tokens, in
+    * [[PiiPatterns]] order. Chained regexp_replace — one projection. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
   /** Exact content fingerprint: md5 of whitespace-normalized lowercase text.
     * (Identical expression exists in every SQL engine ⇒ oracle-friendly.) */
   def fingerprint(text: Column): Column =

@@ -31,15 +31,21 @@ import org.apache.spark.sql.functions._
   * with `partitions` part-files, so reads split across cores — the
   * driver-shipped single-row-group files cannot (see PLANS.md).
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> <factor> [partitions]
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> <factor> [partitions] [tables]
+  * `tables` = comma list (default lineitem,documents,embeddings) — big-factor
+  * runs that only need one table (the 178M-row baseline replication) skip
+  * the rest.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: ScaleUp <srcSfDir> <dstDir> <factor> [partitions]")
+    require(args.length >= 3, "usage: ScaleUp <srcSfDir> <dstDir> <factor> [partitions] [tables]")
     val src = args(0)
     val dst = args(1)
     val factor = args(2).toInt
     val partitions = if (args.length > 3) args(3).toInt else 32
+    val tables: Set[String] =
+      (if (args.length > 4) args(4).split(",").map(_.trim).toSet
+       else Set("lineitem", "documents", "embeddings"))
     require(factor >= 1, s"factor must be >= 1, got $factor")
 
     val spark = SparkSession.builder()
@@ -53,49 +59,56 @@ object ScaleUp {
     def replicate(df: DataFrame)(transform: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(r => transform(df, r)).reduce(_ unionAll _)
 
+    val keyStride = 1L << 40 // far above any driver-generated key
+
     // lineitem: shift the order key past the source key space per replica.
-    val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val keyStride = 1L << 40 // far above any driver-generated orderkey
-    val liScaled = replicate(li) { (d, r) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + lit(r * keyStride))
+    if (tables("lineitem")) {
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val liScaled = replicate(li) { (d, r) =>
+        d.withColumn("l_orderkey", col("l_orderkey") + lit(r * keyStride))
+      }
+      liScaled.repartition(partitions)
+        .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
     }
-    liScaled.repartition(partitions)
-      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
     // documents: salt every token for r > 0 (replica 0 stays verbatim).
     // Salting each token rewrites every shingle, so MinHash/Jaccard see
     // zero cross-replica similarity while within-replica pairs persist.
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    val docsScaled = replicate(docs) { (d, r) =>
-      if (r == 0) d
-      else {
-        val salted = concat_ws(" ",
-          transform(split(col("text"), " "), w => concat(w, lit(s"q$r"))))
-        d.withColumn("doc_id", col("doc_id") + lit(r * keyStride))
-          .withColumn("text", salted)
-          .withColumn("n_chars", length(salted))
+    if (tables("documents")) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val docsScaled = replicate(docs) { (d, r) =>
+        if (r == 0) d
+        else {
+          val salted = concat_ws(" ",
+            transform(split(col("text"), " "), w => concat(w, lit(s"q$r"))))
+          d.withColumn("doc_id", col("doc_id") + lit(r * keyStride))
+            .withColumn("text", salted)
+            .withColumn("n_chars", length(salted))
+        }
       }
+      docsScaled.repartition(partitions)
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
     }
-    docsScaled.repartition(partitions)
-      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
     // embeddings: rotate the vector by r to decorrelate replicas; cast back
     // to array<float> so the schema matches the driver's tables.
-    val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val embScaled = replicate(emb) { (d, r) =>
-      if (r == 0) d
-      else {
-        val e = col("embedding")
-        val rot = lit(r) % size(e) // keep the shift inside the vector length
-        val rotated = concat(slice(e, rot + lit(1), size(e) - rot), slice(e, lit(1), rot))
-        d.withColumn("vec_id", col("vec_id") + lit(r * keyStride))
-          .withColumn("embedding", rotated.cast("array<float>"))
+    if (tables("embeddings")) {
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val embScaled = replicate(emb) { (d, r) =>
+        if (r == 0) d
+        else {
+          val e = col("embedding")
+          val rot = lit(r) % size(e) // keep the shift inside the vector length
+          val rotated = concat(slice(e, rot + lit(1), size(e) - rot), slice(e, lit(1), rot))
+          d.withColumn("vec_id", col("vec_id") + lit(r * keyStride))
+            .withColumn("embedding", rotated.cast("array<float>"))
+        }
       }
+      embScaled.repartition(partitions)
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     }
-    embScaled.repartition(partitions)
-      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
-    val rows = Seq("lineitem", "documents", "embeddings").map { t =>
+    val rows = tables.toSeq.sorted.map { t =>
       t -> spark.read.parquet(s"$dst/$t.parquet").count()
     }
     println(rows.map { case (t, n) => s"$t=$n" }.mkString(s"[scaleup] x$factor -> $dst: ", ", ", ""))

@@ -444,4 +444,75 @@ class PipelineSpec extends SparkTestBase {
     assert(rows(2).getDouble(2) == 1.0 && rows(2).isNullAt(3))
     assert(rows(3).isNullAt(2) && rows(3).isNullAt(3))
   }
+
+  private def bruteSimhashPairs(df: org.apache.spark.sql.DataFrame, maxH: Int, bits: Int) = {
+    val sigs = Dedup.simhash(df, "doc_id", "text", bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    (for {
+      (i1, s1) <- sigs; (i2, s2) <- sigs if i1 < i2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= maxH
+    } yield (i1, i2, h)).toSet
+  }
+
+  test("simhash pairs equal brute force at 16 and 32 bits (perfect recall)") {
+    val d = docs.limit(60)
+    for (bits <- Seq(16, 32)) {
+      val got = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3, bits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == bruteSimhashPairs(d, 3, bits), s"bits=$bits")
+    }
+  }
+
+  test("simhash pairs: identical class collapses to one rep, pairs expand at hamming 0") {
+    // 30 copies of one doc: the banded join sees ONE representative (even
+    // with the tightest bucket cap), yet all C(30,2) pairs come back
+    val base = docs.limit(1).select(col("text")).as[String].head()
+    val df = (0 until 30).map(i => (i.toLong, base)).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(df, "doc_id", "text",
+      maxBucketSize = Some(1L))
+    assert(got.count() == 30L * 29 / 2)
+    assert(got.agg(max(col("hamming"))).head().getInt(0) == 0)
+  }
+
+  test("simhash pairs bucket valve prunes cross-class candidates only") {
+    val d = docs.limit(40)
+    // cap 0 kills every banded candidate; only exact-signature classes pair
+    val capped = Dedup.simhashPairs(d, "doc_id", "text", maxBucketSize = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped == bruteSimhashPairs(d, 0, 16))
+  }
+
+  test("PII counts and redaction: planted categories, clean text untouched") {
+    val df = Seq(
+      (1L, "mail a.b-c%d@sub.example.org now"),
+      (2L, "call (415) 555-0123 or +44 20 7946 0958 x"), // 2nd: not NANP shape → only the first counts
+      (3L, "ssn 123-45-6789 host 192.168.0.1"),
+      (4L, "see https://ex.com/p?q=1#f and http://b.io"),
+      (5L, "no pii here, just words 42 and 7")
+    ).toDF("doc_id", "text")
+    val out = df.select(
+      col("doc_id") +:
+        TextOps.piiCounts(col("text")).map { case (n, c) => c.as(s"n_$n") } :+
+        TextOps.redactPii(col("text")).as("red"): _*)
+      .orderBy("doc_id").collect()
+    def counts(r: org.apache.spark.sql.Row) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    // columns: url, email, ssn, phone, ipv4 (PiiPatterns order)
+    assert(counts(out(0)) == ((0L, 1L, 0L, 0L, 0L)))
+    assert(counts(out(1)) == ((0L, 0L, 0L, 1L, 0L)))
+    assert(counts(out(2)) == ((0L, 0L, 1L, 0L, 1L)))
+    assert(counts(out(3)) == ((2L, 0L, 0L, 0L, 0L)))
+    assert(counts(out(4)) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(out(0).getString(6) == "mail <EMAIL> now")
+    assert(out(1).getString(6) == "call <PHONE> or +44 20 7946 0958 x")
+    assert(out(2).getString(6) == "ssn <SSN> host <IP>")
+    assert(out(3).getString(6) == "see <URL> and <URL>")
+    assert(out(4).getString(6) == "no pii here, just words 42 and 7")
+  }
+
+  test("PII: ssn redacts before the looser phone pattern, ip survives phone pass") {
+    val df = Seq((1L, "id 123-45-6789 tel 415-555-0123 at 10.1.2.3")).toDF("doc_id", "text")
+    val red = df.select(TextOps.redactPii(col("text"))).head().getString(0)
+    assert(red == "id <SSN> tel <PHONE> at <IP>")
+  }
 }
