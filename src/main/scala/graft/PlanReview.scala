@@ -85,6 +85,20 @@ object PlanReview {
       graft.pipeline.Dedup.contamination(
         docs, docs.filter(col("doc_id") % 37 === 0), "doc_id", "text", 2)
     }
+    // 10. simhash pairs (PLANS.md §15): one keyed agg for signatures, one
+    // for the class collapse, (band,bucket)-keyed candidate join, codegen'd
+    // popcount verify — no corpus×corpus product anywhere
+    show("simhash pair search (banded)") {
+      graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text")
+    }
+    // 11. PII scrub: pure regexp projections — a single WholeStageCodegen
+    // span over the scan, no exchange
+    show("PII counts + redaction (narrow)") {
+      docs.select(
+        col("doc_id") +:
+          graft.pipeline.TextOps.piiCounts(col("text")).map { case (n, c) => c.as(s"n_$n") } :+
+          graft.pipeline.TextOps.redactPii(col("text")).as("red"): _*)
+    }
     spark.stop()
   }
 }
