@@ -776,6 +776,21 @@ object OracleSql {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "q74_chunking" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+         |c AS (SELECT doc_id, t,
+         |        CASE WHEN len(t) = 0 THEN 0
+         |             ELSE greatest(ceil((len(t) - 4)::DOUBLE / 12)::INT, 1) END AS nc
+         |      FROM t),
+         |x AS (SELECT doc_id,
+         |        unnest(list_transform(range(0, nc),
+         |          i -> struct_pack(ci := i, ch := list_slice(t, i*12+1, i*12+16)))) AS u
+         |      FROM c)
+         |SELECT doc_id, (u.ci)::INTEGER AS chunk_idx,
+         |  array_to_string(u.ch, ' ') AS chunk_text,
+         |  len(u.ch)::INTEGER AS n_chunk_tokens
+         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "q57_dedup_corpus" ->
       s"""WITH $ShingleSets,
          |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),

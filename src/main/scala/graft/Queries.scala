@@ -728,6 +728,12 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // context-window chunking: fixed-size token chunks with overlap —
+    // narrow posexplode, no shuffle; the corpus-rewrite shape
+    "q74_chunking" -> ((s, dir) =>
+      TextOps.chunkDocs(docs(s, dir), "doc_id", "text", chunkTokens = 16, overlap = 4)
+        .orderBy("doc_id", "chunk_idx")),
+
     // similarity: distributed k-means (2 Lloyd iterations, cosine
     // assignment, deterministic init from the k lowest-id vectors) —
     // cluster membership summary

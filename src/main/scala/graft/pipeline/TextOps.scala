@@ -155,6 +155,51 @@ object TextOps {
       regexp_replace(acc, pat, repl)
     }
 
+  /** Fixed-size token chunking with overlap — the context-window
+    * preparation step between cleaning and tokenization: each document
+    * becomes ceil((n_tokens − overlap) / stride) chunks of up to
+    * `chunkTokens` tokens, consecutive chunks sharing `overlap` tokens
+    * (stride = chunkTokens − overlap). Token-less documents produce no
+    * chunks; a document shorter than one chunk produces exactly one.
+    *
+    * Shape: tokenize once into a staged attribute (the chunk lambda
+    * references the array per element — see the HOF staging note on
+    * [[winnowFingerprints]]), build all chunk slices as one per-row array
+    * expression, then a single posexplode. Narrow end-to-end: no shuffle,
+    * no UDFs, output partitioning inherits the scan — the right shape for
+    * a 100 TB corpus rewrite.
+    *
+    * Returns (idCol, chunk_idx, chunk_text, n_chunk_tokens). */
+  def chunkDocs(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int = 0
+  ): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    val staged = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val n = size(col("__toks"))
+    val nChunks = when(n === 0, lit(0)).otherwise(
+      greatest(ceil((n - lit(overlap)).cast("double") / stride).cast("int"), lit(1)))
+    val chunks = staged.select(
+      col(idCol),
+      col("__toks"),
+      when(nChunks === 0, array().cast("array<array<string>>")).otherwise(
+        transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("__toks"), i * stride + 1, lit(chunkTokens)))).as("__chunks"))
+    chunks
+      .select(col(idCol), posexplode(col("__chunks")).as(Seq("chunk_idx", "__c")))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        concat_ws(" ", col("__c")).as("chunk_text"),
+        size(col("__c")).as("n_chunk_tokens"))
+  }
+
   /** Exact content fingerprint: md5 of whitespace-normalized lowercase text.
     * (Identical expression exists in every SQL engine ⇒ oracle-friendly.) */
   def fingerprint(text: Column): Column =

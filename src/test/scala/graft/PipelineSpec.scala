@@ -515,4 +515,30 @@ class PipelineSpec extends SparkTestBase {
     val red = df.select(TextOps.redactPii(col("text"))).head().getString(0)
     assert(red == "id <SSN> tel <PHONE> at <IP>")
   }
+
+  test("chunkDocs: overlap stride, short docs one chunk, empty docs none") {
+    // 10 tokens, chunk 4, overlap 1 → stride 3 → ceil(9/3) = 3 chunks
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y"), // shorter than one chunk → exactly one
+      (3L, "")     // no tokens → no chunks
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(df, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).toSeq == Seq(
+      (1L, 0, "a b c d", 4),
+      (1L, 1, "d e f g", 4),
+      (1L, 2, "g h i j", 4),
+      (2L, 0, "x y", 2)))
+  }
+
+  test("chunkDocs: zero overlap partitions exactly; every token appears once") {
+    val df = Seq((7L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(df, "doc_id", "text", chunkTokens = 4)
+      .orderBy("chunk_idx").collect()
+    assert(out.length == 3) // ceil(11/4)
+    assert(out.map(_.getInt(3)).toSeq == Seq(4, 4, 3))
+    val joined = out.map(_.getString(2)).mkString(" ")
+    assert(joined == (1 to 11).map(i => s"t$i").mkString(" "))
+  }
 }
