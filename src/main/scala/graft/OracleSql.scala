@@ -791,6 +791,41 @@ object OracleSql {
          |  len(u.ch)::INTEGER AS n_chunk_tokens
          |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    "q75_url_domains" -> {
+      import graft.pipeline.TextOps
+      val plant = Seq(
+        "text", "' see https://site'", "(doc_id % 7)::VARCHAR",
+        "'.example.org/p/'", "doc_id::VARCHAR",
+        "' and http://cdn.example.net/x?y='", "(doc_id % 3)::VARCHAR"
+      ).mkString(" || ")
+      s"""WITH planted AS (SELECT doc_id, $plant AS text FROM documents),
+         |u AS (SELECT doc_id, unnest(regexp_extract_all(text, '${TextOps.UrlPattern}')) AS url
+         |      FROM planted)
+         |SELECT regexp_extract(url, '${TextOps.UrlDomainPattern}', 1) AS domain,
+         |  count(*)::BIGINT AS n_urls,
+         |  count(DISTINCT doc_id)::BIGINT AS n_docs
+         |FROM u GROUP BY 1 ORDER BY domain""".stripMargin
+    },
+
+    "q76_hash_split" -> {
+      // thresholds computed by the SAME Scala expression as
+      // ScaleOps.hashSplit, so the float boundaries agree to the bit
+      // (Double.toString round-trips in DuckDB)
+      val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val total = weights.map(_._2).sum
+      val cum = weights.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+      val cases = weights.zip(cum).init
+        .map { case ((n, _), c) => s"WHEN u < $c THEN '$n'" }
+        .mkString(" ")
+      s"""WITH s AS (SELECT doc_id,
+         |  ${hash32("'s1' || doc_id::VARCHAR")} / 4294967296.0 AS u
+         |  FROM documents),
+         |lab AS (SELECT doc_id,
+         |  CASE $cases ELSE '${weights.last._1}' END AS split FROM s)
+         |SELECT split, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS sum_ids
+         |FROM lab GROUP BY 1 ORDER BY split""".stripMargin
+    },
+
     "q57_dedup_corpus" ->
       s"""WITH $ShingleSets,
          |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),

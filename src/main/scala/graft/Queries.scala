@@ -734,6 +734,33 @@ object Queries {
       TextOps.chunkDocs(docs(s, dir), "doc_id", "text", chunkTokens = 16, overlap = 4)
         .orderBy("doc_id", "chunk_idx")),
 
+    // URL/domain extraction + per-domain rollup (CCNet scores sources by
+    // domain, not just documents). Plant deterministic URLs — raw testdata
+    // has none; the oracle plants the identical strings.
+    "q75_url_domains" -> ((s, dir) => {
+      val planted = docs(s, dir).select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string"),
+          lit(" and http://cdn.example.net/x?y="), (col("doc_id") % 3).cast("string")
+        ).as("text"))
+      TextOps.extractUrls(planted, "doc_id", "text")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("domain")
+    }),
+
+    // deterministic weighted split: md5-keyed assignment, reproducible
+    // across engines/partitions/reruns (randomSplit is neither)
+    "q76_hash_split" -> ((s, dir) =>
+      graft.sources.ScaleOps.hashSplit(docs(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s1")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy("split")),
+
     // similarity: distributed k-means (2 Lloyd iterations, cosine
     // assignment, deterministic init from the k lowest-id vectors) —
     // cluster membership summary

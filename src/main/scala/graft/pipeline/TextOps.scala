@@ -155,6 +155,29 @@ object TextOps {
       regexp_replace(acc, pat, repl)
     }
 
+  /** Registrable-host capture group for [[UrlPattern]] matches: scheme,
+    * then everything up to the first `/ : ? #`. Same Java∩RE2 subset as
+    * the PII patterns. */
+  val UrlDomainPattern = "https?://([^/:?#\\s]+)"
+
+  /** Extracted URLs with their host domain, one row per match:
+    * (idCol, url, domain). regexp_extract_all + one explode — narrow, the
+    * explode inherits the scan's partitioning. The CCNet-style shape:
+    * group downstream quality signals by `domain` to score sources, not
+    * just documents. */
+  def extractUrls(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame =
+    df.select(
+        col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).as("url"))
+      .select(
+        col(idCol),
+        col("url"),
+        regexp_extract(col("url"), UrlDomainPattern, 1).as("domain"))
+
   /** Fixed-size token chunking with overlap — the context-window
     * preparation step between cleaning and tokenization: each document
     * becomes ceil((n_tokens − overlap) / stride) chunks of up to

@@ -112,4 +112,37 @@ object ScaleOps {
   /** Read a partitioned dataset with pruning-friendly defaults. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Deterministic train/val/test (or any weighted) split: a pure
+    * projection assigning each row a split label from the md5-derived
+    * hash of its key — reproducible across engines, machines, partitions,
+    * and reruns (unlike `randomSplit`, which depends on partition layout).
+    * Changing `salt` re-deals the assignment; adding rows never moves
+    * existing ones between splits. No shuffle — the label is a narrow
+    * column; write with [[writePartitioned]] on it for pruned reads.
+    *
+    * `weights` are (label, weight) in order; they are normalized, and the
+    * row goes to the first label whose cumulative share exceeds the key's
+    * hash fraction u ∈ [0, 1). */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      weights: Seq[(String, Double)],
+      salt: String = "",
+      splitCol: String = "split"
+  ): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    val total = weights.map(_._2).sum
+    // u in [0,1): 32-bit md5 prefix over 2^32 (same hash as MinHash/SimHash
+    // ⇒ bit-identical SQL oracle)
+    val u = graft.pipeline.TextOps
+      .hash32(concat(lit(salt), col(keyCol).cast("string")))
+      .cast("double") / lit(4294967296.0)
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val label = weights.zip(cum).init.foldRight(lit(weights.last._1)) {
+      case (((name, _), c), acc) => when(u < c, name).otherwise(acc)
+    }
+    df.withColumn(splitCol, label)
+  }
 }

@@ -532,6 +532,21 @@ class PipelineSpec extends SparkTestBase {
       (2L, 0, "x y", 2)))
   }
 
+  test("extractUrls: per-match rows with host domains; no-url docs vanish") {
+    val df = Seq(
+      (1L, "x https://a.example.org/p?q=1 mid http://b.io/z y"),
+      (2L, "no urls"),
+      (3L, "tail https://a.example.org")
+    ).toDF("doc_id", "text")
+    val out = TextOps.extractUrls(df, "doc_id", "text")
+      .orderBy("doc_id", "url").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, "http://b.io/z", "b.io"),
+      (1L, "https://a.example.org/p?q=1", "a.example.org"),
+      (3L, "https://a.example.org", "a.example.org")))
+  }
+
   test("chunkDocs: zero overlap partitions exactly; every token appears once") {
     val df = Seq((7L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
     val out = TextOps.chunkDocs(df, "doc_id", "text", chunkTokens = 4)

@@ -143,4 +143,32 @@ class ScaleOpsSpec extends SparkTestBase {
       spark.conf.set("spark.sql.shuffle.partitions", prevP)
     }
   }
+
+  test("hashSplit: total partition, rough proportions, layout-independent") {
+    val df = spark.range(10000).toDF("id")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val split = ScaleOps.hashSplit(df, "id", w, salt = "s")
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L) // every row exactly one label
+    assert(math.abs(counts("train") - 8000L) < 400, counts.toString)
+    assert(math.abs(counts("val") - 1000L) < 200, counts.toString)
+    // deterministic under a different physical layout
+    val again = ScaleOps.hashSplit(df.repartition(17), "id", w, salt = "s")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
+  test("hashSplit: adding rows never reassigns existing ones; salt re-deals") {
+    val w = Seq("a" -> 0.5, "b" -> 0.5)
+    def labels(n: Long, salt: String) =
+      ScaleOps.hashSplit(spark.range(n).toDF("id"), "id", w, salt)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val small = labels(100, "x")
+    val grown = labels(1000, "x")
+    assert(small.forall { case (id, l) => grown(id) == l })
+    val redealt = labels(100, "y")
+    assert(redealt != small) // overwhelmingly likely for 100 coin flips
+  }
 }
