@@ -115,6 +115,35 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("PII redaction and chunking run unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.TextOps
+    val texts = Seq(
+      (1L, "mail a@b.co then one two three four five six"),
+      (2L, "at 10.0.0.1 alpha beta gamma delta"))
+    val input = MemoryStream[(Long, String)]
+    val out = TextOps.chunkDocs(
+      input.toDF().toDF("id", "text")
+        .select(col("id"), TextOps.redactPii(col("text")).as("text")),
+      "id", "text", chunkTokens = 4, overlap = 0)
+    val q = out.writeStream.format("memory").queryName("pchunk").outputMode("append").start()
+    input.addData(texts: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("pchunk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    q.stop()
+    val batch = TextOps.chunkDocs(
+      spark.createDataFrame(texts).toDF("id", "text")
+        .select(col("id"), TextOps.redactPii(col("text")).as("text")),
+      "id", "text", chunkTokens = 4, overlap = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(streamed == batch)
+    // chunk text is lowercased by the tokenizer, so the tokens appear as
+    // <email>/<ip> — the redaction demonstrably happened upstream
+    assert(streamed.exists(_._3.contains("<email>")))
+    assert(streamed.exists(_._3.contains("<ip>")))
+  }
+
   test("streaming sessionization closes sessions by gap and by timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
