@@ -826,6 +826,23 @@ object OracleSql {
          |FROM lab GROUP BY 1 ORDER BY split""".stripMargin
     },
 
+    "q77_ccnet_buckets" ->
+      s"""WITH toks AS (SELECT doc_id AS id, ${toks("text")} AS t FROM documents),
+         |bg AS (SELECT id, unnest(${bigrams("t")}) AS bg FROM toks),
+         |bgw AS (SELECT id, bg, string_split(bg, ' ')[1] AS w1 FROM bg),
+         |bgc AS (SELECT bg, count(*) AS c_bg FROM bgw GROUP BY bg),
+         |uni AS (SELECT unnest(t) AS w1 FROM toks),
+         |unic AS (SELECT w1, count(*) AS c_w1 FROM uni GROUP BY w1),
+         |v AS (SELECT count(*)::DOUBLE AS vocab FROM unic),
+         |scores AS (SELECT id, avg(ln((c_bg + 1.0) / (c_w1 + vocab))) AS lm_score
+         |  FROM bgw JOIN bgc USING (bg) JOIN unic USING (w1) CROSS JOIN v
+         |  GROUP BY id),
+         |b AS (SELECT id, lm_score,
+         |  ntile(3) OVER (ORDER BY lm_score, id) AS bucket FROM scores)
+         |SELECT bucket::INTEGER AS bucket, count(*)::BIGINT AS n,
+         |  avg(lm_score) AS avg_score, max(lm_score) AS max_score
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "q57_dedup_corpus" ->
       s"""WITH $ShingleSets,
          |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),

@@ -752,6 +752,21 @@ object Queries {
         .orderBy("domain")
     }),
 
+    // CCNet-style perplexity bucketing: corpus LM scores → head/middle/tail
+    // terciles → per-bucket stats. Exact-parity query uses a total-order
+    // NTILE (id tiebreak); the engine-scale path bins via histQuantiles
+    // (same note as q16).
+    "q77_ccnet_buckets" -> ((s, dir) => {
+      val scores = TextOps.bigramLmScores(docs(s, dir), "doc_id", "text")
+      scores
+        .withColumn("bucket",
+          ntile(3).over(Window.orderBy(col("lm_score"), col("id"))))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), avg(col("lm_score")).as("avg_score"),
+          max(col("lm_score")).as("max_score"))
+        .orderBy("bucket")
+    }),
+
     // deterministic weighted split: md5-keyed assignment, reproducible
     // across engines/partitions/reruns (randomSplit is neither)
     "q76_hash_split" -> ((s, dir) =>

@@ -556,4 +556,42 @@ class PipelineSpec extends SparkTestBase {
     val joined = out.map(_.getString(2)).mkString(" ")
     assert(joined == (1 to 11).map(i => s"t$i").mkString(" "))
   }
+
+  test("chunkDocs: random lengths/params reconstruct the document (seeded property)") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 12) {
+      val chunkTokens = 2 + rng.nextInt(8)
+      val overlap = rng.nextInt(chunkTokens)
+      val stride = chunkTokens - overlap
+      val docs = (0 until 25).map { id =>
+        (id.toLong, Seq.fill(rng.nextInt(40))("w" + rng.nextInt(1000)).mkString(" "))
+      }
+      val byId = docs.toMap
+      val rows = TextOps.chunkDocs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        chunkTokens, overlap)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+        .groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty).toSeq
+        val chunks = rows.getOrElse(id, Array.empty).sortBy(_._2)
+        if (toks.isEmpty) assert(chunks.isEmpty)
+        else {
+          // indices contiguous from 0; sizes within bound and as declared
+          assert(chunks.map(_._2).toSeq == chunks.indices.toSeq)
+          assert(chunks.forall(c => c._4 >= 1 && c._4 <= chunkTokens))
+          assert(chunks.forall(c => c._3.split(" ").length == c._4))
+          // dropping the overlap from every chunk after the first
+          // reconstructs the document exactly
+          val rebuilt = chunks.head._3.split(" ").toSeq ++
+            chunks.tail.toSeq.flatMap(_._3.split(" ").drop(overlap).toSeq)
+          assert(rebuilt == toks, s"id=$id ct=$chunkTokens ov=$overlap")
+          // chunk i starts at i*stride
+          chunks.foreach { c =>
+            assert(c._3.split(" ").head == toks(c._2 * stride))
+          }
+        }
+      }
+    }
+  }
 }
