@@ -123,7 +123,10 @@ object ScaleOps {
     *
     * `weights` are (label, weight) in order; they are normalized, and the
     * row goes to the first label whose cumulative share exceeds the key's
-    * hash fraction u ∈ [0, 1). */
+    * hash fraction u ∈ [0, 1). A NULL key hashes to NULL and therefore
+    * falls through every `u < c` test to the LAST label — filter nulls
+    * first (or pick a dedicated trailing label for them) if that matters;
+    * a per-row require is impossible in a pure projection. */
   def hashSplit(
       df: DataFrame,
       keyCol: String,

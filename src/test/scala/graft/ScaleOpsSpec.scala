@@ -160,6 +160,15 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(again == counts)
   }
 
+  test("hashSplit: null keys fall to the last label (documented contract)") {
+    val df = spark.createDataFrame(
+      Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
+    ).toDF("id", "tag")
+    val out = ScaleOps.hashSplit(df, "id", Seq("train" -> 0.5, "rest" -> 0.5))
+      .collect().map(r => Option(r.get(0)).map(_.toString).orNull -> r.getString(2)).toMap
+    assert(out(null) == "rest")
+  }
+
   test("hashSplit: adding rows never reassigns existing ones; salt re-deals") {
     val w = Seq("a" -> 0.5, "b" -> 0.5)
     def labels(n: Long, salt: String) =
