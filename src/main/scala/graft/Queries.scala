@@ -702,8 +702,11 @@ object Queries {
     // dedup: SimHash near-dup pairs via bit-band LSH + exact popcount
     // verify. maxHamming=3 → 4 bands: pigeonhole makes recall perfect, so
     // the result equals the brute-force all-pairs filter the oracle runs.
+    // bits pinned to the 16-bit oracle signature (q34); the operator's
+    // scale default is the full 32-bit signature
     "q72_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3,
+        bits = Dedup.SimhashBits)
         .orderBy("id1", "id2")),
 
     // PII scrub: per-category counts + redacted-text fingerprint over a

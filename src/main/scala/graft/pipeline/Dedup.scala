@@ -496,13 +496,13 @@ object Dedup {
     * verification, and re-expansion are all keyed equi-joins; residual hot
     * buckets are capped by `maxBucketSize`. One structural caveat the
     * MinHash path doesn't have: a band holds `bits / (maxHamming+1)` bits,
-    * so the bucket key space is only 2^bandBits — at 16 bits × 4 bands
-    * that is 16 buckets/band, which saturates on large corpora. At scale
-    * use `bits = 32` (256 buckets/band at maxHamming 3) and rely on the
-    * representative collapse + cap; production systems widen further
-    * (64-bit sigs), which our md5-derived 32-bit token hash can't express
-    * without a second hash column — documented trade-off for oracle
-    * bit-compatibility.
+    * so the bucket key space is only 2^bandBits — narrow signatures
+    * saturate buckets on large corpora, which is why the DEFAULT here is
+    * the full 32-bit signature (256 buckets/band at maxHamming 3), not
+    * the 16-bit [[SimhashBits]] the q34 oracle pins. Production systems
+    * widen further (64-bit sigs), which the md5-derived 32-bit token hash
+    * can't express without a second hash column — documented trade-off
+    * for oracle bit-compatibility.
     *
     * Returns (id1, id2, hamming), id1 < id2. */
   def simhashPairs(
@@ -510,7 +510,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      bits: Int = SimhashBits,
+      bits: Int = 32,
       maxBucketSize: Option[Long] = Some(DefaultMaxBucketSize)
   ): DataFrame = {
     val nBands = maxHamming + 1

@@ -477,9 +477,10 @@ class PipelineSpec extends SparkTestBase {
   test("simhash pairs bucket valve prunes cross-class candidates only") {
     val d = docs.limit(40)
     // cap 0 kills every banded candidate; only exact-signature classes pair
+    // (default signature width = 32 bits, the scale default)
     val capped = Dedup.simhashPairs(d, "doc_id", "text", maxBucketSize = Some(0L))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(capped == bruteSimhashPairs(d, 0, 16))
+    assert(capped == bruteSimhashPairs(d, 0, 32))
   }
 
   test("PII counts and redaction: planted categories, clean text untouched") {
