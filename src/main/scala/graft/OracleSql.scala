@@ -843,6 +843,63 @@ object OracleSql {
          |  avg(lm_score) AS avg_score, max(lm_score) AS max_score
          |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    // SemDeDup: q56's deterministic k-means chain (same init, 2 Lloyd
+    // iterations), then within-cell pairwise cosine pruning to the min-id
+    // representative
+    "q78_semdedup" -> {
+      def assign(cf: String, out: String) =
+        s"""p_$out AS (SELECT ef.id, c.cell, sum(ef.x * c.w) AS dot,
+           |    sqrt(sum(c.w * c.w)) AS nc
+           |  FROM ef JOIN $cf c USING (i) GROUP BY 1, 2),
+           |s_$out AS (SELECT p.id, p.cell, p.dot / (en.nv * p.nc) AS cos
+           |  FROM p_$out p JOIN en ON p.id = en.id),
+           |$out AS (SELECT id, cell FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY id ORDER BY cos DESC, cell ASC) AS rn FROM s_$out)
+           |  WHERE rn = 1)""".stripMargin
+      def update(a: String, prev: String, out: String) =
+        s"""${out}_raw AS (SELECT a.cell, ef.i, avg(ef.x) AS w
+           |  FROM $a a JOIN ef ON a.id = ef.id GROUP BY 1, 2),
+           |$out AS (SELECT p.cell, p.i, coalesce(r.w, p.w) AS w
+           |  FROM $prev p LEFT JOIN ${out}_raw r
+           |    ON p.cell = r.cell AND p.i = r.i)""".stripMargin
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |dims AS (SELECT unnest(range(1, 65)) AS i),
+         |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, vec
+         |  FROM (SELECT id, vec FROM e ORDER BY id LIMIT 8) t),
+         |c0f AS (SELECT cell, i, vec[i]::DOUBLE AS w FROM c0, dims),
+         |ef AS (SELECT id, i, vec[i]::DOUBLE AS x FROM e, dims),
+         |en AS (SELECT id, sqrt(sum(x*x)) AS nv FROM ef GROUP BY id),
+         |${assign("c0f", "a1")},
+         |${update("a1", "c0f", "c1f")},
+         |${assign("c1f", "a2")},
+         |${update("a2", "c1f", "c2f")},
+         |${assign("c2f", "a3")},
+         |dup AS (SELECT DISTINCT x.id
+         |  FROM a3 x JOIN a3 y ON x.cell = y.cell AND y.id < x.id
+         |  JOIN e ex ON ex.id = x.id JOIN e ey ON ey.id = y.id
+         |  WHERE ${cosSql("ex.vec", "ey.vec")} >= 0.45)
+         |SELECT a.id, a.cell::BIGINT AS cell,
+         |  (CASE WHEN d.id IS NULL THEN 1 ELSE 0 END)::INTEGER AS keep
+         |FROM a3 a LEFT JOIN dup d ON a.id = d.id ORDER BY a.id""".stripMargin
+    },
+
+    // duplicated 5-token spans: window text occurring more than once
+    // corpus-wide (multiplicity preserved — within-doc repeats count)
+    "q79_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id AS id, ${toks("text")} AS toks FROM documents),
+         |w0 AS (SELECT id, unnest(list_transform(range(1, len(toks) - 3),
+         |    i -> array_to_string(toks[i:i+4], ' '))) AS win FROM t),
+         |w AS (SELECT id, md5(win) AS k FROM w0),
+         |c AS (SELECT k, count(*) AS c FROM w GROUP BY k),
+         |d AS (SELECT w.id, count(*) AS n_windows,
+         |    sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM w JOIN c USING (k) GROUP BY w.id)
+         |SELECT t.id, coalesce(d.n_windows, 0)::BIGINT AS n_windows,
+         |  coalesce(d.n_dup, 0)::BIGINT AS n_dup,
+         |  CASE WHEN coalesce(d.n_windows, 0) > 0
+         |    THEN d.n_dup::DOUBLE / d.n_windows::DOUBLE ELSE 0.0 END AS dup_frac
+         |FROM t LEFT JOIN d USING (id) ORDER BY t.id""".stripMargin,
+
     "q57_dedup_corpus" ->
       s"""WITH $ShingleSets,
          |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),

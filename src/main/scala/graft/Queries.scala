@@ -799,6 +799,21 @@ object Queries {
         dim = 64, threshold = 0.45, nPlanes = 4)
         .orderBy("id1", "id2")),
 
+    // similarity: SemDeDup semantic dedup — kmeans cells (same deterministic
+    // init/iterations as q56) then within-cell cosine pruning to the min-id
+    // representative of each near-dup neighborhood
+    "q78_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.45, k = 8, iters = 2, dim = 64)
+        .select(col("id"), col("cell"), col("keep").cast("int").as("keep"))
+        .orderBy("id")),
+
+    // dedup: duplicated token-span signal (substring-level) — per-doc share
+    // of 5-token windows whose text occurs more than once corpus-wide
+    "q79_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(docs(s, dir), "doc_id", "text", width = 5)
+        .orderBy("id")),
+
     // multimodal: binary payload + stubbed decode features
     "q39_multimodal_features" -> ((s, dir) =>
       Multimodal.documentFeatures(s, docs(s, dir))

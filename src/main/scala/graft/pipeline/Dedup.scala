@@ -567,4 +567,50 @@ object Dedup {
       .select(col("x.id").as("id1"), col("y.id").as("id2"), lit(0).as("hamming"))
     cross.unionAll(within)
   }
+
+  /** Duplicated token-span detection — the substring-level dedup signal of
+    * Lee et al. 2022 (arXiv:2107.06499, "Deduplicating Training Data Makes
+    * Language Models Better"), re-shaped for Spark: instead of a corpus
+    * suffix array (inherently sequential), hash every `width`-token sliding
+    * window and mark a window duplicated when its text occurs more than
+    * once corpus-wide (including a second time inside the same document).
+    * Per document: total windows, duplicated windows, duplicated fraction —
+    * the standard "what share of this doc is boilerplate" filter signal.
+    *
+    * Scale shape: the window explode is narrow (no shuffle); the occurrence
+    * count is one hash groupBy on the md5 window fingerprint with map-side
+    * partial aggregation, and the count attach is a key-equi join on the
+    * same fingerprint (AQE broadcasts it when the distinct-window set is
+    * genuinely small). Nothing touches the driver; no corpus×corpus step.
+    * md5 (128-bit) keeps the fingerprint collision-free and bit-identical
+    * to the SQL oracle.
+    */
+  def dupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 8
+  ): DataFrame = {
+    require(width >= 2, s"width must be >= 2, got $width")
+    val t = df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+    // multiplicity preserved (wordShingles has no distinct): a window
+    // repeated inside one doc is duplicated by definition
+    val wins = t.select(col("id"),
+        explode(TextOps.wordShingles(col("toks"), width)).as("win"))
+      .select(col("id"), md5(col("win")).as("k"))
+    val counts = wins.groupBy("k").agg(count(lit(1)).as("__c"))
+    val perDoc = wins.join(counts, "k")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup"))
+    t.select(col("id")).join(perDoc, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          col("n_dup").cast("double") / col("n_windows").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
 }

@@ -278,4 +278,52 @@ object Similarity {
         cosine(col("a.vec"), col("b.vec")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with k-means, then compare
+    * pairs only WITHIN a cluster — an item is marked `keep = false` when a
+    * lower-id cluster-mate sits above the cosine threshold, so exactly one
+    * representative (the min id) survives each within-cell near-dup
+    * neighborhood. Returns `(id, cell, keep)` for every input row.
+    *
+    * Scale shape: the pairwise step is O(cell²) by construction — that is
+    * the SemDeDup contract (k is chosen so cells stay small; the paper uses
+    * k ≈ n/∼100). `maxCellSize` is the valve for when a cell still ends up
+    * oversized (degenerate embeddings all at one point): such cells skip
+    * the pairwise step and keep everything — conservative, never drops on
+    * an unbounded comparison. The cell self-join is a key-equi join on
+    * `cell`, never corpus×corpus.
+    */
+  def semDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      k: Int,
+      iters: Int = 2,
+      dim: Int = 64,
+      maxCellSize: Option[Long] = Some(100000L)
+  ): DataFrame = {
+    val (assigned, _) = kmeans(emb, idCol, vecCol, k, iters, dim)
+    val av = assigned
+      .join(emb.select(col(idCol).as("id"), col(vecCol).as("vec")), Seq("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eligible = maxCellSize match {
+      case None => av
+      case Some(cap) =>
+        val ok = av.groupBy("cell").agg(count(lit(1)).as("__csz"))
+          .filter(col("__csz") <= cap).select("cell")
+        av.join(ok, Seq("cell"), "left_semi")
+    }
+    val dropped = eligible.as("a")
+      .join(eligible.as("b"),
+        col("a.cell") === col("b.cell") && col("b.id") < col("a.id"))
+      .filter(cosine(col("a.vec"), col("b.vec")) >= threshold)
+      .select(col("a.id").as("id"))
+      .distinct()
+    av.select(col("id"), col("cell"))
+      .join(dropped.withColumn("__dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell").cast("long").as("cell"),
+        coalesce(!col("__dup"), lit(true)).as("keep"))
+  }
 }

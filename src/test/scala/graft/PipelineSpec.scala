@@ -595,4 +595,43 @@ class PipelineSpec extends SparkTestBase {
       }
     }
   }
+
+  test("semdedup keeps the min id of a near-dup neighborhood, valve keeps all") {
+    // 6 vectors in 2 obvious clusters; 0/1 and 3/4 are near-identical pairs
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (2L, Array(0.6f, 0.8f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.99f, 0.01f)),
+      (5L, Array(0.0f, 0.0f, 0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+      threshold = 0.95, k = 2, iters = 2, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(0L -> true, 1L -> false, 2L -> true,
+      3L -> true, 4L -> false, 5L -> true), s"got $out")
+    // oversized-cell valve: cap below cell size -> pairwise step skipped,
+    // everything kept (conservative)
+    val valved = Similarity.semDedup(vecs, "vec_id", "embedding",
+      threshold = 0.95, k = 2, iters = 2, dim = 4, maxCellSize = Some(1L))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(valved.values.forall(identity), s"got $valved")
+  }
+
+  test("dup spans count corpus-wide window repeats, within-doc included") {
+    val d = Seq(
+      (1L, "a b c d e f"), // windows: "a b c", "b c d", "c d e", "d e f"
+      (2L, "x y z a b c"), // shares window "a b c" with doc 1
+      (3L, "p q r p q r p q"), // within-doc repeat: "p q r" twice, "q r p" twice
+      (4L, "u v") // too short: zero windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(d, "doc_id", "text", width = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc3: 8 tokens -> 6 windows ("p q r","q r p","r p q" each twice),
+    // so every window is duplicated via within-doc repeats alone
+    assert(out(1L) == ((4L, 1L)), s"got ${out(1L)}") // only "a b c" is shared
+    assert(out(2L) == ((4L, 1L)), s"got ${out(2L)}")
+    assert(out(3L) == ((6L, 6L)), s"got ${out(3L)}")
+    assert(out(4L) == ((0L, 0L)), s"got ${out(4L)}")
+  }
 }
