@@ -900,6 +900,56 @@ object OracleSql {
          |    THEN d.n_dup::DOUBLE / d.n_windows::DOUBLE ELSE 0.0 END AS dup_frac
          |FROM t LEFT JOIN d USING (id) ORDER BY t.id""".stripMargin,
 
+    // deterministic quality-weighted Bernoulli sample: keep iff
+    // u(salt, id) < quality(text); same term order as qualityScoreT
+    "q80_weighted_sample" ->
+      s"""WITH tk AS (SELECT doc_id AS id, text, ${toks("text")} AS t FROM documents),
+         |q AS (SELECT id,
+         |   least(len(text)::DOUBLE / 500.0, 1.0) * 0.5
+         | + least((CASE WHEN len(t) = 0 THEN 0.0 ELSE
+         |     len(list_filter(t, x -> list_contains(
+         |       ['the','a','an','and','of','to','in','is','was','for','on',
+         |        'with','that','it'], x)))::DOUBLE / len(t) END) * 5.0, 1.0) * 0.3
+         | + (1.0 - least((len(regexp_replace(text,
+         |     '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE
+         |     / greatest(len(text), 1)) * 4.0, 1.0)) * 0.2 AS w
+         |  FROM tk)
+         |SELECT id, w FROM q
+         |WHERE ${hash32("'q80' || id::VARCHAR")} / 4294967296.0 < w
+         |ORDER BY id""".stripMargin,
+
+    // deterministic domain mixture: n_out = floor(min(n_d/share_d)), each
+    // domain keeps its floor(share_d * n_out) lowest-hash rows
+    "q81_sample_mix" ->
+      s"""WITH u AS (SELECT doc_id, lang,
+         |    ${hash32("'q81' || doc_id::VARCHAR")} / 4294967296.0 AS u
+         |  FROM documents WHERE lang IN ('en', 'zh', 'de')),
+         |c AS (SELECT lang, count(*) AS n FROM u GROUP BY lang),
+         |sh(lang, share) AS (VALUES ('en', 0.5), ('zh', 0.25), ('de', 0.25)),
+         |no AS (SELECT floor(min(n::DOUBLE / share::DOUBLE)) AS n_out
+         |  FROM c JOIN sh USING (lang)),
+         |tk AS (SELECT lang, floor(share::DOUBLE * n_out) AS take
+         |  FROM sh CROSS JOIN no),
+         |r AS (SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+         |  FROM u)
+         |SELECT r.doc_id AS id, r.lang FROM r JOIN tk USING (lang)
+         |WHERE rn <= take ORDER BY id""".stripMargin,
+
+    // int8 scalar quantization: scale = max|x|/127, codes = round(x/scale)
+    // (ties away from zero in both engines)
+    "q82_int8_quantize" ->
+      s"""WITH s AS (SELECT vec_id AS id, embedding AS vec,
+         |    list_max(list_transform(embedding, v -> abs(v::DOUBLE))) / 127.0
+         |      AS scale
+         |  FROM embeddings)
+         |SELECT id, scale,
+         |  CASE WHEN scale = 0
+         |    THEN array_to_string(list_transform(vec, v -> 0), ',')
+         |    ELSE array_to_string(list_transform(vec,
+         |      v -> round(v::DOUBLE / scale)::BIGINT), ',') END AS q
+         |FROM s ORDER BY id""".stripMargin,
+
     "q57_dedup_corpus" ->
       s"""WITH $ShingleSets,
          |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),

@@ -814,6 +814,39 @@ object Queries {
       Dedup.dupSpans(docs(s, dir), "doc_id", "text", width = 5)
         .orderBy("id")),
 
+    // sampling: deterministic Bernoulli keep with per-row probability =
+    // quality score (DSIR/CCNet-style quality-weighted subsample)
+    "q80_weighted_sample" -> ((s, dir) =>
+      graft.sources.ScaleOps
+        .weightedSample(docs(s, dir), "doc_id",
+          TextOps.qualityScore(col("text")), salt = "q80")
+        .select(col("doc_id").as("id"),
+          TextOps.qualityScore(col("text")).as("w"))
+        .orderBy("id")),
+
+    // sampling: deterministic domain-mixture construction — largest output
+    // hitting the target lang shares exactly, lowest-hash rows kept
+    "q81_sample_mix" -> ((s, dir) =>
+      graft.sources.ScaleOps
+        .sampleToMix(docs(s, dir), "lang", "doc_id",
+          Seq("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25), salt = "q81")
+        .select(col("doc_id").as("id"), col("lang"))
+        .orderBy("id")),
+
+    // storage: symmetric per-vector int8 scalar quantization of the
+    // embedding column (scale + stringified codes; arrays stringified for
+    // the driver compare, as in q32)
+    "q82_int8_quantize" -> ((s, dir) => {
+      val sc = Similarity.int8Scale(col("embedding"))
+      emb(s, dir).select(
+        col("vec_id").as("id"),
+        sc.as("scale"),
+        concat_ws(",",
+          Similarity.int8Quantize(col("embedding"), sc).cast("array<string>"))
+          .as("q"))
+        .orderBy("id")
+    }),
+
     // multimodal: binary payload + stubbed decode features
     "q39_multimodal_features" -> ((s, dir) =>
       Multimodal.documentFeatures(s, docs(s, dir))

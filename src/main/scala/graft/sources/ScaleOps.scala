@@ -148,4 +148,76 @@ object ScaleOps {
     }
     df.withColumn(splitCol, label)
   }
+
+  /** Deterministic Bernoulli sampling with a PER-ROW keep probability —
+    * the importance/quality-weighted subsampling step of training-data
+    * pipelines (DSIR-style resampling, Xie et al. 2023 arXiv:2302.03169;
+    * CCNet keeps by quality the same way): a row survives iff its
+    * md5-derived uniform u(salt, key) < `weight`. A pure filter projection:
+    * no shuffle, no RNG state, reproducible across engines, partitions and
+    * reruns, and adding rows never flips existing decisions (same
+    * guarantees as [[hashSplit]], same hash ⇒ bit-identical SQL oracle).
+    * Weights clamp implicitly (w ≤ 0 never keeps, w ≥ 1 always keeps since
+    * u < 1). NULL keys or weights are dropped (three-valued comparison).
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weight: Column,
+      salt: String = ""
+  ): DataFrame = {
+    val u = graft.pipeline.TextOps
+      .hash32(concat(lit(salt), col(keyCol).cast("string")))
+      .cast("double") / lit(4294967296.0)
+    df.filter(u < weight)
+  }
+
+  /** Deterministic domain-mixture construction ("data mixing"): subsample
+    * so the output follows the target per-domain `shares` exactly, sized to
+    * the largest total the inventory supports — n_out = ⌊min_d(n_d /
+    * share_d)⌋, domain d keeping its ⌊share_d · n_out⌋ lowest-hash rows.
+    * Selection is by md5-hash rank within the domain (stable under reruns
+    * and engine changes; ties broken by key). Domains absent from `shares`
+    * are dropped.
+    *
+    * Scale shape: one tiny groupBy for the per-domain counts (|domains|
+    * rows to the driver — same footprint as kmeans centroids), then one
+    * shuffle on the domain for the rank window. The window sorts only
+    * within a domain; for corpora where even that is too hot, the
+    * approximate form is `weightedSample` with a per-domain rate column
+    * (no window, no shuffle, counts correct in expectation).
+    */
+  def sampleToMix(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      shares: Seq[(String, Double)],
+      salt: String = ""
+  ): DataFrame = {
+    require(shares.nonEmpty, "shares must be non-empty")
+    require(shares.forall(_._2 > 0), s"shares must be positive: $shares")
+    val total = shares.map(_._2).sum
+    val norm = shares.map { case (d, s) => (d, s / total) }
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    norm.foreach { case (d, _) =>
+      require(counts.contains(d), s"domain '$d' has no rows (have: ${counts.keys.toSeq.sorted.mkString(", ")})")
+    }
+    val nOut = math.floor(norm.map { case (d, s) => counts(d) / s }.min).toLong
+    val takes = norm.map { case (d, s) => (d, math.floor(s * nOut).toLong) }
+    val u = graft.pipeline.TextOps
+      .hash32(concat(lit(salt), col(keyCol).cast("string")))
+      .cast("double") / lit(4294967296.0)
+    val take = takes.tail.foldLeft(
+      when(col(domainCol) === takes.head._1, lit(takes.head._2))) {
+      case (acc, (d, t)) => acc.when(col(domainCol) === d, lit(t))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(u.asc, col(keyCol).asc)
+    df.withColumn("__take", take)
+      .filter(col("__take").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__take"))
+      .drop("__take", "__rn")
+  }
 }

@@ -634,4 +634,29 @@ class PipelineSpec extends SparkTestBase {
     assert(out(3L) == ((6L, 6L)), s"got ${out(3L)}")
     assert(out(4L) == ((0L, 0L)), s"got ${out(4L)}")
   }
+
+  test("int8 quantization: bounded round-trip error, ANN recall@10 holds") {
+    val sc = Similarity.int8Scale(col("embedding"))
+    val deq = embs.select(col("vec_id"), col("embedding"), sc.as("scale"),
+      Similarity.int8Dequantize(
+        Similarity.int8Quantize(col("embedding"), sc), sc).as("deq"))
+    // per-element |x - deq(q(x))| <= scale/2 (round-to-nearest), codes in range
+    val bad = deq.select(
+      aggregate(zip_with(col("embedding"), col("deq"),
+        (a, b) => abs(a.cast("double") - b)), lit(0), (acc, e) =>
+        acc + when(e > col("scale") * 0.5 + 1e-12, 1).otherwise(0)).as("viol"))
+      .agg(sum(col("viol"))).collect()(0).getLong(0)
+    assert(bad == 0, s"$bad elements exceed scale/2 reconstruction error")
+    // recall@10: brute top-k over dequantized vectors vs exact, same queries
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    def topk(d: org.apache.spark.sql.DataFrame, vc: String) =
+      Similarity.bruteForceTopK(d, "vec_id", vc, qids, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topk(embs, "embedding")
+    val approx = topk(deq.select(col("vec_id"), col("deq")), "deq")
+    val recall = qids.map(q =>
+      (exact(q) intersect approx(q)).size.toDouble / exact(q).size).sum / qids.size
+    assert(recall >= 0.8, s"recall@10 = $recall")
+  }
 }

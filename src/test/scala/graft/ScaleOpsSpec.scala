@@ -180,4 +180,46 @@ class ScaleOpsSpec extends SparkTestBase {
     val redealt = labels(100, "y")
     assert(redealt != small) // overwhelmingly likely for 100 coin flips
   }
+
+  test("weighted sample: rate tracks weight, samples nest as weight grows") {
+    val docs = sf("sf0.001", "documents")
+    val n = docs.count().toDouble
+    def ids(w: Double) = ScaleOps
+      .weightedSample(docs, "doc_id", lit(w), salt = "ws")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(0.0).isEmpty)
+    assert(ids(1.0).size == n.toLong)
+    val half = ids(0.5)
+    assert(math.abs(half.size / n - 0.5) < 0.15, s"${half.size} of $n")
+    // the SAME u decides every weight => lower-rate samples nest in higher
+    val fifth = ids(0.2)
+    assert(fifth.subsetOf(half) && half.subsetOf(ids(0.8)))
+    // deterministic across evaluations
+    assert(ids(0.5) == half)
+  }
+
+  test("sample mix hits exact per-domain takes and is deterministic") {
+    val docs = sf("sf0.001", "documents")
+    val shares = Seq("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25)
+    val counts = docs.filter(col("lang").isin("en", "zh", "de"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nOut = math.floor(shares.map { case (d, s) => counts(d) / s }.min).toLong
+    val out = ScaleOps.sampleToMix(docs, "lang", "doc_id", shares, salt = "mx")
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    shares.foreach { case (d, s) =>
+      assert(got(d) == math.floor(s * nOut).toLong, s"$d: ${got(d)}")
+    }
+    // unlisted domains are dropped entirely
+    assert(out.filter(!col("lang").isin("en", "zh", "de")).count() == 0)
+    // same inputs, same rows
+    val again = ScaleOps.sampleToMix(docs, "lang", "doc_id", shares, salt = "mx")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // a missing domain fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      ScaleOps.sampleToMix(docs, "lang", "doc_id", Seq("nope" -> 1.0))
+    }
+  }
 }
