@@ -105,11 +105,155 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd nearest-centroid assignment: the 0-based index of the
+  * centroid with the highest cosine similarity to the input vector, ties →
+  * lowest index (identical to the previous `array_max` over
+  * `(cos, -cell)` structs and to the oracles' `row_number() OVER (ORDER BY
+  * cos DESC, cell ASC)`).
+  *
+  * The centroid matrix rides along as a plan REFERENCE (`addReferenceObj`),
+  * not as k literal columns — the old spelling built k struct literals per
+  * row, whose plan size and codegen grow with k (k·dim literals; k ≳ 100
+  * blows past JVM method limits into interpreted fallback). Here the plan is
+  * O(1) in k and the generated code is two tight primitive loops, so
+  * k-means/IVF/SemDeDup can run the k ≈ n/100 regime real corpora need.
+  * Row norms and centroid norms accumulate ascending like [[DotProduct]],
+  * so assignments are bit-identical to the literal path. Null vector or any
+  * null element → NULL.
+  */
+case class NearestCentroid(
+    child: Expression,
+    cents: Array[Array[Double]],
+    cnorms: Array[Double]
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid needs an array<float|double> input, got ${other.simpleString}")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    val d = a.numElements()
+    val xs = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      if (a.isNullAt(i)) return null
+      xs(i) = if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    var nv = 0.0
+    i = 0
+    while (i < d) { nv += xs(i) * xs(i); i += 1 }
+    nv = math.sqrt(nv)
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cc = cents(c)
+      val m = math.min(d, cc.length)
+      var dot = 0.0
+      i = 0
+      while (i < m) { dot += xs(i) * cc(i); i += 1 }
+      val cos = dot / (nv * cnorms(c))
+      if (cos > bestCos) { best = c; bestCos = cos }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+    val getter =
+      if (elemIsFloat) (a: String, i: String) => s"(double) $a.getFloat($i)"
+      else (a: String, i: String) => s"$a.getDouble($i)"
+    val d = ctx.freshName("d")
+    val xs = ctx.freshName("xs")
+    val nv = ctx.freshName("nv")
+    val i = ctx.freshName("i")
+    val c = ctx.freshName("c")
+    val cc = ctx.freshName("cc")
+    val m = ctx.freshName("m")
+    val dot = ctx.freshName("dot")
+    val cos = ctx.freshName("cos")
+    val best = ctx.freshName("best")
+    val bestCos = ctx.freshName("bestCos")
+    val anyNull = ctx.freshName("anyNull")
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        int ${ev.value} = 0;
+        if (!${childGen.isNull}) {
+          int $d = ${childGen.value}.numElements();
+          boolean $anyNull = false;
+          double[] $xs = new double[$d];
+          for (int $i = 0; $i < $d; $i++) {
+            if (${childGen.value}.isNullAt($i)) { $anyNull = true; break; }
+            $xs[$i] = ${getter(childGen.value.toString, i)};
+          }
+          if (!$anyNull) {
+            double $nv = 0.0;
+            for (int $i = 0; $i < $d; $i++) { $nv += $xs[$i] * $xs[$i]; }
+            $nv = Math.sqrt($nv);
+            int $best = 0;
+            double $bestCos = Double.NEGATIVE_INFINITY;
+            for (int $c = 0; $c < $centsRef.length; $c++) {
+              double[] $cc = $centsRef[$c];
+              int $m = java.lang.Math.min($d, $cc.length);
+              double $dot = 0.0;
+              for (int $i = 0; $i < $m; $i++) { $dot += $xs[$i] * $cc[$i]; }
+              double $cos = $dot / ($nv * $normsRef[$c]);
+              if ($cos > $bestCos) { $best = $c; $bestCos = $cos; }
+            }
+            ${ev.isNull} = false;
+            ${ev.value} = $best;
+          }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Codegen'd `Σ a_i · b_i` over two `array<float|double>` columns. */
   def dotProduct(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftInternal
     GraftInternal.columnOf(
       DotProduct(GraftInternal.expressionOf(a), GraftInternal.expressionOf(b)))
+  }
+
+  /** Codegen'd argmax-cosine cell assignment against a centroid matrix
+    * embedded as a plan reference (plan size O(1) in k). Ties → lowest
+    * index; norms accumulate ascending (bit-compatible with the oracle's
+    * unrolled SQL). */
+  def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column = {
+    require(cents.nonEmpty, "cents must be non-empty")
+    val norms = cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    import org.apache.spark.sql.GraftInternal
+    GraftInternal.columnOf(
+      NearestCentroid(GraftInternal.expressionOf(vec), cents, norms))
   }
 }

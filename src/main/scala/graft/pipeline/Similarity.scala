@@ -141,25 +141,22 @@ object Similarity {
   ): DataFrame = {
     // default cells = the C lowest-id vectors (deterministic, oracle-able);
     // pass kmeans(...)._2 as trainedCentroids for better recall at the same
-    // plan shape
-    val cents = broadcast(trainedCentroids match {
-      case Some(cs) =>
-        import emb.sparkSession.implicits._
-        cs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
-          .toDF("cent_id", "cvec")
-      case None =>
-        emb.orderBy(col(idCol)).limit(nCentroids)
-          .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
-    })
-    // nearest centroid per vector (rank over the C-way cross)
-    val wAssign = Window.partitionBy("id").orderBy(col("cos_c").desc, col("cent_id").asc)
+    // plan shape. Cell ids are ORDINAL (0-based, ascending source id), so
+    // the tie order matches the previous cent_id-ascending ranking.
+    val centArr: Array[Array[Double]] = trainedCentroids.getOrElse(
+      emb.orderBy(col(idCol)).limit(nCentroids).select(col(vecCol)).collect()
+        .map(_.getSeq[Number](0).toArray.map(_.doubleValue)))
+    val cents = broadcast {
+      import emb.sparkSession.implicits._
+      centArr.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("cent_id", "cvec")
+    }
+    // nearest centroid per vector: one narrow codegen'd projection — no
+    // n·C intermediate rows, no per-id window shuffle
     val assigned = emb
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .join(cents)
-      .select(col("id"), col("vec"), col("cent_id"), cosine(col("vec"), col("cvec")).as("cos_c"))
-      .withColumn("r", row_number().over(wAssign))
-      .filter(col("r") === 1)
-      .select(col("id"), col("vec"), col("cent_id").as("cell"))
+      .withColumn("cell",
+        graft.functions.VectorExprs.nearestCentroid(col("vec"), centArr))
     // nprobe nearest cells per query
     val wProbe = Window.partitionBy("query_id").orderBy(col("cos_c").desc, col("cent_id").asc)
     val probes = emb
@@ -208,21 +205,13 @@ object Similarity {
       .map(_.getSeq[Number](1).toArray.map(_.doubleValue))
 
     def assignDf: DataFrame = {
-      // stage the row norm once (multi-use attribute: referenced by every
-      // cell's cosine, and multi-use blocks CollapseProject re-inlining);
-      // centroid norms are folds over literals — constant-folded at plan time
-      val staged = base.select(col("id"), col("vec"), norm(col("vec")).as("__nv"))
-      val scored = (0 until cents.length).map { c =>
-        val cl = typedLit(cents(c))
-        struct((dot(col("vec"), cl) / (col("__nv") * norm(cl))).as("cos"),
-          lit(-c).as("negCell"))
-      }
-      // argmax by (cos desc, cell asc): struct ordering is field-by-field,
-      // so max of (cos, -cell) picks the highest cos and, on ties, the
-      // lowest cell. A when-otherwise fold here would duplicate the
-      // accumulated subtree per step (2^k expression blowup).
-      staged.withColumn("__best", array_max(array(scored: _*)))
-        .select(col("id"), col("vec"), (-col("__best.negCell")).as("cell"))
+      // native argmax-cosine expression: the centroid matrix is a plan
+      // REFERENCE, not k struct literals — plan size and codegen are O(1)
+      // in k, so the k ≈ n/100 regime SemDeDup needs actually compiles.
+      // Ties → lowest cell, norms accumulate ascending: bit-identical to
+      // the previous literal spelling and the unrolled SQL oracle.
+      base.select(col("id"), col("vec"),
+        graft.functions.VectorExprs.nearestCentroid(col("vec"), cents).as("cell"))
     }
 
     var assigned = assignDf

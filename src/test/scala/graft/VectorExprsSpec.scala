@@ -55,4 +55,32 @@ class VectorExprsSpec extends SparkTestBase {
     assert(withNullElem.select(VectorExprs.dotProduct(col("a"), col("b")))
       .collect()(0).isNullAt(0))
   }
+
+  test("nearestCentroid matches a driver-side argmax at k=300, ties to lowest") {
+    val rng = new scala.util.Random(9)
+    val k = 300 // the regime the old k-literal spelling could not compile
+    val d = 32
+    val cents = Array.fill(k)(Array.fill(d)(rng.nextDouble() - 0.5))
+    val vecs = Seq.fill(200)(Array.fill(d)(rng.nextFloat() * 2 - 1))
+    def expected(v: Array[Float]): Int = {
+      val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val cos = cents.map { c =>
+        val dot = v.zip(c).map { case (x, y) => x.toDouble * y }.sum
+        dot / (nv * math.sqrt(c.map(x => x * x).sum))
+      }
+      cos.indexOf(cos.max) // indexOf -> first (lowest) on ties
+    }
+    val got = vecs.toDF("v")
+      .select(VectorExprs.nearestCentroid(col("v"), cents))
+      .collect().map(_.getInt(0))
+    vecs.zip(got).foreach { case (v, g) =>
+      assert(g == expected(v), s"vec ${v.take(3).mkString(",")}...")
+    }
+    // exact tie: duplicate centroid -> the lower index wins
+    val dup = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    val tied = Seq(Array(2.0f, 0.0f)).toDF("v")
+      .select(VectorExprs.nearestCentroid(col("v"), dup))
+      .collect()(0).getInt(0)
+    assert(tied == 0)
+  }
 }
