@@ -99,6 +99,34 @@ object PlanReview {
           graft.pipeline.TextOps.piiCounts(col("text")).map { case (n, c) => c.as(s"n_$n") } :+
           graft.pipeline.TextOps.redactPii(col("text")).as("red"): _*)
     }
+    // 12. dup spans (PLANS.md §17): narrow window explode, ONE exchange for
+    // the fingerprint count (partial+final agg), key-equi count attach —
+    // no corpus×corpus step
+    show("duplicated token spans") {
+      graft.pipeline.Dedup.dupSpans(docs, "doc_id", "text", 5)
+    }
+    // 13. weighted sample (PLANS.md §18): pure filter projection — the
+    // md5-uniform and the weight are both narrow; NO exchange in the plan
+    show("weighted sample (pure filter)") {
+      graft.sources.ScaleOps.weightedSample(
+        docs, "doc_id", graft.pipeline.TextOps.qualityScore(col("text")), "p")
+    }
+    // 14. nearest-centroid assignment (PLANS.md §18): a single projection
+    // over the scan — the centroid matrix is a plan reference, so the plan
+    // is O(1) in k (this one runs k=512) and stays inside WholeStageCodegen
+    show("kmeans assignment via NearestCentroid (k=512, narrow)") {
+      val rng = new scala.util.Random(11)
+      val cents = Array.fill(512)(Array.fill(64)(rng.nextDouble() - 0.5))
+      emb.select(col("vec_id"),
+        graft.functions.VectorExprs.nearestCentroid(col("embedding"), cents).as("cell"))
+    }
+    // 15. int8 quantization (PLANS.md §18): narrow HOF projection
+    show("int8 embedding quantization (narrow)") {
+      val sc = graft.pipeline.Similarity.int8Scale(col("embedding"))
+      emb.select(col("vec_id"),
+        graft.pipeline.Similarity.int8Quantize(col("embedding"), sc).as("q"),
+        sc.as("scale"))
+    }
     spark.stop()
   }
 }

@@ -49,8 +49,12 @@ object ProfCorpusOps {
       ScaleOps.sampleToMix(docs, "lang", "doc_id",
         Seq("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25), "p")))
     time("int8_quantize") {
-      val sc = Similarity.int8Scale(col("embedding"))
-      noop(emb.select(col("vec_id"), Similarity.int8Quantize(col("embedding"), sc).as("q"), sc.as("scale")))
+      noop(emb
+        .select(col("vec_id"), col("embedding"),
+          Similarity.int8Scale(col("embedding")).as("scale"))
+        .select(col("vec_id"),
+          Similarity.int8Quantize(col("embedding"), col("scale")).as("q"),
+          col("scale")))
     }
     // k tracks corpus size (SemDeDup contract): ~ n/250 cells
     val k = math.max(8, (emb.count() / 250).toInt)

@@ -835,17 +835,17 @@ object Queries {
 
     // storage: symmetric per-vector int8 scalar quantization of the
     // embedding column (scale + stringified codes; arrays stringified for
-    // the driver compare, as in q32)
-    "q82_int8_quantize" -> ((s, dir) => {
-      val sc = Similarity.int8Scale(col("embedding"))
-      emb(s, dir).select(
-        col("vec_id").as("id"),
-        sc.as("scale"),
-        concat_ws(",",
-          Similarity.int8Quantize(col("embedding"), sc).cast("array<string>"))
-          .as("q"))
-        .orderBy("id")
-    }),
+    // the driver compare, as in q32). Scale staged as an attribute so the
+    // max|x| pass runs once per row (multi-use blocks re-inlining, PLANS §11)
+    "q82_int8_quantize" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"),
+          Similarity.int8Scale(col("embedding")).as("scale"))
+        .select(col("id"), col("scale"),
+          concat_ws(",",
+            Similarity.int8Quantize(col("embedding"), col("scale"))
+              .cast("array<string>")).as("q"))
+        .orderBy("id")),
 
     // multimodal: binary payload + stubbed decode features
     "q39_multimodal_features" -> ((s, dir) =>

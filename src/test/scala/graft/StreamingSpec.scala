@@ -169,4 +169,34 @@ class StreamingSpec extends SparkTestBase {
     // A's 13:00 session is still open — not emitted
     assert(!rows.exists { case (k, _, sv) => k == "A" && sv >= 9.0 })
   }
+
+  test("weighted sample and int8 quantization run unchanged on a stream") {
+    // both are narrow (a filter projection / HOF projections), so the same
+    // code drives batch and streaming — prove stream ≡ batch on shared rows
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Similarity
+    import graft.sources.ScaleOps
+    val rows = (0L until 40L).map(i =>
+      (i, Array.fill(8)(((i * 7 + 3) % 13).toFloat - 6f)))
+    val input = MemoryStream[(Long, Array[Float])]
+    val df = input.toDF().toDF("id", "vec")
+    def pipe(d: org.apache.spark.sql.DataFrame) =
+      ScaleOps.weightedSample(d, "id", lit(0.5), salt = "st")
+        .select(col("id"), col("vec"),
+          Similarity.int8Scale(col("vec")).as("scale"))
+        .select(col("id"),
+          concat_ws(",", Similarity.int8Quantize(col("vec"), col("scale"))
+            .cast("array<string>")).as("q"))
+    val q = pipe(df).writeStream.format("memory").queryName("wsq")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("wsq").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    q.stop()
+    val batch = pipe(spark.createDataFrame(rows).toDF("id", "vec"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.size < rows.size) // filter really ran
+  }
 }
