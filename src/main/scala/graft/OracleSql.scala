@@ -900,6 +900,32 @@ object OracleSql {
          |    THEN d.n_dup::DOUBLE / d.n_windows::DOUBLE ELSE 0.0 END AS dup_frac
          |FROM t LEFT JOIN d USING (id) ORDER BY t.id""".stripMargin,
 
+    // containment pairs: q52's winnow chain, exploded to (id, fp) sets,
+    // fp-keyed self-join with the 1000-doc-freq valve, true pre-valve sizes
+    "q83_containment_pairs" ->
+      s"""WITH g AS (SELECT doc_id AS id,
+         |    CASE WHEN len(text) < 16 THEN CAST([] AS BIGINT[])
+         |         ELSE list_transform(range(1, len(text)-14),
+         |                i -> ${hash32("substr(text, i::INT, 16)")}) END AS kg
+         |  FROM documents),
+         |f AS (SELECT id,
+         |    CASE WHEN len(kg) = 0 THEN CAST([] AS BIGINT[])
+         |         ELSE list_distinct(list_transform(
+         |                range(1, greatest(len(kg)-7, 1)+1),
+         |                i -> list_min(kg[i:i+7]))) END AS fps
+         |  FROM g),
+         |e AS (SELECT id, unnest(fps) AS fp FROM f),
+         |sizes AS (SELECT id, count(*) AS nfp FROM e GROUP BY id),
+         |ok AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 50),
+         |ek AS (SELECT e.id, e.fp FROM e JOIN ok USING (fp)),
+         |p AS (SELECT a.id AS id1, b.id AS id2, count(*) AS common
+         |  FROM ek a JOIN ek b ON a.fp = b.fp AND a.id < b.id GROUP BY 1, 2)
+         |SELECT p.id1, p.id2, p.common,
+         |  p.common::DOUBLE / least(s1.nfp, s2.nfp)::DOUBLE AS containment
+         |FROM p JOIN sizes s1 ON p.id1 = s1.id JOIN sizes s2 ON p.id2 = s2.id
+         |WHERE p.common::DOUBLE / least(s1.nfp, s2.nfp)::DOUBLE >= 0.5
+         |ORDER BY p.id1, p.id2""".stripMargin,
+
     // deterministic quality-weighted Bernoulli sample: keep iff
     // u(salt, id) < quality(text); same term order as qualityScoreT
     "q80_weighted_sample" ->

@@ -814,6 +814,16 @@ object Queries {
       Dedup.dupSpans(docs(s, dir), "doc_id", "text", width = 5)
         .orderBy("id")),
 
+    // dedup: MOSS-style containment pairs (asymmetric near-dup — quote /
+    // boilerplate detection Jaccard misses). k=16 chars: grams must be
+    // SELECTIVE (MOSS uses guarantee lengths well past a word) — at k=8
+    // every shared two-word phrase is a hot fingerprint and the candidate
+    // join fans out quadratically; the doc-freq valve tracks corpus size
+    "q83_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text", k = 16, w = 8,
+        threshold = 0.5, maxFpDocFreq = Some(50L))
+        .orderBy("id1", "id2")),
+
     // sampling: deterministic Bernoulli keep with per-row probability =
     // quality score (DSIR/CCNet-style quality-weighted subsample)
     "q80_weighted_sample" -> ((s, dir) =>

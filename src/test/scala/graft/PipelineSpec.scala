@@ -635,6 +635,30 @@ class PipelineSpec extends SparkTestBase {
     assert(out(4L) == ((0L, 0L)), s"got ${out(4L)}")
   }
 
+  test("containment catches an embedded doc that jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = (1 to 60).map(i => s"word$i").mkString(" ")
+    val filler2 = (61 to 120).map(i => s"word$i").mkString(" ")
+    val d = Seq(
+      (1L, small),
+      (2L, s"$filler $small $filler2"), // small embedded verbatim
+      (3L, filler2)).toDF("doc_id", "text")
+    val cp = Dedup.containmentPairs(d, "doc_id", "text", k = 8, w = 4,
+      threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(cp.contains((1L, 2L)), s"embedded pair missing: $cp")
+    assert(cp((1L, 2L)) >= 0.6, s"containment ${cp((1L, 2L))}")
+    // the same pair is invisible to symmetric Jaccard at a modest threshold
+    val jp = Dedup.jaccardPairs(d, "doc_id", "text", n = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jp.contains((1L, 2L)), s"jaccard unexpectedly found $jp")
+    // the valve drops ubiquitous fingerprints: freq cap 1 kills every
+    // shared fingerprint -> no pairs survive
+    val valved = Dedup.containmentPairs(d, "doc_id", "text", k = 8, w = 4,
+      threshold = 0.1, maxFpDocFreq = Some(1L)).count()
+    assert(valved == 0)
+  }
+
   test("int8 quantization: bounded round-trip error, ANN recall@10 holds") {
     val sc = Similarity.int8Scale(col("embedding"))
     val deq = embs.select(col("vec_id"), col("embedding"), sc.as("scale"),
