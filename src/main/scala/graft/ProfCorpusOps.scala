@@ -56,6 +56,9 @@ object ProfCorpusOps {
           Similarity.int8Quantize(col("embedding"), col("scale")).as("q"),
           col("scale")))
     }
+    time("containment_pairs")(noop(
+      Dedup.containmentPairs(docs, "doc_id", "text", k = 16, w = 8,
+        threshold = 0.5, maxFpDocFreq = Some(50L))))
     // k tracks corpus size (SemDeDup contract): ~ n/250 cells
     val k = math.max(8, (emb.count() / 250).toInt)
     time(s"semdedup_k$k")(noop(

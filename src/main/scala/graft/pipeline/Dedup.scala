@@ -582,6 +582,9 @@ object Dedup {
     * bounding fan-out, and true per-doc sizes come from a pre-valve count
     * so the valve only costs recall on ubiquitous fingerprints, never
     * score accuracy.
+    *
+    * PRECONDITION: `idCol` unique (same as [[shingleSets]] — duplicate ids
+    * would inflate the per-id fingerprint sets and deflate scores).
     */
   def containmentPairs(
       df: DataFrame,

@@ -282,6 +282,9 @@ object Similarity {
     * the pairwise step and keep everything — conservative, never drops on
     * an unbounded comparison. The cell self-join is a key-equi join on
     * `cell`, never corpus×corpus.
+    *
+    * PRECONDITION: `idCol` unique (duplicate ids would double-count rows
+    * in cells and make the keep decision ambiguous).
     */
   def semDedup(
       emb: DataFrame,

@@ -659,6 +659,52 @@ class PipelineSpec extends SparkTestBase {
     assert(valved == 0)
   }
 
+  test("end-to-end corpus pipeline: scrub -> dedup -> sample -> split") {
+    // the full pre-training sequence on the real corpus, asserting the
+    // invariants a production run relies on at each stage
+    import graft.sources.ScaleOps
+    val corpus = docs // sf0.001, 500 docs
+    val n0 = corpus.count()
+    // 1. PII scrub (pure projection — row count unchanged)
+    val scrubbed = corpus.select(col("doc_id"), col("lang"),
+      TextOps.redactPii(col("text")).as("text"))
+    assert(scrubbed.count() == n0)
+    // 2. exact dedup action: keep one representative per fingerprint class
+    val keep = Dedup.exactGroups(scrubbed, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val exact = scrubbed.join(keep, Seq("doc_id"), "left_semi")
+    val n1 = exact.count()
+    assert(n1 <= n0)
+    // 3. boilerplate filter: drop docs mostly made of duplicated spans
+    val spans = Dedup.dupSpans(exact, "doc_id", "text", width = 5)
+    val keepIds = spans.filter(col("dup_frac") < 0.9).select(col("id").as("doc_id"))
+    val filtered = exact.join(keepIds, Seq("doc_id"), "left_semi")
+    val n2 = filtered.count()
+    assert(n2 <= n1 && n2 > 0)
+    // 4. quality-weighted sample (deterministic)
+    val sampled = ScaleOps.weightedSample(filtered, "doc_id",
+      TextOps.qualityScore(col("text")), salt = "e2e")
+    val n3 = sampled.count()
+    assert(n3 < n2 && n3 > 0)
+    // 5. split: labels partition the survivors
+    val split = ScaleOps.hashSplit(sampled, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.1), salt = "e2e")
+    val bySplit = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == n3)
+    assert(bySplit.keySet.subsetOf(Set("train", "val")))
+    // deterministic end-to-end: the same chain yields the same train set
+    val again = ScaleOps.hashSplit(
+      ScaleOps.weightedSample(filtered, "doc_id",
+        TextOps.qualityScore(col("text")), salt = "e2e"),
+      "doc_id", Seq("train" -> 0.9, "val" -> 0.1), salt = "e2e")
+      .filter(col("split") === "train").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val first = split.filter(col("split") === "train").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+
   test("int8 quantization: bounded round-trip error, ANN recall@10 holds") {
     val sc = Similarity.int8Scale(col("embedding"))
     val deq = embs.select(col("vec_id"), col("embedding"), sc.as("scale"),
