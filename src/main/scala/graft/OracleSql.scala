@@ -926,6 +926,21 @@ object OracleSql {
          |WHERE p.common::DOUBLE / least(s1.nfp, s2.nfp)::DOUBLE >= 0.5
          |ORDER BY p.id1, p.id2""".stripMargin,
 
+    // sequence packing: running token sum in md5-hash order, pack = the
+    // window holding the doc's first token. `//` (floor division) — a
+    // `(x / 512)::BIGINT` spelling would ROUND (DuckDB double→int casts
+    // round; Spark's truncate), shifting docs near pack boundaries
+    "q84_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id AS id, len(${toks("text")}) AS n_tokens,
+         |    ${hash32("'q84' || doc_id::VARCHAR")} AS u
+         |  FROM documents),
+         |c AS (SELECT *, sum(n_tokens) OVER
+         |    (ORDER BY u, id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT id, n_tokens::BIGINT AS n_tokens,
+         |  ((cum - n_tokens) // 512)::BIGINT AS pack_id,
+         |  ((cum - n_tokens) % 512)::BIGINT AS offset
+         |FROM c ORDER BY id""".stripMargin,
+
     // deterministic quality-weighted Bernoulli sample: keep iff
     // u(salt, id) < quality(text); same term order as qualityScoreT
     "q80_weighted_sample" ->

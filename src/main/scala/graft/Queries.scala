@@ -824,6 +824,13 @@ object Queries {
         threshold = 0.5, maxFpDocFreq = Some(50L))
         .orderBy("id1", "id2")),
 
+    // packing: GPT-style sequence packing — deterministic hash-order token
+    // stream cut at 512-token boundaries; each doc's (pack, offset)
+    "q84_pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(docs(s, dir), "doc_id", "text", window = 512,
+        salt = "q84")
+        .orderBy("id")),
+
     // sampling: deterministic Bernoulli keep with per-row probability =
     // quality score (DSIR/CCNet-style quality-weighted subsample)
     "q80_weighted_sample" -> ((s, dir) =>

@@ -233,6 +233,43 @@ object TextOps {
   def hash32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
+  /** GPT-style sequence packing: lay the corpus out as one deterministic
+    * token stream (docs ordered by md5-hash of the id — a stable,
+    * engine-independent shuffle) and cut it at `window`-token boundaries.
+    * Each doc gets the pack holding its FIRST token and its offset there;
+    * docs longer than the remaining space run into the next pack (compose
+    * with [[chunkDocs]] to pre-split long docs so no doc exceeds one
+    * window). Returns (id, n_tokens, pack_id, offset).
+    *
+    * Scale shape: one global running sum — a range-partitioned sort, the
+    * honest cost of a globally consistent layout. For corpora where even
+    * that is too hot, pack per shard instead: partition the window spec by
+    * a shard column and the sort becomes per-shard. Deterministic across
+    * engines, partitionings and reruns (same guarantees as
+    * [[graft.sources.ScaleOps.hashSplit]]).
+    */
+  def packSequences(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      salt: String = ""
+  ): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val u = hash32(concat(lit(salt), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__u").asc, col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(idCol).as("id"), tokenCount(col(textCol)).as("n_tokens"),
+        u.as("__u"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(
+        col("id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        ((col("__cum") - col("n_tokens")) / window).cast("long").as("pack_id"),
+        ((col("__cum") - col("n_tokens")) % window).cast("long").as("offset"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al. 2003 selection rule
     * over positional character k-gram hashes): hash every k-gram, then keep
     * the minimum hash of each sliding window of `w` consecutive k-grams.

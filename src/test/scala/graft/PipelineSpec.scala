@@ -659,6 +659,27 @@ class PipelineSpec extends SparkTestBase {
     assert(valved == 0)
   }
 
+  test("sequence packing matches a driver-side layout, offsets in range") {
+    val W = 128
+    val out = TextOps.packSequences(docs, "doc_id", "text", W, salt = "s")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // recompute the layout on the driver from the same inputs
+    val base = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.hash32(concat(lit("s"), col("doc_id").cast("string"))).as("u"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+    var cum = 0L
+    base.sortBy(t => (t._3, t._1)).foreach { case (id, n, _) =>
+      val (gotN, pack, off) = out(id)
+      assert(gotN == n)
+      assert(pack == cum / W && off == cum % W, s"id=$id cum=$cum got=($pack,$off)")
+      assert(off >= 0 && off < W)
+      cum += n
+    }
+    // total layout length = total token count
+    assert(cum == base.map(_._2).sum)
+  }
+
   test("end-to-end corpus pipeline: scrub -> dedup -> sample -> split") {
     // the full pre-training sequence on the real corpus, asserting the
     // invariants a production run relies on at each stage
