@@ -941,6 +941,21 @@ object OracleSql {
          |  ((cum - n_tokens) % 512)::BIGINT AS offset
          |FROM c ORDER BY id""".stripMargin,
 
+    // approximate mixture: same count/target math as q81, then a pure
+    // Bernoulli filter at rate take/n per domain (no rank window)
+    "q85_sample_mix_approx" ->
+      s"""WITH u AS (SELECT doc_id, lang,
+         |    ${hash32("'q85' || doc_id::VARCHAR")} / 4294967296.0 AS u
+         |  FROM documents WHERE lang IN ('en', 'zh', 'de')),
+         |c AS (SELECT lang, count(*) AS n FROM u GROUP BY lang),
+         |sh(lang, share) AS (VALUES ('en', 0.5), ('zh', 0.25), ('de', 0.25)),
+         |no AS (SELECT floor(min(n::DOUBLE / share::DOUBLE)) AS n_out
+         |  FROM c JOIN sh USING (lang)),
+         |tk AS (SELECT lang, n, floor(share::DOUBLE * n_out) AS take
+         |  FROM sh JOIN c USING (lang) CROSS JOIN no)
+         |SELECT u.doc_id AS id, u.lang FROM u JOIN tk USING (lang)
+         |WHERE u.u < tk.take / tk.n ORDER BY id""".stripMargin,
+
     // deterministic quality-weighted Bernoulli sample: keep iff
     // u(salt, id) < quality(text); same term order as qualityScoreT
     "q80_weighted_sample" ->

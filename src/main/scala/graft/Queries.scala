@@ -831,6 +831,15 @@ object Queries {
         salt = "q84")
         .orderBy("id")),
 
+    // sampling: window-free approximate mixture (per-domain Bernoulli at
+    // rate take/n — the scale path when a domain is too hot to sort)
+    "q85_sample_mix_approx" -> ((s, dir) =>
+      graft.sources.ScaleOps
+        .sampleToMixApprox(docs(s, dir), "lang", "doc_id",
+          Seq("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25), salt = "q85")
+        .select(col("doc_id").as("id"), col("lang"))
+        .orderBy("id")),
+
     // sampling: deterministic Bernoulli keep with per-row probability =
     // quality score (DSIR/CCNet-style quality-weighted subsample)
     "q80_weighted_sample" -> ((s, dir) =>

@@ -194,6 +194,55 @@ object ScaleOps {
       shares: Seq[(String, Double)],
       salt: String = ""
   ): DataFrame = {
+    val takes = mixTakes(df, domainCol, shares)
+    val u = graft.pipeline.TextOps
+      .hash32(concat(lit(salt), col(keyCol).cast("string")))
+      .cast("double") / lit(4294967296.0)
+    val take = takes.tail.foldLeft(
+      when(col(domainCol) === takes.head._1, lit(takes.head._2._2))) {
+      case (acc, (d, (_, t))) => acc.when(col(domainCol) === d, lit(t))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(u.asc, col(keyCol).asc)
+    df.withColumn("__take", take)
+      .filter(col("__take").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__take"))
+      .drop("__take", "__rn")
+  }
+
+  /** The window-free approximate form of [[sampleToMix]]: instead of an
+    * exact per-domain hash-rank cut, keep each row with probability
+    * take_d / n_d via [[weightedSample]] — per-domain counts are correct
+    * in EXPECTATION (±√n noise), but the plan is a pure filter with no
+    * per-domain sort, for corpora where a domain is too hot to window.
+    * Same determinism guarantees; same domain-dropping semantics.
+    */
+  def sampleToMixApprox(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      shares: Seq[(String, Double)],
+      salt: String = ""
+  ): DataFrame = {
+    val takes = mixTakes(df, domainCol, shares)
+    val rate = takes.tail.foldLeft(
+      when(col(domainCol) === takes.head._1,
+        lit(takes.head._2._2.toDouble / takes.head._2._1))) {
+      case (acc, (d, (n, t))) =>
+        acc.when(col(domainCol) === d, lit(t.toDouble / n))
+    }
+    weightedSample(df, keyCol, rate, salt)
+  }
+
+  /** Per-domain (count, target take) for the mixture samplers: n_out =
+    * ⌊min_d(n_d / share_d)⌋ (the largest total the inventory supports),
+    * take_d = ⌊share_d · n_out⌋. */
+  private def mixTakes(
+      df: DataFrame,
+      domainCol: String,
+      shares: Seq[(String, Double)]
+  ): Seq[(String, (Long, Long))] = {
     require(shares.nonEmpty, "shares must be non-empty")
     require(shares.forall(_._2 > 0), s"shares must be positive: $shares")
     val total = shares.map(_._2).sum
@@ -204,20 +253,6 @@ object ScaleOps {
       require(counts.contains(d), s"domain '$d' has no rows (have: ${counts.keys.toSeq.sorted.mkString(", ")})")
     }
     val nOut = math.floor(norm.map { case (d, s) => counts(d) / s }.min).toLong
-    val takes = norm.map { case (d, s) => (d, math.floor(s * nOut).toLong) }
-    val u = graft.pipeline.TextOps
-      .hash32(concat(lit(salt), col(keyCol).cast("string")))
-      .cast("double") / lit(4294967296.0)
-    val take = takes.tail.foldLeft(
-      when(col(domainCol) === takes.head._1, lit(takes.head._2))) {
-      case (acc, (d, t)) => acc.when(col(domainCol) === d, lit(t))
-    }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(domainCol)).orderBy(u.asc, col(keyCol).asc)
-    df.withColumn("__take", take)
-      .filter(col("__take").isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= col("__take"))
-      .drop("__take", "__rn")
+    norm.map { case (d, s) => (d, (counts(d), math.floor(s * nOut).toLong)) }
   }
 }

@@ -458,4 +458,44 @@ class DbregSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("weights"))
   }
+
+  test("cross-strategy fuzz: all applicable strategies agree on random panels") {
+    // seeded random balanced panels: every strategy that claims the same
+    // estimand must produce the same coefficients (the fixed-case
+    // differentials above pin values; this sweeps the config space)
+    val rng = new scala.util.Random(20240813)
+    val ftol = 1e-6
+    (1 to 8).foreach { trial =>
+      val nu = 5 + rng.nextInt(12)
+      val nt = 3 + rng.nextInt(5)
+      val levels = 2 + rng.nextInt(4)
+      val rows = for (u <- 0 until nu; t <- 0 until nt) yield {
+        val x1 = rng.nextInt(levels).toDouble
+        val x2 = math.rint(rng.nextGaussian() * 3) / 2.0
+        val y = 0.7 + 0.4 * x1 - 0.2 * x2 + (u % 3) * 0.3 + t * 0.1 +
+          rng.nextGaussian() * 0.4
+        (y, x1, x2, s"u$u", s"t$t")
+      }
+      val d = rows.toDF("y", "x1", "x2", "unit", "time")
+      def close(a: Double, b: Double, what: String): Unit =
+        assert(math.abs(a - b) <= ftol * math.max(1.0, math.abs(b)),
+          s"trial $trial $what: $a vs $b (nu=$nu nt=$nt levels=$levels)")
+      // no FE: moments ≡ compress
+      val fm = Dbreg.fit("y ~ x1 + x2", d, strategy = "moments")
+      val fc = Dbreg.fit("y ~ x1 + x2", d, strategy = "compress")
+      fm.coef.foreach { case (k, v) => close(fc.coef(k), v, s"noFE $k") }
+      // 1 FE: compress ≡ demean ≡ mundlak on the x coefficients
+      val c1 = Dbreg.fit("y ~ x1 + x2 | unit", d, strategy = "compress")
+      val d1 = Dbreg.fit("y ~ x1 + x2 | unit", d, strategy = "demean")
+      val m1 = Dbreg.fit("y ~ x1 + x2 | unit", d, strategy = "mundlak")
+      Seq("x1", "x2").foreach { k =>
+        close(d1.coef(k), c1.coef(k), s"1fe demean $k")
+        close(m1.coef(k), c1.coef(k), s"1fe mundlak $k")
+      }
+      // 2 FE (complete grid ⇒ balanced): demean ≡ compress
+      val c2 = Dbreg.fit("y ~ x1 + x2 | unit + time", d, strategy = "compress")
+      val d2 = Dbreg.fit("y ~ x1 + x2 | unit + time", d, strategy = "demean")
+      Seq("x1", "x2").foreach(k => close(d2.coef(k), c2.coef(k), s"2fe $k"))
+    }
+  }
 }

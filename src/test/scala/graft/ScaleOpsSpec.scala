@@ -222,4 +222,24 @@ class ScaleOpsSpec extends SparkTestBase {
       ScaleOps.sampleToMix(docs, "lang", "doc_id", Seq("nope" -> 1.0))
     }
   }
+
+  test("approximate mix tracks the exact takes without a rank window") {
+    val docs = sf("sf0.001", "documents")
+    val shares = Seq("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25)
+    val exact = ScaleOps.sampleToMix(docs, "lang", "doc_id", shares, salt = "ax")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = ScaleOps.sampleToMixApprox(docs, "lang", "doc_id", shares, salt = "ax")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (d, t) =>
+      // Bernoulli noise: within 4·√take of the exact target
+      val tol = 4 * math.sqrt(t.toDouble).ceil.toLong
+      assert(math.abs(approx(d) - t) <= tol, s"$d: approx=${approx(d)} exact=$t")
+    }
+    // and the plan really has no window/sort: a pure filter over the scan
+    val plan = ScaleOps.sampleToMixApprox(docs, "lang", "doc_id", shares)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort"), plan.take(400))
+  }
 }
