@@ -680,6 +680,19 @@ class PipelineSpec extends SparkTestBase {
     assert(cum == base.map(_._2).sum)
   }
 
+  test("int8 quantization: zero vector takes the scale-0 branch cleanly") {
+    // max 127 -> scale exactly 1.0, so the -63.5 half-tie is FP-exact
+    val z = Seq((1L, Array(0.0f, 0.0f, 0.0f)), (2L, Array(127.0f, -63.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.int8Scale(col("embedding")).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        Similarity.int8Quantize(col("embedding"), col("scale")).as("q"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Byte](2)))).toMap
+    assert(z(1L)._1 == 0.0 && z(1L)._2 == Seq[Byte](0, 0, 0))
+    assert(z(2L)._2 == Seq[Byte](127, -64, 0)) // ties round away from zero
+  }
+
   test("end-to-end corpus pipeline: scrub -> dedup -> sample -> split") {
     // the full pre-training sequence on the real corpus, asserting the
     // invariants a production run relies on at each stage

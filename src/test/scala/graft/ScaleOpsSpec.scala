@@ -223,6 +223,21 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("weighted sample drops NULL keys and NULL weights (documented semantics)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val d = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(java.lang.Long.valueOf(1L), java.lang.Double.valueOf(1.0)),
+        Row(null, java.lang.Double.valueOf(1.0)),
+        Row(java.lang.Long.valueOf(3L), null)),
+      StructType(Seq(StructField("id", LongType, nullable = true),
+        StructField("w", DoubleType, nullable = true))))
+    val kept = ScaleOps.weightedSample(d, "id", col("w"), salt = "n")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L)) // w=1 always keeps; null key and null weight drop
+  }
+
   test("approximate mix tracks the exact takes without a rank window") {
     val docs = sf("sf0.001", "documents")
     val shares = Seq("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25)
