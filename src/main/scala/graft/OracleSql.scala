@@ -926,6 +926,16 @@ object OracleSql {
          |WHERE p.common::DOUBLE / least(s1.nfp, s2.nfp)::DOUBLE >= 0.5
          |ORDER BY p.id1, p.id2""".stripMargin,
 
+    // token entropy: H = ln n - (sum c*ln c)/n over the token multiset
+    "q86_token_entropy" ->
+      s"""WITH t AS (SELECT doc_id AS id, ${toks("text")} AS toks FROM documents),
+         |e AS (SELECT id, unnest(toks) AS tok FROM t),
+         |c AS (SELECT id, tok, count(*) AS c FROM e GROUP BY 1, 2),
+         |s AS (SELECT id, sum(c) AS n, sum(c * ln(c)) AS s FROM c GROUP BY id)
+         |SELECT t.id, coalesce(s.n, 0)::BIGINT AS n_tokens,
+         |  coalesce(ln(s.n) - s.s / s.n, 0.0) AS token_entropy
+         |FROM t LEFT JOIN s USING (id) ORDER BY t.id""".stripMargin,
+
     // sequence packing: running token sum in md5-hash order, pack = the
     // window holding the doc's first token. `//` (floor division) — a
     // `(x / 512)::BIGINT` spelling would ROUND (DuckDB double→int casts

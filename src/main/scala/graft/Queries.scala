@@ -824,6 +824,12 @@ object Queries {
         threshold = 0.5, maxFpDocFreq = Some(50L))
         .orderBy("id1", "id2")),
 
+    // text: per-doc token Shannon entropy (information-density quality
+    // signal; low = repetitive/boilerplate)
+    "q86_token_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy("id")),
+
     // packing: GPT-style sequence packing — deterministic hash-order token
     // stream cut at 512-token boundaries; each doc's (pack, offset)
     "q84_pack_sequences" -> ((s, dir) =>

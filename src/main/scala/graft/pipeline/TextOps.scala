@@ -243,31 +243,64 @@ object TextOps {
     *
     * Scale shape: one global running sum — a range-partitioned sort, the
     * honest cost of a globally consistent layout. For corpora where even
-    * that is too hot, pack per shard instead: partition the window spec by
-    * a shard column and the sort becomes per-shard. Deterministic across
-    * engines, partitionings and reruns (same guarantees as
-    * [[graft.sources.ScaleOps.hashSplit]]).
+    * that is too hot, pass `shardCol`: the layout becomes per-shard (pack
+    * ids count from 0 WITHIN each shard — address packs as (shard,
+    * pack_id)), the sort parallelizes across shards, and the output keeps
+    * the shard column. Deterministic across engines, partitionings and
+    * reruns (same guarantees as [[graft.sources.ScaleOps.hashSplit]]).
     */
   def packSequences(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
       window: Int,
-      salt: String = ""
+      salt: String = "",
+      shardCol: Option[String] = None
   ): org.apache.spark.sql.DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     val u = hash32(concat(lit(salt), col(idCol).cast("string")))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__u").asc, col("id").asc)
+    val spec0 = shardCol match {
+      case Some(s) => org.apache.spark.sql.expressions.Window.partitionBy(col(s))
+      case None => org.apache.spark.sql.expressions.Window.partitionBy()
+    }
+    val w = spec0.orderBy(col("__u").asc, col("id").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.select(col(idCol).as("id"), tokenCount(col(textCol)).as("n_tokens"),
-        u.as("__u"))
+    val keep = shardCol.map(col).toSeq
+    df.select((Seq(col(idCol).as("id"),
+        tokenCount(col(textCol)).as("n_tokens"), u.as("__u")) ++ keep): _*)
       .withColumn("__cum", sum(col("n_tokens")).over(w))
-      .select(
+      .select((Seq(
         col("id"),
         col("n_tokens").cast("long").as("n_tokens"),
         ((col("__cum") - col("n_tokens")) / window).cast("long").as("pack_id"),
-        ((col("__cum") - col("n_tokens")) % window).cast("long").as("offset"))
+        ((col("__cum") - col("n_tokens")) % window).cast("long").as("offset")) ++ keep): _*)
+  }
+
+  /** Per-document token Shannon entropy (nats): H = ln n − (Σ c·ln c)/n
+    * over the token multiset — the information-density quality signal (low
+    * entropy = repetitive/boilerplate; complements the top-n-gram
+    * repetition fraction of the Gopher rules). Two keyed aggregations:
+    * explode → count per (id, token) → one agg per id; both partial+final
+    * hash aggs, nothing driver-side. Zero-token docs get entropy 0.
+    */
+  def tokenEntropy(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val ent = base.select(col("id"), explode(col("toks")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("s"))
+      .select(col("id"), col("n").cast("long").as("n_tokens"),
+        (log(col("n").cast("double")) - col("s") / col("n").cast("double"))
+          .as("token_entropy"))
+    base.select(col("id")).join(ent, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("token_entropy"), lit(0.0)).as("token_entropy"))
   }
 
   /** Winnowing document fingerprints (Schleimer et al. 2003 selection rule

@@ -693,6 +693,36 @@ class PipelineSpec extends SparkTestBase {
     assert(z(2L)._2 == Seq[Byte](127, -64, 0)) // ties round away from zero
   }
 
+  test("per-shard packing equals packing each shard separately") {
+    val sharded = TextOps.packSequences(docs, "doc_id", "text", 128,
+      salt = "s", shardCol = Some("lang"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    langs.foreach { l =>
+      val solo = TextOps.packSequences(docs.filter(col("lang") === l),
+        "doc_id", "text", 128, salt = "s")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      solo.foreach { case (id, po) =>
+        assert(sharded(id) == po, s"lang=$l id=$id: ${sharded(id)} vs $po")
+      }
+    }
+  }
+
+  test("token entropy matches hand computation, repetitive docs score low") {
+    val d = Seq(
+      (1L, "a a a a"), // H = 0 (single symbol)
+      (2L, "a b c d"), // H = ln 4
+      (3L, "a a b b"), // H = ln 2
+      (4L, "")         // no tokens -> 0
+    ).toDF("doc_id", "text")
+    val got = TextOps.tokenEntropy(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got(1L)) < 1e-12)
+    assert(math.abs(got(2L) - math.log(4)) < 1e-12)
+    assert(math.abs(got(3L) - math.log(2)) < 1e-12)
+    assert(got(4L) == 0.0)
+  }
+
   test("end-to-end corpus pipeline: scrub -> dedup -> sample -> split") {
     // the full pre-training sequence on the real corpus, asserting the
     // invariants a production run relies on at each stage
