@@ -59,6 +59,11 @@ object ProfCorpusOps {
     time("containment_pairs")(noop(
       Dedup.containmentPairs(docs, "doc_id", "text", k = 16, w = 8,
         threshold = 0.5, maxFpDocFreq = Some(50L))))
+    time("pack_sequences")(noop(
+      TextOps.packSequences(docs, "doc_id", "text", 512, "p")))
+    time("pack_sequences_sharded")(noop(
+      TextOps.packSequences(docs, "doc_id", "text", 512, "p", Some("lang"))))
+    time("token_entropy")(noop(TextOps.tokenEntropy(docs, "doc_id", "text")))
     // k tracks corpus size (SemDeDup contract): ~ n/250 cells
     val k = math.max(8, (emb.count() / 250).toInt)
     time(s"semdedup_k$k")(noop(

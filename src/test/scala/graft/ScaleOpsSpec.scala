@@ -48,6 +48,38 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(joined.count() == li.join(od, li("l_orderkey") === od("o_orderkey")).count())
   }
 
+  test("compress aggregation over a bucketed table runs with no exchange") {
+    // bucket col ⊆ the compress grouping keys (x, fe): HashPartitioning on
+    // a subset satisfies the agg's ClusteredDistribution, so the flagship
+    // fit's cell aggregation needs NO shuffle over a bucketed layout — the
+    // 100 TB deployment shape (write once bucketed by FE, fit repeatedly)
+    val li = sf("sf0.001", "lineitem")
+      .select("l_quantity", "l_extendedprice", "l_returnflag")
+    val t = "graft_li_fit_b"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(loc)
+    }
+    ScaleOps.writeBucketed(li, t, Seq("l_returnflag"), 8)
+    val cells = graft.reg.Dbreg.compressedData(
+      "l_extendedprice ~ l_quantity | l_returnflag", spark.table(t))
+    val plan = cells.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle:\n${plan.take(800)}")
+    // identical cells to the unbucketed path
+    val a = cells.orderBy("l_quantity", "l_returnflag").collect().toSeq
+    val b = graft.reg.Dbreg.compressedData(
+      "l_extendedprice ~ l_quantity | l_returnflag", li)
+      .orderBy("l_quantity", "l_returnflag").collect().toSeq
+    assert(a == b)
+  }
+
   test("normalizeParallelism is a no-op on a production multi-row-group layout") {
     // the shipped testdata is one row group per file, so every pipeline run
     // takes the repartition branch; this fixture takes the PRODUCTION branch
