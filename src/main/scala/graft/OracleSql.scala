@@ -900,6 +900,24 @@ object OracleSql {
          |    THEN d.n_dup::DOUBLE / d.n_windows::DOUBLE ELSE 0.0 END AS dup_frac
          |FROM t LEFT JOIN d USING (id) ORDER BY t.id""".stripMargin,
 
+    // edit-distance pairs: q31's shingle-Jaccard chain at the candidate
+    // threshold, then exact Levenshtein verify
+    "q87_edit_distance_pairs" ->
+      s"""WITH $ShingleSets,
+         |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+         |common AS (SELECT a.id id1, b.id id2, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT id1, id2 FROM common
+         |  JOIN sizes s1 ON common.id1 = s1.id
+         |  JOIN sizes s2 ON common.id2 = s2.id
+         |  WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.3)
+         |SELECT p.id1, p.id2, levenshtein(a.text, b.text)::INTEGER AS edit_dist
+         |FROM p JOIN documents a ON p.id1 = a.doc_id
+         |  JOIN documents b ON p.id2 = b.doc_id
+         |WHERE levenshtein(a.text, b.text) <= 6
+         |ORDER BY p.id1, p.id2""".stripMargin,
+
     // containment pairs: q52's winnow chain, exploded to (id, fp) sets,
     // fp-keyed self-join with the 1000-doc-freq valve, true pre-valve sizes
     "q83_containment_pairs" ->

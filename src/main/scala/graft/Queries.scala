@@ -814,6 +814,13 @@ object Queries {
       Dedup.dupSpans(docs(s, dir), "doc_id", "text", width = 5)
         .orderBy("id")),
 
+    // dedup: edit-distance near-dup pairs — Jaccard candidates (0.3)
+    // verified by exact Levenshtein, cutoff between the corpus's real
+    // near-dup distances (4) and its tail (8)
+    "q87_edit_distance_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(docs(s, dir), "doc_id", "text", maxDist = 6)
+        .orderBy("id1", "id2")),
+
     // dedup: MOSS-style containment pairs (asymmetric near-dup — quote /
     // boilerplate detection Jaccard misses). k=16 chars: grams must be
     // SELECTIVE (MOSS uses guarantee lengths well past a word) — at k=8

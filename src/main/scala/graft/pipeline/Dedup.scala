@@ -568,6 +568,37 @@ object Dedup {
     cross.unionAll(within)
   }
 
+  /** Edit-distance near-duplicate pairs: shingle-Jaccard candidate
+    * generation at a recall-oriented low threshold, verified by EXACT
+    * Levenshtein distance — the classic candidate-then-verify fuzzy dedup
+    * (set similarity finds the pairs cheaply; edit distance is the precise
+    * metric you actually wanted but cannot afford corpus×corpus).
+    *
+    * Scale shape: candidates inherit [[jaccardPairs]]'s bounded keyed-join
+    * shape; the Levenshtein verify is per-pair O(len²) via the codegen'd
+    * built-in — bound document length upstream ([[TextOps.chunkDocs]] or a
+    * truncating projection) when docs can be megabyte-sized.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int,
+      n: Int = 2,
+      candidateJaccard: Double = 0.3,
+      maxShingleDocFreq: Option[Long] = Some(DefaultMaxShingleDocFreq)
+  ): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val cands = jaccardPairs(df, idCol, textCol, n, candidateJaccard, maxShingleDocFreq)
+    val txt = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+    cands.select("id1", "id2")
+      .join(txt.select(col("id").as("id1"), col("__t").as("t1")), "id1")
+      .join(txt.select(col("id").as("id2"), col("__t").as("t2")), "id2")
+      .select(col("id1"), col("id2"),
+        levenshtein(col("t1"), col("t2")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** MOSS-style containment pairs over winnowing fingerprints (Schleimer
     * et al. 2003, the fingerprint layer [[TextOps.winnowFingerprints]]
     * already provides): score = |FP(a) ∩ FP(b)| / min(|FP(a)|, |FP(b)|).

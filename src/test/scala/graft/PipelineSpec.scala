@@ -635,6 +635,37 @@ class PipelineSpec extends SparkTestBase {
     assert(out(4L) == ((0L, 0L)), s"got ${out(4L)}")
   }
 
+  test("edit-distance pairs: planted one-char edit found at distance 1") {
+    val base = docs.limit(6)
+    val edited = base
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit("x"))) // one insertion
+    val pairs = Dedup.editDistancePairs(base.union(edited), "doc_id", "text",
+      maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.length == 6, s"got ${pairs.toSeq}")
+    assert(pairs.forall { case (a, b, d) => b == a + 100000 && d == 1 })
+    // tightening the cutoff to 0 keeps only exact duplicates: none here
+    assert(Dedup.editDistancePairs(base.union(edited), "doc_id", "text",
+      maxDist = 0).count() == 0)
+  }
+
+  test("minhash LSH recall vs exact jaccard on the real corpus") {
+    // quality measurement, not just correctness: banded LSH must recover
+    // nearly all true >= 0.5 pairs the exact shingle join finds
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2,
+      threshold = 0.5, maxShingleDocFreq = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+    // and LSH introduces no false positives below the threshold (verify
+    // step recomputes true jaccard)
+    assert((lsh diff exact).isEmpty, s"unexpected extras: ${(lsh diff exact).take(5)}")
+  }
+
   test("containment catches an embedded doc that jaccard misses") {
     val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val filler = (1 to 60).map(i => s"word$i").mkString(" ")
