@@ -31,7 +31,10 @@ object ProfCorpusOps {
     def noop(df: DataFrame): Long =
       df.queryExecution.toRdd.mapPartitions(it => Iterator.single(it.size.toLong)).sum().toLong
 
+    // PROF_ONLY: comma list of name prefixes to run (default: all)
+    val only = sys.env.get("PROF_ONLY").map(_.split(",").map(_.trim).toSeq)
     def time(name: String)(f: => Long): Unit = {
+      if (only.exists(ps => !ps.exists(name.startsWith))) return
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val n = f
@@ -59,6 +62,12 @@ object ProfCorpusOps {
     time("containment_pairs")(noop(
       Dedup.containmentPairs(docs, "doc_id", "text", k = 16, w = 8,
         threshold = 0.5, maxFpDocFreq = Some(50L))))
+    // valve scaled to the corpus: the synthetic ~50-word vocabulary makes
+    // nearly every bigram hot (36M candidate pairs/5k docs under the
+    // default 1000 cap — OOM at ×100); real Zipfian text does not need this
+    time("edit_distance_pairs")(noop(
+      Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = 6,
+        maxShingleDocFreq = Some(100L))))
     time("pack_sequences")(noop(
       TextOps.packSequences(docs, "doc_id", "text", 512, "p")))
     time("pack_sequences_sharded")(noop(

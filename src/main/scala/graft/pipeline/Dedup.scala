@@ -578,6 +578,14 @@ object Dedup {
     * shape; the Levenshtein verify is per-pair O(len²) via the codegen'd
     * built-in — bound document length upstream ([[TextOps.chunkDocs]] or a
     * truncating projection) when docs can be megabyte-sized.
+    *
+    * SIZE THE VALVE TO THE CORPUS: candidate fan-out is Σ freq²/2 over
+    * surviving shingles, so `maxShingleDocFreq` must sit well below the
+    * shard's doc count. The default (1000) fits Zipfian text where only
+    * stopword bigrams are hot; a dense/small-vocabulary corpus (every
+    * bigram shared by 5–10% of docs) needs a much lower cap or a larger
+    * `n` — measured: the ~50-word-vocabulary testdata at 500k docs
+    * produces 3.6B candidates under the default cap and 10⁵ under 100.
     */
   def editDistancePairs(
       df: DataFrame,
