@@ -984,6 +984,43 @@ object OracleSql {
          |SELECT u.doc_id AS id, u.lang FROM u JOIN tk USING (lang)
          |WHERE u.u < tk.take / tk.n ORDER BY id""".stripMargin,
 
+    // containment dedup action: q83's pair chain → recursive-CTE connected
+    // components → drop non-representative members (q57 pattern)
+    "q88_containment_dedup" ->
+      s"""WITH g AS (SELECT doc_id AS id,
+         |    CASE WHEN len(text) < 16 THEN CAST([] AS BIGINT[])
+         |         ELSE list_transform(range(1, len(text)-14),
+         |                i -> ${hash32("substr(text, i::INT, 16)")}) END AS kg
+         |  FROM documents),
+         |f AS (SELECT id,
+         |    CASE WHEN len(kg) = 0 THEN CAST([] AS BIGINT[])
+         |         ELSE list_distinct(list_transform(
+         |                range(1, greatest(len(kg)-7, 1)+1),
+         |                i -> list_min(kg[i:i+7]))) END AS fps
+         |  FROM g),
+         |e AS (SELECT id, unnest(fps) AS fp FROM f),
+         |sizes AS (SELECT id, count(*) AS nfp FROM e GROUP BY id),
+         |ok AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 50),
+         |ek AS (SELECT e.id, e.fp FROM e JOIN ok USING (fp)),
+         |p AS (SELECT a.id AS id1, b.id AS id2, count(*) AS common
+         |  FROM ek a JOIN ek b ON a.fp = b.fp AND a.id < b.id GROUP BY 1, 2),
+         |pairs AS (SELECT p.id1, p.id2 FROM p
+         |  JOIN sizes s1 ON p.id1 = s1.id JOIN sizes s2 ON p.id2 = s2.id
+         |  WHERE p.common::DOUBLE / least(s1.nfp, s2.nfp)::DOUBLE >= 0.5),
+         |edges AS (SELECT id1 a, id2 b FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |comp AS (
+         |  WITH RECURSIVE reach(id, label) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT e2.a, r.label FROM edges e2 JOIN reach r ON e2.b = r.id
+         |  )
+         |  SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+         |drp AS (SELECT id FROM comp WHERE id <> cluster)
+         |SELECT count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+         |FROM documents WHERE doc_id NOT IN (SELECT id FROM drp)""".stripMargin,
+
     // deterministic quality-weighted Bernoulli sample: keep iff
     // u(salt, id) < quality(text); same term order as qualityScoreT
     "q80_weighted_sample" ->

@@ -821,6 +821,16 @@ object Queries {
       Dedup.editDistancePairs(docs(s, dir), "doc_id", "text", maxDist = 6)
         .orderBy("id1", "id2")),
 
+    // dedup ACTION over containment: transitive clusters of embedded /
+    // quoting docs, corpus keeps one representative per cluster
+    "q88_containment_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.containmentPairs(d, "doc_id", "text", k = 16, w = 8,
+        threshold = 0.5, maxFpDocFreq = Some(50L))
+      Dedup.dedupCorpus(d, "doc_id", pairs)
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+    }),
+
     // dedup: MOSS-style containment pairs (asymmetric near-dup — quote /
     // boilerplate detection Jaccard misses). k=16 chars: grams must be
     // SELECTIVE (MOSS uses guarantee lengths well past a word) — at k=8
