@@ -703,10 +703,14 @@ object Queries {
     // verify. maxHamming=3 → 4 bands: pigeonhole makes recall perfect, so
     // the result equals the brute-force all-pairs filter the oracle runs.
     // bits pinned to the 16-bit oracle signature (q34); the operator's
-    // scale default is the full 32-bit signature
+    // scale default is the full 32-bit signature. maxBucketSize=None makes
+    // the exact-equality pin unconditional: 16-bit sigs have only 2^4
+    // buckets per band, so at corpus sizes beyond ~16k distinct signatures
+    // the default valve would silently drop candidates and the parity
+    // would hold only by accident of testdata size
     "q72_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3,
-        bits = Dedup.SimhashBits)
+        bits = Dedup.SimhashBits, maxBucketSize = None)
         .orderBy("id1", "id2")),
 
     // PII scrub: per-category counts + redacted-text fingerprint over a

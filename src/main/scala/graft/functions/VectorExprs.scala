@@ -120,12 +120,41 @@ case class DotProduct(left: Expression, right: Expression)
   * Row norms and centroid norms accumulate ascending like [[DotProduct]],
   * so assignments are bit-identical to the literal path. Null vector or any
   * null element → NULL.
+  *
+  * Preconditions (enforced by [[VectorExprs.nearestCentroid]]): all
+  * centroids share one dimension and have strictly positive norm — a
+  * zero-norm centroid would make its cosine NaN, which `>` never selects,
+  * silently diverging from the oracle's `ORDER BY cos DESC` (NaN sorts
+  * greatest there). An input vector whose length differs from the centroid
+  * dimension fails fast at eval rather than truncating the dot product.
+  *
+  * The Array fields would make the synthesized case-class equality
+  * reference-based (breaking canonicalization / common-subexpression
+  * elimination between semantically identical instances), so equals and
+  * hashCode are overridden with deep comparisons.
   */
 case class NearestCentroid(
     child: Expression,
     cents: Array[Array[Double]],
     cnorms: Array[Double]
 ) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def centDim: Int = cents(0).length
+
+  override def equals(other: Any): Boolean = other match {
+    case that: NearestCentroid =>
+      child == that.child &&
+        java.util.Arrays.deepEquals(
+          cents.asInstanceOf[Array[AnyRef]], that.cents.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(cnorms, that.cnorms)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(
+      child,
+      Integer.valueOf(java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])),
+      Integer.valueOf(java.util.Arrays.hashCode(cnorms)))
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def nullable: Boolean = true
@@ -155,6 +184,9 @@ case class NearestCentroid(
       xs(i) = if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
       i += 1
     }
+    if (d != centDim)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: input vector has $d elements but centroids have $centDim")
     var nv = 0.0
     i = 0
     while (i < d) { nv += xs(i) * xs(i); i += 1 }
@@ -164,10 +196,9 @@ case class NearestCentroid(
     var c = 0
     while (c < cents.length) {
       val cc = cents(c)
-      val m = math.min(d, cc.length)
       var dot = 0.0
       i = 0
-      while (i < m) { dot += xs(i) * cc(i); i += 1 }
+      while (i < d) { dot += xs(i) * cc(i); i += 1 }
       val cos = dot / (nv * cnorms(c))
       if (cos > bestCos) { best = c; bestCos = cos }
       c += 1
@@ -188,7 +219,6 @@ case class NearestCentroid(
     val i = ctx.freshName("i")
     val c = ctx.freshName("c")
     val cc = ctx.freshName("cc")
-    val m = ctx.freshName("m")
     val dot = ctx.freshName("dot")
     val cos = ctx.freshName("cos")
     val best = ctx.freshName("best")
@@ -208,6 +238,11 @@ case class NearestCentroid(
             $xs[$i] = ${getter(childGen.value.toString, i)};
           }
           if (!$anyNull) {
+            if ($d != $centsRef[0].length) {
+              throw new IllegalArgumentException(
+                "nearest_centroid: input vector has " + $d +
+                " elements but centroids have " + $centsRef[0].length);
+            }
             double $nv = 0.0;
             for (int $i = 0; $i < $d; $i++) { $nv += $xs[$i] * $xs[$i]; }
             $nv = Math.sqrt($nv);
@@ -215,9 +250,8 @@ case class NearestCentroid(
             double $bestCos = Double.NEGATIVE_INFINITY;
             for (int $c = 0; $c < $centsRef.length; $c++) {
               double[] $cc = $centsRef[$c];
-              int $m = java.lang.Math.min($d, $cc.length);
               double $dot = 0.0;
-              for (int $i = 0; $i < $m; $i++) { $dot += $xs[$i] * $cc[$i]; }
+              for (int $i = 0; $i < $d; $i++) { $dot += $xs[$i] * $cc[$i]; }
               double $cos = $dot / ($nv * $normsRef[$c]);
               if ($cos > $bestCos) { $best = $c; $bestCos = $cos; }
             }
@@ -247,11 +281,17 @@ object VectorExprs {
     * unrolled SQL). */
   def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column = {
     require(cents.nonEmpty, "cents must be non-empty")
+    require(cents.forall(_.length == cents(0).length),
+      s"all centroids must share one dimension, got lengths " +
+        cents.map(_.length).distinct.mkString(","))
     val norms = cents.map { c =>
       var s = 0.0; var i = 0
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       math.sqrt(s)
     }
+    require(norms.forall(_ > 0),
+      "zero-norm centroid: cosine against it is NaN, which argmax would " +
+        "never select — drop empty cells or re-seed k-means before assigning")
     import org.apache.spark.sql.GraftInternal
     GraftInternal.columnOf(
       NearestCentroid(GraftInternal.expressionOf(vec), cents, norms))

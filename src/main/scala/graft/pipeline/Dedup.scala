@@ -88,15 +88,19 @@ object Dedup {
     // `maxShingleDocFreq` docs BEFORE the self-join — hot shingles dominate
     // the O(freq²) pair fan-out while carrying almost no similarity signal.
     // Jaccard is then computed over the filtered shingle sets.
-    val sh = maxShingleDocFreq match {
-      case None => sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lazy localCheckpoint, not persist: the shingle table feeds both the
+    // sizes agg and the self-join, so it materializes once; checkpoint
+    // blocks are context-cleaner-released when the result frame is dropped
+    // (a persist here would leak a CacheManager entry per call — nobody can
+    // unpersist a lazily-returned frame).
+    val sh = (maxShingleDocFreq match {
+      case None => sh0
       case Some(cap) =>
         val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= cap)
           .select("shingle")
         sh0.join(freq, Seq("shingle"), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    }).localCheckpoint(false)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a
@@ -487,8 +491,13 @@ object Dedup {
     * within the distance agree exactly on at least one band (pigeonhole),
     * so a (band, band-bits) equi-self-join has PERFECT recall and the
     * verify step (`bit_count(s1 ^ s2)`, codegen'd) makes precision exact.
-    * No approximation anywhere: the result equals the brute-force
-    * all-pairs filter, which is what the oracle computes.
+    * With `maxBucketSize = None` there is no approximation anywhere: the
+    * result equals the brute-force all-pairs filter (the q72 oracle pins
+    * exactly that configuration). The DEFAULT cap trades recall for
+    * boundedness: a band whose bucket exceeds the cap is skipped, dropping
+    * any candidate pair whose ONLY agreeing band saturated — within-class
+    * (hamming-0) pairs always survive via the signature-class expansion
+    * below, which never goes through the banded join.
     *
     * Scale shape mirrors [[minhashPairs]]: docs collapse to one
     * representative per DISTINCT signature before banding (identical-doc
@@ -518,8 +527,12 @@ object Dedup {
     require(bits % nBands == 0,
       s"bits ($bits) must be divisible by maxHamming + 1 ($nBands) for equal bit bands")
     val w = bits / nBands
-    val sigs = simhash(df, idCol, textCol, bits)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lazy local checkpoint, not persist: the signature table is read three
+    // times (reps + both expansion joins) so it must materialize once, but a
+    // CacheManager entry would outlive the call (nobody can unpersist a
+    // lazily-returned frame). Checkpoint blocks are context-cleaner-released
+    // once the result frame is dropped.
+    val sigs = simhash(df, idCol, textCol, bits).localCheckpoint(false)
     // signature-class collapse: identical docs (and distinct docs that
     // happen to collide on all bits — hamming 0 by definition) enter the
     // banded join as ONE representative row
@@ -634,13 +647,16 @@ object Dedup {
       threshold: Double = 0.5,
       maxFpDocFreq: Option[Long] = Some(DefaultMaxShingleDocFreq)
   ): DataFrame = {
-    // persist the (id, fps-array) frame BEFORE exploding: Generate inlines
-    // its single-use generator input, which would collapse the winnow
-    // staging and re-evaluate the k-gram hash array per window element
-    // (the O(n²) blowup winnowFingerprints stages against — measured 78 s
-    // vs 0.3 s on the sf0.01 corpus). The cache is the collapse barrier.
+    // materialize the (id, fps-array) frame BEFORE exploding: Generate
+    // inlines its single-use generator input, which would collapse the
+    // winnow staging and re-evaluate the k-gram hash array per window
+    // element (the O(n²) blowup winnowFingerprints stages against —
+    // measured 78 s vs 0.3 s on the sf0.01 corpus). A lazy localCheckpoint
+    // is the collapse barrier (LogicalRDD is opaque to the optimizer) and,
+    // unlike persist, leaves no CacheManager entry behind: blocks are
+    // context-cleaner-released once the result frame is dropped.
     val fpArr = TextOps.winnowFingerprints(df, idCol, textCol, k, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val fps = fpArr.select(col("id"), explode(col("fps")).as("fp")) // distinct per doc
     val sizes = fps.groupBy("id").agg(count(lit(1)).as("nfp"))
     val keyed = maxFpDocFreq match {

@@ -223,7 +223,12 @@ object Similarity {
         .collect()
       val next = Array.tabulate(cents.length)(c => cents(c).clone())
       upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      cents = next // cells with no members keep their previous centroid
+      // cells with no members keep their previous centroid, and so does a
+      // cell whose mean collapsed to exactly zero — a zero-norm centroid
+      // has NaN cosine to everything and nearestCentroid fails fast on it
+      for (c <- next.indices)
+        if (next(c).forall(_ == 0.0)) next(c) = cents(c)
+      cents = next
       assigned = assignDf
     }
     (assigned.select(col("id"), col("cell")), cents)
@@ -297,9 +302,13 @@ object Similarity {
       maxCellSize: Option[Long] = Some(100000L)
   ): DataFrame = {
     val (assigned, _) = kmeans(emb, idCol, vecCol, k, iters, dim)
+    // lazy localCheckpoint, not persist: (id, cell, vec) is read three times
+    // (valve count + both sides of the cell self-join) so it materializes
+    // once, and the blocks are context-cleaner-released with the result
+    // frame — persist here would leak a CacheManager entry per call.
     val av = assigned
       .join(emb.select(col(idCol).as("id"), col(vecCol).as("vec")), Seq("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val eligible = maxCellSize match {
       case None => av
       case Some(cap) =>

@@ -149,7 +149,11 @@ object Dbreg {
     // rows) — the base scan/agg runs once; the solve below reuses the cache
     val moments =
       if (maxGroups < Long.MaxValue) {
-        val m = grouped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // lazy localCheckpoint, not persist: the guard count materializes
+        // the moment table once and the solve below reuses the blocks; a
+        // persist could never be unpersisted (the result is lazy) and
+        // would leak a CacheManager entry per call
+        val m = grouped.localCheckpoint(false)
         val g = m.count()
         require(g <= maxGroups,
           s"$g groups exceeds maxGroups=$maxGroups; raise the guard or pre-filter")

@@ -824,4 +824,24 @@ class PipelineSpec extends SparkTestBase {
       (exact(q) intersect approx(q)).size.toDouble / exact(q).size).sum / qids.size
     assert(recall >= 0.8, s"recall@10 = $recall")
   }
+
+  test("lazily-returned operators leave no CacheManager entries behind") {
+    import org.apache.spark.sql.GraftInternal
+    // internal materialization must use context-cleaner-managed checkpoint
+    // blocks, not persist: a cached plan registered by an operator that
+    // returns lazily can never be unpersisted by anyone and leaks for the
+    // session's lifetime
+    spark.catalog.clearCache()
+    val d = docs.limit(50)
+    Dedup.jaccardPairs(d, "doc_id", "text", n = 2, threshold = 0.5).count()
+    Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3).count()
+    Dedup.containmentPairs(d, "doc_id", "text", k = 8, w = 4,
+      threshold = 0.5).count()
+    Similarity.semDedup(embs.limit(50), "vec_id", "embedding",
+      threshold = 0.95, k = 2, iters = 1, dim = 64).count()
+    graft.reg.Dbreg.fitGrouped("l_quantity ~ l_extendedprice",
+      sf("sf0.001", "lineitem"), "l_returnflag").count()
+    assert(GraftInternal.cacheManagerIsEmpty(spark),
+      "an operator registered a CacheManager entry it can never release")
+  }
 }

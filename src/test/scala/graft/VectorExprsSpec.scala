@@ -83,4 +83,51 @@ class VectorExprsSpec extends SparkTestBase {
       .collect()(0).getInt(0)
     assert(tied == 0)
   }
+
+  test("nearestCentroid fails fast on zero-norm and ragged centroids") {
+    // zero-norm centroid: cosine NaN can never win argmax, so building the
+    // expression at all is the bug — must be rejected eagerly
+    val zero = intercept[IllegalArgumentException] {
+      VectorExprs.nearestCentroid(col("v"), Array(Array(1.0, 0.0), Array(0.0, 0.0)))
+    }
+    assert(zero.getMessage.contains("zero-norm"))
+    val ragged = intercept[IllegalArgumentException] {
+      VectorExprs.nearestCentroid(col("v"), Array(Array(1.0, 0.0), Array(1.0)))
+    }
+    assert(ragged.getMessage.contains("dimension"))
+  }
+
+  test("nearestCentroid fails fast on a vector/centroid dimension mismatch") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val err = intercept[Exception] {
+      Seq(Array(1.0f, 2.0f, 3.0f)).toDF("v")
+        .select(VectorExprs.nearestCentroid(col("v"), cents))
+        .collect()
+    }
+    // surfaced either directly or wrapped in a SparkException cause chain
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(err).exists(_.getMessage != null) &&
+      chain(err).exists(t =>
+        t.getMessage != null && t.getMessage.contains("3 elements but centroids have 2")))
+  }
+
+  test("NearestCentroid equality is deep (canonicalization-safe) over array fields") {
+    import graft.functions.NearestCentroid
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val childExpr = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    def mk() = NearestCentroid(
+      childExpr,
+      Array(Array(1.0, 2.0), Array(3.0, 4.0)),
+      Array(math.sqrt(5.0), math.sqrt(25.0)))
+    val a = mk(); val b = mk()
+    assert(a == b, "semantically identical instances must compare equal")
+    assert(a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    val c = NearestCentroid(childExpr,
+      Array(Array(1.0, 2.0), Array(3.0, 5.0)),
+      Array(math.sqrt(5.0), math.sqrt(34.0)))
+    assert(a != c)
+  }
 }
