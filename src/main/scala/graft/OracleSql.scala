@@ -1357,6 +1357,27 @@ object OracleSql {
     "q40_event_windows" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
         | event_type, count(*) AS n, sum(value) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q89_range_join" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |p AS (SELECT event_id AS p_id, tus AS p_tus FROM e
+        |  WHERE event_type = 'purchase'),
+        |w AS (SELECT event_id AS w_id, tus AS lo, tus + 600000000 AS hi FROM e
+        |  WHERE event_type = 'signup')
+        |SELECT p_id, w_id, p_tus, lo
+        |FROM p JOIN w ON p_tus >= lo AND p_tus <= hi
+        |ORDER BY p_id, w_id""".stripMargin,
+
+    "q90_interval_overlap" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |c AS (SELECT event_id AS c_id, tus AS c_lo, tus + 300000000 AS c_hi
+        |  FROM e WHERE event_type = 'click'),
+        |x AS (SELECT event_id AS x_id, tus AS x_lo, tus + 300000000 AS x_hi
+        |  FROM e WHERE event_type = 'error')
+        |SELECT c_id, x_id,
+        |  least(c_hi, x_hi) - greatest(c_lo, x_lo) AS overlap_us
+        |FROM c JOIN x ON c_lo <= x_hi AND x_lo <= c_hi
+        |ORDER BY c_id, x_id""".stripMargin
   )
 }

@@ -987,6 +987,45 @@ object Queries {
           col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
         .orderBy("hour_epoch", "event_type")
+    }),
+
+    // range join: attribute every purchase to the signup windows
+    // [signup.ts, +10 min] containing it — a pure band join (no equi key),
+    // which naively plans as a nested loop; the bucketized operator makes
+    // it two shuffled equi-joins on the bucket id. bucketWidth = the
+    // window length, so each window emits at most 2 bucket rows
+    "q89_range_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = ev(s, dir).withColumn("tus", expr("ts DIV 1000"))
+      val tenMinUs = 600000000L
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("tus").as("p_tus"))
+      val w = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("w_id"), col("tus").as("lo"),
+          (col("tus") + tenMinUs).as("hi"))
+      graft.operators.RangeJoin
+        .pointInInterval(p, "p_tus", w, "lo", "hi", bucketWidth = tenMinUs)
+        .select("p_id", "w_id", "p_tus", "lo")
+        .orderBy("p_id", "w_id")
+    }),
+
+    // interval-overlap join: concurrent click/error activity windows
+    // ([ts, +5 min] each) — each overlapping pair is produced exactly once
+    // (accepted only in the bucket of max(lo1, lo2)), no distinct pass
+    "q90_interval_overlap" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = ev(s, dir).withColumn("tus", expr("ts DIV 1000"))
+      val fiveMinUs = 300000000L
+      def win(tpe: String, p: String) = e.filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${p}_id"), col("tus").as(s"${p}_lo"),
+          (col("tus") + fiveMinUs).as(s"${p}_hi"))
+      graft.operators.RangeJoin
+        .intervalOverlap(win("click", "c"), "c_lo", "c_hi",
+          win("error", "x"), "x_lo", "x_hi", bucketWidth = fiveMinUs)
+        .select(col("c_id"), col("x_id"),
+          (least(col("c_hi"), col("x_hi")) -
+            greatest(col("c_lo"), col("x_lo"))).as("overlap_us"))
+        .orderBy("c_id", "x_id")
     })
   )
 }
