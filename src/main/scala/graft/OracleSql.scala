@@ -776,6 +776,36 @@ object OracleSql {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "q91_strip_markup" -> {
+      import graft.pipeline.TextOps
+      // identical plant as the Spark side; strip chain rendered from the
+      // SAME TextOps pattern constants so the two can't drift. All
+      // fragments single-line (outer stripMargin would eat a leading ||).
+      val plant = Seq(
+        "'<html><head><title>d'", "doc_id::VARCHAR",
+        "'</title><style>body { color: red; }</style></head><body>'",
+        "CASE WHEN doc_id % 3 = 0 THEN '<script type=\"text/javascript\">var x = 1 < 2;</script>' ELSE '' END",
+        "'<!-- nav --><div class=\"nav\"><a href=\"/home\">Home</a></div><p>'",
+        "text", "'</p>'",
+        "CASE WHEN doc_id % 5 = 0 THEN '<p>a &amp;lt; b &nbsp;&gt; c &quot;q&quot; &#39;s&#39;</p>' ELSE '' END",
+        "'</body></html>'").mkString(" || ")
+      def esc(s: String) = s.replace("'", "''")
+      val noBlocks = Seq(TextOps.ScriptBlockPattern, TextOps.StyleBlockPattern,
+        TextOps.CommentPattern, TextOps.TagPattern)
+        .foldLeft("text")((acc, pat) => s"regexp_replace($acc, '${esc(pat)}', ' ', 'g')")
+      val decoded = TextOps.EntityDecodes.foldLeft(noBlocks) { case (acc, (ent, repl)) =>
+        s"replace($acc, '${esc(ent)}', '${esc(repl)}')"
+      }
+      s"""WITH planted AS (SELECT doc_id, $plant AS text FROM documents),
+         |s AS (SELECT doc_id, text,
+         |  trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS vis FROM planted)
+         |SELECT doc_id, md5(vis) AS visible_md5,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE 1.0 - length(vis)::DOUBLE / length(text)::DOUBLE
+         |  END AS markup_ratio
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
     "q74_chunking" ->
       s"""WITH t AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
          |c AS (SELECT doc_id, t,

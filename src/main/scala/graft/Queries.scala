@@ -735,6 +735,35 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // markup strip: visible text + markup ratio over a deterministically
+    // HTML-wrapped corpus (raw testdata has no markup, so the wrap makes
+    // both outputs non-trivial; the oracle wraps the identical strings).
+    // Every doc gets chrome + tags; every third doc a script payload that
+    // must vanish entirely, every fifth an entity run that must decode.
+    "q91_strip_markup" -> ((s, dir) => {
+      val planted = docs(s, dir).select(
+        col("doc_id"),
+        concat(
+          lit("<html><head><title>d"), col("doc_id").cast("string"),
+          lit("</title><style>body { color: red; }</style></head><body>"),
+          when(col("doc_id") % 3 === 0,
+            lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"))
+            .otherwise(lit("")),
+          lit("<!-- nav --><div class=\"nav\"><a href=\"/home\">Home</a></div><p>"),
+          col("text"),
+          lit("</p>"),
+          when(col("doc_id") % 5 === 0,
+            lit("<p>a &amp;lt; b &nbsp;&gt; c &quot;q&quot; &#39;s&#39;</p>"))
+            .otherwise(lit("")),
+          lit("</body></html>")
+        ).as("text"))
+      planted.select(
+        col("doc_id"),
+        md5(TextOps.stripMarkup(col("text"))).as("visible_md5"),
+        TextOps.markupRatio(col("text")).as("markup_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // context-window chunking: fixed-size token chunks with overlap —
     // narrow posexplode, no shuffle; the corpus-rewrite shape
     "q74_chunking" -> ((s, dir) =>

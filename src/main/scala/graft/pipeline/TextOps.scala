@@ -155,6 +155,49 @@ object TextOps {
       regexp_replace(acc, pat, repl)
     }
 
+  /** Markup-stripping patterns (trafilatura/jusText-style boilerplate
+    * removal, regex tier): script/style payloads and comments vanish
+    * entirely (their content is never prose), every remaining tag becomes
+    * a space (so `</p><p>` doesn't fuse words), then the handful of
+    * ubiquitous named entities decode and whitespace collapses. Same
+    * Java-regex ∩ RE2 common subset as [[PiiPatterns]] — non-greedy + the
+    * `(?is)` inline flags work identically in Spark's codegen'd regexp
+    * functions and the DuckDB oracle; no lookaround, no backreferences.
+    * Numeric character references are NOT decoded (documented gap — they
+    * need arbitrary codepoint synthesis, not a regex). */
+  val ScriptBlockPattern = "(?is)<script\\b[^>]*>.*?</script>"
+  val StyleBlockPattern = "(?is)<style\\b[^>]*>.*?</style>"
+  val CommentPattern = "(?s)<!--.*?-->"
+  val TagPattern = "<[^>]+>"
+
+  /** Entity → text, applied AFTER tag removal ({@code &lt;} must not
+    * resurrect as a strippable tag). `&amp;` decodes LAST: it's the
+    * escape's escape — `&amp;lt;` means literal "&lt;", so decoding it
+    * first would double-decode. */
+  val EntityDecodes: Seq[(String, String)] = Seq(
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"))
+
+  /** Visible text of an HTML/XML-ish document: block payloads and tags
+    * out, entities decoded, whitespace collapsed and trimmed. One chained
+    * projection — codegen'd, no shuffle, linear in document length. */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = Seq(ScriptBlockPattern, StyleBlockPattern, CommentPattern, TagPattern)
+      .foldLeft(text)((acc, pat) => regexp_replace(acc, pat, " "))
+    val decoded = EntityDecodes.foldLeft(noBlocks) { case (acc, (ent, repl)) =>
+      regexp_replace(acc, ent, repl)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Fraction of the raw document that was markup: 1 − |visible|/|raw|
+    * (0 for an empty doc). A boilerplate-quality signal: navigation/chrome
+    * pages score near 1, prose near 0. */
+  def markupRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(lit(1.0) - length(stripMarkup(text)).cast("double") /
+        length(text).cast("double"))
+
   /** Registrable-host capture group for [[UrlPattern]] matches: scheme,
     * then everything up to the first `/ : ? #`. Same Java∩RE2 subset as
     * the PII patterns. */

@@ -825,6 +825,29 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.8, s"recall@10 = $recall")
   }
 
+  test("stripMarkup: payload blocks vanish, tags space-separate, entities decode once") {
+    val rows = Seq(
+      (1L, "<html><body><p>hello</p><p>world</p></body></html>"),
+      (2L, "<script>var x = 1 < 2;</script>keep<style>p{}</style><!-- no -->this"),
+      // &amp;lt; is an ESCAPED "&lt;" — must decode to the 4-char string
+      // "&lt;", not double-decode to "<"
+      (3L, "a &amp;lt; b &nbsp;&gt; c &quot;q&quot; &#39;s&#39; &amp; d"),
+      (4L, "<SCRIPT SRC=\"x\">nope</SCRIPT><DIV>Case</DIV>"),
+      (5L, ""),
+      (6L, "plain text, no markup at all")
+    ).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"), TextOps.stripMarkup(col("text")).as("v"),
+      TextOps.markupRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 == "hello world")
+    assert(got(2L)._1 == "keep this")
+    assert(got(3L)._1 == "a &lt; b > c \"q\" 's' & d")
+    assert(got(4L)._1 == "Case") // (?i) covers upper-case tags
+    assert(got(5L) == (("", 0.0)))
+    assert(got(6L)._1 == "plain text, no markup at all" && got(6L)._2 == 0.0)
+    assert(got(1L)._2 > 0.5 && got(1L)._2 < 1.0)
+  }
+
   test("lazily-returned operators leave no CacheManager entries behind") {
     import org.apache.spark.sql.GraftInternal
     // internal materialization must use context-cleaner-managed checkpoint
