@@ -32,8 +32,9 @@ object RangeJoin {
 
   /** Exact floor division on longs: `pmod` makes the numerator an exact
     * multiple of `w`, so integral DIV's truncation equals floor — no
-    * double-precision detour (epoch-micros exceed 2^53-safe division). */
-  private def floorDiv(c: Column, w: Long): Column =
+    * double-precision detour (epoch-micros exceed 2^53-safe division).
+    * `private[graft]`: the streaming attribution join buckets the same way. */
+  private[graft] def floorDiv(c: Column, w: Long): Column =
     call_function("div", c - pmod(c, lit(w)), lit(w))
 
   private def requireDisjoint(left: DataFrame, right: DataFrame, keys: Seq[String]): Unit = {

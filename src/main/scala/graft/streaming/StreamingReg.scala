@@ -92,6 +92,49 @@ object StreamingReg {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming window attribution — the streaming form of the batch
+    * [[graft.operators.RangeJoin.pointInInterval]] shape: every point
+    * event joins the trigger events whose `[trigger.ts, trigger.ts +
+    * windowUs]` window contains it (inclusive).
+    *
+    * Spark refuses stream-stream joins without an equality predicate, so
+    * the batch operator's bucketization carries over verbatim: triggers
+    * emit their (at most 2, since bucketWidth = window length) overlapped
+    * time buckets via a stateless explode, points emit exactly one, and
+    * the join is a supported equi-join on `__bucket` with the exact range
+    * predicate re-checked. The time-bound predicate additionally lets the
+    * state store evict: a trigger older than watermark + window can never
+    * match a future point, so state stays bounded. Both inputs must be
+    * streaming frames with `tsCol` TimestampType. */
+  def streamingAttribution(
+      points: DataFrame,
+      triggers: DataFrame,
+      tsCol: String,
+      windowUs: Long = 600000000L,
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    require(windowUs > 0, s"windowUs must be > 0, got $windowUs")
+    val clash = points.columns.toSet.intersect(triggers.columns.toSet) - tsCol
+    require(clash.isEmpty,
+      s"point/trigger column names must be disjoint outside '$tsCol', " +
+        s"both have: ${clash.mkString(", ")}")
+    import graft.operators.RangeJoin.floorDiv
+    val p = points.withColumn("__pts", col(tsCol)).drop(tsCol)
+      .withWatermark("__pts", watermark)
+      .withColumn("__bucket", floorDiv(unix_micros(col("__pts")), windowUs))
+    val t = triggers.withColumn("__tts", col(tsCol)).drop(tsCol)
+      .withWatermark("__tts", watermark)
+      .withColumn("__bucket", explode(sequence(
+        floorDiv(unix_micros(col("__tts")), windowUs),
+        floorDiv(unix_micros(col("__tts")) + windowUs, windowUs))))
+    p.join(t, Seq("__bucket"))
+      .filter(col("__pts") >= col("__tts") &&
+        col("__pts") <= col("__tts") + expr(s"INTERVAL $windowUs MICROSECOND"))
+      .drop("__bucket")
+      .withColumnRenamed("__pts", s"point_$tsCol")
+      .withColumnRenamed("__tts", s"trigger_$tsCol")
+  }
+
   /** Finalized session emitted by [[streamingSessionize]]. */
   final case class Session(
       key: String, startMs: Long, endMs: Long, nEvents: Long, sumValue: Double)

@@ -74,6 +74,43 @@ class StreamingSpec extends SparkTestBase {
     assert(texts.toSeq == Seq("aaa", "bbb", "ccc")) // dups within watermark dropped
   }
 
+  test("streaming attribution matches the batch range join on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Timestamp)]
+    val tIn = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingReg.streamingAttribution(
+      pIn.toDF().toDF("p_id", "ts"), tIn.toDF().toDF("w_id", "ts"), "ts",
+      windowUs = 600000000L, watermark = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    def t(m: Int, s: Int = 0) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+    // triggers at :00 and :20; points inside, at the inclusive edge, and out
+    tIn.addData((100L, t(0)), (101L, t(20)))
+    pIn.addData((1L, t(5)), (2L, t(10)), (3L, t(15)), (4L, t(25)), (5L, t(31)))
+    q.processAllAvailable()
+    // advance both watermarks so bounded state can evict, then add a late
+    // point that can only match the second trigger
+    tIn.addData((102L, t(55)))
+    pIn.addData((6L, t(56)))
+    q.processAllAvailable()
+    val got = spark.table("attr").select("p_id", "w_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // batch truth from the bucketized range join over the same rows
+    import graft.operators.RangeJoin
+    val pts = Seq(1L -> t(5), 2L -> t(10), 3L -> t(15), 4L -> t(25),
+      5L -> t(31), 6L -> t(56)).map { case (i, ts) => (i, ts.getTime) }
+      .toDF("p_id", "p_ms")
+    val ws = Seq(100L -> t(0), 101L -> t(20), 102L -> t(55)).map { case (i, ts) =>
+      (i, ts.getTime, ts.getTime + 600000L)
+    }.toDF("w_id", "lo", "hi")
+    val expected = RangeJoin.pointInInterval(pts, "p_ms", ws, "lo", "hi", 600000L)
+      .select("p_id", "w_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"stream $got vs batch $expected")
+    assert(got.contains((2L, 100L)) && got.contains((4L, 101L)) && got.contains((6L, 102L)))
+    assert(!got.exists(_._1 == 5L)) // :31 is outside both windows
+  }
+
   test("mapGroupsWithState running stats match direct computation") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
