@@ -46,6 +46,8 @@ object ScaleUp {
     val tables: Set[String] =
       (if (args.length > 4) args(4).split(",").map(_.trim).toSet
        else Set("lineitem", "documents", "embeddings"))
+    // `events` is opt-in via the tables arg (the default bench tables
+    // above predate it)
     require(factor >= 1, s"factor must be >= 1, got $factor")
 
     val spark = SparkSession.builder()
@@ -88,6 +90,28 @@ object ScaleUp {
       }
       docsScaled.repartition(partitions)
         .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    }
+
+    // events: each replica shifts the TIMELINE by the source span (plus a
+    // day of slack), not the density — a corpus 100x the size spans more
+    // time at the same events/hour, so time-bucketed joins and windowed
+    // aggs scale linearly in matches the way a real longer stream would.
+    // Replicating timestamps verbatim would multiply per-bucket density by
+    // `factor` and benchmark a quadratically different join problem.
+    // Read with nanosAsLong (the parquet stores TIMESTAMP(NANOS), the q40/
+    // q54 convention), so `ts` scales as raw int64 nanos.
+    if (tables("events")) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      val span = ev.agg(max(col("ts")) - min(col("ts"))).collect()(0).getLong(0) +
+        86400L * 1000000000L
+      val evScaled = replicate(ev) { (d, r) =>
+        d.withColumn("event_id", col("event_id") + lit(r * keyStride))
+          .withColumn("user_id", col("user_id") + lit(r * keyStride))
+          .withColumn("ts", col("ts") + lit(r * span))
+      }
+      evScaled.repartition(partitions)
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
     }
 
     // embeddings: rotate the vector by r to decorrelate replicas; cast back
