@@ -51,7 +51,7 @@ object OracleSql {
     s"hashes(i, a, b) AS (SELECT * FROM (VALUES $rows))"
   }
 
-  val all: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "q01_moments_agg" ->
       s"""SELECT count(*) AS n_total,
          | sum(y) AS sum_y, sum(y*y) AS sum_y_sq,
@@ -1410,4 +1410,10 @@ object OracleSql {
         |FROM c JOIN x ON c_lo <= x_hi AND x_lo <= c_hi
         |ORDER BY c_id, x_id""".stripMargin
   )
+
+  /** q92 is the INDEX ROUNDTRIP of q41: building the IVF index on disk and
+    * querying it through the partition-pruned path must reproduce the
+    * in-memory ivfTopK result bit-for-bit — so its oracle IS q41's SQL. */
+  val all: Map[String, String] =
+    base + ("q92_vector_index" -> base("q41_knn_ivf"))
 }

@@ -604,6 +604,21 @@ object Queries {
         nCentroids = 16, nprobe = 4)
         .orderBy("query_id", "rank")),
 
+    // persisted IVF index roundtrip: build (iters=0 keeps q41's
+    // deterministic centroid seed) writes the corpus hive-partitioned by
+    // cell; the query path prunes to the probed cell DIRECTORIES and must
+    // reproduce the in-memory ivfTopK result bit-for-bit (oracle = q41's)
+    "q92_vector_index" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-vindex").toString
+      graft.pipeline.VectorIndex.build(e, "vec_id", "embedding", idx,
+        k = 16, iters = 0)
+      graft.pipeline.VectorIndex.topK(s, idx, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // text analysis: language ID + quality + token counts + fingerprint
     // (tokenize ONCE per row, reuse the array for every feature)
     "q37_text_analysis" -> ((s, dir) =>

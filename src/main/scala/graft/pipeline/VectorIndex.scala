@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index over an embedding column — the deployment shape of
+  * [[Similarity.ivfTopK]]: train once, write the corpus PARTITIONED BY
+  * CELL, then serve top-k queries that read only the probed cells.
+  *
+  * At 100 TB the win is in the LAYOUT, not the math: `assigned.parquet`
+  * is hive-partitioned on the cell id, so a query's `cell IN (probes…)`
+  * filter becomes a PartitionFilter — Spark prunes whole directories at
+  * planning time and the scan touches `nprobe / k` of the corpus instead
+  * of all of it. Build cost is one k-means (driver holds k·dim doubles,
+  * never the corpus) plus one narrow assignment projection and one
+  * shuffle to lay the corpus out cell-contiguous.
+  *
+  * Query cost: one broadcast of the (tiny) centroid table to rank probe
+  * cells per query, one BOUNDED driver collect of ≤ |queries|·nprobe cell
+  * ids (needed as literals — partition pruning only sees foldable
+  * predicates), then a pruned scan joined to the broadcast queries.
+  */
+object VectorIndex {
+
+  /** Train k-means (`iters = 0` keeps the deterministic k-lowest-id seed —
+    * the [[Similarity.ivfTopK]] default), assign every vector with the
+    * codegen'd NearestCentroid projection (narrow, no shuffle), and write:
+    *   - `<dir>/centroids.parquet` — (cell, cvec), k rows
+    *   - `<dir>/assigned.parquet`  — (id, vec), hive-partitioned by `cell`
+    * Returns the trained centroids (also on disk) for callers composing
+    * with ivfTopK directly. One file per cell by default — raise
+    * `spark.sql.shuffle.partitions` or pre-salt for multi-file cells at
+    * real corpus sizes. */
+  def build(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      k: Int = 16,
+      iters: Int = 2,
+      dim: Int = 64
+  ): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (_, cents) = Similarity.kmeans(emb, idCol, vecCol, k, iters, dim)
+    cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cell", "cvec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    emb
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        graft.functions.VectorExprs.nearestCentroid(col(vecCol), cents).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assigned.parquet")
+    cents
+  }
+
+  /** Top-k cosine neighbors from a built index for each query row.
+    * Probe ranking, scoring, and tie order are identical to
+    * [[Similarity.ivfTopK]] (cos desc, id asc; a query never matches its
+    * own id), so an index roundtrip reproduces the in-memory operator
+    * bit-for-bit. Returns (query_id, neighbor_id, cos, rank). */
+  def topK(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cos_c").desc, col("cell").asc)
+    val probes = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("qvec"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("qvec"), col("cell"),
+        Similarity.cosine(col("qvec"), col("cvec")).as("cos_c"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nprobe)
+      .select("query_id", "qvec", "cell")
+    // bounded collect: <= |queries| * nprobe ints. The cells must be plan
+    // LITERALS — partition pruning happens at planning time, a join can't
+    // prune directories.
+    val probeCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val scan = spark.read.parquet(s"$dir/assigned.parquet")
+      .filter(col("cell").isInCollection(probeCells))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scan.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        Similarity.cosine(col("qvec"), col("vec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+}

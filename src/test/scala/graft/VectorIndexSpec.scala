@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Similarity, VectorIndex}
+
+/** The persisted IVF index must (a) reproduce the in-memory ivfTopK result
+  * exactly through its disk roundtrip and (b) actually PRUNE: the cell
+  * partitioning has to reach the scan as a PartitionFilter so queries read
+  * only the probed directories. */
+class VectorIndexSpec extends SparkTestBase {
+
+  private lazy val embs = sf("sf0.001", "embeddings")
+
+  test("index roundtrip reproduces ivfTopK with the same trained centroids") {
+    val dir = java.nio.file.Files.createTempDirectory("vindex-spec").toString
+    val cents = VectorIndex.build(embs, "vec_id", "embedding", dir, k = 8, iters = 2)
+    assert(cents.length == 8)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))
+    val fromIndex = VectorIndex.topK(spark, dir, embs.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10, nprobe = 3)
+      .collect().map(key).toMap
+    val inMemory = Similarity.ivfTopK(embs, "vec_id", "embedding",
+      Seq(0L, 1L, 2L, 3L, 4L), 10, nprobe = 3, trainedCentroids = Some(cents))
+      .collect().map(key).toMap
+    assert(fromIndex.nonEmpty && fromIndex == inMemory)
+  }
+
+  test("cell partitioning prunes: probed query reads a strict subset of files") {
+    val dir = java.nio.file.Files.createTempDirectory("vindex-prune").toString
+    VectorIndex.build(embs, "vec_id", "embedding", dir, k = 8, iters = 1)
+    val assigned = spark.read.parquet(s"$dir/assigned.parquet")
+    val allFiles = assigned.inputFiles.length
+    // inputFiles reports the unfiltered relation; input_file_name() at
+    // execution time reflects the files actually scanned post-pruning
+    val prunedFiles = assigned.filter(col("cell").isInCollection(Seq(0, 1)))
+      .select(input_file_name()).distinct().count()
+    assert(prunedFiles < allFiles,
+      s"$prunedFiles vs $allFiles files — partition pruning is not happening")
+    // and the end-to-end query plan carries the partition filter
+    val plan = VectorIndex.topK(spark, dir, embs.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition filter in plan:\n${plan.take(2000)}")
+  }
+}
