@@ -152,16 +152,17 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
-  test("PII redaction and chunking run unchanged on a stream") {
+  test("PII redaction, markup strip, and chunking run unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.TextOps
     val texts = Seq(
-      (1L, "mail a@b.co then one two three four five six"),
-      (2L, "at 10.0.0.1 alpha beta gamma delta"))
+      (1L, "<p>mail a@b.co then</p> <b>one</b> two three four five six"),
+      (2L, "<script>drop()</script>at 10.0.0.1 alpha beta gamma delta"))
     val input = MemoryStream[(Long, String)]
+    def clean(df: org.apache.spark.sql.DataFrame) = df.select(col("id"),
+      TextOps.redactPii(TextOps.stripMarkup(col("text"))).as("text"))
     val out = TextOps.chunkDocs(
-      input.toDF().toDF("id", "text")
-        .select(col("id"), TextOps.redactPii(col("text")).as("text")),
+      clean(input.toDF().toDF("id", "text")),
       "id", "text", chunkTokens = 4, overlap = 0)
     val q = out.writeStream.format("memory").queryName("pchunk").outputMode("append").start()
     input.addData(texts: _*)
@@ -170,15 +171,16 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     q.stop()
     val batch = TextOps.chunkDocs(
-      spark.createDataFrame(texts).toDF("id", "text")
-        .select(col("id"), TextOps.redactPii(col("text")).as("text")),
+      clean(spark.createDataFrame(texts).toDF("id", "text")),
       "id", "text", chunkTokens = 4, overlap = 0)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     assert(streamed == batch)
     // chunk text is lowercased by the tokenizer, so the tokens appear as
-    // <email>/<ip> — the redaction demonstrably happened upstream
+    // <email>/<ip> — the redaction demonstrably happened upstream, and no
+    // markup token survived the strip
     assert(streamed.exists(_._3.contains("<email>")))
     assert(streamed.exists(_._3.contains("<ip>")))
+    assert(!streamed.exists(t => t._3.contains("script") || t._3.contains("<p>")))
   }
 
   test("streaming sessionization closes sessions by gap and by timeout") {
