@@ -505,6 +505,26 @@ object OracleSql {
          | SELECT grp, 'l_quantity', b1, sqrt(sig2 * n/det) FROM f) u
          |ORDER BY "group", term""".stripMargin,
 
+    "q93_grouped_fe_fit" ->
+      """WITH b AS (SELECT l_returnflag AS g, l_suppkey AS fe,
+        |    CAST(l_quantity AS DOUBLE) AS x, l_extendedprice AS y
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_suppkey IS NOT NULL
+        |    AND l_returnflag IS NOT NULL),
+        |m AS (SELECT g, fe, avg(x) AS mx, avg(y) AS my FROM b GROUP BY 1, 2),
+        |d AS (SELECT b.g, b.fe, b.x - m.mx AS xd, b.y - m.my AS yd
+        |  FROM b JOIN m ON b.g = m.g AND b.fe = m.fe),
+        |agg AS (SELECT g, count(*)::DOUBLE AS n,
+        |    count(DISTINCT fe)::DOUBLE AS L, sum(xd*yd) AS sxy,
+        |    sum(xd*xd) AS sxx, sum(yd*yd) AS syy FROM d GROUP BY 1),
+        |s AS (SELECT g, n, L, sxx, syy, sxy/sxx AS b1,
+        |    syy - (sxy/sxx)*sxy AS rss FROM agg)
+        |SELECT g AS "group", 'l_quantity' AS term, b1 AS estimate,
+        |  sqrt((rss / greatest(n - 1 - L, 1)) / sxx) AS std_error,
+        |  n::BIGINT AS n,
+        |  CASE WHEN syy > 0 THEN 1 - rss/syy ELSE 0 END AS r2
+        |FROM s ORDER BY "group", term""".stripMargin,
+
     // WLS: weighted centered algebra; w = 100·discount + 1 > 0 always
     "q49_wls_fit" ->
       s"""WITH b AS (SELECT l_extendedprice AS y, CAST(l_quantity AS DOUBLE) AS x,

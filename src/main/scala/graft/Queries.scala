@@ -512,6 +512,15 @@ object Queries {
         .select(col("group"), col("term"), col("estimate"), col("std_error"))
         .orderBy("group", "term")),
 
+    // grouped fit WITH a fixed effect: per-group within estimator — the
+    // (group, fe) demean is one keyed agg + composite-key join, solves
+    // stay executor-side; r2 is the within-R², df subtracts each group's
+    // own FE level count
+    "q93_grouped_fe_fit" -> ((s, dir) =>
+      Dbreg.fitGrouped("l_extendedprice ~ l_quantity | l_suppkey",
+        li(s, dir), "l_returnflag")
+        .orderBy("group", "term")),
+
     // ---- WLS (beyond-reference extension): weighted moments = exact WLS ----
     "q49_wls_fit" -> ((s, dir) => {
       val data = li(s, dir).withColumn("w", col("l_discount") * 100.0 + 1.0)

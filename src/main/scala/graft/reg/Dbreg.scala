@@ -106,13 +106,21 @@ object Dbreg {
     * distributed DataFrame — nothing is ever resident on the driver, and
     * G scales to millions of groups.
     *
+    * One fixed effect per group is supported (`y ~ x | fe`): the within
+    * transform demeans y and every regressor by their (group, fe) means —
+    * one extra keyed aggregation and one composite-key equi-join, both
+    * shuffling on (group, fe) — the intercept is absorbed, `r2` becomes
+    * the within-R², and the residual df subtracts the group's own FE
+    * level count (dfRes = n_g − p_kept − L_g, the per-group analogue of
+    * the demean strategy's bookkeeping above). More than one FE → refuse
+    * (run the engine's 2-FE strategies per group instead).
+    *
     * `maxGroups` is an optional sanity guard (one cheap count over the
     * cached moment table when set below Long.MaxValue); pass
     * `Long.MaxValue` to disable the extra job entirely.
     *
     * Returns a DataFrame (group, term, estimate, std_error, n, r2).
-    * Restrictions: no fixed effects (use the FE strategies per group
-    * instead), iid standard errors.
+    * iid standard errors.
     */
   def fitGrouped(
       formula: String,
@@ -121,26 +129,44 @@ object Dbreg {
       maxGroups: Long = 10000000L
   ): DataFrame = {
     val f = Formula.parse(formula)
-    require(f.fe.isEmpty, "fitGrouped supports formulas without fixed effects")
+    require(f.fe.size <= 1,
+      s"fitGrouped supports at most one fixed effect, got ${f.fe.size}")
+    val feOpt = f.fe.headOption
     val needed = (f.allInputCols :+ groupCol).distinct
     needed.foreach(c => require(df.columns.contains(c), s"column '$c' not found"))
     val base = df.select(needed.map(col): _*)
       .filter(needed.map(col(_).isNotNull).reduce(_ && _))
-    val d = buildDesign(base, f, Seq(groupCol), f.intercept)
+    val d = buildDesign(base, f, groupCol +: f.fe,
+      intercept = f.intercept && feOpt.isEmpty)
     val p = d.xNames.length
+    // within transform when an FE is present: demean y and the regressors
+    // by their (group, fe) means. Both the mean agg and the join shuffle on
+    // the composite (group, fe) key — no broadcast assumption, G×L-safe.
+    val data = feOpt match {
+      case None => d.df
+      case Some(fe) =>
+        val valueCols = Y +: d.xNames
+        val gm = d.df.groupBy(col(groupCol), col(fe))
+          .agg(avg(valueCols.head).as(valueCols.head + "_m"),
+            valueCols.tail.map(c => avg(c).as(c + "_m")): _*)
+        d.df.join(gm, Seq(groupCol, fe))
+          .select(col(groupCol) +: col(fe) +:
+            valueCols.map(c => (col(c) - col(c + "_m")).as(c)): _*)
+    }
     val y = col(Y)
     def x(i: Int) = col(d.xNames(i))
     val aggs = scala.collection.mutable.ArrayBuffer[Column]()
     aggs += count(lit(1)).as("_n")
     aggs += sum(y).as("_sy")
     aggs += sum(y * y).as("_syy")
+    feOpt.foreach(fe => aggs += countDistinct(col(fe)).as("_L"))
     for (i <- 0 until p) {
       aggs += sum(x(i)).as(s"_sx$i")
       aggs += sum(x(i) * y).as(s"_sxy$i")
     }
     for (i <- 0 until p; j <- i until p)
       aggs += sum(x(i) * x(j)).as(s"_sxx_${i}_$j")
-    val grouped = d.df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail.toSeq: _*)
+    val grouped = data.groupBy(col(groupCol)).agg(aggs.head, aggs.tail.toSeq: _*)
     require(maxGroups >= 1L, s"maxGroups must be >= 1, got $maxGroups")
 
     val spark = df.sparkSession
@@ -166,6 +192,7 @@ object Dbreg {
     // DataFrame and G scales to millions without driver memory growth.
     val displayNames = d.displayNames
     val xNames = d.xNames
+    val hasFe = feOpt.isDefined
     val out = moments.flatMap { r =>
       def dd(name: String): Double = r.getAs[Any](name) match {
         case null => 0.0
@@ -187,8 +214,11 @@ object Dbreg {
           (i, j) => xtx(keep(i), keep(j)))
         syy - 2.0 * beta.dot(xtyK) + beta.dot(xtxK * beta)
       }
-      val tss = syy - sy * sy / n
-      val dfRes = math.max(n - keep.length, 1.0)
+      // FE path: moments are demeaned, so syy IS the within TSS and the
+      // absorbed FE levels spend df (mirrors fitDemean's dfResOf)
+      val dfFe = if (hasFe) dd("_L") else 0.0
+      val tss = if (hasFe) syy else syy - sy * sy / n
+      val dfRes = math.max(n - keep.length - dfFe, 1.0)
       val xtxInv = solved.xtxInv
       keep.zipWithIndex.map { case (origIdx, ki) =>
         val se = math.sqrt(xtxInv(ki, ki) * rss / dfRes)

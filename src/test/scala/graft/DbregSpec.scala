@@ -361,6 +361,29 @@ class DbregSpec extends SparkTestBase {
     }
   }
 
+  test("fitGrouped with one FE matches the demean strategy fit per group") {
+    val grouped = Dbreg.fitGrouped("y ~ x1 + x2 | unit", df, "grp")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(5))))
+      .toMap
+    val groups = DensePanel.rows.map(_.grp).distinct
+    groups.foreach { g =>
+      val one = Dbreg.fit("y ~ x1 + x2 | unit", df.filter(col("grp") === g),
+        strategy = "demean")
+      one.coeftable.foreach { row =>
+        val (est, se, r2) = grouped((g, row.term))
+        assert(math.abs(est - row.estimate) < 1e-9, s"$g ${row.term} est")
+        assert(math.abs(se - row.stdError) < 1e-9, s"$g ${row.term} se")
+        assert(math.abs(r2 - one.r2) < 1e-9, s"$g within-R2")
+      }
+    }
+    // two FE refuse (per-group 2-FE = run the engine's strategies instead)
+    intercept[IllegalArgumentException] {
+      Dbreg.fitGrouped("y ~ x1 | unit + time", df, "grp")
+    }
+  }
+
   test("sqlOnly emits the reference's sql_only contract for all four strategies") {
     // reference test_trade.R:49-57: returns a string starting with WITH;
     // test_interactions.R:179-185: factor expansion appears as CASE WHEN
