@@ -249,14 +249,14 @@ object Dedup {
     // set; one representative (min id) per class enters LSH
     val keyed = sh
       .withColumn("__fp", md5(concat_ws("", array_sort(col("sharr")))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false) // not persist: lazily-returned, see PLANS.md §22
     val memb = keyed.select(col("__fp"), col("id"))
     // one keyed agg picks the representative AND carries its shingle array
     // (any member's works: signature/Jaccard are set-level invariants) —
     // no second join against the corpus
     val repSh = keyed.groupBy("__fp")
       .agg(min(col("id")).as("id"), min_by(col("sharr"), col("id")).as("sharr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false) // not persist: lazily-returned, see PLANS.md §22
     val sigs = withSig(repSh, Seq("id"))
     val bk0 = lshBuckets(sigs)
     // bucket-size valve (post-collapse): drop residual hot buckets before

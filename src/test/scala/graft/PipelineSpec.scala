@@ -857,6 +857,7 @@ class PipelineSpec extends SparkTestBase {
     spark.catalog.clearCache()
     val d = docs.limit(50)
     Dedup.jaccardPairs(d, "doc_id", "text", n = 2, threshold = 0.5).count()
+    Dedup.minhashPairs(d, "doc_id", "text", n = 2, threshold = 0.5).count()
     Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3).count()
     Dedup.containmentPairs(d, "doc_id", "text", k = 8, w = 4,
       threshold = 0.5).count()
