@@ -73,6 +73,9 @@ object ProfCorpusOps {
     time("pack_sequences_sharded")(noop(
       TextOps.packSequences(docs, "doc_id", "text", 512, "p", Some("lang"))))
     time("token_entropy")(noop(TextOps.tokenEntropy(docs, "doc_id", "text")))
+    time("strip_markup")(noop(docs.select(col("doc_id"),
+      TextOps.stripMarkup(col("text")).as("v"),
+      TextOps.markupRatio(col("text")).as("r"))))
     // k tracks corpus size (SemDeDup contract): ~ n/250 cells
     val k = math.max(8, (emb.count() / 250).toInt)
     time(s"semdedup_k$k")(noop(

@@ -23,6 +23,27 @@ object ProfFits {
       println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
 
+    // PROF_GROUPED_ONLY=1: time just the grouped fits (plain + 1 FE) and
+    // exit — used for the big-replica scaling points
+    if (sys.env.contains("PROF_GROUPED_ONLY")) {
+      if (sys.env.contains("PROF_GROUPED_EXPLAIN")) {
+        val fe = Dbreg.fitGrouped("l_extendedprice ~ l_quantity | l_suppkey",
+          li, "l_returnflag", maxGroups = Long.MaxValue)
+        fe.count()
+        println(fe.queryExecution.executedPlan.toString.take(8000))
+        spark.stop(); return
+      }
+      Dbreg.fitGrouped("l_extendedprice ~ l_quantity", li, "l_returnflag").count()
+      (1 to 2).foreach { _ =>
+        time("fit_grouped_plain")(
+          Dbreg.fitGrouped("l_extendedprice ~ l_quantity", li, "l_returnflag").count())
+        time("fit_grouped_fe")(
+          Dbreg.fitGrouped("l_extendedprice ~ l_quantity | l_suppkey",
+            li, "l_returnflag").count())
+      }
+      spark.stop(); return
+    }
+
     // warm all paths once
     Dbreg.fit("l_extendedprice ~ l_quantity + l_discount | l_returnflag",
       li, vcov = "hc1", strategy = "demean")

@@ -139,34 +139,56 @@ object Dbreg {
     val d = buildDesign(base, f, groupCol +: f.fe,
       intercept = f.intercept && feOpt.isEmpty)
     val p = d.xNames.length
-    // within transform when an FE is present: demean y and the regressors
-    // by their (group, fe) means. Both the mean agg and the join shuffle on
-    // the composite (group, fe) key — no broadcast assumption, G×L-safe.
-    val data = feOpt match {
-      case None => d.df
-      case Some(fe) =>
-        val valueCols = Y +: d.xNames
-        val gm = d.df.groupBy(col(groupCol), col(fe))
-          .agg(avg(valueCols.head).as(valueCols.head + "_m"),
-            valueCols.tail.map(c => avg(c).as(c + "_m")): _*)
-        d.df.join(gm, Seq(groupCol, fe))
-          .select(col(groupCol) +: col(fe) +:
-            valueCols.map(c => (col(c) - col(c + "_m")).as(c)): _*)
-    }
     val y = col(Y)
     def x(i: Int) = col(d.xNames(i))
-    val aggs = scala.collection.mutable.ArrayBuffer[Column]()
-    aggs += count(lit(1)).as("_n")
-    aggs += sum(y).as("_sy")
-    aggs += sum(y * y).as("_syy")
-    feOpt.foreach(fe => aggs += countDistinct(col(fe)).as("_L"))
-    for (i <- 0 until p) {
-      aggs += sum(x(i)).as(s"_sx$i")
-      aggs += sum(x(i) * y).as(s"_sxy$i")
+    val grouped = feOpt match {
+      case None =>
+        val aggs = scala.collection.mutable.ArrayBuffer[Column]()
+        aggs += count(lit(1)).as("_n")
+        aggs += sum(y).as("_sy")
+        aggs += sum(y * y).as("_syy")
+        for (i <- 0 until p) {
+          aggs += sum(x(i)).as(s"_sx$i")
+          aggs += sum(x(i) * y).as(s"_sxy$i")
+        }
+        for (i <- 0 until p; j <- i until p)
+          aggs += sum(x(i) * x(j)).as(s"_sxx_${i}_$j")
+        d.df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail.toSeq: _*)
+      case Some(fe) =>
+        // NO demean join: the within (demeaned) moments follow from
+        // per-cell RAW moments via the centering identity
+        //   Σ (a − ā_c)(b − b̄_c) = Σ_cells (S_ab,c − S_a,c·S_b,c / n_c)
+        // — the compress strategy's trick applied per group. One
+        // partial+final hash aggregate keyed (group, fe) over the corpus,
+        // then a tiny per-group aggregate over the G×L cell rows. The
+        // join-based spelling costs a second corpus pass plus a per-row
+        // hash probe (broadcast) or a corpus sort (merge join) — measured
+        // 17-20 s at 180M rows where this is ~2 s.
+        val cellAggs = scala.collection.mutable.ArrayBuffer[Column]()
+        cellAggs += count(lit(1)).as("_cn")
+        cellAggs += sum(y).as("_csy")
+        cellAggs += sum(y * y).as("_csyy")
+        for (i <- 0 until p) {
+          cellAggs += sum(x(i)).as(s"_csx$i")
+          cellAggs += sum(x(i) * y).as(s"_csxy$i")
+        }
+        for (i <- 0 until p; j <- i until p)
+          cellAggs += sum(x(i) * x(j)).as(s"_csxx_${i}_$j")
+        val cells = d.df.groupBy(col(groupCol), col(fe))
+          .agg(cellAggs.head, cellAggs.tail.toSeq: _*)
+        val cn = col("_cn").cast("double")
+        val gAggs = scala.collection.mutable.ArrayBuffer[Column]()
+        gAggs += sum(col("_cn")).as("_n")
+        gAggs += sum(lit(0.0)).as("_sy") // demeaned y sums to zero per cell
+        gAggs += sum(col("_csyy") - col("_csy") * col("_csy") / cn).as("_syy")
+        gAggs += count(lit(1)).as("_L") // one row per (group, fe) cell
+        for (i <- 0 until p)
+          gAggs += sum(col(s"_csxy$i") - col(s"_csx$i") * col("_csy") / cn).as(s"_sxy$i")
+        for (i <- 0 until p; j <- i until p)
+          gAggs += sum(col(s"_csxx_${i}_$j") - col(s"_csx$i") * col(s"_csx$j") / cn)
+            .as(s"_sxx_${i}_$j")
+        cells.groupBy(col(groupCol)).agg(gAggs.head, gAggs.tail.toSeq: _*)
     }
-    for (i <- 0 until p; j <- i until p)
-      aggs += sum(x(i) * x(j)).as(s"_sxx_${i}_$j")
-    val grouped = data.groupBy(col(groupCol)).agg(aggs.head, aggs.tail.toSeq: _*)
     require(maxGroups >= 1L, s"maxGroups must be >= 1, got $maxGroups")
 
     val spark = df.sparkSession
