@@ -688,6 +688,31 @@ object OracleSql {
          |WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.4
          |ORDER BY id1, id2""".stripMargin,
 
+    "q94_dedup_against" ->
+      s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents
+         |  WHERE doc_id % 10 <> 0),
+         |fresh AS (SELECT doc_id + 1000000 AS id, text FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |shc AS (SELECT DISTINCT id, unnest(${bigrams(toks("text"))}) AS shingle
+         |  FROM corpus),
+         |shn AS (SELECT DISTINCT id, unnest(${bigrams(toks("text"))}) AS shingle
+         |  FROM fresh),
+         |szc AS (SELECT id, count(*) sz FROM shc GROUP BY id),
+         |szn AS (SELECT id, count(*) sz FROM shn GROUP BY id),
+         |common AS (SELECT n.id, c.id AS cid, count(*) AS c
+         |  FROM shn n JOIN shc c ON n.shingle = c.shingle GROUP BY 1, 2),
+         |j AS (SELECT common.id, cid,
+         |    c::DOUBLE / (szn.sz + szc.sz - c) AS jaccard
+         |  FROM common JOIN szn ON common.id = szn.id
+         |    JOIN szc ON common.cid = szc.id
+         |  WHERE c::DOUBLE / (szn.sz + szc.sz - c) >= 0.4),
+         |best AS (SELECT id, cid AS dup_of, jaccard, row_number() OVER
+         |    (PARTITION BY id ORDER BY jaccard DESC, cid ASC) AS r FROM j)
+         |SELECT f.id, b.dup_of, b.jaccard
+         |FROM fresh f LEFT JOIN (SELECT * FROM best WHERE r = 1) b
+         |  ON f.id = b.id
+         |ORDER BY f.id""".stripMargin,
+
     "q32_minhash_sigs" ->
       s"""WITH $ShingleSets,
          |$MinhashTable,

@@ -888,6 +888,19 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
     }),
 
+    // incremental dedup: flag new-shard docs duplicating the existing
+    // corpus (daily-ingest shape) — candidates from shared LSH buckets
+    // (new ⋈ corpus, never corpus×corpus), exact matches valve-immune.
+    // Split the real corpus 90/10, relabel the 10% as the incoming shard
+    "q94_dedup_against" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      val fresh = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.dedupAgainst(corpus, fresh, "doc_id", "text", n = 2, threshold = 0.4)
+        .orderBy("id")
+    }),
+
     // dedup: MOSS-style containment pairs (asymmetric near-dup — quote /
     // boilerplate detection Jaccard misses). k=16 chars: grams must be
     // SELECTIVE (MOSS uses guarantee lengths well past a word) — at k=8

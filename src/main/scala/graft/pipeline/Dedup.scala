@@ -410,6 +410,78 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Incremental dedup: flag every NEW document that exactly or nearly
+    * duplicates the EXISTING corpus — the daily-ingest shape (dedup the
+    * shard against what's already in the lake), distinct from within-
+    * corpus dedup ([[minhashPairs]] on the shard handles new×new).
+    *
+    * Scale shape: candidates come from the shared LSH bucket keys — the
+    * join is new ⋈ corpus on (band, bucket), never corpus×corpus, and the
+    * corpus side collapses to one representative per distinct shingle set
+    * first (as in [[minhashPairs]]). Exact duplicates are additionally
+    * caught by a fingerprint equi-join that BYPASSES the bucket valve —
+    * a new copy of a document whose bucket is boilerplate-hot must still
+    * be flagged (the valve only costs near-dup recall in saturated
+    * buckets, mirroring minhashPairs semantics). At steady state the
+    * corpus-side representative/bucket tables are recomputed per call;
+    * persist them to the lake for a true incremental pipeline (the
+    * operators compose — both sides are plain DataFrames).
+    *
+    * Returns one row per NEW doc: (id, dup_of, jaccard) — `dup_of` the
+    * best-matching corpus id (highest Jaccard, ties to lowest id; NULL
+    * when the doc is unique), `jaccard` the verified similarity.
+    * PRECONDITION: ids unique within AND across the two inputs. */
+  def dedupAgainst(
+      corpus: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      threshold: Double = 0.5,
+      maxBucketSize: Option[Long] = Some(DefaultMaxBucketSize)
+  ): DataFrame = {
+    def keyedSets(df: DataFrame) = shingleArrays(df, idCol, textCol, n)
+      .withColumn("__fp", md5(concat_ws("", array_sort(col("sharr")))))
+    // corpus: one representative per distinct shingle set (set-level
+    // invariants make any member's array valid)
+    val crep = keyedSets(corpus).groupBy("__fp")
+      .agg(min(col("id")).as("cid"), min_by(col("sharr"), col("id")).as("csharr"))
+      .localCheckpoint(false) // reused: exact join, buckets, verification
+    val ns = keyedSets(newDocs).localCheckpoint(false) // reused: 3 branches
+    // exact fingerprint match — valve-immune by design
+    val exact = ns.select(col("id"), col("__fp"))
+      .join(crep.select(col("__fp"), col("cid")), "__fp")
+      .select(col("id"), col("cid"), lit(1.0).as("jaccard"))
+    // near: shared-bucket candidates, valve on the CORPUS bucket size
+    val cb0 = lshBuckets(withSig(crep.select(col("cid").as("id"), col("csharr").as("sharr")), Seq("id")))
+      .withColumnRenamed("id", "cid")
+    val cb = maxBucketSize match {
+      case None => cb0
+      case Some(cap) =>
+        val ok = cb0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") <= cap)
+          .select("band", "bucket")
+        cb0.join(ok, Seq("band", "bucket"), "left_semi")
+    }
+    val nb = lshBuckets(withSig(ns, Seq("id")))
+    val near = nb.join(cb, Seq("band", "bucket"))
+      .select(col("id"), col("cid")).distinct()
+      .join(ns.select(col("id"), col("sharr")), "id")
+      .join(crep.select(col("cid"), col("csharr")), "cid")
+      .withColumn("common", size(array_intersect(col("sharr"), col("csharr"))))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (size(col("sharr")) + size(col("csharr")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id"), col("cid"), col("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("jaccard").desc, col("cid").asc)
+    val best = exact.unionByName(near)
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("id"), col("cid").as("dup_of"), col("jaccard"))
+    ns.select(col("id")).join(best, Seq("id"), "left")
+  }
+
   /** Benchmark-contamination check (the GPT-3-style train/test
     * decontamination measure, Brown et al. 2020 appendix C): for every
     * corpus document, the fraction of its DISTINCT word n-gram shingles

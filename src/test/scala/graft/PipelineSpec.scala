@@ -848,6 +848,31 @@ class PipelineSpec extends SparkTestBase {
     assert(got(1L)._2 > 0.5 && got(1L)._2 < 1.0)
   }
 
+  test("dedupAgainst flags exact and near copies of the corpus, exact is valve-immune") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "completely unrelated content sits here quietly")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"), // exact of 1
+      (102L, "one two three four five six seven nine"),        // near of 2
+      (103L, "nothing like anything in the corpus at all")     // unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(corpus, fresh, "doc_id", "text",
+      n = 2, threshold = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toMap
+    assert(out(101L) == ((1L, 1.0)), s"got ${out(101L)}")
+    assert(out(102L)._1 == 2L && out(102L)._2 > 0.4 && out(102L)._2 < 1.0)
+    assert(out(103L) == ((-1L, -1.0)))
+    // valve immunity: cap 0 kills every near-dup bucket, the exact copy
+    // must still be flagged through the fingerprint join
+    val valved = Dedup.dedupAgainst(corpus, fresh, "doc_id", "text",
+      n = 2, threshold = 0.4, maxBucketSize = Some(0L))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!valved(101L) && valved(102L) && valved(103L))
+  }
+
   test("lazily-returned operators leave no CacheManager entries behind") {
     import org.apache.spark.sql.GraftInternal
     // internal materialization must use context-cleaner-managed checkpoint
@@ -858,6 +883,7 @@ class PipelineSpec extends SparkTestBase {
     val d = docs.limit(50)
     Dedup.jaccardPairs(d, "doc_id", "text", n = 2, threshold = 0.5).count()
     Dedup.minhashPairs(d, "doc_id", "text", n = 2, threshold = 0.5).count()
+    Dedup.dedupAgainst(d.limit(30), d.limit(50), "doc_id", "text").count()
     Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3).count()
     Dedup.containmentPairs(d, "doc_id", "text", k = 8, w = 4,
       threshold = 0.5).count()
