@@ -76,6 +76,12 @@ object ProfCorpusOps {
     time("strip_markup")(noop(docs.select(col("doc_id"),
       TextOps.stripMarkup(col("text")).as("v"),
       TextOps.markupRatio(col("text")).as("r"))))
+    // incremental dedup: 90% corpus / 10% incoming shard
+    time("dedup_against")(noop(Dedup.dedupAgainst(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000000L),
+      "doc_id", "text", n = 2, threshold = 0.4)))
     // k tracks corpus size (SemDeDup contract): ~ n/250 cells
     val k = math.max(8, (emb.count() / 250).toInt)
     time(s"semdedup_k$k")(noop(
