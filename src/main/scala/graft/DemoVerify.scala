@@ -41,6 +41,16 @@ object DemoVerify {
     println("\n=== probe: multi-way cluster refusal (reference parity) ===")
     try { Dbreg.fit("l_extendedprice ~ l_quantity", li, vcov = "~a + b") }
     catch { case e: Exception => println(s"OK -> ${e.getMessage}") }
+
+    println("\n=== 5. GLM: logistic P(returnflag=R | quantity), compressed IRLS ===")
+    val liRet = li.withColumn("ret",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("l_returnflag") === "R", 1.0).otherwise(0.0))
+    val glm = graft.reg.Glm.fit("ret ~ l_quantity", liRet, family = "binomial")
+    println(glm)
+    println("\n=== probe: GLM fixed-effect refusal ===")
+    try { graft.reg.Glm.fit("ret ~ l_quantity | l_linestatus", liRet) }
+    catch { case e: Exception => println(s"OK -> ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -22,6 +22,49 @@ object OracleSql {
   /** md5-derived 32-bit hash (mirrors TextOps.hash32). */
   private def hash32(e: String) = s"('0x' || substr(md5($e),1,8))::BIGINT"
 
+  /** Unrolled compressed-IRLS oracle for a 2-parameter GLM (intercept + x):
+    * `iters` Newton steps from β=0, each one scan of the `cells` relation
+    * (x, n = Σw, sy = Σwy), closed-form 2×2 solve per step. Mirrors
+    * [[graft.reg.Glm]] with strategy=compress, tol=0, maxIter=iters. */
+  private def glmIrlsOracle(
+      cells: String, family: String, iters: Int, xTerm: String): String = {
+    def sums(src: String, k: Int) =
+      s"""i$k AS (SELECT sum(n*w) sw, sum(n*w*x) swx, sum(n*w*x*x) swxx,
+         |    sum(n*w*z) swz, sum(n*w*x*z) swxz FROM $src t$k)""".stripMargin
+    def solve(k: Int) =
+      s"""b$k AS (SELECT (swxx*swz - swx*swxz)/(sw*swxx - swx*swx) AS b0,
+         |    (sw*swxz - swx*swz)/(sw*swxx - swx*swx) AS b1 FROM i$k)""".stripMargin
+    val first = family match {
+      case "binomial" => "(SELECT x, n, 0.25 AS w, (sy/n - 0.5)/0.25 AS z FROM c)"
+      case "poisson" => "(SELECT x, n, 1.0 AS w, sy/n - 1.0 AS z FROM c)"
+    }
+    def step(k: Int) = {
+      val inner =
+        s"""(SELECT c.x, c.n, c.sy, b.b0 + b.b1*c.x AS eta FROM c CROSS JOIN b${k - 1} b)"""
+      val wz = family match {
+        case "binomial" =>
+          s"""(SELECT x, n, mu*(1.0-mu) AS w, eta + (sy/n - mu)/(mu*(1.0-mu)) AS z
+             |   FROM (SELECT x, n, sy, eta, 1.0/(1.0+exp(-eta)) AS mu FROM $inner m$k) e$k)""".stripMargin
+        case "poisson" =>
+          s"""(SELECT x, n, mu AS w, eta + (sy/n - mu)/mu AS z
+             |   FROM (SELECT x, n, sy, eta, exp(eta) AS mu FROM $inner m$k) e$k)""".stripMargin
+      }
+      sums(wz, k)
+    }
+    val ctes = Seq(s"c AS ($cells)", sums(first, 1), solve(1)) ++
+      (2 to iters).flatMap(k => Seq(step(k), solve(k)))
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT term, estimate::REAL AS estimate, std_error::REAL AS std_error
+       |FROM (
+       | SELECT '(Intercept)' AS term, b0 AS estimate,
+       |   sqrt(swxx/(sw*swxx - swx*swx)) AS std_error
+       |   FROM b$iters CROSS JOIN i$iters
+       | UNION ALL
+       | SELECT '$xTerm', b1, sqrt(sw/(sw*swxx - swx*swx))
+       |   FROM b$iters CROSS JOIN i$iters) u
+       |ORDER BY term""".stripMargin
+  }
+
   /** lowercased whitespace tokens, empties removed. */
   private def toks(e: String) =
     s"list_filter(string_split_regex(lower($e), '\\s+'), t -> len(t) > 0)"
@@ -524,6 +567,37 @@ object OracleSql {
         |  n::BIGINT AS n,
         |  CASE WHEN syy > 0 THEN 1 - rss/syy ELSE 0 END AS r2
         |FROM s ORDER BY "group", term""".stripMargin,
+
+    // GLM logistic via compressed IRLS: the engine pins exactly 4 Newton
+    // steps from β=0 (tol=0), each ONE aggregate over the 50 quantity
+    // cells; the oracle unrolls the same 4 steps as CTEs with the
+    // closed-form 2×2 solve. SEs come from the 4th step's XᵀWX (weights at
+    // β₃) — the same one-lag structure as the engine. float32 absorbs
+    // summation-order noise (q23 hardening).
+    "q95_glm_logit_fit" -> glmIrlsOracle(
+      cells = """SELECT CAST(l_quantity AS DOUBLE) AS x, count(*)::DOUBLE AS n,
+                |    sum(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS sy
+                |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1""".stripMargin,
+      family = "binomial", iters = 4, xTerm = "l_quantity"),
+
+    "q96_glm_poisson_fit" -> glmIrlsOracle(
+      cells = """SELECT CAST(l_discount AS DOUBLE) AS x, count(*)::DOUBLE AS n,
+                |    sum(CAST(l_quantity AS DOUBLE)) AS sy
+                |  FROM lineitem WHERE l_quantity IS NOT NULL
+                |    AND l_discount IS NOT NULL GROUP BY 1""".stripMargin,
+      family = "poisson", iters = 4, xTerm = "l_discount"),
+
+    // classifier scoring: per-row sigmoid of a fixed linear score — pure
+    // projection on both sides
+    "q97_glm_score" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |  1.0/(1.0 + exp(-(-1.5 + n_chars::DOUBLE/1000.0*0.8
+         |    + len(${toks("text")})::DOUBLE/100.0*1.2
+         |    - (len(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE
+         |       / greatest(len(text), 1)) * 4.0))) AS s
+         |  FROM documents)
+         |SELECT doc_id, s::REAL AS score, s > 0.5 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     // WLS: weighted centered algebra; w = 100·discount + 1 > 0 always
     "q49_wls_fit" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.reg.Dbreg
+import graft.reg.{Dbreg, Glm}
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
 
 /** The operator battery behind [[SparkEntry.queries]].
@@ -520,6 +520,48 @@ object Queries {
       Dbreg.fitGrouped("l_extendedprice ~ l_quantity | l_suppkey",
         li(s, dir), "l_returnflag")
         .orderBy("group", "term")),
+
+    // ---- GLM (beyond-reference extension): IRLS on the moments kernel ----
+    // logistic fit via the COMPRESSED path: Pr(returnflag='R' | quantity).
+    // tol=0 + maxIter=4 pins exactly four Newton steps from β=0, which the
+    // oracle unrolls as four CTE scans with the closed-form 2×2 solve;
+    // float32 output absorbs cell-summation-order noise (q23 hardening)
+    "q95_glm_logit_fit" -> ((s, dir) => {
+      val data = li(s, dir)
+        .withColumn("ret", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+      val fit = Glm.fit("ret ~ l_quantity", data, family = "binomial",
+        strategy = "compress", maxIter = 4, tol = 0.0)
+      fit.toDF(s).select(col("term"),
+        col("estimate").cast("float").as("estimate"),
+        col("std_error").cast("float").as("std_error")).orderBy("term")
+    }),
+
+    // Poisson rate regression: E[quantity | discount], log link, same
+    // four-step pin as q95
+    "q96_glm_poisson_fit" -> ((s, dir) => {
+      val fit = Glm.fit("l_quantity ~ l_discount", li(s, dir),
+        family = "poisson", strategy = "compress", maxIter = 4, tol = 0.0)
+      fit.toDF(s).select(col("term"),
+        col("estimate").cast("float").as("estimate"),
+        col("std_error").cast("float").as("std_error")).orderBy("term")
+    }),
+
+    // classifier SCORING at corpus scale: logistic quality score over cheap
+    // text features — a pure projection (no shuffle, no UDF); the weights
+    // are fixed (a trained classifier applied, fastText-style)
+    "q97_glm_score" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("_eta",
+          lit(-1.5)
+            + col("n_chars").cast("double") / 1000.0 * lit(0.8)
+            + TextOps.tokenCount(col("text")).cast("double") / 100.0 * lit(1.2)
+            - TextOps.punctRatio(col("text")) * lit(4.0))
+        // float32 output: Math.exp vs DuckDB exp differ in the last ulp on
+        // ~4% of rows; double→float rounding is IEEE-identical in both
+        .select(col("doc_id"),
+          Glm.sigmoid(col("_eta")).cast("float").as("score"),
+          (Glm.sigmoid(col("_eta")) > 0.5).as("keep"))
+        .orderBy("doc_id")),
 
     // ---- WLS (beyond-reference extension): weighted moments = exact WLS ----
     "q49_wls_fit" -> ((s, dir) => {

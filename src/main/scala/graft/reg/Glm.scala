@@ -1,0 +1,355 @@
+package graft.reg
+
+import breeze.linalg.DenseMatrix
+import org.apache.commons.math3.distribution.NormalDistribution
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.formula.Formula
+import graft.linalg.LinAlg
+import graft.model.ModelMatrix
+
+/** GLM fit result — the IRLS analogue of [[DbregResult]]. Tiny,
+  * driver-resident; `coeftable` statistics are Wald z (normal reference
+  * distribution, the GLM convention), not t.
+  */
+final case class GlmResult(
+    family: String,
+    strategy: String,
+    coeftable: Seq[CoefRow],
+    vcov: DenseMatrix[Double],
+    nobs: Double, // Σ prior weights (== row count unweighted)
+    nCells: Long, // rows the IRLS passes scanned (cells for compress)
+    deviance: Double,
+    nullDeviance: Double,
+    iterations: Int,
+    converged: Boolean,
+    collinDropped: Seq[String],
+    @transient scoreFn: DataFrame => Column = null
+) {
+  def terms: Seq[String] = coeftable.map(_.term)
+  def coef: Map[String, Double] = coeftable.map(r => r.term -> r.estimate).toMap
+  def se: Map[String, Double] = coeftable.map(r => r.term -> r.stdError).toMap
+
+  /** McFadden pseudo-R²: 1 − deviance/null-deviance. */
+  def pseudoR2: Double = 1.0 - deviance / nullDeviance
+
+  /** Response-scale prediction μ̂ = g⁻¹(xᵀβ̂) appended as `colName`.
+    * Distributed: a pure projection over `newdata`, no shuffle. */
+  def predictResponse(newdata: DataFrame, colName: String = "mu"): DataFrame = {
+    require(scoreFn != null, "predictor not available (deserialized result?)")
+    newdata.withColumn(colName, scoreFn(newdata))
+  }
+
+  def toDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    coeftable.toDF("term", "estimate", "std_error", "statistic", "p_value")
+  }
+
+  def glance(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((family, strategy, deviance, nullDeviance, pseudoR2, nobs, nCells,
+      iterations, converged))
+      .toDF("family", "strategy", "deviance", "null_deviance", "pseudo_r2",
+        "nobs", "n_cells", "iterations", "converged")
+  }
+
+  override def toString: String = {
+    val header =
+      f"glm-spark [$family/$strategy] n=$nobs%,.0f (aggregated to $nCells%,d) " +
+        f"iter=$iterations converged=$converged"
+    val lines = coeftable.map { r =>
+      f"  ${r.term}%-28s ${r.estimate}% .6e  ${r.stdError}% .4e  ${r.statistic}% 8.3f  ${r.pValue}% .4g"
+    }
+    val gof = f"  deviance=$deviance%.6g null=$nullDeviance%.6g pseudoR²=$pseudoR2%.6f"
+    val collin =
+      if (collinDropped.nonEmpty) s"\n  dropped (collinear): ${collinDropped.mkString(", ")}"
+      else ""
+    (header +: lines).mkString("\n") + "\n" + gof + collin
+  }
+}
+
+/** Generalized linear models via iteratively reweighted least squares, with
+  * the same sufficient-statistics discipline as [[Dbreg]]: every IRLS
+  * iteration is ONE partial+final hash aggregate (the weighted moments
+  * triangle from [[MomentsKernel]]), so a k-iteration fit costs k codegen'd
+  * scans and nothing per-row ever reaches the driver.
+  *
+  * The compression insight the reference builds on (Wong et al. 2021,
+  * arXiv:2102.11297 — cited in reference README.md:143-150) extends beyond
+  * OLS to any GLM: the IRLS working weights and response depend on a row
+  * only through its regressor tuple x and response y, and the weighted
+  * moments are additive, so grouping by the DISTINCT x tuples with
+  * (Σw, ȳ_cell) carried per cell reproduces the row-level iterates
+  * EXACTLY. `strategy="compress"` therefore scans the corpus once to build
+  * cells and runs every IRLS iteration over the (tiny) cell table —
+  * "logistic regression at 100 TB" becomes one shuffle plus driver-speed
+  * iterations when the design is low-cardinality (the quality-classifier /
+  * A-B-test shape).
+  *
+  * Families: `binomial` (logit link), `poisson` (log link), `gaussian`
+  * (identity; equivalent to OLS, included for uniformity). Fixed effects
+  * are NOT supported (no `| fe` term): absorb small-cardinality factors as
+  * RHS dummies instead — the incidental-parameters problem makes demean
+  * tricks invalid for nonlinear models, so an honest refusal beats a wrong
+  * answer (mirrors the reference's multiway-cluster refusal,
+  * dbreg.R:330-339).
+  */
+object Glm {
+
+  /** Inverse links, exposed for composing score columns in queries. */
+  def sigmoid(eta: Column): Column = lit(1.0) / (lit(1.0) + exp(-eta))
+
+  def linkInv(family: String, eta: Column): Column = family match {
+    case "binomial" => sigmoid(eta)
+    case "poisson" => exp(eta)
+    case "gaussian" => eta
+    case other => throw new IllegalArgumentException(s"unknown family: $other")
+  }
+
+  /** Fit a GLM.
+    *
+    * @param formula  `y ~ x1 + x2*x3` (no `| fe` part; factors expand to
+    *                 dummies exactly as in [[Dbreg]])
+    * @param family   binomial | poisson | gaussian
+    * @param strategy auto | irls | compress. `auto` probes the distinct
+    *                 regressor-tuple count (approx, one scan) and picks
+    *                 compress when cells ≤ `compressRatio` × rows.
+    * @param maxIter  IRLS iteration cap; with `tol = 0` exactly `maxIter`
+    *                 iterations run (deterministic, oracle-friendly)
+    * @param tol      relative deviance-change convergence tolerance
+    * @param weights  prior (frequency) weight column: a row with weight w
+    *                 counts as w identical observations
+    */
+  def fit(
+      formula: String,
+      df: DataFrame,
+      family: String = "binomial",
+      strategy: String = "auto",
+      maxIter: Int = 25,
+      tol: Double = 1e-9,
+      weights: Option[String] = None,
+      compressRatio: Double = 0.25
+  ): GlmResult = {
+    require(Set("binomial", "poisson", "gaussian")(family), s"unknown family: $family")
+    require(Set("auto", "irls", "compress")(strategy), s"unknown strategy: $strategy")
+    require(maxIter >= 1, "maxIter must be >= 1")
+    val f = Formula.parse(formula)
+    require(f.fe.isEmpty,
+      "GLM does not support fixed effects (| fe): absorb small factors as RHS dummies")
+
+    val needed = (f.allInputCols ++ weights).distinct
+    needed.foreach(c => require(df.columns.contains(c), s"column '$c' not found"))
+    val base0 = df
+      .select(needed.map(col): _*)
+      .filter(needed.map(col(_).isNotNull).reduce(_ && _))
+    val base = weights.fold(base0)(w => base0.filter(col(w) > 0.0))
+
+    // Design: explicit intercept column + expanded terms (dummies,
+    // interactions, drop-ref), all cast to double — same algebra as Dbreg.
+    val mm = ModelMatrix.expand(base, f.terms, Nil, intercept = f.intercept)
+    val all: List[ModelMatrix.MMCol] =
+      (if (f.intercept) List(ModelMatrix.MMCol("(Intercept)", lit(1.0))) else Nil) ++ mm.cols
+    require(all.nonEmpty, "empty design")
+    require(all.length <= Dbreg.MaxDesignCols,
+      s"design too wide (${all.length} > ${Dbreg.MaxDesignCols})")
+    val xNames = all.indices.map(i => s"__g_x$i").toIndexedSeq
+    val displayNames = all.map(c => ModelMatrix.displayName(c.name)).toIndexedSeq
+
+    val y = col(f.y).cast("double")
+    val wt = weights.map(col(_).cast("double")).getOrElse(lit(1.0))
+    // _ylogy (Σ w·y·ln y within the unit) makes the Poisson deviance
+    // cell-exact: it is the one deviance term not linear in y.
+    val ylogy =
+      if (family == "poisson") when(y > 0.0, wt * y * log(y)).otherwise(0.0)
+      else lit(0.0)
+    val rowFrame = base.select(
+      all.zipWithIndex.map { case (c, i) => c.col.cast("double").as(xNames(i)) } ++
+        Seq(wt.as("_wt"), y.as("_yb"), ylogy.as("_ylogy")): _*)
+
+    val chosen = strategy match {
+      case "auto" =>
+        val probe = rowFrame
+          .agg(count(lit(1)).as("_n"),
+            approx_count_distinct(struct(xNames.map(col): _*)).as("_cells"))
+          .collect()(0)
+        if (probe.getAs[Long]("_cells") <= compressRatio * probe.getAs[Long]("_n"))
+          "compress"
+        else "irls"
+      case s => s
+    }
+
+    val work = chosen match {
+      case "compress" =>
+        rowFrame
+          .groupBy(xNames.map(col): _*)
+          .agg(
+            sum("_wt").as("_wt"),
+            (sum(col("_wt") * col("_yb")) / sum("_wt")).as("_yb"),
+            sum("_ylogy").as("_ylogy"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _ => rowFrame
+    }
+
+    val exprByName: Map[String, Column] =
+      all.map(c => ModelMatrix.displayName(c.name) -> c.col).toMap
+    try fitIrls(f, family, chosen, work, xNames, displayNames, exprByName,
+      maxIter, tol)
+    finally if (chosen == "compress") { work.unpersist(); () }
+  }
+
+  /** One IRLS pass: weighted moments of the working response + deviance of
+    * the INCOMING β, all in a single aggregate. */
+  private final case class Pass(
+      mom: MomentsResult,
+      dev: Double,
+      sw: Double,
+      swy: Double,
+      sylogy: Double)
+
+  private def irlsPass(
+      work: DataFrame,
+      xNames: IndexedSeq[String],
+      family: String,
+      beta: Array[Double],
+      firstPass: Boolean
+  ): Pass = {
+    val eta =
+      if (beta.forall(_ == 0.0)) lit(0.0)
+      else xNames.zip(beta).map { case (n, b) => col(n) * lit(b) }.reduce(_ + _)
+    val yb = col("_yb")
+    val w = col("_wt")
+    val Eps = 1e-12
+    val (w2, z, devAgg) = family match {
+      case "binomial" =>
+        val mu = least(greatest(sigmoid(eta), lit(Eps)), lit(1.0 - Eps))
+        val wrow = mu * (lit(1.0) - mu)
+        val dev = sum(w * (
+          when(yb > 0.0, yb * log(mu)).otherwise(0.0) +
+            when(yb < 1.0, (lit(1.0) - yb) * log(lit(1.0) - mu)).otherwise(0.0)
+        )) * lit(-2.0)
+        (w * wrow, eta + (yb - mu) / wrow, dev)
+      case "poisson" =>
+        val mu = greatest(exp(eta), lit(Eps))
+        val dev = sum(col("_ylogy") - w * yb * log(mu) - w * yb + w * mu) * lit(2.0)
+        (w * mu, eta + (yb - mu) / mu, dev)
+      case "gaussian" =>
+        val mu = eta
+        val dev = sum(w * (yb - mu) * (yb - mu))
+        (w, yb, dev)
+    }
+    val extras = Seq("_dev" -> devAgg) ++ (
+      if (firstPass)
+        Seq("_sw" -> sum(w), "_swy" -> sum(w * yb), "_sylogy" -> sum(col("_ylogy")))
+      else Nil)
+    val mom = MomentsKernel.compute(
+      work.withColumn("_w2", w2).withColumn("_z", z),
+      "_z", xNames, intercept = false, weightName = Some("_w2"),
+      extraAggs = extras)
+    Pass(mom, mom.extra("_dev"),
+      if (firstPass) mom.extra("_sw") else 0.0,
+      if (firstPass) mom.extra("_swy") else 0.0,
+      if (firstPass) mom.extra("_sylogy") else 0.0)
+  }
+
+  private def fitIrls(
+      f: Formula,
+      family: String,
+      strategy: String,
+      work: DataFrame,
+      xNames0: IndexedSeq[String],
+      displayNames0: IndexedSeq[String],
+      exprByName: Map[String, Column],
+      maxIter: Int,
+      tol: Double
+  ): GlmResult = {
+    var xNames = xNames0
+    var displayNames = displayNames0
+    var dropped = Vector.empty[String]
+
+    var beta = Array.fill(xNames.length)(0.0)
+    var inv: DenseMatrix[Double] = null
+    var devPrev = Double.NaN
+    var iters = 0
+    var converged = false
+    var sw = 0.0; var swy = 0.0; var sylogy = 0.0; var nCells = 0L
+
+    var i = 1
+    while (i <= maxIter && !converged) {
+      val pass = irlsPass(work, xNames, family, beta, firstPass = i == 1)
+      if (i == 1) { sw = pass.sw; swy = pass.swy; sylogy = pass.sylogy; nCells = pass.mom.nRows }
+      if (i > 1 && math.abs(pass.dev - devPrev) / (math.abs(pass.dev) + 0.1) < tol) {
+        // deviance stabilized: report the β that produced it (the previous
+        // solve); `inv` already holds its (XᵀWX)⁻¹
+        devPrev = pass.dev
+        converged = true
+      } else {
+        devPrev = pass.dev
+        val sol = LinAlg.solveDetecting(pass.mom.xtx, pass.mom.xty)
+        if (sol.dropIdx.nonEmpty) {
+          // collinear columns: drop them permanently and restart (W at β=0
+          // is constant, so rank defects surface on the very first solve)
+          dropped = dropped ++ sol.dropIdx.map(displayNames)
+          xNames = sol.keepIdx.map(xNames).toIndexedSeq
+          displayNames = sol.keepIdx.map(displayNames).toIndexedSeq
+          beta = Array.fill(xNames.length)(0.0)
+          inv = null
+          devPrev = Double.NaN
+          i = 0 // restart counter (will ++ to 1)
+        } else {
+          beta = sol.beta.toArray
+          inv = sol.xtxInv
+          iters = i
+        }
+      }
+      i += 1
+    }
+    // final deviance at the REPORTED β (one cheap 1-row aggregate); when the
+    // loop converged devPrev already measures it, since convergence compared
+    // the deviance OF the reported β against its predecessor's
+    val deviance =
+      if (converged) devPrev
+      else irlsPass(work, xNames, family, beta, firstPass = false).dev
+
+    val ybarAll = swy / sw
+    val nullDeviance = family match {
+      case "binomial" =>
+        if (ybarAll <= 0.0 || ybarAll >= 1.0) 0.0
+        else -2.0 * (swy * math.log(ybarAll) + (sw - swy) * math.log(1.0 - ybarAll))
+      case "poisson" =>
+        if (ybarAll <= 0.0) 0.0 else 2.0 * (sylogy - swy * math.log(ybarAll))
+      case "gaussian" =>
+        // Σw(y−ȳ)²: recover from the LAST pass? cheaper: dev at β=(ȳ,0,…) is
+        // exactly the TSS — one extra pass only for gaussian (rare path)
+        val b = Array.fill(xNames.length)(0.0)
+        val icept = displayNames.indexOf("(Intercept)")
+        if (icept >= 0) { b(icept) = ybarAll }
+        irlsPass(work, xNames, family, b, firstPass = false).dev
+    }
+
+    val norm = new NormalDistribution(0.0, 1.0)
+    val table = xNames.indices.map { j =>
+      val se = math.sqrt(math.max(inv(j, j), 0.0))
+      val zstat = if (se > 0) beta(j) / se else Double.NaN
+      val p = if (zstat.isNaN) Double.NaN
+        else 2.0 * norm.cumulativeProbability(-math.abs(zstat))
+      CoefRow(displayNames(j), beta(j), se, zstat, p)
+    }
+
+    // response-scale scorer over new data: kept display-name → original
+    // design expression (factor levels frozen at fit time, so the stored
+    // Columns replay on any frame carrying the input columns — same closure
+    // shape as Dbreg.withLinearPredictor)
+    val betaFinal = beta
+    val keptNames = displayNames
+    val scorer: DataFrame => Column = _ => {
+      val eta = keptNames.zip(betaFinal).map { case (nm, b) =>
+        exprByName(nm).cast("double") * lit(b)
+      }.reduce(_ + _)
+      linkInv(family, eta)
+    }
+
+    GlmResult(family, strategy, table, inv, sw, nCells, deviance, nullDeviance,
+      iters, converged, dropped, scoreFn = scorer)
+  }
+}

@@ -1,0 +1,200 @@
+package graft
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import org.apache.spark.sql.functions._
+
+import graft.reg.{Dbreg, Glm}
+
+/** GLM/IRLS correctness: every fit is checked against an independent
+  * driver-side IRLS on the collected rows (plain breeze arithmetic, no
+  * shared code with the engine's aggregation path).
+  */
+class GlmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference IRLS on local data: exactly maxIter Newton steps from β=0
+    * (tol=0 semantics), returning (β, se) at the last solve. */
+  private def refIrls(
+      xs: Array[Array[Double]], // rows × p (including intercept column)
+      ys: Array[Double],
+      ws: Array[Double],
+      family: String,
+      iters: Int
+  ): (DenseVector[Double], DenseVector[Double]) = {
+    val n = xs.length
+    val p = xs.head.length
+    var beta = DenseVector.zeros[Double](p)
+    var inv: DenseMatrix[Double] = null
+    for (_ <- 1 to iters) {
+      val xtx = DenseMatrix.zeros[Double](p, p)
+      val xty = DenseVector.zeros[Double](p)
+      for (r <- 0 until n) {
+        val eta = (0 until p).map(j => xs(r)(j) * beta(j)).sum
+        val (w2, z) = family match {
+          case "binomial" =>
+            val mu = 1.0 / (1.0 + math.exp(-eta))
+            val wr = mu * (1.0 - mu)
+            (ws(r) * wr, eta + (ys(r) - mu) / wr)
+          case "poisson" =>
+            val mu = math.exp(eta)
+            (ws(r) * mu, eta + (ys(r) - mu) / mu)
+          case "gaussian" => (ws(r), ys(r))
+        }
+        for (i <- 0 until p; j <- 0 until p) xtx(i, j) += w2 * xs(r)(i) * xs(r)(j)
+        for (i <- 0 until p) xty(i) += w2 * xs(r)(i) * z
+      }
+      inv = breeze.linalg.inv(xtx)
+      beta = inv * xty
+    }
+    (beta, DenseVector.tabulate(p)(j => math.sqrt(inv(j, j))))
+  }
+
+  /** Deterministic synthetic logistic panel. */
+  private def logitData(n: Int) = {
+    (0 until n).map { i =>
+      val x1 = (i % 17) / 8.0 - 1.0
+      val x2 = (i % 5).toDouble
+      val eta = -0.5 + 1.2 * x1 - 0.3 * x2
+      val mu = 1.0 / (1.0 + math.exp(-eta))
+      // deterministic "draw": hash-based uniform
+      val u = ((i * 2654435761L) & 0xffffffffL).toDouble / 4294967296.0
+      val y = if (u < mu) 1.0 else 0.0
+      (y, x1, x2)
+    }.toDF("y", "x1", "x2")
+  }
+
+  test("binomial IRLS matches driver-side reference (fixed iterations)") {
+    val df = logitData(800)
+    val fit = Glm.fit("y ~ x1 + x2", df, family = "binomial",
+      strategy = "irls", maxIter = 6, tol = 0.0)
+    val rows = df.collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val (bref, seref) = refIrls(
+      rows.map(r => Array(1.0, r._2, r._3)), rows.map(_._1),
+      Array.fill(rows.length)(1.0), "binomial", 6)
+    val terms = Seq("(Intercept)", "x1", "x2")
+    for ((t, j) <- terms.zipWithIndex) {
+      assert(math.abs(fit.coef(t) - bref(j)) < 1e-8, s"$t estimate")
+      assert(math.abs(fit.se(t) - seref(j)) < 1e-8, s"$t se")
+    }
+    assert(fit.nobs === 800.0)
+    assert(!fit.converged && fit.iterations === 6)
+  }
+
+  test("compress strategy reproduces row-level iterates exactly") {
+    val df = logitData(2000) // x-design has 17*5 distinct tuples -> compresses
+    val a = Glm.fit("y ~ x1 + x2", df, family = "binomial",
+      strategy = "irls", maxIter = 8, tol = 0.0)
+    val b = Glm.fit("y ~ x1 + x2", df, family = "binomial",
+      strategy = "compress", maxIter = 8, tol = 0.0)
+    for (t <- a.terms) {
+      assert(math.abs(a.coef(t) - b.coef(t)) < 1e-9, s"$t estimate")
+      assert(math.abs(a.se(t) - b.se(t)) < 1e-9, s"$t se")
+    }
+    assert(math.abs(a.deviance - b.deviance) < 1e-7)
+    assert(math.abs(a.nullDeviance - b.nullDeviance) < 1e-7)
+    assert(b.nCells === 85L)
+    // auto should pick compress here (85 cells / 2000 rows)
+    val c = Glm.fit("y ~ x1 + x2", df, family = "binomial", maxIter = 8, tol = 0.0)
+    assert(c.strategy === "compress")
+  }
+
+  test("poisson IRLS matches reference; deviance is cell-exact") {
+    val df = (0 until 600).map { i =>
+      val x = (i % 9) / 4.0
+      val y = ((i * 48271) % 7).toDouble // deterministic counts 0..6
+      (y, x)
+    }.toDF("y", "x")
+    val a = Glm.fit("y ~ x", df, family = "poisson",
+      strategy = "irls", maxIter = 6, tol = 0.0)
+    val b = Glm.fit("y ~ x", df, family = "poisson",
+      strategy = "compress", maxIter = 6, tol = 0.0)
+    val rows = df.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val (bref, seref) = refIrls(rows.map(r => Array(1.0, r._2)), rows.map(_._1),
+      Array.fill(rows.length)(1.0), "poisson", 6)
+    assert(math.abs(a.coef("(Intercept)") - bref(0)) < 1e-8)
+    assert(math.abs(a.coef("x") - bref(1)) < 1e-8)
+    assert(math.abs(a.se("x") - seref(1)) < 1e-8)
+    assert(math.abs(a.deviance - b.deviance) < 1e-7, "compress deviance drifted")
+    assert(math.abs(a.coef("x") - b.coef("x")) < 1e-9)
+  }
+
+  test("poisson intercept-only recovers log(mean); null deviance = deviance") {
+    val df = (0 until 200).map(i => ((i % 4).toDouble, 1.0)).toDF("y", "one")
+    val fit = Glm.fit("y ~ 0 + one", df, family = "poisson", strategy = "irls",
+      maxIter = 10, tol = 1e-12)
+    assert(math.abs(fit.coef("one") - math.log(1.5)) < 1e-8)
+    assert(math.abs(fit.deviance - fit.nullDeviance) < 1e-8)
+    assert(fit.converged)
+  }
+
+  test("gaussian family equals OLS") {
+    val df = logitData(500).withColumn("yc", col("y") * 2.0 + col("x1"))
+    val glm = Glm.fit("yc ~ x1 + x2", df, family = "gaussian",
+      strategy = "irls", maxIter = 3, tol = 0.0)
+    val ols = Dbreg.fit("yc ~ x1 + x2", df, strategy = "moments")
+    for (t <- Seq("(Intercept)", "x1", "x2"))
+      assert(math.abs(glm.coef(t) - ols.coef(t)) < 1e-9, s"$t")
+  }
+
+  test("prior weights equal row duplication") {
+    val base = logitData(300)
+    val doubled = base.union(base)
+    val weighted = base.withColumn("w", lit(2.0))
+    val a = Glm.fit("y ~ x1 + x2", doubled, family = "binomial",
+      strategy = "irls", maxIter = 5, tol = 0.0)
+    val b = Glm.fit("y ~ x1 + x2", weighted, family = "binomial",
+      strategy = "irls", maxIter = 5, tol = 0.0, weights = Some("w"))
+    for (t <- a.terms) {
+      assert(math.abs(a.coef(t) - b.coef(t)) < 1e-9)
+      assert(math.abs(a.se(t) - b.se(t)) < 1e-9)
+    }
+    assert(b.nobs === 600.0)
+  }
+
+  test("collinear column is dropped and reported") {
+    val df = logitData(400).withColumn("x1dup", col("x1") * 2.0)
+    val fit = Glm.fit("y ~ x1 + x1dup + x2", df, family = "binomial",
+      strategy = "irls", maxIter = 5, tol = 0.0)
+    assert(fit.collinDropped.nonEmpty)
+    assert(fit.terms.size === 3) // intercept + one of the x1s + x2
+    val clean = Glm.fit("y ~ x1 + x2", logitData(400), family = "binomial",
+      strategy = "irls", maxIter = 5, tol = 0.0)
+    assert(math.abs(fit.coef("x2") - clean.coef("x2")) < 1e-8)
+  }
+
+  test("convergence by deviance; factor expansion; predictResponse") {
+    val df = logitData(900)
+      .withColumn("grp", when(col("x2") < 2.0, "a").otherwise("b"))
+    val fit = Glm.fit("y ~ x1 + grp", df, family = "binomial",
+      strategy = "irls", maxIter = 25, tol = 1e-10)
+    assert(fit.converged && fit.iterations < 25)
+    assert(fit.terms.contains("grpb")) // ref level 'a' dropped
+    val scored = fit.predictResponse(df, "mu")
+    val mm = scored.agg(min("mu"), max("mu")).collect()(0)
+    assert(mm.getDouble(0) > 0.0 && mm.getDouble(1) < 1.0)
+    // mean(mu) == mean(y) at the MLE with intercept (score equation)
+    val agg = scored.agg(avg("mu"), avg("y")).collect()(0)
+    assert(math.abs(agg.getDouble(0) - agg.getDouble(1)) < 1e-6)
+  }
+
+  test("separation is bounded: hits maxIter without diverging to NaN") {
+    val df = (0 until 100).map { i =>
+      val x = i.toDouble / 50.0 - 1.0
+      (if (x > 0) 1.0 else 0.0, x)
+    }.toDF("y", "x")
+    val fit = Glm.fit("y ~ x", df, family = "binomial",
+      strategy = "irls", maxIter = 8, tol = 0.0)
+    assert(!fit.converged)
+    assert(!fit.coef("x").isNaN && !fit.deviance.isNaN)
+  }
+
+  test("refusals: fixed effects and unknown family") {
+    val df = logitData(50)
+    intercept[IllegalArgumentException] {
+      Glm.fit("y ~ x1 | x2", df)
+    }
+    intercept[IllegalArgumentException] {
+      Glm.fit("y ~ x1", df, family = "gamma")
+    }
+  }
+}
