@@ -587,6 +587,38 @@ object OracleSql {
                 |    AND l_discount IS NOT NULL GROUP BY 1""".stripMargin,
       family = "poisson", iters = 4, xTerm = "l_discount"),
 
+    // Gopher rule set: integer counts and int/int ratios — bit-exact parity
+    "q98_gopher_rules" -> {
+      val stops = graft.pipeline.TextOps.EnglishStopwords
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH tk AS (SELECT doc_id, text, ${toks("text")} AS t,
+         |    string_split(text, chr(10)) AS ls FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(t)::BIGINT AS n_words,
+         |  greatest(len(t), 1)::DOUBLE AS wd,
+         |  greatest(len(ls), 1)::DOUBLE AS ld,
+         |  list_sum(list_transform(t, x -> len(x)))::DOUBLE AS sumlen,
+         |  len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE AS nsym,
+         |  len(list_filter(ls, l -> ltrim(l)[1:1] IN ('-', '*')))::DOUBLE AS nbul,
+         |  len(list_filter(ls, l -> ends_with(rtrim(l), '...')))::DOUBLE AS nell,
+         |  len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::DOUBLE AS nalpha,
+         |  len(list_distinct(list_filter(t, w -> list_contains($stops, w))))::BIGINT
+         |    AS n_stopwords
+         |  FROM tk),
+         |sig AS (SELECT doc_id, n_words,
+         |  coalesce(sumlen, 0.0)/wd AS mean_word_len, nsym/wd AS symbol_ratio,
+         |  nbul/ld AS bullet_ratio, nell/ld AS ellipsis_ratio,
+         |  nalpha/wd AS alpha_word_ratio, n_stopwords FROM m)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+         |  ellipsis_ratio, alpha_word_ratio, n_stopwords,
+         |  (n_words >= 50 AND n_words <= 100000
+         |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |   AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+         |   AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+         |   AND n_stopwords >= 2) AS keep
+         |FROM sig ORDER BY doc_id""".stripMargin
+    },
+
     // classifier scoring: per-row sigmoid of a fixed linear score — pure
     // projection on both sides
     "q97_glm_score" ->

@@ -953,6 +953,17 @@ object Queries {
         threshold = 0.5, maxFpDocFreq = Some(50L))
         .orderBy("id1", "id2")),
 
+    // quality: the full Gopher rule set (word bounds, mean word length,
+    // symbol/bullet/ellipsis ratios, alphabetic-word share, stopword
+    // presence) — one projection, integer-exact arithmetic
+    "q98_gopher_rules" -> ((s, dir) => {
+      val sigs = TextOps.gopherSignals(col("text"), col("__t"))
+      docs(s, dir)
+        .withColumn("__t", TextOps.tokens(col("text")))
+        .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+
     // text: per-doc token Shannon entropy (information-density quality
     // signal; low = repetitive/boilerplate)
     "q86_token_entropy" -> ((s, dir) =>

@@ -115,6 +115,51 @@ object TextOps {
     lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021 "Scaling Language
+    * Models", appendix A1.1 — the standard pre-training filter set). Every
+    * signal is a pure projection over (text, tokens): integer counts and
+    * int/int ratios, so the arithmetic is bit-exact across engines. ASCII
+    * markers only (`-`/`*` bullets, `...` ellipses) — unicode classes are
+    * where Java and RE2 regex semantics drift.
+    *
+    * Returns (name → column): n_words, mean_word_len, symbol_ratio,
+    * bullet_ratio, ellipsis_ratio, alpha_word_ratio, n_stopwords, and the
+    * conjunction `keep` with Gopher's published bounds (50 ≤ words ≤ 100k,
+    * 3 ≤ mean len ≤ 10, symbols ≤ 0.1/word, ≤90% bullet lines, ≤30%
+    * ellipsis lines, ≥80% alphabetic words, ≥2 distinct stopwords). */
+  def gopherSignals(text: Column, t: Column): Seq[(String, Column)] = {
+    val nWords = size(t).cast("long")
+    val wordsD = greatest(size(t), lit(1)).cast("double")
+    val meanLen =
+      aggregate(t, lit(0L), (a, x) => a + length(x)).cast("double") / wordsD
+    val symRatio = regexp_count(text, lit("#|\\.\\.\\.")).cast("double") / wordsD
+    val lines = split(text, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletRatio =
+      size(filter(lines, l => substring(ltrim(l), 1, 1).isin("-", "*")))
+        .cast("double") / nLines
+    val ellipsisRatio =
+      size(filter(lines, l => endswith(rtrim(l), lit("..."))))
+        .cast("double") / nLines
+    val alphaRatio =
+      size(filter(t, w => w.rlike("[a-z]"))).cast("double") / wordsD
+    val nStops =
+      size(array_distinct(filter(t, w => w.isin(EnglishStopwords: _*)))).cast("long")
+    val keep = (nWords >= 50L) && (nWords <= 100000L) &&
+      (meanLen >= 3.0) && (meanLen <= 10.0) &&
+      (symRatio <= 0.1) && (bulletRatio <= 0.9) && (ellipsisRatio <= 0.3) &&
+      (alphaRatio >= 0.8) && (nStops >= 2L)
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanLen,
+      "symbol_ratio" -> symRatio,
+      "bullet_ratio" -> bulletRatio,
+      "ellipsis_ratio" -> ellipsisRatio,
+      "alpha_word_ratio" -> alphaRatio,
+      "n_stopwords" -> nStops,
+      "keep" -> keep)
+  }
+
   /** PII patterns (Dolma/CCNet-style scrub taggers). Deliberately the
     * Java-regex ∩ RE2 common subset — no lookaround, ASCII classes only —
     * so Spark's codegen'd regexp functions and the DuckDB oracle match

@@ -754,6 +754,29 @@ class PipelineSpec extends SparkTestBase {
     assert(got(4L) == 0.0)
   }
 
+  test("gopher rules: each signal fires on its crafted violation") {
+    val good = (("the quick brown fox jumps over a lazy dog and then it " * 6).trim)
+    val d = Seq(
+      (1L, good), // passes every rule (60 words, all alpha, stopwords present)
+      (2L, "short text only here"), // < 50 words
+      (3L, ("#tag " * 60).trim), // symbol ratio 1.0, no stopwords
+      (4L, (1 to 60).map(i => s"- bullet $i of the list").mkString("\n")), // all bullet lines
+      (5L, (1 to 60).map(i => s"the line $i trails off...").mkString("\n")), // all ellipsis ends
+      (6L, ("12345 67890 " * 30).trim + " the it is was on"), // alpha ratio < 0.8
+      (7L, "") // empty: everything zero, keep = false
+    ).toDF("doc_id", "text")
+    val sigs = TextOps.gopherSignals(col("text"), TextOps.tokens(col("text")))
+    val out = d.select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("keep") && out(2L).getAs[Long]("n_words") < 50)
+    assert(!out(3L).getAs[Boolean]("keep") && out(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!out(4L).getAs[Boolean]("keep") && out(4L).getAs[Double]("bullet_ratio") > 0.9)
+    assert(!out(5L).getAs[Boolean]("keep") && out(5L).getAs[Double]("ellipsis_ratio") > 0.3)
+    assert(!out(6L).getAs[Boolean]("keep") && out(6L).getAs[Double]("alpha_word_ratio") < 0.8)
+    assert(!out(7L).getAs[Boolean]("keep") && out(7L).getAs[Long]("n_words") === 0L)
+  }
+
   test("end-to-end corpus pipeline: scrub -> dedup -> sample -> split") {
     // the full pre-training sequence on the real corpus, asserting the
     // invariants a production run relies on at each stage
