@@ -183,6 +183,43 @@ class StreamingSpec extends SparkTestBase {
     assert(!streamed.exists(t => t._3.contains("script") || t._3.contains("<p>")))
   }
 
+  test("GLM scoring and gopher rules run unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.TextOps
+    import graft.reg.Glm
+    // train on a static frame, then apply the fitted scorer to a stream —
+    // predictResponse is a pure projection, so append mode just works
+    val train = Seq((1.0, 120.0), (0.0, 20.0), (1.0, 200.0), (0.0, 35.0),
+      (1.0, 150.0), (0.0, 10.0)).toDF("label", "len")
+    val fit = Glm.fit("label ~ len", train, family = "binomial",
+      strategy = "irls", maxIter = 8, tol = 0.0)
+    val texts = Seq(
+      (1L, ("the quick brown fox jumps over a lazy dog and it was fine " * 6).trim),
+      (2L, "#tag #tag #tag"))
+    val input = MemoryStream[(Long, String)]
+    def score(df: org.apache.spark.sql.DataFrame) = {
+      val sigs = TextOps.gopherSignals(col("text"), TextOps.tokens(col("text")))
+      fit.predictResponse(
+        df.withColumn("len", org.apache.spark.sql.functions.length(col("text"))
+          .cast("double")), "p_good")
+        .select(col("id") +: col("p_good") +:
+          sigs.collect { case ("keep", c) => c.as("keep") }: _*)
+    }
+    val q = score(input.toDF().toDF("id", "text"))
+      .writeStream.format("memory").queryName("gscore").outputMode("append").start()
+    input.addData(texts: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("gscore").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    q.stop()
+    val batch = score(spark.createDataFrame(texts).toDF("id", "text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(streamed == batch)
+    val byId = streamed.map(t => t._1 -> t).toMap
+    assert(byId(1L)._3 && !byId(2L)._3) // gopher keep fires correctly
+    assert(byId(1L)._2 > byId(2L)._2) // longer doc scores higher
+  }
+
   test("streaming sessionization closes sessions by gap and by timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
