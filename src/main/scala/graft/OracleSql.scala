@@ -22,6 +22,51 @@ object OracleSql {
   /** md5-derived 32-bit hash (mirrors TextOps.hash32). */
   private def hash32(e: String) = s"('0x' || substr(md5($e),1,8))::BIGINT"
 
+  /** Per-group variant of [[glmIrlsOracle]]: the same unrolled Newton steps
+    * with the group key `g` carried through every CTE (GROUP BY g sums,
+    * per-group closed-form solve, β re-attached with a USING (g) join).
+    * Mirrors [[graft.reg.Glm.fitGrouped]] with strategy=compress. */
+  private def glmGroupedIrlsOracle(
+      cells: String, family: String, iters: Int, xTerm: String): String = {
+    def sums(src: String, k: Int) =
+      s"""i$k AS (SELECT g, sum(n*w) sw, sum(n*w*x) swx, sum(n*w*x*x) swxx,
+         |    sum(n*w*z) swz, sum(n*w*x*z) swxz FROM $src t$k GROUP BY g)""".stripMargin
+    def solve(k: Int) =
+      s"""b$k AS (SELECT g, (swxx*swz - swx*swxz)/(sw*swxx - swx*swx) AS b0,
+         |    (sw*swxz - swx*swz)/(sw*swxx - swx*swx) AS b1 FROM i$k)""".stripMargin
+    val first = family match {
+      case "binomial" => "(SELECT g, x, n, 0.25 AS w, (sy/n - 0.5)/0.25 AS z FROM c)"
+      case "poisson" => "(SELECT g, x, n, 1.0 AS w, sy/n - 1.0 AS z FROM c)"
+    }
+    def step(k: Int) = {
+      val inner =
+        s"""(SELECT c.g, c.x, c.n, c.sy, b.b0 + b.b1*c.x AS eta
+           |   FROM c JOIN b${k - 1} b USING (g))""".stripMargin
+      val wz = family match {
+        case "binomial" =>
+          s"""(SELECT g, x, n, mu*(1.0-mu) AS w, eta + (sy/n - mu)/(mu*(1.0-mu)) AS z
+             |   FROM (SELECT g, x, n, sy, eta, 1.0/(1.0+exp(-eta)) AS mu FROM $inner m$k) e$k)""".stripMargin
+        case "poisson" =>
+          s"""(SELECT g, x, n, mu AS w, eta + (sy/n - mu)/mu AS z
+             |   FROM (SELECT g, x, n, sy, eta, exp(eta) AS mu FROM $inner m$k) e$k)""".stripMargin
+      }
+      sums(wz, k)
+    }
+    val ctes = Seq(s"c AS ($cells)", sums(first, 1), solve(1)) ++
+      (2 to iters).flatMap(k => Seq(step(k), solve(k)))
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT "group", term, estimate::REAL AS estimate,
+       |  std_error::REAL AS std_error
+       |FROM (
+       | SELECT b.g AS "group", '(Intercept)' AS term, b.b0 AS estimate,
+       |   sqrt(i.swxx/(i.sw*i.swxx - i.swx*i.swx)) AS std_error
+       |   FROM b$iters b JOIN i$iters i USING (g)
+       | UNION ALL
+       | SELECT b.g, '$xTerm', b.b1, sqrt(i.sw/(i.sw*i.swxx - i.swx*i.swx))
+       |   FROM b$iters b JOIN i$iters i USING (g)) u
+       |ORDER BY "group", term""".stripMargin
+  }
+
   /** Unrolled compressed-IRLS oracle for a 2-parameter GLM (intercept + x):
     * `iters` Newton steps from β=0, each one scan of the `cells` relation
     * (x, n = Σw, sy = Σwy), closed-form 2×2 solve per step. Mirrors
@@ -586,6 +631,17 @@ object OracleSql {
                 |  FROM lineitem WHERE l_quantity IS NOT NULL
                 |    AND l_discount IS NOT NULL GROUP BY 1""".stripMargin,
       family = "poisson", iters = 4, xTerm = "l_discount"),
+
+    // grouped GLM: the q95 unrolling with a GROUP BY g key carried through
+    // every step
+    "q99_glm_grouped_fit" -> glmGroupedIrlsOracle(
+      cells = """SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x,
+                |    count(*)::DOUBLE AS n,
+                |    sum(CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END) AS sy
+                |  FROM lineitem WHERE l_discount IS NOT NULL
+                |    AND l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+                |  GROUP BY 1, 2""".stripMargin,
+      family = "binomial", iters = 3, xTerm = "l_quantity"),
 
     // Gopher rule set: integer counts and int/int ratios — bit-exact parity
     "q98_gopher_rules" -> {

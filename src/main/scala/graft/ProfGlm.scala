@@ -18,10 +18,11 @@ object ProfGlm {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val docsDir = sys.env.getOrElse("SPARK_GRAFT_DOCS_DIR", sfDir)
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .withColumn("ret", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    println(s"[prof] rows=${li.count()}")
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    println(s"[prof] rows=${li.count()} docs=${docs.count()}")
 
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
@@ -42,6 +43,9 @@ object ProfGlm {
       time("glm_poisson_compress (4 it)")(
         Glm.fit("l_quantity ~ l_discount", li, family = "poisson",
           strategy = "compress", maxIter = 4, tol = 0.0))
+      time("glm_grouped_compress (3 it)")(
+        Glm.fitGrouped("ret ~ l_quantity", li, "l_returnflag",
+          strategy = "compress", maxIter = 3).count())
       time("glm_score_docs")(
         docs
           .withColumn("_eta",

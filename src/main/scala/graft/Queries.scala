@@ -546,6 +546,20 @@ object Queries {
         col("std_error").cast("float").as("std_error")).orderBy("term")
     }),
 
+    // grouped GLM: one logistic fit PER GROUP (per-domain classifier
+    // calibration) — three pinned Newton steps, per-group solves
+    // executor-side, compressed to (group × quantity) cells first
+    "q99_glm_grouped_fit" -> ((s, dir) => {
+      val data = li(s, dir)
+        .withColumn("hi", when(col("l_discount") > 0.05, 1.0).otherwise(0.0))
+      Glm.fitGrouped("hi ~ l_quantity", data, "l_returnflag",
+        family = "binomial", strategy = "compress", maxIter = 3)
+        .select(col("group"), col("term"),
+          col("estimate").cast("float").as("estimate"),
+          col("std_error").cast("float").as("std_error"))
+        .orderBy("group", "term")
+    }),
+
     // classifier SCORING at corpus scale: logistic quality score over cheap
     // text features — a pure projection (no shuffle, no UDF); the weights
     // are fixed (a trained classifier applied, fastText-style)

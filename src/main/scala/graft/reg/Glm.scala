@@ -198,6 +198,164 @@ object Glm {
     finally if (chosen == "compress") { work.unpersist(); () }
   }
 
+  /** Grouped GLM: one IRLS fit PER GROUP — the "per-domain quality
+    * classifier" shape. Exactly `maxIter` Newton steps run for every group
+    * (no per-group convergence bookkeeping: deterministic, oracle-friendly,
+    * and the fixed-point is insensitive to a step or two past
+    * stabilization). Each step is one keyed aggregation of the weighted
+    * moments triangle (partial+final, map-side combine), the per-group
+    * solves run EXECUTOR-SIDE on the G moment rows, and the next step
+    * re-attaches β per group with an equi-join AQE downgrades to broadcast
+    * while G×p stays small — the corpus itself is never shuffled.
+    *
+    * `strategy="compress"` collapses the corpus to distinct
+    * (group × regressor-tuple) cells in ONE pass and iterates over the
+    * cell table (identical iterates — see [[fit]]); `auto` probes the cell
+    * count. At 100 TB with low-cardinality designs, G·cells rows iterate
+    * after a single corpus scan.
+    *
+    * Returns a distributed DataFrame (group, term, estimate, std_error,
+    * n, deviance) — Wald z SEs from the final step's XᵀWX; `deviance` is
+    * measured at the penultimate β (the same one-lag as [[fit]] with
+    * tol=0; for stabilized groups the two are equal to solver precision).
+    */
+  def fitGrouped(
+      formula: String,
+      df: DataFrame,
+      groupCol: String,
+      family: String = "binomial",
+      strategy: String = "auto",
+      maxIter: Int = 8,
+      compressRatio: Double = 0.25
+  ): DataFrame = {
+    require(Set("binomial", "poisson", "gaussian")(family), s"unknown family: $family")
+    require(Set("auto", "irls", "compress")(strategy), s"unknown strategy: $strategy")
+    require(maxIter >= 1, "maxIter must be >= 1")
+    val f = Formula.parse(formula)
+    require(f.fe.isEmpty, "grouped GLM does not support fixed effects (| fe)")
+    val needed = (f.allInputCols :+ groupCol).distinct
+    needed.foreach(c => require(df.columns.contains(c), s"column '$c' not found"))
+    val base = df.select(needed.map(col): _*)
+      .filter(needed.map(col(_).isNotNull).reduce(_ && _))
+
+    val mm = ModelMatrix.expand(base, f.terms, Nil, intercept = f.intercept)
+    val all: List[ModelMatrix.MMCol] =
+      (if (f.intercept) List(ModelMatrix.MMCol("(Intercept)", lit(1.0))) else Nil) ++ mm.cols
+    require(all.nonEmpty, "empty design")
+    val xNames = all.indices.map(i => s"__g_x$i").toIndexedSeq
+    val displayNames = all.map(c => ModelMatrix.displayName(c.name)).toIndexedSeq
+    val p = xNames.length
+
+    val y = col(f.y).cast("double")
+    val ylogy =
+      if (family == "poisson") when(y > 0.0, y * log(y)).otherwise(0.0) else lit(0.0)
+    val rowFrame = base.select(
+      col(groupCol).cast("string").as("_g") +:
+        (all.zipWithIndex.map { case (c, i) => c.col.cast("double").as(xNames(i)) } ++
+          Seq(lit(1.0).as("_wt"), y.as("_yb"), ylogy.as("_ylogy"))): _*)
+
+    val chosen = strategy match {
+      case "auto" =>
+        val probe = rowFrame
+          .agg(count(lit(1)).as("_n"),
+            approx_count_distinct(struct((col("_g") +: xNames.map(col)): _*)).as("_cells"))
+          .collect()(0)
+        if (probe.getAs[Long]("_cells") <= compressRatio * probe.getAs[Long]("_n"))
+          "compress"
+        else "irls"
+      case s => s
+    }
+    val work0 = chosen match {
+      case "compress" =>
+        rowFrame.groupBy((col("_g") +: xNames.map(col)): _*)
+          .agg(
+            sum("_wt").as("_wt"),
+            (sum(col("_wt") * col("_yb")) / sum("_wt")).as("_yb"),
+            sum("_ylogy").as("_ylogy"))
+      case _ => rowFrame
+    }
+    // one materialization barrier: every iteration rescans this frame, and
+    // for compress the cell build must not rerun per step. Context-cleaner
+    // releases the blocks with the result (same pattern as Dedup).
+    val work = work0.localCheckpoint(false)
+
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // working weight/response given the β-attachment state of `src`
+    def withWZ(src: DataFrame, haveBeta: Boolean): DataFrame = {
+      val eta =
+        if (!haveBeta) lit(0.0)
+        else (0 until p).map(i => col(xNames(i)) * element_at(col("_b"), i + 1))
+          .reduce(_ + _)
+      val yb = col("_yb"); val w = col("_wt")
+      val Eps = 1e-12
+      val (w2, z, devTerm) = family match {
+        case "binomial" =>
+          val mu = least(greatest(sigmoid(eta), lit(Eps)), lit(1.0 - Eps))
+          val wrow = mu * (lit(1.0) - mu)
+          val dt = (when(yb > 0.0, yb * log(mu)).otherwise(0.0) +
+            when(yb < 1.0, (lit(1.0) - yb) * log(lit(1.0) - mu)).otherwise(0.0)) *
+            w * lit(-2.0)
+          (w * wrow, eta + (yb - mu) / wrow, dt)
+        case "poisson" =>
+          val mu = greatest(exp(eta), lit(Eps))
+          val dt = (col("_ylogy") * lit(1.0) / w - yb * log(mu) - yb + mu) * w * lit(2.0)
+          (w * mu, eta + (yb - mu) / mu, dt)
+        case "gaussian" =>
+          (w, yb, w * (yb - eta) * (yb - eta))
+      }
+      src.withColumn("_w2", w2).withColumn("_z", z).withColumn("_devt", devTerm)
+    }
+
+    def momentAgg(wz: DataFrame): DataFrame = {
+      def xc(i: Int) = col(xNames(i))
+      val w2 = col("_w2"); val z = col("_z")
+      val aggs = scala.collection.mutable.ArrayBuffer[Column]()
+      aggs += sum(col("_wt")).as("_n")
+      aggs += sum(col("_devt")).as("_dev")
+      for (i <- 0 until p) {
+        aggs += sum(w2 * xc(i) * z).as(s"_sxy$i")
+        for (j <- i until p) aggs += sum(w2 * xc(i) * xc(j)).as(s"_sxx_${i}_$j")
+      }
+      wz.groupBy(col("_g")).agg(aggs.head, aggs.tail.toSeq: _*)
+    }
+
+    def solveRow(r: org.apache.spark.sql.Row): (LinAlg.SolveOutcome, Double, Double) = {
+      def dd(name: String): Double = r.getAs[Any](name) match {
+        case null => 0.0
+        case v: Number => v.doubleValue
+      }
+      val xtx = breeze.linalg.DenseMatrix.tabulate(p, p)((i, j) =>
+        if (i <= j) dd(s"_sxx_${i}_$j") else dd(s"_sxx_${j}_$i"))
+      val xty = breeze.linalg.DenseVector.tabulate(p)(i => dd(s"_sxy$i"))
+      (LinAlg.solveDetecting(xtx, xty), dd("_n"), dd("_dev"))
+    }
+
+    var betas: DataFrame = null
+    for (k <- 1 to maxIter - 1) {
+      val src = if (k == 1) work else work.join(betas, "_g")
+      val mom = momentAgg(withWZ(src, haveBeta = k > 1))
+      betas = mom.map { r =>
+        val (sol, _, _) = solveRow(r)
+        val full = Array.fill(p)(0.0)
+        sol.keepIdx.zipWithIndex.foreach { case (orig, ki) => full(orig) = sol.beta(ki) }
+        (r.getAs[String]("_g"), full)
+      }.toDF("_g", "_b").localCheckpoint(false)
+    }
+    val lastSrc = if (maxIter == 1) work else work.join(betas, "_g")
+    val lastMom = momentAgg(withWZ(lastSrc, haveBeta = maxIter > 1))
+    val names = displayNames
+    lastMom.flatMap { r =>
+      val g = r.getAs[String]("_g")
+      val (sol, n, dev) = solveRow(r)
+      sol.keepIdx.zipWithIndex.map { case (orig, ki) =>
+        val se = math.sqrt(math.max(sol.xtxInv(ki, ki), 0.0))
+        (g, names(orig), sol.beta(ki), se, n.round, dev)
+      }
+    }.toDF("group", "term", "estimate", "std_error", "n", "deviance")
+  }
+
   /** One IRLS pass: weighted moments of the working response + deviance of
     * the INCOMING β, all in a single aggregate. */
   private final case class Pass(

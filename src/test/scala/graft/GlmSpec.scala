@@ -188,6 +188,46 @@ class GlmSpec extends SparkTestBase {
     assert(!fit.coef("x").isNaN && !fit.deviance.isNaN)
   }
 
+  test("grouped GLM equals per-group fits, compress equals irls") {
+    val df = logitData(1200)
+      .withColumn("dom", when(col("x2") < 2.0, "a")
+        .when(col("x2") < 4.0, "b").otherwise("c"))
+    val grouped = Glm.fitGrouped("y ~ x1", df, "dom", family = "binomial",
+      strategy = "irls", maxIter = 6)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    for (g <- Seq("a", "b", "c")) {
+      val solo = Glm.fit("y ~ x1", df.filter(col("dom") === g),
+        family = "binomial", strategy = "irls", maxIter = 6, tol = 0.0)
+      for (t <- Seq("(Intercept)", "x1")) {
+        val (est, se) = grouped((g, t))
+        assert(math.abs(est - solo.coef(t)) < 1e-8, s"$g/$t estimate")
+        assert(math.abs(se - solo.se(t)) < 1e-8, s"$g/$t se")
+      }
+    }
+    val comp = Glm.fitGrouped("y ~ x1", df, "dom", family = "binomial",
+      strategy = "compress", maxIter = 6)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    grouped.foreach { case (k, (est, _)) =>
+      assert(math.abs(comp(k) - est) < 1e-9, s"$k compress drift")
+    }
+    // auto picks compress here (x1 has 17 distinct values per group)
+    val auto = Glm.fitGrouped("y ~ x1", df, "dom", maxIter = 6)
+    assert(auto.count() === 6L)
+  }
+
+  test("grouped poisson: per-group log-mean with intercept-only design") {
+    val df = (0 until 300).map { i =>
+      val g = if (i % 2 == 0) "even" else "odd"
+      val y = if (i % 2 == 0) (i % 3).toDouble else (i % 5).toDouble
+      (g, y, 1.0)
+    }.toDF("dom", "y", "one")
+    val out = Glm.fitGrouped("y ~ 0 + one", df, "dom", family = "poisson",
+      strategy = "irls", maxIter = 12)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out("even") - math.log(1.0)) < 1e-9) // mean of 0,1,2
+    assert(math.abs(out("odd") - math.log(2.0)) < 1e-9) // mean of 0..4
+  }
+
   test("refusals: fixed effects and unknown family") {
     val df = logitData(50)
     intercept[IllegalArgumentException] {
