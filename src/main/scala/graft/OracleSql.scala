@@ -632,6 +632,54 @@ object OracleSql {
                 |    AND l_discount IS NOT NULL GROUP BY 1""".stripMargin,
       family = "poisson", iters = 4, xTerm = "l_discount"),
 
+    // capstone pipeline: gopher keep + score gate -> exact dedup -> hash
+    // split -> rollup, composed from the q97/q98/q30/q76 oracle fragments
+    "q100_curation_pipeline" -> {
+      val stops = graft.pipeline.TextOps.EnglishStopwords
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      val weights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+      val total = weights.map(_._2).sum
+      val cum = weights.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+      val cases = weights.zip(cum).init
+        .map { case ((n, _), c) => s"WHEN u < $c THEN '$n'" }
+        .mkString(" ")
+      s"""WITH tk AS (SELECT doc_id, text, n_chars, ${toks("text")} AS t,
+         |    string_split(text, chr(10)) AS ls FROM documents),
+         |m AS (SELECT doc_id, text,
+         |  1.0/(1.0 + exp(-(-1.5 + n_chars::DOUBLE/1000.0*0.8
+         |    + len(t)::DOUBLE/100.0*1.2
+         |    - (len(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE
+         |       / greatest(len(text), 1)) * 4.0))) AS s,
+         |  len(t)::BIGINT AS nw,
+         |  greatest(len(t), 1)::DOUBLE AS wd,
+         |  greatest(len(ls), 1)::DOUBLE AS ld,
+         |  coalesce(list_sum(list_transform(t, x -> len(x))), 0.0)::DOUBLE AS sumlen,
+         |  len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE AS nsym,
+         |  len(list_filter(ls, l -> ltrim(l)[1:1] IN ('-', '*')))::DOUBLE AS nbul,
+         |  len(list_filter(ls, l -> ends_with(rtrim(l), '...')))::DOUBLE AS nell,
+         |  len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::DOUBLE AS nalpha,
+         |  len(list_distinct(list_filter(t, w -> list_contains($stops, w))))::BIGINT
+         |    AS nstop
+         |  FROM tk),
+         |gated AS (SELECT doc_id, text, s FROM m
+         |  WHERE nw >= 50 AND nw <= 100000
+         |    AND sumlen/wd >= 3.0 AND sumlen/wd <= 10.0
+         |    AND nsym/wd <= 0.1 AND nbul/ld <= 0.9 AND nell/ld <= 0.3
+         |    AND nalpha/wd >= 0.8 AND nstop >= 2
+         |    AND s > 0.3),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM (
+         |    SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) fp
+         |    FROM gated) g GROUP BY fp),
+         |uni AS (SELECT g.doc_id, g.s FROM gated g JOIN keep USING (doc_id)),
+         |lab AS (SELECT doc_id, s,
+         |  CASE $cases ELSE '${weights.last._1}' END AS split
+         |  FROM (SELECT doc_id, s,
+         |    ${hash32("'q100' || doc_id::VARCHAR")} / 4294967296.0 AS u FROM uni) h)
+         |SELECT split, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+         |  avg(s)::REAL AS avg_score
+         |FROM lab GROUP BY split ORDER BY split""".stripMargin
+    },
+
     // grouped GLM: the q95 unrolling with a GROUP BY g key carried through
     // every step
     "q99_glm_grouped_fit" -> glmGroupedIrlsOracle(

@@ -546,6 +546,34 @@ object Queries {
         col("std_error").cast("float").as("std_error")).orderBy("term")
     }),
 
+    // capstone: the full curation pipeline as ONE lazy plan — Gopher rules
+    // AND classifier score gate the corpus, exact dedup keeps one doc per
+    // fingerprint class, a deterministic hash split labels train/val/test,
+    // and the rollup is the only aggregation that sees the survivors.
+    // Catalyst fuses the two quality gates and the fingerprint into a
+    // single projection pass over the scan.
+    "q100_curation_pipeline" -> ((s, dir) => {
+      val sigs = TextOps.gopherSignals(col("text"), TextOps.tokens(col("text"))).toMap
+      val eta = lit(-1.5) +
+        col("n_chars").cast("double") / 1000.0 * lit(0.8) +
+        TextOps.tokenCount(col("text")).cast("double") / 100.0 * lit(1.2) -
+        TextOps.punctRatio(col("text")) * lit(4.0)
+      val gated = docs(s, dir)
+        .withColumn("_score", Glm.sigmoid(eta))
+        .filter(sigs("keep") && col("_score") > 0.3)
+      val keepIds = Dedup.exactGroups(gated, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val unique = gated.join(keepIds, Seq("doc_id"), "left_semi")
+      graft.sources.ScaleOps
+        .hashSplit(unique, "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "q100")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").as("sum_ids"),
+          avg("_score").cast("float").as("avg_score"))
+        .orderBy("split")
+    }),
+
     // grouped GLM: one logistic fit PER GROUP (per-domain classifier
     // calibration) — three pinned Newton steps, per-group solves
     // executor-side, compressed to (group × quantity) cells first
