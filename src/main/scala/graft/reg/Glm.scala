@@ -34,6 +34,19 @@ final case class GlmResult(
   /** McFadden pseudo-R²: 1 − deviance/null-deviance. */
   def pseudoR2: Double = 1.0 - deviance / nullDeviance
 
+  /** AIC up to the family's data-only constant: deviance + 2p. Exact for
+    * binomial with 0/1 responses (saturated loglik = 0); for Poisson the
+    * Σln y! term is a model-independent constant, so DIFFERENCES between
+    * fits on the same data are exact AIC differences. */
+  def aic: Double = deviance + 2.0 * coeftable.length
+
+  /** Wald (normal) two-sided confidence intervals at `level`. */
+  def confint(level: Double = 0.95): Seq[(String, Double, Double)] = {
+    val crit = new org.apache.commons.math3.distribution.NormalDistribution(0.0, 1.0)
+      .inverseCumulativeProbability(1.0 - (1.0 - level) / 2.0)
+    coeftable.map(r => (r.term, r.estimate - crit * r.stdError, r.estimate + crit * r.stdError))
+  }
+
   /** Response-scale prediction μ̂ = g⁻¹(xᵀβ̂) appended as `colName`.
     * Distributed: a pure projection over `newdata`, no shuffle. */
   def predictResponse(newdata: DataFrame, colName: String = "mu"): DataFrame = {
@@ -48,10 +61,10 @@ final case class GlmResult(
 
   def glance(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq((family, strategy, deviance, nullDeviance, pseudoR2, nobs, nCells,
+    Seq((family, strategy, deviance, nullDeviance, pseudoR2, aic, nobs, nCells,
       iterations, converged))
       .toDF("family", "strategy", "deviance", "null_deviance", "pseudo_r2",
-        "nobs", "n_cells", "iterations", "converged")
+        "aic", "nobs", "n_cells", "iterations", "converged")
   }
 
   override def toString: String = {
@@ -120,6 +133,10 @@ object Glm {
     * @param tol      relative deviance-change convergence tolerance
     * @param weights  prior (frequency) weight column: a row with weight w
     *                 counts as w identical observations
+    * @param offset   fixed linear-predictor component (η = Xβ + offset) —
+    *                 the Poisson-exposure / prior-log-odds term. With an
+    *                 offset the null deviance is NaN (an offset-only null
+    *                 model would need its own iterative fit).
     */
   def fit(
       formula: String,
@@ -129,6 +146,7 @@ object Glm {
       maxIter: Int = 25,
       tol: Double = 1e-9,
       weights: Option[String] = None,
+      offset: Option[String] = None,
       compressRatio: Double = 0.25
   ): GlmResult = {
     require(Set("binomial", "poisson", "gaussian")(family), s"unknown family: $family")
@@ -138,7 +156,7 @@ object Glm {
     require(f.fe.isEmpty,
       "GLM does not support fixed effects (| fe): absorb small factors as RHS dummies")
 
-    val needed = (f.allInputCols ++ weights).distinct
+    val needed = (f.allInputCols ++ weights ++ offset).distinct
     needed.foreach(c => require(df.columns.contains(c), s"column '$c' not found"))
     val base0 = df
       .select(needed.map(col): _*)
@@ -163,15 +181,17 @@ object Glm {
     val ylogy =
       if (family == "poisson") when(y > 0.0, wt * y * log(y)).otherwise(0.0)
       else lit(0.0)
+    val off = offset.map(col(_).cast("double")).getOrElse(lit(0.0))
     val rowFrame = base.select(
       all.zipWithIndex.map { case (c, i) => c.col.cast("double").as(xNames(i)) } ++
-        Seq(wt.as("_wt"), y.as("_yb"), ylogy.as("_ylogy")): _*)
+        Seq(wt.as("_wt"), y.as("_yb"), ylogy.as("_ylogy"), off.as("_off")): _*)
 
     val chosen = strategy match {
       case "auto" =>
         val probe = rowFrame
           .agg(count(lit(1)).as("_n"),
-            approx_count_distinct(struct(xNames.map(col): _*)).as("_cells"))
+            approx_count_distinct(struct((xNames.map(col) :+ col("_off")): _*))
+              .as("_cells"))
           .collect()(0)
         if (probe.getAs[Long]("_cells") <= compressRatio * probe.getAs[Long]("_n"))
           "compress"
@@ -182,7 +202,7 @@ object Glm {
     val work = chosen match {
       case "compress" =>
         rowFrame
-          .groupBy(xNames.map(col): _*)
+          .groupBy((xNames.map(col) :+ col("_off")): _*)
           .agg(
             sum("_wt").as("_wt"),
             (sum(col("_wt") * col("_yb")) / sum("_wt")).as("_yb"),
@@ -194,7 +214,7 @@ object Glm {
     val exprByName: Map[String, Column] =
       all.map(c => ModelMatrix.displayName(c.name) -> c.col).toMap
     try fitIrls(f, family, chosen, work, xNames, displayNames, exprByName,
-      maxIter, tol)
+      maxIter, tol, offset)
     finally if (chosen == "compress") { work.unpersist(); () }
   }
 
@@ -370,11 +390,15 @@ object Glm {
       xNames: IndexedSeq[String],
       family: String,
       beta: Array[Double],
-      firstPass: Boolean
+      firstPass: Boolean,
+      hasOffset: Boolean = false
   ): Pass = {
-    val eta =
+    val etaX =
       if (beta.forall(_ == 0.0)) lit(0.0)
       else xNames.zip(beta).map { case (n, b) => col(n) * lit(b) }.reduce(_ + _)
+    // μ sees the full linear predictor; the working response regresses only
+    // the Xβ part (the offset is fixed)
+    val eta = if (hasOffset) etaX + col("_off") else etaX
     val yb = col("_yb")
     val w = col("_wt")
     val Eps = 1e-12
@@ -386,15 +410,15 @@ object Glm {
           when(yb > 0.0, yb * log(mu)).otherwise(0.0) +
             when(yb < 1.0, (lit(1.0) - yb) * log(lit(1.0) - mu)).otherwise(0.0)
         )) * lit(-2.0)
-        (w * wrow, eta + (yb - mu) / wrow, dev)
+        (w * wrow, etaX + (yb - mu) / wrow, dev)
       case "poisson" =>
         val mu = greatest(exp(eta), lit(Eps))
         val dev = sum(col("_ylogy") - w * yb * log(mu) - w * yb + w * mu) * lit(2.0)
-        (w * mu, eta + (yb - mu) / mu, dev)
+        (w * mu, etaX + (yb - mu) / mu, dev)
       case "gaussian" =>
         val mu = eta
         val dev = sum(w * (yb - mu) * (yb - mu))
-        (w, yb, dev)
+        (w, if (hasOffset) yb - col("_off") else yb, dev)
     }
     val extras = Seq("_dev" -> devAgg) ++ (
       if (firstPass)
@@ -419,8 +443,10 @@ object Glm {
       displayNames0: IndexedSeq[String],
       exprByName: Map[String, Column],
       maxIter: Int,
-      tol: Double
+      tol: Double,
+      offset: Option[String] = None
   ): GlmResult = {
+    val hasOffset = offset.isDefined
     var xNames = xNames0
     var displayNames = displayNames0
     var dropped = Vector.empty[String]
@@ -434,7 +460,7 @@ object Glm {
 
     var i = 1
     while (i <= maxIter && !converged) {
-      val pass = irlsPass(work, xNames, family, beta, firstPass = i == 1)
+      val pass = irlsPass(work, xNames, family, beta, firstPass = i == 1, hasOffset)
       if (i == 1) { sw = pass.sw; swy = pass.swy; sylogy = pass.sylogy; nCells = pass.mom.nRows }
       if (i > 1 && math.abs(pass.dev - devPrev) / (math.abs(pass.dev) + 0.1) < tol) {
         // deviance stabilized: report the β that produced it (the previous
@@ -467,10 +493,10 @@ object Glm {
     // the deviance OF the reported β against its predecessor's
     val deviance =
       if (converged) devPrev
-      else irlsPass(work, xNames, family, beta, firstPass = false).dev
+      else irlsPass(work, xNames, family, beta, firstPass = false, hasOffset).dev
 
     val ybarAll = swy / sw
-    val nullDeviance = family match {
+    val nullDeviance = if (hasOffset) Double.NaN else family match {
       case "binomial" =>
         if (ybarAll <= 0.0 || ybarAll >= 1.0) 0.0
         else -2.0 * (swy * math.log(ybarAll) + (sw - swy) * math.log(1.0 - ybarAll))
@@ -501,9 +527,10 @@ object Glm {
     val betaFinal = beta
     val keptNames = displayNames
     val scorer: DataFrame => Column = _ => {
-      val eta = keptNames.zip(betaFinal).map { case (nm, b) =>
+      val etaX = keptNames.zip(betaFinal).map { case (nm, b) =>
         exprByName(nm).cast("double") * lit(b)
       }.reduce(_ + _)
+      val eta = offset.fold(etaX)(o => etaX + col(o).cast("double"))
       linkInv(family, eta)
     }
 

@@ -188,6 +188,33 @@ class GlmSpec extends SparkTestBase {
     assert(!fit.coef("x").isNaN && !fit.deviance.isNaN)
   }
 
+  test("offset: constant log-exposure shifts the intercept exactly") {
+    val df = (0 until 600).map { i =>
+      val x = (i % 9) / 4.0
+      val y = ((i * 48271) % 7).toDouble
+      (y, x, math.log(2.5))
+    }.toDF("y", "x", "lexp")
+    val base = Glm.fit("y ~ x", df, family = "poisson", strategy = "irls",
+      maxIter = 25, tol = 1e-13)
+    val off = Glm.fit("y ~ x", df, family = "poisson", strategy = "irls",
+      maxIter = 25, tol = 1e-13, offset = Some("lexp"))
+    // at the MLE: E[y] = exp(b0 + b1 x + ln E) -> intercept absorbs -ln E
+    assert(math.abs(off.coef("(Intercept)") - (base.coef("(Intercept)") - math.log(2.5))) < 1e-7)
+    assert(math.abs(off.coef("x") - base.coef("x")) < 1e-7)
+    assert(off.nullDeviance.isNaN) // documented: no offset-only null model
+    // zero offset is the identity, iterate-for-iterate
+    val zero = Glm.fit("y ~ x", df.withColumn("z0", lit(0.0)), family = "poisson",
+      strategy = "irls", maxIter = 6, tol = 0.0, offset = Some("z0"))
+    val plain = Glm.fit("y ~ x", df, family = "poisson",
+      strategy = "irls", maxIter = 6, tol = 0.0)
+    assert(math.abs(zero.coef("x") - plain.coef("x")) < 1e-12)
+    // compress keys the offset into the cells: identical iterates
+    val offC = Glm.fit("y ~ x", df, family = "poisson", strategy = "compress",
+      maxIter = 25, tol = 1e-13, offset = Some("lexp"))
+    assert(math.abs(offC.coef("x") - off.coef("x")) < 1e-9)
+    assert(math.abs(offC.coef("(Intercept)") - off.coef("(Intercept)")) < 1e-9)
+  }
+
   test("grouped GLM equals per-group fits, compress equals irls") {
     val df = logitData(1200)
       .withColumn("dom", when(col("x2") < 2.0, "a")
@@ -226,6 +253,40 @@ class GlmSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(math.abs(out("even") - math.log(1.0)) < 1e-9) // mean of 0,1,2
     assert(math.abs(out("odd") - math.log(2.0)) < 1e-9) // mean of 0..4
+  }
+
+  test("fuzz: engine matches driver-side IRLS across random designs/families") {
+    for (seed <- Seq(11, 42, 77)) {
+      val rng = new scala.util.Random(seed)
+      val n = 300 + rng.nextInt(300)
+      val b0 = rng.nextGaussian() * 0.5
+      val b1 = rng.nextGaussian() * 0.8
+      val fam = Seq("binomial", "poisson")(rng.nextInt(2))
+      val rows = (0 until n).map { _ =>
+        val x = rng.nextGaussian()
+        val eta = b0 + b1 * x
+        val y = fam match {
+          case "binomial" => if (rng.nextDouble() < 1.0 / (1.0 + math.exp(-eta))) 1.0 else 0.0
+          case "poisson" =>
+            // crude but deterministic-enough Poisson draw: count uniform
+            // arrivals below the rate's CDF via inversion on a grid
+            val mu = math.exp(eta)
+            var k = 0; var p = math.exp(-mu); var cdf = p; val u = rng.nextDouble()
+            while (cdf < u && k < 50) { k += 1; p *= mu / k; cdf += p }
+            k.toDouble
+        }
+        (y, x)
+      }
+      val df = rows.toDF("y", "x")
+      val iters = 5 + rng.nextInt(3)
+      val fit = Glm.fit("y ~ x", df, family = fam, strategy = "irls",
+        maxIter = iters, tol = 0.0)
+      val (bref, seref) = refIrls(rows.map(r => Array(1.0, r._2)).toArray,
+        rows.map(_._1).toArray, Array.fill(n)(1.0), fam, iters)
+      assert(math.abs(fit.coef("(Intercept)") - bref(0)) < 1e-7, s"seed=$seed $fam b0")
+      assert(math.abs(fit.coef("x") - bref(1)) < 1e-7, s"seed=$seed $fam b1")
+      assert(math.abs(fit.se("x") - seref(1)) < 1e-7, s"seed=$seed $fam se")
+    }
   }
 
   test("refusals: fixed effects and unknown family") {
