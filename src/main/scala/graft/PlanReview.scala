@@ -127,6 +127,23 @@ object PlanReview {
         graft.pipeline.Similarity.int8Quantize(col("embedding"), sc).as("q"),
         sc.as("scale"))
     }
+    // 16. GLM compress cell build (PLANS.md §26): ONE partial+final hash
+    // aggregate over a pruned scan — the only corpus pass of the whole fit
+    show("glm compress cell build") {
+      li.withColumn("ret",
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+        .filter(col("ret").isNotNull && col("l_quantity").isNotNull)
+        .select(lit(1.0).as("__g_x0"), col("l_quantity").cast("double").as("__g_x1"),
+          lit(1.0).as("_wt"), col("ret").as("_yb"))
+        .groupBy("__g_x0", "__g_x1")
+        .agg(sum("_wt").as("_wt"),
+          (sum(col("_wt") * col("_yb")) / sum("_wt")).as("_yb"))
+    }
+    // 17. q100 curation pipeline: both quality gates + the fingerprint must
+    // fuse into the scan projection (one pass before the dedup shuffle)
+    show("curation pipeline (q100 shape)") {
+      Queries.all("q100_curation_pipeline")(spark, sfDir)
+    }
     spark.stop()
   }
 }

@@ -553,14 +553,16 @@ object Queries {
     // Catalyst fuses the two quality gates and the fingerprint into a
     // single projection pass over the scan.
     "q100_curation_pipeline" -> ((s, dir) => {
-      val sigs = TextOps.gopherSignals(col("text"), TextOps.tokens(col("text"))).toMap
+      val sigs = TextOps.gopherSignals(col("text"), col("__t")).toMap
       val eta = lit(-1.5) +
         col("n_chars").cast("double") / 1000.0 * lit(0.8) +
-        TextOps.tokenCount(col("text")).cast("double") / 100.0 * lit(1.2) -
+        size(col("__t")).cast("double") / 100.0 * lit(1.2) -
         TextOps.punctRatio(col("text")) * lit(4.0)
       val gated = docs(s, dir)
+        .withColumn("__t", TextOps.tokens(col("text")))
         .withColumn("_score", Glm.sigmoid(eta))
         .filter(sigs("keep") && col("_score") > 0.3)
+        .drop("__t")
       val keepIds = Dedup.exactGroups(gated, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
       val unique = gated.join(keepIds, Seq("doc_id"), "left_semi")
