@@ -22,94 +22,6 @@ object OracleSql {
   /** md5-derived 32-bit hash (mirrors TextOps.hash32). */
   private def hash32(e: String) = s"('0x' || substr(md5($e),1,8))::BIGINT"
 
-  /** Per-group variant of [[glmIrlsOracle]]: the same unrolled Newton steps
-    * with the group key `g` carried through every CTE (GROUP BY g sums,
-    * per-group closed-form solve, β re-attached with a USING (g) join).
-    * Mirrors [[graft.reg.Glm.fitGrouped]] with strategy=compress. */
-  private def glmGroupedIrlsOracle(
-      cells: String, family: String, iters: Int, xTerm: String): String = {
-    def sums(src: String, k: Int) =
-      s"""i$k AS (SELECT g, sum(n*w) sw, sum(n*w*x) swx, sum(n*w*x*x) swxx,
-         |    sum(n*w*z) swz, sum(n*w*x*z) swxz FROM $src t$k GROUP BY g)""".stripMargin
-    def solve(k: Int) =
-      s"""b$k AS (SELECT g, (swxx*swz - swx*swxz)/(sw*swxx - swx*swx) AS b0,
-         |    (sw*swxz - swx*swz)/(sw*swxx - swx*swx) AS b1 FROM i$k)""".stripMargin
-    val first = family match {
-      case "binomial" => "(SELECT g, x, n, 0.25 AS w, (sy/n - 0.5)/0.25 AS z FROM c)"
-      case "poisson" => "(SELECT g, x, n, 1.0 AS w, sy/n - 1.0 AS z FROM c)"
-    }
-    def step(k: Int) = {
-      val inner =
-        s"""(SELECT c.g, c.x, c.n, c.sy, b.b0 + b.b1*c.x AS eta
-           |   FROM c JOIN b${k - 1} b USING (g))""".stripMargin
-      val wz = family match {
-        case "binomial" =>
-          s"""(SELECT g, x, n, mu*(1.0-mu) AS w, eta + (sy/n - mu)/(mu*(1.0-mu)) AS z
-             |   FROM (SELECT g, x, n, sy, eta, 1.0/(1.0+exp(-eta)) AS mu FROM $inner m$k) e$k)""".stripMargin
-        case "poisson" =>
-          s"""(SELECT g, x, n, mu AS w, eta + (sy/n - mu)/mu AS z
-             |   FROM (SELECT g, x, n, sy, eta, exp(eta) AS mu FROM $inner m$k) e$k)""".stripMargin
-      }
-      sums(wz, k)
-    }
-    val ctes = Seq(s"c AS ($cells)", sums(first, 1), solve(1)) ++
-      (2 to iters).flatMap(k => Seq(step(k), solve(k)))
-    s"""WITH ${ctes.mkString(",\n")}
-       |SELECT "group", term, estimate::REAL AS estimate,
-       |  std_error::REAL AS std_error
-       |FROM (
-       | SELECT b.g AS "group", '(Intercept)' AS term, b.b0 AS estimate,
-       |   sqrt(i.swxx/(i.sw*i.swxx - i.swx*i.swx)) AS std_error
-       |   FROM b$iters b JOIN i$iters i USING (g)
-       | UNION ALL
-       | SELECT b.g, '$xTerm', b.b1, sqrt(i.sw/(i.sw*i.swxx - i.swx*i.swx))
-       |   FROM b$iters b JOIN i$iters i USING (g)) u
-       |ORDER BY "group", term""".stripMargin
-  }
-
-  /** Unrolled compressed-IRLS oracle for a 2-parameter GLM (intercept + x):
-    * `iters` Newton steps from β=0, each one scan of the `cells` relation
-    * (x, n = Σw, sy = Σwy), closed-form 2×2 solve per step. Mirrors
-    * [[graft.reg.Glm]] with strategy=compress, tol=0, maxIter=iters. */
-  private def glmIrlsOracle(
-      cells: String, family: String, iters: Int, xTerm: String): String = {
-    def sums(src: String, k: Int) =
-      s"""i$k AS (SELECT sum(n*w) sw, sum(n*w*x) swx, sum(n*w*x*x) swxx,
-         |    sum(n*w*z) swz, sum(n*w*x*z) swxz FROM $src t$k)""".stripMargin
-    def solve(k: Int) =
-      s"""b$k AS (SELECT (swxx*swz - swx*swxz)/(sw*swxx - swx*swx) AS b0,
-         |    (sw*swxz - swx*swz)/(sw*swxx - swx*swx) AS b1 FROM i$k)""".stripMargin
-    val first = family match {
-      case "binomial" => "(SELECT x, n, 0.25 AS w, (sy/n - 0.5)/0.25 AS z FROM c)"
-      case "poisson" => "(SELECT x, n, 1.0 AS w, sy/n - 1.0 AS z FROM c)"
-    }
-    def step(k: Int) = {
-      val inner =
-        s"""(SELECT c.x, c.n, c.sy, b.b0 + b.b1*c.x AS eta FROM c CROSS JOIN b${k - 1} b)"""
-      val wz = family match {
-        case "binomial" =>
-          s"""(SELECT x, n, mu*(1.0-mu) AS w, eta + (sy/n - mu)/(mu*(1.0-mu)) AS z
-             |   FROM (SELECT x, n, sy, eta, 1.0/(1.0+exp(-eta)) AS mu FROM $inner m$k) e$k)""".stripMargin
-        case "poisson" =>
-          s"""(SELECT x, n, mu AS w, eta + (sy/n - mu)/mu AS z
-             |   FROM (SELECT x, n, sy, eta, exp(eta) AS mu FROM $inner m$k) e$k)""".stripMargin
-      }
-      sums(wz, k)
-    }
-    val ctes = Seq(s"c AS ($cells)", sums(first, 1), solve(1)) ++
-      (2 to iters).flatMap(k => Seq(step(k), solve(k)))
-    s"""WITH ${ctes.mkString(",\n")}
-       |SELECT term, estimate::REAL AS estimate, std_error::REAL AS std_error
-       |FROM (
-       | SELECT '(Intercept)' AS term, b0 AS estimate,
-       |   sqrt(swxx/(sw*swxx - swx*swx)) AS std_error
-       |   FROM b$iters CROSS JOIN i$iters
-       | UNION ALL
-       | SELECT '$xTerm', b1, sqrt(sw/(sw*swxx - swx*swx))
-       |   FROM b$iters CROSS JOIN i$iters) u
-       |ORDER BY term""".stripMargin
-  }
-
   /** lowercased whitespace tokens, empties removed. */
   private def toks(e: String) =
     s"list_filter(string_split_regex(lower($e), '\\s+'), t -> len(t) > 0)"
@@ -619,18 +531,18 @@ object OracleSql {
     // closed-form 2×2 solve. SEs come from the 4th step's XᵀWX (weights at
     // β₃) — the same one-lag structure as the engine. float32 absorbs
     // summation-order noise (q23 hardening).
-    "q95_glm_logit_fit" -> glmIrlsOracle(
-      cells = """SELECT CAST(l_quantity AS DOUBLE) AS x, count(*)::DOUBLE AS n,
-                |    sum(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS sy
-                |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1""".stripMargin,
-      family = "binomial", iters = 4, xTerm = "l_quantity"),
+    // the oracle text IS the engine-emitted sql_only rendering
+    // (GlmSqlGen) — every round re-proves the generated SQL runs and
+    // agrees with the engine, the q62-q65 loop applied to the GLM
+    "q95_glm_logit_fit" -> graft.reg.Glm.sqlOnly(
+      "lineitem", "l_quantity",
+      "CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END",
+      family = "binomial", iters = 4),
 
-    "q96_glm_poisson_fit" -> glmIrlsOracle(
-      cells = """SELECT CAST(l_discount AS DOUBLE) AS x, count(*)::DOUBLE AS n,
-                |    sum(CAST(l_quantity AS DOUBLE)) AS sy
-                |  FROM lineitem WHERE l_quantity IS NOT NULL
-                |    AND l_discount IS NOT NULL GROUP BY 1""".stripMargin,
-      family = "poisson", iters = 4, xTerm = "l_discount"),
+    "q96_glm_poisson_fit" -> graft.reg.Glm.sqlOnly(
+      "lineitem", "l_discount", "CAST(l_quantity AS DOUBLE)",
+      family = "poisson", iters = 4,
+      extraWhere = Seq("l_quantity IS NOT NULL")),
 
     // capstone pipeline: gopher keep + score gate -> exact dedup -> hash
     // split -> rollup, composed from the q97/q98/q30/q76 oracle fragments
@@ -682,14 +594,11 @@ object OracleSql {
 
     // grouped GLM: the q95 unrolling with a GROUP BY g key carried through
     // every step
-    "q99_glm_grouped_fit" -> glmGroupedIrlsOracle(
-      cells = """SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x,
-                |    count(*)::DOUBLE AS n,
-                |    sum(CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END) AS sy
-                |  FROM lineitem WHERE l_discount IS NOT NULL
-                |    AND l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
-                |  GROUP BY 1, 2""".stripMargin,
-      family = "binomial", iters = 3, xTerm = "l_quantity"),
+    "q99_glm_grouped_fit" -> graft.reg.Glm.sqlOnly(
+      "lineitem", "l_quantity",
+      "CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END",
+      family = "binomial", iters = 3, groupCol = Some("l_returnflag"),
+      extraWhere = Seq("l_discount IS NOT NULL")),
 
     // Gopher rule set: integer counts and int/int ratios — bit-exact parity
     "q98_gopher_rules" -> {

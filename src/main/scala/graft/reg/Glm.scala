@@ -113,6 +113,26 @@ object Glm {
   /** Inverse links, exposed for composing score columns in queries. */
   def sigmoid(eta: Column): Column = lit(1.0) / (lit(1.0) + exp(-eta))
 
+  /** `sql_only` analogue: the whole fixed-iteration IRLS fit rendered as
+    * one runnable ANSI-SQL statement (2-parameter models — see
+    * [[GlmSqlGen]]). `ySql` is the response expression in SQL (e.g.
+    * `"CASE WHEN flag = 'R' THEN 1.0 ELSE 0.0 END"`). */
+  def sqlOnly(
+      table: String,
+      xCol: String,
+      ySql: String,
+      family: String = "binomial",
+      iters: Int = 4,
+      groupCol: Option[String] = None,
+      extraWhere: Seq[String] = Nil
+  ): String = {
+    val cells = GlmSqlGen.cellsSql(table, xCol, ySql, groupCol, extraWhere)
+    groupCol match {
+      case Some(_) => GlmSqlGen.groupedIrlsSql(cells, family, iters, xCol)
+      case None => GlmSqlGen.irlsSql(cells, family, iters, xCol)
+    }
+  }
+
   def linkInv(family: String, eta: Column): Column = family match {
     case "binomial" => sigmoid(eta)
     case "poisson" => exp(eta)
