@@ -5,7 +5,7 @@ import org.apache.commons.math3.distribution.NormalDistribution
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.formula.Formula
+import graft.formula.{Formula, Vcov}
 import graft.linalg.LinAlg
 import graft.model.ModelMatrix
 
@@ -167,8 +167,10 @@ object Glm {
       tol: Double = 1e-9,
       weights: Option[String] = None,
       offset: Option[String] = None,
-      compressRatio: Double = 0.25
+      compressRatio: Double = 0.25,
+      vcov: String = "iid"
   ): GlmResult = {
+    val v = Vcov.parse(vcov)
     require(Set("binomial", "poisson", "gaussian")(family), s"unknown family: $family")
     require(Set("auto", "irls", "compress")(strategy), s"unknown strategy: $strategy")
     require(maxIter >= 1, "maxIter must be >= 1")
@@ -176,7 +178,8 @@ object Glm {
     require(f.fe.isEmpty,
       "GLM does not support fixed effects (| fe): absorb small factors as RHS dummies")
 
-    val needed = (f.allInputCols ++ weights ++ offset).distinct
+    val clusterCol = v match { case Vcov.Cluster(c) => Some(c); case _ => None }
+    val needed = (f.allInputCols ++ weights ++ offset ++ clusterCol).distinct
     needed.foreach(c => require(df.columns.contains(c), s"column '$c' not found"))
     val base0 = df
       .select(needed.map(col): _*)
@@ -233,9 +236,86 @@ object Glm {
 
     val exprByName: Map[String, Column] =
       all.map(c => ModelMatrix.displayName(c.name) -> c.col).toMap
-    try fitIrls(f, family, chosen, work, xNames, displayNames, exprByName,
-      maxIter, tol, offset)
-    finally if (chosen == "compress") { work.unpersist(); () }
+    val res0 =
+      try fitIrls(f, family, chosen, work, xNames, displayNames, exprByName,
+        maxIter, tol, offset)
+      finally if (chosen == "compress") { work.unpersist(); () }
+    v match {
+      case Vcov.Iid => res0
+      case _ => sandwich(res0, v, base, exprByName, f, family, wt, offset)
+    }
+  }
+
+  /** Robust/cluster sandwich at the reported β: V = A⁻¹ M A⁻¹ with
+    * A = XᵀWX (the final IRLS curvature, already inverted in `res.vcov`)
+    * and M the outer-product "meat" of the estimating-equation scores
+    * u_i = w_i·(y_i − μ_i) (canonical links ⇒ ∂ℓ/∂η = y − μ):
+    * HC1 sums per-row u²·xxᵀ with the n/(n−p) factor; cluster sums
+    * per-cluster score vectors s_g = Σ_{i∈g} u_i·x_i first (one keyed
+    * aggregate, map-side combine) and applies the CR1 factor — the exact
+    * shape of Dbreg's cluster path. ONE extra corpus scan either way,
+    * regardless of the fit strategy (compress fits still get row-level
+    * meat, since clusters cut across cells). */
+  private def sandwich(
+      res: GlmResult,
+      v: Vcov,
+      base: DataFrame,
+      exprByName: Map[String, Column],
+      f: Formula,
+      family: String,
+      wt: Column,
+      offset: Option[String]
+  ): GlmResult = {
+    val kept = res.coeftable.map(_.term).toIndexedSeq
+    val p = kept.length
+    val beta = res.coeftable.map(_.estimate).toArray
+    val etaX = kept.zip(beta).map { case (nm, b) =>
+      exprByName(nm).cast("double") * lit(b)
+    }.reduce(_ + _)
+    val eta = offset.fold(etaX)(o => etaX + col(o).cast("double"))
+    val mu = linkInv(family, eta)
+    val u = wt * (col(f.y).cast("double") - mu)
+    val xs = kept.map(nm => exprByName(nm).cast("double"))
+    val inv = res.vcov
+    val n = res.nobs
+    val meatAndScale: (DenseMatrix[Double], Double) = v match {
+      case Vcov.Hc1 =>
+        val aggs = scala.collection.mutable.ArrayBuffer[Column]()
+        for (i <- 0 until p; j <- i until p)
+          aggs += sum(u * u * xs(i) * xs(j)).as(s"_m_${i}_$j")
+        val row = base.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
+        (upperFromRow(row, p), n / math.max(n - p, 1.0))
+      case Vcov.Cluster(c) =>
+        val sAggs = (0 until p).map(i => sum(u * xs(i)).as(s"_s$i"))
+        val sg = base.groupBy(col(c)).agg(sAggs.head, sAggs.tail: _*)
+        val aggs = scala.collection.mutable.ArrayBuffer[Column]()
+        aggs += count(lit(1)).cast("double").as("_G")
+        for (i <- 0 until p; j <- i until p)
+          aggs += sum(col(s"_s$i") * col(s"_s$j")).as(s"_m_${i}_$j")
+        val row = sg.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
+        val g = row.getAs[Double]("_G")
+        (upperFromRow(row, p), (g / (g - 1.0)) * (n / math.max(n - p, 1.0)))
+      case Vcov.Iid => throw new IllegalStateException("unreachable")
+    }
+    val (meat, scale) = meatAndScale
+    val vc = (inv * meat * inv) * scale
+    val norm = new NormalDistribution(0.0, 1.0)
+    val table = res.coeftable.zipWithIndex.map { case (r, j) =>
+      val se = math.sqrt(math.max(vc(j, j), 0.0))
+      val z = if (se > 0) r.estimate / se else Double.NaN
+      val pv = if (z.isNaN) Double.NaN else 2.0 * norm.cumulativeProbability(-math.abs(z))
+      r.copy(stdError = se, statistic = z, pValue = pv)
+    }
+    res.copy(coeftable = table, vcov = vc)
+  }
+
+  private def upperFromRow(row: org.apache.spark.sql.Row, p: Int): DenseMatrix[Double] = {
+    def dd(name: String): Double = row.getAs[Any](name) match {
+      case null => 0.0
+      case x: Number => x.doubleValue
+    }
+    DenseMatrix.tabulate(p, p)((i, j) =>
+      if (i <= j) dd(s"_m_${i}_$j") else dd(s"_m_${j}_$i"))
   }
 
   /** Grouped GLM: one IRLS fit PER GROUP — the "per-domain quality

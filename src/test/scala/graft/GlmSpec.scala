@@ -255,6 +255,55 @@ class GlmSpec extends SparkTestBase {
     assert(math.abs(out("odd") - math.log(2.0)) < 1e-9) // mean of 0..4
   }
 
+  test("robust SEs: hc1 and cluster sandwiches match driver computation") {
+    val df = logitData(600)
+      .withColumn("cl", (col("x2") * 10.0).cast("long") % 7)
+    val iters = 7
+    val iid = Glm.fit("y ~ x1 + x2", df, family = "binomial",
+      strategy = "irls", maxIter = iters, tol = 0.0)
+    val hc1 = Glm.fit("y ~ x1 + x2", df, family = "binomial",
+      strategy = "irls", maxIter = iters, tol = 0.0, vcov = "hc1")
+    val cl = Glm.fit("y ~ x1 + x2", df, family = "binomial",
+      strategy = "irls", maxIter = iters, tol = 0.0, vcov = "~cl")
+    // estimates never move, only the SEs
+    for (t <- iid.terms) {
+      assert(math.abs(iid.coef(t) - hc1.coef(t)) < 1e-12)
+      assert(math.abs(iid.coef(t) - cl.coef(t)) < 1e-12)
+    }
+    // driver-side sandwich at the engine's beta
+    val rows = df.select("y", "x1", "x2", "cl").collect()
+      .map(r => (r.getDouble(0), Array(1.0, r.getDouble(1), r.getDouble(2)), r.getLong(3)))
+    val beta = Array("(Intercept)", "x1", "x2").map(iid.coef)
+    val p = 3; val n = rows.length.toDouble
+    val a = DenseMatrix.zeros[Double](p, p)
+    val mHc = DenseMatrix.zeros[Double](p, p)
+    val sG = scala.collection.mutable.Map.empty[Long, DenseVector[Double]]
+    rows.foreach { case (y, x, c) =>
+      val eta = (0 until p).map(j => x(j) * beta(j)).sum
+      val mu = 1.0 / (1.0 + math.exp(-eta))
+      val w = mu * (1.0 - mu); val u = y - mu
+      for (i <- 0 until p; j <- 0 until p) {
+        a(i, j) += w * x(i) * x(j)
+        mHc(i, j) += u * u * x(i) * x(j)
+      }
+      val s = sG.getOrElseUpdate(c, DenseVector.zeros[Double](p))
+      for (i <- 0 until p) s(i) += u * x(i)
+    }
+    val inv = breeze.linalg.inv(a)
+    val vHc = (inv * mHc * inv) * (n / (n - p))
+    val g = sG.size.toDouble
+    val mCl = sG.values.map(s => s * s.t).reduce(_ + _)
+    val vCl = (inv * mCl * inv) * ((g / (g - 1.0)) * (n / (n - p)))
+    for ((t, j) <- Seq("(Intercept)", "x1", "x2").zipWithIndex) {
+      assert(math.abs(hc1.se(t) - math.sqrt(vHc(j, j))) < 1e-8, s"hc1 $t")
+      assert(math.abs(cl.se(t) - math.sqrt(vCl(j, j))) < 1e-8, s"cluster $t")
+    }
+    // robust SEs compose with the compress fit (meat is row-level either way)
+    val clC = Glm.fit("y ~ x1 + x2", df, family = "binomial",
+      strategy = "compress", maxIter = iters, tol = 0.0, vcov = "~cl")
+    for (t <- cl.terms) assert(math.abs(cl.se(t) - clC.se(t)) < 1e-9, s"compress $t")
+  }
+
   test("fuzz: engine matches driver-side IRLS across random designs/families") {
     for (seed <- Seq(11, 42, 77)) {
       val rng = new scala.util.Random(seed)
