@@ -184,6 +184,8 @@ object Dbbinsreg {
         case other => throw new IllegalArgumentException(s"binspos must be qs|es, got $other")
       }
     }
+    require(breaks.nonEmpty,
+      "no rows after missing-value filtering (empty input?)")
     val b = breaks.length - 1
     require(b >= 1, "need at least one bin after deduplicating edges")
 

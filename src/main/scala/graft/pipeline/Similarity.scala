@@ -203,6 +203,8 @@ object Similarity {
     var cents: Array[Array[Double]] = base
       .orderBy("id").limit(k).collect()
       .map(_.getSeq[Number](1).toArray.map(_.doubleValue))
+    if (cents.isEmpty) // empty corpus: empty assignment, no centroids
+      return (base.select(col("id"), lit(0).as("cell")), cents)
 
     def assignDf: DataFrame = {
       // native argmax-cosine expression: the centroid matrix is a plan

@@ -712,6 +712,8 @@ object Dbreg {
       compressCells: Option[CompressCells] = None,
       weightCol: Option[String] = None
   ): DbregResult = {
+    require(nobsOrig > 0,
+      "no rows after missing-value filtering (empty input?)")
     val solved = LinAlg.solveDetecting(mom.xtx, mom.xty)
     val keptIdx = solved.keepIdx
     val keptX = keptIdx.map(d.xNames)

@@ -25,7 +25,9 @@ final case class GlmResult(
     iterations: Int,
     converged: Boolean,
     collinDropped: Seq[String],
-    @transient scoreFn: DataFrame => Column = null
+    @transient scoreFn: DataFrame => Column = null,
+    @transient termCols: Seq[Column] = null,
+    @transient offsetCol: Option[Column] = None
 ) {
   def terms: Seq[String] = coeftable.map(_.term)
   def coef: Map[String, Double] = coeftable.map(r => r.term -> r.estimate).toMap
@@ -52,6 +54,34 @@ final case class GlmResult(
   def predictResponse(newdata: DataFrame, colName: String = "mu"): DataFrame = {
     require(scoreFn != null, "predictor not available (deserialized result?)")
     newdata.withColumn(colName, scoreFn(newdata))
+  }
+
+  /** Link-scale prediction with delta-method intervals, as a pure
+    * projection: η̂ = xᵀβ̂ (+ offset), se(η̂)² = xᵀVx rendered as the
+    * p(p+1)/2-term quadratic form over the ACTIVE vcov (iid or sandwich),
+    * and the response-scale band transforms the link-scale endpoints
+    * (monotone links ⇒ valid coverage). Appends eta, se_eta, mu, mu_lwr,
+    * mu_upr. No shuffle; O(p²) expression terms, fine for GLM-sized p. */
+  def predictLink(newdata: DataFrame, level: Double = 0.95): DataFrame = {
+    require(termCols != null, "predictor not available (deserialized result?)")
+    val beta = coeftable.map(_.estimate)
+    val xs = termCols.map(_.cast("double"))
+    val etaX = xs.zip(beta).map { case (c, b) => c * lit(b) }.reduce(_ + _)
+    val eta = offsetCol.fold(etaX)(o => etaX + o)
+    val p = xs.length
+    val quad =
+      (0 until p).map(i => xs(i) * xs(i) * lit(vcov(i, i))) ++
+        (for (i <- 0 until p; j <- i + 1 until p)
+          yield xs(i) * xs(j) * lit(2.0 * vcov(i, j)))
+    val se = org.apache.spark.sql.functions.sqrt(quad.reduce(_ + _))
+    val crit = new org.apache.commons.math3.distribution.NormalDistribution(0.0, 1.0)
+      .inverseCumulativeProbability(1.0 - (1.0 - level) / 2.0)
+    newdata
+      .withColumn("eta", eta)
+      .withColumn("se_eta", se)
+      .withColumn("mu", Glm.linkInv(family, col("eta")))
+      .withColumn("mu_lwr", Glm.linkInv(family, col("eta") - lit(crit) * col("se_eta")))
+      .withColumn("mu_upr", Glm.linkInv(family, col("eta") + lit(crit) * col("se_eta")))
   }
 
   def toDF(spark: SparkSession): DataFrame = {
@@ -561,7 +591,10 @@ object Glm {
     var i = 1
     while (i <= maxIter && !converged) {
       val pass = irlsPass(work, xNames, family, beta, firstPass = i == 1, hasOffset)
-      if (i == 1) { sw = pass.sw; swy = pass.swy; sylogy = pass.sylogy; nCells = pass.mom.nRows }
+      if (i == 1) {
+        sw = pass.sw; swy = pass.swy; sylogy = pass.sylogy; nCells = pass.mom.nRows
+        require(nCells > 0, "no rows after missing-value filtering (empty input?)")
+      }
       if (i > 1 && math.abs(pass.dev - devPrev) / (math.abs(pass.dev) + 0.1) < tol) {
         // deviance stabilized: report the β that produced it (the previous
         // solve); `inv` already holds its (XᵀWX)⁻¹
@@ -635,6 +668,8 @@ object Glm {
     }
 
     GlmResult(family, strategy, table, inv, sw, nCells, deviance, nullDeviance,
-      iters, converged, dropped, scoreFn = scorer)
+      iters, converged, dropped, scoreFn = scorer,
+      termCols = keptNames.map(exprByName),
+      offsetCol = offset.map(o => col(o).cast("double")))
   }
 }

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.binsreg.Dbbinsreg
+import graft.operators.{AsOf, RangeJoin}
+import graft.pipeline.{Dedup, Similarity, TextOps}
+import graft.reg.{Dbreg, Glm}
+import graft.sources.ScaleOps
+
+/** Degenerate-input sweep: every major entry point over EMPTY (and
+  * near-empty) inputs must either return an empty/sensible result or
+  * refuse with a clear message — never throw from deep inside linalg or
+  * a partition loop. At 100 TB, empty partitions, empty date slices, and
+  * filters that match nothing are routine, not edge cases.
+  */
+class EmptyInputSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emptyPanel: DataFrame =
+    Seq.empty[(Double, Double, String)].toDF("y", "x", "g")
+  private def emptyEmb: DataFrame =
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+  test("dedup operators return empty results on an empty corpus") {
+    val d = emptyDocs
+    assert(Dedup.exactGroups(d, "doc_id", "text").count() === 0L)
+    assert(Dedup.jaccardPairs(d, "doc_id", "text", 2, 0.5).count() === 0L)
+    assert(Dedup.minhashSignatures(d, "doc_id", "text", 2).count() === 0L)
+    assert(Dedup.minhashPairs(d, "doc_id", "text", 2, 0.5).count() === 0L)
+    assert(Dedup.simhash(d, "doc_id", "text").count() === 0L)
+    assert(Dedup.simhashPairs(d, "doc_id", "text").count() === 0L)
+    assert(Dedup.containmentPairs(d, "doc_id", "text").count() === 0L)
+    assert(Dedup.dupSpans(d, "doc_id", "text").count() === 0L)
+    val bench = Seq((1L, "planted benchmark ngram text here ok fine"))
+      .toDF("doc_id", "text")
+    assert(Dedup.contamination(d, bench, "doc_id", "text", 4).count() === 0L)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.duplicateClusters(noPairs).count() === 0L)
+    assert(Dedup.dedupCorpus(d, "doc_id",
+      noPairs.withColumn("jaccard", lit(1.0))).count() === 0L)
+    // incremental: empty shard vs real corpus, real shard vs empty corpus
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    assert(Dedup.dedupAgainst(corpus, d, "doc_id", "text").count() === 0L)
+    assert(Dedup.dedupAgainst(d, corpus, "doc_id", "text")
+      .filter(col("dup_of").isNotNull).count() === 0L)
+  }
+
+  test("text operators return empty results on an empty corpus") {
+    val d = emptyDocs
+    assert(TextOps.tfidf(d, "doc_id", "text").count() === 0L)
+    assert(TextOps.bigramLmScores(d, "doc_id", "text").count() === 0L)
+    assert(TextOps.tokenEntropy(d, "doc_id", "text").count() === 0L)
+    assert(TextOps.winnowFingerprints(d, "doc_id", "text", 8, 4).count() === 0L)
+    assert(TextOps.chunkDocs(d, "doc_id", "text", 16, 4).count() === 0L)
+    assert(TextOps.packSequences(d, "doc_id", "text", 128).count() === 0L)
+    assert(TextOps.repetitionStats(d, "doc_id", "text").count() === 0L)
+    assert(TextOps.extractUrls(d, "doc_id", "text").count() === 0L)
+  }
+
+  test("similarity/ANN operators handle empty corpora and empty queries") {
+    val e = emptyEmb
+    assert(Similarity.bruteForceTopK(e, "vec_id", "embedding", Seq.empty, 5).count() === 0L)
+    val real = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // empty query list over a real corpus
+    assert(Similarity.bruteForceTopK(real, "vec_id", "embedding", Seq.empty, 5).count() === 0L)
+    assert(Similarity.cosineNearDupPairsExact(e, "vec_id", "embedding", 0.9).count() === 0L)
+    assert(Similarity.semDedup(e, "vec_id", "embedding", k = 2, threshold = 0.9).count() === 0L)
+  }
+
+  test("sampling/split operators are identities on empty inputs") {
+    val d = emptyDocs
+    assert(ScaleOps.hashSplit(d, "doc_id", Seq("a" -> 0.5, "b" -> 0.5)).count() === 0L)
+    assert(ScaleOps.weightedSample(d, "doc_id", lit(0.5)).count() === 0L)
+    // mixture construction REFUSES a domain with no rows (it cannot meet
+    // the requested share) — the clear-refusal contract, not a crash
+    val mixErr = intercept[IllegalArgumentException] {
+      ScaleOps.sampleToMixApprox(d.withColumn("lang", lit("en")), "lang",
+        "doc_id", Seq("en" -> 1.0)).count()
+    }
+    assert(mixErr.getMessage.contains("no rows"))
+  }
+
+  test("joins handle empty sides") {
+    val ev = Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts")
+    val real = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("user_id", "ts")
+    val evv = ev.withColumn("v", lit(1.0))
+    val realv = real.withColumn("v", lit(2.0))
+    assert(AsOf.joinAsOf(evv, realv, "user_id", "ts", Seq("v")).count() === 0L)
+    assert(AsOf.joinAsOf(realv, evv, "user_id", "ts", Seq("v")).count() === 1L)
+    val iv = Seq.empty[(Long, Long, Long)].toDF("k", "lo", "hi")
+    val pts = Seq((1L, 5L)).toDF("k", "t")
+    assert(RangeJoin.pointInInterval(pts, "t", iv, "lo", "hi",
+      bucketWidth = 10L, keys = Seq("k")).count() === 0L)
+  }
+
+  test("regression/GLM fits refuse an empty input with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      Dbreg.fit("y ~ x", emptyPanel, strategy = "moments")
+    }
+    assert(e.getMessage.toLowerCase.contains("no rows"), e.getMessage)
+    val g = intercept[IllegalArgumentException] {
+      Glm.fit("y ~ x", emptyPanel, family = "binomial", strategy = "irls",
+        maxIter = 3, tol = 0.0)
+    }
+    assert(g.getMessage.toLowerCase.contains("no rows"), g.getMessage)
+    val b = intercept[IllegalArgumentException] {
+      Dbbinsreg.fit("y ~ x", emptyPanel, nbins = 4)
+    }
+    assert(b.getMessage.toLowerCase.contains("no rows") ||
+      b.getMessage.toLowerCase.contains("empty"), b.getMessage)
+    // grouped fits: empty input means an empty RESULT, not an error — the
+    // per-group shape has no global moment row to refuse on
+    assert(Dbreg.fitGrouped("y ~ x", emptyPanel, "g").count() === 0L)
+    assert(Glm.fitGrouped("y ~ x", emptyPanel, "g", maxIter = 2).count() === 0L)
+  }
+}

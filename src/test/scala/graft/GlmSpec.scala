@@ -255,6 +255,31 @@ class GlmSpec extends SparkTestBase {
     assert(math.abs(out("odd") - math.log(2.0)) < 1e-9) // mean of 0..4
   }
 
+  test("predictLink: delta-method SEs match driver x'Vx; bands bracket mu") {
+    val df = logitData(500)
+    val fit = Glm.fit("y ~ x1 + x2", df, family = "binomial",
+      strategy = "irls", maxIter = 8, tol = 0.0)
+    val out = fit.predictLink(df.limit(50)).select("x1", "x2", "eta", "se_eta",
+      "mu", "mu_lwr", "mu_upr").collect()
+    val beta = Array("(Intercept)", "x1", "x2").map(fit.coef)
+    val v = fit.vcov
+    out.foreach { r =>
+      val x = Array(1.0, r.getDouble(0), r.getDouble(1))
+      val eta = (0 until 3).map(j => x(j) * beta(j)).sum
+      var s2 = 0.0
+      for (i <- 0 until 3; j <- 0 until 3) s2 += x(i) * v(i, j) * x(j)
+      assert(math.abs(r.getDouble(2) - eta) < 1e-10)
+      assert(math.abs(r.getDouble(3) - math.sqrt(s2)) < 1e-10)
+      assert(r.getDouble(5) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(6))
+    }
+    // with a sandwich vcov the band uses the ROBUST V
+    val cl = Glm.fit("y ~ x1 + x2", df.withColumn("c", col("x2")),
+      family = "binomial", strategy = "irls", maxIter = 8, tol = 0.0, vcov = "~c")
+    val seIid = out.head.getDouble(3)
+    val seCl = cl.predictLink(df.limit(1)).select("se_eta").collect()(0).getDouble(0)
+    assert(math.abs(seIid - seCl) > 1e-12) // different V, different band
+  }
+
   test("robust SEs: hc1 and cluster sandwiches match driver computation") {
     val df = logitData(600)
       .withColumn("cl", (col("x2") * 10.0).cast("long") % 7)
