@@ -600,6 +600,12 @@ object OracleSql {
       family = "binomial", iters = 3, groupCol = Some("l_returnflag"),
       extraWhere = Seq("l_discount IS NOT NULL")),
 
+    // calibration: train + score + bin in one statement (engine-emitted)
+    "q101_calibration" -> graft.reg.GlmSqlGen.calibrationSql(
+      "lineitem", "l_quantity",
+      "CASE WHEN l_orderkey % 100 < l_quantity THEN 1.0 ELSE 0.0 END",
+      family = "binomial", iters = 4, bins = 20),
+
     // Gopher rule set: integer counts and int/int ratios — bit-exact parity
     "q98_gopher_rules" -> {
       val stops = graft.pipeline.TextOps.EnglishStopwords

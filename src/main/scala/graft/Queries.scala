@@ -590,6 +590,27 @@ object Queries {
         .orderBy("group", "term")
     }),
 
+    // calibration (reliability diagram): train the classifier IN-ENGINE,
+    // score every row (pure projection), bin predicted probability vs the
+    // empirical rate — the oracle re-derives β with the same unrolled SQL
+    "q101_calibration" -> ((s, dir) => {
+      val bins = 20
+      // hit = 1 with probability ≈ quantity/100 — a real monotone signal,
+      // so the trained curve spans many probability bins
+      val data = li(s, dir)
+        .withColumn("hit",
+          when(col("l_orderkey") % 100 < col("l_quantity"), 1.0).otherwise(0.0))
+      val fit = Glm.fit("hit ~ l_quantity", data, family = "binomial",
+        strategy = "compress", maxIter = 4, tol = 0.0)
+      fit.predictResponse(data.filter(col("l_quantity").isNotNull), "mu")
+        .withColumn("bin", least(floor(col("mu") * bins), lit(bins - 1)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          avg("mu").cast("float").as("mean_pred"),
+          avg("hit").cast("float").as("emp_rate"))
+        .orderBy("bin")
+    }),
+
     // classifier SCORING at corpus scale: logistic quality score over cheap
     // text features — a pure projection (no shuffle, no UDF); the weights
     // are fixed (a trained classifier applied, fastText-style)

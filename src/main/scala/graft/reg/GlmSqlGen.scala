@@ -79,6 +79,40 @@ object GlmSqlGen {
        |ORDER BY term""".stripMargin
   }
 
+  /** Train-then-calibrate rendering: the [[irlsSql]] Newton steps produce
+    * β, then every ROW of `table` is scored μ = g⁻¹(b0 + b1·x) and bucketed
+    * into `bins` equal-width probability bins; per bin the row count, mean
+    * predicted μ and empirical response rate come back — the reliability
+    * diagram of the freshly-trained classifier, one statement. */
+  def calibrationSql(
+      table: String,
+      xCol: String,
+      ySql: String,
+      family: String,
+      iters: Int,
+      bins: Int,
+      extraWhere: Seq[String] = Nil
+  ): String = {
+    require(Set("binomial", "poisson")(family), s"unsupported family: $family")
+    val cells = cellsSql(table, xCol, ySql, None, extraWhere)
+    val fitSql = irlsSql(cells, family, iters, xCol)
+    // reuse everything up to the final solve CTE, then score rows
+    val withPart = fitSql.substring(0, fitSql.indexOf("\nSELECT term"))
+    val notNull = (s"$xCol IS NOT NULL" +: extraWhere).mkString(" AND ")
+    val mu = family match {
+      case "binomial" => "1.0/(1.0 + exp(-(b.b0 + b.b1*CAST(r.x AS DOUBLE))))"
+      case "poisson" => "exp(b.b0 + b.b1*CAST(r.x AS DOUBLE))"
+    }
+    s"""$withPart,
+       |rows_ AS (SELECT CAST($xCol AS DOUBLE) AS x, $ySql AS y FROM $table
+       |  WHERE $notNull),
+       |scored AS (SELECT least(floor($mu * $bins), ${bins - 1})::BIGINT AS bin,
+       |    $mu AS mu, r.y FROM rows_ r CROSS JOIN b$iters b)
+       |SELECT bin, count(*)::BIGINT AS n, avg(mu)::REAL AS mean_pred,
+       |  avg(y)::REAL AS emp_rate
+       |FROM scored GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   /** Per-group variant of [[irlsSql]]: the same unrolled Newton steps with
     * the group key `g` carried through every CTE (GROUP BY g sums,
     * per-group closed-form solve, β re-attached with a USING (g) join).
