@@ -61,6 +61,35 @@ object ProfGlm {
           .select(sigs.map { case (n, c) => c.as(n) }: _*)
           .agg(sum(col("keep").cast("long"))).collect()
       })
+      time("curation_pipeline (q100 shape)")({
+        val sigs = graft.pipeline.TextOps.gopherSignals(col("text"), col("__t")).toMap
+        val eta = lit(-1.5) +
+          col("n_chars").cast("double") / 1000.0 * lit(0.8) +
+          size(col("__t")).cast("double") / 100.0 * lit(1.2) -
+          graft.pipeline.TextOps.punctRatio(col("text")) * lit(4.0)
+        val gated = docs
+          .withColumn("__t", graft.pipeline.TextOps.tokens(col("text")))
+          .withColumn("_score", Glm.sigmoid(eta))
+          .filter(sigs("keep") && col("_score") > 0.3)
+          .drop("__t")
+        val keepIds = graft.pipeline.Dedup.exactGroups(gated, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        val unique = gated.join(keepIds, Seq("doc_id"), "left_semi")
+        graft.sources.ScaleOps
+          .hashSplit(unique, "doc_id",
+            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "prof")
+          .groupBy("split").agg(count(lit(1))).collect()
+      })
+      time("calibration (q101 shape)")({
+        val data = li.withColumn("hit",
+          when(col("l_orderkey") % 100 < col("l_quantity"), 1.0).otherwise(0.0))
+        val fit = Glm.fit("hit ~ l_quantity", data, family = "binomial",
+          strategy = "compress", maxIter = 4, tol = 0.0)
+        fit.predictResponse(data.filter(col("l_quantity").isNotNull), "mu")
+          .withColumn("bin", least(floor(col("mu") * 20), lit(19)).cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)), avg("mu"), avg("hit")).collect()
+      })
     }
     spark.stop()
   }
