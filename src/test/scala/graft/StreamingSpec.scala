@@ -183,6 +183,37 @@ class StreamingSpec extends SparkTestBase {
     assert(!streamed.exists(t => t._3.contains("script") || t._3.contains("<p>")))
   }
 
+  test("incremental dedup runs per micro-batch via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    // dedupAgainst is a multi-pass batch operator (keyed aggs + joins +
+    // localCheckpoint), so the streaming composition is foreachBatch — each
+    // micro-batch is the "daily shard" joined against the static corpus
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = Dedup.dedupAgainst(corpus, batch, "doc_id", "text")
+          .select(col("id"), col("dup_of").isNotNull.as("dup"))
+          .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+        got.synchronized { got ++= out }; ()
+      }
+      .start()
+    input.addData(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy
+      (11L, "completely fresh content nothing shared here at all"))
+    q.processAllAvailable()
+    input.addData(
+      (12L, "one two three four five six seven nine")) // near copy of 2
+    q.processAllAvailable()
+    q.stop()
+    val byId = got.toMap
+    assert(byId(10L) && !byId(11L) && byId(12L))
+  }
+
   test("GLM scoring and gopher rules run unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.TextOps
