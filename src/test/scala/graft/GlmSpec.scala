@@ -363,6 +363,31 @@ class GlmSpec extends SparkTestBase {
     }
   }
 
+  test("wide design (p > 24) routes through the fused moments aggregate") {
+    // 26 regressors + intercept > MomentsKernel.FusedThreshold — the IRLS
+    // weight column rides through MomentsAgg's one-buffer triangle
+    val rng = new scala.util.Random(5)
+    val p = 26
+    val rows = (0 until 400).map { _ =>
+      val x = Array.fill(p)(rng.nextGaussian())
+      val eta = -0.3 + x.take(3).sum * 0.5
+      val y = if (rng.nextDouble() < 1.0 / (1.0 + math.exp(-eta))) 1.0 else 0.0
+      (y, x.toSeq)
+    }
+    val df = rows.toDF("y", "xs")
+      .select(col("y") +: (0 until p).map(i => element_at(col("xs"), i + 1).as(s"x$i")): _*)
+    val formula = "y ~ " + (0 until p).map(i => s"x$i").mkString(" + ")
+    val fit = Glm.fit(formula, df, family = "binomial", strategy = "irls",
+      maxIter = 5, tol = 0.0)
+    val (bref, seref) = refIrls(
+      rows.map(r => 1.0 +: r._2.toArray).toArray, rows.map(_._1).toArray,
+      Array.fill(rows.length)(1.0), "binomial", 5)
+    assert(math.abs(fit.coef("(Intercept)") - bref(0)) < 1e-7)
+    for (i <- 0 until p)
+      assert(math.abs(fit.coef(s"x$i") - bref(i + 1)) < 1e-7, s"x$i")
+    assert(math.abs(fit.se("x0") - seref(1)) < 1e-7)
+  }
+
   test("refusals: fixed effects and unknown family") {
     val df = logitData(50)
     intercept[IllegalArgumentException] {
