@@ -304,7 +304,11 @@ object Glm {
     }.reduce(_ + _)
     val eta = offset.fold(etaX)(o => etaX + col(o).cast("double"))
     val mu = linkInv(family, eta)
-    val u = wt * (col(f.y).cast("double") - mu)
+    val r = col(f.y).cast("double") - mu
+    // frequency-weight semantics: w replicated rows contribute w·(rx)(rx)ᵀ
+    // to the per-ROW meat but a single combined w·r·x to their CLUSTER's
+    // score — so HC1 scales by w, cluster sums scale by w
+    val u = wt * r
     val xs = kept.map(nm => exprByName(nm).cast("double"))
     val inv = res.vcov
     val n = res.nobs
@@ -312,7 +316,7 @@ object Glm {
       case Vcov.Hc1 =>
         val aggs = scala.collection.mutable.ArrayBuffer[Column]()
         for (i <- 0 until p; j <- i until p)
-          aggs += sum(u * u * xs(i) * xs(j)).as(s"_m_${i}_$j")
+          aggs += sum(wt * r * r * xs(i) * xs(j)).as(s"_m_${i}_$j")
         val row = base.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
         (upperFromRow(row, p), n / math.max(n - p, 1.0))
       case Vcov.Cluster(c) =>

@@ -327,6 +327,19 @@ class GlmSpec extends SparkTestBase {
     val clC = Glm.fit("y ~ x1 + x2", df, family = "binomial",
       strategy = "compress", maxIter = iters, tol = 0.0, vcov = "~cl")
     for (t <- cl.terms) assert(math.abs(cl.se(t) - clC.se(t)) < 1e-9, s"compress $t")
+    // frequency-weight semantics: weight 2 == the row appearing twice, for
+    // BOTH sandwiches (hc1 meat scales by w, cluster scores sum w·r·x)
+    val doubled = df.union(df)
+    val weighted = df.withColumn("w", lit(2.0))
+    for (vc <- Seq("hc1", "~cl")) {
+      val a = Glm.fit("y ~ x1 + x2", doubled, family = "binomial",
+        strategy = "irls", maxIter = iters, tol = 0.0, vcov = vc)
+      val b = Glm.fit("y ~ x1 + x2", weighted, family = "binomial",
+        strategy = "irls", maxIter = iters, tol = 0.0, vcov = vc,
+        weights = Some("w"))
+      for (t <- a.terms)
+        assert(math.abs(a.se(t) - b.se(t)) < 1e-9, s"$vc $t weighted se")
+    }
   }
 
   test("fuzz: engine matches driver-side IRLS across random designs/families") {
