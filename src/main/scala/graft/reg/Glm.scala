@@ -89,6 +89,9 @@ final case class GlmResult(
     coeftable.toDF("term", "estimate", "std_error", "statistic", "p_value")
   }
 
+  /** broom-style alias (API symmetry with [[DbregResult.tidy]]). */
+  def tidy(spark: SparkSession): DataFrame = toDF(spark)
+
   def glance(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq((family, strategy, deviance, nullDeviance, pseudoR2, aic, nobs, nCells,
