@@ -606,6 +606,13 @@ object OracleSql {
       "CASE WHEN l_orderkey % 100 < l_quantity THEN 1.0 ELSE 0.0 END",
       family = "binomial", iters = 4, bins = 20),
 
+    // NFC normalization: both engines implement the same Unicode spec
+    "q102_nfc_normalize" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+        |  nfc_normalize(text) != text AS changed,
+        |  length(nfc_normalize(text)) AS nfc_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Gopher rule set: integer counts and int/int ratios — bit-exact parity
     "q98_gopher_rules" -> {
       val stops = graft.pipeline.TextOps.EnglishStopwords

@@ -1018,6 +1018,20 @@ object Queries {
         threshold = 0.5, maxFpDocFreq = Some(50L))
         .orderBy("id1", "id2")),
 
+    // text: Unicode NFC normalization via the native codegen'd expression
+    // (no UDF) — dedup fingerprints on un-normalized text miss
+    // composed/decomposed duplicate pairs; md5 of the normalized form is
+    // the cross-engine pin (DuckDB nfc_normalize shares the Unicode spec)
+    "q102_nfc_normalize" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(graft.functions.TextExprs.unicodeNormalize(col("text"))).as("nfc_md5"),
+          (graft.functions.TextExprs.unicodeNormalize(col("text")) =!= col("text"))
+            .as("changed"),
+          length(graft.functions.TextExprs.unicodeNormalize(col("text")))
+            .as("nfc_len"))
+        .orderBy("doc_id")),
+
     // quality: the full Gopher rule set (word bounds, mean word length,
     // symbol/bullet/ellipsis ratios, alphabetic-word share, stopword
     // presence) — one projection, integer-exact arithmetic

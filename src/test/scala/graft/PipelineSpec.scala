@@ -754,6 +754,41 @@ class PipelineSpec extends SparkTestBase {
     assert(got(4L) == 0.0)
   }
 
+  test("unicode normalize: composed == normalized decomposed, dedup catches the pair") {
+    import graft.functions.TextExprs
+    val composed = "café résumé" // é as U+00E9
+    val decomposed = "café résumé" // e + U+0301
+    // guard: the two source literals must really differ (decomposed carries
+    // combining acutes) even though they render identically in an editor
+    assert(composed != decomposed && decomposed.length === composed.length + 3)
+    val d = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"), (4L, null))
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+      TextExprs.unicodeNormalize(col("text")).as("nfc"),
+      TextExprs.unicodeNormalize(col("text"), "NFKC").as("nfkc"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === composed) // NFC of composed = identity
+    assert(out(2L).getString(1) === composed) // decomposed composes
+    assert(out(3L).getString(1) === "plain ascii")
+    assert(out(4L).isNullAt(1)) // NULL in, NULL out
+    assert(out(2L).getString(2) === composed) // NFKC agrees here
+    // the fingerprint now unifies the rendering-identical pair
+    val groups = Dedup.exactGroups(
+      d.filter(col("text").isNotNull)
+        .select(col("doc_id"), TextExprs.unicodeNormalize(col("text")).as("text")),
+      "doc_id", "text")
+    assert(groups.filter(col("n_docs") === 2).count() === 1L)
+    // interpreted eval path agrees with codegen (collect forces codegen;
+    // Literal eval drives the interpreted branch)
+    val lit2 = graft.functions.UnicodeNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(decomposed)), "NFC")
+    assert(lit2.eval(null).toString === composed)
+    intercept[IllegalArgumentException] {
+      TextExprs.unicodeNormalize(col("text"), "NFX")
+    }
+  }
+
   test("gopher rules: each signal fires on its crafted violation") {
     val good = (("the quick brown fox jumps over a lazy dog and then it " * 6).trim)
     val d = Seq(
