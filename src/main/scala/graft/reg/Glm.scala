@@ -409,7 +409,8 @@ object Glm {
     val rowFrame = base.select(
       col(groupCol).cast("string").as("_g") +:
         (all.zipWithIndex.map { case (c, i) => c.col.cast("double").as(xNames(i)) } ++
-          Seq(lit(1.0).as("_wt"), y.as("_yb"), ylogy.as("_ylogy"))): _*)
+          Seq(lit(1.0).as("_wt"), y.as("_yb"), (y * y).as("_ybb"),
+            ylogy.as("_ylogy"))): _*)
 
     val chosen = strategy match {
       case "auto" =>
@@ -428,6 +429,7 @@ object Glm {
           .agg(
             sum("_wt").as("_wt"),
             (sum(col("_wt") * col("_yb")) / sum("_wt")).as("_yb"),
+            (sum(col("_wt") * col("_ybb")) / sum("_wt")).as("_ybb"),
             sum("_ylogy").as("_ylogy"))
       case _ => rowFrame
     }
@@ -471,6 +473,9 @@ object Glm {
       val aggs = scala.collection.mutable.ArrayBuffer[Column]()
       aggs += sum(col("_wt")).as("_n")
       aggs += sum(col("_devt")).as("_dev")
+      aggs += sum(col("_wt") * col("_yb")).as("_swy")
+      aggs += sum(col("_wt") * col("_ybb")).as("_syy")
+      aggs += sum(col("_ylogy")).as("_sylogy")
       for (i <- 0 until p) {
         aggs += sum(w2 * xc(i) * z).as(s"_sxy$i")
         for (j <- i until p) aggs += sum(w2 * xc(i) * xc(j)).as(s"_sxx_${i}_$j")
@@ -503,14 +508,30 @@ object Glm {
     val lastSrc = if (maxIter == 1) work else work.join(betas, "_g")
     val lastMom = momentAgg(withWZ(lastSrc, haveBeta = maxIter > 1))
     val names = displayNames
+    val fam = family
     lastMom.flatMap { r =>
       val g = r.getAs[String]("_g")
       val (sol, n, dev) = solveRow(r)
+      def dd(nm: String): Double = r.getAs[Any](nm) match {
+        case null => 0.0
+        case v: Number => v.doubleValue
+      }
+      val swy = dd("_swy"); val syy = dd("_syy"); val sylogy = dd("_sylogy")
+      val yb = swy / n
+      val nullDev = fam match {
+        case "binomial" =>
+          if (yb <= 0.0 || yb >= 1.0) 0.0
+          else -2.0 * (swy * math.log(yb) + (n - swy) * math.log(1.0 - yb))
+        case "poisson" =>
+          if (yb <= 0.0) 0.0 else 2.0 * (sylogy - swy * math.log(yb))
+        case "gaussian" => syy - swy * swy / n
+      }
+      val pr2 = if (nullDev > 0.0) 1.0 - dev / nullDev else 0.0
       sol.keepIdx.zipWithIndex.map { case (orig, ki) =>
         val se = math.sqrt(math.max(sol.xtxInv(ki, ki), 0.0))
-        (g, names(orig), sol.beta(ki), se, n.round, dev)
+        (g, names(orig), sol.beta(ki), se, n.round, dev, pr2)
       }
-    }.toDF("group", "term", "estimate", "std_error", "n", "deviance")
+    }.toDF("group", "term", "estimate", "std_error", "n", "deviance", "pseudo_r2")
   }
 
   /** One IRLS pass: weighted moments of the working response + deviance of

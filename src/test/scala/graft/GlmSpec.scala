@@ -237,6 +237,17 @@ class GlmSpec extends SparkTestBase {
     grouped.foreach { case (k, (est, _)) =>
       assert(math.abs(comp(k) - est) < 1e-9, s"$k compress drift")
     }
+    // per-group pseudo-R2 tracks the solo fits (deviance is at the
+    // penultimate beta — equal to solver precision once stabilized)
+    val pr2 = Glm.fitGrouped("y ~ x1", df, "dom", family = "binomial",
+      strategy = "irls", maxIter = 12)
+      .select("group", "pseudo_r2").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (g <- Seq("a", "b", "c")) {
+      val solo = Glm.fit("y ~ x1", df.filter(col("dom") === g),
+        family = "binomial", strategy = "irls", maxIter = 12, tol = 0.0)
+      assert(math.abs(pr2(g) - solo.pseudoR2) < 1e-6, s"$g pseudo_r2")
+    }
     // auto picks compress here (x1 has 17 distinct values per group)
     val auto = Glm.fitGrouped("y ~ x1", df, "dom", maxIter = 6)
     assert(auto.count() === 6L)
