@@ -1585,7 +1585,36 @@ object OracleSql {
         |SELECT c_id, x_id,
         |  least(c_hi, x_hi) - greatest(c_lo, x_lo) AS overlap_us
         |FROM c JOIN x ON c_lo <= x_hi AND x_lo <= c_hi
-        |ORDER BY c_id, x_id""".stripMargin
+        |ORDER BY c_id, x_id""".stripMargin,
+
+    // closed-form 2×2 centered ridge solve (λ=100 on the standardized
+    // scale): penalized diagonal a(1+λ/n), effective df from the explicit
+    // 2×2 inverse, GCV = n·rss/(n−df)² — q23's closed-form pattern
+    "q103_ridge_fit" ->
+      """WITH m AS (SELECT count(*)::DOUBLE n, sum(x1) s1, sum(x2) s2, sum(y) sy,
+        |   sum(x1*x1) s11, sum(x2*x2) s22, sum(x1*x2) s12,
+        |   sum(x1*y) s1y, sum(x2*y) s2y, sum(y*y) syy
+        | FROM (SELECT l_extendedprice AS y, CAST(l_quantity AS DOUBLE) AS x1,
+        |              l_discount AS x2 FROM lineitem
+        |       WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |         AND l_discount IS NOT NULL) t),
+        |c AS (SELECT n, s1/n xb1, s2/n xb2, sy/n yb,
+        |   s11 - s1*s1/n AS a, s22 - s2*s2/n AS b2c, s12 - s1*s2/n AS cc,
+        |   s1y - s1*sy/n AS d, s2y - s2*sy/n AS e, syy - sy*sy/n AS f FROM m),
+        |p AS (SELECT *, a + 100.0*a/n AS a_p, b2c + 100.0*b2c/n AS b_p FROM c),
+        |sol AS (SELECT *, a_p*b_p - cc*cc AS det,
+        |   (b_p*d - cc*e)/(a_p*b_p - cc*cc) AS b1,
+        |   (a_p*e - cc*d)/(a_p*b_p - cc*cc) AS b2 FROM p),
+        |r AS (SELECT *, yb - b1*xb1 - b2*xb2 AS b0,
+        |   f - 2*(b1*d + b2*e) + (b1*b1*a + 2*b1*b2*cc + b2*b2*b2c) AS rss,
+        |   (b_p*a + a_p*b2c - 2*cc*cc)/det + 1.0 AS df_eff FROM sol)
+        |SELECT term, estimate::REAL AS estimate FROM (
+        | SELECT '(Intercept)' AS term, b0 AS estimate FROM r
+        | UNION ALL SELECT 'x1', b1 FROM r
+        | UNION ALL SELECT 'x2', b2 FROM r
+        | UNION ALL SELECT '__df_eff', df_eff FROM r
+        | UNION ALL SELECT '__gcv', n*rss/((n-df_eff)*(n-df_eff)) FROM r) u
+        |ORDER BY term""".stripMargin
   )
 
   /** q92 is the INDEX ROUNDTRIP of q41: building the IVF index on disk and

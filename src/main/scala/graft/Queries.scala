@@ -1224,6 +1224,24 @@ object Queries {
           (least(col("c_hi"), col("x_hi")) -
             greatest(col("c_lo"), col("x_lo"))).as("overlap_us"))
         .orderBy("c_id", "x_id")
+    }),
+
+    // ridge: centered slope-penalized solve on ONE moments pass (λ on the
+    // standardized scale); oracle is the closed-form 2×2 penalized solve.
+    // __df_eff = tr(H(λ)) and __gcv ride along as pseudo-terms so the
+    // shrinkage diagnostics are oracle-checked too, not just β.
+    "q103_ridge_fit" -> ((s, dir) => {
+      import s.implicits._
+      val data = li(s, dir).select(
+        col("l_extendedprice").as("y"),
+        col("l_quantity").cast("double").as("x1"),
+        col("l_discount").as("x2"))
+      val fit = graft.reg.Ridge.fit("y ~ x1 + x2", data, lambda = 100.0)
+      (fit.terms.zip(fit.estimates) ++
+        Seq("__df_eff" -> fit.dfEff, "__gcv" -> fit.gcv))
+        .toDF("term", "estimate")
+        .select(col("term"), col("estimate").cast("float").as("estimate"))
+        .orderBy("term")
     })
   )
 }

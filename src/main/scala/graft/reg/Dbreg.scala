@@ -377,16 +377,16 @@ object Dbreg {
     * safe internal names; display names run parallel. The intercept is an
     * explicit constant column so that collinearity dropping and the meat
     * passes treat it uniformly. */
-  private final case class Design(
+  private[reg] final case class Design(
       df: DataFrame,
       xNames: IndexedSeq[String],
       displayNames: IndexedSeq[String],
       cols: List[MMCol]
   )
 
-  private val Y = "__g_y"
+  private[reg] val Y = "__g_y"
 
-  private def buildDesign(
+  private[reg] def buildDesign(
       base: DataFrame,
       f: Formula,
       carry: Seq[String],

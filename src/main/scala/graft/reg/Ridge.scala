@@ -1,0 +1,125 @@
+package graft.reg
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.formula.Formula
+import graft.linalg.LinAlg
+
+/** L2-regularized (ridge) regression on the moments kernel — a
+  * beyond-reference extension of the engine's sufficient-statistics family
+  * (reference dbreg.R:703-872 computes the same [1,X,y]ᵀ[1,X,y] triangle;
+  * ridge only changes the driver-side solve).
+  *
+  * Semantics (the standard centered, slope-penalized form):
+  *   - X and y are centered, so the intercept is never penalized and is
+  *     recovered as ȳ − β̂ᵀx̄.
+  *   - `standardize = true` (default, glmnet's convention) applies the
+  *     penalty on the standardized scale: the system solved is
+  *     (XcᵀXc + λ·diag(s²)) β = Xcᵀyc with s²_j = Σ(x_j−x̄_j)²/n (population
+  *     variance of column j) — algebraically identical to scaling columns
+  *     to unit variance, solving with λ·I, and unscaling.
+  *     `standardize = false` penalizes with λ·I on the raw scale.
+  *
+  * Scale shape: ONE moments aggregation (partial+final hash agg, one scan
+  * of the corpus) yields XᵀX/Xᵀy; every λ after that is O(p³) driver
+  * algebra on a p×p matrix. `path()` therefore evaluates a whole
+  * regularization path — estimates, effective df tr(H(λ)), RSS and GCV —
+  * from a single pass over the data, which is the shape you want when the
+  * corpus is 100 TB and the λ grid has 50 points.
+  */
+object Ridge {
+
+  final case class RidgeFit(
+      lambda: Double,
+      terms: IndexedSeq[String], // intercept first
+      estimates: IndexedSeq[Double],
+      dfEff: Double, // tr(Xc(A+λD)⁻¹Xcᵀ) + 1 for the (unpenalized) intercept
+      rss: Double,
+      tss: Double,
+      gcv: Double, // n·rss / (n − dfEff)²
+      nobs: Long
+  ) {
+    def r2: Double = 1.0 - rss / tss
+    def coef: Map[String, Double] = terms.zip(estimates).toMap
+    def toDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      terms.zip(estimates).map { case (t, e) => (lambda, t, e) }
+        .toDF("lambda", "term", "estimate")
+    }
+  }
+
+  /** Fit one λ. FE are not absorbed (include them as factor dummies, which
+    * the penalty then shrinks like any other slope — the usual regularized
+    * encoding — or demean beforehand). */
+  def fit(
+      formula: String,
+      df: DataFrame,
+      lambda: Double,
+      standardize: Boolean = true
+  ): RidgeFit = path(formula, df, Seq(lambda), standardize).head
+
+  /** Fit a whole λ path from ONE moments pass; results in `lambdas` order. */
+  def path(
+      formula: String,
+      df: DataFrame,
+      lambdas: Seq[Double],
+      standardize: Boolean = true
+  ): Seq[RidgeFit] = {
+    require(lambdas.nonEmpty, "need at least one lambda")
+    lambdas.foreach(l => require(l >= 0.0, s"negative lambda: $l"))
+    val f = Formula.parse(formula)
+    require(f.fe.isEmpty,
+      "ridge does not absorb fixed effects; include them as dummies")
+    require(f.intercept, "ridge requires an intercept (centered form)")
+
+    val needed = f.allInputCols
+    needed.foreach(c => require(df.columns.contains(c), s"column '$c' not found"))
+    val base = df
+      .select(needed.map(org.apache.spark.sql.functions.col): _*)
+      .na.drop(needed)
+
+    // design WITHOUT an explicit intercept column (centering absorbs it);
+    // intercept=true on the kernel makes the column sums ride along in row 0
+    val d = Dbreg.buildDesign(base, f, Nil, intercept = false)
+    val mom = MomentsKernel.compute(d.df, Dbreg.Y, d.xNames, intercept = true)
+    val p = d.xNames.length
+    val n = mom.n
+    require(mom.nRows > 1, s"need >1 rows, got ${mom.nRows}")
+
+    // centered cross-products from the raw triangle
+    val sx = DenseVector.tabulate(p)(i => mom.xtx(0, i + 1))
+    val a = DenseMatrix.tabulate(p, p)((i, j) =>
+      mom.xtx(i + 1, j + 1) - sx(i) * sx(j) / n)
+    val b = DenseVector.tabulate(p)(i => mom.xty(i + 1) - sx(i) * mom.sumY / n)
+    val tss = mom.sumYSq - mom.sumY * mom.sumY / n
+    val ybar = mom.sumY / n
+
+    lambdas.map { lambda =>
+      val pen = DenseVector.tabulate(p)(j =>
+        if (standardize) lambda * a(j, j) / n else lambda)
+      val m = a.copy
+      var j = 0
+      while (j < p) { m(j, j) += pen(j); j += 1 }
+      // λ>0 keeps the system PD unless a column is constant (variance 0 ⇒
+      // penalty 0); solveDetecting drops those like any collinear column
+      val s = LinAlg.solveDetecting(m, b)
+      val keep = s.keepIdx
+      val beta = DenseVector.zeros[Double](p)
+      keep.zipWithIndex.foreach { case (k, i) => beta(k) = s.beta(i) }
+      // dfEff = tr((A+λD)⁻¹A) over kept columns, +1 for the intercept
+      var tr = 0.0
+      for (i <- keep.indices; k <- keep.indices)
+        tr += s.xtxInv(i, k) * a(keep(k), keep(i))
+      val dfEff = tr + 1.0
+      val rss = tss - 2.0 * (beta dot b) + (beta dot (a * beta))
+      val gcv = n * rss / math.pow(n - dfEff, 2)
+      val intercept = ybar - (0 until p).map(i => beta(i) * sx(i) / n).sum
+      RidgeFit(
+        lambda,
+        "(Intercept)" +: d.displayNames,
+        intercept +: IndexedSeq.tabulate(p)(beta(_)),
+        dfEff, rss, tss, gcv, mom.nRows)
+    }
+  }
+}
