@@ -1614,7 +1614,13 @@ object OracleSql {
         | UNION ALL SELECT 'x2', b2 FROM r
         | UNION ALL SELECT '__df_eff', df_eff FROM r
         | UNION ALL SELECT '__gcv', n*rss/((n-df_eff)*(n-df_eff)) FROM r) u
-        |ORDER BY term""".stripMargin
+        |ORDER BY term""".stripMargin,
+
+    // the oracle text IS the engine's own generated fixed-iteration Huber
+    // SQL — executing it in DuckDB re-proves the emitted statement every
+    // round (same loop as q62-q65 / q95-q96)
+    "q104_huber_fit" -> graft.reg.Rlm.sqlOnly(
+      "lineitem", "l_quantity", "l_extendedprice", k = 1.345, iters = 3)
   )
 
   /** q92 is the INDEX ROUNDTRIP of q41: building the IVF index on disk and

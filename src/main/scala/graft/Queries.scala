@@ -1242,6 +1242,17 @@ object Queries {
         .toDF("term", "estimate")
         .select(col("term"), col("estimate").cast("float").as("estimate"))
         .orderBy("term")
+    }),
+
+    // Huber robust fit: 3 pinned IRLS steps with the Proposal-2 scale
+    // update, sandwich SEs — the oracle is Rlm.sqlOnly's generated text
+    // (the q95/q96 self-proving loop)
+    "q104_huber_fit" -> ((s, dir) => {
+      val fit = graft.reg.Rlm.fit("l_extendedprice ~ l_quantity", li(s, dir),
+        k = 1.345, maxIter = 3, tol = 0.0)
+      fit.toDF(s).select(col("term"),
+        col("estimate").cast("float").as("estimate"),
+        col("std_error").cast("float").as("std_error")).orderBy("term")
     })
   )
 }
