@@ -19,6 +19,29 @@ object OracleSql {
       |   AND l_discount IS NOT NULL AND l_returnflag IS NOT NULL
       |   AND l_linestatus IS NOT NULL)""".stripMargin
 
+  /** shared CTEs for the PCA oracles (q105/q106): sample covariance of
+    * (l_quantity, l_extendedprice), closed-form 2×2 eigensystem, PC1
+    * eigenvector (c, λ1−a) normalized under the engine's sign rule. */
+  private val PcaCtes =
+    """WITH pb AS (SELECT l_orderkey, l_linenumber,
+      |    CAST(l_quantity AS DOUBLE) AS x1, l_extendedprice AS x2
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |m AS (SELECT count(*)::DOUBLE n, sum(x1) s1, sum(x2) s2,
+      |    sum(x1*x1) s11, sum(x2*x2) s22, sum(x1*x2) s12 FROM pb),
+      |c AS (SELECT n, s1/n m1, s2/n m2,
+      |    (s11 - s1*s1/n)/(n-1) AS a, (s22 - s2*s2/n)/(n-1) AS b,
+      |    (s12 - s1*s2/n)/(n-1) AS cc FROM m),
+      |e AS (SELECT *,
+      |    (a+b)/2 + sqrt((a-b)*(a-b)/4 + cc*cc) AS lam1,
+      |    (a+b)/2 - sqrt((a-b)*(a-b)/4 + cc*cc) AS lam2 FROM c),
+      |v0 AS (SELECT *, cc AS vx, lam1 - a AS vy FROM e),
+      |v AS (SELECT n, m1, m2, lam1, lam2,
+      |    (CASE WHEN abs(vx) >= abs(vy) THEN sign(vx) ELSE sign(vy) END)
+      |      * vx / sqrt(vx*vx + vy*vy) AS v1x,
+      |    (CASE WHEN abs(vx) >= abs(vy) THEN sign(vx) ELSE sign(vy) END)
+      |      * vy / sqrt(vx*vx + vy*vy) AS v1y FROM v0)""".stripMargin
+
   /** md5-derived 32-bit hash (mirrors TextOps.hash32). */
   private def hash32(e: String) = s"('0x' || substr(md5($e),1,8))::BIGINT"
 
@@ -1620,7 +1643,28 @@ object OracleSql {
     // SQL — executing it in DuckDB re-proves the emitted statement every
     // round (same loop as q62-q65 / q95-q96)
     "q104_huber_fit" -> graft.reg.Rlm.sqlOnly(
-      "lineitem", "l_quantity", "l_extendedprice", k = 1.345, iters = 3)
+      "lineitem", "l_quantity", "l_extendedprice", k = 1.345, iters = 3),
+
+    // closed-form 2×2 eigensystem of the sample covariance, with the
+    // engine's deterministic sign rule (largest-|loading| element positive,
+    // ties → lowest index via the >= comparison)
+    "q105_pca_fit" ->
+      s"""$PcaCtes
+         |SELECT stat, value::REAL AS value FROM (
+         | SELECT 'mean_x1' AS stat, m1 AS value FROM v
+         | UNION ALL SELECT 'mean_x2', m2 FROM v
+         | UNION ALL SELECT 'lam1', lam1 FROM v
+         | UNION ALL SELECT 'lam2', lam2 FROM v
+         | UNION ALL SELECT 'v1_x1', v1x FROM v
+         | UNION ALL SELECT 'v1_x2', v1y FROM v) u
+         |ORDER BY stat""".stripMargin,
+
+    "q106_pca_project" ->
+      s"""$PcaCtes
+         |SELECT l_orderkey, l_linenumber,
+         |  ((x1 - m1)*v1x + (x2 - m2)*v1y)::REAL AS pc1
+         |FROM pb CROSS JOIN v
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 
   /** q92 is the INDEX ROUNDTRIP of q41: building the IVF index on disk and

@@ -1253,6 +1253,38 @@ object Queries {
       fit.toDF(s).select(col("term"),
         col("estimate").cast("float").as("estimate"),
         col("std_error").cast("float").as("std_error")).orderBy("term")
+    }),
+
+    // PCA fit on two scalar columns: one covariance pass + eigen solve;
+    // the oracle is the closed-form 2×2 eigensystem with the same
+    // deterministic sign rule (largest-|loading| element positive)
+    "q105_pca_fit" -> ((s, dir) => {
+      import s.implicits._
+      val data = li(s, dir).select(
+        col("l_quantity").cast("double").as("x1"),
+        col("l_extendedprice").as("x2"))
+      val m = graft.pipeline.Pca.fitCols(data, Seq("x1", "x2"), k = 1)
+      Seq(
+        ("mean_x1", m.mean(0)), ("mean_x2", m.mean(1)),
+        ("lam1", m.eigenvalues(0)), ("lam2", m.eigenvalues(1)),
+        ("v1_x1", m.components(0)(0)), ("v1_x2", m.components(0)(1)))
+        .toDF("stat", "value")
+        .select(col("stat"), col("value").cast("float").as("value"))
+        .orderBy("stat")
+    }),
+
+    // PCA projection: every row's first principal-component score via the
+    // codegen'd AffineProject (matrix as a plan reference, no shuffle)
+    "q106_pca_project" -> ((s, dir) => {
+      val data = li(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("x1"),
+        col("l_extendedprice").as("x2"))
+      val m = graft.pipeline.Pca.fitCols(data, Seq("x1", "x2"), k = 1)
+      graft.pipeline.Pca.transformCols(data, Seq("x1", "x2"), m, "pc")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          element_at(col("pc"), 1).cast("float").as("pc1"))
+        .orderBy("l_orderkey", "l_linenumber")
     })
   )
 }

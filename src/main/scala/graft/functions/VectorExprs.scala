@@ -267,6 +267,139 @@ case class NearestCentroid(
     copy(child = newChild)
 }
 
+/** Native codegen'd affine projection `W·(x − shift)`: array<float|double>
+  * in, `array<double>` of length `W.rows` out — the primitive behind PCA
+  * transform / whitening / dense random projection. The weight matrix and
+  * shift ride along as plan REFERENCES (`addReferenceObj`), not literal
+  * columns, so the plan is O(1) in k·d and the generated code is two tight
+  * primitive loops (the [[NearestCentroid]] pattern — k·d literal columns
+  * would blow past JVM codegen limits at real embedding widths).
+  *
+  * Null vector or any null element → NULL; an input whose length differs
+  * from `shift.length` fails fast rather than truncating. Array fields ⇒
+  * deep equals/hashCode (canonicalization/CSE, as NearestCentroid).
+  */
+case class AffineProject(
+    child: Expression,
+    shift: Array[Double],
+    mat: Array[Array[Double]] // k rows × d cols
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def d: Int = shift.length
+
+  override def equals(other: Any): Boolean = other match {
+    case that: AffineProject =>
+      child == that.child &&
+        java.util.Arrays.equals(shift, that.shift) &&
+        java.util.Arrays.deepEquals(
+          mat.asInstanceOf[Array[AnyRef]], that.mat.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(
+      child,
+      Integer.valueOf(java.util.Arrays.hashCode(shift)),
+      Integer.valueOf(java.util.Arrays.deepHashCode(mat.asInstanceOf[Array[AnyRef]])))
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"affine_project needs an array<float|double> input, got ${other.simpleString}")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != d)
+      throw new IllegalArgumentException(
+        s"affine_project: input vector has $n elements but shift has $d")
+    val xs = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      if (a.isNullAt(i)) return null
+      xs(i) = (if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)) - shift(i)
+      i += 1
+    }
+    val out = new Array[Double](mat.length)
+    var j = 0
+    while (j < mat.length) {
+      val row = mat(j)
+      var acc = 0.0
+      i = 0
+      while (i < d) { acc += row(i) * xs(i); i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val shiftRef = ctx.addReferenceObj("shift", shift, "double[]")
+    val matRef = ctx.addReferenceObj("mat", mat, "double[][]")
+    val getter =
+      if (elemIsFloat) (a: String, i: String) => s"(double) $a.getFloat($i)"
+      else (a: String, i: String) => s"$a.getDouble($i)"
+    val n = ctx.freshName("n")
+    val xs = ctx.freshName("xs")
+    val out = ctx.freshName("out")
+    val row = ctx.freshName("row")
+    val acc = ctx.freshName("acc")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val anyNull = ctx.freshName("anyNull")
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${childGen.isNull}) {
+          int $n = ${childGen.value}.numElements();
+          if ($n != $shiftRef.length) {
+            throw new IllegalArgumentException(
+              "affine_project: input vector has " + $n +
+              " elements but shift has " + $shiftRef.length);
+          }
+          boolean $anyNull = false;
+          double[] $xs = new double[$n];
+          for (int $i = 0; $i < $n; $i++) {
+            if (${childGen.value}.isNullAt($i)) { $anyNull = true; break; }
+            $xs[$i] = ${getter(childGen.value.toString, i)} - $shiftRef[$i];
+          }
+          if (!$anyNull) {
+            double[] $out = new double[$matRef.length];
+            for (int $j = 0; $j < $matRef.length; $j++) {
+              double[] $row = $matRef[$j];
+              double $acc = 0.0;
+              for (int $i = 0; $i < $n; $i++) { $acc += $row[$i] * $xs[$i]; }
+              $out[$j] = $acc;
+            }
+            ${ev.isNull} = false;
+            ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+              .fromPrimitiveArray($out);
+          }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AffineProject =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Codegen'd `Σ a_i · b_i` over two `array<float|double>` columns. */
   def dotProduct(a: Column, b: Column): Column = {
@@ -295,5 +428,18 @@ object VectorExprs {
     import org.apache.spark.sql.GraftInternal
     GraftInternal.columnOf(
       NearestCentroid(GraftInternal.expressionOf(vec), cents, norms))
+  }
+
+  /** Codegen'd affine projection `mat·(x − shift)` (k×d matrix as a plan
+    * reference): the PCA-transform / whitening / random-projection
+    * primitive. Returns `array<double>` of length `mat.length`. */
+  def affineProject(vec: Column, shift: Array[Double], mat: Array[Array[Double]]): Column = {
+    require(mat.nonEmpty, "mat must be non-empty")
+    require(mat.forall(_.length == shift.length),
+      s"every mat row must have length ${shift.length}, got " +
+        mat.map(_.length).distinct.mkString(","))
+    import org.apache.spark.sql.GraftInternal
+    GraftInternal.columnOf(
+      AffineProject(GraftInternal.expressionOf(vec), shift, mat))
   }
 }
