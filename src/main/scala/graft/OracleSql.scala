@@ -1664,7 +1664,46 @@ object OracleSql {
          |SELECT l_orderkey, l_linenumber,
          |  ((x1 - m1)*v1x + (x2 - m2)*v1y)::REAL AS pc1
          |FROM pb CROSS JOIN v
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // 4 unrolled cyclic coordinate-descent sweeps (λ=8e6, α=1) over the
+    // centered sums; per sweep x1 updates against the previous x2, then x2
+    // against the FRESH x1 (the engine's cyclic order); soft threshold =
+    // sign(z)·greatest(|z|−λs,0)
+    "q107_lasso_fit" -> {
+      val lam = 8e6
+      val steps = (1 to 4).map { i =>
+        s"""f$i AS (SELECT nb1 AS b1,
+           |    sign(e - cc*nb1)*greatest(abs(e - cc*nb1) - $lam*s2, 0)/bb AS b2
+           |  FROM (SELECT c.*, sign(d - cc*b2)
+           |          *greatest(abs(d - cc*b2) - $lam*s1, 0)/aa AS nb1
+           |        FROM c CROSS JOIN f${i - 1}) t$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH m AS (SELECT count(*)::DOUBLE n, sum(x1) s1x, sum(x2) s2x, sum(y) sy,
+         |   sum(x1*x1) s11, sum(x2*x2) s22, sum(x1*x2) s12,
+         |   sum(x1*y) s1y, sum(x2*y) s2y, sum(y*y) syy
+         | FROM (SELECT l_extendedprice AS y, CAST(l_quantity AS DOUBLE) AS x1,
+         |              l_discount AS x2 FROM lineitem
+         |       WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+         |         AND l_discount IS NOT NULL) t),
+         |c AS (SELECT n, s1x/n xb1, s2x/n xb2, sy/n yb,
+         |   s11 - s1x*s1x/n AS aa, s22 - s2x*s2x/n AS bb, s12 - s1x*s2x/n AS cc,
+         |   s1y - s1x*sy/n AS d, s2y - s2x*sy/n AS e, syy - sy*sy/n AS f,
+         |   sqrt((s11 - s1x*s1x/n)/n) AS s1, sqrt((s22 - s2x*s2x/n)/n) AS s2 FROM m),
+         |f0 AS (SELECT 0.0 AS b1, 0.0 AS b2),
+         |$steps,
+         |r AS (SELECT c.*, f4.b1, f4.b2,
+         |   yb - f4.b1*xb1 - f4.b2*xb2 AS b0,
+         |   f - 2*(f4.b1*d + f4.b2*e)
+         |     + (f4.b1*f4.b1*aa + 2*f4.b1*f4.b2*cc + f4.b2*f4.b2*bb) AS rss
+         | FROM c CROSS JOIN f4)
+         |SELECT term, estimate::REAL AS estimate FROM (
+         | SELECT '(Intercept)' AS term, b0 AS estimate FROM r
+         | UNION ALL SELECT 'x1', b1 FROM r
+         | UNION ALL SELECT 'x2', b2 FROM r
+         | UNION ALL SELECT '__rss', rss FROM r) u
+         |ORDER BY term""".stripMargin
+    }
   )
 
   /** q92 is the INDEX ROUNDTRIP of q41: building the IVF index on disk and

@@ -1285,6 +1285,23 @@ object Queries {
         .select(col("l_orderkey"), col("l_linenumber"),
           element_at(col("pc"), 1).cast("float").as("pc1"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // lasso: 4 pinned cyclic coordinate-descent sweeps on the one-pass
+    // centered moments (λ chosen to zero one regressor — soft-threshold
+    // actually bites); oracle unrolls the same sweeps as CTEs
+    "q107_lasso_fit" -> ((s, dir) => {
+      import s.implicits._
+      val data = li(s, dir).select(
+        col("l_extendedprice").as("y"),
+        col("l_quantity").cast("double").as("x1"),
+        col("l_discount").as("x2"))
+      val fit = graft.reg.ElasticNet.fit("y ~ x1 + x2", data,
+        lambda = 8e6, alpha = 1.0, maxIter = 4, tol = 0.0)
+      (fit.terms.zip(fit.estimates) :+ ("__rss" -> fit.rss))
+        .toDF("term", "estimate")
+        .select(col("term"), col("estimate").cast("float").as("estimate"))
+        .orderBy("term")
     })
   )
 }
