@@ -1703,7 +1703,15 @@ object OracleSql {
          | UNION ALL SELECT 'x2', b2 FROM r
          | UNION ALL SELECT '__rss', rss FROM r) u
          |ORDER BY term""".stripMargin
-    }
+    },
+
+    // exact token top-40 (capacity > vocabulary ⇒ the MG summary is exact,
+    // max_count = count); ties broken by item in binary order on both sides
+    "q108_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest(${toks("text")}) AS item FROM documents)
+         |SELECT item, count(*)::BIGINT AS count, count(*)::BIGINT AS max_count
+         |FROM tk GROUP BY item
+         |ORDER BY 2 DESC, 1 LIMIT 40""".stripMargin
   )
 
   /** q92 is the INDEX ROUNDTRIP of q41: building the IVF index on disk and

@@ -1302,6 +1302,14 @@ object Queries {
         .toDF("term", "estimate")
         .select(col("term"), col("estimate").cast("float").as("estimate"))
         .orderBy("term")
-    })
+    }),
+
+    // heavy hitters: one-pass Misra-Gries top-40 tokens with bounded state
+    // (capacity exceeds the testdata vocabulary, so the summary is exact
+    // and pins against DuckDB's exact GROUP BY; the restricted-capacity
+    // guarantees are spec-tested)
+    "q108_heavy_hitters" -> ((s, dir) =>
+      TextOps.heavyHitters(docs(s, dir), "text", capacity = 200000, k = 40)
+        .orderBy(col("count").desc, col("item"))),
   )
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -552,5 +552,22 @@ object TextOps {
       when(size(col("__bg")) === 0, lit(null).cast("double"))
         .otherwise(bestRun.cast("double") / size(col("__bg")).cast("double"))
         .as("top_bigram_frac"))
+  }
+
+  /** Approximate top-k tokens via the mergeable Misra-Gries aggregate
+    * ([[graft.functions.FreqItemsAgg]]): ONE pass, per-partition state and
+    * shuffle bounded at `capacity` counters — no explode, no token-keyed
+    * shuffle, no vocabulary-sized hash aggregate. Every token with
+    * frequency > N/(capacity+1) is guaranteed present and
+    * count ≤ true ≤ max_count; with capacity ≥ the distinct-token count
+    * the result is exact (count = max_count). Returns
+    * (item, count, max_count), count-descending then item-ascending,
+    * top-k rows. */
+  def heavyHitters(df: DataFrame, textCol: String, capacity: Int, k: Int): DataFrame = {
+    require(k >= 1 && k <= capacity, s"need 1 <= k <= capacity, got k=$k")
+    df.agg(graft.functions.FreqItemsAgg(tokens(col(textCol)), capacity).as("__hh"))
+      .select(posexplode(col("__hh")).as(Seq("__pos", "e")))
+      .filter(col("__pos") < k)
+      .select(col("e.item"), col("e.count"), col("e.max_count"))
   }
 }
