@@ -144,6 +144,29 @@ object PlanReview {
     show("curation pipeline (q100 shape)") {
       Queries.all("q100_curation_pipeline")(spark, sfDir)
     }
+    // 18. ridge/lasso moments: ONE partial+final hash agg over a scan that
+    // reads ONLY the formula columns (pruned ReadSchema) — the whole λ path
+    // hangs off this single job
+    show("ridge/lasso one-pass centered moments") {
+      val b = li.select(col("l_extendedprice").cast("double").as("_y"),
+        col("l_quantity").cast("double").as("_x"))
+      b.agg(count(lit(1)), sum("_x"), sum("_y"), sum(col("_x") * col("_x")),
+        sum(col("_x") * col("_y")), sum(col("_y") * col("_y")))
+    }
+    // 19. PCA transform: AffineProject is a narrow codegen'd projection —
+    // no exchange, matrix rides as a plan reference (not literal columns)
+    show("pca transform (AffineProject, narrow)") {
+      val model = graft.pipeline.Pca.fit(emb, "embedding", 64, 8)
+      model.transform(emb, "embedding", "pc")
+        .select(element_at(col("pc"), 1))
+    }
+    // 20. heavy hitters: ObjectHashAggregate partial+final over the token
+    // ARRAY column — no explode (row count through the agg = documents),
+    // shuffle carries one ≤capacity summary per partition
+    show("heavy hitters (Misra-Gries, no explode)") {
+      docs.agg(graft.functions.FreqItemsAgg(
+        graft.pipeline.TextOps.tokens(col("text")), 4096))
+    }
     spark.stop()
   }
 }
