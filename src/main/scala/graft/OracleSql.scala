@@ -1711,7 +1711,36 @@ object OracleSql {
       s"""WITH tk AS (SELECT unnest(${toks("text")}) AS item FROM documents)
          |SELECT item, count(*)::BIGINT AS count, count(*)::BIGINT AS max_count
          |FROM tk GROUP BY item
-         |ORDER BY 2 DESC, 1 LIMIT 40""".stripMargin
+         |ORDER BY 2 DESC, 1 LIMIT 40""".stripMargin,
+
+    "q109_grouped_heavy_hitters" ->
+      s"""WITH tk AS (SELECT lang, unnest(${toks("text")}) AS item FROM documents),
+         |cnt AS (SELECT lang, item, count(*)::BIGINT AS count
+         |        FROM tk GROUP BY 1, 2),
+         |rk AS (SELECT *, row_number()
+         |         OVER (PARTITION BY lang ORDER BY count DESC, item) rn FROM cnt)
+         |SELECT lang, item, count FROM rk WHERE rn <= 5
+         |ORDER BY lang, count DESC, item""".stripMargin,
+
+    // per-group closed-form 1-regressor ridge (λ=50, standardized penalty
+    // λ·a/n on each group's own variance); df_eff = a/(a+pen) + 1
+    "q110_grouped_ridge" ->
+      """WITH g AS (SELECT l_returnflag AS grp, count(*)::DOUBLE n, sum(x1) s1,
+        |    sum(y) sy, sum(x1*x1) s11, sum(x1*y) s1y
+        |  FROM (SELECT l_returnflag, l_extendedprice AS y,
+        |          CAST(l_quantity AS DOUBLE) AS x1 FROM lineitem
+        |        WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |          AND l_quantity IS NOT NULL) t GROUP BY 1),
+        |c AS (SELECT grp, n, s1/n xb, sy/n yb,
+        |    s11 - s1*s1/n AS a, s1y - s1*sy/n AS d FROM g),
+        |r AS (SELECT grp, n, xb, yb, a, d, a + 50.0*a/n AS ap FROM c),
+        |s AS (SELECT grp, d/ap AS b1, yb - d/ap*xb AS b0,
+        |    a/ap + 1.0 AS df_eff FROM r)
+        |SELECT grp AS "group", term, estimate::REAL AS estimate,
+        |  df_eff::REAL AS df_eff FROM (
+        | SELECT grp, '(Intercept)' AS term, b0 AS estimate, df_eff FROM s
+        | UNION ALL SELECT grp, 'x1', b1, df_eff FROM s) u
+        |ORDER BY "group", term""".stripMargin
   )
 
   /** q92 is the INDEX ROUNDTRIP of q41: building the IVF index on disk and

@@ -1311,5 +1311,28 @@ object Queries {
     "q108_heavy_hitters" -> ((s, dir) =>
       TextOps.heavyHitters(docs(s, dir), "text", capacity = 200000, k = 40)
         .orderBy(col("count").desc, col("item"))),
+
+    // per-language top tokens: the MG aggregate under grouping keys (the
+    // ObjectHashAggregate grouped path) — exact regime vs a windowed oracle
+    "q109_grouped_heavy_hitters" -> ((s, dir) =>
+      TextOps.heavyHittersBy(docs(s, dir), "lang", "text",
+        capacity = 200000, k = 5)
+        .select(col("lang"), col("item"), col("count"))
+        .orderBy(col("lang"), col("count").desc, col("item"))),
+
+    // one ridge per group: keyed moment aggregation + executor-side
+    // penalized centered solves (per-domain shrinkage); closed-form
+    // per-group 1-regressor oracle
+    "q110_grouped_ridge" -> ((s, dir) => {
+      val data = li(s, dir).select(
+        col("l_returnflag"),
+        col("l_extendedprice").as("y"),
+        col("l_quantity").cast("double").as("x1"))
+      graft.reg.Ridge.fitGrouped("y ~ x1", data, "l_returnflag", lambda = 50.0)
+        .select(col("group"), col("term"),
+          col("estimate").cast("float").as("estimate"),
+          col("df_eff").cast("float").as("df_eff"))
+        .orderBy("group", "term")
+    }),
   )
 }

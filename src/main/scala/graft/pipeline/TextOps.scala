@@ -570,4 +570,20 @@ object TextOps {
       .filter(col("__pos") < k)
       .select(col("e.item"), col("e.count"), col("e.max_count"))
   }
+
+  /** Per-group heavy hitters (e.g. top tokens PER LANGUAGE/domain): the
+    * same bounded-state MG aggregate under grouping keys — state is
+    * capacity × groups-per-task, shuffle one summary per (group,
+    * partition). Returns (groupCol, item, count, max_count), top-k per
+    * group in summary order. */
+  def heavyHittersBy(
+      df: DataFrame, groupCol: String, textCol: String, capacity: Int, k: Int
+  ): DataFrame = {
+    require(k >= 1 && k <= capacity, s"need 1 <= k <= capacity, got k=$k")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.FreqItemsAgg(tokens(col(textCol)), capacity).as("__hh"))
+      .select(col(groupCol), posexplode(col("__hh")).as(Seq("__pos", "e")))
+      .filter(col("__pos") < k)
+      .select(col(groupCol), col("e.item"), col("e.count"), col("e.max_count"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.reg
 
 import breeze.linalg.{DenseMatrix, DenseVector}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.formula.Formula
 import graft.linalg.LinAlg
@@ -121,5 +121,95 @@ object Ridge {
         intercept +: IndexedSeq.tabulate(p)(beta(_)),
         dfEff, rss, tss, gcv, mom.nRows)
     }
+  }
+
+  /** One ridge fit PER GROUP — per-domain shrinkage at millions of groups.
+    * ONE keyed (partial+final) moment aggregation over the corpus, then the
+    * penalized centered solves run EXECUTOR-SIDE (a narrow flatMap over the
+    * moment rows, the fitGrouped OLS pattern), so the result is a
+    * distributed DataFrame (group, term, estimate, n, df_eff).
+    * λ is shared across groups; `standardize` uses each group's OWN column
+    * variances (every domain shrinks on its own scale). */
+  def fitGrouped(
+      formula: String,
+      df: DataFrame,
+      groupCol: String,
+      lambda: Double,
+      standardize: Boolean = true,
+      maxGroups: Long = 10000000L
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(lambda >= 0.0, s"negative lambda: $lambda")
+    require(maxGroups >= 1L)
+    val f = Formula.parse(formula)
+    require(f.fe.isEmpty, "grouped ridge does not absorb fixed effects")
+    require(f.intercept, "grouped ridge requires an intercept (centered form)")
+    val needed = (f.allInputCols :+ groupCol).distinct
+    needed.foreach(c => require(df.columns.contains(c), s"column '$c' not found"))
+    val base = df.select(needed.map(col): _*)
+      .filter(needed.map(col(_).isNotNull).reduce(_ && _))
+    val d = Dbreg.buildDesign(base, f, Seq(groupCol), intercept = false)
+    val p = d.xNames.length
+    val y = col(Dbreg.Y)
+    def x(i: Int) = col(d.xNames(i))
+    val aggs = scala.collection.mutable.ArrayBuffer[Column]()
+    aggs += count(lit(1)).as("_n")
+    aggs += sum(y).as("_sy")
+    aggs += sum(y * y).as("_syy")
+    for (i <- 0 until p) {
+      aggs += sum(x(i)).as(s"_sx$i")
+      aggs += sum(x(i) * y).as(s"_sxy$i")
+    }
+    for (i <- 0 until p; j <- i until p)
+      aggs += sum(x(i) * x(j)).as(s"_sxx_${i}_$j")
+    val grouped = d.df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail.toSeq: _*)
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val moments =
+      if (maxGroups < Long.MaxValue) {
+        val m = grouped.localCheckpoint(false)
+        val g = m.count()
+        require(g <= maxGroups,
+          s"$g groups exceeds maxGroups=$maxGroups; raise the guard or pre-filter")
+        m
+      } else grouped
+
+    val displayNames = d.displayNames
+    val xNames = d.xNames
+    val lam = lambda
+    val std = standardize
+    moments.flatMap { r =>
+      def dd(name: String): Double = r.getAs[Any](name) match {
+        case null => 0.0
+        case v: Number => v.doubleValue
+      }
+      val pN = xNames.length
+      val g = String.valueOf(r.getAs[Any](groupCol))
+      val n = r.getAs[Long]("_n").toDouble
+      val sy = dd("_sy")
+      val sx = DenseVector.tabulate(pN)(i => dd(s"_sx$i"))
+      val a = DenseMatrix.tabulate(pN, pN)((i, j) => {
+        val raw = if (i <= j) dd(s"_sxx_${i}_$j") else dd(s"_sxx_${j}_$i")
+        raw - sx(i) * sx(j) / n
+      })
+      val b = DenseVector.tabulate(pN)(i => dd(s"_sxy$i") - sx(i) * sy / n)
+      val m = a.copy
+      var j = 0
+      while (j < pN) {
+        m(j, j) += (if (std) lam * a(j, j) / n else lam); j += 1
+      }
+      val s = LinAlg.solveDetecting(m, b)
+      val beta = DenseVector.zeros[Double](pN)
+      s.keepIdx.zipWithIndex.foreach { case (k, i) => beta(k) = s.beta(i) }
+      var tr = 0.0
+      for (i <- s.keepIdx.indices; k <- s.keepIdx.indices)
+        tr += s.xtxInv(i, k) * a(s.keepIdx(k), s.keepIdx(i))
+      val intercept = sy / n - (0 until pN).map(i => beta(i) * sx(i) / n).sum
+      ("(Intercept)", intercept) +:
+        (0 until pN).map(i => (displayNames(i), beta(i))) map {
+          case (t, e) => (g, t, e, n.round, tr + 1.0)
+        }
+    }.toDF("group", "term", "estimate", "n", "df_eff")
   }
 }

@@ -55,6 +55,28 @@ class FreqItemsSpec extends SparkTestBase {
     }
   }
 
+  test("grouped heavy hitters equal per-group exact counts (exact regime)") {
+    val byLang = TextOps.heavyHittersBy(docs, "lang", "text", capacity = 100000, k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val exact = docs
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("item"))
+      .groupBy("lang", "item").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val langs = byLang.map(_._1).distinct
+    assert(langs.length > 1)
+    byLang.foreach { case (lang, item, c) =>
+      assert(exact((lang, item)) == c, s"$lang/$item")
+    }
+    // each group's 3 entries are its true top-3 counts
+    langs.foreach { lang =>
+      val got = byLang.filter(_._1 == lang).map(_._3).sorted.reverse.toSeq
+      val want = exact.collect { case ((l, _), c) if l == lang => c }
+        .toSeq.sorted.reverse.take(got.length)
+      assert(got == want, s"$lang top counts")
+    }
+  }
+
   test("array input equals one-token-per-row input") {
     val tokens = Seq(Seq("a", "b", "a"), Seq("c", "a"), Seq.empty[String])
     val fromArrays = tokens.toDF("toks")

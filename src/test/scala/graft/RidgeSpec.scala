@@ -98,6 +98,28 @@ class RidgeSpec extends SparkTestBase {
       r1.estimates(r1.terms.indexOf("x1"))) < 1e-10)
   }
 
+  test("fitGrouped equals per-group Ridge.fit") {
+    val grouped = rows.zipWithIndex.map { case ((y, x1, x2), i) =>
+      (if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", y, x1, x2)
+    }
+    val gdf = grouped.toDF("g", "y", "x1", "x2")
+    val out = Ridge.fitGrouped("y ~ x1 + x2", gdf, "g", lambda = 25.0)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getDouble(2), r.getDouble(4))))
+      .toMap
+    for (g <- Seq("a", "b", "c")) {
+      val sub = grouped.filter(_._1 == g).map(t => (t._2, t._3, t._4))
+        .toDF("y", "x1", "x2")
+      val single = Ridge.fit("y ~ x1 + x2", sub, lambda = 25.0)
+      single.terms.zip(single.estimates).foreach { case (t, e) =>
+        val (est, dfEff) = out((g, t))
+        assert(math.abs(est - e) < 1e-9, s"group $g term $t")
+        assert(math.abs(dfEff - single.dfEff) < 1e-9)
+      }
+    }
+    assert(out.size == 9)
+  }
+
   test("gcv is minimized at an interior lambda on collinear noisy data") {
     // strongly collinear design where some shrinkage must help GCV
     val rng2 = new scala.util.Random(11)
