@@ -1740,7 +1740,21 @@ object OracleSql {
         |  df_eff::REAL AS df_eff FROM (
         | SELECT grp, '(Intercept)' AS term, b0 AS estimate, df_eff FROM s
         | UNION ALL SELECT grp, 'x1', b1, df_eff FROM s) u
-        |ORDER BY "group", term""".stripMargin
+        |ORDER BY "group", term""".stripMargin,
+
+    // Mann-Whitney AUC with tie half-credit over the distinct-score
+    // aggregate (same identity as the engine plan)
+    "q111_auc" ->
+      """WITH sc AS (SELECT CAST(l_quantity AS DOUBLE) s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+        |g AS (SELECT s, sum(y) pos, sum(1.0 - y) neg FROM sc GROUP BY s),
+        |w AS (SELECT s, pos, neg,
+        |    coalesce(sum(neg) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cumneg FROM g)
+        |SELECT (sum(pos*(cumneg + 0.5*neg))
+        |  / ((SELECT sum(pos) FROM g) * (SELECT sum(neg) FROM g)))::REAL AS auc
+        |FROM w""".stripMargin
   )
 
   /** q92 is the INDEX ROUNDTRIP of q41: building the IVF index on disk and

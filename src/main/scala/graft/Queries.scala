@@ -1334,5 +1334,14 @@ object Queries {
           col("df_eff").cast("float").as("df_eff"))
         .orderBy("group", "term")
     }),
+
+    // classifier eval: rank-based AUC (Mann-Whitney with tie half-credit)
+    // over the distinct-score aggregate — the corpus work is one keyed
+    // hash agg; the cumsum window sees only distinct scores
+    "q111_auc" -> ((s, dir) =>
+      graft.reg.Eval.aucDF(li(s, dir),
+        score = col("l_quantity"),
+        label = col("l_returnflag") === "R")
+        .select(col("auc").cast("float").as("auc"))),
   )
 }

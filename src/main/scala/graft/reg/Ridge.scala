@@ -83,17 +83,35 @@ object Ridge {
     // intercept=true on the kernel makes the column sums ride along in row 0
     val d = Dbreg.buildDesign(base, f, Nil, intercept = false)
     val mom = MomentsKernel.compute(d.df, Dbreg.Y, d.xNames, intercept = true)
-    val p = d.xNames.length
-    val n = mom.n
     require(mom.nRows > 1, s"need >1 rows, got ${mom.nRows}")
+    pathFromTriangle(d.displayNames, mom.xtx, mom.xty, mom.sumYSq, mom.nRows,
+      lambdas, standardize)
+  }
 
+  /** The driver-side solve from a raw intercept-augmented moment triangle
+    * (row/col 0 = n and column sums, the MomentsKernel intercept layout).
+    * Exposed within the engine so STREAMED sufficient statistics — the
+    * additive sums a Structured Streaming aggregation maintains — fit a
+    * ridge path the same way a batch scan does (see StreamingReg). */
+  private[graft] def pathFromTriangle(
+      displayNames: IndexedSeq[String],
+      xtx: DenseMatrix[Double],
+      xty: DenseVector[Double],
+      sumYSq: Double,
+      nRows: Long,
+      lambdas: Seq[Double],
+      standardize: Boolean
+  ): Seq[RidgeFit] = {
+    val p = displayNames.length
+    val n = xtx(0, 0)
+    val sumY = xty(0)
     // centered cross-products from the raw triangle
-    val sx = DenseVector.tabulate(p)(i => mom.xtx(0, i + 1))
+    val sx = DenseVector.tabulate(p)(i => xtx(0, i + 1))
     val a = DenseMatrix.tabulate(p, p)((i, j) =>
-      mom.xtx(i + 1, j + 1) - sx(i) * sx(j) / n)
-    val b = DenseVector.tabulate(p)(i => mom.xty(i + 1) - sx(i) * mom.sumY / n)
-    val tss = mom.sumYSq - mom.sumY * mom.sumY / n
-    val ybar = mom.sumY / n
+      xtx(i + 1, j + 1) - sx(i) * sx(j) / n)
+    val b = DenseVector.tabulate(p)(i => xty(i + 1) - sx(i) * sumY / n)
+    val tss = sumYSq - sumY * sumY / n
+    val ybar = sumY / n
 
     lambdas.map { lambda =>
       val pen = DenseVector.tabulate(p)(j =>
@@ -117,9 +135,9 @@ object Ridge {
       val intercept = ybar - (0 until p).map(i => beta(i) * sx(i) / n).sum
       RidgeFit(
         lambda,
-        "(Intercept)" +: d.displayNames,
+        "(Intercept)" +: displayNames,
         intercept +: IndexedSeq.tabulate(p)(beta(_)),
-        dfEff, rss, tss, gcv, mom.nRows)
+        dfEff, rss, tss, gcv, nRows)
     }
   }
 

@@ -62,6 +62,38 @@ object StreamingReg {
     LinAlg.solveWithFallback(xtx, xty).beta
   }
 
+  /** Ridge path from one row of [[momentsStream]] output — the streamed
+    * sufficient statistics are the SAME additive sums the batch ridge scan
+    * produces, so the whole λ path (estimates, df_eff, GCV) updates per
+    * micro-batch with zero re-reads of history. `xs` are the display names
+    * in [[momentAggs]] order. */
+  def solveRidge(
+      row: Row,
+      xs: Seq[String],
+      lambdas: Seq[Double],
+      standardize: Boolean = true
+  ): Seq[graft.reg.Ridge.RidgeFit] = {
+    def d(name: String) = row.getAs[Any](name) match {
+      case null => 0.0
+      case v: Number => v.doubleValue
+    }
+    val p = xs.length
+    val dim = p + 1
+    val xtx = DenseMatrix.zeros[Double](dim, dim)
+    val xty = DenseVector.zeros[Double](dim)
+    xtx(0, 0) = d("n"); xty(0) = d("sum_y")
+    for (i <- 0 until p) {
+      xtx(0, i + 1) = d(s"sum_x$i"); xtx(i + 1, 0) = xtx(0, i + 1)
+      xty(i + 1) = d(s"sum_x${i}_y")
+      for (j <- i until p) {
+        val v = d(s"sum_x${i}_x$j")
+        xtx(i + 1, j + 1) = v; xtx(j + 1, i + 1) = v
+      }
+    }
+    graft.reg.Ridge.pathFromTriangle(xs.toIndexedSeq, xtx, xty,
+      d("sum_y_sq"), d("n").round, lambdas, standardize)
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream — the
     * streaming form of the batch q40 shape. `tsCol` must be TimestampType. */
   def windowedEventAgg(

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.reg.Eval
+
+/** AUC correctness against the brute-force pairwise definition
+  * P(score⁺ > score⁻) + ½P(score⁺ = score⁻). */
+class EvalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def bruteAuc(data: Seq[(Double, Boolean)]): Double = {
+    val pos = data.filter(_._2).map(_._1)
+    val neg = data.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    wins / (pos.length.toDouble * neg.length)
+  }
+
+  test("matches the pairwise definition, including ties") {
+    val rng = new scala.util.Random(31)
+    val data = (1 to 400).map { _ =>
+      val label = rng.nextBoolean()
+      // discrete scores force plenty of ties
+      val score = (rng.nextInt(10) + (if (label) rng.nextInt(4) else 0)).toDouble
+      (score, label)
+    }
+    val df = data.toDF("score", "label")
+    val got = Eval.auc(df, col("score"), col("label"))
+    val want = bruteAuc(data)
+    assert(math.abs(got - want) < 1e-12, s"$got vs $want")
+  }
+
+  test("perfect separation gives 1, inverted gives 0, constant gives 0.5") {
+    val sep = ((1 to 50).map(i => (i + 100.0, true)) ++
+      (1 to 50).map(i => (i.toDouble, false))).toDF("score", "label")
+    assert(Eval.auc(sep, col("score"), col("label")) == 1.0)
+    assert(Eval.auc(sep, -col("score"), col("label")) == 0.0)
+    val const = ((1 to 30).map(_ => (1.0, true)) ++
+      (1 to 30).map(_ => (1.0, false))).toDF("score", "label")
+    assert(Eval.auc(const, col("score"), col("label")) == 0.5)
+  }
+
+  test("quantize rounds scores before ranking (binned estimate)") {
+    val data = Seq((0.1234, true), (0.1232, false), (0.9, true), (0.2, false))
+    val df = data.toDF("score", "label")
+    // at 3 digits the first two scores tie; exact AUC differs
+    val exact = Eval.auc(df, col("score"), col("label"))
+    val binned = Eval.auc(df, col("score"), col("label"), quantize = Some(3))
+    val wantBinned = bruteAuc(Seq((0.123, true), (0.123, false), (0.9, true), (0.2, false)))
+    assert(math.abs(exact - bruteAuc(data)) < 1e-12)
+    assert(math.abs(binned - wantBinned) < 1e-12)
+    assert(exact != binned)
+  }
+
+  test("null scores and labels are excluded") {
+    val df = Seq(
+      (Some(2.0), Some(true)), (Some(1.0), Some(false)),
+      (None, Some(true)), (Some(5.0), None))
+      .toDF("score", "label")
+    assert(Eval.auc(df, col("score"), col("label")) == 1.0)
+  }
+}

@@ -36,6 +36,35 @@ class StreamingSpec extends SparkTestBase {
     assert(math.abs(beta(1) - b1) < 1e-8, s"${beta(1)} vs $b1")
   }
 
+  test("streamed moments fit a ridge path identical to the batch fit") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Double, Double, Double)] // (y, x1, x2)
+    val df = input.toDF().toDF("y", "x1", "x2")
+    val agg = StreamingReg.momentsStream(df, "y", Seq("x1", "x2"))
+    val q = agg.writeStream.format("memory").queryName("rmom")
+      .outputMode("complete").start()
+
+    val rng = new scala.util.Random(23)
+    val all = (1 to 300).map { _ =>
+      val x1 = rng.nextDouble() * 10; val x2 = 0.4 * x1 + rng.nextGaussian()
+      (1.0 + 2.0 * x1 - x2 + rng.nextGaussian(), x1, x2)
+    }
+    all.grouped(100).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    val row = spark.table("rmom").collect()(0)
+    q.stop()
+
+    val lambdas = Seq(0.0, 5.0, 500.0)
+    val streamed = StreamingReg.solveRidge(row, Seq("x1", "x2"), lambdas)
+    val batch = graft.reg.Ridge.path("y ~ x1 + x2", all.toDF("y", "x1", "x2"), lambdas)
+    streamed.zip(batch).foreach { case (s, b) =>
+      s.estimates.zip(b.estimates).foreach { case (se, be) =>
+        assert(math.abs(se - be) < 1e-9, s"λ=${s.lambda}: $se vs $be")
+      }
+      assert(math.abs(s.dfEff - b.dfEff) < 1e-9)
+      assert(math.abs(s.gcv - b.gcv) < 1e-6 * b.gcv)
+    }
+  }
+
   test("watermarked windowed aggregation over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
