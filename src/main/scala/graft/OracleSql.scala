@@ -1754,7 +1754,30 @@ object OracleSql {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cumneg FROM g)
         |SELECT (sum(pos*(cumneg + 0.5*neg))
         |  / ((SELECT sum(pos) FROM g) * (SELECT sum(neg) FROM g)))::REAL AS auc
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+
+    // weighted isotonic fit by the minimax formula
+    // ŷ(s) = max_{j≤s} min_{k≥s} (Σ_{j..k} y)/(Σ_{j..k} n) — evaluated by
+    // self-joins over the 50-row distinct-score table (PAV equals this by
+    // the classic characterization; the engine runs PAV, the oracle this)
+    "q112_isotonic" ->
+      """WITH sc AS (SELECT CAST(l_quantity AS DOUBLE) s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+        |g AS (SELECT s, count(*)::BIGINT n, count(*)::DOUBLE w, sum(y) sy
+        |  FROM sc GROUP BY s),
+        |o AS (SELECT s, n, w, sy, sum(w) OVER (ORDER BY s) cw,
+        |    sum(sy) OVER (ORDER BY s) cs FROM g),
+        |pairs AS (SELECT a.s js, b.s ks,
+        |    (b.cs - a.cs + a.sy) / (b.cw - a.cw + a.w) AS iavg
+        |  FROM o a JOIN o b ON a.s <= b.s),
+        |mn AS (SELECT p.js, o.s, min(p.iavg) m
+        |  FROM pairs p JOIN o ON p.js <= o.s AND o.s <= p.ks
+        |  GROUP BY p.js, o.s)
+        |SELECT o.s AS score, o.n AS n, max(mn.m)::REAL AS calibrated
+        |FROM mn JOIN o ON mn.s = o.s
+        |GROUP BY o.s, o.n
+        |ORDER BY score""".stripMargin
   )
 
   /** q92 is the INDEX ROUNDTRIP of q41: building the IVF index on disk and

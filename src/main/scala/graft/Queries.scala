@@ -1343,5 +1343,17 @@ object Queries {
         score = col("l_quantity"),
         label = col("l_returnflag") === "R")
         .select(col("auc").cast("float").as("auc"))),
+
+    // isotonic calibration: driver PAV over the distinct-score aggregate;
+    // the oracle evaluates the minimax characterization
+    // max_{j<=s} min_{k>=s} avg(j..k) directly in SQL — two independent
+    // algorithms, one theorem
+    "q112_isotonic" -> ((s, dir) =>
+      graft.reg.Isotonic.fit(li(s, dir),
+        score = col("l_quantity"),
+        label = col("l_returnflag") === "R")
+        .select(col("score"), col("n"),
+          col("calibrated").cast("float").as("calibrated"))
+        .orderBy("score")),
   )
 }
