@@ -1777,7 +1777,19 @@ object OracleSql {
         |SELECT o.s AS score, o.n AS n, max(mn.m)::REAL AS calibrated
         |FROM mn JOIN o ON mn.s = o.s
         |GROUP BY o.s, o.n
-        |ORDER BY score""".stripMargin
+        |ORDER BY score""".stripMargin,
+
+    // per-label element-wise mean: position × label sums via an index
+    // cross join, reassembled in position order
+    "q113_label_centroids" ->
+      """WITH e AS (SELECT label, i,
+        |    sum(CAST(embedding[i] AS DOUBLE)) sx, count(*)::BIGINT n
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+        |  WHERE embedding IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT label, max(n) AS n,
+        |  list((sx / n)::REAL ORDER BY i) AS centroid
+        |FROM e GROUP BY label ORDER BY label""".stripMargin
   )
 
   /** q92 is the INDEX ROUNDTRIP of q41: building the IVF index on disk and

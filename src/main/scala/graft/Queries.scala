@@ -1355,5 +1355,13 @@ object Queries {
         .select(col("score"), col("n"),
           col("calibrated").cast("float").as("calibrated"))
         .orderBy("score")),
+
+    // per-label mean embedding (class prototypes) via the element-wise
+    // vector-sum aggregate — one ObjectHashAggregate, no posexplode
+    "q113_label_centroids" -> ((s, dir) =>
+      graft.pipeline.Similarity.meanPool(emb(s, dir), "label", "embedding", dim = 64)
+        .select(col("label"), col("n"),
+          transform(col("centroid"), v => v.cast("float")).as("centroid"))
+        .orderBy("label")),
   )
 }

@@ -351,4 +351,16 @@ object Similarity {
 
   def int8Dequantize(q: Column, scale: Column): Column =
     transform(q, v => v.cast("double") * scale)
+
+  /** Per-group mean embedding (class prototypes / grouped centroids) via
+    * the element-wise [[graft.functions.VectorSumAgg]] — ONE partial+final
+    * ObjectHashAggregate whose shuffle carries a single d-vector per
+    * (group × partition); no posexplode (which would shuffle dim× the
+    * rows), no interpreted per-row lambda. Rows with null/misfit vectors
+    * are excluded from n. Returns (groupCol, n, centroid array<double>). */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String, dim: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.VectorSumAgg(col(vecCol), dim).as("__vs"))
+      .select(col(groupCol), col("__vs.n").as("n"),
+        transform(col("__vs.sums"), s => s / col("__vs.n")).as("centroid"))
 }

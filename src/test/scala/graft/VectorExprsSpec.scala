@@ -130,4 +130,34 @@ class VectorExprsSpec extends SparkTestBase {
       Array(math.sqrt(5.0), math.sqrt(34.0)))
     assert(a != c)
   }
+
+  test("meanPool equals the collected per-group mean; misfit rows skipped") {
+    import graft.pipeline.Similarity
+    val emb = sf("sf0.001", "embeddings")
+    val pooled = Similarity.meanPool(emb, "label", "embedding", dim = 64)
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Double](2).toArray)))
+      .toMap
+    val truth = emb.select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .groupBy(_._1)
+    assert(pooled.keySet == truth.keySet)
+    truth.foreach { case (label, rows) =>
+      val (n, centroid) = pooled(label)
+      assert(n == rows.length)
+      for (i <- 0 until 64) {
+        val want = rows.map(_._2(i)).sum / rows.length
+        assert(math.abs(centroid(i) - want) < 1e-12, s"label $label dim $i")
+      }
+    }
+
+    // null vectors and wrong-dimension vectors are excluded from n
+    val mixed = Seq(
+      (1, Seq(1.0f, 2.0f)), (1, Seq(3.0f, 4.0f)),
+      (1, null.asInstanceOf[Seq[Float]]), (1, Seq(9.0f)))
+      .toDF("g", "v").repartition(4)
+    val out = Similarity.meanPool(mixed, "g", "v", dim = 2).collect()(0)
+    assert(out.getLong(1) == 2L)
+    assert(out.getSeq[Double](2) == Seq(2.0, 3.0))
+  }
 }
