@@ -567,6 +567,11 @@ object OracleSql {
       family = "poisson", iters = 4,
       extraWhere = Seq("l_quantity IS NOT NULL")),
 
+    "q103_glm_gamma_fit" -> graft.reg.Glm.sqlOnly(
+      "lineitem", "l_discount", "CAST(l_extendedprice AS DOUBLE)",
+      family = "gamma", iters = 4,
+      extraWhere = Seq("l_extendedprice IS NOT NULL")),
+
     // capstone pipeline: gopher keep + score gate -> exact dedup -> hash
     // split -> rollup, composed from the q97/q98/q30/q76 oracle fragments
     "q100_curation_pipeline" -> {

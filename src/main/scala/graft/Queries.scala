@@ -546,6 +546,16 @@ object Queries {
         col("std_error").cast("float").as("std_error")).orderBy("term")
     }),
 
+    // gamma rate regression: E[extendedprice | discount], log link with
+    // unit working weight (V(μ)=μ² cancels), same four-step pin as q95/q96
+    "q103_glm_gamma_fit" -> ((s, dir) => {
+      val fit = Glm.fit("l_extendedprice ~ l_discount", li(s, dir),
+        family = "gamma", strategy = "compress", maxIter = 4, tol = 0.0)
+      fit.toDF(s).select(col("term"),
+        col("estimate").cast("float").as("estimate"),
+        col("std_error").cast("float").as("std_error")).orderBy("term")
+    }),
+
     // capstone: the full curation pipeline as ONE lazy plan — Gopher rules
     // AND classifier score gate the corpus, exact dedup keeps one doc per
     // fingerprint class, a deterministic hash split labels train/val/test,

@@ -168,10 +168,16 @@ object Glm {
 
   def linkInv(family: String, eta: Column): Column = family match {
     case "binomial" => sigmoid(eta)
-    case "poisson" => exp(eta)
+    case "poisson" | "gamma" => exp(eta)
     case "gaussian" => eta
     case other => throw new IllegalArgumentException(s"unknown family: $other")
   }
+
+  /** Families the engine fits. Gamma uses the log link with UNIT working
+    * weight (μ²/V(μ) = 1), so its compressed iterates are cell-exact like
+    * the others; SEs follow the engine's φ = 1 convention (as for
+    * gaussian) — scale by your preferred dispersion estimate if needed. */
+  val Families: Set[String] = Set("binomial", "poisson", "gaussian", "gamma")
 
   /** Fit a GLM.
     *
@@ -204,7 +210,7 @@ object Glm {
       vcov: String = "iid"
   ): GlmResult = {
     val v = Vcov.parse(vcov)
-    require(Set("binomial", "poisson", "gaussian")(family), s"unknown family: $family")
+    require(Families(family), s"unknown family: $family")
     require(Set("auto", "irls", "compress")(strategy), s"unknown strategy: $strategy")
     require(maxIter >= 1, "maxIter must be >= 1")
     val f = Formula.parse(formula)
@@ -234,9 +240,15 @@ object Glm {
     val wt = weights.map(col(_).cast("double")).getOrElse(lit(1.0))
     // _ylogy (Σ w·y·ln y within the unit) makes the Poisson deviance
     // cell-exact: it is the one deviance term not linear in y.
-    val ylogy =
-      if (family == "poisson") when(y > 0.0, wt * y * log(y)).otherwise(0.0)
-      else lit(0.0)
+    // _ylogy doubles as the family's log-moment cell stat: w·y·ln y for
+    // the Poisson deviance, w·ln y for the gamma deviance. A y ≤ 0 row
+    // under gamma poisons the stat with NaN, which survives every sum —
+    // the first IRLS pass detects it without a separate validation scan.
+    val ylogy = family match {
+      case "poisson" => when(y > 0.0, wt * y * log(y)).otherwise(0.0)
+      case "gamma" => when(y > 0.0, wt * log(y)).otherwise(lit(Double.NaN))
+      case _ => lit(0.0)
+    }
     val off = offset.map(col(_).cast("double")).getOrElse(lit(0.0))
     val rowFrame = base.select(
       all.zipWithIndex.map { case (c, i) => c.col.cast("double").as(xNames(i)) } ++
@@ -385,7 +397,7 @@ object Glm {
       maxIter: Int = 8,
       compressRatio: Double = 0.25
   ): DataFrame = {
-    require(Set("binomial", "poisson", "gaussian")(family), s"unknown family: $family")
+    require(Families(family), s"unknown family: $family")
     require(Set("auto", "irls", "compress")(strategy), s"unknown strategy: $strategy")
     require(maxIter >= 1, "maxIter must be >= 1")
     val f = Formula.parse(formula)
@@ -404,8 +416,14 @@ object Glm {
     val p = xNames.length
 
     val y = col(f.y).cast("double")
-    val ylogy =
-      if (family == "poisson") when(y > 0.0, y * log(y)).otherwise(0.0) else lit(0.0)
+    // gamma: a y ≤ 0 row poisons its group's log-moment with NaN, so that
+    // group reports NaN deviance/null-deviance/pseudo-R² (no extra
+    // validation scan; other groups are unaffected)
+    val ylogy = family match {
+      case "poisson" => when(y > 0.0, y * log(y)).otherwise(0.0)
+      case "gamma" => when(y > 0.0, log(y)).otherwise(lit(Double.NaN))
+      case _ => lit(0.0)
+    }
     val rowFrame = base.select(
       col(groupCol).cast("string").as("_g") +:
         (all.zipWithIndex.map { case (c, i) => c.col.cast("double").as(xNames(i)) } ++
@@ -461,6 +479,10 @@ object Glm {
           val mu = greatest(exp(eta), lit(Eps))
           val dt = (col("_ylogy") * lit(1.0) / w - yb * log(mu) - yb + mu) * w * lit(2.0)
           (w * mu, eta + (yb - mu) / mu, dt)
+        case "gamma" =>
+          val mu = greatest(exp(eta), lit(Eps))
+          val dt = (w * log(mu) + w * yb / mu - w - col("_ylogy")) * lit(2.0)
+          (w, eta + (yb - mu) / mu, dt)
         case "gaussian" =>
           (w, yb, w * (yb - eta) * (yb - eta))
       }
@@ -524,6 +546,7 @@ object Glm {
           else -2.0 * (swy * math.log(yb) + (n - swy) * math.log(1.0 - yb))
         case "poisson" =>
           if (yb <= 0.0) 0.0 else 2.0 * (sylogy - swy * math.log(yb))
+        case "gamma" => 2.0 * (n * math.log(yb) - sylogy)
         case "gaussian" => syy - swy * swy / n
       }
       val pr2 = if (nullDev > 0.0) 1.0 - dev / nullDev else 0.0
@@ -573,6 +596,12 @@ object Glm {
         val mu = greatest(exp(eta), lit(Eps))
         val dev = sum(col("_ylogy") - w * yb * log(mu) - w * yb + w * mu) * lit(2.0)
         (w * mu, etaX + (yb - mu) / mu, dev)
+      case "gamma" =>
+        val mu = greatest(exp(eta), lit(Eps))
+        // 2Σw[−ln(y/μ) + (y−μ)/μ]; Σw·ln y rides in _ylogy, the rest is
+        // linear in ȳ so the compressed cells are exact
+        val dev = sum(w * log(mu) + w * yb / mu - w - col("_ylogy")) * lit(2.0)
+        (w, etaX + (yb - mu) / mu, dev)
       case "gaussian" =>
         val mu = eta
         val dev = sum(w * (yb - mu) * (yb - mu))
@@ -622,6 +651,8 @@ object Glm {
       if (i == 1) {
         sw = pass.sw; swy = pass.swy; sylogy = pass.sylogy; nCells = pass.mom.nRows
         require(nCells > 0, "no rows after missing-value filtering (empty input?)")
+        require(family != "gamma" || !sylogy.isNaN,
+          "gamma family requires strictly positive response values")
       }
       if (i > 1 && math.abs(pass.dev - devPrev) / (math.abs(pass.dev) + 0.1) < tol) {
         // deviance stabilized: report the β that produced it (the previous
@@ -663,6 +694,9 @@ object Glm {
         else -2.0 * (swy * math.log(ybarAll) + (sw - swy) * math.log(1.0 - ybarAll))
       case "poisson" =>
         if (ybarAll <= 0.0) 0.0 else 2.0 * (sylogy - swy * math.log(ybarAll))
+      case "gamma" =>
+        // at μ = ȳ the linear term vanishes: 2(Σw·ln ȳ − Σw·ln y)
+        2.0 * (sw * math.log(ybarAll) - sylogy)
       case "gaussian" =>
         // Σw(y−ȳ)²: recover from the LAST pass? cheaper: dev at β=(ȳ,0,…) is
         // exactly the TSS — one extra pass only for gaussian (rare path)

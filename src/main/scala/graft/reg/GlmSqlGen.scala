@@ -40,7 +40,7 @@ object GlmSqlGen {
     * strategy=compress, tol=0, maxIter=iters (SEs from the final step's
     * XᵀWX — the same one-lag as the engine). */
   def irlsSql(cells: String, family: String, iters: Int, xTerm: String): String = {
-    require(Set("binomial", "poisson")(family), s"unsupported family: $family")
+    require(Set("binomial", "poisson", "gamma")(family), s"unsupported family: $family")
     require(iters >= 1)
     def sums(src: String, k: Int) =
       s"""i$k AS (SELECT sum(n*w) sw, sum(n*w*x) swx, sum(n*w*x*x) swxx,
@@ -50,7 +50,7 @@ object GlmSqlGen {
          |    (sw*swxz - swx*swz)/(sw*swxx - swx*swx) AS b1 FROM i$k)""".stripMargin
     val first = family match {
       case "binomial" => "(SELECT x, n, 0.25 AS w, (sy/n - 0.5)/0.25 AS z FROM c)"
-      case "poisson" => "(SELECT x, n, 1.0 AS w, sy/n - 1.0 AS z FROM c)"
+      case "poisson" | "gamma" => "(SELECT x, n, 1.0 AS w, sy/n - 1.0 AS z FROM c)"
     }
     def step(k: Int) = {
       val inner =
@@ -61,6 +61,9 @@ object GlmSqlGen {
              |   FROM (SELECT x, n, sy, eta, 1.0/(1.0+exp(-eta)) AS mu FROM $inner m$k) e$k)""".stripMargin
         case "poisson" =>
           s"""(SELECT x, n, mu AS w, eta + (sy/n - mu)/mu AS z
+             |   FROM (SELECT x, n, sy, eta, exp(eta) AS mu FROM $inner m$k) e$k)""".stripMargin
+        case "gamma" => // log link, V(μ)=μ² ⇒ unit working weight
+          s"""(SELECT x, n, 1.0 AS w, eta + (sy/n - mu)/mu AS z
              |   FROM (SELECT x, n, sy, eta, exp(eta) AS mu FROM $inner m$k) e$k)""".stripMargin
       }
       sums(wz, k)
@@ -93,7 +96,7 @@ object GlmSqlGen {
       bins: Int,
       extraWhere: Seq[String] = Nil
   ): String = {
-    require(Set("binomial", "poisson")(family), s"unsupported family: $family")
+    require(Set("binomial", "poisson", "gamma")(family), s"unsupported family: $family")
     val cells = cellsSql(table, xCol, ySql, None, extraWhere)
     val fitSql = irlsSql(cells, family, iters, xCol)
     // reuse everything up to the final solve CTE, then score rows
@@ -101,7 +104,7 @@ object GlmSqlGen {
     val notNull = (s"$xCol IS NOT NULL" +: extraWhere).mkString(" AND ")
     val mu = family match {
       case "binomial" => "1.0/(1.0 + exp(-(b.b0 + b.b1*CAST(r.x AS DOUBLE))))"
-      case "poisson" => "exp(b.b0 + b.b1*CAST(r.x AS DOUBLE))"
+      case "poisson" | "gamma" => "exp(b.b0 + b.b1*CAST(r.x AS DOUBLE))"
     }
     s"""$withPart,
        |rows_ AS (SELECT CAST($xCol AS DOUBLE) AS x, $ySql AS y FROM $table
@@ -118,7 +121,7 @@ object GlmSqlGen {
     * per-group closed-form solve, β re-attached with a USING (g) join).
     * Mirrors [[Glm.fitGrouped]] with strategy=compress. */
   def groupedIrlsSql(cells: String, family: String, iters: Int, xTerm: String): String = {
-    require(Set("binomial", "poisson")(family), s"unsupported family: $family")
+    require(Set("binomial", "poisson", "gamma")(family), s"unsupported family: $family")
     require(iters >= 1)
     def sums(src: String, k: Int) =
       s"""i$k AS (SELECT g, sum(n*w) sw, sum(n*w*x) swx, sum(n*w*x*x) swxx,
@@ -128,7 +131,7 @@ object GlmSqlGen {
          |    (sw*swxz - swx*swz)/(sw*swxx - swx*swx) AS b1 FROM i$k)""".stripMargin
     val first = family match {
       case "binomial" => "(SELECT g, x, n, 0.25 AS w, (sy/n - 0.5)/0.25 AS z FROM c)"
-      case "poisson" => "(SELECT g, x, n, 1.0 AS w, sy/n - 1.0 AS z FROM c)"
+      case "poisson" | "gamma" => "(SELECT g, x, n, 1.0 AS w, sy/n - 1.0 AS z FROM c)"
     }
     def step(k: Int) = {
       val inner =
@@ -140,6 +143,9 @@ object GlmSqlGen {
              |   FROM (SELECT g, x, n, sy, eta, 1.0/(1.0+exp(-eta)) AS mu FROM $inner m$k) e$k)""".stripMargin
         case "poisson" =>
           s"""(SELECT g, x, n, mu AS w, eta + (sy/n - mu)/mu AS z
+             |   FROM (SELECT g, x, n, sy, eta, exp(eta) AS mu FROM $inner m$k) e$k)""".stripMargin
+        case "gamma" =>
+          s"""(SELECT g, x, n, 1.0 AS w, eta + (sy/n - mu)/mu AS z
              |   FROM (SELECT g, x, n, sy, eta, exp(eta) AS mu FROM $inner m$k) e$k)""".stripMargin
       }
       sums(wz, k)

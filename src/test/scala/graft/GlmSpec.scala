@@ -38,6 +38,9 @@ class GlmSpec extends SparkTestBase {
           case "poisson" =>
             val mu = math.exp(eta)
             (ws(r) * mu, eta + (ys(r) - mu) / mu)
+          case "gamma" =>
+            val mu = math.exp(eta)
+            (ws(r), eta + (ys(r) - mu) / mu)
           case "gaussian" => (ws(r), ys(r))
         }
         for (i <- 0 until p; j <- 0 until p) xtx(i, j) += w2 * xs(r)(i) * xs(r)(j)
@@ -116,6 +119,43 @@ class GlmSpec extends SparkTestBase {
     assert(math.abs(a.se("x") - seref(1)) < 1e-8)
     assert(math.abs(a.deviance - b.deviance) < 1e-7, "compress deviance drifted")
     assert(math.abs(a.coef("x") - b.coef("x")) < 1e-9)
+  }
+
+  test("gamma IRLS matches reference; compress is exact; refuses y <= 0") {
+    val df = (0 until 600).map { i =>
+      val x = (i % 9) / 4.0
+      val y = 0.5 + ((i * 48271) % 7).toDouble // strictly positive skewed
+      (y, x)
+    }.toDF("y", "x")
+    val a = Glm.fit("y ~ x", df, family = "gamma",
+      strategy = "irls", maxIter = 6, tol = 0.0)
+    val b = Glm.fit("y ~ x", df, family = "gamma",
+      strategy = "compress", maxIter = 6, tol = 0.0)
+    val rows = df.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val (bref, seref) = refIrls(rows.map(r => Array(1.0, r._2)), rows.map(_._1),
+      Array.fill(rows.length)(1.0), "gamma", 6)
+    assert(math.abs(a.coef("(Intercept)") - bref(0)) < 1e-8)
+    assert(math.abs(a.coef("x") - bref(1)) < 1e-8)
+    assert(math.abs(a.se("x") - seref(1)) < 1e-8)
+    assert(math.abs(a.coef("x") - b.coef("x")) < 1e-9)
+    assert(math.abs(a.deviance - b.deviance) < 1e-7, "compress deviance drifted")
+    // deviance against the direct formula at the reported β
+    val dev = rows.map { case (y, x) =>
+      val mu = math.exp(a.coef("(Intercept)") + a.coef("x") * x)
+      2.0 * (-math.log(y / mu) + (y - mu) / mu)
+    }.sum
+    assert(math.abs(a.deviance - dev) < 1e-6 * dev)
+    // intercept-only: μ̂ = ȳ and deviance = null deviance
+    val io = Glm.fit("y ~ 0 + one", df.withColumn("one", lit(1.0)), family = "gamma",
+      strategy = "irls", maxIter = 12, tol = 1e-12)
+    val ybar = rows.map(_._1).sum / rows.length
+    assert(math.abs(io.coef("one") - math.log(ybar)) < 1e-8)
+    assert(math.abs(io.deviance - io.nullDeviance) < 1e-8)
+    val bad = intercept[IllegalArgumentException] {
+      Glm.fit("y ~ x", df.withColumn("y", col("y") - lit(1.0)),
+        family = "gamma", strategy = "irls")
+    }
+    assert(bad.getMessage.contains("positive"))
   }
 
   test("poisson intercept-only recovers log(mean); null deviance = deviance") {
