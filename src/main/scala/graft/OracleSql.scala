@@ -567,7 +567,7 @@ object OracleSql {
       family = "poisson", iters = 4,
       extraWhere = Seq("l_quantity IS NOT NULL")),
 
-    "q103_glm_gamma_fit" -> graft.reg.Glm.sqlOnly(
+    "q114_glm_gamma_fit" -> graft.reg.Glm.sqlOnly(
       "lineitem", "l_discount", "CAST(l_extendedprice AS DOUBLE)",
       family = "gamma", iters = 4,
       extraWhere = Seq("l_extendedprice IS NOT NULL")),

@@ -548,7 +548,7 @@ object Queries {
 
     // gamma rate regression: E[extendedprice | discount], log link with
     // unit working weight (V(μ)=μ² cancels), same four-step pin as q95/q96
-    "q103_glm_gamma_fit" -> ((s, dir) => {
+    "q114_glm_gamma_fit" -> ((s, dir) => {
       val fit = Glm.fit("l_extendedprice ~ l_discount", li(s, dir),
         family = "gamma", strategy = "compress", maxIter = 4, tol = 0.0)
       fit.toDF(s).select(col("term"),
