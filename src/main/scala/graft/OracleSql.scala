@@ -567,6 +567,12 @@ object OracleSql {
       family = "poisson", iters = 4,
       extraWhere = Seq("l_quantity IS NOT NULL")),
 
+    // 2SLS sql_only parity: the oracle text IS the engine-emitted SQL
+    "q115_iv_2sls" -> graft.reg.Iv.sqlOnly(
+      "lineitem", "l_quantity", "l_linenumber",
+      "CAST(l_extendedprice AS DOUBLE)",
+      extraWhere = Seq("l_extendedprice IS NOT NULL")),
+
     "q114_glm_gamma_fit" -> graft.reg.Glm.sqlOnly(
       "lineitem", "l_discount", "CAST(l_extendedprice AS DOUBLE)",
       family = "gamma", iters = 4,

@@ -546,6 +546,17 @@ object Queries {
         col("std_error").cast("float").as("std_error")).orderBy("term")
     }),
 
+    // 2SLS: extendedprice on (endogenous) quantity instrumented by
+    // linenumber — ONE joint moments scan (X∪Z∪y triangle), driver-side
+    // Wald/projection solve; float32 absorbs summation-order noise
+    "q115_iv_2sls" -> ((s, dir) => {
+      val fit = graft.reg.Iv.fit("l_extendedprice ~ l_quantity", li(s, dir),
+        endog = Seq("l_quantity"), instruments = Seq("l_linenumber"))
+      fit.toDF(s).select(col("term"),
+        col("estimate").cast("float").as("estimate"),
+        col("std_error").cast("float").as("std_error")).orderBy("term")
+    }),
+
     // gamma rate regression: E[extendedprice | discount], log link with
     // unit working weight (V(μ)=μ² cancels), same four-step pin as q95/q96
     "q114_glm_gamma_fit" -> ((s, dir) => {
