@@ -567,6 +567,40 @@ object OracleSql {
       family = "poisson", iters = 4,
       extraWhere = Seq("l_quantity IS NOT NULL")),
 
+    // k-fold CV ridge replay: md5 fold deal, per-fold sums, train = total −
+    // fold, closed-form centered ridge solve (standardize ⇒ penalty λ·a/n),
+    // held-out SSE from the fold's own sums; ties break to the smaller λ
+    "q116_cv_ridge" ->
+      s"""WITH rw AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+         |    l_extendedprice AS y,
+         |    ${hash32("'q116' || l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR")} % 5 AS f
+         |  FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+         |fs AS (SELECT f, count(*)::DOUBLE AS n, sum(x) sx, sum(y) sy,
+         |    sum(x*x) sxx, sum(x*y) sxy, sum(y*y) syy FROM rw GROUP BY f),
+         |tot AS (SELECT sum(n) n, sum(sx) sx, sum(sy) sy, sum(sxx) sxx,
+         |    sum(sxy) sxy, sum(syy) syy FROM fs),
+         |lam AS (SELECT * FROM (VALUES (1, 0.0), (2, 0.1), (3, 1.0),
+         |    (4, 10.0), (5, 100.0), (6, 1000.0)) l(li, lambda)),
+         |fit AS (SELECT fs.f, lam.li, lam.lambda,
+         |    (t.sxy - fs.sxy - (t.sx - fs.sx)*(t.sy - fs.sy)/(t.n - fs.n))
+         |      / ((t.sxx - fs.sxx - (t.sx - fs.sx)*(t.sx - fs.sx)/(t.n - fs.n))
+         |         * (1.0 + lam.lambda/(t.n - fs.n))) AS b1,
+         |    (t.sy - fs.sy)/(t.n - fs.n) AS ybt,
+         |    (t.sx - fs.sx)/(t.n - fs.n) AS xbt
+         |  FROM fs CROSS JOIN lam CROSS JOIN tot t),
+         |sse AS (SELECT fit.li, fit.lambda,
+         |    fs.syy - 2.0*((fit.ybt - fit.b1*fit.xbt)*fs.sy + fit.b1*fs.sxy)
+         |      + ((fit.ybt - fit.b1*fit.xbt)*(fit.ybt - fit.b1*fit.xbt)*fs.n
+         |         + 2.0*(fit.ybt - fit.b1*fit.xbt)*fit.b1*fs.sx
+         |         + fit.b1*fit.b1*fs.sxx) AS e
+         |  FROM fit JOIN fs USING (f)),
+         |cv AS (SELECT li, lambda, sum(e) AS cv_sse FROM sse GROUP BY 1, 2),
+         |best AS (SELECT li FROM cv ORDER BY cv_sse, li LIMIT 1)
+         |SELECT lambda, cv_sse::REAL AS cv_sse,
+         |  li = (SELECT li FROM best) AS chosen
+         |FROM cv ORDER BY lambda""".stripMargin,
+
     // 2SLS sql_only parity: the oracle text IS the engine-emitted SQL
     "q115_iv_2sls" -> graft.reg.Iv.sqlOnly(
       "lineitem", "l_quantity", "l_linenumber",

@@ -546,6 +546,20 @@ object Queries {
         col("std_error").cast("float").as("std_error")).orderBy("term")
     }),
 
+    // k-fold CV ridge: the whole λ grid evaluated from ONE keyed moments
+    // scan (per-fold triangles; train = total − fold driver-side); the
+    // md5 fold deal makes the procedure DuckDB-reproducible
+    "q116_cv_ridge" -> ((s, dir) => {
+      val data = li(s, dir).withColumn("rid",
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")))
+      val cv = graft.reg.Ridge.cv("l_extendedprice ~ l_quantity", data, "rid",
+        lambdas = Seq(0.0, 0.1, 1.0, 10.0, 100.0, 1000.0),
+        folds = 5, salt = "q116")
+      cv.toDF(s).select(col("lambda"),
+        col("cv_sse").cast("float").as("cv_sse"), col("chosen"))
+        .orderBy("lambda")
+    }),
+
     // 2SLS: extendedprice on (endogenous) quantity instrumented by
     // linenumber — ONE joint moments scan (X∪Z∪y triangle), driver-side
     // Wald/projection solve; float32 absorbs summation-order noise

@@ -141,6 +141,132 @@ object Ridge {
     }
   }
 
+  final case class CvResult(
+      lambdas: IndexedSeq[Double],
+      cvSse: IndexedSeq[Double], // Σ over folds of held-out SSE, `lambdas` order
+      bestLambda: Double,
+      fit: RidgeFit, // refit on ALL data at bestLambda
+      folds: Int,
+      nobs: Long) {
+    def toDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      lambdas.zip(cvSse).map { case (l, s) => (l, s, l == bestLambda) }
+        .toDF("lambda", "cv_sse", "chosen")
+    }
+  }
+
+  /** K-fold cross-validated λ selection from ONE corpus scan.
+    *
+    * Folds are dealt deterministically by the md5-derived 32-bit hash of
+    * `idCol` (the [[graft.sources.ScaleOps.hashSplit]] convention: stable
+    * across engines, partitions and reruns — and expressible in ANSI SQL,
+    * so the whole procedure has a DuckDB oracle). ONE keyed aggregation
+    * computes a per-fold raw moment triangle; every (fold, λ) train solve
+    * is then driver algebra on the k collected triangles: train sums =
+    * total − fold (no second scan), held-out SSE evaluates on the fold's
+    * OWN triangle via SSE = Σy² − 2cᵀ[Xᵀy] + cᵀ[XᵀX]c. The winning λ
+    * (smallest CV SSE; first in `lambdas` order on ties) is refit on the
+    * total triangle — still the same single scan. */
+  def cv(
+      formula: String,
+      df: DataFrame,
+      idCol: String,
+      lambdas: Seq[Double],
+      folds: Int = 5,
+      standardize: Boolean = true,
+      salt: String = ""
+  ): CvResult = {
+    import org.apache.spark.sql.functions._
+    require(lambdas.nonEmpty, "need at least one lambda")
+    lambdas.foreach(l => require(l >= 0.0, s"negative lambda: $l"))
+    require(folds >= 2, s"need at least 2 folds, got $folds")
+    val f = Formula.parse(formula)
+    require(f.fe.isEmpty, "ridge does not absorb fixed effects")
+    require(f.intercept, "ridge requires an intercept (centered form)")
+    val needed = (f.allInputCols :+ idCol).distinct
+    needed.foreach(c => require(df.columns.contains(c), s"column '$c' not found"))
+    val base = df.select(needed.map(col): _*)
+      .filter(f.allInputCols.map(col(_).isNotNull).reduce(_ && _))
+    val d = Dbreg.buildDesign(base, f, Seq(idCol), intercept = false)
+    val p = d.xNames.length
+    val y = col(Dbreg.Y)
+    def x(i: Int) = col(d.xNames(i))
+    val fold = graft.pipeline.TextOps
+      .hash32(concat(lit(salt), col(idCol).cast("string"))) % folds
+
+    val aggs = scala.collection.mutable.ArrayBuffer[Column]()
+    aggs += count(lit(1)).as("_n")
+    aggs += sum(y).as("_sy")
+    aggs += sum(y * y).as("_syy")
+    for (i <- 0 until p) {
+      aggs += sum(x(i)).as(s"_sx$i")
+      aggs += sum(x(i) * y).as(s"_sxy$i")
+    }
+    for (i <- 0 until p; j <- i until p)
+      aggs += sum(x(i) * x(j)).as(s"_sxx_${i}_$j")
+    val perFold = d.df.withColumn("_fold", fold)
+      .groupBy(col("_fold")).agg(aggs.head, aggs.tail.toSeq: _*)
+      .collect().sortBy(_.getAs[Long]("_fold"))
+    require(perFold.length >= 2,
+      s"data hashed into ${perFold.length} non-empty fold(s); need >= 2")
+
+    final case class Sums(n: Double, nRows: Long, sy: Double, syy: Double,
+        sx: DenseVector[Double], sxy: DenseVector[Double],
+        sxx: DenseMatrix[Double]) {
+      def -(o: Sums) = Sums(n - o.n, nRows - o.nRows, sy - o.sy, syy - o.syy,
+        sx - o.sx, sxy - o.sxy, sxx - o.sxx)
+      def +(o: Sums) = Sums(n + o.n, nRows + o.nRows, sy + o.sy, syy + o.syy,
+        sx + o.sx, sxy + o.sxy, sxx + o.sxx)
+      /** Raw intercept-augmented triangle (the pathFromTriangle layout). */
+      def triangle: (DenseMatrix[Double], DenseVector[Double]) = {
+        val m = DenseMatrix.zeros[Double](p + 1, p + 1)
+        m(0, 0) = n
+        for (i <- 0 until p) { m(0, i + 1) = sx(i); m(i + 1, 0) = sx(i) }
+        for (i <- 0 until p; j <- 0 until p) m(i + 1, j + 1) = sxx(i, j)
+        val v = DenseVector.zeros[Double](p + 1)
+        v(0) = sy
+        for (i <- 0 until p) v(i + 1) = sxy(i)
+        (m, v)
+      }
+    }
+    def sumsOf(r: org.apache.spark.sql.Row): Sums = {
+      def dd(nm: String): Double = r.getAs[Any](nm) match {
+        case null => 0.0
+        case v: Number => v.doubleValue
+      }
+      val nR = r.getAs[Long]("_n")
+      Sums(nR.toDouble, nR, dd("_sy"), dd("_syy"),
+        DenseVector.tabulate(p)(i => dd(s"_sx$i")),
+        DenseVector.tabulate(p)(i => dd(s"_sxy$i")),
+        DenseMatrix.tabulate(p, p)((i, j) =>
+          if (i <= j) dd(s"_sxx_${i}_$j") else dd(s"_sxx_${j}_$i")))
+    }
+    val foldSums = perFold.map(sumsOf)
+    val total = foldSums.reduce(_ + _)
+
+    val cvSse = Array.fill(lambdas.length)(0.0)
+    foldSums.foreach { fs =>
+      val tr = total - fs
+      val (m, v) = tr.triangle
+      val fits = pathFromTriangle(d.displayNames, m, v, tr.syy, tr.nRows,
+        lambdas, standardize)
+      fits.zipWithIndex.foreach { case (ft, li) =>
+        val c0 = ft.estimates(0) // intercept
+        val b = DenseVector.tabulate(p)(i => ft.estimates(i + 1))
+        val sse = fs.syy -
+          2.0 * (c0 * fs.sy + (b dot fs.sxy)) +
+          (c0 * c0 * fs.n + 2.0 * c0 * (b dot fs.sx) + (b dot (fs.sxx * b)))
+        cvSse(li) += sse
+      }
+    }
+    val bestI = cvSse.indices.minBy(i => (cvSse(i), i))
+    val (tm, tv) = total.triangle
+    val best = pathFromTriangle(d.displayNames, tm, tv, total.syy, total.nRows,
+      Seq(lambdas(bestI)), standardize).head
+    CvResult(lambdas.toIndexedSeq, cvSse.toIndexedSeq, lambdas(bestI), best,
+      folds, total.nRows)
+  }
+
   /** One ridge fit PER GROUP — per-domain shrinkage at millions of groups.
     * ONE keyed (partial+final) moment aggregation over the corpus, then the
     * penalized centered solves run EXECUTOR-SIDE (a narrow flatMap over the
