@@ -567,6 +567,27 @@ object OracleSql {
       family = "poisson", iters = 4,
       extraWhere = Seq("l_quantity IS NOT NULL")),
 
+    // Okapi BM25 (Lucene idf form), k1=1.2 b=0.75: same postings/df/length
+    // algebra as the engine; top-25 cut by (score desc, id), then id order
+    "q117_bm25_topk" ->
+      s"""WITH tk AS (SELECT doc_id AS id, ${toks("text")} AS t FROM documents),
+         |l AS (SELECT id, len(t)::DOUBLE AS dl FROM tk),
+         |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM l),
+         |tok AS (SELECT id, unnest(t) AS token FROM tk),
+         |p AS (SELECT id, token, count(*)::DOUBLE AS tf FROM tok
+         |  WHERE token IN ('hash', 'join', 'stream', 'vector') GROUP BY 1, 2),
+         |dfc AS (SELECT token, count(*)::DOUBLE AS df FROM p GROUP BY 1),
+         |sc AS (SELECT p.id,
+         |    sum(ln((st.n_docs - dfc.df + 0.5)/(dfc.df + 0.5) + 1.0)
+         |        * p.tf * (1.2 + 1.0)
+         |        / (p.tf + 1.2*(1.0 - 0.75 + 0.75*l.dl/st.avgdl))) AS bm25,
+         |    count(*) AS n_matched
+         |  FROM p JOIN dfc USING (token) JOIN l ON p.id = l.id CROSS JOIN st
+         |  GROUP BY p.id),
+         |top AS (SELECT * FROM sc ORDER BY bm25 DESC, id LIMIT 25)
+         |SELECT id, bm25::REAL AS bm25, n_matched FROM top
+         |ORDER BY id""".stripMargin,
+
     // k-fold CV ridge replay: md5 fold deal, per-fold sums, train = total −
     // fold, closed-form centered ridge solve (standardize ⇒ penalty λ·a/n),
     // held-out SSE from the fold's own sums; ties break to the smaller λ

@@ -546,6 +546,17 @@ object Queries {
         col("std_error").cast("float").as("std_error")).orderBy("term")
     }),
 
+    // retrieval: Okapi BM25 top-25 for a fixed query-term bag — ONE corpus
+    // scan (postings filtered to the query terms BEFORE any shuffle), df
+    // and corpus stats broadcast, top-k via TakeOrderedAndProject; output
+    // re-sorted by id so float rank noise can't reorder the hash compare
+    "q117_bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("hash", "join", "stream", "vector"), k = 25)
+        .select(col("id"), col("bm25").cast("float").as("bm25"),
+          col("n_matched"))
+        .orderBy("id")),
+
     // k-fold CV ridge: the whole λ grid evaluated from ONE keyed moments
     // scan (per-fold triangles; train = total − fold driver-side); the
     // md5 fold deal makes the procedure DuckDB-reproducible

@@ -454,6 +454,63 @@ object TextOps {
         (col("tf").cast("double") * log(lit(n) / col("df").cast("double"))).as("tfidf"))
   }
 
+  /** Okapi BM25 retrieval: score every matching document against a bag of
+    * query terms and return the top `k` (score desc, id asc tiebreak).
+    *
+    *   score(d) = Σ_{t ∈ terms}  idf(t) · tf(t,d)·(k1+1)
+    *                             / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    *   idf(t)   = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )   (Lucene form)
+    *
+    * Scale shape: the corpus is scanned ONCE — tokenize, keep per-doc
+    * length, and explode only tokens in the query set (the isin filter runs
+    * before the (id, token) aggregation, so only query-term postings ever
+    * shuffle: the postings volume is O(matching docs · |terms|), not corpus
+    * size). Corpus stats (N, avgdl) are a one-row aggregate crossJoined in
+    * (broadcast). df(t) has ≤ |terms| rows — broadcast-joined. The final
+    * top-k is orderBy+limit = TakeOrderedAndProject: per-partition heaps, no
+    * global sort. Returns (id, bm25, n_matched).
+    *
+    * Reference composition target: retrieval-style corpus queries over the
+    * same postings the reference's text tooling builds (R/utils.r tokenize
+    * helpers); BM25 constants follow Robertson & Walker (1994). */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, s"top-k must be positive, got $k")
+    val toksDf = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    val lens = toksDf.select(col("id"), size(col("t")).cast("double").as("dl"))
+    // one-row corpus stats; crossJoin broadcasts the single row everywhere
+    val stats = lens.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val posts = toksDf
+      .select(col("id"), explode(col("t")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("id", "token")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfc = posts.groupBy("token")
+      .agg(count(lit(1)).cast("double").as("df"))
+    posts
+      .join(broadcast(dfc), "token")
+      .join(lens, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("id")
+      .agg(sum(col("contrib")).as("bm25"), count(lit(1)).as("n_matched"))
+      .orderBy(col("bm25").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Corpus-trained bigram language-model score per document: the mean log
     * probability of the doc's bigrams under add-one-smoothed corpus counts —
     * the KenLM-style quality-filter signal, built entirely from DataFrame

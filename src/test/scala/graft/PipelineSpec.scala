@@ -952,4 +952,29 @@ class PipelineSpec extends SparkTestBase {
     assert(GraftInternal.cacheManagerIsEmpty(spark),
       "an operator registered a CacheManager entry it can never release")
   }
+
+  test("BM25: hand-computed Okapi scores, non-matching docs excluded, k cuts") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian durian durian durian"),
+      (4L, "apple")).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(corpus, "doc_id", "text",
+      Seq("apple", "cherry"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // N=4, avgdl=2.5; idf(apple)=ln 2 (df 2), idf(cherry)=ln(10/3) (df 1)
+    val doc1 = math.log(2.0) * 2.0 * 2.2 / (2.0 + 1.2 * (0.25 + 0.75 * 3.0 / 2.5))
+    val doc2 = math.log(10.0 / 3.0) * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 2.0 / 2.5))
+    val doc4 = math.log(2.0) * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 1.0 / 2.5))
+    assert(out.map(_._1).toSeq == Seq(2L, 4L, 1L)) // score-desc order
+    assert(out.forall(_._3 == 1L))
+    val byId = out.map(t => t._1 -> t._2).toMap
+    assert(math.abs(byId(1L) - doc1) < 1e-12)
+    assert(math.abs(byId(2L) - doc2) < 1e-12)
+    assert(math.abs(byId(4L) - doc4) < 1e-12)
+    // doc 3 never matches; k=2 keeps only the two best
+    val cut = TextOps.bm25TopK(corpus, "doc_id", "text",
+      Seq("apple", "cherry"), k = 2).collect().map(_.getLong(0)).toSet
+    assert(cut == Set(2L, 4L))
+  }
 }
