@@ -567,6 +567,41 @@ object OracleSql {
       family = "poisson", iters = 4,
       extraWhere = Seq("l_quantity IS NOT NULL")),
 
+    // split-conformal replay: same md5 deals (outer 0.8 fit / 0.2 test,
+    // inner 0.5 train / 0.5 cal), closed-form OLS on train, qhat = k-th
+    // smallest cal |resid| (k = ceil(0.9(n+1))), coverage on test; the NULL
+    // CASE mirrors Spark's null-boolean avg exclusion
+    "q118_conformal_intervals" ->
+      s"""WITH r0 AS (SELECT l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR
+         |    AS rid, CAST(l_quantity AS DOUBLE) AS x,
+         |    CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+         |d AS (SELECT *, ${hash32("'q118o' || rid")} / 4294967296.0 AS u1 FROM r0),
+         |fitp AS (SELECT *, ${hash32("'q118i' || rid")} / 4294967296.0 AS u2
+         |  FROM d WHERE u1 < 0.8),
+         |tr AS (SELECT x, y FROM fitp
+         |  WHERE u2 < 0.5 AND x IS NOT NULL AND y IS NOT NULL),
+         |m AS (SELECT count(*)::DOUBLE n, sum(x) sx, sum(y) sy,
+         |    sum(x*x) sxx, sum(x*y) sxy FROM tr),
+         |b AS (SELECT (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1,
+         |    (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n AS b0 FROM m),
+         |calres AS (SELECT abs(y - (b.b0 + b.b1*x)) AS r
+         |  FROM fitp CROSS JOIN b
+         |  WHERE u2 >= 0.5 AND x IS NOT NULL AND y IS NOT NULL),
+         |ks AS (SELECT count(*)::BIGINT AS nc FROM calres),
+         |kk AS (SELECT nc, CAST(ceil(0.9*(nc+1)) AS BIGINT) AS k FROM ks),
+         |rk AS (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM calres),
+         |qh AS (SELECT rk.r AS qhat FROM rk, kk WHERE rk.rn = kk.k),
+         |te AS (SELECT x, y FROM d WHERE u1 >= 0.8),
+         |cov AS (SELECT count(*)::BIGINT AS n_test,
+         |    avg(CASE WHEN x IS NULL OR y IS NULL THEN NULL
+         |             WHEN y >= (b0 + b1*x) - qhat AND y <= (b0 + b1*x) + qhat
+         |             THEN 1.0 ELSE 0.0 END) AS coverage
+         |  FROM te CROSS JOIN b CROSS JOIN qh)
+         |SELECT n_test, coverage::REAL AS coverage,
+         |  (SELECT qhat FROM qh)::REAL AS qhat,
+         |  (SELECT nc FROM ks)::BIGINT AS n_cal
+         |FROM cov""".stripMargin,
+
     // Okapi BM25 (Lucene idf form), k1=1.2 b=0.75: same postings/df/length
     // algebra as the engine; top-25 cut by (score desc, id), then id order
     "q117_bm25_topk" ->

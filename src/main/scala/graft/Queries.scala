@@ -546,6 +546,28 @@ object Queries {
         col("std_error").cast("float").as("std_error")).orderBy("term")
     }),
 
+    // split-conformal prediction intervals: deterministic md5 deal into
+    // fit/test, inner deal into train/calibration, qhat = k-th smallest
+    // calibration |resid|; distribution-free coverage checked on test
+    "q118_conformal_intervals" -> ((s, dir) => {
+      val data = li(s, dir).withColumn("rid",
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")))
+      val dealt = graft.sources.ScaleOps.hashSplit(data, "rid",
+        Seq("fit" -> 0.8, "test" -> 0.2), salt = "q118o")
+      val fitPart = dealt.filter(col("split") === "fit").drop("split")
+      val test = dealt.filter(col("split") === "test").drop("split")
+      val cm = graft.reg.Conformal.fit("l_extendedprice ~ l_quantity",
+        fitPart, "rid", alpha = 0.1, salt = "q118i", strategy = "moments")
+      cm.intervals(test)
+        .agg(
+          count(lit(1)).as("n_test"),
+          avg((col("l_extendedprice") >= col("lo") &&
+            col("l_extendedprice") <= col("hi")).cast("double"))
+            .cast("float").as("coverage"))
+        .withColumn("qhat", lit(cm.qhat).cast("float"))
+        .withColumn("n_cal", lit(cm.nCal))
+    }),
+
     // retrieval: Okapi BM25 top-25 for a fixed query-term bag — ONE corpus
     // scan (postings filtered to the query terms BEFORE any shuffle), df
     // and corpus stats broadcast, top-k via TakeOrderedAndProject; output
