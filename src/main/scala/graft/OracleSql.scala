@@ -567,6 +567,29 @@ object OracleSql {
       family = "poisson", iters = 4,
       extraWhere = Seq("l_quantity IS NOT NULL")),
 
+    // chi-squared token-label association: same contingency algebra, same
+    // textual operation order (bit-identical doubles -> stable top-15 cut)
+    "q119_token_chi2" ->
+      s"""WITH base AS (SELECT doc_id AS id,
+         |    list_contains(${toks("text")}, 'spark') AS lab,
+         |    list_distinct(${toks("text")}) AS t FROM documents),
+         |tot AS (SELECT count(*)::DOUBLE AS n_docs,
+         |    sum(CASE WHEN lab THEN 1.0 ELSE 0.0 END) AS n_pos FROM base),
+         |tk AS (SELECT lab, unnest(t) AS token FROM base),
+         |cnt AS (SELECT token, count(*)::DOUBLE AS df,
+         |    sum(CASE WHEN lab THEN 1.0 ELSE 0.0 END) AS df_pos
+         |  FROM tk GROUP BY 1),
+         |x AS (SELECT token, df,
+         |    n_docs
+         |    * (df_pos*(n_docs - n_pos - (df - df_pos))
+         |       - (df - df_pos)*(n_pos - df_pos))
+         |    * (df_pos*(n_docs - n_pos - (df - df_pos))
+         |       - (df - df_pos)*(n_pos - df_pos))
+         |    / (df * (n_docs - df) * n_pos * (n_docs - n_pos)) AS chi2
+         |  FROM cnt CROSS JOIN tot WHERE df < n_docs)
+         |SELECT token, df::BIGINT AS df, chi2::REAL AS chi2
+         |FROM x ORDER BY chi2 DESC, token LIMIT 15""".stripMargin,
+
     // split-conformal replay: same md5 deals (outer 0.8 fit / 0.2 test,
     // inner 0.5 train / 0.5 cal), closed-form OLS on train, qhat = k-th
     // smallest cal |resid| (k = ceil(0.9(n+1))), coverage on test; the NULL

@@ -546,6 +546,15 @@ object Queries {
         col("std_error").cast("float").as("std_error")).orderBy("term")
     }),
 
+    // feature selection: chi-squared token-label association, label =
+    // "doc mentions spark"; one token-keyed agg + broadcast totals, top-15
+    "q119_token_chi2" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.tokenLabelAssociation(d, "doc_id", "text",
+        array_contains(TextOps.tokens(col("text")), "spark"), k = 15)
+        .select(col("token"), col("df"), col("chi2").cast("float").as("chi2"))
+    }),
+
     // split-conformal prediction intervals: deterministic md5 deal into
     // fit/test, inner deal into train/calibration, qhat = k-th smallest
     // calibration |resid|; distribution-free coverage checked on test

@@ -511,6 +511,61 @@ object TextOps {
       .limit(k)
   }
 
+  /** Chi-squared token–label association: rank tokens by how strongly their
+    * document-level presence predicts a boolean label — the feature-selection
+    * step in front of a fastText/logistic quality classifier (CCNet/Gopher
+    * style curation trains exactly this kind of classifier).
+    *
+    * Per token, the 2×2 contingency table over documents is
+    *   n11 = labeled docs containing it, n10 = unlabeled docs containing it,
+    *   n01/n00 the complements, and
+    *   χ² = N·(n11·n00 − n10·n01)² / (df·(N−df)·pos·(N−pos)).
+    *
+    * Scale shape: ONE corpus scan — label and distinct-token set are a pure
+    * projection, the per-token table is a single token-keyed aggregation
+    * (map-side combined counts), corpus totals are a broadcast one-row
+    * crossJoin, and the top-k is a TakeOrdered heap. Nothing joins on doc
+    * id and nothing is corpus×corpus. Returns (token, df, chi2).
+    */
+  def tokenLabelAssociation(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"top-k must be positive, got $k")
+    val base = df.select(
+      col(idCol).as("id"),
+      label.cast("boolean").as("lab"),
+      array_distinct(tokens(col(textCol))).as("t"))
+    val tot = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("lab").cast("double")).as("n_pos"))
+    base
+      .select(col("lab"), explode(col("t")).as("token"))
+      .groupBy("token")
+      .agg(
+        count(lit(1)).cast("double").as("df"),
+        sum(col("lab").cast("double")).as("df_pos"))
+      .crossJoin(broadcast(tot))
+      // a token present in EVERY doc has zero discriminating power and a
+      // zero denominator (0/0 NaN differs across engines) — drop it; a
+      // constant label likewise zeroes the denominator: caller's contract
+      .filter(col("df") < col("n_docs"))
+      .withColumn("chi2",
+        col("n_docs") *
+          (col("df_pos") * (col("n_docs") - col("n_pos") - (col("df") - col("df_pos")))
+            - (col("df") - col("df_pos")) * (col("n_pos") - col("df_pos")))
+          * (col("df_pos") * (col("n_docs") - col("n_pos") - (col("df") - col("df_pos")))
+            - (col("df") - col("df_pos")) * (col("n_pos") - col("df_pos")))
+          / (col("df") * (col("n_docs") - col("df"))
+            * col("n_pos") * (col("n_docs") - col("n_pos"))))
+      .select(col("token"), col("df").cast("long").as("df"), col("chi2"))
+      .orderBy(col("chi2").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Corpus-trained bigram language-model score per document: the mean log
     * probability of the doc's bigrams under add-one-smoothed corpus counts —
     * the KenLM-style quality-filter signal, built entirely from DataFrame

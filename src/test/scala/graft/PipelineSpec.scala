@@ -953,6 +953,28 @@ class PipelineSpec extends SparkTestBase {
       "an operator registered a CacheManager entry it can never release")
   }
 
+  test("token chi2: hand-computed 2x2 tables, universal tokens dropped, ties break on token") {
+    val corpus = Seq(
+      (1L, "good apple"), (2L, "good banana"),
+      (3L, "bad apple"), (4L, "bad cherry")).toDF("doc_id", "text")
+    val out = TextOps.tokenLabelAssociation(corpus, "doc_id", "text",
+      array_contains(TextOps.tokens(col("text")), "good"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // chi2: good=bad=4 (perfect association), banana=cherry=4/3, apple=0
+    assert(out.map(_._1).toSeq ==
+      Seq("bad", "good", "banana", "cherry", "apple"))
+    assert(math.abs(out(0)._3 - 4.0) < 1e-12)
+    assert(math.abs(out(2)._3 - 4.0 / 3.0) < 1e-12)
+    assert(out(4)._3 == 0.0)
+    assert(out.map(_._2).toSeq == Seq(2L, 2L, 1L, 1L, 2L))
+    // a token present in every doc is excluded (zero denominator)
+    val univ = Seq((1L, "x good"), (2L, "x bad")).toDF("doc_id", "text")
+    val u = TextOps.tokenLabelAssociation(univ, "doc_id", "text",
+      array_contains(TextOps.tokens(col("text")), "good"), k = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(!u.contains("x") && u == Set("good", "bad"))
+  }
+
   test("BM25: hand-computed Okapi scores, non-matching docs excluded, k cuts") {
     val corpus = Seq(
       (1L, "apple banana apple"),
