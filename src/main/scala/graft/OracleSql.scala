@@ -686,6 +686,11 @@ object OracleSql {
       "CAST(l_extendedprice AS DOUBLE)",
       extraWhere = Seq("l_extendedprice IS NOT NULL")),
 
+    "q120_glm_negbin_fit" -> graft.reg.Glm.sqlOnly(
+      "lineitem", "l_discount", "CAST(l_quantity AS DOUBLE)",
+      family = "negbin", iters = 4, theta = 2.0,
+      extraWhere = Seq("l_quantity IS NOT NULL")),
+
     "q114_glm_gamma_fit" -> graft.reg.Glm.sqlOnly(
       "lineitem", "l_discount", "CAST(l_extendedprice AS DOUBLE)",
       family = "gamma", iters = 4,

@@ -613,6 +613,18 @@ object Queries {
         col("std_error").cast("float").as("std_error")).orderBy("term")
     }),
 
+    // negative-binomial count regression (NB2, fixed theta=2): quantity on
+    // discount, log link, working weight mu*theta/(mu+theta); same
+    // unrolled-IRLS self-proving oracle as q95/q96/q114
+    "q120_glm_negbin_fit" -> ((s, dir) => {
+      val fit = Glm.fit("l_quantity ~ l_discount", li(s, dir),
+        family = "negbin", theta = 2.0, strategy = "compress",
+        maxIter = 4, tol = 0.0)
+      fit.toDF(s).select(col("term"),
+        col("estimate").cast("float").as("estimate"),
+        col("std_error").cast("float").as("std_error")).orderBy("term")
+    }),
+
     // gamma rate regression: E[extendedprice | discount], log link with
     // unit working weight (V(μ)=μ² cancels), same four-step pin as q95/q96
     "q114_glm_gamma_fit" -> ((s, dir) => {

@@ -157,18 +157,19 @@ object Glm {
       family: String = "binomial",
       iters: Int = 4,
       groupCol: Option[String] = None,
-      extraWhere: Seq[String] = Nil
+      extraWhere: Seq[String] = Nil,
+      theta: Double = 1.0
   ): String = {
     val cells = GlmSqlGen.cellsSql(table, xCol, ySql, groupCol, extraWhere)
     groupCol match {
-      case Some(_) => GlmSqlGen.groupedIrlsSql(cells, family, iters, xCol)
-      case None => GlmSqlGen.irlsSql(cells, family, iters, xCol)
+      case Some(_) => GlmSqlGen.groupedIrlsSql(cells, family, iters, xCol, theta)
+      case None => GlmSqlGen.irlsSql(cells, family, iters, xCol, theta)
     }
   }
 
   def linkInv(family: String, eta: Column): Column = family match {
     case "binomial" => sigmoid(eta)
-    case "poisson" | "gamma" => exp(eta)
+    case "poisson" | "gamma" | "negbin" => exp(eta)
     case "gaussian" => eta
     case other => throw new IllegalArgumentException(s"unknown family: $other")
   }
@@ -176,8 +177,12 @@ object Glm {
   /** Families the engine fits. Gamma uses the log link with UNIT working
     * weight (μ²/V(μ) = 1), so its compressed iterates are cell-exact like
     * the others; SEs follow the engine's φ = 1 convention (as for
-    * gaussian) — scale by your preferred dispersion estimate if needed. */
-  val Families: Set[String] = Set("binomial", "poisson", "gaussian", "gamma")
+    * gaussian) — scale by your preferred dispersion estimate if needed.
+    * `negbin` is NB2 with FIXED dispersion θ (the `theta` parameter):
+    * log link, V(μ) = μ + μ²/θ ⇒ working weight μθ/(θ+μ) — the standard
+    * overdispersed-count model (Cameron & Trivedi 2013 §3.3; estimating θ
+    * itself needs the profile likelihood and stays out of scope). */
+  val Families: Set[String] = Set("binomial", "poisson", "gaussian", "gamma", "negbin")
 
   /** Fit a GLM.
     *
@@ -207,10 +212,12 @@ object Glm {
       weights: Option[String] = None,
       offset: Option[String] = None,
       compressRatio: Double = 0.25,
-      vcov: String = "iid"
+      vcov: String = "iid",
+      theta: Double = 1.0
   ): GlmResult = {
     val v = Vcov.parse(vcov)
     require(Families(family), s"unknown family: $family")
+    require(theta > 0.0, s"negbin dispersion theta must be positive, got $theta")
     require(Set("auto", "irls", "compress")(strategy), s"unknown strategy: $strategy")
     require(maxIter >= 1, "maxIter must be >= 1")
     val f = Formula.parse(formula)
@@ -247,6 +254,14 @@ object Glm {
     val ylogy = family match {
       case "poisson" => when(y > 0.0, wt * y * log(y)).otherwise(0.0)
       case "gamma" => when(y > 0.0, wt * log(y)).otherwise(lit(Double.NaN))
+      // negbin carries the whole non-μ-linear deviance part per unit:
+      // w·[y·ln y − (y+θ)·ln(y+θ)]; a y < 0 row poisons it with NaN (the
+      // explicit branch matters: Spark's ln yields NULL below zero and sum
+      // would silently skip it)
+      case "negbin" =>
+        when(y < 0.0, lit(Double.NaN)).otherwise(
+          when(y > 0.0, wt * y * log(y)).otherwise(lit(0.0)) -
+            wt * (y + lit(theta)) * log(y + lit(theta)))
       case _ => lit(0.0)
     }
     val off = offset.map(col(_).cast("double")).getOrElse(lit(0.0))
@@ -283,11 +298,11 @@ object Glm {
       all.map(c => ModelMatrix.displayName(c.name) -> c.col).toMap
     val res0 =
       try fitIrls(f, family, chosen, work, xNames, displayNames, exprByName,
-        maxIter, tol, offset)
+        maxIter, tol, offset, theta)
       finally if (chosen == "compress") { work.unpersist(); () }
     v match {
       case Vcov.Iid => res0
-      case _ => sandwich(res0, v, base, exprByName, f, family, wt, offset)
+      case _ => sandwich(res0, v, base, exprByName, f, family, wt, offset, theta)
     }
   }
 
@@ -309,7 +324,8 @@ object Glm {
       f: Formula,
       family: String,
       wt: Column,
-      offset: Option[String]
+      offset: Option[String],
+      theta: Double = 1.0
   ): GlmResult = {
     val kept = res.coeftable.map(_.term).toIndexedSeq
     val p = kept.length
@@ -319,7 +335,13 @@ object Glm {
     }.reduce(_ + _)
     val eta = offset.fold(etaX)(o => etaX + col(o).cast("double"))
     val mu = linkInv(family, eta)
-    val r = col(f.y).cast("double") - mu
+    // ∂ℓ/∂η = y − μ for the canonical links; the NON-canonical log-link
+    // negbin score carries the extra factor (dμ/dη)/V(μ) = θ/(θ+μ)
+    val scoreFac = family match {
+      case "negbin" => lit(theta) / (mu + lit(theta))
+      case _ => lit(1.0)
+    }
+    val r = (col(f.y).cast("double") - mu) * scoreFac
     // frequency-weight semantics: w replicated rows contribute w·(rx)(rx)ᵀ
     // to the per-ROW meat but a single combined w·r·x to their CLUSTER's
     // score — so HC1 scales by w, cluster sums scale by w
@@ -395,9 +417,11 @@ object Glm {
       family: String = "binomial",
       strategy: String = "auto",
       maxIter: Int = 8,
-      compressRatio: Double = 0.25
+      compressRatio: Double = 0.25,
+      theta: Double = 1.0
   ): DataFrame = {
     require(Families(family), s"unknown family: $family")
+    require(theta > 0.0, s"negbin dispersion theta must be positive, got $theta")
     require(Set("auto", "irls", "compress")(strategy), s"unknown strategy: $strategy")
     require(maxIter >= 1, "maxIter must be >= 1")
     val f = Formula.parse(formula)
@@ -422,6 +446,10 @@ object Glm {
     val ylogy = family match {
       case "poisson" => when(y > 0.0, y * log(y)).otherwise(0.0)
       case "gamma" => when(y > 0.0, log(y)).otherwise(lit(Double.NaN))
+      case "negbin" =>
+        when(y < 0.0, lit(Double.NaN)).otherwise(
+          when(y > 0.0, y * log(y)).otherwise(lit(0.0)) -
+            (y + lit(theta)) * log(y + lit(theta)))
       case _ => lit(0.0)
     }
     val rowFrame = base.select(
@@ -483,6 +511,11 @@ object Glm {
           val mu = greatest(exp(eta), lit(Eps))
           val dt = (w * log(mu) + w * yb / mu - w - col("_ylogy")) * lit(2.0)
           (w, eta + (yb - mu) / mu, dt)
+        case "negbin" =>
+          val mu = greatest(exp(eta), lit(Eps))
+          val dt = (col("_ylogy") - w * yb * log(mu) +
+            w * (yb + lit(theta)) * log(mu + lit(theta))) * lit(2.0)
+          (w * mu * lit(theta) / (mu + lit(theta)), eta + (yb - mu) / mu, dt)
         case "gaussian" =>
           (w, yb, w * (yb - eta) * (yb - eta))
       }
@@ -531,6 +564,7 @@ object Glm {
     val lastMom = momentAgg(withWZ(lastSrc, haveBeta = maxIter > 1))
     val names = displayNames
     val fam = family
+    val thetaLocal = theta
     lastMom.flatMap { r =>
       val g = r.getAs[String]("_g")
       val (sol, n, dev) = solveRow(r)
@@ -547,6 +581,10 @@ object Glm {
         case "poisson" =>
           if (yb <= 0.0) 0.0 else 2.0 * (sylogy - swy * math.log(yb))
         case "gamma" => 2.0 * (n * math.log(yb) - sylogy)
+        case "negbin" =>
+          if (yb <= 0.0) 0.0
+          else 2.0 * (sylogy - swy * math.log(yb) +
+            (swy + thetaLocal * n) * math.log(yb + thetaLocal))
         case "gaussian" => syy - swy * swy / n
       }
       val pr2 = if (nullDev > 0.0) 1.0 - dev / nullDev else 0.0
@@ -572,7 +610,8 @@ object Glm {
       family: String,
       beta: Array[Double],
       firstPass: Boolean,
-      hasOffset: Boolean = false
+      hasOffset: Boolean = false,
+      theta: Double = 1.0
   ): Pass = {
     val etaX =
       if (beta.forall(_ == 0.0)) lit(0.0)
@@ -602,6 +641,14 @@ object Glm {
         // linear in ȳ so the compressed cells are exact
         val dev = sum(w * log(mu) + w * yb / mu - w - col("_ylogy")) * lit(2.0)
         (w, etaX + (yb - mu) / mu, dev)
+      case "negbin" =>
+        val mu = greatest(exp(eta), lit(Eps))
+        // d = 2Σw[y·ln y − y·ln μ − (y+θ)·ln(y+θ) + (y+θ)·ln(μ+θ)];
+        // the y-only part rides in _ylogy, the μ part is linear in ȳ —
+        // compressed cells stay exact (μ constant within a cell)
+        val dev = sum(col("_ylogy") - w * yb * log(mu) +
+          w * (yb + lit(theta)) * log(mu + lit(theta))) * lit(2.0)
+        (w * mu * lit(theta) / (mu + lit(theta)), etaX + (yb - mu) / mu, dev)
       case "gaussian" =>
         val mu = eta
         val dev = sum(w * (yb - mu) * (yb - mu))
@@ -631,7 +678,8 @@ object Glm {
       exprByName: Map[String, Column],
       maxIter: Int,
       tol: Double,
-      offset: Option[String] = None
+      offset: Option[String] = None,
+      theta: Double = 1.0
   ): GlmResult = {
     val hasOffset = offset.isDefined
     var xNames = xNames0
@@ -647,12 +695,14 @@ object Glm {
 
     var i = 1
     while (i <= maxIter && !converged) {
-      val pass = irlsPass(work, xNames, family, beta, firstPass = i == 1, hasOffset)
+      val pass = irlsPass(work, xNames, family, beta, firstPass = i == 1, hasOffset, theta)
       if (i == 1) {
         sw = pass.sw; swy = pass.swy; sylogy = pass.sylogy; nCells = pass.mom.nRows
         require(nCells > 0, "no rows after missing-value filtering (empty input?)")
         require(family != "gamma" || !sylogy.isNaN,
           "gamma family requires strictly positive response values")
+        require(family != "negbin" || !sylogy.isNaN,
+          "negbin family requires nonnegative response values")
       }
       if (i > 1 && math.abs(pass.dev - devPrev) / (math.abs(pass.dev) + 0.1) < tol) {
         // deviance stabilized: report the β that produced it (the previous
@@ -685,7 +735,7 @@ object Glm {
     // the deviance OF the reported β against its predecessor's
     val deviance =
       if (converged) devPrev
-      else irlsPass(work, xNames, family, beta, firstPass = false, hasOffset).dev
+      else irlsPass(work, xNames, family, beta, firstPass = false, hasOffset, theta).dev
 
     val ybarAll = swy / sw
     val nullDeviance = if (hasOffset) Double.NaN else family match {
@@ -697,6 +747,12 @@ object Glm {
       case "gamma" =>
         // at μ = ȳ the linear term vanishes: 2(Σw·ln ȳ − Σw·ln y)
         2.0 * (sw * math.log(ybarAll) - sylogy)
+      case "negbin" =>
+        // sylogy = Σw[y·ln y − (y+θ)·ln(y+θ)]; at μ = ȳ the deviance is
+        // 2[sylogy − Σwy·ln ȳ + (Σwy + θΣw)·ln(ȳ+θ)]
+        if (ybarAll <= 0.0) 0.0
+        else 2.0 * (sylogy - swy * math.log(ybarAll) +
+          (swy + theta * sw) * math.log(ybarAll + theta))
       case "gaussian" =>
         // Σw(y−ȳ)²: recover from the LAST pass? cheaper: dev at β=(ȳ,0,…) is
         // exactly the TSS — one extra pass only for gaussian (rare path)

@@ -39,8 +39,10 @@ object GlmSqlGen {
     * closed-form 2×2 solve per step. Mirrors [[Glm.fit]] with
     * strategy=compress, tol=0, maxIter=iters (SEs from the final step's
     * XᵀWX — the same one-lag as the engine). */
-  def irlsSql(cells: String, family: String, iters: Int, xTerm: String): String = {
-    require(Set("binomial", "poisson", "gamma")(family), s"unsupported family: $family")
+  def irlsSql(cells: String, family: String, iters: Int, xTerm: String,
+      theta: Double = 1.0): String = {
+    require(Set("binomial", "poisson", "gamma", "negbin")(family),
+      s"unsupported family: $family")
     require(iters >= 1)
     def sums(src: String, k: Int) =
       s"""i$k AS (SELECT sum(n*w) sw, sum(n*w*x) swx, sum(n*w*x*x) swxx,
@@ -51,6 +53,9 @@ object GlmSqlGen {
     val first = family match {
       case "binomial" => "(SELECT x, n, 0.25 AS w, (sy/n - 0.5)/0.25 AS z FROM c)"
       case "poisson" | "gamma" => "(SELECT x, n, 1.0 AS w, sy/n - 1.0 AS z FROM c)"
+      // β=0 ⇒ μ=1: working weight μθ/(μ+θ) = θ/(1+θ)
+      case "negbin" =>
+        s"(SELECT x, n, $theta/(1.0 + $theta) AS w, sy/n - 1.0 AS z FROM c)"
     }
     def step(k: Int) = {
       val inner =
@@ -64,6 +69,9 @@ object GlmSqlGen {
              |   FROM (SELECT x, n, sy, eta, exp(eta) AS mu FROM $inner m$k) e$k)""".stripMargin
         case "gamma" => // log link, V(μ)=μ² ⇒ unit working weight
           s"""(SELECT x, n, 1.0 AS w, eta + (sy/n - mu)/mu AS z
+             |   FROM (SELECT x, n, sy, eta, exp(eta) AS mu FROM $inner m$k) e$k)""".stripMargin
+        case "negbin" => // log link, V(μ)=μ+μ²/θ ⇒ weight μθ/(μ+θ)
+          s"""(SELECT x, n, mu*$theta/(mu + $theta) AS w, eta + (sy/n - mu)/mu AS z
              |   FROM (SELECT x, n, sy, eta, exp(eta) AS mu FROM $inner m$k) e$k)""".stripMargin
       }
       sums(wz, k)
@@ -120,8 +128,10 @@ object GlmSqlGen {
     * the group key `g` carried through every CTE (GROUP BY g sums,
     * per-group closed-form solve, β re-attached with a USING (g) join).
     * Mirrors [[Glm.fitGrouped]] with strategy=compress. */
-  def groupedIrlsSql(cells: String, family: String, iters: Int, xTerm: String): String = {
-    require(Set("binomial", "poisson", "gamma")(family), s"unsupported family: $family")
+  def groupedIrlsSql(cells: String, family: String, iters: Int, xTerm: String,
+      theta: Double = 1.0): String = {
+    require(Set("binomial", "poisson", "gamma", "negbin")(family),
+      s"unsupported family: $family")
     require(iters >= 1)
     def sums(src: String, k: Int) =
       s"""i$k AS (SELECT g, sum(n*w) sw, sum(n*w*x) swx, sum(n*w*x*x) swxx,
@@ -132,6 +142,8 @@ object GlmSqlGen {
     val first = family match {
       case "binomial" => "(SELECT g, x, n, 0.25 AS w, (sy/n - 0.5)/0.25 AS z FROM c)"
       case "poisson" | "gamma" => "(SELECT g, x, n, 1.0 AS w, sy/n - 1.0 AS z FROM c)"
+      case "negbin" =>
+        s"(SELECT g, x, n, $theta/(1.0 + $theta) AS w, sy/n - 1.0 AS z FROM c)"
     }
     def step(k: Int) = {
       val inner =
@@ -146,6 +158,9 @@ object GlmSqlGen {
              |   FROM (SELECT g, x, n, sy, eta, exp(eta) AS mu FROM $inner m$k) e$k)""".stripMargin
         case "gamma" =>
           s"""(SELECT g, x, n, 1.0 AS w, eta + (sy/n - mu)/mu AS z
+             |   FROM (SELECT g, x, n, sy, eta, exp(eta) AS mu FROM $inner m$k) e$k)""".stripMargin
+        case "negbin" =>
+          s"""(SELECT g, x, n, mu*$theta/(mu + $theta) AS w, eta + (sy/n - mu)/mu AS z
              |   FROM (SELECT g, x, n, sy, eta, exp(eta) AS mu FROM $inner m$k) e$k)""".stripMargin
       }
       sums(wz, k)

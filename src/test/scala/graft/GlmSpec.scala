@@ -19,7 +19,8 @@ class GlmSpec extends SparkTestBase {
       ys: Array[Double],
       ws: Array[Double],
       family: String,
-      iters: Int
+      iters: Int,
+      theta: Double = 1.0
   ): (DenseVector[Double], DenseVector[Double]) = {
     val n = xs.length
     val p = xs.head.length
@@ -41,6 +42,9 @@ class GlmSpec extends SparkTestBase {
           case "gamma" =>
             val mu = math.exp(eta)
             (ws(r), eta + (ys(r) - mu) / mu)
+          case "negbin" =>
+            val mu = math.exp(eta)
+            (ws(r) * mu * theta / (mu + theta), eta + (ys(r) - mu) / mu)
           case "gaussian" => (ws(r), ys(r))
         }
         for (i <- 0 until p; j <- 0 until p) xtx(i, j) += w2 * xs(r)(i) * xs(r)(j)
@@ -156,6 +160,62 @@ class GlmSpec extends SparkTestBase {
         family = "gamma", strategy = "irls")
     }
     assert(bad.getMessage.contains("positive"))
+  }
+
+  test("negbin IRLS matches reference; compress exact; big theta approaches poisson") {
+    val df = (0 until 600).map { i =>
+      val x = (i % 9) / 4.0
+      val y = ((i * 48271) % 7).toDouble // deterministic counts 0..6
+      (y, x)
+    }.toDF("y", "x")
+    val a = Glm.fit("y ~ x", df, family = "negbin", theta = 2.0,
+      strategy = "irls", maxIter = 6, tol = 0.0)
+    val b = Glm.fit("y ~ x", df, family = "negbin", theta = 2.0,
+      strategy = "compress", maxIter = 6, tol = 0.0)
+    val rows = df.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val (bref, seref) = refIrls(rows.map(r => Array(1.0, r._2)), rows.map(_._1),
+      Array.fill(rows.length)(1.0), "negbin", 6, theta = 2.0)
+    assert(math.abs(a.coef("(Intercept)") - bref(0)) < 1e-8)
+    assert(math.abs(a.coef("x") - bref(1)) < 1e-8)
+    assert(math.abs(a.se("x") - seref(1)) < 1e-8)
+    assert(math.abs(a.coef("x") - b.coef("x")) < 1e-9)
+    assert(math.abs(a.deviance - b.deviance) < 1e-7, "compress deviance drifted")
+    // deviance against the direct NB2 formula at the reported β
+    val th = 2.0
+    val dev = rows.map { case (y, x) =>
+      val mu = math.exp(a.coef("(Intercept)") + a.coef("x") * x)
+      val t1 = if (y > 0.0) y * math.log(y / mu) else 0.0
+      2.0 * (t1 - (y + th) * math.log((y + th) / (mu + th)))
+    }.sum
+    assert(math.abs(a.deviance - dev) < 1e-6 * math.abs(dev))
+    // V(μ) = μ + μ²/θ → μ as θ → ∞: coefficients approach the Poisson fit
+    val nbBig = Glm.fit("y ~ x", df, family = "negbin", theta = 1e8,
+      strategy = "irls", maxIter = 6, tol = 0.0)
+    val pois = Glm.fit("y ~ x", df, family = "poisson",
+      strategy = "irls", maxIter = 6, tol = 0.0)
+    assert(math.abs(nbBig.coef("x") - pois.coef("x")) < 1e-6)
+    assert(math.abs(nbBig.coef("(Intercept)") - pois.coef("(Intercept)")) < 1e-6)
+    // refusals: negative response, nonpositive theta
+    val bad = intercept[IllegalArgumentException] {
+      Glm.fit("y ~ x", df.withColumn("y", col("y") - lit(10.0)),
+        family = "negbin", strategy = "irls")
+    }
+    assert(bad.getMessage.contains("nonnegative"))
+    val badTheta = intercept[IllegalArgumentException] {
+      Glm.fit("y ~ x", df, family = "negbin", theta = 0.0)
+    }
+    assert(badTheta.getMessage.contains("theta"))
+    // grouped negbin equals per-group solo fits
+    val gdf = df.withColumn("dom", when(col("x") < 1.0, "lo").otherwise("hi"))
+    val grouped = Glm.fitGrouped("y ~ x", gdf, "dom", family = "negbin",
+      theta = 2.0, strategy = "irls", maxIter = 6)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for (g <- Seq("lo", "hi")) {
+      val solo = Glm.fit("y ~ x", gdf.filter(col("dom") === g),
+        family = "negbin", theta = 2.0, strategy = "irls", maxIter = 6, tol = 0.0)
+      for (t <- Seq("(Intercept)", "x"))
+        assert(math.abs(grouped((g, t)) - solo.coef(t)) < 1e-8, s"$g/$t grouped")
+    }
   }
 
   test("poisson intercept-only recovers log(mean); null deviance = deviance") {
