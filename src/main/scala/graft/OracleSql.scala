@@ -567,6 +567,34 @@ object OracleSql {
       family = "poisson", iters = 4,
       extraWhere = Seq("l_quantity IS NOT NULL")),
 
+    // PMI collocations: same count algebra and operation order; B is the
+    // UNfloored bigram total (probability denominator)
+    "q121_pmi_collocations" ->
+      s"""WITH tk AS (SELECT ${toks("text")} AS t FROM documents),
+         |uni AS (SELECT w, count(*)::DOUBLE AS c
+         |  FROM (SELECT unnest(t) AS w FROM tk) u GROUP BY 1),
+         |bgall AS (SELECT bg, count(*)::DOUBLE AS c12
+         |  FROM (SELECT unnest(${bigrams("t")}) AS bg FROM tk) b GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(c) FROM uni) AS t_tok,
+         |  (SELECT sum(c12) FROM bgall) AS b_bg),
+         |bg AS (SELECT string_split(bg, ' ')[1] AS w1,
+         |    string_split(bg, ' ')[2] AS w2, c12
+         |  FROM bgall WHERE c12 >= 5.0),
+         |x AS (SELECT w1, w2, c12,
+         |    ln(c12 / b_bg / (u1.c/t_tok * (u2.c/t_tok))) AS pmi
+         |  FROM bg JOIN uni u1 ON bg.w1 = u1.w
+         |  JOIN uni u2 ON bg.w2 = u2.w CROSS JOIN tot)
+         |SELECT w1, w2, c12::BIGINT AS c12, pmi::REAL AS pmi
+         |FROM x ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // Zipf spectrum: integer count-of-counts
+    "q122_zipf_spectrum" ->
+      s"""SELECT freq, count(*)::BIGINT AS n_tokens
+         |FROM (SELECT w, count(*)::BIGINT AS freq
+         |  FROM (SELECT unnest(${toks("text")}) AS w FROM documents) u
+         |  GROUP BY w) f
+         |GROUP BY freq ORDER BY freq""".stripMargin,
+
     // chi-squared token-label association: same contingency algebra, same
     // textual operation order (bit-identical doubles -> stable top-15 cut)
     "q119_token_chi2" ->

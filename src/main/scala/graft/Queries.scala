@@ -546,6 +546,23 @@ object Queries {
         col("std_error").cast("float").as("std_error")).orderBy("term")
     }),
 
+    // collocations: top-20 bigrams by PMI (count floor 5); token-keyed
+    // count joins + broadcast totals, TakeOrdered cut
+    "q121_pmi_collocations" -> ((s, dir) =>
+      TextOps.pmiCollocations(docs(s, dir), "doc_id", "text",
+        minCount = 5L, k = 20)
+        .select(col("w1"), col("w2"), col("c12"),
+          col("pmi").cast("float").as("pmi"))),
+
+    // corpus statistics: Zipf frequency spectrum (count-of-counts) of the
+    // token distribution — two keyed aggs, integer-exact
+    "q122_zipf_spectrum" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .groupBy("freq").agg(count(lit(1)).as("n_tokens"))
+        .orderBy("freq")),
+
     // feature selection: chi-squared token-label association, label =
     // "doc mentions spark"; one token-keyed agg + broadcast totals, top-15
     "q119_token_chi2" -> ((s, dir) => {

@@ -511,6 +511,54 @@ object TextOps {
       .limit(k)
   }
 
+  /** PMI collocations: the corpus's top-k word bigrams by pointwise mutual
+    * information, PMI(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ) with
+    * p(w1,w2) = c12/B over B total bigrams and p(w) = c(w)/T over T total
+    * tokens — the classic collocation-extraction statistic (Church & Hanks
+    * 1990). `minCount` floors the bigram count (raw PMI is dominated by
+    * hapax pairs; every practical extractor floors it).
+    *
+    * Scale shape: unigram and bigram count tables are single token-keyed
+    * aggregations; the bigram table joins its two unigram counts on the
+    * token key — shuffled hash joins that AQE downgrades to broadcast when
+    * the vocabulary is genuinely small (same reasoning as
+    * [[bigramLmScores]]: a forced broadcast of a web-scale vocabulary OOMs).
+    * Totals ride a broadcast one-row crossJoin; the top-k cut is a
+    * TakeOrdered heap. Returns (w1, w2, c12, pmi).
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long,
+      k: Int
+  ): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(k > 0, s"top-k must be positive, got $k")
+    val toksDf = df.select(tokens(col(textCol)).as("t"))
+    val uni = toksDf.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("double").as("c"))
+    val bgAll = toksDf
+      .select(explode(wordShingles(col("t"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).cast("double").as("c12"))
+    // B counts ALL bigrams (the probability denominator), not the floored set
+    val bg = bgAll
+      .filter(col("c12") >= minCount.toDouble)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val tot = uni.agg(sum(col("c")).as("t_tok"))
+      .crossJoin(bgAll.agg(sum(col("c12")).as("b_bg")))
+    bg
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi",
+        log(col("c12") / col("b_bg") / (col("c1") / col("t_tok") * (col("c2") / col("t_tok")))))
+      .select(col("w1"), col("w2"), col("c12").cast("long").as("c12"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** Chi-squared token–label association: rank tokens by how strongly their
     * document-level presence predicts a boolean label — the feature-selection
     * step in front of a fastText/logistic quality classifier (CCNet/Gopher

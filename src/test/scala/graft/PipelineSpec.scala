@@ -953,6 +953,21 @@ class PipelineSpec extends SparkTestBase {
       "an operator registered a CacheManager entry it can never release")
   }
 
+  test("PMI collocations: hand-computed probabilities, floor keeps B unfloored") {
+    val corpus = Seq((1L, "a b a b"), (2L, "c c")).toDF("doc_id", "text")
+    // unigrams a:2 b:2 c:2 (T=6); bigrams "a b":2 "b a":1 "c c":1 (B=4)
+    val out = TextOps.pmiCollocations(corpus, "doc_id", "text", minCount = 1L, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(("a", "b"), ("b", "a"), ("c", "c")))
+    assert(math.abs(out(0)._3 - math.log(4.5)) < 1e-12) // (2/4)/((2/6)(2/6))
+    assert(math.abs(out(1)._3 - math.log(2.25)) < 1e-12)
+    assert(out.map(_._2).toSeq == Seq(2L, 1L, 1L))
+    // floor prunes pairs but leaves the bigram total (denominator) intact
+    val floored = TextOps.pmiCollocations(corpus, "doc_id", "text", minCount = 2L, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3)))
+    assert(floored.toSeq == Seq((("a", "b"), math.log(4.5))))
+  }
+
   test("token chi2: hand-computed 2x2 tables, universal tokens dropped, ties break on token") {
     val corpus = Seq(
       (1L, "good apple"), (2L, "good banana"),
