@@ -567,6 +567,46 @@ object OracleSql {
       family = "poisson", iters = 4,
       extraWhere = Seq("l_quantity IS NOT NULL")),
 
+    // one-pass profile: per-column UNION ALL of the same aggregates
+    "q123_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_orderkey", "l_linenumber")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min(CAST($c AS DOUBLE)) AS min_val,
+           |  max(CAST($c AS DOUBLE)) AS max_val,
+           |  avg(CAST($c AS DOUBLE))::REAL AS mean_val FROM lineitem"""
+          .stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    // PSI replay: same md5 deal, reference-anchored bins, +0.5 smoothing
+    "q124_psi_drift" ->
+      s"""WITH d AS (SELECT l_extendedprice AS v,
+         |    ${hash32("'q124' || l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR")}
+         |      / 4294967296.0 AS u
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |e AS (SELECT min(v) AS mn, max(v) AS mx FROM d WHERE u < 0.5),
+         |rb AS (SELECT least(greatest(floor((v - mn)/(mx - mn) * 10), 0), 9)::BIGINT
+         |    AS bin FROM d CROSS JOIN e WHERE u < 0.5),
+         |cb AS (SELECT least(greatest(floor((v - mn)/(mx - mn) * 10), 0), 9)::BIGINT
+         |    AS bin FROM d CROSS JOIN e WHERE u >= 0.5),
+         |bins AS (SELECT unnest(range(10)) AS bin),
+         |rc AS (SELECT bin, count(*)::BIGINT AS n_ref FROM rb GROUP BY 1),
+         |cc2 AS (SELECT bin, count(*)::BIGINT AS n_cur FROM cb GROUP BY 1),
+         |al AS (SELECT b.bin, coalesce(rc.n_ref, 0) AS n_ref,
+         |    coalesce(cc2.n_cur, 0) AS n_cur
+         |  FROM bins b LEFT JOIN rc USING (bin) LEFT JOIN cc2 USING (bin)),
+         |t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM al),
+         |x AS (SELECT bin, n_ref, n_cur,
+         |    (n_ref::DOUBLE + 0.5)/(t_ref::DOUBLE + 5.0) AS p,
+         |    (n_cur::DOUBLE + 0.5)/(t_cur::DOUBLE + 5.0) AS q
+         |  FROM al CROSS JOIN t)
+         |SELECT bin, n_ref, n_cur, ((p - q) * ln(p/q))::REAL AS contrib
+         |FROM x ORDER BY bin""".stripMargin,
+
     // PMI collocations: same count algebra and operation order; B is the
     // UNfloored bigram total (probability denominator)
     "q121_pmi_collocations" ->

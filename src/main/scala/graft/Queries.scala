@@ -546,6 +546,32 @@ object Queries {
         col("std_error").cast("float").as("std_error")).orderBy("term")
     }),
 
+    // data quality: one-pass column profile (nulls, exact distincts,
+    // min/max/mean) unpivoted to one row per column
+    "q123_profile" -> ((s, dir) =>
+      graft.sources.ScaleOps.profile(li(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_orderkey", "l_linenumber"), exactDistinct = true)
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"),
+          col("mean_val").cast("float").as("mean_val"))
+        .orderBy("col_name")),
+
+    // drift monitor: PSI of extendedprice between two md5-dealt halves —
+    // reference-anchored equal-width bins, Laplace-smoothed contributions
+    "q124_psi_drift" -> ((s, dir) => {
+      val d = li(s, dir).withColumn("rid",
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")))
+      val dealt = graft.sources.ScaleOps.hashSplit(d, "rid",
+        Seq("ref" -> 0.5, "cur" -> 0.5), salt = "q124")
+      graft.reg.Eval.psi(
+        dealt.filter(col("split") === "ref"),
+        dealt.filter(col("split") === "cur"),
+        col("l_extendedprice"), bins = 10)
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          col("contrib").cast("float").as("contrib"))
+    }),
+
     // collocations: top-20 bigrams by PMI (count floor 5); token-keyed
     // count joins + broadcast totals, TakeOrdered cut
     "q121_pmi_collocations" -> ((s, dir) =>

@@ -54,4 +54,56 @@ object Eval {
         sum(col("__neg")).as("__n"))
     u.select((col("__u") / (col("__p") * col("__n"))).as("auc"))
   }
+
+  /** Population stability index between a reference and a current sample of
+    * `value` — the standard drift monitor for a scored/curated corpus
+    * (credit-scoring origin; PSI < 0.1 stable, > 0.25 shifted).
+    *
+    * `bins` equal-width bins span the REFERENCE min/max; current-sample
+    * outliers clamp into the edge bins (the convention that keeps the bin
+    * map fixed while the data moves). Counts get Laplace smoothing
+    * (+0.5 per bin) so an empty bin contributes a finite term:
+    * PSI = Σ (p_i − q_i)·ln(p_i/q_i).
+    *
+    * Scale shape: one 2-value aggregate on the reference (broadcast
+    * crossJoin), one keyed count per side, a `bins`-row outer join, and a
+    * final `bins`-row sum — both corpora stream through exactly once.
+    * Returns (bin, n_ref, n_cur, contrib) ordered by bin; `sum(contrib)`
+    * is the PSI. */
+  def psi(
+      ref: DataFrame,
+      cur: DataFrame,
+      value: Column,
+      bins: Int = 10
+  ): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val spark = ref.sparkSession
+    val r = ref.filter(value.isNotNull).select(value.cast("double").as("__v"))
+    val c = cur.filter(value.isNotNull).select(value.cast("double").as("__v"))
+    val edges = r.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    def binned(side: DataFrame) = side
+      .crossJoin(broadcast(edges))
+      .select(
+        when(col("__mx") > col("__mn"),
+          least(greatest(
+            floor((col("__v") - col("__mn")) / (col("__mx") - col("__mn")) * bins),
+            lit(0.0)), lit((bins - 1).toDouble)))
+          .otherwise(lit(0.0)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val all = spark.range(bins).select(col("id").as("bin"))
+      .join(binned(r).withColumnRenamed("n", "n_ref"), Seq("bin"), "left")
+      .join(binned(c).withColumnRenamed("n", "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = all.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    all.crossJoin(broadcast(tot))
+      .withColumn("__p",
+        (col("n_ref").cast("double") + 0.5) / (col("t_ref").cast("double") + lit(0.5 * bins)))
+      .withColumn("__q",
+        (col("n_cur").cast("double") + 0.5) / (col("t_cur").cast("double") + lit(0.5 * bins)))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        ((col("__p") - col("__q")) * log(col("__p") / col("__q"))).as("contrib"))
+      .orderBy("bin")
+  }
 }

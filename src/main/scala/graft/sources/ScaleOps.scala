@@ -255,4 +255,46 @@ object ScaleOps {
     val nOut = math.floor(norm.map { case (d, s) => counts(d) / s }.min).toLong
     norm.map { case (d, s) => (d, (counts(d), math.floor(s * nOut).toLong)) }
   }
+
+  /** One-pass column profiler: per column the null count, distinct count,
+    * min/max/mean (numeric cast) — the data-quality summary a pipeline runs
+    * before training ingest. Returns one row per column:
+    * (col_name, n_rows, n_nulls, n_distinct, min_val, max_val, mean_val).
+    *
+    * Scale shape: ONE aggregate job over one scan. With
+    * `exactDistinct=false` (the 100 TB default) distinct counts use
+    * HyperLogLog (`approx_count_distinct`, no Expand); `true` switches to
+    * exact COUNT(DISTINCT) — Catalyst plans k distinct aggregates as an
+    * Expand (k× the scan's rows through the first aggregate), acceptable
+    * for oracle parity and bounded k. The unpivot to rows is a `stack`
+    * projection over the single 1-row result. Columns must cast to double
+    * (profile strings via a length/hash projection first). */
+  def profile(
+      df: DataFrame,
+      cols: Seq[String],
+      exactDistinct: Boolean = false
+  ): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    cols.foreach(c => require(df.columns.contains(c), s"column '$c' not found"))
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val cc = col(c)
+      Seq(
+        sum(when(cc.isNull, 1L).otherwise(0L)).as(s"_nn_$i"),
+        (if (exactDistinct) countDistinct(cc)
+         else approx_count_distinct(cc)).cast("long").as(s"_nd_$i"),
+        min(cc.cast("double")).as(s"_mn_$i"),
+        max(cc.cast("double")).as(s"_mx_$i"),
+        avg(cc.cast("double")).as(s"_av_$i"))
+    } :+ count(lit(1)).as("_n")
+    val row1 = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) => s"'$c', _nn_$i, _nd_$i, _mn_$i, _mx_$i, _av_$i" }
+      .mkString(", ")
+    row1
+      .selectExpr("_n",
+        s"stack(${cols.length}, $stackArgs) AS " +
+          "(col_name, n_nulls, n_distinct, min_val, max_val, mean_val)")
+      .select(col("col_name"), col("_n").as("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"), col("mean_val"))
+  }
 }

@@ -60,4 +60,21 @@ class EvalSpec extends SparkTestBase {
       .toDF("score", "label")
     assert(Eval.auc(df, col("score"), col("label")) == 1.0)
   }
+
+  test("PSI: hand-computed bins, empty bins smoothed, max clamps into top bin") {
+    val ref = (0 to 9).map(_.toDouble).toDF("v") // one value per bin; 9.0 clamps
+    val cur = Seq.fill(5)(0.0).toDF("v")         // everything in bin 0
+    val out = Eval.psi(ref, cur, col("v"), bins = 10).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(1)).toSeq == Seq.fill(10)(1L)) // n_ref
+    assert(out.map(_.getLong(2)).toSeq == 5L +: Seq.fill(9)(0L)) // n_cur
+    val p = 1.5 / 15.0
+    val q0 = 5.5 / 10.0; val qi = 0.5 / 10.0
+    assert(math.abs(out(0).getDouble(3) - (p - q0) * math.log(p / q0)) < 1e-12)
+    assert(math.abs(out(3).getDouble(3) - (p - qi) * math.log(p / qi)) < 1e-12)
+    // identical distributions: PSI ~ 0
+    val same = Eval.psi(ref, ref, col("v"), bins = 10)
+      .agg(sum(col("contrib"))).head.getDouble(0)
+    assert(math.abs(same) < 1e-12)
+  }
 }

@@ -289,4 +289,25 @@ class ScaleOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("Sort"), plan.take(400))
   }
+
+  test("profile: nulls, exact distincts, min/max/mean per column in one pass") {
+    import spark.implicits._
+    val d = Seq(
+      (Some(1.0), 0.5), (Some(2.0), 0.5), (Some(2.0), 0.5), (None, 0.5))
+      .toDF("a", "b")
+    val rows = ScaleOps.profile(d, Seq("a", "b"), exactDistinct = true)
+      .orderBy("col_name").collect()
+    val a = rows(0); val b = rows(1)
+    assert(a.getString(0) == "a" && a.getLong(1) == 4L && a.getLong(2) == 1L)
+    assert(a.getLong(3) == 2L) // distinct excludes the null
+    assert(a.getDouble(4) == 1.0 && a.getDouble(5) == 2.0)
+    assert(math.abs(a.getDouble(6) - 5.0 / 3.0) < 1e-12) // mean over non-null
+    assert(b.getString(0) == "b" && b.getLong(2) == 0L && b.getLong(3) == 1L)
+    assert(b.getDouble(4) == 0.5 && b.getDouble(5) == 0.5 && b.getDouble(6) == 0.5)
+    // unknown column refuses
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.profile(d, Seq("nope"))
+    }
+    assert(e.getMessage.contains("not found"))
+  }
 }
