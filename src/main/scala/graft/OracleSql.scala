@@ -607,6 +607,43 @@ object OracleSql {
          |SELECT bin, n_ref, n_cur, ((p - q) * ln(p/q))::REAL AS contrib
          |FROM x ORDER BY bin""".stripMargin,
 
+    // two-sample KS: inclusive cumulative distribution per distinct value
+    // (RANGE default frame = the engine's post-distinct ROWS frame)
+    "q125_ks_test" ->
+      s"""WITH d AS (SELECT l_extendedprice AS v,
+         |    ${hash32("'q125' || l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR")}
+         |      / 4294967296.0 AS u
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |g AS (SELECT v, sum(CASE WHEN u < 0.5 THEN 1.0 ELSE 0.0 END) AS r,
+         |    sum(CASE WHEN u >= 0.5 THEN 1.0 ELSE 0.0 END) AS c
+         |  FROM d GROUP BY v),
+         |x AS (SELECT sum(r) OVER (ORDER BY v) AS cr,
+         |    sum(c) OVER (ORDER BY v) AS cc,
+         |    sum(r) OVER () AS tr, sum(c) OVER () AS tc FROM g)
+         |SELECT max(abs(cr/tr - cc/tc))::REAL AS d,
+         |  max(tr)::BIGINT AS n_ref, max(tc)::BIGINT AS n_cur FROM x""".stripMargin,
+
+    // JSD: full-outer vocab join, zero-side terms drop from their KL half
+    "q126_js_divergence" ->
+      s"""WITH dd AS (SELECT text,
+         |    ${hash32("'q126' || doc_id::VARCHAR")} / 4294967296.0 AS u
+         |  FROM documents),
+         |ca AS (SELECT w, count(*)::DOUBLE AS c FROM
+         |  (SELECT unnest(${toks("text")}) AS w FROM dd WHERE u < 0.5) a GROUP BY 1),
+         |cb AS (SELECT w, count(*)::DOUBLE AS c FROM
+         |  (SELECT unnest(${toks("text")}) AS w FROM dd WHERE u >= 0.5) b GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(c) FROM ca) AS ta,
+         |  (SELECT count(*) FROM ca) AS va,
+         |  (SELECT sum(c) FROM cb) AS tb, (SELECT count(*) FROM cb) AS vb),
+         |j AS (SELECT coalesce(ca.c, 0.0)/ta AS p, coalesce(cb.c, 0.0)/tb AS q
+         |  FROM ca FULL OUTER JOIN cb USING (w) CROSS JOIN tot),
+         |m AS (SELECT p, q, (p + q)/2.0 AS m FROM j),
+         |x AS (SELECT CASE WHEN p > 0.0 THEN p*ln(p/m) ELSE 0.0 END*0.5
+         |    + CASE WHEN q > 0.0 THEN q*ln(q/m) ELSE 0.0 END*0.5 AS term FROM m)
+         |SELECT (SELECT sum(term) FROM x)::REAL AS jsd,
+         |  (SELECT va FROM tot)::BIGINT AS vocab_ref,
+         |  (SELECT vb FROM tot)::BIGINT AS vocab_cur""".stripMargin,
+
     // PMI collocations: same count algebra and operation order; B is the
     // UNfloored bigram total (probability denominator)
     "q121_pmi_collocations" ->

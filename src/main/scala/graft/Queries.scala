@@ -572,6 +572,32 @@ object Queries {
           col("contrib").cast("float").as("contrib"))
     }),
 
+    // drift: two-sample KS statistic between the md5 halves — the AUC
+    // pattern (keyed agg per distinct value, window over distincts only)
+    "q125_ks_test" -> ((s, dir) => {
+      val d = li(s, dir).withColumn("rid",
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")))
+      val dealt = graft.sources.ScaleOps.hashSplit(d, "rid",
+        Seq("ref" -> 0.5, "cur" -> 0.5), salt = "q125")
+      graft.reg.Eval.ksTest(
+        dealt.filter(col("split") === "ref"),
+        dealt.filter(col("split") === "cur"),
+        col("l_extendedprice"))
+        .select(col("d").cast("float").as("d"), col("n_ref"), col("n_cur"))
+    }),
+
+    // corpus distance: Jensen-Shannon divergence between the token
+    // distributions of two md5-dealt document halves
+    "q126_js_divergence" -> ((s, dir) => {
+      val dealt = graft.sources.ScaleOps.hashSplit(docs(s, dir), "doc_id",
+        Seq("ref" -> 0.5, "cur" -> 0.5), salt = "q126")
+      TextOps.jsDivergence(
+        dealt.filter(col("split") === "ref"),
+        dealt.filter(col("split") === "cur"), "text")
+        .select(col("jsd").cast("float").as("jsd"),
+          col("vocab_ref"), col("vocab_cur"))
+    }),
+
     // collocations: top-20 bigrams by PMI (count floor 5); token-keyed
     // count joins + broadcast totals, TakeOrdered cut
     "q121_pmi_collocations" -> ((s, dir) =>

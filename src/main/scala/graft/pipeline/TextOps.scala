@@ -511,6 +511,47 @@ object TextOps {
       .limit(k)
   }
 
+  /** Jensen–Shannon divergence between the unigram token distributions of
+    * two corpora — the standard corpus-shift/domain-distance measure
+    * (bounded in [0, ln 2], symmetric, defined even on disjoint vocab):
+    * JSD = ½·KL(p‖m) + ½·KL(q‖m) with m = (p+q)/2; a token absent from one
+    * side contributes only through the other's KL term.
+    *
+    * Scale shape: one token-keyed count aggregate per corpus, a token-keyed
+    * full outer join over the vocabulary union (shuffled hash join; AQE
+    * broadcasts when genuinely small), broadcast one-row totals, and a
+    * final 1-row sum. Each corpus streams exactly once. Returns one row
+    * (jsd, vocab_ref, vocab_cur). */
+  def jsDivergence(
+      ref: DataFrame,
+      cur: DataFrame,
+      textCol: String
+  ): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("double").as("c"))
+    val a = counts(ref)
+    val b = counts(cur)
+    val tot = a.agg(sum(col("c")).as("ta"), count(lit(1)).as("va"))
+      .crossJoin(b.agg(sum(col("c")).as("tb"), count(lit(1)).as("vb")))
+    a.withColumnRenamed("c", "ca")
+      .join(b.withColumnRenamed("c", "cb"), Seq("w"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .select(
+        (coalesce(col("ca"), lit(0.0)) / col("ta")).as("p"),
+        (coalesce(col("cb"), lit(0.0)) / col("tb")).as("q"),
+        col("va"), col("vb"))
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+      .select(
+        (when(col("p") > 0.0, col("p") * log(col("p") / col("m"))).otherwise(0.0) * 0.5 +
+          when(col("q") > 0.0, col("q") * log(col("q") / col("m"))).otherwise(0.0) * 0.5)
+          .as("term"),
+        col("va"), col("vb"))
+      .groupBy()
+      .agg(sum(col("term")).as("jsd"),
+        max(col("va")).as("vocab_ref"), max(col("vb")).as("vocab_cur"))
+  }
+
   /** PMI collocations: the corpus's top-k word bigrams by pointwise mutual
     * information, PMI(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ) with
     * p(w1,w2) = c12/B over B total bigrams and p(w) = c(w)/T over T total

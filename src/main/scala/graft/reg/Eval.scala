@@ -55,6 +55,47 @@ object Eval {
     u.select((col("__u") / (col("__p") * col("__n"))).as("auc"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic D = sup_x |F_ref(x) − F_cur(x)|
+    * — the nonparametric companion to [[psi]]: no binning choice, sensitive
+    * to any distributional difference.
+    *
+    * Scale shape: the AUC pattern — corpus-sized work is ONE keyed
+    * aggregate per distinct value (both samples union into it with a side
+    * flag); the cumulative-sum window then runs over DISTINCT values only.
+    * As with [[aucDF]], pass `quantize` (round to d digits) for continuous
+    * values so the distinct-value table — and the single-partition window
+    * over it — stays bounded no matter the corpus size. Returns one row
+    * (d, n_ref, n_cur). */
+  def ksTest(
+      ref: DataFrame,
+      cur: DataFrame,
+      value: Column,
+      quantize: Option[Int] = None
+  ): DataFrame = {
+    val v = quantize.fold(value.cast("double"))(d => round(value.cast("double"), d))
+    def side(df: DataFrame, flag: Int) = df
+      .filter(value.isNotNull)
+      .select(v.as("__v"), lit(flag).as("__side"))
+    val g = side(ref, 0).unionAll(side(cur, 1))
+      .groupBy("__v")
+      .agg(
+        sum(when(col("__side") === 0, 1.0).otherwise(0.0)).as("__r"),
+        sum(when(col("__side") === 1, 1.0).otherwise(0.0)).as("__c"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g
+      .withColumn("__cr", sum(col("__r")).over(w))
+      .withColumn("__cc", sum(col("__c")).over(w))
+      .withColumn("__tr", sum(col("__r")).over(wAll))
+      .withColumn("__tc", sum(col("__c")).over(wAll))
+      .agg(
+        max(abs(col("__cr") / col("__tr") - col("__cc") / col("__tc"))).as("d"),
+        max(col("__tr")).cast("long").as("n_ref"),
+        max(col("__tc")).cast("long").as("n_cur"))
+  }
+
   /** Population stability index between a reference and a current sample of
     * `value` — the standard drift monitor for a scored/curated corpus
     * (credit-scoring origin; PSI < 0.1 stable, > 0.25 shifted).

@@ -61,6 +61,21 @@ class EvalSpec extends SparkTestBase {
     assert(Eval.auc(df, col("score"), col("label")) == 1.0)
   }
 
+  test("KS: hand-computed sup distance, identical samples give zero") {
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val r = Eval.ksTest(ref, cur, col("v")).head
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-12) // sup at v=2..4
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+    val same = Eval.ksTest(ref, ref, col("v")).head.getDouble(0)
+    assert(same == 0.0)
+    // quantize collapses near-ties into one distinct value
+    val q = Eval.ksTest(
+      Seq(1.0001, 2.0).toDF("v"), Seq(1.0002, 2.0).toDF("v"),
+      col("v"), quantize = Some(2)).head.getDouble(0)
+    assert(q == 0.0)
+  }
+
   test("PSI: hand-computed bins, empty bins smoothed, max clamps into top bin") {
     val ref = (0 to 9).map(_.toDouble).toDF("v") // one value per bin; 9.0 clamps
     val cur = Seq.fill(5)(0.0).toDF("v")         // everything in bin 0

@@ -953,6 +953,21 @@ class PipelineSpec extends SparkTestBase {
       "an operator registered a CacheManager entry it can never release")
   }
 
+  test("JSD: hand-computed mixtures, disjoint vocab gives ln 2, identical gives 0") {
+    val ref = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val cur = Seq((2L, "a b b")).toDF("doc_id", "text")
+    val r = TextOps.jsDivergence(ref, cur, "text").head
+    val expect = 2.0 / 3.0 * math.log(4.0 / 3.0) + 1.0 / 3.0 * math.log(2.0 / 3.0)
+    assert(math.abs(r.getDouble(0) - expect) < 1e-12)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    val disjoint = TextOps.jsDivergence(
+      Seq((1L, "a")).toDF("doc_id", "text"),
+      Seq((2L, "b")).toDF("doc_id", "text"), "text").head.getDouble(0)
+    assert(math.abs(disjoint - math.log(2.0)) < 1e-12)
+    val same = TextOps.jsDivergence(ref, ref, "text").head.getDouble(0)
+    assert(math.abs(same) < 1e-12)
+  }
+
   test("PMI collocations: hand-computed probabilities, floor keeps B unfloored") {
     val corpus = Seq((1L, "a b a b"), (2L, "c c")).toDF("doc_id", "text")
     // unigrams a:2 b:2 c:2 (T=6); bigrams "a b":2 "b a":1 "c c":1 (B=4)
