@@ -607,6 +607,49 @@ object OracleSql {
          |SELECT bin, n_ref, n_cur, ((p - q) * ln(p/q))::REAL AS contrib
          |FROM x ORDER BY bin""".stripMargin,
 
+    // Spearman: average ranks from the distinct-value tables, Pearson on
+    // ranks via the moments identity
+    "q127_spearman" ->
+      s"""WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+         |    CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem
+         |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         |gx AS (SELECT x, count(*)::DOUBLE AS n FROM b GROUP BY 1),
+         |rx AS (SELECT x, coalesce(sum(n) OVER (ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+         |    + (n + 1.0)/2.0 AS ra FROM gx),
+         |gy AS (SELECT y, count(*)::DOUBLE AS n FROM b GROUP BY 1),
+         |ry AS (SELECT y, coalesce(sum(n) OVER (ORDER BY y
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+         |    + (n + 1.0)/2.0 AS rb FROM gy),
+         |j AS (SELECT ra, rb FROM b JOIN rx USING (x) JOIN ry USING (y)),
+         |m AS (SELECT count(*)::DOUBLE AS n, sum(ra) AS sx, sum(rb) AS sy,
+         |    sum(ra*ra) AS sxx, sum(rb*rb) AS syy, sum(ra*rb) AS sxy FROM j)
+         |SELECT ((n*sxy - sx*sy)
+         |  / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)))::REAL AS rho,
+         |  n::BIGINT AS n FROM m""".stripMargin,
+
+    // categorical association: observed-cell chi2 plus the zero-cell total
+    // (n - sum of observed expecteds); MI over observed cells only
+    "q128_categorical_assoc" ->
+      s"""WITH c AS (SELECT l_returnflag AS a, l_linestatus AS b2,
+         |    count(*)::DOUBLE AS n FROM lineitem
+         |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+         |  GROUP BY 1, 2),
+         |r AS (SELECT a, sum(n) AS ra FROM c GROUP BY 1),
+         |cl AS (SELECT b2, sum(n) AS cb FROM c GROUP BY 1),
+         |t AS (SELECT (SELECT sum(ra) FROM r) AS tt,
+         |  (SELECT count(*) FROM r) AS nr, (SELECT count(*) FROM cl) AS nc),
+         |x AS (SELECT c.n, r.ra, cl.cb, tt, nr, nc
+         |  FROM c JOIN r USING (a) JOIN cl USING (b2) CROSS JOIN t),
+         |agg AS (SELECT
+         |    sum((n - ra*cb/tt)*(n - ra*cb/tt)/(ra*cb/tt)) AS chi2_obs,
+         |    sum(ra*cb/tt) AS se, sum(n/tt * ln(n*tt/(ra*cb))) AS mi,
+         |    max(tt) AS t2, max(nr) AS nr2, max(nc) AS nc2 FROM x)
+         |SELECT (chi2_obs + (t2 - se))::REAL AS chi2,
+         |  sqrt((chi2_obs + (t2 - se))
+         |    /(t2*(least(nr2, nc2)::DOUBLE - 1.0)))::REAL AS cramers_v,
+         |  mi::REAL AS mi, t2::BIGINT AS n FROM agg""".stripMargin,
+
     // two-sample KS: inclusive cumulative distribution per distinct value
     // (RANGE default frame = the engine's post-distinct ROWS frame)
     "q125_ks_test" ->

@@ -167,6 +167,23 @@ object PlanReview {
       docs.agg(graft.functions.FreqItemsAgg(
         graft.pipeline.TextOps.tokens(col("text")), 4096))
     }
+    // 21. BM25: the isin filter must sit UNDER the (id, token) aggregate —
+    // only query-term postings shuffle; top-k is TakeOrderedAndProject
+    show("bm25 top-k (postings filtered pre-shuffle)") {
+      graft.pipeline.TextOps.bm25TopK(docs, "doc_id", "text",
+        Seq("hash", "join", "stream", "vector"), k = 25)
+    }
+    // 22. profile: ONE aggregate job (HLL distincts — no Expand in the
+    // default mode), stack unpivot of the single result row
+    show("column profile (one pass, approx distincts)") {
+      graft.sources.ScaleOps.profile(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    }
+    // 23. PSI: two keyed bin-counts + bins-row joins; both corpora stream
+    // once, reference stats ride a broadcast crossJoin
+    show("psi drift (keyed bin counts, broadcast edges)") {
+      graft.reg.Eval.psi(li.limit(30000), li, col("l_extendedprice"), 10)
+    }
     spark.stop()
   }
 }

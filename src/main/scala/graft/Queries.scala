@@ -572,6 +572,22 @@ object Queries {
           col("contrib").cast("float").as("contrib"))
     }),
 
+    // dependence: Spearman rank correlation (average ranks for ties) —
+    // distinct-value rank windows + value-keyed joins + 1-row moments
+    "q127_spearman" -> ((s, dir) =>
+      graft.reg.Eval.spearman(li(s, dir),
+        col("l_quantity"), col("l_extendedprice"))
+        .select(col("rho").cast("float").as("rho"), col("n"))),
+
+    // dependence: chi2 / Cramer's V / mutual information between two
+    // categorical columns from ONE contingency aggregation
+    "q128_categorical_assoc" -> ((s, dir) =>
+      graft.reg.Eval.categoricalAssociation(li(s, dir),
+        col("l_returnflag"), col("l_linestatus"))
+        .select(col("chi2").cast("float").as("chi2"),
+          col("cramers_v").cast("float").as("cramers_v"),
+          col("mi").cast("float").as("mi"), col("n"))),
+
     // drift: two-sample KS statistic between the md5 halves — the AUC
     // pattern (keyed agg per distinct value, window over distincts only)
     "q125_ks_test" -> ((s, dir) => {

@@ -461,14 +461,17 @@ object TextOps {
     *                             / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
     *   idf(t)   = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )   (Lucene form)
     *
-    * Scale shape: the corpus is scanned ONCE — tokenize, keep per-doc
-    * length, and explode only tokens in the query set (the isin filter runs
-    * before the (id, token) aggregation, so only query-term postings ever
-    * shuffle: the postings volume is O(matching docs · |terms|), not corpus
-    * size). Corpus stats (N, avgdl) are a one-row aggregate crossJoined in
-    * (broadcast). df(t) has ≤ |terms| rows — broadcast-joined. The final
-    * top-k is orderBy+limit = TakeOrderedAndProject: per-partition heaps, no
-    * global sort. Returns (id, bm25, n_matched).
+    * Scale shape: the corpus is scanned ONCE — a single narrow projection
+    * (id, doc length, query-term tokens only: the array filter runs BEFORE
+    * the explode, so nothing vocabulary-sized ever leaves the scan) is
+    * lazily `localCheckpoint`ed (context-cleaner-released blocks, the Dedup
+    * pattern — ~1% of corpus bytes) and every downstream consumer (postings
+    * aggregate, df counts, corpus stats) reads the checkpoint, not the
+    * text. Postings shuffle volume is O(matching docs · |terms|). Corpus
+    * stats (N, avgdl) are a one-row aggregate crossJoined in (broadcast);
+    * df(t) has ≤ |terms| rows — broadcast-joined. The final top-k is
+    * orderBy+limit = TakeOrderedAndProject: per-partition heaps, no global
+    * sort. Returns (id, bm25, n_matched).
     *
     * Reference composition target: retrieval-style corpus queries over the
     * same postings the reference's text tooling builds (R/utils.r tokenize
@@ -484,14 +487,20 @@ object TextOps {
   ): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
     require(k > 0, s"top-k must be positive, got $k")
-    val toksDf = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
-    val lens = toksDf.select(col("id"), size(col("t")).cast("double").as("dl"))
+    val termsArr = array(terms.map(lit(_)): _*)
+    val base = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      .select(
+        col("id"),
+        size(col("__t")).cast("double").as("dl"),
+        filter(col("__t"), t => array_contains(termsArr, t)).as("qt"))
+      .localCheckpoint(false)
+    val lens = base.select(col("id"), col("dl"))
     // one-row corpus stats; crossJoin broadcasts the single row everywhere
-    val stats = lens.agg(
+    val stats = base.agg(
       count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-    val posts = toksDf
-      .select(col("id"), explode(col("t")).as("token"))
-      .filter(col("token").isin(terms: _*))
+    val posts = base
+      .select(col("id"), explode(col("qt")).as("token"))
       .groupBy("id", "token")
       .agg(count(lit(1)).cast("double").as("tf"))
     val dfc = posts.groupBy("token")

@@ -55,6 +55,96 @@ object Eval {
     u.select((col("__u") / (col("__p") * col("__n"))).as("auc"))
   }
 
+  /** Spearman rank correlation between two numeric columns — the robust,
+    * monotone-invariant dependence measure (average ranks for ties, the
+    * textbook convention).
+    *
+    * Scale shape: per-variable average ranks come from the DISTINCT-value
+    * table (keyed count aggregate, then a cumulative window over distincts
+    * only — the AUC/KS pattern), joined back to the rows on the value key
+    * (broadcast when the value table is small, shuffled hash join
+    * otherwise); the final Pearson-on-ranks is a 1-row moments aggregate.
+    * Returns one row (rho, n). */
+  def spearman(
+      df: DataFrame,
+      x: Column,
+      y: Column
+  ): DataFrame = {
+    val base = df
+      .filter(x.isNotNull && y.isNotNull)
+      .select(x.cast("double").as("__x"), y.cast("double").as("__y"))
+    def ranks(c: String) = {
+      val w = Window.orderBy(col(c)).rowsBetween(Window.unboundedPreceding, -1)
+      base
+        .groupBy(col(c)).agg(count(lit(1)).cast("double").as("__n"))
+        .withColumn("__below", coalesce(sum(col("__n")).over(w), lit(0.0)))
+        .select(col(c), (col("__below") + (col("__n") + 1.0) / 2.0).as(s"__r$c"))
+    }
+    base
+      .join(ranks("__x"), "__x")
+      .join(ranks("__y"), "__y")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("__r__x")).as("sx"), sum(col("__r__y")).as("sy"),
+        sum(col("__r__x") * col("__r__x")).as("sxx"),
+        sum(col("__r__y") * col("__r__y")).as("syy"),
+        sum(col("__r__x") * col("__r__y")).as("sxy"))
+      .select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("rho"),
+        col("n").cast("long").as("n"))
+  }
+
+  /** Association measures between two categorical columns from ONE
+    * contingency aggregation: Pearson chi-squared, Cramér's V
+    * (χ²/(n·(min(R,C)−1)) under a square root — the [0,1]-normalized
+    * effect size), and mutual information Σ p·ln(p/(p_row·p_col)) in nats.
+    *
+    * Scale shape: cells = one keyed (a,b) count; margins re-aggregate the
+    * CELL table (not the corpus) and broadcast-join back; the corpus
+    * streams once. Returns one row (chi2, cramers_v, mi, n). */
+  def categoricalAssociation(
+      df: DataFrame,
+      a: Column,
+      b: Column
+  ): DataFrame = {
+    val cells = df
+      .filter(a.isNotNull && b.isNotNull)
+      .select(a.cast("string").as("__a"), b.cast("string").as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).cast("double").as("__n"))
+    val rowM = cells.groupBy("__a").agg(sum(col("__n")).as("__ra"))
+    val colM = cells.groupBy("__b").agg(sum(col("__n")).as("__cb"))
+    val tot = rowM.agg(sum(col("__ra")).as("__t"), count(lit(1)).as("__nr"))
+      .crossJoin(colM.agg(count(lit(1)).as("__nc")))
+    cells
+      .join(broadcast(rowM), "__a")
+      .join(broadcast(colM), "__b")
+      .crossJoin(broadcast(tot))
+      .select(
+        (col("__n") - col("__ra") * col("__cb") / col("__t")).as("__d"),
+        (col("__ra") * col("__cb") / col("__t")).as("__e"),
+        (col("__n") / col("__t") *
+          log(col("__n") * col("__t") / (col("__ra") * col("__cb")))).as("__mi"),
+        col("__t"), col("__nr"), col("__nc"))
+      .agg(
+        sum(col("__d") * col("__d") / col("__e")).as("chi2_obs"),
+        sum(col("__e")).as("se"),
+        sum(col("__mi")).as("mi"),
+        max(col("__t")).as("t"),
+        max(col("__nr")).as("nr"), max(col("__nc")).as("nc"))
+      // unobserved (zero) cells each contribute (0−e)²/e = e to χ², and all
+      // R×C expected counts sum to n — so their total is n − Σ_observed e
+      // (they add nothing to MI: p·ln(p/…) → 0)
+      .withColumn("chi2", col("chi2_obs") + (col("t") - col("se")))
+      .select(
+        col("chi2"),
+        sqrt(col("chi2") / (col("t") *
+          (least(col("nr"), col("nc")).cast("double") - 1.0))).as("cramers_v"),
+        col("mi"),
+        col("t").cast("long").as("n"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic D = sup_x |F_ref(x) − F_cur(x)|
     * — the nonparametric companion to [[psi]]: no binning choice, sensitive
     * to any distributional difference.

@@ -61,6 +61,36 @@ class EvalSpec extends SparkTestBase {
     assert(Eval.auc(df, col("score"), col("label")) == 1.0)
   }
 
+  test("Spearman: monotone gives 1, reversal -1, hand-computed tie ranks") {
+    val mono = Seq((1.0, 10.0), (2.0, 200.0), (3.0, 3000.0)).toDF("x", "y")
+    assert(math.abs(Eval.spearman(mono, col("x"), col("y"))
+      .head.getDouble(0) - 1.0) < 1e-12)
+    val rev = Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).toDF("x", "y")
+    assert(math.abs(Eval.spearman(rev, col("x"), col("y"))
+      .head.getDouble(0) + 1.0) < 1e-12)
+    // ties: rx=[1,2.5,2.5,4], ry=[1.5,1.5,3,4] -> rho = 3.75/4.5
+    val ties = Seq((1.0, 5.0), (2.0, 5.0), (2.0, 6.0), (3.0, 7.0)).toDF("x", "y")
+    val r = Eval.spearman(ties, col("x"), col("y")).head
+    assert(math.abs(r.getDouble(0) - 3.75 / 4.5) < 1e-12)
+    assert(r.getLong(1) == 4L)
+  }
+
+  test("categorical association: independence gives zeros, identity gives V=1") {
+    val ind = Seq(("p", "u"), ("p", "v"), ("q", "u"), ("q", "v")).toDF("a", "b")
+    val ri = Eval.categoricalAssociation(ind, col("a"), col("b")).head
+    assert(math.abs(ri.getDouble(0)) < 1e-12) // chi2
+    assert(math.abs(ri.getDouble(2)) < 1e-12) // mi
+    // perfect association with a ZERO cell: chi2 = n (2x2... R=C=2), V = 1
+    val per = Seq(("p", "x"), ("p", "x"), ("q", "y")).toDF("a", "b")
+    val rp = Eval.categoricalAssociation(per, col("a"), col("b")).head
+    assert(math.abs(rp.getDouble(0) - 3.0) < 1e-12)
+    assert(math.abs(rp.getDouble(1) - 1.0) < 1e-12)
+    // MI of a deterministic map = entropy of the marginal: H(2/3,1/3)
+    val h = -(2.0 / 3.0 * math.log(2.0 / 3.0) + 1.0 / 3.0 * math.log(1.0 / 3.0))
+    assert(math.abs(rp.getDouble(2) - h) < 1e-12)
+    assert(rp.getLong(3) == 3L)
+  }
+
   test("KS: hand-computed sup distance, identical samples give zero") {
     val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
     val cur = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
