@@ -607,6 +607,30 @@ object OracleSql {
          |SELECT bin, n_ref, n_cur, ((p - q) * ln(p/q))::REAL AS contrib
          |FROM x ORDER BY bin""".stripMargin,
 
+    // Poisson bootstrap replay: same md5 uniforms, same truncated inverse
+    // CDF (thresholds rendered from Bootstrap.PoisCdf — identical doubles)
+    "q129_bootstrap_ci" -> {
+      val wExpr = graft.reg.Bootstrap.PoisCdf
+        .map(c => s"CASE WHEN u >= $c THEN 1.0 ELSE 0.0 END")
+        .mkString(" + ")
+      s"""WITH r AS (SELECT doc_id::VARCHAR AS k, CAST(n_chars AS DOUBLE) AS x
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |uu AS (SELECT x, b,
+         |    ${hash32("'q129' || k || '_' || b::VARCHAR")} / 4294967296.0 AS u
+         |  FROM r CROSS JOIN (SELECT unnest(range(1, 101)) AS b) bb),
+         |w AS (SELECT x, b, ($wExpr) AS w FROM uu),
+         |rep AS (SELECT b, sum(w) AS sw, sum(w*x) AS swx FROM w GROUP BY b),
+         |mean AS (SELECT swx/sw AS m FROM rep WHERE sw > 0),
+         |ord AS (SELECT m, row_number() OVER (ORDER BY m) AS rn,
+         |    count(*) OVER () AS mm FROM mean),
+         |est AS (SELECT avg(x) AS e, count(*)::BIGINT AS n FROM r)
+         |SELECT (SELECT e FROM est)::REAL AS est,
+         |  (SELECT m FROM ord WHERE rn = greatest(1, ceil(0.025 * mm)))::REAL AS lo,
+         |  (SELECT m FROM ord WHERE rn = greatest(1, ceil(0.975 * mm)))::REAL AS hi,
+         |  (SELECT n FROM est) AS n,
+         |  (SELECT max(mm) FROM ord)::BIGINT AS reps_used""".stripMargin
+    },
+
     // Spearman: average ranks from the distinct-value tables, Pearson on
     // ranks via the moments identity
     "q127_spearman" ->

@@ -572,6 +572,15 @@ object Queries {
           col("contrib").cast("float").as("contrib"))
     }),
 
+    // uncertainty: Poisson-bootstrap percentile CI for mean(n_chars) —
+    // 100 deterministic replicates in ONE scan (two array-sum aggregates)
+    "q129_bootstrap_ci" -> ((s, dir) =>
+      graft.reg.Bootstrap.meanCI(docs(s, dir), col("n_chars"), "doc_id",
+        reps = 100, level = 0.95, salt = "q129")
+        .select(col("est").cast("float").as("est"),
+          col("lo").cast("float").as("lo"), col("hi").cast("float").as("hi"),
+          col("n"), col("reps_used"))),
+
     // dependence: Spearman rank correlation (average ranks for ties) —
     // distinct-value rank windows + value-keyed joins + 1-row moments
     "q127_spearman" -> ((s, dir) =>
