@@ -607,6 +607,33 @@ object OracleSql {
          |SELECT bin, n_ref, n_cur, ((p - q) * ln(p/q))::REAL AS contrib
          |FROM x ORDER BY bin""".stripMargin,
 
+    // smoothed target encoding: same shrinkage algebra, left-join attach
+    "q130_target_encode" ->
+      s"""WITH b AS (SELECT l_returnflag AS c, CAST(l_extendedprice AS DOUBLE) AS y
+         |  FROM lineitem
+         |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+         |pr AS (SELECT sum(y)/count(*) AS p FROM b),
+         |enc AS (SELECT c, (sum(y) + 10.0 * p)/(count(*)::DOUBLE + 10.0) AS te
+         |  FROM b CROSS JOIN pr GROUP BY c, p),
+         |j AS (SELECT l.l_returnflag AS c2, e.te
+         |  FROM lineitem l LEFT JOIN enc e ON l.l_returnflag = e.c)
+         |SELECT c2 AS l_returnflag, count(*)::BIGINT AS n,
+         |  min(te)::REAL AS te_min, max(te)::REAL AS te_max
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // median/MAD outliers: quantile_cont = Spark exact percentile (q60 pin)
+    "q131_robust_outliers" ->
+      s"""WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL),
+         |me AS (SELECT quantile_cont(v, 0.5) AS med FROM b),
+         |ma AS (SELECT quantile_cont(abs(v - med), 0.5) AS mad
+         |  FROM b CROSS JOIN me)
+         |SELECT (SELECT med FROM me) AS median, (SELECT mad FROM ma) AS mad,
+         |  (SELECT sum(CASE WHEN abs(v - med) > 3.0 * 1.4826 * mad
+         |     THEN 1 ELSE 0 END) FROM b CROSS JOIN me CROSS JOIN ma)::BIGINT
+         |    AS n_outliers,
+         |  (SELECT count(*) FROM b)::BIGINT AS n""".stripMargin,
+
     // Poisson bootstrap replay: same md5 uniforms, same truncated inverse
     // CDF (thresholds rendered from Bootstrap.PoisCdf — identical doubles)
     "q129_bootstrap_ci" -> {

@@ -572,6 +572,23 @@ object Queries {
           col("contrib").cast("float").as("contrib"))
     }),
 
+    // features: smoothed target encoding of returnflag vs extendedprice;
+    // min=max per category proves the attach join agrees with the stats
+    "q130_target_encode" -> ((s, dir) =>
+      graft.operators.Features.targetEncode(li(s, dir), "l_returnflag",
+        col("l_extendedprice"), m = 10.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          min(col("te")).cast("float").as("te_min"),
+          max(col("te")).cast("float").as("te_max"))
+        .orderBy("l_returnflag")),
+
+    // data quality: median/MAD robust outlier stats (exact percentile,
+    // the q60 quantile_cont parity)
+    "q131_robust_outliers" -> ((s, dir) =>
+      graft.operators.Features.robustOutlierStats(li(s, dir),
+        col("l_extendedprice"), k = 3.0)),
+
     // uncertainty: Poisson-bootstrap percentile CI for mean(n_chars) —
     // 100 deterministic replicates in ONE scan (two array-sum aggregates)
     "q129_bootstrap_ci" -> ((s, dir) =>
