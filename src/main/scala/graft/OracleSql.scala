@@ -607,6 +607,44 @@ object OracleSql {
          |SELECT bin, n_ref, n_cur, ((p - q) * ln(p/q))::REAL AS contrib
          |FROM x ORDER BY bin""".stripMargin,
 
+    // Welch A/B: same conditional-sum moments and expression order
+    "q132_ab_test" ->
+      s"""WITH b AS (SELECT (l_returnflag = 'R') AS t,
+         |    CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem
+         |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+         |m AS (SELECT sum(CASE WHEN NOT t THEN 1.0 ELSE 0.0 END) AS na,
+         |    sum(CASE WHEN NOT t THEN y ELSE 0.0 END) AS sa,
+         |    sum(CASE WHEN NOT t THEN y*y ELSE 0.0 END) AS ssa,
+         |    sum(CASE WHEN t THEN 1.0 ELSE 0.0 END) AS nb,
+         |    sum(CASE WHEN t THEN y ELSE 0.0 END) AS sb,
+         |    sum(CASE WHEN t THEN y*y ELSE 0.0 END) AS ssb FROM b),
+         |v AS (SELECT na, nb, sa/na AS ma, sb/nb AS mb,
+         |    (ssa - sa*sa/na)/(na - 1.0) AS va,
+         |    (ssb - sb*sb/nb)/(nb - 1.0) AS vb FROM m)
+         |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, ma::REAL AS mean_a,
+         |  mb::REAL AS mean_b, (mb - ma)::REAL AS diff,
+         |  sqrt(va/na + vb/nb)::REAL AS se,
+         |  ((mb - ma)/sqrt(va/na + vb/nb))::REAL AS t,
+         |  (((va/na + vb/nb)*(va/na + vb/nb))
+         |   /((va/na)*(va/na)/(na - 1.0)
+         |     + (vb/nb)*(vb/nb)/(nb - 1.0)))::REAL AS df
+         |FROM v""".stripMargin,
+
+    // winsorize: quantile_cont bounds (q60 parity), clip as a projection
+    "q133_winsorize" ->
+      s"""WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL),
+         |b AS (SELECT quantile_cont(x, 0.01) AS lo,
+         |    quantile_cont(x, 0.99) AS hi FROM v),
+         |w AS (SELECT l_extendedprice AS raw,
+         |    CASE WHEN l_extendedprice IS NULL THEN NULL
+         |         ELSE least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi)
+         |    END AS w
+         |  FROM lineitem CROSS JOIN b)
+         |SELECT sum(CASE WHEN raw < w THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+         |  sum(CASE WHEN raw > w THEN 1 ELSE 0 END)::BIGINT AS n_hi,
+         |  avg(w)::REAL AS mean_w, avg(raw)::REAL AS mean_raw FROM w""".stripMargin,
+
     // smoothed target encoding: same shrinkage algebra, left-join attach
     "q130_target_encode" ->
       s"""WITH b AS (SELECT l_returnflag AS c, CAST(l_extendedprice AS DOUBLE) AS y

@@ -572,6 +572,30 @@ object Queries {
           col("contrib").cast("float").as("contrib"))
     }),
 
+    // experimentation: Welch A/B readout, treated = returnflag 'R'
+    "q132_ab_test" -> ((s, dir) =>
+      graft.reg.Eval.abTest(li(s, dir),
+        col("l_returnflag") === "R", col("l_extendedprice"))
+        .select(col("n_a"), col("n_b"),
+          col("mean_a").cast("float").as("mean_a"),
+          col("mean_b").cast("float").as("mean_b"),
+          col("diff").cast("float").as("diff"),
+          col("se").cast("float").as("se"),
+          col("t").cast("float").as("t"),
+          col("df").cast("float").as("df"))),
+
+    // features: winsorize extendedprice into [p01, p99]; clip counts and
+    // the tamed mean prove the bounds and the projection
+    "q133_winsorize" -> ((s, dir) => {
+      val w = graft.operators.Features.winsorize(li(s, dir),
+        col("l_extendedprice"), 0.01, 0.99)
+      w.agg(
+        sum(when(col("l_extendedprice") < col("w"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("l_extendedprice") > col("w"), 1L).otherwise(0L)).as("n_hi"),
+        avg(col("w")).cast("float").as("mean_w"),
+        avg(col("l_extendedprice")).cast("float").as("mean_raw"))
+    }),
+
     // features: smoothed target encoding of returnflag vs extendedprice;
     // min=max per category proves the attach join agrees with the stats
     "q130_target_encode" -> ((s, dir) =>

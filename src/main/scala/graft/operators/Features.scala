@@ -45,6 +45,35 @@ object Features {
     df.join(enc, df(catCol) === enc("__c"), "left").drop("__c")
   }
 
+  /** Winsorize: clip `value` into its [pLo, pHi] exact-percentile band —
+    * the standard heavy-tail tamer before means/regressions. Bounds come
+    * from one exact `percentile` aggregate (q60 quantile_cont parity;
+    * swap approx_percentile at unbounded scale) broadcast back via a 1-row
+    * crossJoin; the clip is a pure projection. Adds `outCol` (null stays
+    * null). */
+  def winsorize(
+      df: DataFrame,
+      value: Column,
+      pLo: Double = 0.01,
+      pHi: Double = 0.99,
+      outCol: String = "w"
+  ): DataFrame = {
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    require(!df.columns.contains(outCol), s"output column '$outCol' exists")
+    val v = value.cast("double")
+    val bounds = df.filter(v.isNotNull).select(v.as("__v"))
+      .agg(expr(s"percentile(__v, $pLo)").as("__lo"),
+        expr(s"percentile(__v, $pHi)").as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      // explicit null guard: Spark's least/greatest SKIP nulls, which would
+      // silently clip a null value to the lower bound
+      .withColumn(outCol,
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(v, col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
+
   /** Robust outlier statistics via median/MAD: med = median(v),
     * mad = median(|v − med|), a point is an outlier when
     * |v − med| > k·1.4826·mad (1.4826 makes MAD estimate σ under

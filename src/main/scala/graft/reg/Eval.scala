@@ -55,6 +55,46 @@ object Eval {
     u.select((col("__u") / (col("__p") * col("__n"))).as("auc"))
   }
 
+  /** Welch two-sample comparison (the A/B-test readout): difference in
+    * means with the unequal-variance standard error and
+    * Welch–Satterthwaite degrees of freedom — ONE conditional-sum
+    * aggregate over one scan (no split, no join; the p-value is the
+    * caller's t-CDF lookup on (t, df)).
+    * Returns one row (n_a, n_b, mean_a, mean_b, diff, se, t, df). */
+  def abTest(
+      df: DataFrame,
+      treated: Column,
+      value: Column
+  ): DataFrame = {
+    val y = value.cast("double")
+    val t = treated.cast("boolean")
+    def side(flag: Boolean, nm: String) = Seq(
+      sum(when(t === flag, 1.0).otherwise(0.0)).as(s"n_$nm"),
+      sum(when(t === flag, y).otherwise(0.0)).as(s"s_$nm"),
+      sum(when(t === flag, y * y).otherwise(0.0)).as(s"ss_$nm"))
+    val aggs = side(false, "a") ++ side(true, "b")
+    df.filter(t.isNotNull && y.isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("n_a"), col("n_b"),
+        (col("s_a") / col("n_a")).as("mean_a"),
+        (col("s_b") / col("n_b")).as("mean_b"),
+        ((col("ss_a") - col("s_a") * col("s_a") / col("n_a")) / (col("n_a") - 1.0)).as("v_a"),
+        ((col("ss_b") - col("s_b") * col("s_b") / col("n_b")) / (col("n_b") - 1.0)).as("v_b"))
+      .select(
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("mean_a"), col("mean_b"),
+        (col("mean_b") - col("mean_a")).as("diff"),
+        sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")).as("se"),
+        ((col("mean_b") - col("mean_a")) /
+          sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b"))).as("t"),
+        (((col("v_a") / col("n_a") + col("v_b") / col("n_b")) *
+          (col("v_a") / col("n_a") + col("v_b") / col("n_b"))) /
+          ((col("v_a") / col("n_a")) * (col("v_a") / col("n_a")) / (col("n_a") - 1.0) +
+            (col("v_b") / col("n_b")) * (col("v_b") / col("n_b")) / (col("n_b") - 1.0)))
+          .as("df"))
+  }
+
   /** Spearman rank correlation between two numeric columns — the robust,
     * monotone-invariant dependence measure (average ranks for ties, the
     * textbook convention).

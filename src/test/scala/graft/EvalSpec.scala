@@ -61,6 +61,20 @@ class EvalSpec extends SparkTestBase {
     assert(Eval.auc(df, col("score"), col("label")) == 1.0)
   }
 
+  test("Welch A/B: hand-computed moments, se, t and Satterthwaite df") {
+    val d = Seq((false, 1.0), (false, 2.0), (false, 3.0),
+      (true, 4.0), (true, 6.0)).toDF("t", "y")
+    val r = Eval.abTest(d, col("t"), col("y")).head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-12) // mean_a
+    assert(math.abs(r.getDouble(3) - 5.0) < 1e-12) // mean_b
+    assert(math.abs(r.getDouble(4) - 3.0) < 1e-12) // diff
+    val se = math.sqrt(1.0 / 3.0 + 2.0 / 2.0)      // va=1, vb=2
+    assert(math.abs(r.getDouble(5) - se) < 1e-12)
+    assert(math.abs(r.getDouble(6) - 3.0 / se) < 1e-12)
+    assert(math.abs(r.getDouble(7) - 32.0 / 19.0) < 1e-9) // Satterthwaite
+  }
+
   test("Spearman: monotone gives 1, reversal -1, hand-computed tie ranks") {
     val mono = Seq((1.0, 10.0), (2.0, 200.0), (3.0, 3000.0)).toDF("x", "y")
     assert(math.abs(Eval.spearman(mono, col("x"), col("y"))

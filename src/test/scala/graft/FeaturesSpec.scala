@@ -33,6 +33,23 @@ class FeaturesSpec extends SparkTestBase {
     }.getMessage.contains("exists"))
   }
 
+  test("winsorize: exact percentile bounds clip tails, nulls pass through") {
+    val d = (1 to 11).map(i => Some(i.toDouble)).toDF("v")
+    val w = Features.winsorize(d, col("v"), 0.1, 0.9)
+      .select(col("v"), col("w")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(w(1.0) == 2.0 && w(11.0) == 10.0) // p10 = 2, p90 = 10
+    assert(w(5.0) == 5.0)                     // interior untouched
+    val withNull = (Seq(Some(1.0), None) ++ (2 to 11).map(i => Some(i.toDouble)))
+      .toDF("v")
+    val nw = Features.winsorize(withNull, col("v"), 0.1, 0.9)
+      .filter(col("v").isNull).select(col("w")).collect()
+    assert(nw.length == 1 && nw(0).isNullAt(0))
+    assert(intercept[IllegalArgumentException] {
+      Features.winsorize(d, col("v"), 0.9, 0.1)
+    }.getMessage.contains("pLo"))
+  }
+
   test("robust outliers: hand-computed median/MAD, single planted outlier flagged") {
     val d = ((1 to 9).map(_.toDouble) :+ 100.0).toDF("v")
     val r = Features.robustOutlierStats(d, col("v"), k = 3.0).head
