@@ -243,6 +243,39 @@ class StreamingSpec extends SparkTestBase {
     assert(byId(10L) && !byId(11L) && byId(12L))
   }
 
+  test("drift monitors run per micro-batch via foreachBatch, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.reg.Eval
+    // PSI/KS are multi-pass batch aggregations (reference stats + keyed
+    // counts), so the streaming composition is foreachBatch: each
+    // micro-batch is the "current window" monitored against a static
+    // reference — the production drift-alert loop
+    val ref = (0 until 200).map(i => (i % 20).toDouble).toDF("v")
+    val input = MemoryStream[Double]
+    val psis = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = input.toDF().toDF("v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val psi = Eval.psi(ref, batch, col("v"), bins = 10)
+          .agg(sum(col("contrib"))).collect()(0).getDouble(0)
+        psis.synchronized { psis += ((id, psi)) }; ()
+      }
+      .start()
+    val calm = (0 until 100).map(i => (i % 20).toDouble)
+    val shifted = Seq.fill(100)(19.0)
+    input.addData(calm: _*)
+    q.processAllAvailable()
+    input.addData(shifted: _*)
+    q.processAllAvailable()
+    q.stop()
+    val byBatch = psis.toMap
+    // batch equivalence: the micro-batch result IS the batch operator's
+    val batchCalm = Eval.psi(ref, calm.toDF("v"), col("v"), bins = 10)
+      .agg(sum(col("contrib"))).collect()(0).getDouble(0)
+    assert(byBatch(0L) == batchCalm)
+    assert(byBatch(0L) < 0.1, s"calm window flagged: ${byBatch(0L)}")
+    assert(byBatch(1L) > 0.25, s"shifted window missed: ${byBatch(1L)}")
+  }
+
   test("GLM scoring and gopher rules run unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.TextOps
