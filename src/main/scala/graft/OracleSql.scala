@@ -755,6 +755,38 @@ object OracleSql {
          |SELECT max(abs(cr/tr - cc/tc))::REAL AS d,
          |  max(tr)::BIGINT AS n_ref, max(tc)::BIGINT AS n_cur FROM x""".stripMargin,
 
+    // BPE replay: k unrolled iterations of pair-count -> top-1 -> 12-pass
+    // replace, with the learned pair threaded as scalar subqueries
+    "q134_bpe_train" -> {
+      val k = 6
+      def pairsOf(src: String) =
+        s"""(SELECT unnest(list_transform(range(1, len(t)),
+           |    i -> t[i] || ' ' || t[i+1])) AS p, f
+           |  FROM (SELECT string_split(trim(s), ' ') AS t, f FROM $src) q)"""
+          .stripMargin
+      def fuse(expr0: String, i: Int): String =
+        (1 to 12).foldLeft(expr0)((e, _) =>
+          s"replace($e, ' ' || (SELECT p FROM t$i) || ' ', ' ' || (SELECT m FROM t$i) || ' ')")
+      val iters = (1 to k).flatMap { i =>
+        Seq(
+          s"""p$i AS MATERIALIZED (SELECT p, sum(f) AS c FROM ${pairsOf(s"w${i - 1}")} u
+             |  GROUP BY p)""".stripMargin,
+          s"""t$i AS MATERIALIZED (SELECT p, c, replace(p, ' ', '') AS m FROM p$i
+             |  ORDER BY c DESC, p LIMIT 1)""".stripMargin,
+          s"""w$i AS MATERIALIZED (SELECT ${fuse("s", i)} AS s, f FROM w${i - 1})""")
+      }
+      val out = (1 to k)
+        .map(i => s"SELECT $i AS rank, p AS pair, m AS merged, c::BIGINT AS count FROM t$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH w0 AS MATERIALIZED (SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
+         |    || ' ' AS s, f FROM (
+         |  SELECT w, count(*)::DOUBLE AS f FROM
+         |    (SELECT unnest(${toks("text")}) AS w FROM documents) tw GROUP BY w) wc),
+         |${iters.mkString(",\n")}
+         |$out
+         |ORDER BY rank""".stripMargin
+    },
+
     // JSD: full-outer vocab join, zero-side terms drop from their KL half
     "q126_js_divergence" ->
       s"""WITH dd AS (SELECT text,

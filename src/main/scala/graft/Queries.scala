@@ -652,6 +652,12 @@ object Queries {
         .select(col("d").cast("float").as("d"), col("n_ref"), col("n_cur"))
     }),
 
+    // tokenizer training: first 6 BPE merge rules learned from the corpus
+    // (pair counting distributed over the vocab table, deterministic ties)
+    "q134_bpe_train" -> ((s, dir) =>
+      TextOps.bpeTrain(docs(s, dir), "text", numMerges = 6)
+        .orderBy("rank")),
+
     // corpus distance: Jensen-Shannon divergence between the token
     // distributions of two md5-dealt document halves
     "q126_js_divergence" -> ((s, dir) => {

@@ -520,6 +520,68 @@ object TextOps {
       .limit(k)
   }
 
+  /** Byte-pair-encoding tokenizer training (Sennrich et al. 2016): learn
+    * `numMerges` merge rules from the corpus — repeatedly count adjacent
+    * symbol pairs (weighted by word frequency) and fuse the most frequent
+    * pair (ties break to the lexicographically smaller pair, so training is
+    * deterministic). Returns the merge table (rank, pair, merged, count) —
+    * the artifact a BPE tokenizer ships.
+    *
+    * Scale shape: the corpus is read ONCE into the frequency-weighted
+    * distinct-WORD table (the shape real BPE trainers operate on — pair
+    * statistics are invariant to word order), localCheckpointed at vocab
+    * size; each merge iteration is one keyed pair-count aggregate over the
+    * vocab table plus a 1-row TakeOrdered collect, and the merge itself is
+    * a pure projection. Words ride as sentinel-padded symbol strings
+    * (" l o w ") and a merge is `maxPasses` nested replaces of " a b " →
+    * " ab " — left-to-right non-overlapping replace fuses alternate
+    * occurrences per pass, so passes ≥ the longest same-pair chain give
+    * exactly the greedy left-to-right BPE result with plain string ops
+    * both here and in the SQL oracle (no per-row recursion). */
+  def bpeTrain(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxPasses: Int = 12
+  ): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(maxPasses >= 1, s"maxPasses must be >= 1, got $maxPasses")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("double").as("f"))
+      .select(
+        concat(lit(" "),
+          concat_ws(" ", expr("regexp_extract_all(w, '.', 0)")),
+          lit(" ")).as("s"),
+        col("f"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = vocab
+        .select(explode(wordShingles(split(trim(col("s")), " "), 2)).as("p"), col("f"))
+        .groupBy("p").agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("p").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getDouble(1).toLong
+        val merged = pair.replace(" ", "")
+        merges += ((rank, pair, merged, cnt))
+        val once = (s: Column) =>
+          replace(s, lit(" " + pair + " "), lit(" " + merged + " "))
+        val fused = (1 to maxPasses).foldLeft(col("s"))((c, _) => once(c))
+        vocab = vocab.select(fused.as("s"), col("f")).localCheckpoint(false)
+      }
+      rank += 1
+    }
+    merges.toSeq.toDF("rank", "pair", "merged", "count")
+  }
+
   /** Jensen–Shannon divergence between the unigram token distributions of
     * two corpora — the standard corpus-shift/domain-distance measure
     * (bounded in [0, ln 2], symmetric, defined even on disjoint vocab):

@@ -953,6 +953,29 @@ class PipelineSpec extends SparkTestBase {
       "an operator registered a CacheManager entry it can never release")
   }
 
+  test("BPE training: textbook merge sequence with deterministic ties") {
+    val corpus = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val out = TextOps.bpeTrain(corpus, "text", numMerges = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // pairs (l,o) and (o,w) both count 3 -> tie breaks to "l o"; after
+    // "lo", (lo,w)=3 wins; then (e r) < (low e) lexically at count 1
+    assert(out.toSeq == Seq(
+      (1, "l o", "lo", 3L),
+      (2, "lo w", "low", 3L),
+      (3, "e r", "er", 1L),
+      (4, "low er", "lower", 1L)))
+    // exhaustion: only 4 merges exist, later ranks are absent (no padding)
+    assert(out.length == 4)
+    // chained same-symbol merges resolve greedily left-to-right
+    val aaa = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val m = TextOps.bpeTrain(aaa, "text", numMerges = 2)
+      .collect().map(r => (r.getString(1), r.getLong(3)))
+    // "a a a a"(f1): pairs (a,a)x3; "a a a"(f1): x2 -> merge (a,a) count 5
+    // greedy: "aa aa" and "aa a" -> next pair counts: (aa,aa)=1, (aa,a)=1
+    assert(m(0) == ("a a", 5L))
+    assert(m(1) == ("aa a", 1L)) // tie (aa,a) < (aa,aa)
+  }
+
   test("JSD: hand-computed mixtures, disjoint vocab gives ln 2, identical gives 0") {
     val ref = Seq((1L, "a a b")).toDF("doc_id", "text")
     val cur = Seq((2L, "a b b")).toDF("doc_id", "text")
