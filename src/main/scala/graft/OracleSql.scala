@@ -46,6 +46,36 @@ object OracleSql {
   private def hash32(e: String) = s"('0x' || substr(md5($e),1,8))::BIGINT"
 
   /** lowercased whitespace tokens, empties removed. */
+  /** Shared BPE-training CTE chain (q134/q135): w0 = freq-weighted spaced
+    * word table; per iteration i: pair counts p_i, top-1 t_i, fused w_i.
+    * MATERIALIZED is load-bearing — inlined CTEs re-expand the chain
+    * exponentially (DuckDB runs out of file handles re-opening the scan). */
+  private def bpeCtes(k: Int): String = {
+    def pairsOf(src: String) =
+      s"""(SELECT unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i+1])) AS p, f
+         |  FROM (SELECT string_split(trim(s), ' ') AS t, f FROM $src) q)"""
+        .stripMargin
+    def fuse(expr0: String, i: Int): String =
+      (1 to 12).foldLeft(expr0)((e, _) =>
+        s"replace($e, ' ' || (SELECT p FROM t$i) || ' ', ' ' || (SELECT m FROM t$i) || ' ')")
+    val iters = (1 to k).flatMap { i =>
+      Seq(
+        s"""p$i AS MATERIALIZED (SELECT p, sum(f) AS c FROM ${pairsOf(s"w${i - 1}")} u
+           |  GROUP BY p)""".stripMargin,
+        s"""t$i AS MATERIALIZED (SELECT p, c, replace(p, ' ', '') AS m FROM p$i
+           |  ORDER BY c DESC, p LIMIT 1)""".stripMargin,
+        s"""w$i AS MATERIALIZED (SELECT ${fuse("s", i)} AS s, f FROM w${i - 1})""")
+    }
+    // NOTE: no generated line may BEGIN with "||" — the caller's
+    // stripMargin would eat one pipe and leave a bitwise-or
+    s"""w0 AS MATERIALIZED (SELECT ' ' ||
+       |    array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s, f FROM (
+       |  SELECT w, count(*)::DOUBLE AS f FROM
+       |    (SELECT unnest(${toks("text")}) AS w FROM documents) tw GROUP BY w) wc),
+       |${iters.mkString(",\n")}""".stripMargin
+  }
+
   private def toks(e: String) =
     s"list_filter(string_split_regex(lower($e), '\\s+'), t -> len(t) > 0)"
 
@@ -759,32 +789,24 @@ object OracleSql {
     // replace, with the learned pair threaded as scalar subqueries
     "q134_bpe_train" -> {
       val k = 6
-      def pairsOf(src: String) =
-        s"""(SELECT unnest(list_transform(range(1, len(t)),
-           |    i -> t[i] || ' ' || t[i+1])) AS p, f
-           |  FROM (SELECT string_split(trim(s), ' ') AS t, f FROM $src) q)"""
-          .stripMargin
-      def fuse(expr0: String, i: Int): String =
-        (1 to 12).foldLeft(expr0)((e, _) =>
-          s"replace($e, ' ' || (SELECT p FROM t$i) || ' ', ' ' || (SELECT m FROM t$i) || ' ')")
-      val iters = (1 to k).flatMap { i =>
-        Seq(
-          s"""p$i AS MATERIALIZED (SELECT p, sum(f) AS c FROM ${pairsOf(s"w${i - 1}")} u
-             |  GROUP BY p)""".stripMargin,
-          s"""t$i AS MATERIALIZED (SELECT p, c, replace(p, ' ', '') AS m FROM p$i
-             |  ORDER BY c DESC, p LIMIT 1)""".stripMargin,
-          s"""w$i AS MATERIALIZED (SELECT ${fuse("s", i)} AS s, f FROM w${i - 1})""")
-      }
       val out = (1 to k)
         .map(i => s"SELECT $i AS rank, p AS pair, m AS merged, c::BIGINT AS count FROM t$i")
         .mkString("\nUNION ALL\n")
-      s"""WITH w0 AS MATERIALIZED (SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
-         |    || ' ' AS s, f FROM (
-         |  SELECT w, count(*)::DOUBLE AS f FROM
-         |    (SELECT unnest(${toks("text")}) AS w FROM documents) tw GROUP BY w) wc),
-         |${iters.mkString(",\n")}
+      s"""WITH ${bpeCtes(k)}
          |$out
          |ORDER BY rank""".stripMargin
+    },
+
+    // BPE apply: segment the corpus under the 6 learned rules (same CTEs),
+    // then weight symbol counts by word frequency
+    "q135_bpe_segment" -> {
+      val k = 6
+      s"""WITH ${bpeCtes(k)}
+         |SELECT (SELECT sum(f) FROM w0)::BIGINT AS n_words,
+         |  (SELECT sum(f * len(string_split(trim(s), ' '))) FROM w0)::BIGINT
+         |    AS n_syms_char,
+         |  (SELECT sum(f * len(string_split(trim(s), ' '))) FROM w$k)::BIGINT
+         |    AS n_syms_bpe""".stripMargin
     },
 
     // JSD: full-outer vocab join, zero-side terms drop from their KL half

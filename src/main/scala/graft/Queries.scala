@@ -658,6 +658,15 @@ object Queries {
       TextOps.bpeTrain(docs(s, dir), "text", numMerges = 6)
         .orderBy("rank")),
 
+    // tokenizer apply: segment the corpus under the 6 learned rules and
+    // count symbols before/after (token counting under the real tokenizer)
+    "q135_bpe_segment" -> ((s, dir) => {
+      val rules = TextOps.bpeTrain(docs(s, dir), "text", numMerges = 6)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeSegmentStats(docs(s, dir), "text", rules)
+    }),
+
     // corpus distance: Jensen-Shannon divergence between the token
     // distributions of two md5-dealt document halves
     "q126_js_divergence" -> ((s, dir) => {

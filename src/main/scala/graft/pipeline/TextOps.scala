@@ -582,6 +582,41 @@ object TextOps {
     merges.toSeq.toDF("rank", "pair", "merged", "count")
   }
 
+  /** Apply a learned BPE merge table ([[bpeTrain]] order matters: rules
+    * fuse rank by rank) and report corpus segmentation statistics — the
+    * "token counting under the real tokenizer" readout:
+    * (n_words, n_syms_char, n_syms_bpe). Same one-corpus-scan word-table
+    * shape as training; applying k rules is a pure projection (k·maxPasses
+    * nested replaces), one aggregate ends it. */
+  def bpeSegmentStats(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)],
+      maxPasses: Int = 12
+  ): DataFrame = {
+    require(merges.nonEmpty, "need at least one merge rule")
+    val vocab = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("double").as("f"))
+      .select(
+        concat(lit(" "),
+          concat_ws(" ", expr("regexp_extract_all(w, '.', 0)")),
+          lit(" ")).as("s"),
+        col("f"))
+    val fused = merges.foldLeft(col("s")) { case (c, (pair, merged)) =>
+      (1 to maxPasses).foldLeft(c)((e, _) =>
+        replace(e, lit(" " + pair + " "), lit(" " + merged + " ")))
+    }
+    vocab
+      .select(col("f"),
+        size(split(trim(col("s")), " ")).cast("double").as("nc"),
+        size(split(trim(fused), " ")).cast("double").as("nb"))
+      .agg(
+        sum(col("f")).cast("long").as("n_words"),
+        sum(col("f") * col("nc")).cast("long").as("n_syms_char"),
+        sum(col("f") * col("nb")).cast("long").as("n_syms_bpe"))
+  }
+
   /** Jensen–Shannon divergence between the unigram token distributions of
     * two corpora — the standard corpus-shift/domain-distance measure
     * (bounded in [0, ln 2], symmetric, defined even on disjoint vocab):

@@ -976,6 +976,21 @@ class PipelineSpec extends SparkTestBase {
     assert(m(1) == ("aa a", 1L)) // tie (aa,a) < (aa,aa)
   }
 
+  test("BPE segmentation: symbol counts shrink by exactly the merge hits") {
+    val corpus = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val rules = TextOps.bpeTrain(corpus, "text", numMerges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val s = TextOps.bpeSegmentStats(corpus, "text", rules).head
+    assert(s.getLong(0) == 3L)  // word occurrences
+    assert(s.getLong(1) == 11L) // chars: 3+3+5
+    // after 4 merges every word is a single symbol
+    assert(s.getLong(2) == 3L)
+    // applying only the FIRST rule: "lo w"x2 + "lo w e r" = 2*2 + 4
+    val one = TextOps.bpeSegmentStats(corpus, "text", rules.take(1)).head
+    assert(one.getLong(2) == 8L)
+  }
+
   test("JSD: hand-computed mixtures, disjoint vocab gives ln 2, identical gives 0") {
     val ref = Seq((1L, "a a b")).toDF("doc_id", "text")
     val cur = Seq((2L, "a b b")).toDF("doc_id", "text")
