@@ -31,6 +31,8 @@ object Features {
     require(m >= 0.0, s"smoothing m must be >= 0, got $m")
     require(df.columns.contains(catCol), s"column '$catCol' not found")
     require(!df.columns.contains(outCol), s"output column '$outCol' exists")
+    require(!df.columns.contains("__c"),
+      "reserved column '__c' present (drop after the join would eat it)")
     val y = target.cast("double")
     val base = df.filter(col(catCol).isNotNull && y.isNotNull)
       .select(col(catCol).as("__c"), y.as("__y"))
@@ -61,6 +63,8 @@ object Features {
     require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
     require(!df.columns.contains(outCol), s"output column '$outCol' exists")
+    require(!df.columns.contains("__lo") && !df.columns.contains("__hi"),
+      "reserved columns '__lo'/'__hi' present (drop after the bounds join would eat them)")
     val v = value.cast("double")
     val bounds = df.filter(v.isNotNull).select(v.as("__v"))
       .agg(expr(s"percentile(__v, $pLo)").as("__lo"),
