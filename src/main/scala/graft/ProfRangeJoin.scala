@@ -9,9 +9,9 @@ import graft.operators.RangeJoin
   * shapes (purchase→signup-window attribution; click/error overlap) on
   * `SPARK_GRAFT_SF_DIR` events, `PROF_ITERS` iterations, per-iteration and
   * minimum wall times (bursty-steal host — BENCH_NOTES.md methodology:
-  * compare minima). Reads `ts` as raw int64 nanos (nanosAsLong, the q40/
-  * q54 convention), so both the driver's TIMESTAMP(NANOS) parquet and
-  * ScaleUp's long-typed replicas profile identically. */
+  * compare minima). `ts` is decoded to epoch-µs via the schema probe
+  * (EventTime), so the driver's timestamp parquet and ScaleUp replicas
+  * profile identically. */
 object ProfRangeJoin {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,13 +19,12 @@ object ProfRangeJoin {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val e = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("tus", expr("ts DIV 1000"))
+    val e = graft.sources.EventTime.withEpochMicros(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     println(s"[prof] dir=$sfDir events=${e.count()}")
 
     def noop(df: DataFrame): Long =

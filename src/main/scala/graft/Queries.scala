@@ -1346,7 +1346,6 @@ object Queries {
 
     // semi-structured: JSON field extraction + aggregation over events.props
     "q45_json_extract" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       ev(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .groupBy("event_type")
@@ -1367,15 +1366,13 @@ object Queries {
 
     // events: gap-based sessionization — per-user lag window marks session
     // starts (gap > 30 min), a running sum numbers sessions, then one
-    // groupBy per (user, session). Timestamps stay integer nanoseconds
-    // end-to-end so session boundaries are bit-exact cross-engine. The
-    // windows partition by user_id — parallel in the number of users, the
-    // standard sessionization shape at any scale.
+    // groupBy per (user, session). Timestamps are decoded to integer
+    // epoch-µs (schema-probed, see EventTime) so session boundaries are
+    // bit-exact cross-engine. The windows partition by user_id — parallel
+    // in the number of users, the standard sessionization shape at any
+    // scale.
     "q54_sessionize" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // microsecond precision: DuckDB's TIMESTAMP truncates the parquet
-      // nanos to µs, so both engines work on ts DIV 1000
-      val base = ev(s, dir).withColumn("tus", expr("ts DIV 1000"))
+      val base = graft.sources.EventTime.withEpochMicros(ev(s, dir))
       val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
       val gapUs = 1800L * 1000000L // 30 min
       base
@@ -1398,8 +1395,7 @@ object Queries {
     // event per user (union + keyed ordered window carry-forward — the
     // sort-merge-shaped as-of composition, parallel in the number of keys)
     "q58_asof_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = ev(s, dir).withColumn("tus", expr("ts DIV 1000"))
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
       val views = e.filter(col("event_type") === "view")
         .select(col("user_id"), col("tus"), col("event_id"), col("value"))
       val clicks = e.filter(col("event_type") === "click")
@@ -1414,13 +1410,12 @@ object Queries {
     }),
 
     // events: tumbling-window aggregation (batch form of the streaming shape).
-    // The events parquet stores TIMESTAMP(NANOS); read as raw nanos and use
-    // integer division (not double, which loses precision above 2^53 ns).
+    // Decode ts to epoch-µs (schema-probed) and use integer division for
+    // the hour bucket (not double, which loses precision above 2^53).
     "q40_event_windows" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      ev(s, dir)
+      graft.sources.EventTime.withEpochMicros(ev(s, dir))
         .groupBy(
-          expr("CAST(ts DIV 3600000000000 AS BIGINT) * 3600").as("hour_epoch"),
+          expr("CAST(tus DIV 3600000000 AS BIGINT) * 3600").as("hour_epoch"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
         .orderBy("hour_epoch", "event_type")
@@ -1432,8 +1427,7 @@ object Queries {
     // it two shuffled equi-joins on the bucket id. bucketWidth = the
     // window length, so each window emits at most 2 bucket rows
     "q89_range_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = ev(s, dir).withColumn("tus", expr("ts DIV 1000"))
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
       val tenMinUs = 600000000L
       val p = e.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("tus").as("p_tus"))
@@ -1450,8 +1444,7 @@ object Queries {
     // ([ts, +5 min] each) — each overlapping pair is produced exactly once
     // (accepted only in the bucket of max(lo1, lo2)), no distinct pass
     "q90_interval_overlap" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = ev(s, dir).withColumn("tus", expr("ts DIV 1000"))
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
       val fiveMinUs = 300000000L
       def win(tpe: String, p: String) = e.filter(col("event_type") === tpe)
         .select(col("event_id").as(s"${p}_id"), col("tus").as(s"${p}_lo"),

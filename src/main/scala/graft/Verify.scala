@@ -27,6 +27,15 @@ object Verify {
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Leave a sentinel so the driver's compare reports an err row for
+        // this query instead of silently dropping it from the battery
+        // (analysis-time exceptions happen before any output dir exists).
+        try {
+          val d = Paths.get(s"$outDir/$name")
+          Files.createDirectories(d)
+          Files.writeString(d.resolve("_FAILED"),
+            s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   * after the join. Work is O(|A| + |B| + matches + interval-spans), fully
   * distributed, AQE-skew-splittable.
   *
-  * Both operators take LONG domains (cast timestamps upstream — e.g.
-  * `ts DIV 1000` for the parquet-nanos event table, matching the q54/q58
+  * Both operators take LONG domains (decode timestamps upstream — e.g.
+  * `EventTime.epochMicros` for the events table, matching the q54/q58
   * convention). `bucketWidth` trades shuffle fan-out (intervals emit
   * span/width + 1 rows) against join selectivity (points in a bucket meet
   * every interval touching it); set it near the TYPICAL interval length so

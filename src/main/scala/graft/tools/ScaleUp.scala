@@ -98,19 +98,25 @@ object ScaleUp {
     // aggs scale linearly in matches the way a real longer stream would.
     // Replicating timestamps verbatim would multiply per-bucket density by
     // `factor` and benchmark a quadratically different join problem.
-    // Read with nanosAsLong (the parquet stores TIMESTAMP(NANOS), the q40/
-    // q54 convention), so `ts` scales as raw int64 nanos.
+    // Decode `ts` to epoch-µs via the schema probe (EventTime — works on
+    // TIMESTAMP, TIMESTAMP_NTZ, and legacy raw-nanos reads alike), shift
+    // in integer µs, and re-encode with timestamp_micros so the replica
+    // parquet keeps a timestamp-typed `ts` the same probe decodes.
     if (tables("events")) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$src/events.parquet")
-      val span = ev.agg(max(col("ts")) - min(col("ts"))).collect()(0).getLong(0) +
-        86400L * 1000000000L
+      val evRaw = spark.read.parquet(s"$src/events.parquet")
+      val ev = graft.sources.EventTime.withEpochMicros(evRaw, out = "__tus")
+      val span = ev.agg(max(col("__tus")) - min(col("__tus")))
+        .collect()(0).getLong(0) + 86400L * 1000000L
       val evScaled = replicate(ev) { (d, r) =>
         d.withColumn("event_id", col("event_id") + lit(r * keyStride))
           .withColumn("user_id", col("user_id") + lit(r * keyStride))
-          .withColumn("ts", col("ts") + lit(r * span))
+          .withColumn("__tus", col("__tus") + lit(r * span))
       }
-      evScaled.repartition(partitions)
+      evScaled
+        .withColumn("ts", timestamp_micros(col("__tus")))
+        .drop("__tus")
+        .select(evRaw.columns.map(col).toIndexedSeq: _*)
+        .repartition(partitions)
         .write.mode("overwrite").parquet(s"$dst/events.parquet")
     }
 
