@@ -2200,16 +2200,16 @@ object OracleSql {
         |ORDER BY score""".stripMargin,
 
     // per-label element-wise mean: position × label sums via an index
-    // cross join, reassembled in position order
+    // cross join, one scalar row per (label, position) — flattened so the
+    // driver's comparator can sort/hash every cell
     "q113_label_centroids" ->
       """WITH e AS (SELECT label, i,
         |    sum(CAST(embedding[i] AS DOUBLE)) sx, count(*)::BIGINT n
         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
         |  WHERE embedding IS NOT NULL
         |  GROUP BY 1, 2)
-        |SELECT label, max(n) AS n,
-        |  list((sx / n)::REAL ORDER BY i) AS centroid
-        |FROM e GROUP BY label ORDER BY label""".stripMargin
+        |SELECT label, n, (i - 1)::INT AS pos, (sx / n)::REAL AS value
+        |FROM e ORDER BY label, pos""".stripMargin
   )
 
   /** q92 is the INDEX ROUNDTRIP of q41: building the IVF index on disk and

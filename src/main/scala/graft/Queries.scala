@@ -1589,11 +1589,14 @@ object Queries {
         .orderBy("score")),
 
     // per-label mean embedding (class prototypes) via the element-wise
-    // vector-sum aggregate — one ObjectHashAggregate, no posexplode
+    // vector-sum aggregate — one ObjectHashAggregate (no posexplode in the
+    // AGGREGATION; the explode below only flattens the k×d result rows so
+    // the driver's comparator can sort/hash scalar cells)
     "q113_label_centroids" -> ((s, dir) =>
       graft.pipeline.Similarity.meanPool(emb(s, dir), "label", "embedding", dim = 64)
-        .select(col("label"), col("n"),
-          transform(col("centroid"), v => v.cast("float")).as("centroid"))
-        .orderBy("label")),
+        .select(col("label"), col("n"), posexplode(col("centroid")))
+        .select(col("label"), col("n"), col("pos"),
+          col("col").cast("float").as("value"))
+        .orderBy("label", "pos")),
   )
 }

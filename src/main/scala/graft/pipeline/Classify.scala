@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.Staging.StagedFrame
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -30,7 +31,7 @@ object Classify {
     * alpha * V))` — derivable from the same row set, see [[nbClassify]].
     *
     * One corpus shuffle on (label, token); the tiny aggregate is
-    * localCheckpoint'ed (not persisted — lazily-returned frame, see
+    * staged (Staging.stage; not persisted — lazily-returned frame, see
     * PLANS.md §22) because label totals and vocabulary both re-read it.
     */
   def nbModel(
@@ -44,7 +45,7 @@ object Classify {
       .select(col(labelCol).as("label"), explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy("label", "token")
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(false)
+      .staged
     val labTot = counts.groupBy("label").agg(sum(col("n")).as("tot"))
     val vocab = counts.agg(countDistinct(col("token")).cast("double").as("vocab"))
     counts
@@ -78,7 +79,7 @@ object Classify {
       broadcastModel: Boolean = true
   ): DataFrame = {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
-    val model = nbModel(df, textCol, labelCol, alpha).localCheckpoint(false)
+    val model = nbModel(df, textCol, labelCol, alpha).staged
 
     // model-sized driver actions: L label rows (priors + totals + vocab)
     val priorRows = df

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.Staging.StagedFrame
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -88,7 +89,7 @@ object Dedup {
     // `maxShingleDocFreq` docs BEFORE the self-join — hot shingles dominate
     // the O(freq²) pair fan-out while carrying almost no similarity signal.
     // Jaccard is then computed over the filtered shingle sets.
-    // lazy localCheckpoint, not persist: the shingle table feeds both the
+    // lazily staged (Staging.stage), not persist: the shingle table feeds both the
     // sizes agg and the self-join, so it materializes once; checkpoint
     // blocks are context-cleaner-released when the result frame is dropped
     // (a persist here would leak a CacheManager entry per call — nobody can
@@ -100,7 +101,7 @@ object Dedup {
           .filter(col("__df") <= cap)
           .select("shingle")
         sh0.join(freq, Seq("shingle"), "left_semi")
-    }).localCheckpoint(false)
+    }).staged
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a
@@ -249,14 +250,14 @@ object Dedup {
     // set; one representative (min id) per class enters LSH
     val keyed = sh
       .withColumn("__fp", md5(concat_ws("", array_sort(col("sharr")))))
-      .localCheckpoint(false) // not persist: lazily-returned, see PLANS.md §22
+      .staged // not persist: lazily-returned, see PLANS.md §22
     val memb = keyed.select(col("__fp"), col("id"))
     // one keyed agg picks the representative AND carries its shingle array
     // (any member's works: signature/Jaccard are set-level invariants) —
     // no second join against the corpus
     val repSh = keyed.groupBy("__fp")
       .agg(min(col("id")).as("id"), min_by(col("sharr"), col("id")).as("sharr"))
-      .localCheckpoint(false) // not persist: lazily-returned, see PLANS.md §22
+      .staged // not persist: lazily-returned, see PLANS.md §22
     val sigs = withSig(repSh, Seq("id"))
     val bk0 = lshBuckets(sigs)
     // bucket-size valve (post-collapse): drop residual hot buckets before
@@ -446,8 +447,8 @@ object Dedup {
     // invariants make any member's array valid)
     val crep = keyedSets(corpus).groupBy("__fp")
       .agg(min(col("id")).as("cid"), min_by(col("sharr"), col("id")).as("csharr"))
-      .localCheckpoint(false) // reused: exact join, buckets, verification
-    val ns = keyedSets(newDocs).localCheckpoint(false) // reused: 3 branches
+      .staged // reused: exact join, buckets, verification
+    val ns = keyedSets(newDocs).staged // reused: 3 branches
     // exact fingerprint match — valve-immune by design
     val exact = ns.select(col("id"), col("__fp"))
       .join(crep.select(col("__fp"), col("cid")), "__fp")
@@ -604,7 +605,7 @@ object Dedup {
     // CacheManager entry would outlive the call (nobody can unpersist a
     // lazily-returned frame). Checkpoint blocks are context-cleaner-released
     // once the result frame is dropped.
-    val sigs = simhash(df, idCol, textCol, bits).localCheckpoint(false)
+    val sigs = simhash(df, idCol, textCol, bits).staged
     // signature-class collapse: identical docs (and distinct docs that
     // happen to collide on all bits — hamming 0 by definition) enter the
     // banded join as ONE representative row
@@ -723,12 +724,12 @@ object Dedup {
     // inlines its single-use generator input, which would collapse the
     // winnow staging and re-evaluate the k-gram hash array per window
     // element (the O(n²) blowup winnowFingerprints stages against —
-    // measured 78 s vs 0.3 s on the sf0.01 corpus). A lazy localCheckpoint
+    // measured 78 s vs 0.3 s on the sf0.01 corpus). A lazy staged truncation
     // is the collapse barrier (LogicalRDD is opaque to the optimizer) and,
     // unlike persist, leaves no CacheManager entry behind: blocks are
     // context-cleaner-released once the result frame is dropped.
     val fpArr = TextOps.winnowFingerprints(df, idCol, textCol, k, w)
-      .localCheckpoint(false)
+      .staged
     val fps = fpArr.select(col("id"), explode(col("fps")).as("fp")) // distinct per doc
     val sizes = fps.groupBy("id").agg(count(lit(1)).as("nfp"))
     val keyed = maxFpDocFreq match {

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.Staging.StagedFrame
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -304,13 +305,13 @@ object Similarity {
       maxCellSize: Option[Long] = Some(100000L)
   ): DataFrame = {
     val (assigned, _) = kmeans(emb, idCol, vecCol, k, iters, dim)
-    // lazy localCheckpoint, not persist: (id, cell, vec) is read three times
+    // lazily staged (Staging.stage), not persist: (id, cell, vec) is read three times
     // (valve count + both sides of the cell self-join) so it materializes
     // once, and the blocks are context-cleaner-released with the result
     // frame — persist here would leak a CacheManager entry per call.
     val av = assigned
       .join(emb.select(col(idCol).as("id"), col(vecCol).as("vec")), Seq("id"))
-      .localCheckpoint(false)
+      .staged
     val eligible = maxCellSize match {
       case None => av
       case Some(cap) =>

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.Staging.StagedFrame
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -464,7 +465,7 @@ object TextOps {
     * Scale shape: the corpus is scanned ONCE — a single narrow projection
     * (id, doc length, query-term tokens only: the array filter runs BEFORE
     * the explode, so nothing vocabulary-sized ever leaves the scan) is
-    * lazily `localCheckpoint`ed (context-cleaner-released blocks, the Dedup
+    * lazily staged via Staging.stage (mode-gated lineage truncation, the Dedup
     * pattern — ~1% of corpus bytes) and every downstream consumer (postings
     * aggregate, df counts, corpus stats) reads the checkpoint, not the
     * text. Postings shuffle volume is O(matching docs · |terms|). Corpus
@@ -494,7 +495,7 @@ object TextOps {
         col("id"),
         size(col("__t")).cast("double").as("dl"),
         filter(col("__t"), t => array_contains(termsArr, t)).as("qt"))
-      .localCheckpoint(false)
+      .staged
     val lens = base.select(col("id"), col("dl"))
     // one-row corpus stats; crossJoin broadcasts the single row everywhere
     val stats = base.agg(
@@ -529,7 +530,7 @@ object TextOps {
     *
     * Scale shape: the corpus is read ONCE into the frequency-weighted
     * distinct-WORD table (the shape real BPE trainers operate on — pair
-    * statistics are invariant to word order), localCheckpointed at vocab
+    * statistics are invariant to word order), staged at vocab
     * size; each merge iteration is one keyed pair-count aggregate over the
     * vocab table plus a 1-row TakeOrdered collect, and the merge itself is
     * a pure projection. Words ride as sentinel-padded symbol strings
@@ -556,7 +557,7 @@ object TextOps {
           concat_ws(" ", expr("regexp_extract_all(w, '.', 0)")),
           lit(" ")).as("s"),
         col("f"))
-      .localCheckpoint(false)
+      .staged
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -575,7 +576,7 @@ object TextOps {
         val once = (s: Column) =>
           replace(s, lit(" " + pair + " "), lit(" " + merged + " "))
         val fused = (1 to maxPasses).foldLeft(col("s"))((c, _) => once(c))
-        vocab = vocab.select(fused.as("s"), col("f")).localCheckpoint(false)
+        vocab = vocab.select(fused.as("s"), col("f")).staged
       }
       rank += 1
     }

@@ -1,5 +1,6 @@
 package graft.reg
 
+import graft.Staging.StagedFrame
 import breeze.linalg.{DenseMatrix, DenseVector}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -197,11 +198,11 @@ object Dbreg {
     // rows) — the base scan/agg runs once; the solve below reuses the cache
     val moments =
       if (maxGroups < Long.MaxValue) {
-        // lazy localCheckpoint, not persist: the guard count materializes
+        // lazy staged truncation (Staging.stage), not persist: the guard count materializes
         // the moment table once and the solve below reuses the blocks; a
         // persist could never be unpersisted (the result is lazy) and
         // would leak a CacheManager entry per call
-        val m = grouped.localCheckpoint(false)
+        val m = grouped.staged
         val g = m.count()
         require(g <= maxGroups,
           s"$g groups exceeds maxGroups=$maxGroups; raise the guard or pre-filter")

@@ -1,5 +1,6 @@
 package graft.reg
 
+import graft.Staging.StagedFrame
 import breeze.linalg.DenseMatrix
 import org.apache.commons.math3.distribution.NormalDistribution
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -482,7 +483,7 @@ object Glm {
     // one materialization barrier: every iteration rescans this frame, and
     // for compress the cell build must not rerun per step. Context-cleaner
     // releases the blocks with the result (same pattern as Dedup).
-    val work = work0.localCheckpoint(false)
+    val work = work0.staged
 
     val spark = df.sparkSession
     import spark.implicits._
@@ -558,7 +559,7 @@ object Glm {
         val full = Array.fill(p)(0.0)
         sol.keepIdx.zipWithIndex.foreach { case (orig, ki) => full(orig) = sol.beta(ki) }
         (r.getAs[String]("_g"), full)
-      }.toDF("_g", "_b").localCheckpoint(false)
+      }.toDF("_g", "_b").staged
     }
     val lastSrc = if (maxIter == 1) work else work.join(betas, "_g")
     val lastMom = momentAgg(withWZ(lastSrc, haveBeta = maxIter > 1))

@@ -105,8 +105,37 @@ object Iv {
         instruments.zipWithIndex.map { case (z, i) => col(z).cast("double").as(zNames(i)) } ++
         clusterCol.map(col): _*)
 
+    // Conditioning: raw cross-products of price-scale columns cancel
+    // catastrophically in the projection solve (n·Szz − Sz·Sz loses ~9
+    // significant digits at 60k rows, and more as n grows — the raw-sum
+    // route would get WORSE at 100× data). When the model has an
+    // intercept, demean every design/instrument/y column first (one tiny
+    // extra agg) and run the same moments pass on the centered columns:
+    // slopes and their vcov rows are an exact reparameterization
+    // (invariant), and the intercept row is un-shifted driver-side after
+    // the solve. Conditioning is then flat in n.
+    val interceptSlot = if (f.intercept) Some(0) else None
+    val demeanable: Seq[String] =
+      (Dbreg.Y +: xNames.zipWithIndex.collect {
+        case (nm, i) if !interceptSlot.contains(i) => nm
+      }) ++ zNames
+    val means: Map[String, Double] =
+      if (!f.intercept) Map.empty
+      else {
+        val r = joint
+          .agg(avg(col(demeanable.head)).as(demeanable.head),
+            demeanable.tail.map(c => avg(col(c)).as(c)): _*)
+          .collect()(0)
+        demeanable.map(c => c -> r.getAs[Double](c)).toMap
+      }
+    val jointC =
+      if (!f.intercept) joint
+      else joint.select(joint.columns.toIndexedSeq.map { c =>
+        if (means.contains(c)) (col(c) - lit(means(c))).as(c) else col(c)
+      }: _*)
+
     // ONE scan: the full (p+m)-wide triangle + y cross-moments
-    val mom = MomentsKernel.compute(joint, Dbreg.Y, xNames ++ zNames, intercept = false)
+    val mom = MomentsKernel.compute(jointC, Dbreg.Y, xNames ++ zNames, intercept = false)
     require(mom.nRows > p, s"need more rows than parameters (n=${mom.nRows}, p=$p)")
 
     val endogIdx = endog.map(displayNames.indexOf).toIndexedSeq
@@ -165,14 +194,14 @@ object Iv {
             val aggs = scala.collection.mutable.ArrayBuffer[Column]()
             for (i <- 0 until pk; j <- i until pk)
               aggs += sum(u * u * xhat(i) * xhat(j)).as(s"_m_${i}_$j")
-            val row = joint.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
+            val row = jointC.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
             val meat = LinAlg.symmetricFromUpper(pk,
               (for (i <- 0 until pk; j <- i until pk) yield
                 row.getAs[Double](s"_m_${i}_$j")).toArray)
             LinAlg.vcovHc1(sol.xtxInv, meat, n, dfRes)
           case Vcov.Cluster(c) =>
             val sAggs = (0 until pk).map(i => sum(u * xhat(i)).as(s"_s$i"))
-            val sg = joint.groupBy(col(c)).agg(sAggs.head, sAggs.tail: _*)
+            val sg = jointC.groupBy(col(c)).agg(sAggs.head, sAggs.tail: _*)
             val aggs = scala.collection.mutable.ArrayBuffer[Column]()
             aggs += count(lit(1)).cast("double").as("_G")
             for (i <- 0 until pk; j <- i until pk)
@@ -184,6 +213,24 @@ object Iv {
             LinAlg.vcovCr1(sol.xtxInv, meat, n, row.getAs[Double]("_G"), pk)
           case Vcov.Iid => throw new IllegalStateException("unreachable")
         }
+    }
+
+    // Un-shift: the solve ran in centered coordinates (y−ȳ on the demeaned
+    // design). Slopes and their vcov block are invariant; the intercept
+    // maps back via b0 = b0_c + ȳ − Σ x̄_j·β_j and the congruence
+    // vcov_o = A⁻¹·vcov_c·A⁻ᵀ with A⁻¹ = [[1, −x̄ᵀ],[0, I]] — an exact
+    // linear reparameterization, valid for iid and sandwich vcovs alike.
+    val (betaO, vcO) = interceptSlot match {
+      case Some(s) if keep.contains(s) =>
+        val i0 = keep.indexOf(s)
+        val shifts = DenseVector.tabulate(pk)(j =>
+          if (j == i0) 0.0 else means(xNames(keep(j))))
+        val bO = beta.copy
+        bO(i0) = beta(i0) + means(Dbreg.Y) - (shifts dot beta)
+        val aInv = DenseMatrix.eye[Double](pk)
+        for (j <- 0 until pk if j != i0) aInv(i0, j) = -shifts(j)
+        (bO, aInv * vc * aInv.t)
+      case _ => (beta, vc)
     }
 
     // first-stage partial F per endogenous column, from the SAME triangle:
@@ -206,9 +253,9 @@ object Iv {
     }.toMap
 
     val table = keptNames.indices.map { i =>
-      val seI = math.sqrt(math.max(vc(i, i), 0.0))
-      val t = beta(i) / seI
-      IvRow(keptNames(i), beta(i), seI, t, LinAlg.pValue(t, dfRes))
+      val seI = math.sqrt(math.max(vcO(i, i), 0.0))
+      val t = betaO(i) / seI
+      IvRow(keptNames(i), betaO(i), seI, t, LinAlg.pValue(t, dfRes))
     }
     IvResult(table, v match {
       case Vcov.Iid => "iid"
@@ -220,8 +267,16 @@ object Iv {
   /** `sql_only` analogue for the just-identified simple model
     * `y ~ x` with x endogenous and one instrument z (intercept implicit):
     * the whole 2SLS fit — Wald solve, iid SEs from σ²(XᵀP_Z X)⁻¹ — as one
-    * runnable ANSI-SQL statement over a single aggregate of raw sums. The
-    * emitted text IS the oracle for q115 (the q62-q65 parity loop). */
+    * runnable ANSI-SQL statement. The emitted text IS the oracle for q115
+    * (the q62-q65 parity loop).
+    *
+    * Mirrors [[fit]]'s centering: a means CTE feeds a CENTERED moments
+    * aggregate, so every downstream term is O(variance)-scaled — the
+    * raw-sum form's `n·szz − sz·sz` style differences cancel ~9
+    * significant digits at 60k price-scale rows (and more as n grows),
+    * which is what pushed the engine and this oracle apart at float32
+    * precision. In centered coordinates the just-identified 2SLS solve is
+    * the textbook ratio b1 = Czy/Cxz with b0 = ȳ − b1·x̄. */
   def sqlOnly(
       table: String,
       xCol: String,
@@ -231,35 +286,29 @@ object Iv {
   ): String = {
     val where = (Seq(s"$xCol IS NOT NULL", s"$zCol IS NOT NULL") ++ extraWhere)
       .mkString(" AND ")
-    s"""WITH s AS (
-       | SELECT count(*)::DOUBLE AS n,
-       |   sum(x) AS sx, sum(z) AS sz, sum(y) AS sy,
-       |   sum(x*x) AS sxx, sum(z*z) AS szz, sum(y*y) AS syy,
-       |   sum(x*z) AS sxz, sum(x*y) AS sxy, sum(z*y) AS szy
-       | FROM (SELECT CAST($xCol AS DOUBLE) AS x, CAST($zCol AS DOUBLE) AS z,
-       |         $ySql AS y FROM $table WHERE $where) r),
-       |w AS (
-       | SELECT n, sx, sy, sxy, sxx,
-       |   (szz*sx*sx - 2.0*sz*sx*sxz + n*sxz*sxz) / (n*szz - sz*sz) AS w22,
-       |   (sx*(szz*sy - sz*szy) + sxz*(n*szy - sz*sy)) / (n*szz - sz*sz) AS c2
-       | FROM s),
-       |b AS (
-       | SELECT n, sx, sy, sxy, sxx, w22,
-       |   (n*c2 - sx*sy) / (n*w22 - sx*sx) AS b1,
-       |   (sy - (n*c2 - sx*sy) / (n*w22 - sx*sx) * sx) / n AS b0
-       | FROM w),
+    s"""WITH r AS (
+       | SELECT CAST($xCol AS DOUBLE) AS x, CAST($zCol AS DOUBLE) AS z,
+       |   $ySql AS y FROM $table WHERE $where),
+       |m AS (
+       | SELECT count(*)::DOUBLE AS n, avg(x) AS mx, avg(z) AS mz, avg(y) AS my
+       | FROM r),
+       |s AS (
+       | SELECT n, mx, my,
+       |   sum((x-mx)*(x-mx)) AS cxx, sum((z-mz)*(z-mz)) AS czz,
+       |   sum((y-my)*(y-my)) AS cyy, sum((x-mx)*(z-mz)) AS cxz,
+       |   sum((x-mx)*(y-my)) AS cxy, sum((z-mz)*(y-my)) AS czy
+       | FROM r CROSS JOIN m GROUP BY n, mx, my),
+       |b AS (SELECT *, czy / cxz AS b1 FROM s),
        |f AS (
-       | SELECT *,
-       |   (syy - 2.0*(b0*sy + b1*sxy) + (b0*b0*n + 2.0*b0*b1*sx + b1*b1*sxx))
-       |     / (n - 2.0) AS sig2,
-       |   n*w22 - sx*sx AS det
-       | FROM b CROSS JOIN (SELECT syy FROM s) q)
+       | SELECT *, my - b1*mx AS b0,
+       |   (cyy - 2.0*b1*cxy + b1*b1*cxx) / (n - 2.0) AS sig2
+       | FROM b)
        |SELECT term, estimate::REAL AS estimate, std_error::REAL AS std_error
        |FROM (
        | SELECT '(Intercept)' AS term, b0 AS estimate,
-       |   sqrt(sig2*w22/det) AS std_error FROM f
+       |   sqrt(sig2*(1.0/n + mx*mx*czz/(cxz*cxz))) AS std_error FROM f
        | UNION ALL
-       | SELECT '$xCol', b1, sqrt(sig2*n/det) FROM f) u
+       | SELECT '$xCol', b1, sqrt(sig2*czz/(cxz*cxz)) FROM f) u
        |ORDER BY term""".stripMargin
   }
 }

@@ -1,5 +1,6 @@
 package graft.reg
 
+import graft.Staging.StagedFrame
 import breeze.linalg.{DenseMatrix, DenseVector}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -312,7 +313,7 @@ object Ridge {
     import spark.implicits._
     val moments =
       if (maxGroups < Long.MaxValue) {
-        val m = grouped.localCheckpoint(false)
+        val m = grouped.staged
         val g = m.count()
         require(g <= maxGroups,
           s"$g groups exceeds maxGroups=$maxGroups; raise the guard or pre-filter")
