@@ -2209,7 +2209,68 @@ object OracleSql {
         |  WHERE embedding IS NOT NULL
         |  GROUP BY 1, 2)
         |SELECT label, n, (i - 1)::INT AS pos, (sx / n)::REAL AS value
-        |FROM e ORDER BY label, pos""".stripMargin
+        |FROM e ORDER BY label, pos""".stripMargin,
+
+    // Gopher repetition rules — mirrors TextOps.repetitionSignals
+    // definition-for-definition (same tokenizer, same space-joined grams,
+    // same exact-int coverage sums, same threshold doubles), so every
+    // fraction is bit-identical
+    "q136_repetition_signals" -> {
+      val topNs = Seq(2, 3, 4)
+      val dupNs = Seq(5, 10)
+      def ngram(t: String, n: Int): String = {
+        val join = (1 to n).map(k => s"$t[i+${k - 1}]").mkString(" || ' ' || ")
+        s"list_transform(range(1, len($t) - ${n - 2}), i -> $join)"
+      }
+      val gCtes = (topNs ++ dupNs).distinct.sorted.map { n =>
+        s"""g$n AS (SELECT id, g, count(*) AS c, len(g) AS l FROM
+           |  (SELECT doc_id AS id, unnest(${ngram("t", n)}) AS g FROM tok) q
+           |  GROUP BY id, g)""".stripMargin
+      }
+      val topCtes = topNs.map { n =>
+        s"""t$n AS (SELECT id, (c*l)::DOUBLE AS cov FROM
+           |  (SELECT id, c, l, row_number() OVER
+           |     (PARTITION BY id ORDER BY c DESC, l DESC) AS rn FROM g$n) z
+           |  WHERE rn = 1)""".stripMargin
+      }
+      val dupCtes = dupNs.map { n =>
+        s"""d$n AS (SELECT id, sum(CASE WHEN c > 1 THEN c*l ELSE 0 END)::DOUBLE
+           |  AS cov FROM g$n GROUP BY id)""".stripMargin
+      }
+      val topSel = topNs.map(n =>
+        s"least(1.0, coalesce(t$n.cov, 0) / chars)::REAL AS top${n}gram_char_frac")
+      val dupSel = dupNs.map(n =>
+        s"least(1.0, coalesce(d$n.cov, 0) / chars)::REAL AS dup${n}gram_char_frac")
+      val keepTerms =
+        Seq("coalesce(dlf, 0) <= 0.30", "coalesce(dlcf, 0) <= 0.20") ++
+          topNs.map(n =>
+            s"least(1.0, coalesce(t$n.cov, 0) / chars) <= ${0.24 - 0.02 * n}") ++
+          dupNs.map(n =>
+            s"least(1.0, coalesce(d$n.cov, 0) / chars) <= ${0.20 - 0.01 * n}")
+      val joins = (topNs.map(n => s"t$n") ++ dupNs.map(n => s"d$n"))
+        .map(a => s"LEFT JOIN $a ON ch.id = $a.id").mkString("\n")
+      s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+         |ch AS (SELECT doc_id AS id, greatest(len(text), 1)::DOUBLE AS chars
+         |  FROM documents),
+         |ln AS (SELECT id, l, count(*) AS c, len(l) AS len FROM
+         |  (SELECT doc_id AS id,
+         |     unnest(list_filter(string_split(text, chr(10)), x -> len(x) > 0)) AS l
+         |   FROM documents) q GROUP BY id, l),
+         |ls AS (SELECT id, 1.0 - count(*)::DOUBLE / sum(c) AS dlf,
+         |  sum(CASE WHEN c > 1 THEN c*len ELSE 0 END)::DOUBLE / sum(c*len) AS dlcf
+         |  FROM ln GROUP BY id),
+         |${gCtes.mkString(",\n")},
+         |${topCtes.mkString(",\n")},
+         |${dupCtes.mkString(",\n")}
+         |SELECT ch.id AS doc_id,
+         |  coalesce(dlf, 0)::REAL AS dup_line_frac,
+         |  coalesce(dlcf, 0)::REAL AS dup_line_char_frac,
+         |  ${(topSel ++ dupSel).mkString(",\n  ")},
+         |  (${keepTerms.mkString(" AND ")}) AS repetition_keep
+         |FROM ch LEFT JOIN ls ON ch.id = ls.id
+         |$joins
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** q92 is the INDEX ROUNDTRIP of q41: building the IVF index on disk and

@@ -1598,5 +1598,18 @@ object Queries {
         .select(col("label"), col("n"), col("pos"),
           col("col").cast("float").as("value"))
         .orderBy("label", "pos")),
+
+    // Gopher repetition rules: duplicate-line + top/duplicated n-gram
+    // character coverage — one explode + two keyed aggs per n, joined
+    // back co-partitioned on doc_id (never a per-row O(len²) HOF scan)
+    "q136_repetition_signals" -> ((s, dir) =>
+      TextOps.repetitionSignals(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id") +:
+          Seq("dup_line_frac", "dup_line_char_frac",
+            "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac",
+            "dup5gram_char_frac", "dup10gram_char_frac")
+            .map(c => col(c).cast("float").as(c)) :+
+          col("repetition_keep"): _*)
+        .orderBy("doc_id")),
   )
 }

@@ -161,6 +161,100 @@ object TextOps {
       "keep" -> keep)
   }
 
+  /** Gopher REPETITION rules (Rae et al. 2021, appendix A1.1, table A1 —
+    * the other half of the Gopher filter; [[gopherSignals]] covers the
+    * document-shape half): documents dominated by repeated lines or
+    * n-grams are boilerplate/spam and poison training data.
+    *
+    *   - `dup_line_frac`: 1 − distinct/total over non-empty line
+    *     instances (fraction of lines that repeat an identical line)
+    *   - `dup_line_char_frac`: fraction of line characters inside lines
+    *     occurring more than once
+    *   - `top{n}gram_char_frac`: characters covered by the single most
+    *     frequent word n-gram (count × gram length over doc characters;
+    *     ties broken by gram length, which leaves the product invariant)
+    *   - `dup{n}gram_char_frac`: occurrence-weighted characters in
+    *     n-grams occurring more than once, capped at 1
+    *   - `repetition_keep`: conjunction at Gopher's published bounds —
+    *     dup lines ≤ 0.30, dup line chars ≤ 0.20, top n-gram ≤
+    *     0.24 − 0.02·n (0.20/0.18/0.16 for n=2/3/4), dup n-gram ≤
+    *     0.20 − 0.01·n (0.15…0.10 for n=5…10)
+    *
+    * Scale shape: one explode + TWO keyed aggregations per distinct n
+    * (and one for lines), shuffles keyed on (id, gram) — NEVER a per-row
+    * O(len²) higher-order-function scan, so a 100k-word document costs
+    * O(#n-grams), not O(#n-grams²). The per-id signal frames join back
+    * co-partitioned on id. All counts are integers, so every fraction is
+    * an exact-int ratio — bit-reproducible across engines and partition
+    * counts. */
+  def repetitionSignals(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 10)
+  ): DataFrame = {
+    require(topNs.forall(_ >= 2), s"top n-gram sizes must be >= 2, got $topNs")
+    require(dupNs.forall(_ >= 2), s"dup n-gram sizes must be >= 2, got $dupNs")
+    // one corpus scan: every branch (lines + each n) reads this staged
+    // projection instead of re-scanning and re-tokenizing the corpus
+    val base = df.select(col(idCol).as("__rid"), col(textCol).as("__text"),
+      tokens(col(textCol)).as("__toks")).staged
+    val chars = base.select(col("__rid"),
+      greatest(length(col("__text")), lit(1)).cast("double").as("__chars"))
+
+    val lineCounts = base
+      .select(col("__rid"),
+        explode(filter(split(col("__text"), "\n"), l => length(l) > 0)).as("__line"))
+      .groupBy("__rid", "__line").agg(count(lit(1)).as("__c"))
+      .withColumn("__len", length(col("__line")))
+    val lineSig = lineCounts.groupBy("__rid").agg(
+      (lit(1.0) - count(lit(1)).cast("double") / sum(col("__c")))
+        .as("__dlf"),
+      (sum(when(col("__c") > 1, col("__c") * col("__len")).otherwise(0L))
+        .cast("double") / sum(col("__c") * col("__len"))).as("__dlcf"))
+
+    var out = chars.join(lineSig, Seq("__rid"), "left")
+    for (n <- (topNs ++ dupNs).distinct.sorted) {
+      val gc = base
+        .select(col("__rid"),
+          explode(wordShingles(col("__toks"), n)).as("__g"))
+        .groupBy("__rid", "__g").agg(count(lit(1)).as("__c"))
+        .withColumn("__l", length(col("__g")))
+      if (topNs.contains(n)) {
+        val top = gc.groupBy("__rid")
+          .agg(max(struct(col("__c"), col("__l"))).as("__m"))
+          .select(col("__rid"),
+            (col("__m.__c") * col("__m.__l")).cast("double").as(s"__topcov_$n"))
+        out = out.join(top, Seq("__rid"), "left")
+      }
+      if (dupNs.contains(n)) {
+        val dup = gc.groupBy("__rid")
+          .agg(sum(when(col("__c") > 1, col("__c") * col("__l")).otherwise(0L))
+            .cast("double").as(s"__dupcov_$n"))
+        out = out.join(dup, Seq("__rid"), "left")
+      }
+    }
+
+    val dlf = coalesce(col("__dlf"), lit(0.0))
+    val dlcf = coalesce(col("__dlcf"), lit(0.0))
+    val topFracs = topNs.map(n =>
+      n -> least(lit(1.0), coalesce(col(s"__topcov_$n"), lit(0.0)) / col("__chars")))
+    val dupFracs = dupNs.map(n =>
+      n -> least(lit(1.0), coalesce(col(s"__dupcov_$n"), lit(0.0)) / col("__chars")))
+    val keep = (dlf <= 0.30) && (dlcf <= 0.20) &&
+      (topFracs.map { case (n, c) => c <= lit(0.24 - 0.02 * n) } ++
+        dupFracs.map { case (n, c) => c <= lit(0.20 - 0.01 * n) })
+        .reduce(_ && _)
+    out.select(
+      col("__rid").as(idCol) +:
+        dlf.as("dup_line_frac") +:
+        dlcf.as("dup_line_char_frac") +:
+        (topFracs.map { case (n, c) => c.as(s"top${n}gram_char_frac") } ++
+          dupFracs.map { case (n, c) => c.as(s"dup${n}gram_char_frac") } ++
+          Seq(keep.as("repetition_keep"))): _*)
+  }
+
   /** PII patterns (Dolma/CCNet-style scrub taggers). Deliberately the
     * Java-regex ∩ RE2 common subset — no lookaround, ASCII classes only —
     * so Spark's codegen'd regexp functions and the DuckDB oracle match

@@ -812,6 +812,30 @@ class PipelineSpec extends SparkTestBase {
     assert(!out(7L).getAs[Boolean]("keep") && out(7L).getAs[Long]("n_words") === 0L)
   }
 
+  test("repetition signals: hand-computed line/n-gram coverage and keep bounds") {
+    val d = Seq(
+      // 3 line instances / 2 distinct; "aa bb" repeats; text = 17 chars
+      (1L, "aa bb\naa bb\ncc dd"),
+      // pathological repetition: top 2-gram and dup 5-gram cover the doc
+      (2L, "x x x x x x"),
+      (3L, "") // empty: all signals zero, vacuously keep
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def d1(n: String) = out(1L).getAs[Double](n)
+    assert(math.abs(d1("dup_line_frac") - 1.0 / 3) < 1e-12)
+    assert(math.abs(d1("dup_line_char_frac") - 10.0 / 15) < 1e-12)
+    assert(math.abs(d1("top2gram_char_frac") - 10.0 / 17) < 1e-12) // "aa bb" x2, len 5
+    assert(math.abs(d1("top3gram_char_frac") - 8.0 / 17) < 1e-12) // all distinct, len 8
+    assert(math.abs(d1("dup5gram_char_frac")) < 1e-12) // both 5-grams distinct
+    assert(!out(1L).getAs[Boolean]("repetition_keep")) // dup lines 0.33 > 0.30
+    assert(out(2L).getAs[Double]("top2gram_char_frac") === 1.0) // capped
+    assert(out(2L).getAs[Double]("dup5gram_char_frac") === 1.0) // capped
+    assert(!out(2L).getAs[Boolean]("repetition_keep"))
+    assert(out(3L).getAs[Double]("dup_line_frac") === 0.0)
+    assert(out(3L).getAs[Boolean]("repetition_keep")) // vacuously non-repetitive
+  }
+
   test("end-to-end corpus pipeline: scrub -> dedup -> sample -> split") {
     // the full pre-training sequence on the real corpus, asserting the
     // invariants a production run relies on at each stage
