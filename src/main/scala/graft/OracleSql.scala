@@ -2211,6 +2211,39 @@ object OracleSql {
         |SELECT label, n, (i - 1)::INT AS pos, (sx / n)::REAL AS value
         |FROM e ORDER BY label, pos""".stripMargin,
 
+    // funnel conversion: the same conditional-min cascade as
+    // operators.Events.funnel — r2 joins step-2 events to r1's earliest
+    // step-1 time, etc.; conversions are exact-int ratios
+    "q137_funnel" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS s
+        |  FROM events),
+        |r1 AS (SELECT u, min(t) AS t1 FROM e WHERE s = 'view' GROUP BY u),
+        |r2 AS (SELECT e.u, min(t) AS t2 FROM e JOIN r1
+        |  ON e.u = r1.u AND e.t >= r1.t1 WHERE s = 'click' GROUP BY e.u),
+        |r3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN r2
+        |  ON e.u = r2.u AND e.t >= r2.t2 WHERE s = 'purchase' GROUP BY e.u),
+        |c AS (SELECT (SELECT count(*) FROM r1) AS n1,
+        |  (SELECT count(*) FROM r2) AS n2, (SELECT count(*) FROM r3) AS n3)
+        |SELECT step_idx, step, n_users, conversion FROM (
+        | SELECT 1 AS step_idx, 'view' AS step, n1::BIGINT AS n_users,
+        |   1.0 AS conversion FROM c
+        | UNION ALL SELECT 2, 'click', n2::BIGINT,
+        |   CASE WHEN n1 = 0 THEN 0.0 ELSE n2::DOUBLE / n1 END FROM c
+        | UNION ALL SELECT 3, 'purchase', n3::BIGINT,
+        |   CASE WHEN n2 = 0 THEN 0.0 ELSE n3::DOUBLE / n2 END FROM c) z
+        |ORDER BY step_idx""".stripMargin,
+
+    // retention cohorts: distinct (user, day) activity, cohort = first
+    // active day, integer floor division throughout
+    "q138_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts) // 86400000000 AS p FROM events),
+        |c AS (SELECT u, min(p) AS c FROM a GROUP BY u)
+        |SELECT c.c AS cohort_period, (a.p - c.c)::BIGINT AS period_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN c ON a.u = c.u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Gopher repetition rules — mirrors TextOps.repetitionSignals
     // definition-for-definition (same tokenizer, same space-joined grams,
     // same exact-int coverage sums, same threshold doubles), so every

@@ -1611,5 +1611,26 @@ object Queries {
             .map(c => col(c).cast("float").as(c)) :+
           col("repetition_keep"): _*)
         .orderBy("doc_id")),
+
+    // funnel conversion view → click → purchase: per-step conditional-min
+    // cascade keyed on user (earliest order-respecting match), counts
+    // shrink monotonically — no per-user event arrays collected
+    "q137_funnel" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .funnel(e, "user_id", "tus", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("step_idx")
+    }),
+
+    // retention cohorts (daily periods): cohort = period of first event;
+    // one distinct + one min-agg + one user-keyed join + one
+    // (cohort, offset) count — all hash aggs with map-side combine
+    "q138_retention" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .retentionCohorts(e, "user_id", "tus", periodUs = 86400000000L)
+        .orderBy("cohort_period", "period_offset")
+    }),
   )
 }

@@ -163,8 +163,9 @@ object TextOps {
 
   /** Gopher REPETITION rules (Rae et al. 2021, appendix A1.1, table A1 —
     * the other half of the Gopher filter; [[gopherSignals]] covers the
-    * document-shape half): documents dominated by repeated lines or
-    * n-grams are boilerplate/spam and poison training data.
+    * document-shape half and [[repetitionStats]] is the cheap shuffle-free
+    * per-row screen): documents dominated by repeated lines or n-grams are
+    * boilerplate/spam and poison training data.
     *
     *   - `dup_line_frac`: 1 − distinct/total over non-empty line
     *     instances (fraction of lines that repeat an identical line)
@@ -922,6 +923,10 @@ object TextOps {
     * ratios are null for docs with 0 tokens / < 2 tokens respectively.
     * Arrays are STAGED as bound attributes between projections — see
     * [[winnowFingerprints]] for why inlining multi-use HOF inputs is O(n²).
+    *
+    * This is the cheap shuffle-free SCREEN; [[repetitionSignals]] is the
+    * full Gopher rule set (line-level dups, char-coverage top/dup n-grams,
+    * published keep thresholds) via keyed aggregations.
     */
   def repetitionStats(
       df: org.apache.spark.sql.DataFrame,
