@@ -184,6 +184,17 @@ object PlanReview {
     show("psi drift (keyed bin counts, broadcast edges)") {
       graft.reg.Eval.psi(li.limit(30000), li, col("l_extendedprice"), 10)
     }
+    // round 6: repetition rules — every shuffle keyed on (id) or (id, gram),
+    // one staged tokenize scan feeding all branches, no cartesian anywhere
+    show("gopher repetition signals") {
+      graft.pipeline.TextOps.repetitionSignals(docs, "doc_id", "text")
+    }
+    // round 6: retention — distinct + min-agg + user-keyed join + rollup
+    show("retention cohorts") {
+      val ev = graft.sources.EventTime.withEpochMicros(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      graft.operators.Events.retentionCohorts(ev, "user_id", "tus", 86400000000L)
+    }
     spark.stop()
   }
 }
