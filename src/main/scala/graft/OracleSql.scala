@@ -2303,7 +2303,80 @@ object OracleSql {
          |FROM ch LEFT JOIN ls ON ch.id = ls.id
          |$joins
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // Markov transitions: LAG over (user, time, id-tiebreak) — the total
+    // order makes counts engine-independent; prob is an exact-int ratio
+    "q139_event_transitions" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS i,
+        |    event_type AS s FROM events),
+        |p AS (SELECT s AS to_event,
+        |    LAG(s) OVER (PARTITION BY u ORDER BY t, i) AS from_event FROM e),
+        |c AS (SELECT from_event, to_event, count(*)::BIGINT AS n FROM p
+        |  WHERE from_event IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_event, to_event, n,
+        |  n::DOUBLE / (sum(n) OVER (PARTITION BY from_event))::DOUBLE AS prob
+        |FROM c ORDER BY from_event, to_event""".stripMargin,
+
+    // hourly rate anomalies: both engines interpolate the even-count
+    // median identically (quantile_cont == Spark percentile), and every
+    // other term is exact-integer or a deterministic double op
+    "q140_anomaly_hours" ->
+      """WITH c AS (SELECT epoch_us(ts) // 3600000000 AS period,
+        |    count(*)::BIGINT AS n FROM events GROUP BY 1),
+        |m AS (SELECT quantile_cont(n, 0.5)::DOUBLE AS med FROM c),
+        |d AS (SELECT quantile_cont(abs(n - med), 0.5)::DOUBLE AS mad
+        |  FROM c, m)
+        |SELECT period, n, med, mad,
+        |  (abs(n - med) > 3.0 * mad) AS is_anomaly
+        |FROM c, m, d ORDER BY period""".stripMargin,
+
+    // rolling activity: exact-int window sum / exact count, then the
+    // same double division on both sides
+    "q141_rolling_activity" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS period,
+        |    count(*)::BIGINT AS n FROM events GROUP BY 1, 2)
+        |SELECT event_type, period, n,
+        |  (sum(n) OVER w)::DOUBLE / (count(*) OVER w) AS ma,
+        |  n::DOUBLE / ((sum(n) OVER w)::DOUBLE / (count(*) OVER w)) AS ratio
+        |FROM c
+        |WINDOW w AS (PARTITION BY event_type ORDER BY period
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, period""".stripMargin,
+
+    // quantile sketch: DuckDB's quantile_cont IS the sketch's semantics;
+    // the sketch is exact here (distinct l_quantity ≤ capacity)
+    "q143_quantile_sketch" ->
+      """WITH g AS (SELECT l_returnflag,
+        |    quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.95]) AS qs
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, p.pos, qs[p.pos + 1]::REAL AS q_value
+        |FROM g, (VALUES (0), (1), (2), (3)) p(pos)
+        |ORDER BY l_returnflag, pos""".stripMargin,
+
+    // association rules: same valve, same distinct-membership counts,
+    // same single-division double ratios as Baskets.associationRules
+    "q142_basket_rules" ->
+      """WITH b0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |keep AS (SELECT bk FROM b0 GROUP BY bk HAVING count(*) <= 20),
+        |b AS (SELECT b0.bk, b0.it FROM b0 JOIN keep USING (bk)),
+        |nb AS (SELECT count(DISTINCT bk)::BIGINT AS n FROM b),
+        |ic AS (SELECT it, count(*)::BIGINT AS ni FROM b GROUP BY it),
+        |pc AS (SELECT x.it AS a, y.it AS c, count(*)::BIGINT AS n_pair
+        |  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |d AS (SELECT a AS antecedent, c AS consequent, n_pair FROM pc
+        |  UNION ALL SELECT c, a, n_pair FROM pc)
+        |SELECT d.antecedent, d.consequent, d.n_pair,
+        |  d.n_pair::DOUBLE / nb.n AS support,
+        |  d.n_pair::DOUBLE / ia.ni AS confidence,
+        |  (d.n_pair::DOUBLE * nb.n) / (ia.ni::DOUBLE * ic2.ni) AS lift
+        |FROM d
+        |JOIN ic ia ON d.antecedent = ia.it
+        |JOIN ic ic2 ON d.consequent = ic2.it
+        |CROSS JOIN nb
+        |ORDER BY antecedent, consequent""".stripMargin
   )
 
   /** q92 is the INDEX ROUNDTRIP of q41: building the IVF index on disk and

@@ -1632,5 +1632,55 @@ object Queries {
         .retentionCohorts(e, "user_id", "tus", periodUs = 86400000000L)
         .orderBy("cohort_period", "period_offset")
     }),
+
+    // Markov transition matrix over per-user event sequences: lag window
+    // partitioned by user (single-row state), then a keyed pair count;
+    // probabilities are exact integer ratios normalized per from-state
+    "q139_event_transitions" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .transitions(e, "user_id", "tus", "event_type", "event_id")
+        .orderBy("from_event", "to_event")
+    }),
+
+    // robust rate anomalies: hourly counts vs 3×MAD-from-median; one
+    // keyed count over raw events, medians on the tiny period series
+    "q140_anomaly_hours" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .anomalousPeriods(e, "tus", periodUs = 3600000000L, k = 3.0)
+        .orderBy("period")
+    }),
+
+    // bounded-state interpolated quantiles: l_quantity has ≤ capacity
+    // distinct values, so the sketch is EXACT at any row count (the
+    // 100 TB regime the oracle can still pin); float-cast for the hash
+    "q143_quantile_sketch" -> ((s, dir) =>
+      li(s, dir)
+        .groupBy("l_returnflag")
+        .agg(graft.functions.QuantileSketchAgg(
+          col("l_quantity"), Seq(0.25, 0.5, 0.75, 0.95), 64).as("qs"))
+        .select(col("l_returnflag"), posexplode(col("qs")))
+        .select(col("l_returnflag"), col("pos"),
+          col("col").cast("float").as("q_value"))
+        .orderBy("l_returnflag", "pos")),
+
+    // market-basket association rules over order lines: the quadratic
+    // step is keyed on the order (basket-size-valved); all ratios are
+    // single-division exact-int doubles
+    "q142_basket_rules" -> ((s, dir) =>
+      graft.operators.Baskets
+        .associationRules(li(s, dir), "l_orderkey", "l_partkey",
+          minPairSupport = 3L, maxBasketSize = 20)
+        .orderBy("antecedent", "consequent")),
+
+    // trending view: daily per-type counts with a 7-day trailing moving
+    // average; the ROWS window runs over the aggregated series only
+    "q141_rolling_activity" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .rollingActivity(e, "event_type", "tus", periodUs = 86400000000L, w = 7)
+        .orderBy("event_type", "period")
+    }),
   )
 }

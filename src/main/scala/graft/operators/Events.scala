@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-event analytics over a decoded event log: funnel conversion and
@@ -95,5 +96,110 @@ object Events {
       .groupBy(col("__c").as("cohort_period"),
         (col("__p") - col("__c")).as("period_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for each user, order events by (time, tiebreak) and count consecutive
+    * (from → to) event-type pairs; `prob` is the row-normalized transition
+    * probability P(to | from).
+    *
+    * Scale shape: the only per-row work is one `lag` window PARTITIONED BY
+    * the user — per-partition state is a single previous row, no event
+    * arrays; the pair counts are a hash aggregate with map-side combine,
+    * and the normalizing row-sum window runs over the aggregated
+    * |types|² frame, never the raw events. Determinism: `tiebreakCol`
+    * (e.g. the event id) makes the ordering total, so counts — and the
+    * exact integer-ratio probabilities — are partition-layout-independent.
+    */
+  def transitions(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      tiebreakCol: String
+  ): DataFrame = {
+    val seq = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val counts = df
+      .select(col(userCol), col(tsCol), col(tiebreakCol),
+        col(typeCol).as("to_event"))
+      .withColumn("from_event", lag(col("to_event"), 1).over(seq))
+      .filter(col("from_event").isNotNull)
+      .groupBy("from_event", "to_event")
+      .agg(count(lit(1)).as("n"))
+    val rowSum = Window.partitionBy(col("from_event"))
+    counts
+      .withColumn("prob",
+        col("n").cast("double") / sum(col("n")).over(rowSum))
+      .select("from_event", "to_event", "n", "prob")
+  }
+
+  /** Rate anomalies: bucket events into `periodUs` periods, then flag
+    * periods whose count deviates from the series median by more than
+    * `k` × MAD (median absolute deviation) — the standard robust
+    * outlier rule (median/MAD don't move when the anomaly itself is
+    * extreme, unlike mean/stddev). With MAD = 0 (over half the periods
+    * share one count) any deviation from the median flags.
+    *
+    * Scale shape: the raw events stream through ONE keyed count
+    * aggregate (map-side combine, ≤ #periods rows out); both medians
+    * and the flagging run on the tiny per-period series, with the 1-row
+    * stats attached via broadcast cross-joins. Returns
+    * (period, n, med, mad, is_anomaly) — med/mad as double (both
+    * engines interpolate the even-count median identically).
+    */
+  def anomalousPeriods(
+      df: DataFrame,
+      tsCol: String,
+      periodUs: Long,
+      k: Double = 3.0
+  ): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val perPeriod = df
+      .select(expr(s"`$tsCol` DIV ${periodUs}L").as("period"))
+      .groupBy("period")
+      .agg(count(lit(1)).as("n"))
+    val med = perPeriod.agg(expr("percentile(n, 0.5d)").as("med"))
+    val withMed = perPeriod.crossJoin(broadcast(med))
+    val mad = withMed
+      .agg(expr("percentile(abs(n - med), 0.5d)").as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .select(col("period"), col("n"), col("med"), col("mad"),
+        (abs(col("n") - col("med")) > lit(k) * col("mad")).as("is_anomaly"))
+  }
+
+  /** Rolling activity: per (event type, period) counts with a trailing
+    * `w`-period moving average and the current-over-average ratio — the
+    * standard "is this type trending" view. The ROWS frame runs over the
+    * periods that EXIST for the type (sparse gaps are absent, not zero);
+    * callers wanting gap-filled frames should densify upstream.
+    *
+    * Scale shape: raw events pass through one (type, period) hash count;
+    * the moving-average window is partitioned by type over the tiny
+    * aggregated series (#periods rows per type, bounded by the time
+    * span regardless of data volume). The window average is an exact
+    * integer sum divided by an exact count — deterministic.
+    */
+  def rollingActivity(
+      df: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      periodUs: Long,
+      w: Int
+  ): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    require(w >= 1, s"window must be >= 1 period, got $w")
+    val counts = df
+      .select(col(typeCol).as("event_type"),
+        expr(s"`$tsCol` DIV ${periodUs}L").as("period"))
+      .groupBy("event_type", "period")
+      .agg(count(lit(1)).as("n"))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("period"))
+      .rowsBetween(-(w - 1).toLong, Window.currentRow)
+    counts
+      .withColumn("ma",
+        sum(col("n")).over(trail).cast("double") /
+          count(lit(1)).over(trail))
+      .withColumn("ratio", col("n").cast("double") / col("ma"))
   }
 }

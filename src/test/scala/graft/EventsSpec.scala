@@ -72,4 +72,79 @@ class EventsSpec extends SparkTestBase {
       Events.retentionCohorts(ev((1L, 1L, "x")), "u", "t", periodUs = 0L)
     }
   }
+
+  private def evId(rows: (Long, Long, Long, String)*) =
+    rows.toDF("u", "t", "i", "e")
+
+  test("transitions: per-user pair counts, tiebreak total order, row-normalized probs") {
+    // user 1: a→b→a (pairs a→b, b→a); user 2: a→b; user 3: single event
+    // (no pair); user 4: two events at the SAME t — the id tiebreak fixes
+    // the direction as a→b, never b→a
+    val d = evId(
+      (1L, 1L, 10L, "a"), (1L, 2L, 11L, "b"), (1L, 3L, 12L, "a"),
+      (2L, 5L, 20L, "a"), (2L, 6L, 21L, "b"),
+      (3L, 1L, 30L, "c"),
+      (4L, 7L, 40L, "a"), (4L, 7L, 41L, "b"))
+    val out = Events.transitions(d, "u", "t", "e", "i")
+      .orderBy("from_event", "to_event").collect()
+      .map(r => (r.getAs[String]("from_event"), r.getAs[String]("to_event"),
+        r.getAs[Long]("n"), r.getAs[Double]("prob")))
+    assert(out.toSeq === Seq(("a", "b", 3L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("transitions: probabilities normalize within each from-state") {
+    // from a: 2× to b, 1× to c → probs 2/3, 1/3
+    val d = evId(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"),
+      (2L, 1L, 3L, "a"), (2L, 2L, 4L, "b"),
+      (3L, 1L, 5L, "a"), (3L, 2L, 6L, "c"))
+    val probs = Events.transitions(d, "u", "t", "e", "i")
+      .orderBy("to_event").collect().map(_.getAs[Double]("prob"))
+    assert(math.abs(probs(0) - 2.0 / 3) < 1e-15)
+    assert(math.abs(probs(1) - 1.0 / 3) < 1e-15)
+  }
+
+  test("anomalousPeriods: 3×MAD rule flags the spike, median/MAD are robust to it") {
+    // periods 0..6 have count 10 except period 3 = 100: med=10, mad=0 →
+    // the spike flags (any deviation beyond 0), the flat periods don't
+    val rows = (0L to 6L).flatMap { p =>
+      val n = if (p == 3L) 100 else 10
+      (1 to n).map(i => (i.toLong, p * 10L, "x"))
+    }
+    val out = Events.anomalousPeriods(rows.toDF("u", "t", "e"), "t", periodUs = 10L)
+      .orderBy("period").collect()
+    assert(out.length === 7)
+    assert(out.map(_.getAs[Boolean]("is_anomaly")).toSeq ===
+      Seq(false, false, false, true, false, false, false))
+    assert(out.head.getAs[Double]("med") === 10.0)
+    assert(out.head.getAs[Double]("mad") === 0.0)
+  }
+
+  test("anomalousPeriods: nonzero MAD keeps ordinary variation unflagged") {
+    // counts 8,9,10,11,12,30: med=10.5, mad=1.5, cut=4.5 → only 30 flags
+    val rows = Seq(8, 9, 10, 11, 12, 30).zipWithIndex.flatMap { case (n, p) =>
+      (1 to n).map(i => (i.toLong, p * 10L, "x"))
+    }
+    val out = Events.anomalousPeriods(rows.toDF("u", "t", "e"), "t", periodUs = 10L)
+      .orderBy("period").collect()
+    assert(out.map(_.getAs[Boolean]("is_anomaly")).toSeq ===
+      Seq(false, false, false, false, false, true))
+    assert(out.head.getAs[Double]("med") === 10.5)
+    assert(out.head.getAs[Double]("mad") === 1.5)
+  }
+
+  test("rollingActivity: trailing ROWS window over existing periods, exact ratios") {
+    // type x: periods 0,1,2 with n=2,4,6 → w=2 ma: 2, 3, 5
+    val d = Seq(
+      (1L, 1L, "x"), (1L, 2L, "x"),
+      (1L, 11L, "x"), (1L, 12L, "x"), (1L, 13L, "x"), (1L, 14L, "x"),
+      (1L, 21L, "x"), (1L, 22L, "x"), (1L, 23L, "x"),
+      (1L, 24L, "x"), (1L, 25L, "x"), (1L, 26L, "x"))
+      .toDF("u", "t", "e")
+    val out = Events.rollingActivity(d, "e", "t", periodUs = 10L, w = 2)
+      .orderBy("period").collect()
+    assert(out.map(_.getAs[Long]("n")).toSeq === Seq(2L, 4L, 6L))
+    assert(out.map(_.getAs[Double]("ma")).toSeq === Seq(2.0, 3.0, 5.0))
+    assert(out.map(_.getAs[Double]("ratio")).toSeq === Seq(1.0, 4.0 / 3, 1.2))
+  }
 }
