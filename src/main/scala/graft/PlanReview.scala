@@ -195,6 +195,30 @@ object PlanReview {
         spark.read.parquet(s"$sfDir/events.parquet"))
       graft.operators.Events.retentionCohorts(ev, "user_id", "tus", 86400000000L)
     }
+    val ev6 = graft.sources.EventTime.withEpochMicros(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    // round 6: transitions — ONE user-keyed window (single-row lag state),
+    // pair hash agg; normalizing window over the aggregated frame only
+    show("event transitions (user-keyed lag)") {
+      graft.operators.Events.transitions(ev6, "user_id", "tus", "event_type", "event_id")
+    }
+    // round 6: anomaly — one keyed count over raw events; medians +
+    // flagging ride broadcast 1-row crossJoins over the period series
+    show("anomalous periods (median/MAD)") {
+      graft.operators.Events.anomalousPeriods(ev6, "tus", 3600000000L)
+    }
+    // round 6: basket rules — pair self-join keyed on the basket (valved),
+    // support filter BEFORE the item-frequency joins
+    show("basket association rules") {
+      graft.operators.Baskets.associationRules(li, "l_orderkey", "l_partkey",
+        minPairSupport = 3L, maxBasketSize = 20)
+    }
+    // round 6: quantile sketch — ObjectHashAggregate partial+final,
+    // shuffle carries ≤capacity centroids per partition
+    show("quantile sketch (bounded-state)") {
+      li.groupBy("l_returnflag").agg(graft.functions.QuantileSketchAgg(
+        col("l_quantity"), Seq(0.25, 0.5, 0.75, 0.95), 64))
+    }
     spark.stop()
   }
 }

@@ -42,8 +42,13 @@ object Baskets {
   ): DataFrame = {
     require(minPairSupport >= 1, s"minPairSupport must be >= 1, got $minPairSupport")
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    // explicit null filter BEFORE the distinct: the pair join and the
+    // valve join would otherwise push DIFFERENT IsNotNull sets into their
+    // branches, making the two (bk, it) distinct exchanges non-canonical —
+    // with it, every branch reuses ONE scan+shuffle of the relation
     val items = df
       .select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .filter(col("__bk").isNotNull && col("__it").isNotNull)
       .distinct()
     val kept = items
       .groupBy("__bk").agg(count(lit(1)).as("__sz"))
