@@ -2354,6 +2354,63 @@ object OracleSql {
         |FROM g, (VALUES (0), (1), (2), (3)) p(pos)
         |ORDER BY l_returnflag, pos""".stripMargin,
 
+    // DSIR: same hashed-bigram buckets, same add-λ ratios and log-diff
+    // order; the float32 cast on the per-doc sum absorbs libm-vs-JVM
+    // log ulp and summation-order wiggle
+    "q145_dsir_scores" ->
+      s"""WITH tk AS (SELECT doc_id AS id, lang, ${toks("text")} AS t
+         |  FROM documents),
+         |bgr AS (SELECT id, lang, unnest(${bigrams("t")}) AS bg FROM tk),
+         |bb AS (SELECT id, lang, ${hash32("bg")} % 4096 AS bucket FROM bgr),
+         |ct AS (SELECT bucket, count(*)::BIGINT AS ct FROM bb
+         |  WHERE lang = 'en' GROUP BY 1),
+         |cr AS (SELECT bucket, count(*)::BIGINT AS cr FROM bb GROUP BY 1),
+         |tt AS (SELECT coalesce(sum(ct), 0)::BIGINT AS tt FROM ct),
+         |tr AS (SELECT coalesce(sum(cr), 0)::BIGINT AS tr FROM cr),
+         |w AS (SELECT cr.bucket,
+         |    ln((coalesce(ct, 0) + 1.0) / (tt + 4096.0)) -
+         |      ln((cr + 1.0) / (tr + 4096.0)) AS logw
+         |  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tt CROSS JOIN tr)
+         |SELECT id, count(*)::BIGINT AS n_grams, sum(logw)::REAL AS score
+         |FROM bb JOIN w USING (bucket)
+         |GROUP BY id ORDER BY id""".stripMargin,
+
+    // PageRank: 5 unrolled iterations of the same formula, same
+    // association order; (1.0 - 0.85) is COMPUTED on both sides so the
+    // teleport constant is the identical double; float32 output cast
+    // absorbs partial-vs-sequential summation ulp
+    "q144_domain_pagerank" -> {
+      import graft.pipeline.TextOps
+      val plant = Seq(
+        "text", "' see https://site'", "(doc_id % 7)::VARCHAR",
+        "'.example.org/p/'", "doc_id::VARCHAR",
+        "' and http://cdn.example.net/x?y='", "(doc_id % 3)::VARCHAR"
+      ).mkString(" || ")
+      def iter(i: Int): String = {
+        val p = s"r${i - 1}"
+        s"""d$i AS (SELECT coalesce(sum(r), 0) AS dang FROM $p
+           |  LEFT JOIN dg ON v = ds WHERE ds IS NULL),
+           |c$i AS (SELECT e.t AS t, sum(r / deg) AS c FROM e
+           |  JOIN $p ON e.s = v JOIN dg ON e.s = dg.ds GROUP BY e.t),
+           |r$i AS (SELECT v, (1.0 - 0.85) / N + 0.85 * (coalesce(c, 0) + dang / N) AS r
+           |  FROM n LEFT JOIN c$i ON v = t CROSS JOIN d$i CROSS JOIN nc)""".stripMargin
+      }
+      s"""WITH planted AS (SELECT doc_id, $plant AS text FROM documents),
+         |u AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '${TextOps.UrlPattern}')) AS url
+         |  FROM planted),
+         |dom AS (SELECT DISTINCT doc_id,
+         |    regexp_extract(url, '${TextOps.UrlDomainPattern}', 1) AS d FROM u),
+         |e AS (SELECT DISTINCT a.d AS s, b.d AS t FROM dom a
+         |  JOIN dom b ON a.doc_id = b.doc_id AND a.d <> b.d),
+         |n AS (SELECT s AS v FROM e UNION SELECT t FROM e),
+         |nc AS (SELECT count(*)::DOUBLE AS N FROM n),
+         |dg AS (SELECT s AS ds, count(*)::BIGINT AS deg FROM e GROUP BY s),
+         |r0 AS (SELECT v, 1.0 / N AS r FROM n, nc),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT v AS node, r::REAL AS rank FROM r5 ORDER BY node""".stripMargin
+    },
+
     // association rules: same valve, same distinct-membership counts,
     // same single-division double ratios as Baskets.associationRules
     "q142_basket_rules" ->

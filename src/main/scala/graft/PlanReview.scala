@@ -219,6 +219,24 @@ object PlanReview {
       li.groupBy("l_returnflag").agg(graft.functions.QuantileSketchAgg(
         col("l_quantity"), Seq(0.25, 0.5, 0.75, 0.95), 64))
     }
+    // round 6: pagerank — per iteration ONE src-keyed join + one
+    // dst-keyed sum; dangling/N ride 1-row broadcasts (2 iters shown)
+    show("pagerank (2 iterations)") {
+      val dom = graft.pipeline.TextOps.extractUrls(docs.select(col("doc_id"),
+        concat(col("text"), lit(" https://a.example.org/x"),
+          lit(" https://b.example.net/y")).as("text")), "doc_id", "text")
+        .select(col("doc_id"), col("domain")).distinct()
+      val edges = dom.select(col("doc_id"), col("domain").as("src"))
+        .join(dom.select(col("doc_id"), col("domain").as("dst")), Seq("doc_id"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 2)
+    }
+    // round 6: DSIR — bucket-keyed counts (≤B rows out per side), weight
+    // table broadcast into the per-doc sum
+    show("dsir importance scores") {
+      graft.pipeline.Dsir.importanceScores(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text", buckets = 4096)
+    }
     spark.stop()
   }
 }

@@ -1674,6 +1674,41 @@ object Queries {
           minPairSupport = 3L, maxBasketSize = 20)
         .orderBy("antecedent", "consequent")),
 
+    // DSIR importance scores: hashed-bigram bucket models (target =
+    // English slice) with add-1 smoothing; weight table broadcasts,
+    // each side streams once
+    "q145_dsir_scores" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.pipeline.Dsir
+        .importanceScores(d, d.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 4096)
+        .select(col("id"), col("n_grams"),
+          col("score").cast("float").as("score"))
+        .orderBy("id")
+    }),
+
+    // domain PageRank over the co-occurrence link graph of the planted
+    // URLs (q75's scheme): per-iteration work is one src-keyed join +
+    // one dst-keyed sum; dangling mass and 1/N ride 1-row broadcasts
+    "q144_domain_pagerank" -> ((s, dir) => {
+      val planted = docs(s, dir).select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string"),
+          lit(" and http://cdn.example.net/x?y="), (col("doc_id") % 3).cast("string")
+        ).as("text"))
+      val dom = TextOps.extractUrls(planted, "doc_id", "text")
+        .select(col("doc_id"), col("domain")).distinct()
+      val edges = dom.select(col("doc_id"), col("domain").as("src"))
+        .join(dom.select(col("doc_id"), col("domain").as("dst")), Seq("doc_id"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 5)
+        .select(col("node"), col("rank").cast("float").as("rank"))
+        .orderBy("node")
+    }),
+
     // trending view: daily per-type counts with a 7-day trailing moving
     // average; the ROWS window runs over the aggregated series only
     "q141_rolling_activity" -> ((s, dir) => {

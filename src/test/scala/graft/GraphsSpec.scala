@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Graphs
+
+/** PageRank on hand-computable graphs: symmetric fixed points, dangling
+  * redistribution, mass conservation, duplicate-edge collapse. */
+class GraphsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String)], iters: Int) =
+    Graphs.pageRank(edges.toDF("s", "t"), "s", "t", iters)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Double]("rank")).toMap
+
+  test("2-cycle is a fixed point at 0.5 each") {
+    val r = ranks(Seq(("a", "b"), ("b", "a")), iters = 7)
+    assert(math.abs(r("a") - 0.5) < 1e-12)
+    assert(math.abs(r("b") - 0.5) < 1e-12)
+  }
+
+  test("dangling node redistributes its mass uniformly (hand-computed)") {
+    // a→b, b dangling. N=2, r0=(.5,.5); iter1: dang=.5,
+    // r(a)=.075+.85·(0+.25)=.2875, r(b)=.075+.85·(.5+.25)=.7125
+    val r = ranks(Seq(("a", "b")), iters = 1)
+    assert(math.abs(r("a") - 0.2875) < 1e-15)
+    assert(math.abs(r("b") - 0.7125) < 1e-15)
+  }
+
+  test("rank mass is conserved across iterations") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"))
+    val r = ranks(edges, iters = 6)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // d has no in-edges: teleport + its share of nothing → minimal rank
+    assert(r("d") < r.values.max)
+  }
+
+  test("duplicate edges collapse (same result as the deduped graph)") {
+    val dup = Seq(("a", "b"), ("a", "b"), ("a", "b"), ("b", "a"))
+    val ded = Seq(("a", "b"), ("b", "a"))
+    assert(ranks(dup, 4) === ranks(ded, 4))
+  }
+
+  test("hub concentration: everyone links the hub, hub ranks highest") {
+    val edges = (1 to 5).map(i => (s"n$i", "hub")) ++ Seq(("hub", "n1"))
+    val r = ranks(edges, iters = 5)
+    assert(r("hub") === r.values.max)
+    // spokes n2..n5 are symmetric → identical ranks
+    assert(Set(r("n2"), r("n3"), r("n4"), r("n5")).size === 1)
+  }
+
+  test("parameter validation") {
+    val d = Seq(("a", "b")).toDF("s", "t")
+    intercept[IllegalArgumentException] { Graphs.pageRank(d, "s", "t", 0) }
+    intercept[IllegalArgumentException] { Graphs.pageRank(d, "s", "t", 3, damping = 1.0) }
+  }
+}
