@@ -2354,6 +2354,72 @@ object OracleSql {
         |FROM g, (VALUES (0), (1), (2), (3)) p(pos)
         |ORDER BY l_returnflag, pos""".stripMargin,
 
+    // CUSUM: identical centered series, identical prefix-sum/running-min
+    // identity, μ/σ written as the same exact-integer-sum formulas
+    "q148_cusum_shifts" ->
+      """WITH c AS (SELECT epoch_us(ts) // 3600000000 AS period,
+        |    count(*)::BIGINT AS n FROM events GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT AS m, sum(n)::BIGINT AS s1,
+        |    sum(n * n)::BIGINT AS s2 FROM c),
+        |sg AS (SELECT s1::DOUBLE / m AS mu,
+        |    sqrt((s2::DOUBLE - s1::DOUBLE * s1 / m) / (m - 1)) AS sigma
+        |  FROM st),
+        |p AS (SELECT period, n, sigma,
+        |    sum(n::DOUBLE - mu - 0.5 * sigma)
+        |      OVER (ORDER BY period ROWS UNBOUNDED PRECEDING) AS pp
+        |  FROM c, sg),
+        |q AS (SELECT period, n, pp, sigma,
+        |    least(min(pp) OVER (ORDER BY period ROWS UNBOUNDED PRECEDING),
+        |      0.0) AS pmin FROM p)
+        |SELECT period, n, (pp - pmin)::REAL AS cusum,
+        |  (pp - pmin) > 5.0 * sigma AS is_shift
+        |FROM q ORDER BY period""".stripMargin,
+
+    // phrase search: the list-comprehension mirror of the positional
+    // postings chain (the q136 n-gram indexing style)
+    "q149_phrase_search" -> {
+      s"""WITH t AS (SELECT doc_id AS id, ${toks("text")} AS tk
+         |  FROM documents)
+         |SELECT id, n_hits FROM (
+         |  SELECT id, len(list_filter(range(1, len(tk) - 1),
+         |      i -> tk[i] = 'row' AND tk[i+1] = 'column' AND
+         |        tk[i+2] = 'sort'))::BIGINT AS n_hits
+         |  FROM t) z
+         |WHERE n_hits > 0
+         |ORDER BY id""".stripMargin
+    },
+
+    // percent_rank: the window form IS the semantics the broadcast-CDF
+    // operator reproduces (ties = min rank)
+    "q150_percentile_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  (percent_rank() OVER (ORDER BY l_quantity))::REAL AS pr
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // decay scores: the rate constant is WRITTEN as ln(2)/halfLife on
+    // both sides so each engine derives the same double; float32 output
+    // absorbs exp/summation ulp
+    "q147_decay_scores" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |r AS (SELECT max(t) AS ref FROM e)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  sum(exp((t - ref)::DOUBLE * (ln(2.0) / 604800000000.0)))::REAL
+        |    AS score,
+        |  max(t)::BIGINT AS last_seen
+        |FROM e, r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Count-Min: in the no-saturation regime the min-estimate IS the
+    // exact count (absent item → 0), so the oracle is a plain GROUP BY
+    "q146_count_min" ->
+      s"""WITH t AS (SELECT unnest(${toks("text")}) AS tok FROM documents),
+         |c AS (SELECT tok, count(*)::BIGINT AS n FROM t GROUP BY 1),
+         |q AS (SELECT * FROM (VALUES (0, 'join'), (1, 'hash'), (2, 'scan'),
+         |  (3, 'vector'), (4, 'zzz_absent')) v(pos, item))
+         |SELECT q.pos, q.item, coalesce(c.n, 0)::BIGINT AS est
+         |FROM q LEFT JOIN c ON q.item = c.tok
+         |ORDER BY q.pos""".stripMargin,
+
     // DSIR: same hashed-bigram buckets, same add-λ ratios and log-diff
     // order; the float32 cast on the per-doc sum absorbs libm-vs-JVM
     // log ulp and summation-order wiggle

@@ -1674,6 +1674,62 @@ object Queries {
           minPairSupport = 3L, maxBasketSize = 20)
         .orderBy("antecedent", "consequent")),
 
+    // CUSUM level-shift detection over hourly rates: prefix-sum identity
+    // (two ordered windows over the tiny period series), μ/σ from exact
+    // integer sums on a 1-row broadcast
+    "q148_cusum_shifts" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .cusumShifts(e, "tus", periodUs = 3600000000L, k = 0.5, h = 5.0)
+        .select(col("period"), col("n"),
+          col("cusum").cast("float").as("cusum"), col("is_shift"))
+        .orderBy("period")
+    }),
+
+    // positional phrase search: postings filtered to the phrase terms
+    // pre-shuffle; (len−1) joins all keyed on (doc, aligned position)
+    "q149_phrase_search" -> ((s, dir) =>
+      graft.pipeline.Phrase
+        .phraseSearch(docs(s, dir), "doc_id", "text",
+          Seq("row", "column", "sort"))
+        .orderBy("id")),
+
+    // percent_rank WITHOUT the global sort: broadcast distinct-value CDF
+    // (discrete-measure regime), narrow per-row projection
+    "q150_percentile_rank" -> ((s, dir) =>
+      graft.operators.Features
+        .percentileRank(
+          li(s, dir).select("l_orderkey", "l_linenumber", "l_quantity"),
+          "l_quantity")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("pr").cast("float").as("pr"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // recency-weighted engagement: one keyed sum with a per-row decay
+    // projection; reference instant = corpus max via 1-row broadcast
+    "q147_decay_scores" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Features
+        .decayScores(e, "user_id", "tus", halfLifeUs = 604800000000L)
+        .select(col("user_id"), col("n_events"),
+          col("score").cast("float").as("score"), col("last_seen"))
+        .orderBy("user_id")
+    }),
+
+    // Count-Min point-frequency estimates over the token stream: the
+    // 31-token vocabulary cannot saturate all 4 rows of a 1024-wide
+    // sketch, so every min-estimate equals the exact count (pinned);
+    // merge is elementwise-add → layout-independent even when approximate
+    "q146_count_min" -> ((s, dir) =>
+      docs(s, dir)
+        .agg(graft.functions.CountMinAgg(
+          TextOps.tokens(col("text")),
+          Seq("join", "hash", "scan", "vector", "zzz_absent"),
+          depth = 4, width = 1024).as("ests"))
+        .select(posexplode(col("ests")))
+        .select(col("pos"), col("col.item").as("item"), col("col.est").as("est"))
+        .orderBy("pos")),
+
     // DSIR importance scores: hashed-bigram bucket models (target =
     // English slice) with add-1 smoothing; weight table broadcasts,
     // each side streams once

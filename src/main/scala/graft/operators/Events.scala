@@ -168,6 +168,63 @@ object Events {
         (abs(col("n") - col("med")) > lit(k) * col("mad")).as("is_anomaly"))
   }
 
+  /** CUSUM changepoint detection over the event-rate series: bucket
+    * events into periods, then run the one-sided CUSUM statistic
+    *
+    *   S_i = max(0, S_{i−1} + (x_i − μ − k·σ))
+    *
+    * and flag periods where S exceeds h·σ — the standard sequential
+    * drift detector (Page 1954): a sustained LEVEL SHIFT accumulates
+    * where the 3×MAD rule ([[anomalousPeriods]]) only catches isolated
+    * spikes. The recurrence is computed WITHOUT a scan-with-reset via the
+    * prefix-sum identity S_i = P_i − min_{j≤i} P_j (P = cumulative sum of
+    * the centered series), so it's two ordered windows, not an iterative
+    * loop.
+    *
+    * Scale shape: raw events stream through ONE keyed count; μ and σ are
+    * written as explicit exact-integer-sum formulas (NOT stddev_samp,
+    * whose Welford merge is partition-order-dependent) and ride a 1-row
+    * broadcast; the two cumulative windows run over the tiny period
+    * series in period order — sequential, hence deterministic.
+    * Returns (period, n, cusum, is_shift).
+    */
+  def cusumShifts(
+      df: DataFrame,
+      tsCol: String,
+      periodUs: Long,
+      k: Double = 0.5,
+      h: Double = 5.0
+  ): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    require(h > 0.0, s"h must be positive, got $h")
+    val perPeriod = df
+      .select(expr(s"`$tsCol` DIV ${periodUs}L").as("period"))
+      .groupBy("period")
+      .agg(count(lit(1)).as("n"))
+    // μ, σ from exact integer sums: deterministic under any layout
+    val stats = perPeriod.agg(
+      count(lit(1)).as("__m"),
+      sum(col("n")).as("__s1"),
+      sum(col("n") * col("n")).as("__s2"))
+      .select(
+        (col("__s1").cast("double") / col("__m")).as("mu"),
+        sqrt((col("__s2").cast("double") -
+          col("__s1").cast("double") * col("__s1") / col("__m")) /
+          (col("__m") - lit(1))).as("sigma"))
+    val ordered = Window.orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perPeriod.crossJoin(broadcast(stats))
+      .withColumn("__dev",
+        col("n").cast("double") - col("mu") - lit(k) * col("sigma"))
+      .withColumn("__p", sum(col("__dev")).over(ordered))
+      // the empty prefix P_0 = 0 belongs in the min — without it S_1
+      // would be P_1 even when d_1 < 0
+      .withColumn("__pmin", least(min(col("__p")).over(ordered), lit(0.0)))
+      .select(col("period"), col("n"),
+        (col("__p") - col("__pmin")).as("cusum"),
+        ((col("__p") - col("__pmin")) > lit(h) * col("sigma")).as("is_shift"))
+  }
+
   /** Rolling activity: per (event type, period) counts with a trailing
     * `w`-period moving average and the current-over-average ratio — the
     * standard "is this type trending" view. The ROWS frame runs over the

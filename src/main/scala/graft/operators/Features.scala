@@ -112,4 +112,84 @@ object Features {
           .as("n_outliers"),
         count(lit(1)).as("n"))
   }
+
+  /** Exponential time-decay activity features per key — the standard
+    * recency-weighted engagement score of a feature store:
+    *
+    *   score(key) = Σ_i exp(−(t_ref − t_i) / τ)
+    *
+    * (τ = half-life / ln 2; an event `half-life` ago contributes 0.5, now
+    * contributes 1.0). `t_ref` defaults to the corpus max so scores are
+    * reproducible from the data alone; pass an explicit reference to pin
+    * a scoring instant.
+    *
+    * Scale shape: ONE keyed sum aggregate over the raw events with
+    * map-side combine (the decay weight is a per-row projection); the
+    * default reference rides a 1-row broadcast crossJoin. Returns
+    * (key, n_events, score, last_seen).
+    */
+  def decayScores(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      halfLifeUs: Long,
+      tRefUs: Option[Long] = None
+  ): DataFrame = {
+    require(halfLifeUs > 0, s"halfLifeUs must be positive, got $halfLifeUs")
+    val base = df.select(col(keyCol).as("__k"), col(tsCol).cast("long").as("__t"))
+      .filter(col("__k").isNotNull && col("__t").isNotNull)
+    val withRef = tRefUs match {
+      case Some(r) => base.withColumn("__ref", lit(r))
+      case None => base.crossJoin(broadcast(base.agg(max(col("__t")).as("__ref"))))
+    }
+    // decay = exp(−Δt·(ln 2 / halfLife)); the rate constant is computed
+    // the same way the SQL mirror writes it so the double is identical
+    val rate = math.log(2.0) / halfLifeUs.toDouble
+    withRef
+      .groupBy(col("__k").as(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(exp((col("__t") - col("__ref")).cast("double") * lit(rate)))
+          .as("score"),
+        max(col("__t")).as("last_seen"))
+  }
+
+  /** Percentile-rank transform WITHOUT a global sort: SQL
+    * `percent_rank() OVER (ORDER BY v)` — (count of strictly smaller
+    * values) / (n − 1) — computed from a broadcast distinct-value CDF
+    * instead of totally ordering the relation.
+    *
+    * The window form sorts the WHOLE table through one partition — the
+    * classic scale cliff. Here: one keyed count per distinct value, one
+    * ordered cumulative window over the DISTINCT-VALUE table only, then a
+    * broadcast join back — a narrow projection per row. The trade: the
+    * distinct-value table must be broadcastable, which is exactly the
+    * discrete-measure regime (quantities, ratings, token counts);
+    * continuous columns should be quantized upstream (the same
+    * contract as [[graft.functions.QuantileSketchAgg]]'s exact regime).
+    *
+    * Ties share a rank (count of STRICTLY smaller); null values get a
+    * null rank and pass through; a 1-row relation ranks 0.
+    */
+  def percentileRank(
+      df: DataFrame,
+      valueCol: String,
+      outCol: String = "pr"
+  ): DataFrame = {
+    val vals = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val upToPrev = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cdf = vals
+      .withColumn("__lt", coalesce(sum(col("__c")).over(upToPrev), lit(0L)))
+      .crossJoin(broadcast(
+        df.filter(col(valueCol).isNotNull).agg(count(lit(1)).as("__n"))))
+      .select(col("__v"), when(col("__n") > 1L,
+        col("__lt").cast("double") / (col("__n") - lit(1L)))
+        .otherwise(lit(0.0)).as(outCol))
+    df.join(broadcast(cdf), df(valueCol) === cdf("__v"), "left")
+      .drop("__v")
+  }
 }

@@ -133,6 +133,34 @@ class EventsSpec extends SparkTestBase {
     assert(out.head.getAs[Double]("mad") === 1.5)
   }
 
+  test("cusumShifts: sustained level shift accumulates and flags; spike-free series doesn't") {
+    // 10 periods at n=10, then 10 at n=14: σ≈2.05, drift per shifted
+    // period ≈ 14−12−0.5σ ≈ 0.97 → the cusum grows linearly after the
+    // shift and crosses 5σ before the series ends
+    val rows = (0 until 20).flatMap { p =>
+      val n = if (p < 10) 10 else 14
+      (1 to n).map(i => (i.toLong, p * 10L, "x"))
+    }
+    val out = Events.cusumShifts(rows.toDF("u", "t", "e"), "t",
+      periodUs = 10L, k = 0.5, h = 2.0)
+      .orderBy("period").collect()
+    assert(!out.take(10).exists(_.getAs[Boolean]("is_shift")))
+    assert(out.takeRight(3).forall(_.getAs[Boolean]("is_shift")))
+    // cusum is non-negative everywhere and non-decreasing after the shift
+    val cs = out.map(_.getAs[Double]("cusum"))
+    assert(cs.forall(_ >= 0.0))
+    assert(cs.slice(10, 20).sliding(2).forall(w => w(1) >= w(0)))
+  }
+
+  test("cusumShifts: flat series stays at zero cusum") {
+    // identical counts: σ=0, dev=0 → cusum exactly 0, nothing flags
+    val rows = (0 until 8).flatMap(p => (1 to 5).map(i => (i.toLong, p * 10L, "x")))
+    val out = Events.cusumShifts(rows.toDF("u", "t", "e"), "t", periodUs = 10L)
+      .collect()
+    assert(out.forall(_.getAs[Double]("cusum") === 0.0))
+    assert(!out.exists(_.getAs[Boolean]("is_shift")))
+  }
+
   test("rollingActivity: trailing ROWS window over existing periods, exact ratios") {
     // type x: periods 0,1,2 with n=2,4,6 → w=2 ma: 2, 3, 5
     val d = Seq(

@@ -62,4 +62,52 @@ class FeaturesSpec extends SparkTestBase {
       (1 to 9).map(_.toDouble).toDF("v"), col("v")).head
     assert(clean.getLong(2) == 0L)
   }
+
+  test("decay scores: now=1, one half-life back=0.5, additive per key") {
+    // half-life 10: u1 events at t=20 (ref) and t=10 → 1.0 + 0.5;
+    // u2 single event two half-lives back → 0.25
+    val d = Seq((1L, 20L), (1L, 10L), (2L, 0L)).toDF("u", "t")
+    val out = Features.decayScores(d, "u", "t", halfLifeUs = 10L)
+      .orderBy("u").collect()
+    assert(math.abs(out(0).getAs[Double]("score") - 1.5) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("score") - 0.25) < 1e-12)
+    assert(out(0).getAs[Long]("n_events") === 2L)
+    assert(out(0).getAs[Long]("last_seen") === 20L)
+    assert(out(1).getAs[Long]("last_seen") === 0L)
+  }
+
+  test("decay scores: explicit reference instant pins the scoring time") {
+    val d = Seq((1L, 10L)).toDF("u", "t")
+    val out = Features.decayScores(d, "u", "t", halfLifeUs = 10L,
+      tRefUs = Some(30L)).collect().head
+    assert(math.abs(out.getAs[Double]("score") - 0.25) < 1e-12)
+  }
+
+  test("percentileRank: matches percent_rank semantics with min-rank ties") {
+    // values 10,20,20,30: pr = lt/(n-1) = 0, 1/3, 1/3, 1
+    val d = Seq((1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, 30.0)).toDF("id", "v")
+    val out = Features.percentileRank(d, "v").orderBy("id").collect()
+    val pr = out.map(_.getAs[Double]("pr"))
+    assert(pr(0) === 0.0)
+    assert(math.abs(pr(1) - 1.0 / 3) < 1e-15)
+    assert(pr(1) === pr(2))
+    assert(pr(3) === 1.0)
+  }
+
+  test("percentileRank: nulls pass through with null rank; single row ranks 0") {
+    val d = Seq((1L, Some(5.0)), (2L, None)).toDF("id", "v")
+    val out = Features.percentileRank(d, "v").orderBy("id").collect()
+    assert(out(0).getAs[Double]("pr") === 0.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("pr")))
+  }
+
+  test("decay scores: null keys/times dropped, validation") {
+    val d = Seq((Some(1L), Some(10L)), (None, Some(5L)), (Some(2L), None))
+      .toDF("u", "t")
+    val out = Features.decayScores(d, "u", "t", halfLifeUs = 10L).collect()
+    assert(out.length === 1)
+    intercept[IllegalArgumentException] {
+      Features.decayScores(d, "u", "t", halfLifeUs = 0L)
+    }
+  }
 }
