@@ -237,6 +237,18 @@ object PlanReview {
       graft.pipeline.Dsir.importanceScores(docs,
         docs.filter(col("lang") === "en"), "doc_id", "text", buckets = 4096)
     }
+    // round 6: phrase search — term filter under the explode, all hops
+    // keyed on (id, pos)
+    show("phrase search (postings chain)") {
+      graft.pipeline.Phrase.phraseSearch(docs, "doc_id", "text",
+        Seq("row", "column", "sort"))
+    }
+    // round 6: percentile rank — ONE distinct-value window + broadcast
+    // join back; the relation itself is never sorted
+    show("percentile rank (broadcast CDF)") {
+      graft.operators.Features.percentileRank(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"), "l_quantity")
+    }
     spark.stop()
   }
 }

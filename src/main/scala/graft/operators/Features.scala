@@ -176,16 +176,19 @@ object Features {
       valueCol: String,
       outCol: String = "pr"
   ): DataFrame = {
-    val vals = df.filter(col(valueCol).isNotNull)
+    // staged so the CDF window and the total derive from ONE narrow scan
+    // (the total is Σ of the distinct-value counts, not a second count
+    // over the relation)
+    val vals = graft.Staging.stage(df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("__v"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c")))
+    val total = vals.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))
     val upToPrev = org.apache.spark.sql.expressions.Window
       .orderBy(col("__v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val cdf = vals
       .withColumn("__lt", coalesce(sum(col("__c")).over(upToPrev), lit(0L)))
-      .crossJoin(broadcast(
-        df.filter(col(valueCol).isNotNull).agg(count(lit(1)).as("__n"))))
+      .crossJoin(broadcast(total))
       .select(col("__v"), when(col("__n") > 1L,
         col("__lt").cast("double") / (col("__n") - lit(1L)))
         .otherwise(lit(0.0)).as(outCol))

@@ -30,10 +30,13 @@ object Phrase {
     require(phrase.nonEmpty, "phrase must be non-empty")
     require(phrase.forall(_.nonEmpty), s"phrase terms must be non-empty: $phrase")
     val terms = phrase.distinct
-    val postings = df
+    // staged: each chain hop filters the SAME materialized postings —
+    // without it every hop re-scans and re-explodes the corpus
+    // (plan-audited: 3 FileScans for a 3-term phrase)
+    val postings = graft.Staging.stage(df
       .select(col(idCol).as("id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
-      .filter(col("tok").isin(terms: _*))
+      .filter(col("tok").isin(terms: _*)))
     // start positions of term 0; each hop j keeps starts whose j-th
     // successor matches term j (join key = the aligned start position)
     var starts = postings.filter(col("tok") === phrase.head).select(col("id"), col("pos"))
