@@ -1733,15 +1733,13 @@ object Queries {
     // DSIR importance scores: hashed-bigram bucket models (target =
     // English slice) with add-1 smoothing; weight table broadcasts,
     // each side streams once
-    "q145_dsir_scores" -> ((s, dir) => {
-      val d = docs(s, dir)
+    "q145_dsir_scores" -> ((s, dir) =>
       graft.pipeline.Dsir
-        .importanceScores(d, d.filter(col("lang") === "en"),
-          "doc_id", "text", buckets = 4096)
+        .importanceScoresFlagged(docs(s, dir), "doc_id", "text",
+          col("lang") === "en", buckets = 4096)
         .select(col("id"), col("n_grams"),
           col("score").cast("float").as("score"))
-        .orderBy("id")
-    }),
+        .orderBy("id")),
 
     // domain PageRank over the co-occurrence link graph of the planted
     // URLs (q75's scheme): per-iteration work is one src-keyed join +

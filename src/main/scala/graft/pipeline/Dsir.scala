@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data Selection with Importance Resampling (Xie et al. 2023,
@@ -41,13 +41,22 @@ object Dsir {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(lambda > 0.0, s"lambda must be positive, got $lambda")
 
-    def bucketed(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("id"),
-        TextOps.wordShingles(TextOps.tokens(col(textCol)), 2).as("bgs"))
-      .select(col("id"), explode(col("bgs")).as("bg"))
-      .select(col("id"), (TextOps.hash32(col("bg")) % buckets).as("bucket"))
+    // tokens bound as an attribute BEFORE shingling (HOF lambdas get no
+    // CSE — inline tokens(text) re-runs the regex per shingle element,
+    // measured 20×+; the shingleSets pattern), and the source normalized
+    // so a single-row-group extract doesn't pin the stage to one core
+    def bucketed(df: DataFrame): DataFrame =
+      graft.sources.ScaleOps.normalizeParallelism(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")),
+        df.sparkSession.sparkContext.defaultParallelism)
+        .select(col("id"), TextOps.tokens(col("__text")).as("__t"))
+        .select(col("id"), TextOps.wordShingles(col("__t"), 2).as("bgs"))
+        .select(col("id"), explode(col("bgs")).as("bg"))
+        .select(col("id"), (TextOps.hash32(col("bg")) % buckets).as("bucket"))
 
-    val rawB = bucketed(raw)
+    // staged: the raw side feeds BOTH the bucket counts and the scoring
+    // join — without it the tokenize+hash pass runs twice
+    val rawB = graft.Staging.stage(bucketed(raw))
     val tgtCounts = bucketed(target)
       .groupBy("bucket").agg(count(lit(1)).as("ct"))
     val rawCounts = rawB.groupBy("bucket").agg(count(lit(1)).as("cr"))
@@ -59,6 +68,54 @@ object Dsir {
       .join(tgtCounts, Seq("bucket"), "left")
       .crossJoin(broadcast(tgtTotal))
       .crossJoin(broadcast(rawTotal))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + lambda) /
+            (col("tt") + lit(lambda * buckets))) -
+          log((col("cr") + lambda) /
+            (col("tr") + lit(lambda * buckets)))).as("logw"))
+    rawB
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("logw")).as("score"))
+  }
+
+  /** Single-scan variant for the common case where the target set is a
+    * PREDICATE over the raw corpus (a language slice, a quality flag):
+    * both bucket models come from ONE tokenize+hash pass — the target
+    * count is a conditional sum in the same aggregate — instead of
+    * scanning the corpus twice. Identical math and results to
+    * [[importanceScores]]`(raw, raw.filter(targetFlag), …)`.
+    */
+  def importanceScoresFlagged(
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetFlag: Column,
+      buckets: Int = 8192,
+      lambda: Double = 1.0
+  ): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(lambda > 0.0, s"lambda must be positive, got $lambda")
+    val bucketedFlagged = graft.sources.ScaleOps.normalizeParallelism(
+      raw.select(col(idCol).as("id"), col(textCol).as("__text"),
+        targetFlag.as("__tf")),
+      raw.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), col("__tf"), TextOps.tokens(col("__text")).as("__t"))
+      .select(col("id"), col("__tf"), TextOps.wordShingles(col("__t"), 2).as("bgs"))
+      .select(col("id"), col("__tf"), explode(col("bgs")).as("bg"))
+      .select(col("id"), col("__tf"),
+        (TextOps.hash32(col("bg")) % buckets).as("bucket"))
+    val rawB = graft.Staging.stage(bucketedFlagged)
+    // ONE keyed aggregate carries both models: cr = all occurrences,
+    // ct = occurrences under the flag
+    val counts = rawB.groupBy("bucket").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__tf"), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(
+      coalesce(sum(col("cr")), lit(0L)).as("tr"),
+      coalesce(sum(col("ct")), lit(0L)).as("tt"))
+    val weights = counts
+      .crossJoin(broadcast(totals))
       .select(col("bucket"),
         (log((coalesce(col("ct"), lit(0L)) + lambda) /
             (col("tt") + lit(lambda * buckets))) -

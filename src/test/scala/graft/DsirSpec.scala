@@ -37,6 +37,16 @@ class DsirSpec extends SparkTestBase {
     assert(out.getAs[Long]("n_grams") === 4L)
   }
 
+  test("flagged single-scan variant reproduces the two-frame result exactly") {
+    val two = Dsir.importanceScores(corpus, corpus.filter($"doc_id" <= 2L),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val one = Dsir.importanceScoresFlagged(corpus, "doc_id", "text",
+      $"doc_id" <= 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(one === two)
+  }
+
   test("parameter validation") {
     intercept[IllegalArgumentException] {
       Dsir.importanceScores(corpus, corpus, "doc_id", "text", buckets = 1)
