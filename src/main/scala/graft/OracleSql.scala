@@ -2354,6 +2354,48 @@ object OracleSql {
         |FROM g, (VALUES (0), (1), (2), (3)) p(pos)
         |ORDER BY l_returnflag, pos""".stripMargin,
 
+    // aHash: the planted-pixel closed form (every pixel byte at file
+    // offset m is (id·31+m) mod 256 — the q67 fixture), exact-integer
+    // mean threshold, file-order bit index
+    "q151_image_ahash" ->
+      """WITH px AS (
+        |  SELECT d.doc_id AS id, rr.r * 5 + xx.x AS i,
+        |    ((d.doc_id*31 + (54 + rr.r*16 + 3*xx.x)) % 256
+        |     + (d.doc_id*31 + (54 + rr.r*16 + 3*xx.x + 1)) % 256
+        |     + (d.doc_id*31 + (54 + rr.r*16 + 3*xx.x + 2)) % 256)::BIGINT AS gray
+        |  FROM documents d, (SELECT unnest(range(0, 4)) AS r) rr,
+        |    (SELECT unnest(range(0, 5)) AS x) xx),
+        |t AS (SELECT id, sum(gray) AS tot, count(*) AS n FROM px GROUP BY id)
+        |SELECT px.id AS doc_id, 5 AS width, 4 AS height,
+        |  sum(CASE WHEN px.gray * t.n > t.tot
+        |    THEN (1::BIGINT << px.i) ELSE 0 END)::BIGINT AS ahash,
+        |  sum(CASE WHEN px.gray * t.n > t.tot THEN 1 ELSE 0 END)::INT AS n_set
+        |FROM px JOIN t ON px.id = t.id
+        |GROUP BY px.id ORDER BY doc_id""".stripMargin,
+
+    // image near-dups: brute-force XOR popcount over the same closed-form
+    // hashes — the banded-LSH pigeonhole guarantee means the operator's
+    // output EQUALS brute force (valve ≫ bucket sizes here)
+    "q152_image_neardup_pairs" ->
+      """WITH px AS (
+        |  SELECT d.doc_id AS id, rr.r * 5 + xx.x AS i,
+        |    ((d.doc_id*31 + (54 + rr.r*16 + 3*xx.x)) % 256
+        |     + (d.doc_id*31 + (54 + rr.r*16 + 3*xx.x + 1)) % 256
+        |     + (d.doc_id*31 + (54 + rr.r*16 + 3*xx.x + 2)) % 256)::BIGINT AS gray
+        |  FROM documents d, (SELECT unnest(range(0, 4)) AS r) rr,
+        |    (SELECT unnest(range(0, 5)) AS x) xx),
+        |t AS (SELECT id, sum(gray) AS tot, count(*) AS n FROM px GROUP BY id),
+        |h AS (SELECT px.id,
+        |    sum(CASE WHEN px.gray * t.n > t.tot
+        |      THEN (1::BIGINT << px.i) ELSE 0 END)::BIGINT AS ahash
+        |  FROM px JOIN t ON px.id = t.id GROUP BY px.id),
+        |p AS (SELECT a.id AS id1, b.id AS id2,
+        |    bit_count(xor(a.ahash, b.ahash))::INT AS hamming
+        |  FROM h a JOIN h b ON a.id < b.id)
+        |SELECT hamming, count(*)::BIGINT AS n_pairs,
+        |  sum(id1 + id2)::BIGINT AS id_sum
+        |FROM p WHERE hamming <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // CUSUM: identical centered series, identical prefix-sum/running-min
     // identity, μ/σ written as the same exact-integer-sum formulas
     "q148_cusum_shifts" ->

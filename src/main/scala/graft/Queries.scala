@@ -1674,6 +1674,30 @@ object Queries {
           minPairSupport = 3L, maxBasketSize = 20)
         .orderBy("antecedent", "consequent")),
 
+    // perceptual image hash: REAL header-parsed BMP decode → exact-int
+    // mean-threshold bits (no float mean), partition-preserving map
+    "q151_image_ahash" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      Multimodal.bmpAHashes(ids.map(id =>
+        Multimodal.BinaryDoc(id, Multimodal.syntheticBmp(id), "image/bmp", 0)))
+        .toDF().orderBy("doc_id")
+    }),
+
+    // image near-dup pairs: banded Hamming LSH over the aHash (generic
+    // hammingPairs — the simhash machinery on a precomputed hash column)
+    "q152_image_neardup_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      val hashes = Multimodal.bmpAHashes(ids.map(id =>
+        Multimodal.BinaryDoc(id, Multimodal.syntheticBmp(id), "image/bmp", 0)))
+        .toDF()
+      Dedup.hammingPairs(hashes, "doc_id", "ahash", bits = 20, maxHamming = 3)
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("id1") + col("id2")).as("id_sum"))
+        .orderBy("hamming")
+    }),
+
     // CUSUM level-shift detection over hourly rates: prefix-sum identity
     // (two ordered windows over the tiny period series), μ/σ from exact
     // integer sums on a 1-row broadcast

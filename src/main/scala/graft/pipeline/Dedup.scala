@@ -599,25 +599,60 @@ object Dedup {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     require(bits % nBands == 0,
       s"bits ($bits) must be divisible by maxHamming + 1 ($nBands) for equal bit bands")
-    val w = bits / nBands
     // lazy local checkpoint, not persist: the signature table is read three
     // times (reps + both expansion joins) so it must materialize once, but a
     // CacheManager entry would outlive the call (nobody can unpersist a
     // lazily-returned frame). Checkpoint blocks are context-cleaner-released
     // once the result frame is dropped.
     val sigs = simhash(df, idCol, textCol, bits).staged
+    hammingPairsStaged(sigs, "id", "simhash", bits, maxHamming, maxBucketSize)
+  }
+
+  /** Hamming near-duplicate pairs over ANY precomputed hash column
+    * (simhash, image aHash, audio fingerprint): banded LSH with the
+    * pigeonhole guarantee — split into maxHamming+1 equal bit bands; any
+    * pair within distance maxHamming agrees on ≥1 whole band, so recall
+    * is exact (modulo the bucket valve). Same candidate/verify/expansion
+    * structure as [[simhashPairs]] (which delegates here). */
+  def hammingPairs(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      bits: Int,
+      maxHamming: Int,
+      maxBucketSize: Option[Long] = Some(DefaultMaxBucketSize)
+  ): DataFrame = {
+    val nBands = maxHamming + 1
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(bits % nBands == 0,
+      s"bits ($bits) must be divisible by maxHamming + 1 ($nBands) for equal bit bands")
+    hammingPairsStaged(
+      df.select(col(idCol).as("id"), col(hashCol).as("simhash")).staged,
+      "id", "simhash", bits, maxHamming, maxBucketSize)
+  }
+
+  private def hammingPairsStaged(
+      sigs: DataFrame,
+      idName: String,
+      hashName: String,
+      bits: Int,
+      maxHamming: Int,
+      maxBucketSize: Option[Long]
+  ): DataFrame = {
+    val nBands = maxHamming + 1
+    val w = bits / nBands
     // signature-class collapse: identical docs (and distinct docs that
     // happen to collide on all bits — hamming 0 by definition) enter the
     // banded join as ONE representative row
-    val reps = sigs.groupBy("simhash").agg(min(col("id")).as("id"))
+    val reps = sigs.groupBy(hashName).agg(min(col(idName)).as(idName))
     val bandCols = (0 until nBands).map { b =>
       struct(
         lit(b).as("band"),
-        (shiftright(col("simhash"), b * w) % lit(1L << w)).as("bucket"))
+        (shiftright(col(hashName), b * w) % lit(1L << w)).as("bucket"))
     }
     val bk0 = reps
-      .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col(idName), col(hashName), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idName), col(hashName), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val bk = maxBucketSize match {
       case None => bk0
       case Some(cap) =>
@@ -631,10 +666,10 @@ object Dedup {
     // both sigs ride along with the band rows, so no join back to reps
     val repPairs = bk.as("a")
       .join(bk.as("b"), Seq("band", "bucket"))
-      .filter(col("a.id") < col("b.id"))
+      .filter(col(s"a.$idName") < col(s"b.$idName"))
       .select(
-        col("a.id").as("rid1"), col("b.id").as("rid2"),
-        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+        col(s"a.$idName").as("rid1"), col(s"b.$idName").as("rid2"),
+        col(s"a.$hashName").as("s1"), col(s"b.$hashName").as("s2"))
       .distinct()
       .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
       .filter(col("hamming") <= maxHamming)
@@ -642,15 +677,16 @@ object Dedup {
     // representative's verified pairs; within-class pairs are hamming 0
     val memb = sigs
     val cross = repPairs
-      .join(memb.select(col("simhash").as("s1"), col("id").as("__ida")), "s1")
-      .join(memb.select(col("simhash").as("s2"), col("id").as("__idb")), "s2")
+      .join(memb.select(col(hashName).as("s1"), col(idName).as("__ida")), "s1")
+      .join(memb.select(col(hashName).as("s2"), col(idName).as("__idb")), "s2")
       .select(
         least(col("__ida"), col("__idb")).as("id1"),
         greatest(col("__ida"), col("__idb")).as("id2"),
         col("hamming"))
     val within = memb.as("x")
-      .join(memb.as("y"), col("x.simhash") === col("y.simhash") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id1"), col("y.id").as("id2"), lit(0).as("hamming"))
+      .join(memb.as("y"),
+        col(s"x.$hashName") === col(s"y.$hashName") && col(s"x.$idName") < col(s"y.$idName"))
+      .select(col(s"x.$idName").as("id1"), col(s"y.$idName").as("id2"), lit(0).as("hamming"))
     cross.unionAll(within)
   }
 

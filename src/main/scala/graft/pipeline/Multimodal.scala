@@ -164,6 +164,67 @@ object Multimodal {
     BmpFeatures(id, w, h, sb / n, sg / n, sr / n)
   }
 
+  final case class BmpAHash(
+      doc_id: Long, width: Int, height: Int, ahash: Long, n_set: Int)
+
+  /** Perceptual average-hash of a decoded 24-bit BMP: one bit per pixel,
+    * set iff the pixel's brightness exceeds the image mean — the classic
+    * aHash near-duplicate signature (tolerant to re-encode and small
+    * edits; compose with [[graft.pipeline.Dedup.hammingPairs]] for banded
+    * near-dup search). Production images resize to 8×8 before hashing;
+    * here the grid IS small, and the resize step would slot in before the
+    * threshold.
+    *
+    * All arithmetic is EXACT integers: brightness = b+g+r (0..765) and
+    * the threshold compares gray·n > Σgray — no float mean, so the hash
+    * is bit-reproducible on any engine. Bit order is file order
+    * (bottom-up rows), index row·width+x. Requires w·h ≤ 63 (one long).
+    */
+  def aHashBmp(id: Long, bytes: Array[Byte]): BmpAHash = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', s"doc $id: not a BMP")
+    val off = le32At(bytes, 10)
+    require(le32At(bytes, 14) == 40, s"doc $id: not BITMAPINFOHEADER")
+    val w = le32At(bytes, 18)
+    val h = le32At(bytes, 22)
+    require(w > 0 && h > 0, s"doc $id: top-down or empty BMP unsupported")
+    require(w.toLong * h <= 63, s"doc $id: aHash grid must fit one long (w·h ≤ 63)")
+    require(le16At(bytes, 28) == 24, s"doc $id: only 24-bit BMP supported")
+    require(le32At(bytes, 30) == 0, s"doc $id: only BI_RGB (uncompressed) supported")
+    val stride = ((w * 3 + 3) / 4) * 4
+    require(bytes.length >= off + stride * h, s"doc $id: truncated pixel array")
+    val n = w * h
+    val gray = new Array[Long](n)
+    var tot = 0L
+    var row = 0
+    while (row < h) {
+      val base = off + row * stride
+      var x = 0
+      while (x < w) {
+        val g = (bytes(base + 3 * x) & 0xff).toLong +
+          (bytes(base + 3 * x + 1) & 0xff) + (bytes(base + 3 * x + 2) & 0xff)
+        gray(row * w + x) = g
+        tot += g
+        x += 1
+      }
+      row += 1
+    }
+    var hash = 0L
+    var set = 0
+    var i = 0
+    while (i < n) {
+      if (gray(i) * n > tot) { hash |= (1L << i); set += 1 }
+      i += 1
+    }
+    BmpAHash(id, w, h, hash, set)
+  }
+
+  /** Batched aHash over a binary image column (iterator-in/iterator-out,
+    * partition-preserving — the [[extractFeatures]] shape). */
+  def bmpAHashes(ds: Dataset[BinaryDoc]): Dataset[BmpAHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(d => aHashBmp(d.id, d.payload)))
+  }
+
   /** Deterministic PCM WAV fixture: RIFF/WAVE with a canonical fmt chunk
     * (mono, 16-bit, `sampleRate`) and a data chunk whose k-th sample is
     * `(id·7 + k·13) mod 65536 − 32768` — again closed-form for the oracle. */

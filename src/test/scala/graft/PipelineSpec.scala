@@ -327,6 +327,52 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("aHash: exact-int mean threshold, closed-form bits, uniform image hashes to 0") {
+    val id = 42L
+    val h = Multimodal.aHashBmp(id, Multimodal.syntheticBmp(id))
+    // independent recomputation from the generator contract
+    val grays = for (r <- 0 until 4; x <- 0 until 5) yield
+      (0 until 3).map(c => (id * 31 + (54 + r * 16 + 3 * x + c)) % 256).sum
+    val tot = grays.sum
+    val expected = grays.zipWithIndex
+      .filter { case (g, _) => g * 20 > tot }
+      .map { case (_, i) => 1L << i }.sum
+    assert(h.ahash === expected)
+    assert(h.n_set === java.lang.Long.bitCount(h.ahash))
+    // uniform image: no pixel is STRICTLY above the mean → hash 0
+    val uni = Multimodal.syntheticBmp(0L)
+    for (m <- 54 until uni.length) uni(m) = 7
+    val hu = Multimodal.aHashBmp(0L, uni)
+    assert(hu.ahash === 0L && hu.n_set === 0)
+    // grid too large for one long is refused
+    intercept[IllegalArgumentException] {
+      Multimodal.aHashBmp(1L, Multimodal.syntheticBmp(1L, width = 8, height = 8))
+    }
+  }
+
+  test("hammingPairs: generic hash column, pigeonhole recall equals brute force") {
+    import spark.implicits._
+    // 8-bit hashes, maxHamming 3 → 4 bands of 2 bits
+    val rows = Seq(
+      (1L, 0x00L), (2L, 0x01L), // d=1
+      (3L, 0x0FL), // d(1,3)=4 (out), d(2,3)=3 (in)
+      (4L, 0xF0L), // far from 1..3
+      (5L, 0x00L)) // exact dup of 1
+      .toDF("id", "h")
+    val got = Dedup.hammingPairs(rows, "id", "h", bits = 8, maxHamming = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Int]("hamming")))
+      .toSet
+    val brute = (for {
+      a <- 1L to 5L; b <- (a + 1) to 5L
+      ha = Map(1L -> 0x00L, 2L -> 0x01L, 3L -> 0x0FL, 4L -> 0xF0L, 5L -> 0x00L)
+      d = java.lang.Long.bitCount(ha(a) ^ ha(b))
+      if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got === brute)
+    assert(got.contains((1L, 5L, 0))) // the exact-dup expansion path
+  }
+
   test("WAV decode: chunk walk skips unknown/odd chunks, samples signed LE") {
     val id = 9L
     val base = Multimodal.syntheticWav(id, nSamples = 64)
