@@ -2354,6 +2354,57 @@ object OracleSql {
         |FROM g, (VALUES (0), (1), (2), (3)) p(pos)
         |ORDER BY l_returnflag, pos""".stripMargin,
 
+    // windowed funnel: q137's cascade with the 1-day gap bound on each
+    // step join — exact-int times, exact-int conversion ratios
+    "q153_funnel_windowed" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS s
+        |  FROM events),
+        |r1 AS (SELECT u, min(t) AS t1 FROM e WHERE s = 'view' GROUP BY u),
+        |r2 AS (SELECT e.u, min(t) AS t2 FROM e JOIN r1
+        |  ON e.u = r1.u AND e.t >= r1.t1 AND e.t <= r1.t1 + 86400000000
+        |  WHERE s = 'click' GROUP BY e.u),
+        |r3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN r2
+        |  ON e.u = r2.u AND e.t >= r2.t2 AND e.t <= r2.t2 + 86400000000
+        |  WHERE s = 'purchase' GROUP BY e.u),
+        |c AS (SELECT (SELECT count(*) FROM r1) AS n1,
+        |  (SELECT count(*) FROM r2) AS n2, (SELECT count(*) FROM r3) AS n3)
+        |SELECT step_idx, step, n_users, conversion FROM (
+        | SELECT 1 AS step_idx, 'view' AS step, n1::BIGINT AS n_users,
+        |   1.0 AS conversion FROM c
+        | UNION ALL SELECT 2, 'click', n2::BIGINT,
+        |   CASE WHEN n1 = 0 THEN 0.0 ELSE n2::DOUBLE / n1 END FROM c
+        | UNION ALL SELECT 3, 'purchase', n3::BIGINT,
+        |   CASE WHEN n2 = 0 THEN 0.0 ELSE n3::DOUBLE / n2 END FROM c) z
+        |ORDER BY step_idx""".stripMargin,
+
+    // sequence patterns: the same two-lag window; (count desc, pattern)
+    // is a total order so both engines cut the same top-20
+    "q154_sequence_patterns" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS i,
+        |    event_type AS s FROM events),
+        |p AS (SELECT LAG(s, 2) OVER w AS a, LAG(s, 1) OVER w AS b, s AS c
+        |  FROM e WINDOW w AS (PARTITION BY u ORDER BY t, i))
+        |SELECT a || ' > ' || b || ' > ' || c AS pattern,
+        |  count(*)::BIGINT AS n
+        |FROM p WHERE a IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, pattern LIMIT 20""".stripMargin,
+
+    // source overlap: distinct (source, shingle) sets, shared counts and
+    // the exact-int overlap coefficient
+    "q155_source_overlap" -> {
+      s"""WITH sh AS (SELECT DISTINCT source AS s,
+         |    unnest(${bigrams(toks("text"))}) AS g FROM documents),
+         |sz AS (SELECT s, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+         |pr AS (SELECT a.s AS source1, b.s AS source2,
+         |    count(*)::BIGINT AS n_shared
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.s < b.s GROUP BY 1, 2)
+         |SELECT pr.source1, pr.source2, pr.n_shared,
+         |  (pr.n_shared::DOUBLE / least(z1.n, z2.n))::REAL AS overlap
+         |FROM pr JOIN sz z1 ON pr.source1 = z1.s
+         |JOIN sz z2 ON pr.source2 = z2.s
+         |ORDER BY source1, source2""".stripMargin
+    },
+
     // aHash: the planted-pixel closed form (every pixel byte at file
     // offset m is (id·31+m) mod 256 — the q67 fixture), exact-integer
     // mean threshold, file-order bit index

@@ -1674,6 +1674,33 @@ object Queries {
           minPairSupport = 3L, maxBasketSize = 20)
         .orderBy("antecedent", "consequent")),
 
+    // conversion-window funnel: the q137 cascade with each step bounded
+    // to 1 day after the previous step's match
+    "q153_funnel_windowed" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .funnel(e, "user_id", "tus", "event_type",
+          Seq("view", "click", "purchase"), maxGapUs = Some(86400000000L))
+        .orderBy("step_idx")
+    }),
+
+    // sequential patterns: top event-type trigrams over per-user ordered
+    // streams — two lags of window state, keyed count, top-k heap
+    "q154_sequence_patterns" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .sequencePatterns(e, "user_id", "tus", "event_type", "event_id",
+          n = 3, topK = 20)
+    }),
+
+    // cross-source overlap matrix: distinct (source, shingle) rows, pair
+    // join bounded by #sources² per shingle, sizes broadcast
+    "q155_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(docs(s, dir), "source", "text", n = 2)
+        .select(col("source1"), col("source2"), col("n_shared"),
+          col("overlap").cast("float").as("overlap"))
+        .orderBy("source1", "source2")),
+
     // perceptual image hash: REAL header-parsed BMP decode → exact-int
     // mean-threshold bits (no float mean), partition-preserving map
     "q151_image_ahash" -> ((s, dir) => {

@@ -25,6 +25,10 @@ object Events {
     * step k if they have an sk event at-or-after their earliest
     * order-respecting match of step k−1 (the standard "unbounded window"
     * funnel; earliest-match semantics make the cascade deterministic).
+    * With `maxGapUs` set, each step must additionally land within that
+    * many µs of the previous step's match — the "conversion window"
+    * variant every product-analytics funnel offers (a purchase a year
+    * after the click is not attribution).
     *
     * Returns one row per step: (step_idx 1-based, step, n_users,
     * conversion = n_users / step-1 users, as double).
@@ -34,10 +38,12 @@ object Events {
       userCol: String,
       tsCol: String,
       typeCol: String,
-      steps: Seq[String]
+      steps: Seq[String],
+      maxGapUs: Option[Long] = None
   ): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    require(maxGapUs.forall(_ > 0), s"maxGapUs must be positive: $maxGapUs")
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -56,9 +62,14 @@ object Events {
       .groupBy("__u").agg(min(col("__ts")).as("__t")))
     val counts = scala.collection.mutable.ArrayBuffer[Long](reach.count())
     for (k <- 1 until steps.length) {
+      val gapOk = maxGapUs match {
+        case Some(g) => col("__ts") >= col("__prev") &&
+          col("__ts") <= col("__prev") + lit(g)
+        case None => col("__ts") >= col("__prev")
+      }
       reach = mat(ev.filter(col("__e") === steps(k))
         .join(reach.select(col("__u"), col("__t").as("__prev")), Seq("__u"))
-        .filter(col("__ts") >= col("__prev"))
+        .filter(gapOk)
         .groupBy("__u").agg(min(col("__ts")).as("__t")))
       counts += reach.count()
     }
@@ -166,6 +177,44 @@ object Events {
     withMed.crossJoin(broadcast(mad))
       .select(col("period"), col("n"), col("med"), col("mad"),
         (abs(col("n") - col("med")) > lit(k) * col("mad")).as("is_anomaly"))
+  }
+
+  /** Sequential pattern counts: the corpus-wide frequency of every
+    * length-`n` consecutive event-type sequence within a user's ordered
+    * stream ("view > view > purchase") — the flat-pattern core of
+    * sequence mining, enough for next-event models and UX-path audits.
+    *
+    * Scale shape: one window per user carrying n−1 lagged values (bounded
+    * per-partition state), then a keyed count with map-side combine and a
+    * TakeOrdered top-k (per-partition heaps, no global sort). Ordering is
+    * total via `tiebreakCol`, so counts are layout-independent.
+    */
+  def sequencePatterns(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      tiebreakCol: String,
+      n: Int,
+      topK: Int
+  ): DataFrame = {
+    require(n >= 2, s"pattern length must be >= 2, got $n")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val seq = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    // lag(n−1) is the oldest element; render oldest → newest
+    val parts = (n - 1).to(1, -1)
+      .map(j => lag(col(typeCol), j).over(seq)) :+ col(typeCol)
+    df.select(col(userCol), col(tsCol), col(tiebreakCol), col(typeCol))
+      .withColumn("pattern", concat_ws(" > ", parts: _*))
+      // lag null (stream head) drops the row: concat_ws skips nulls, so
+      // guard on the oldest lag explicitly
+      .withColumn("__oldest", lag(col(typeCol), n - 1).over(seq))
+      .filter(col("__oldest").isNotNull)
+      .groupBy("pattern")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pattern").asc)
+      .limit(topK)
   }
 
   /** CUSUM changepoint detection over the event-rate series: bucket

@@ -528,6 +528,42 @@ object Dedup {
         col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Cross-source overlap matrix: for every pair of sources, the count of
+    * DISTINCT n-gram shingles they share and the overlap coefficient
+    * |A∩B| / min(|A|, |B|) — the corpus-quality diagnostic that surfaces
+    * mirrored crawls, syndicated feeds, and benchmark bleed between
+    * ingestion sources before any per-document dedup runs.
+    *
+    * Scale shape: ONE shingle pass collapsed to distinct (source,
+    * shingle) rows (the per-shingle join fan-out is bounded by #sources²,
+    * not doc-frequency² — source granularity IS the valve); the staged
+    * shingle-set table feeds the per-source sizes and both sides of the
+    * pair join; per-source sizes broadcast (the source dimension is
+    * small by construction). Overlap is a single exact-int division.
+    */
+  def sourceOverlap(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      n: Int = 2
+  ): DataFrame = {
+    val s = shingleSets(df, sourceCol, textCol, n).distinct().staged
+    val sizes = s.groupBy(col("id")).agg(count(lit(1)).as("__nsh"))
+    val shared = s.select(col("id").as("source1"), col("shingle"))
+      .join(s.select(col("id").as("source2"), col("shingle")), Seq("shingle"))
+      .filter(col("source1") < col("source2"))
+      .groupBy("source1", "source2")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("id").as("source1"), col("__nsh").as("__n1"))),
+        Seq("source1"))
+      .join(broadcast(sizes.select(col("id").as("source2"), col("__nsh").as("__n2"))),
+        Seq("source2"))
+      .select(col("source1"), col("source2"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("__n1"), col("__n2")))
+          .as("overlap"))
+  }
+
   /** Default SimHash width: bit k of the signature is the sign of
     * Σ_tokens (±1 by bit k of the token hash). 16 bits keeps the signature
     * arithmetic oracle-friendly; [[simhashPairs]] at corpus scale should use

@@ -73,8 +73,63 @@ class EventsSpec extends SparkTestBase {
     }
   }
 
+  test("windowed funnel: steps outside the gap don't convert") {
+    // A converts within gap; B's click comes 100 ticks after the view
+    // (gap 10 → no), C's purchase is late but click is in time
+    val d = ev(
+      (1L, 0L, "view"), (1L, 5L, "click"), (1L, 9L, "purchase"),
+      (2L, 0L, "view"), (2L, 100L, "click"),
+      (3L, 0L, "view"), (3L, 8L, "click"), (3L, 200L, "purchase"))
+    val out = Events.funnel(d, "u", "t", "e",
+      Seq("view", "click", "purchase"), maxGapUs = Some(10L))
+      .orderBy("step_idx").collect()
+    assert(out.map(_.getAs[Long]("n_users")).toSeq === Seq(3L, 2L, 1L))
+    // unbounded funnel would convert everyone
+    val unbounded = Events.funnel(d, "u", "t", "e",
+      Seq("view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+    assert(unbounded.map(_.getAs[Long]("n_users")).toSeq === Seq(3L, 3L, 2L))
+  }
+
+  test("windowed funnel: gap applies to the EARLIEST in-window match, per step") {
+    // view at 0; clicks at 50 (out of gap 10) — never reaches step 2 even
+    // though a later view at 45 would have put the click in range: the
+    // cascade anchors at the EARLIEST step-1 time (deterministic funnel)
+    val d = ev((1L, 0L, "view"), (1L, 45L, "view"), (1L, 50L, "click"))
+    val out = Events.funnel(d, "u", "t", "e", Seq("view", "click"),
+      maxGapUs = Some(10L)).orderBy("step_idx").collect()
+    assert(out.map(_.getAs[Long]("n_users")).toSeq === Seq(1L, 0L))
+  }
+
   private def evId(rows: (Long, Long, Long, String)*) =
     rows.toDF("u", "t", "i", "e")
+
+  test("sequencePatterns: trigram counts across users, top-k total order") {
+    // user1: a,b,c,b,c → "a > b > c", "b > c > b", "c > b > c"
+    // user2: a,b,c     → "a > b > c"
+    val d = evId(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"),
+      (1L, 4L, 4L, "b"), (1L, 5L, 5L, "c"),
+      (2L, 1L, 6L, "a"), (2L, 2L, 7L, "b"), (2L, 3L, 8L, "c"))
+    val out = Events.sequencePatterns(d, "u", "t", "e", "i", n = 3, topK = 10)
+      .collect().map(r => r.getAs[String]("pattern") -> r.getAs[Long]("n"))
+    assert(out.head === ("a > b > c", 2L))
+    assert(out.toMap === Map("a > b > c" -> 2L, "b > c > b" -> 1L, "c > b > c" -> 1L))
+    // top-k cuts deterministically on (count desc, pattern asc)
+    val top1 = Events.sequencePatterns(d, "u", "t", "e", "i", n = 3, topK = 1)
+      .collect().map(_.getAs[String]("pattern"))
+    assert(top1.toSeq === Seq("a > b > c"))
+  }
+
+  test("sequencePatterns: sequences never cross users; short streams drop") {
+    val d = evId((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (2L, 3L, 3L, "c"))
+    val out = Events.sequencePatterns(d, "u", "t", "e", "i", n = 2, topK = 10)
+      .collect().map(r => r.getAs[String]("pattern") -> r.getAs[Long]("n"))
+    assert(out.toMap === Map("a > b" -> 1L)) // no "b > c" across the user break
+    intercept[IllegalArgumentException] {
+      Events.sequencePatterns(d, "u", "t", "e", "i", n = 1, topK = 5)
+    }
+  }
 
   test("transitions: per-user pair counts, tiebreak total order, row-normalized probs") {
     // user 1: a→b→a (pairs a→b, b→a); user 2: a→b; user 3: single event

@@ -373,6 +373,21 @@ class PipelineSpec extends SparkTestBase {
     assert(got.contains((1L, 5L, 0))) // the exact-dup expansion path
   }
 
+  test("sourceOverlap: shared distinct shingles and the overlap coefficient") {
+    import spark.implicits._
+    // srcA: {a b, b c}; srcB: {a b, b d} (two docs, dup shingle counts
+    // once); srcC: {x y} disjoint
+    val d = Seq(
+      ("A", "a b c"), ("B", "a b"), ("B", "b d"), ("B", "a b"), ("C", "x y"))
+      .toDF("source", "text")
+    val out = Dedup.sourceOverlap(d, "source", "text")
+      .orderBy("source1", "source2").collect()
+      .map(r => (r.getAs[String]("source1"), r.getAs[String]("source2"),
+        r.getAs[Long]("n_shared"), r.getAs[Double]("overlap")))
+    // only A-B share anything: {a b} of sizes |A|=2, |B|=2 → 1/2
+    assert(out.toSeq === Seq(("A", "B", 1L, 0.5)))
+  }
+
   test("WAV decode: chunk walk skips unknown/odd chunks, samples signed LE") {
     val id = 9L
     val base = Multimodal.syntheticWav(id, nSamples = 64)
