@@ -69,6 +69,28 @@ object ProfRound6 {
       Seq("row", "column", "sort"))))
     time("percentile_rank")(noop(Features.percentileRank(
       li.select("l_orderkey", "l_linenumber", "l_quantity"), "l_quantity")))
+    time("funnel_windowed")(noop(
+      Events.funnel(ev, "user_id", "tus", "event_type",
+        Seq("view", "click", "purchase"), maxGapUs = Some(86400000000L))))
+    time("sequence_patterns")(noop(
+      Events.sequencePatterns(ev, "user_id", "tus", "event_type", "event_id", 3, 20)))
+    time("source_overlap")(noop(
+      graft.pipeline.Dedup.sourceOverlap(docs, "source", "text", n = 2)))
+    time("image_ahash") {
+      import spark.implicits._
+      val ids = docs.select(col("doc_id").cast("long")).as[Long]
+      noop(graft.pipeline.Multimodal.bmpAHashes(ids.map(id =>
+        graft.pipeline.Multimodal.BinaryDoc(id,
+          graft.pipeline.Multimodal.syntheticBmp(id), "image/bmp", 0))).toDF())
+    }
+    time("image_neardup") {
+      import spark.implicits._
+      val ids = docs.select(col("doc_id").cast("long")).as[Long]
+      val hashes = graft.pipeline.Multimodal.bmpAHashes(ids.map(id =>
+        graft.pipeline.Multimodal.BinaryDoc(id,
+          graft.pipeline.Multimodal.syntheticBmp(id), "image/bmp", 0))).toDF()
+      noop(graft.pipeline.Dedup.hammingPairs(hashes, "doc_id", "ahash", 20, 3))
+    }
     time("pagerank") {
       val dom = TextOps.extractUrls(docs.select(col("doc_id"),
         concat(col("text"), lit(" https://site"), (col("doc_id") % 7).cast("string"),

@@ -368,4 +368,67 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
     assert(streamed.nonEmpty && streamed.size < rows.size) // filter really ran
   }
+
+  test("Count-Min sketch accumulates across micro-batches (mergeable state)") {
+    // the sketch's elementwise-add merge is exactly what streaming state
+    // needs: complete-mode estimates over two batches equal one batch of
+    // the union
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.CountMinAgg
+    val input = MemoryStream[String]
+    val agg = input.toDF().toDF("t")
+      .agg(CountMinAgg(col("t"), Seq("a", "b", "z"), 4, 64).as("e"))
+    val q = agg.writeStream.format("memory").queryName("cms")
+      .outputMode("complete").start()
+    input.addData(Seq.fill(5)("a") ++ Seq.fill(2)("b"): _*)
+    q.processAllAvailable()
+    input.addData(Seq.fill(3)("a") :+ "b": _*)
+    q.processAllAvailable()
+    val ests = spark.table("cms").collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(ests === Map("a" -> 8L, "b" -> 3L, "z" -> 0L))
+  }
+
+  test("quantile sketch on a stream: complete-mode equals batch quantile_cont") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.QuantileSketchAgg
+    val input = MemoryStream[Double]
+    val agg = input.toDF().toDF("x")
+      .agg(QuantileSketchAgg(col("x"), Seq(0.5), 64).as("q"))
+    val q = agg.writeStream.format("memory").queryName("qsk")
+      .outputMode("complete").start()
+    input.addData(1.0, 2.0, 3.0); q.processAllAvailable()
+    input.addData(4.0); q.processAllAvailable()
+    val med = spark.table("qsk").collect().head.getSeq[Double](0).head
+    q.stop()
+    assert(med === 2.5) // quantile_cont(0.5) of 1,2,3,4
+  }
+
+  test("decay scores run per micro-batch via foreachBatch, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Features
+    val input = MemoryStream[(Long, Long)]
+    val collected = scala.collection.mutable.Map[Long, Double]()
+    val q = input.toDF().toDF("u", "t").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Features.decayScores(batch, "u", "t", halfLifeUs = 10L,
+          tRefUs = Some(20L))
+          .collect()
+          .foreach(r => collected.synchronized {
+            collected(r.getAs[Long]("u")) =
+              collected.getOrElse(r.getAs[Long]("u"), 0.0) +
+                r.getAs[Double]("score")
+          })
+        ()
+      }
+      .start()
+    input.addData((1L, 20L), (1L, 10L)); q.processAllAvailable()
+    input.addData((1L, 0L), (2L, 10L)); q.processAllAvailable()
+    q.stop()
+    // the pinned reference makes per-batch scores ADDITIVE, so the merged
+    // map equals the batch run over all events
+    assert(math.abs(collected(1L) - (1.0 + 0.5 + 0.25)) < 1e-12)
+    assert(math.abs(collected(2L) - 0.5) < 1e-12)
+  }
 }
