@@ -2354,6 +2354,45 @@ object OracleSql {
         |FROM g, (VALUES (0), (1), (2), (3)) p(pos)
         |ORDER BY l_returnflag, pos""".stripMargin,
 
+    // snapshot diff: same planted delta, same fingerprint classification
+    "q157_snapshot_diff" ->
+      """WITH oldc AS (SELECT doc_id AS id, md5(text) AS fp FROM documents),
+        |newc AS (SELECT doc_id AS id,
+        |    md5(CASE WHEN doc_id % 89 = 0 THEN text || ' EDITED'
+        |      ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id, md5(text) AS fp FROM documents
+        |  WHERE doc_id % 101 = 0)
+        |SELECT CASE WHEN o.fp IS NULL THEN 'added'
+        |    WHEN n.fp IS NULL THEN 'removed'
+        |    WHEN o.fp = n.fp THEN 'unchanged' ELSE 'changed' END AS status,
+        |  count(*)::BIGINT AS n_docs
+        |FROM oldc o FULL OUTER JOIN newc n ON o.id = n.id
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // KMV: the estimator is the same one-line formula over the same md5
+    // hashes — pinned in BOTH the exact and approximation regimes
+    "q156_kmv_distinct" -> {
+      def side(unnestExpr: String) =
+        s"""(SELECT hv FROM (SELECT DISTINCT ${hash32("v")} AS hv
+           |  FROM (SELECT unnest($unnestExpr) AS v FROM tk) z)
+           | ORDER BY hv LIMIT 64)""".stripMargin
+      s"""WITH tk AS (SELECT ${toks("text")} AS t FROM documents),
+         |ts AS (SELECT count(*)::INT AS n_kept, max(hv)::BIGINT AS kth
+         |  FROM ${side("t")} q),
+         |bs AS (SELECT count(*)::INT AS n_kept, max(hv)::BIGINT AS kth
+         |  FROM ${side(bigrams("t"))} q)
+         |SELECT granularity,
+         |  (CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+         |    ELSE (64 - 1)::DOUBLE / (kth::DOUBLE / 4294967296.0)
+         |  END)::REAL AS estimate,
+         |  n_kept, kth AS kth_hash, (n_kept < 64) AS exact
+         |FROM (SELECT 'token' AS granularity, n_kept, kth FROM ts
+         |  UNION ALL SELECT 'bigram', n_kept, kth FROM bs) u
+         |ORDER BY granularity""".stripMargin
+    },
+
     // windowed funnel: q137's cascade with the 1-day gap bound on each
     // step join — exact-int times, exact-int conversion ratios
     "q153_funnel_windowed" ->

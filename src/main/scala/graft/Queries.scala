@@ -1674,6 +1674,41 @@ object Queries {
           minPairSupport = 3L, maxBasketSize = 20)
         .orderBy("antecedent", "consequent")),
 
+    // snapshot diff: the "new crawl" drops ids ≡ 0 (mod 97), rewrites
+    // ids ≡ 0 (mod 89), and adds shifted copies — one fingerprint
+    // projection per side, one id-keyed full outer join
+    "q157_snapshot_diff" -> ((s, dir) => {
+      val old = docs(s, dir)
+      val newer = old
+        .filter(col("doc_id") % 97 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 89 === 0, concat(col("text"), lit(" EDITED")))
+            .otherwise(col("text")))
+        .unionAll(old.filter(col("doc_id") % 101 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      Dedup.snapshotDiff(old, newer, "doc_id", "text")
+        .orderBy("status")
+    }),
+
+    // KMV distinct sketch: token level is the exact regime (31 < k);
+    // bigram level is the APPROXIMATION regime and still oracle-pinned —
+    // the (k−1)/kth-minimum estimator is the same one-liner in DuckDB
+    "q156_kmv_distinct" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tok = d.agg(graft.functions.KmvAgg(
+        TextOps.tokens(col("text")), 64).as("s"))
+        .select(lit("token").as("granularity"), col("s.*"))
+      val bg = d.select(TextOps.tokens(col("text")).as("__t"))
+        .select(TextOps.wordShingles(col("__t"), 2).as("bgs"))
+        .agg(graft.functions.KmvAgg(col("bgs"), 64).as("s"))
+        .select(lit("bigram").as("granularity"), col("s.*"))
+      tok.unionAll(bg)
+        .select(col("granularity"), col("estimate").cast("float").as("estimate"),
+          col("n_kept"), col("kth_hash"), col("exact"))
+        .orderBy("granularity")
+    }),
+
     // conversion-window funnel: the q137 cascade with each step bounded
     // to 1 day after the previous step's match
     "q153_funnel_windowed" -> ((s, dir) => {

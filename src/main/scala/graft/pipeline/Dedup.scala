@@ -528,6 +528,36 @@ object Dedup {
         col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Corpus snapshot diff: classify every document id across two corpus
+    * versions as added / removed / changed / unchanged by comparing
+    * content fingerprints — the audit step between ingestion runs ("what
+    * did yesterday's crawl actually change?") that catches silent
+    * re-crawl churn before it pollutes dedup statistics.
+    *
+    * Scale shape: one narrow (id, md5) projection per side, ONE full
+    * outer join keyed on the id, then a keyed count — no content ever
+    * shuffles (the fingerprint is computed inside each scan projection).
+    * Returns (status, n_docs), statuses in fixed order added / changed /
+    * removed / unchanged (absent statuses have no row).
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    def fp(df: DataFrame, name: String) = df.select(
+      col(idCol).as("__id"), md5(col(textCol)).as(name))
+    fp(oldDf, "__fpo").join(fp(newDf, "__fpn"), Seq("__id"), "full_outer")
+      .select(
+        when(col("__fpo").isNull, "added")
+          .when(col("__fpn").isNull, "removed")
+          .when(col("__fpo") === col("__fpn"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Cross-source overlap matrix: for every pair of sources, the count of
     * DISTINCT n-gram shingles they share and the overlap coefficient
     * |A∩B| / min(|A|, |B|) — the corpus-quality diagnostic that surfaces

@@ -373,6 +373,20 @@ class PipelineSpec extends SparkTestBase {
     assert(got.contains((1L, 5L, 0))) // the exact-dup expansion path
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged from fingerprints") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newer = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(old, newer, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("added" -> 1L, "removed" -> 1L,
+      "changed" -> 1L, "unchanged" -> 1L))
+    // identical snapshots: everything unchanged, no other statuses
+    val same = Dedup.snapshotDiff(old, old, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(same === Map("unchanged" -> 3L))
+  }
+
   test("sourceOverlap: shared distinct shingles and the overlap coefficient") {
     import spark.implicits._
     // srcA: {a b, b c}; srcB: {a b, b d} (two docs, dup shingle counts
