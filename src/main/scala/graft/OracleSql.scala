@@ -2354,6 +2354,18 @@ object OracleSql {
         |FROM g, (VALUES (0), (1), (2), (3)) p(pos)
         |ORDER BY l_returnflag, pos""".stripMargin,
 
+    // priority sample: the same salted-hash uniform and log-key formula;
+    // the k-cut is on well-separated continuous keys (id tiebreak)
+    "q158_priority_sample" -> {
+      val u = s"((${hash32("'ps' || doc_id::VARCHAR")}) + 1)::DOUBLE / 4294967296.0"
+      s"""SELECT doc_id, n_chars, prio FROM (
+         |  SELECT doc_id, n_chars,
+         |    (ln($u) / n_chars::DOUBLE)::REAL AS prio
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+         |  ORDER BY ln($u) / n_chars::DOUBLE DESC, doc_id LIMIT 200) z
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // snapshot diff: same planted delta, same fingerprint classification
     "q157_snapshot_diff" ->
       """WITH oldc AS (SELECT doc_id AS id, md5(text) AS fp FROM documents),

@@ -1674,6 +1674,16 @@ object Queries {
           minPairSupport = 3L, maxBasketSize = 20)
         .orderBy("antecedent", "consequent")),
 
+    // fixed-size weighted sample (ES priority keys): exactly k rows,
+    // length-proportional, TakeOrdered heaps — no global sort
+    "q158_priority_sample" -> ((s, dir) =>
+      graft.sources.ScaleOps
+        .prioritySample(docs(s, dir), "doc_id",
+          col("n_chars").cast("double"), k = 200, salt = "ps")
+        .select(col("doc_id"), col("n_chars"),
+          col("__prio").cast("float").as("prio"))
+        .orderBy("doc_id")),
+
     // snapshot diff: the "new crawl" drops ids ≡ 0 (mod 97), rewrites
     // ids ≡ 0 (mod 89), and adds shifted copies — one fingerprint
     // projection per side, one id-keyed full outer join

@@ -172,6 +172,37 @@ object ScaleOps {
     df.filter(u < weight)
   }
 
+  /** Fixed-size weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): each row gets priority key log(u)/w with u a
+    * deterministic md5-derived uniform in (0,1]; the k LARGEST keys are
+    * exactly a w-proportional without-replacement draw. The log form of
+    * the classic u^(1/w) key — same ordering, cheaper, and numerically
+    * tame for tiny weights.
+    *
+    * Complements [[weightedSample]] (Bernoulli, rate-based, output size
+    * only in expectation): this one returns EXACTLY k rows. Scale shape:
+    * a narrow key projection + `TakeOrderedAndProject` (per-partition
+    * heaps of k, no global sort); determinism from the salted hash and
+    * the id tiebreak. Rows with weight ≤ 0 or null are excluded.
+    */
+  def prioritySample(
+      df: DataFrame,
+      keyCol: String,
+      weight: Column,
+      k: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // (h+1)/2^32 ∈ (0, 1]: log never sees 0
+    val u = (graft.pipeline.TextOps
+      .hash32(concat(lit(salt), col(keyCol).cast("string"))) + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("__prio", log(u) / weight)
+      .orderBy(col("__prio").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Deterministic domain-mixture construction ("data mixing"): subsample
     * so the output follows the target per-domain `shares` exactly, sized to
     * the largest total the inventory supports — n_out = ⌊min_d(n_d /

@@ -310,4 +310,36 @@ class ScaleOpsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("not found"))
   }
+
+  test("prioritySample: exactly k rows, deterministic, weight-responsive") {
+    import spark.implicits._
+    val d = (1L to 500L).map(i => (i, if (i == 7L) 1e9 else 1.0))
+      .toDF("id", "w")
+    val s1 = ScaleOps.prioritySample(d, "id", col("w"), k = 50, salt = "t")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1.size === 50)
+    // the overwhelming weight is (deterministically) selected
+    assert(s1.contains(7L))
+    // layout invariance: same sample from a different partitioning
+    val s2 = ScaleOps.prioritySample(d.repartition(13), "id", col("w"), 50, "t")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s2 === s1)
+    // a different salt draws a different sample (same size)
+    val s3 = ScaleOps.prioritySample(d, "id", col("w"), 50, "other")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s3.size === 50)
+    assert(s3 != s1)
+  }
+
+  test("prioritySample: null/zero weights excluded; k over n returns all eligible") {
+    import spark.implicits._
+    val d = Seq((1L, Some(2.0)), (2L, None), (3L, Some(0.0)), (4L, Some(1.0)))
+      .toDF("id", "w")
+    val out = ScaleOps.prioritySample(d, "id", col("w"), k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 4L))
+    intercept[IllegalArgumentException] {
+      ScaleOps.prioritySample(d, "id", col("w"), k = 0)
+    }
+  }
 }
