@@ -4,8 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.binsreg.Dbbinsreg
-import graft.operators.{AsOf, RangeJoin}
-import graft.pipeline.{Dedup, Similarity, TextOps}
+import graft.operators.{AsOf, Baskets, Events, Features, Graphs, RangeJoin}
+import graft.pipeline.{Dedup, Dsir, Phrase, Similarity, TextOps}
 import graft.reg.{Dbreg, Glm}
 import graft.sources.ScaleOps
 
@@ -118,5 +118,39 @@ class EmptyInputSpec extends SparkTestBase {
     // per-group shape has no global moment row to refuse on
     assert(Dbreg.fitGrouped("y ~ x", emptyPanel, "g").count() === 0L)
     assert(Glm.fitGrouped("y ~ x", emptyPanel, "g", maxIter = 2).count() === 0L)
+  }
+
+  test("round-6 event/graph/corpus operators handle empty inputs") {
+    val ev = Seq.empty[(Long, Long, Long, String)].toDF("u", "t", "i", "e")
+    assert(Events.transitions(ev, "u", "t", "e", "i").count() === 0L)
+    assert(Events.anomalousPeriods(ev, "t", 10L).count() === 0L)
+    assert(Events.cusumShifts(ev, "t", 10L).count() === 0L)
+    assert(Events.rollingActivity(ev, "e", "t", 10L, 3).count() === 0L)
+    assert(Events.sequencePatterns(ev, "u", "t", "e", "i", 3, 5).count() === 0L)
+    assert(Features.decayScores(ev, "u", "t", 10L).count() === 0L)
+    // empty funnel: zero users at every step, conversions well-defined
+    val f = Events.funnel(ev, "u", "t", "e", Seq("a", "b"),
+      maxGapUs = Some(5L)).orderBy("step_idx").collect()
+    assert(f.map(_.getAs[Long]("n_users")).toSeq === Seq(0L, 0L))
+    assert(f.map(_.getAs[Double]("conversion")).toSeq === Seq(1.0, 0.0))
+    val bk = Seq.empty[(Long, String)].toDF("bk", "it")
+    assert(Baskets.associationRules(bk, "bk", "it").count() === 0L)
+    val edges = Seq.empty[(String, String)].toDF("s", "d")
+    assert(Graphs.pageRank(edges, "s", "d", iters = 2).count() === 0L)
+    val d = emptyDocs
+    assert(Dsir.importanceScoresFlagged(d, "doc_id", "text", lit(true))
+      .count() === 0L)
+    assert(Phrase.phraseSearch(d, "doc_id", "text", Seq("a", "b")).count() === 0L)
+    assert(Dedup.sourceOverlap(d.withColumn("source", lit("s")),
+      "source", "text").count() === 0L)
+    val real = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // diff vs an empty snapshot classifies everything one-sidedly
+    val gone = Dedup.snapshotDiff(real, d, "doc_id", "text").collect()
+    assert(gone.map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("removed" -> 1L))
+    assert(Features.percentileRank(d.withColumn("v", lit(1.0)), "v")
+      .count() === 0L)
+    assert(ScaleOps.prioritySample(d.withColumn("w", lit(1.0)), "doc_id",
+      col("w"), 5).count() === 0L)
   }
 }
