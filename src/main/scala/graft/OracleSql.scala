@@ -2354,6 +2354,46 @@ object OracleSql {
         |FROM g, (VALUES (0), (1), (2), (3)) p(pos)
         |ORDER BY l_returnflag, pos""".stripMargin,
 
+    // weighted quantiles: same distinct-value CDF and q·W threshold,
+    // exact integer weight sums
+    "q159_weighted_quantiles" ->
+      """WITH v AS (SELECT n_chars AS v, sum(n_chars)::BIGINT AS sw
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |  GROUP BY 1),
+        |c AS (SELECT v, sum(sw) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |    AS cum FROM v),
+        |t AS (SELECT sum(sw)::DOUBLE AS tw FROM v),
+        |q AS (SELECT unnest([0.25, 0.5, 0.9]) AS q)
+        |SELECT q.q, min(c.v)::BIGINT AS value
+        |FROM c, t, q WHERE c.cum >= q.q * t.tw
+        |GROUP BY q.q ORDER BY q""".stripMargin,
+
+    // Zipf fit: the q22 closed-form OLS algebra over the derived
+    // (log rank, log freq) vocab table; float32 pins absorb
+    // summation-order and libm log ulp
+    "q160_zipf_fit" -> {
+      s"""WITH f AS (SELECT tok, count(*)::BIGINT AS freq FROM
+         |  (SELECT unnest(${toks("text")}) AS tok FROM documents) z
+         |  GROUP BY tok),
+         |rk AS (SELECT ln(row_number() OVER (ORDER BY freq DESC, tok)
+         |    ::DOUBLE) AS x1, ln(freq::DOUBLE) AS y FROM f),
+         |m AS (SELECT count(*)::DOUBLE n, sum(x1) sx, sum(y) sy,
+         |   sum(x1*x1) sxx, sum(x1*y) sxy, sum(y*y) syy FROM rk),
+         |s AS (SELECT n, sx, sy, sxx, sxy, syy,
+         |   (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1,
+         |   sy/n - (n*sxy - sx*sy)/(n*sxx - sx*sx) * sx/n AS b0 FROM m),
+         |r AS (SELECT *, syy - 2*(b0*sy + b1*sxy)
+         |        + (b0*b0*n + 2*b0*b1*sx + b1*b1*sxx) AS rss,
+         |        n*sxx - sx*sx AS det FROM s)
+         |SELECT term, estimate::REAL AS estimate, std_error::REAL AS std_error
+         |FROM (
+         | SELECT '(Intercept)' AS term, b0 AS estimate,
+         |   sqrt(rss / (n - 2) * sxx / det) AS std_error FROM r
+         | UNION ALL
+         | SELECT 'lx', b1, sqrt(rss / (n - 2) * n / det) FROM r) z
+         |ORDER BY term""".stripMargin
+    },
+
     // priority sample: the same salted-hash uniform and log-key formula;
     // the k-cut is on well-separated continuous keys (id tiebreak)
     "q158_priority_sample" -> {

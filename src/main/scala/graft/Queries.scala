@@ -1674,6 +1674,35 @@ object Queries {
           minPairSupport = 3L, maxBasketSize = 20)
         .orderBy("antecedent", "consequent")),
 
+    // weighted quantiles from the broadcast distinct-value CDF: exact
+    // integer weight sums, no global sort (weighted median of doc length
+    // under token-ish weights)
+    "q159_weighted_quantiles" -> ((s, dir) =>
+      graft.operators.Features
+        .weightedQuantiles(docs(s, dir), "n_chars", col("n_chars"),
+          Seq(0.25, 0.5, 0.9))
+        .orderBy("q")),
+
+    // corpus ops composed with the regression engine: the Zipf exponent
+    // as an OLS fit of log(freq) ~ log(rank) over the vocab table (the
+    // fit runs the same moments kernel as q22; float32-pinned)
+    "q160_zipf_fit" -> ((s, dir) => {
+      val ranked = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        // vocab-sized window (the discrete-measure contract): rank by
+        // frequency with a total tiebreak
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("w").asc)))
+        .select(log(col("rank").cast("double")).as("lx"),
+          log(col("freq").cast("double")).as("ly"))
+      Dbreg.fit("ly ~ lx", ranked, strategy = "moments").toDF(s)
+        .select(col("term"),
+          col("estimate").cast("float").as("estimate"),
+          col("std_error").cast("float").as("std_error"))
+        .orderBy("term")
+    }),
+
     // fixed-size weighted sample (ES priority keys): exactly k rows,
     // length-proportional, TakeOrdered heaps — no global sort
     "q158_priority_sample" -> ((s, dir) =>

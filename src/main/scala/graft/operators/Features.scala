@@ -154,6 +154,48 @@ object Features {
         max(col("__t")).as("last_seen"))
   }
 
+  /** Weighted quantiles WITHOUT a global sort: the q-quantile of `v`
+    * under weights `w` — the smallest value whose cumulative weight
+    * reaches q·W (the standard left-continuous weighted quantile;
+    * weighted median = q 0.5). Row weights are counts, importance
+    * weights, or token counts — "the median document length weighted by
+    * tokens" style questions.
+    *
+    * Same shape as [[percentileRank]]: one keyed (value → Σw) aggregate,
+    * one ordered cumulative window over the DISTINCT-VALUE table only,
+    * then a threshold pick per requested q — the relation is never
+    * sorted. Discrete-measure contract (quantize continuous upstream).
+    * Exact integer/decimal weight sums ⇒ deterministic. Returns
+    * (q, value) for each requested quantile; null weights/values drop.
+    */
+  def weightedQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      weight: Column,
+      qs: Seq[Double]
+  ): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0,1]: $qs")
+    val vals = graft.Staging.stage(df
+      .select(col(valueCol).as("__v"), weight.as("__w"))
+      .filter(col("__v").isNotNull && col("__w").isNotNull && col("__w") > 0)
+      .groupBy("__v").agg(sum(col("__w")).as("__sw")))
+    val total = vals.agg(coalesce(sum(col("__sw")), lit(0.0)).as("__tw"))
+    val upTo = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cdf = vals
+      .withColumn("__cum", sum(col("__sw")).over(upTo))
+      .crossJoin(broadcast(total))
+    val qDf = df.sparkSession.createDataFrame(
+      qs.map(Tuple1.apply)).toDF("q")
+    // per q: the least value whose cumulative weight reaches q·W — a
+    // broadcast of the tiny q list against the distinct-value CDF
+    cdf.join(broadcast(qDf), col("__cum") >= col("q") * col("__tw"))
+      .groupBy("q")
+      .agg(min(col("__v")).as("value"))
+  }
+
   /** Percentile-rank transform WITHOUT a global sort: SQL
     * `percent_rank() OVER (ORDER BY v)` — (count of strictly smaller
     * values) / (n − 1) — computed from a broadcast distinct-value CDF

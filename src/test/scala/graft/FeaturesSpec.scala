@@ -83,6 +83,24 @@ class FeaturesSpec extends SparkTestBase {
     assert(math.abs(out.getAs[Double]("score") - 0.25) < 1e-12)
   }
 
+  test("weightedQuantiles: cumulative-weight threshold, weighted median") {
+    // values 1(w=1), 2(w=1), 3(w=8): W=10 → q0.5 crosses at 3 (cum 10 ≥ 5),
+    // q0.2 at 2 (cum 2 ≥ 2), q0.1 at 1
+    val d = Seq((1.0, 1L), (2.0, 1L), (3.0, 8L)).toDF("v", "w")
+    val out = Features.weightedQuantiles(d, "v", col("w"), Seq(0.1, 0.2, 0.5))
+      .orderBy("q").collect()
+      .map(r => r.getAs[Double]("q") -> r.getAs[Double]("value")).toMap
+    assert(out === Map(0.1 -> 1.0, 0.2 -> 2.0, 0.5 -> 3.0))
+    // unit weights reduce to the plain left-continuous quantile
+    val u = Seq((10.0, 1L), (20.0, 1L), (30.0, 1L), (40.0, 1L)).toDF("v", "w")
+    val med = Features.weightedQuantiles(u, "v", col("w"), Seq(0.5))
+      .collect().head.getAs[Double]("value")
+    assert(med === 20.0)
+    intercept[IllegalArgumentException] {
+      Features.weightedQuantiles(d, "v", col("w"), Seq(0.0))
+    }
+  }
+
   test("percentileRank: matches percent_rank semantics with min-rank ties") {
     // values 10,20,20,30: pr = lt/(n-1) = 0, 1/3, 1/3, 1
     val d = Seq((1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, 30.0)).toDF("id", "v")
