@@ -91,6 +91,29 @@ object ProfRound6 {
           graft.pipeline.Multimodal.syntheticBmp(id), "image/bmp", 0))).toDF()
       noop(graft.pipeline.Dedup.hammingPairs(hashes, "doc_id", "ahash", 20, 3))
     }
+    time("kmv_distinct")(noop(
+      docs.agg(graft.functions.KmvAgg(TextOps.tokens(col("text")), 64))))
+    time("snapshot_diff")(noop(
+      graft.pipeline.Dedup.snapshotDiff(docs,
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text")))
+    time("priority_sample")(noop(
+      graft.sources.ScaleOps.prioritySample(docs, "doc_id",
+        col("n_chars").cast("double"), k = 200, salt = "ps")))
+    time("weighted_quantiles")(noop(
+      Features.weightedQuantiles(docs, "n_chars", col("n_chars"),
+        Seq(0.25, 0.5, 0.9))))
+    time("zipf_fit") {
+      val ranked = docs
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("w").asc)))
+        .select(log(col("rank").cast("double")).as("lx"),
+          log(col("freq").cast("double")).as("ly"))
+      graft.reg.Dbreg.fit("ly ~ lx", ranked, strategy = "moments")
+        .toDF(spark).count()
+    }
     time("pagerank") {
       val dom = TextOps.extractUrls(docs.select(col("doc_id"),
         concat(col("text"), lit(" https://site"), (col("doc_id") % 7).cast("string"),
