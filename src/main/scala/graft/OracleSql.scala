@@ -2354,6 +2354,36 @@ object OracleSql {
         |FROM g, (VALUES (0), (1), (2), (3)) p(pos)
         |ORDER BY l_returnflag, pos""".stripMargin,
 
+    // Kaplan-Meier: same censoring, same quantization, same
+    // exp∘Σlog product with the identical null-skip zero guard
+    "q161_survival_curve" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS s
+        |  FROM events),
+        |st AS (SELECT u, min(t) AS t0 FROM e WHERE s = 'view' GROUP BY u),
+        |en AS (SELECT e.u, min(e.t) AS t1 FROM e JOIN st
+        |  ON e.u = st.u AND e.t >= st.t0 WHERE s = 'purchase' GROUP BY e.u),
+        |mx AS (SELECT max(t) AS tmax FROM e),
+        |dur AS (SELECT (CASE WHEN t1 IS NOT NULL THEN t1 - t0
+        |    ELSE tmax - t0 END) // 86400000000 AS t,
+        |    (t1 IS NOT NULL) AS conv
+        |  FROM st LEFT JOIN en ON st.u = en.u CROSS JOIN mx),
+        |c AS (SELECT t, count(*) AS n_all,
+        |    sum(CASE WHEN conv THEN 1 ELSE 0 END)::BIGINT AS n_events
+        |  FROM dur GROUP BY t),
+        |r AS (SELECT t, n_events,
+        |    sum(n_all) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+        |      ::BIGINT AS n_risk FROM c),
+        |f AS (SELECT t, n_events, n_risk,
+        |    1.0 - n_events::DOUBLE / n_risk AS factor
+        |  FROM r WHERE n_events > 0),
+        |z AS (SELECT t, n_events, n_risk,
+        |    max(CASE WHEN factor <= 0.0 THEN 1 ELSE 0 END) OVER w AS zero,
+        |    sum(CASE WHEN factor > 0.0 THEN ln(factor) END) OVER w AS lsum
+        |  FROM f WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING))
+        |SELECT t, n_risk, n_events,
+        |  (CASE WHEN zero = 1 THEN 0.0 ELSE exp(lsum) END)::REAL AS survival
+        |FROM z ORDER BY t""".stripMargin,
+
     // weighted quantiles: same distinct-value CDF and q·W threshold,
     // exact integer weight sums
     "q159_weighted_quantiles" ->

@@ -1674,6 +1674,19 @@ object Queries {
           minPairSupport = 3L, maxBasketSize = 20)
         .orderBy("antecedent", "consequent")),
 
+    // Kaplan-Meier conversion-latency curve (view → purchase, daily
+    // buckets): right-censored at observation end, at-risk via a
+    // descending cumulative sum, product via exp∘Σlog
+    "q161_survival_curve" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .survivalCurve(e, "user_id", "tus", "event_type",
+          "view", "purchase", quantizeUs = 86400000000L)
+        .select(col("t"), col("n_risk"), col("n_events"),
+          col("survival").cast("float").as("survival"))
+        .orderBy("t")
+    }),
+
     // weighted quantiles from the broadcast distinct-value CDF: exact
     // integer weight sums, no global sort (weighted median of doc length
     // under token-ish weights)

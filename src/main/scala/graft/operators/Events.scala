@@ -179,6 +179,77 @@ object Events {
         (abs(col("n") - col("med")) > lit(k) * col("mad")).as("is_anomaly"))
   }
 
+  /** Kaplan-Meier survival curve for conversion latency: time from a
+    * user's first `startEvent` to their first subsequent `endEvent`,
+    * right-censored at the end of observation (the corpus max time) for
+    * users who never convert — the estimator that answers "how long does
+    * conversion take" WITHOUT the survivorship bias of averaging only
+    * completed conversions.
+    *
+    *   S(t_i) = Π_{j ≤ i} (1 − d_j / n_j)
+    *
+    * (d = conversions at t, n = at-risk = subjects with duration ≥ t.)
+    *
+    * Durations are quantized to `quantizeUs` buckets — the discrete-
+    * measure contract: the curve table is bounded by the time span over
+    * the quantum, not by users. Scale shape: two user-keyed min-aggs
+    * (start, conditional end — the funnel join shape), one keyed
+    * duration count, then two ordered windows over the QUANTIZED
+    * duration table (at-risk via a descending cumulative sum; the
+    * product via exp∘Σlog — sequential, deterministic). Returns
+    * (t, n_risk, n_events, survival), one row per bucket with ≥ 1
+    * conversion, ordered by t.
+    */
+  def survivalCurve(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      startEvent: String,
+      endEvent: String,
+      quantizeUs: Long
+  ): DataFrame = {
+    require(quantizeUs > 0, s"quantizeUs must be positive, got $quantizeUs")
+    val ev = df.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+      col(typeCol).as("__e"))
+    val starts = ev.filter(col("__e") === startEvent)
+      .groupBy("__u").agg(min(col("__ts")).as("__t0"))
+    val ends = ev.filter(col("__e") === endEvent)
+      .join(starts, Seq("__u"))
+      .filter(col("__ts") >= col("__t0"))
+      .groupBy("__u").agg(min(col("__ts")).as("__t1"))
+    val obsEnd = ev.agg(max(col("__ts")).as("__tmax"))
+    val durations = starts
+      .join(ends, Seq("__u"), "left")
+      .crossJoin(broadcast(obsEnd))
+      .select(
+        when(col("__t1").isNotNull, col("__t1") - col("__t0"))
+          .otherwise(col("__tmax") - col("__t0")).as("__dur"),
+        col("__t1").isNotNull.as("__conv"))
+      .select(expr(s"__dur DIV ${quantizeUs}L").as("t"), col("__conv"))
+    val counts = durations.groupBy("t").agg(
+      count(lit(1)).as("__n_all"),
+      sum(when(col("__conv"), 1L).otherwise(0L)).as("n_events"))
+    val fromAbove = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val asc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("n_risk", sum(col("__n_all")).over(fromAbove))
+      .filter(col("n_events") > 0)
+      .withColumn("__factor",
+        lit(1.0) - col("n_events").cast("double") / col("n_risk"))
+      // a bucket where EVERYONE at risk converts zeroes the curve from
+      // there on — flag it instead of feeding ln(0) (Spark log(0) is
+      // null and would silently DROP the factor from the sum)
+      .withColumn("__zero",
+        max(when(col("__factor") <= 0.0, 1).otherwise(0)).over(asc))
+      .withColumn("survival",
+        when(col("__zero") === 1, lit(0.0))
+          .otherwise(exp(sum(log(col("__factor"))).over(asc))))
+      .select(col("t"), col("n_risk"), col("n_events"), col("survival"))
+  }
+
   /** Sequential pattern counts: the corpus-wide frequency of every
     * length-`n` consecutive event-type sequence within a user's ordered
     * stream ("view > view > purchase") — the flat-pattern core of

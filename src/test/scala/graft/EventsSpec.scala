@@ -216,6 +216,41 @@ class EventsSpec extends SparkTestBase {
     assert(!out.exists(_.getAs[Boolean]("is_shift")))
   }
 
+  test("survivalCurve: hand-computed KM with censoring, buckets, and at-risk sets") {
+    // quantize 10; A converts dur 5 (b0), B dur 25 (b2), E dur 0 censored
+    // (b0), D dur 10 censored (b1), C dur 30 censored (b3); tmax = 40.
+    // Event buckets: b0 (n=5, d=1 → 0.8), b2 (n=2, d=1 → 0.8·0.5 = 0.4)
+    val d = ev(
+      (1L, 0L, "view"), (1L, 5L, "purchase"),
+      (2L, 0L, "view"), (2L, 25L, "purchase"),
+      (3L, 10L, "view"),
+      (4L, 30L, "view"),
+      (5L, 40L, "view"))
+    val out = Events.survivalCurve(d, "u", "t", "e", "view", "purchase",
+      quantizeUs = 10L).orderBy("t").collect()
+    assert(out.map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"),
+      r.getAs[Long]("n_events"))).toSeq === Seq((0L, 5L, 1L), (2L, 2L, 1L)))
+    val s = out.map(_.getAs[Double]("survival"))
+    assert(math.abs(s(0) - 0.8) < 1e-12)
+    assert(math.abs(s(1) - 0.4) < 1e-12)
+  }
+
+  test("survivalCurve: everyone-converts bucket zeroes the tail (no log(0) leak)") {
+    // both users convert in bucket 0 → factor 0 at the only event time
+    val d = ev(
+      (1L, 0L, "view"), (1L, 1L, "purchase"),
+      (2L, 0L, "view"), (2L, 2L, "purchase"))
+    val out = Events.survivalCurve(d, "u", "t", "e", "view", "purchase",
+      quantizeUs = 10L).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("survival") === 0.0)
+    // an end event BEFORE the user's first start never counts
+    val d2 = ev((1L, 5L, "view"), (1L, 2L, "purchase"), (2L, 0L, "view"))
+    val out2 = Events.survivalCurve(d2, "u", "t", "e", "view", "purchase",
+      quantizeUs = 10L).collect()
+    assert(out2.isEmpty) // nobody converts → no event buckets
+  }
+
   test("rollingActivity: trailing ROWS window over existing periods, exact ratios") {
     // type x: periods 0,1,2 with n=2,4,6 → w=2 ma: 2, 3, 5
     val d = Seq(
