@@ -2354,6 +2354,19 @@ object OracleSql {
         |FROM g, (VALUES (0), (1), (2), (3)) p(pos)
         |ORDER BY l_returnflag, pos""".stripMargin,
 
+    // rolling actives: the same bounded expansion of distinct activity
+    // to its report periods, clipped at the observed max
+    "q162_rolling_actives" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts) // 86400000000 AS p FROM events),
+        |mx AS (SELECT max(p) AS mp FROM a),
+        |w AS (SELECT unnest([1, 7]) AS win),
+        |e AS (SELECT DISTINCT u, win,
+        |    unnest(range(p, least(p + win, mp + 1))) AS period
+        |  FROM a, mx, w)
+        |SELECT win, period, count(*)::BIGINT AS n_active
+        |FROM e GROUP BY 1, 2 ORDER BY win, period""".stripMargin,
+
     // Kaplan-Meier: same censoring, same quantization, same
     // exp∘Σlog product with the identical null-skip zero guard
     "q161_survival_curve" ->

@@ -1674,6 +1674,17 @@ object Queries {
           minPairSupport = 3L, maxBasketSize = 20)
         .orderBy("antecedent", "consequent")),
 
+    // rolling active users (DAU + trailing-7 WAU): distinct activity
+    // expands to its ≤w report periods (bounded fan-out), then a
+    // distinct + keyed count — rolling DISTINCT without user sets
+    "q162_rolling_actives" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .rollingActiveUsers(e, "user_id", "tus",
+          periodUs = 86400000000L, windows = Seq(1, 7))
+        .orderBy("win", "period")
+    }),
+
     // Kaplan-Meier conversion-latency curve (view → purchase, daily
     // buckets): right-censored at observation end, at-risk via a
     // descending cumulative sum, product via exp∘Σlog

@@ -179,6 +179,51 @@ object Events {
         (abs(col("n") - col("med")) > lit(k) * col("mad")).as("is_anomaly"))
   }
 
+  /** Rolling active users (DAU/WAU/MAU family): for every period and
+    * every requested trailing window length w, the count of DISTINCT
+    * users active at least once in the w periods ending there.
+    *
+    * Rolling DISTINCT counts can't ride an ordinary window aggregate (a
+    * user active twice in the window must count once), so each distinct
+    * (user, period) row EXPANDS to the ≤ w report periods it contributes
+    * to — a bounded fan-out of Σw rows per active row, clipped at the
+    * corpus max period — followed by a distinct and a keyed count. No
+    * per-period user sets are ever collected; shuffles are keyed on
+    * (user, win, period) then (win, period). Returns
+    * (win, period, n_active) for periods within the observed span
+    * (`win` not `window`: WINDOW is reserved in SQL engines).
+    */
+  def rollingActiveUsers(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      periodUs: Long,
+      windows: Seq[Int]
+  ): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    require(windows.nonEmpty && windows.forall(_ >= 1),
+      s"windows must be >= 1: $windows")
+    require(windows.distinct.size == windows.size, s"duplicate windows: $windows")
+    val active = df
+      .select(col(userCol).as("__u"),
+        expr(s"`$tsCol` DIV ${periodUs}L").as("__p"))
+      .distinct()
+    val maxP = active.agg(max(col("__p")).as("__mp"))
+    val winDf = df.sparkSession.createDataFrame(
+      windows.map(Tuple1.apply)).toDF("win")
+    active
+      .crossJoin(broadcast(winDf))
+      .crossJoin(broadcast(maxP))
+      // the activity at period p is visible to reports p … p+w−1 (clip
+      // at the corpus max so we never report beyond observed data)
+      .select(col("__u"), col("win"),
+        explode(sequence(col("__p"),
+          least(col("__p") + col("win") - 1, col("__mp")))).as("period"))
+      .distinct()
+      .groupBy("win", "period")
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Kaplan-Meier survival curve for conversion latency: time from a
     * user's first `startEvent` to their first subsequent `endEvent`,
     * right-censored at the end of observation (the corpus max time) for

@@ -216,6 +216,35 @@ class EventsSpec extends SparkTestBase {
     assert(!out.exists(_.getAs[Boolean]("is_shift")))
   }
 
+  test("rollingActiveUsers: DAU and trailing-w distinct counts, clipped at max") {
+    // periods: u1 active {0, 2}; u2 active {0}; u3 active {3}
+    // w=1: p0→2, p2→1, p3→1
+    // w=2: p0→2, p1→2 (carry of p0), p2→1, p3→2 (u1 from p2 + u3)
+    //   (no p4 row: clipped at the observed max period 3)
+    val d = ev(
+      (1L, 0L, "x"), (1L, 5L, "x"), (1L, 25L, "x"),
+      (2L, 3L, "x"),
+      (3L, 30L, "x"))
+    val out = Events.rollingActiveUsers(d, "u", "t", periodUs = 10L,
+      windows = Seq(1, 2))
+      .orderBy("win", "period").collect()
+      .map(r => (r.getAs[Int]("win"), r.getAs[Long]("period"),
+        r.getAs[Long]("n_active")))
+    assert(out.toSeq === Seq(
+      (1, 0L, 2L), (1, 2L, 1L), (1, 3L, 1L),
+      (2, 0L, 2L), (2, 1L, 2L), (2, 2L, 1L), (2, 3L, 2L)))
+  }
+
+  test("rollingActiveUsers validates windows") {
+    val d = ev((1L, 0L, "x"))
+    intercept[IllegalArgumentException] {
+      Events.rollingActiveUsers(d, "u", "t", 10L, Seq())
+    }
+    intercept[IllegalArgumentException] {
+      Events.rollingActiveUsers(d, "u", "t", 10L, Seq(1, 1))
+    }
+  }
+
   test("survivalCurve: hand-computed KM with censoring, buckets, and at-risk sets") {
     // quantize 10; A converts dur 5 (b0), B dur 25 (b2), E dur 0 censored
     // (b0), D dur 10 censored (b1), C dur 30 censored (b3); tmax = 40.
