@@ -2354,6 +2354,23 @@ object OracleSql {
         |FROM g, (VALUES (0), (1), (2), (3)) p(pos)
         |ORDER BY l_returnflag, pos""".stripMargin,
 
+    // stickiness: q162's two windows joined on the period
+    "q163_stickiness" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts) // 86400000000 AS p FROM events),
+        |mx AS (SELECT max(p) AS mp FROM a),
+        |w AS (SELECT unnest([1, 7]) AS win),
+        |e AS (SELECT DISTINCT u, win,
+        |    unnest(range(p, least(p + win, mp + 1))) AS period
+        |  FROM a, mx, w),
+        |c AS (SELECT win, period, count(*)::BIGINT AS n FROM e
+        |  GROUP BY 1, 2)
+        |SELECT d.period, d.n AS dau, s.n AS wau,
+        |  (d.n::DOUBLE / s.n)::REAL AS stickiness
+        |FROM c d JOIN c s ON d.period = s.period
+        |WHERE d.win = 1 AND s.win = 7
+        |ORDER BY d.period""".stripMargin,
+
     // rolling actives: the same bounded expansion of distinct activity
     // to its report periods, clipped at the observed max
     "q162_rolling_actives" ->

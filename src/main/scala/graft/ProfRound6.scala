@@ -114,6 +114,11 @@ object ProfRound6 {
       graft.reg.Dbreg.fit("ly ~ lx", ranked, strategy = "moments")
         .toDF(spark).count()
     }
+    time("survival_curve")(noop(
+      Events.survivalCurve(ev, "user_id", "tus", "event_type",
+        "view", "purchase", quantizeUs = 86400000000L)))
+    time("rolling_actives")(noop(
+      Events.rollingActiveUsers(ev, "user_id", "tus", 86400000000L, Seq(1, 7))))
     time("pagerank") {
       val dom = TextOps.extractUrls(docs.select(col("doc_id"),
         concat(col("text"), lit(" https://site"), (col("doc_id") % 7).cast("string"),

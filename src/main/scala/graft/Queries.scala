@@ -1674,6 +1674,24 @@ object Queries {
           minPairSupport = 3L, maxBasketSize = 20)
         .orderBy("antecedent", "consequent")),
 
+    // stickiness = DAU / trailing-7 WAU per day — the two window rows of
+    // q162 joined on the period; exact-int ratio, float-pinned
+    "q163_stickiness" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      val r = graft.operators.Events
+        .rollingActiveUsers(e, "user_id", "tus",
+          periodUs = 86400000000L, windows = Seq(1, 7))
+      val dau = r.filter(col("win") === 1)
+        .select(col("period"), col("n_active").as("dau"))
+      val wau = r.filter(col("win") === 7)
+        .select(col("period"), col("n_active").as("wau"))
+      dau.join(wau, Seq("period"))
+        .select(col("period"), col("dau"), col("wau"),
+          (col("dau").cast("double") / col("wau")).cast("float")
+            .as("stickiness"))
+        .orderBy("period")
+    }),
+
     // rolling active users (DAU + trailing-7 WAU): distinct activity
     // expands to its ≤w report periods (bounded fan-out), then a
     // distinct + keyed count — rolling DISTINCT without user sets
