@@ -2354,6 +2354,24 @@ object OracleSql {
         |FROM g, (VALUES (0), (1), (2), (3)) p(pos)
         |ORDER BY l_returnflag, pos""".stripMargin,
 
+    // grouped KMV: per-group k smallest distinct hashes via a ranked
+    // window, same estimator formula
+    "q164_kmv_grouped" -> {
+      val hv = hash32("user_id::VARCHAR")
+      s"""WITH h AS (SELECT DISTINCT event_type, $hv AS hv FROM events),
+         |r AS (SELECT event_type, hv,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+         |  FROM h),
+         |k AS (SELECT event_type, count(*)::INT AS n_kept,
+         |    max(hv)::BIGINT AS kth FROM r WHERE rn <= 64 GROUP BY 1)
+         |SELECT event_type,
+         |  (CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+         |    ELSE (64 - 1)::DOUBLE / (kth::DOUBLE / 4294967296.0)
+         |  END)::REAL AS estimate,
+         |  n_kept, kth AS kth_hash, (n_kept < 64) AS exact
+         |FROM k ORDER BY event_type""".stripMargin
+    },
+
     // stickiness: q162's two windows joined on the period
     "q163_stickiness" ->
       """WITH a AS (SELECT DISTINCT user_id AS u,

@@ -1674,6 +1674,20 @@ object Queries {
           minPairSupport = 3L, maxBasketSize = 20)
         .orderBy("antecedent", "consequent")),
 
+    // grouped KMV: distinct users per event type with k=64 — the user
+    // population EXCEEDS k, so every group is in the approximation
+    // regime and the estimates are still hash-pinned against DuckDB
+    "q164_kmv_grouped" -> ((s, dir) => {
+      val e = ev(s, dir)
+      e.groupBy("event_type")
+        .agg(graft.functions.KmvAgg(
+          col("user_id").cast("string"), 64).as("s"))
+        .select(col("event_type"),
+          col("s.estimate").cast("float").as("estimate"),
+          col("s.n_kept"), col("s.kth_hash"), col("s.exact"))
+        .orderBy("event_type")
+    }),
+
     // stickiness = DAU / trailing-7 WAU per day — the two window rows of
     // q162 joined on the period; exact-int ratio, float-pinned
     "q163_stickiness" -> ((s, dir) => {
