@@ -2354,6 +2354,42 @@ object OracleSql {
         |FROM g, (VALUES (0), (1), (2), (3)) p(pos)
         |ORDER BY l_returnflag, pos""".stripMargin,
 
+    // segmented funnel: first-event segment via the same (t, id) total
+    // order, cascade mins carrying the segment, zero-filled spine
+    "q165_funnel_by_segment" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS i,
+        |    event_type AS s FROM events),
+        |sg AS (SELECT u, s AS segment FROM (
+        |    SELECT u, s, row_number() OVER (PARTITION BY u ORDER BY t, i)
+        |      AS rn FROM e) z WHERE rn = 1),
+        |r1 AS (SELECT e.u, sg.segment, min(t) AS t1 FROM e
+        |  JOIN sg ON e.u = sg.u WHERE s = 'view' GROUP BY 1, 2),
+        |r2 AS (SELECT e.u, r1.segment, min(e.t) AS t2 FROM e
+        |  JOIN r1 ON e.u = r1.u AND e.t >= r1.t1
+        |  WHERE e.s = 'click' GROUP BY 1, 2),
+        |r3 AS (SELECT e.u, r2.segment, min(e.t) AS t3 FROM e
+        |  JOIN r2 ON e.u = r2.u AND e.t >= r2.t2
+        |  WHERE e.s = 'purchase' GROUP BY 1, 2),
+        |cts AS (SELECT segment, 1 AS step_idx, count(*)::BIGINT AS n
+        |    FROM r1 GROUP BY 1
+        |  UNION ALL SELECT segment, 2, count(*)::BIGINT FROM r2 GROUP BY 1
+        |  UNION ALL SELECT segment, 3, count(*)::BIGINT FROM r3 GROUP BY 1),
+        |spine AS (SELECT c.segment, st.step_idx, st.step
+        |  FROM (SELECT DISTINCT segment FROM cts WHERE step_idx = 1) c,
+        |    (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+        |      st(step_idx, step)),
+        |j AS (SELECT sp.segment, sp.step_idx, sp.step,
+        |    coalesce(cts.n, 0)::BIGINT AS n_users
+        |  FROM spine sp LEFT JOIN cts
+        |    ON sp.segment = cts.segment AND sp.step_idx = cts.step_idx),
+        |f AS (SELECT segment, step_idx, step, n_users,
+        |    lag(n_users) OVER (PARTITION BY segment ORDER BY step_idx)
+        |      AS pn FROM j)
+        |SELECT segment, step_idx, step, n_users,
+        |  CASE WHEN pn IS NULL THEN 1.0 WHEN pn = 0 THEN 0.0
+        |    ELSE n_users::DOUBLE / pn END AS conversion
+        |FROM f ORDER BY segment, step_idx""".stripMargin,
+
     // grouped KMV: per-group k smallest distinct hashes via a ranked
     // window, same estimator formula
     "q164_kmv_grouped" -> {

@@ -1674,6 +1674,19 @@ object Queries {
           minPairSupport = 3L, maxBasketSize = 20)
         .orderBy("antecedent", "consequent")),
 
+    // segmented funnel: the cascade broken down by each user's ENTRY
+    // event type (behavioral cohort); counts distributed per segment,
+    // zero-filled spine, exact-int conversions
+    "q165_funnel_by_segment" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      val seg = graft.operators.Events
+        .entrySegments(e, "user_id", "tus", "event_type", "event_id")
+      graft.operators.Events
+        .funnelBySegment(e, "user_id", "tus", "event_type",
+          Seq("view", "click", "purchase"), seg)
+        .orderBy("segment", "step_idx")
+    }),
+
     // grouped KMV: distinct users per event type with k=64 — the user
     // population EXCEEDS k, so every group is in the approximation
     // regime and the estimates are still hash-pinned against DuckDB

@@ -82,6 +82,96 @@ object Events {
     }.toDF("step_idx", "step", "n_users", "conversion")
   }
 
+  /** Each user's entry segment: the type of their FIRST event (total
+    * order via the tiebreak) — the behavioral entry cohort for
+    * [[funnelBySegment]]-style breakdowns. One user-keyed min-struct
+    * aggregate; returns (userCol, segment). */
+  def entrySegments(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      tiebreakCol: String
+  ): DataFrame =
+    df.groupBy(col(userCol))
+      .agg(min(struct(col(tsCol), col(tiebreakCol), col(typeCol)))
+        .getField(typeCol).as("segment"))
+
+  /** Funnel conversion broken down by a user segment (entry channel,
+    * plan tier, cohort): the same earliest-order-respecting cascade as
+    * [[funnel]], with per-step counts keyed on the segment instead of
+    * collected on the driver — the result is a DISTRIBUTED frame, so
+    * segment cardinality can be large.
+    *
+    * `segments` maps userCol → segment (e.g. [[entrySegments]]); users
+    * without a segment row are excluded (inner join). The step-1 cohort
+    * defines each segment's denominator spine; later steps zero-fill, so
+    * conversions are well-defined even when a segment dies out.
+    *
+    * Scale shape: cascade joins keyed on the user (reaches staged — they
+    * feed the next step AND their count); per-step counts are
+    * segment-keyed hash aggregates; the final conversion join runs on
+    * the tiny (segment × steps) frame. Returns
+    * (segment, step_idx, step, n_users, conversion).
+    */
+  def funnelBySegment(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      segments: DataFrame,
+      maxGapUs: Option[Long] = None
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    require(maxGapUs.forall(_ > 0), s"maxGapUs must be positive: $maxGapUs")
+    val ev = df.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+      col(typeCol).as("__e"))
+    val seg = segments.select(col(userCol).as("__u"), col("segment"))
+    var reach = graft.Staging.stage(
+      ev.filter(col("__e") === steps.head)
+        .join(seg, Seq("__u"))
+        .groupBy(col("__u"), col("segment"))
+        .agg(min(col("__ts")).as("__t")))
+    def stepCount(r: DataFrame, idx: Int): DataFrame = r
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("step_idx", lit(idx + 1))
+    var counts = stepCount(reach, 0)
+    for (k <- 1 until steps.length) {
+      val gapOk = maxGapUs match {
+        case Some(g) => col("__ts") >= col("__prev") &&
+          col("__ts") <= col("__prev") + lit(g)
+        case None => col("__ts") >= col("__prev")
+      }
+      reach = graft.Staging.stage(
+        ev.filter(col("__e") === steps(k))
+          .join(reach.select(col("__u"), col("segment"),
+            col("__t").as("__prev")), Seq("__u"))
+          .filter(gapOk)
+          .groupBy(col("__u"), col("segment"))
+          .agg(min(col("__ts")).as("__t")))
+      counts = counts.unionAll(stepCount(reach, k))
+    }
+    // spine = step-1 segments × all steps, zero-filled; conversion from
+    // the lagged count over the tiny (segment × steps) frame
+    val spine = counts.filter(col("step_idx") === 1).select(col("segment"))
+      .crossJoin(broadcast(df.sparkSession.createDataFrame(
+        steps.zipWithIndex.map { case (s, i) => (i + 1, s) })
+        .toDF("step_idx", "step")))
+    val lagW = Window.partitionBy(col("segment")).orderBy(col("step_idx"))
+    spine
+      .join(counts, Seq("segment", "step_idx"), "left")
+      .withColumn("n_users", coalesce(col("__n"), lit(0L)))
+      .withColumn("__prevn", lag(col("n_users"), 1).over(lagW))
+      .select(col("segment"), col("step_idx"), col("step"), col("n_users"),
+        when(col("__prevn").isNull, lit(1.0))
+          .when(col("__prevn") === 0L, lit(0.0))
+          .otherwise(col("n_users").cast("double") / col("__prevn"))
+          .as("conversion"))
+  }
+
   /** Retention cohorts: cohort = the period (floor of epoch-µs time over
     * `periodUs`) of a user's FIRST event; for each cohort × offset k ≥ 0,
     * count the users with any activity in period cohort+k. Offset 0 is the

@@ -216,6 +216,31 @@ class EventsSpec extends SparkTestBase {
     assert(!out.exists(_.getAs[Boolean]("is_shift")))
   }
 
+  test("funnelBySegment: per-segment cascade with zero-filled spine") {
+    // segment X: u1 full depth, u2 stops at view → 2,1,1
+    // segment Y: u3 view only → 1,0,0 (zero-filled, conversion 0 then 0)
+    val d = ev(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 1L, "view"),
+      (3L, 1L, "view"))
+    val seg = Seq((1L, "X"), (2L, "X"), (3L, "Y")).toDF("u", "segment")
+    val out = Events.funnelBySegment(d, "u", "t", "e",
+      Seq("view", "click", "purchase"), seg)
+      .orderBy("segment", "step_idx").collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Int]("step_idx"),
+        r.getAs[Long]("n_users"), r.getAs[Double]("conversion")))
+    assert(out.toSeq === Seq(
+      ("X", 1, 2L, 1.0), ("X", 2, 1L, 0.5), ("X", 3, 1L, 1.0),
+      ("Y", 1, 1L, 1.0), ("Y", 2, 0L, 0.0), ("Y", 3, 0L, 0.0)))
+  }
+
+  test("entrySegments picks the tiebreak-first event type") {
+    val d = evId((1L, 5L, 10L, "b"), (1L, 5L, 9L, "a"), (2L, 1L, 1L, "c"))
+    val seg = Events.entrySegments(d, "u", "t", "e", "i")
+      .collect().map(r => r.getAs[Long]("u") -> r.getAs[String]("segment")).toMap
+    assert(seg === Map(1L -> "a", 2L -> "c")) // id 9 beats id 10 at the same t
+  }
+
   test("rollingActiveUsers: DAU and trailing-w distinct counts, clipped at max") {
     // periods: u1 active {0, 2}; u2 active {0}; u3 active {3}
     // w=1: p0→2, p2→1, p3→1
