@@ -2797,7 +2797,110 @@ object OracleSql {
         |JOIN ic ia ON d.antecedent = ia.it
         |JOIN ic ic2 ON d.consequent = ic2.it
         |CROSS JOIN nb
-        |ORDER BY antecedent, consequent""".stripMargin
+        |ORDER BY antecedent, consequent""".stripMargin,
+
+    // Bloom semi join: the filter is pruning-only, so the exact result
+    // is the plain semi join
+    "q166_bloom_semijoin" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey IN
+        |  (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // prefix filtering is lossless, so the oracle is the brute-force
+    // exact Jaccard join over the same bigram-shingle sets
+    "q167_setsim_join" ->
+      s"""WITH $ShingleSets,
+         |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+         |common AS (SELECT a.id id1, b.id id2, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2,
+         |  common::DOUBLE / (s1.sz + s2.sz - common) AS jaccard
+         |FROM common JOIN sizes s1 ON common.id1 = s1.id
+         |  JOIN sizes s2 ON common.id2 = s2.id
+         |WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.5
+         |ORDER BY id1, id2""".stripMargin,
+
+    // same island key (period − row_number), same distinct-day collapse
+    "q168_activity_streaks" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS period FROM events),
+        |i AS (SELECT user_id, period - row_number()
+        |    OVER (PARTITION BY user_id ORDER BY period) AS island FROM a),
+        |g AS (SELECT user_id, island, count(*)::BIGINT AS len
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak,
+        |  count(*)::BIGINT AS n_streaks,
+        |  sum(len)::BIGINT AS n_active_periods
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // open/close via row_number twins of min_by/max_by over (t, id)
+    "q169_ohlc_downsample" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t, event_id,
+        |    value FROM events),
+        |b AS (SELECT event_type, t // 3600000000 AS period, t, event_id,
+        |    value FROM e),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, period
+        |      ORDER BY t, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, period
+        |      ORDER BY t DESC, event_id DESC) AS rn_d FROM b)
+        |SELECT event_type, period,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*)::BIGINT AS n_events, sum(value)::REAL AS value_sum
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, period""".stripMargin,
+
+    // q43's recursive-closure clusters + keep-longest representative
+    "q170_canonical_docs" ->
+      s"""WITH $ShingleSets,
+         |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+         |common AS (SELECT a.id id1, b.id id2, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id1, id2 FROM common
+         |  JOIN sizes s1 ON common.id1 = s1.id
+         |  JOIN sizes s2 ON common.id2 = s2.id
+         |  WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.4),
+         |edges AS (SELECT id1 a, id2 b FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |comp AS (
+         |  WITH RECURSIVE reach(id, label) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+         |  )
+         |  SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+         |mem AS (SELECT comp.id, comp.cluster, d.n_chars
+         |  FROM comp JOIN documents d ON comp.id = d.doc_id),
+         |best AS (SELECT cluster, id, n_chars,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY n_chars DESC, id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY cluster)::BIGINT AS n_members,
+         |    max(n_chars) OVER (PARTITION BY cluster) AS max_chars
+         |  FROM mem)
+         |SELECT cluster, id AS canonical_id, max_chars AS n_chars,
+         |  n_members
+         |FROM best WHERE rn = 1 ORDER BY cluster""".stripMargin,
+
+    // same blocking, same (distance, id) tiebreak via row_number
+    "q171_record_linkage" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name, p_brand, p_size
+        |  FROM part),
+        |bs AS (SELECT p_brand, p_size FROM p GROUP BY 1, 2
+        |  HAVING count(*) <= 1000),
+        |v AS (SELECT p.* FROM p JOIN bs USING (p_brand, p_size)),
+        |pr AS (SELECT a.id AS id, b.id AS id2,
+        |    levenshtein(a.p_name, b.p_name) AS d
+        |  FROM v a JOIN v b ON a.p_brand = b.p_brand
+        |    AND a.p_size = b.p_size AND a.id <> b.id),
+        |r AS (SELECT id, id2, d, row_number()
+        |    OVER (PARTITION BY id ORDER BY d, id2) AS rn FROM pr)
+        |SELECT id, id2 AS match_id, d AS distance
+        |FROM r WHERE rn = 1 ORDER BY id""".stripMargin
   )
 
   /** q92 is the INDEX ROUNDTRIP of q41: building the IVF index on disk and

@@ -1965,5 +1965,80 @@ object Queries {
         .rollingActivity(e, "event_type", "tus", periodUs = 86400000000L, w = 7)
         .orderBy("event_type", "period")
     }),
+
+    // Bloom-filtered semi join (the runtime-filter shape): orders that
+    // have a max-quantity line — the codegen'd might_contain prunes the
+    // big side BEFORE the shuffle; the verifying semi join keeps the
+    // result exact regardless of filter sizing
+    "q166_bloom_semijoin" -> ((s, dir) =>
+      graft.operators.BloomJoin.semiJoin(
+          ord(s, dir), col("o_orderkey"),
+          li(s, dir).filter(col("l_quantity") >= 49), col("l_orderkey"),
+          numBits = 1 << 16, numHashes = 5)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    // exact set-similarity join via prefix filtering — LOSSLESS near-dup
+    // pairs (vs q33's probabilistic MinHash recall): rare-first global
+    // token order bounds the candidate buckets, the length filter prunes
+    // the rest, and verification is exact intersection counting
+    "q167_setsim_join" -> ((s, dir) =>
+      graft.operators.SetSimJoin.jaccardJoin(
+          docs(s, dir), "doc_id",
+          TextOps.wordShingles(TextOps.tokens(col("text")), 2), tau = 0.5)
+        .orderBy("id1", "id2")),
+
+    // gaps-and-islands: longest consecutive-day activity streak per user
+    // (island key = period − row_number, windows partitioned by user
+    // over distinct active days only)
+    "q168_activity_streaks" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .activityStreaks(e, "user_id", "tus", periodUs = 86400000000L)
+        .orderBy("user_id")
+    }),
+
+    // OHLC resample of the event stream to hourly bars per type: one
+    // hash agg, open/close via min_by/max_by over a (ts, id) struct —
+    // deterministic without any window sort
+    "q169_ohlc_downsample" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .ohlcDownsample(e, "event_type", "tus", "event_id", "value",
+          periodUs = 3600000000L)
+        .select(col("event_type"), col("period"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("n_events"), col("value_sum").cast("float").as("value_sum"))
+        .orderBy("event_type", "period")
+    }),
+
+    // canonical-document selection: q43's near-dup clusters, keeping the
+    // LONGEST member (ties → smallest id) as each cluster's canonical —
+    // the keep-best dedup policy, one row per multi-member cluster
+    "q170_canonical_docs" -> ((s, dir) => {
+      val clusters = Dedup.duplicateClusters(
+        Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 2, threshold = 0.4))
+      val sized = clusters
+        .join(docs(s, dir).select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+      sized
+        .select(col("cluster"),
+          struct((-col("n_chars")).as("neg_len"), col("id")).as("__cand"),
+          col("n_chars"))
+        .groupBy("cluster")
+        .agg(min(col("__cand")).as("__best"), count(lit(1)).as("n_members"),
+          max(col("n_chars")).as("max_chars"))
+        .select(col("cluster"), col("__best.id").as("canonical_id"),
+          col("max_chars").as("n_chars"), col("n_members"))
+        .orderBy("cluster")
+    }),
+
+    // blocked record linkage: nearest other part by name edit distance
+    // within (brand, size) blocks — equi-join blocking + codegen'd
+    // levenshtein + a (distance, id) lexicographic-min agg
+    "q171_record_linkage" -> ((s, dir) =>
+      graft.operators.Linkage.nearestInBlock(
+          s.read.parquet(s"$dir/part.parquet"),
+          "p_partkey", "p_name", Seq("p_brand", "p_size"))
+        .orderBy("id")),
   )
 }

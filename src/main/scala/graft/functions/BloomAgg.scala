@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
+
+/** Bloom-filter build aggregate: fold 64-bit key hashes into an m-bit
+  * filter with k probes each (Kirsch-Mitzenmacher double hashing: the
+  * i-th probe is `h_hi + i·(h_lo | 1) mod m`). The buffer is a plain
+  * bit array, so partial aggregates merge by OR — a mergeable sketch
+  * with map-side combine, the same distribution contract as
+  * [[KmvAgg]]/[[CountMinAgg]].
+  *
+  * This is the build side of the classic runtime-filter shape
+  * ([[graft.operators.BloomJoin]]): aggregate the SMALL side's join keys
+  * into one binary row, broadcast it, and drop non-matching big-side rows
+  * BEFORE the shuffle join. At 100 TB the win is shuffle volume: a
+  * selective semi join moves only the (bloom-surviving) fraction of the
+  * fact table instead of all of it, at the cost of one byte-array
+  * broadcast. False positives only cost unpruned rows — the verifying
+  * join keeps results exact.
+  *
+  * child must be LongType (pass `xxhash64(key)`); nulls are skipped.
+  * Output: the filter as `binary` ((numBits+7)/8 bytes; bit j is
+  * `bytes[j >> 3] & (1 << (j & 7))`).
+  */
+case class BloomAgg(
+    child: Expression,
+    numBits: Int,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(numBits >= 64, s"numBits must be >= 64, got $numBits")
+  require(numHashes >= 1 && numHashes <= 16,
+    s"numHashes must be in [1,16], got $numHashes")
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_agg needs a bigint child (pass xxhash64(key)), got " +
+        child.dataType.simpleString)
+
+  override def createAggregationBuffer(): Array[Byte] =
+    new Array[Byte]((numBits + 7) >> 3)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val h1 = (h >>> 32).toInt
+      val h2 = h.toInt | 1
+      var i = 0
+      while (i < numHashes) {
+        val bit = java.lang.Math.floorMod(h1 + i * h2, numBits)
+        buf(bit >> 3) = (buf(bit >> 3) | (1 << (bit & 7))).toByte
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < b1.length) { b1(i) = (b1(i) | b2(i)).toByte; i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(offset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BloomAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomAgg =
+    copy(child = newChildren.head)
+}
+
+object BloomAgg {
+  /** Aggregate Column: `bloom_agg(xxhash64(key), m, k)` → binary filter. */
+  def apply(child: Column, numBits: Int, numHashes: Int): Column =
+    org.apache.spark.sql.GraftInternal.columnOf(
+      new BloomAgg(
+        org.apache.spark.sql.GraftInternal.expressionOf(child),
+        numBits, numHashes).toAggregateExpression())
+}
+
+/** Codegen'd Bloom membership probe — the read side of [[BloomAgg]] (same
+  * bit layout, same double-hashing probe sequence). Sits in the scan's
+  * filter, inside whole-stage codegen, so the runtime filter costs k bit
+  * reads per row with early exit — no UDF, no interpreted dispatch.
+  *
+  * `left` = the filter bytes (normally a broadcast 1-row cross-joined
+  * column), `right` = the 64-bit key hash. NULL filter or hash → NULL
+  * (filter semantics drop the row).
+  */
+case class BloomMightContain(
+    left: Expression,
+    right: Expression,
+    numBits: Int,
+    numHashes: Int
+) extends BinaryExpression {
+
+  require(numBits >= 64, s"numBits must be >= 64, got $numBits")
+  require(numHashes >= 1 && numHashes <= 16,
+    s"numHashes must be in [1,16], got $numHashes")
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain needs (binary, bigint), got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def eval(input: InternalRow): Any = {
+    val f = left.eval(input)
+    if (f == null) return null
+    val v = right.eval(input)
+    if (v == null) return null
+    val bytes = f.asInstanceOf[Array[Byte]]
+    val h = v.asInstanceOf[Long]
+    val h1 = (h >>> 32).toInt
+    val h2 = h.toInt | 1
+    var i = 0
+    while (i < numHashes) {
+      val bit = java.lang.Math.floorMod(h1 + i * h2, numBits)
+      if ((bytes(bit >> 3) & (1 << (bit & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val bytes = ctx.freshName("bytes")
+    val h1 = ctx.freshName("h1")
+    val h2 = ctx.freshName("h2")
+    val i = ctx.freshName("i")
+    val bit = ctx.freshName("bit")
+    val code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        boolean ${ev.value} = false;
+        if (!${leftGen.isNull} && !${rightGen.isNull}) {
+          ${ev.isNull} = false;
+          byte[] $bytes = ${leftGen.value};
+          int $h1 = (int) (${rightGen.value} >>> 32);
+          int $h2 = ((int) ${rightGen.value}) | 1;
+          ${ev.value} = true;
+          for (int $i = 0; $i < $numHashes; $i++) {
+            int $bit = java.lang.Math.floorMod($h1 + $i * $h2, $numBits);
+            if (($bytes[$bit >> 3] & (1 << ($bit & 7))) == 0) {
+              ${ev.value} = false;
+              break;
+            }
+          }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomMightContain {
+  def apply(filter: Column, hash: Column, numBits: Int, numHashes: Int): Column =
+    org.apache.spark.sql.GraftInternal.columnOf(
+      new BloomMightContain(
+        org.apache.spark.sql.GraftInternal.expressionOf(filter),
+        org.apache.spark.sql.GraftInternal.expressionOf(hash),
+        numBits, numHashes))
+}

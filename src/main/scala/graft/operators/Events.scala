@@ -514,4 +514,72 @@ object Events {
           count(lit(1)).over(trail))
       .withColumn("ratio", col("n").cast("double") / col("ma"))
   }
+
+  /** Activity streaks (gaps-and-islands): per user, the length of the
+    * longest run of CONSECUTIVE active periods, the number of distinct
+    * runs, and the total active-period count. The island key is the
+    * classic `period − row_number()` difference — constant within a
+    * consecutive run, strictly decreasing across a gap.
+    *
+    * Scale shape: events collapse to distinct (user, period) first (one
+    * hash distinct, map-side combined), so the window sort runs over
+    * ≤ span-many rows per user, partitioned by user — no global sort,
+    * no per-user arrays. Output is one row per user.
+    */
+  def activityStreaks(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      periodUs: Long
+  ): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val active = df
+      .select(col(userCol).as("user_id"),
+        expr(s"`$tsCol` DIV ${periodUs}L").as("period"))
+      .distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("period"))
+    active
+      .withColumn("island", col("period") - row_number().over(byUser))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("n_active_periods"))
+  }
+
+  /** OHLC downsampling: per (event type, period) the open/high/low/close
+    * of a value column plus the event count and value sum — the standard
+    * resample of a raw event stream to a regular bar series. Open/close
+    * take the value at the min/max (ts, id) within the bar — the id
+    * tiebreak makes simultaneous events deterministic.
+    *
+    * Scale shape: ONE hash aggregation keyed on (type, period) with
+    * map-side combine; `min_by`/`max_by` over a (ts, id) struct carry the
+    * open/close without any window sort or per-bar array.
+    */
+  def ohlcDownsample(
+      df: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      periodUs: Long
+  ): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val v = col(valueCol).cast("double")
+    val ord = struct(col(tsCol), col(idCol))
+    df.select(col(typeCol).as("event_type"),
+        expr(s"`$tsCol` DIV ${periodUs}L").as("period"),
+        col(tsCol), col(idCol), v.as("__v"))
+      .groupBy("event_type", "period")
+      .agg(
+        min_by(col("__v"), ord).as("open"),
+        max(col("__v")).as("high"),
+        min(col("__v")).as("low"),
+        max_by(col("__v"), ord).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("__v")).as("value_sum"))
+  }
 }

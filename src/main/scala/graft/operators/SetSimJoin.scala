@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Staging
+
+/** Exact set-similarity join via prefix filtering (PPJoin-family,
+  * Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08) — the LOSSLESS
+  * counterpart to MinHash LSH: every pair with Jaccard ≥ τ is returned,
+  * no probabilistic recall, no bucket valves.
+  *
+  * The pruning identity: order every set by one GLOBAL token order and
+  * keep each set's first `|x| − ⌈τ·|x|⌉ + 1` tokens (its "prefix"). Two
+  * sets with Jaccard ≥ τ MUST share a prefix token — so the candidate
+  * join runs over prefixes only, and correctness does not depend on
+  * WHICH total order is used. Performance does: ordering by ascending
+  * document frequency puts the RAREST tokens in prefixes, so candidate
+  * buckets are the small ones (a boilerplate token shared by half the
+  * corpus lands in almost no prefix). The length filter
+  * `min(|x|,|y|) ≥ τ·max(|x|,|y|)` prunes the rest.
+  *
+  * Scale shape: one distinct over (id, token); one vocab-sized frequency
+  * aggregate; per-doc windows (bounded by doc length) for prefix
+  * positions; the candidate equi-join is keyed on the token and hits
+  * rare-token buckets by construction; verification expands candidates
+  * by the smaller set's tokens — |cand| · avg|set| rows, all keyed
+  * joins. Nothing is all-pairs and nothing collects to the driver.
+  */
+object SetSimJoin {
+
+  /** All pairs (id1 < id2) with exact token-set Jaccard ≥ `tau`.
+    * `tokensCol` must be an `array<string>` expression over `df`'s rows
+    * (duplicates collapse — set semantics). Returns (id1, id2, jaccard).
+    */
+  def jaccardJoin(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: Column,
+      tau: Double
+  ): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    val tok = Staging.stage(df
+      .select(col(idCol).as("id"), explode(tokensCol).as("token"))
+      .filter(col("token").isNotNull)
+      .distinct())
+    // global token order = (doc-frequency asc, token asc). The join is
+    // correct under ANY total order; this one is the candidate-minimizing
+    // heuristic. row_number over the vocab table — the discrete-measure
+    // contract (vocab rows, not corpus rows) shared with the Zipf/BPE ops.
+    val rank = tok.groupBy("token")
+      .agg(count(lit(1)).as("__df"))
+      .withColumn("__rank",
+        row_number().over(Window.orderBy(col("__df").asc, col("token").asc)))
+      .select(col("token"), col("__rank"))
+    val sizes = tok.groupBy("id").agg(count(lit(1)).as("__sz"))
+    // prefix length p = sz − ⌈τ·sz⌉ + 1 (ceil via integer arithmetic so
+    // both engines agree bit-exactly on the boundary)
+    val ranked = tok.join(rank, "token").join(sizes, "id")
+    val withPos = ranked.withColumn("__pos",
+      row_number().over(Window.partitionBy(col("id")).orderBy(col("__rank"))))
+    val prefix = Staging.stage(withPos
+      .filter(col("__pos") <=
+        col("__sz") - ceil(lit(tau) * col("__sz")).cast("long") + lit(1))
+      .select(col("id"), col("token"), col("__sz")))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.token") === col("b.token") && col("a.id") < col("b.id"))
+      .filter(least(col("a.__sz"), col("b.__sz")).cast("double") >=
+        lit(tau) * greatest(col("a.__sz"), col("b.__sz")))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    // verify: exact intersection size through two keyed joins
+    val common = cand
+      .join(tok.select(col("id").as("id1"), col("token")), "id1")
+      .join(tok.select(col("id").as("id2"), col("token")), Seq("id2", "token"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("__common"))
+    common
+      .join(sizes.select(col("id").as("id1"), col("__sz").as("__s1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("__sz").as("__s2")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("__common").cast("double") /
+          (col("__s1") + col("__s2") - col("__common"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+}

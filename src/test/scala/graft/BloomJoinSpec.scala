@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BloomAgg, BloomMightContain}
+import graft.operators.BloomJoin
+
+/** Bloom filter: no false negatives ever, exactness of the filtered semi
+  * join (FPs removed by the verifying join), mergeability across
+  * partitions, and null semantics. */
+class BloomJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("no false negatives: every inserted key passes might_contain") {
+    val keys = (1L to 500L).toDF("k").repartition(7) // force partial-merge
+    val bloom = keys.agg(BloomAgg(xxhash64(col("k")), 4096, 5).as("b"))
+    val checked = keys.crossJoin(broadcast(bloom))
+      .select(BloomMightContain(col("b"), xxhash64(col("k")), 4096, 5).as("hit"))
+      .collect()
+    assert(checked.forall(_.getBoolean(0)), "a member key was rejected")
+  }
+
+  test("filter prunes most non-members at sane sizing") {
+    val keys = (1L to 100L).toDF("k")
+    val bloom = keys.agg(BloomAgg(xxhash64(col("k")), 8192, 5).as("b"))
+    val probes = (10000L to 11000L).toDF("k")
+    val fp = probes.crossJoin(broadcast(bloom))
+      .filter(BloomMightContain(col("b"), xxhash64(col("k")), 8192, 5))
+      .count()
+    // ~1000 probes, expected FP rate well under 1% at m/n = 80
+    assert(fp < 20, s"false-positive count too high: $fp")
+  }
+
+  test("semiJoin equals the plain left_semi join") {
+    val big = (1L to 1000L).map(i => (i, s"r$i")).toDF("k", "payload")
+    val small = Seq(3L, 500L, 999L, 1500L).toDF("j")
+    val got = BloomJoin.semiJoin(big, col("k"), small, col("j"))
+      .orderBy("k").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(3L, 500L, 999L))
+  }
+
+  test("semiJoin stays exact even with a deliberately tiny filter") {
+    val big = (1L to 2000L).map(i => (i, i % 7)).toDF("k", "v")
+    val small = (1L to 2000L by 13).toDF("j")
+    val expected = big.join(small, col("k") === col("j"), "left_semi")
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    // 64 bits for 154 keys: almost every probe is a false positive —
+    // the verifying join must still produce the exact result
+    val got = BloomJoin.semiJoin(big, col("k"), small, col("j"),
+        numBits = 64, numHashes = 2)
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+  }
+
+  test("empty small side yields an empty result") {
+    val big = (1L to 50L).toDF("k")
+    val small = Seq.empty[Long].toDF("j")
+    assert(BloomJoin.semiJoin(big, col("k"), small, col("j")).count() === 0L)
+  }
+
+  test("null hash returns NULL (row dropped by filter semantics)") {
+    val df = Seq((Some(1L), "a"), (None, "b")).toDF("k", "t")
+    val bloom = Seq(1L).toDF("j").agg(BloomAgg(xxhash64(col("j")), 256, 3).as("b"))
+    // xxhash64(null) is null, so might_contain is null → filtered out
+    val kept = df.crossJoin(broadcast(bloom))
+      .filter(BloomMightContain(col("b"), xxhash64(col("k")), 256, 3))
+      .collect()
+    assert(kept.map(_.getString(1)).toSeq === Seq("a"))
+  }
+
+  test("parameter validation") {
+    intercept[IllegalArgumentException] {
+      graft.functions.BloomMightContain(lit(Array[Byte]()), lit(1L), 32, 3)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.BloomMightContain(lit(Array[Byte]()), lit(1L), 256, 0)
+    }
+  }
+}

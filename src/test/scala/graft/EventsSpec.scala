@@ -319,4 +319,44 @@ class EventsSpec extends SparkTestBase {
     assert(out.map(_.getAs[Double]("ma")).toSeq === Seq(2.0, 3.0, 5.0))
     assert(out.map(_.getAs[Double]("ratio")).toSeq === Seq(1.0, 4.0 / 3, 1.2))
   }
+
+  test("activityStreaks: islands, gaps, and multi-event days") {
+    // user 1 active periods {0,1,2, 5,6, 9} → longest 3, 3 streaks, 6 days
+    // user 2 active period {4} (three events same day) → 1/1/1
+    val d = Seq(
+      (1L, 0L), (1L, 5L), (1L, 12L), (1L, 27L), (1L, 51L), (1L, 68L),
+      (1L, 91L),
+      (2L, 40L), (2L, 42L), (2L, 47L)).toDF("u", "t")
+    val out = Events.activityStreaks(d, "u", "t", periodUs = 10L)
+      .orderBy("user_id").collect()
+    assert(out.length === 2)
+    val u1 = out(0)
+    assert(u1.getAs[Long]("longest_streak") === 3L)
+    assert(u1.getAs[Long]("n_streaks") === 3L)
+    assert(u1.getAs[Long]("n_active_periods") === 6L)
+    val u2 = out(1)
+    assert((u2.getAs[Long]("longest_streak"), u2.getAs[Long]("n_streaks"),
+      u2.getAs[Long]("n_active_periods")) === ((1L, 1L, 1L)))
+  }
+
+  test("ohlcDownsample: open/close by (ts, id) order, high/low/sum exact") {
+    val d = Seq(
+      // type x, period 0: ts 1,3,9 → open=5.0, close=2.0
+      ("x", 1L, 10L, 5.0), ("x", 9L, 11L, 2.0), ("x", 3L, 12L, 9.0),
+      // type x, period 1: single event
+      ("x", 12L, 13L, 4.0),
+      // type y, period 0: simultaneous ts → id tiebreak (20 before 21)
+      ("y", 5L, 21L, 7.0), ("y", 5L, 20L, 1.0)).toDF("e", "t", "id", "v")
+    val out = Events.ohlcDownsample(d, "e", "t", "id", "v", periodUs = 10L)
+      .orderBy("event_type", "period").collect()
+    val x0 = out(0)
+    assert((x0.getAs[Double]("open"), x0.getAs[Double]("high"),
+      x0.getAs[Double]("low"), x0.getAs[Double]("close")) === ((5.0, 9.0, 2.0, 2.0)))
+    assert(x0.getAs[Long]("n_events") === 3L)
+    assert(x0.getAs[Double]("value_sum") === 16.0)
+    val x1 = out(1)
+    assert((x1.getAs[Double]("open"), x1.getAs[Double]("close")) === ((4.0, 4.0)))
+    val y0 = out(2)
+    assert((y0.getAs[Double]("open"), y0.getAs[Double]("close")) === ((1.0, 7.0)))
+  }
 }
