@@ -2900,7 +2900,72 @@ object OracleSql {
         |r AS (SELECT id, id2, d, row_number()
         |    OVER (PARTITION BY id ORDER BY d, id2) AS rn FROM pr)
         |SELECT id, id2 AS match_id, d AS distance
-        |FROM r WHERE rn = 1 ORDER BY id""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    // recursive transitive closure over the 0.3-Jaccard pair graph
+    "q172_connected_components" ->
+      s"""WITH $ShingleSets,
+         |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+         |common AS (SELECT a.id id1, b.id id2, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id1, id2 FROM common
+         |  JOIN sizes s1 ON common.id1 = s1.id
+         |  JOIN sizes s2 ON common.id2 = s2.id
+         |  WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.3),
+         |edges AS (SELECT id1 a, id2 b FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |comp AS (
+         |  WITH RECURSIVE reach(id, label) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+         |  )
+         |  SELECT id, min(label) AS component FROM reach GROUP BY id)
+         |SELECT id AS node, component FROM comp ORDER BY node""".stripMargin,
+
+    // identical four-sum slope formula over the same trailing window
+    "q173_rolling_trend" ->
+      """WITH s AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS period,
+        |    sum(value) AS y
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, period, y,
+        |    count(*) OVER w AS n,
+        |    sum(period::DOUBLE) OVER w AS sx,
+        |    sum(y) OVER w AS sy,
+        |    sum(period::DOUBLE * y) OVER w AS sxy,
+        |    sum(period::DOUBLE * period::DOUBLE) OVER w AS sxx
+        |  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY period
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, period, y::REAL AS y,
+        |  (CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0.0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END)::REAL
+        |    AS slope
+        |FROM t ORDER BY event_type, period""".stripMargin,
+
+    // q54's session rule, aggregated per user with exact-int ratios
+    "q174_session_stats" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+        |  FROM events),
+        |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |         OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |         ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM g),
+        |per AS (SELECT user_id, session_idx, count(*)::BIGINT AS n,
+        |    (max(tus) - min(tus))::BIGINT AS dur
+        |  FROM s GROUP BY user_id, session_idx)
+        |SELECT user_id,
+        |  count(*)::BIGINT AS n_sessions,
+        |  sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+        |  sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+        |    AS bounce_rate,
+        |  sum(n)::BIGINT AS n_events,
+        |  sum(n)::DOUBLE / count(*) AS events_per_session,
+        |  sum(dur)::DOUBLE / count(*) AS avg_dur_us
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 
   /** q92 is the INDEX ROUNDTRIP of q41: building the IVF index on disk and

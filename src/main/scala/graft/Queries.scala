@@ -2040,5 +2040,40 @@ object Queries {
           s.read.parquet(s"$dir/part.parquet"),
           "p_partkey", "p_name", Seq("p_brand", "p_size"))
         .orderBy("id")),
+
+    // connected components via the public graph API (min-label
+    // propagation + pointer jumping) over the LOOSER 0.3-Jaccard pair
+    // graph — longer chains and bigger components than q43's clusters
+    "q172_connected_components" -> ((s, dir) =>
+      graft.operators.Graphs.connectedComponents(
+          Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+            n = 2, threshold = 0.3),
+          "id1", "id2")
+        .orderBy("node")),
+
+    // rolling trend: daily value sums per type with the trailing-7 OLS
+    // slope from four window sums — the moments-kernel slope formula
+    // carried by a ROWS window over the aggregated series
+    "q173_rolling_trend" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .rollingTrend(e, "event_type", "tus", "value",
+          periodUs = 86400000000L, w = 7)
+        .select(col("event_type"), col("period"),
+          col("y").cast("float").as("y"),
+          col("slope").cast("float").as("slope"))
+        .orderBy("event_type", "period")
+    }),
+
+    // per-user session stats over 30-min-gap sessions: bounce rate,
+    // events/session, mean duration — exact-int ratios off the q54
+    // sessionization rule
+    "q174_session_stats" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .sessionStats(e, "user_id", "tus", "event_id",
+          gapUs = 1800L * 1000000L)
+        .orderBy("user_id")
+    }),
   )
 }

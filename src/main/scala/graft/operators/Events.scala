@@ -549,6 +549,96 @@ object Events {
         sum(col("len")).as("n_active_periods"))
   }
 
+  /** Per-user session statistics over gap-based sessionization (same
+    * session rule as the q54 battery query: a new session starts after
+    * `gapUs` of inactivity; ties broken by event id): session count,
+    * bounce count (1-event sessions), bounce rate, events per session,
+    * and mean session duration. All ratios are exact-integer sums
+    * divided once — deterministic under any partitioning.
+    *
+    * Scale shape: the lag/cumsum windows are partitioned by user (no
+    * global sort); everything after is two hash aggregations keyed on
+    * (user, session) then user.
+    */
+  def sessionStats(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      gapUs: Long
+  ): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val sessions = df
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col(tsCol) - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__sess",
+        sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol).as("user_id"), col("__sess"))
+      .agg(count(lit(1)).as("__n"),
+        (max(col(tsCol)) - min(col(tsCol))).as("__dur"))
+    sessions
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("__n")).as("n_events"),
+        sum(col("__dur")).as("__dursum"))
+      .select(col("user_id"), col("n_sessions"), col("n_bounces"),
+        (col("n_bounces").cast("double") / col("n_sessions")).as("bounce_rate"),
+        col("n_events"),
+        (col("n_events").cast("double") / col("n_sessions")).as("events_per_session"),
+        (col("__dursum").cast("double") / col("n_sessions")).as("avg_dur_us"))
+  }
+
+  /** Rolling trend: per (event type, period) value sums, with the OLS
+    * slope of that per-period series over a trailing `w`-period ROWS
+    * window — "is this metric rising, and how fast", the windowed twin
+    * of the engine's moments-kernel fit (same closed-form slope from the
+    * same four sums, here carried by window aggregates instead of a
+    * global one).
+    *
+    * Returns (event_type, period, y, slope) where y is the period's
+    * value sum and slope is NULL until the window holds ≥ 2 points (or
+    * when all window periods coincide). As with [[rollingActivity]], the
+    * window runs over periods that EXIST for the type.
+    *
+    * Scale shape: raw events collapse through one (type, period) hash
+    * agg; the four window sums (Σx, Σy, Σxy, Σxx) run over the tiny
+    * aggregated series, partitioned by type — never over raw events.
+    */
+  def rollingTrend(
+      df: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      valueCol: String,
+      periodUs: Long,
+      w: Int
+  ): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    require(w >= 2, s"window must be >= 2 periods, got $w")
+    val series = df
+      .select(col(typeCol).as("event_type"),
+        expr(s"`$tsCol` DIV ${periodUs}L").as("period"),
+        col(valueCol).cast("double").as("__y"))
+      .groupBy("event_type", "period")
+      .agg(sum(col("__y")).as("y"))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("period"))
+      .rowsBetween(-(w - 1).toLong, Window.currentRow)
+    val x = col("period").cast("double")
+    val n = count(lit(1)).over(trail).cast("double")
+    val sx = sum(x).over(trail)
+    val sy = sum(col("y")).over(trail)
+    val sxy = sum(x * col("y")).over(trail)
+    val sxx = sum(x * x).over(trail)
+    val den = n * sxx - sx * sx
+    series.withColumn("slope",
+      when(n >= 2 && den =!= 0.0, (n * sxy - sx * sy) / den))
+  }
+
   /** OHLC downsampling: per (event type, period) the open/high/low/close
     * of a value column plus the event count and value sum — the standard
     * resample of a raw event stream to a regular bar series. Open/close

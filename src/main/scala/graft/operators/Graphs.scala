@@ -90,4 +90,28 @@ object Graphs {
     }
     ranks.select(col("__n").as("node"), col("__r").as("rank"))
   }
+
+  /** Connected components over an undirected edge relation: every node is
+    * labeled with the minimum node id reachable from it. Returns
+    * (node, component); isolated nodes (absent from `edges`) produce no
+    * row — union them in with self-labels if needed.
+    *
+    * This is the public graph-API spelling of the label-propagation /
+    * pointer-jumping loop the dedup pipeline uses to collapse near-dup
+    * pair graphs ([[graft.pipeline.Dedup.duplicateClusters]] — one
+    * min-label propagate join + one shortcut join per round, lineage
+    * truncated every few rounds); convergence needs O(log diameter)
+    * rounds thanks to the pointer jumps.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 20,
+      checkpointEvery: Int = 5
+  ): DataFrame =
+    graft.pipeline.Dedup.duplicateClusters(
+        edges.select(col(srcCol).as("id1"), col(dstCol).as("id2")),
+        maxIter, checkpointEvery)
+      .select(col("id").as("node"), col("cluster").as("component"))
 }

@@ -339,6 +339,41 @@ class EventsSpec extends SparkTestBase {
       u2.getAs[Long]("n_active_periods")) === ((1L, 1L, 1L)))
   }
 
+  test("rollingTrend: exact slope over the trailing window, NULL when degenerate") {
+    // type x: periods 0,1,2 with y = 1, 3, 5 → slope 2 everywhere the
+    // window holds ≥2 points; first period slope NULL
+    val d = Seq(
+      ("x", 1L, 1.0),
+      ("x", 11L, 3.0),
+      ("x", 21L, 2.0), ("x", 22L, 3.0)).toDF("e", "t", "v")
+    val out = Events.rollingTrend(d, "e", "t", "v", periodUs = 10L, w = 3)
+      .orderBy("period").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("slope")))
+    assert(math.abs(out(1).getAs[Double]("slope") - 2.0) < 1e-12)
+    assert(math.abs(out(2).getAs[Double]("slope") - 2.0) < 1e-12)
+    assert(out(2).getAs[Double]("y") === 5.0)
+  }
+
+  test("sessionStats: bounce rate and exact ratios over gap sessions") {
+    // user 1: events at 0,5 (one session, 2 events, dur 5), then 100
+    // (bounce) → 2 sessions, 1 bounce, 3 events, durations 5+0
+    // user 2: single event → 1 session, 1 bounce
+    val d = Seq(
+      (1L, 0L, 10L), (1L, 5L, 11L), (1L, 100L, 12L),
+      (2L, 7L, 20L)).toDF("u", "t", "id")
+    val out = Events.sessionStats(d, "u", "t", "id", gapUs = 20L)
+      .orderBy("user_id").collect()
+    val u1 = out(0)
+    assert(u1.getAs[Long]("n_sessions") === 2L)
+    assert(u1.getAs[Long]("n_bounces") === 1L)
+    assert(u1.getAs[Double]("bounce_rate") === 0.5)
+    assert(u1.getAs[Long]("n_events") === 3L)
+    assert(u1.getAs[Double]("events_per_session") === 1.5)
+    assert(u1.getAs[Double]("avg_dur_us") === 2.5)
+    val u2 = out(1)
+    assert((u2.getAs[Long]("n_sessions"), u2.getAs[Long]("n_bounces")) === ((1L, 1L)))
+  }
+
   test("ohlcDownsample: open/close by (ts, id) order, high/low/sum exact") {
     val d = Seq(
       // type x, period 0: ts 1,3,9 → open=5.0, close=2.0

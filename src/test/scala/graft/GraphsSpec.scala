@@ -52,4 +52,22 @@ class GraphsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Graphs.pageRank(d, "s", "t", 0) }
     intercept[IllegalArgumentException] { Graphs.pageRank(d, "s", "t", 3, damping = 1.0) }
   }
+
+  test("connectedComponents: chains, isolates-by-omission, min labels") {
+    // two components: {1,2,3,4} chained, {7,9}; node 5 appears only as
+    // an isolated self-less id — absent from edges, absent from output
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (9L, 7L)).toDF("s", "t")
+    val got = Graphs.connectedComponents(edges, "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents: long path converges via pointer jumping") {
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("s", "t")
+    val got = Graphs.connectedComponents(edges, "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 40)
+    assert(got.forall(_._2 === 1L))
+  }
 }
