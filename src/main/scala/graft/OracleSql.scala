@@ -83,6 +83,11 @@ object OracleSql {
   private def bigrams(t: String) =
     s"list_transform(range(1, len($t)), i -> $t[i] || ' ' || $t[i+1])"
 
+  /** word-trigram shingles from a token list. */
+  private def trigrams(t: String) =
+    s"""list_transform(range(1, len($t) - 1),
+       |  i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2])""".stripMargin
+
   /** distinct (id, bigram-shingle) pairs over documents. */
   private val ShingleSets =
     s"""sh AS (SELECT DISTINCT doc_id AS id, unnest(${bigrams(toks("text"))}) AS shingle
@@ -2808,9 +2813,10 @@ object OracleSql {
         |ORDER BY o_orderkey""".stripMargin,
 
     // prefix filtering is lossless, so the oracle is the brute-force
-    // exact Jaccard join over the same bigram-shingle sets
+    // exact Jaccard join over the same TRIGRAM-shingle sets
     "q167_setsim_join" ->
-      s"""WITH $ShingleSets,
+      s"""WITH sh AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(${trigrams(toks("text"))}) AS shingle FROM documents),
          |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),
          |common AS (SELECT a.id id1, b.id id2, count(*) AS common
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BloomJoin, Events, Graphs, Linkage, SetSimJoin}
+import graft.pipeline.{Dedup, TextOps}
+
+/** Scratch profiler for the second round-6 operator batch (Bloom semi
+  * join, prefix-filter set-similarity join, streaks/OHLC/trend/session
+  * stats, connected components, record linkage): each op `PROF_ITERS`
+  * times on `SPARK_GRAFT_SF_DIR`, per-iteration and minimum wall times
+  * (BENCH_NOTES.md methodology — compare minima under bursty steal). */
+object ProfRound6b {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val iters = sys.env.getOrElse("PROF_ITERS", "3").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ev = graft.sources.EventTime.withEpochMicros(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    println(s"[prof] dir=$sfDir li=${li.count()} ord=${ord.count()} " +
+      s"part=${part.count()} docs=${docs.count()} ev=${ev.count()}")
+
+    def noop(df: DataFrame): Long =
+      df.queryExecution.toRdd.mapPartitions(it => Iterator.single(it.size.toLong)).sum().toLong
+
+    val only = sys.env.get("PROF_ONLY").map(_.split(",").map(_.trim).toSeq)
+    def time(name: String)(f: => Long): Unit = {
+      if (only.exists(ps => !ps.exists(name.startsWith))) return
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        val n = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[prof] $name: $dt%.2f s (rows=$n)")
+        dt
+      }
+      println(f"[prof] $name MIN: ${times.min}%.2f s")
+    }
+
+    time("bloom_semijoin")(noop(
+      BloomJoin.semiJoin(ord, col("o_orderkey"),
+        li.filter(col("l_quantity") >= 49), col("l_orderkey"),
+        numBits = 1 << 20, numHashes = 5)))
+    time("plain_semijoin")(noop( // reference point: no bloom prefilter
+      ord.join(li.filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")))
+    time("setsim_join")(noop(
+      SetSimJoin.jaccardJoin(
+        docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__toks")),
+        "doc_id", TextOps.wordShingles(col("__toks"), 3), 0.5)))
+    time("streaks")(noop(
+      Events.activityStreaks(ev, "user_id", "tus", 86400000000L)))
+    time("ohlc")(noop(
+      Events.ohlcDownsample(ev, "event_type", "tus", "event_id", "value",
+        3600000000L)))
+    time("rolling_trend")(noop(
+      Events.rollingTrend(ev, "event_type", "tus", "value",
+        86400000000L, 7)))
+    time("session_stats")(noop(
+      Events.sessionStats(ev, "user_id", "tus", "event_id",
+        1800L * 1000000L)))
+    time("record_linkage")(noop(
+      Linkage.nearestInBlock(part, "p_partkey", "p_name",
+        Seq("p_brand", "p_size"))))
+    time("connected_components")(noop(
+      Graphs.connectedComponents(
+        Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.3),
+        "id1", "id2")))
+    time("canonical_docs")(noop {
+      val clusters = Dedup.duplicateClusters(
+        Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.4))
+      clusters
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+        .select(col("cluster"),
+          struct((-col("n_chars")).as("neg_len"), col("id")).as("__cand"))
+        .groupBy("cluster").agg(min(col("__cand")).as("__best"))
+    })
+
+    spark.stop()
+  }
+}

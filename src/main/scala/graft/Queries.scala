@@ -1981,11 +1981,19 @@ object Queries {
     // exact set-similarity join via prefix filtering — LOSSLESS near-dup
     // pairs (vs q33's probabilistic MinHash recall): rare-first global
     // token order bounds the candidate buckets, the length filter prunes
-    // the rest, and verification is exact intersection counting
+    // the rest, and verification is exact intersection counting.
+    // TRIGRAM shingles: prefix filtering's pruning power scales with
+    // vocab size, and this synthetic corpus's ~30-word vocabulary makes
+    // every bigram corpus-hot (~900 types / 5k docs ⇒ every prefix
+    // bucket is huge); trigrams restore the Zipf tail real text has
     "q167_setsim_join" -> ((s, dir) =>
       graft.operators.SetSimJoin.jaccardJoin(
-          docs(s, dir), "doc_id",
-          TextOps.wordShingles(TextOps.tokens(col("text")), 2), tau = 0.5)
+          // bind tokens as an attribute first — HOF lambdas get no CSE,
+          // an inline tokens(text) would re-tokenize per shingle element
+          docs(s, dir).select(col("doc_id"),
+            TextOps.tokens(col("text")).as("__toks")),
+          "doc_id",
+          TextOps.wordShingles(col("__toks"), 3), tau = 0.5)
         .orderBy("id1", "id2")),
 
     // gaps-and-islands: longest consecutive-day activity streak per user

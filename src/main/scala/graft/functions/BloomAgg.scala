@@ -105,9 +105,17 @@ object BloomAgg {
   * filter, inside whole-stage codegen, so the runtime filter costs k bit
   * reads per row with early exit — no UDF, no interpreted dispatch.
   *
-  * `left` = the filter bytes (normally a broadcast 1-row cross-joined
-  * column), `right` = the 64-bit key hash. NULL filter or hash → NULL
-  * (filter semantics drop the row).
+  * `left` = the filter bytes, `right` = the 64-bit key hash. NULL filter
+  * or hash → NULL (filter semantics drop the row).
+  *
+  * CONTRACT: `left` must be CONSTANT across the rows of a partition (a
+  * broadcast 1-row cross-joined column, a literal, or a scalar
+  * subquery) — the same contract Spark's own runtime-filter probe
+  * imposes. The first non-null filter value is cached and reused for
+  * every subsequent row: `UnsafeRow.getBinary` COPIES the byte array,
+  * so re-reading an m-bit filter per probe row would turn the filter
+  * into an m/8-bytes-per-row memcpy (measured 5× the plain join's cost
+  * at m=2²⁰ over 1.5M rows before the cache existed).
   */
 case class BloomMightContain(
     left: Expression,
@@ -130,12 +138,19 @@ case class BloomMightContain(
       s"bloom_might_contain needs (binary, bigint), got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
+  // cached filter bytes (constant-across-rows contract); a benign race
+  // at worst re-reads the identical value
+  @transient private var cachedBytes: Array[Byte] = _
+
   override def eval(input: InternalRow): Any = {
-    val f = left.eval(input)
-    if (f == null) return null
+    if (cachedBytes == null) {
+      val f = left.eval(input)
+      if (f == null) return null
+      cachedBytes = f.asInstanceOf[Array[Byte]]
+    }
     val v = right.eval(input)
     if (v == null) return null
-    val bytes = f.asInstanceOf[Array[Byte]]
+    val bytes = cachedBytes
     val h = v.asInstanceOf[Long]
     val h1 = (h >>> 32).toInt
     val h2 = h.toInt | 1
@@ -151,28 +166,34 @@ case class BloomMightContain(
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val leftGen = left.genCode(ctx)
     val rightGen = right.genCode(ctx)
-    val bytes = ctx.freshName("bytes")
+    val cache = ctx.addMutableState("byte[]", "bloomFilterCache")
     val h1 = ctx.freshName("h1")
     val h2 = ctx.freshName("h2")
     val i = ctx.freshName("i")
     val bit = ctx.freshName("bit")
     val code =
       code"""
-        ${leftGen.code}
-        ${rightGen.code}
         boolean ${ev.isNull} = true;
         boolean ${ev.value} = false;
-        if (!${leftGen.isNull} && !${rightGen.isNull}) {
-          ${ev.isNull} = false;
-          byte[] $bytes = ${leftGen.value};
-          int $h1 = (int) (${rightGen.value} >>> 32);
-          int $h2 = ((int) ${rightGen.value}) | 1;
-          ${ev.value} = true;
-          for (int $i = 0; $i < $numHashes; $i++) {
-            int $bit = java.lang.Math.floorMod($h1 + $i * $h2, $numBits);
-            if (($bytes[$bit >> 3] & (1 << ($bit & 7))) == 0) {
-              ${ev.value} = false;
-              break;
+        if ($cache == null) {
+          ${leftGen.code}
+          if (!${leftGen.isNull}) {
+            $cache = ${leftGen.value};
+          }
+        }
+        if ($cache != null) {
+          ${rightGen.code}
+          if (!${rightGen.isNull}) {
+            ${ev.isNull} = false;
+            int $h1 = (int) (${rightGen.value} >>> 32);
+            int $h2 = ((int) ${rightGen.value}) | 1;
+            ${ev.value} = true;
+            for (int $i = 0; $i < $numHashes; $i++) {
+              int $bit = java.lang.Math.floorMod($h1 + $i * $h2, $numBits);
+              if (($cache[$bit >> 3] & (1 << ($bit & 7))) == 0) {
+                ${ev.value} = false;
+                break;
+              }
             }
           }
         }

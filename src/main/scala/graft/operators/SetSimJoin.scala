@@ -41,25 +41,32 @@ object SetSimJoin {
       tau: Double
   ): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
-    val tok = Staging.stage(df
-      .select(col(idCol).as("id"), explode(tokensCol).as("token"))
-      .filter(col("token").isNotNull)
-      .distinct())
+    // NOTE for callers: pass `tokensCol` over a BOUND token attribute
+    // (select the token array first), not an inline tokens(text) chain —
+    // HOF lambdas get no CSE, so an embedded tokenize re-runs per
+    // element (the Dedup.shingleSets lesson). Per-row array_distinct
+    // replaces a global DISTINCT: (id, token) duplicates only occur
+    // within one row, so deduping the array first saves a full shuffle.
+    val tok = Staging.stage(graft.sources.ScaleOps
+      .normalizeParallelism(
+        df.select(col(idCol).as("id"), tokensCol.as("__toks")),
+        df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"),
+        explode(array_distinct(col("__toks"))).as("token"))
+      .filter(col("token").isNotNull))
     // global token order = (doc-frequency asc, token asc). The join is
     // correct under ANY total order; this one is the candidate-minimizing
-    // heuristic. row_number over the vocab table — the discrete-measure
-    // contract (vocab rows, not corpus rows) shared with the Zipf/BPE ops.
-    val rank = tok.groupBy("token")
-      .agg(count(lit(1)).as("__df"))
-      .withColumn("__rank",
-        row_number().over(Window.orderBy(col("__df").asc, col("token").asc)))
-      .select(col("token"), col("__rank"))
+    // heuristic. The order is USED only inside per-doc windows — no
+    // global rank is ever materialized (a corpus-wide row_number would be
+    // a single-partition sort over the whole vocab).
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("__df"))
     val sizes = tok.groupBy("id").agg(count(lit(1)).as("__sz"))
     // prefix length p = sz − ⌈τ·sz⌉ + 1 (ceil via integer arithmetic so
     // both engines agree bit-exactly on the boundary)
-    val ranked = tok.join(rank, "token").join(sizes, "id")
+    val ranked = tok.join(dfreq, "token").join(sizes, "id")
     val withPos = ranked.withColumn("__pos",
-      row_number().over(Window.partitionBy(col("id")).orderBy(col("__rank"))))
+      row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("__df").asc, col("token").asc)))
     val prefix = Staging.stage(withPos
       .filter(col("__pos") <=
         col("__sz") - ceil(lit(tau) * col("__sz")).cast("long") + lit(1))

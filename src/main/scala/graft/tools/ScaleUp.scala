@@ -120,6 +120,34 @@ object ScaleUp {
         .write.mode("overwrite").parquet(s"$dst/events.parquet")
     }
 
+    // orders: shift o_orderkey by the SAME stride as lineitem, so
+    // orderkey-joins (e.g. the Bloom semi join) keep per-replica
+    // referential integrity and match counts scale linearly.
+    if (tables("orders")) {
+      val o = spark.read.parquet(s"$src/orders.parquet")
+      val oScaled = replicate(o) { (d, r) =>
+        d.withColumn("o_orderkey", col("o_orderkey") + lit(r * keyStride))
+      }
+      oScaled.repartition(partitions)
+        .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    }
+
+    // part: shift p_partkey and salt p_brand per replica (r 0 verbatim) —
+    // a 10x parts catalog has more brands, not 10x-deeper (brand, size)
+    // blocks; leaving the blocking keys unsalted would grow every
+    // linkage block by `factor` and benchmark a quadratically harder
+    // per-block join than a real catalog poses.
+    if (tables("part")) {
+      val p = spark.read.parquet(s"$src/part.parquet")
+      val pScaled = replicate(p) { (d, r) =>
+        if (r == 0) d
+        else d.withColumn("p_partkey", col("p_partkey") + lit(r * keyStride))
+          .withColumn("p_brand", concat(col("p_brand"), lit(s"-r$r")))
+      }
+      pScaled.repartition(partitions)
+        .write.mode("overwrite").parquet(s"$dst/part.parquet")
+    }
+
     // embeddings: rotate the vector by r to decorrelate replicas; cast back
     // to array<float> so the schema matches the driver's tables.
     if (tables("embeddings")) {
