@@ -2908,6 +2908,81 @@ object OracleSql {
         |SELECT id, id2 AS match_id, d AS distance
         |FROM r WHERE rn = 1 ORDER BY id""".stripMargin,
 
+    // same four grouping sets, same grouping_id bit order (first col =
+    // most significant bit in both engines)
+    "q175_cube_totals" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*)::BIGINT AS n, sum(l_quantity) AS sum_qty,
+        |  GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin,
+
+    // latest version per key via row_number over (ts, id) descending
+    "q176_latest_per_key" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
+        |    event_id, value FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY tus DESC, event_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY user_id, event_type)::BIGINT AS n_versions,
+        |  max(tus) OVER (PARTITION BY user_id, event_type)::BIGINT AS last_ts
+        |  FROM e)
+        |SELECT user_id, event_type, value AS last_value,
+        |  event_id AS last_id, last_ts, n_versions
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // same md5 uniforms, same log(u)/w priorities, same per-stratum rank
+    "q177_stratified_sample" -> {
+      val u = s"((${hash32("'ps' || doc_id::VARCHAR")} + 1)::DOUBLE / 4294967296.0)"
+      s"""WITH p AS (SELECT lang, doc_id, n_chars,
+         |    ln($u) / CAST(n_chars AS DOUBLE) AS prio
+         |  FROM documents
+         |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY prio DESC, doc_id) AS rn FROM p)
+         |SELECT lang, doc_id, n_chars, prio::REAL AS prio
+         |FROM r WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin
+    },
+
+    // same contingency/margin algebra, same perturbed rater
+    "q178_cohen_kappa" ->
+      """WITH d AS (SELECT lang AS a,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END AS b
+        |  FROM documents WHERE lang IS NOT NULL),
+        |cells AS (SELECT a, b, count(*)::DOUBLE AS n FROM d GROUP BY 1, 2),
+        |rm AS (SELECT a, sum(n) AS ra FROM cells GROUP BY a),
+        |cm AS (SELECT b, sum(n) AS cb FROM cells GROUP BY b),
+        |t AS (SELECT sum(n) AS t FROM cells),
+        |po AS (SELECT coalesce(sum(n), 0) AS agree FROM cells WHERE a = b),
+        |pe AS (SELECT coalesce(sum(ra * cb), 0) AS pesum
+        |  FROM rm JOIN cm ON rm.a = cm.b)
+        |SELECT t::BIGINT AS n, (agree / t)::REAL AS po,
+        |  (pesum / (t * t))::REAL AS pe,
+        |  (CASE WHEN pesum / (t * t) < 1.0
+        |    THEN (agree / t - pesum / (t * t)) / (1.0 - pesum / (t * t))
+        |    END)::REAL AS kappa
+        |FROM t CROSS JOIN po CROSS JOIN pe""".stripMargin,
+
+    // same NTILE cut (score desc, id tiebreak), same cumulative algebra
+    "q179_lift_curve" ->
+      """WITH r AS (SELECT ntile(10) OVER (ORDER BY CAST(n_chars AS DOUBLE)
+        |      DESC, doc_id) AS bucket,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |b AS (SELECT bucket, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+        |  FROM r GROUP BY bucket),
+        |c AS (SELECT *, sum(n) OVER w::BIGINT AS cum_n,
+        |    sum(n_pos) OVER w::BIGINT AS cum_pos
+        |  FROM b WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT sum(n)::DOUBLE AS tn, sum(n_pos)::DOUBLE AS tp FROM b)
+        |SELECT bucket, n, n_pos, cum_n, cum_pos,
+        |  (CASE WHEN tp > 0 THEN cum_pos / tp END)::REAL AS gain,
+        |  (CASE WHEN tp > 0 THEN (cum_pos / tp) / (cum_n / tn) END)::REAL
+        |    AS lift
+        |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
+
     // recursive transitive closure over the 0.3-Jaccard pair graph
     "q172_connected_components" ->
       s"""WITH $ShingleSets,

@@ -2083,5 +2083,60 @@ object Queries {
           gapUs = 1800L * 1000000L)
         .orderBy("user_id")
     }),
+
+    // OLAP cube materialization: all four grouping sets of
+    // (returnflag, linestatus) in ONE pass — the GROUPING SETS engine
+    // the 2-FE demean already rides, exposed as a user-facing rollup
+    "q175_cube_totals" -> ((s, dir) =>
+      li(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // CDC latest-record compaction: current value per (user, type) via
+    // one max_by((ts, id)) hash agg — the event-sourced snapshot view
+    "q176_latest_per_key" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .latestPerKey(e, Seq("user_id", "event_type"), "tus", "event_id",
+          "value")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // stratified fixed-k weighted sample: exactly min(k, |stratum|) docs
+    // per language by ES priority keys; windows sort within strata only
+    "q177_stratified_sample" -> ((s, dir) =>
+      graft.sources.ScaleOps
+        .prioritySampleByGroup(docs(s, dir), "doc_id", "lang",
+          col("n_chars").cast("double"), k = 20, salt = "ps")
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          col("__prio").cast("float").as("prio"))
+        .orderBy("lang", "doc_id")),
+
+    // Cohen's kappa between the lang label and a deterministically
+    // perturbed rater (doc_id ≡ 0 mod 7 → 'zz'): one contingency agg,
+    // margins over the label-space-sized cell table
+    "q178_cohen_kappa" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.reg.Eval.cohenKappa(d,
+          col("lang"),
+          when(col("doc_id") % 7 === 0, lit("zz")).otherwise(col("lang")))
+        .select(col("n"), col("po").cast("float").as("po"),
+          col("pe").cast("float").as("pe"),
+          col("kappa").cast("float").as("kappa"))
+    }),
+
+    // decile gains/lift of n_chars predicting lang='en': global NTILE
+    // ranking (q16 contract), then bucket-table cumsums + 1-row totals
+    "q179_lift_curve" -> ((s, dir) =>
+      graft.reg.Eval.liftCurve(docs(s, dir),
+          col("n_chars").cast("double"), col("lang") === "en",
+          col("doc_id"), buckets = 10)
+        .select(col("bucket"), col("n"), col("n_pos"), col("cum_n"),
+          col("cum_pos"), col("gain").cast("float").as("gain"),
+          col("lift").cast("float").as("lift"))
+        .orderBy("bucket")),
   )
 }

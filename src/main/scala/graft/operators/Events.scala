@@ -549,6 +549,31 @@ object Events {
         sum(col("len")).as("n_active_periods"))
   }
 
+  /** Latest-record compaction (the CDC/upsert "current snapshot" view):
+    * per key, the value carried by the most recent (ts, id) event, plus
+    * the version count and last timestamp. ONE hash aggregation with
+    * `max_by` over a (ts, id) struct — no window sort, no shuffle beyond
+    * the keyed agg; the id tiebreak makes simultaneous versions
+    * deterministic. This is the read-side compaction every event-sourced
+    * table needs (latest profile per user, current price per part).
+    */
+  def latestPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      idCol: String,
+      valueCol: String
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val ord = struct(col(tsCol), col(idCol))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        max_by(col(valueCol), ord).as("last_value"),
+        max_by(col(idCol), ord).as("last_id"),
+        max(col(tsCol)).as("last_ts"),
+        count(lit(1)).as("n_versions"))
+  }
+
   /** Per-user session statistics over gap-based sessionization (same
     * session rule as the q54 battery query: a new session starts after
     * `gapUs` of inactivity; ties broken by event id): session count,

@@ -277,4 +277,81 @@ object Eval {
         ((col("__p") - col("__q")) * log(col("__p") / col("__q"))).as("contrib"))
       .orderBy("bin")
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * raters over the same label space: κ = (p_o − p_e) / (1 − p_e) with
+    * p_o the diagonal mass and p_e = Σ_c rowMarg_c · colMarg_c / n².
+    * The standard annotation-quality gate before labeled data enters a
+    * training set.
+    *
+    * Scale shape: ONE (a, b) contingency aggregation (the
+    * [[categoricalAssociation]] pattern); margins re-aggregate the
+    * label-space-sized cell table. Returns one row
+    * (n, po, pe, kappa); kappa is NULL when p_e = 1 (a single shared
+    * category — agreement is undefined, not perfect).
+    */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df
+      .filter(a.isNotNull && b.isNotNull)
+      .select(a.cast("string").as("__a"), b.cast("string").as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).cast("double").as("__n"))
+    val rowM = cells.groupBy("__a").agg(sum(col("__n")).as("__ra"))
+    val colM = cells.groupBy("__b").agg(sum(col("__n")).as("__cb"))
+    val tot = cells.agg(sum(col("__n")).as("__t"))
+    val po = cells.filter(col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__n")), lit(0.0)).as("__agree"))
+    val pe = rowM
+      .join(colM, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__ra") * col("__cb")), lit(0.0)).as("__pesum"))
+    broadcast(tot).crossJoin(broadcast(po)).crossJoin(broadcast(pe))
+      .select(
+        col("__t").cast("long").as("n"),
+        (col("__agree") / col("__t")).as("po"),
+        (col("__pesum") / (col("__t") * col("__t"))).as("pe"))
+      .select(col("n"), col("po"), col("pe"),
+        when(col("pe") < 1.0,
+          (col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
+  }
+
+  /** Cumulative gains / lift table: rank rows by `score` descending
+    * (ties broken by `tie` for determinism), cut into `buckets` equal
+    * NTILE slices, and report per slice the positives captured, the
+    * cumulative capture rate (gain) and lift = gain / population share —
+    * the standard "top decile captures X% of positives" targeting view.
+    *
+    * Scale shape: the ranking is a global NTILE (a total-order sort —
+    * the q16 contract; quantize scores upstream if the corpus makes
+    * that hot); everything after runs on the `buckets`-row aggregate
+    * with 1-row broadcast totals.
+    */
+  def liftCurve(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      tie: Column,
+      buckets: Int = 10
+  ): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    val ranked = df
+      .filter(score.isNotNull && label.isNotNull)
+      .select(score.as("__s"),
+        label.cast("boolean").cast("int").as("__y"), tie.as("__t"))
+      .withColumn("bucket",
+        ntile(buckets).over(Window.orderBy(col("__s").desc, col("__t"))))
+    val per = ranked.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).cast("long").as("n_pos"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum(col("n")).as("__tn"), sum(col("n_pos")).as("__tp"))
+    per
+      .withColumn("cum_n", sum(col("n")).over(cum).cast("long"))
+      .withColumn("cum_pos", sum(col("n_pos")).over(cum).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
+        when(col("__tp") > 0,
+          col("cum_pos").cast("double") / col("__tp")).as("gain"),
+        when(col("__tp") > 0,
+          (col("cum_pos").cast("double") / col("__tp")) /
+            (col("cum_n").cast("double") / col("__tn"))).as("lift"))
+  }
 }

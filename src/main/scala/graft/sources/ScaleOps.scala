@@ -203,6 +203,37 @@ object ScaleOps {
       .limit(k)
   }
 
+  /** Stratified fixed-size weighted sample: exactly min(k, |stratum|)
+    * rows PER STRATUM, selected by the same Efraimidis-Spirakis priority
+    * keys as [[prioritySample]] (deterministic md5 uniforms, so the
+    * sample is stable under reruns and engine changes). The per-stratum
+    * top-k rides a row_number window partitioned by the stratum — sorts
+    * run within strata only (never a global order); strata hot enough to
+    * make even that a problem should pre-split on a salted stratum and
+    * re-rank the k·salt survivors.
+    */
+  def prioritySampleByGroup(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      weight: Column,
+      k: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (graft.pipeline.TextOps
+      .hash32(concat(lit(salt), col(keyCol).cast("string"))) + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("__prio").desc, col(keyCol))
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("__prio", log(u) / weight)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Deterministic domain-mixture construction ("data mixing"): subsample
     * so the output follows the target per-domain `shares` exactly, sized to
     * the largest total the inventory supports — n_out = ⌊min_d(n_d /

@@ -136,4 +136,40 @@ class EvalSpec extends SparkTestBase {
       .agg(sum(col("contrib"))).head.getDouble(0)
     assert(math.abs(same) < 1e-12)
   }
+
+  test("Cohen's kappa: hand-computed 2x2, perfect agreement, and pe=1 guard") {
+    // classic 2x2: a/b agree on 20+15 of 50; po=0.7
+    // margins a: yes 25, no 25; b: yes 30, no 20 → pe = (25*30+25*20)/2500 = 0.5
+    // kappa = (0.7-0.5)/0.5 = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val d = rows.toDF("a", "b")
+    val out = Eval.cohenKappa(d, col("a"), col("b")).head
+    assert(out.getAs[Long]("n") === 50L)
+    assert(math.abs(out.getAs[Double]("po") - 0.7) < 1e-12)
+    assert(math.abs(out.getAs[Double]("pe") - 0.5) < 1e-12)
+    assert(math.abs(out.getAs[Double]("kappa") - 0.4) < 1e-12)
+    // perfect agreement with 2 classes → kappa 1
+    val perfect = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
+    assert(math.abs(Eval.cohenKappa(perfect, col("a"), col("b"))
+      .head.getAs[Double]("kappa") - 1.0) < 1e-12)
+    // single shared category: pe = 1 → kappa NULL, not division blowup
+    val degen = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val row = Eval.cohenKappa(degen, col("a"), col("b")).head
+    assert(row.isNullAt(row.fieldIndex("kappa")))
+  }
+
+  test("liftCurve: hand-computed gains on a perfectly ranked label") {
+    // scores 10..1, positives = top 4 scores → with 5 buckets of 2:
+    // bucket 1 captures 2/4, bucket 2 captures 4/4, rest flat
+    val d = (1 to 10).map(i => (i.toDouble, i >= 7, i.toLong)).toDF("s", "y", "id")
+    val out = Eval.liftCurve(d, col("s"), col("y"), col("id"), buckets = 5)
+      .orderBy("bucket").collect()
+    assert(out.map(_.getAs[Long]("n")).toSeq === Seq.fill(5)(2L))
+    assert(out.map(_.getAs[Long]("cum_pos")).toSeq === Seq(2L, 4L, 4L, 4L, 4L))
+    assert(math.abs(out(0).getAs[Double]("gain") - 0.5) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("lift") - 2.5) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("lift") - 2.5) < 1e-12)
+    assert(math.abs(out(4).getAs[Double]("lift") - 1.0) < 1e-12)
+  }
 }

@@ -339,6 +339,22 @@ class EventsSpec extends SparkTestBase {
       u2.getAs[Long]("n_active_periods")) === ((1L, 1L, 1L)))
   }
 
+  test("latestPerKey: max_by (ts, id) snapshot with version counts") {
+    val d = Seq(
+      // user 1 / x: versions at t=1,5 → last v=7.0; same-t tie at key 2/y
+      (1L, "x", 1L, 100L, 3.0), (1L, "x", 5L, 101L, 7.0),
+      (2L, "y", 4L, 200L, 1.0), (2L, "y", 4L, 201L, 2.0))
+      .toDF("u", "e", "t", "id", "v")
+    val out = Events.latestPerKey(d, Seq("u", "e"), "t", "id", "v")
+      .orderBy("u").collect()
+    assert(out(0).getAs[Double]("last_value") === 7.0)
+    assert(out(0).getAs[Long]("last_id") === 101L)
+    assert(out(0).getAs[Long]("n_versions") === 2L)
+    // simultaneous versions: larger id wins deterministically
+    assert(out(1).getAs[Double]("last_value") === 2.0)
+    assert(out(1).getAs[Long]("last_ts") === 4L)
+  }
+
   test("rollingTrend: exact slope over the trailing window, NULL when degenerate") {
     // type x: periods 0,1,2 with y = 1, 3, 5 → slope 2 everywhere the
     // window holds ≥2 points; first period slope NULL

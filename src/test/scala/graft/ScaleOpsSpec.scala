@@ -331,6 +331,31 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(s3 != s1)
   }
 
+  test("prioritySampleByGroup: exactly min(k, |stratum|) per stratum, deterministic") {
+    import spark.implicits._
+    val d = (1L to 300L).map(i => (i, s"g${i % 3}", 1.0)).toDF("id", "g", "w")
+    val out = ScaleOps.prioritySampleByGroup(d, "id", "g", col("w"), k = 10, salt = "s")
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.groupBy(_._1).view.mapValues(_.length).toMap ===
+      Map("g0" -> 10, "g1" -> 10, "g2" -> 10))
+    // layout invariance
+    val again = ScaleOps
+      .prioritySampleByGroup(d.repartition(7), "id", "g", col("w"), 10, "s")
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(again.toSet === out.toSet)
+    // a stratum smaller than k returns whole stratum
+    val small = (1L to 5L).map(i => (i, "only", 1.0)).toDF("id", "g", "w")
+    assert(ScaleOps.prioritySampleByGroup(small, "id", "g", col("w"), 10).count() === 5L)
+    // within-stratum agreement with the global sampler on a 1-stratum frame
+    val one = (1L to 100L).map(i => (i, 1.0)).toDF("id", "w")
+    val global = ScaleOps.prioritySample(one, "id", col("w"), 10, "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val grouped = ScaleOps.prioritySampleByGroup(
+        one.withColumn("g", lit("x")), "id", "g", col("w"), 10, "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(grouped === global)
+  }
+
   test("prioritySample: null/zero weights excluded; k over n returns all eligible") {
     import spark.implicits._
     val d = Seq((1L, Some(2.0)), (2L, None), (3L, Some(0.0)), (4L, Some(1.0)))
