@@ -88,6 +88,40 @@ object OracleSql {
     s"""list_transform(range(1, len($t) - 1),
        |  i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2])""".stripMargin
 
+  /** Shared CTE chain for the q181/q182 multiple-testing family: grouped
+    * two-proportion z-tests per (event_type, day-of-week) with the A&S
+    * 7.1.26 erfc tail (e-notation constants = the same IEEE doubles the
+    * Scala literals bind; erfc computed directly as poly·e^{−x²}, never
+    * 1 − erf — see Eval.erfcApprox). Yields table `pz`. */
+  private val PropZCtes =
+    """e AS (SELECT event_type,
+      |    (epoch_us(ts) // 86400000000) % 7 AS dow,
+      |    user_id % 2 = 0 AS f, value > 50 AS s
+      |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+      |g AS (SELECT event_type, dow,
+      |    sum(CASE WHEN f THEN 1 ELSE 0 END)::BIGINT AS n_a,
+      |    sum(CASE WHEN f AND s THEN 1 ELSE 0 END)::BIGINT AS s_a,
+      |    sum(CASE WHEN NOT f THEN 1 ELSE 0 END)::BIGINT AS n_b,
+      |    sum(CASE WHEN NOT f AND s THEN 1 ELSE 0 END)::BIGINT AS s_b
+      |  FROM e GROUP BY 1, 2),
+      |c AS (SELECT *,
+      |    CASE WHEN n_a > 0 THEN s_a::DOUBLE / n_a END AS p_a,
+      |    CASE WHEN n_b > 0 THEN s_b::DOUBLE / n_b END AS p_b,
+      |    (s_a + s_b)::DOUBLE / (n_a + n_b) AS pool FROM g),
+      |z0 AS (SELECT *,
+      |    CASE WHEN n_a > 0 AND n_b > 0 AND pool > 0e0 AND pool < 1e0
+      |      THEN (p_a - p_b) /
+      |        sqrt(pool * (1e0 - pool) * (1e0 / n_a + 1e0 / n_b))
+      |    END AS z FROM c),
+      |x0 AS (SELECT *, abs(z) / sqrt(2e0) AS x FROM z0),
+      |t0 AS (SELECT *, 1e0 / (1e0 + 3.275911e-1 * x) AS t FROM x0),
+      |pz AS (SELECT event_type, dow, n_a, s_a, n_b, s_b, p_a, p_b, z,
+      |    CASE WHEN z IS NOT NULL THEN
+      |      (t * (2.54829592e-1 + t * (-2.84496736e-1 +
+      |        t * (1.421413741e0 + t * (-1.453152027e0 +
+      |          t * 1.061405429e0))))) * exp(-(x * x))
+      |    END AS p FROM t0)""".stripMargin
+
   /** distinct (id, bigram-shingle) pairs over documents. */
   private val ShingleSets =
     s"""sh AS (SELECT DISTINCT doc_id AS id, unnest(${bigrams(toks("text"))}) AS shingle
@@ -2963,6 +2997,51 @@ object OracleSql {
         |    THEN (agree / t - pesum / (t * t)) / (1.0 - pesum / (t * t))
         |    END)::REAL AS kappa
         |FROM t CROSS JOIN po CROSS JOIN pe""".stripMargin,
+
+    // forward fill: same per-key grid, same (ts, id) last-observation
+    "q180_resample_fill" ->
+      """WITH e AS (SELECT user_id AS key, epoch_us(ts) AS tus, event_id,
+        |    value FROM events),
+        |b AS (SELECT key, tus // 86400000000 AS period, tus, event_id,
+        |    value FROM e),
+        |obs AS (SELECT key, period, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key, period
+        |      ORDER BY tus DESC, event_id DESC) AS rn FROM b)
+        |  WHERE rn = 1),
+        |span AS (SELECT key, min(period) AS p0, max(period) AS p1
+        |  FROM b GROUP BY key),
+        |grid AS (SELECT key, unnest(generate_series(p0, p1)) AS period
+        |  FROM span),
+        |j AS (SELECT g.key, g.period, obs.value AS v FROM grid g
+        |  LEFT JOIN obs ON g.key = obs.key AND g.period = obs.period)
+        |SELECT key, period,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY key
+        |    ORDER BY period ROWS UNBOUNDED PRECEDING) AS value,
+        |  v IS NOT NULL AS is_observed
+        |FROM j ORDER BY key, period""".stripMargin,
+
+    // grouped two-proportion z-tests; double-precision constants are
+    // e-notation so both engines bind the identical IEEE doubles
+    "q181_prop_ztest" ->
+      s"""WITH $PropZCtes
+         |SELECT event_type, dow, n_a, s_a, n_b, s_b,
+         |  p_a::REAL AS p_a, p_b::REAL AS p_b, z::REAL AS z, p::REAL AS p
+         |FROM pz ORDER BY event_type, dow""".stripMargin,
+
+    // BH step-up over the same test battery: ascending-p rank, suffix
+    // min via the reverse-ordered running min, capped at 1
+    "q182_bh_adjust" ->
+      s"""WITH $PropZCtes,
+         |tests AS (SELECT event_type || '|' || dow::VARCHAR AS id, p
+         |  FROM pz WHERE p IS NOT NULL),
+         |r1 AS (SELECT id, p,
+         |    row_number() OVER (ORDER BY p ASC, id ASC) AS rank,
+         |    count(*) OVER ()::BIGINT AS m FROM tests),
+         |r2 AS (SELECT *, p * m / rank AS raw FROM r1),
+         |r3 AS (SELECT *, least(min(raw) OVER (ORDER BY rank DESC
+         |    ROWS UNBOUNDED PRECEDING), 1e0) AS p_adj FROM r2)
+         |SELECT id, p::REAL AS p, rank, p_adj::REAL AS p_adj
+         |FROM r3 ORDER BY rank""".stripMargin,
 
     // same NTILE cut (score desc, id tiebreak), same cumulative algebra
     "q179_lift_curve" ->

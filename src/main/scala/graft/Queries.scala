@@ -2138,5 +2138,47 @@ object Queries {
           col("cum_pos"), col("gain").cast("float").as("gain"),
           col("lift").cast("float").as("lift"))
         .orderBy("bucket")),
+
+    // forward-fill resample: per-user daily value grid over the user's
+    // own active span, last-observation-carried-forward across gaps
+    "q180_resample_fill" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .resampleFill(e, "user_id", "tus", "event_id", "value",
+          periodUs = 86400000000L)
+        .orderBy("key", "period")
+    }),
+
+    // grouped two-proportion z-tests (per event type × day-of-week,
+    // arms split by user parity, success = value > 50): one conditional
+    // agg keyed on the cell; p via the shared A&S erfc tail
+    "q181_prop_ztest" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+        .withColumn("dow", expr("(tus DIV 86400000000) % 7"))
+      graft.reg.Eval.propZTestGrouped(e, Seq("event_type", "dow"),
+          col("user_id") % 2 === 0, col("value") > 50)
+        .select(col("event_type"), col("dow"), col("n_a"), col("s_a"),
+          col("n_b"), col("s_b"),
+          col("p_a").cast("float").as("p_a"),
+          col("p_b").cast("float").as("p_b"),
+          col("z").cast("float").as("z"), col("p").cast("float").as("p"))
+        .orderBy("event_type", "dow")
+    }),
+
+    // Benjamini-Hochberg over the q181 battery of tests: ascending-p
+    // rank, suffix-min step-up over the test-count-sized table
+    "q182_bh_adjust" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+        .withColumn("dow", expr("(tus DIV 86400000000) % 7"))
+      val tests = graft.reg.Eval
+        .propZTestGrouped(e, Seq("event_type", "dow"),
+          col("user_id") % 2 === 0, col("value") > 50)
+        .select(concat_ws("|", col("event_type"), col("dow")).as("test_id"),
+          col("p"))
+      graft.reg.Eval.bhAdjust(tests, "test_id", "p")
+        .select(col("id"), col("p").cast("float").as("p"), col("rank"),
+          col("p_adj").cast("float").as("p_adj"))
+        .orderBy("rank")
+    }),
   )
 }

@@ -549,6 +549,50 @@ object Events {
         sum(col("len")).as("n_active_periods"))
   }
 
+  /** Forward-fill resampling: project a sparse event stream onto a
+    * REGULAR per-key period grid, carrying the last observed value
+    * across gaps — the standard "as-of state at every tick" view
+    * (sensor panels, balances, feature snapshots for training).
+    *
+    * Per key the grid spans that key's own [first, last] active period
+    * (no global spine — a key appearing for a day doesn't get years of
+    * rows). Within a period the observation is the latest (ts, id)
+    * event ([[latestPerKey]] semantics); gaps take the most recent prior
+    * value (`is_observed` = false).
+    *
+    * Scale shape: one (key, period) max_by agg; one per-key min/max agg
+    * whose `sequence()` explode generates the grid — output rows =
+    * Σ_key span-periods, the caller's periodUs choice bounds it; the
+    * fill is a last-ignoring-nulls window partitioned by key over grid
+    * rows only. No global sort anywhere.
+    */
+  def resampleFill(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      periodUs: Long
+  ): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val base = df.select(col(keyCol).as("key"),
+      expr(s"`$tsCol` DIV ${periodUs}L").as("period"),
+      col(tsCol), col(idCol), col(valueCol).cast("double").as("__v"))
+    val obs = base
+      .groupBy("key", "period")
+      .agg(max_by(col("__v"), struct(col(tsCol), col(idCol))).as("__obs"))
+    val grid = base.groupBy("key")
+      .agg(min(col("period")).as("__p0"), max(col("period")).as("__p1"))
+      .select(col("key"),
+        explode(sequence(col("__p0"), col("__p1"))).as("period"))
+    val w = Window.partitionBy(col("key")).orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("key", "period"), "left")
+      .select(col("key"), col("period"),
+        last(col("__obs"), ignoreNulls = true).over(w).as("value"),
+        col("__obs").isNotNull.as("is_observed"))
+  }
+
   /** Latest-record compaction (the CDC/upsert "current snapshot" view):
     * per key, the value carried by the most recent (ts, id) event, plus
     * the version count and last timestamp. ONE hash aggregation with

@@ -313,6 +313,92 @@ object Eval {
           (col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
   }
 
+  /** Abramowitz–Stegun 7.1.26 complementary-error-function polynomial
+    * (|ε| < 1.5e-7) as a Column — the cross-engine-replicable normal
+    * tail used by [[propZTestGrouped]] (the oracle renders the identical
+    * Horner chain, so single-precision pins survive). Computed DIRECTLY
+    * as poly·e^{−x²} — never as 1 − erf, whose 1−(1−y) cancellation
+    * loses ~4 decimal digits of the tail for large x. Valid for x ≥ 0.
+    */
+  private[graft] def erfcApprox(x: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = t * (lit(0.254829592) + t * (lit(-0.284496736) +
+      t * (lit(1.421413741) + t * (lit(-1.453152027) +
+        t * lit(1.061405429)))))
+    poly * exp(-(x * x))
+  }
+
+  /** Two-sided normal p-value for a z statistic: p = erfc(|z|/√2). */
+  private[graft] def normalTwoSidedP(z: Column): Column =
+    erfcApprox(abs(z) / lit(math.sqrt(2.0)))
+
+  /** Grouped two-proportion z-test: per group, compare the success rate
+    * between arms (`flag` true = arm A) with the pooled-variance z
+    * statistic and a two-sided normal p-value — the many-cells A/B
+    * readout that feeds [[bhAdjust]].
+    *
+    * Scale shape: ONE conditional-sum aggregation keyed on the group
+    * (the [[abTest]] pattern, distributed across groups); z/p are
+    * projections over the group-count-sized table. z is NULL when an
+    * arm is empty or the pooled rate is degenerate (0 or 1).
+    */
+  def propZTestGrouped(
+      df: DataFrame,
+      groupCols: Seq[String],
+      flag: Column,
+      success: Column
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val s = success.cast("boolean").cast("int")
+    val g = df
+      .filter(flag.isNotNull && success.isNotNull)
+      .withColumn("__f", flag.cast("boolean"))
+      .withColumn("__s", s)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col("__f"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__f"), col("__s")).otherwise(0)).cast("long").as("s_a"),
+        sum(when(!col("__f"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("__f"), col("__s")).otherwise(0)).cast("long").as("s_b"))
+    val pa = col("s_a").cast("double") / col("n_a")
+    val pb = col("s_b").cast("double") / col("n_b")
+    val pool = (col("s_a") + col("s_b")).cast("double") / (col("n_a") + col("n_b"))
+    val z = (pa - pb) /
+      sqrt(pool * (lit(1.0) - pool) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    g.select((groupCols.map(col) ++ Seq(
+        col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+        when(col("n_a") > 0, pa).as("p_a"),
+        when(col("n_b") > 0, pb).as("p_b"),
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+          pool > 0.0 && pool < 1.0, z).as("z"))): _*)
+      .withColumn("p", when(col("z").isNotNull, normalTwoSidedP(col("z"))))
+  }
+
+  /** Benjamini–Hochberg step-up FDR adjustment over a table of test
+    * p-values: rank ascending (ties by `id` for determinism), adjusted
+    * p_(i) = min_{j ≥ i} p_(j)·m/j capped at 1 — the suffix minimum via
+    * a reverse-ordered running min. Null p-values are dropped.
+    *
+    * Scale shape: one global sort over the TEST table (one row per
+    * hypothesis — bounded by the testing design, not the data volume;
+    * the m-count rides a 1-row broadcast).
+    */
+  def bhAdjust(df: DataFrame, idCol: String, pCol: String): DataFrame = {
+    val t = df.filter(col(pCol).isNotNull)
+      .select(col(idCol).as("id"), col(pCol).cast("double").as("p"))
+    val m = t.agg(count(lit(1)).as("__m"))
+    val ranked = t.crossJoin(broadcast(m))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("p").asc, col("id").asc)))
+      .withColumn("__raw", col("p") * col("__m") / col("rank"))
+    val suffix = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("p_adj", least(min(col("__raw")).over(suffix), lit(1.0)))
+      .select(col("id"), col("p"), col("rank"), col("p_adj"))
+  }
+
   /** Cumulative gains / lift table: rank rows by `score` descending
     * (ties broken by `tie` for determinism), cut into `buckets` equal
     * NTILE slices, and report per slice the positives captured, the

@@ -159,6 +159,69 @@ class EvalSpec extends SparkTestBase {
     assert(row.isNullAt(row.fieldIndex("kappa")))
   }
 
+  test("propZTestGrouped: hand-computed pooled z and tail, degenerate guards") {
+    // group g: arm A 2/4 success, arm B 1/4 → pool 3/8
+    // z = (0.5-0.25)/sqrt(0.375*0.625*(0.5)) = 0.25/sqrt(0.1171875)
+    val d = (Seq((true, 1), (true, 1), (true, 0), (true, 0),
+      (false, 1), (false, 0), (false, 0), (false, 0)))
+      .map { case (f, s) => ("g", f, s) }.toDF("g", "f", "s")
+    val out = Eval.propZTestGrouped(d, Seq("g"), col("f"), col("s") === 1).head
+    assert((out.getAs[Long]("n_a"), out.getAs[Long]("s_a"),
+      out.getAs[Long]("n_b"), out.getAs[Long]("s_b")) === ((4L, 2L, 4L, 1L)))
+    val zExp = 0.25 / math.sqrt(0.375 * 0.625 * 0.5)
+    assert(math.abs(out.getAs[Double]("z") - zExp) < 1e-12)
+    // p within the A&S 7.1.26 error bound of the exact normal tail
+    val pExact = 2.0 * (1.0 - cdf(zExp))
+    assert(math.abs(out.getAs[Double]("p") - pExact) < 3e-7)
+    // all-success group: pool = 1 → z and p NULL
+    val degen = Seq(("g", true, 1), ("g", false, 1)).toDF("g", "f", "s")
+    val row = Eval.propZTestGrouped(degen, Seq("g"), col("f"), col("s") === 1).head
+    assert(row.isNullAt(row.fieldIndex("z")) && row.isNullAt(row.fieldIndex("p")))
+  }
+
+  // standard normal CDF via the complementary error function series
+  // (high-accuracy reference for the A&S bound check)
+  private def cdf(x: Double): Double = {
+    def erf(z: Double): Double = {
+      // Taylor/continued series, plenty at |z| < 3
+      val t = (0 to 60).map { n =>
+        var term = z
+        for (k <- 1 to n) term *= -z * z / k
+        term / (2 * n + 1)
+      }.sum
+      2.0 / math.sqrt(math.Pi) * t
+    }
+    0.5 * (1.0 + erf(x / math.sqrt(2.0)))
+  }
+
+  test("bhAdjust: textbook step-up, monotone, capped at 1") {
+    // classic example: p = .01, .02, .03, .04, .05 (m=5)
+    // raw = .05, .05, .05, .05, .05 → all adjusted to .05
+    val d1 = Seq(("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.04), ("e", 0.05))
+      .toDF("id", "p")
+    val out1 = Eval.bhAdjust(d1, "id", "p").orderBy("rank").collect()
+    assert(out1.map(_.getAs[Double]("p_adj")).forall(v => math.abs(v - 0.05) < 1e-12))
+    // mixed: p = .005, .011, .02, .04, .1 → raw .025,.0275,.0333,.05,.1;
+    // suffix-min keeps each (already monotone)
+    val d2 = Seq(("a", 0.005), ("b", 0.011), ("c", 0.02), ("d", 0.04), ("e", 0.1))
+      .toDF("id", "p")
+    val out2 = Eval.bhAdjust(d2, "id", "p").orderBy("rank").collect()
+      .map(_.getAs[Double]("p_adj"))
+    assert(math.abs(out2(0) - 0.025) < 1e-12)
+    assert(math.abs(out2(1) - 0.0275) < 1e-12)
+    assert(math.abs(out2(4) - 0.1) < 1e-12)
+    // adjusted values are monotone in rank and capped at 1
+    val d3 = Seq(("a", 0.9), ("b", 0.99), ("c", 0.5)).toDF("id", "p")
+    val out3 = Eval.bhAdjust(d3, "id", "p").orderBy("rank").collect()
+      .map(_.getAs[Double]("p_adj"))
+    assert(out3.zip(out3.tail).forall { case (x, y) => x <= y + 1e-15 })
+    assert(out3.forall(_ <= 1.0))
+    // nulls dropped from m
+    val d4 = Seq(("a", Some(0.02)), ("b", None)).toDF("id", "p")
+    val out4 = Eval.bhAdjust(d4, "id", "p").collect()
+    assert(out4.length === 1 && math.abs(out4.head.getAs[Double]("p_adj") - 0.02) < 1e-12)
+  }
+
   test("liftCurve: hand-computed gains on a perfectly ranked label") {
     // scores 10..1, positives = top 4 scores → with 5 buckets of 2:
     // bucket 1 captures 2/4, bucket 2 captures 4/4, rest flat

@@ -339,6 +339,23 @@ class EventsSpec extends SparkTestBase {
       u2.getAs[Long]("n_active_periods")) === ((1L, 1L, 1L)))
   }
 
+  test("resampleFill: per-key grid, forward fill, within-period latest wins") {
+    val d = Seq(
+      // user 1: obs at periods 0 (two events — later wins) and 3
+      (1L, 1L, 10L, 5.0), (1L, 7L, 11L, 6.0), (1L, 33L, 12L, 9.0),
+      // user 2: single period → single grid row
+      (2L, 55L, 20L, 4.0)).toDF("u", "t", "id", "v")
+    val out = Events.resampleFill(d, "u", "t", "id", "v", periodUs = 10L)
+      .orderBy("key", "period").collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(u1.map(_.getAs[Double]("value")).toSeq === Seq(6.0, 6.0, 6.0, 9.0))
+    assert(u1.map(_.getAs[Boolean]("is_observed")).toSeq ===
+      Seq(true, false, false, true))
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length === 1 && u2.head.getAs[Double]("value") === 4.0)
+  }
+
   test("latestPerKey: max_by (ts, id) snapshot with version counts") {
     val d = Seq(
       // user 1 / x: versions at t=1,5 → last v=7.0; same-t tie at key 2/y
