@@ -249,6 +249,36 @@ object PlanReview {
       graft.operators.Features.percentileRank(
         li.select("l_orderkey", "l_linenumber", "l_quantity"), "l_quantity")
     }
+    // round 6b: bloom semi join — the might_contain probe must sit in a
+    // Filter INSIDE WholeStageCodegen on the big side, upstream of the
+    // semi join's exchange; the filter build is a 1-row broadcast
+    val ordT = spark.read.parquet(s"$sfDir/orders.parquet")
+    show("bloom-filtered semi join") {
+      graft.operators.BloomJoin.semiJoin(
+        ordT, col("o_orderkey"),
+        li.filter(col("l_quantity") >= 49), col("l_orderkey"),
+        numBits = 1 << 16, numHashes = 5)
+    }
+    // round 6b: prefix-filter set-similarity join — every exchange keyed
+    // (token / id / pair), windows partitioned by id, no global sort
+    show("setsim prefix join") {
+      graft.operators.SetSimJoin.jaccardJoin(
+        docs.select(col("doc_id"),
+          graft.pipeline.TextOps.tokens(col("text")).as("__toks")),
+        "doc_id", graft.pipeline.TextOps.wordShingles(col("__toks"), 3), 0.5)
+    }
+    // round 6b: OHLC + latest-per-key — ONE partial+final hash agg each,
+    // no window/sort operator anywhere
+    val ev = graft.sources.EventTime.withEpochMicros(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    show("ohlc downsample (single hash agg)") {
+      graft.operators.Events.ohlcDownsample(
+        ev, "event_type", "tus", "event_id", "value", 3600000000L)
+    }
+    show("latest per key (single hash agg)") {
+      graft.operators.Events.latestPerKey(
+        ev, Seq("user_id", "event_type"), "tus", "event_id", "value")
+    }
     spark.stop()
   }
 }

@@ -214,3 +214,43 @@ object BloomMightContain {
         org.apache.spark.sql.GraftInternal.expressionOf(hash),
         numBits, numHashes))
 }
+
+/** Pass-through boolean marked non-deterministic: an explicit OPTIMIZER
+  * PLACEMENT BARRIER. Catalyst's reorder rules (PushDownLeftSemiAntiJoin
+  * and friends) only move operators across DETERMINISTIC filters; wrapping
+  * a predicate in this pins the filter exactly where the plan author put
+  * it. [[graft.operators.BloomJoin]] needs it: spelled plainly, the
+  * optimizer sinks the verifying semi join BELOW the bloom pre-filter —
+  * executing join-then-bloom, the exact inverse of a runtime filter.
+  * The child must itself be deterministic (the wrapper only lies to the
+  * optimizer about movability, never about values).
+  */
+case class PinnedPredicate(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BooleanType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pinned predicate needs a boolean child, got ${child.dataType.simpleString}")
+
+  override def eval(input: InternalRow): Any = child.eval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PinnedPredicate =
+    copy(child = newChild)
+}
+
+object PinnedPredicate {
+  def apply(pred: Column): Column =
+    org.apache.spark.sql.GraftInternal.columnOf(
+      new PinnedPredicate(
+        org.apache.spark.sql.GraftInternal.expressionOf(pred)))
+}

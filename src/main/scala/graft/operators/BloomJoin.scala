@@ -44,11 +44,18 @@ object BloomJoin {
     val bloom = small
       .select(xxhash64(smallKey).as("__h"))
       .agg(BloomAgg(col("__h"), numBits, numHashes).as("__bloom"))
-    val pruned = big
-      .crossJoin(broadcast(bloom))
-      .filter(BloomMightContain(col("__bloom"), xxhash64(bigKey), numBits, numHashes))
-      .drop("__bloom")
     val keys = small.select(smallKey.as("__k")).distinct()
-    pruned.join(keys, bigKey === col("__k"), "left_semi")
+    // The probe is wrapped in PinnedPredicate: spelled as a plain
+    // deterministic filter, PushDownLeftSemiAntiJoin sinks the verifying
+    // semi join BELOW the bloom filter (join-then-bloom — the exact
+    // inverse of a runtime filter; observed on this Spark, whether the
+    // probe is a standalone filter or a left-only join conjunct). The
+    // barrier pins execution to bloom-then-join, so only pruned rows
+    // reach the semi join's exchange.
+    big.crossJoin(broadcast(bloom))
+      .filter(graft.functions.PinnedPredicate(
+        BloomMightContain(col("__bloom"), xxhash64(bigKey), numBits, numHashes)))
+      .drop("__bloom")
+      .join(keys, bigKey === col("__k"), "left_semi")
   }
 }
