@@ -2998,6 +2998,43 @@ object OracleSql {
         |    END)::REAL AS kappa
         |FROM t CROSS JOIN po CROSS JOIN pe""".stripMargin,
 
+    // salting is results-invariant: the oracle is the plain join
+    "q183_skew_join" ->
+      """SELECT p_brand, count(*)::BIGINT AS n,
+        |  sum(l_extendedprice * (1e0 - l_discount))::REAL AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // debounce = q54 session heads: keep where no sub-gap predecessor
+    "q184_debounce" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS tus FROM events),
+        |g AS (SELECT *, lag(tus) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS prev FROM e)
+        |SELECT user_id, event_id, tus, event_type FROM g
+        |WHERE prev IS NULL OR tus - prev > 1800000000
+        |ORDER BY user_id, tus, event_id""".stripMargin,
+
+    // same NTILE cut, same 0.5-smoothed log-odds algebra
+    "q185_woe_bins" ->
+      """WITH r AS (SELECT ntile(10) OVER (ORDER BY CAST(n_chars AS DOUBLE)
+        |      ASC, doc_id ASC) AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |b AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+        |    (count(*) - sum(y))::BIGINT AS n_neg
+        |  FROM r GROUP BY bin),
+        |t AS (SELECT sum(n_pos)::DOUBLE AS tp, sum(n_neg)::DOUBLE AS tn
+        |  FROM b),
+        |w AS (SELECT bin, n, n_pos, n_neg,
+        |    (n_pos + 5e-1) / (tp + 5e-1 * 10) AS pr,
+        |    (n_neg + 5e-1) / (tn + 5e-1 * 10) AS nr
+        |  FROM b CROSS JOIN t)
+        |SELECT bin, n, n_pos, n_neg, ln(pr / nr)::REAL AS woe,
+        |  ((pr - nr) * ln(pr / nr))::REAL AS iv_contrib
+        |FROM w ORDER BY bin""".stripMargin,
+
     // forward fill: same per-key grid, same (ts, id) last-observation
     "q180_resample_fill" ->
       """WITH e AS (SELECT user_id AS key, epoch_us(ts) AS tus, event_id,

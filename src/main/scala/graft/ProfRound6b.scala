@@ -77,6 +77,38 @@ object ProfRound6b {
       Graphs.connectedComponents(
         Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.3),
         "id1", "id2")))
+    time("cube_totals")(noop(
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          grouping_id().as("gid"))))
+    time("latest_per_key")(noop(
+      Events.latestPerKey(ev, Seq("user_id", "event_type"), "tus",
+        "event_id", "value")))
+    time("stratified_sample")(noop(
+      graft.sources.ScaleOps.prioritySampleByGroup(docs, "doc_id", "lang",
+        col("n_chars").cast("double"), 20, "ps")))
+    time("cohen_kappa")(noop(
+      graft.reg.Eval.cohenKappa(docs, col("lang"),
+        when(col("doc_id") % 7 === 0, lit("zz")).otherwise(col("lang")))))
+    time("lift_curve")(noop(
+      graft.reg.Eval.liftCurve(docs, col("n_chars").cast("double"),
+        col("lang") === "en", col("doc_id"), 10)))
+    time("resample_fill")(noop(
+      Events.resampleFill(ev, "user_id", "tus", "event_id", "value",
+        86400000000L)))
+    time("prop_ztest")(noop(
+      graft.reg.Eval.propZTestGrouped(
+        ev.withColumn("dow", expr("(tus DIV 86400000000) % 7")),
+        Seq("event_type", "dow"),
+        col("user_id") % 2 === 0, col("value") > 50)))
+    time("bh_adjust")(noop {
+      val tests = graft.reg.Eval.propZTestGrouped(
+          ev.withColumn("dow", expr("(tus DIV 86400000000) % 7")),
+          Seq("event_type", "dow"),
+          col("user_id") % 2 === 0, col("value") > 50)
+        .select(concat_ws("|", col("event_type"), col("dow")).as("test_id"), col("p"))
+      graft.reg.Eval.bhAdjust(tests, "test_id", "p")
+    })
     time("canonical_docs")(noop {
       val clusters = Dedup.duplicateClusters(
         Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.4))

@@ -2165,6 +2165,47 @@ object Queries {
         .orderBy("event_type", "dow")
     }),
 
+    // skew-salted join: lineitem ⋈ part on partkey with the small side
+    // replicated 8× and the big side hash-scattered — result is exactly
+    // the plain join (oracle), the plan spreads any hot key over 8
+    // reducers; revenue per brand, float-pinned
+    "q183_skew_join" -> ((s, dir) => {
+      val joined = graft.sources.ScaleOps.saltedJoin(
+        li(s, dir), "l_partkey",
+        s.read.parquet(s"$dir/part.parquet").select("p_partkey", "p_brand"),
+        "p_partkey",
+        saltOf = xxhash64(col("l_orderkey"), col("l_linenumber")),
+        buckets = 8)
+      joined.groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("float").as("revenue"))
+        .orderBy("p_brand")
+    }),
+
+    // burst debounce = session-head events under the q54 gap rule: one
+    // lag window per user, payload passes through
+    "q184_debounce" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .debounce(e, Seq("user_id"), "tus", "event_id",
+          gapUs = 1800L * 1000000L)
+        .select(col("user_id"), col("event_id"), col("tus"),
+          col("event_type"))
+        .orderBy("user_id", "tus", "event_id")
+    }),
+
+    // weight-of-evidence deciles of n_chars against lang='en': NTILE
+    // cut + smoothed per-bin log-odds and IV contributions
+    "q185_woe_bins" -> ((s, dir) =>
+      graft.operators.Features.woeBins(docs(s, dir),
+          col("n_chars").cast("double"), col("lang") === "en",
+          col("doc_id"), bins = 10)
+        .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+          col("woe").cast("float").as("woe"),
+          col("iv_contrib").cast("float").as("iv_contrib"))
+        .orderBy("bin")),
+
     // Benjamini-Hochberg over the q181 battery of tests: ascending-p
     // rank, suffix-min step-up over the test-count-sized table
     "q182_bh_adjust" -> ((s, dir) => {

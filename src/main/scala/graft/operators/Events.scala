@@ -549,6 +549,34 @@ object Events {
         sum(col("len")).as("n_active_periods"))
   }
 
+  /** Burst debouncing: keep only events that start a burst — an event
+    * survives iff it is its key's first, or more than `gapUs` after the
+    * RAW previous event (kept or not). A dense burst therefore collapses
+    * to its opening event (the telemetry/click-debounce semantics; note
+    * this is the raw-predecessor rule, not last-KEPT-event debouncing —
+    * an event inside a long chain of sub-gap steps stays dropped even if
+    * the chain's opener is far away. It is exactly the q54 session-start
+    * rule: debounce(df) ≡ the session-head events).
+    *
+    * Scale shape: one lag window partitioned by key (no global sort),
+    * then a filter — the input's columns pass through unchanged.
+    */
+  def debounce(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      idCol: String,
+      gapUs: Long
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(idCol))
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev").isNull || col(tsCol) - col("__prev") > gapUs)
+      .drop("__prev")
+  }
+
   /** Forward-fill resampling: project a sparse event stream onto a
     * REGULAR per-key period grid, carrying the last observed value
     * across gaps — the standard "as-of state at every tick" view

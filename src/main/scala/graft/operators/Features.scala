@@ -237,4 +237,48 @@ object Features {
     df.join(broadcast(cdf), df(valueCol) === cdf("__v"), "left")
       .drop("__v")
   }
+
+  /** Weight-of-evidence binning: cut a score into `bins` equal NTILE
+    * slices (ties broken by `tie` — the q16 deterministic-total-order
+    * contract) and report per bin the event/non-event split, the
+    * smoothed WoE = ln((pos_i/pos)/(neg_i/neg)) and its
+    * information-value contribution — the credit-scoring encoding that
+    * doubles as a monotonicity diagnostic for any score against any
+    * binary outcome. 0.5 is added to each cell (Yates-style) so empty
+    * cells stay finite and the pin survives cross-engine.
+    *
+    * Scale shape: one global NTILE sort (quantize the score upstream if
+    * that is hot), then everything runs on the `bins`-row aggregate with
+    * 1-row broadcast totals.
+    */
+  def woeBins(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      tie: Column,
+      bins: Int = 10
+  ): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s").asc, col("__t").asc)
+    val per = df
+      .filter(score.isNotNull && label.isNotNull)
+      .select(score.as("__s"), label.cast("boolean").cast("int").as("__y"),
+        tie.as("__t"))
+      .withColumn("bin", ntile(bins).over(w))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).cast("long").as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val tot = per.agg(sum(col("n_pos")).cast("double").as("__tp"),
+      sum(col("n_neg")).cast("double").as("__tn"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("__pr",
+        (col("n_pos") + lit(0.5)) / (col("__tp") + lit(0.5) * bins))
+      .withColumn("__nr",
+        (col("n_neg") + lit(0.5)) / (col("__tn") + lit(0.5) * bins))
+      .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+        log(col("__pr") / col("__nr")).as("woe"),
+        ((col("__pr") - col("__nr")) * log(col("__pr") / col("__nr")))
+          .as("iv_contrib"))
+  }
 }

@@ -234,6 +234,38 @@ object ScaleOps {
       .drop("__rn")
   }
 
+  /** Skew-salted equi-join: replicate the SMALL side `buckets`× (one copy
+    * per salt) and scatter the big side's rows across salts by a
+    * deterministic per-row hash, so a hot join key's rows land on
+    * `buckets` reducers instead of one. The classic manual skew-join
+    * mitigation for when AQE's skew splitting can't apply (e.g. the hot
+    * side feeds an aggregation that must stay co-partitioned).
+    *
+    * Results are EXACTLY the plain inner equi-join's: every big-side row
+    * meets every matching small-side row exactly once (its salt copy).
+    * `saltOf` must be deterministic per row (hash row identifiers, NOT
+    * rand/monotonically_increasing_id — retries must re-derive the same
+    * salt); collisions are harmless, only balance suffers.
+    * Cost: small side ×buckets (keep it broadcast-small or buckets low).
+    */
+  def saltedJoin(
+      big: DataFrame,
+      bigKey: String,
+      small: DataFrame,
+      smallKey: String,
+      saltOf: org.apache.spark.sql.Column,
+      buckets: Int
+  ): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val b = big.withColumn("__salt", pmod(saltOf, lit(buckets.toLong)))
+    val s = small
+      .withColumn("__salt",
+        explode(sequence(lit(0L), lit(buckets.toLong - 1L))))
+      .withColumnRenamed(smallKey, "__sk")
+    b.join(s, b("__salt") === s("__salt") && col(bigKey) === col("__sk"))
+      .drop("__salt").drop("__sk")
+  }
+
   /** Deterministic domain-mixture construction ("data mixing"): subsample
     * so the output follows the target per-domain `shares` exactly, sized to
     * the largest total the inventory supports — n_out = ⌊min_d(n_d /

@@ -339,6 +339,20 @@ class EventsSpec extends SparkTestBase {
       u2.getAs[Long]("n_active_periods")) === ((1L, 1L, 1L)))
   }
 
+  test("debounce: bursts collapse to their opening event, per key") {
+    // user 1: 0,5,9 with gap 6 — raw-predecessor rule keeps ONLY t=0
+    // (5-0<=6 drops, 9-5<=6 drops even though 9-0>6); then 20 starts anew
+    val d = Seq(
+      (1L, 0L, 10L), (1L, 5L, 11L), (1L, 9L, 12L), (1L, 20L, 13L),
+      (2L, 3L, 20L)).toDF("u", "t", "id")
+    val out = Events.debounce(d, Seq("u"), "t", "id", gapUs = 6L)
+      .orderBy("u", "t").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 0L), (1L, 20L), (2L, 3L)))
+    // payload columns pass through
+    assert(out.head.schema.fieldNames.toSet === Set("u", "t", "id"))
+  }
+
   test("resampleFill: per-key grid, forward fill, within-period latest wins") {
     val d = Seq(
       // user 1: obs at periods 0 (two events — later wins) and 3

@@ -128,4 +128,24 @@ class FeaturesSpec extends SparkTestBase {
       Features.decayScores(d, "u", "t", halfLifeUs = 0L)
     }
   }
+
+  test("woeBins: hand-computed smoothed log-odds on a separable score") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 4 rows, 2 bins: low scores all negative, high all positive
+    // bin1: n=2 pos=0 neg=2; bin2: n=2 pos=2 neg=0; tp=tn=2
+    // pr1=(0+.5)/(2+1)=1/6, nr1=(2+.5)/3=5/6 → woe1=ln(1/5)
+    val d = Seq((1.0, false, 1L), (2.0, false, 2L), (3.0, true, 3L),
+      (4.0, true, 4L)).toDF("s", "y", "id")
+    val out = Features.woeBins(d, col("s"), col("y"), col("id"), bins = 2)
+      .orderBy("bin").collect()
+    assert(out.map(r => (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"))).toSeq ===
+      Seq((0L, 2L), (2L, 0L)))
+    assert(math.abs(out(0).getAs[Double]("woe") - math.log(1.0 / 5.0)) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("woe") - math.log(5.0)) < 1e-12)
+    // symmetric split → equal-magnitude IV contributions, both positive
+    val iv = out.map(_.getAs[Double]("iv_contrib"))
+    assert(iv.forall(_ > 0))
+    assert(math.abs(iv(0) - iv(1)) < 1e-12)
+  }
 }

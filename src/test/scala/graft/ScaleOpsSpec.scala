@@ -356,6 +356,22 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(grouped === global)
   }
 
+  test("saltedJoin: exactly the plain inner join under any bucket count") {
+    import spark.implicits._
+    val big = (1L to 400L).map(i => (i, i % 5)).toDF("rid", "k")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (7L, "z")).toDF("sk", "v")
+    val plain = big.join(small, col("k") === col("sk"))
+      .select("rid", "v").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    for (buckets <- Seq(2, 8)) {
+      val salted = ScaleOps.saltedJoin(big, "k", small, "sk",
+          saltOf = xxhash64(col("rid")), buckets = buckets)
+        .select("rid", "v").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(salted.toSeq === plain.toSeq, s"mismatch at buckets=$buckets")
+    }
+    // small key 7 matches no big row: inner semantics drop it
+    assert(plain.forall(_._2 != "z"))
+  }
+
   test("prioritySample: null/zero weights excluded; k over n returns all eligible") {
     import spark.implicits._
     val d = Seq((1L, Some(2.0)), (2L, None), (3L, Some(0.0)), (4L, Some(1.0)))
