@@ -2998,6 +2998,39 @@ object OracleSql {
         |    END)::REAL AS kappa
         |FROM t CROSS JOIN po CROSS JOIN pe""".stripMargin,
 
+    // same one-pass conditional counts; violation = NOT satisfied
+    // (false or null)
+    "q186_expectations" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM lineitem),
+        |v AS (
+        |  SELECT 'qty_in_range' AS rule, count(*) FILTER (
+        |    NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE))::BIGINT AS nv
+        |  FROM lineitem
+        |  UNION ALL SELECT 'price_positive', count(*) FILTER (
+        |    NOT coalesce(l_extendedprice > 0, FALSE)) FROM lineitem
+        |  UNION ALL SELECT 'discount_low', count(*) FILTER (
+        |    NOT coalesce(l_discount <= 0.05, FALSE)) FROM lineitem
+        |  UNION ALL SELECT 'flag_known', count(*) FILTER (
+        |    NOT coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE)) FROM lineitem
+        |  UNION ALL SELECT 'tax_nonneg', count(*) FILTER (
+        |    NOT coalesce(l_tax >= 0, FALSE)) FROM lineitem)
+        |SELECT rule, n_rows, nv AS n_violations,
+        |  (CASE WHEN n_rows > 0 THEN nv::DOUBLE / n_rows ELSE 0e0 END)
+        |    AS violation_rate
+        |FROM v CROSS JOIN n ORDER BY rule""".stripMargin,
+
+    // same crosstab as conditional counts
+    "q187_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click')::BIGINT AS click,
+        |  count(*) FILTER (event_type = 'error')::BIGINT AS error,
+        |  count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+        |  count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+        |  count(*) FILTER (event_type = 'view')::BIGINT AS view,
+        |  count(*) FILTER (event_type IN ('click', 'error', 'purchase',
+        |    'signup', 'view'))::BIGINT AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // salting is results-invariant: the oracle is the plain join
     "q183_skew_join" ->
       """SELECT p_brand, count(*)::BIGINT AS n,

@@ -109,6 +109,24 @@ object ProfRound6b {
         .select(concat_ws("|", col("event_type"), col("dow")).as("test_id"), col("p"))
       graft.reg.Eval.bhAdjust(tests, "test_id", "p")
     })
+    time("skew_join")(noop(
+      graft.sources.ScaleOps.saltedJoin(
+          li, "l_partkey", part.select("p_partkey", "p_brand"), "p_partkey",
+          xxhash64(col("l_orderkey"), col("l_linenumber")), 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))))
+    time("plain_join")(noop( // reference point for skew_join
+      li.join(part.select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))))
+    time("debounce")(noop(
+      Events.debounce(ev, Seq("user_id"), "tus", "event_id", 1800000000L)))
+    time("woe_bins")(noop(
+      graft.operators.Features.woeBins(docs, col("n_chars").cast("double"),
+        col("lang") === "en", col("doc_id"), 10)))
     time("canonical_docs")(noop {
       val clusters = Dedup.duplicateClusters(
         Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.4))

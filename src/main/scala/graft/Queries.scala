@@ -2195,6 +2195,31 @@ object Queries {
         .orderBy("user_id", "tus", "event_id")
     }),
 
+    // declarative data-quality gate: five named expectations over
+    // lineitem in ONE conditional-sum pass; violation = false OR null
+    "q186_expectations" -> ((s, dir) =>
+      graft.operators.Quality.expectations(li(s, dir), Seq(
+          "qty_in_range" -> col("l_quantity").between(1, 50),
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "discount_low" -> (col("l_discount") <= 0.05),
+          "flag_known" -> col("l_returnflag").isin("A", "N", "R"),
+          "tax_nonneg" -> (col("l_tax") >= 0)))
+        .orderBy("rule")),
+
+    // pivot/crosstab: per-user event counts widened by type (explicit
+    // value list — deterministic schema) + a row total
+    "q187_pivot" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumn("total",
+          col("click") + col("error") + col("purchase") +
+            col("signup") + col("view"))
+        .orderBy("user_id")),
+
     // weight-of-evidence deciles of n_chars against lang='en': NTILE
     // cut + smoothed per-bin log-odds and IV contributions
     "q185_woe_bins" -> ((s, dir) =>
