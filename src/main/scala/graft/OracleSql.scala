@@ -2998,6 +2998,89 @@ object OracleSql {
         |    END)::REAL AS kappa
         |FROM t CROSS JOIN po CROSS JOIN pe""".stripMargin,
 
+    // same latest-change-wins + full outer join algebra
+    "q188_cdc_merge" ->
+      """WITH e AS (SELECT user_id, event_id, value, event_type,
+        |    epoch_us(ts) AS tus FROM events),
+        |base AS (SELECT user_id, value FROM (
+        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY tus DESC, event_id DESC) AS rn
+        |    FROM e WHERE event_id % 2 = 0) WHERE rn = 1),
+        |ch AS (SELECT user_id,
+        |    CASE WHEN event_type = 'error' THEN 'D'
+        |         WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+        |    value, tus, event_id FROM e WHERE event_id % 2 = 1),
+        |latest AS (SELECT user_id, op, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY tus DESC, event_id DESC) AS rn FROM ch)
+        |  WHERE rn = 1)
+        |SELECT coalesce(b.user_id, l.user_id) AS user_id,
+        |  CASE WHEN l.user_id IS NOT NULL THEN l.value ELSE b.value END
+        |    AS value
+        |FROM base b FULL OUTER JOIN latest l ON b.user_id = l.user_id
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+
+    // same lead()-window half-open intervals
+    "q189_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, value, tus AS valid_from,
+        |  lead(tus) OVER w AS valid_to,
+        |  (lead(tus) OVER w IS NULL) AS is_current
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        |ORDER BY user_id, valid_from, valid_to NULLS LAST""".stripMargin,
+
+    // same one-pass moment algebra per pair, complete-case filter
+    "q190_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for (i <- cols.indices; j <- i until cols.size) yield {
+        val (a, b) = (cols(i), cols(j))
+        s"""SELECT '$a' AS col1, '$b' AS col2, n,
+           |  (CASE WHEN n * p_${i}_$i - s_$i * s_$i > 0e0
+           |     AND n * p_${j}_$j - s_$j * s_$j > 0e0
+           |   THEN (n * p_${i}_$j - s_$i * s_$j) /
+           |     sqrt((n * p_${i}_$i - s_$i * s_$i) *
+           |          (n * p_${j}_$j - s_$j * s_$j)) END)::REAL AS corr
+           |FROM m""".stripMargin
+      }
+      val sums = cols.indices.map(i =>
+        s"sum(CAST(${cols(i)} AS DOUBLE)) AS s_$i").mkString(",\n  ")
+      val prods = (for (i <- cols.indices; j <- i until cols.size) yield
+        s"sum(CAST(${cols(i)} AS DOUBLE) * CAST(${cols(j)} AS DOUBLE)) AS p_${i}_$j")
+        .mkString(",\n  ")
+      s"""WITH m AS (SELECT count(*)::DOUBLE AS n,
+         |  $sums,
+         |  $prods
+         |  FROM lineitem
+         |  WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")})
+         |SELECT col1, col2, n::BIGINT AS n, corr FROM (
+         |${pairs.mkString("\nUNION ALL\n")})
+         |ORDER BY col1, col2""".stripMargin
+    },
+
+    // same hour-of-day profile algebra, double products
+    "q191_seasonal_residuals" ->
+      """WITH s AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS period, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT *, period % 24 AS phase FROM s),
+        |prof AS (SELECT event_type, phase, count(*)::BIGINT AS m,
+        |    sum(n)::BIGINT AS sm, sum(n::DOUBLE * n) AS ss
+        |  FROM sp GROUP BY 1, 2),
+        |p2 AS (SELECT event_type, phase, m,
+        |    sm::DOUBLE / m AS phase_mean,
+        |    CASE WHEN m >= 2
+        |      THEN (ss - sm::DOUBLE * sm / m) / (m - 1) END AS var
+        |  FROM prof)
+        |SELECT sp.event_type, sp.period, sp.phase, sp.n,
+        |  phase_mean::REAL AS phase_mean,
+        |  (CASE WHEN var > 0e0 THEN (sp.n - phase_mean) / sqrt(var) END)
+        |    ::REAL AS z
+        |FROM sp JOIN p2 ON sp.event_type = p2.event_type
+        |  AND sp.phase = p2.phase
+        |ORDER BY sp.event_type, sp.period""".stripMargin,
+
     // same one-pass conditional counts; violation = NOT satisfied
     // (false or null)
     "q186_expectations" ->

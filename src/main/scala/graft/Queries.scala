@@ -2195,6 +2195,58 @@ object Queries {
         .orderBy("user_id", "tus", "event_id")
     }),
 
+    // SCD1 MERGE: even-id events form the base snapshot (latest per
+    // user), odd-id events replay as a change stream (error→D,
+    // signup→I, else U); one latest-agg + one full outer join
+    "q188_cdc_merge" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      val base = graft.operators.Events
+        .latestPerKey(e.filter(col("event_id") % 2 === 0),
+          Seq("user_id"), "tus", "event_id", "value")
+        .select(col("user_id"), col("last_value").as("value"))
+      val changes = e.filter(col("event_id") % 2 === 1)
+        .withColumn("op",
+          when(col("event_type") === "error", "D")
+            .when(col("event_type") === "signup", "I")
+            .otherwise("U"))
+      graft.operators.Cdc
+        .merge(base, "user_id", "value", changes, "op", "tus", "event_id")
+        .orderBy("user_id")
+    }),
+
+    // SCD2 history: per-user purchase-value versions as half-open
+    // validity intervals — one lead() window per key
+    "q189_scd2_intervals" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+        .filter(col("event_type") === "purchase")
+      graft.operators.Cdc
+        .scd2(e, "user_id", "tus", "event_id", "value")
+        .orderBy(col("user_id"), col("valid_from"),
+          col("valid_to").asc_nulls_last)
+    }),
+
+    // pairwise Pearson matrix over four lineitem measures from ONE
+    // aggregation (k sums + k(k+1)/2 cross-products), complete-case
+    "q190_corr_matrix" -> ((s, dir) =>
+      graft.reg.Eval.corrMatrix(li(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("col1"), col("col2"), col("n"),
+          col("corr").cast("float").as("corr"))
+        .orderBy("col1", "col2")),
+
+    // seasonal anomaly view: hourly counts scored against each type's
+    // hour-of-day profile ("unusual for 3am, not unusual overall")
+    "q191_seasonal_residuals" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .seasonalResiduals(e, "event_type", "tus",
+          periodUs = 3600000000L, season = 24)
+        .select(col("event_type"), col("period"), col("phase"), col("n"),
+          col("phase_mean").cast("float").as("phase_mean"),
+          col("z").cast("float").as("z"))
+        .orderBy("event_type", "period")
+    }),
+
     // declarative data-quality gate: five named expectations over
     // lineitem in ONE conditional-sum pass; violation = false OR null
     "q186_expectations" -> ((s, dir) =>

@@ -549,6 +549,53 @@ object Events {
         sum(col("len")).as("n_active_periods"))
   }
 
+  /** Seasonal-profile residuals: per (event type, period) counts scored
+    * against the type's SEASONAL profile — the mean/std of counts at the
+    * same phase (e.g. hour-of-day for hourly periods with season 24).
+    * Returns per period the count, the seasonal mean, and the residual
+    * z-score (NULL when the phase has fewer than 2 observations or zero
+    * variance) — the standard "unusual for 3am, not unusual overall"
+    * anomaly view that a global-threshold detector ([[anomalousPeriods]])
+    * misses.
+    *
+    * Scale shape: one (type, period) count; the profile re-aggregates
+    * the series table keyed on (type, phase); one keyed join back.
+    * Sample std from exact sums — deterministic given float pinning.
+    */
+  def seasonalResiduals(
+      df: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      periodUs: Long,
+      season: Int
+  ): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    require(season >= 2, s"season must be >= 2 periods, got $season")
+    val series = df
+      .select(col(typeCol).as("event_type"),
+        expr(s"`$tsCol` DIV ${periodUs}L").as("period"))
+      .groupBy("event_type", "period")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("phase", pmod(col("period"), lit(season.toLong)))
+    // products in DOUBLE: long n·n / Σn·Σn would overflow at corpus
+    // scale (the sums themselves stay exact longs)
+    val prof = series.groupBy("event_type", "phase")
+      .agg(count(lit(1)).as("__m"), sum(col("n")).as("__s"),
+        sum(col("n").cast("double") * col("n")).as("__ss"))
+      .select(col("event_type"), col("phase"),
+        col("__m"),
+        (col("__s").cast("double") / col("__m")).as("phase_mean"),
+        when(col("__m") >= 2,
+          (col("__ss") -
+            col("__s").cast("double") * col("__s") / col("__m")) /
+            (col("__m") - lit(1L))).as("__var"))
+    series.join(prof, Seq("event_type", "phase"))
+      .select(col("event_type"), col("period"), col("phase"), col("n"),
+        col("phase_mean"),
+        when(col("__var") > 0.0,
+          (col("n") - col("phase_mean")) / sqrt(col("__var"))).as("z"))
+  }
+
   /** Burst debouncing: keep only events that start a burst — an event
     * survives iff it is its key's first, or more than `gapUs` after the
     * RAW previous event (kept or not). A dense burst therefore collapses

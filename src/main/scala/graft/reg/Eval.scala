@@ -278,6 +278,38 @@ object Eval {
       .orderBy("bin")
   }
 
+  /** Pairwise Pearson correlation matrix over `cols`, from ONE scan:
+    * a single aggregation computes n, the k sums and the k(k+1)/2
+    * cross-products, and the pair table is an inline struct-array
+    * explode — no per-pair pass, no driver math. Rows with a null in
+    * ANY column are dropped (complete-case, the standard matrix
+    * contract, so every pair shares one n). corr is NULL for a
+    * zero-variance column. Returns (col1, col2, n, corr) for i ≤ j.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    val k = cols.size
+    val x = cols.map(c => col(c).cast("double"))
+    val complete = df.filter(x.map(_.isNotNull).reduce(_ && _))
+    val aggs = count(lit(1)).cast("double").as("__n") +:
+      (x.zipWithIndex.map { case (c, i) => sum(c).as(s"__s$i") } ++
+        (for (i <- 0 until k; j <- i until k)
+          yield sum(x(i) * x(j)).as(s"__p${i}_$j")))
+    val one = complete.agg(aggs.head, aggs.tail: _*)
+    val entries = for (i <- 0 until k; j <- i until k) yield {
+      val n = col("__n")
+      val num = n * col(s"__p${i}_$j") - col(s"__s$i") * col(s"__s$j")
+      val di = n * col(s"__p${i}_$i") - col(s"__s$i") * col(s"__s$i")
+      val dj = n * col(s"__p${j}_$j") - col(s"__s$j") * col(s"__s$j")
+      struct(lit(cols(i)).as("col1"), lit(cols(j)).as("col2"),
+        n.cast("long").as("n"),
+        when(di > 0.0 && dj > 0.0, num / sqrt(di * dj)).as("corr"))
+    }
+    one.select(explode(array(entries: _*)).as("__e"))
+      .select(col("__e.col1"), col("__e.col2"), col("__e.n"), col("__e.corr"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * raters over the same label space: κ = (p_o − p_e) / (1 − p_e) with
     * p_o the diagonal mass and p_e = Σ_c rowMarg_c · colMarg_c / n².

@@ -222,6 +222,26 @@ class EvalSpec extends SparkTestBase {
     assert(out4.length === 1 && math.abs(out4.head.getAs[Double]("p_adj") - 0.02) < 1e-12)
   }
 
+  test("corrMatrix: hand values, self-corr 1, zero-variance NULL, complete-case n") {
+    // y = 2x exactly → corr(x, y) = 1; z anti-correlated with x
+    val d = Seq(
+      (1.0, 2.0, 3.0, Some(1.0)), (2.0, 4.0, 2.0, Some(1.0)),
+      (3.0, 6.0, 1.0, None)).toDF("x", "y", "z", "c")
+    val out = Eval.corrMatrix(d, Seq("x", "y", "z", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // complete-case: the None row drops everywhere → n = 2 for all pairs
+    assert(out.values.forall(_._1 == 2L))
+    assert(math.abs(out(("x", "y"))._2.get - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "x"))._2.get - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "z"))._2.get + 1.0) < 1e-12)
+    // c is constant on the surviving rows → zero variance → NULL
+    assert(out(("c", "c"))._2.isEmpty)
+    assert(out(("x", "c"))._2.isEmpty)
+    // upper triangle only: k(k+1)/2 = 10 pairs
+    assert(out.size === 10)
+  }
+
   test("liftCurve: hand-computed gains on a perfectly ranked label") {
     // scores 10..1, positives = top 4 scores → with 5 buckets of 2:
     // bucket 1 captures 2/4, bucket 2 captures 4/4, rest flat

@@ -339,6 +339,22 @@ class EventsSpec extends SparkTestBase {
       u2.getAs[Long]("n_active_periods")) === ((1L, 1L, 1L)))
   }
 
+  test("seasonalResiduals: phase profile means and z, degenerate phases NULL") {
+    // period 10, season 2 → phases 0/1. type x counts:
+    // periods 0,2 (phase 0): n=2,4 → mean 3, var 2, sd √2
+    // period 1 (phase 1): n=3 → single obs → z NULL
+    val rows =
+      Seq.fill(2)((1L, "x")) ++ Seq.fill(3)((12L, "x")) ++ Seq.fill(4)((25L, "x"))
+    val d = rows.map { case (t, e) => (e, t) }.toDF("e", "t")
+    val out = Events.seasonalResiduals(d, "e", "t", periodUs = 10L, season = 2)
+      .orderBy("period").collect()
+    assert(out.map(_.getAs[Long]("n")).toSeq === Seq(2L, 3L, 4L))
+    assert(out(0).getAs[Double]("phase_mean") === 3.0)
+    assert(math.abs(out(0).getAs[Double]("z") + 1.0 / math.sqrt(2.0)) < 1e-12)
+    assert(math.abs(out(2).getAs[Double]("z") - 1.0 / math.sqrt(2.0)) < 1e-12)
+    assert(out(1).isNullAt(out(1).fieldIndex("z")))
+  }
+
   test("debounce: bursts collapse to their opening event, per key") {
     // user 1: 0,5,9 with gap 6 — raw-predecessor rule keeps ONLY t=0
     // (5-0<=6 drops, 9-5<=6 drops even though 9-0>6); then 20 starts anew
