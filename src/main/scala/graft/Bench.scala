@@ -34,6 +34,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The lazy-localCheckpoint staging the pipeline ops use races the
+      // ContextCleaner's accumulator unregistration: late task-end events
+      // from a checkpoint-materializing stage log benign-but-loud
+      // "non-existent accumulator" ERRORs (results unaffected; on real
+      // clusters Staging runs reliable checkpoints instead — see
+      // Staging.scala). This JVM lives for one bench run, so simply not
+      // cleaning is the correct setting — bounded memory, zero races.
+      .config("spark.cleaner.referenceTracking", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -127,6 +127,35 @@ object ProfRound6b {
     time("woe_bins")(noop(
       graft.operators.Features.woeBins(docs, col("n_chars").cast("double"),
         col("lang") === "en", col("doc_id"), 10)))
+    time("expectations")(noop(
+      graft.operators.Quality.expectations(li, Seq(
+        "qty_in_range" -> col("l_quantity").between(1, 50),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "discount_low" -> (col("l_discount") <= 0.05),
+        "flag_known" -> col("l_returnflag").isin("A", "N", "R"),
+        "tax_nonneg" -> (col("l_tax") >= 0)))))
+    time("pivot")(noop(
+      ev.groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))))
+    time("cdc_merge")(noop {
+      val base = Events.latestPerKey(ev.filter(col("event_id") % 2 === 0),
+          Seq("user_id"), "tus", "event_id", "value")
+        .select(col("user_id"), col("last_value").as("value"))
+      val changes = ev.filter(col("event_id") % 2 === 1)
+        .withColumn("op", when(col("event_type") === "error", "D")
+          .when(col("event_type") === "signup", "I").otherwise("U"))
+      graft.operators.Cdc.merge(base, "user_id", "value", changes, "op",
+        "tus", "event_id")
+    })
+    time("scd2")(noop(
+      graft.operators.Cdc.scd2(ev.filter(col("event_type") === "purchase"),
+        "user_id", "tus", "event_id", "value")))
+    time("corr_matrix")(noop(
+      graft.reg.Eval.corrMatrix(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))))
+    time("seasonal_residuals")(noop(
+      Events.seasonalResiduals(ev, "event_type", "tus", 3600000000L, 24)))
     time("canonical_docs")(noop {
       val clusters = Dedup.duplicateClusters(
         Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.4))
