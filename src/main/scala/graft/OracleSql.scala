@@ -2998,6 +2998,38 @@ object OracleSql {
         |    END)::REAL AS kappa
         |FROM t CROSS JOIN po CROSS JOIN pe""".stripMargin,
 
+    // same union + last-ignore-nulls carry with the (ts, side, id) tie
+    "q192_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    event_type, value FROM events),
+        |u AS (SELECT user_id, tus, 0 AS side, event_id AS tb,
+        |    event_type AS touch, NULL::DOUBLE AS pv
+        |  FROM e WHERE event_type <> 'purchase'
+        |  UNION ALL SELECT user_id, tus, 1, event_id, NULL, value
+        |  FROM e WHERE event_type = 'purchase'),
+        |w AS (SELECT *, last_value(touch IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY tus, side, tb
+        |    ROWS UNBOUNDED PRECEDING) AS lt FROM u)
+        |SELECT coalesce(lt, '(none)') AS touch,
+        |  count(*)::BIGINT AS n_conversions, sum(pv)::REAL AS value_sum
+        |FROM w WHERE side = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same clamp-into-top-bin binning and spine
+    "q193_histogram" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |e AS (SELECT min(v) AS mn, max(v) AS mx FROM v),
+        |c AS (SELECT CAST(CASE WHEN mx > mn THEN
+        |      least(greatest(floor((v - mn) / (mx - mn) * 20), 0), 19)
+        |    ELSE 0 END AS BIGINT) AS bin, count(*)::BIGINT AS n
+        |  FROM v CROSS JOIN e GROUP BY 1),
+        |s AS (SELECT unnest(range(20)) AS bin)
+        |SELECT s.bin, (mn + (mx - mn) / 20 * s.bin)::REAL AS lo,
+        |  (mn + (mx - mn) / 20 * (s.bin + 1))::REAL AS hi,
+        |  coalesce(n, 0)::BIGINT AS n
+        |FROM s CROSS JOIN e LEFT JOIN c ON s.bin = c.bin
+        |ORDER BY s.bin""".stripMargin,
+
     // same latest-change-wins + full outer join algebra
     "q188_cdc_merge" ->
       """WITH e AS (SELECT user_id, event_id, value, event_type,

@@ -2195,6 +2195,33 @@ object Queries {
         .orderBy("user_id", "tus", "event_id")
     }),
 
+    // last-touch conversion attribution: each purchase credits the most
+    // recent prior non-purchase event (as-of composition, deterministic
+    // (ts, side, id) tie rule), counts + value per channel
+    "q192_attribution" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"), col("event_id"), col("value"))
+      val touches = e.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("tus"), col("event_id"),
+          col("event_type"))
+      graft.operators.AsOf
+        .joinAsOf(purchases, touches, "user_id", "tus", Seq("event_type"),
+          tieBreakCol = Some("event_id"))
+        .groupBy(coalesce(col("event_type_asof"), lit("(none)")).as("touch"))
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("value")).cast("float").as("value_sum"))
+        .orderBy("touch")
+    }),
+
+    // dense equal-width histogram (every bin present, max clamped into
+    // the top bin): 1-row min/max broadcast + hash counts + range spine
+    "q193_histogram" -> ((s, dir) =>
+      graft.operators.Features.histogram(li(s, dir), "l_extendedprice", 20)
+        .select(col("bin"), col("lo").cast("float").as("lo"),
+          col("hi").cast("float").as("hi"), col("n"))
+        .orderBy("bin")),
+
     // SCD1 MERGE: even-id events form the base snapshot (latest per
     // user), odd-id events replay as a change stream (error→D,
     // signup→I, else U); one latest-agg + one full outer join

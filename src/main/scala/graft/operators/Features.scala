@@ -238,6 +238,41 @@ object Features {
       .drop("__v")
   }
 
+  /** Equal-width histogram with a dense spine: `bins` buckets over the
+    * observed [min, max], EVERY bin present (empty bins report 0 — a
+    * histogram with silent holes misreads as continuous mass), the max
+    * clamped into the top bin, degenerate min = max collapsing to bin 0.
+    *
+    * Scale shape: one 1-row min/max agg broadcast onto the scan (the
+    * PSI binning pattern), one hash count keyed on the bin, and a
+    * `spark.range(bins)` spine left-join — never a sort.
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 1, s"need at least 1 bin, got $bins")
+    val spark = df.sparkSession
+    val v = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+    val edges = v.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val counts = v.crossJoin(broadcast(edges))
+      .select(
+        when(col("__mx") > col("__mn"),
+          least(greatest(
+            floor((col("__v") - col("__mn")) /
+              (col("__mx") - col("__mn")) * bins), lit(0.0)),
+            lit((bins - 1).toDouble)))
+          .otherwise(lit(0.0)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("__c"))
+    spark.range(bins).select(col("id").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .crossJoin(broadcast(edges))
+      .select(col("bin"),
+        (col("__mn") + (col("__mx") - col("__mn")) / bins * col("bin"))
+          .as("lo"),
+        (col("__mn") + (col("__mx") - col("__mn")) / bins * (col("bin") + 1))
+          .as("hi"),
+        coalesce(col("__c"), lit(0L)).as("n"))
+  }
+
   /** Weight-of-evidence binning: cut a score into `bins` equal NTILE
     * slices (ties broken by `tie` — the q16 deterministic-total-order
     * contract) and report per bin the event/non-event split, the

@@ -129,6 +129,27 @@ class FeaturesSpec extends SparkTestBase {
     }
   }
 
+  test("histogram: dense spine, clamped max, degenerate and empty inputs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // values 0..10 over 5 bins of width 2; 10 clamps into bin 4
+    val d = (0 to 10).map(_.toDouble).toDF("v")
+    val out = Features.histogram(d, "v", bins = 5).orderBy("bin").collect()
+    assert(out.length === 5)
+    assert(out.map(_.getAs[Long]("n")).toSeq === Seq(2L, 2L, 2L, 2L, 3L))
+    assert(out(0).getAs[Double]("lo") === 0.0)
+    assert(out(4).getAs[Double]("hi") === 10.0)
+    // all-equal values collapse into bin 0, other bins present but empty
+    val const = Seq(7.0, 7.0, 7.0).toDF("v")
+    val c = Features.histogram(const, "v", 4).orderBy("bin").collect()
+    assert(c.map(_.getAs[Long]("n")).toSeq === Seq(3L, 0L, 0L, 0L))
+    // empty input: spine present, zero counts, null edges
+    val empty = spark.emptyDataset[Double].toDF("v")
+    val e = Features.histogram(empty, "v", 3).orderBy("bin").collect()
+    assert(e.length === 3 && e.forall(_.getAs[Long]("n") === 0L))
+    intercept[IllegalArgumentException] { Features.histogram(d, "v", 0) }
+  }
+
   test("woeBins: hand-computed smoothed log-odds on a separable score") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
