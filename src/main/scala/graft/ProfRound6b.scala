@@ -47,10 +47,28 @@ object ProfRound6b {
       println(f"[prof] $name MIN: ${times.min}%.2f s")
     }
 
+    // size the filter to the SF (the operator doc's m ≈ 10n rule): a
+    // fixed 2^20 saturates at x100's ~2.4M keys (FP → 1, all overhead,
+    // no pruning — measured 24.8 s before this knob existed)
+    val bloomBits = sys.env.getOrElse("PROF_BLOOM_BITS", (1 << 20).toString).toInt
+    time("bloom_build")(noop(
+      li.filter(col("l_quantity") >= 49)
+        .select(xxhash64(col("l_orderkey")).as("__h"))
+        .agg(graft.functions.BloomAgg(col("__h"), bloomBits, 5).as("__bloom"))))
+    time("bloom_probe")(noop {
+      val bloom = li.filter(col("l_quantity") >= 49)
+        .select(xxhash64(col("l_orderkey")).as("__h"))
+        .agg(graft.functions.BloomAgg(col("__h"), bloomBits, 5).as("__bloom"))
+      ord.crossJoin(broadcast(bloom))
+        .filter(graft.functions.PinnedPredicate(
+          graft.functions.BloomMightContain(col("__bloom"),
+            xxhash64(col("o_orderkey")), bloomBits, 5)))
+        .drop("__bloom")
+    })
     time("bloom_semijoin")(noop(
       BloomJoin.semiJoin(ord, col("o_orderkey"),
         li.filter(col("l_quantity") >= 49), col("l_orderkey"),
-        numBits = 1 << 20, numHashes = 5)))
+        numBits = bloomBits, numHashes = 5)))
     time("plain_semijoin")(noop( // reference point: no bloom prefilter
       ord.join(li.filter(col("l_quantity") >= 49)
         .select(col("l_orderkey")).distinct(),

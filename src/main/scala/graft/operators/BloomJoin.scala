@@ -12,11 +12,13 @@ import graft.functions.{BloomAgg, BloomMightContain}
   * `big SEMI JOIN small ON bigKey = smallKey`, in three steps:
   *
   *   1. aggregate the small side's key hashes into ONE m-bit Bloom filter
-  *      row ([[graft.functions.BloomAgg]] — mergeable, map-side combined);
-  *   2. broadcast that single row onto the big side (1-row crossJoin, the
-  *      engine's A4 pattern) and drop every row whose key hash cannot be
-  *      in the filter ([[graft.functions.BloomMightContain]] — codegen'd,
-  *      runs inside the scan's WholeStageCodegen span);
+  *      ([[graft.functions.BloomAgg]] — mergeable, map-side combined),
+  *      collected EAGERLY (a sketch, not row data — the scalar-subquery
+  *      contract Spark's own runtime filter uses; calling semiJoin runs
+  *      that one aggregation job);
+  *   2. embed the filter as a plan literal and drop every big-side row
+  *      whose key hash cannot be in it ([[graft.functions.BloomMightContain]]
+  *      — codegen'd, runs inside the scan's WholeStageCodegen span);
   *   3. finish with the real semi join to remove Bloom false positives.
   *
   * Why it matters at 100 TB: step 3 alone shuffles the ENTIRE big side on
@@ -41,21 +43,30 @@ object BloomJoin {
       numBits: Int = 1 << 23,
       numHashes: Int = 5
   ): DataFrame = {
-    val bloom = small
+    // The filter is built EAGERLY (one sketch-sized collect — the same
+    // contract as Spark's own runtime filter, whose bloom rides a
+    // scalar subquery evaluated before the main query) and embedded as
+    // a LITERAL. The 1-row-broadcast-crossJoin spelling is a per-row
+    // disaster: whole-stage codegen evaluates the joined broadcast
+    // column eagerly in the join's consume path, so every probe row
+    // re-copies the filter bytes out of the UnsafeRow no matter what
+    // the probe expression caches — measured cost LINEAR in filter size
+    // (m=2²² over 15M rows: 98 s; as a literal: constant-reference,
+    // zero copies). A literal is a plan-embedded constant like the
+    // k-means centroids/AffineProject matrices elsewhere in the engine.
+    val bloomBytes = small
       .select(xxhash64(smallKey).as("__h"))
       .agg(BloomAgg(col("__h"), numBits, numHashes).as("__bloom"))
+      .collect()(0).getAs[Array[Byte]](0)
     val keys = small.select(smallKey.as("__k")).distinct()
-    // The probe is wrapped in PinnedPredicate: spelled as a plain
-    // deterministic filter, PushDownLeftSemiAntiJoin sinks the verifying
-    // semi join BELOW the bloom filter (join-then-bloom — the exact
-    // inverse of a runtime filter; observed on this Spark, whether the
-    // probe is a standalone filter or a left-only join conjunct). The
-    // barrier pins execution to bloom-then-join, so only pruned rows
-    // reach the semi join's exchange.
-    big.crossJoin(broadcast(bloom))
+    // PinnedPredicate: spelled as a plain deterministic filter,
+    // PushDownLeftSemiAntiJoin sinks the verifying semi join BELOW the
+    // bloom filter (join-then-bloom — the exact inverse of a runtime
+    // filter). The barrier pins execution to bloom-then-join, so only
+    // pruned rows reach the semi join's exchange.
+    big
       .filter(graft.functions.PinnedPredicate(
-        BloomMightContain(col("__bloom"), xxhash64(bigKey), numBits, numHashes)))
-      .drop("__bloom")
+        BloomMightContain(lit(bloomBytes), xxhash64(bigKey), numBits, numHashes)))
       .join(keys, bigKey === col("__k"), "left_semi")
   }
 }
