@@ -47,20 +47,26 @@ object SetSimJoin {
     // element (the Dedup.shingleSets lesson). Per-row array_distinct
     // replaces a global DISTINCT: (id, token) duplicates only occur
     // within one row, so deduping the array first saves a full shuffle.
-    val tok = Staging.stage(graft.sources.ScaleOps
+    // The SET table (one array row per doc) is staged for verification;
+    // nulls are dropped inside the array so sizes and intersections
+    // agree with the exploded view.
+    // sorted ONCE per doc — the verification intersection is then a
+    // zero-allocation two-pointer merge per candidate pair
+    val sets = Staging.stage(graft.sources.ScaleOps
       .normalizeParallelism(
         df.select(col(idCol).as("id"), tokensCol.as("__toks")),
         df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"),
-        explode(array_distinct(col("__toks"))).as("token"))
-      .filter(col("token").isNotNull))
+        sort_array(array_compact(array_distinct(col("__toks")))).as("__set")))
+    val tok = Staging.stage(
+      sets.select(col("id"), explode(col("__set")).as("token")))
     // global token order = (doc-frequency asc, token asc). The join is
     // correct under ANY total order; this one is the candidate-minimizing
     // heuristic. The order is USED only inside per-doc windows — no
     // global rank is ever materialized (a corpus-wide row_number would be
     // a single-partition sort over the whole vocab).
     val dfreq = tok.groupBy("token").agg(count(lit(1)).as("__df"))
-    val sizes = tok.groupBy("id").agg(count(lit(1)).as("__sz"))
+    val sizes = sets.select(col("id"), size(col("__set")).cast("long").as("__sz"))
     // prefix length p = sz − ⌈τ·sz⌉ + 1 (ceil via integer arithmetic so
     // both engines agree bit-exactly on the boundary)
     val ranked = tok.join(dfreq, "token").join(sizes, "id")
@@ -77,15 +83,20 @@ object SetSimJoin {
         lit(tau) * greatest(col("a.__sz"), col("b.__sz")))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    // verify: exact intersection size through two keyed joins
-    val common = cand
-      .join(tok.select(col("id").as("id1"), col("token")), "id1")
-      .join(tok.select(col("id").as("id2"), col("token")), Seq("id2", "token"))
-      .groupBy("id1", "id2")
-      .agg(count(lit(1)).as("__common"))
-    common
-      .join(sizes.select(col("id").as("id1"), col("__sz").as("__s1")), "id1")
-      .join(sizes.select(col("id").as("id2"), col("__sz").as("__s2")), "id2")
+    // verify: exact intersection size via the per-doc SET ARRAYS — two
+    // id-keyed joins of |cand| rows each, intersection computed per
+    // pair as a projection. The exploded alternative (cand ⋈ tokens ⋈
+    // tokens) expands to |cand|·avg|set| rows — measured 1.6B
+    // intermediate rows at the ×100 point (500k docs, 31M candidates),
+    // minutes of shuffle for what this shape does in seconds.
+    cand
+      .join(sets.select(col("id").as("id1"), col("__set").as("__set1"),
+        size(col("__set")).as("__s1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("__set").as("__set2"),
+        size(col("__set")).as("__s2")), "id2")
+      .select(col("id1"), col("id2"), col("__s1"), col("__s2"),
+        graft.functions.SortedIntersectCount(col("__set1"), col("__set2"))
+          .as("__common"))
       .select(col("id1"), col("id2"),
         (col("__common").cast("double") /
           (col("__s1") + col("__s2") - col("__common"))).as("jaccard"))

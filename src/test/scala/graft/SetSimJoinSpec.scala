@@ -70,6 +70,20 @@ class SetSimJoinSpec extends SparkTestBase {
     assert(run(sets, 0.5) === brute(sets, 0.5))
   }
 
+  test("SortedIntersectCount: merge counting on sorted arrays + null semantics") {
+    import graft.functions.SortedIntersectCount
+    val d = Seq(
+      (Seq("a", "b", "d"), Seq("b", "c", "d", "e")),   // common: b, d
+      (Seq.empty[String], Seq("a")),                   // empty side
+      (Seq("x"), Seq("x"))).toDF("a", "b")
+    val got = d.select(SortedIntersectCount(col("a"), col("b"))).collect()
+    assert(got.map(_.getInt(0)).toSeq === Seq(2, 0, 1))
+    val n = Seq((Some(Seq("a")), None: Option[Seq[String]]))
+      .toDF("a", "b")
+      .select(SortedIntersectCount(col("a"), col("b"))).head
+    assert(n.isNullAt(0))
+  }
+
   test("parameter validation") {
     val df = Seq((1L, Seq("a"))).toDF("id", "toks")
     intercept[IllegalArgumentException] {
