@@ -44,6 +44,20 @@ object Bench {
       .config("spark.cleaner.referenceTracking", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Even with the ContextCleaner off, AccumulatorContext holds WEAK
+    // references: a finished plan's SQL-metric accumulators can be
+    // garbage-collected while a straggler task-end event still carries
+    // their ids, and DAGScheduler logs a benign-but-loud ERROR per
+    // update ("attempted to access non-existent accumulator"; results
+    // unaffected — the metric is simply dropped). Quiet exactly these
+    // two loggers for the bench JVM; real failures still surface as
+    // job exceptions.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.util.AccumulatorContext",
+      org.apache.logging.log4j.Level.ERROR)
 
     def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     def docs = spark.read.parquet(s"$sfDir/documents.parquet")
