@@ -153,4 +153,65 @@ class EmptyInputSpec extends SparkTestBase {
     assert(ScaleOps.prioritySample(d.withColumn("w", lit(1.0)), "doc_id",
       col("w"), 5).count() === 0L)
   }
+
+  test("round-6 session-2 operators tolerate empty inputs") {
+    import graft.operators.{BloomJoin, Cdc, Linkage, Quality, SetSimJoin}
+    val ev = Seq.empty[(Long, Long, Long, Double, String)]
+      .toDF("u", "t", "i", "v", "e")
+    assert(Events.activityStreaks(ev, "u", "t", 10L).count() === 0L)
+    assert(Events.ohlcDownsample(ev, "e", "t", "i", "v", 10L).count() === 0L)
+    assert(Events.rollingTrend(ev, "e", "t", "v", 10L, 3).count() === 0L)
+    assert(Events.sessionStats(ev, "u", "t", "i", 10L).count() === 0L)
+    assert(Events.latestPerKey(ev, Seq("u"), "t", "i", "v").count() === 0L)
+    assert(Events.resampleFill(ev, "u", "t", "i", "v", 10L).count() === 0L)
+    assert(Events.debounce(ev, Seq("u"), "t", "i", 10L).count() === 0L)
+    assert(Events.seasonalResiduals(ev, "e", "t", 10L, 4).count() === 0L)
+    // bloom semi join: empty small side prunes everything; empty big side empty
+    val big = Seq((1L, "x")).toDF("k", "p")
+    val none = Seq.empty[Long].toDF("j")
+    assert(BloomJoin.semiJoin(big, col("k"), none, col("j")).count() === 0L)
+    assert(BloomJoin.semiJoin(none.withColumnRenamed("j", "k"), col("k"),
+      big.select(col("k").as("j")), col("j")).count() === 0L)
+    val noToks = Seq.empty[(Long, Seq[String])].toDF("id", "toks")
+    assert(SetSimJoin.jaccardJoin(noToks, "id", col("toks"), 0.5).count() === 0L)
+    val noRecs = Seq.empty[(Long, String, String)].toDF("id", "nm", "blk")
+    assert(Linkage.nearestInBlock(noRecs, "id", "nm", Seq("blk")).count() === 0L)
+    val noEdges = Seq.empty[(Long, Long)].toDF("s", "d")
+    assert(graft.operators.Graphs.connectedComponents(noEdges, "s", "d")
+      .count() === 0L)
+    // CDC: empty changes pass the base through; empty base takes upserts
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val noCh = Seq.empty[(Long, String, String, Long, Long)]
+      .toDF("k", "op", "v", "t", "i")
+    assert(Cdc.merge(base, "k", "v", noCh, "op", "t", "i")
+      .collect().map(_.getString(1)).toSeq === Seq("a"))
+    val ch = Seq((2L, "I", "new", 1L, 1L)).toDF("k", "op", "v", "t", "i")
+    val noBase = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(Cdc.merge(noBase, "k", "v", ch, "op", "t", "i")
+      .collect().map(_.getString(1)).toSeq === Seq("new"))
+    assert(Cdc.scd2(noCh, "k", "t", "i", "v").count() === 0L)
+    // quality/statistics family over nothing
+    val noRows = Seq.empty[Double].toDF("x")
+    assert(Quality.expectations(noRows, Seq("p" -> (col("x") > 0)))
+      .head.getLong(2) === 0L)
+    assert(graft.reg.Eval.corrMatrix(
+      Seq.empty[(Double, Double)].toDF("a", "b"), Seq("a", "b"))
+      .collect().forall(_.isNullAt(3)))
+    assert(graft.reg.Eval.bhAdjust(
+      Seq.empty[(String, Double)].toDF("id", "p"), "id", "p").count() === 0L)
+    assert(graft.reg.Eval.liftCurve(
+      Seq.empty[(Double, Boolean, Long)].toDF("s", "y", "i"),
+      col("s"), col("y"), col("i")).count() === 0L)
+    assert(Features.histogram(noRows, "x", 3).count() === 3L) // spine persists
+    assert(Features.woeBins(
+      Seq.empty[(Double, Boolean, Long)].toDF("s", "y", "i"),
+      col("s"), col("y"), col("i")).count() === 0L)
+    assert(ScaleOps.prioritySampleByGroup(
+      Seq.empty[(Long, String, Double)].toDF("id", "g", "w"),
+      "id", "g", col("w"), 5).count() === 0L)
+    assert(ScaleOps.saltedJoin(
+      Seq.empty[(Long, Long)].toDF("rid", "k"), "k",
+      Seq((1L, "v")).toDF("sk", "val"), "sk",
+      xxhash64(col("rid")), 4).count() === 0L)
+  }
 }
