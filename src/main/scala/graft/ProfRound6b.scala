@@ -56,14 +56,13 @@ object ProfRound6b {
         .select(xxhash64(col("l_orderkey")).as("__h"))
         .agg(graft.functions.BloomAgg(col("__h"), bloomBits, 5).as("__bloom"))))
     time("bloom_probe")(noop {
-      val bloom = li.filter(col("l_quantity") >= 49)
+      val bloomBytes = li.filter(col("l_quantity") >= 49)
         .select(xxhash64(col("l_orderkey")).as("__h"))
         .agg(graft.functions.BloomAgg(col("__h"), bloomBits, 5).as("__bloom"))
-      ord.crossJoin(broadcast(bloom))
-        .filter(graft.functions.PinnedPredicate(
-          graft.functions.BloomMightContain(col("__bloom"),
-            xxhash64(col("o_orderkey")), bloomBits, 5)))
-        .drop("__bloom")
+        .collect()(0).getAs[Array[Byte]](0)
+      ord.filter(graft.functions.PinnedPredicate(
+        graft.functions.BloomMightContain(
+          xxhash64(col("o_orderkey")), bloomBytes, bloomBits, 5)))
     })
     time("bloom_semijoin")(noop(
       BloomJoin.semiJoin(ord, col("o_orderkey"),

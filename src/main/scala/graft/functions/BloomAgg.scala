@@ -105,95 +105,76 @@ object BloomAgg {
   * filter, inside whole-stage codegen, so the runtime filter costs k bit
   * reads per row with early exit — no UDF, no interpreted dispatch.
   *
-  * `left` = the filter bytes, `right` = the 64-bit key hash. NULL filter
-  * or hash → NULL (filter semantics drop the row).
+  * The filter bytes are a CONSTRUCTOR FIELD, not a child expression:
+  * codegen references them through `addReferenceObj` (one constant per
+  * generated class — zero per-row copies), and the plan string prints
+  * the array's identity instead of megabytes of hex. Earlier designs
+  * paid dearly here: a 1-row-broadcast filter column is re-copied out
+  * of the UnsafeRow on EVERY probe row by the join's eager column
+  * evaluation (cost linear in m — BENCH_NOTES), and a `Literal` child
+  * dumps the whole filter into every explain/AQE log line.
   *
-  * CONTRACT: `left` must be CONSTANT across the rows of a partition (a
-  * broadcast 1-row cross-joined column, a literal, or a scalar
-  * subquery) — the same contract Spark's own runtime-filter probe
-  * imposes. The first non-null filter value is cached and reused for
-  * every subsequent row: `UnsafeRow.getBinary` COPIES the byte array,
-  * so re-reading an m-bit filter per probe row would turn the filter
-  * into an m/8-bytes-per-row memcpy (measured 5× the plain join's cost
-  * at m=2²⁰ over 1.5M rows before the cache existed).
+  * `child` = the 64-bit key hash; NULL hash → NULL (row dropped by
+  * filter semantics).
   */
 case class BloomMightContain(
-    left: Expression,
-    right: Expression,
+    child: Expression,
+    filterBytes: Array[Byte],
     numBits: Int,
     numHashes: Int
-) extends BinaryExpression {
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(numBits >= 64, s"numBits must be >= 64, got $numBits")
   require(numHashes >= 1 && numHashes <= 16,
     s"numHashes must be in [1,16], got $numHashes")
+  require(filterBytes != null && filterBytes.length == (numBits + 7) >> 3,
+    s"filterBytes must hold numBits=$numBits bits")
 
   override def dataType: DataType = BooleanType
-  override def nullable: Boolean = true
+  override def nullable: Boolean = child.nullable
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == BinaryType && right.dataType == LongType)
-      TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"bloom_might_contain needs (binary, bigint), got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-
-  // cached filter bytes (constant-across-rows contract); a benign race
-  // at worst re-reads the identical value
-  @transient private var cachedBytes: Array[Byte] = _
+      s"bloom_might_contain needs a bigint key hash, got " +
+        child.dataType.simpleString)
 
   override def eval(input: InternalRow): Any = {
-    if (cachedBytes == null) {
-      val f = left.eval(input)
-      if (f == null) return null
-      cachedBytes = f.asInstanceOf[Array[Byte]]
-    }
-    val v = right.eval(input)
+    val v = child.eval(input)
     if (v == null) return null
-    val bytes = cachedBytes
     val h = v.asInstanceOf[Long]
     val h1 = (h >>> 32).toInt
     val h2 = h.toInt | 1
     var i = 0
     while (i < numHashes) {
       val bit = java.lang.Math.floorMod(h1 + i * h2, numBits)
-      if ((bytes(bit >> 3) & (1 << (bit & 7))) == 0) return false
+      if ((filterBytes(bit >> 3) & (1 << (bit & 7))) == 0) return false
       i += 1
     }
     true
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val leftGen = left.genCode(ctx)
-    val rightGen = right.genCode(ctx)
-    val cache = ctx.addMutableState("byte[]", "bloomFilterCache")
+    val childGen = child.genCode(ctx)
+    val bytes = ctx.addReferenceObj("bloomFilterBytes", filterBytes, "byte[]")
     val h1 = ctx.freshName("h1")
     val h2 = ctx.freshName("h2")
     val i = ctx.freshName("i")
     val bit = ctx.freshName("bit")
     val code =
       code"""
-        boolean ${ev.isNull} = true;
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
         boolean ${ev.value} = false;
-        if ($cache == null) {
-          ${leftGen.code}
-          if (!${leftGen.isNull}) {
-            $cache = ${leftGen.value};
-          }
-        }
-        if ($cache != null) {
-          ${rightGen.code}
-          if (!${rightGen.isNull}) {
-            ${ev.isNull} = false;
-            int $h1 = (int) (${rightGen.value} >>> 32);
-            int $h2 = ((int) ${rightGen.value}) | 1;
-            ${ev.value} = true;
-            for (int $i = 0; $i < $numHashes; $i++) {
-              int $bit = java.lang.Math.floorMod($h1 + $i * $h2, $numBits);
-              if (($cache[$bit >> 3] & (1 << ($bit & 7))) == 0) {
-                ${ev.value} = false;
-                break;
-              }
+        if (!${ev.isNull}) {
+          int $h1 = (int) (${childGen.value} >>> 32);
+          int $h2 = ((int) ${childGen.value}) | 1;
+          ${ev.value} = true;
+          for (int $i = 0; $i < $numHashes; $i++) {
+            int $bit = java.lang.Math.floorMod($h1 + $i * $h2, $numBits);
+            if (($bytes[$bit >> 3] & (1 << ($bit & 7))) == 0) {
+              ${ev.value} = false;
+              break;
             }
           }
         }
@@ -201,18 +182,17 @@ case class BloomMightContain(
     ev.copy(code = code)
   }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): BloomMightContain =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
 }
 
 object BloomMightContain {
-  def apply(filter: Column, hash: Column, numBits: Int, numHashes: Int): Column =
+  def apply(hash: Column, filterBytes: Array[Byte],
+      numBits: Int, numHashes: Int): Column =
     org.apache.spark.sql.GraftInternal.columnOf(
       new BloomMightContain(
-        org.apache.spark.sql.GraftInternal.expressionOf(filter),
         org.apache.spark.sql.GraftInternal.expressionOf(hash),
-        numBits, numHashes))
+        filterBytes, numBits, numHashes))
 }
 
 /** Pass-through boolean marked non-deterministic: an explicit OPTIMIZER

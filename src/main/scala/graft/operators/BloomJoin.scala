@@ -46,14 +46,16 @@ object BloomJoin {
     // The filter is built EAGERLY (one sketch-sized collect — the same
     // contract as Spark's own runtime filter, whose bloom rides a
     // scalar subquery evaluated before the main query) and embedded as
-    // a LITERAL. The 1-row-broadcast-crossJoin spelling is a per-row
-    // disaster: whole-stage codegen evaluates the joined broadcast
-    // column eagerly in the join's consume path, so every probe row
-    // re-copies the filter bytes out of the UnsafeRow no matter what
-    // the probe expression caches — measured cost LINEAR in filter size
-    // (m=2²² over 15M rows: 98 s; as a literal: constant-reference,
-    // zero copies). A literal is a plan-embedded constant like the
-    // k-means centroids/AffineProject matrices elsewhere in the engine.
+    // a CONSTANT of the probe expression (codegen addReferenceObj — the
+    // same plan-embedded-constant pattern as the k-means centroids and
+    // AffineProject matrices). The 1-row-broadcast-crossJoin spelling
+    // is a per-row disaster: whole-stage codegen evaluates the joined
+    // broadcast column eagerly in the join's consume path, so every
+    // probe row re-copies the filter bytes out of the UnsafeRow no
+    // matter what the probe expression caches — measured cost LINEAR in
+    // filter size (m=2²² over 15M rows: 98 s; as a constant:
+    // zero copies). A child Literal would be correct too but prints the
+    // whole filter as hex into every plan string/AQE log line.
     val bloomBytes = small
       .select(xxhash64(smallKey).as("__h"))
       .agg(BloomAgg(col("__h"), numBits, numHashes).as("__bloom"))
@@ -66,7 +68,7 @@ object BloomJoin {
     // pruned rows reach the semi join's exchange.
     big
       .filter(graft.functions.PinnedPredicate(
-        BloomMightContain(lit(bloomBytes), xxhash64(bigKey), numBits, numHashes)))
+        BloomMightContain(xxhash64(bigKey), bloomBytes, numBits, numHashes)))
       .join(keys, bigKey === col("__k"), "left_semi")
   }
 }

@@ -11,21 +11,25 @@ import graft.operators.BloomJoin
 class BloomJoinSpec extends SparkTestBase {
   import spark.implicits._
 
+  private def buildBloom(keys: org.apache.spark.sql.DataFrame,
+      m: Int, k: Int): Array[Byte] =
+    keys.agg(BloomAgg(xxhash64(col("k")), m, k).as("b"))
+      .collect()(0).getAs[Array[Byte]](0)
+
   test("no false negatives: every inserted key passes might_contain") {
     val keys = (1L to 500L).toDF("k").repartition(7) // force partial-merge
-    val bloom = keys.agg(BloomAgg(xxhash64(col("k")), 4096, 5).as("b"))
-    val checked = keys.crossJoin(broadcast(bloom))
-      .select(BloomMightContain(col("b"), xxhash64(col("k")), 4096, 5).as("hit"))
+    val bloom = buildBloom(keys, 4096, 5)
+    val checked = keys
+      .select(BloomMightContain(xxhash64(col("k")), bloom, 4096, 5).as("hit"))
       .collect()
     assert(checked.forall(_.getBoolean(0)), "a member key was rejected")
   }
 
   test("filter prunes most non-members at sane sizing") {
-    val keys = (1L to 100L).toDF("k")
-    val bloom = keys.agg(BloomAgg(xxhash64(col("k")), 8192, 5).as("b"))
+    val bloom = buildBloom((1L to 100L).toDF("k"), 8192, 5)
     val probes = (10000L to 11000L).toDF("k")
-    val fp = probes.crossJoin(broadcast(bloom))
-      .filter(BloomMightContain(col("b"), xxhash64(col("k")), 8192, 5))
+    val fp = probes
+      .filter(BloomMightContain(xxhash64(col("k")), bloom, 8192, 5))
       .count()
     // ~1000 probes, expected FP rate well under 1% at m/n = 80
     assert(fp < 20, s"false-positive count too high: $fp")
@@ -60,20 +64,24 @@ class BloomJoinSpec extends SparkTestBase {
 
   test("null hash returns NULL (row dropped by filter semantics)") {
     val df = Seq((Some(1L), "a"), (None, "b")).toDF("k", "t")
-    val bloom = Seq(1L).toDF("j").agg(BloomAgg(xxhash64(col("j")), 256, 3).as("b"))
+    val bloom = buildBloom(Seq(1L).toDF("k"), 256, 3)
     // xxhash64(null) is null, so might_contain is null → filtered out
-    val kept = df.crossJoin(broadcast(bloom))
-      .filter(BloomMightContain(col("b"), xxhash64(col("k")), 256, 3))
+    val kept = df
+      .filter(BloomMightContain(xxhash64(col("k")), bloom, 256, 3))
       .collect()
     assert(kept.map(_.getString(1)).toSeq === Seq("a"))
   }
 
   test("parameter validation") {
     intercept[IllegalArgumentException] {
-      graft.functions.BloomMightContain(lit(Array[Byte]()), lit(1L), 32, 3)
+      graft.functions.BloomMightContain(lit(1L), new Array[Byte](4), 32, 3)
     }
     intercept[IllegalArgumentException] {
-      graft.functions.BloomMightContain(lit(Array[Byte]()), lit(1L), 256, 0)
+      graft.functions.BloomMightContain(lit(1L), new Array[Byte](32), 256, 0)
+    }
+    intercept[IllegalArgumentException] {
+      // byte length must match numBits
+      graft.functions.BloomMightContain(lit(1L), new Array[Byte](4), 256, 3)
     }
   }
 }
