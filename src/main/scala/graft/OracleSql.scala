@@ -88,6 +88,17 @@ object OracleSql {
     s"""list_transform(range(1, len($t) - 1),
        |  i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2])""".stripMargin
 
+  /** A&S 7.1.26 erfc as inline SQL over an x ≥ 0 expression — the same
+    * Horner chain (e-notation doubles) as Eval.erfcApprox; textual
+    * repetition of t/x re-evaluates the identical subexpression, so the
+    * value is bit-identical to binding it once. */
+  private def erfcSql(x: String): String = {
+    val t = s"(1e0 / (1e0 + 3.275911e-1 * $x))"
+    s"""(($t * (2.54829592e-1 + $t * (-2.84496736e-1 +
+       |  $t * (1.421413741e0 + $t * (-1.453152027e0 +
+       |  $t * 1.061405429e0))))) * exp(-($x * $x)))""".stripMargin
+  }
+
   /** Shared CTE chain for the q181/q182 multiple-testing family: grouped
     * two-proportion z-tests per (event_type, day-of-week) with the A&S
     * 7.1.26 erfc tail (e-notation constants = the same IEEE doubles the
@@ -2997,6 +3008,60 @@ object OracleSql {
         |    THEN (agree / t - pesum / (t * t)) / (1.0 - pesum / (t * t))
         |    END)::REAL AS kappa
         |FROM t CROSS JOIN po CROSS JOIN pe""".stripMargin,
+
+    // same distinct-value rank sums, tie correction, and A&S tail
+    "q194_mann_whitney" -> {
+      val sig2 = "(na*nb/1.2e1) * ((na+nb+1e0) - ties/((na+nb)*(na+nb-1e0)))"
+      s"""WITH v AS (SELECT user_id % 2 = 0 AS f, value AS v FROM events
+         |  WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         |g AS (SELECT v,
+         |    sum(CASE WHEN f THEN 1 ELSE 0 END)::DOUBLE AS a,
+         |    sum(CASE WHEN NOT f THEN 1 ELSE 0 END)::DOUBLE AS b
+         |  FROM v GROUP BY v),
+         |c AS (SELECT *, coalesce(sum(b) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS cumb FROM g),
+         |s AS (SELECT sum(a) AS na, sum(b) AS nb,
+         |    sum(a * (cumb + 5e-1 * b)) AS u,
+         |    sum((a+b)*(a+b)*(a+b) - (a+b)) AS ties FROM c),
+         |z0 AS (SELECT na, nb, u,
+         |    CASE WHEN na > 0 AND nb > 0 AND $sig2 > 0e0
+         |      THEN (u - na*nb/2e0) / sqrt($sig2) END AS z FROM s),
+         |x0 AS (SELECT *, abs(z)/sqrt(2e0) AS x FROM z0)
+         |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, u::REAL AS u,
+         |  z::REAL AS z,
+         |  (CASE WHEN z IS NOT NULL THEN ${erfcSql("x")} END)::REAL AS p
+         |FROM x0""".stripMargin
+    },
+
+    // same per-category conditional counts and Wilson-Hilferty tail
+    "q195_chisq_gof" -> {
+      val cats = Seq("view", "click", "purchase", "signup", "error")
+      val obs = cats.zipWithIndex.map { case (c, i) =>
+        s"sum(CASE WHEN event_type = '$c' THEN 1 ELSE 0 END)::DOUBLE AS o$i"
+      }.mkString(",\n  ")
+      val chi = cats.indices
+        .map(i => s"(o$i - 2e-1*nd)*(o$i - 2e-1*nd)/(2e-1*nd)")
+        .mkString(" + ")
+      s"""WITH o AS (SELECT
+         |  sum(CASE WHEN event_type NOT IN
+         |    (${cats.map(c => s"'$c'").mkString(", ")})
+         |    THEN 1 ELSE 0 END)::BIGINT AS other,
+         |  $obs
+         |  FROM events WHERE event_type IS NOT NULL),
+         |n0 AS (SELECT *, o0+o1+o2+o3+o4 AS nd FROM o),
+         |c AS (SELECT *, $chi AS chi2 FROM n0),
+         |w AS (SELECT *, (pow(chi2/4e0, 1e0/3e0) -
+         |    (1e0 - 2e0/(9e0*4e0))) / sqrt(2e0/(9e0*4e0)) AS wh FROM c),
+         |x1 AS (SELECT *, wh/sqrt(2e0) AS xp, -wh/sqrt(2e0) AS xn FROM w)
+         |SELECT nd::BIGINT AS n, other AS n_other,
+         |  (CASE WHEN nd > 0 THEN chi2 END)::REAL AS chi2, 4 AS df,
+         |  (CASE WHEN nd > 0 THEN
+         |    CASE WHEN wh >= 0e0 THEN ${erfcSql("xp")} / 2e0
+         |    ELSE 1e0 - ${erfcSql("xn")} / 2e0 END
+         |  END)::REAL AS p
+         |FROM x1""".stripMargin
+    },
 
     // same union + last-ignore-nulls carry with the (ts, side, id) tie
     "q192_attribution" ->

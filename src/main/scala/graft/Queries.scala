@@ -2195,6 +2195,26 @@ object Queries {
         .orderBy("user_id", "tus", "event_id")
     }),
 
+    // Mann-Whitney U: does event value stochastically differ between
+    // user-parity arms — average-rank sums over the distinct-value
+    // aggregate, tie-corrected variance, shared A&S tail
+    "q194_mann_whitney" -> ((s, dir) =>
+      graft.reg.Eval.mannWhitney(ev(s, dir),
+          col("user_id") % 2 === 0, col("value"))
+        .select(col("n_a"), col("n_b"),
+          col("u").cast("float").as("u"),
+          col("z").cast("float").as("z"), col("p").cast("float").as("p"))),
+
+    // chi-square goodness-of-fit: observed event-type mix against the
+    // declared uniform design shares; Wilson-Hilferty tail
+    "q195_chisq_gof" -> ((s, dir) =>
+      graft.reg.Eval.chiSquareGof(ev(s, dir), col("event_type"),
+          Seq("view" -> 0.2, "click" -> 0.2, "purchase" -> 0.2,
+            "signup" -> 0.2, "error" -> 0.2))
+        .select(col("n"), col("n_other"),
+          col("chi2").cast("float").as("chi2"), col("df"),
+          col("p").cast("float").as("p"))),
+
     // last-touch conversion attribution: each purchase credits the most
     // recent prior non-purchase event (as-of composition, deterministic
     // (ts, side, id) tie rule), counts + value per channel

@@ -278,6 +278,95 @@ object Eval {
       .orderBy("bin")
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) test: does `value` stochastically
+    * dominate between the two arms of `flag`? U computed from
+    * average-rank sums over the DISTINCT-VALUE aggregate (the [[aucDF]]
+    * shape — the corpus-sized work is one keyed count; the rank window
+    * runs over distinct values only), with the normal approximation and
+    * the standard tie-corrected variance
+    * σ² = n₁n₂/12·((n+1) − Σ(t³−t)/(n(n−1))). Two-sided p via the shared
+    * A&S erfc tail ([[erfcApprox]]). z/p are NULL for an empty arm or a
+    * single shared value (σ = 0). Returns one row
+    * (n_a, n_b, u, z, p) where u counts pairs won by arm A (+½ per tie).
+    */
+  def mannWhitney(df: DataFrame, flag: Column, value: Column): DataFrame = {
+    val g = df
+      .filter(flag.isNotNull && value.isNotNull)
+      .select(flag.cast("boolean").as("__f"), value.cast("double").as("__v"))
+      .groupBy("__v")
+      .agg(sum(when(col("__f"), 1L).otherwise(0L)).cast("double").as("__a"),
+        sum(when(!col("__f"), 1L).otherwise(0L)).cast("double").as("__b"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("__a") + col("__b")
+    val stats = g
+      .withColumn("__cumb", coalesce(sum(col("__b")).over(w), lit(0.0)))
+      .agg(
+        sum(col("__a")).as("__na"), sum(col("__b")).as("__nb"),
+        sum(col("__a") * (col("__cumb") + lit(0.5) * col("__b"))).as("__u"),
+        sum(t * t * t - t).as("__ties"))
+    val n = col("__na") + col("__nb")
+    val mu = col("__na") * col("__nb") / 2.0
+    val sig2 = col("__na") * col("__nb") / lit(12.0) *
+      ((n + 1.0) - col("__ties") / (n * (n - 1.0)))
+    stats.select(
+        col("__na").cast("long").as("n_a"), col("__nb").cast("long").as("n_b"),
+        col("__u").as("u"),
+        when(col("__na") > 0 && col("__nb") > 0 && sig2 > 0.0,
+          (col("__u") - mu) / sqrt(sig2)).as("z"))
+      .withColumn("p", when(col("z").isNotNull, normalTwoSidedP(col("z"))))
+  }
+
+  /** Chi-square goodness-of-fit of a categorical column against declared
+    * expected shares: χ² = Σ (obs_c − share_c·N)²/(share_c·N) over the
+    * DECLARED categories (N = their observed total; undeclared
+    * categories are reported via `n_other`, not silently mixed into the
+    * test). One conditional-count aggregation; the p-value uses the
+    * Wilson–Hilferty cube-root normal approximation with the shared
+    * erfc tail — cross-engine replicable like every other tail in the
+    * engine. Returns one row (n, n_other, chi2, df, p).
+    */
+  def chiSquareGof(
+      df: DataFrame,
+      category: Column,
+      expected: Seq[(String, Double)]
+  ): DataFrame = {
+    require(expected.size >= 2, "need at least 2 categories")
+    require(expected.map(_._1).distinct.size == expected.size,
+      "duplicate categories")
+    require(expected.forall(_._2 > 0), "expected shares must be positive")
+    val total = expected.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"shares must sum to 1, got $total")
+    val c = category.cast("string")
+    val aggs =
+      sum(when(c.isin(expected.map(_._1): _*), 0L).otherwise(1L)).as("__other") +:
+        expected.zipWithIndex.map { case ((name, _), i) =>
+          sum(when(c === name, 1L).otherwise(0L)).cast("double").as(s"__o$i")
+        }
+    val one = df.filter(c.isNotNull).agg(aggs.head, aggs.tail: _*)
+    val nDecl = expected.indices.map(i => col(s"__o$i")).reduce(_ + _)
+    val chi2 = expected.zipWithIndex.map { case ((_, share), i) =>
+      val e = lit(share) * nDecl
+      (col(s"__o$i") - e) * (col(s"__o$i") - e) / e
+    }.reduce(_ + _)
+    val k = expected.size
+    val dfree = lit((k - 1).toDouble)
+    val wh = (pow(chi2 / dfree, lit(1.0 / 3.0)) -
+      (lit(1.0) - lit(2.0) / (lit(9.0) * dfree))) /
+      sqrt(lit(2.0) / (lit(9.0) * dfree))
+    // upper-tail P(Z > wh); the A&S polynomial is valid for x ≥ 0 only,
+    // so the negative branch goes through symmetry
+    val s2 = lit(math.sqrt(2.0))
+    val pUpper = when(wh >= 0.0, erfcApprox(wh / s2) / 2.0)
+      .otherwise(lit(1.0) - erfcApprox(-wh / s2) / 2.0)
+    one.select(
+      nDecl.cast("long").as("n"),
+      coalesce(col("__other"), lit(0L)).as("n_other"),
+      when(nDecl > 0, chi2).as("chi2"),
+      lit(k - 1).as("df"),
+      when(nDecl > 0, pUpper).as("p"))
+  }
+
   /** Pairwise Pearson correlation matrix over `cols`, from ONE scan:
     * a single aggregation computes n, the k sums and the k(k+1)/2
     * cross-products, and the pair table is an inline struct-array

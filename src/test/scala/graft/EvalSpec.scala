@@ -222,6 +222,52 @@ class EvalSpec extends SparkTestBase {
     assert(out4.length === 1 && math.abs(out4.head.getAs[Double]("p_adj") - 0.02) < 1e-12)
   }
 
+  test("mannWhitney: hand-computed U with ties, symmetry, degenerate NULL") {
+    // A = {1, 3}, B = {2, 3}: pairs won by A: (3>2)=1, ties: (3,3)=0.5,
+    // (1 vs 2)=0, (1 vs 3)=0 → U = 1.5
+    val d = Seq((true, 1.0), (true, 3.0), (false, 2.0), (false, 3.0))
+      .toDF("f", "v")
+    val out = Eval.mannWhitney(d, col("f"), col("v")).head
+    assert((out.getAs[Long]("n_a"), out.getAs[Long]("n_b")) === ((2L, 2L)))
+    assert(out.getAs[Double]("u") === 1.5)
+    // flipping arms mirrors U around n_a·n_b/2 and negates z
+    val flip = Eval.mannWhitney(d, !col("f"), col("v")).head
+    assert(flip.getAs[Double]("u") === 2.5)
+    assert(math.abs(out.getAs[Double]("z") + flip.getAs[Double]("z")) < 1e-12)
+    // identical samples: U = n²/2, z = 0 is degenerate only when σ>0;
+    // all-equal values → σ = 0 → NULL
+    val same = Seq((true, 5.0), (false, 5.0)).toDF("f", "v")
+    val r = Eval.mannWhitney(same, col("f"), col("v")).head
+    assert(r.isNullAt(r.fieldIndex("z")))
+    // strongly separated arms → small p
+    val sep = ((1 to 30).map(i => (true, i.toDouble)) ++
+      (1 to 30).map(i => (false, 100.0 + i))).toDF("f", "v")
+    assert(Eval.mannWhitney(sep, col("f"), col("v"))
+      .head.getAs[Double]("p") < 1e-6)
+  }
+
+  test("chiSquareGof: exact chi2 under known mix, undeclared bucketed, p sane") {
+    // 40 a / 60 b against 50/50: chi2 = (40-50)^2/50 + (60-50)^2/50 = 4
+    val d = (Seq.fill(40)("a") ++ Seq.fill(60)("b") ++ Seq.fill(5)("zz"))
+      .toDF("c")
+    val out = Eval.chiSquareGof(d, col("c"), Seq("a" -> 0.5, "b" -> 0.5)).head
+    assert(out.getAs[Long]("n") === 100L)
+    assert(out.getAs[Long]("n_other") === 5L)
+    assert(math.abs(out.getAs[Double]("chi2") - 4.0) < 1e-12)
+    assert(out.getAs[Int]("df") === 1)
+    // exact p for chi2=4, df=1 is erfc(sqrt(2)) ≈ 0.0455; WH approx close
+    val p = out.getAs[Double]("p")
+    assert(p > 0.03 && p < 0.06, s"p=$p")
+    // perfect fit → chi2 = 0, p near 1
+    val fit = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("c")
+    val f = Eval.chiSquareGof(fit, col("c"), Seq("a" -> 0.5, "b" -> 0.5)).head
+    assert(f.getAs[Double]("chi2") === 0.0)
+    assert(f.getAs[Double]("p") > 0.9)
+    intercept[IllegalArgumentException] {
+      Eval.chiSquareGof(d, col("c"), Seq("a" -> 0.7, "b" -> 0.7))
+    }
+  }
+
   test("corrMatrix: hand values, self-corr 1, zero-variance NULL, complete-case n") {
     // y = 2x exactly → corr(x, y) = 1; z anti-correlated with x
     val d = Seq(
