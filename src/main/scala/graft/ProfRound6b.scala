@@ -173,6 +173,12 @@ object ProfRound6b {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))))
     time("seasonal_residuals")(noop(
       Events.seasonalResiduals(ev, "event_type", "tus", 3600000000L, 24)))
+    time("mann_whitney")(noop(
+      graft.reg.Eval.mannWhitney(ev, col("user_id") % 2 === 0, col("value"))))
+    time("chisq_gof")(noop(
+      graft.reg.Eval.chiSquareGof(ev, col("event_type"),
+        Seq("view" -> 0.2, "click" -> 0.2, "purchase" -> 0.2,
+          "signup" -> 0.2, "error" -> 0.2))))
     time("canonical_docs")(noop {
       val clusters = Dedup.duplicateClusters(
         Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.4))

@@ -60,4 +60,43 @@ class StatPropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("Mann-Whitney U equals AUC·n₁·n₂ (two independent implementations)") {
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random mixed sample with ties
+    val rows = (1 to 200).map { i =>
+      val f = (i * 2654435761L % 97) % 2 == 0
+      val v = ((i * 40503L % 101) % 23).toDouble + (if (f) 2.0 else 0.0)
+      (f, v)
+    }
+    val df = rows.toDF("f", "v")
+    val mw = graft.reg.Eval.mannWhitney(df, col("f"), col("v")).head
+    val (na, nb) = (mw.getAs[Long]("n_a"), mw.getAs[Long]("n_b"))
+    // AUC of v predicting f uses the SAME tie convention (half credit):
+    // U(A beats B) = AUC · n_pos · n_neg
+    val auc = graft.reg.Eval.auc(df, col("v"), col("f"))
+    assert(math.abs(mw.getAs[Double]("u") - auc * na * nb) < 1e-9)
+  }
+
+  test("correlation matrix is invariant under positive affine transforms") {
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 100).map { i =>
+      val x = (i * 7 % 31).toDouble
+      (x, x * 0.5 + (i * 13 % 17), (i * 5 % 11).toDouble)
+    }
+    val df = rows.toDF("a", "b", "c")
+    def corr(d: org.apache.spark.sql.DataFrame) =
+      graft.reg.Eval.corrMatrix(d, Seq("a", "b", "c"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          r.getDouble(3)).toMap
+    val base = corr(df)
+    val scaled = corr(df.withColumn("a", col("a") * 2.0 + 100.0))
+    base.foreach { case (k, v) =>
+      assert(math.abs(scaled(k) - v) < 1e-9, s"pair $k moved: $v -> ${scaled(k)}")
+    }
+    // negative scaling flips the a-involving correlations
+    val neg = corr(df.withColumn("a", col("a") * -1.0))
+    assert(math.abs(neg(("a", "b")) + base(("a", "b"))) < 1e-9)
+    assert(math.abs(neg(("b", "c")) - base(("b", "c"))) < 1e-9)
+  }
 }
