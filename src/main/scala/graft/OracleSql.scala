@@ -3009,6 +3009,54 @@ object OracleSql {
         |    END)::REAL AS kappa
         |FROM t CROSS JOIN po CROSS JOIN pe""".stripMargin,
 
+    // per-block q56-style kmeans (1 iteration) on dim slices, fresh
+    // encode assignment, ‖x−w‖² via the same dot identity
+    "q196_pq_mse" -> {
+      def assign(b: Int, cf: String, out: String) =
+        s"""p_$out AS (SELECT e.id, c.cell, sum(e.x * c.w) AS dot,
+           |    sqrt(sum(c.w * c.w)) AS nc
+           |  FROM efb$b e JOIN $cf c USING (i) GROUP BY 1, 2),
+           |s_$out AS (SELECT p.id, p.cell, p.dot / (en.nv * p.nc) AS cos
+           |  FROM p_$out p JOIN en$b en ON p.id = en.id),
+           |$out AS (SELECT id, cell FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY id ORDER BY cos DESC, cell ASC) AS rn FROM s_$out)
+           |  WHERE rn = 1)""".stripMargin
+      def update(b: Int, a: String, prev: String, out: String) =
+        s"""${out}_raw AS (SELECT a.cell, e.i, avg(e.x) AS w
+           |  FROM $a a JOIN efb$b e ON a.id = e.id GROUP BY 1, 2),
+           |$out AS (SELECT p.cell, p.i, coalesce(r.w, p.w) AS w
+           |  FROM $prev p LEFT JOIN ${out}_raw r
+           |    ON p.cell = r.cell AND p.i = r.i)""".stripMargin
+      def block(b: Int): String = {
+        val lo = b * 32; val hi = (b + 1) * 32
+        s"""efb$b AS (SELECT id, i, x FROM ef WHERE i > $lo AND i <= $hi),
+           |c0f$b AS (SELECT cell, i, w FROM c0f WHERE i > $lo AND i <= $hi),
+           |en$b AS (SELECT id, sqrt(sum(x*x)) AS nv FROM efb$b GROUP BY id),
+           |${assign(b, s"c0f$b", s"a1_$b")},
+           |${update(b, s"a1_$b", s"c0f$b", s"c1f$b")},
+           |${assign(b, s"c1f$b", s"a2_$b")},
+           |cc$b AS (SELECT cell, sum(w*w) AS cc FROM c1f$b GROUP BY cell),
+           |xx$b AS (SELECT id, sum(x*x) AS xx FROM efb$b GROUP BY id),
+           |err$b AS (SELECT $b AS block, a.id,
+           |    xx.xx - 2e0 * p.dot + cc.cc AS err
+           |  FROM a2_$b a
+           |  JOIN p_a2_$b p ON a.id = p.id AND a.cell = p.cell
+           |  JOIN xx$b xx ON a.id = xx.id
+           |  JOIN cc$b cc ON a.cell = cc.cell)""".stripMargin
+      }
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |dims AS (SELECT unnest(range(1, 65)) AS i),
+         |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, vec
+         |  FROM (SELECT id, vec FROM e ORDER BY id LIMIT 4) t),
+         |c0f AS (SELECT cell, i, vec[i]::DOUBLE AS w FROM c0, dims),
+         |ef AS (SELECT id, i, vec[i]::DOUBLE AS x FROM e, dims),
+         |${block(0)},
+         |${block(1)}
+         |SELECT block, count(*)::BIGINT AS n, avg(err)::REAL AS mse
+         |FROM (SELECT * FROM err0 UNION ALL SELECT * FROM err1)
+         |GROUP BY block ORDER BY block""".stripMargin
+    },
+
     // same distinct-value rank sums, tie correction, and A&S tail
     "q194_mann_whitney" -> {
       val sig2 = "(na*nb/1.2e1) * ((na+nb+1e0) - ties/((na+nb)*(na+nb-1e0)))"

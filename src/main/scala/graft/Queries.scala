@@ -2195,6 +2195,19 @@ object Queries {
         .orderBy("user_id", "tus", "event_id")
     }),
 
+    // product quantization: 2 blocks × 4 codewords trained by the
+    // in-engine kmeans on sliced frames, codegen'd per-block argmax
+    // encode, reconstruction MSE via the broadcast codeword table
+    "q196_pq_mse" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val books = graft.pipeline.Similarity
+        .pqTrain(e, "vec_id", "embedding", m = 2, k = 4, iters = 1, dim = 64)
+      graft.pipeline.Similarity
+        .pqBlockMse(e, "vec_id", "embedding", books)
+        .select(col("block"), col("n"), col("mse").cast("float").as("mse"))
+        .orderBy("block")
+    }),
+
     // Mann-Whitney U: does event value stochastically differ between
     // user-parity arms — average-rank sums over the distinct-value
     // aggregate, tie-corrected variance, shared A&S tail

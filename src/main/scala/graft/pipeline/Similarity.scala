@@ -353,6 +353,93 @@ object Similarity {
   def int8Dequantize(q: Column, scale: Column): Column =
     transform(q, v => v.cast("double") * scale)
 
+  /** Product quantization (Jégou et al. 2011): split each d-vector into
+    * `m` contiguous sub-blocks and train an independent [[kmeans]]
+    * codebook per block; a vector compresses to m small codes
+    * (m·log₂k bits vs 32d — the standard embedding-storage compression
+    * ahead of ANN). Training is m short kmeans runs over SLICED frames
+    * (centroid matrices stay driver-side, k·d/m doubles each — the
+    * kmeans contract); encoding is a pure projection of m codegen'd
+    * [[graft.functions.VectorExprs.nearestCentroid]] argmax expressions.
+    * Returns the per-block codebooks, indexed [block][code][dim].
+    */
+  def pqTrain(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int,
+      dim: Int
+  ): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m blocks")
+    val sub = dim / m
+    (0 until m).map { b =>
+      val sliced = emb.select(col(idCol).as("id"),
+        slice(col(vecCol), b * sub + 1, sub).as("vec"))
+      kmeans(sliced, "id", "vec", k, iters, sub)._2
+    }.toArray
+  }
+
+  /** Encode each vector as its m per-block nearest-codeword ids
+    * (cosine argmax — the [[kmeans]] assignment rule, ties → lowest
+    * code). Returns (id, codes array<int>). */
+  def pqEncode(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]
+  ): DataFrame = {
+    val m = codebooks.length
+    require(m >= 1, "need at least one codebook")
+    val sub = codebooks(0)(0).length
+    emb.select(col(idCol).as("id"),
+      array((0 until m).map { b =>
+        graft.functions.VectorExprs.nearestCentroid(
+          slice(col(vecCol), b * sub + 1, sub), codebooks(b))
+      }: _*).as("codes"))
+  }
+
+  /** Per-block reconstruction error of the PQ code against the original
+    * vectors: for each block, mean Σᵢ(xᵢ−wᵢ)² between the slice and its
+    * chosen codeword — the quantization-quality report that decides
+    * whether a codebook is usable. Computed via the dot identity
+    * ‖x−w‖² = x·x − 2·x·w + w·w with the codeword table broadcast
+    * (m·k rows); the corpus streams once through codegen'd DotProducts.
+    * Returns (block, n, mse).
+    */
+  def pqBlockMse(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val table = (for (b <- 0 until m; c <- codebooks(b).indices) yield {
+      val cent = codebooks(b)(c)
+      (b, c, cent, cent.map(x => x * x).sum)
+    }).toDF("block", "code", "__cent", "__cc")
+    val blocks = array((0 until m).map { b =>
+      val xb = slice(col("__vec"), b * sub + 1, sub)
+      struct(lit(b).as("block"), xb.as("xb"),
+        graft.functions.VectorExprs.nearestCentroid(xb, codebooks(b)).as("code"))
+    }: _*)
+    emb.select(col(idCol).as("id"), col(vecCol).as("__vec"))
+      .select(col("id"), explode(blocks).as("__e"))
+      .select(col("id"), col("__e.block").as("block"),
+        col("__e.xb").as("__xb"), col("__e.code").as("code"))
+      .join(broadcast(table), Seq("block", "code"))
+      .select(col("block"),
+        (graft.functions.VectorExprs.dotProduct(col("__xb"), col("__xb")) -
+          lit(2.0) * graft.functions.VectorExprs.dotProduct(col("__xb"), col("__cent")) +
+          col("__cc")).as("__err"))
+      .groupBy("block")
+      .agg(count(lit(1)).as("n"), avg(col("__err")).as("mse"))
+  }
+
   /** Per-group mean embedding (class prototypes / grouped centroids) via
     * the element-wise [[graft.functions.VectorSumAgg]] — ONE partial+final
     * ObjectHashAggregate whose shuffle carries a single d-vector per

@@ -432,6 +432,40 @@ class PipelineSpec extends SparkTestBase {
     assert(frames.groupBy("id").count().collect().forall(_.getLong(1) == 4))
   }
 
+  test("PQ: codes in range, self-codebook reconstructs exactly, MSE sane") {
+    import org.apache.spark.sql.functions.col
+    val books = Similarity.pqTrain(embs, "vec_id", "embedding",
+      m = 4, k = 4, iters = 1, dim = 64)
+    assert(books.length == 4)
+    assert(books.forall(b => b.length == 4 && b.forall(_.length == 16)))
+    val codes = Similarity.pqEncode(embs, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(codes.length == embs.count())
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 4)))
+    val mse = Similarity.pqBlockMse(embs, "vec_id", "embedding", books)
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("mse")).toMap
+    assert(mse.keySet == Set(0, 1, 2, 3))
+    assert(mse.values.forall(v => v >= 0.0 && !v.isNaN))
+    // a codebook containing every distinct vector slice (k >= n, zero
+    // iters keeps the seeds) reconstructs each seed vector exactly
+    val four = embs.orderBy("vec_id").limit(4)
+    val exact = Similarity.pqTrain(four, "vec_id", "embedding",
+      m = 2, k = 4, iters = 0, dim = 64)
+    val z = Similarity.pqBlockMse(four, "vec_id", "embedding", exact)
+      .collect().map(_.getAs[Double]("mse"))
+    assert(z.forall(_ < 1e-9), s"self-codebook mse: ${z.mkString(",")}")
+    // coarser codebooks cannot beat the per-vector one on the same data
+    val coarse = Similarity.pqTrain(four, "vec_id", "embedding",
+      m = 2, k = 2, iters = 1, dim = 64)
+    val c = Similarity.pqBlockMse(four, "vec_id", "embedding", coarse)
+      .collect().map(_.getAs[Double]("mse"))
+    assert(c.sum >= z.sum)
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(embs, "vec_id", "embedding", m = 5, k = 2,
+        iters = 1, dim = 64) // 64 % 5 != 0
+    }
+  }
+
   test("kmeans: assignments cover all vectors, planted duplicate joins its twin's cell") {
     val (assigned, cents) = Similarity.kmeans(embs, "vec_id", "embedding",
       k = 4, iters = 2, dim = 64)
