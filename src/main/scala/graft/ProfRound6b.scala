@@ -179,6 +179,12 @@ object ProfRound6b {
       graft.reg.Eval.chiSquareGof(ev, col("event_type"),
         Seq("view" -> 0.2, "click" -> 0.2, "purchase" -> 0.2,
           "signup" -> 0.2, "error" -> 0.2))))
+    time("pq_mse")(noop {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val books = graft.pipeline.Similarity
+        .pqTrain(e, "vec_id", "embedding", m = 2, k = 4, iters = 1, dim = 64)
+      graft.pipeline.Similarity.pqBlockMse(e, "vec_id", "embedding", books)
+    })
     time("canonical_docs")(noop {
       val clusters = Dedup.duplicateClusters(
         Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.4))
