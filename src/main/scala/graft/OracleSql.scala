@@ -133,6 +133,35 @@ object OracleSql {
       |          t * 1.061405429e0))))) * exp(-(x * x))
       |    END AS p FROM t0)""".stripMargin
 
+  /** Shared CTE chain for q197/q198 (bucketed lift / WoE): the labelled
+    * score rows `v(s, y)` over documents, then the NINE interior decile
+    * cut points via the identical 1024-bucket histogram-CDF algebra the
+    * engine's `Dbbinsreg.quantileCutBins` runs (the q69 pin: every step
+    * is the same IEEE-double expression — w = (mx−mn)/1024, bucket =
+    * least(floor((s−mn)/w), 1023), cut = mn + w·(b + (p·n − cum_below) /
+    * count_b) — so the cuts are bit-identical cross-engine). Yields
+    * tables `v` and `cuts(cut)`. */
+  private val DecileCutCtes =
+    """v AS (SELECT CAST(n_chars AS DOUBLE) AS s,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      |qstats AS (SELECT min(s) AS mn, max(s) AS mx,
+      |    CAST(count(*) AS DOUBLE) AS n FROM v),
+      |qhist AS (SELECT CAST(least(floor((s - st.mn)
+      |      / ((st.mx - st.mn) / 1024)), 1023) AS INT) AS b,
+      |    CAST(count(*) AS DOUBLE) AS c
+      |  FROM v, qstats st GROUP BY 1),
+      |qcum AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum FROM qhist),
+      |qprobs AS (SELECT CAST(unnest(range(1, 10)) AS DOUBLE) / 10 AS prob),
+      |qsel AS (SELECT p.prob, min(h.b) AS b
+      |  FROM qprobs p JOIN qcum h ON h.cum >= p.prob * (SELECT n FROM qstats)
+      |  GROUP BY p.prob),
+      |cuts AS (SELECT st.mn + ((st.mx - st.mn) / 1024) * (qsel.b
+      |      + (qsel.prob * st.n
+      |         - COALESCE((SELECT max(c2.cum) FROM qcum c2 WHERE c2.b < qsel.b), 0))
+      |        / (SELECT c3.c FROM qcum c3 WHERE c3.b = qsel.b)) AS cut
+      |  FROM qsel, qstats st)""".stripMargin
+
   /** distinct (id, bigram-shingle) pairs over documents. */
   private val ShingleSets =
     s"""sh AS (SELECT DISTINCT doc_id AS id, unnest(${bigrams(toks("text"))}) AS shingle
@@ -3359,6 +3388,51 @@ object OracleSql {
         |  (CASE WHEN tp > 0 THEN (cum_pos / tp) / (cum_n / tn) END)::REAL
         |    AS lift
         |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
+
+    // bucketed lift: decile cuts from the shared histogram-CDF algebra,
+    // desc bucket = 10 − |{cuts below s}|, dense spine, same cum algebra
+    "q197_lift_curve_bucketed" ->
+      s"""WITH $DecileCutCtes,
+         |r AS (SELECT 10 - (SELECT count(*) FROM cuts WHERE v.s > cuts.cut)
+         |    AS bucket, v.y FROM v),
+         |b AS (SELECT bucket, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+         |  FROM r GROUP BY bucket),
+         |spine AS (SELECT unnest(range(1, 11)) AS bucket),
+         |b2 AS (SELECT sp.bucket, COALESCE(b.n, 0)::BIGINT AS n,
+         |    COALESCE(b.n_pos, 0)::BIGINT AS n_pos
+         |  FROM spine sp LEFT JOIN b ON sp.bucket = b.bucket),
+         |c AS (SELECT *, sum(n) OVER w::BIGINT AS cum_n,
+         |    sum(n_pos) OVER w::BIGINT AS cum_pos
+         |  FROM b2 WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)),
+         |t AS (SELECT sum(n)::DOUBLE AS tn, sum(n_pos)::DOUBLE AS tp FROM b2)
+         |SELECT bucket::INTEGER AS bucket, n, n_pos, cum_n, cum_pos,
+         |  (CASE WHEN tp > 0 THEN cum_pos / tp END)::REAL AS gain,
+         |  (CASE WHEN tp > 0 AND cum_n > 0
+         |    THEN (cum_pos / tp) / (cum_n / tn) END)::REAL AS lift
+         |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
+
+    // bucketed WoE: same decile cuts, asc bin = 1 + |{cuts below s}|,
+    // dense spine, same 0.5-smoothed log-odds algebra as q185
+    "q198_woe_bins_bucketed" ->
+      s"""WITH $DecileCutCtes,
+         |r AS (SELECT 1 + (SELECT count(*) FROM cuts WHERE v.s > cuts.cut)
+         |    AS bin, v.y FROM v),
+         |b AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+         |  FROM r GROUP BY bin),
+         |spine AS (SELECT unnest(range(1, 11)) AS bin),
+         |b2 AS (SELECT sp.bin, COALESCE(b.n, 0)::BIGINT AS n,
+         |    COALESCE(b.n_pos, 0)::BIGINT AS n_pos,
+         |    (COALESCE(b.n, 0) - COALESCE(b.n_pos, 0))::BIGINT AS n_neg
+         |  FROM spine sp LEFT JOIN b ON sp.bin = b.bin),
+         |t AS (SELECT sum(n_pos)::DOUBLE AS tp, sum(n_neg)::DOUBLE AS tn
+         |  FROM b2),
+         |w AS (SELECT bin, n, n_pos, n_neg,
+         |    (n_pos + 5e-1) / (tp + 5e-1 * 10) AS pr,
+         |    (n_neg + 5e-1) / (tn + 5e-1 * 10) AS nr
+         |  FROM b2 CROSS JOIN t)
+         |SELECT bin::INTEGER AS bin, n, n_pos, n_neg, ln(pr / nr)::REAL AS woe,
+         |  ((pr - nr) * ln(pr / nr))::REAL AS iv_contrib
+         |FROM w ORDER BY bin""".stripMargin,
 
     // recursive transitive closure over the 0.3-Jaccard pair graph
     "q172_connected_components" ->

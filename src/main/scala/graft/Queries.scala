@@ -2133,7 +2133,7 @@ object Queries {
     "q179_lift_curve" -> ((s, dir) =>
       graft.reg.Eval.liftCurve(docs(s, dir),
           col("n_chars").cast("double"), col("lang") === "en",
-          col("doc_id"), buckets = 10)
+          col("doc_id"), buckets = 10, exact = true)
         .select(col("bucket"), col("n"), col("n_pos"), col("cum_n"),
           col("cum_pos"), col("gain").cast("float").as("gain"),
           col("lift").cast("float").as("lift"))
@@ -2198,6 +2198,29 @@ object Queries {
     // product quantization: 2 blocks × 4 codewords trained by the
     // in-engine kmeans on sliced frames, codegen'd per-block argmax
     // encode, reconstruction MSE via the broadcast codeword table
+    // bucketed (default, scale-safe) lift curve: histogram-CDF decile
+    // cuts + CASE-chain assignment — no total-order sort anywhere; the
+    // oracle re-derives the identical interpolated cuts (q69 algebra)
+    "q197_lift_curve_bucketed" -> ((s, dir) =>
+      graft.reg.Eval.liftCurve(docs(s, dir),
+          col("n_chars").cast("double"), col("lang") === "en",
+          col("doc_id"), buckets = 10)
+        .select(col("bucket"), col("n"), col("n_pos"), col("cum_n"),
+          col("cum_pos"), col("gain").cast("float").as("gain"),
+          col("lift").cast("float").as("lift"))
+        .orderBy("bucket")),
+
+    // bucketed (default) WoE bins: same decile cuts, ascending CASE-chain
+    // bin ids, dense spine, 0.5-smoothed log-odds
+    "q198_woe_bins_bucketed" -> ((s, dir) =>
+      graft.operators.Features.woeBins(docs(s, dir),
+          col("n_chars").cast("double"), col("lang") === "en",
+          col("doc_id"), bins = 10)
+        .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+          col("woe").cast("float").as("woe"),
+          col("iv_contrib").cast("float").as("iv_contrib"))
+        .orderBy("bin")),
+
     "q196_pq_mse" -> ((s, dir) => {
       val e = emb(s, dir)
       val books = graft.pipeline.Similarity
@@ -2337,7 +2360,7 @@ object Queries {
     "q185_woe_bins" -> ((s, dir) =>
       graft.operators.Features.woeBins(docs(s, dir),
           col("n_chars").cast("double"), col("lang") === "en",
-          col("doc_id"), bins = 10)
+          col("doc_id"), bins = 10, exact = true)
         .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
           col("woe").cast("float").as("woe"),
           col("iv_contrib").cast("float").as("iv_contrib"))

@@ -95,6 +95,30 @@ object Dbbinsreg {
     }
   }
 
+  /** The `bins − 1` interior equal-frequency cut points of `xvar` via
+    * [[histQuantiles]] — the scale-safe replacement for a row-level global
+    * NTILE (the SURVEY §7.4.2 hazard: `ntile(B) OVER (ORDER BY v)` is a
+    * single-partition total-order sort of the whole relation). Shared by
+    * the bucketed modes of `Eval.liftCurve` and `Features.woeBins`.
+    */
+  private[graft] def quantileCutBins(
+      base: DataFrame, xvar: String, bins: Int, relErr: Double): Array[Double] =
+    histQuantiles(base, xvar, (1 until bins).map(_.toDouble / bins).toArray, relErr)
+
+  /** Ascending bucket id from interior cut points as a literal CASE chain:
+    * bin(v) = 1 + |{j : v > c_j}| (left-closed cuts, ties go to the lower
+    * bin; duplicated cuts leave their bin empty — callers spine-join a
+    * dense bucket axis). A pure codegen'd projection — no sort, no shuffle
+    * beyond the caller's own aggregation.
+    */
+  private[graft] def caseChainBin(v: Column, cuts: Array[Double]): Column =
+    if (cuts.isEmpty) lit(1)
+    else cuts.drop(1).zipWithIndex
+      .foldLeft(when(v <= lit(cuts(0)), lit(1))) { case (acc, (c, i)) =>
+        acc.when(v <= lit(c), lit(i + 2))
+      }
+      .otherwise(lit(cuts.length + 1))
+
   final case class BinInfo(bin: Int, left: Double, right: Double, xMean: Double, n: Long)
   final case class BinPoint(
       bin: Int, x: Double, fit: Double, se: Double, lwr: Double, upr: Double,

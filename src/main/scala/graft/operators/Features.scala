@@ -273,36 +273,67 @@ object Features {
         coalesce(col("__c"), lit(0L)).as("n"))
   }
 
-  /** Weight-of-evidence binning: cut a score into `bins` equal NTILE
-    * slices (ties broken by `tie` — the q16 deterministic-total-order
-    * contract) and report per bin the event/non-event split, the
-    * smoothed WoE = ln((pos_i/pos)/(neg_i/neg)) and its
-    * information-value contribution — the credit-scoring encoding that
-    * doubles as a monotonicity diagnostic for any score against any
-    * binary outcome. 0.5 is added to each cell (Yates-style) so empty
-    * cells stay finite and the pin survives cross-engine.
+  /** Weight-of-evidence binning: cut a score into `bins` quantile slices
+    * and report per bin the event/non-event split, the smoothed
+    * WoE = ln((pos_i/pos)/(neg_i/neg)) and its information-value
+    * contribution — the credit-scoring encoding that doubles as a
+    * monotonicity diagnostic for any score against any binary outcome.
+    * 0.5 is added to each cell (Yates-style) so empty cells stay finite
+    * and the pin survives cross-engine.
     *
-    * Scale shape: one global NTILE sort (quantize the score upstream if
-    * that is hot), then everything runs on the `bins`-row aggregate with
-    * 1-row broadcast totals.
+    * Two modes (the W1/K12 binsreg precedent):
+    *  - default (`exact = false`): bin edges from the histogram-CDF
+    *    quantile cuts (`Dbbinsreg.quantileCutBins`) and a literal
+    *    CASE-chain assignment (bin = 1 + |{j : s > c_j}|, ties share a
+    *    bin, `tie` unused) — two narrow scans + one keyed aggregate, no
+    *    total-order sort, flat at any corpus size. A dense bin spine
+    *    keeps tie-emptied bins visible (n = 0; the 0.5 smoothing keeps
+    *    their WoE finite by design).
+    *  - `exact = true`: the NTILE contract (equal counts, ties broken by
+    *    `tie` — the q16 total-order contract) — a single-partition
+    *    global sort; the small-n / oracle mode (q185), not the 100 TB
+    *    path.
+    * Everything after the bin id runs on the `bins`-row aggregate with
+    * 1-row broadcast totals in both modes.
     */
   def woeBins(
       df: DataFrame,
       score: Column,
       label: Column,
       tie: Column,
-      bins: Int = 10
+      bins: Int = 10,
+      exact: Boolean = false,
+      relErr: Double = 1e-3
   ): DataFrame = {
     require(bins >= 2, s"need at least 2 bins, got $bins")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__s").asc, col("__t").asc)
-    val per = df
+    val base = df
       .filter(score.isNotNull && label.isNotNull)
-      .select(score.as("__s"), label.cast("boolean").cast("int").as("__y"),
-        tie.as("__t"))
-      .withColumn("bin", ntile(bins).over(w))
+      .select(score.cast("double").as("__s"),
+        label.cast("boolean").cast("int").as("__y"), tie.as("__t"))
+    // bucketed mode resolves the cut points eagerly (two narrow scans,
+    // ≤1024-row driver state); an empty cuts array means zero usable rows
+    val cuts =
+      if (exact) Array.empty[Double]
+      else graft.binsreg.Dbbinsreg.quantileCutBins(base, "__s", bins, relErr)
+    val binned =
+      if (exact) {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("__s").asc, col("__t").asc)
+        base.withColumn("bin", ntile(bins).over(w))
+      } else
+        base.withColumn("bin",
+          graft.binsreg.Dbbinsreg.caseChainBin(col("__s"), cuts).cast("int"))
+    val per0 = binned
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum(col("__y")).cast("long").as("n_pos"))
+    // dense spine in bucketed mode (empty input stays empty — no spine
+    // over zero data)
+    val per = (if (exact || cuts.isEmpty) per0
+      else df.sparkSession.range(1, bins + 1)
+        .select(col("id").cast("int").as("bin"))
+        .join(per0, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("n_pos"), lit(0L)).as("n_pos")))
       .withColumn("n_neg", col("n") - col("n_pos"))
     val tot = per.agg(sum(col("n_pos")).cast("double").as("__tp"),
       sum(col("n_neg")).cast("double").as("__tn"))

@@ -520,33 +520,66 @@ object Eval {
       .select(col("id"), col("p"), col("rank"), col("p_adj"))
   }
 
-  /** Cumulative gains / lift table: rank rows by `score` descending
-    * (ties broken by `tie` for determinism), cut into `buckets` equal
-    * NTILE slices, and report per slice the positives captured, the
-    * cumulative capture rate (gain) and lift = gain / population share —
-    * the standard "top decile captures X% of positives" targeting view.
+  /** Cumulative gains / lift table: rank rows by `score` descending, cut
+    * into `buckets` quantile slices, and report per slice the positives
+    * captured, the cumulative capture rate (gain) and lift = gain /
+    * population share — the standard "top decile captures X% of
+    * positives" targeting view.
     *
-    * Scale shape: the ranking is a global NTILE (a total-order sort —
-    * the q16 contract; quantize scores upstream if the corpus makes
-    * that hot); everything after runs on the `buckets`-row aggregate
-    * with 1-row broadcast totals.
+    * Two modes (the W1/K12 binsreg precedent):
+    *  - default (`exact = false`): bucket boundaries come from the
+    *    histogram-CDF quantile cuts (`Dbbinsreg.quantileCutBins`,
+    *    error ≤ one bucket of width (max−min)·relErr) and assignment is
+    *    a literal CASE chain — two narrow codegen'd scans plus one keyed
+    *    aggregate, NO total-order sort anywhere, so the plan is flat at
+    *    any corpus size. Ties share a bucket (`tie` is unused); a bucket
+    *    left empty by heavy ties still appears (dense spine, n = 0).
+    *    Descending rank: bucket = buckets − |{j : s > c_j}|.
+    *  - `exact = true`: the NTILE contract (equal-count slices, ties
+    *    broken by `tie`) — a global single-partition sort; the small-n /
+    *    oracle mode (q179), not the 100 TB path.
+    * Everything after the bucket id runs on the `buckets`-row aggregate
+    * with 1-row broadcast totals in both modes.
     */
   def liftCurve(
       df: DataFrame,
       score: Column,
       label: Column,
       tie: Column,
-      buckets: Int = 10
+      buckets: Int = 10,
+      exact: Boolean = false,
+      relErr: Double = 1e-3
   ): DataFrame = {
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
-    val ranked = df
+    val base = df
       .filter(score.isNotNull && label.isNotNull)
-      .select(score.as("__s"),
+      .select(score.cast("double").as("__s"),
         label.cast("boolean").cast("int").as("__y"), tie.as("__t"))
-      .withColumn("bucket",
-        ntile(buckets).over(Window.orderBy(col("__s").desc, col("__t"))))
-    val per = ranked.groupBy("bucket")
+    // bucketed mode resolves the cut points eagerly (two narrow scans,
+    // ≤1024-row driver state); an empty cuts array means zero usable rows
+    val cuts =
+      if (exact) Array.empty[Double]
+      else graft.binsreg.Dbbinsreg.quantileCutBins(base, "__s", buckets, relErr)
+    val ranked =
+      if (exact)
+        base.withColumn("bucket",
+          ntile(buckets).over(Window.orderBy(col("__s").desc, col("__t"))))
+      else
+        base.withColumn("bucket",
+          (lit(buckets + 1) - graft.binsreg.Dbbinsreg.caseChainBin(col("__s"), cuts))
+            .cast("int"))
+    val per0 = ranked.groupBy("bucket")
       .agg(count(lit(1)).as("n"), sum(col("__y")).cast("long").as("n_pos"))
+    // dense spine in bucketed mode: duplicated cuts can empty a bucket and
+    // a lift table with silent holes misreads as a shorter curve (empty
+    // INPUT stays empty — no spine over zero data)
+    val per =
+      if (exact || cuts.isEmpty) per0
+      else df.sparkSession.range(1, buckets + 1)
+        .select(col("id").cast("int").as("bucket"))
+        .join(per0, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("n_pos"), lit(0L)).as("n_pos"))
     val cum = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = per.agg(sum(col("n")).as("__tn"), sum(col("n_pos")).as("__tp"))
@@ -557,7 +590,7 @@ object Eval {
       .select(col("bucket"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
         when(col("__tp") > 0,
           col("cum_pos").cast("double") / col("__tp")).as("gain"),
-        when(col("__tp") > 0,
+        when(col("__tp") > 0 && col("cum_n") > 0,
           (col("cum_pos").cast("double") / col("__tp")) /
             (col("cum_n").cast("double") / col("__tn"))).as("lift"))
   }

@@ -301,4 +301,39 @@ class EvalSpec extends SparkTestBase {
     assert(math.abs(out(1).getAs[Double]("lift") - 2.5) < 1e-12)
     assert(math.abs(out(4).getAs[Double]("lift") - 1.0) < 1e-12)
   }
+
+  test("liftCurve bucketed default: matches exact NTILE on distinct scores, no sort in plan") {
+    val rng = new scala.util.Random(47)
+    val d = rng.shuffle((1 to 500).toList)
+      .map(i => (i.toDouble, i % 3 == 0, i.toLong)).toDF("s", "y", "id")
+    val bucketed = Eval.liftCurve(d, col("s"), col("y"), col("id"), buckets = 10)
+    // the 500 distinct integer scores put the histogram-CDF cuts between
+    // the same ranks NTILE splits at, so the curves agree exactly
+    val b = bucketed.orderBy("bucket").collect()
+    val e = Eval.liftCurve(d, col("s"), col("y"), col("id"), buckets = 10,
+      exact = true).orderBy("bucket").collect()
+    assert(b.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSeq ===
+      e.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq)
+    // the scale contract: the default path never total-orders the relation
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile"), s"bucketed plan must not NTILE:\n$plan")
+  }
+
+  test("liftCurve bucketed: heavy ties share a bucket, dense spine keeps 10 rows") {
+    // one massive tied score value (80% of rows) swallows several deciles;
+    // the emptied buckets must still appear with n = 0
+    val d = ((1 to 400).map(_ => (5.0, true, 0L)) ++
+      (1 to 100).map(i => (i.toDouble / 1000, false, i.toLong))).toDF("s", "y", "id")
+    val out = Eval.liftCurve(d, col("s"), col("y"), col("id"), buckets = 10)
+      .orderBy("bucket").collect()
+    assert(out.length === 10)
+    assert(out.map(_.getAs[Long]("n")).sum === 500L)
+    assert(out.exists(_.getAs[Long]("n") === 0L))
+    // ties are never split: the 400-row tied value lands in ONE bucket
+    assert(out.exists(_.getAs[Long]("n") === 400L))
+    // cumulative capture still reaches every positive
+    assert(out.last.getAs[Long]("cum_pos") === 400L)
+  }
 }

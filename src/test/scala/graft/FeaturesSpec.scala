@@ -169,4 +169,44 @@ class FeaturesSpec extends SparkTestBase {
     assert(iv.forall(_ > 0))
     assert(math.abs(iv(0) - iv(1)) < 1e-12)
   }
+
+  test("woeBins bucketed default: matches exact NTILE on distinct scores, no sort in plan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(53)
+    val d = rng.shuffle((1 to 300).toList)
+      .map(i => (i.toDouble, i % 4 == 0, i.toLong)).toDF("s", "y", "id")
+    val bucketed = Features.woeBins(d, col("s"), col("y"), col("id"), bins = 6)
+    val b = bucketed.orderBy("bin").collect()
+    val e = Features.woeBins(d, col("s"), col("y"), col("id"), bins = 6,
+      exact = true).orderBy("bin").collect()
+    // distinct integer scores → the histogram-CDF cuts split at the same
+    // ranks NTILE does, so counts AND the woe/iv algebra agree exactly
+    assert(b.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq ===
+      e.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
+    b.zip(e).foreach { case (rb, re) =>
+      assert(math.abs(rb.getAs[Double]("woe") - re.getAs[Double]("woe")) < 1e-12)
+    }
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile"), s"bucketed plan must not NTILE:\n$plan")
+  }
+
+  test("woeBins bucketed: tie-emptied bin keeps the dense spine and finite woe") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two tied score values across 3 bins → the middle bin is empty
+    val d = ((1 to 30).map(i => (1.0, i % 2 == 0, i.toLong)) ++
+      (31 to 60).map(i => (9.0, i % 3 == 0, i.toLong))).toDF("s", "y", "id")
+    val out = Features.woeBins(d, col("s"), col("y"), col("id"), bins = 3)
+      .orderBy("bin").collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Long]("n")).sum === 60L)
+    val empty = out.filter(_.getAs[Long]("n") === 0L)
+    assert(empty.length === 1)
+    // the 0.5 smoothing keeps the empty bin's woe finite (and 0 only if
+    // the totals happen to balance — just assert finiteness)
+    assert(empty.forall(r => !r.getAs[Double]("woe").isNaN &&
+      !r.getAs[Double]("woe").isInfinite))
+  }
 }
