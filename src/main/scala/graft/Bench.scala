@@ -49,12 +49,23 @@ object Bench {
     // garbage-collected while a straggler task-end event still carries
     // their ids, and DAGScheduler logs a benign-but-loud ERROR per
     // update ("attempted to access non-existent accumulator"; results
-    // unaffected — the metric is simply dropped). Quiet exactly these
-    // two loggers for the bench JVM; real failures still surface as
-    // job exceptions.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.DAGScheduler",
-      org.apache.logging.log4j.Level.FATAL)
+    // unaffected — the metric is simply dropped). Suppress ONLY that
+    // message via a DENY RegexFilter on the DAGScheduler logger — the
+    // logger itself stays at ERROR so real scheduler diagnostics
+    // (task-failure causes, stage aborts) remain visible in bench logs.
+    val logCtx = org.apache.logging.log4j.core.LoggerContext.getContext(false)
+    val dagLogger = "org.apache.spark.scheduler.DAGScheduler"
+    val dagLc = new org.apache.logging.log4j.core.config.LoggerConfig(
+      dagLogger, org.apache.logging.log4j.Level.ERROR, true)
+    // the noise logs as "Failed to update accumulator N (…) for task N"
+    // with the "non-existent accumulator" SparkException attached as the
+    // throwable (which RegexFilter cannot see) — match the message
+    dagLc.addFilter(org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
+      "Failed to update accumulator \\d+.*", null, java.lang.Boolean.FALSE,
+      org.apache.logging.log4j.core.Filter.Result.DENY,
+      org.apache.logging.log4j.core.Filter.Result.NEUTRAL))
+    logCtx.getConfiguration.addLogger(dagLogger, dagLc)
+    logCtx.updateLoggers()
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.util.AccumulatorContext",
       org.apache.logging.log4j.Level.ERROR)

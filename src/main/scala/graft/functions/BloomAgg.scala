@@ -133,6 +133,21 @@ case class BloomMightContain(
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = child.nullable
 
+  // The Array[Byte] field would give the case class REFERENCE equality,
+  // so two semantically identical probes would never compare equal and
+  // canonicalization / subexpression elimination / exchange reuse would
+  // silently fail for this expression. Compare the filter by content.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && numBits == b.numBits && numHashes == b.numHashes &&
+        java.util.Arrays.equals(filterBytes, b.filterBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(numBits),
+      Integer.valueOf(numHashes),
+      Integer.valueOf(java.util.Arrays.hashCode(filterBytes)))
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

@@ -43,6 +43,28 @@ object BloomJoin {
       numBits: Int = 1 << 23,
       numHashes: Int = 5
   ): DataFrame = {
+    // xxhash64 hashes each TYPE differently (an int 5 and a bigint 5 get
+    // different hashes), while the verifying equi join coerces mismatched
+    // numeric keys and matches them — so hashing native types across a
+    // type-mismatched pair would Bloom-FALSE-NEGATIVE rows the join would
+    // have kept, silently breaking the "exact result regardless of m/k"
+    // contract. Hash a common type: identical types pass through; integral
+    // pairs widen to long (lossless, same values the equality coerces to);
+    // anything else must be cast explicitly by the caller.
+    val bigType = big.select(bigKey).schema.head.dataType
+    val smallType = small.select(smallKey).schema.head.dataType
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    val (bigHashKey, smallHashKey) =
+      if (bigType == smallType) (bigKey, smallKey)
+      else if (integral(bigType) && integral(smallType))
+        (bigKey.cast("long"), smallKey.cast("long"))
+      else throw new IllegalArgumentException(
+        s"bloom semiJoin key types differ (${bigType.simpleString} vs " +
+          s"${smallType.simpleString}) and are not both integral; xxhash64 " +
+          "would hash them differently and the pre-filter would silently " +
+          "drop matching rows — cast both keys to a common type first")
     // The filter is built EAGERLY (one sketch-sized collect — the same
     // contract as Spark's own runtime filter, whose bloom rides a
     // scalar subquery evaluated before the main query) and embedded as
@@ -57,7 +79,7 @@ object BloomJoin {
     // zero copies). A child Literal would be correct too but prints the
     // whole filter as hex into every plan string/AQE log line.
     val bloomBytes = small
-      .select(xxhash64(smallKey).as("__h"))
+      .select(xxhash64(smallHashKey).as("__h"))
       .agg(BloomAgg(col("__h"), numBits, numHashes).as("__bloom"))
       .collect()(0).getAs[Array[Byte]](0)
     val keys = small.select(smallKey.as("__k")).distinct()
@@ -68,7 +90,7 @@ object BloomJoin {
     // pruned rows reach the semi join's exchange.
     big
       .filter(graft.functions.PinnedPredicate(
-        BloomMightContain(xxhash64(bigKey), bloomBytes, numBits, numHashes)))
+        BloomMightContain(xxhash64(bigHashKey), bloomBytes, numBits, numHashes)))
       .join(keys, bigKey === col("__k"), "left_semi")
   }
 }

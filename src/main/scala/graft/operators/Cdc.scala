@@ -21,9 +21,12 @@ object Cdc {
     * and update are synonymous upserts — the usual CDC relaxation);
     * only each key's LATEST change by (ts, id) applies. Returns the new
     * snapshot (key, value): base keys without changes pass through,
-    * upserts replace/insert, deletes drop the key. Unknown ops are
-    * rejected at runtime inside the plan (fail-fast beats silently
-    * dropping a malformed change).
+    * upserts replace/insert, deletes drop the key. Unknown (or null) ops
+    * are rejected at runtime inside the plan (fail-fast beats silently
+    * dropping a malformed change) — validated on the RAW change stream
+    * before the latest-change aggregation, so a malformed op fails the
+    * job even when a newer change for the same key would have shadowed
+    * it.
     */
   def merge(
       base: DataFrame,
@@ -37,15 +40,16 @@ object Cdc {
     val latest = changes
       .select(col(keyCol).as("__k"),
         struct(col(tsCol), col(idCol)).as("__ord"),
-        col(opCol).as("__op"), col(valueCol).as("__cv"))
+        // fail-fast on malformed ops (raise_error is codegen-compatible);
+        // a null op coalesces into the message (concat of a null would
+        // raise with a null message)
+        when(col(opCol).isin("I", "U", "D"), col(opCol))
+          .otherwise(raise_error(concat(lit("cdc merge: unknown op "),
+            coalesce(col(opCol).cast("string"), lit("NULL"))))).as("__op"),
+        col(valueCol).as("__cv"))
       .groupBy("__k")
       .agg(max_by(struct(col("__op"), col("__cv")), col("__ord")).as("__c"))
-      .select(col("__k"),
-        // fail-fast on malformed ops (raise_error is codegen-compatible)
-        when(col("__c.__op").isin("I", "U", "D"), col("__c.__op"))
-          .otherwise(raise_error(concat(lit("cdc merge: unknown op "),
-            col("__c.__op")))).as("__op"),
-        col("__c.__cv").as("__cv"))
+      .select(col("__k"), col("__c.__op").as("__op"), col("__c.__cv").as("__cv"))
     base.select(col(keyCol).as("__k"), col(valueCol).as("__bv"))
       .join(latest, Seq("__k"), "full_outer")
       .filter(col("__op").isNull || col("__op") =!= "D")

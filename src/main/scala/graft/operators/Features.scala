@@ -243,33 +243,37 @@ object Features {
     * histogram with silent holes misreads as continuous mass), the max
     * clamped into the top bin, degenerate min = max collapsing to bin 0.
     *
-    * Scale shape: one 1-row min/max agg broadcast onto the scan (the
-    * PSI binning pattern), one hash count keyed on the bin, and a
-    * `spark.range(bins)` spine left-join — never a sort.
+    * Scale shape: ONE 1-row min/max aggregate fetched eagerly (two
+    * doubles of driver state) and bound as literals in both the binning
+    * projection and the edge projection — the broadcast-crossJoin
+    * spelling consumed the aggregate in two separate subtrees, scanning
+    * the input twice unless exchange reuse happened to kick in. Then one
+    * hash count keyed on the bin and a `spark.range(bins)` spine
+    * left-join — never a sort.
     */
   def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
     require(bins >= 1, s"need at least 1 bin, got $bins")
     val spark = df.sparkSession
     val v = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("__v"))
-    val edges = v.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
-    val counts = v.crossJoin(broadcast(edges))
+    val r = v.agg(min(col("__v")), max(col("__v"))).collect()(0)
+    val (mn, mx) =
+      if (r.isNullAt(0)) // empty input: zero counts, null edges
+        (lit(null).cast("double"), lit(null).cast("double"))
+      else (lit(r.getDouble(0)), lit(r.getDouble(1)))
+    val counts = v
       .select(
-        when(col("__mx") > col("__mn"),
+        when(mx > mn,
           least(greatest(
-            floor((col("__v") - col("__mn")) /
-              (col("__mx") - col("__mn")) * bins), lit(0.0)),
+            floor((col("__v") - mn) / (mx - mn) * bins), lit(0.0)),
             lit((bins - 1).toDouble)))
           .otherwise(lit(0.0)).cast("long").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("__c"))
     spark.range(bins).select(col("id").as("bin"))
       .join(counts, Seq("bin"), "left")
-      .crossJoin(broadcast(edges))
       .select(col("bin"),
-        (col("__mn") + (col("__mx") - col("__mn")) / bins * col("bin"))
-          .as("lo"),
-        (col("__mn") + (col("__mx") - col("__mn")) / bins * (col("bin") + 1))
-          .as("hi"),
+        (mn + (mx - mn) / bins * col("bin")).as("lo"),
+        (mn + (mx - mn) / bins * (col("bin") + 1)).as("hi"),
         coalesce(col("__c"), lit(0L)).as("n"))
   }
 

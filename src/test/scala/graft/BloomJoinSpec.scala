@@ -84,4 +84,38 @@ class BloomJoinSpec extends SparkTestBase {
       graft.functions.BloomMightContain(lit(1L), new Array[Byte](4), 256, 3)
     }
   }
+
+  test("semiJoin: type-mismatched integral keys widen and stay exact") {
+    // int big key vs long small key: the equi join coerces and matches,
+    // so the bloom must hash a common type or it false-negatives every row
+    val big = (1 to 1000).map(i => (i, s"r$i")).toDF("k", "payload")
+    val small = Seq(3L, 500L, 999L, 1500L).toDF("j")
+    val got = BloomJoin.semiJoin(big, col("k"), small, col("j"))
+      .orderBy("k").collect().map(_.getInt(0))
+    assert(got.toSeq === Seq(3, 500, 999))
+  }
+
+  test("semiJoin: non-integral type mismatch is refused, not silently wrong") {
+    val big = (1 to 10).map(_.toString).toDF("k")
+    val small = Seq(3L).toDF("j")
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.semiJoin(big, col("k"), small, col("j"))
+    }
+    assert(e.getMessage.contains("cast both keys"))
+  }
+
+  test("might_contain probes with identical content compare equal (CSE/reuse)") {
+    val bloom1 = buildBloom((1L to 50L).toDF("k"), 256, 3)
+    val bloom2 = buildBloom((1L to 50L).toDF("k"), 256, 3) // fresh array, same bits
+    assert(!(bloom1 eq bloom2))
+    val keyHash = org.apache.spark.sql.catalyst.expressions.Literal(42L)
+    val a = new graft.functions.BloomMightContain(keyHash, bloom1, 256, 3)
+    val b = new graft.functions.BloomMightContain(keyHash, bloom2, 256, 3)
+    assert(a === b)
+    assert(a.hashCode === b.hashCode)
+    assert(a.semanticEquals(b))
+    // and content INEQUALITY still separates different filters
+    val bloom3 = buildBloom((51L to 99L).toDF("k"), 256, 3)
+    assert(a !== new graft.functions.BloomMightContain(keyHash, bloom3, 256, 3))
+  }
 }

@@ -49,6 +49,34 @@ class CdcSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("unknown op")))
   }
 
+  test("merge: a malformed op fails even when a newer change shadows it") {
+    // validation runs on the RAW stream before latest-change aggregation —
+    // a bad op must not be silently discarded by max_by
+    val base = Seq((1L, "a")).toDF(baseCols: _*)
+    val bad = Seq(
+      (1L, "Z", "x", 1L, 1L),          // malformed, NOT the latest
+      (1L, "U", "newer", 2L, 2L))      // latest change is fine
+      .toDF("k", "op", "v", "t", "id")
+    val e = intercept[Exception] {
+      Cdc.merge(base, "k", "v", bad, "op", "t", "id").collect()
+    }
+    def msg(t: Throwable) = Option(t.getMessage).getOrElse("")
+    assert(msg(e).contains("unknown op") ||
+      Option(e.getCause).exists(c => msg(c).contains("unknown op")))
+  }
+
+  test("merge: null op raises with a readable message, not a null one") {
+    val base = Seq((1L, "a")).toDF(baseCols: _*)
+    val bad = Seq((1L, Option.empty[String], "x", 1L, 1L))
+      .toDF("k", "op", "v", "t", "id")
+    val e = intercept[Exception] {
+      Cdc.merge(base, "k", "v", bad, "op", "t", "id").collect()
+    }
+    def msg(t: Throwable) = Option(t.getMessage).getOrElse("")
+    assert(msg(e).contains("NULL") ||
+      Option(e.getCause).exists(c => msg(c).contains("NULL")))
+  }
+
   test("scd2: half-open, gap-free intervals with one current version") {
     val d = Seq(
       (1L, 10L, 100L, "v1"), (1L, 20L, 101L, "v2"), (1L, 30L, 102L, "v3"),
