@@ -50,7 +50,7 @@ object OracleSql {
     * word table; per iteration i: pair counts p_i, top-1 t_i, fused w_i.
     * MATERIALIZED is load-bearing — inlined CTEs re-expand the chain
     * exponentially (DuckDB runs out of file handles re-opening the scan). */
-  private def bpeCtes(k: Int): String = {
+  private def bpeCtes(k: Int, where: String = ""): String = {
     def pairsOf(src: String) =
       s"""(SELECT unnest(list_transform(range(1, len(t)),
          |    i -> t[i] || ' ' || t[i+1])) AS p, f
@@ -72,7 +72,7 @@ object OracleSql {
     s"""w0 AS MATERIALIZED (SELECT ' ' ||
        |    array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s, f FROM (
        |  SELECT w, count(*)::DOUBLE AS f FROM
-       |    (SELECT unnest(${toks("text")}) AS w FROM documents) tw GROUP BY w) wc),
+       |    (SELECT unnest(${toks("text")}) AS w FROM documents $where) tw GROUP BY w) wc),
        |${iters.mkString(",\n")}""".stripMargin
   }
 
@@ -872,6 +872,21 @@ object OracleSql {
         .map(i => s"SELECT $i AS rank, p AS pair, m AS merged, c::BIGINT AS count FROM t$i")
         .mkString("\nUNION ALL\n")
       s"""WITH ${bpeCtes(k)}
+         |$out
+         |ORDER BY rank""".stripMargin
+    },
+
+    // BPE sample-train (the 100 TB recipe: learn ranks on a deterministic
+    // md5 document sample, segment the full corpus distributed): same
+    // unrolled replay over the hash-filtered source
+    "q199_bpe_train_sampled" -> {
+      val k = 6
+      val where =
+        s"WHERE ${hash32("'bpe' || text")} / 4294967296.0 < 0.5"
+      val out = (1 to k)
+        .map(i => s"SELECT $i AS rank, p AS pair, m AS merged, c::BIGINT AS count FROM t$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${bpeCtes(k, where)}
          |$out
          |ORDER BY rank""".stripMargin
     },

@@ -27,12 +27,13 @@ object ProfBpe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"[prof] dir=$sfDir docs=${docs.count()} merges=$nMerges")
 
-    for (m <- Seq(8, nMerges)) {
+    for (m <- Seq(8, nMerges); frac <- Seq(1.0, 0.1)) {
       val t0 = System.nanoTime()
-      val merges = TextOps.bpeTrain(docs, "text", numMerges = m)
+      val merges = TextOps.bpeTrain(docs, "text", numMerges = m,
+        sampleFraction = frac)
       val n = merges.count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[prof] bpeTrain merges=$m: $dt%.2f s total, " +
+      println(f"[prof] bpeTrain merges=$m sample=$frac: $dt%.2f s total, " +
         f"${dt / m}%.3f s/merge, ${m / dt}%.2f merges/s (rows=$n)")
     }
     spark.stop()

@@ -658,6 +658,13 @@ object Queries {
       TextOps.bpeTrain(docs(s, dir), "text", numMerges = 6)
         .orderBy("rank")),
 
+    // sample-trained tokenizer (the production shape: learn ranks on a
+    // deterministic md5 half-sample, segment the full corpus after)
+    "q199_bpe_train_sampled" -> ((s, dir) =>
+      TextOps.bpeTrain(docs(s, dir), "text", numMerges = 6,
+          sampleFraction = 0.5)
+        .orderBy("rank")),
+
     // tokenizer apply: segment the corpus under the 6 learned rules and
     // count symbols before/after (token counting under the real tokenizer)
     "q135_bpe_segment" -> ((s, dir) => {

@@ -633,18 +633,40 @@ object TextOps {
     * " ab " — left-to-right non-overlapping replace fuses alternate
     * occurrences per pass, so passes ≥ the longest same-pair chain give
     * exactly the greedy left-to-right BPE result with plain string ops
-    * both here and in the SQL oracle (no per-row recursion). */
+    * both here and in the SQL oracle (no per-row recursion).
+    *
+    * THE DRIVER-SEQUENTIAL CEILING AND ITS MITIGATION: greedy BPE is an
+    * inherently sequential chain — merge k's pair counts depend on merge
+    * k−1's fusion — so every iteration is one driver-dispatched job and
+    * the training rate is a near-constant merges/second REGARDLESS of
+    * corpus size (the per-iteration work is over the distinct-word vocab,
+    * not the corpus). A production 32k-merge train is therefore hours of
+    * serial dispatch if pointed at the full corpus for no benefit: merge
+    * ranks are frequency statistics and stabilize on a sample. Pass
+    * `sampleFraction < 1` to learn the table on a deterministic
+    * md5-keyed document sample (same text ⇒ same side of the cut on any
+    * engine/layout — the [[graft.sources.ScaleOps.hashSplit]] machinery)
+    * and then SEGMENT the full corpus distributed with the learned rules
+    * ([[bpeSegmentStats]]) — the standard big-corpus tokenizer recipe. */
   def bpeTrain(
       df: DataFrame,
       textCol: String,
       numMerges: Int,
-      maxPasses: Int = 12
+      maxPasses: Int = 12,
+      sampleFraction: Double = 1.0
   ): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(maxPasses >= 1, s"maxPasses must be >= 1, got $maxPasses")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
     val spark = df.sparkSession
     import spark.implicits._
-    var vocab = df
+    val basis =
+      if (sampleFraction >= 1.0) df
+      else df.filter(
+        hash32(concat(lit("bpe"), col(textCol).cast("string")))
+          .cast("double") / lit(4294967296.0) < sampleFraction)
+    var vocab = basis
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).cast("double").as("f"))
       .select(

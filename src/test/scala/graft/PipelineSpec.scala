@@ -1109,6 +1109,33 @@ class PipelineSpec extends SparkTestBase {
     assert(m(1) == ("aa a", 1L)) // tie (aa,a) < (aa,aa)
   }
 
+  test("BPE sample-training: half-sample learns the full-corpus merge table") {
+    // 120 distinct docs, each repeating the same dominant words plus one
+    // unique rare token — any ~half of the docs preserves the pair
+    // RANKING (the statistic BPE learns), so the sample-trained table
+    // must equal the full-trained one rule for rule
+    val corpus = (1 to 120)
+      .map(i => (i.toLong, s"low low low lower newest u$i"))
+      .toDF("doc_id", "text")
+    val full = TextOps.bpeTrain(corpus, "text", numMerges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    val sampled = TextOps.bpeTrain(corpus, "text", numMerges = 4,
+        sampleFraction = 0.5)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(sampled === full)
+    // determinism: the md5 document cut is layout-independent
+    val resampled = TextOps.bpeTrain(corpus.repartition(7), "text",
+        numMerges = 4, sampleFraction = 0.5)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(resampled === sampled)
+    intercept[IllegalArgumentException] {
+      TextOps.bpeTrain(corpus, "text", numMerges = 1, sampleFraction = 0.0)
+    }
+  }
+
   test("BPE segmentation: symbol counts shrink by exactly the merge hits") {
     val corpus = Seq((1L, "low low lower")).toDF("doc_id", "text")
     val rules = TextOps.bpeTrain(corpus, "text", numMerges = 4)
