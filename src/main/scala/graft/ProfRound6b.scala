@@ -22,14 +22,15 @@ object ProfRound6b {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
-    val part = spark.read.parquet(s"$sfDir/part.parquet")
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val ev = graft.sources.EventTime.withEpochMicros(
+    // lazy so a PROF_ONLY run against a partial replica dir (e.g. a
+    // documents-only ×100 ScaleUp output) never touches absent tables
+    lazy val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    lazy val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    lazy val part = spark.read.parquet(s"$sfDir/part.parquet")
+    lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    lazy val ev = graft.sources.EventTime.withEpochMicros(
       spark.read.parquet(s"$sfDir/events.parquet"))
-    println(s"[prof] dir=$sfDir li=${li.count()} ord=${ord.count()} " +
-      s"part=${part.count()} docs=${docs.count()} ev=${ev.count()}")
+    println(s"[prof] dir=$sfDir iters=$iters")
 
     def noop(df: DataFrame): Long =
       df.queryExecution.toRdd.mapPartitions(it => Iterator.single(it.size.toLong)).sum().toLong

@@ -7,21 +7,26 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
-/** Intersection SIZE of two ASC-sorted, duplicate-free, null-free string
-  * arrays, as a codegen'd two-pointer merge — the hot inner loop of the
-  * exact set-similarity join's verification step.
+/** Intersection SIZE of two ASC-sorted, duplicate-free, null-free arrays
+  * (both `array<string>` or both `array<bigint>`), as a codegen'd
+  * two-pointer merge — the hot inner loop of the exact set-similarity
+  * join's verification step.
   *
   * Why not `size(array_intersect(a, b))`: ArrayIntersect builds a hash
   * set PER ROW (SQLOpenHashSet + null-check lambdas) and materializes
   * the intersection array just to count it — at 33M candidate pairs
   * that allocation churn dominated the ×100 profile. The merge loop
   * allocates nothing and short-circuits at the shorter array's end.
+  * The bigint variant exists because SetSimJoin verifies over 64-bit
+  * TOKEN HASHES (8-byte fixed elements vs variable-length UTF8 —
+  * several-fold smaller candidate-join payloads, primitive compares).
   *
   * CONTRACT (enforced by the caller, not re-checked per row): both
-  * arrays sorted ascending by UTF8 binary order (`sort_array` default),
-  * no nulls, no duplicates. NULL array input → NULL.
+  * arrays sorted ascending (UTF8 binary order for strings — the
+  * `sort_array` default — numeric order for bigints), no nulls, no
+  * duplicates. NULL array input → NULL.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -29,15 +34,24 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
 
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(StringType, _) => true
-      case _ => false
+    def elem(dt: DataType): Option[DataType] = dt match {
+      case ArrayType(StringType, _) => Some(StringType)
+      case ArrayType(LongType, _) => Some(LongType)
+      case _ => None
     }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_count needs array<string> inputs, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    (elem(left.dataType), elem(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count needs two array<string> or two " +
+          s"array<bigint> inputs, got ${left.dataType.simpleString} and " +
+          s"${right.dataType.simpleString}")
+    }
   }
 
   override def eval(input: InternalRow): Any = {
@@ -49,11 +63,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val (n, m) = (a.numElements(), b.numElements())
     var i = 0; var j = 0; var c = 0
-    while (i < n && j < m) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+    if (isLong) {
+      while (i < n && j < m) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < n && j < m) {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -65,6 +88,22 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val i = ctx.freshName("i"); val j = ctx.freshName("j")
     val n = ctx.freshName("n"); val m = ctx.freshName("m")
     val cmp = ctx.freshName("cmp")
+    val loop =
+      if (isLong)
+        s"""long $cmp;
+           |while ($i < $n && $j < $m) {
+           |  $cmp = $a.getLong($i) == $b.getLong($j) ? 0
+           |    : ($a.getLong($i) < $b.getLong($j) ? -1 : 1);
+           |  if ($cmp == 0) { ${ev.value}++; $i++; $j++; }
+           |  else if ($cmp < 0) { $i++; } else { $j++; }
+           |}""".stripMargin
+      else
+        s"""int $cmp;
+           |while ($i < $n && $j < $m) {
+           |  $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |  if ($cmp == 0) { ${ev.value}++; $i++; $j++; }
+           |  else if ($cmp < 0) { $i++; } else { $j++; }
+           |}""".stripMargin
     val code =
       code"""
         ${leftGen.code}
@@ -79,11 +118,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
             int $n = $a.numElements();
             int $m = $b.numElements();
             int $i = 0; int $j = 0;
-            while ($i < $n && $j < $m) {
-              int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-              if ($cmp == 0) { ${ev.value}++; $i++; $j++; }
-              else if ($cmp < 0) { $i++; } else { $j++; }
-            }
+            $loop
           }
         }
       """

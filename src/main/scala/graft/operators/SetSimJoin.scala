@@ -21,12 +21,21 @@ import graft.Staging
   * corpus lands in almost no prefix). The length filter
   * `min(|x|,|y|) ≥ τ·max(|x|,|y|)` prunes the rest.
   *
-  * Scale shape: one distinct over (id, token); one vocab-sized frequency
-  * aggregate; per-doc windows (bounded by doc length) for prefix
-  * positions; the candidate equi-join is keyed on the token and hits
-  * rare-token buckets by construction; verification expands candidates
-  * by the smaller set's tokens — |cand| · avg|set| rows, all keyed
-  * joins. Nothing is all-pairs and nothing collects to the driver.
+  * Scale shape: tokens are 64-bit-HASHED per row at staging (xxhash64 —
+  * a hashed token is just a relabeled token, and prefix filtering is
+  * correct under any total order, so every downstream structure carries
+  * 8-byte fixed-width longs instead of variable-length strings: the
+  * vocab aggregate, the prefix table, the candidate equi-join payload
+  * and the verification set arrays all shrink severalfold). Then: one
+  * vocab-sized frequency aggregate; per-doc windows (bounded by doc
+  * length) for prefix positions; the candidate equi-join is keyed on
+  * the token hash and hits rare-token buckets by construction;
+  * verification joins candidate ids back to the staged per-doc sorted
+  * hash arrays. Nothing is all-pairs and nothing collects to the
+  * driver. Exactness caveat: two DISTINCT tokens colliding in xxhash64
+  * would merge — with a 64-bit hash that is ~n²·2⁻⁶⁴ over a doc's
+  * vocabulary, vanishingly below any data-pipeline noise floor (and the
+  * q167 oracle cross-checks the string-exact answer).
   */
 object SetSimJoin {
 
@@ -44,20 +53,23 @@ object SetSimJoin {
     // NOTE for callers: pass `tokensCol` over a BOUND token attribute
     // (select the token array first), not an inline tokens(text) chain —
     // HOF lambdas get no CSE, so an embedded tokenize re-runs per
-    // element (the Dedup.shingleSets lesson). Per-row array_distinct
+    // element (the Dedup.shingleSets lesson). Per-row hash+array_distinct
     // replaces a global DISTINCT: (id, token) duplicates only occur
     // within one row, so deduping the array first saves a full shuffle.
-    // The SET table (one array row per doc) is staged for verification;
-    // nulls are dropped inside the array so sizes and intersections
-    // agree with the exploded view.
-    // sorted ONCE per doc — the verification intersection is then a
-    // zero-allocation two-pointer merge per candidate pair
+    // The hashed SET table (one sorted long-array row per doc) is staged
+    // ONCE and reused by the prefix explode AND the verification joins;
+    // null tokens drop BEFORE hashing (xxhash64(null) returns the seed,
+    // not null — compacting after would turn nulls into a phantom token)
+    // so sizes and intersections agree with the exploded view. Sorted
+    // once per doc — verification is then a zero-allocation two-pointer
+    // merge over primitive longs per candidate pair.
     val sets = Staging.stage(graft.sources.ScaleOps
       .normalizeParallelism(
         df.select(col(idCol).as("id"), tokensCol.as("__toks")),
         df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"),
-        sort_array(array_compact(array_distinct(col("__toks")))).as("__set")))
+        sort_array(array_distinct(
+          transform(array_compact(col("__toks")), t => xxhash64(t)))).as("__set")))
     val tok = Staging.stage(
       sets.select(col("id"), explode(col("__set")).as("token")))
     // global token order = (doc-frequency asc, token asc). The join is

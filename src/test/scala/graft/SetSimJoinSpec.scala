@@ -82,6 +82,18 @@ class SetSimJoinSpec extends SparkTestBase {
       .toDF("a", "b")
       .select(SortedIntersectCount(col("a"), col("b"))).head
     assert(n.isNullAt(0))
+    // bigint variant (the SetSimJoin hashed-token path): same merge
+    val dl = Seq(
+      (Seq(1L, 5L, 9L), Seq(2L, 5L, 9L, 11L)), // common: 5, 9
+      (Seq.empty[Long], Seq(3L)),
+      (Seq(-4L, 7L), Seq(-4L, 7L))).toDF("a", "b")
+    assert(dl.select(SortedIntersectCount(col("a"), col("b"))).collect()
+      .map(_.getInt(0)).toSeq === Seq(2, 0, 2))
+    // mixed element types are refused at analysis
+    val bad = Seq((Seq("a"), Seq(1L))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(SortedIntersectCount(col("a"), col("b"))).collect()
+    }
   }
 
   test("parameter validation") {
