@@ -11,8 +11,10 @@ import graft.reg.Dbreg
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
   * Protocol: warmup pass (JIT/codegen, parquet footers), then
-  * `SPARK_GRAFT_BENCH_ITERS` timed iterations (default 3, matching the
-  * reference harness's count — BASELINE.md) reporting the per-query MIN.
+  * `SPARK_GRAFT_BENCH_ITERS` timed iterations (default 5 since round 7 —
+  * the r5/r6 steal lesson: 3 samples leave a ~30% chance every iteration
+  * of a query lands on a steal burst; 5 keeps the min honest) reporting
+  * the per-query MIN.
   * The reference reports the median, but this host has bursty CPU steal
   * (measured wall-time swings of 10-70x across otherwise identical JVMs —
   * BENCH_NOTES.md §noise); the min is the standard noise-robust wall-time
@@ -23,7 +25,7 @@ import graft.reg.Dbreg
   */
 object Bench {
   private val Iters =
-    sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(3)
+    sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -562,6 +562,46 @@ object OracleSql {
          | SELECT 'l_quantity', b1, sqrt(v11) FROM f) u
          |ORDER BY term""".stripMargin,
 
+    // K-FE alternating projections, fixed at 2 sweeps × 3 FEs: six
+    // unrolled group-mean-subtract CTEs, then the 1-regressor closed
+    // forms (β = Σx̃ỹ/Σx̃², rss = Σỹ² − 2βΣx̃ỹ + β²Σx̃²,
+    // dfRes = n − 1 − (ΣL − 2)) over the twice-swept residuals
+    "q200_hdfe_3fe" ->
+      """WITH d0 AS (SELECT CAST(l_extendedprice AS DOUBLE) AS y,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    l_returnflag AS f1, l_linestatus AS f2, l_linenumber AS f3
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |    AND l_linenumber IS NOT NULL),
+        |g1 AS (SELECT f1 k, avg(y) my, avg(x) mx FROM d0 GROUP BY 1),
+        |d1 AS (SELECT y - my AS y, x - mx AS x, f1, f2, f3
+        |  FROM d0 JOIN g1 ON d0.f1 = g1.k),
+        |g2 AS (SELECT f2 k, avg(y) my, avg(x) mx FROM d1 GROUP BY 1),
+        |d2 AS (SELECT y - my AS y, x - mx AS x, f1, f2, f3
+        |  FROM d1 JOIN g2 ON d1.f2 = g2.k),
+        |g3 AS (SELECT f3 k, avg(y) my, avg(x) mx FROM d2 GROUP BY 1),
+        |d3 AS (SELECT y - my AS y, x - mx AS x, f1, f2, f3
+        |  FROM d2 JOIN g3 ON d2.f3 = g3.k),
+        |g4 AS (SELECT f1 k, avg(y) my, avg(x) mx FROM d3 GROUP BY 1),
+        |d4 AS (SELECT y - my AS y, x - mx AS x, f1, f2, f3
+        |  FROM d3 JOIN g4 ON d3.f1 = g4.k),
+        |g5 AS (SELECT f2 k, avg(y) my, avg(x) mx FROM d4 GROUP BY 1),
+        |d5 AS (SELECT y - my AS y, x - mx AS x, f1, f2, f3
+        |  FROM d4 JOIN g5 ON d4.f2 = g5.k),
+        |g6 AS (SELECT f3 k, avg(y) my, avg(x) mx FROM d5 GROUP BY 1),
+        |d6 AS (SELECT y - my AS y, x - mx AS x
+        |  FROM d5 JOIN g6 ON d5.f3 = g6.k),
+        |lv AS (SELECT count(DISTINCT f1) + count(DISTINCT f2)
+        |    + count(DISTINCT f3) AS lsum FROM d0),
+        |st AS (SELECT count(*)::DOUBLE n, sum(x*y) sxy, sum(x*x) sxx,
+        |    sum(y*y) syy FROM d6),
+        |b AS (SELECT n, sxx, sxy, syy, sxy / sxx AS beta, lsum FROM st, lv)
+        |SELECT 'l_quantity' AS term, beta AS estimate,
+        |  sqrt((syy - 2 * beta * sxy + beta * beta * sxx)
+        |    / (n - 1 - (lsum - 2)) / sxx) AS std_error
+        |FROM b""".stripMargin,
+
     "q27_cluster_fit" ->
       s"""WITH m AS (SELECT count(*)::DOUBLE n, sum(x1) sx, sum(y) sy,
          |   sum(x1*x1) sxx, sum(x1*y) sxy FROM $B t),

@@ -44,6 +44,23 @@ object ProfFits {
       spark.stop(); return
     }
 
+    // PROF_HDFE_ONLY=1: time the alternating-projection K-FE path —
+    // a small-cardinality 3-FE fit and a high-cardinality 2-FE fit
+    // (supplier × linenumber: the mean table big enough to join, the
+    // case compress's dummy design cannot express) — and exit
+    if (sys.env.contains("PROF_HDFE_ONLY")) {
+      (1 to 2).foreach { i =>
+        time(s"hdfe_3fe_smallcard (iter $i)")(
+          Dbreg.fit(
+            "l_extendedprice ~ l_quantity | l_returnflag + l_linestatus + l_linenumber",
+            li, strategy = "hdfe"))
+        time(s"hdfe_2fe_suppkey (iter $i)")(
+          Dbreg.fit("l_extendedprice ~ l_quantity | l_suppkey + l_linenumber",
+            li, strategy = "hdfe"))
+      }
+      spark.stop(); return
+    }
+
     // warm all paths once
     Dbreg.fit("l_extendedprice ~ l_quantity + l_discount | l_returnflag",
       li, vcov = "hc1", strategy = "demean")

@@ -421,6 +421,16 @@ object Queries {
       fit.toDF(s).select(col("term"), col("estimate"), col("std_error")).orderBy("term")
     }),
 
+    // K-FE alternating projections (beyond-reference: dbreg.R:640-660
+    // refuses >2 FE). Fixed-sweep mode (tol=0, 2 sweeps over 3 FEs) so
+    // the oracle can unroll the identical six group-mean projections
+    "q200_hdfe_3fe" -> ((s, dir) => {
+      val fit = Dbreg.fit(
+        "l_extendedprice ~ l_quantity | l_returnflag + l_linestatus + l_linenumber",
+        li(s, dir), strategy = "hdfe", hdfeTol = 0.0, hdfeMaxSweeps = 2)
+      fit.toDF(s).select(col("term"), col("estimate"), col("std_error")).orderBy("term")
+    }),
+
     // ---- A12: compress strategy with clustered SEs, end-to-end (cell-level
     // scores ≡ row-level scores because x is constant within a cell).
     // float32 outputs: driver Cholesky vs oracle closed form differ ~1e-12.

@@ -47,28 +47,38 @@ object Features {
     df.join(enc, df(catCol) === enc("__c"), "left").drop("__c")
   }
 
-  /** Winsorize: clip `value` into its [pLo, pHi] exact-percentile band —
-    * the standard heavy-tail tamer before means/regressions. Bounds come
-    * from one exact `percentile` aggregate (q60 quantile_cont parity;
-    * swap approx_percentile at unbounded scale) broadcast back via a 1-row
-    * crossJoin; the clip is a pure projection. Adds `outCol` (null stays
-    * null). */
+  /** Winsorize: clip `value` into its [pLo, pHi] percentile band — the
+    * standard heavy-tail tamer before means/regressions. Bounds come from
+    * one 1-row aggregate broadcast back via a crossJoin; the clip is a
+    * pure projection. Adds `outCol` (null stays null).
+    *
+    * Two modes (the A8 probeMode precedent): `exact = true` (default)
+    * uses the exact `percentile` aggregate — the q60 quantile_cont
+    * parity, but it buffers every value per partition; `exact = false`
+    * swaps in `approx_percentile` (bounded GK sketch state,
+    * `accuracy`-controlled error) — the unbounded-scale path, since a
+    * clip bound off by a quantile hair is immaterial to tail-taming. */
   def winsorize(
       df: DataFrame,
       value: Column,
       pLo: Double = 0.01,
       pHi: Double = 0.99,
-      outCol: String = "w"
+      outCol: String = "w",
+      exact: Boolean = true,
+      accuracy: Int = 10000
   ): DataFrame = {
     require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
     require(!df.columns.contains(outCol), s"output column '$outCol' exists")
     require(!df.columns.contains("__lo") && !df.columns.contains("__hi"),
       "reserved columns '__lo'/'__hi' present (drop after the bounds join would eat them)")
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
     val v = value.cast("double")
+    def pct(p: Double): Column =
+      if (exact) expr(s"percentile(__v, $p)")
+      else expr(s"approx_percentile(__v, $p, $accuracy)")
     val bounds = df.filter(v.isNotNull).select(v.as("__v"))
-      .agg(expr(s"percentile(__v, $pLo)").as("__lo"),
-        expr(s"percentile(__v, $pHi)").as("__hi"))
+      .agg(pct(pLo).as("__lo"), pct(pHi).as("__hi"))
     df.crossJoin(broadcast(bounds))
       // explicit null guard: Spark's least/greatest SKIP nulls, which would
       // silently clip a null value to the lower bound
@@ -83,25 +93,34 @@ object Features {
     * |v − med| > k·1.4826·mad (1.4826 makes MAD estimate σ under
     * normality). Immune to the outliers it hunts, unlike mean/sd z-scores.
     *
-    * Built as one lazy plan: exact `percentile` aggregates (the q60-pinned
-    * parity with DuckDB `quantile_cont`) with 1-row broadcast crossJoins
-    * between the three stages — three scans, driver never sees a row.
-    * At unbounded scale swap the exact percentile for `approx_percentile`
-    * (the W1/K12 two-mode precedent). Returns one row
+    * Built as one lazy plan: percentile aggregates with 1-row broadcast
+    * crossJoins between the three stages — three scans, driver never sees
+    * a row. Two modes (the A8 probeMode precedent): `exact = true`
+    * (default) uses the exact `percentile` aggregate — the q60-pinned
+    * parity with DuckDB `quantile_cont`, but it buffers every value per
+    * partition; `exact = false` swaps in `approx_percentile` (bounded
+    * sketch state) — the unbounded-scale path; a median off by a quantile
+    * hair barely moves the MAD fence. Returns one row
     * (median, mad, n_outliers, n). */
   def robustOutlierStats(
       df: DataFrame,
       value: Column,
-      k: Double = 3.0
+      k: Double = 3.0,
+      exact: Boolean = true,
+      accuracy: Int = 10000
   ): DataFrame = {
     require(k > 0.0, s"k must be positive, got $k")
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    def med50(c: String): Column =
+      if (exact) expr(s"percentile($c, 0.5)")
+      else expr(s"approx_percentile($c, 0.5, $accuracy)")
     val base = df.filter(value.isNotNull).select(value.cast("double").as("__v"))
-    val med = base.agg(expr("percentile(__v, 0.5)").as("__med"))
+    val med = base.agg(med50("__v").as("__med"))
     val withMed = base.crossJoin(broadcast(med))
-    // exact MAD: percentile over the absolute deviations
+    // MAD: percentile over the absolute deviations
     val madDf = withMed
       .select(abs(col("__v") - col("__med")).as("__d"))
-      .agg(expr("percentile(__d, 0.5)").as("__mad"))
+      .agg(med50("__d").as("__mad"))
     withMed
       .crossJoin(broadcast(madDf))
       .agg(

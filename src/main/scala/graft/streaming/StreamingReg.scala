@@ -272,4 +272,128 @@ object StreamingReg {
       }
       .toDF("key", "n", "mean", "variance")
   }
+
+  /** Streaming rolling active users — the streaming form of the batch
+    * [[graft.operators.Events.rollingActiveUsers]]: sliding event-time
+    * windows + a per-window DISTINCT-user estimate.
+    *
+    * The batch operator counts exactly; in a stream an exact per-window
+    * distinct would hold a user SET per open window in the state store —
+    * unbounded in users, the one thing streaming state must never be. The
+    * sketch trade is the same one the A8 probe's `probeMode="approx"`
+    * makes: approx_count_distinct keeps one HLL (fixed bytes) per open
+    * window, mergeable across micro-batches, ~2% relative error — and is
+    * EXACT at small cardinalities (HLL sparse mode). Windows finalize
+    * when the watermark passes, bounding open-window state.
+    */
+  def streamingRollingActives(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      window_ : String = "7 days",
+      slide: String = "1 day",
+      watermark: String = "1 day"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_, slide))
+      .agg(approx_count_distinct(col(userCol)).as("n_active_approx"))
+
+  /** A step-reach transition emitted by [[streamingFunnel]]. */
+  final case class StepReach(key: String, stepIdx: Int, step: String, reachMs: Long)
+
+  /** Per-user funnel state: first order-respecting match time (ms) per
+    * step, −1 = unreached (public: the state encoder's generated code
+    * must reach the accessor). Reached steps always form a prefix. */
+  final case class FunnelState(times: Seq[Long])
+
+  /** Streaming funnel — the streaming form of the batch
+    * [[graft.operators.Events.funnel]] cascade: per user, step k is
+    * reached by the first step-k event at-or-after the step-(k−1) match
+    * (within `maxGapMs` of it when set). Emits one APPEND row per newly
+    * reached step — `(key, step_idx, step, reach_ms)` transitions; a
+    * downstream windowed count over `step_idx` gives live conversion
+    * rates (Spark ≥3.4 supports the stateful-op → agg chain in append
+    * mode).
+    *
+    * State per user is k longs (fixed); users who complete the funnel
+    * drop their state immediately, users who never matched step 1 store
+    * none, and with a conversion window set, users idle past their next
+    * step's deadline are evicted by event-time timeout — so state is
+    * bounded by ACTIVE mid-funnel users, not corpus users.
+    *
+    * Batch-vs-stream contract: events are processed in event-time order
+    * WITHIN each micro-batch, so in-order (or per-batch-complete) feeds
+    * reproduce the batch earliest-match cascade exactly; an out-of-order
+    * event arriving in a LATER batch than a same-step rival cannot
+    * retract an already-emitted match (append semantics) and may
+    * therefore record a later reach time than the batch funnel would.
+    */
+  def streamingFunnel(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      maxGapMs: Option[Long] = None,
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    require(maxGapMs.forall(_ > 0), s"maxGapMs must be positive: $maxGapMs")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stepIdx = steps.zipWithIndex.toMap
+    val typed = events
+      .select(col(userCol).cast("string").as("k"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(typeCol).cast("string").as("e"))
+      .filter(col("e").isin(steps: _*))
+      .withWatermark("ts", watermark)
+      .as[(String, java.sql.Timestamp, String)]
+    val timeout =
+      if (maxGapMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, StepReach](OutputMode.Append(), timeout) {
+        case (key, rows, state: GroupState[FunnelState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // conversion window expired: this user can never advance
+            state.remove()
+            Iterator.empty
+          } else {
+            val times = state.getOption.map(_.times.toArray)
+              .getOrElse(Array.fill(steps.length)(-1L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[StepReach]
+            rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, ts, e) =>
+              val t = ts.getTime
+              val k = stepIdx(e)
+              val prevOk = k == 0 || (times(k - 1) >= 0 && t >= times(k - 1) &&
+                maxGapMs.forall(g => t - times(k - 1) <= g))
+              if (prevOk && times(k) < 0) {
+                times(k) = t
+                out += StepReach(key, k + 1, steps(k), t)
+              }
+            }
+            if (times.last >= 0) {
+              // funnel complete — no further transitions possible
+              if (state.exists) state.remove()
+            } else if (times.head < 0) {
+              // never matched step 1 — nothing to remember
+              if (state.exists) state.remove()
+            } else {
+              state.update(FunnelState(times.toSeq))
+              maxGapMs.foreach { g =>
+                // reached steps form a prefix, so the first unreached
+                // step's predecessor is always set
+                val kStar = times.indexWhere(_ < 0)
+                state.setTimeoutTimestamp(times(kStar - 1) + g)
+              }
+            }
+            out.iterator
+          }
+      }
+      .toDF("key", "step_idx", "step", "reach_ms")
+  }
 }

@@ -156,6 +156,68 @@ class DbregSpec extends SparkTestBase {
     assertClose(fit.se("x2"), seIid(2), 1e-7, "se x2")
   }
 
+  test("hdfe: 1 FE equals the demean strategy on all vcovs") {
+    for (vc <- Seq("iid", "hc1", "~grp")) {
+      val h = Dbreg.fit("y ~ x1 + x2 | unit", df, vcov = vc, strategy = "hdfe")
+      val d = Dbreg.fit("y ~ x1 + x2 | unit", df, vcov = vc, strategy = "demean")
+      assert(h.strategy == "hdfe")
+      assertClose(h.coef("x1"), d.coef("x1"), 1e-9, s"$vc beta x1")
+      assertClose(h.coef("x2"), d.coef("x2"), 1e-9, s"$vc beta x2")
+      assertClose(h.se("x1"), d.se("x1"), 1e-9, s"$vc se x1")
+      assertClose(h.rss, d.rss, 1e-9, s"$vc rss")
+      assertClose(h.dfResidual, d.dfResidual, tol, s"$vc df")
+    }
+    // per-level FE intercepts are not identified without an extra pass —
+    // prediction is a documented refusal
+    intercept[UnsupportedOperationException] {
+      Dbreg.fit("y ~ x1 | unit", df, strategy = "hdfe").predict(df)
+    }
+  }
+
+  test("hdfe: 2 FE balanced converges to the GROUPING SETS demean answer") {
+    val h = Dbreg.fit("y ~ x1 + x2 | unit + time", df, strategy = "hdfe",
+      hdfeTol = 1e-12, hdfeMaxSweeps = 200)
+    val d = Dbreg.fit("y ~ x1 + x2 | unit + time", df, strategy = "demean")
+    assertClose(h.coef("x1"), d.coef("x1"), 1e-8, "beta x1")
+    assertClose(h.coef("x2"), d.coef("x2"), 1e-8, "beta x2")
+    assertClose(h.se("x1"), d.se("x1"), 1e-8, "se x1")
+    assertClose(h.dfResidual, d.dfResidual, tol, "df")
+  }
+
+  test("hdfe: 3 crossed FEs match dense dummy OLS (coef, se, df)") {
+    // three crossed factors (12 × 6 × 5; c rides i mod 5, coprime with
+    // the 72-cycle of (a, b), so no factor is nested in another)
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 360).map { i =>
+      val a = i % 12; val b = (i / 12) % 6; val c = (i * 7 + 3) % 5
+      val x = math.sin(i * 0.7) * 2.0 + (i % 5) * 0.3
+      val y = 2.0 + 0.8 * x + a * 0.15 - b * 0.4 + c * 0.22 +
+        rng.nextGaussian() * 0.5
+      (y, x, s"a$a", s"b$b", s"c$c")
+    }
+    val d3 = rows.toDF("y", "x", "fa", "fb", "fc")
+    val nn = rows.length
+    val la = 12; val lb = 6; val lc = 5
+    val dums =
+      (1 until la).map(k => (r: (Double, Double, String, String, String)) =>
+        if (r._3 == s"a$k") 1.0 else 0.0) ++
+      (1 until lb).map(k => (r: (Double, Double, String, String, String)) =>
+        if (r._4 == s"b$k") 1.0 else 0.0) ++
+      (1 until lc).map(k => (r: (Double, Double, String, String, String)) =>
+        if (r._5 == s"c$k") 1.0 else 0.0)
+    val fns = Seq((r: (Double, Double, String, String, String)) => 1.0,
+      (r: (Double, Double, String, String, String)) => r._2) ++ dums
+    val x = DenseMatrix.tabulate(nn, fns.length)((i, j) => fns(j)(rows(i)))
+    val y = DenseVector(rows.map(_._1).toArray)
+    val dfRes = nn.toDouble - fns.length // 360 − 22 = 338
+    val (beta, seIid, _) = DensePanel.ols(x, y, dfRes)
+    val fit = Dbreg.fit("y ~ x | fa + fb + fc", d3, strategy = "hdfe",
+      hdfeTol = 1e-13, hdfeMaxSweeps = 300)
+    assertClose(fit.coef("x"), beta(1), 1e-7, "beta x")
+    assertClose(fit.se("x"), seIid(1), 1e-7, "se x")
+    assertClose(fit.dfResidual, dfRes, tol, "df") // ΣL − (K−1) bookkeeping
+  }
+
   test("demean/mundlak above the inline-means threshold take the join branch (120 levels)") {
     // InlineMeansMaxLevels = 64: every other FE test uses tiny factors, so
     // this is the only coverage of the broadcast-join tier of
@@ -278,16 +340,31 @@ class DbregSpec extends SparkTestBase {
     assert(math.abs(t1.se("x1") - t2.se("x1")) < 1e-12)
   }
 
-  test("auto on unbalanced high-ratio 2-FE panel errors with guidance") {
+  test("auto on unbalanced high-ratio 2-FE panel routes to hdfe and stays exact") {
     // duplicate one unit's rows -> unequal cell counts (the balance probe
     // checks COUNT(DISTINCT per-cell count), matching the reference);
-    // x2 continuous keeps the compression ratio high
+    // x2 continuous keeps the compression ratio high. Pre-round-7 this
+    // case REFUSED ("exact TWFE infeasible"); alternating projections
+    // give it an exact distributed path.
+    val extraRows = DensePanel.rows.filter(_.unit == "u1")
     val unbal = df.union(df.filter(col("unit") === "u1"))
-    val e = intercept[IllegalStateException] {
-      Dbreg.fit("y ~ x2 | unit + time", unbal, strategy = "auto")
-    }
-    assert(e.getMessage.contains("compress") && e.getMessage.contains("mundlak"))
-    // but explicit mundlak works on the same data
+    val fit = Dbreg.fit("y ~ x2 | unit + time", unbal, strategy = "auto",
+      hdfeTol = 1e-13, hdfeMaxSweeps = 300)
+    assert(fit.strategy == "hdfe")
+    // dense LSDV on the unbalanced rows
+    val rowsU = DensePanel.rows ++ extraRows
+    val units = rowsU.map(_.unit).distinct.sorted
+    val times = rowsU.map(_.time).distinct.sorted
+    val fns = Seq((r: PanelRow) => 1.0, (r: PanelRow) => r.x2) ++
+      units.tail.map(u => (r: PanelRow) => if (r.unit == u) 1.0 else 0.0) ++
+      times.tail.map(t => (r: PanelRow) => if (r.time == t) 1.0 else 0.0)
+    val x = DenseMatrix.tabulate(rowsU.length, fns.length)((i, j) => fns(j)(rowsU(i)))
+    val y = DenseVector(rowsU.map(_.y).toArray)
+    val dfRes = rowsU.length.toDouble - fns.length
+    val (beta, seIid, _) = DensePanel.ols(x, y, dfRes)
+    assertClose(fit.coef("x2"), beta(1), 1e-7, "beta x2")
+    assertClose(fit.se("x2"), seIid(1), 1e-7, "se x2")
+    // explicit mundlak still works on the same data (CRE alternative)
     val m = Dbreg.fit("y ~ x2 | unit + time", unbal, strategy = "mundlak")
     assert(!m.coef("x2").isNaN)
   }

@@ -63,6 +63,36 @@ class FeaturesSpec extends SparkTestBase {
     assert(clean.getLong(2) == 0L)
   }
 
+  test("winsorize/robustOutlierStats approx mode: sketch aggregate, no exact percentile in plan") {
+    // GK sketch is exact below its accuracy bound, so small-n values match
+    // the exact mode; the plan pin is the point — NO exact `percentile`
+    // aggregate (which buffers every value per partition) anywhere
+    val d = (1 to 11).map(i => Some(i.toDouble)).toDF("v")
+    val wx = Features.winsorize(d, col("v"), 0.1, 0.9)
+    val wa = Features.winsorize(d, col("v"), 0.1, 0.9, exact = false)
+    val mx = wx.select(col("v"), col("w")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val ma = wa.select(col("v"), col("w")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(ma === mx)
+    val waPlan = wa.queryExecution.executedPlan.toString
+    assert(waPlan.contains("approx_percentile"), waPlan.take(500))
+    assert(!waPlan.replace("approx_percentile", "").contains("percentile("),
+      "approx mode must not carry an exact percentile aggregate")
+    // odd n: the exact percentile hits an element (no interpolation), so
+    // the element-returning sketch can agree exactly
+    val d2 = ((1 to 10).map(_.toDouble) :+ 100.0).toDF("v")
+    val rx = Features.robustOutlierStats(d2, col("v"), k = 3.0).head
+    val raDf = Features.robustOutlierStats(d2, col("v"), k = 3.0, exact = false)
+    val ra = raDf.head
+    assert(ra.getDouble(0) === rx.getDouble(0))
+    assert(ra.getDouble(1) === rx.getDouble(1))
+    assert(ra.getLong(2) === rx.getLong(2))
+    val raPlan = raDf.queryExecution.executedPlan.toString
+    assert(!raPlan.replace("approx_percentile", "").contains("percentile("),
+      "approx mode must not carry an exact percentile aggregate")
+  }
+
   test("decay scores: now=1, one half-life back=0.5, additive per key") {
     // half-life 10: u1 events at t=20 (ref) and t=10 → 1.0 + 0.5;
     // u2 single event two half-lives back → 0.25

@@ -431,4 +431,91 @@ class StreamingSpec extends SparkTestBase {
     assert(math.abs(collected(1L) - (1.0 + 0.5 + 0.25)) < 1e-12)
     assert(math.abs(collected(2L) - 0.5) < 1e-12)
   }
+
+  test("streaming funnel emits the batch cascade's step reaches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "user", "etype")
+    val steps = Seq("view", "click", "purchase")
+    val out = StreamingReg.streamingFunnel(df, "ts", "user", "etype", steps)
+    val q = out.writeStream.format("memory").queryName("fun")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // A completes in order; B purchases BEFORE clicking (order violation —
+    // purchase must not count); C only views
+    input.addData(
+      (t(0), "A", "view"), (t(1), "A", "click"),
+      (t(0), "B", "view"), (t(1), "B", "purchase"),
+      (t(0), "C", "view"))
+    q.processAllAvailable()
+    // cross-batch continuation: A purchases, B clicks (purchase stays
+    // unreached — its only event predates the click)
+    input.addData((t(5), "A", "purchase"), (t(6), "B", "click"))
+    q.processAllAvailable()
+    val reaches = spark.table("fun").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    q.stop()
+    assert(reaches === Set(
+      ("A", 1), ("A", 2), ("A", 3),
+      ("B", 1), ("B", 2),
+      ("C", 1)))
+    // per-step counts equal the batch funnel on the union of all events
+    val batch = graft.operators.Events.funnel(
+      Seq((t(0), "A", "view"), (t(1), "A", "click"), (t(5), "A", "purchase"),
+        (t(0), "B", "view"), (t(1), "B", "purchase"), (t(6), "B", "click"),
+        (t(0), "C", "view")).toDF("ts", "user", "etype"),
+      "user", "ts", "etype", steps)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val streamCounts = reaches.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    steps.indices.foreach { i =>
+      assert(streamCounts.getOrElse(i + 1, 0L) === batch(i + 1),
+        s"step ${i + 1} stream vs batch")
+    }
+  }
+
+  test("streaming funnel conversion window gates step advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "user", "etype")
+    val out = StreamingReg.streamingFunnel(df, "ts", "user", "etype",
+      Seq("view", "click"), maxGapMs = Some(60L * 1000L), watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("fungap")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // A clicks within the 1-minute window; B clicks 10 minutes later
+    input.addData((t(0), "A", "view"), (t(1), "A", "click"),
+      (t(0), "B", "view"))
+    q.processAllAvailable()
+    input.addData((t(10), "B", "click"))
+    q.processAllAvailable()
+    val reaches = spark.table("fungap").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    q.stop()
+    assert(reaches === Set(("A", 1), ("A", 2), ("B", 1)))
+  }
+
+  test("streaming rolling actives match exact per-window distincts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "user")
+    val out = StreamingReg.streamingRollingActives(df, "ts", "user",
+      window_ = "2 hours", slide = "1 hour", watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("act")
+      .outputMode("complete").start()
+    def t(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((t(10), "u1"), (t(10, 30), "u2"), (t(10, 40), "u1"))
+    q.processAllAvailable()
+    input.addData((t(11), "u3"), (t(12, 15), "u1"))
+    q.processAllAvailable()
+    val rows = spark.table("act")
+      .select(col("window.start").cast("string"), col("n_active_approx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    // HLL is exact at these cardinalities: window [10,12) sees u1,u2,u3;
+    // [09,11) sees u1,u2; [11,13) sees u3,u1; [12,14) sees u1
+    assert(rows("2024-01-01 10:00:00") === 3L)
+    assert(rows("2024-01-01 09:00:00") === 2L)
+    assert(rows("2024-01-01 11:00:00") === 2L)
+    assert(rows("2024-01-01 12:00:00") === 1L)
+  }
 }
