@@ -3489,6 +3489,41 @@ object OracleSql {
          |  ((pr - nr) * ln(pr / nr))::REAL AS iv_contrib
          |FROM w ORDER BY bin""".stripMargin,
 
+    // recursive transitive closure over the MINHASH-LSH verified pair
+    // graph (q33's candidate algebra feeding q172's recursive CC)
+    "q201_cc_lsh_pairs" ->
+      s"""WITH $ShingleSets,
+         |$MinhashTable,
+         |hx AS (SELECT id, ${hash32("shingle")} % ${Dedup.MinhashP} AS x FROM sh),
+         |mh AS (SELECT id, i, min((x * a + b) % ${Dedup.MinhashP}) AS h
+         |  FROM hx CROSS JOIN hashes GROUP BY id, i),
+         |bk AS (SELECT id, i // ${Dedup.BandRows} AS band,
+         |         string_agg(h::VARCHAR, ',' ORDER BY i) AS bucket
+         |       FROM mh GROUP BY id, i // ${Dedup.BandRows}),
+         |cand AS (SELECT DISTINCT a.id id1, b.id id2
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+         |common AS (SELECT c.id1, c.id2, count(*) AS common
+         |  FROM cand c JOIN sh a ON a.id = c.id1 JOIN sh b ON b.id = c.id2
+         |    AND a.shingle = b.shingle
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id1, id2 FROM common
+         |  JOIN sizes s1 ON common.id1 = s1.id
+         |  JOIN sizes s2 ON common.id2 = s2.id
+         |  WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.5),
+         |edges AS (SELECT id1 a, id2 b FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |comp AS (
+         |  WITH RECURSIVE reach(id, label) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+         |  )
+         |  SELECT id, min(label) AS component FROM reach GROUP BY id)
+         |SELECT id AS node, component FROM comp ORDER BY node""".stripMargin,
+
     // recursive transitive closure over the 0.3-Jaccard pair graph
     "q172_connected_components" ->
       s"""WITH $ShingleSets,

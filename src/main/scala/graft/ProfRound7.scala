@@ -22,8 +22,10 @@ object ProfRound7 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    println(s"[prof] dir=$sfDir rows=${li.count()}")
+    // lazy: a PROF_CC_ONLY run against a documents-only replica dir
+    // never touches lineitem
+    lazy val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    println(s"[prof] dir=$sfDir")
 
     def noop(df: DataFrame): Long =
       df.queryExecution.toRdd
@@ -39,19 +41,34 @@ object ProfRound7 {
       println(f"[prof] $name MIN: ${times.min}%.2f s")
     }
 
-    val score = col("l_extendedprice").cast("double")
-    val label = col("l_quantity") > 25
-    time("lift_bucketed")(noop(
-      graft.reg.Eval.liftCurve(li, score, label, col("l_orderkey"), buckets = 10)))
-    time("woe_bucketed")(noop(
-      graft.operators.Features.woeBins(li, score, label, col("l_orderkey"), bins = 10)))
-    if (sys.env.contains("PROF_EXACT")) {
-      time("lift_exact_ntile")(noop(
-        graft.reg.Eval.liftCurve(li, score, label, col("l_orderkey"),
-          buckets = 10, exact = true)))
-      time("woe_exact_ntile")(noop(
-        graft.operators.Features.woeBins(li, score, label, col("l_orderkey"),
-          bins = 10, exact = true)))
+    if (!sys.env.contains("PROF_CC_ONLY")) {
+      val score = col("l_extendedprice").cast("double")
+      val label = col("l_quantity") > 25
+      println(s"[prof] rows=${li.count()}")
+      time("lift_bucketed")(noop(
+        graft.reg.Eval.liftCurve(li, score, label, col("l_orderkey"), buckets = 10)))
+      time("woe_bucketed")(noop(
+        graft.operators.Features.woeBins(li, score, label, col("l_orderkey"), bins = 10)))
+      if (sys.env.contains("PROF_EXACT")) {
+        time("lift_exact_ntile")(noop(
+          graft.reg.Eval.liftCurve(li, score, label, col("l_orderkey"),
+            buckets = 10, exact = true)))
+        time("woe_exact_ntile")(noop(
+          graft.operators.Features.woeBins(li, score, label, col("l_orderkey"),
+            bins = 10, exact = true)))
+      }
+    }
+    // PROF_CC=1 (needs documents.parquet in the dir): connected
+    // components over MinHash-LSH verified pairs (q201) — the loose-τ
+    // scale composition vs q172's exact all-pairs generation
+    if (sys.env.contains("PROF_CC")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      println(s"[prof] docs=${docs.count()}")
+      time("cc_lsh_pairs")(noop(
+        graft.operators.Graphs.connectedComponents(
+          graft.pipeline.Dedup.minhashPairs(docs, "doc_id", "text",
+            n = 2, threshold = 0.5),
+          "id1", "id2")))
     }
     spark.stop()
   }

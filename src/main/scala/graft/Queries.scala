@@ -2076,6 +2076,17 @@ object Queries {
           "id1", "id2")
         .orderBy("node")),
 
+    // the scale composition for transitive clusters at loose thresholds:
+    // MinHash-LSH candidate pairs (bounded fan-out) feed CC instead of
+    // the exact all-pairs shingle join, whose PAIR GENERATION dominates
+    // the x100 point (751 s — BENCH_NOTES); same pointer-jumping CC
+    "q201_cc_lsh_pairs" -> ((s, dir) =>
+      graft.operators.Graphs.connectedComponents(
+          Dedup.minhashPairs(docs(s, dir), "doc_id", "text",
+            n = 2, threshold = 0.5),
+          "id1", "id2")
+        .orderBy("node")),
+
     // rolling trend: daily value sums per type with the trailing-7 OLS
     // slope from four window sums — the moments-kernel slope formula
     // carried by a ROWS window over the aggregated series
