@@ -607,10 +607,19 @@ object Dbreg {
     *
     * Degrees of freedom: dfFe = Σ levels(fe_k) − (K − 1) — exact for one
     * connected component (the fixest default; exact connected-component
-    * counting for K ≥ 3 is itself open). Prediction is refused: per-level
-    * FE intercepts are not identified without an extra decomposition
-    * pass (the reference refuses the whole fit, so any estimate here is
-    * net-new surface).
+    * counting for K ≥ 3 is itself open).
+    *
+    * Prediction: the per-step mean tables contain everything FE-intercept
+    * recovery needs, so it is FREE — zero extra corpus passes. Every
+    * projection the loop applies to (y, X) accumulates per FE into
+    * A_k^y(level) and A_k^{x_i}(level); by FWL linearity the LSDV fitted
+    * value decomposes as ŷ = Xβ̂ + Σ_k α_k(level_k) with
+    * α_k = A_k^y − Σ_i β̂_i · A_k^{x_i} over KEPT terms. New data joins
+    * (or literal-looks-up, inline tier) the level-sized α_k tables; an
+    * unseen level yields a visible null fit (the fitDemean contract).
+    * α components are identified only up to cross-component constants —
+    * predictions are exact for level combinations connected to the
+    * training components (the same caveat fixest's fixef() carries).
     */
   private def fitHdfe(
       f: Formula,
@@ -642,6 +651,14 @@ object Dbreg {
     var pending: List[DataFrame] = Nil
     var held: List[DataFrame] = Nil
     def release(): Unit = { pending.foreach(_.unpersist()); pending = Nil }
+    // per-FE accumulated mean tables (FE-intercept recovery — see the
+    // Prediction paragraph above): inline tier accumulates driver-side
+    // (≤64 entries), join tiers as a level-sized running full-outer sum,
+    // eagerly staged so it never re-derives a released mean table
+    val accMaps = Array.fill(f.fe.length)(
+      scala.collection.mutable.LinkedHashMap.empty[Any, Array[Double]])
+    val accDfs = Array.fill[Option[DataFrame]](f.fe.length)(None)
+    val accCols = valueCols.indices.map(i => s"__acc$i")
     var sweep = 0
     var stepsSinceStage = 0
     var lastSweepMax = Double.PositiveInfinity
@@ -661,9 +678,14 @@ object Dbreg {
             val rows = gm.collect()
             release()
             rows.foreach { r =>
-              meanCols.foreach { c =>
+              val acc = accMaps(fi).getOrElseUpdate(r.getAs[Any](fe),
+                Array.fill(valueCols.length)(0.0))
+              meanCols.zipWithIndex.foreach { case (c, i) =>
                 val v = r.getAs[Double](c)
-                if (!v.isNaN) sweepMax = math.max(sweepMax, math.abs(v))
+                if (!v.isNaN) {
+                  sweepMax = math.max(sweepMax, math.abs(v))
+                  acc(i) += v
+                }
               }
             }
             inlineMeanLookup(cur, fe, rows, meanCols)
@@ -675,6 +697,24 @@ object Dbreg {
               .agg(greatest(meanCols.map(c => max(abs(col(c)))) :+ lit(0.0): _*))
               .collect()(0)
             if (!mxRow.isNullAt(0)) sweepMax = math.max(sweepMax, mxRow.getDouble(0))
+            val stepAcc = p.select(
+              col(fe) +: valueCols.indices.map(i => col(meanCols(i)).as(accCols(i))): _*)
+            val merged = accDfs(fi) match {
+              case None => graft.Staging.stage(stepAcc)
+              case Some(a) =>
+                graft.Staging.stage(a
+                  .join(p.select(
+                    col(fe) +: valueCols.indices.map(i =>
+                      col(meanCols(i)).as(s"__st$i")): _*), Seq(fe), "full_outer")
+                  .select(col(fe) +: valueCols.indices.map(i =>
+                    (coalesce(col(accCols(i)), lit(0.0)) +
+                      coalesce(col(s"__st$i"), lit(0.0))).as(accCols(i))): _*))
+            }
+            // eager: materialize the running sum while this step's mean
+            // table is still cached (a later shuffle-tier release must
+            // not force a gm recompute through the accumulator's lineage)
+            merged.count()
+            accDfs(fi) = Some(merged)
             if (shuffleTier) pending = List(p) else held ::= p
             withMeanColumns(cur, fe, p, nLev, meanCols)
           }
@@ -708,9 +748,44 @@ object Dbreg {
       dfResOf = (n, pKept) => math.max(n - pKept - dfFe, 1.0),
       clusterK = (pKept, nested) => pKept + dfFe - nested,
       nestedBase = Some(base))
+    // FE-intercept recovery from the accumulated mean tables (see the
+    // Prediction scaladoc): α_k = A_k^y − Σ_{kept i} β̂_i · A_k^{x_i}
+    val dispToInt = d0.displayNames.zip(d0.xNames).toMap
+    val betaByIdx: Map[Int, Double] = res.coeftable
+      .map(r => valueCols.indexOf(dispToInt(r.term)) -> r.estimate).toMap
+    def alpha(accs: Int => Double): Double =
+      accs(0) - betaByIdx.map { case (i, b) => b * accs(i) }.sum
+    val alphaParts: Seq[(DataFrame => DataFrame, Column)] =
+      f.fe.toSeq.zipWithIndex.map { case (fe, fi) =>
+        if (levels(fi) <= InlineMeansMaxLevels) {
+          // literal lookup — unseen level falls through to null (the
+          // fitDemean visible-null-fit contract)
+          val chain = accMaps(fi).foldLeft(lit(null).cast("double")) {
+            case (acc, (level, arr)) =>
+              when(col(fe) === lit(level), lit(alpha(arr(_)))).otherwise(acc)
+          }
+          (identity[DataFrame] _, chain)
+        } else {
+          val alphaCol = s"__g_ha_$fi"
+          val beta = betaByIdx.map { case (i, b) => lit(b) * col(accCols(i)) }
+            .reduceOption(_ + _).getOrElse(lit(0.0))
+          val tbl = accDfs(fi).get
+            .select(col(fe), (col(accCols(0)) - beta).as(alphaCol))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          tbl.count() // pin the level-sized table for the predictor's life
+          ((nd: DataFrame) => nd.join(maybeBroadcast(tbl, levels(fi)), Seq(fe), "left"),
+            col(alphaCol))
+        }
+      }
     release()
     held.foreach(_.unpersist())
-    res
+    val preJoin = (nd: DataFrame) =>
+      alphaParts.foldLeft(nd) { case (d, (pj, _)) => pj(d) }
+    val offset = alphaParts.map(_._2).reduce(_ + _)
+    withLinearPredictor(res,
+      d0.cols.map(c => ModelMatrix.displayName(c.name) -> c.col).toMap,
+      preJoin = preJoin, offsetCol = Some(offset),
+      intervalsSupported = false)
   }
 
   /** Mundlak / correlated-random-effects strategy (reference dbreg.R:1237-1502). */

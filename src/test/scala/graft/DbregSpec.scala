@@ -167,11 +167,16 @@ class DbregSpec extends SparkTestBase {
       assertClose(h.rss, d.rss, 1e-9, s"$vc rss")
       assertClose(h.dfResidual, d.dfResidual, tol, s"$vc df")
     }
-    // per-level FE intercepts are not identified without an extra pass —
-    // prediction is a documented refusal
-    intercept[UnsupportedOperationException] {
-      Dbreg.fit("y ~ x1 | unit", df, strategy = "hdfe").predict(df)
-    }
+    // prediction: the recovered FE intercepts reproduce the demean
+    // strategy's fitted values row for row
+    val hp = Dbreg.fit("y ~ x1 | unit", df, strategy = "hdfe")
+      .predict(df).select(col("unit"), col("time"), col("fit")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val dp = Dbreg.fit("y ~ x1 | unit", df, strategy = "demean")
+      .predict(df).select(col("unit"), col("time"), col("fit")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(hp.keySet === dp.keySet)
+    hp.foreach { case (k, v) => assert(math.abs(v - dp(k)) < 1e-8, s"fit at $k") }
   }
 
   test("hdfe: 2 FE balanced converges to the GROUPING SETS demean answer") {
@@ -195,7 +200,9 @@ class DbregSpec extends SparkTestBase {
         rng.nextGaussian() * 0.5
       (y, x, s"a$a", s"b$b", s"c$c")
     }
-    val d3 = rows.toDF("y", "x", "fa", "fb", "fc")
+    val d3 = rows.zipWithIndex
+      .map { case ((y, xv, fa, fb, fc), i) => (i, y, xv, fa, fb, fc) }
+      .toDF("i", "y", "x", "fa", "fb", "fc")
     val nn = rows.length
     val la = 12; val lb = 6; val lc = 5
     val dums =
@@ -216,6 +223,18 @@ class DbregSpec extends SparkTestBase {
     assertClose(fit.coef("x"), beta(1), 1e-7, "beta x")
     assertClose(fit.se("x"), seIid(1), 1e-7, "se x")
     assertClose(fit.dfResidual, dfRes, tol, "df") // ΣL − (K−1) bookkeeping
+    // prediction with 3 recovered FE tables ≡ dense LSDV fitted values
+    val denseFit = x * beta
+    val got = fit.predict(d3)
+      .select(col("i"), col("fit")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    rows.indices.foreach { i =>
+      assertClose(got(i), denseFit(i), 1e-6, s"fitted row $i")
+    }
+    // unseen FE level → visible null fit, not a silent drop
+    val unseen = Seq((0.0, 1.0, "aX", "b0", "c0")).toDF("y", "x", "fa", "fb", "fc")
+    val nf = fit.predict(unseen).select(col("fit")).collect()
+    assert(nf.length === 1 && nf(0).isNullAt(0))
   }
 
   test("demean/mundlak above the inline-means threshold take the join branch (120 levels)") {
