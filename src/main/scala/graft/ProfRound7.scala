@@ -61,7 +61,7 @@ object ProfRound7 {
     // PROF_CC=1 (needs documents.parquet in the dir): connected
     // components over MinHash-LSH verified pairs (q201) — the loose-τ
     // scale composition vs q172's exact all-pairs generation
-    if (sys.env.contains("PROF_CC")) {
+    if (sys.env.contains("PROF_CC") || sys.env.contains("PROF_CC_ONLY")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       println(s"[prof] docs=${docs.count()}")
       time("cc_lsh_pairs")(noop(

@@ -2223,9 +2223,6 @@ object Queries {
         .orderBy("user_id", "tus", "event_id")
     }),
 
-    // product quantization: 2 blocks × 4 codewords trained by the
-    // in-engine kmeans on sliced frames, codegen'd per-block argmax
-    // encode, reconstruction MSE via the broadcast codeword table
     // bucketed (default, scale-safe) lift curve: histogram-CDF decile
     // cuts + CASE-chain assignment — no total-order sort anywhere; the
     // oracle re-derives the identical interpolated cuts (q69 algebra)
@@ -2249,6 +2246,9 @@ object Queries {
           col("iv_contrib").cast("float").as("iv_contrib"))
         .orderBy("bin")),
 
+    // product quantization: 2 blocks × 4 codewords trained by the
+    // in-engine kmeans on sliced frames, codegen'd per-block argmax
+    // encode, reconstruction MSE via the broadcast codeword table
     "q196_pq_mse" -> ((s, dir) => {
       val e = emb(s, dir)
       val books = graft.pipeline.Similarity

@@ -329,10 +329,15 @@ object Features {
       relErr: Double = 1e-3
   ): DataFrame = {
     require(bins >= 2, s"need at least 2 bins, got $bins")
+    // filter AFTER the cast: a score that casts to null (non-numeric
+    // string) or NaN would pass a pre-cast isNotNull, then poison the
+    // histogram cuts (driver NPE) or land in the top bin via Spark's
+    // NaN-greatest comparisons
     val base = df
-      .filter(score.isNotNull && label.isNotNull)
       .select(score.cast("double").as("__s"),
         label.cast("boolean").cast("int").as("__y"), tie.as("__t"))
+      .filter(col("__s").isNotNull && !isnan(col("__s")) &&
+        col("__y").isNotNull)
     // bucketed mode resolves the cut points eagerly (two narrow scans,
     // ≤1024-row driver state); an empty cuts array means zero usable rows
     val cuts =

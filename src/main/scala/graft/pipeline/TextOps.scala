@@ -663,9 +663,8 @@ object TextOps {
     import spark.implicits._
     val basis =
       if (sampleFraction >= 1.0) df
-      else df.filter(
-        hash32(concat(lit("bpe"), col(textCol).cast("string")))
-          .cast("double") / lit(4294967296.0) < sampleFraction)
+      else graft.sources.ScaleOps.weightedSample(
+        df, textCol, lit(sampleFraction), salt = "bpe")
     var vocab = basis
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).cast("double").as("f"))

@@ -321,9 +321,10 @@ object Dbreg {
       val keyCols = (f.xvars ++ f.fe).distinct
       // one probe job: COUNT(*) + COUNT(DISTINCT key-tuple) together.
       // probeMode="exact" matches the reference's probes (A8); "approx"
-      // swaps in approx_count_distinct (HLL, ~2% rel error) — the probe
+      // swaps in approx_count_distinct (HLL, ~5% rsd at the Spark
+      // default) — the probe
       // then needs no distinct shuffle, which is the right trade at data
-      // sizes where the probe would rival the fit itself. A 2% error is
+      // sizes where the probe would rival the fit itself. A ~5% error is
       // irrelevant to a 0.6-vs-0.01 threshold decision.
       val cellsAgg = probeMode match {
         case "exact" => countDistinct(col(keyCols.head), keyCols.tail.map(col): _*)

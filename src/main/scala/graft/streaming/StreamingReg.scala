@@ -282,9 +282,11 @@ object StreamingReg {
     * unbounded in users, the one thing streaming state must never be. The
     * sketch trade is the same one the A8 probe's `probeMode="approx"`
     * makes: approx_count_distinct keeps one HLL (fixed bytes) per open
-    * window, mergeable across micro-batches, ~2% relative error — and is
-    * EXACT at small cardinalities (HLL sparse mode). Windows finalize
-    * when the watermark passes, bounding open-window state.
+    * window, mergeable across micro-batches, ~5% relative standard
+    * deviation at Spark's default rsd (pass a tighter rsd upstream if the
+    * use sizes thresholds off it) — and EXACT at small cardinalities
+    * (HLL sparse mode). Windows finalize when the watermark passes,
+    * bounding open-window state.
     */
   def streamingRollingActives(
       events: DataFrame,
@@ -366,7 +368,10 @@ object StreamingReg {
             val times = state.getOption.map(_.times.toArray)
               .getOrElse(Array.fill(steps.length)(-1L))
             val out = scala.collection.mutable.ArrayBuffer.empty[StepReach]
-            rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, ts, e) =>
+            // tie-break same-timestamp events by STEP ORDER (not the raw
+            // type string) so a same-second signup→purchase cascades the
+            // way the batch funnel's __ts >= __prev comparison does
+            rows.toSeq.sortBy(r => (r._2.getTime, stepIdx(r._3))).foreach { case (_, ts, e) =>
               val t = ts.getTime
               val k = stepIdx(e)
               val prevOk = k == 0 || (times(k - 1) >= 0 && t >= times(k - 1) &&
@@ -383,12 +388,25 @@ object StreamingReg {
               // never matched step 1 — nothing to remember
               if (state.exists) state.remove()
             } else {
-              state.update(FunnelState(times.toSeq))
-              maxGapMs.foreach { g =>
-                // reached steps form a prefix, so the first unreached
-                // step's predecessor is always set
-                val kStar = times.indexWhere(_ < 0)
-                state.setTimeoutTimestamp(times(kStar - 1) + g)
+              maxGapMs match {
+                case Some(g) =>
+                  // reached steps form a prefix, so the first unreached
+                  // step's predecessor is always set
+                  val kStar = times.indexWhere(_ < 0)
+                  val deadline = times(kStar - 1) + g
+                  // a timeout below the current watermark would throw and
+                  // kill the query (Spark refuses past timestamps); a
+                  // deadline the watermark already passed means this user
+                  // can never advance — drop the state now
+                  val wm = state.getCurrentWatermarkMs()
+                  if (deadline <= wm) {
+                    if (state.exists) state.remove()
+                  } else {
+                    state.update(FunnelState(times.toSeq))
+                    state.setTimeoutTimestamp(deadline)
+                  }
+                case None =>
+                  state.update(FunnelState(times.toSeq))
               }
             }
             out.iterator

@@ -321,6 +321,20 @@ class EvalSpec extends SparkTestBase {
     assert(!plan.contains("ntile"), s"bucketed plan must not NTILE:\n$plan")
   }
 
+  test("liftCurve bucketed: null-casting and NaN scores drop, not crash or top-bucket") {
+    // a null-yielding expression (try_cast under ANSI) and a NaN double
+    // must both be excluded from the cuts AND the bucketing (pre-fix:
+    // driver NPE in the histogram, or NaN in bucket 1 via Spark's
+    // NaN-greatest comparisons)
+    val d = (Seq(("n/a", true), ("NaN", true)) ++
+      (1 to 20).map(i => (i.toString, i > 10))).toDF("s", "y")
+    val out = Eval.liftCurve(d, expr("try_cast(s AS double)"), col("y"),
+        col("s"), buckets = 5)
+      .orderBy("bucket").collect()
+    assert(out.map(_.getAs[Long]("n")).sum === 20L) // both bad rows dropped
+    assert(out.head.getAs[Long]("n_pos") === out.head.getAs[Long]("n"))
+  }
+
   test("liftCurve bucketed: heavy ties share a bucket, dense spine keeps 10 rows") {
     // one massive tied score value (80% of rows) swallows several deciles;
     // the emptied buckets must still appear with n = 0

@@ -494,6 +494,54 @@ class StreamingSpec extends SparkTestBase {
     assert(reaches === Set(("A", 1), ("A", 2), ("B", 1)))
   }
 
+  test("streaming funnel survives a stale event after the watermark passed the deadline") {
+    // regression: setTimeoutTimestamp below the current watermark throws
+    // and kills the query; a deadline the watermark already passed must
+    // drop the state instead
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "user", "etype")
+    val out = StreamingReg.streamingFunnel(df, "ts", "user", "etype",
+      Seq("view", "click"), maxGapMs = Some(60L * 1000L), watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("funstale")
+      .outputMode("append").start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((t(10, 0), "B", "view"))       // deadline 10:01
+    q.processAllAvailable()
+    input.addData((t(11, 0), "Z", "view"))       // watermark → ~10:55
+    q.processAllAvailable()
+    // B's duplicate view: no step advances, deadline 10:01 < watermark —
+    // pre-fix this threw IllegalArgumentException and killed the query.
+    // Z's click lands 30 s after its view (inside the 60 s gap).
+    input.addData((t(11, 30), "B", "view"),
+      (Timestamp.valueOf("2024-01-01 11:00:30"), "Z", "click"))
+    q.processAllAvailable()
+    val reaches = spark.table("funstale").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    q.stop()
+    assert(reaches.contains(("Z", 2))) // the healthy cascade still lands
+    assert(!reaches.contains(("B", 2)))
+  }
+
+  test("streaming funnel cascades same-timestamp events in step order") {
+    // regression: the tie-break sorted by raw type string, so a
+    // same-second signup→purchase processed purchase first and missed it
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "user", "etype")
+    val out = StreamingReg.streamingFunnel(df, "ts", "user", "etype",
+      Seq("signup", "purchase")) // "purchase" < "signup" lexicographically
+    val q = out.writeStream.format("memory").queryName("funtie")
+      .outputMode("append").start()
+    val ts = Timestamp.valueOf("2024-01-01 10:00:00")
+    input.addData((ts, "A", "signup"), (ts, "A", "purchase"))
+    q.processAllAvailable()
+    val reaches = spark.table("funtie").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    q.stop()
+    assert(reaches === Set(("A", 1), ("A", 2)))
+  }
+
   test("streaming rolling actives match exact per-window distincts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
