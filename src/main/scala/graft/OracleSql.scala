@@ -3524,6 +3524,44 @@ object OracleSql {
          |  SELECT id, min(label) AS component FROM reach GROUP BY id)
          |SELECT id AS node, component FROM comp ORDER BY node""".stripMargin,
 
+    // Laplace-smoothed multinomial NB unrolled: the COALESCE(n,0) form of
+    // ln((n+α)/(tot+αV)) makes the unseen-token fallback the same formula
+    // as the observed one; argmax = (score DESC, label ASC) row_number —
+    // the strict-improvement fold's tie rule; zero-token docs keep the
+    // prior-only score via the spine left join
+    "q202_nb_classify" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |counts AS (SELECT lang AS label, token, count(*)::DOUBLE AS n
+        |  FROM toks GROUP BY 1, 2),
+        |labtot AS (SELECT label, sum(n) AS tot FROM counts GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT token)::DOUBLE AS v FROM counts),
+        |priors AS (SELECT lang AS label, count(*)::DOUBLE AS nd
+        |  FROM documents GROUP BY 1),
+        |ptot AS (SELECT sum(nd) AS ndt FROM priors),
+        |doctf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |ll AS (SELECT d.doc_id, p.label,
+        |    sum(d.tf * ln((COALESCE(c.n, 0) + 1.0) / (lt.tot + voc.v))) AS s
+        |  FROM doctf d
+        |  CROSS JOIN priors p
+        |  JOIN labtot lt ON lt.label = p.label
+        |  CROSS JOIN voc
+        |  LEFT JOIN counts c ON c.label = p.label AND c.token = d.token
+        |  GROUP BY 1, 2),
+        |spine AS (SELECT DISTINCT doc_id FROM documents),
+        |sc AS (SELECT s.doc_id, p.label,
+        |    ln(p.nd / pt.ndt) + COALESCE(l.s, 0.0) AS score
+        |  FROM spine s CROSS JOIN priors p CROSS JOIN ptot pt
+        |  LEFT JOIN ll l ON l.doc_id = s.doc_id AND l.label = p.label),
+        |best AS (SELECT doc_id, label, score, row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+        |  FROM sc)
+        |SELECT doc_id AS id, label AS pred, score::REAL AS score
+        |FROM best WHERE rn = 1 ORDER BY id""".stripMargin,
+
     // recursive transitive closure over the 0.3-Jaccard pair graph
     "q172_connected_components" ->
       s"""WITH $ShingleSets,

@@ -2087,6 +2087,16 @@ object Queries {
           "id1", "id2")
         .orderBy("node")),
 
+    // self-trained multinomial NB language classifier (CCNet-style
+    // curation-filter shape): one corpus pass trains the (label, token)
+    // model, a broadcast-pivot join + one doc-keyed aggregate scores;
+    // (doc_id, argmax-label, log-posterior), ties to the first label
+    "q202_nb_classify" -> ((s, dir) =>
+      graft.pipeline.Classify
+        .nbClassify(docs(s, dir), "doc_id", "text", "lang")
+        .select(col("id"), col("pred"), col("score").cast("float").as("score"))
+        .orderBy("id")),
+
     // rolling trend: daily value sums per type with the trailing-7 OLS
     // slope from four window sums — the moments-kernel slope formula
     // carried by a ROWS window over the aggregated series

@@ -1136,6 +1136,37 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("BPE driver-local merge loop ≡ job-per-merge loop, rule for rule") {
+    // ties at every rank, long same-symbol chains (the replace-vs-greedy
+    // divergence case), multi-char merged symbols re-entering later pairs,
+    // and a pair that a bounded pass count leaves partially fused
+    val corpus = Seq(
+      (1L, "low low lower lowest"),
+      (2L, "aaaa aaa aaaaa"),
+      (3L, "newer newest new"),
+      (4L, "banana bandana"),
+      (5L, "zz zzz zzzz zz")
+    ).toDF("doc_id", "text")
+    for (passes <- Seq(1, 2, 12)) {
+      val local = TextOps.bpeTrain(corpus, "text", numMerges = 20,
+          maxPasses = passes)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val dist = TextOps.bpeTrain(corpus, "text", numMerges = 20,
+          maxPasses = passes, driverVocabMax = 0L)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(local === dist, s"maxPasses=$passes")
+    }
+    // over-bound vocab falls back to the distributed loop (same table)
+    val tiny = TextOps.bpeTrain(corpus, "text", numMerges = 5,
+        driverVocabMax = 1L)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    val loc = TextOps.bpeTrain(corpus, "text", numMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(tiny === loc)
+  }
+
   test("BPE segmentation: symbol counts shrink by exactly the merge hits") {
     val corpus = Seq((1L, "low low lower")).toDF("doc_id", "text")
     val rules = TextOps.bpeTrain(corpus, "text", numMerges = 4)
