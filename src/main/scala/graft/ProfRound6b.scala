@@ -77,6 +77,22 @@ object ProfRound6b {
       SetSimJoin.jaccardJoin(
         docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__toks")),
         "doc_id", TextOps.wordShingles(col("__toks"), 3), 0.5)))
+    time("setsim_join_nopos")(noop( // r7 shape: no positional prune
+      SetSimJoin.jaccardJoin(
+        docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__toks")),
+        "doc_id", TextOps.wordShingles(col("__toks"), 3), 0.5,
+        positionalFilter = false)))
+    time("setsim_candidates") { // candidate-count reduction, pos on/off
+      val bound = docs.select(col("doc_id"),
+        TextOps.tokens(col("text")).as("__toks"))
+      val on = SetSimJoin.stagedCandidates(bound, "doc_id",
+        TextOps.wordShingles(col("__toks"), 3), 0.5, true)._2.count()
+      val off = SetSimJoin.stagedCandidates(bound, "doc_id",
+        TextOps.wordShingles(col("__toks"), 3), 0.5, false)._2.count()
+      println(f"[prof] setsim candidates: pos-filter ON=$on OFF=$off " +
+        f"(${100.0 * (off - on) / math.max(1L, off)}%.1f%% pruned)")
+      on
+    }
     time("streaks")(noop(
       Events.activityStreaks(ev, "user_id", "tus", 86400000000L)))
     time("ohlc")(noop(

@@ -100,10 +100,23 @@ object Dbbinsreg {
     * NTILE (the SURVEY §7.4.2 hazard: `ntile(B) OVER (ORDER BY v)` is a
     * single-partition total-order sort of the whole relation). Shared by
     * the bucketed modes of `Eval.liftCurve` and `Features.woeBins`.
+    *
+    * Returns None when there are no usable rows, Some(empty) when the
+    * column is single-valued (min == max — there ARE rows but no interior
+    * cuts exist; callers place the whole tied mass in one bin), and
+    * Some(bins − 1 cuts) otherwise. The appended p = 1.0 sentinel is what
+    * disambiguates the single-valued collapse (histQuantiles returns the
+    * bare 1-element min) from the bins = 2 single-interior-cut answer;
+    * it reads the same histogram, no extra scan.
     */
   private[graft] def quantileCutBins(
-      base: DataFrame, xvar: String, bins: Int, relErr: Double): Array[Double] =
-    histQuantiles(base, xvar, (1 until bins).map(_.toDouble / bins).toArray, relErr)
+      base: DataFrame, xvar: String, bins: Int, relErr: Double): Option[Array[Double]] = {
+    val probs = (1 until bins).map(_.toDouble / bins).toArray :+ 1.0
+    val qs = histQuantiles(base, xvar, probs, relErr)
+    if (qs.isEmpty) None
+    else if (qs.length != probs.length) Some(Array.empty)
+    else Some(qs.dropRight(1))
+  }
 
   /** Ascending bucket id from interior cut points as a literal CASE chain:
     * bin(v) = 1 + |{j : v > c_j}| (left-closed cuts, ties go to the lower

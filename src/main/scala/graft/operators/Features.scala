@@ -318,6 +318,12 @@ object Features {
     *    path.
     * Everything after the bin id runs on the `bins`-row aggregate with
     * 1-row broadcast totals in both modes.
+    *
+    * BEHAVIORAL DEFAULT (changed in round 7): `exact` defaults to FALSE —
+    * bins are approximate-equal-count and `tie` is IGNORED. Callers that
+    * relied on the original equal-count/tie contract must now pass
+    * `exact = true` (q185 does). An all-tied score column places the
+    * whole mass in bin 1 under the default.
     */
   def woeBins(
       df: DataFrame,
@@ -339,9 +345,12 @@ object Features {
       .filter(col("__s").isNotNull && !isnan(col("__s")) &&
         col("__y").isNotNull)
     // bucketed mode resolves the cut points eagerly (two narrow scans,
-    // ≤1024-row driver state); an empty cuts array means zero usable rows
-    val cuts =
-      if (exact) Array.empty[Double]
+    // ≤1024-row driver state); None = zero usable rows, Some(empty) = a
+    // single-valued score column (all-tied mass sits in bin 1 — the
+    // ascending convention's bottom bin — with the spine keeping bins
+    // 2..bins visible at n = 0)
+    val cutsOpt =
+      if (exact) None
       else graft.binsreg.Dbbinsreg.quantileCutBins(base, "__s", bins, relErr)
     val binned =
       if (exact) {
@@ -350,13 +359,14 @@ object Features {
         base.withColumn("bin", ntile(bins).over(w))
       } else
         base.withColumn("bin",
-          graft.binsreg.Dbbinsreg.caseChainBin(col("__s"), cuts).cast("int"))
+          graft.binsreg.Dbbinsreg.caseChainBin(col("__s"),
+            cutsOpt.getOrElse(Array.empty)).cast("int"))
     val per0 = binned
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum(col("__y")).cast("long").as("n_pos"))
     // dense spine in bucketed mode (empty input stays empty — no spine
-    // over zero data)
-    val per = (if (exact || cuts.isEmpty) per0
+    // over zero data, hence the None gate)
+    val per = (if (exact || cutsOpt.isEmpty) per0
       else df.sparkSession.range(1, bins + 1)
         .select(col("id").cast("int").as("bin"))
         .join(per0, Seq("bin"), "left")

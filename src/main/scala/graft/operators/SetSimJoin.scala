@@ -42,13 +42,41 @@ object SetSimJoin {
   /** All pairs (id1 < id2) with exact token-set Jaccard ≥ `tau`.
     * `tokensCol` must be an `array<string>` expression over `df`'s rows
     * (duplicates collapse — set semantics). Returns (id1, id2, jaccard).
+    *
+    * `positionalFilter` adds the PPJoin positional prune (Xiao et al.
+    * WWW'08): a matched prefix token at (1-based) global-order positions
+    * i in x and j in y bounds the overlap by 1 + min(|x|−i, |y|−j), and
+    * Jaccard ≥ τ requires overlap ≥ α = ⌈τ/(1+τ)·(|x|+|y|)⌉ — candidate
+    * rows whose bound cannot reach α are dropped BEFORE the distinct and
+    * the verification joins. Sound because at a pair's FIRST shared
+    * token (in the global order) no common token precedes i or j, so the
+    * bound holds there and true pairs always keep at least that row; a
+    * later row passing spuriously only costs a verification, never a
+    * result. The α threshold subtracts 1e-9 before ceil so an exactly-
+    * integer real boundary can't round up in float and over-prune —
+    * slack only ever under-prunes, and verification is exact anyway.
     */
   def jaccardJoin(
       df: DataFrame,
       idCol: String,
       tokensCol: Column,
-      tau: Double
+      tau: Double,
+      positionalFilter: Boolean = true
   ): DataFrame = {
+    val (sets, cand) = stagedCandidates(df, idCol, tokensCol, tau, positionalFilter)
+    verify(sets, cand, tau)
+  }
+
+  /** The staged per-doc hashed-set table and the distinct candidate-pair
+    * frame (pre-verification) — split out so profilers can count the
+    * candidate set the filters admit. */
+  private[graft] def stagedCandidates(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: Column,
+      tau: Double,
+      positionalFilter: Boolean
+  ): (DataFrame, DataFrame) = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
     // NOTE for callers: pass `tokensCol` over a BOUND token attribute
     // (select the token array first), not an inline tokens(text) chain —
@@ -88,19 +116,31 @@ object SetSimJoin {
     val prefix = Staging.stage(withPos
       .filter(col("__pos") <=
         col("__sz") - ceil(lit(tau) * col("__sz")).cast("long") + lit(1))
-      .select(col("id"), col("token"), col("__sz")))
-    val cand = prefix.as("a").join(prefix.as("b"),
+      .select(col("id"), col("token"), col("__sz"), col("__pos")))
+    val joined = prefix.as("a").join(prefix.as("b"),
         col("a.token") === col("b.token") && col("a.id") < col("b.id"))
       .filter(least(col("a.__sz"), col("b.__sz")).cast("double") >=
         lit(tau) * greatest(col("a.__sz"), col("b.__sz")))
+    val pruned =
+      if (!positionalFilter) joined
+      else joined.filter(
+        (lit(1L) + least(col("a.__sz") - col("a.__pos"),
+          col("b.__sz") - col("b.__pos"))).cast("double") >=
+          ceil(lit(tau / (1.0 + tau)) *
+            (col("a.__sz") + col("b.__sz")).cast("double") - lit(1e-9)))
+    val cand = pruned
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    // verify: exact intersection size via the per-doc SET ARRAYS — two
-    // id-keyed joins of |cand| rows each, intersection computed per
-    // pair as a projection. The exploded alternative (cand ⋈ tokens ⋈
-    // tokens) expands to |cand|·avg|set| rows — measured 1.6B
-    // intermediate rows at the ×100 point (500k docs, 31M candidates),
-    // minutes of shuffle for what this shape does in seconds.
+    (sets, cand)
+  }
+
+  /** Exact verification: intersection size via the per-doc SET ARRAYS —
+    * two id-keyed joins of |cand| rows each, intersection computed per
+    * pair as a projection. The exploded alternative (cand ⋈ tokens ⋈
+    * tokens) expands to |cand|·avg|set| rows — measured 1.6B
+    * intermediate rows at the ×100 point (500k docs, 31M candidates),
+    * minutes of shuffle for what this shape does in seconds. */
+  private def verify(sets: DataFrame, cand: DataFrame, tau: Double): DataFrame = {
     cand
       .join(sets.select(col("id").as("id1"), col("__set").as("__set1"),
         size(col("__set")).as("__s1")), "id1")

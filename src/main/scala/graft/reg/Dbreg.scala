@@ -647,8 +647,13 @@ object Dbreg {
     val meanCols = valueCols.map(_ + "_m")
     var cur = d0.df
     // shuffle-tier gm released one step later (its reference is cut by the
-    // step's stage); broadcast-tier gms stay cached until the fit ends
-    // (cur's re-derived lineage keeps probing them)
+    // step's stage); broadcast-tier gms stay cached only until the NEXT
+    // stage of cur materializes — staging cuts cur's lineage past them,
+    // so holding every sweep's mean tables to fit end (up to
+    // maxSweeps·K × ≤2M rows) would be pure spill pressure. `held` are
+    // the post-last-stage tables cur still probes; on stage they move to
+    // `pending`, whose release() runs only after the next action
+    // materializes the checkpoint.
     var pending: List[DataFrame] = Nil
     var held: List[DataFrame] = Nil
     def release(): Unit = { pending.foreach(_.unpersist()); pending = Nil }
@@ -716,7 +721,7 @@ object Dbreg {
             // not force a gm recompute through the accumulator's lineage)
             merged.count()
             accDfs(fi) = Some(merged)
-            if (shuffleTier) pending = List(p) else held ::= p
+            if (shuffleTier) pending ::= p else held ::= p
             withMeanColumns(cur, fe, p, nLev, meanCols)
           }
         val next = subtracted.select(
@@ -731,6 +736,11 @@ object Dbreg {
         cur =
           if (shuffleTier || stepsSinceStage >= HdfeStageEvery) {
             stepsSinceStage = 0
+            // this stage cuts cur's lineage past every broadcast-tier
+            // mean table held so far — queue them behind the checkpoint's
+            // materialization instead of holding all sweeps to fit end
+            pending = pending ++ held
+            held = Nil
             graft.Staging.stage(next)
           } else next
       }
@@ -740,6 +750,22 @@ object Dbreg {
       // a single FE is one exact projection — no second sweep needed
       if (f.fe.length == 1) sweep = maxSweeps
     }
+    // converged = the loop stopped on tolerance, not on the sweep cap.
+    // Exact cases (single FE: one projection; tol = 0: the fixed-sweep
+    // oracle contract) report true. A cap-exhausted multi-FE fit is a
+    // TRUNCATED projection — poorly-connected panels (worker×firm-style
+    // correlated FEs) can need hundreds of sweeps — so warn loudly, the
+    // way fixest/reghdfe surface non-convergence, and record the state
+    // on the result for programmatic callers.
+    val sweepsRun = if (f.fe.length == 1) 1 else sweep
+    val converged = f.fe.length == 1 || tol == 0.0 ||
+      lastSweepMax < tol * math.max(1.0, scale0)
+    if (!converged)
+      Console.err.println(
+        f"[dbreg] WARNING: hdfe did not converge in $maxSweeps sweeps " +
+          f"(last sweep max |mean| = $lastSweepMax%.3e, tol threshold = " +
+          f"${tol * math.max(1.0, scale0)}%.3e); estimates are a truncated " +
+          "projection — raise hdfeMaxSweeps")
 
     val mom = MomentsKernel.compute(cur, Y, d0.xNames, intercept = false)
     val res = finish(f, d0.copy(df = cur), mom, v, ssc,
@@ -783,7 +809,8 @@ object Dbreg {
     val preJoin = (nd: DataFrame) =>
       alphaParts.foldLeft(nd) { case (d, (pj, _)) => pj(d) }
     val offset = alphaParts.map(_._2).reduce(_ + _)
-    withLinearPredictor(res,
+    withLinearPredictor(
+      res.copy(hdfeSweeps = Some(sweepsRun), hdfeConverged = Some(converged)),
       d0.cols.map(c => ModelMatrix.displayName(c.name) -> c.col).toMap,
       preJoin = preJoin, offsetCol = Some(offset),
       intervalsSupported = false)

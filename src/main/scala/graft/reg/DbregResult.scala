@@ -33,7 +33,14 @@ final case class DbregResult(
     compressionRatio: Option[Double] = None,
     @transient predictor: Option[Predictor] = None,
     queryPlan: String = "", // physical plan of the main aggregation (sql_only analogue)
-    feTerms: Seq[String] = Nil // FE dummy terms (compress), for fe= filtering
+    feTerms: Seq[String] = Nil, // FE dummy terms (compress), for fe= filtering
+    // hdfe only: alternating-projection sweeps run, and whether the loop
+    // stopped on tolerance (false = maxSweeps exhausted first — the
+    // estimates are a TRUNCATED projection; fixest/reghdfe warn the same
+    // way). None for every other strategy. tol = 0 is the fixed-sweep
+    // contract (the q200 oracle mode), reported as converged.
+    hdfeSweeps: Option[Int] = None,
+    hdfeConverged: Option[Boolean] = None
 ) {
   /** Coefficient rows excluding FE dummies (the reference's `fe = "none"`
     * print filter for compress fits). */

@@ -540,6 +540,13 @@ object Eval {
     *    oracle mode (q179), not the 100 TB path.
     * Everything after the bucket id runs on the `buckets`-row aggregate
     * with 1-row broadcast totals in both modes.
+    *
+    * BEHAVIORAL DEFAULT (changed in round 7): `exact` defaults to FALSE —
+    * buckets are approximate-equal-count and `tie` is IGNORED. Callers
+    * that relied on the original equal-count/tie contract must now pass
+    * `exact = true` (q179 does). An all-tied score column places the
+    * whole mass in bucket 1 (top slice) under the default; exact NTILE
+    * spreads the same ties evenly across buckets.
     */
   def liftCurve(
       df: DataFrame,
@@ -561,25 +568,35 @@ object Eval {
       .filter(col("__s").isNotNull && !isnan(col("__s")) &&
         col("__y").isNotNull)
     // bucketed mode resolves the cut points eagerly (two narrow scans,
-    // ≤1024-row driver state); an empty cuts array means zero usable rows
-    val cuts =
-      if (exact) Array.empty[Double]
+    // ≤1024-row driver state); None = zero usable rows, Some(empty) = a
+    // single-valued score column
+    val cutsOpt =
+      if (exact) None
       else graft.binsreg.Dbbinsreg.quantileCutBins(base, "__s", buckets, relErr)
     val ranked =
       if (exact)
         base.withColumn("bucket",
           ntile(buckets).over(Window.orderBy(col("__s").desc, col("__t"))))
       else
-        base.withColumn("bucket",
-          (lit(buckets + 1) - graft.binsreg.Dbbinsreg.caseChainBin(col("__s"), cuts))
-            .cast("int"))
+        base.withColumn("bucket", cutsOpt match {
+          case Some(cuts) if cuts.nonEmpty =>
+            (lit(buckets + 1) - graft.binsreg.Dbbinsreg.caseChainBin(col("__s"), cuts))
+              .cast("int")
+          // all-tied score column: no interior cuts exist — the whole mass
+          // IS the top slice (bucket 1, "captures everything"), matching
+          // the descending-rank reading rather than an arbitrary bottom
+          // placement (exact NTILE spreads such ties evenly instead —
+          // the two modes are documented to differ on ties)
+          case _ => lit(1)
+        })
     val per0 = ranked.groupBy("bucket")
       .agg(count(lit(1)).as("n"), sum(col("__y")).cast("long").as("n_pos"))
-    // dense spine in bucketed mode: duplicated cuts can empty a bucket and
-    // a lift table with silent holes misreads as a shorter curve (empty
-    // INPUT stays empty — no spine over zero data)
+    // dense spine in bucketed mode: duplicated cuts (and the all-tied
+    // collapse) can empty a bucket and a lift table with silent holes
+    // misreads as a shorter curve (empty INPUT stays empty — no spine
+    // over zero data, hence the None gate)
     val per =
-      if (exact || cuts.isEmpty) per0
+      if (exact || cutsOpt.isEmpty) per0
       else df.sparkSession.range(1, buckets + 1)
         .select(col("id").cast("int").as("bucket"))
         .join(per0, Seq("bucket"), "left")

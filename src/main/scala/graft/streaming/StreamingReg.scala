@@ -322,7 +322,14 @@ object StreamingReg {
     * drop their state immediately, users who never matched step 1 store
     * none, and with a conversion window set, users idle past their next
     * step's deadline are evicted by event-time timeout — so state is
-    * bounded by ACTIVE mid-funnel users, not corpus users.
+    * bounded by ACTIVE mid-funnel users, not corpus users. WITHOUT a
+    * conversion window (`maxGapMs = None`) a user who reached step 1 and
+    * never finishes is remembered FOREVER — state then grows with
+    * lifetime one-step users, not active ones. `idleTtlMs` bounds that
+    * mode too: a user with no matching events for `idleTtlMs` of event
+    * time is evicted (their funnel progress is forgotten — a later
+    * conversion restarts from step 1; the standard state-TTL trade).
+    * When both are set, eviction fires at whichever deadline is earlier.
     *
     * Batch-vs-stream contract: events are processed in event-time order
     * WITHIN each micro-batch, so in-order (or per-batch-complete) feeds
@@ -330,6 +337,13 @@ object StreamingReg {
     * event arriving in a LATER batch than a same-step rival cannot
     * retract an already-emitted match (append semantics) and may
     * therefore record a later reach time than the batch funnel would.
+    * Late-event caveat: events BELOW the watermark are still applied
+    * (`flatMapGroupsWithState` does not drop them — only the timeout
+    * machinery consults the watermark), so a very late event can emit a
+    * reach transition whose `reach_ms` falls inside a window a
+    * downstream watermark-driven aggregation has already finalized;
+    * filter `ts >= watermark` upstream if downstream windows must never
+    * see sub-watermark transitions.
     */
   def streamingFunnel(
       events: DataFrame,
@@ -338,11 +352,13 @@ object StreamingReg {
       typeCol: String,
       steps: Seq[String],
       maxGapMs: Option[Long] = None,
-      watermark: String = "1 hour"
+      watermark: String = "1 hour",
+      idleTtlMs: Option[Long] = None
   ): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
     require(maxGapMs.forall(_ > 0), s"maxGapMs must be positive: $maxGapMs")
+    require(idleTtlMs.forall(_ > 0), s"idleTtlMs must be positive: $idleTtlMs")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val stepIdx = steps.zipWithIndex.toMap
@@ -354,7 +370,8 @@ object StreamingReg {
       .withWatermark("ts", watermark)
       .as[(String, java.sql.Timestamp, String)]
     val timeout =
-      if (maxGapMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      if (maxGapMs.isDefined || idleTtlMs.isDefined)
+        GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     typed
       .groupByKey(_._1)
@@ -371,7 +388,8 @@ object StreamingReg {
             // tie-break same-timestamp events by STEP ORDER (not the raw
             // type string) so a same-second signup→purchase cascades the
             // way the batch funnel's __ts >= __prev comparison does
-            rows.toSeq.sortBy(r => (r._2.getTime, stepIdx(r._3))).foreach { case (_, ts, e) =>
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, stepIdx(r._3)))
+            sorted.foreach { case (_, ts, e) =>
               val t = ts.getTime
               val k = stepIdx(e)
               val prevOk = k == 0 || (times(k - 1) >= 0 && t >= times(k - 1) &&
@@ -388,16 +406,28 @@ object StreamingReg {
               // never matched step 1 — nothing to remember
               if (state.exists) state.remove()
             } else {
-              maxGapMs match {
-                case Some(g) =>
-                  // reached steps form a prefix, so the first unreached
-                  // step's predecessor is always set
-                  val kStar = times.indexWhere(_ < 0)
-                  val deadline = times(kStar - 1) + g
+              // reached steps form a prefix, so the first unreached
+              // step's predecessor is always set
+              val kStar = times.indexWhere(_ < 0)
+              val gapDeadline = maxGapMs.map(g => times(kStar - 1) + g)
+              // idle TTL runs from the user's last matching activity:
+              // the later of the reached-step times and this batch's rows
+              // (an out-of-order straggler can't move it backwards)
+              val idleDeadline = idleTtlMs.map { ttl =>
+                val lastSeen = math.max(times.max,
+                  sorted.iterator.map(_._2.getTime).foldLeft(Long.MinValue)(math.max))
+                lastSeen + ttl
+              }
+              (gapDeadline.toList ++ idleDeadline.toList) match {
+                case Nil =>
+                  state.update(FunnelState(times.toSeq))
+                case ds =>
+                  val deadline = ds.min
                   // a timeout below the current watermark would throw and
                   // kill the query (Spark refuses past timestamps); a
-                  // deadline the watermark already passed means this user
-                  // can never advance — drop the state now
+                  // conversion deadline the watermark already passed means
+                  // this user can never advance, and a passed idle
+                  // deadline means the TTL already expired — drop now
                   val wm = state.getCurrentWatermarkMs()
                   if (deadline <= wm) {
                     if (state.exists) state.remove()
@@ -405,8 +435,6 @@ object StreamingReg {
                     state.update(FunnelState(times.toSeq))
                     state.setTimeoutTimestamp(deadline)
                   }
-                case None =>
-                  state.update(FunnelState(times.toSeq))
               }
             }
             out.iterator

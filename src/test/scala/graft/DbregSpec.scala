@@ -237,6 +237,58 @@ class DbregSpec extends SparkTestBase {
     assert(nf.length === 1 && nf(0).isNullAt(0))
   }
 
+  test("hdfe: correlated worker×firm FEs — convergence reported, matches dense LSDV") {
+    // worker/firm mobility network whose movers form one long PATH of
+    // firms (worker 4f+3 splits spells between firm f and firm f+1):
+    // information crosses the FE graph one firm per sweep, the textbook
+    // slow-alternating-projections topology (mixing ~ path-length²).
+    // The path also keeps the bipartite graph ONE connected component,
+    // so dfFe = Lw + Lf − 1 and the dense-LSDV df agree exactly.
+    val rng = new scala.util.Random(11)
+    val nF = 3 // 12 workers; even this 3-firm path needs ~200 sweeps
+    val nW = 4 * nF // per firm: 3 stayers + 1 mover to the next firm
+    val rows = (0 until 8 * nW).map { i =>
+      val w = i % nW
+      val f = w / 4
+      val mover = w % 4 == 3 && f < nF - 1
+      val firm = if (mover && (i / nW) % 2 == 1) f + 1 else f
+      val x = rng.nextGaussian()
+      val y = 1.5 * x + (w % 7) * 0.1 - firm * 0.3 + rng.nextGaussian() * 0.3
+      (i, y, x, s"w$w", s"f$firm")
+    }
+    val d = rows.toDF("i", "y", "x", "fw", "ff")
+    val nn = rows.length
+    val dums =
+      (1 until nW).map(k => (r: (Int, Double, Double, String, String)) =>
+        if (r._4 == s"w$k") 1.0 else 0.0) ++
+      (1 until nF).map(k => (r: (Int, Double, Double, String, String)) =>
+        if (r._5 == s"f$k") 1.0 else 0.0)
+    val fns = Seq((r: (Int, Double, Double, String, String)) => 1.0,
+      (r: (Int, Double, Double, String, String)) => r._3) ++ dums
+    val x = DenseMatrix.tabulate(nn, fns.length)((i, j) => fns(j)(rows(i)))
+    val y = DenseVector(rows.map(_._2).toArray)
+    val dfRes = nn.toDouble - fns.length // 96 − 15
+    val (beta, seIid, _) = DensePanel.ols(x, y, dfRes)
+    val fit = Dbreg.fit("y ~ x | fw + ff", d, strategy = "hdfe",
+      hdfeTol = 1e-7, hdfeMaxSweeps = 500)
+    assert(fit.hdfeConverged === Some(true))
+    // correlated FEs genuinely need iteration — far past the default
+    // 60-sweep cap (which is exactly why the cap now warns + reports)
+    assert(fit.hdfeSweeps.exists(s => s > 60 && s < 500),
+      s"unexpected sweep count ${fit.hdfeSweeps}")
+    assertClose(fit.coef("x"), beta(1), 1e-5, "beta x")
+    assertClose(fit.se("x"), seIid(1), 1e-5, "se x")
+    assertClose(fit.dfResidual, dfRes, tol, "df")
+    // cap exhaustion on the same panel: flagged, not silent
+    val trunc = Dbreg.fit("y ~ x | fw + ff", d, strategy = "hdfe",
+      hdfeTol = 1e-7, hdfeMaxSweeps = 2)
+    assert(trunc.hdfeConverged === Some(false))
+    assert(trunc.hdfeSweeps === Some(2))
+    // non-hdfe strategies carry no sweep state
+    val dm = Dbreg.fit("y ~ x | fw", d, strategy = "demean")
+    assert(dm.hdfeSweeps.isEmpty && dm.hdfeConverged.isEmpty)
+  }
+
   test("demean/mundlak above the inline-means threshold take the join branch (120 levels)") {
     // InlineMeansMaxLevels = 64: every other FE test uses tiny factors, so
     // this is the only coverage of the broadcast-join tier of

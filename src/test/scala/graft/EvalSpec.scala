@@ -350,4 +350,34 @@ class EvalSpec extends SparkTestBase {
     // cumulative capture still reaches every positive
     assert(out.last.getAs[Long]("cum_pos") === 400L)
   }
+
+  test("liftCurve bucketed: all-tied scores land in the TOP bucket, spine intact") {
+    // single-valued score column: no interior cuts exist — the whole
+    // mass is the top slice (gain hits 1.0 at bucket 1), not the bottom
+    // row (the pre-round-8 placement, which read as zero gain until the
+    // last decile)
+    val d = (1 to 50).map(i => (3.25, i % 5 == 0, i.toLong)).toDF("s", "y", "id")
+    val out = Eval.liftCurve(d, col("s"), col("y"), col("id"), buckets = 10)
+      .orderBy("bucket").collect()
+    assert(out.length === 10)
+    assert(out.head.getAs[Int]("bucket") === 1)
+    assert(out.head.getAs[Long]("n") === 50L)
+    assert(out.head.getAs[Long]("n_pos") === 10L)
+    assert(out.head.getAs[Double]("gain") === 1.0)
+    assert(out.tail.forall(_.getAs[Long]("n") === 0L))
+    // zero USABLE rows still yields an empty frame, not a spine of zeros
+    val empty = (1 to 5).map(i => (Double.NaN, true, i.toLong)).toDF("s", "y", "id")
+    assert(Eval.liftCurve(empty, col("s"), col("y"), col("id")).count() === 0L)
+  }
+
+  test("woeBins bucketed: all-tied scores keep the dense spine, mass in bin 1") {
+    import graft.operators.Features
+    val d = (1 to 40).map(i => (7.0, i % 4 == 0, i.toLong)).toDF("s", "y", "id")
+    val out = Features.woeBins(d, col("s"), col("y"), col("id"), bins = 5)
+      .orderBy("bin").collect()
+    assert(out.length === 5)
+    assert(out.head.getAs[Int]("bin") === 1)
+    assert(out.head.getAs[Long]("n") === 40L)
+    assert(out.tail.forall(_.getAs[Long]("n") === 0L))
+  }
 }

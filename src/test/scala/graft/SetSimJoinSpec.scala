@@ -39,6 +39,28 @@ class SetSimJoinSpec extends SparkTestBase {
     }
   }
 
+  test("positional filter is lossless: on ≡ off on a randomized corpus") {
+    // overlapping Zipf-ish random sets — enough near-threshold pairs to
+    // exercise the α-boundary; brute force is the ground truth for both
+    val rnd = new scala.util.Random(7)
+    val sets = (1L to 60L).map { i =>
+      val n = 3 + rnd.nextInt(8)
+      i -> (0 until n).map(_ => s"t${rnd.nextInt(25)}").toSet
+    }
+    for (tau <- Seq(0.3, 0.5, 2.0 / 3.0)) {
+      val df = sets.map { case (i, s) => (i, s.toSeq) }.toDF("id", "toks")
+      val on = SetSimJoin.jaccardJoin(df, "id", col("toks"), tau)
+        .orderBy("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val off = SetSimJoin.jaccardJoin(df, "id", col("toks"), tau,
+          positionalFilter = false)
+        .orderBy("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(on === off, s"positional filter changed results at tau=$tau")
+      assert(on === brute(sets, tau), s"mismatch vs brute at tau=$tau")
+    }
+  }
+
   test("threshold boundary is inclusive") {
     val sets = Seq[(Long, Set[String])](
       1L -> Set("a", "b"), 2L -> Set("a", "c")) // j = 1/3

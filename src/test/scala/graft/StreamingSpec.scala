@@ -494,6 +494,36 @@ class StreamingSpec extends SparkTestBase {
     assert(reaches === Set(("A", 1), ("A", 2), ("B", 1)))
   }
 
+  test("streaming funnel idle TTL evicts one-step users without a conversion window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "user", "etype")
+    // no maxGapMs: without the TTL, A's step-1 state would live forever
+    val out = StreamingReg.streamingFunnel(df, "ts", "user", "etype",
+      Seq("view", "click"), maxGapMs = None, watermark = "1 minute",
+      idleTtlMs = Some(2L * 60L * 1000L))
+    val q = out.writeStream.format("memory").queryName("funttl")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    input.addData((t(0), "A", "view"), (t(0), "B", "view"))
+    q.processAllAvailable()
+    // advance the watermark far past A's 2-minute idle deadline; B stays
+    // live via fresh activity
+    input.addData((t(10), "B", "view"), (t(10), "C", "view"))
+    q.processAllAvailable()
+    input.addData((t(20), "Z", "view"))
+    q.processAllAvailable()
+    // A's progress was forgotten: this click has no step-1 predecessor
+    // in state, so step 2 is NOT reached (TTL trade, documented); a
+    // fresh view restarts the funnel from step 1
+    input.addData((t(21), "A", "click"))
+    q.processAllAvailable()
+    val reaches = spark.table("funttl").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    q.stop()
+    assert(reaches === Set(("A", 1), ("B", 1), ("C", 1), ("Z", 1)))
+  }
+
   test("streaming funnel survives a stale event after the watermark passed the deadline") {
     // regression: setTimeoutTimestamp below the current watermark throws
     // and kills the query; a deadline the watermark already passed must
