@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.reg.Dbreg
+
+/** Multi-executor smoke battery (round-8 verdict item #4): every number
+  * in BENCH_NOTES is local[32] — one JVM, no serialization boundary, no
+  * real broadcast transport, localCheckpoint always available. This
+  * suite runs a battery slice on `local-cluster[2,4,2048]` — two REAL
+  * worker processes each launching an executor JVM — with a RELIABLE
+  * checkpoint dir configured, so the `checkpointMode=auto→reliable`
+  * staging path, broadcast joins across process boundaries, and the
+  * state-store-backed streaming ops all execute the way a real cluster
+  * would.
+  *
+  * Env-gated like the big-replica profilers — run as
+  * `GRAFT_LOCAL_CLUSTER=1 SPARK_SCALA_VERSION=2.13 sbt "testOnly
+  * graft.LocalClusterSmokeSpec"` — and MUST run standalone because a JVM
+  * holds one SparkContext and every other suite shares the `local[4]`
+  * one. SPARK_SCALA_VERSION matters: the in-process Worker builds the
+  * executor launch command through the launcher library, whose
+  * scala-version probe otherwise walks the SOURCE-build layout
+  * (`$SPARK_HOME/launcher/target/scala-*`) and dies with "Cannot find
+  * any build directories" on a plain distribution. Executor JVMs get
+  * the app classes via
+  * `spark.executor.extraClassPath` and the JDK17 module opens via
+  * `spark.executor.extraJavaOptions`; operator pipelines here are pure
+  * Column/main-code plans, so no scalatest classes ever cross the wire.
+  */
+class LocalClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val enabled = sys.env.get("GRAFT_LOCAL_CLUSTER").contains("1")
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+
+  private lazy val spark: SparkSession = {
+    val classes = Seq("classes", "test-classes")
+      .map(d => new java.io.File(s"target/scala-2.13/$d").getAbsolutePath)
+      .mkString(java.io.File.pathSeparator)
+    val s = SparkSession.builder()
+      .master("local-cluster[2,4,2048]")
+      .appName("graft-local-cluster-smoke")
+      .config("spark.executor.memory", "1g")
+      .config("spark.executor.extraClassPath", classes)
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    // configuring a checkpoint dir IS the opt-in: Staging auto → RELIABLE
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    s.sparkContext.setCheckpointDir(ckpt)
+    s
+  }
+
+  override def afterAll(): Unit = {
+    if (enabled) spark.stop()
+    super.afterAll()
+  }
+
+  private def li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def close(a: Double, b: Double, t: Double, msg: String): Unit =
+    assert(math.abs(a - b) <= t * math.max(1.0, math.abs(b)), s"$msg: $a vs $b")
+
+  test("every fit strategy agrees across real executor boundaries") {
+    assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
+    val m = Dbreg.fit("l_extendedprice ~ l_quantity + l_discount", li,
+      strategy = "moments")
+    val c = Dbreg.fit("l_extendedprice ~ l_quantity + l_discount", li,
+      strategy = "compress")
+    close(c.coef("l_quantity"), m.coef("l_quantity"), 1e-8, "compress beta")
+    close(c.se("l_quantity"), m.se("l_quantity"), 1e-8, "compress se")
+    val d = Dbreg.fit("l_extendedprice ~ l_quantity | l_returnflag", li,
+      strategy = "demean")
+    val h = Dbreg.fit("l_extendedprice ~ l_quantity | l_returnflag", li,
+      strategy = "hdfe")
+    close(h.coef("l_quantity"), d.coef("l_quantity"), 1e-9, "hdfe beta")
+    close(h.se("l_quantity"), d.se("l_quantity"), 1e-9, "hdfe se")
+    assert(h.hdfeConverged.contains(true))
+    val mu = Dbreg.fit("l_extendedprice ~ l_quantity | l_returnflag", li,
+      strategy = "mundlak")
+    close(mu.coef("l_quantity"), d.coef("l_quantity"), 1e-8, "mundlak beta")
+    // 2-FE GROUPING SETS demean + clustered vcov across the boundary
+    val d2 = Dbreg.fit(
+      "l_extendedprice ~ l_quantity | l_returnflag + l_linestatus", li,
+      vcov = "~l_suppkey", strategy = "demean")
+    assert(d2.nClusters.exists(_ > 1L) && d2.se("l_quantity") > 0.0)
+  }
+
+  test("reliable staging actually checkpoints (auto mode with a dir set)") {
+    assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
+    val ckptDir = new java.io.File(
+      new java.net.URI(spark.sparkContext.getCheckpointDir.get).getPath)
+    def ckptFiles(): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else 1L
+      if (ckptDir.exists()) walk(ckptDir) else 0L
+    }
+    val before = ckptFiles()
+    val staged = Staging.stage(
+      li.select(col("l_orderkey"), col("l_extendedprice")))
+    assert(staged.count() > 0L)
+    assert(ckptFiles() > before,
+      "auto mode with a checkpoint dir must write a RELIABLE checkpoint")
+  }
+
+  test("minhash dedup pairs + connected components distribute") {
+    assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
+    val pairs = graft.pipeline.Dedup
+      .minhashPairs(docs, "doc_id", "text", n = 2, threshold = 0.5)
+    val got = pairs.collect()
+    assert(got.nonEmpty, "sf0.001 documents contain near-dup pairs")
+    assert(got.forall(r => r.getLong(0) < r.getLong(1)))
+    val cc = graft.operators.Graphs
+      .connectedComponents(pairs, "id1", "id2")
+      .collect()
+    assert(cc.nonEmpty)
+    // every node appears exactly once, labels are component minima
+    assert(cc.map(_.getLong(0)).distinct.length === cc.length)
+    assert(cc.forall(r => r.getLong(1) <= r.getLong(0)))
+  }
+
+  test("streaming funnel state store works under executors") {
+    assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "user", "etype")
+    val out = graft.streaming.StreamingReg.streamingFunnel(
+      df, "ts", "user", "etype", Seq("view", "click"))
+    val q = out.writeStream.format("memory").queryName("lcfun")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    input.addData((t(0), "A", "view"), (t(1), "A", "click"),
+      (t(0), "B", "view"))
+    q.processAllAvailable()
+    input.addData((t(2), "B", "click"))
+    q.processAllAvailable()
+    val reaches = spark.table("lcfun").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    q.stop()
+    assert(reaches === Set(("A", 1), ("A", 2), ("B", 1), ("B", 2)))
+  }
+}
