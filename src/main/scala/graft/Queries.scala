@@ -2420,4 +2420,106 @@ object Queries {
         .orderBy("rank")
     }),
   )
+
+  /** Operator family per battery query (round-8 verdict item #7): the
+    * driver's correctness gate groups its report by these, so a
+    * regression reads as "events: 41/42" instead of a row lost in 200.
+    * A spec pins this map total onto [[all]] — adding a query without a
+    * family tag fails the build's own gate. */
+  val families: Map[String, String] = {
+    val f = Map[String, Seq[String]](
+      "fit-core" -> Seq(
+        "q01_moments_agg", "q02_compress_cells", "q03_group_means",
+        "q04_overall_means", "q05_demean_moments_1fe",
+        "q06_demean_moments_2fe", "q07_mundlak_moments", "q08_hc1_meat",
+        "q09_cluster_scores", "q10_counts_distinct", "q11_balance_check",
+        "q12_nested_fe_check", "q22_ols_simple_fit", "q23_ols_multi_fit",
+        "q24_demean_fit", "q25_mundlak_fit", "q26_hc1_fit",
+        "q27_cluster_fit", "q29_predict_fit", "q49_wls_fit", "q50_predict_se",
+        "q51_gof", "q59_grouped_fit", "q61_compress_cluster_fit",
+        "q62_sqlgen_moments", "q63_sqlgen_compress", "q64_sqlgen_demean",
+        "q65_sqlgen_mundlak", "q93_grouped_fe_fit", "q200_hdfe_3fe"),
+      "design" -> Seq(
+        "q13_dummies_interactions", "q14_poly_spline_terms",
+        "q15_casts_filters", "q19_factor_levels"),
+      "binsreg" -> Seq(
+        "q16_ntile_bins", "q17_equal_width_bins", "q18_bin_geometry",
+        "q28_binsreg_points", "q66_lagrange_interp",
+        "q69_hist_quantile_breaks"),
+      "glm" -> Seq(
+        "q95_glm_logit_fit", "q96_glm_poisson_fit", "q97_glm_score",
+        "q99_glm_grouped_fit", "q101_calibration", "q114_glm_gamma_fit",
+        "q120_glm_negbin_fit"),
+      "regression-extras" -> Seq(
+        "q103_ridge_fit", "q104_huber_fit", "q105_pca_fit",
+        "q106_pca_project", "q107_lasso_fit", "q110_grouped_ridge",
+        "q115_iv_2sls", "q116_cv_ridge", "q118_conformal_intervals",
+        "q129_bootstrap_ci"),
+      "dedup" -> Seq(
+        "q30_dedup_exact", "q31_jaccard_pairs", "q32_minhash_sigs",
+        "q33_minhash_pairs", "q34_simhash", "q43_dup_clusters",
+        "q47_embedding_dup_clusters", "q52_winnow_fingerprint",
+        "q53_embedding_lsh_pairs", "q57_dedup_corpus", "q70_contamination",
+        "q72_simhash_pairs", "q78_semdedup", "q79_dup_spans",
+        "q83_containment_pairs", "q87_edit_distance_pairs",
+        "q88_containment_dedup", "q94_dedup_against", "q167_setsim_join",
+        "q170_canonical_docs", "q171_record_linkage"),
+      "similarity" -> Seq(
+        "q35_knn_brute", "q36_knn_lsh", "q41_knn_ivf", "q56_kmeans_cells",
+        "q82_int8_quantize", "q92_vector_index", "q113_label_centroids",
+        "q196_pq_mse"),
+      "text" -> Seq(
+        "q37_text_analysis", "q38_text_quality_agg", "q42_vocab_topk",
+        "q45_json_extract", "q46_lm_score", "q55_tfidf_top_term",
+        "q71_repetition", "q73_pii_scrub", "q74_chunking",
+        "q75_url_domains", "q77_ccnet_buckets", "q84_pack_sequences",
+        "q86_token_entropy", "q91_strip_markup", "q98_gopher_rules",
+        "q100_curation_pipeline", "q102_nfc_normalize", "q117_bm25_topk",
+        "q119_token_chi2", "q121_pmi_collocations", "q122_zipf_spectrum",
+        "q126_js_divergence", "q134_bpe_train", "q135_bpe_segment",
+        "q136_repetition_signals", "q145_dsir_scores", "q149_phrase_search",
+        "q160_zipf_fit", "q199_bpe_train_sampled", "q202_nb_classify"),
+      "multimodal" -> Seq(
+        "q39_multimodal_features", "q48_frame_sample", "q67_bmp_decode",
+        "q68_wav_decode", "q151_image_ahash", "q152_image_neardup_pairs"),
+      "sampling" -> Seq(
+        "q21_hash_sample", "q44_stratified_topk", "q76_hash_split",
+        "q80_weighted_sample", "q81_sample_mix", "q85_sample_mix_approx",
+        "q158_priority_sample", "q177_stratified_sample"),
+      "events" -> Seq(
+        "q40_event_windows", "q54_sessionize", "q58_asof_join",
+        "q89_range_join", "q90_interval_overlap", "q137_funnel",
+        "q138_retention", "q139_event_transitions", "q140_anomaly_hours",
+        "q141_rolling_activity", "q147_decay_scores", "q148_cusum_shifts",
+        "q153_funnel_windowed", "q154_sequence_patterns",
+        "q157_snapshot_diff", "q161_survival_curve", "q162_rolling_actives",
+        "q163_stickiness", "q165_funnel_by_segment", "q168_activity_streaks",
+        "q169_ohlc_downsample", "q173_rolling_trend", "q174_session_stats",
+        "q176_latest_per_key", "q180_resample_fill", "q184_debounce",
+        "q188_cdc_merge", "q189_scd2_intervals", "q191_seasonal_residuals",
+        "q192_attribution"),
+      "stats" -> Seq(
+        "q60_percentiles", "q111_auc", "q112_isotonic", "q123_profile",
+        "q124_psi_drift", "q125_ks_test", "q127_spearman",
+        "q128_categorical_assoc", "q130_target_encode",
+        "q131_robust_outliers", "q132_ab_test", "q133_winsorize",
+        "q142_basket_rules", "q150_percentile_rank", "q155_source_overlap",
+        "q159_weighted_quantiles", "q178_cohen_kappa", "q179_lift_curve",
+        "q181_prop_ztest", "q182_bh_adjust", "q185_woe_bins",
+        "q186_expectations", "q190_corr_matrix", "q193_histogram",
+        "q194_mann_whitney", "q195_chisq_gof", "q197_lift_curve_bucketed",
+        "q198_woe_bins_bucketed"),
+      "sketch" -> Seq(
+        "q108_heavy_hitters", "q109_grouped_heavy_hitters",
+        "q143_quantile_sketch", "q146_count_min", "q156_kmv_distinct",
+        "q164_kmv_grouped"),
+      "graphs" -> Seq(
+        "q144_domain_pagerank", "q172_connected_components",
+        "q201_cc_lsh_pairs"),
+      "relational" -> Seq(
+        "q20_topk_orders", "q166_bloom_semijoin", "q175_cube_totals",
+        "q183_skew_join", "q187_pivot")
+    )
+    f.flatMap { case (fam, qs) => qs.map(_ -> fam) }
+  }
 }

@@ -56,6 +56,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // operator-family tags, so check_oracle.py can report per-family
+    // tallies (a regression reads as "events: 41/42", not a lost row)
+    val famJson = Queries.families.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/families.json"), famJson)
     spark.stop()
   }
 }

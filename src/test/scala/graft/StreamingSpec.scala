@@ -432,6 +432,65 @@ class StreamingSpec extends SparkTestBase {
     assert(math.abs(collected(2L) - 0.5) < 1e-12)
   }
 
+  test("grouped-calibrated GLM scoring through a stream equals batch (q99/q101 shape)") {
+    // the per-domain production scoring composition: train a logistic
+    // PER GROUP (batch, q99 shape), isotonic-calibrate the pooled scores
+    // (q112 shape), then drive NEW rows through score→calibrate as a
+    // STREAM — the whole apply path is a broadcast stream-static join
+    // plus pure projections, so append mode carries it unchanged
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(3)
+    val train = (1 to 400).map { i =>
+      val dom = if (i % 2 == 0) "a" else "b"
+      val x = rng.nextDouble() * 10.0
+      val p = 1.0 / (1.0 + math.exp(-(if (dom == "a") -3.0 + 0.8 * x else 1.0 - 0.4 * x)))
+      (dom, x, if (rng.nextDouble() < p) 1.0 else 0.0)
+    }.toDF("domain", "x", "y")
+    val coefs = graft.reg.Glm
+      .fitGrouped("y ~ x", train, "domain", family = "binomial",
+        strategy = "compress", maxIter = 4)
+      .groupBy("group")
+      .agg(
+        first(when(col("term") === "(Intercept)", col("estimate")), ignoreNulls = true).as("b0"),
+        first(when(col("term") === "x", col("estimate")), ignoreNulls = true).as("b1"))
+    def score(df: org.apache.spark.sql.DataFrame) = df
+      .join(broadcast(coefs), col("domain") === col("group"))
+      .withColumn("mu", lit(1.0) / (lit(1.0) + exp(-(col("b0") + col("b1") * col("x")))))
+      .drop("group", "b0", "b1")
+    val iso = graft.reg.Isotonic.fit(score(train), col("mu"), col("y"),
+      quantize = Some(2))
+    def calibrated(df: org.apache.spark.sql.DataFrame) =
+      graft.reg.Isotonic.calibrate(score(df), col("mu"), iso, quantize = Some(2))
+
+    val fresh = (1 to 60).map { i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", (i % 11).toDouble)
+    }
+    val batchOut = calibrated(fresh.toDF("id", "domain", "x"))
+      .select(col("id"), col("mu"), col("calibrated")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      .toMap
+    val input = MemoryStream[(Long, String, Double)]
+    val sdf = input.toDF().toDF("id", "domain", "x")
+    val q = calibrated(sdf)
+      .select(col("id"), col("mu"), col("calibrated"))
+      .writeStream.format("memory").queryName("glmscore")
+      .outputMode("append").start()
+    input.addData(fresh.take(30): _*); q.processAllAvailable()
+    input.addData(fresh.drop(30): _*); q.processAllAvailable()
+    val streamOut = spark.table("glmscore").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      .toMap
+    q.stop()
+    assert(streamOut.keySet === batchOut.keySet)
+    streamOut.foreach { case (id, (mu, cal)) =>
+      val (bMu, bCal) = batchOut(id)
+      assert(mu === bMu, s"mu mismatch at id=$id")
+      assert((cal.isNaN && bCal.isNaN) || cal === bCal, s"calibrated mismatch at id=$id")
+    }
+    // the calibration map really fired on seen scores
+    assert(streamOut.values.exists(v => !v._2.isNaN))
+  }
+
   test("streaming funnel emits the batch cascade's step reaches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, String)]

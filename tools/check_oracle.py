@@ -39,14 +39,20 @@ def main():
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fam_path = f"{out_dir}/families.json"
+    families = json.load(open(fam_path)) if os.path.exists(fam_path) else {}
+    tally = {}  # family -> [pass, fail]
     n_pass = n_fail = 0
+    def record(name, ok):
+        t = tally.setdefault(families.get(name, "untagged"), [0, 0])
+        t[0 if ok else 1] += 1
     for name in sorted(oracle):
         if only and name not in only:
             continue
         spark_path = f"{out_dir}/{name}"
         if not glob.glob(f"{spark_path}/*.parquet"):
             print(f"FAIL {name}: no spark output at {spark_path}")
-            n_fail += 1
+            n_fail += 1; record(name, False)
             continue
         try:
             s = con.sql(f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
@@ -55,17 +61,17 @@ def main():
             ocols, orows = o.columns, o.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
-            n_fail += 1
+            n_fail += 1; record(name, False)
             continue
         sc, sr = canon(srows, [c.lower() for c in scols])
         oc, orr = canon(orows, [c.lower() for c in ocols])
         if sc != oc:
             print(f"FAIL {name}: columns {sc} vs oracle {oc}")
-            n_fail += 1
+            n_fail += 1; record(name, False)
             continue
         if len(sr) != len(orr):
             print(f"FAIL {name}: {len(sr)} rows vs oracle {len(orr)}")
-            n_fail += 1
+            n_fail += 1; record(name, False)
             continue
         bad = None
         for i, (a, b) in enumerate(zip(sr, orr)):
@@ -77,10 +83,16 @@ def main():
                 break
         if bad:
             print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]} oracle={bad[3]}")
-            n_fail += 1
+            n_fail += 1; record(name, False)
         else:
             print(f"PASS {name} ({len(sr)} rows)")
-            n_pass += 1
+            n_pass += 1; record(name, True)
+    if tally:
+        print("-- by family --")
+        for fam in sorted(tally):
+            ok, bad = tally[fam]
+            mark = "" if bad == 0 else "  <-- REGRESSION"
+            print(f"  {fam}: {ok}/{ok + bad}{mark}")
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
