@@ -1990,6 +1990,39 @@ object OracleSql {
          |SELECT query_id, neighbor_id, cos, rank FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "q203_knn_join_brute" ->
+      s"""WITH scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q204_knn_join" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |av AS (SELECT e.vec_id AS id, e.embedding AS vec, c.cent_id,
+         |    ${cosSql("e.embedding", "c.cvec")} AS cos_c
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (SELECT id, vec, cent_id AS cell FROM (
+         |   SELECT *, row_number() OVER
+         |     (PARTITION BY id ORDER BY cos_c DESC, cent_id ASC) AS r FROM av) t
+         |  WHERE r = 1),
+         |probes AS (SELECT id AS query_id, vec AS qvec, cent_id AS cell FROM (
+         |   SELECT *, row_number() OVER
+         |     (PARTITION BY id ORDER BY cos_c DESC, cent_id ASC) AS r FROM av) t
+         |  WHERE r <= 2),
+         |scored AS (SELECT p.query_id, a.id AS neighbor_id,
+         |    ${cosSql("p.qvec", "a.vec")} AS cos
+         |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.id <> p.query_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
     "q37_text_analysis" -> {
       def score(markers: Seq[String]) = {
         val lst = markers.map(m => s"'$m'").mkString("[", ", ", "]")

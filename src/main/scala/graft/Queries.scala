@@ -976,6 +976,20 @@ object Queries {
         nCentroids = 16, nprobe = 4)
         .orderBy("query_id", "rank")),
 
+    // similarity graph: exact kNN self-join (every vector a query) —
+    // the O(n²) baseline the blocked q204 is judged against
+    "q203_knn_join_brute" -> ((s, dir) =>
+      Similarity.knnJoinBrute(emb(s, dir), "vec_id", "embedding", 3)
+        .orderBy("query_id", "rank")),
+
+    // similarity graph at scale: IVF-blocked kNN self-join — corpus
+    // probes its nprobe nearest cells via the codegen'd NearestCells
+    // projection, ONE equi join on cell, per-query bounded windows
+    "q204_knn_join" -> ((s, dir) =>
+      Similarity.knnJoin(emb(s, dir), "vec_id", "embedding", 3,
+        nCentroids = 16, nprobe = 2)
+        .orderBy("query_id", "rank")),
+
     // persisted IVF index roundtrip: build (iters=0 keeps q41's
     // deterministic centroid seed) writes the corpus hive-partitioned by
     // cell; the query path prunes to the probed cell DIRECTORIES and must
@@ -2466,6 +2480,7 @@ object Queries {
         "q170_canonical_docs", "q171_record_linkage"),
       "similarity" -> Seq(
         "q35_knn_brute", "q36_knn_lsh", "q41_knn_ivf", "q56_kmeans_cells",
+        "q203_knn_join_brute", "q204_knn_join",
         "q82_int8_quantize", "q92_vector_index", "q113_label_centroids",
         "q196_pq_mse"),
       "text" -> Seq(

@@ -267,6 +267,188 @@ case class NearestCentroid(
     copy(child = newChild)
 }
 
+/** Native codegen'd top-`nprobe` centroid selection: the 0-based indices of
+  * the `nprobe` centroids with the highest cosine similarity to the input
+  * vector, ordered cos-descending with ties → lowest index — exactly the
+  * first `nprobe` rows of the oracles' `row_number() OVER (ORDER BY cos
+  * DESC, cent_id ASC)`. The multi-cell generalization of
+  * [[NearestCentroid]], built for corpus-sided IVF probing (kNN self-join):
+  * when EVERY row is a query, the window-over-(n·k rows) spelling of
+  * "nprobe nearest cells" becomes an n·k-row shuffle, while this is a
+  * narrow projection followed by an explode.
+  *
+  * Selection is an insertion pass over a length-`nprobe` buffer (nprobe is
+  * single-digit in practice); strict-greater insertion keeps equal-cos
+  * candidates in arrival (= index-ascending) order. The centroid matrix
+  * rides as a plan REFERENCE (O(1) plan size in k, the NearestCentroid
+  * lesson). Null vector or any null element → NULL; a zero-norm input
+  * (all-NaN cosines) selects no cells and returns an empty array — callers
+  * see an unprobed row, never a NaN-ordered one. Array fields ⇒ deep
+  * equals/hashCode for canonicalization/CSE.
+  */
+case class NearestCells(
+    child: Expression,
+    cents: Array[Array[Double]],
+    cnorms: Array[Double],
+    nprobe: Int
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def centDim: Int = cents(0).length
+
+  override def equals(other: Any): Boolean = other match {
+    case that: NearestCells =>
+      child == that.child && nprobe == that.nprobe &&
+        java.util.Arrays.deepEquals(
+          cents.asInstanceOf[Array[AnyRef]], that.cents.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(cnorms, that.cnorms)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(
+      child, Integer.valueOf(nprobe),
+      Integer.valueOf(java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])),
+      Integer.valueOf(java.util.Arrays.hashCode(cnorms)))
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_cells needs an array<float|double> input, got ${other.simpleString}")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    val d = a.numElements()
+    val xs = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      if (a.isNullAt(i)) return null
+      xs(i) = if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    if (d != centDim)
+      throw new IllegalArgumentException(
+        s"nearest_cells: input vector has $d elements but centroids have $centDim")
+    var nv = 0.0
+    i = 0
+    while (i < d) { nv += xs(i) * xs(i); i += 1 }
+    nv = math.sqrt(nv)
+    val p = math.min(nprobe, cents.length)
+    val bi = new Array[Int](p)
+    val bc = new Array[Double](p)
+    var filled = 0
+    var c = 0
+    while (c < cents.length) {
+      val cc = cents(c)
+      var dot = 0.0
+      i = 0
+      while (i < d) { dot += xs(i) * cc(i); i += 1 }
+      val cos = dot / (nv * cnorms(c))
+      var j = filled
+      while (j > 0 && cos > bc(j - 1)) j -= 1
+      // NaN (zero-norm input) must never occupy a slot — an unfilled
+      // buffer would otherwise admit it unconditionally
+      if (!java.lang.Double.isNaN(cos) && j < p) {
+        var m = math.min(filled, p - 1)
+        while (m > j) { bi(m) = bi(m - 1); bc(m) = bc(m - 1); m -= 1 }
+        bi(j) = c; bc(j) = cos
+        if (filled < p) filled += 1
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(bi, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+    val getter =
+      if (elemIsFloat) (a: String, i: String) => s"(double) $a.getFloat($i)"
+      else (a: String, i: String) => s"$a.getDouble($i)"
+    val d = ctx.freshName("d")
+    val xs = ctx.freshName("xs")
+    val nv = ctx.freshName("nv")
+    val i = ctx.freshName("i")
+    val c = ctx.freshName("c")
+    val cc = ctx.freshName("cc")
+    val dot = ctx.freshName("dot")
+    val cos = ctx.freshName("cos")
+    val p = ctx.freshName("p")
+    val bi = ctx.freshName("bi")
+    val bc = ctx.freshName("bc")
+    val filled = ctx.freshName("filled")
+    val j = ctx.freshName("j")
+    val m = ctx.freshName("m")
+    val anyNull = ctx.freshName("anyNull")
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${childGen.isNull}) {
+          int $d = ${childGen.value}.numElements();
+          boolean $anyNull = false;
+          double[] $xs = new double[$d];
+          for (int $i = 0; $i < $d; $i++) {
+            if (${childGen.value}.isNullAt($i)) { $anyNull = true; break; }
+            $xs[$i] = ${getter(childGen.value.toString, i)};
+          }
+          if (!$anyNull) {
+            if ($d != $centsRef[0].length) {
+              throw new IllegalArgumentException(
+                "nearest_cells: input vector has " + $d +
+                " elements but centroids have " + $centsRef[0].length);
+            }
+            double $nv = 0.0;
+            for (int $i = 0; $i < $d; $i++) { $nv += $xs[$i] * $xs[$i]; }
+            $nv = Math.sqrt($nv);
+            int $p = Math.min($nprobe, $centsRef.length);
+            int[] $bi = new int[$p];
+            double[] $bc = new double[$p];
+            int $filled = 0;
+            for (int $c = 0; $c < $centsRef.length; $c++) {
+              double[] $cc = $centsRef[$c];
+              double $dot = 0.0;
+              for (int $i = 0; $i < $d; $i++) { $dot += $xs[$i] * $cc[$i]; }
+              double $cos = $dot / ($nv * $normsRef[$c]);
+              int $j = $filled;
+              while ($j > 0 && $cos > $bc[$j - 1]) $j--;
+              if (!Double.isNaN($cos) && $j < $p) {
+                for (int $m = Math.min($filled, $p - 1); $m > $j; $m--) {
+                  $bi[$m] = $bi[$m - 1]; $bc[$m] = $bc[$m - 1];
+                }
+                $bi[$j] = $c; $bc[$j] = $cos;
+                if ($filled < $p) $filled++;
+              }
+            }
+            ${ev.isNull} = false;
+            ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+              .fromPrimitiveArray(java.util.Arrays.copyOf($bi, $filled));
+          }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
 /** Native codegen'd affine projection `W·(x − shift)`: array<float|double>
   * in, `array<double>` of length `W.rows` out — the primitive behind PCA
   * transform / whitening / dense random projection. The weight matrix and
@@ -428,6 +610,30 @@ object VectorExprs {
     import org.apache.spark.sql.GraftInternal
     GraftInternal.columnOf(
       NearestCentroid(GraftInternal.expressionOf(vec), cents, norms))
+  }
+
+  /** Codegen'd top-`nprobe` cell selection against a centroid matrix
+    * embedded as a plan reference: `array<int>` of centroid indices in
+    * cos-descending order, ties → lowest index (the first nprobe rows of
+    * the oracle's `row_number() OVER (ORDER BY cos DESC, cent_id ASC)`).
+    * The corpus-as-queries IVF probe primitive — see [[NearestCells]]. */
+  def nearestCells(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
+    require(cents.nonEmpty, "cents must be non-empty")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(cents.forall(_.length == cents(0).length),
+      s"all centroids must share one dimension, got lengths " +
+        cents.map(_.length).distinct.mkString(","))
+    val norms = cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    require(norms.forall(_ > 0),
+      "zero-norm centroid: cosine against it is NaN, which the selection " +
+        "would never take — drop empty cells or re-seed k-means first")
+    import org.apache.spark.sql.GraftInternal
+    GraftInternal.columnOf(
+      NearestCells(GraftInternal.expressionOf(vec), cents, norms, nprobe))
   }
 
   /** Codegen'd affine projection `mat·(x − shift)` (k×d matrix as a plan

@@ -180,6 +180,92 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Exact kNN self-join (all-pairs top-k): for EVERY row, its k nearest
+    * corpus neighbors by cosine — the similarity-graph builder behind
+    * near-dup clustering, retrieval audits, and diversity scoring. O(n²)
+    * by construction: the small-n exactness baseline for [[knnJoin]], not
+    * a scale path. Ties → lowest neighbor id (the q35 rank rule). */
+  def knnJoinBrute(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val a = emb.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val b = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    a.join(b, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** IVF-blocked kNN self-join: every row is a query; candidates are
+    * limited to rows assigned to the query's `nprobe` nearest coarse cells.
+    * The corpus-scale similarity-graph shape:
+    *
+    *  - assignment and probing are both narrow codegen'd projections
+    *    ([[graft.functions.VectorExprs.nearestCentroid]] /
+    *    [[graft.functions.VectorExprs.nearestCells]] — the centroid matrix
+    *    is a plan reference, never n·C intermediate rows, never a window
+    *    over the corpus);
+    *  - probes explode to n·nprobe rows and meet the assignment in ONE
+    *    key-equi join on `cell` (both sides shuffle once, on the cell key);
+    *  - top-k runs in per-query windows whose partitions are bounded by
+    *    the probed cells' sizes, never the corpus.
+    *
+    * Default cells are the C lowest-id vectors (deterministic,
+    * oracle-able — the [[ivfTopK]] convention); pass [[kmeans]] centroids
+    * via `trainedCentroids` for real recall at the same plan shape.
+    * `maxCellSize` is the skew valve for degenerate centroid sets (all
+    * vectors in one cell ⇒ the join degrades toward n²): oversized cells
+    * are excluded from the CANDIDATE side, so results lose those
+    * neighbors (conservative ANN behavior) instead of exploding the join.
+    * A zero-norm vector probes no cells (see NearestCells) and so returns
+    * no neighbors — visible, never NaN-ranked. */
+  def knnJoin(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nprobe: Int = 2,
+      trainedCentroids: Option[Array[Array[Double]]] = None,
+      maxCellSize: Option[Long] = None
+  ): DataFrame = {
+    val centArr: Array[Array[Double]] = trainedCentroids.getOrElse(
+      emb.orderBy(col(idCol)).limit(nCentroids).select(col(vecCol)).collect()
+        .map(_.getSeq[Number](0).toArray.map(_.doubleValue)))
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val assigned0 = base.withColumn("cell",
+      graft.functions.VectorExprs.nearestCentroid(col("vec"), centArr))
+    val assigned = maxCellSize match {
+      case None => assigned0
+      case Some(cap) =>
+        // staged: the assignment feeds both the cell-size count and the
+        // candidate join when the valve is on
+        val av = assigned0.staged
+        val ok = av.groupBy("cell").agg(count(lit(1)).as("__csz"))
+          .filter(col("__csz") <= cap).select("cell")
+        av.join(ok, Seq("cell"), "left_semi")
+    }
+    val probes = base.select(
+      col("id").as("query_id"),
+      col("vec").as("qvec"),
+      explode(graft.functions.VectorExprs.nearestCells(col("vec"), centArr, nprobe))
+        .as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(assigned, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Distributed k-means (Lloyd's algorithm) over an embedding column with
     * cosine assignment. Deterministic: centroids initialize from the k
     * lowest-id vectors, assignment ties break by centroid id.

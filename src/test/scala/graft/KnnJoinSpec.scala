@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+import graft.pipeline.Similarity
+
+/** kNN self-join (all-pairs top-k similarity graph): the brute baseline
+  * pins exact neighbor sets on hand geometry; the IVF-blocked scale path
+  * must equal brute whenever blocking is exhaustive (one cell, or
+  * nprobe = nCentroids), and recover cluster-mates on separated clusters.
+  * NearestCells (the corpus-side probe primitive) is pinned against the
+  * window spelling it replaces. */
+class KnnJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // three well-separated direction clusters in 4-d, 3 members each
+  private def clustered = Seq(
+    (0L, Array(1.0f, 0.01f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.02f, 0.0f, 0.0f)),
+    (2L, Array(1.1f, 0.0f, 0.01f, 0.0f)),
+    (10L, Array(0.0f, 1.0f, 0.01f, 0.0f)),
+    (11L, Array(0.01f, 0.9f, 0.0f, 0.0f)),
+    (12L, Array(0.0f, 1.1f, 0.0f, 0.01f)),
+    (20L, Array(0.0f, 0.01f, 1.0f, 0.0f)),
+    (21L, Array(0.0f, 0.0f, 0.9f, 0.01f)),
+    (22L, Array(0.01f, 0.0f, 1.1f, 0.0f))
+  ).toDF("id", "vec")
+
+  test("brute self-join: every row a query, exact ranks on hand geometry") {
+    // shape: every query appears exactly k times
+    val byQuery = Similarity.knnJoinBrute(clustered, "id", "vec", 2).collect()
+      .groupBy(_.getLong(0))
+    assert(byQuery.keySet === Set(0L, 1L, 2L, 10L, 11L, 12L, 20L, 21L, 22L))
+    byQuery.values.foreach(rows => assert(rows.length === 2))
+    // each query's 2 neighbors are its own cluster-mates
+    byQuery.foreach { case (q, rows) =>
+      val mates = rows.map(_.getLong(1)).toSet
+      val cluster = (q / 10) * 10
+      assert(mates === Set(cluster, cluster + 1, cluster + 2) - q,
+        s"query $q got $mates")
+    }
+  }
+
+  test("blocked with exhaustive probing equals brute exactly") {
+    val brute = Similarity.knnJoinBrute(clustered, "id", "vec", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    // nprobe = nCentroids ⇒ every cell probed ⇒ candidate set is the corpus
+    val blocked = Similarity.knnJoin(clustered, "id", "vec", 3,
+      nCentroids = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(blocked === brute)
+  }
+
+  test("blocked with trained centroids recovers within-cluster neighbors") {
+    val cents = Array(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0))
+    val got = Similarity.knnJoin(clustered, "id", "vec", 2,
+      nprobe = 1, trainedCentroids = Some(cents)).collect()
+    val byQuery = got.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rows) =>
+      val cluster = (q / 10) * 10
+      assert(rows.map(_.getLong(1)).toSet ===
+        Set(cluster, cluster + 1, cluster + 2) - q)
+    }
+    assert(byQuery.size === 9)
+  }
+
+  test("maxCellSize valve drops oversized cells from the candidate side") {
+    // one centroid pulls everything into cell 0 ⇒ valve at 5 excludes it;
+    // no candidates anywhere, result is empty — degraded, never exploded
+    val cents = Array(Array(1.0, 1.0, 1.0, 1.0))
+    val valved = Similarity.knnJoin(clustered, "id", "vec", 2,
+      nprobe = 1, trainedCentroids = Some(cents), maxCellSize = Some(5L))
+    assert(valved.count() === 0L)
+    val open = Similarity.knnJoin(clustered, "id", "vec", 2,
+      nprobe = 1, trainedCentroids = Some(cents))
+    assert(open.count() === 18L) // 9 queries × k=2 within the single cell
+  }
+
+  test("NearestCells matches the row_number window spelling it replaces") {
+    val rng = new scala.util.Random(11)
+    val cents = Array.fill(7)(Array.fill(8)(rng.nextDouble() - 0.5))
+    val vecs = (0L until 40L).map(i => (i, Array.fill(8)(rng.nextFloat() - 0.5f)))
+    val df = vecs.toDF("id", "vec")
+    val native = df.select(col("id"),
+      VectorExprs.nearestCells(col("vec"), cents, 3).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    // window twin: n·k scored rows, rank, take 3
+    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("cid", "cvec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cos").desc, col("cid").asc)
+    val twin = df.crossJoin(centDf)
+      .select(col("id"), col("cid"), Similarity.cosine(col("vec"), col("cvec")).as("cos"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 3)
+      .orderBy("id", "r")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.sortBy(_.getInt(3)).map(_.getInt(1)).toList }
+    assert(native === twin)
+  }
+
+  test("NearestCells: tie to lowest index, short centroid lists, zero vector") {
+    val cents = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq(
+      (1L, Array(2.0f, 0.0f)),  // cos 1 with cents 0 and 1 — tie → 0 first
+      (2L, Array(0.0f, 0.0f))   // zero-norm: probes nothing
+    ).toDF("id", "vec")
+    val got = df.select(col("id"),
+      VectorExprs.nearestCells(col("vec"), cents, 5).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(got(1L) === List(0, 1, 2)) // nprobe capped at |cents|, tie order kept
+    assert(got(2L) === Nil)
+    // null vector → NULL
+    val nulls = Seq((3L, null.asInstanceOf[Array[Float]])).toDF("id", "vec")
+      .select(VectorExprs.nearestCells(col("vec"), cents, 2)).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+}
