@@ -2232,6 +2232,12 @@ object OracleSql {
     "q104_huber_fit" -> graft.reg.Rlm.sqlOnly(
       "lineitem", "l_quantity", "l_extendedprice", k = 1.345, iters = 3),
 
+    // quantile fit: the whole fixed-iteration check-loss IRLS + Powell
+    // sandwich as Qreg.sqlOnly's emitted SQL — same self-proving loop
+    "q205_quantile_fit" -> graft.reg.Qreg.sqlOnly(
+      "lineitem", "l_quantity", "l_extendedprice", tau = 0.75, iters = 3,
+      eps = 10.0),
+
     // closed-form 2×2 eigensystem of the sample covariance, with the
     // engine's deterministic sign rule (largest-|loading| element positive,
     // ties → lowest index via the >= comparison)

@@ -1518,6 +1518,20 @@ object Queries {
         col("std_error").cast("float").as("std_error")).orderBy("term")
     }),
 
+    // quantile regression at tau=0.75: 3 pinned check-loss IRLS steps +
+    // the Powell uniform-kernel sandwich — the oracle is Qreg.sqlOnly's
+    // generated text (the q95/q104 self-proving loop)
+    "q205_quantile_fit" -> ((s, dir) => {
+      // eps is the check-loss smoothing scale: 10 on a ~30k price scale
+      // (3e-4 relative) — also bounds the 1/|r| weight amplification of
+      // cross-engine summation-order noise, keeping the float32 pin tight
+      val fit = graft.reg.Qreg.fit("l_extendedprice ~ l_quantity", li(s, dir),
+        tau = 0.75, maxIter = 3, tol = 0.0, eps = 10.0)
+      fit.toDF(s).select(col("term"),
+        col("estimate").cast("float").as("estimate"),
+        col("std_error").cast("float").as("std_error")).orderBy("term")
+    }),
+
     // PCA fit on two scalar columns: one covariance pass + eigen solve;
     // the oracle is the closed-form 2×2 eigensystem with the same
     // deterministic sign rule (largest-|loading| element positive)
@@ -2468,7 +2482,7 @@ object Queries {
         "q103_ridge_fit", "q104_huber_fit", "q105_pca_fit",
         "q106_pca_project", "q107_lasso_fit", "q110_grouped_ridge",
         "q115_iv_2sls", "q116_cv_ridge", "q118_conformal_intervals",
-        "q129_bootstrap_ci"),
+        "q129_bootstrap_ci", "q205_quantile_fit"),
       "dedup" -> Seq(
         "q30_dedup_exact", "q31_jaccard_pairs", "q32_minhash_sigs",
         "q33_minhash_pairs", "q34_simhash", "q43_dup_clusters",

@@ -1,0 +1,196 @@
+package graft.reg
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import org.apache.commons.math3.distribution.TDistribution
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.formula.Formula
+import graft.linalg.LinAlg
+
+/** Quantile regression (Koenker & Bassett 1978) via iteratively reweighted
+  * least squares on the moments kernel — a beyond-reference extension of the
+  * engine's regression family (reference dbreg.R:1805-1902 fits only the
+  * conditional MEAN; the conditional-quantile analogue is the standard
+  * robustness companion). Minimizes the check loss
+  * `ρ_τ(r) = r·(τ − 1{r<0})` with the classic IRLS surrogate: each step is
+  * ONE partial+final weighted-moments aggregate where the weight
+  * `w = (τ·1{r≥0} + (1−τ)·1{r<0}) / max(|r|, ε)` is built from the incoming
+  * β as literal expressions (the [[Rlm]] shape — the weight depends on the
+  * row through the residual, so there is no distinct-x compression; each
+  * step scans the pruned, codegen'd base relation). ε floors the
+  * denominator at near-zero residuals (the usual smoothing of the
+  * non-differentiable check loss); `tol = 0` pins exactly `maxIter` steps
+  * (the oracle / [[sqlOnly]] configuration).
+  *
+  * Standard errors: the Powell (1991) kernel sandwich A⁻¹BA⁻¹ with the
+  * uniform kernel — A = Σ 1{|r| ≤ h}·x xᵀ / (2h) estimates the density-
+  * weighted bread E[f(0|x)·x xᵀ]·n, B = τ(1−τ)·Σ x xᵀ — finite-sample
+  * scaled by n/(n−p) (the [[Rlm]] convention). Both triangles plus the
+  * final pinball loss come from ONE extra fused scan. The default
+  * bandwidth is `h = σ̂₀ · n^(−1/3)` with σ̂₀ the OLS-init residual scale:
+  * deterministic, oracle-able, and satisfying Powell's h → 0, n·h → ∞
+  * rates (constants tune finite-sample quality only; pass `bandwidth` to
+  * override).
+  *
+  * Cost: (1 OLS init) + maxIter + 1 (sandwich) scans.
+  */
+object Qreg {
+
+  final case class QregFit(
+      coeftable: Seq[CoefRow],
+      tau: Double,
+      iterations: Int,
+      converged: Boolean,
+      nobs: Long,
+      pinball: Double, // mean check loss at the final β
+      bandwidth: Double, // Powell sandwich half-width actually used
+      collinDropped: Seq[String]
+  ) {
+    def terms: Seq[String] = coeftable.map(_.term)
+    def coef: Map[String, Double] = coeftable.map(r => r.term -> r.estimate).toMap
+    def se: Map[String, Double] = coeftable.map(r => r.term -> r.stdError).toMap
+    def toDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      coeftable.map(r => (r.term, r.estimate, r.stdError, r.statistic, r.pValue))
+        .toDF("term", "estimate", "std_error", "statistic", "p_value")
+    }
+  }
+
+  /** Quantile fit at `tau`. `tol = 0` pins exactly `maxIter` IRLS steps
+    * (the oracle configuration); otherwise stop when the max relative
+    * coefficient change drops below `tol`. */
+  def fit(
+      formula: String,
+      df: DataFrame,
+      tau: Double = 0.5,
+      maxIter: Int = 30,
+      tol: Double = 1e-8,
+      eps: Double = 1e-6,
+      bandwidth: Option[Double] = None
+  ): QregFit = {
+    require(tau > 0 && tau < 1, s"tau must be in (0,1): $tau")
+    require(maxIter >= 1)
+    require(eps > 0, s"eps must be positive: $eps")
+    bandwidth.foreach(h => require(h > 0, s"bandwidth must be positive: $h"))
+    val f = Formula.parse(formula)
+    require(f.fe.isEmpty,
+      "qreg does not absorb fixed effects; include them as dummies")
+
+    val needed = f.allInputCols
+    needed.foreach(c => require(df.columns.contains(c), s"column '$c' not found"))
+    val base = df
+      .select(needed.map(col): _*)
+      .na.drop(needed)
+
+    val d = Dbreg.buildDesign(base, f, Nil, intercept = f.intercept)
+
+    // initial OLS: one unweighted moments pass; collinear columns drop here
+    // and stay dropped (check-loss weights cannot restore rank)
+    val m0 = MomentsKernel.compute(d.df, Dbreg.Y, d.xNames, intercept = false)
+    val s0 = LinAlg.solveDetecting(m0.xtx, m0.xty)
+    val keptX = s0.keepIdx.map(d.xNames)
+    val keptNames = s0.keepIdx.map(d.displayNames)
+    val dropped = s0.dropIdx.map(d.displayNames)
+    val p = keptX.length
+    val n = m0.n
+    require(n > p, s"need n > p, got n=$n p=$p")
+    val rss0 = math.max(
+      m0.sumYSq - 2.0 * (s0.beta dot DenseVector(s0.keepIdx.map(m0.xty(_)).toArray)) +
+        (s0.beta dot (DenseMatrix.tabulate(p, p)((i, j) =>
+          m0.xtx(s0.keepIdx(i), s0.keepIdx(j))) * s0.beta)),
+      0.0)
+    val sigma0 = math.sqrt(rss0 / (n - p))
+    val h = bandwidth.getOrElse(sigma0 * math.pow(n, -1.0 / 3.0))
+    require(h > 0,
+      "zero Powell bandwidth: the OLS init fits exactly (every quantile " +
+        "line coincides) — pass bandwidth explicitly if SEs are still wanted")
+
+    def residual(beta: DenseVector[Double]): Column =
+      keptX.zipWithIndex.foldLeft(col(Dbreg.Y).cast("double")) {
+        case (acc, (xn, i)) => acc - lit(beta(i)) * col(xn).cast("double")
+      }
+
+    var beta = s0.beta
+    var iters = 0
+    var converged = false
+    while (iters < maxIter && !converged) {
+      iters += 1
+      val res = residual(beta)
+      val w = when(res >= 0, lit(tau)).otherwise(lit(1.0 - tau)) /
+        greatest(abs(res), lit(eps))
+      val work = d.df.withColumn("__qw", w)
+      val m = MomentsKernel.compute(work, Dbreg.Y, keptX, intercept = false,
+        weightName = Some("__qw"))
+      val s = LinAlg.solveDetecting(m.xtx, m.xty)
+      require(s.dropIdx.isEmpty,
+        "design lost rank under check-loss weights")
+      val delta = (0 until p).map(i =>
+        math.abs(s.beta(i) - beta(i)) / math.max(math.abs(s.beta(i)), 1e-10)).max
+      beta = s.beta
+      if (tol > 0 && delta < tol) converged = true
+    }
+    // the hdfe contract: non-convergence is LOUD, never silent — the
+    // eps-floored IRLS surrogate converges linearly, so tight tolerances
+    // can need 100+ sweeps (each one corpus scan)
+    if (tol > 0 && !converged)
+      Console.err.println(
+        s"[qreg] WARNING: check-loss IRLS did not converge in $maxIter " +
+          s"steps at tol=$tol; estimates are the last surrogate solve — " +
+          "raise maxIter or loosen tol (the eps floor bounds attainable " +
+          "precision near eps·leverage)")
+
+    // fused final pass: pinball loss + BOTH sandwich triangles in one scan
+    val res = residual(beta)
+    val pin = when(res >= 0, lit(tau) * res).otherwise(lit(tau - 1.0) * res)
+    val inside = when(abs(res) <= lit(h), 1.0).otherwise(0.0)
+    def x(i: Int): Column = col(keptX(i)).cast("double")
+    val aggs = scala.collection.mutable.ArrayBuffer[Column]()
+    aggs += sum(pin).as("_pin")
+    for (i <- 0 until p; j <- i until p) {
+      aggs += sum(inside * x(i) * x(j)).as(s"_a_${i}_$j")
+      aggs += sum(x(i) * x(j)).as(s"_b_${i}_$j")
+    }
+    val row = d.df.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
+    def g(nm: String): Double = row.getAs[Any](nm) match {
+      case null => 0.0
+      case v: Double => v
+      case v: Number => v.doubleValue
+    }
+    val aM = DenseMatrix.zeros[Double](p, p)
+    val bM = DenseMatrix.zeros[Double](p, p)
+    for (i <- 0 until p; j <- i until p) {
+      aM(i, j) = g(s"_a_${i}_$j") / (2.0 * h); aM(j, i) = aM(i, j)
+      bM(i, j) = tau * (1.0 - tau) * g(s"_b_${i}_$j"); bM(j, i) = bM(i, j)
+    }
+    val aSolve = LinAlg.solveDetecting(aM, DenseVector.zeros[Double](p))
+    require(aSolve.dropIdx.isEmpty,
+      "Powell bread Σ1{|r|≤h}·xxᵀ is singular: no residual mass within the " +
+        "bandwidth — widen `bandwidth`")
+    val aInv = aSolve.xtxInv
+    val v = (aInv * bM * aInv) * (n / (n - p))
+
+    val tdist = new TDistribution(n - p)
+    val rows = (0 until p).map { i =>
+      val est = beta(i)
+      val se = math.sqrt(math.max(v(i, i), 0.0))
+      val t = if (se > 0) est / se else Double.NaN
+      val pv = if (se > 0) 2.0 * tdist.cumulativeProbability(-math.abs(t)) else Double.NaN
+      CoefRow(keptNames(i), est, se, t, pv)
+    }
+    QregFit(rows, tau, iters, converged || tol == 0.0, m0.nRows,
+      g("_pin") / n, h, dropped)
+  }
+
+  /** The whole fixed-iteration fit rendered as ONE runnable SQL statement
+    * for the 2-parameter model (intercept + one regressor) — the q62-65/q95
+    * self-proving loop: the correctness oracle executes this text. */
+  def sqlOnly(
+      table: String,
+      xCol: String,
+      yCol: String,
+      tau: Double,
+      iters: Int = 3,
+      eps: Double = 1e-6
+  ): String = QregSqlGen.irlsSql(table, xCol, yCol, tau, iters, eps)
+}

@@ -1,0 +1,85 @@
+package graft.reg
+
+/** `sql_only` analogue for the quantile fit: renders the ENTIRE
+  * fixed-iteration IRLS as one runnable ANSI-SQL statement — OLS init CTE
+  * (β₀ plus the Powell bandwidth h = σ̂₀·n^(−1/3)), one unrolled
+  * reweighted step per iteration (each a scan of the base relation with
+  * the check-loss weight spelled as a CASE on the literal-β residual),
+  * and the Powell uniform-kernel sandwich from one final scan. Restricted
+  * to the 2-parameter model where every solve has a closed form — the
+  * [[RlmSqlGen]]/[[GlmSqlGen]] contract: the driver's correctness oracle
+  * executes THIS text, so every round re-proves the emitted SQL agrees
+  * with the engine (float32).
+  */
+object QregSqlGen {
+
+  def irlsSql(
+      table: String,
+      xCol: String,
+      yCol: String,
+      tau: Double,
+      iters: Int,
+      eps: Double
+  ): String = {
+    require(iters >= 1)
+    require(tau > 0 && tau < 1)
+    val base =
+      s"""SELECT CAST($xCol AS DOUBLE) AS x, CAST($yCol AS DOUBLE) AS y
+         |  FROM $table WHERE $xCol IS NOT NULL AND $yCol IS NOT NULL""".stripMargin
+    // OLS init + the Powell bandwidth from the init residual scale
+    val init =
+      s"""m AS (SELECT count(*)::DOUBLE n, sum(x) sx, sum(y) sy,
+         |    sum(x*x) sxx, sum(x*y) sxy, sum(y*y) syy FROM b),
+         |f0 AS (SELECT n, b0, b1,
+         |    sqrt((syy - 2*(b0*sy + b1*sxy)
+         |          + (b0*b0*n + 2*b0*b1*sx + b1*b1*sxx)) / (n - 2))
+         |      * pow(n, -1.0/3.0) AS h
+         |  FROM (SELECT m.*, (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1,
+         |          sy/n - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx/n AS b0 FROM m) t0)""".stripMargin
+    // each step: check-loss weights from the literal-β residual, then the
+    // closed-form weighted solve; n and h ride along unchanged
+    def step(j: Int) = {
+      val f = s"f${j - 1}"
+      s"""i$j AS (SELECT max(n) n, max(h) h, sum(w) sw, sum(w*x) swx,
+         |    sum(w*x*x) swxx, sum(w*y) swy, sum(w*x*y) swxy
+         |  FROM (SELECT x, y, n, h,
+         |     (CASE WHEN r >= 0 THEN $tau ELSE ${1.0 - tau} END)
+         |       / greatest(abs(r), $eps) AS w
+         |   FROM (SELECT x, y, n, h, y - ($f.b0 + $f.b1*x) AS r
+         |         FROM b CROSS JOIN $f) r$j) w$j),
+         |f$j AS (SELECT n, h,
+         |    (sw*swxy - swx*swy)/(sw*swxx - swx*swx) AS b1,
+         |    swy/sw - (sw*swxy - swx*swy)/(sw*swxx - swx*swx)*swx/sw AS b0
+         |  FROM i$j)""".stripMargin
+    }
+    val f = s"f$iters"
+    def res = s"(y - ($f.b0 + $f.b1*x))"
+    // Powell uniform-kernel sandwich: A = Σ1{|r|≤h}·xxᵀ/(2h), B = τ(1−τ)·Σxxᵀ
+    val sandwich =
+      s"""sand AS (SELECT max(n) n, max(h) h,
+         |    sum(CASE WHEN abs($res) <= h THEN 1.0 ELSE 0.0 END) a_c,
+         |    sum(CASE WHEN abs($res) <= h THEN x ELSE 0.0 END) a_cx,
+         |    sum(CASE WHEN abs($res) <= h THEN x*x ELSE 0.0 END) a_xx,
+         |    count(*)::DOUBLE s1, sum(x) s_x, sum(x*x) s_xx
+         |  FROM b CROSS JOIN $f),
+         |se AS (SELECT n, h, a_c*a_xx - a_cx*a_cx AS det, a_c, a_cx, a_xx,
+         |    s1, s_x, s_xx FROM sand)""".stripMargin
+    val tt = tau * (1.0 - tau)
+    val ctes = Seq(s"b AS ($base)", init) ++ (1 to iters).map(step) :+ sandwich
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT term, estimate::REAL AS estimate, std_error::REAL AS std_error
+       |FROM (
+       | SELECT '(Intercept)' AS term, f.b0 AS estimate,
+       |   sqrt(s.n/(s.n - 2) * 4*s.h*s.h * $tt
+       |     * (s.a_xx*s.a_xx*s.s1 - 2*s.a_xx*s.a_cx*s.s_x
+       |        + s.a_cx*s.a_cx*s.s_xx)/(s.det*s.det)) AS std_error
+       |   FROM $f f CROSS JOIN se s
+       | UNION ALL
+       | SELECT '$xCol', f.b1,
+       |   sqrt(s.n/(s.n - 2) * 4*s.h*s.h * $tt
+       |     * (s.a_cx*s.a_cx*s.s1 - 2*s.a_c*s.a_cx*s.s_x
+       |        + s.a_c*s.a_c*s.s_xx)/(s.det*s.det))
+       |   FROM $f f CROSS JOIN se s) u
+       |ORDER BY term""".stripMargin
+  }
+}
