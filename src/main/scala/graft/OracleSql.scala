@@ -2238,6 +2238,11 @@ object OracleSql {
       "lineitem", "l_quantity", "l_extendedprice", tau = 0.75, iters = 3,
       eps = 10.0),
 
+    // grouped quantile fits: per-group unrolled check-loss CTEs
+    "q206_quantile_grouped" -> graft.reg.QregSqlGen.groupedIrlsSql(
+      "lineitem", "l_returnflag", "l_quantity", "l_extendedprice",
+      tau = 0.75, iters = 3, eps = 10.0),
+
     // closed-form 2×2 eigensystem of the sample covariance, with the
     // engine's deterministic sign rule (largest-|loading| element positive,
     // ties → lowest index via the >= comparison)

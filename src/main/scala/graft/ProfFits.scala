@@ -61,6 +61,34 @@ object ProfFits {
       spark.stop(); return
     }
 
+    // PROF_AUTO_ONLY=1: the auto-chooser probe cost at scale — the bench's
+    // twfe auto fit under the default EXACT distinct-tuple probe vs the
+    // probeMode="approx" (HLL) no-distinct-shuffle path, against the
+    // compress floor (what auto decides to run)
+    if (sys.env.contains("PROF_AUTO_ONLY")) {
+      val fml = "l_extendedprice ~ l_quantity + l_discount | l_returnflag + l_linestatus"
+      Dbreg.fit(fml, li, strategy = "compress") // warm
+      (1 to 2).foreach { i =>
+        time(s"twfe_compress (iter $i)")(Dbreg.fit(fml, li, strategy = "compress"))
+        time(s"twfe_auto exact-probe (iter $i)")(Dbreg.fit(fml, li, strategy = "auto"))
+        time(s"twfe_auto approx-probe (iter $i)")(
+          Dbreg.fit(fml, li, strategy = "auto", probeMode = "approx"))
+      }
+      spark.stop(); return
+    }
+
+    // PROF_QREG_ONLY=1: quantile regression at scale — 3 pinned IRLS
+    // steps (the q205 shape: 1 OLS init + 3 weighted scans + 1 fused
+    // sandwich scan; eps at the price scale)
+    if (sys.env.contains("PROF_QREG_ONLY")) {
+      (1 to 2).foreach { i =>
+        time(s"qreg_tau75_3iter (iter $i)")(
+          graft.reg.Qreg.fit("l_extendedprice ~ l_quantity", li,
+            tau = 0.75, maxIter = 3, tol = 0.0, eps = 10.0))
+      }
+      spark.stop(); return
+    }
+
     // warm all paths once
     Dbreg.fit("l_extendedprice ~ l_quantity + l_discount | l_returnflag",
       li, vcov = "hc1", strategy = "demean")

@@ -1532,6 +1532,18 @@ object Queries {
         col("std_error").cast("float").as("std_error")).orderBy("term")
     }),
 
+    // per-group quantile fits (grouped-GLM shape: keyed moment aggs,
+    // executor-side solves, broadcast beta re-attach) — oracle is the
+    // grouped sqlOnly text
+    "q206_quantile_grouped" -> ((s, dir) => {
+      graft.reg.Qreg.fitGrouped("l_extendedprice ~ l_quantity", li(s, dir),
+        "l_returnflag", tau = 0.75, maxIter = 3, eps = 10.0)
+        .select(col("group"), col("term"),
+          col("estimate").cast("float").as("estimate"),
+          col("std_error").cast("float").as("std_error"))
+        .orderBy("group", "term")
+    }),
+
     // PCA fit on two scalar columns: one covariance pass + eigen solve;
     // the oracle is the closed-form 2×2 eigensystem with the same
     // deterministic sign rule (largest-|loading| element positive)
@@ -2482,7 +2494,7 @@ object Queries {
         "q103_ridge_fit", "q104_huber_fit", "q105_pca_fit",
         "q106_pca_project", "q107_lasso_fit", "q110_grouped_ridge",
         "q115_iv_2sls", "q116_cv_ridge", "q118_conformal_intervals",
-        "q129_bootstrap_ci", "q205_quantile_fit"),
+        "q129_bootstrap_ci", "q205_quantile_fit", "q206_quantile_grouped"),
       "dedup" -> Seq(
         "q30_dedup_exact", "q31_jaccard_pairs", "q32_minhash_sigs",
         "q33_minhash_pairs", "q34_simhash", "q43_dup_clusters",

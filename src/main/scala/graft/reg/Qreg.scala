@@ -5,8 +5,10 @@ import org.apache.commons.math3.distribution.TDistribution
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Staging.StagedFrame
 import graft.formula.Formula
 import graft.linalg.LinAlg
+import graft.model.ModelMatrix
 
 /** Quantile regression (Koenker & Bassett 1978) via iteratively reweighted
   * least squares on the moments kernel — a beyond-reference extension of the
@@ -180,6 +182,172 @@ object Qreg {
     }
     QregFit(rows, tau, iters, converged || tol == 0.0, m0.nRows,
       g("_pin") / n, h, dropped)
+  }
+
+  /** Per-group quantile fits (conditional τ-quantiles by domain — the
+    * per-segment p75-latency / price-band shape). Mirrors
+    * [[Glm.fitGrouped]]: every step is ONE keyed (partial+final) moment
+    * aggregation over the corpus; the G per-group solves run executor-side
+    * over the G moment rows; β re-attaches with a `_g`-keyed equi-join
+    * that AQE downgrades to broadcast while G×p stays small — the corpus
+    * is never shuffled. Fixed `maxIter` IRLS steps after the per-group OLS
+    * init (the grouped-fit convention; group tolerances would need
+    * per-group stopping, which breaks the one-scan-per-step shape). The
+    * final keyed scan carries each group's pinball loss and both Powell
+    * sandwich triangles (per-group bandwidth h_g = σ̂₀g·n_g^(−1/3) from
+    * the init). Returns (group, term, estimate, std_error, n, pinball).
+    */
+  def fitGrouped(
+      formula: String,
+      df: DataFrame,
+      groupCol: String,
+      tau: Double = 0.5,
+      maxIter: Int = 3,
+      eps: Double = 1e-6
+  ): DataFrame = {
+    require(tau > 0 && tau < 1, s"tau must be in (0,1): $tau")
+    require(maxIter >= 1)
+    require(eps > 0)
+    val f = Formula.parse(formula)
+    require(f.fe.isEmpty, "grouped qreg does not support fixed effects (| fe)")
+    val needed = (f.allInputCols :+ groupCol).distinct
+    needed.foreach(c => require(df.columns.contains(c), s"column '$c' not found"))
+    val base = df.select(needed.map(col): _*)
+      .filter(needed.map(col(_).isNotNull).reduce(_ && _))
+
+    val mm = ModelMatrix.expand(base, f.terms, Nil, intercept = f.intercept)
+    val all: List[ModelMatrix.MMCol] =
+      (if (f.intercept) List(ModelMatrix.MMCol("(Intercept)", lit(1.0)))
+       else Nil) ++ mm.cols
+    require(all.nonEmpty, "empty design")
+    val xNames = all.indices.map(i => s"__g_x$i").toIndexedSeq
+    val displayNames = all.map(c => ModelMatrix.displayName(c.name)).toIndexedSeq
+    val p = xNames.length
+
+    val rowFrame = base.select(
+      col(groupCol).cast("string").as("_g") +:
+        (all.zipWithIndex.map { case (c, i) => c.col.cast("double").as(xNames(i)) } :+
+          col(f.y).cast("double").as("_yb")): _*)
+      .staged // every step + the sandwich rescans this frame
+
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    def xc(i: Int) = col(xNames(i))
+
+    // keyed moments of w·[X y] (w = lit(1) for the OLS init); init also
+    // carries Σy² for the per-group residual scale → Powell bandwidth
+    def momentAgg(src: DataFrame, w: Column, withSyy: Boolean): DataFrame = {
+      val aggs = scala.collection.mutable.ArrayBuffer[Column]()
+      aggs += count(lit(1)).cast("double").as("_n")
+      if (withSyy) aggs += sum(col("_yb") * col("_yb")).as("_syy")
+      for (i <- 0 until p) {
+        aggs += sum(w * xc(i) * col("_yb")).as(s"_sxy$i")
+        for (j <- i until p) aggs += sum(w * xc(i) * xc(j)).as(s"_sxx_${i}_$j")
+      }
+      src.groupBy(col("_g")).agg(aggs.head, aggs.tail.toSeq: _*)
+    }
+
+    def solveRow(r: org.apache.spark.sql.Row): (LinAlg.SolveOutcome, Double) = {
+      def dd(name: String): Double = r.getAs[Any](name) match {
+        case null => 0.0
+        case v: Number => v.doubleValue
+      }
+      val xtx = DenseMatrix.tabulate(p, p)((i, j) =>
+        if (i <= j) dd(s"_sxx_${i}_$j") else dd(s"_sxx_${j}_$i"))
+      val xty = DenseVector.tabulate(p)(i => dd(s"_sxy$i"))
+      (LinAlg.solveDetecting(xtx, xty), dd("_n"))
+    }
+
+    // per-group OLS init: β₀ plus the Powell bandwidth from the init rss
+    val init = momentAgg(rowFrame, lit(1.0), withSyy = true)
+    var betas: DataFrame = init.map { r =>
+      val (sol, n) = solveRow(r)
+      def dd(nm: String): Double = r.getAs[Any](nm) match {
+        case null => 0.0
+        case v: Number => v.doubleValue
+      }
+      val full = Array.fill(p)(0.0)
+      sol.keepIdx.zipWithIndex.foreach { case (orig, ki) => full(orig) = sol.beta(ki) }
+      val xtyK = DenseVector(sol.keepIdx.map(i => dd(s"_sxy$i")).toArray)
+      val xtxK = DenseMatrix.tabulate(sol.keepIdx.length, sol.keepIdx.length)((i, j) => {
+        val (a, b) = (sol.keepIdx(i), sol.keepIdx(j))
+        if (a <= b) dd(s"_sxx_${a}_$b") else dd(s"_sxx_${b}_$a")
+      })
+      val rss = math.max(
+        dd("_syy") - 2.0 * (sol.beta dot xtyK) + (sol.beta dot (xtxK * sol.beta)), 0.0)
+      val dfRes = math.max(n - sol.keepIdx.length, 1.0)
+      val h = math.sqrt(rss / dfRes) * math.pow(math.max(n, 1.0), -1.0 / 3.0)
+      (r.getAs[String]("_g"), full, h)
+    }.toDF("_g", "_b", "_h").staged
+
+    def residual: Column =
+      col("_yb") - (0 until p).map(i => xc(i) * element_at(col("_b"), i + 1))
+        .reduce(_ + _)
+
+    for (_ <- 1 to maxIter) {
+      val src = rowFrame.join(betas, "_g")
+      val r = residual
+      val w = when(r >= 0, lit(tau)).otherwise(lit(1.0 - tau)) /
+        greatest(abs(r), lit(eps))
+      val mom = momentAgg(src.withColumn("__qw", w), col("__qw"), withSyy = false)
+        .join(betas.select(col("_g"), col("_h")), "_g")
+      betas = mom.map { r2 =>
+        val (sol, _) = solveRow(r2)
+        val full = Array.fill(p)(0.0)
+        sol.keepIdx.zipWithIndex.foreach { case (orig, ki) => full(orig) = sol.beta(ki) }
+        (r2.getAs[String]("_g"), full, r2.getAs[Double]("_h"))
+      }.toDF("_g", "_b", "_h").staged
+    }
+
+    // final keyed scan: pinball + BOTH Powell triangles per group
+    val src = rowFrame.join(betas, "_g")
+    val r = residual
+    val pin = when(r >= 0, lit(tau) * r).otherwise(lit(tau - 1.0) * r)
+    val inside = when(abs(r) <= col("_h"), 1.0).otherwise(0.0)
+    val aggs = scala.collection.mutable.ArrayBuffer[Column]()
+    aggs += count(lit(1)).cast("double").as("_n")
+    aggs += sum(pin).as("_pin")
+    aggs += first(col("_h")).as("_hh")
+    for (i <- 0 until p) {
+      aggs += first(element_at(col("_b"), i + 1)).as(s"_beta$i")
+      for (j <- i until p) {
+        aggs += sum(inside * xc(i) * xc(j)).as(s"_a_${i}_$j")
+        aggs += sum(xc(i) * xc(j)).as(s"_b_${i}_$j")
+      }
+    }
+    val names = displayNames
+    val tauL = tau
+    src.groupBy(col("_g")).agg(aggs.head, aggs.tail.toSeq: _*).flatMap { row =>
+      def dd(nm: String): Double = row.getAs[Any](nm) match {
+        case null => 0.0
+        case v: Number => v.doubleValue
+      }
+      val g = row.getAs[String]("_g")
+      val n = dd("_n"); val h = dd("_hh")
+      val beta = Array.tabulate(p)(i => dd(s"_beta$i"))
+      // the sandwich runs over the coordinates the final solve kept
+      // (β exactly 0 marks a dropped coordinate only when the design
+      // column itself was dropped — keep the full set; a singular A
+      // reports NaN SEs, visible per group)
+      val aM = DenseMatrix.tabulate(p, p)((i, j) => {
+        val (a, b) = (math.min(i, j), math.max(i, j))
+        dd(s"_a_${a}_$b") / (2.0 * h)
+      })
+      val bM = DenseMatrix.tabulate(p, p)((i, j) => {
+        val (a, b) = (math.min(i, j), math.max(i, j))
+        tauL * (1.0 - tauL) * dd(s"_b_${a}_$b")
+      })
+      val ses: Array[Double] =
+        if (h <= 0) Array.fill(p)(Double.NaN)
+        else
+          try {
+            val aInv = breeze.linalg.inv(aM)
+            val v = (aInv * bM * aInv) * (n / math.max(n - p, 1.0))
+            Array.tabulate(p)(i => math.sqrt(math.max(v(i, i), 0.0)))
+          } catch { case _: Throwable => Array.fill(p)(Double.NaN) }
+      (0 until p).map(i => (g, names(i), beta(i), ses(i), n.round, dd("_pin") / n))
+    }.toDF("group", "term", "estimate", "std_error", "n", "pinball")
   }
 
   /** The whole fixed-iteration fit rendered as ONE runnable SQL statement

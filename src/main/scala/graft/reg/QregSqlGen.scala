@@ -82,4 +82,79 @@ object QregSqlGen {
        |   FROM $f f CROSS JOIN se s) u
        |ORDER BY term""".stripMargin
   }
+
+  /** Per-group variant of [[irlsSql]]: the same unrolled check-loss steps
+    * with the group key `g` carried through every CTE (GROUP BY g sums,
+    * per-group closed-form solve, per-group Powell bandwidth, β re-attached
+    * with a USING (g) join). Mirrors [[Qreg.fitGrouped]]'s fixed-iteration
+    * contract — the [[GlmSqlGen.groupedIrlsSql]] pattern. */
+  def groupedIrlsSql(
+      table: String,
+      gCol: String,
+      xCol: String,
+      yCol: String,
+      tau: Double,
+      iters: Int,
+      eps: Double
+  ): String = {
+    require(iters >= 1)
+    require(tau > 0 && tau < 1)
+    val base =
+      s"""SELECT CAST($gCol AS VARCHAR) AS g, CAST($xCol AS DOUBLE) AS x,
+         |    CAST($yCol AS DOUBLE) AS y
+         |  FROM $table WHERE $gCol IS NOT NULL AND $xCol IS NOT NULL
+         |    AND $yCol IS NOT NULL""".stripMargin
+    val init =
+      s"""m AS (SELECT g, count(*)::DOUBLE n, sum(x) sx, sum(y) sy,
+         |    sum(x*x) sxx, sum(x*y) sxy, sum(y*y) syy FROM b GROUP BY g),
+         |f0 AS (SELECT g, n, b0, b1,
+         |    sqrt(greatest(syy - 2*(b0*sy + b1*sxy)
+         |          + (b0*b0*n + 2*b0*b1*sx + b1*b1*sxx), 0) / greatest(n - 2, 1))
+         |      * pow(n, -1.0/3.0) AS h
+         |  FROM (SELECT m.*, (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1,
+         |          sy/n - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx/n AS b0 FROM m) t0)""".stripMargin
+    def step(j: Int) = {
+      val f = s"f${j - 1}"
+      s"""i$j AS (SELECT g, max(n) n, max(h) h, sum(w) sw, sum(w*x) swx,
+         |    sum(w*x*x) swxx, sum(w*y) swy, sum(w*x*y) swxy
+         |  FROM (SELECT g, x, y, n, h,
+         |     (CASE WHEN r >= 0 THEN $tau ELSE ${1.0 - tau} END)
+         |       / greatest(abs(r), $eps) AS w
+         |   FROM (SELECT b.g, x, y, n, h, y - (f.b0 + f.b1*x) AS r
+         |         FROM b JOIN $f f USING (g)) r$j) w$j GROUP BY g),
+         |f$j AS (SELECT g, n, h,
+         |    (sw*swxy - swx*swy)/(sw*swxx - swx*swx) AS b1,
+         |    swy/sw - (sw*swxy - swx*swy)/(sw*swxx - swx*swx)*swx/sw AS b0
+         |  FROM i$j)""".stripMargin
+    }
+    val f = s"f$iters"
+    val res = s"(y - (f.b0 + f.b1*x))"
+    val sandwich =
+      s"""sand AS (SELECT g, max(n) n, max(h) h,
+         |    sum(CASE WHEN abs($res) <= h THEN 1.0 ELSE 0.0 END) a_c,
+         |    sum(CASE WHEN abs($res) <= h THEN x ELSE 0.0 END) a_cx,
+         |    sum(CASE WHEN abs($res) <= h THEN x*x ELSE 0.0 END) a_xx,
+         |    count(*)::DOUBLE s1, sum(x) s_x, sum(x*x) s_xx
+         |  FROM b JOIN $f f USING (g) GROUP BY g),
+         |se AS (SELECT g, n, h, a_c*a_xx - a_cx*a_cx AS det, a_c, a_cx, a_xx,
+         |    s1, s_x, s_xx FROM sand)""".stripMargin
+    val tt = tau * (1.0 - tau)
+    val ctes = Seq(s"b AS ($base)", init) ++ (1 to iters).map(step) :+ sandwich
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT "group", term, estimate::REAL AS estimate,
+       |  std_error::REAL AS std_error
+       |FROM (
+       | SELECT f.g AS "group", '(Intercept)' AS term, f.b0 AS estimate,
+       |   sqrt(s.n/(s.n - 2) * 4*s.h*s.h * $tt
+       |     * (s.a_xx*s.a_xx*s.s1 - 2*s.a_xx*s.a_cx*s.s_x
+       |        + s.a_cx*s.a_cx*s.s_xx)/(s.det*s.det)) AS std_error
+       |   FROM $f f JOIN se s USING (g)
+       | UNION ALL
+       | SELECT f.g, '$xCol', f.b1,
+       |   sqrt(s.n/(s.n - 2) * 4*s.h*s.h * $tt
+       |     * (s.a_cx*s.a_cx*s.s1 - 2*s.a_c*s.a_cx*s.s_x
+       |        + s.a_c*s.a_c*s.s_xx)/(s.det*s.det))
+       |   FROM $f f JOIN se s USING (g)) u
+       |ORDER BY "group", term""".stripMargin
+  }
 }

@@ -111,6 +111,32 @@ class QregSpec extends SparkTestBase {
     assert(fit.pinball < 1e-10)
   }
 
+  test("grouped fit equals the per-group ungrouped fit (coef + SE + n)") {
+    val rng = new scala.util.Random(5)
+    val df = (1 to 1200).map { i =>
+      val g = Seq("a", "b", "c")(i % 3)
+      val x = rng.nextDouble() * 4.0
+      val slope = Map("a" -> 1.0, "b" -> 3.0, "c" -> -2.0)(g)
+      (g, x, 1.0 + slope * x + (rng.nextDouble() * 2.0 - 1.0))
+    }.toDF("g", "x", "y")
+    val grouped = Qreg.fitGrouped("y ~ x", df, "g", tau = 0.6, maxIter = 4,
+      eps = 1e-6)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    Seq("a", "b", "c").foreach { g =>
+      val solo = Qreg.fit("y ~ x", df.filter(col("g") === g), tau = 0.6,
+        maxIter = 4, tol = 0.0, eps = 1e-6)
+      solo.coeftable.foreach { cr =>
+        val (est, se, n) = grouped((g, cr.term))
+        assert(math.abs(est - cr.estimate) < 1e-9 * math.max(1.0, math.abs(est)),
+          s"estimate mismatch $g/${cr.term}: $est vs ${cr.estimate}")
+        assert(math.abs(se - cr.stdError) < 1e-9 * math.max(1.0, se),
+          s"se mismatch $g/${cr.term}: $se vs ${cr.stdError}")
+        assert(n === solo.nobs)
+      }
+    }
+  }
+
   test("parameter validation") {
     val df = Seq((1.0, 2.0)).toDF("x", "y")
     intercept[IllegalArgumentException](Qreg.fit("y ~ x", df, tau = 0.0))
