@@ -2243,6 +2243,13 @@ object OracleSql {
       "lineitem", "l_returnflag", "l_quantity", "l_extendedprice",
       tau = 0.75, iters = 3, eps = 10.0),
 
+    // CQR: split + two unrolled quantile chains + score order stat +
+    // test coverage/width, all one statement
+    "q207_cqr_intervals" -> graft.reg.QregSqlGen.cqrSql(
+      "lineitem", "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR",
+      "l_quantity", "l_extendedprice", alpha = 0.2, iters = 3, eps = 10.0,
+      outerSalt = "q207o", innerSalt = "q207i"),
+
     // closed-form 2×2 eigensystem of the sample covariance, with the
     // engine's deterministic sign rule (largest-|loading| element positive,
     // ties → lowest index via the >= comparison)

@@ -1532,6 +1532,29 @@ object Queries {
         col("std_error").cast("float").as("std_error")).orderBy("term")
     }),
 
+    // conformalized quantile regression (Romano et al. 2019): quantile
+    // band from two pinned Qreg fits + CQR-score calibration; output =
+    // test-split coverage/width report (the q118 shape)
+    "q207_cqr_intervals" -> ((s, dir) => {
+      val data = li(s, dir).withColumn("rid",
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")))
+      val dealt = graft.sources.ScaleOps.hashSplit(data, "rid",
+        Seq("fit" -> 0.8, "test" -> 0.2), salt = "q207o")
+      val fitPart = dealt.filter(col("split") === "fit").drop("split")
+      val test = dealt.filter(col("split") === "test").drop("split")
+      val cm = graft.reg.Conformal.cqr("l_extendedprice ~ l_quantity",
+        fitPart, "rid", alpha = 0.2, salt = "q207i", maxIter = 3, eps = 10.0)
+      cm.intervals(test)
+        .agg(
+          count(lit(1)).as("n_test"),
+          avg((col("l_extendedprice") >= col("lo") &&
+            col("l_extendedprice") <= col("hi")).cast("double"))
+            .cast("float").as("coverage"),
+          avg(col("hi") - col("lo")).cast("float").as("mean_width"))
+        .withColumn("qhat", lit(cm.qhat).cast("float"))
+        .withColumn("n_cal", lit(cm.nCal))
+    }),
+
     // per-group quantile fits (grouped-GLM shape: keyed moment aggs,
     // executor-side solves, broadcast beta re-attach) — oracle is the
     // grouped sqlOnly text
@@ -2494,7 +2517,8 @@ object Queries {
         "q103_ridge_fit", "q104_huber_fit", "q105_pca_fit",
         "q106_pca_project", "q107_lasso_fit", "q110_grouped_ridge",
         "q115_iv_2sls", "q116_cv_ridge", "q118_conformal_intervals",
-        "q129_bootstrap_ci", "q205_quantile_fit", "q206_quantile_grouped"),
+        "q129_bootstrap_ci", "q205_quantile_fit", "q206_quantile_grouped",
+        "q207_cqr_intervals"),
       "dedup" -> Seq(
         "q30_dedup_exact", "q31_jaccard_pairs", "q32_minhash_sigs",
         "q33_minhash_pairs", "q34_simhash", "q43_dup_clusters",

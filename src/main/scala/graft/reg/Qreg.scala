@@ -47,11 +47,18 @@ object Qreg {
       nobs: Long,
       pinball: Double, // mean check loss at the final β
       bandwidth: Double, // Powell sandwich half-width actually used
-      collinDropped: Seq[String]
+      collinDropped: Seq[String],
+      fitCol: Column // point prediction Σβ̂ᵢ·xᵢ over the ORIGINAL input columns
   ) {
     def terms: Seq[String] = coeftable.map(_.term)
     def coef: Map[String, Double] = coeftable.map(r => r.term -> r.estimate).toMap
     def se: Map[String, Double] = coeftable.map(r => r.term -> r.stdError).toMap
+    /** Distributed point prediction (the conditional τ-quantile) on any
+      * frame carrying the formula's input columns — a pure projection.
+      * Factor levels are pinned to the TRAINING expansion; an unseen
+      * level scores as the reference level (all dummies zero). */
+    def predict(newdata: DataFrame, colName: String = "fit"): DataFrame =
+      newdata.withColumn(colName, fitCol)
     def toDF(spark: SparkSession): DataFrame = {
       import spark.implicits._
       coeftable.map(r => (r.term, r.estimate, r.stdError, r.statistic, r.pValue))
@@ -180,8 +187,11 @@ object Qreg {
       val pv = if (se > 0) 2.0 * tdist.cumulativeProbability(-math.abs(t)) else Double.NaN
       CoefRow(keptNames(i), est, se, t, pv)
     }
+    val fitCol = s0.keepIdx.zipWithIndex.map { case (orig, i) =>
+      lit(beta(i)) * d.cols(orig).col.cast("double")
+    }.reduce(_ + _)
     QregFit(rows, tau, iters, converged || tol == 0.0, m0.nRows,
-      g("_pin") / n, h, dropped)
+      g("_pin") / n, h, dropped, fitCol)
   }
 
   /** Per-group quantile fits (conditional τ-quantiles by domain — the

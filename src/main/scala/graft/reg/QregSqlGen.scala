@@ -83,6 +83,86 @@ object QregSqlGen {
        |ORDER BY term""".stripMargin
   }
 
+  /** Conformalized-quantile-regression oracle ([[Conformal.cqr]], Romano
+    * et al. 2019) as one self-contained SQL statement: outer fit/test
+    * hash split, inner train/cal split, TWO unrolled check-loss IRLS
+    * chains (τ = α/2 and 1 − α/2 — the OLS init CTE is shared, β₀ does
+    * not depend on τ), the CQR score order statistic
+    * k = ⌈(1−α)(n_cal+1)⌉, and the test-split coverage/width report.
+    * `ridExpr` is the SQL expression for the deterministic row key the
+    * engine's `hashSplit` dealt on. */
+  def cqrSql(
+      table: String,
+      ridExpr: String,
+      xCol: String,
+      yCol: String,
+      alpha: Double,
+      iters: Int,
+      eps: Double,
+      outerSalt: String,
+      innerSalt: String
+  ): String = {
+    require(iters >= 1)
+    require(alpha > 0 && alpha < 1)
+    def h32(e: String) = s"('0x' || substr(md5($e),1,8))::BIGINT"
+    def chain(prefix: String, tau: Double): Seq[String] = {
+      def step(j: Int) = {
+        val f = if (j == 1) "f0" else s"${prefix}f${j - 1}"
+        s"""${prefix}i$j AS (SELECT sum(w) sw, sum(w*x) swx,
+           |    sum(w*x*x) swxx, sum(w*y) swy, sum(w*x*y) swxy
+           |  FROM (SELECT x, y,
+           |     (CASE WHEN r >= 0 THEN $tau ELSE ${1.0 - tau} END)
+           |       / greatest(abs(r), $eps) AS w
+           |   FROM (SELECT x, y, y - ($f.b0 + $f.b1*x) AS r
+           |         FROM tr CROSS JOIN $f) ${prefix}r$j) ${prefix}w$j),
+           |${prefix}f$j AS (SELECT
+           |    (sw*swxy - swx*swy)/(sw*swxx - swx*swx) AS b1,
+           |    swy/sw - (sw*swxy - swx*swy)/(sw*swxx - swx*swx)*swx/sw AS b0
+           |  FROM ${prefix}i$j)""".stripMargin
+      }
+      (1 to iters).map(step)
+    }
+    val fl = s"lo_f$iters"
+    val fh = s"hi_f$iters"
+    val k = s"CAST(ceil(${1.0 - alpha}*(nc+1)) AS BIGINT)"
+    val ctes = Seq(
+      s"""r0 AS (SELECT $ridExpr AS rid, CAST($xCol AS DOUBLE) AS x,
+         |    CAST($yCol AS DOUBLE) AS y FROM $table)""".stripMargin,
+      s"d AS (SELECT *, ${h32(s"'$outerSalt' || rid")} / 4294967296.0 AS u1 FROM r0)",
+      s"""fitp AS (SELECT *, ${h32(s"'$innerSalt' || rid")} / 4294967296.0 AS u2
+         |  FROM d WHERE u1 < 0.8)""".stripMargin,
+      s"""tr AS (SELECT x, y FROM fitp
+         |  WHERE u2 < 0.5 AND x IS NOT NULL AND y IS NOT NULL)""".stripMargin,
+      s"""m AS (SELECT count(*)::DOUBLE n, sum(x) sx, sum(y) sy,
+         |    sum(x*x) sxx, sum(x*y) sxy FROM tr)""".stripMargin,
+      s"""f0 AS (SELECT (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1,
+         |    sy/n - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx/n AS b0 FROM m)""".stripMargin) ++
+      chain("lo_", alpha / 2.0) ++ chain("hi_", 1.0 - alpha / 2.0) ++ Seq(
+      s"""calsc AS (SELECT greatest(($fl.b0 + $fl.b1*x) - y,
+         |    y - ($fh.b0 + $fh.b1*x)) AS s
+         |  FROM fitp CROSS JOIN $fl CROSS JOIN $fh
+         |  WHERE u2 >= 0.5 AND x IS NOT NULL AND y IS NOT NULL)""".stripMargin,
+      "ks AS (SELECT count(*)::BIGINT AS nc FROM calsc)",
+      s"kk AS (SELECT nc, $k AS k FROM ks)",
+      "rk AS (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM calsc)",
+      "qh AS (SELECT rk.s AS qhat FROM rk, kk WHERE rk.rn = kk.k)",
+      "te AS (SELECT x, y FROM d WHERE u1 >= 0.8)",
+      s"""cov AS (SELECT count(*)::BIGINT AS n_test,
+         |    avg(CASE WHEN x IS NULL OR y IS NULL THEN NULL
+         |        WHEN y >= ($fl.b0 + $fl.b1*x) - qhat
+         |         AND y <= ($fh.b0 + $fh.b1*x) + qhat THEN 1.0 ELSE 0.0 END)
+         |      AS coverage,
+         |    avg(($fh.b0 + $fh.b1*x) - ($fl.b0 + $fl.b1*x) + 2*qhat)
+         |      AS mean_width
+         |  FROM te CROSS JOIN $fl CROSS JOIN $fh CROSS JOIN qh)""".stripMargin)
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT n_test, coverage::REAL AS coverage,
+       |  mean_width::REAL AS mean_width,
+       |  (SELECT qhat FROM qh)::REAL AS qhat,
+       |  (SELECT nc FROM ks)::BIGINT AS n_cal
+       |FROM cov""".stripMargin
+  }
+
   /** Per-group variant of [[irlsSql]]: the same unrolled check-loss steps
     * with the group key `g` carried through every CTE (GROUP BY g sums,
     * per-group closed-form solve, per-group Powell bandwidth, β re-attached

@@ -137,6 +137,56 @@ class QregSpec extends SparkTestBase {
     }
   }
 
+  test("CQR: marginal coverage holds and width adapts to heteroscedastic noise") {
+    // y = 2 + x + x·uniform(−1,1): noise scale grows with x — the setting
+    // where symmetric split-conformal wastes width and CQR adapts
+    val rng = new scala.util.Random(17)
+    val df = (1 to 6000).map { i =>
+      val x = 0.5 + rng.nextDouble() * 9.5
+      (i.toLong, x, 2.0 + x + x * (rng.nextDouble() * 2.0 - 1.0))
+    }.toDF("id", "x", "y")
+    val cm = graft.reg.Conformal.cqr("y ~ x", df, "id", alpha = 0.2,
+      maxIter = 4, eps = 1e-4)
+    assert(cm.lo.tau === 0.1 && cm.hi.tau === 0.9)
+    // fresh exchangeable sample: coverage within [1−α−slack, 1]
+    val rng2 = new scala.util.Random(18)
+    val fresh = (1 to 4000).map { i =>
+      val x = 0.5 + rng2.nextDouble() * 9.5
+      (i.toLong, x, 2.0 + x + x * (rng2.nextDouble() * 2.0 - 1.0))
+    }.toDF("id", "x", "y")
+    val iv = cm.intervals(fresh)
+      .select(col("x"), col("y"), col("lo"), col("hi")).collect()
+    val cov = iv.count(r => r.getDouble(1) >= r.getDouble(2) &&
+      r.getDouble(1) <= r.getDouble(3)).toDouble / iv.length
+    assert(cov > 0.76 && cov <= 1.0, s"coverage $cov")
+    // adaptivity: intervals at small x are much narrower than at large x
+    val wLow = iv.filter(_.getDouble(0) < 3.0).map(r => r.getDouble(3) - r.getDouble(2))
+    val wHigh = iv.filter(_.getDouble(0) > 7.0).map(r => r.getDouble(3) - r.getDouble(2))
+    assert(wLow.sum / wLow.length < 0.6 * (wHigh.sum / wHigh.length),
+      s"width not adaptive: low=${wLow.sum / wLow.length} high=${wHigh.sum / wHigh.length}")
+  }
+
+  test("CQR: qhat is the k-th smallest CQR score (hand-checked on a tiny frame)") {
+    // fixed tiny data: verify the order-statistic arithmetic end-to-end by
+    // recomputing scores from the returned fits
+    val rng = new scala.util.Random(23)
+    val df = (1 to 400).map { i =>
+      (i.toLong, rng.nextDouble() * 5.0, rng.nextDouble() * 10.0)
+    }.toDF("id", "x", "y")
+    val cm = graft.reg.Conformal.cqr("y ~ x", df, "id", alpha = 0.3,
+      maxIter = 2, eps = 1e-4, salt = "t")
+    val dealt = graft.sources.ScaleOps.hashSplit(df, "id",
+      Seq("train" -> 0.5, "cal" -> 0.5), salt = "t")
+    val cal = dealt.filter(col("split") === "cal")
+    val scores = cal.select(greatest(
+      cm.lo.fitCol - col("y"), col("y") - cm.hi.fitCol).as("s"))
+      .collect().map(_.getDouble(0)).sorted
+    assert(cm.nCal === scores.length)
+    val k = math.ceil(0.7 * (scores.length + 1)).toInt
+    assert(cm.k === k)
+    assert(cm.qhat === scores(k - 1))
+  }
+
   test("parameter validation") {
     val df = Seq((1.0, 2.0)).toDF("x", "y")
     intercept[IllegalArgumentException](Qreg.fit("y ~ x", df, tau = 0.0))
