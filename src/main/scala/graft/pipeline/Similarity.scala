@@ -239,6 +239,9 @@ object Similarity {
       emb.orderBy(col(idCol)).limit(nCentroids).select(col(vecCol)).collect()
         .map(_.getSeq[Number](0).toArray.map(_.doubleValue)))
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    if (centArr.isEmpty) // empty corpus: empty graph, correct schema
+      return base.select(col("id").as("query_id"), col("id").as("neighbor_id"),
+        lit(0.0).as("cos"), lit(1).as("rank")).limit(0)
     val assigned0 = base.withColumn("cell",
       graft.functions.VectorExprs.nearestCentroid(col("vec"), centArr))
     val assigned = maxCellSize match {

@@ -120,6 +120,25 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Glm.fitGrouped("y ~ x", emptyPanel, "g", maxIter = 2).count() === 0L)
   }
 
+  test("round-8 operators: knn self-join empty corpus, qreg/cqr refusals") {
+    val e = emptyEmb
+    assert(Similarity.knnJoinBrute(e, "vec_id", "embedding", 3).count() === 0L)
+    assert(Similarity.knnJoin(e, "vec_id", "embedding", 3).count() === 0L)
+    // single-vector corpus: no self-pairs either way
+    val one = Seq((7L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.knnJoinBrute(one, "vec_id", "embedding", 3).count() === 0L)
+    assert(Similarity.knnJoin(one, "vec_id", "embedding", 3).count() === 0L)
+    val q = intercept[IllegalArgumentException] {
+      graft.reg.Qreg.fit("y ~ x", emptyPanel)
+    }
+    assert(q.getMessage.toLowerCase.matches(".*(no rows|n > p).*"), q.getMessage)
+    assert(graft.reg.Qreg.fitGrouped("y ~ x", emptyPanel, "g").count() === 0L)
+    intercept[IllegalArgumentException] {
+      graft.reg.Conformal.cqr("y ~ x",
+        emptyPanel.withColumn("id", lit(1L)), "id")
+    }
+  }
+
   test("round-6 event/graph/corpus operators handle empty inputs") {
     val ev = Seq.empty[(Long, Long, Long, String)].toDF("u", "t", "i", "e")
     assert(Events.transitions(ev, "u", "t", "e", "i").count() === 0L)
