@@ -184,15 +184,21 @@ object Similarity {
     * corpus neighbors by cosine — the similarity-graph builder behind
     * near-dup clustering, retrieval audits, and diversity scoring. O(n²)
     * by construction: the small-n exactness baseline for [[knnJoin]], not
-    * a scale path. Ties → lowest neighbor id (the q35 rank rule). */
+    * a scale path. Ties → lowest neighbor id (the q35 rank rule).
+    * Zero-norm vectors carry no direction and are excluded from the graph
+    * entirely (both as queries and as candidates) — cosine against them is
+    * NaN/undefined, and [[knnJoin]] applies the same rule, so blocked ≡
+    * brute holds on degenerate inputs too. */
   def knnJoinBrute(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int
   ): DataFrame = {
-    val a = emb.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val b = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+    val nz = emb.filter(graft.functions.VectorExprs
+      .dotProduct(col(vecCol), col(vecCol)) > 0)
+    val a = nz.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val b = nz.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     a.join(b, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -223,8 +229,11 @@ object Similarity {
     * vectors in one cell ⇒ the join degrades toward n²): oversized cells
     * are excluded from the CANDIDATE side, so results lose those
     * neighbors (conservative ANN behavior) instead of exploding the join.
-    * A zero-norm vector probes no cells (see NearestCells) and so returns
-    * no neighbors — visible, never NaN-ranked. */
+    * Zero-norm vectors are excluded from BOTH sides (no direction → no
+    * cosine): as queries they'd probe no cells anyway (see NearestCells),
+    * and as candidates they'd inject NaN/undefined-cos rows — the
+    * [[knnJoinBrute]] rule, so blocked ≡ brute holds on degenerate
+    * inputs. */
   def knnJoin(
       emb: DataFrame,
       idCol: String,
@@ -235,10 +244,12 @@ object Similarity {
       trainedCentroids: Option[Array[Array[Double]]] = None,
       maxCellSize: Option[Long] = None
   ): DataFrame = {
+    val nzEmb = emb.filter(graft.functions.VectorExprs
+      .dotProduct(col(vecCol), col(vecCol)) > 0)
     val centArr: Array[Array[Double]] = trainedCentroids.getOrElse(
-      emb.orderBy(col(idCol)).limit(nCentroids).select(col(vecCol)).collect()
+      nzEmb.orderBy(col(idCol)).limit(nCentroids).select(col(vecCol)).collect()
         .map(_.getSeq[Number](0).toArray.map(_.doubleValue)))
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val base = nzEmb.select(col(idCol).as("id"), col(vecCol).as("vec"))
     if (centArr.isEmpty) // empty corpus: empty graph, correct schema
       return base.select(col("id").as("query_id"), col("id").as("neighbor_id"),
         lit(0.0).as("cos"), lit(1).as("rank")).limit(0)

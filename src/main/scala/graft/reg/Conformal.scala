@@ -103,7 +103,10 @@ object Conformal {
     val resid = m
       .predict(cal)
       .select(abs(col(f.y).cast("double") - col("fit")).as("__r"))
-      .filter(col("__r").isNotNull)
+      // NaN would sort ABOVE every real residual (Spark's NaN ordering)
+      // and silently displace the order statistic — treat it as missing,
+      // exactly as the training side's na.drop does
+      .filter(col("__r").isNotNull && !isnan(col("__r")))
     val nCal = resid.count()
     val k = math.ceil((1.0 - alpha) * (nCal + 1.0)).toLong
     require(k >= 1L && k <= nCal,
@@ -156,15 +159,22 @@ object Conformal {
     val train = dealt.filter(col(splitCol) === "train").drop(splitCol)
     val cal = dealt.filter(col(splitCol) === "cal").drop(splitCol)
 
-    val lo = Qreg.fit(formula, train, tau = alpha / 2.0,
-      maxIter = maxIter, tol = 0.0, eps = eps)
-    val hi = Qreg.fit(formula, train, tau = 1.0 - alpha / 2.0,
-      maxIter = maxIter, tol = 0.0, eps = eps)
+    // ONE shared OLS init feeds both quantile chains (β₀/σ̂₀ are
+    // τ-independent — the generated cqrSql oracle shares its f0 CTE the
+    // same way), saving a full train-split moments scan
+    val qInit = Qreg.prepareInit(formula, train)
+    val lo = Qreg.fitFromInit(qInit, tau = alpha / 2.0,
+      maxIter = maxIter, tol = 0.0, eps = eps, bandwidth = None)
+    val hi = Qreg.fitFromInit(qInit, tau = 1.0 - alpha / 2.0,
+      maxIter = maxIter, tol = 0.0, eps = eps, bandwidth = None)
     val score = cal
       .select(greatest(
         lo.fitCol - col(f.y).cast("double"),
         col(f.y).cast("double") - hi.fitCol).as("__s"))
-      .filter(col("__s").isNotNull)
+      // NaN sorts above every real score and would corrupt the exact
+      // k-th order statistic — treat as missing (the training-side
+      // na.drop convention)
+      .filter(col("__s").isNotNull && !isnan(col("__s")))
     val nCal = score.count()
     val k = math.ceil((1.0 - alpha) * (nCal + 1.0)).toLong
     require(k >= 1L && k <= nCal,

@@ -66,6 +66,32 @@ object Qreg {
     }
   }
 
+  /** The τ-independent part of a quantile fit: design + the OLS-init
+    * moments pass and solve. [[Conformal.cqr]] shares ONE of these across
+    * its lower and upper fits (β₀ and σ̂₀ do not depend on τ — the same
+    * economy the generated cqrSql oracle gets from its shared f0 CTE). */
+  private[reg] final case class QregInit(
+      f: Formula,
+      d: Dbreg.Design,
+      m0: MomentsResult,
+      s0: LinAlg.SolveOutcome)
+
+  private[reg] def prepareInit(formula: String, df: DataFrame): QregInit = {
+    val f = Formula.parse(formula)
+    require(f.fe.isEmpty,
+      "qreg does not absorb fixed effects; include them as dummies")
+    val needed = f.allInputCols
+    needed.foreach(c => require(df.columns.contains(c), s"column '$c' not found"))
+    val base = df
+      .select(needed.map(col): _*)
+      .na.drop(needed)
+    val d = Dbreg.buildDesign(base, f, Nil, intercept = f.intercept)
+    // initial OLS: one unweighted moments pass; collinear columns drop here
+    // and stay dropped (check-loss weights cannot restore rank)
+    val m0 = MomentsKernel.compute(d.df, Dbreg.Y, d.xNames, intercept = false)
+    QregInit(f, d, m0, LinAlg.solveDetecting(m0.xtx, m0.xty))
+  }
+
   /** Quantile fit at `tau`. `tol = 0` pins exactly `maxIter` IRLS steps
     * (the oracle configuration); otherwise stop when the max relative
     * coefficient change drops below `tol`. */
@@ -77,27 +103,22 @@ object Qreg {
       tol: Double = 1e-8,
       eps: Double = 1e-6,
       bandwidth: Option[Double] = None
+  ): QregFit =
+    fitFromInit(prepareInit(formula, df), tau, maxIter, tol, eps, bandwidth)
+
+  private[reg] def fitFromInit(
+      init: QregInit,
+      tau: Double,
+      maxIter: Int,
+      tol: Double,
+      eps: Double,
+      bandwidth: Option[Double]
   ): QregFit = {
     require(tau > 0 && tau < 1, s"tau must be in (0,1): $tau")
     require(maxIter >= 1)
     require(eps > 0, s"eps must be positive: $eps")
     bandwidth.foreach(h => require(h > 0, s"bandwidth must be positive: $h"))
-    val f = Formula.parse(formula)
-    require(f.fe.isEmpty,
-      "qreg does not absorb fixed effects; include them as dummies")
-
-    val needed = f.allInputCols
-    needed.foreach(c => require(df.columns.contains(c), s"column '$c' not found"))
-    val base = df
-      .select(needed.map(col): _*)
-      .na.drop(needed)
-
-    val d = Dbreg.buildDesign(base, f, Nil, intercept = f.intercept)
-
-    // initial OLS: one unweighted moments pass; collinear columns drop here
-    // and stay dropped (check-loss weights cannot restore rank)
-    val m0 = MomentsKernel.compute(d.df, Dbreg.Y, d.xNames, intercept = false)
-    val s0 = LinAlg.solveDetecting(m0.xtx, m0.xty)
+    val QregInit(_, d, m0, s0) = init
     val keptX = s0.keepIdx.map(d.xNames)
     val keptNames = s0.keepIdx.map(d.displayNames)
     val dropped = s0.dropIdx.map(d.displayNames)
@@ -288,8 +309,8 @@ object Qreg {
         dd("_syy") - 2.0 * (sol.beta dot xtyK) + (sol.beta dot (xtxK * sol.beta)), 0.0)
       val dfRes = math.max(n - sol.keepIdx.length, 1.0)
       val h = math.sqrt(rss / dfRes) * math.pow(math.max(n, 1.0), -1.0 / 3.0)
-      (r.getAs[String]("_g"), full, h)
-    }.toDF("_g", "_b", "_h").staged
+      (r.getAs[String]("_g"), full, h, sol.keepIdx.toArray)
+    }.toDF("_g", "_b", "_h", "_kept").staged
 
     def residual: Column =
       col("_yb") - (0 until p).map(i => xc(i) * element_at(col("_b"), i + 1))
@@ -306,8 +327,8 @@ object Qreg {
         val (sol, _) = solveRow(r2)
         val full = Array.fill(p)(0.0)
         sol.keepIdx.zipWithIndex.foreach { case (orig, ki) => full(orig) = sol.beta(ki) }
-        (r2.getAs[String]("_g"), full, r2.getAs[Double]("_h"))
-      }.toDF("_g", "_b", "_h").staged
+        (r2.getAs[String]("_g"), full, r2.getAs[Double]("_h"), sol.keepIdx.toArray)
+      }.toDF("_g", "_b", "_h", "_kept").staged
     }
 
     // final keyed scan: pinball + BOTH Powell triangles per group
@@ -319,6 +340,7 @@ object Qreg {
     aggs += count(lit(1)).cast("double").as("_n")
     aggs += sum(pin).as("_pin")
     aggs += first(col("_h")).as("_hh")
+    aggs += first(col("_kept")).as("_keptg")
     for (i <- 0 until p) {
       aggs += first(element_at(col("_b"), i + 1)).as(s"_beta$i")
       for (j <- i until p) {
@@ -336,27 +358,36 @@ object Qreg {
       val g = row.getAs[String]("_g")
       val n = dd("_n"); val h = dd("_hh")
       val beta = Array.tabulate(p)(i => dd(s"_beta$i"))
-      // the sandwich runs over the coordinates the final solve kept
-      // (β exactly 0 marks a dropped coordinate only when the design
-      // column itself was dropped — keep the full set; a singular A
-      // reports NaN SEs, visible per group)
-      val aM = DenseMatrix.tabulate(p, p)((i, j) => {
-        val (a, b) = (math.min(i, j), math.max(i, j))
+      // Qreg.fit parity: a group whose design lost rank reports ONLY the
+      // kept terms (the collinDropped contract) — the sandwich runs over
+      // the final solve's kept coordinates, never the padded full set
+      // (whose all-zero dropped row would make A singular and poison
+      // every term's SE)
+      val kept: Array[Int] = row.getAs[scala.collection.Seq[Int]]("_keptg").toArray
+      val pk = kept.length
+      val aM = DenseMatrix.tabulate(pk, pk)((i, j) => {
+        val (a, b) = (math.min(kept(i), kept(j)), math.max(kept(i), kept(j)))
         dd(s"_a_${a}_$b") / (2.0 * h)
       })
-      val bM = DenseMatrix.tabulate(p, p)((i, j) => {
-        val (a, b) = (math.min(i, j), math.max(i, j))
+      val bM = DenseMatrix.tabulate(pk, pk)((i, j) => {
+        val (a, b) = (math.min(kept(i), kept(j)), math.max(kept(i), kept(j)))
         tauL * (1.0 - tauL) * dd(s"_b_${a}_$b")
       })
       val ses: Array[Double] =
-        if (h <= 0) Array.fill(p)(Double.NaN)
+        if (h <= 0 || pk == 0) Array.fill(pk)(Double.NaN)
         else
           try {
             val aInv = breeze.linalg.inv(aM)
-            val v = (aInv * bM * aInv) * (n / math.max(n - p, 1.0))
-            Array.tabulate(p)(i => math.sqrt(math.max(v(i, i), 0.0)))
-          } catch { case _: Throwable => Array.fill(p)(Double.NaN) }
-      (0 until p).map(i => (g, names(i), beta(i), ses(i), n.round, dd("_pin") / n))
+            val v = (aInv * bM * aInv) * (n / math.max(n - pk, 1.0))
+            Array.tabulate(pk)(i => math.sqrt(math.max(v(i, i), 0.0)))
+          } catch {
+            // only the linear-algebra failure (no residual mass within h
+            // in this group) degrades to NaN — anything else propagates
+            case _: breeze.linalg.MatrixSingularException =>
+              Array.fill(pk)(Double.NaN)
+          }
+      kept.indices.map(i =>
+        (g, names(kept(i)), beta(kept(i)), ses(i), n.round, dd("_pin") / n))
     }.toDF("group", "term", "estimate", "std_error", "n", "pinball")
   }
 

@@ -31,8 +31,8 @@ object QregSqlGen {
       s"""m AS (SELECT count(*)::DOUBLE n, sum(x) sx, sum(y) sy,
          |    sum(x*x) sxx, sum(x*y) sxy, sum(y*y) syy FROM b),
          |f0 AS (SELECT n, b0, b1,
-         |    sqrt((syy - 2*(b0*sy + b1*sxy)
-         |          + (b0*b0*n + 2*b0*b1*sx + b1*b1*sxx)) / (n - 2))
+         |    sqrt(greatest(syy - 2*(b0*sy + b1*sxy)
+         |          + (b0*b0*n + 2*b0*b1*sx + b1*b1*sxx), 0) / greatest(n - 2, 1))
          |      * pow(n, -1.0/3.0) AS h
          |  FROM (SELECT m.*, (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1,
          |          sy/n - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx/n AS b0 FROM m) t0)""".stripMargin

@@ -102,6 +102,24 @@ class KnnJoinSpec extends SparkTestBase {
     assert(native === twin)
   }
 
+  test("zero-norm vectors are excluded from both sides; blocked still equals brute") {
+    val withZero = clustered.unionByName(
+      Seq((99L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "vec"))
+    val brute = Similarity.knnJoinBrute(withZero, "id", "vec", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    // the zero vector appears neither as query nor as neighbor, and no
+    // row carries a null/NaN cosine
+    assert(!brute.exists(t => t._1 == 99L || t._2 == 99L))
+    assert(brute.forall(t => !t._3.isNaN))
+    assert(brute.map(_._1).distinct.length === 9)
+    val blocked = Similarity.knnJoin(withZero, "id", "vec", 3,
+      nCentroids = 4, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(blocked === brute)
+  }
+
   test("NearestCells: tie to lowest index, short centroid lists, zero vector") {
     val cents = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
     val df = Seq(

@@ -137,6 +137,51 @@ class QregSpec extends SparkTestBase {
     }
   }
 
+  test("grouped fit: a collinear group reports only kept terms with finite SEs") {
+    val rng = new scala.util.Random(31)
+    // group "bad" carries x2 = 2x (rank-deficient); group "ok" is clean
+    val rows = (1 to 600).map { i =>
+      val g = if (i % 2 == 0) "bad" else "ok"
+      val x = rng.nextDouble() * 5.0
+      val x2 = if (g == "bad") 2.0 * x else rng.nextDouble() * 5.0
+      (g, x, x2, 1.0 + 2.0 * x + 0.5 * x2 + (rng.nextDouble() - 0.5))
+    }
+    val df = rows.toDF("g", "x", "x2", "y")
+    val got = graft.reg.Qreg.fitGrouped("y ~ x + x2", df, "g", tau = 0.5,
+      maxIter = 3, eps = 1e-4).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // bad group: x2 dropped, surviving terms carry FINITE SEs
+    assert(!got.contains(("bad", "x2")))
+    assert(got(("bad", "x"))._2 > 0 && !got(("bad", "x"))._2.isNaN)
+    assert(got(("bad", "(Intercept)"))._2 > 0 && !got(("bad", "(Intercept)"))._2.isNaN)
+    // ok group: all three terms present and equal to the solo fit
+    val solo = graft.reg.Qreg.fit("y ~ x + x2",
+      df.filter(col("g") === "ok"), tau = 0.5, maxIter = 3, tol = 0.0, eps = 1e-4)
+    solo.coeftable.foreach { cr =>
+      val (est, se) = got(("ok", cr.term))
+      assert(math.abs(est - cr.estimate) < 1e-9 * math.max(1.0, math.abs(est)))
+      assert(math.abs(se - cr.stdError) < 1e-9 * math.max(1.0, se))
+    }
+  }
+
+  test("CQR: NaN labels in the calibration split are treated as missing") {
+    val rng = new scala.util.Random(41)
+    val df = (1 to 800).map { i =>
+      val y = if (i % 97 == 0) Double.NaN
+              else 2.0 + (rng.nextDouble() * 2.0 - 1.0)
+      (i.toLong, rng.nextDouble() * 4.0, y)
+    }.toDF("id", "x", "y")
+    val cm = graft.reg.Conformal.cqr("y ~ x", df, "id", alpha = 0.2,
+      maxIter = 2, eps = 1e-4, salt = "nan")
+    // qhat is finite and nCal counts only real-label calibration rows
+    assert(!cm.qhat.isNaN)
+    val dealt = graft.sources.ScaleOps.hashSplit(df, "id",
+      Seq("train" -> 0.5, "cal" -> 0.5), salt = "nan")
+    val calReal = dealt.filter(col("split") === "cal" && !isnan(col("y"))).count()
+    assert(cm.nCal === calReal)
+  }
+
   test("CQR: marginal coverage holds and width adapts to heteroscedastic noise") {
     // y = 2 + x + x·uniform(−1,1): noise scale grows with x — the setting
     // where symmetric split-conformal wastes width and CQR adapts
