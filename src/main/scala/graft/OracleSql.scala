@@ -2023,6 +2023,41 @@ object OracleSql {
          |SELECT query_id, neighbor_id, cos, rank FROM ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
+    "q208_knn_graph_clusters" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |av AS (SELECT e.vec_id AS id, e.embedding AS vec, c.cent_id,
+         |    ${cosSql("e.embedding", "c.cvec")} AS cos_c
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (SELECT id, vec, cent_id AS cell FROM (
+         |   SELECT *, row_number() OVER
+         |     (PARTITION BY id ORDER BY cos_c DESC, cent_id ASC) AS r FROM av) t
+         |  WHERE r = 1),
+         |probes AS (SELECT id AS query_id, vec AS qvec, cent_id AS cell FROM (
+         |   SELECT *, row_number() OVER
+         |     (PARTITION BY id ORDER BY cos_c DESC, cent_id ASC) AS r FROM av) t
+         |  WHERE r <= 2),
+         |scored AS (SELECT p.query_id, a.id AS neighbor_id,
+         |    ${cosSql("p.qvec", "a.vec")} AS cos
+         |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.id <> p.query_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored),
+         |pairs AS (SELECT DISTINCT least(query_id, neighbor_id) AS id1,
+         |    greatest(query_id, neighbor_id) AS id2
+         |  FROM ranked WHERE rank <= 3 AND cos >= 0.3),
+         |edges AS (SELECT id1 a, id2 b FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |comp AS (
+         |  WITH RECURSIVE reach(id, label) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+         |  )
+         |  SELECT id, min(label) AS component FROM reach GROUP BY id)
+         |SELECT id AS node, component FROM comp ORDER BY node""".stripMargin,
+
     "q37_text_analysis" -> {
       def score(markers: Seq[String]) = {
         val lst = markers.map(m => s"'$m'").mkString("[", ", ", "]")

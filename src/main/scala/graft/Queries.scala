@@ -990,6 +990,20 @@ object Queries {
         nCentroids = 16, nprobe = 2)
         .orderBy("query_id", "rank")),
 
+    // similarity-graph clustering: the q204 kNN self-join feeds CC —
+    // the embedding-space dual of q201's LSH-pairs→CC composition
+    // (near-dup neighborhoods from the ANN graph, not shingle collisions)
+    "q208_knn_graph_clusters" -> ((s, dir) => {
+      val pairs = Similarity.knnJoin(emb(s, dir), "vec_id", "embedding", 3,
+          nCentroids = 16, nprobe = 2)
+        .filter(col("cos") >= 0.3)
+        .select(least(col("query_id"), col("neighbor_id")).as("id1"),
+          greatest(col("query_id"), col("neighbor_id")).as("id2"))
+        .distinct()
+      graft.operators.Graphs.connectedComponents(pairs, "id1", "id2")
+        .orderBy("node")
+    }),
+
     // persisted IVF index roundtrip: build (iters=0 keeps q41's
     // deterministic centroid seed) writes the corpus hive-partitioned by
     // cell; the query path prunes to the probed cell DIRECTORIES and must
@@ -2580,7 +2594,7 @@ object Queries {
         "q164_kmv_grouped"),
       "graphs" -> Seq(
         "q144_domain_pagerank", "q172_connected_components",
-        "q201_cc_lsh_pairs"),
+        "q201_cc_lsh_pairs", "q208_knn_graph_clusters"),
       "relational" -> Seq(
         "q20_topk_orders", "q166_bloom_semijoin", "q175_cube_totals",
         "q183_skew_join", "q187_pivot")

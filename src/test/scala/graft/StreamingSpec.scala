@@ -491,6 +491,30 @@ class StreamingSpec extends SparkTestBase {
     assert(streamOut.values.exists(v => !v._2.isNaN))
   }
 
+  test("quantile-regression scoring through a stream equals batch (fitCol is a pure projection)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(12)
+    val train = (1 to 300).map { _ =>
+      val x = rng.nextDouble() * 8.0
+      (x, 1.0 + 2.0 * x + (rng.nextDouble() * 2.0 - 1.0) * x)
+    }.toDF("x", "y")
+    val fit = graft.reg.Qreg.fit("y ~ x", train, tau = 0.9, maxIter = 3,
+      tol = 0.0, eps = 1e-4)
+    val fresh = (1 to 40).map(i => (i.toLong, (i % 9).toDouble))
+    val batch = fit.predict(fresh.toDF("id", "x"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val input = MemoryStream[(Long, Double)]
+    val q = fit.predict(input.toDF().toDF("id", "x"))
+      .writeStream.format("memory").queryName("qregscore")
+      .outputMode("append").start()
+    input.addData(fresh: _*); q.processAllAvailable()
+    val streamed = spark.table("qregscore")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    q.stop()
+    assert(streamed === batch)
+    assert(batch.nonEmpty && batch.values.forall(v => !v.isNaN))
+  }
+
   test("streaming funnel emits the batch cascade's step reaches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, String)]
