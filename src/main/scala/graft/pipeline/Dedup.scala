@@ -313,7 +313,7 @@ object Dedup {
     * the component.
     *
     * Iterative joins grow the logical plan without bound, so every
-    * `checkpointEvery` rounds (clamped to ≤5 — see `stretch` below; plan
+    * `checkpointEvery` rounds (clamped to ≤3 — see `stretch` below; plan
     * TREES expand exponentially between truncations) the label table is
     * eagerly checkpointed — lineage is truncated and all earlier cached
     * frames released. Deep chains (pathological dup graphs) therefore run
@@ -333,12 +333,24 @@ object Dedup {
     // between truncations — and Spark walks/prints it as a TREE (execution
     // descriptions, AQE logging), which is exponential in k regardless of
     // caching. Clamp the un-checkpointed stretch so a large/converge-early
-    // setting can never OOM the driver on plan strings.
-    val stretch = math.min(checkpointEvery, 5)
-    val edges = pairs
+    // setting can never blow up driver-side analysis: measured on a
+    // 423-edge graph, stretch 5 = 58 s vs stretch 2/3 = 5-6 s — the labels
+    // subtree appears 4^5 ≈ 1000× in each late-round plan walk.
+    val stretch = math.min(checkpointEvery, 3)
+    // STAGE the edge table (don't just persist): persist caches the data
+    // but leaves the full upstream plan in every round's logical tree, so
+    // composing CC with an expensive pair producer (kNN join, LSH) makes
+    // the analyzer re-walk that subtree 2×4^k per round — measured 232 s
+    // vs 8 s on the q208 composition. In `off` mode stage() is identity;
+    // fall back to a plain persist there so iterations still reuse blocks.
+    val edgesRaw = pairs
       .select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val staged = edgesRaw.staged
+    val edges =
+      if (staged eq edgesRaw)
+        edgesRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else staged
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -395,6 +407,9 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // persist-fallback (off mode) blocks release here; checkpoint blocks
+    // are RDD-level (not CacheManager) — the context cleaner reclaims them
+    // once the frame drops out of scope, and unpersist() is a no-op on them
     edges.unpersist()
     labels.select(col("id"), col("label").as("cluster"))
   }
