@@ -3610,6 +3610,44 @@ object OracleSql {
          |  SELECT id, min(label) AS component FROM reach GROUP BY id)
          |SELECT id AS node, component FROM comp ORDER BY node""".stripMargin,
 
+    // triangle enumeration over the q201 LSH pair graph: a<b<c triads via
+    // the canonical 3-way self-join, then per-vertex counts + clustering
+    "q209_triangle_counts" ->
+      s"""WITH $ShingleSets,
+         |$MinhashTable,
+         |hx AS (SELECT id, ${hash32("shingle")} % ${Dedup.MinhashP} AS x FROM sh),
+         |mh AS (SELECT id, i, min((x * a + b) % ${Dedup.MinhashP}) AS h
+         |  FROM hx CROSS JOIN hashes GROUP BY id, i),
+         |bk AS (SELECT id, i // ${Dedup.BandRows} AS band,
+         |         string_agg(h::VARCHAR, ',' ORDER BY i) AS bucket
+         |       FROM mh GROUP BY id, i // ${Dedup.BandRows}),
+         |cand AS (SELECT DISTINCT a.id id1, b.id id2
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+         |common AS (SELECT c.id1, c.id2, count(*) AS common
+         |  FROM cand c JOIN sh a ON a.id = c.id1 JOIN sh b ON b.id = c.id2
+         |    AND a.shingle = b.shingle
+         |  GROUP BY 1, 2),
+         |e AS (SELECT id1 u, id2 v FROM common
+         |  JOIN sizes s1 ON common.id1 = s1.id
+         |  JOIN sizes s2 ON common.id2 = s2.id
+         |  WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.5),
+         |deg AS (SELECT n, count(*) AS d FROM
+         |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+         |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |pv AS (SELECT n, count(*) AS tc FROM
+         |  (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+         |   UNION ALL SELECT c FROM tri) GROUP BY n)
+         |SELECT deg.n AS node, deg.d AS degree,
+         |  coalesce(pv.tc, 0)::BIGINT AS triangles,
+         |  CASE WHEN deg.d >= 2
+         |    THEN coalesce(pv.tc, 0) * 2.0 / (deg.d * (deg.d - 1.0))
+         |    ELSE 0.0 END AS clustering
+         |FROM deg LEFT JOIN pv ON pv.n = deg.n ORDER BY node""".stripMargin,
+
     // Laplace-smoothed multinomial NB unrolled: the COALESCE(n,0) form of
     // ln((n+α)/(tot+αV)) makes the unseen-token fallback the same formula
     // as the observed one; argmax = (score DESC, label ASC) row_number —

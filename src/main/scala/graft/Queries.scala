@@ -2164,6 +2164,17 @@ object Queries {
           "id1", "id2")
         .orderBy("node")),
 
+    // dedup-graph diagnostics: per-vertex triangles + local clustering
+    // coefficient over the SAME LSH pair graph q201 clusters — high
+    // clustering = clique-like duplicate families, low = chain-like
+    // borderline matches (degree-ordered wedge join, O(m^1.5))
+    "q209_triangle_counts" -> ((s, dir) =>
+      graft.operators.Graphs.triangleCounts(
+          Dedup.minhashPairs(docs(s, dir), "doc_id", "text",
+            n = 2, threshold = 0.5),
+          "id1", "id2")
+        .orderBy("node")),
+
     // self-trained multinomial NB language classifier (CCNet-style
     // curation-filter shape): one corpus pass trains the (label, token)
     // model, a broadcast-pivot join + one doc-keyed aggregate scores;
@@ -2594,7 +2605,8 @@ object Queries {
         "q164_kmv_grouped"),
       "graphs" -> Seq(
         "q144_domain_pagerank", "q172_connected_components",
-        "q201_cc_lsh_pairs", "q208_knn_graph_clusters"),
+        "q201_cc_lsh_pairs", "q208_knn_graph_clusters",
+        "q209_triangle_counts"),
       "relational" -> Seq(
         "q20_topk_orders", "q166_bloom_semijoin", "q175_cube_totals",
         "q183_skew_join", "q187_pivot")

@@ -70,4 +70,39 @@ class GraphsSpec extends SparkTestBase {
     assert(got.length === 40)
     assert(got.forall(_._2 === 1L))
   }
+
+  test("triangleCounts: K4 + appendages, hand-computed (dups/reversals/self-loops collapse)") {
+    // K4 on {1,2,3,4}; 5—1, 5—2 (closes triangle 1-2-5); pendant 6—3;
+    // noise: duplicate edge, reversed edge, self-loop (7,7) → 7 absent
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((5L, 1L), (2L, 5L), (6L, 3L),
+      (2L, 1L), (1L, 2L), (7L, 7L))).toDF("s", "t")
+    val got = Graphs.triangleCounts(edges, "s", "t")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // 1,2: K4's 3 triangles + (1,2,5); degree 4 → cc = 8/12
+    assert(got(1L) === ((4L, 4L, 8.0 / 12.0)))
+    assert(got(2L) === ((4L, 4L, 8.0 / 12.0)))
+    // 3: K4's 3 triangles, degree 4 (pendant 6) → cc = 6/12
+    assert(got(3L) === ((4L, 3L, 0.5)))
+    // 4: pure K4 vertex — fully clustered
+    assert(got(4L) === ((3L, 3L, 1.0)))
+    // 5: one triangle over its single neighbor pair
+    assert(got(5L) === ((2L, 1L, 1.0)))
+    // 6: pendant — degree 1, cc defined as 0
+    assert(got(6L) === ((1L, 0L, 0.0)))
+    // global count: each triangle counted once per vertex ⇒ Σ tri = 3·T
+    assert(got.values.map(_._2).sum === 15L) // 5 triangles
+  }
+
+  test("triangleCounts: triangle-free graphs report zero everywhere") {
+    // star + path: bipartite-ish, no triangles
+    val edges = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (3L, 4L))).toDF("s", "t")
+    val got = Graphs.triangleCounts(edges, "s", "t").collect()
+    assert(got.length === 5)
+    assert(got.forall(_.getLong(2) === 0L))
+    assert(got.forall(_.getDouble(3) === 0.0))
+  }
 }
