@@ -2147,6 +2147,27 @@ object OracleSql {
          |FROM bgw JOIN bgc USING (bg) JOIN unic USING (w1) CROSS JOIN v
          |GROUP BY id ORDER BY id""".stripMargin,
 
+    // cross-corpus CCNet split: counts/vocab from the en slice only; LEFT
+    // joins + coalesce give OOV n-grams the pure add-one floor
+    "q210_crosscorpus_lm" ->
+      s"""WITH ttoks AS (SELECT ${toks("text")} AS t FROM documents
+         |  WHERE lang = 'en'),
+         |bgc AS (SELECT bg, count(*) AS c_bg FROM
+         |  (SELECT unnest(${bigrams("t")}) AS bg FROM ttoks) GROUP BY bg),
+         |unic AS (SELECT w1, count(*) AS c_w1 FROM
+         |  (SELECT unnest(t) AS w1 FROM ttoks) GROUP BY w1),
+         |v AS (SELECT count(*)::DOUBLE AS vocab FROM unic),
+         |stoks AS (SELECT doc_id AS id, ${toks("text")} AS t FROM documents),
+         |bgw AS (SELECT id, bg, string_split(bg, ' ')[1] AS w1 FROM
+         |  (SELECT id, unnest(${bigrams("t")}) AS bg FROM stoks))
+         |SELECT id,
+         |  avg(ln((coalesce(c_bg, 0) + 1.0) / (coalesce(c_w1, 0) + vocab)))
+         |    AS lm_score,
+         |  count(*) AS n_bigrams
+         |FROM bgw LEFT JOIN bgc USING (bg) LEFT JOIN unic USING (w1)
+         |  CROSS JOIN v
+         |GROUP BY id ORDER BY id""".stripMargin,
+
     "q42_vocab_topk" ->
       s"""SELECT token, count(*) AS n
          |FROM (SELECT unnest(${toks("text")}) AS token FROM documents) t

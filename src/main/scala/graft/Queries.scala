@@ -1076,6 +1076,15 @@ object Queries {
     "q46_lm_score" -> ((s, dir) =>
       TextOps.bigramLmScores(docs(s, dir), "doc_id", "text").orderBy("id")),
 
+    // the TRUE CCNet split (Wenzek et al. 2020): the bigram LM trains on
+    // the reference slice (en docs) and scores the WHOLE corpus — docs
+    // surprising under the reference (OOV-heavy, cross-lingual) score low
+    "q210_crosscorpus_lm" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextOps.bigramLmTrain(d.filter(col("lang") === "en"), "text")
+      TextOps.bigramLmScoreWith(model, d, "doc_id", "text").orderBy("id")
+    }),
+
     // text analysis: per-document top TF-IDF term (deterministic tiebreak)
     "q55_tfidf_top_term" -> ((s, dir) => {
       val w = Window.partitionBy("id").orderBy(col("tfidf").desc, col("token").asc)
@@ -2568,7 +2577,8 @@ object Queries {
         "q119_token_chi2", "q121_pmi_collocations", "q122_zipf_spectrum",
         "q126_js_divergence", "q134_bpe_train", "q135_bpe_segment",
         "q136_repetition_signals", "q145_dsir_scores", "q149_phrase_search",
-        "q160_zipf_fit", "q199_bpe_train_sampled", "q202_nb_classify"),
+        "q160_zipf_fit", "q199_bpe_train_sampled", "q202_nb_classify",
+        "q210_crosscorpus_lm"),
       "multimodal" -> Seq(
         "q39_multimodal_features", "q48_frame_sample", "q67_bmp_decode",
         "q68_wav_decode", "q151_image_ahash", "q152_image_neardup_pairs"),

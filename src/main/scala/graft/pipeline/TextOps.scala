@@ -1072,14 +1072,38 @@ object TextOps {
       idCol: String,
       textCol: String,
       minCount: Long = 1L
-  ): org.apache.spark.sql.DataFrame = {
+  ): org.apache.spark.sql.DataFrame =
+    bigramLmScoreWith(bigramLmTrain(df, textCol, minCount), df, idCol, textCol)
+
+  /** A trained add-one-smoothed bigram LM: pruned (bigram, count) and
+    * (unigram, count) tables plus the retained vocabulary size. Count
+    * tables are staged — a trained model is re-read by every scoring
+    * pass (and by every micro-batch when scoring a stream), so re-reads
+    * must hit blocks, not re-run the training aggregation. Only `vocab`
+    * (one scalar) lives on the driver: model size is bounded by the
+    * n-gram table, never collected. */
+  final case class BigramLm(
+      bgCounts: org.apache.spark.sql.DataFrame,
+      uniCounts: org.apache.spark.sql.DataFrame,
+      vocab: Long)
+
+  /** Train the [[BigramLm]] count tables on a REFERENCE corpus — the
+    * CCNet split (Wenzek et al. 2020): the LM is fit on trusted text
+    * (their Wikipedia) and scores the crawl, so "surprising under the
+    * reference" = quality signal. Two token-keyed aggregations; `minCount`
+    * is the KenLM-style vocabulary floor bounding model size independent
+    * of corpus size (pruned n-grams fall back to the smoothing floor at
+    * score time). */
+  def bigramLmTrain(
+      train: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minCount: Long = 1L
+  ): BigramLm = {
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
-    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
-    val bigrams = toks.select(
-      col("id"),
-      explode(wordShingles(col("t"), 2)).as("bg"))
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
-    val bgCountsAll = bigrams.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val toks = train.select(tokens(col(textCol)).as("t"))
+    val bgCountsAll = toks
+      .select(explode(wordShingles(col("t"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_bg"))
     val uniCountsAll = toks.select(explode(col("t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c_w1"))
     val (bgCounts, uniCounts) =
@@ -1087,16 +1111,42 @@ object TextOps {
         (bgCountsAll.filter(col("c_bg") >= minCount),
          uniCountsAll.filter(col("c_w1") >= minCount))
       else (bgCountsAll, uniCountsAll)
-    // V counts the retained vocabulary (one count job, driver scalar only)
-    val vocab = uniCounts.count()
-    // Left joins so pruned n-grams fall back to zero counts (pure smoothing
-    // floor) instead of silently dropping the doc's bigram from the mean.
+    val uniStaged = uniCounts.staged
+    // V counts the retained vocabulary (one count job, driver scalar only;
+    // also materializes the staged unigram table)
+    val vocab = uniStaged.count()
+    BigramLm(bgCounts.staged, uniStaged, vocab)
+  }
+
+  /** Score a corpus under a trained [[BigramLm]]: per doc, the mean log
+    * probability of its bigrams, `log((c_bg + 1) / (c_w1 + V))` — lower =
+    * more surprising under the reference corpus. Returns
+    * (id, lm_score, n_bigrams); docs with fewer than two tokens produce
+    * no row (no bigrams to average).
+    *
+    * Scale shape: the count-table joins are token-keyed and deliberately
+    * NOT broadcast-hinted — the bigram vocabulary grows roughly linearly
+    * with corpus size, so at web scale a forced broadcast OOMs every
+    * executor. A shuffled hash join on the token key is the right default;
+    * AQE still downgrades to broadcast when the model is genuinely small.
+    * Left joins so out-of-vocabulary n-grams fall back to the add-one
+    * floor instead of silently dropping from the mean. */
+  def bigramLmScoreWith(
+      model: BigramLm,
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val bigrams = df
+      .select(col(idCol).as("id"),
+        explode(wordShingles(tokens(col(textCol)), 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
     bigrams
-      .join(bgCounts, Seq("bg"), "left")
-      .join(uniCounts, Seq("w1"), "left")
+      .join(model.bgCounts, Seq("bg"), "left")
+      .join(model.uniCounts, Seq("w1"), "left")
       .withColumn("logp",
         log((coalesce(col("c_bg"), lit(0L)) + 1.0) /
-          (coalesce(col("c_w1"), lit(0L)) + lit(vocab.toDouble))))
+          (coalesce(col("c_w1"), lit(0L)) + lit(model.vocab.toDouble))))
       .groupBy("id")
       .agg(avg(col("logp")).as("lm_score"), count(lit(1)).as("n_bigrams"))
   }

@@ -251,6 +251,30 @@ class PipelineSpec extends SparkTestBase {
     assert(floored.exists { case (id, s) => math.abs(s - base(id)) > 1e-12 })
   }
 
+  test("cross-corpus bigram LM: hand-computed OOV floor and in-vocab score") {
+    // train corpus: "a b" ×2, "a c" — unigrams a:3 b:2 c:1 (V=3),
+    // bigrams (a b):2, (a c):1
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val model = TextOps.bigramLmTrain(train, "text")
+    assert(model.vocab === 3L)
+    val score = Seq((10L, "a b"), (11L, "x y")).toDF("doc_id", "text")
+    val got = TextOps.bigramLmScoreWith(model, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // in-vocab: log((2+1)/(3+3)); fully OOV: log((0+1)/(0+3))
+    assert(math.abs(got(10L)._1 - math.log(3.0 / 6.0)) < 1e-12)
+    assert(got(10L)._2 === 1L)
+    assert(math.abs(got(11L)._1 - math.log(1.0 / 3.0)) < 1e-12)
+    // the reference-trained model ranks reference-like text above OOV text
+    assert(got(10L)._1 > got(11L)._1)
+    // self-trained wrapper ≡ train-then-score on the same corpus
+    val viaWrapper = TextOps.bigramLmScores(train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaSplit = TextOps.bigramLmScoreWith(
+        TextOps.bigramLmTrain(train, "text"), train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaWrapper === viaSplit)
+  }
+
   test("langId picks marker language deterministically") {
     val d = Seq(
       (1L, "the cat and the dog went to the market in the morning"),
