@@ -1841,6 +1841,28 @@ object OracleSql {
          |SELECT r.doc_id AS id, r.lang FROM r JOIN tk USING (lang)
          |WHERE rn <= take ORDER BY id""".stripMargin,
 
+    // temperature mixture: share_d = n_d^0.5 / T (T summed in lang-sorted
+    // order to mirror the engine's layout-invariant normalization), then
+    // the q81 floor/row_number cut
+    "q211_temperature_mix" ->
+      s"""WITH u AS (SELECT doc_id, lang,
+         |    ${hash32("'q211' || doc_id::VARCHAR")} / 4294967296.0 AS u
+         |  FROM documents),
+         |c AS (SELECT lang, count(*) AS n FROM u GROUP BY lang),
+         |t AS (SELECT list_sum(list(pow(n::DOUBLE, 0.5) ORDER BY lang))
+         |    AS tot FROM c),
+         |sh AS (SELECT lang, pow(n::DOUBLE, 0.5) / tot AS share
+         |  FROM c CROSS JOIN t),
+         |no AS (SELECT floor(min(n::DOUBLE / share)) AS n_out
+         |  FROM c JOIN sh USING (lang)),
+         |tk AS (SELECT lang, floor(share * n_out) AS take
+         |  FROM sh CROSS JOIN no),
+         |r AS (SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+         |  FROM u)
+         |SELECT r.doc_id AS id, r.lang FROM r JOIN tk USING (lang)
+         |WHERE rn <= take ORDER BY id""".stripMargin,
+
     // int8 scalar quantization: scale = max|x|/127, codes = round(x/scale)
     // (ties away from zero in both engines)
     "q82_int8_quantize" ->

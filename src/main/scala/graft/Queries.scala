@@ -1377,6 +1377,16 @@ object Queries {
         .select(col("doc_id").as("id"), col("lang"))
         .orderBy("id")),
 
+    // sampling: temperature-balanced mixture — shares ∝ n_lang^0.5 derived
+    // from the inventory itself (the multilingual temperature-sampling
+    // rule; up-samples tail langs relative to en), then the q81 exact cut
+    "q211_temperature_mix" -> ((s, dir) =>
+      graft.sources.ScaleOps
+        .sampleToMixTemperature(docs(s, dir), "lang", "doc_id",
+          alpha = 0.5, salt = "q211")
+        .select(col("doc_id").as("id"), col("lang"))
+        .orderBy("id")),
+
     // storage: symmetric per-vector int8 scalar quantization of the
     // embedding column (scale + stringified codes; arrays stringified for
     // the driver compare, as in q32). Scale staged as an attribute so the
@@ -2585,7 +2595,8 @@ object Queries {
       "sampling" -> Seq(
         "q21_hash_sample", "q44_stratified_topk", "q76_hash_split",
         "q80_weighted_sample", "q81_sample_mix", "q85_sample_mix_approx",
-        "q158_priority_sample", "q177_stratified_sample"),
+        "q158_priority_sample", "q177_stratified_sample",
+        "q211_temperature_mix"),
       "events" -> Seq(
         "q40_event_windows", "q54_sessionize", "q58_asof_join",
         "q89_range_join", "q90_interval_overlap", "q137_funnel",

@@ -305,6 +305,36 @@ object ScaleOps {
       .drop("__take", "__rn")
   }
 
+  /** Temperature-balanced domain mixture: shares are computed FROM the
+    * inventory as share_d ∝ n_d^alpha — the multilingual
+    * temperature-sampling rule (mBERT/XLM-R style): alpha = 1 reproduces
+    * the natural distribution (everything kept), alpha → 0 approaches
+    * uniform-per-domain, intermediate alpha up-samples tail domains
+    * relative to head ones. The shares then feed [[sampleToMix]]'s exact
+    * deterministic hash-rank cut.
+    *
+    * Scale shape: ONE extra domain-keyed count aggregate whose result is
+    * collected — the domain cardinality must be model-sized (languages,
+    * sources), the same bound [[sampleToMix]] itself already imposes; the
+    * corpus is never collected. Domains are sorted by name before the
+    * share normalization so the floating-point sum order (and thus every
+    * take boundary) is layout-invariant. */
+  def sampleToMixTemperature(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      alpha: Double,
+      salt: String = ""
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    require(counts.nonEmpty, "temperature mixture over an empty frame")
+    val shares = counts.map { case (d, n) => d -> math.pow(n.toDouble, alpha) }
+    sampleToMix(df, domainCol, keyCol, shares.toSeq, salt)
+  }
+
   /** The window-free approximate form of [[sampleToMix]]: instead of an
     * exact per-domain hash-rank cut, keep each row with probability
     * take_d / n_d via [[weightedSample]] — per-domain counts are correct

@@ -255,6 +255,30 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("temperature mixture: hand-computed takes, alpha=1 is the natural distribution") {
+    import spark.implicits._
+    // a: 16 rows, b: 4. alpha=0.5 → weights (4, 2), shares (2/3, 1/3),
+    // n_out = floor(min(16/(2/3), 4/(1/3))) = 12 → takes (8, 4)
+    val d = ((1L to 16L).map(i => (i, "a")) ++ (17L to 20L).map(i => (i, "b")))
+      .toDF("id", "dom")
+    val got = ScaleOps.sampleToMixTemperature(d, "dom", "id", alpha = 0.5)
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 8L, "b" -> 4L))
+    // tail domain's share rose above its natural 0.2
+    assert(got("b").toDouble / (got("a") + got("b")) > 0.2)
+    // alpha = 1: shares ∝ n → n_out = total, every row kept
+    val nat = ScaleOps.sampleToMixTemperature(d, "dom", "id", alpha = 1.0)
+    assert(nat.count() === 20L)
+    // validation
+    intercept[IllegalArgumentException] {
+      ScaleOps.sampleToMixTemperature(d, "dom", "id", alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.sampleToMixTemperature(d, "dom", "id", alpha = 1.5)
+    }
+  }
+
   test("weighted sample drops NULL keys and NULL weights (documented semantics)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
