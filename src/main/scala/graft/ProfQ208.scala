@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.pipeline.Similarity
 
-/** Scratch profiler for the q208 composition (kNN graph → connected
-  * components): isolates the pair-materialization cost from the CC loop.
+/** Scratch profiler for the round-8 graph compositions: the q208 kNN
+  * graph → connected components (isolating pair-materialization cost from
+  * the CC loop — the plan-growth-cliff measurement), and
+  * `PROF_TRI=1`: triangle counts over the ×100-doc MinHash pair graph
+  * (`SPARK_GRAFT_SF_DIR` pointing at a documents replica).
   * Not part of the driver contract. */
 object ProfQ208 {
   def main(args: Array[String]): Unit = {
@@ -24,6 +27,25 @@ object ProfQ208 {
       val r = f
       println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
+    }
+
+    if (sys.env.contains("PROF_TRI")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n = docs.count()
+      println(s"[prof] PROF_TRI docs=$n")
+      val pairs = t("minhash pairs staged") {
+        import graft.Staging.StagedFrame
+        val p = graft.pipeline.Dedup
+          .minhashPairs(docs, "doc_id", "text", n = 2, threshold = 0.5).staged
+        println(s"[prof] pairs=${p.count()}")
+        p
+      }
+      for (i <- 1 to 2) t(s"triangleCounts iter$i") {
+        val r = graft.operators.Graphs.triangleCounts(pairs, "id1", "id2")
+          .agg(sum(col("triangles")), count(lit(1))).collect()(0)
+        println(s"[prof] sum_tri=${r.getLong(0)} nodes=${r.getLong(1)}")
+      }
+      spark.stop(); return
     }
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
