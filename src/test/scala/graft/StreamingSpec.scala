@@ -491,6 +491,37 @@ class StreamingSpec extends SparkTestBase {
     assert(streamOut.values.exists(v => !v._2.isNaN))
   }
 
+  test("cross-corpus bigram-LM scoring through a stream equals batch (stream-static model join)") {
+    // the CCNet daily-ingest shape: the model tables are STATIC (trained
+    // on the reference corpus); scoring a stream is explode + two
+    // stream-static left joins + one per-doc aggregate (update mode)
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog")).toDF("doc_id", "text")
+    val model = graft.pipeline.TextOps.bigramLmTrain(train, "text")
+    val fresh = Seq((10L, "the cat sat"), (11L, "zebra quokka axolotl"),
+      (12L, "a dog sat on the mat"))
+    val batch = graft.pipeline.TextOps
+      .bigramLmScoreWith(model, fresh.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val input = MemoryStream[(Long, String)]
+    val q = graft.pipeline.TextOps
+      .bigramLmScoreWith(model, input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("lmscore")
+      .outputMode("update").start()
+    input.addData(fresh: _*); q.processAllAvailable()
+    val streamed = spark.table("lmscore")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    q.stop()
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (id, (s, nb)) =>
+      assert(nb === batch(id)._2, s"n_bigrams mismatch at id=$id")
+      assert(math.abs(s - batch(id)._1) < 1e-12, s"lm_score mismatch at id=$id")
+    }
+    // OOV doc really hit the smoothing floor: strictly below the in-vocab doc
+    assert(streamed(11L)._1 < streamed(10L)._1)
+  }
+
   test("quantile-regression scoring through a stream equals batch (fitCol is a pure projection)") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(12)
