@@ -3270,6 +3270,85 @@ object OracleSql {
          |GROUP BY block ORDER BY block""".stripMargin
     },
 
+    // IVF → PQ-ADC → exact re-rank: codebooks re-derived with the q196
+    // kmeans chain (1 iter, 2 blocks of 32, k=4); a2_$b doubles as each
+    // vector's PQ code; the ADC LUT dots sum in dim order (ordered list
+    // arithmetic) to mirror the engine's array fold
+    "q212_pq_rerank" -> {
+      def assign(b: Int, cf: String, out: String) =
+        s"""p_$out AS (SELECT e.id, c.cell, sum(e.x * c.w) AS dot,
+           |    sqrt(sum(c.w * c.w)) AS nc
+           |  FROM efb$b e JOIN $cf c USING (i) GROUP BY 1, 2),
+           |s_$out AS (SELECT p.id, p.cell, p.dot / (en.nv * p.nc) AS cos
+           |  FROM p_$out p JOIN en$b en ON p.id = en.id),
+           |$out AS (SELECT id, cell FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY id ORDER BY cos DESC, cell ASC) AS rn FROM s_$out)
+           |  WHERE rn = 1)""".stripMargin
+      def update(b: Int, a: String, prev: String, out: String) =
+        s"""${out}_raw AS (SELECT a.cell, e.i, avg(e.x) AS w
+           |  FROM $a a JOIN efb$b e ON a.id = e.id GROUP BY 1, 2),
+           |$out AS (SELECT p.cell, p.i, coalesce(r.w, p.w) AS w
+           |  FROM $prev p LEFT JOIN ${out}_raw r
+           |    ON p.cell = r.cell AND p.i = r.i)""".stripMargin
+      def blockCodes(b: Int): String = {
+        val lo = b * 32; val hi = (b + 1) * 32
+        s"""efb$b AS (SELECT id, i, x FROM ef WHERE i > $lo AND i <= $hi),
+           |c0f$b AS (SELECT cell, i, w FROM c0f WHERE i > $lo AND i <= $hi),
+           |en$b AS (SELECT id, sqrt(sum(x*x)) AS nv FROM efb$b GROUP BY id),
+           |${assign(b, s"c0f$b", s"a1_$b")},
+           |${update(b, s"a1_$b", s"c0f$b", s"c1f$b")},
+           |${assign(b, s"c1f$b", s"a2_$b")},
+           |cw$b AS (SELECT cell, list(w ORDER BY i) AS warr
+           |  FROM c1f$b GROUP BY cell),
+           |lut$b AS (SELECT q.id AS qid, c.cell AS code,
+           |    list_sum(list_transform(range(1, 33),
+           |      j -> q.vec[j + $lo]::DOUBLE * c.warr[j])) AS d
+           |  FROM e q CROSS JOIN cw$b c)""".stripMargin
+      }
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |dims AS (SELECT unnest(range(1, 65)) AS i),
+         |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, vec
+         |  FROM (SELECT id, vec FROM e ORDER BY id LIMIT 4) t),
+         |c0f AS (SELECT cell, i, vec[i]::DOUBLE AS w FROM c0, dims),
+         |ef AS (SELECT id, i, vec[i]::DOUBLE AS x FROM e, dims),
+         |${blockCodes(0)},
+         |${blockCodes(1)},
+         |cents AS (SELECT id AS cent_id, vec AS cvec
+         |  FROM e ORDER BY id LIMIT 16),
+         |av AS (SELECT e.id, e.vec, c.cent_id,
+         |    ${cosSql("e.vec", "c.cvec")} AS cos_c
+         |  FROM e CROSS JOIN cents c),
+         |assigned AS (SELECT id, cent_id AS cell FROM (
+         |   SELECT *, row_number() OVER
+         |     (PARTITION BY id ORDER BY cos_c DESC, cent_id ASC) AS r FROM av) t
+         |  WHERE r = 1),
+         |probes AS (SELECT id AS query_id, cent_id AS cell FROM (
+         |   SELECT *, row_number() OVER
+         |     (PARTITION BY id ORDER BY cos_c DESC, cent_id ASC) AS r FROM av) t
+         |  WHERE r <= 2),
+         |cand AS (SELECT p.query_id, a.id AS nid
+         |  FROM probes p JOIN assigned a ON a.cell = p.cell
+         |    AND a.id <> p.query_id),
+         |scored AS (SELECT c.query_id, c.nid, l0.d + l1.d AS adc
+         |  FROM cand c
+         |  JOIN a2_0 k0 ON k0.id = c.nid
+         |  JOIN lut0 l0 ON l0.qid = c.query_id AND l0.code = k0.cell
+         |  JOIN a2_1 k1 ON k1.id = c.nid
+         |  JOIN lut1 l1 ON l1.qid = c.query_id AND l1.code = k1.cell),
+         |short AS (SELECT query_id, nid FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY adc DESC, nid ASC) AS rs
+         |  FROM scored) WHERE rs <= 8),
+         |rr AS (SELECT s.query_id, s.nid AS neighbor_id,
+         |    ${cosSql("qe.vec", "ne.vec")} AS cos
+         |  FROM short s JOIN e qe ON qe.id = s.query_id
+         |    JOIN e ne ON ne.id = s.nid),
+         |ranked AS (SELECT *, row_number() OVER
+         |   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM rr)
+         |SELECT query_id, neighbor_id, cos, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+
     // same distinct-value rank sums, tie correction, and A&S tail
     "q194_mann_whitney" -> {
       val sig2 = "(na*nb/1.2e1) * ((na+nb+1e0) - ties/((na+nb)*(na+nb-1e0)))"

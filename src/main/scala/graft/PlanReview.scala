@@ -279,6 +279,16 @@ object PlanReview {
       graft.operators.Events.latestPerKey(
         ev, Seq("user_id", "event_type"), "tus", "event_id", "value")
     }
+    // pq rerank: the candidate join's probe side must carry (cell, lut)
+    // and the candidate side (id, cell, codes) — NO vector column may
+    // ride the approx phase; vectors re-enter only at the shortlist joins
+    show("pq rerank (codes-only candidate join)") {
+      val books = graft.pipeline.Similarity
+        .pqTrain(emb, "vec_id", "embedding", m = 2, k = 4, iters = 1, dim = 64)
+      graft.pipeline.Similarity.pqRerankTopK(
+        emb, "vec_id", "embedding", 3, books,
+        nCentroids = 16, nprobe = 2, shortlist = 8)
+    }
     spark.stop()
   }
 }

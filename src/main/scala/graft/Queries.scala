@@ -2376,6 +2376,19 @@ object Queries {
         .orderBy("block")
     }),
 
+    // the production ANN search shape: IVF coarse probe → PQ-ADC approx
+    // shortlist (candidates carry CODES only, never the vector) → exact
+    // cosine re-rank of the shortlist (one id-keyed vector fetch)
+    "q212_pq_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val books = graft.pipeline.Similarity
+        .pqTrain(e, "vec_id", "embedding", m = 2, k = 4, iters = 1, dim = 64)
+      graft.pipeline.Similarity
+        .pqRerankTopK(e, "vec_id", "embedding", k = 3, books,
+          nCentroids = 16, nprobe = 2, shortlist = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     // Mann-Whitney U: does event value stochastically differ between
     // user-parity arms — average-rank sums over the distinct-value
     // aggregate, tie-corrected variance, shared A&S tail
@@ -2576,7 +2589,7 @@ object Queries {
         "q35_knn_brute", "q36_knn_lsh", "q41_knn_ivf", "q56_kmeans_cells",
         "q203_knn_join_brute", "q204_knn_join",
         "q82_int8_quantize", "q92_vector_index", "q113_label_centroids",
-        "q196_pq_mse"),
+        "q196_pq_mse", "q212_pq_rerank"),
       "text" -> Seq(
         "q37_text_analysis", "q38_text_quality_agg", "q42_vocab_topk",
         "q45_json_extract", "q46_lm_score", "q55_tfidf_top_term",

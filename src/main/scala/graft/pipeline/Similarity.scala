@@ -540,6 +540,99 @@ object Similarity {
       .agg(count(lit(1)).as("n"), avg(col("__err")).as("mse"))
   }
 
+  /** IVF → PQ-ADC → exact re-rank: the production ANN search shape
+    * (Jégou et al. 2011). Every row is a query; candidates come from the
+    * query's `nprobe` nearest coarse cells ([[knnJoin]]'s blocking);
+    * candidate rows carry only (id, cell, PQ codes) — the full vector
+    * NEVER rides the candidate join, which is the entire point of PQ at
+    * 100 TB (codes are m bytes vs 4d). Per probe row a query-specific
+    * lookup table (LUT) of all m·k codeword dot-products is computed ONCE
+    * (the ADC trick: k·d multiplies per query, m array lookups per pair);
+    * the per-query `shortlist` best approximate candidates then re-rank
+    * EXACTLY — one id-keyed join back to the corpus fetches the s·n full
+    * vectors, a bounded fraction of the corpus. Returns
+    * (query_id, neighbor_id, cos, rank ≤ k) by exact cosine.
+    *
+    * Approximate phase ties break by candidate id; degenerate (zero-norm)
+    * vectors are excluded from both sides (the [[knnJoin]] rule). */
+  def pqRerankTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      codebooks: Array[Array[Array[Double]]],
+      nCentroids: Int = 16,
+      nprobe: Int = 2,
+      shortlist: Int = 32,
+      trainedCentroids: Option[Array[Array[Double]]] = None
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val m = codebooks.length
+    require(m >= 1, "need at least one codebook")
+    val kCodes = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    val nzEmb = emb.filter(graft.functions.VectorExprs
+      .dotProduct(col(vecCol), col(vecCol)) > 0)
+    val centArr: Array[Array[Double]] = trainedCentroids.getOrElse(
+      nzEmb.orderBy(col(idCol)).limit(nCentroids).select(col(vecCol)).collect()
+        .map(_.getSeq[Number](0).toArray.map(_.doubleValue)))
+    val base = nzEmb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    if (centArr.isEmpty)
+      return base.select(col("id").as("query_id"), col("id").as("neighbor_id"),
+        lit(0.0).as("cos"), lit(1).as("rank")).limit(0)
+    // candidate side: coarse cell + PQ codes ONLY (no vector payload)
+    val assigned = base.select(
+      col("id"),
+      graft.functions.VectorExprs.nearestCentroid(col("vec"), centArr).as("cell"),
+      array((0 until m).map { b =>
+        graft.functions.VectorExprs.nearestCentroid(
+          slice(col("vec"), b * sub + 1, sub), codebooks(b))
+      }: _*).as("codes"))
+    // query side: probed cells + the ADC LUT (m·k dot products, computed
+    // once per probe row — bound as an attribute so the HOF sums are not
+    // re-derived per candidate; HOF lambdas get no CSE)
+    val lut = array((for (b <- 0 until m; c <- 0 until kCodes) yield {
+      val w = codebooks(b)(c)
+      aggregate(
+        zip_with(
+          slice(col("qvec"), b * sub + 1, sub),
+          array(w.map(lit(_)): _*),
+          (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+    }): _*)
+    val probes = base.select(
+        col("id").as("query_id"),
+        col("vec").as("qvec"),
+        explode(graft.functions.VectorExprs
+          .nearestCells(col("vec"), centArr, nprobe)).as("cell"))
+      .select(col("query_id"), col("cell"), lut.as("lut"))
+    // ADC: per pair, m array lookups + adds — no per-dim arithmetic
+    val adc = (0 until m)
+      .map(b => element_at(col("lut"),
+        lit(b * kCodes + 1) + element_at(col("codes"), b + 1)))
+      .reduce(_ + _)
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val short = probes.join(assigned, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), adc.as("adc"))
+      .withColumn("__rs", row_number().over(wApprox))
+      .filter(col("__rs") <= shortlist)
+      .select("query_id", "neighbor_id")
+    // exact re-rank: fetch full vectors for the shortlist only
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    short
+      .join(base.select(col("id").as("query_id"), col("vec").as("qv")), "query_id")
+      .join(base.select(col("id").as("neighbor_id"), col("vec").as("nv")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Per-group mean embedding (class prototypes / grouped centroids) via
     * the element-wise [[graft.functions.VectorSumAgg]] — ONE partial+final
     * ObjectHashAggregate whose shuffle carries a single d-vector per

@@ -120,6 +120,62 @@ class KnnJoinSpec extends SparkTestBase {
     assert(blocked === brute)
   }
 
+  // same three direction clusters but every 2-dim PQ block has mass
+  // (an all-zero block slice would make a zero-norm initial codeword,
+  // which kmeans refuses by contract)
+  private def pqClustered = Seq(
+    (0L, Array(1.0f, 0.05f, 0.04f, 0.03f)),
+    (1L, Array(0.9f, 0.06f, 0.03f, 0.04f)),
+    (2L, Array(1.1f, 0.04f, 0.05f, 0.02f)),
+    (10L, Array(0.05f, 1.0f, 0.03f, 0.05f)),
+    (11L, Array(0.06f, 0.9f, 0.04f, 0.03f)),
+    (12L, Array(0.04f, 1.1f, 0.05f, 0.04f)),
+    (20L, Array(0.03f, 0.05f, 1.0f, 0.9f)),
+    (21L, Array(0.04f, 0.03f, 0.9f, 1.0f)),
+    (22L, Array(0.05f, 0.04f, 1.1f, 0.95f))
+  ).toDF("id", "vec")
+
+  test("pqRerank with exhaustive probing and corpus-wide shortlist equals brute") {
+    // shortlist ≥ corpus ⇒ the ADC ordering is irrelevant — the exact
+    // re-rank sees every candidate, so the result must be knnJoinBrute
+    val books = Similarity.pqTrain(pqClustered, "id", "vec", m = 2, k = 3,
+      iters = 1, dim = 4)
+    val got = Similarity.pqRerankTopK(pqClustered, "id", "vec", 2, books,
+      nCentroids = 4, nprobe = 4, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val brute = Similarity.knnJoinBrute(pqClustered, "id", "vec", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(got === brute)
+  }
+
+  test("pqRerank: tight shortlist still finds cluster-mates on separated geometry") {
+    val books = Similarity.pqTrain(pqClustered, "id", "vec", m = 2, k = 3,
+      iters = 1, dim = 4)
+    // one coarse centroid per direction cluster (the default lowest-id
+    // convention would seed all three from cluster 0 — useless blocking)
+    val cents = Array(
+      Array(1.0, 0.05, 0.04, 0.03),
+      Array(0.05, 1.0, 0.04, 0.04),
+      Array(0.04, 0.04, 1.0, 0.95))
+    val byQuery = Similarity.pqRerankTopK(pqClustered, "id", "vec", 2, books,
+      nCentroids = 3, nprobe = 1, shortlist = 2,
+      trainedCentroids = Some(cents))
+      .collect().groupBy(_.getLong(0))
+    // every query returns ≤ k rows with exact cosines and valid ranks
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length <= 2)
+      assert(rows.forall(r => !r.getDouble(2).isNaN))
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
+      // on this geometry the top hit shares the query's direction cluster
+      assert(rows.head.getLong(1) / 10 === q / 10, s"query $q")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqRerankTopK(pqClustered, "id", "vec", 5, books, shortlist = 2)
+    }
+  }
+
   test("NearestCells: tie to lowest index, short centroid lists, zero vector") {
     val cents = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
     val df = Seq(
