@@ -77,6 +77,34 @@ object ProfKnn {
       spark.stop(); return
     }
 
+    // PROF_PQ=1: IVF+PQ-ADC+rerank vs the full-vector blocked join at the
+    // same cells/nprobe — the candidate-payload comparison (codes vs 4d)
+    if (sys.env.contains("PROF_PQ")) {
+      val m = sys.env.getOrElse("PROF_PQ_M", "8").toInt
+      val kc = sys.env.getOrElse("PROF_PQ_K", "16").toInt
+      val short = sys.env.getOrElse("PROF_PQ_SHORT", (4 * k).toString).toInt
+      val t1 = System.nanoTime()
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding", m, kc,
+        iters = 1, dim = 64)
+      println(f"[prof] pqTrain(m=$m,k=$kc): ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      time("pq_rerank")(noop(
+        Similarity.pqRerankTopK(emb, "vec_id", "embedding", k, books,
+          nprobe = nprobe, shortlist = short,
+          trainedCentroids = Some(cents))))
+      import graft.Staging.StagedFrame
+      val exact = Similarity.knnJoin(emb, "vec_id", "embedding", k,
+        nprobe = nprobe, trainedCentroids = Some(cents))
+        .select(col("query_id"), col("neighbor_id")).staged
+      val tot = exact.count()
+      val a = Similarity.pqRerankTopK(emb, "vec_id", "embedding", k, books,
+        nprobe = nprobe, shortlist = short, trainedCentroids = Some(cents))
+        .select(col("query_id"), col("neighbor_id"))
+      val hit = exact.join(a, Seq("query_id", "neighbor_id"), "left_semi").count()
+      println(f"[prof] pq_rerank agreement@$k vs exact-cos same-probe: " +
+        f"${hit.toDouble / tot}%.4f ($hit/$tot)")
+      spark.stop(); return
+    }
+
     if (sys.env.contains("PROF_BRUTE")) {
       time("knn_join_brute")(noop(
         Similarity.knnJoinBrute(emb, "vec_id", "embedding", k)))
