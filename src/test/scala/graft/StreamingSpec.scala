@@ -491,6 +491,58 @@ class StreamingSpec extends SparkTestBase {
     assert(streamOut.values.exists(v => !v._2.isNaN))
   }
 
+  test("incremental dedup in a stream (foreachBatch) equals one batch dedupAgainst") {
+    // the daily-ingest shape: each micro-batch of new docs dedups against
+    // the STATIC corpus via foreachBatch (dedupAgainst stages internally,
+    // so it runs per-batch, not as a continuous query). Decisions are
+    // per-new-doc vs corpus only, so the result is BATCH-SPLIT INVARIANT:
+    // any micro-batching of the ingest gives the batch answer
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "how vexingly quick daft zebras jump")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "one two three four five six seven eight"), // exact dup of 1
+      (11L, "one two three four five six seven nine"), // near dup of 1
+      (12L, "completely unrelated sentence about astronomy and tea"))
+    val batch = graft.pipeline.Dedup
+      .dedupAgainst(corpus, fresh.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2))))
+      .toMap
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.pipeline.Dedup
+          .dedupAgainst(corpus, b, "doc_id", "text")
+          .collect().foreach { r =>
+            got(r.getLong(0)) =
+              ((if (r.isNullAt(1)) -1L else r.getLong(1),
+                if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+          }
+      }
+      .start()
+    // two micro-batches splitting the ingest mid-stream
+    input.addData(fresh.take(1): _*); q.processAllAvailable()
+    input.addData(fresh.drop(1): _*); q.processAllAvailable()
+    q.stop()
+    assert(got.keySet === batch.keySet)
+    got.foreach { case (id, (dup, j)) =>
+      val (bDup, bJ) = batch(id)
+      assert(dup === bDup, s"dup_of mismatch at id=$id")
+      assert((j.isNaN && bJ.isNaN) || j === bJ, s"jaccard mismatch at id=$id")
+    }
+    // the decisions themselves are right: exact dup, near dup, novel
+    assert(got(10L)._1 === 1L && got(10L)._2 === 1.0)
+    assert(got(11L)._1 === 1L && got(11L)._2 < 1.0)
+    assert(got(12L)._1 === -1L)
+  }
+
   test("cross-corpus bigram-LM scoring through a stream equals batch (stream-static model join)") {
     // the CCNet daily-ingest shape: the model tables are STATIC (trained
     // on the reference corpus); scoring a stream is explode + two
