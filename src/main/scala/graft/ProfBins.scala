@@ -37,7 +37,7 @@ object ProfBins {
     time("approxQuantile relErr=1e-3")(base.stat.approxQuantile("l_quantity", probs, 1e-3))
     time("approxQuantile relErr=1e-4")(base.stat.approxQuantile("l_quantity", probs, 1e-4))
     time("percentile_approx(1e4)")(
-      base.agg(percentile_approx(col("l_quantity"), array(probs.map(lit): _*), lit(10000))).collect())
+      base.agg(percentile_approx(col("l_quantity"), array(probs.toIndexedSeq.map(lit): _*), lit(10000))).collect())
 
     // canonical fit stages, hand-unrolled
     val probs10 = (0 to 10).map(_.toDouble / 10).toArray

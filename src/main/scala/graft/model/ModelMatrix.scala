@@ -186,6 +186,6 @@ object ModelMatrix {
       expandMains: Boolean = true
   ): DataFrame = {
     val e = expand(df, rhsTerms, feVars, intercept = intercept, expandMains = expandMains)
-    df.select(df.columns.map(col) ++ e.cols.map(c => c.col.as(c.name)): _*)
+    df.select(df.columns.toIndexedSeq.map(col) ++ e.cols.map(c => c.col.as(c.name)): _*)
   }
 }

@@ -62,7 +62,7 @@ object AsOf {
     val carried = l.unionByName(r)
       .select(
         (col(keyCol) +: col("__ts") +: col("__side") +:
-          lCols.filterNot(c => c == keyCol || c == tsCol).map(col)) ++
+          lCols.toIndexedSeq.filterNot(c => c == keyCol || c == tsCol).map(col)) ++
           valueCols.map(c =>
             last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"${c}_asof")): _*)
     carried

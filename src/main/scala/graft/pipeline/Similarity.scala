@@ -597,7 +597,7 @@ object Similarity {
       aggregate(
         zip_with(
           slice(col("qvec"), b * sub + 1, sub),
-          array(w.map(lit(_)): _*),
+          array(w.toIndexedSeq.map(lit(_)): _*),
           (x, y) => x.cast("double") * y),
         lit(0.0), (acc, v) => acc + v)
     }): _*)

@@ -122,7 +122,7 @@ object Conformal {
           .orderBy(col("__r").desc)
           .limit(tail.toInt)
           .agg(min(col("__r")))
-          .head.getDouble(0)
+          .head().getDouble(0)
       } else {
         resid.stat.approxQuantile("__r", Array(k.toDouble / nCal), approxErr).head
       }
@@ -187,7 +187,7 @@ object Conformal {
           s"exact tail of $tail rows exceeds the TakeOrdered limit; " +
             "use exact=false (distributed approxQuantile) at this scale")
         score.orderBy(col("__s").desc).limit(tail.toInt)
-          .agg(min(col("__s"))).head.getDouble(0)
+          .agg(min(col("__s"))).head().getDouble(0)
       } else {
         score.stat.approxQuantile("__s", Array(k.toDouble / nCal), approxErr).head
       }

@@ -527,7 +527,7 @@ object Dbreg {
         val omRow = om.collect()(0)
         val withU = withMeanColumns(d0.df, fe1, um, n1, valueCols.map(_ + "_u"))
         val withT = withMeanColumns(withU, fe2, tm, n2, valueCols.map(_ + "_t"))
-        val joined = withT.select(withT.columns.map(col) ++
+        val joined = withT.select(withT.columns.toIndexedSeq.map(col) ++
           valueCols.map(c => lit(omRow.getAs[Double](c + "_o")).as(c + "_o")): _*)
         val tilde = cluster.map(col) ++
           valueCols.map(c => (col(c) - col(c + "_u") - col(c + "_t") + col(c + "_o")).as(c))
@@ -1159,6 +1159,6 @@ object Dbreg {
         .otherwise(acc)
     }
     df.withColumn("__lk", lookup)
-      .select(df.columns.map(col) ++ meanCols.map(f => col("__lk")(f).as(f)): _*)
+      .select(df.columns.toIndexedSeq.map(col) ++ meanCols.map(f => col("__lk")(f).as(f)): _*)
   }
 }
