@@ -154,6 +154,68 @@ object Dbbinsreg {
       import spark.implicits._
       line.toDF("bin", "x", "fit")
     }
+
+    /** The plot layer (reference `R/plot.r:31-126`, tinyplot
+      * ribbon/line/pointrange) re-expressed as a renderer-agnostic
+      * Vega-Lite v5 layered spec: a sup-t confidence RIBBON (when cb
+      * bounds exist), the evaluated LINE broken per bin via the `detail`
+      * channel (the reference inserts NA rows between bins for the same
+      * effect), CI point-RANGES (rule marks), and the bin points. Pure
+      * string assembly over the already-collected, bins-sized plot data —
+      * no graphics dependency, no extra Spark work; render with any
+      * Vega-Lite client. Layer presence mirrors the reference's `ci`,
+      * `cb`, `line` switches and its has_ci/has_cb data probes
+      * (all-NaN bound columns drop the layer). */
+    def plotSpec(
+        xLab: String = "x",
+        yLab: String = "y",
+        ci: Boolean = true,
+        cb: Boolean = true,
+        showLine: Boolean = true
+    ): String = {
+      def esc(s: String): String = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      // JSON has no NaN/Infinity: unavailable bounds serialize as null,
+      // which Vega-Lite skips per mark
+      def num(d: Double): String =
+        if (d.isNaN || d.isInfinite) "null" else d.toString
+      val hasCi = ci && points.exists(p => !p.lwr.isNaN && !p.upr.isNaN)
+      val hasCb = cb && points.exists(p => !p.cbLwr.isNaN && !p.cbUpr.isNaN)
+      val hasLn = showLine && line.nonEmpty
+      val ptValues = points.map(p =>
+        s"""{"bin":${p.bin},"x":${num(p.x)},"fit":${num(p.fit)},""" +
+          s""""lwr":${num(p.lwr)},"upr":${num(p.upr)},""" +
+          s""""cb_lwr":${num(p.cbLwr)},"cb_upr":${num(p.cbUpr)}}""")
+        .mkString("[", ",", "]")
+      val lnValues = line.map(l =>
+        s"""{"bin":${l.bin},"x":${num(l.x)},"fit":${num(l.fit)}}""")
+        .mkString("[", ",", "]")
+      val x = s"""{"field":"x","type":"quantitative","title":"${esc(xLab)}"}"""
+      val yFit =
+        s"""{"field":"fit","type":"quantitative","title":"${esc(yLab)}"}"""
+      val layers = Seq(
+        if (hasCb) Some(
+          s"""{"mark":{"type":"errorband","opacity":0.25},"encoding":{""" +
+            s""""x":$x,"y":{"field":"cb_lwr","type":"quantitative","title":"${esc(yLab)}"},""" +
+            s""""y2":{"field":"cb_upr"}}}""") else None,
+        if (hasLn) Some(
+          s"""{"data":{"values":$lnValues},"mark":{"type":"line"},""" +
+            s""""encoding":{"x":$x,"y":$yFit,""" +
+            s""""detail":{"field":"bin","type":"nominal"}}}""") else None,
+        if (hasCi) Some(
+          s"""{"mark":{"type":"rule"},"encoding":{"x":$x,""" +
+            s""""y":{"field":"lwr","type":"quantitative","title":"${esc(yLab)}"},""" +
+            s""""y2":{"field":"upr"}}}""") else None,
+        Some(s"""{"mark":{"type":"point","filled":true},""" +
+          s""""encoding":{"x":$x,"y":$yFit}}""")
+      ).flatten.mkString("[", ",", "]")
+      s"""{"$$schema":"https://vega.github.io/schema/vega-lite/v5.json",""" +
+        s""""data":{"values":$ptValues},"layer":$layers}"""
+    }
   }
 
   def fit(

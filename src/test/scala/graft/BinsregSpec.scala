@@ -238,4 +238,49 @@ class BinsregSpec extends SparkTestBase {
       Dbbinsreg.lagrangeInterp3(col("x"), Seq(1.0, 2.0), Seq(0.0, 0.0))
     }
   }
+
+  test("plotSpec emits valid Vega-Lite JSON mirroring the reference plot layers") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val r = Dbbinsreg.fit("y ~ x", df, nbins = 6, degree = 0, cb = true,
+      line = Some((0, 0)))
+    val spec = JsonMethods.parse(r.plotSpec(xLab = "x \"quoted\"", yLab = "y"))
+    // top-level: schema + inline point data + 4 layers (ribbon, line,
+    // rule, point) — cb and ci present on this fit
+    val JString(schema) = spec \ "$schema"
+    assert(schema.contains("vega-lite"))
+    val JArray(values) = spec \ "data" \ "values"
+    assert(values.length === r.points.length)
+    val JArray(layers) = spec \ "layer"
+    assert(layers.length === 4)
+    val marks = layers.map(l => l \ "mark" \ "type").collect {
+      case JString(m) => m
+    }
+    assert(marks === List("errorband", "line", "rule", "point"))
+    // the line layer carries its own per-bin data + detail break
+    val lineLayer = layers(1)
+    val JArray(lineVals) = lineLayer \ "data" \ "values"
+    assert(lineVals.length === r.line.length && r.line.nonEmpty)
+    val JString(detailField) = lineLayer \ "encoding" \ "detail" \ "field"
+    assert(detailField === "bin")
+    // escaping survived the round trip
+    val JString(xTitle) =
+      layers(3) \ "encoding" \ "x" \ "title"
+    assert(xTitle === "x \"quoted\"")
+    // a constrained fit (cb refused → NaN bounds) drops ribbon AND
+    // serializes the NaN columns as null, never the literal NaN
+    val rc = Dbbinsreg.fit("y ~ x", df, nbins = 6, degree = 1,
+      smoothness = 1, cb = true)
+    val raw = rc.plotSpec()
+    assert(!raw.contains("NaN"))
+    val JArray(cLayers) = JsonMethods.parse(raw) \ "layer"
+    val cMarks = cLayers.map(l => l \ "mark" \ "type").collect {
+      case JString(m) => m
+    }
+    assert(!cMarks.contains("errorband"))
+    // switches mirror the reference's ci/cb/line args
+    val JArray(bare) = JsonMethods.parse(
+      r.plotSpec(ci = false, cb = false, showLine = false)) \ "layer"
+    assert(bare.length === 1)
+  }
 }
