@@ -97,6 +97,48 @@ class GraphsSpec extends SparkTestBase {
     assert(got.values.map(_._2).sum === 15L) // 5 triangles
   }
 
+  test("triangleCounts equals a brute adjacency oracle on seeded random graphs") {
+    // property loop (the repo's seeded-scalacheck pattern): random graphs
+    // incl. a hub-heavy config that stresses the degree orientation's
+    // (degree, id) tie handling; noise rows (self-loops, reversals,
+    // duplicates) injected before the operator
+    val rnd = new scala.util.Random(88)
+    val configs = Seq((12, 0.4), (30, 0.15), (25, 0.9)) // (n, edge prob)
+    configs.foreach { case (n, p) =>
+      val base = for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+        if rnd.nextDouble() < p
+      } yield (a, b)
+      // hub: connect node 0 to everything in the second config
+      val edges0 = if (p == 0.15) (base ++ (1L until n.toLong).map((0L, _))).distinct else base
+      val noisy = edges0 ++ edges0.take(5).map(_.swap) ++
+        Seq((3L, 3L)) ++ edges0.take(3)
+      val adj = edges0.foldLeft(Map.empty[Long, Set[Long]].withDefaultValue(Set.empty[Long])) {
+        case (m, (a, b)) => m.updated(a, m(a) + b).updated(b, m(b) + a)
+      }
+      val expect = adj.keys.map { v =>
+        val nb = adj(v).toSeq
+        val t = (for {
+          i <- nb.indices; j <- (i + 1) until nb.length
+          if adj(nb(i)).contains(nb(j))
+        } yield 1).size.toLong
+        v -> ((adj(v).size.toLong, t))
+      }.toMap
+      val got = Graphs.triangleCounts(noisy.toDF("s", "t"), "s", "t")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(got.keySet === expect.keySet, s"config ($n, $p)")
+      got.foreach { case (v, (d, t, cc)) =>
+        val (ed, et) = expect(v)
+        assert(d === ed, s"degree of $v in ($n, $p)")
+        assert(t === et, s"triangles of $v in ($n, $p)")
+        val ecc = if (ed >= 2) 2.0 * et / (ed * (ed - 1.0)) else 0.0
+        assert(math.abs(cc - ecc) < 1e-12, s"clustering of $v in ($n, $p)")
+      }
+    }
+  }
+
   test("triangleCounts: triangle-free graphs report zero everywhere") {
     // star + path: bipartite-ish, no triangles
     val edges = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (3L, 4L))).toDF("s", "t")
