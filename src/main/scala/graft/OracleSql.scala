@@ -1863,6 +1863,24 @@ object OracleSql {
          |SELECT r.doc_id AS id, r.lang FROM r JOIN tk USING (lang)
          |WHERE rn <= take ORDER BY id""".stripMargin,
 
+    // approximate temperature mixture: q211's share/take math, then the
+    // q85 Bernoulli filter at rate take/n (no rank window)
+    "q213_temperature_mix_approx" ->
+      s"""WITH u AS (SELECT doc_id, lang,
+         |    ${hash32("'q213' || doc_id::VARCHAR")} / 4294967296.0 AS u
+         |  FROM documents),
+         |c AS (SELECT lang, count(*) AS n FROM u GROUP BY lang),
+         |t AS (SELECT list_sum(list(pow(n::DOUBLE, 0.5) ORDER BY lang))
+         |    AS tot FROM c),
+         |sh AS (SELECT lang, pow(n::DOUBLE, 0.5) / tot AS share
+         |  FROM c CROSS JOIN t),
+         |no AS (SELECT floor(min(n::DOUBLE / share)) AS n_out
+         |  FROM c JOIN sh USING (lang)),
+         |tk AS (SELECT lang, n, floor(share * n_out) AS take
+         |  FROM sh JOIN c USING (lang) CROSS JOIN no)
+         |SELECT u.doc_id AS id, u.lang FROM u JOIN tk USING (lang)
+         |WHERE u.u < tk.take / tk.n ORDER BY id""".stripMargin,
+
     // int8 scalar quantization: scale = max|x|/127, codes = round(x/scale)
     // (ties away from zero in both engines)
     "q82_int8_quantize" ->

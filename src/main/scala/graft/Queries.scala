@@ -1387,6 +1387,15 @@ object Queries {
         .select(col("doc_id").as("id"), col("lang"))
         .orderBy("id")),
 
+    // sampling: the window-free approximate temperature mixture — the
+    // 100 TB default (per-domain Bernoulli, no per-domain rank sort)
+    "q213_temperature_mix_approx" -> ((s, dir) =>
+      graft.sources.ScaleOps
+        .sampleToMixTemperatureApprox(docs(s, dir), "lang", "doc_id",
+          alpha = 0.5, salt = "q213")
+        .select(col("doc_id").as("id"), col("lang"))
+        .orderBy("id")),
+
     // storage: symmetric per-vector int8 scalar quantization of the
     // embedding column (scale + stringified codes; arrays stringified for
     // the driver compare, as in q32). Scale staged as an attribute so the
@@ -2609,7 +2618,7 @@ object Queries {
         "q21_hash_sample", "q44_stratified_topk", "q76_hash_split",
         "q80_weighted_sample", "q81_sample_mix", "q85_sample_mix_approx",
         "q158_priority_sample", "q177_stratified_sample",
-        "q211_temperature_mix"),
+        "q211_temperature_mix", "q213_temperature_mix_approx"),
       "events" -> Seq(
         "q40_event_windows", "q54_sessionize", "q58_asof_join",
         "q89_range_join", "q90_interval_overlap", "q137_funnel",

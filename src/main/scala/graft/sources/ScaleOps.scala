@@ -325,14 +325,38 @@ object ScaleOps {
       keyCol: String,
       alpha: Double,
       salt: String = ""
-  ): DataFrame = {
+  ): DataFrame =
+    sampleToMix(df, domainCol, keyCol,
+      temperatureShares(df, domainCol, alpha), salt)
+
+  /** Window-free approximate twin of [[sampleToMixTemperature]] (the
+    * [[sampleToMixApprox]] relationship): per-domain Bernoulli at rate
+    * take/n instead of the exact per-domain rank window — counts correct
+    * in expectation, plan is a pure filter. The exact form's per-domain
+    * `row_number` sorts n_d rows per domain, which at corpus scale with a
+    * handful of language domains IS the single-partition-sort cliff; this
+    * is the 100 TB default. */
+  def sampleToMixTemperatureApprox(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      alpha: Double,
+      salt: String = ""
+  ): DataFrame =
+    sampleToMixApprox(df, domainCol, keyCol,
+      temperatureShares(df, domainCol, alpha), salt)
+
+  private def temperatureShares(
+      df: DataFrame,
+      domainCol: String,
+      alpha: Double
+  ): Seq[(String, Double)] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1)
     require(counts.nonEmpty, "temperature mixture over an empty frame")
-    val shares = counts.map { case (d, n) => d -> math.pow(n.toDouble, alpha) }
-    sampleToMix(df, domainCol, keyCol, shares.toSeq, salt)
+    counts.map { case (d, n) => d -> math.pow(n.toDouble, alpha) }.toSeq
   }
 
   /** The window-free approximate form of [[sampleToMix]]: instead of an

@@ -279,6 +279,31 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("approx temperature mixture tracks exact takes and plans no window") {
+    val docs = sf("sf0.001", "documents")
+    val exact = ScaleOps.sampleToMixTemperature(docs, "lang", "doc_id",
+      alpha = 0.5, salt = "tx").groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approxDf = ScaleOps.sampleToMixTemperatureApprox(docs, "lang", "doc_id",
+      alpha = 0.5, salt = "tx")
+    val approx = approxDf.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    // Bernoulli counts land within ±4√take of the exact per-domain takes
+    exact.foreach { case (d, take) =>
+      val tol = 4.0 * math.sqrt(take.toDouble.max(1.0))
+      assert(math.abs(approx(d) - take) <= tol, s"$d: ${approx(d)} vs $take")
+    }
+    // the scale contract: a pure filter — no Window, no Sort in the plan
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort"),
+      s"approx plan must be window/sort-free:\n$plan")
+    // deterministic
+    val again = ScaleOps.sampleToMixTemperatureApprox(docs, "lang", "doc_id",
+      alpha = 0.5, salt = "tx").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === approxDf.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("weighted sample drops NULL keys and NULL weights (documented semantics)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
