@@ -3750,6 +3750,44 @@ object OracleSql {
          |  SELECT id, min(label) AS component FROM reach GROUP BY id)
          |SELECT id AS node, component FROM comp ORDER BY node""".stripMargin,
 
+    // 2 synchronous LPA rounds over the q201 LSH pair graph: per round,
+    // neighbor-label frequencies then the (count DESC, label ASC) mode
+    "q214_label_propagation" ->
+      s"""WITH $ShingleSets,
+         |$MinhashTable,
+         |hx AS (SELECT id, ${hash32("shingle")} % ${Dedup.MinhashP} AS x FROM sh),
+         |mh AS (SELECT id, i, min((x * a + b) % ${Dedup.MinhashP}) AS h
+         |  FROM hx CROSS JOIN hashes GROUP BY id, i),
+         |bk AS (SELECT id, i // ${Dedup.BandRows} AS band,
+         |         string_agg(h::VARCHAR, ',' ORDER BY i) AS bucket
+         |       FROM mh GROUP BY id, i // ${Dedup.BandRows}),
+         |cand AS (SELECT DISTINCT a.id id1, b.id id2
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+         |common AS (SELECT c.id1, c.id2, count(*) AS common
+         |  FROM cand c JOIN sh a ON a.id = c.id1 JOIN sh b ON b.id = c.id2
+         |    AND a.shingle = b.shingle
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id1, id2 FROM common
+         |  JOIN sizes s1 ON common.id1 = s1.id
+         |  JOIN sizes s2 ON common.id2 = s2.id
+         |  WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.5),
+         |e AS (SELECT id1 a, id2 b FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |l0 AS (SELECT DISTINCT a AS n, a AS lbl FROM e),
+         |f1 AS (SELECT e.a, l.lbl, count(*) AS c
+         |  FROM e JOIN l0 l ON l.n = e.b GROUP BY 1, 2),
+         |l1 AS (SELECT a AS n, lbl FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY a ORDER BY c DESC, lbl ASC) AS rn FROM f1)
+         |  WHERE rn = 1),
+         |f2 AS (SELECT e.a, l.lbl, count(*) AS c
+         |  FROM e JOIN l1 l ON l.n = e.b GROUP BY 1, 2),
+         |l2 AS (SELECT a AS n, lbl FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY a ORDER BY c DESC, lbl ASC) AS rn FROM f2)
+         |  WHERE rn = 1)
+         |SELECT n AS node, lbl AS label FROM l2 ORDER BY node""".stripMargin,
+
     // triangle enumeration over the q201 LSH pair graph: a<b<c triads via
     // the canonical 3-way self-join, then per-vertex counts + clustering
     "q209_triangle_counts" ->

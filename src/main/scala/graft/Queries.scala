@@ -2192,6 +2192,15 @@ object Queries {
           "id1", "id2")
         .orderBy("node")),
 
+    // community detection on the near-dup graph: 2 deterministic sync-LPA
+    // rounds — density-connected groups, finer than q201's components
+    "q214_label_propagation" -> ((s, dir) =>
+      graft.operators.Graphs.labelPropagation(
+          Dedup.minhashPairs(docs(s, dir), "doc_id", "text",
+            n = 2, threshold = 0.5),
+          "id1", "id2", iters = 2)
+        .orderBy("node")),
+
     // dedup-graph diagnostics: per-vertex triangles + local clustering
     // coefficient over the SAME LSH pair graph q201 clusters — high
     // clustering = clique-like duplicate families, low = chain-like
@@ -2649,7 +2658,7 @@ object Queries {
       "graphs" -> Seq(
         "q144_domain_pagerank", "q172_connected_components",
         "q201_cc_lsh_pairs", "q208_knn_graph_clusters",
-        "q209_triangle_counts"),
+        "q209_triangle_counts", "q214_label_propagation"),
       "relational" -> Seq(
         "q20_topk_orders", "q166_bloom_semijoin", "q175_cube_totals",
         "q183_skew_join", "q187_pivot")

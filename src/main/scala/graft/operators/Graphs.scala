@@ -115,6 +115,57 @@ object Graphs {
         maxIter, checkpointEvery)
       .select(col("id").as("node"), col("cluster").as("component"))
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * undirected edge relation: every node starts labeled with its own id;
+    * each round every node adopts its neighbors' MOST FREQUENT label
+    * (ties → smallest label — the deterministic variant, so results are
+    * layout- and schedule-invariant, unlike classic random-order LPA).
+    * `iters` is a fixed parameter: LPA oscillates on bipartite structures,
+    * so production runs pick small fixed rounds (2-5) rather than
+    * convergence loops. Returns (node, label) — nodes sharing a label
+    * after k rounds are density-connected communities, a finer grouping
+    * than [[connectedComponents]] (which merges everything reachable).
+    *
+    * Scale shape: per round ONE edge⋈labels equi-join, one
+    * (node, label)-keyed count aggregate, one per-node top-1 via
+    * max_by-style aggregation (no windows over the corpus); the edge
+    * table is staged once; labels stage every `checkpointEvery` rounds
+    * (the [[pageRank]] lineage rule). Driver holds nothing. Node ids must
+    * be numeric (the tie-break orders by the negated label). */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      checkpointEvery: Int = 3
+  ): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val e = Staging.stage(edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b")))
+      .distinct())
+    var labels = e.select(col("a").as("n")).distinct()
+      .select(col("n"), col("n").as("lbl"))
+    for (i <- 1 to iters) {
+      // neighbor label frequencies, then the deterministic mode:
+      // struct max of (count, -label)-ordered keys via max_by semantics —
+      // a plain aggregate, no per-node window
+      val freq = e
+        .join(labels.select(col("n").as("b"), col("lbl")), "b")
+        .groupBy(col("a"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val top = freq
+        .groupBy(col("a"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("negl"))).as("__m"))
+        .select(col("a").as("n"), (-col("__m.negl")).as("lbl"))
+      labels = if (i % checkpointEvery == 0 && i < iters) Staging.stage(top) else top
+    }
+    labels.select(col("n").as("node"), col("lbl").as("label"))
+  }
+
   /** Per-vertex triangle counts and local clustering coefficient over an
     * undirected edge relation (self-loops and duplicate/reversed edges
     * collapse). Returns (node, degree, triangles, clustering) for every

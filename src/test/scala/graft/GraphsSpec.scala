@@ -97,6 +97,46 @@ class GraphsSpec extends SparkTestBase {
     assert(got.values.map(_._2).sum === 15L) // 5 triangles
   }
 
+  test("labelPropagation: hand-computed sync rounds with deterministic ties") {
+    // two triangles {1,2,3}, {10,11,12} bridged 3—10, plus noise edges
+    // (dup, reversal, self-loop). Sync LPA from own-id labels, tie → min
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (3L, 10L), (2L, 1L), (1L, 2L), (5L, 5L)).toDF("s", "t")
+    def run(iters: Int) = Graphs.labelPropagation(edges, "s", "t", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: every node takes the min of its neighbors' ids (all ties)
+    assert(run(1) === Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 10L, 12L -> 10L))
+    // round 2 from {1→2,2→1,3→1,10→3,11→10,12→10}: majorities where they
+    // exist (1 sees {1,1}; 10 sees {1,10,10}), min-label on ties
+    assert(run(2) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 3L, 12L -> 3L))
+    // self-loop-only node 5 is absent (no neighbors, no row)
+    assert(!run(2).contains(5L))
+    intercept[IllegalArgumentException] {
+      Graphs.labelPropagation(edges, "s", "t", 0)
+    }
+  }
+
+  test("labelPropagation separates two cliques sharing no edge (communities ≠ components)") {
+    // two 4-cliques + a long path connecting them: CC merges everything,
+    // LPA at 2 rounds keeps the cliques' interiors on their own labels
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 11L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val path = Seq((4L, 100L), (100L, 101L), (101L, 11L))
+    val edges = (k4a ++ k4b ++ path).toDF("s", "t")
+    val lpa = Graphs.labelPropagation(edges, "s", "t", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = Graphs.connectedComponents(edges, "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one component, but clique interiors carry DIFFERENT lpa labels
+    assert(cc.values.toSet.size === 1)
+    val cliqueALabels = Set(1L, 2L, 3L).map(lpa)
+    val cliqueBLabels = Set(12L, 13L, 14L).map(lpa)
+    assert(cliqueALabels.intersect(cliqueBLabels).isEmpty,
+      s"cliques should not share labels: $lpa")
+  }
+
   test("triangleCounts equals a brute adjacency oracle on seeded random graphs") {
     // property loop (the repo's seeded-scalacheck pattern): random graphs
     // incl. a hub-heavy config that stresses the degree orientation's
