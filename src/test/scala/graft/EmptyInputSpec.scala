@@ -139,6 +139,31 @@ class EmptyInputSpec extends SparkTestBase {
     }
   }
 
+  test("round-8 session-2 operators tolerate empty/degenerate inputs") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("s", "d")
+    assert(Graphs.triangleCounts(noEdges, "s", "d").count() === 0L)
+    assert(Graphs.labelPropagation(noEdges, "s", "d", iters = 2).count() === 0L)
+    // self-loop-only graph: canonical dedup empties it
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("s", "d")
+    assert(Graphs.triangleCounts(loops, "s", "d").count() === 0L)
+    assert(Graphs.labelPropagation(loops, "s", "d", iters = 1).count() === 0L)
+    // pq rerank on an empty corpus returns the empty result schema
+    val books = Array(Array(Array(1.0, 0.0)), Array(Array(0.0, 1.0)))
+    assert(Similarity.pqRerankTopK(emptyEmb, "vec_id", "embedding", 1,
+      books, shortlist = 1).count() === 0L)
+    // LM train on empty corpus: empty model; scoring yields no rows
+    // (no bigrams anywhere), including docs with < 2 tokens
+    val m = TextOps.bigramLmTrain(emptyDocs, "text")
+    assert(m.vocab === 0L)
+    val short = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(TextOps.bigramLmScoreWith(m, short, "doc_id", "text").count() === 0L)
+    // temperature mixture refuses an empty frame loudly
+    intercept[IllegalArgumentException] {
+      ScaleOps.sampleToMixTemperature(emptyDocs.withColumn("dom", lit("a")),
+        "dom", "doc_id", alpha = 0.5)
+    }
+  }
+
   test("round-6 event/graph/corpus operators handle empty inputs") {
     val ev = Seq.empty[(Long, Long, Long, String)].toDF("u", "t", "i", "e")
     assert(Events.transitions(ev, "u", "t", "e", "i").count() === 0L)
