@@ -45,6 +45,12 @@ object ProfQ208 {
           .agg(sum(col("triangles")), count(lit(1))).collect()(0)
         println(s"[prof] sum_tri=${r.getLong(0)} nodes=${r.getLong(1)}")
       }
+      for (i <- 1 to 2) t(s"labelPropagation(3) iter$i") {
+        val r = graft.operators.Graphs
+          .labelPropagation(pairs, "id1", "id2", iters = 3)
+          .agg(countDistinct(col("label")), count(lit(1))).collect()(0)
+        println(s"[prof] communities=${r.getLong(0)} nodes=${r.getLong(1)}")
+      }
       spark.stop(); return
     }
 
