@@ -1849,9 +1849,9 @@ object OracleSql {
          |    ${hash32("'q211' || doc_id::VARCHAR")} / 4294967296.0 AS u
          |  FROM documents),
          |c AS (SELECT lang, count(*) AS n FROM u GROUP BY lang),
-         |t AS (SELECT list_sum(list(pow(n::DOUBLE, 0.5) ORDER BY lang))
+         |t AS (SELECT list_sum(list(sqrt(n::DOUBLE) ORDER BY lang))
          |    AS tot FROM c),
-         |sh AS (SELECT lang, pow(n::DOUBLE, 0.5) / tot AS share
+         |sh AS (SELECT lang, sqrt(n::DOUBLE) / tot AS share
          |  FROM c CROSS JOIN t),
          |no AS (SELECT floor(min(n::DOUBLE / share)) AS n_out
          |  FROM c JOIN sh USING (lang)),
@@ -1870,9 +1870,9 @@ object OracleSql {
          |    ${hash32("'q213' || doc_id::VARCHAR")} / 4294967296.0 AS u
          |  FROM documents),
          |c AS (SELECT lang, count(*) AS n FROM u GROUP BY lang),
-         |t AS (SELECT list_sum(list(pow(n::DOUBLE, 0.5) ORDER BY lang))
+         |t AS (SELECT list_sum(list(sqrt(n::DOUBLE) ORDER BY lang))
          |    AS tot FROM c),
-         |sh AS (SELECT lang, pow(n::DOUBLE, 0.5) / tot AS share
+         |sh AS (SELECT lang, sqrt(n::DOUBLE) / tot AS share
          |  FROM c CROSS JOIN t),
          |no AS (SELECT floor(min(n::DOUBLE / share)) AS n_out
          |  FROM c JOIN sh USING (lang)),

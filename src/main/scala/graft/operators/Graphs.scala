@@ -44,13 +44,14 @@ object Graphs {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
-    val e = Staging.stage(edges
+    val e = Staging.stageForIteration(edges
       .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .filter(col("__s").isNotNull && col("__d").isNotNull)
       .distinct())
-    val nodes = Staging.stage(
+    val nodes = Staging.stageForIteration(
       e.select(col("__s").as("__n")).union(e.select(col("__d").as("__n"))).distinct())
-    val outDeg = Staging.stage(e.groupBy(col("__s")).agg(count(lit(1)).as("__deg")))
+    val outDeg = Staging.stageForIteration(
+      e.groupBy(col("__s")).agg(count(lit(1)).as("__deg")))
     // 1-row node count, attached by broadcast everywhere a /N appears
     // (NOT named __N: analysis is case-insensitive and would collide __n)
     val nCount = nodes.agg(count(lit(1)).cast("double").as("__ntot"))
@@ -86,7 +87,8 @@ object Graphs {
       // contribution branch, so the logical plan doubles per iteration —
       // truncate periodically or a 30-iteration production run walks an
       // exponential tree (the duplicateClusters clamp, Dedup.scala)
-      if (i % checkpointEvery == 0 && i < iters) ranks = Staging.stage(ranks)
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = Staging.stageForIteration(ranks)
     }
     ranks.select(col("__n").as("node"), col("__r").as("rank"))
   }
@@ -141,7 +143,7 @@ object Graphs {
   ): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
-    val e = Staging.stage(edges
+    val e = Staging.stageForIteration(edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b"))
@@ -161,7 +163,9 @@ object Graphs {
         .groupBy(col("a"))
         .agg(max(struct(col("c"), (-col("lbl")).as("negl"))).as("__m"))
         .select(col("a").as("n"), (-col("__m.negl")).as("lbl"))
-      labels = if (i % checkpointEvery == 0 && i < iters) Staging.stage(top) else top
+      labels =
+        if (i % checkpointEvery == 0 && i < iters) Staging.stageForIteration(top)
+        else top
     }
     labels.select(col("n").as("node"), col("lbl").as("label"))
   }
@@ -179,9 +183,9 @@ object Graphs {
     * out-neighborhood by O(√m), so the wedge self-join generates O(m^1.5)
     * candidate rows total instead of Σ deg² (a web-scale hub would
     * otherwise explode the join); wedges close against the canonical edge
-    * set in ONE key-equi join. Both reused tables (canonical edges,
-    * oriented edges) are staged, every join/agg is key-partitioned, and
-    * nothing reaches the driver.
+    * set in ONE key-equi join. All three reused tables (canonical edges,
+    * degrees, oriented edges) are staged, every join/agg is
+    * key-partitioned, and nothing reaches the driver.
     */
   def triangleCounts(
       edges: DataFrame,
@@ -194,9 +198,11 @@ object Graphs {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct())
-    val deg = e.select(col("u").as("n"))
+    // deg feeds the orientation build twice and the final output join —
+    // three plans; stage it so the union+aggregate shuffle runs once
+    val deg = Staging.stage(e.select(col("u").as("n"))
       .unionAll(e.select(col("v").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d")))
     val smallerFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val dir = Staging.stage(e

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.Staging
 import graft.Staging.StagedFrame
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -341,16 +342,11 @@ object Dedup {
     // but leaves the full upstream plan in every round's logical tree, so
     // composing CC with an expensive pair producer (kNN join, LSH) makes
     // the analyzer re-walk that subtree 2×4^k per round — measured 232 s
-    // vs 8 s on the q208 composition. In `off` mode stage() is identity;
-    // fall back to a plain persist there so iterations still reuse blocks.
-    val edgesRaw = pairs
+    // vs 8 s on the q208 composition. stageForIteration handles the
+    // `off`-mode persist fallback so iterations still reuse blocks.
+    val edges = Staging.stageForIteration(pairs
       .select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
-    val staged = edgesRaw.staged
-    val edges =
-      if (staged eq edgesRaw)
-        edgesRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else staged
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b"))))
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

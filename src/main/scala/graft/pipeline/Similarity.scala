@@ -589,24 +589,27 @@ object Similarity {
         graft.functions.VectorExprs.nearestCentroid(
           slice(col("vec"), b * sub + 1, sub), codebooks(b))
       }: _*).as("codes"))
-    // query side: probed cells + the ADC LUT (m·k dot products, computed
-    // once per probe row — bound as an attribute so the HOF sums are not
-    // re-derived per candidate; HOF lambdas get no CSE)
+    // query side: probed cells + the ADC LUT (m·k dot products). The LUT
+    // projects BEFORE the probe-cell explode so it is computed once per
+    // QUERY, not once per probe row (the Generate only copies the bound
+    // array per probe — m·k doubles — instead of re-running m·k·d
+    // multiplies ×nprobe); binding it as an attribute also keeps the HOF
+    // sums from re-deriving per candidate (HOF lambdas get no CSE).
     val lut = array((for (b <- 0 until m; c <- 0 until kCodes) yield {
       val w = codebooks(b)(c)
       aggregate(
         zip_with(
-          slice(col("qvec"), b * sub + 1, sub),
+          slice(col("vec"), b * sub + 1, sub),
           array(w.toIndexedSeq.map(lit(_)): _*),
           (x, y) => x.cast("double") * y),
         lit(0.0), (acc, v) => acc + v)
     }): _*)
     val probes = base.select(
         col("id").as("query_id"),
-        col("vec").as("qvec"),
-        explode(graft.functions.VectorExprs
-          .nearestCells(col("vec"), centArr, nprobe)).as("cell"))
-      .select(col("query_id"), col("cell"), lut.as("lut"))
+        lut.as("lut"),
+        graft.functions.VectorExprs
+          .nearestCells(col("vec"), centArr, nprobe).as("cells"))
+      .select(col("query_id"), col("lut"), explode(col("cells")).as("cell"))
     // ADC: per pair, m array lookups + adds — no per-dim arithmetic
     val adc = (0 until m)
       .map(b => element_at(col("lut"),

@@ -1115,6 +1115,11 @@ object TextOps {
     // V counts the retained vocabulary (one count job, driver scalar only;
     // also materializes the staged unigram table)
     val vocab = uniStaged.count()
+    // with V = 0 every scored bigram would get log((0+1)/(0+0)) = +Inf —
+    // the best possible score for arbitrary garbage; fail at train time
+    require(vocab > 0L,
+      s"bigram LM training retained an empty vocabulary " +
+        s"(empty reference corpus, or minCount=$minCount prunes everything)")
     BigramLm(bgCounts.staged, uniStaged, vocab)
   }
 

@@ -287,8 +287,17 @@ object ScaleOps {
       keyCol: String,
       shares: Seq[(String, Double)],
       salt: String = ""
+  ): DataFrame =
+    sampleToMixCore(df, domainCol, keyCol,
+      mixTakesFrom(domainCounts(df, domainCol), shares), salt)
+
+  private def sampleToMixCore(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      takes: Seq[(String, (Long, Long))],
+      salt: String
   ): DataFrame = {
-    val takes = mixTakes(df, domainCol, shares)
     val u = graft.pipeline.TextOps
       .hash32(concat(lit(salt), col(keyCol).cast("string")))
       .cast("double") / lit(4294967296.0)
@@ -313,10 +322,12 @@ object ScaleOps {
     * relative to head ones. The shares then feed [[sampleToMix]]'s exact
     * deterministic hash-rank cut.
     *
-    * Scale shape: ONE extra domain-keyed count aggregate whose result is
-    * collected — the domain cardinality must be model-sized (languages,
-    * sources), the same bound [[sampleToMix]] itself already imposes; the
-    * corpus is never collected. Domains are sorted by name before the
+    * Scale shape: ONE domain-keyed count aggregate whose result is
+    * collected and shared by both the share derivation and the take
+    * computation (a single corpus scan) — the domain cardinality must be
+    * model-sized (languages, sources), the same bound [[sampleToMix]]
+    * itself already imposes; the corpus is never collected. Domains are
+    * sorted by name before the
     * share normalization so the floating-point sum order (and thus every
     * take boundary) is layout-invariant. */
   def sampleToMixTemperature(
@@ -325,9 +336,11 @@ object ScaleOps {
       keyCol: String,
       alpha: Double,
       salt: String = ""
-  ): DataFrame =
-    sampleToMix(df, domainCol, keyCol,
-      temperatureShares(df, domainCol, alpha), salt)
+  ): DataFrame = {
+    val counts = domainCounts(df, domainCol)
+    sampleToMixCore(df, domainCol, keyCol,
+      mixTakesFrom(counts, temperatureSharesFrom(counts, alpha)), salt)
+  }
 
   /** Window-free approximate twin of [[sampleToMixTemperature]] (the
     * [[sampleToMixApprox]] relationship): per-domain Bernoulli at rate
@@ -342,21 +355,40 @@ object ScaleOps {
       keyCol: String,
       alpha: Double,
       salt: String = ""
-  ): DataFrame =
-    sampleToMixApprox(df, domainCol, keyCol,
-      temperatureShares(df, domainCol, alpha), salt)
+  ): DataFrame = {
+    val counts = domainCounts(df, domainCol)
+    sampleToMixApproxCore(df, domainCol, keyCol,
+      mixTakesFrom(counts, temperatureSharesFrom(counts, alpha)), salt)
+  }
 
-  private def temperatureShares(
+  /** Per-domain row counts (model-sized collect), name-sorted so every
+    * downstream floating-point fold is layout-invariant. NULL domains are
+    * dropped — they can never match a share entry, and the other samplers
+    * ([[sampleToMix]] CASE chain, [[weightedSample]]) drop them too. */
+  private def domainCounts(
       df: DataFrame,
-      domainCol: String,
+      domainCol: String
+  ): Seq[(String, Long)] =
+    df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1).toSeq
+
+  private def temperatureSharesFrom(
+      counts: Seq[(String, Long)],
       alpha: Double
   ): Seq[(String, Double)] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(_._1)
     require(counts.nonEmpty, "temperature mixture over an empty frame")
-    counts.map { case (d, n) => d -> math.pow(n.toDouble, alpha) }.toSeq
+    // IEEE sqrt is correctly rounded on every platform; pow is only
+    // 1-ulp accurate and may differ between libms (engine vs oracle), so
+    // the common alpha = 0.5 routes through sqrt for bit parity. Other
+    // alphas carry a 1-ulp cross-engine risk at floor(share*n_out)
+    // boundaries.
+    counts.map { case (d, n) =>
+      d -> (if (alpha == 0.5) math.sqrt(n.toDouble)
+            else math.pow(n.toDouble, alpha))
+    }
   }
 
   /** The window-free approximate form of [[sampleToMix]]: instead of an
@@ -372,8 +404,17 @@ object ScaleOps {
       keyCol: String,
       shares: Seq[(String, Double)],
       salt: String = ""
+  ): DataFrame =
+    sampleToMixApproxCore(df, domainCol, keyCol,
+      mixTakesFrom(domainCounts(df, domainCol), shares), salt)
+
+  private def sampleToMixApproxCore(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      takes: Seq[(String, (Long, Long))],
+      salt: String
   ): DataFrame = {
-    val takes = mixTakes(df, domainCol, shares)
     val rate = takes.tail.foldLeft(
       when(col(domainCol) === takes.head._1,
         lit(takes.head._2._2.toDouble / takes.head._2._1))) {
@@ -386,22 +427,20 @@ object ScaleOps {
   /** Per-domain (count, target take) for the mixture samplers: n_out =
     * ⌊min_d(n_d / share_d)⌋ (the largest total the inventory supports),
     * take_d = ⌊share_d · n_out⌋. */
-  private def mixTakes(
-      df: DataFrame,
-      domainCol: String,
+  private def mixTakesFrom(
+      counts: Seq[(String, Long)],
       shares: Seq[(String, Double)]
   ): Seq[(String, (Long, Long))] = {
     require(shares.nonEmpty, "shares must be non-empty")
     require(shares.forall(_._2 > 0), s"shares must be positive: $shares")
     val total = shares.map(_._2).sum
     val norm = shares.map { case (d, s) => (d, s / total) }
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cm = counts.toMap
     norm.foreach { case (d, _) =>
-      require(counts.contains(d), s"domain '$d' has no rows (have: ${counts.keys.toSeq.sorted.mkString(", ")})")
+      require(cm.contains(d), s"domain '$d' has no rows (have: ${cm.keys.toSeq.sorted.mkString(", ")})")
     }
-    val nOut = math.floor(norm.map { case (d, s) => counts(d) / s }.min).toLong
-    norm.map { case (d, s) => (d, (counts(d), math.floor(s * nOut).toLong)) }
+    val nOut = math.floor(norm.map { case (d, s) => cm(d) / s }.min).toLong
+    norm.map { case (d, s) => (d, (cm(d), math.floor(s * nOut).toLong)) }
   }
 
   /** One-pass column profiler: per column the null count, distinct count,

@@ -52,7 +52,6 @@ class EmptyInputSpec extends SparkTestBase {
   test("text operators return empty results on an empty corpus") {
     val d = emptyDocs
     assert(TextOps.tfidf(d, "doc_id", "text").count() === 0L)
-    assert(TextOps.bigramLmScores(d, "doc_id", "text").count() === 0L)
     assert(TextOps.tokenEntropy(d, "doc_id", "text").count() === 0L)
     assert(TextOps.winnowFingerprints(d, "doc_id", "text", 8, 4).count() === 0L)
     assert(TextOps.chunkDocs(d, "doc_id", "text", 16, 4).count() === 0L)
@@ -151,12 +150,17 @@ class EmptyInputSpec extends SparkTestBase {
     val books = Array(Array(Array(1.0, 0.0)), Array(Array(0.0, 1.0)))
     assert(Similarity.pqRerankTopK(emptyEmb, "vec_id", "embedding", 1,
       books, shortlist = 1).count() === 0L)
-    // LM train on empty corpus: empty model; scoring yields no rows
-    // (no bigrams anywhere), including docs with < 2 tokens
-    val m = TextOps.bigramLmTrain(emptyDocs, "text")
-    assert(m.vocab === 0L)
-    val short = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
-    assert(TextOps.bigramLmScoreWith(m, short, "doc_id", "text").count() === 0L)
+    // LM train on an empty reference corpus refuses loudly: a vocab-0
+    // model would score every >=2-token doc log(1/0) = +Inf — the BEST
+    // possible quality score for arbitrary garbage (silent filter
+    // inversion). Same for a minCount that prunes the whole vocabulary.
+    intercept[IllegalArgumentException] {
+      TextOps.bigramLmTrain(emptyDocs, "text")
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.bigramLmTrain(
+        Seq((1L, "alpha beta")).toDF("doc_id", "text"), "text", minCount = 99L)
+    }
     // temperature mixture refuses an empty frame loudly
     intercept[IllegalArgumentException] {
       ScaleOps.sampleToMixTemperature(emptyDocs.withColumn("dom", lit("a")),

@@ -279,6 +279,21 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("temperature mixture drops NULL domains instead of crashing") {
+    import spark.implicits._
+    val d = ((1L to 16L).map(i => (i, Some("a"))) ++
+      (17L to 20L).map(i => (i, Some("b"))) ++
+      (21L to 25L).map(i => (i, None: Option[String])))
+      .toDF("id", "dom")
+    // same inventory as the hand-computed case above once NULLs drop
+    val got = ScaleOps.sampleToMixTemperature(d, "dom", "id", alpha = 0.5)
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 8L, "b" -> 4L))
+    val approx = ScaleOps.sampleToMixTemperatureApprox(d, "dom", "id", alpha = 0.5)
+    assert(approx.filter(col("dom").isNull).count() === 0L)
+  }
+
   test("approx temperature mixture tracks exact takes and plans no window") {
     val docs = sf("sf0.001", "documents")
     val exact = ScaleOps.sampleToMixTemperature(docs, "lang", "doc_id",
