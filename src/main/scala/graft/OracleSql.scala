@@ -3750,6 +3750,65 @@ object OracleSql {
          |  SELECT id, min(label) AS component FROM reach GROUP BY id)
          |SELECT id AS node, component FROM comp ORDER BY node""".stripMargin,
 
+    // hybrid retrieval: q117's BM25 (same terms) and q35's cosine (query =
+    // vec_id 0) each cut to 30 candidates (bm25/cos DESC, id tiebreak),
+    // then reciprocal-rank fusion 1/(60+rank) over the full-outer id match
+    "q215_hybrid_rrf" ->
+      s"""WITH tk AS (SELECT doc_id AS id, ${toks("text")} AS t FROM documents),
+         |l AS (SELECT id, len(t)::DOUBLE AS dl FROM tk),
+         |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM l),
+         |tok AS (SELECT id, unnest(t) AS token FROM tk),
+         |p AS (SELECT id, token, count(*)::DOUBLE AS tf FROM tok
+         |  WHERE token IN ('hash', 'join', 'stream', 'vector') GROUP BY 1, 2),
+         |dfc AS (SELECT token, count(*)::DOUBLE AS df FROM p GROUP BY 1),
+         |sc AS (SELECT p.id,
+         |    sum(ln((st.n_docs - dfc.df + 0.5)/(dfc.df + 0.5) + 1.0)
+         |        * p.tf * (1.2 + 1.0)
+         |        / (p.tf + 1.2*(1.0 - 0.75 + 0.75*l.dl/st.avgdl))) AS bm25
+         |  FROM p JOIN dfc USING (token) JOIN l ON p.id = l.id CROSS JOIN st
+         |  GROUP BY p.id),
+         |lex AS (SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS lex_rank
+         |  FROM (SELECT * FROM sc ORDER BY bm25 DESC, id LIMIT 30)),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cs AS (SELECT e.vec_id AS id,
+         |    ${cosSql("e.embedding", "q.qv")} AS cos
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE list_sum(list_transform(range(1, len(e.embedding)+1),
+         |    i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) > 0),
+         |sem AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS sem_rank
+         |  FROM (SELECT * FROM cs ORDER BY cos DESC, id LIMIT 30)),
+         |f AS (SELECT coalesce(lex.id, sem.id) AS id, lex_rank, sem_rank,
+         |    coalesce(1.0::DOUBLE/(60 + lex_rank), 0.0)
+         |      + coalesce(1.0::DOUBLE/(60 + sem_rank), 0.0) AS rrf
+         |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id),
+         |top AS (SELECT * FROM f ORDER BY rrf DESC, id LIMIT 20)
+         |SELECT id, lex_rank, sem_rank, rrf::REAL AS rrf FROM top
+         |ORDER BY id""".stripMargin,
+
+    // simplified centroid silhouette in cosine space: centroids = the 4
+    // lowest-id vectors; per point the two best centroid cosines m1 >= m2
+    // give s = (m1-m2)/(1-m2) (0 when m2 = 1), averaged per argmax cell
+    // (cos DESC, centroid-id ASC tie rule = the engine's argmax)
+    "q216_silhouette" ->
+      s"""WITH c AS (SELECT vec_id AS j, embedding AS cv FROM embeddings
+         |  WHERE vec_id < 4),
+         |e AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE list_sum(list_transform(range(1, len(embedding)+1),
+         |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) > 0),
+         |cs AS (SELECT e.id, c.j, ${cosSql("e.v", "c.cv")} AS cos
+         |  FROM e CROSS JOIN c),
+         |r AS (SELECT id, j, cos, row_number() OVER
+         |    (PARTITION BY id ORDER BY cos DESC, j ASC) AS rk FROM cs),
+         |m AS (SELECT id,
+         |    max(CASE WHEN rk = 1 THEN cos END) AS m1,
+         |    max(CASE WHEN rk = 2 THEN cos END) AS m2,
+         |    max(CASE WHEN rk = 1 THEN j END) AS cell
+         |  FROM r GROUP BY id),
+         |s AS (SELECT cell, CASE WHEN m2 >= 1.0 THEN 0.0
+         |    ELSE (m1 - m2) / (1.0 - m2) END AS sil FROM m)
+         |SELECT cell, count(*) AS n, avg(sil)::REAL AS mean_sil FROM s
+         |GROUP BY cell ORDER BY cell""".stripMargin,
+
     // 2 synchronous LPA rounds over the q201 LSH pair graph: per round,
     // neighbor-label frequencies then the (count DESC, label ASC) mode
     "q214_label_propagation" ->

@@ -2407,6 +2407,38 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    // hybrid retrieval: BM25 lexical candidates ⊕ exact-cosine semantic
+    // candidates for one query, fused by reciprocal ranks (rank-only
+    // fusion ⇒ scale-free and engine-exact); query vector = vec_id 0
+    "q215_hybrid_rrf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qv = e.filter(col("vec_id") === 0L)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Number](0).toArray.map(_.doubleValue)
+      graft.pipeline.Retrieval.hybridTopK(
+          docs(s, dir), "doc_id", "text",
+          Seq("hash", "join", "stream", "vector"),
+          e, "vec_id", "embedding", qv,
+          k = 20, candidateK = 30, rrfK = 60)
+        .select(col("id"), col("lex_rank"), col("sem_rank"),
+          col("rrf").cast("float").as("rrf"))
+        .orderBy("id")
+    }),
+
+    // clustering quality: simplified centroid silhouette in cosine space
+    // against the 4 lowest-id vectors as fixed centroids (deterministic,
+    // oracle-able — the ivfTopK centroid convention)
+    "q216_silhouette" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.orderBy("vec_id").limit(4)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Number](0).toArray.map(_.doubleValue))
+      graft.pipeline.Similarity.silhouette(e, "vec_id", "embedding", cents)
+        .select(col("cell"), col("n"),
+          col("mean_sil").cast("float").as("mean_sil"))
+        .orderBy("cell")
+    }),
+
     // Mann-Whitney U: does event value stochastically differ between
     // user-parity arms — average-rank sums over the distinct-value
     // aggregate, tie-corrected variance, shared A&S tail
@@ -2607,7 +2639,8 @@ object Queries {
         "q35_knn_brute", "q36_knn_lsh", "q41_knn_ivf", "q56_kmeans_cells",
         "q203_knn_join_brute", "q204_knn_join",
         "q82_int8_quantize", "q92_vector_index", "q113_label_centroids",
-        "q196_pq_mse", "q212_pq_rerank"),
+        "q196_pq_mse", "q212_pq_rerank", "q215_hybrid_rrf",
+        "q216_silhouette"),
       "text" -> Seq(
         "q37_text_analysis", "q38_text_quality_agg", "q42_vocab_topk",
         "q45_json_extract", "q46_lm_score", "q55_tfidf_top_term",

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: fuse lexical (BM25) and semantic (embedding-cosine)
+  * rankings with reciprocal-rank fusion (RRF, Cormack et al. 2009) — the
+  * standard production shape for "keyword + vector" search, and the
+  * retrieval half of a RAG data pipeline.
+  *
+  * RRF is rank-only: score(d) = Σ_lists 1/(rrfK + rank_list(d)), summed
+  * over the lists that contain d. Using ranks instead of raw scores makes
+  * the fusion scale-free (BM25 and cosine live on incomparable scales)
+  * and exactly reproducible across engines (integer ranks ⇒ identical
+  * doubles).
+  *
+  * Scale shape: each branch ends in an `orderBy().limit(candidateK)` =
+  * TakeOrderedAndProject — per-partition heaps, NO global sort of the
+  * corpus; every window below runs on ≤ candidateK rows (driver-bounded,
+  * like the kmeans-centroid collects). The fusion join touches
+  * ≤ 2·candidateK rows. At 100 TB the semantic branch should come from
+  * the IVF index ([[Similarity.ivfTopK]] / [[graft.sources.VectorIndex]])
+  * instead of the exact scan — feed any pre-ranked lists to [[rrfFuse]];
+  * the plan downstream of the candidate lists is identical.
+  */
+object Retrieval {
+
+  /** Fuse N ranked candidate lists by RRF. Each list must carry
+    * (`idCol`, `rankCol`) with ranks starting at 1; ids absent from a
+    * list simply contribute nothing for it. Returns (id, rrf, n_lists)
+    * ordered by (rrf desc, id), top `k`. */
+  def rrfFuse(
+      lists: Seq[DataFrame],
+      idCol: String,
+      rankCol: String,
+      k: Int,
+      rrfK: Int = 60
+  ): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    lists
+      .map(_.select(col(idCol).as("id"),
+        (lit(1.0) / (lit(rrfK) + col(rankCol).cast("double"))).as("__c")))
+      .reduce(_ unionAll _)
+      .groupBy(col("id"))
+      .agg(sum(col("__c")).as("rrf"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** BM25 ⊕ embedding-cosine hybrid top-k for ONE query (`terms` +
+    * `queryVec` are two views of the same information need). Returns
+    * (id, lex_rank, sem_rank, rrf) — null rank = absent from that
+    * branch's candidate list — ordered by (rrf desc, id), top `k`.
+    *
+    * Ties break by id in both branch rankings and in the fusion (the
+    * [[Similarity.knnJoinBrute]] rule); zero-norm corpus vectors are
+    * excluded from the semantic branch (cosine undefined). */
+  def hybridTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      emb: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      queryVec: Array[Double],
+      k: Int,
+      candidateK: Int = 60,
+      rrfK: Int = 60
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(candidateK >= k, s"candidateK ($candidateK) must be >= k ($k)")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    require(queryVec.exists(_ != 0.0), "query vector must be nonzero")
+    val lex = TextOps.bm25TopK(docs, idCol, textCol, terms, candidateK)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("id").asc)))
+      .select(col("id"), col("lex_rank"))
+    val qv = array(queryVec.toIndexedSeq.map(lit(_)): _*)
+    val sem = emb
+      .filter(graft.functions.VectorExprs
+        .dotProduct(col(vecCol), col(vecCol)) > 0)
+      .select(col(embIdCol).as("id"),
+        Similarity.cosine(col(vecCol), qv).as("__cos"))
+      .orderBy(col("__cos").desc, col("id").asc)
+      .limit(candidateK)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("__cos").desc, col("id").asc)))
+      .select(col("id"), col("sem_rank"))
+    lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(k)
+  }
+}

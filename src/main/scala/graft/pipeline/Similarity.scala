@@ -636,6 +636,67 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Simplified (centroid) silhouette per cluster — Hruschka et al.'s
+    * medoid-free variant, in the cosine geometry the rest of this module
+    * uses: for each vector, a = cosine distance to its OWN (nearest)
+    * centroid and b = distance to the next-best centroid, so
+    *
+    *   s = (b − a) / max(a, b) = (cos₁ − cos₂) / (1 − cos₂)
+    *
+    * where cos₁ ≥ cos₂ are the two best centroid cosines (assignment IS
+    * argmax-cosine, so a ≤ b always and max(a,b) = b). s → 1 = tight,
+    * well-separated cell; s → 0 = the point sits on a boundary. Points
+    * whose two best centroids are both identical to it (cos₂ = 1) get
+    * s = 0. Returns one row per cell: (cell, n, mean_sil); zero-norm
+    * vectors are excluded (no direction ⇒ no cosine).
+    *
+    * Pass [[kmeans]]'s trained centroids for a model-quality read, or any
+    * fixed centroid set for an oracle-able eval. Scale shape: ONE narrow
+    * codegen'd projection (k dot products per row — k is model-sized,
+    * the kmeans bound) + one cell-keyed aggregate; no windows, no joins,
+    * nothing corpus-sized near the driver. */
+  def silhouette(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Double]]
+  ): DataFrame = {
+    require(cents.length >= 2, s"silhouette needs >= 2 centroids, got ${cents.length}")
+    require(cents.forall(_.length == cents(0).length),
+      "all centroids must share one dimension")
+    require(cents.forall(_.exists(_ != 0.0)),
+      "centroids must be nonzero (zero norm has no cosine)")
+    // centroid norms are model-sized constants — fold them on the driver
+    // (same ascending-sum + sqrt arithmetic as the engine/oracle columns,
+    // so the quotient stays bit-compatible)
+    val cnorms = cents.map(c => math.sqrt(c.foldLeft(0.0)((s, x) => s + x * x)))
+    val cosArr = array(cents.toIndexedSeq.zipWithIndex.map { case (c, j) =>
+      graft.functions.VectorExprs
+        .dotProduct(col("vec"), array(c.toIndexedSeq.map(lit(_)): _*)) /
+        (col("__nv") * lit(cnorms(j)))
+    }: _*)
+    emb
+      .filter(graft.functions.VectorExprs
+        .dotProduct(col(vecCol), col(vecCol)) > 0)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      // the row norm is shared by all k cosines — bind it once
+      .select(col("vec"), norm(col("vec")).as("__nv"))
+      .select(
+        graft.functions.VectorExprs.nearestCentroid(col("vec"), cents).as("cell"),
+        // bind the k cosines as ONE attribute before sorting (HOF no-CSE)
+        cosArr.as("__cs"))
+      .select(col("cell"), array_sort(col("__cs")).as("__s"))
+      .select(col("cell"),
+        element_at(col("__s"), -1).as("__m1"),
+        element_at(col("__s"), -2).as("__m2"))
+      .select(col("cell"),
+        when(col("__m2") >= 1.0, lit(0.0))
+          .otherwise((col("__m1") - col("__m2")) / (lit(1.0) - col("__m2")))
+          .as("__sil"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), avg(col("__sil")).as("mean_sil"))
+  }
+
   /** Per-group mean embedding (class prototypes / grouped centroids) via
     * the element-wise [[graft.functions.VectorSumAgg]] — ONE partial+final
     * ObjectHashAggregate whose shuffle carries a single d-vector per

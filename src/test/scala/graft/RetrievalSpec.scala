@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Retrieval, Similarity}
+
+/** Hybrid retrieval (RRF fusion) and the centroid-silhouette eval:
+  * hand-computed ranks/scores on tiny geometry, plus the scale contracts
+  * (TakeOrdered branches, no corpus-sized window). */
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("rrfFuse: hand-computed reciprocal-rank sums, absent ids contribute 0") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), "id", "rank", k = 10, rrfK = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val byId = fused.map(t => t._1 -> t).toMap
+    // id 2 is in both lists: 1/62 + 1/61
+    assert(math.abs(byId(2L)._2 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(byId(2L)._3 === 2L)
+    assert(math.abs(byId(1L)._2 - 1.0 / 61) < 1e-15)
+    assert(byId(1L)._3 === 1L)
+    // full order: 2 (both), then 1 (1/61) > 4 (1/62) > 3 (1/63)
+    assert(fused.map(_._1).toSeq === Seq(2L, 1L, 4L, 3L))
+    // k truncates
+    assert(Retrieval.rrfFuse(Seq(a, b), "id", "rank", k = 2).count() === 2L)
+  }
+
+  test("hybridTopK: doc in both branches outranks single-branch docs; ranks hand-checked") {
+    val docs = Seq(
+      (1L, "vector join stream hash vector"), // lexical hit
+      (2L, "vector database search"),         // lexical hit, fewer terms
+      (3L, "nothing relevant here"),
+      (4L, "hash hash hash join join stream vector") // strongest lexical
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),  // = query direction
+      (2L, Array(0.0f, 1.0f)),  // orthogonal
+      (3L, Array(0.9f, 0.1f)),  // near query
+      (4L, Array(-1.0f, 0.0f))  // opposite
+    ).toDF("vec_id", "embedding")
+    val got = Retrieval.hybridTopK(docs, "doc_id", "text",
+        Seq("hash", "join", "stream", "vector"),
+        emb, "vec_id", "embedding", Array(1.0, 0.0),
+        k = 4, candidateK = 4, rrfK = 60)
+      .collect()
+    val byId = got.map(r => r.getLong(0) ->
+      (Option(r.get(1)).map(_.asInstanceOf[Int]),
+        Option(r.get(2)).map(_.asInstanceOf[Int]), r.getDouble(3))).toMap
+    // semantic ranks: cos(1)=1 > cos(3)=.9939 > cos(2)=0 > cos(4)=-1
+    assert(byId(1L)._2 === Some(1))
+    assert(byId(3L)._2 === Some(2))
+    // doc 3 has no query terms -> no lexical rank
+    assert(byId(3L)._1 === None)
+    // doc 1 is strong in BOTH branches: it must outrank doc 4 (lexical
+    // top but semantically last) and doc 3 (semantic 2nd but no lexical)
+    assert(byId(1L)._3 > byId(4L)._3)
+    assert(byId(1L)._3 > byId(3L)._3)
+    // rrf is exactly the reciprocal-rank sum of its branch ranks
+    val expect1 = 1.0 / (60 + byId(1L)._1.get) + 1.0 / (60 + byId(1L)._2.get)
+    assert(math.abs(byId(1L)._3 - expect1) < 1e-15)
+  }
+
+  test("hybridTopK branches are TakeOrdered (no global sort of the corpus)") {
+    val docs = sf("sf0.001", "documents")
+    val emb = sf("sf0.001", "embeddings")
+    val qv = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+    val out = Retrieval.hybridTopK(docs, "doc_id", "text",
+      Seq("hash", "join"), emb, "vec_id", "embedding", qv, k = 5,
+      candidateK = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    // both candidate cuts must be per-partition heaps, not global sorts
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(out.count() <= 5)
+  }
+
+  test("silhouette: points on centroids score 1, boundary point scores 0") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val emb = Seq(
+      (0L, Array(2.0f, 0.0f)),   // exactly centroid 0's direction: s = 1
+      (1L, Array(0.0f, 3.0f)),   // exactly centroid 1's direction: s = 1
+      (2L, Array(1.0f, 1.0f)),   // equidistant boundary: m1 = m2 -> s = 0
+      (3L, Array(0.0f, 0.0f))    // zero norm: excluded
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.silhouette(emb, "vec_id", "embedding", cents)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // cell 0: point 0 (s=1) and point 2 (tie -> lowest index cell 0, s=0)
+    assert(got(0)._1 === 2L)
+    assert(math.abs(got(0)._2 - 0.5) < 1e-12)
+    assert(got(1)._1 === 1L)
+    assert(math.abs(got(1)._2 - 1.0) < 1e-12)
+    // zero-norm vector contributed nowhere
+    assert(got.values.map(_._1).sum === 3L)
+  }
+
+  test("silhouette: separated clusters score high, validation fires") {
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val emb = Seq(
+      (0L, Array(1.0f, 0.05f, 0f, 0f)), (1L, Array(0.9f, 0.0f, 0.05f, 0f)),
+      (2L, Array(0.05f, 1.0f, 0f, 0f)), (3L, Array(0.0f, 1.1f, 0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.silhouette(emb, "vec_id", "embedding", cents)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(got(0) > 0.9 && got(1) > 0.9)
+    intercept[IllegalArgumentException] {
+      Similarity.silhouette(emb, "vec_id", "embedding", Array(Array(1.0)))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.silhouette(emb, "vec_id", "embedding",
+        Array(Array(1.0, 0.0), Array(0.0, 0.0)))
+    }
+  }
+}
