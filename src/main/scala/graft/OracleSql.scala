@@ -3809,6 +3809,41 @@ object OracleSql {
          |SELECT cell, count(*) AS n, avg(sil)::REAL AS mean_sil FROM s
          |GROUP BY cell ORDER BY cell""".stripMargin,
 
+    // retrieval eval over the q203 brute-kNN algebra (top 10, relevance =
+    // label agreement): NDCG@5 / MRR@5 / pool recall@5 per query. The
+    // log2 discount and ideal-DCG constants are the ENGINE's own
+    // driver-folded doubles (Eval.ndcgTables) interpolated as literals —
+    // bit parity by construction, no libm log in either plan
+    "q217_ranking_metrics" -> {
+      val (w, ideal) = graft.reg.Eval.ndcgTables(5)
+      val disc = (1 to 5).map(i => s"WHEN $i THEN ${w(i - 1)}::DOUBLE")
+        .mkString(" ")
+      val idcg = (s"WHEN n_rel >= 5 THEN dcg / ${ideal(4)}::DOUBLE" +:
+        (1 to 4).map(m => s"WHEN n_rel = $m THEN dcg / ${ideal(m - 1)}::DOUBLE"))
+        .mkString(" ")
+      s"""WITH scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    a.label AS ql, b.label AS nl,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |ranked AS (SELECT query_id,
+         |    CASE WHEN ql = nl THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS rel,
+         |    row_number() OVER
+         |      (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored),
+         |lst AS (SELECT * FROM ranked WHERE rank <= 10),
+         |agg AS (SELECT query_id,
+         |    sum(rel * CASE rank $disc ELSE 0.0::DOUBLE END) AS dcg,
+         |    sum(rel) AS n_rel,
+         |    sum(CASE WHEN rank <= 5 THEN rel ELSE 0.0::DOUBLE END) AS rk,
+         |    min(CASE WHEN rel > 0 AND rank <= 5 THEN rank END) AS fr
+         |  FROM lst GROUP BY query_id)
+         |SELECT query_id, n_rel::BIGINT AS n_rel,
+         |  (CASE $idcg END)::REAL AS ndcg,
+         |  coalesce(1.0::DOUBLE / fr, 0.0)::REAL AS mrr,
+         |  (CASE WHEN n_rel > 0 THEN rk / n_rel END)::REAL AS recall
+         |FROM agg ORDER BY query_id""".stripMargin
+    },
+
     // 2 synchronous LPA rounds over the q201 LSH pair graph: per round,
     // neighbor-label frequencies then the (count DESC, label ASC) mode
     "q214_label_propagation" ->

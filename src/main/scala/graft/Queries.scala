@@ -2439,6 +2439,28 @@ object Queries {
         .orderBy("cell")
     }),
 
+    // retrieval eval: NDCG@5 / MRR@5 / pool recall@5 per query over the
+    // exact kNN top-10 graph, relevance = label agreement; the discount
+    // tables are driver-folded literals shared with the oracle SQL
+    "q217_ranking_metrics" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val ranked = Similarity.knnJoinBrute(e, "vec_id", "embedding", 10)
+      val lab = e.select(col("vec_id"), col("label"))
+      val withRel = ranked
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("__ql")), "query_id")
+        .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("__nl")), "neighbor_id")
+        .select(col("query_id"), col("rank"),
+          (col("__ql") === col("__nl")).cast("int").as("rel"))
+      graft.reg.Eval.rankingMetrics(withRel, "query_id", "rank", "rel", k = 5)
+        .select(col("query").as("query_id"), col("n_rel"),
+          col("ndcg").cast("float").as("ndcg"),
+          col("mrr").cast("float").as("mrr"),
+          col("recall").cast("float").as("recall"))
+        .orderBy("query_id")
+    }),
+
     // Mann-Whitney U: does event value stochastically differ between
     // user-parity arms — average-rank sums over the distinct-value
     // aggregate, tie-corrected variance, shared A&S tail
@@ -2683,7 +2705,7 @@ object Queries {
         "q181_prop_ztest", "q182_bh_adjust", "q185_woe_bins",
         "q186_expectations", "q190_corr_matrix", "q193_histogram",
         "q194_mann_whitney", "q195_chisq_gof", "q197_lift_curve_bucketed",
-        "q198_woe_bins_bucketed"),
+        "q198_woe_bins_bucketed", "q217_ranking_metrics"),
       "sketch" -> Seq(
         "q108_heavy_hitters", "q109_grouped_heavy_hitters",
         "q143_quantile_sketch", "q146_count_min", "q156_kmv_distinct",

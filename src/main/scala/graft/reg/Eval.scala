@@ -20,6 +20,63 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** Per-query ranking-quality metrics over an already-ranked candidate
+    * list — the retrieval-eval half of a RAG pipeline (NDCG@k, MRR@k,
+    * recall@k). Input rows are (query, rank starting at 1, binary
+    * relevance); output is one row per query:
+    * (query, n_rel, ndcg, mrr, recall), where
+    *
+    *   - ndcg = Σ_{rank≤k} rel/log₂(rank+1), normalized by the ideal DCG
+    *     of min(k, n_rel) relevant items (null when n_rel = 0);
+    *   - mrr  = 1 / (first relevant rank ≤ k), 0 when none;
+    *   - recall = (relevant in top k) / n_rel over the SUPPLIED list
+    *     (pool-based recall — n_rel counts the list, not the corpus;
+    *     null when n_rel = 0).
+    *
+    * Scale shape: ONE partial+final hash aggregate keyed by the query —
+    * no windows, no joins, nothing driver-sized anywhere. The log₂
+    * discounts and ideal-DCG partial sums are k-sized literal CASE
+    * tables folded on the driver (k is a parameter, not data), so the
+    * whole metric is a codegen'd projection over the aggregate — and the
+    * identical literals can be embedded in an oracle's SQL for bit
+    * parity (libm log differences never enter the plan). */
+  def rankingMetrics(
+      ranked: DataFrame,
+      queryCol: String,
+      rankCol: String,
+      relCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (w, ideal) = ndcgTables(k) // ideal(m-1) = IDCG for m relevant items
+    val r = col(rankCol).cast("int")
+    val rel = col(relCol).cast("double")
+    val discount = (2 to k).foldLeft(when(r === 1, w(0))) {
+      case (acc, i) => acc.when(r === i, w(i - 1))
+    }.otherwise(lit(0.0))
+    val agg = ranked.groupBy(col(queryCol).as("query"))
+      .agg(
+        sum(rel * discount).as("__dcg"),
+        sum(rel).as("n_rel"),
+        sum(when(r <= k, rel).otherwise(lit(0.0))).as("__rk"),
+        min(when(rel > 0 && r <= k, r)).as("__fr"))
+    val idcg = (1 until k).foldLeft(when(col("n_rel") >= k, ideal(k - 1))) {
+      case (acc, m) => acc.when(col("n_rel") === m, ideal(m - 1))
+    }
+    agg.select(
+      col("query"), col("n_rel").cast("long").as("n_rel"),
+      when(col("n_rel") > 0, col("__dcg") / idcg).as("ndcg"),
+      coalesce(lit(1.0) / col("__fr"), lit(0.0)).as("mrr"),
+      when(col("n_rel") > 0, col("__rk") / col("n_rel")).as("recall"))
+  }
+
+  /** The literal discount/ideal tables [[rankingMetrics]] folds — exposed
+    * so an oracle can embed the SAME doubles (bit parity by construction). */
+  private[graft] def ndcgTables(k: Int): (Seq[Double], Seq[Double]) = {
+    val w = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    (w, w.scanLeft(0.0)(_ + _).tail)
+  }
+
   /** Area under the ROC curve of `score` predicting boolean/0-1 `label`.
     * One scan; ties get half credit (the exact Mann-Whitney convention). */
   def auc(

@@ -380,4 +380,39 @@ class EvalSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("n") === 40L)
     assert(out.tail.forall(_.getAs[Long]("n") === 0L))
   }
+
+  test("rankingMetrics: hand-computed NDCG@5 / MRR@5 / pool recall@5") {
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    // A: rel at ranks 1,3 of 4; B: rel at rank 3 of 5; C: none of 3;
+    // D: rel only at rank 6 of 6 (inside the pool, outside the cutoff)
+    val rows =
+      Seq(("A", 1, 1), ("A", 2, 0), ("A", 3, 1), ("A", 4, 0)) ++
+        Seq(("B", 1, 0), ("B", 2, 0), ("B", 3, 1), ("B", 4, 0), ("B", 5, 0)) ++
+        Seq(("C", 1, 0), ("C", 2, 0), ("C", 3, 0)) ++
+        (1 to 6).map(r => ("D", r, if (r == 6) 1 else 0))
+    val df = rows.toDF("q", "rank", "rel")
+    val got = Eval.rankingMetrics(df, "q", "rank", "rel", k = 5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("A")
+    assert(a.getLong(1) === 2L)
+    val expNdcgA = (1.0 / lg2(2) + 1.0 / lg2(4)) / (1.0 / lg2(2) + 1.0 / lg2(3))
+    assert(math.abs(a.getDouble(2) - expNdcgA) < 1e-12)
+    assert(a.getDouble(3) === 1.0)
+    assert(a.getDouble(4) === 1.0)
+    val b = got("B")
+    assert(math.abs(b.getDouble(2) - 0.5) < 1e-12)
+    assert(math.abs(b.getDouble(3) - 1.0 / 3) < 1e-12)
+    assert(b.getDouble(4) === 1.0)
+    val c = got("C")
+    assert(c.isNullAt(2) && c.getDouble(3) === 0.0 && c.isNullAt(4))
+    val d = got("D")
+    // relevant item exists in the pool but sits past the cutoff
+    assert(d.getLong(1) === 1L)
+    assert(d.getDouble(2) === 0.0)
+    assert(d.getDouble(3) === 0.0)
+    assert(d.getDouble(4) === 0.0)
+    intercept[IllegalArgumentException] {
+      Eval.rankingMetrics(df, "q", "rank", "rel", k = 0)
+    }
+  }
 }
