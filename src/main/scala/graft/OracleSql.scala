@@ -3809,6 +3809,37 @@ object OracleSql {
          |SELECT cell, count(*) AS n, avg(sil)::REAL AS mean_sil FROM s
          |GROUP BY cell ORDER BY cell""".stripMargin,
 
+    // greedy MMR replay as a recursive CTE: seed = argmax rel, then per
+    // step the lateral argmax of 0.7·rel − 0.3·max-cos-to-selected over
+    // the remaining shortlist (ties → lowest id, the engine's rule);
+    // pairwise cosines precomputed over the 10-candidate shortlist
+    "q218_mmr_rerank" ->
+      s"""WITH RECURSIVE
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cand0 AS (SELECT e.vec_id AS id,
+         |    ${cosSql("e.embedding", "q.qv")} AS rel, e.embedding AS v
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+         |cand AS (SELECT * FROM cand0 ORDER BY rel DESC, id LIMIT 10),
+         |pairs AS (SELECT a.id AS ia, b.id AS ib, ${cosSql("a.v", "b.v")} AS cos
+         |  FROM cand a JOIN cand b ON a.id <> b.id),
+         |sel(step, id, mmr, rel, ids) AS (
+         |  SELECT 1, id, 0.7::DOUBLE * rel, rel, [id]
+         |  FROM (SELECT * FROM cand ORDER BY rel DESC, id LIMIT 1)
+         |  UNION ALL
+         |  SELECT sel.step + 1, t.id, t.mmr, t.rel, list_append(sel.ids, t.id)
+         |  FROM sel, LATERAL (
+         |    SELECT c.id, 0.7::DOUBLE * c.rel
+         |        - (1.0::DOUBLE - 0.7::DOUBLE) * (
+         |          SELECT max(p.cos) FROM pairs p
+         |          WHERE p.ia = c.id AND list_contains(sel.ids, p.ib)) AS mmr,
+         |      c.rel
+         |    FROM cand c WHERE NOT list_contains(sel.ids, c.id)
+         |    ORDER BY mmr DESC, c.id LIMIT 1) t
+         |  WHERE sel.step < 5)
+         |SELECT id AS vec_id, step AS mmr_rank, mmr::REAL AS mmr,
+         |  rel::REAL AS rel
+         |FROM sel ORDER BY mmr_rank""".stripMargin,
+
     // retrieval eval over the q203 brute-kNN algebra (top 10, relevance =
     // label agreement): NDCG@5 / MRR@5 / pool recall@5 per query. The
     // log2 discount and ideal-DCG constants are the ENGINE's own

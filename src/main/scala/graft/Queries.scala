@@ -2439,6 +2439,29 @@ object Queries {
         .orderBy("cell")
     }),
 
+    // MMR diversified re-rank: top-10 semantic shortlist for query vec 0,
+    // greedy λ=0.7 relevance-vs-redundancy pick of 5 (driver-local over
+    // the bounded shortlist — the BPE-merge design; candidates distributed)
+    "q218_mmr_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qv = e.filter(col("vec_id") === 0L)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Number](0).toArray.map(_.doubleValue)
+      val qvc = array(qv.toIndexedSeq.map(lit(_)): _*)
+      val cand = e.filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding"), qvc).as("rel"),
+          col("embedding"))
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(10)
+      graft.pipeline.Retrieval
+        .mmrRerank(cand, "vec_id", "rel", "embedding", k = 5, lambda = 0.7)
+        .select(col("vec_id"), col("mmr_rank"),
+          col("mmr").cast("float").as("mmr"),
+          col("rel").cast("float").as("rel"))
+        .orderBy("mmr_rank")
+    }),
+
     // retrieval eval: NDCG@5 / MRR@5 / pool recall@5 per query over the
     // exact kNN top-10 graph, relevance = label agreement; the discount
     // tables are driver-folded literals shared with the oracle SQL
@@ -2662,7 +2685,7 @@ object Queries {
         "q203_knn_join_brute", "q204_knn_join",
         "q82_int8_quantize", "q92_vector_index", "q113_label_centroids",
         "q196_pq_mse", "q212_pq_rerank", "q215_hybrid_rrf",
-        "q216_silhouette"),
+        "q216_silhouette", "q218_mmr_rerank"),
       "text" -> Seq(
         "q37_text_analysis", "q38_text_quality_agg", "q42_vocab_topk",
         "q45_json_extract", "q46_lm_score", "q55_tfidf_top_term",

@@ -50,6 +50,81 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick `k` results from a BOUNDED candidate shortlist,
+    * trading relevance against redundancy —
+    *
+    *   mmr(c) = λ·rel(c) − (1−λ)·max_{s ∈ selected} cos(c, s)
+    *
+    * (the max term is 0 for the first pick, so the seed is the most
+    * relevant candidate; ties → lowest id throughout). Returns
+    * (id, mmr_rank, mmr, rel) for the k selected rows.
+    *
+    * Scale shape: greedy MMR is inherently sequential (pick k depends on
+    * picks 1..k−1), so a distributed loop would be k driver-dispatched
+    * jobs — the measured jobs/sec ceiling (the BPE-merge lesson). The
+    * candidate list is shortlist-sized BY CONSTRUCTION (it is the output
+    * of a top-k), so the right design is the BPE one: collect the
+    * bounded list (refused above `maxCandidates`, the compressNmax
+    * guard) and run the greedy loop driver-local; the expensive part —
+    * producing the candidates — stays fully distributed. Pairwise
+    * cosines accumulate ascending in doubles (the engine/oracle
+    * bit-parity convention).
+    *
+    * Ids must be integral (long-compatible); `lambda` ∈ (0, 1]. */
+  def mmrRerank(
+      candidates: DataFrame,
+      idCol: String,
+      relCol: String,
+      vecCol: String,
+      k: Int,
+      lambda: Double,
+      maxCandidates: Int = 4096
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda must be in (0, 1], got $lambda")
+    val rows = candidates
+      .select(col(idCol).cast("long"), col(relCol).cast("double"), col(vecCol))
+      .limit(maxCandidates + 1).collect()
+    require(rows.length <= maxCandidates,
+      s"mmrRerank candidate list exceeds maxCandidates=$maxCandidates — " +
+        "cut it with a top-k first (the shortlist contract)")
+    val cand = rows.map { r =>
+      (r.getLong(0), r.getDouble(1),
+        r.getSeq[Number](2).toArray.map(_.doubleValue))
+    }.sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val picked = scala.collection.mutable.Set.empty[Long]
+    while (selected.length < math.min(k, cand.length)) {
+      var best: Option[(Long, Double, Double)] = None
+      cand.foreach { case (id, rel, vec) =>
+        if (!picked.contains(id)) {
+          val maxSim =
+            if (picked.isEmpty) 0.0
+            else cand.iterator.filter(c => picked.contains(c._1))
+              .map(c => cos(vec, c._3)).max
+          val mmr = lambda * rel - (1.0 - lambda) * maxSim
+          // strict > keeps the LOWEST id on ties (cand is id-sorted)
+          if (best.isEmpty || mmr > best.get._2) best = Some((id, mmr, rel))
+        }
+      }
+      val b = best.get
+      picked += b._1
+      selected += b
+    }
+    import candidates.sparkSession.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, mmr, rel), i) => (id, i + 1, mmr, rel) }
+      .toDF(idCol, "mmr_rank", "mmr", relCol)
+  }
+
   /** BM25 ⊕ embedding-cosine hybrid top-k for ONE query (`terms` +
     * `queryVec` are two views of the same information need). Returns
     * (id, lex_rank, sem_rank, rrf) — null rank = absent from that

@@ -74,6 +74,38 @@ class RetrievalSpec extends SparkTestBase {
     assert(out.count() <= 5)
   }
 
+  test("mmrRerank: diversification demotes near-duplicates; lambda=1 is pure relevance") {
+    // query direction (1,0): a = exact hit, b = near-duplicate of a with
+    // slightly lower relevance, c = diverse mid-relevance candidate
+    val cand = Seq(
+      (1L, 1.0, Array(1.0f, 0.0f)),      // a: rel 1.0
+      (2L, 0.990, Array(0.99f, 0.141f)), // b: rel ~.99, cos(a,b) ~.99
+      (3L, 0.6, Array(0.6f, 0.8f))       // c: rel .6, cos(a,c) = .6
+    ).toDF("id", "rel", "vec")
+    val diverse = graft.pipeline.Retrieval
+      .mmrRerank(cand, "id", "rel", "vec", k = 3, lambda = 0.3)
+      .collect().map(_.getLong(0)).toSeq
+    // at lambda=0.3 redundancy dominates: the near-dup b drops to last
+    assert(diverse === Seq(1L, 3L, 2L))
+    val pure = graft.pipeline.Retrieval
+      .mmrRerank(cand, "id", "rel", "vec", k = 3, lambda = 1.0)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pure === Seq(1L, 2L, 3L))
+    // k beyond the list returns everything; ranks are 1..n
+    val all = graft.pipeline.Retrieval
+      .mmrRerank(cand, "id", "rel", "vec", k = 10, lambda = 0.5)
+      .collect()
+    assert(all.map(_.getInt(1)).toSeq === Seq(1, 2, 3))
+    // validation: lambda range and the shortlist bound
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Retrieval.mmrRerank(cand, "id", "rel", "vec", 2, 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Retrieval.mmrRerank(cand, "id", "rel", "vec", 2, 0.5,
+        maxCandidates = 2)
+    }
+  }
+
   test("silhouette: points on centroids score 1, boundary point scores 0") {
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
     val emb = Seq(
