@@ -289,6 +289,31 @@ object PlanReview {
         emb, "vec_id", "embedding", 3, books,
         nCentroids = 16, nprobe = 2, shortlist = 8)
     }
+    // round 8: hybrid retrieval — both candidate branches must be
+    // TakeOrderedAndProject (per-partition heaps, no global corpus sort);
+    // fusion joins/windows touch only candidateK-row frames
+    show("hybrid RRF retrieval (TakeOrdered branches)") {
+      graft.pipeline.Retrieval.hybridTopK(
+        docs, "doc_id", "text", Seq("hash", "join"),
+        emb, "vec_id", "embedding",
+        Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0),
+        k = 5, candidateK = 10)
+    }
+    // round 8: silhouette — ONE narrow projection (k dots per row) + one
+    // cell-keyed partial+final hash agg; no window, no join
+    show("centroid silhouette (single hash agg)") {
+      graft.pipeline.Similarity.silhouette(emb, "vec_id", "embedding",
+        Array(Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0),
+          Array.tabulate(64)(i => if (i == 1) 1.0 else 0.0)))
+    }
+    // round 8: ranking metrics — ONE query-keyed partial+final hash agg
+    // over the supplied ranked list; discounts are literal CASE chains
+    show("ranking metrics (single hash agg)") {
+      import spark.implicits._
+      graft.reg.Eval.rankingMetrics(
+        Seq((1L, 1, 1), (1L, 2, 0)).toDF("q", "rank", "rel"),
+        "q", "rank", "rel", k = 5)
+    }
     spark.stop()
   }
 }
