@@ -3809,6 +3809,44 @@ object OracleSql {
          |SELECT cell, count(*) AS n, avg(sil)::REAL AS mean_sil FROM s
          |GROUP BY cell ORDER BY cell""".stripMargin,
 
+    // PRF expansion: q117's BM25 → 5 feedback docs → 3 most frequent new
+    // feedback tokens (count DESC, token ASC) → second BM25 pass over the
+    // expanded 7-term set
+    "q219_prf_expansion" ->
+      s"""WITH tk AS (SELECT doc_id AS id, ${toks("text")} AS t FROM documents),
+         |l AS (SELECT id, len(t)::DOUBLE AS dl FROM tk),
+         |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM l),
+         |tok AS (SELECT id, unnest(t) AS token FROM tk),
+         |p1 AS (SELECT id, token, count(*)::DOUBLE AS tf FROM tok
+         |  WHERE token IN ('hash', 'join', 'stream', 'vector') GROUP BY 1, 2),
+         |dfc1 AS (SELECT token, count(*)::DOUBLE AS df FROM p1 GROUP BY 1),
+         |sc1 AS (SELECT p1.id,
+         |    sum(ln((st.n_docs - dfc1.df + 0.5)/(dfc1.df + 0.5) + 1.0)
+         |        * p1.tf * (1.2 + 1.0)
+         |        / (p1.tf + 1.2*(1.0 - 0.75 + 0.75*l.dl/st.avgdl))) AS bm25
+         |  FROM p1 JOIN dfc1 USING (token) JOIN l ON p1.id = l.id CROSS JOIN st
+         |  GROUP BY p1.id),
+         |fb AS (SELECT id FROM sc1 ORDER BY bm25 DESC, id LIMIT 5),
+         |ex AS (SELECT token FROM (
+         |  SELECT tok.token, count(*) AS c FROM tok JOIN fb USING (id)
+         |  WHERE tok.token NOT IN ('hash', 'join', 'stream', 'vector')
+         |  GROUP BY tok.token ORDER BY c DESC, token LIMIT 3)),
+         |t2 AS (SELECT token FROM ex UNION ALL
+         |  SELECT unnest(['hash', 'join', 'stream', 'vector'])),
+         |p2 AS (SELECT id, token, count(*)::DOUBLE AS tf FROM tok
+         |  WHERE token IN (SELECT token FROM t2) GROUP BY 1, 2),
+         |dfc2 AS (SELECT token, count(*)::DOUBLE AS df FROM p2 GROUP BY 1),
+         |sc2 AS (SELECT p2.id,
+         |    sum(ln((st.n_docs - dfc2.df + 0.5)/(dfc2.df + 0.5) + 1.0)
+         |        * p2.tf * (1.2 + 1.0)
+         |        / (p2.tf + 1.2*(1.0 - 0.75 + 0.75*l.dl/st.avgdl))) AS bm25,
+         |    count(*) AS n_matched
+         |  FROM p2 JOIN dfc2 USING (token) JOIN l ON p2.id = l.id CROSS JOIN st
+         |  GROUP BY p2.id),
+         |top AS (SELECT * FROM sc2 ORDER BY bm25 DESC, id LIMIT 15)
+         |SELECT id, bm25::REAL AS bm25, n_matched FROM top
+         |ORDER BY id""".stripMargin,
+
     // greedy MMR replay as a recursive CTE: seed = argmax rel, then per
     // step the lateral argmax of 0.7·rel − 0.3·max-cos-to-selected over
     // the remaining shortlist (ties → lowest id, the engine's rule);

@@ -2439,6 +2439,16 @@ object Queries {
         .orderBy("cell")
     }),
 
+    // pseudo-relevance feedback: BM25 round 1 → top-5 feedback docs →
+    // 3 most frequent new feedback tokens join the query → BM25 round 2
+    "q219_prf_expansion" -> ((s, dir) =>
+      graft.pipeline.Retrieval.prfExpandedTopK(docs(s, dir), "doc_id",
+          "text", Seq("hash", "join", "stream", "vector"), k = 15,
+          fbDocs = 5, fbTerms = 3)
+        .select(col("id"), col("bm25").cast("float").as("bm25"),
+          col("n_matched"))
+        .orderBy("id")),
+
     // MMR diversified re-rank: top-10 semantic shortlist for query vec 0,
     // greedy λ=0.7 relevance-vs-redundancy pick of 5 (driver-local over
     // the bounded shortlist — the BPE-merge design; candidates distributed)
@@ -2693,6 +2703,7 @@ object Queries {
         "q75_url_domains", "q77_ccnet_buckets", "q84_pack_sequences",
         "q86_token_entropy", "q91_strip_markup", "q98_gopher_rules",
         "q100_curation_pipeline", "q102_nfc_normalize", "q117_bm25_topk",
+        "q219_prf_expansion",
         "q119_token_chi2", "q121_pmi_collocations", "q122_zipf_spectrum",
         "q126_js_divergence", "q134_bpe_train", "q135_bpe_segment",
         "q136_repetition_signals", "q145_dsir_scores", "q149_phrase_search",

@@ -50,6 +50,42 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Pseudo-relevance-feedback query expansion (the RM3 shape, Lavrenko
+    * & Croft 2001 simplified to counts): run BM25 once, take the top
+    * `fbDocs` results as the feedback set, add the `fbTerms` most
+    * frequent feedback-set tokens (minus the original terms; ties →
+    * lexicographic) to the query, and re-run BM25 with the expanded term
+    * set. The classic fix for vocabulary mismatch in lexical retrieval.
+    *
+    * Scale shape: two [[TextOps.bm25TopK]] passes (each one corpus scan,
+    * candidates via TakeOrdered heaps) plus a token count over the
+    * fbDocs-row feedback set; only the `fbTerms` expansion strings ever
+    * reach the driver (model-sized, the kmeans-centroid bound — BM25
+    * needs literal terms to prune the postings before the shuffle). */
+  def prfExpandedTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      fbDocs: Int = 10,
+      fbTerms: Int = 5
+  ): DataFrame = {
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(fbTerms >= 1, s"fbTerms must be >= 1, got $fbTerms")
+    val fb = TextOps.bm25TopK(docs, idCol, textCol, terms, fbDocs)
+      .select(col("id"))
+    val expansion = docs
+      .join(fb, col(idCol) === col("id"))
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(!col("token").isInCollection(terms))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(fbTerms)
+      .collect().map(_.getString(0)).toSeq
+    TextOps.bm25TopK(docs, idCol, textCol, terms ++ expansion, k)
+  }
+
   /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein 1998):
     * greedily pick `k` results from a BOUNDED candidate shortlist,
     * trading relevance against redundancy —

@@ -74,6 +74,30 @@ class RetrievalSpec extends SparkTestBase {
     assert(out.count() <= 5)
   }
 
+  test("prfExpandedTopK: feedback terms retrieve docs the raw query misses") {
+    val docs = Seq(
+      (1L, "apple banana banana"),
+      (2L, "apple cherry banana"),
+      (3L, "banana cherry date"), // no query term at all
+      (4L, "unrelated words only")
+    ).toDF("doc_id", "text")
+    val plain = graft.pipeline.TextOps
+      .bm25TopK(docs, "doc_id", "text", Seq("apple"), 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(plain === Set(1L, 2L)) // only literal matches
+    val expanded = graft.pipeline.Retrieval
+      .prfExpandedTopK(docs, "doc_id", "text", Seq("apple"), k = 4,
+        fbDocs = 2, fbTerms = 2)
+      .collect().map(_.getLong(0)).toSet
+    // feedback set {1,2} surfaces banana/cherry; doc 3 now retrieves
+    assert(expanded.contains(3L))
+    assert(!expanded.contains(4L))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Retrieval.prfExpandedTopK(docs, "doc_id", "text",
+        Seq("apple"), 4, fbDocs = 0)
+    }
+  }
+
   test("mmrRerank: diversification demotes near-duplicates; lambda=1 is pure relevance") {
     // query direction (1,0): a = exact hit, b = near-duplicate of a with
     // slightly lower relevance, c = diverse mid-relevance candidate
