@@ -135,6 +135,31 @@ class LocalClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cc.forall(r => r.getLong(1) <= r.getLong(0)))
   }
 
+  test("retrieval family distributes (hybrid RRF + silhouette)") {
+    assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qv = emb.orderBy("vec_id").limit(1).select(col("embedding"))
+      .collect()(0).getSeq[Number](0).toArray.map(_.doubleValue)
+    val hy = graft.pipeline.Retrieval.hybridTopK(docs, "doc_id", "text",
+      Seq("hash", "join"), emb, "vec_id", "embedding", qv, k = 10).collect()
+    assert(hy.length === 10)
+    // rrf must be exactly the reciprocal-rank sum on every fused row
+    hy.foreach { r =>
+      val lex = Option(r.get(1)).map(_.asInstanceOf[Int])
+      val sem = Option(r.get(2)).map(_.asInstanceOf[Int])
+      val expect = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        sem.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-15)
+    }
+    val cents = emb.orderBy("vec_id").limit(4).select(col("embedding"))
+      .collect().map(_.getSeq[Number](0).toArray.map(_.doubleValue))
+    val sil = graft.pipeline.Similarity
+      .silhouette(emb, "vec_id", "embedding", cents).collect()
+    // every (nonzero) vector lands in exactly one cell; s ∈ [0, 1]
+    assert(sil.map(_.getLong(1)).sum === emb.count())
+    assert(sil.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
   test("streaming funnel state store works under executors") {
     assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
