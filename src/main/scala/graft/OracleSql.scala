@@ -4090,7 +4090,235 @@ object OracleSql {
         |  sum(n)::BIGINT AS n_events,
         |  sum(n)::DOUBLE / count(*) AS events_per_session,
         |  sum(dur)::DOUBLE / count(*) AS avg_dur_us
-        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // same per-group (n, Σx, Σx²) algebra, same Paulson F-tail through
+    // the shared erfc chain
+    "q220_anova_oneway" ->
+      s"""WITH g AS (SELECT event_type AS g, count(*)::DOUBLE AS n,
+         |    sum(value) AS s, sum(value * value) AS ss
+         |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+         |  GROUP BY 1),
+         |a AS (SELECT count(*)::BIGINT AS k, sum(n) AS tn, sum(s) AS tsum,
+         |    sum(s * s / n) AS bsum, sum(ss - s * s / n) AS wsum FROM g),
+         |b AS (SELECT k, tn, bsum - tsum * tsum / tn AS ssb, wsum,
+         |    (k - 1)::DOUBLE AS df1, tn - k AS df2 FROM a),
+         |c AS (SELECT *, (ssb / df1) / (wsum / df2) AS f,
+         |    2e0 / (9e0 * df1) AS a1, 2e0 / (9e0 * df2) AS a2,
+         |    pow((ssb / df1) / (wsum / df2), 1e0 / 3e0) AS f13 FROM b),
+         |d AS (SELECT *,
+         |    ((1e0 - a2) * f13 - (1e0 - a1)) /
+         |      sqrt(f13 * f13 * a2 + a1) AS z FROM c)
+         |SELECT k, tn::BIGINT AS n, ssb::REAL AS ss_between,
+         |  wsum::REAL AS ss_within,
+         |  (CASE WHEN k > 1 AND df2 > 0e0 AND wsum > 0e0 THEN f END)
+         |    ::REAL AS f,
+         |  df1::BIGINT AS df1, df2::BIGINT AS df2,
+         |  (CASE WHEN k > 1 AND df2 > 0e0 AND wsum > 0e0 THEN
+         |    CASE WHEN z >= 0e0 THEN ${erfcSql("(z / sqrt(2e0))")} / 2e0
+         |      ELSE 1e0 - ${erfcSql("(-z / sqrt(2e0))")} / 2e0 END
+         |   END)::REAL AS p
+         |FROM d""".stripMargin,
+
+    // same closed-form SES weights: rank window + geometric projection
+    "q221_ses_forecast" ->
+      """WITH s AS (SELECT event_type, epoch_us(ts) // 3600000000 AS period,
+        |    sum(value) AS y FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER w AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS t
+        |  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY period)),
+        |w2 AS (SELECT event_type, period, y,
+        |    CASE WHEN rn = 1 THEN pow(1e0 - 3e-1, t - 1)
+        |      ELSE 3e-1 * pow(1e0 - 3e-1, t - rn) END AS w
+        |  FROM r)
+        |SELECT event_type, count(*)::BIGINT AS n_periods,
+        |  arg_max(y, period)::REAL AS last_y,
+        |  sum(w * y)::REAL AS level
+        |FROM w2 GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same dense-spine lag algebra: every centered sum re-expanded
+    // against the full-series mean
+    "q222_acf" -> {
+      val lags = 1 to 6
+      val lagCols = lags.map(k => s"lag(x, $k) OVER w AS l$k").mkString(", ")
+      val aggCols = lags.map(k =>
+        s"""sum(x * l$k) AS sxy$k,
+           |    sum(CASE WHEN l$k IS NOT NULL THEN x END) AS sa$k,
+           |    sum(l$k) AS sb$k, count(l$k)::DOUBLE AS np$k""".stripMargin)
+        .mkString(",\n    ")
+      val rows = lags.map(k =>
+        s"""SELECT event_type, $k AS lag, n,
+           |  coalesce(sxy$k, 0e0) - s / n *
+           |    (coalesce(sa$k, 0e0) + coalesce(sb$k, 0e0)) +
+           |    np$k * (s / n) * (s / n) AS num,
+           |  ss - s * s / n AS den FROM a""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS period,
+         |    count(*)::DOUBLE AS x FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT event_type, min(period) AS p0, max(period) AS p1
+         |  FROM c GROUP BY 1),
+         |sp AS (SELECT event_type,
+         |    unnest(generate_series(p0, p1)) AS period FROM bounds),
+         |d AS (SELECT sp.event_type, sp.period, coalesce(c.x, 0e0) AS x
+         |  FROM sp LEFT JOIN c ON sp.event_type = c.event_type
+         |    AND sp.period = c.period),
+         |l AS (SELECT *, $lagCols
+         |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY period)),
+         |a AS (SELECT event_type, count(*)::DOUBLE AS n, sum(x) AS s,
+         |    sum(x * x) AS ss,
+         |    $aggCols
+         |  FROM l GROUP BY 1)
+         |SELECT event_type, lag, n::BIGINT AS n,
+         |  (CASE WHEN den > 0e0 THEN num / den END)::REAL AS acf
+         |FROM ($rows)
+         |ORDER BY event_type, lag""".stripMargin
+    },
+
+    // same equal-width cells + cumulative Gini scan, same
+    // (gain DESC, bin) argmax
+    "q223_stump_splits" -> {
+      val feats = Seq("l_quantity" -> 0, "l_extendedprice" -> 1,
+        "l_discount" -> 2)
+      val cells = feats.map { case (name, i) =>
+        s"""SELECT '$name' AS feature, bin, max(thr) AS thr,
+           |    count(*)::DOUBLE AS n, sum(y) AS pos FROM (
+           |  SELECT y,
+           |    least(15, greatest(0, floor((x$i - mn$i) / w$i)::INT)) AS bin,
+           |    mn$i + (least(15, greatest(0,
+           |      floor((x$i - mn$i) / w$i)::INT)) + 1) * w$i AS thr
+           |  FROM base, bw WHERE x$i IS NOT NULL AND w$i > 0e0) c$i
+           |GROUP BY bin""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS (SELECT
+         |    ((l_returnflag = 'R')::INT)::DOUBLE AS y,
+         |    l_quantity::DOUBLE AS x0, l_extendedprice::DOUBLE AS x1,
+         |    l_discount::DOUBLE AS x2
+         |  FROM lineitem WHERE (l_returnflag = 'R') IS NOT NULL),
+         |b AS (SELECT min(x0) AS mn0, max(x0) AS mx0, min(x1) AS mn1,
+         |    max(x1) AS mx1, min(x2) AS mn2, max(x2) AS mx2 FROM base),
+         |bw AS (SELECT mn0, (mx0 - mn0) / 16 AS w0, mn1,
+         |    (mx1 - mn1) / 16 AS w1, mn2, (mx2 - mn2) / 16 AS w2 FROM b),
+         |cells AS ($cells),
+         |scan AS (SELECT feature, bin, thr, n, pos,
+         |    sum(n) OVER wcum AS nl, sum(pos) OVER wcum AS pl,
+         |    sum(n) OVER wall AS nt, sum(pos) OVER wall AS pt
+         |  FROM cells
+         |  WINDOW wcum AS (PARTITION BY feature ORDER BY bin
+         |      ROWS UNBOUNDED PRECEDING),
+         |    wall AS (PARTITION BY feature)),
+         |g AS (SELECT *, nt - nl AS nr, pt - pl AS pr FROM scan
+         |  WHERE nl > 0e0 AND nt - nl > 0e0),
+         |gain AS (SELECT feature, bin, thr, nl, nr,
+         |    2e0 * (pt / nt) * (1e0 - pt / nt) -
+         |      (nl * (2e0 * (pl / nl) * (1e0 - pl / nl)) +
+         |       nr * (2e0 * (pr / nr) * (1e0 - pr / nr))) / nt AS gain
+         |  FROM g),
+         |best AS (SELECT *, row_number() OVER (PARTITION BY feature
+         |    ORDER BY gain DESC, bin) AS rk FROM gain)
+         |SELECT f.feature, bin AS split_bin, thr::REAL AS threshold,
+         |  nl::BIGINT AS n_left, nr::BIGINT AS n_right, gain::REAL AS gain
+         |FROM (VALUES ('l_discount'), ('l_extendedprice'), ('l_quantity'))
+         |  f(feature)
+         |LEFT JOIN best ON best.feature = f.feature AND rk = 1
+         |ORDER BY f.feature""".stripMargin
+    },
+
+    // same contingency/margin algebra per pair, nats
+    "q224_mutual_info" -> {
+      def miSql(name: String, x: String, y: String): String = {
+        def cells(a: String) =
+          s"""(SELECT $x AS xv, $y AS yv, count(*)::DOUBLE AS c
+             |    FROM lineitem WHERE $x IS NOT NULL AND $y IS NOT NULL
+             |    GROUP BY 1, 2) $a""".stripMargin
+        s"""SELECT '$name' AS pair, coalesce(t, 0e0)::BIGINT AS n,
+           |  hx::REAL AS hx, hy::REAL AS hy,
+           |  (CASE WHEN t IS NOT NULL THEN coalesce(mi, 0e0) END)
+           |    ::REAL AS mi,
+           |  (CASE WHEN hx > 0e0 AND hy > 0e0 THEN mi / sqrt(hx * hy) END)
+           |    ::REAL AS nmi
+           |FROM (SELECT sum(c) AS t FROM ${cells("ct")}),
+           |  (SELECT sum(c / t * ln(c * t / (nx * ny))) AS mi FROM
+           |    (SELECT cc.c, xm.nx, ym.ny, tt.t FROM ${cells("cc")}
+           |     JOIN (SELECT xv, sum(c) AS nx FROM ${cells("cx")}
+           |       GROUP BY 1) xm ON cc.xv = xm.xv
+           |     JOIN (SELECT yv, sum(c) AS ny FROM ${cells("cy")}
+           |       GROUP BY 1) ym ON cc.yv = ym.yv
+           |     CROSS JOIN (SELECT sum(c) AS t FROM ${cells("c3")}) tt) jj),
+           |  (SELECT -sum(nx / t * ln(nx / t)) AS hx FROM
+           |    (SELECT xv, sum(c) AS nx FROM ${cells("c4")} GROUP BY 1) x2
+           |    CROSS JOIN (SELECT sum(c) AS t FROM ${cells("c5")}) t2),
+           |  (SELECT -sum(ny / t * ln(ny / t)) AS hy FROM
+           |    (SELECT yv, sum(c) AS ny FROM ${cells("c6")} GROUP BY 1) y2
+           |    CROSS JOIN (SELECT sum(c) AS t FROM ${cells("c7")}) t3)"""
+          .stripMargin
+      }
+      val qbin = "(floor(l_quantity / 5e0)::INT)::VARCHAR"
+      Seq(
+        miSql("flag|status", "l_returnflag", "l_linestatus"),
+        miSql("flag|qbin", "l_returnflag", qbin),
+        miSql("status|qbin", "l_linestatus", qbin)
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY pair")
+    },
+
+    // q144's unrolled damped PageRank over the adjacent-token graph
+    "q225_textrank" -> {
+      def iter(i: Int): String = {
+        val p = s"r${i - 1}"
+        s"""d$i AS (SELECT coalesce(sum(r), 0) AS dang FROM $p
+           |  LEFT JOIN dg ON v = ds WHERE ds IS NULL),
+           |c$i AS (SELECT e.t AS t, sum(r / deg) AS c FROM e
+           |  JOIN $p ON e.s = v JOIN dg ON e.s = dg.ds GROUP BY e.t),
+           |r$i AS (SELECT v,
+           |    (1.0 - 0.85) / N + 0.85 * (coalesce(c, 0) + dang / N) AS r
+           |  FROM n LEFT JOIN c$i ON v = t CROSS JOIN d$i CROSS JOIN nc)"""
+          .stripMargin
+      }
+      s"""WITH tk AS (SELECT
+         |    list_filter(${toks("text")}, t -> len(t) >= 2) AS t
+         |  FROM documents),
+         |bg AS (SELECT unnest(${bigrams("t")}) AS bg FROM tk),
+         |e0 AS (SELECT string_split(bg, ' ')[1] AS s,
+         |    string_split(bg, ' ')[2] AS t FROM bg),
+         |e AS (SELECT DISTINCT s, t FROM (
+         |  SELECT s, t FROM e0 WHERE s <> t
+         |  UNION ALL SELECT t, s FROM e0 WHERE s <> t) u),
+         |n AS (SELECT s AS v FROM e UNION SELECT t FROM e),
+         |nc AS (SELECT count(*)::DOUBLE AS N FROM n),
+         |dg AS (SELECT s AS ds, count(*)::BIGINT AS deg FROM e GROUP BY s),
+         |r0 AS (SELECT v, 1.0 / N AS r FROM n, nc),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT v AS token, r::REAL AS rank FROM r5
+         |ORDER BY r DESC, v LIMIT 100""".stripMargin
+    },
+
+    // two unrolled alternating rounds + the same end normalization
+    "q226_rank1_mf" -> {
+      def solve(out: String, key: String, other: String, fixed: String,
+          joinKey: String): String =
+        s"""$out AS (SELECT r.$key,
+           |    CASE WHEN sum(f * f) > 0e0 THEN sum(v * f) / sum(f * f)
+           |      ELSE 0e0 END AS f
+           |  FROM r JOIN $fixed ON r.$joinKey = $fixed.$joinKey
+           |  GROUP BY r.$key)""".stripMargin
+      s"""WITH r AS (SELECT l_suppkey::VARCHAR AS u, l_partkey::VARCHAR AS i,
+         |    l_quantity::DOUBLE AS v
+         |  FROM lineitem WHERE l_suppkey IS NOT NULL
+         |    AND l_partkey IS NOT NULL AND l_quantity IS NOT NULL),
+         |v0 AS (SELECT DISTINCT i, 1e0 AS f FROM r),
+         |${solve("u1", "u", "i", "v0", "i")},
+         |${solve("v1", "i", "u", "u1", "u")},
+         |${solve("u2", "u", "i", "v1", "i")},
+         |${solve("v2", "i", "u", "u2", "u")},
+         |nu AS (SELECT sqrt(sum(f * f)) AS nrm FROM u2),
+         |nv AS (SELECT sqrt(sum(f * f)) AS nrm FROM v2)
+         |SELECT 'user' AS side, u AS id,
+         |  (CASE WHEN nrm > 0e0 THEN f / nrm END)::REAL AS factor
+         |FROM u2, nu
+         |UNION ALL
+         |SELECT 'item', i,
+         |  (CASE WHEN nrm > 0e0 THEN f / nrm END)::REAL FROM v2, nv
+         |ORDER BY side, id""".stripMargin
+    }
   )
 
   /** q92 is the INDEX ROUNDTRIP of q41: building the IVF index on disk and

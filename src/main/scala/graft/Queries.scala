@@ -2644,6 +2644,100 @@ object Queries {
           col("p_adj").cast("float").as("p_adj"))
         .orderBy("rank")
     }),
+
+    // one-way ANOVA of event value across event types: one keyed agg +
+    // one k-row agg; Paulson-approximated F tail via the shared erfc
+    "q220_anova_oneway" -> ((s, dir) =>
+      graft.reg.Eval.anovaOneWay(ev(s, dir),
+          col("event_type"), col("value"))
+        .select(col("k"), col("n"),
+          col("ss_between").cast("float").as("ss_between"),
+          col("ss_within").cast("float").as("ss_within"),
+          col("f").cast("float").as("f"), col("df1"), col("df2"),
+          col("p").cast("float").as("p"))),
+
+    // simple exponential smoothing of hourly value sums per event type —
+    // the recurrence evaluated in closed form (keyed rank window +
+    // geometric weights), no sequential pass anywhere
+    "q221_ses_forecast" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .sesForecast(e, "event_type", "tus", "value",
+          periodUs = 3600000000L, alpha = 0.3)
+        .select(col("event_type"), col("n_periods"),
+          col("last_y").cast("float").as("last_y"),
+          col("level").cast("float").as("level"))
+        .orderBy("event_type")
+    }),
+
+    // autocorrelation of each type's hourly count series at lags 1..6
+    // over the dense calendar spine (absent hours count 0)
+    "q222_acf" -> ((s, dir) => {
+      val e = graft.sources.EventTime.withEpochMicros(ev(s, dir))
+      graft.operators.Events
+        .acf(e, "event_type", "tus", periodUs = 3600000000L, maxLag = 6)
+        .select(col("event_type"), col("lag"), col("n"),
+          col("acf").cast("float").as("acf"))
+        .orderBy("event_type", "lag")
+    }),
+
+    // decision stump: best Gini split per measure for "was returned",
+    // 16 equal-width candidate thresholds — the histogram tree-learner
+    // primitive (one bounds agg + one cells agg + tiny windows)
+    "q223_stump_splits" -> ((s, dir) =>
+      graft.reg.Trees.bestStumpSplits(li(s, dir),
+          (col("l_returnflag") === "R").cast("int"),
+          Seq("l_quantity" -> col("l_quantity"),
+            "l_extendedprice" -> col("l_extendedprice"),
+            "l_discount" -> col("l_discount")),
+          bins = 16)
+        .select(col("feature"), col("split_bin"),
+          col("threshold").cast("float").as("threshold"),
+          col("n_left"), col("n_right"),
+          col("gain").cast("float").as("gain"))
+        .orderBy("feature")),
+
+    // mutual information (nats) between label-ish columns and a binned
+    // measure: one contingency agg per pair, margins re-aggregated
+    "q224_mutual_info" -> ((s, dir) => {
+      val l = li(s, dir)
+      val qbin = floor(col("l_quantity") / 5.0).cast("int")
+      def tag(name: String, x: org.apache.spark.sql.Column,
+          y: org.apache.spark.sql.Column) =
+        graft.reg.Eval.mutualInfo(l, x, y)
+          .select(lit(name).as("pair"), col("n"),
+            col("hx").cast("float").as("hx"),
+            col("hy").cast("float").as("hy"),
+            col("mi").cast("float").as("mi"),
+            col("nmi").cast("float").as("nmi"))
+      tag("flag|status", col("l_returnflag"), col("l_linestatus"))
+        .unionAll(tag("flag|qbin", col("l_returnflag"), qbin))
+        .unionAll(tag("status|qbin", col("l_linestatus"), qbin))
+        .orderBy("pair")
+    }),
+
+    // TextRank keywords: PageRank over the adjacent-token co-occurrence
+    // graph (tokens >= 2 chars), 5 damped rounds, top-25
+    // k exceeds the test vocab (26 tokens) on purpose: a cut INSIDE a
+    // rank-tie group is undefined across engines (double summation
+    // order differs at 1e-16, so the token tie-break never engages the
+    // same way twice); the top-k boundary itself is spec-pinned where
+    // it is well-defined (PhraseSpec)
+    "q225_textrank" -> ((s, dir) =>
+      graft.pipeline.Phrase.textRank(docs(s, dir), "text", k = 100,
+          iters = 5)
+        .select(col("token"), col("rank").cast("float").as("rank"))
+        .orderBy(col("rank").desc, col("token"))),
+
+    // rank-1 matrix factorization of the supplier × part quantity
+    // matrix: 2 alternating closed-form rounds from the all-ones start,
+    // both factor sides L2-normalized — the power-iteration recommender
+    "q226_rank1_mf" -> ((s, dir) =>
+      graft.operators.Recommend.rank1Factors(li(s, dir),
+          "l_suppkey", "l_partkey", "l_quantity", iters = 2)
+        .select(col("side"), col("id"),
+          col("factor").cast("float").as("factor"))
+        .orderBy("side", "id")),
   )
 
   /** Operator family per battery query (round-8 verdict item #7): the
@@ -2703,7 +2797,7 @@ object Queries {
         "q75_url_domains", "q77_ccnet_buckets", "q84_pack_sequences",
         "q86_token_entropy", "q91_strip_markup", "q98_gopher_rules",
         "q100_curation_pipeline", "q102_nfc_normalize", "q117_bm25_topk",
-        "q219_prf_expansion",
+        "q219_prf_expansion", "q225_textrank",
         "q119_token_chi2", "q121_pmi_collocations", "q122_zipf_spectrum",
         "q126_js_divergence", "q134_bpe_train", "q135_bpe_segment",
         "q136_repetition_signals", "q145_dsir_scores", "q149_phrase_search",
@@ -2739,7 +2833,11 @@ object Queries {
         "q181_prop_ztest", "q182_bh_adjust", "q185_woe_bins",
         "q186_expectations", "q190_corr_matrix", "q193_histogram",
         "q194_mann_whitney", "q195_chisq_gof", "q197_lift_curve_bucketed",
-        "q198_woe_bins_bucketed", "q217_ranking_metrics"),
+        "q198_woe_bins_bucketed", "q217_ranking_metrics",
+        "q220_anova_oneway", "q224_mutual_info"),
+      "timeseries-ml" -> Seq(
+        "q221_ses_forecast", "q222_acf", "q223_stump_splits",
+        "q226_rank1_mf"),
       "sketch" -> Seq(
         "q108_heavy_hitters", "q109_grouped_heavy_hitters",
         "q143_quantile_sketch", "q146_count_min", "q156_kmv_distinct",

@@ -816,4 +816,131 @@ object Events {
         count(lit(1)).as("n_events"),
         sum(col("__v")).as("value_sum"))
   }
+
+  /** Simple exponential smoothing per series: the per-(type, period)
+    * value sums are smoothed with s₁ = x₁, s_t = α·x_t + (1−α)·s_{t−1},
+    * and the one-step-ahead forecast is the final level s_T. The
+    * recurrence is evaluated in CLOSED FORM as a weighted sum —
+    * s_T = Σ_{t≥2} α(1−α)^{T−t}·x_t + (1−α)^{T−1}·x₁ — so no
+    * sequential pass over the series exists anywhere: one keyed window
+    * ranks each period, a geometric weight is a pure projection, and
+    * one keyed aggregation sums the series. Weights on old points
+    * underflow to exact 0 identically in any engine (deterministic).
+    *
+    * Periods are the OBSERVED ones (gaps carry no mass — callers wanting
+    * calendar gaps as zeros resample first; [[resampleFill]]).
+    *
+    * Scale shape: raw events collapse through one (type, period) hash
+    * agg; the rank window and the final agg run per type over the tiny
+    * period series — nothing global. Returns one row per type:
+    * (event_type, n_periods, last_y, level) with level = the forecast.
+    */
+  def sesForecast(
+      df: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      valueCol: String,
+      periodUs: Long,
+      alpha: Double
+  ): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val series = df
+      .select(col(typeCol).as("event_type"),
+        expr(s"`$tsCol` DIV ${periodUs}L").as("period"),
+        col(valueCol).cast("double").as("__y"))
+      .groupBy("event_type", "period")
+      .agg(sum(col("__y")).as("y"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("period"))
+    val ranked = series
+      .withColumn("__rn", row_number().over(byType))
+      .withColumn("__t", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+    val beta = lit(1.0 - alpha)
+    val w = when(col("__rn") === 1, pow(beta, col("__t") - 1))
+      .otherwise(lit(alpha) * pow(beta, col("__t") - col("__rn")))
+    ranked
+      .withColumn("__w", w)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_periods"),
+        max_by(col("y"), col("period")).as("last_y"),
+        sum(col("__w") * col("y")).as("level"))
+  }
+
+  /** Sample autocorrelation of a per-period count series at lags
+    * 1..`maxLag`, per event type, over the DENSE calendar spine between
+    * each type's first and last observed period (missing periods count
+    * 0 — an absent hour is real information for autocorrelation, unlike
+    * [[sesForecast]]'s observed-period smoothing):
+    *
+    *   r_k = Σ_{t>k} (x_t−x̄)(x_{t−k}−x̄) / Σ_t (x_t−x̄)²
+    *
+    * (the standard biased estimator; both sums over the full spine).
+    *
+    * Scale shape: raw events collapse through one (type, period) hash
+    * agg; the dense spine is a per-type `sequence` explode (bounded by
+    * the calendar range, not by rows); all `maxLag` lag columns ride ONE
+    * keyed window sort; one keyed aggregation emits every lag via an
+    * inline struct-array explode. Returns (event_type, lag, n, acf);
+    * acf is NULL for a constant series (zero denominator) and lags ≥ the
+    * series length produce no pairs (sum 0 ⇒ acf 0e0 by convention,
+    * matching the zero-padded estimator).
+    */
+  def acf(
+      df: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      periodUs: Long,
+      maxLag: Int
+  ): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val counts = df
+      .select(col(typeCol).as("event_type"),
+        expr(s"`$tsCol` DIV ${periodUs}L").as("period"))
+      .groupBy("event_type", "period")
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val spine = counts
+      .groupBy("event_type")
+      .agg(min(col("period")).as("__p0"), max(col("period")).as("__p1"))
+      .select(col("event_type"),
+        explode(sequence(col("__p0"), col("__p1"))).as("period"))
+    val dense = spine
+      .join(counts, Seq("event_type", "period"), "left")
+      .select(col("event_type"), col("period"),
+        coalesce(col("__c"), lit(0.0)).as("__x"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("period"))
+    val lagged = (1 to maxLag).foldLeft(dense) { (d, k) =>
+      d.withColumn(s"__l$k", lag(col("__x"), k).over(byType))
+    }
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).as("__s"),
+        sum(col("__x") * col("__x")).as("__ss")) ++
+        (1 to maxLag).map(k =>
+          sum(col("__x") * col(s"__l$k")).as(s"__sxy$k")) ++
+        (1 to maxLag).flatMap(k => Seq(
+          sum(when(col(s"__l$k").isNotNull, col("__x"))).as(s"__sa$k"),
+          sum(when(col(s"__l$k").isNotNull, col(s"__l$k"))).as(s"__sb$k"),
+          count(col(s"__l$k")).cast("double").as(s"__np$k")))
+    val per = lagged
+      .groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*)
+    // r_k with both mean-centerings against the FULL-series mean x̄:
+    // Σ(x_t−x̄)(x_{t−k}−x̄) = Σx_t·x_{t−k} − x̄(Σ_pairs x_t + Σ_pairs x_{t−k})
+    //                        + n_pairs·x̄²
+    val mean = col("__s") / col("__n")
+    val den = col("__ss") - col("__s") * col("__s") / col("__n")
+    val entries = (1 to maxLag).map { k =>
+      val num = coalesce(col(s"__sxy$k"), lit(0.0)) -
+        mean * (coalesce(col(s"__sa$k"), lit(0.0)) +
+          coalesce(col(s"__sb$k"), lit(0.0))) +
+        col(s"__np$k") * mean * mean
+      struct(lit(k).as("lag"), col("__n").cast("long").as("n"),
+        when(den > 0.0, num / den).as("acf"))
+    }
+    per.select(col("event_type"), explode(array(entries: _*)).as("__e"))
+      .select(col("event_type"), col("__e.lag"), col("__e.n"), col("__e.acf"))
+  }
 }

@@ -48,4 +48,53 @@ object Phrase {
     }
     starts.groupBy("id").agg(count(lit(1)).as("n_hits"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): rank corpus
+    * tokens by PageRank over the adjacent-token co-occurrence graph and
+    * return the top-k — the unsupervised keyword/keyphrase primitive
+    * (salience from graph centrality, not raw frequency, so function-y
+    * connector tokens that co-occur with everything still lose to hub
+    * terms of tight topical neighborhoods).
+    *
+    * Graph: one DISTINCT edge per ordered adjacent token pair (classic
+    * TextRank is undirected — symmetry comes from keeping both
+    * directions of each bigram), tokens shorter than `minLen` dropped
+    * before pairing so the graph isn't dominated by stop-length tokens.
+    * Ranks from [[graft.operators.Graphs.pageRank]] with `iters` damped
+    * rounds. Ties break by token (rank desc, token asc).
+    *
+    * Scale shape: the bigram explode is a pure projection off the corpus
+    * scan; the edge set collapses through one distinct before any graph
+    * work (vocabulary², not corpus, bounds everything downstream — the
+    * q201 pair-generation lesson); each PageRank round is two
+    * vocab-keyed joins + one keyed agg with staged lineage. Returns
+    * (token, rank) — the top-k rows only.
+    */
+  def textRank(
+      df: DataFrame,
+      textCol: String,
+      k: Int,
+      iters: Int = 5,
+      damping: Double = 0.85,
+      minLen: Int = 2
+  ): DataFrame = {
+    require(k > 0, s"top-k must be positive, got $k")
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    // bind the filtered token array ONCE as an attribute before the
+    // shingle HOF (HOF lambdas get no CSE — the tokenizer would re-run
+    // per element otherwise)
+    val toksDf = df
+      .select(filter(TextOps.tokens(col(textCol)),
+        t => length(t) >= minLen).as("t"))
+    val edges = toksDf
+      .select(explode(TextOps.wordShingles(col("t"), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val sym = edges.union(edges.select(col("w2").as("w1"), col("w1").as("w2")))
+    graft.operators.Graphs.pageRank(sym, "w1", "w2", iters, damping)
+      .select(col("node").as("token"), col("rank"))
+      .orderBy(col("rank").desc, col("token").asc)
+      .limit(k)
+  }
 }

@@ -673,4 +673,103 @@ object Eval {
           (col("cum_pos").cast("double") / col("__tp")) /
             (col("cum_n").cast("double") / col("__tn"))).as("lift"))
   }
+
+  /** One-way ANOVA: does the mean of `value` differ across the levels of
+    * `group`? F = (SSB/(k−1)) / (SSW/(n−k)) from the per-group
+    * (n, Σx, Σx²) triples; the p-value uses the Paulson–Takeuchi
+    * normal approximation of the F tail (each χ² through its
+    * Wilson–Hilferty cube root, combined into one z) with the shared
+    * A&S erfc — cross-engine replicable like every other tail here.
+    *
+    * Scale shape: ONE hash aggregation keyed on the group (map-side
+    * combined), then a single aggregation over the k-row group table —
+    * no window, no second scan of the data. Returns one row
+    * (k, n, ss_between, ss_within, f, df1, df2, p); f/p are NULL when
+    * any degrees of freedom are ≤ 0 or SSW = 0 (no within variance).
+    */
+  def anovaOneWay(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val v = value.cast("double")
+    val per = df.filter(group.isNotNull && v.isNotNull)
+      .select(group.cast("string").as("__g"), v.as("__v"))
+      .groupBy("__g")
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__ss"))
+    val one = per.agg(
+      count(lit(1)).as("__k"),
+      sum(col("__n")).as("__tn"),
+      sum(col("__s")).as("__tsum"),
+      sum(col("__s") * col("__s") / col("__n")).as("__bsum"),
+      sum(col("__ss") - col("__s") * col("__s") / col("__n")).as("__wsum"))
+    val ssb = col("__bsum") - col("__tsum") * col("__tsum") / col("__tn")
+    val df1 = (col("__k") - 1).cast("double")
+    val df2 = col("__tn") - col("__k").cast("double")
+    val fStat = (ssb / df1) / (col("__wsum") / df2)
+    // Paulson (1942): z ≈ ((1−2/(9·df2))·F^{1/3} − (1−2/(9·df1)))
+    //                 / sqrt(F^{2/3}·2/(9·df2) + 2/(9·df1))
+    val f13 = pow(fStat, lit(1.0 / 3.0))
+    val a1 = lit(2.0) / (lit(9.0) * df1)
+    val a2 = lit(2.0) / (lit(9.0) * df2)
+    val z = ((lit(1.0) - a2) * f13 - (lit(1.0) - a1)) /
+      sqrt(f13 * f13 * a2 + a1)
+    val s2 = lit(math.sqrt(2.0))
+    val pUpper = when(z >= 0.0, erfcApprox(z / s2) / 2.0)
+      .otherwise(lit(1.0) - erfcApprox(-z / s2) / 2.0)
+    val valid = col("__k") > 1 && df2 > 0.0 && col("__wsum") > 0.0
+    one.select(
+      col("__k").as("k"),
+      coalesce(col("__tn"), lit(0.0)).cast("long").as("n"),
+      ssb.as("ss_between"),
+      col("__wsum").as("ss_within"),
+      when(valid, fStat).as("f"),
+      when(col("__k") > 0, df1.cast("long")).as("df1"),
+      when(col("__k") > 0, df2.cast("long")).as("df2"),
+      when(valid, pUpper).as("p"))
+  }
+
+  /** Mutual information between two categorical columns, in nats:
+    * I(X;Y) = Σ_{x,y} p(x,y)·ln(p(x,y)/(p(x)p(y))) over the observed
+    * contingency cells, plus the entropies and the normalized
+    * NMI = I/√(H(X)·H(Y)) — the model-free dependence screen used to
+    * rank candidate features against a label (callers bin continuous
+    * columns first; [[graft.binsreg.Dbbinsreg.caseChainBin]] or a plain
+    * width bin both work). Zero cells contribute zero by convention.
+    *
+    * Scale shape: ONE (x, y) contingency aggregation; margins and the
+    * MI sum re-aggregate the label-space-sized cell table (the
+    * [[cohenKappa]] pattern). Returns one row (n, hx, hy, mi, nmi);
+    * nmi is NULL when either marginal entropy is 0 (a constant column
+    * carries no information to normalize by).
+    */
+  def mutualInfo(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val cells = df
+      .filter(x.isNotNull && y.isNotNull)
+      .select(x.cast("string").as("__x"), y.cast("string").as("__y"))
+      .groupBy("__x", "__y").agg(count(lit(1)).cast("double").as("__n"))
+    val xm = cells.groupBy("__x").agg(sum(col("__n")).as("__nx"))
+    val ym = cells.groupBy("__y").agg(sum(col("__n")).as("__ny"))
+    val tot = cells.agg(sum(col("__n")).as("__t"))
+    val joint = cells
+      .join(xm, "__x").join(ym, "__y")
+      .crossJoin(broadcast(tot))
+      .agg(
+        sum(col("__n") / col("__t") *
+          log(col("__n") * col("__t") / (col("__nx") * col("__ny"))))
+          .as("__mi"))
+    val hx = xm.crossJoin(broadcast(tot))
+      .agg((-sum(col("__nx") / col("__t") * log(col("__nx") / col("__t"))))
+        .as("__hx"))
+    val hy = ym.crossJoin(broadcast(tot))
+      .agg((-sum(col("__ny") / col("__t") * log(col("__ny") / col("__t"))))
+        .as("__hy"))
+    broadcast(tot).crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .crossJoin(broadcast(joint))
+      .select(
+        coalesce(col("__t"), lit(0.0)).cast("long").as("n"),
+        col("__hx").as("hx"),
+        col("__hy").as("hy"),
+        when(col("__t").isNotNull, coalesce(col("__mi"), lit(0.0))).as("mi"),
+        when(col("__hx") > 0.0 && col("__hy") > 0.0,
+          col("__mi") / sqrt(col("__hx") * col("__hy"))).as("nmi"))
+  }
 }

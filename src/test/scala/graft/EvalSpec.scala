@@ -415,4 +415,56 @@ class EvalSpec extends SparkTestBase {
       Eval.rankingMetrics(df, "q", "rank", "rel", k = 0)
     }
   }
+
+  test("anovaOneWay: hand-computed F and the Paulson tail") {
+    // groups {1,2,3}, {4,5,6}, {7,8,9}: SSB = 54, SSW = 6, F = 27
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0),
+      ("c", 7.0), ("c", 8.0), ("c", 9.0)).toDF("g", "x")
+    val r = Eval.anovaOneWay(df, col("g"), col("x")).collect()(0)
+    assert(r.getLong(0) === 3L && r.getLong(1) === 9L)
+    assert(math.abs(r.getDouble(2) - 54.0) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 6.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 27.0) < 1e-9)
+    assert(r.getLong(5) === 2L && r.getLong(6) === 6L)
+    // independent Paulson z + A&S erfc recomputation in plain doubles
+    val (df1, df2, f) = (2.0, 6.0, 27.0)
+    val (a1, a2) = (2.0 / (9 * df1), 2.0 / (9 * df2))
+    val f13 = math.cbrt(f)
+    val z = ((1 - a2) * f13 - (1 - a1)) / math.sqrt(f13 * f13 * a2 + a1)
+    val t = 1.0 / (1.0 + 0.3275911 * (z / math.sqrt(2.0)))
+    val poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 +
+      t * (-1.453152027 + t * 1.061405429))))
+    val p = poly * math.exp(-z * z / 2.0) / 2.0
+    assert(math.abs(r.getDouble(7) - p) < 1e-12)
+    // identical groups: F = 0-ish numerator, but SSW > 0 keeps it defined
+    val flat = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "x")
+    val rf = Eval.anovaOneWay(flat, col("g"), col("x")).collect()(0)
+    assert(math.abs(rf.getDouble(4)) < 1e-12)
+    // no within variance: F undefined
+    val degen = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0)).toDF("g", "x")
+    val rd = Eval.anovaOneWay(degen, col("g"), col("x")).collect()(0)
+    assert(rd.isNullAt(4) && rd.isNullAt(7))
+  }
+
+  test("mutualInfo: dependence, independence, normalization") {
+    // perfect dependence over a uniform 2x2: I = H = ln 2, NMI = 1
+    val dep = Seq(("a", 1), ("a", 1), ("b", 2), ("b", 2)).toDF("x", "y")
+    val rd = Eval.mutualInfo(dep, col("x"), col("y")).collect()(0)
+    assert(rd.getLong(0) === 4L)
+    assert(math.abs(rd.getDouble(1) - math.log(2.0)) < 1e-12)
+    assert(math.abs(rd.getDouble(2) - math.log(2.0)) < 1e-12)
+    assert(math.abs(rd.getDouble(3) - math.log(2.0)) < 1e-12)
+    assert(math.abs(rd.getDouble(4) - 1.0) < 1e-12)
+    // full product support: I = 0 exactly
+    val ind = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("x", "y")
+    val ri = Eval.mutualInfo(ind, col("x"), col("y")).collect()(0)
+    assert(math.abs(ri.getDouble(3)) < 1e-12)
+    assert(math.abs(ri.getDouble(4)) < 1e-12)
+    // constant y: H(Y) = 0, NMI undefined, MI = 0
+    val cy = Seq(("a", 1), ("b", 1)).toDF("x", "y")
+    val rc = Eval.mutualInfo(cy, col("x"), col("y")).collect()(0)
+    assert(math.abs(rc.getDouble(3)) < 1e-12 && rc.isNullAt(4))
+  }
 }

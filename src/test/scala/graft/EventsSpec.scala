@@ -457,4 +457,67 @@ class EventsSpec extends SparkTestBase {
     val y0 = out(2)
     assert((y0.getAs[Double]("open"), y0.getAs[Double]("close")) === ((1.0, 7.0)))
   }
+
+  test("sesForecast: closed-form weighted sum equals the recurrence") {
+    // type x, periods 0/1/2 (periodUs = 10), per-period sums 1, 2, 4:
+    // s1 = 1, s2 = .5*2 + .5*1 = 1.5, s3 = .5*4 + .5*1.5 = 2.75
+    val df = Seq(
+      ("x", 1L, 0.5), ("x", 7L, 0.5), // period 0 sums to 1
+      ("x", 12L, 2.0), ("x", 25L, 4.0),
+      ("y", 3L, 3.0) // single-period series: level = x1
+    ).toDF("event_type", "tus", "value")
+    val out = graft.operators.Events
+      .sesForecast(df, "event_type", "tus", "value",
+        periodUs = 10L, alpha = 0.5)
+      .orderBy("event_type").collect()
+    assert(out.length === 2)
+    assert(out(0).getString(0) === "x" && out(0).getLong(1) === 3L)
+    assert(out(0).getDouble(2) === 4.0)
+    assert(math.abs(out(0).getDouble(3) - 2.75) < 1e-12)
+    assert(out(1).getString(0) === "y" && out(1).getLong(1) === 1L)
+    assert(out(1).getDouble(2) === 3.0)
+    assert(math.abs(out(1).getDouble(3) - 3.0) < 1e-12)
+    // alpha = 1: level is just the last observation
+    val a1 = graft.operators.Events
+      .sesForecast(df, "event_type", "tus", "value",
+        periodUs = 10L, alpha = 1.0)
+      .orderBy("event_type").collect()
+    assert(a1(0).getDouble(3) === 4.0)
+  }
+
+  test("acf: dense-spine autocorrelation matches hand sums") {
+    // counts by period (periodUs = 10): [2, 0, 2, 1] — period 1 has no
+    // events and must be zero-filled by the spine; x̄ = 5/4, den = 11/4,
+    // r1 = -3/4, r2 = 7/22
+    val df = Seq(
+      ("x", 1L), ("x", 5L), // period 0: 2 events
+      ("x", 21L), ("x", 29L), // period 2: 2 events
+      ("x", 33L) // period 3: 1 event
+    ).toDF("event_type", "tus")
+    val out = graft.operators.Events
+      .acf(df, "event_type", "tus", periodUs = 10L, maxLag = 2)
+      .orderBy("lag").collect()
+    assert(out.length === 2)
+    assert(out(0).getInt(1) === 1 && out(0).getLong(2) === 4L)
+    assert(math.abs(out(0).getDouble(3) - (-0.75)) < 1e-12)
+    assert(math.abs(out(1).getDouble(3) - 7.0 / 22.0) < 1e-12)
+    // constant series: zero denominator, NULL acf
+    val const = Seq(("y", 1L), ("y", 11L), ("y", 21L))
+      .toDF("event_type", "tus")
+    val oc = graft.operators.Events
+      .acf(const, "event_type", "tus", periodUs = 10L, maxLag = 1)
+      .collect()
+    assert(oc.length === 1 && oc(0).isNullAt(3))
+    // lag past the series length: no pairs, acf 0 by the zero-pad rule
+    // (counts [2, 1]: x̄ = 1.5, den = 0.5, r1 = -0.5; r2/r3 padded 0)
+    val short = Seq(("z", 1L), ("z", 5L), ("z", 11L))
+      .toDF("event_type", "tus")
+    val os = graft.operators.Events
+      .acf(short, "event_type", "tus", periodUs = 10L, maxLag = 3)
+      .orderBy("lag").collect()
+    assert(os.length === 3)
+    assert(math.abs(os(0).getDouble(3) - (-0.5)) < 1e-12)
+    assert(math.abs(os(1).getDouble(3)) < 1e-12)
+    assert(math.abs(os(2).getDouble(3)) < 1e-12)
+  }
 }

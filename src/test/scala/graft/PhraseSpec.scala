@@ -45,4 +45,30 @@ class PhraseSpec extends SparkTestBase {
       Phrase.phraseSearch(docs, "doc_id", "text", Seq())
     }
   }
+
+  test("textRank: hub token outranks leaves; ranks replicate the def") {
+    // path graph aa - bb - cc (bb is the hub), plus single-char tokens
+    // that minLen = 2 must drop before pairing
+    val d = Seq((1L, "aa bb x"), (2L, "bb cc"), (3L, "y cc bb"))
+      .toDF("doc_id", "text")
+    val out = Phrase.textRank(d, "text", k = 3, iters = 5).collect()
+    assert(out.map(_.getString(0)).toSet === Set("aa", "bb", "cc"))
+    // reference damped PageRank on the undirected path, 5 rounds
+    var r = Map("aa" -> 1.0 / 3, "bb" -> 1.0 / 3, "cc" -> 1.0 / 3)
+    for (_ <- 1 to 5) {
+      val c = Map(
+        "aa" -> r("bb") / 2,
+        "cc" -> r("bb") / 2,
+        "bb" -> (r("aa") + r("cc")))
+      r = c.map { case (k2, v) => k2 -> (0.15 / 3 + 0.85 * v) }
+    }
+    val got = out.map(x => x.getString(0) -> x.getDouble(1)).toMap
+    r.foreach { case (tok, want) =>
+      assert(math.abs(got(tok) - want) < 1e-12, tok)
+    }
+    assert(out(0).getString(0) === "bb") // hub first
+    // k truncates after the deterministic (rank desc, token) order
+    val top1 = Phrase.textRank(d, "text", k = 1, iters = 5).collect()
+    assert(top1.length === 1 && top1(0).getString(0) === "bb")
+  }
 }
