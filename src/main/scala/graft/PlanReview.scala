@@ -314,6 +314,37 @@ object PlanReview {
         Seq((1L, 1, 1), (1L, 2, 0)).toDF("q", "rank", "rel"),
         "q", "rank", "rel", k = 5)
     }
+    // round 8b: ANOVA — ONE group-keyed partial+final hash agg off the
+    // scan, then a 1-row re-aggregation of the k-row group table; no
+    // window, no join, no second corpus scan
+    show("anova one-way (single hash agg)") {
+      graft.reg.Eval.anovaOneWay(li, col("l_returnflag"),
+        col("l_extendedprice"))
+    }
+    // round 8b: stump split search — one 1-row bounds agg broadcast back
+    // (BroadcastNestedLoopJoin over a single row), one (feature, bin)
+    // partial+final hash agg absorbing the explode map-side; windows run
+    // over the features·bins cell table only
+    show("stump splits (bounds broadcast + cell agg)") {
+      graft.reg.Trees.bestStumpSplits(li,
+        (col("l_returnflag") === "R").cast("int"),
+        Seq("l_quantity" -> col("l_quantity"),
+          "l_discount" -> col("l_discount")), bins = 16)
+    }
+    // round 8b: SES forecast — one (type, period) hash agg collapses the
+    // corpus; the rank window and final agg run per type over the tiny
+    // period series (exchange keyed on event_type, never a global sort)
+    show("ses forecast (periods then keyed window)") {
+      graft.operators.Events.sesForecast(ev, "event_type", "tus", "value",
+        periodUs = 3600000000L, alpha = 0.3)
+    }
+    // round 8b: rank-1 MF half-step — ratings ⋈ fixed-side factors keyed
+    // on the fixed id, then one keyed agg on the solved side; no
+    // cartesian, factor frames staged per iteration
+    show("rank-1 MF (keyed join + keyed agg per half-step)") {
+      graft.operators.Recommend.rank1Factors(
+        li.limit(100000), "l_suppkey", "l_partkey", "l_quantity", iters = 1)
+    }
     spark.stop()
   }
 }

@@ -2717,7 +2717,7 @@ object Queries {
     }),
 
     // TextRank keywords: PageRank over the adjacent-token co-occurrence
-    // graph (tokens >= 2 chars), 5 damped rounds, top-25
+    // graph (tokens >= 2 chars), 5 damped rounds, full ranked vocab.
     // k exceeds the test vocab (26 tokens) on purpose: a cut INSIDE a
     // rank-tie group is undefined across engines (double summation
     // order differs at 1e-16, so the token tie-break never engages the
