@@ -118,14 +118,22 @@ object Dbbinsreg {
     else Some(qs.dropRight(1))
   }
 
-  /** Ascending bucket id from interior cut points as a literal CASE chain:
-    * bin(v) = 1 + |{j : v > c_j}| (left-closed cuts, ties go to the lower
-    * bin; duplicated cuts leave their bin empty — callers spine-join a
-    * dense bucket axis). A pure codegen'd projection — no sort, no shuffle
-    * beyond the caller's own aggregation.
+  /** Ascending bucket id from interior cut points: bin(v) = 1 + |{j : v >
+    * c_j}| (left-closed cuts, ties go to the lower bin; duplicated cuts
+    * leave their bin empty — callers spine-join a dense bucket axis; NULL
+    * and NaN fall through to bin B + 1). A pure codegen'd projection — no
+    * sort, no shuffle beyond the caller's own aggregation.
+    *
+    * ≤ 64 cuts: a literal CASE chain (folds into the surrounding codegen —
+    * the measured sweet spot for small literal lookup tables). Above that
+    * the chain's per-row cost is linear in B and its plan size grows with
+    * B, so it switches to the codegen'd binary-search [[graft.functions.BucketBin]]
+    * (O(log B) probes, cuts as ONE plan reference) — same bin for every
+    * input by construction.
     */
   private[graft] def caseChainBin(v: Column, cuts: Array[Double]): Column =
     if (cuts.isEmpty) lit(1)
+    else if (cuts.length > 64) graft.functions.BinExprs.bucketBin(v, cuts)
     else cuts.drop(1).zipWithIndex
       .foldLeft(when(v <= lit(cuts(0)), lit(1))) { case (acc, (c, i)) =>
         acc.when(v <= lit(c), lit(i + 2))

@@ -582,6 +582,333 @@ case class AffineProject(
     copy(child = newChild)
 }
 
+/** Native codegen'd PQ-ADC lookup-table construction: for a query vector of
+  * length m·sub and a PQ codebook tensor (m books × k codewords × sub dims),
+  * emit the full `array<double>` LUT of all m·k sub-vector dot products,
+  * laid out book-major (`lut[b·k + c] = Σ_j vec[b·sub + j] · cb[b][c][j]`) —
+  * exactly the layout [[graft.pipeline.Similarity.pqRerankTopK]]'s ADC
+  * scorer indexes with `element_at(lut, b·k + code_b + 1)`.
+  *
+  * The previous spelling built the SAME values as m·k SEPARATE
+  * `aggregate(zip_with(slice(...)))` higher-order-function expressions —
+  * CodegenFallback each, so plan size, codegen and per-row dispatch all grew
+  * with m·k (measured: k=16 parity with the exact join, k=64 ≈ 6× WORSE —
+  * and production PQ uses k=256). Here the codebooks ride as ONE plan
+  * reference (`addReferenceObj`, the [[NearestCentroid]] lesson) and the
+  * generated code is one tight m·k·sub loop, so the plan is O(1) in the
+  * codebook size. Accumulation order is ascending-j with a 0.0 seed,
+  * bit-identical to the HOF spelling and the DuckDB oracle's `list_sum`.
+  *
+  * Null vector or any null element → NULL; an input whose length differs
+  * from m·sub fails fast rather than truncating a sub-vector. Array fields
+  * ⇒ deep equals/hashCode (canonicalization/CSE, as NearestCentroid).
+  */
+case class AdcLut(
+    child: Expression,
+    codebooks: Array[Array[Array[Double]]]
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def m: Int = codebooks.length
+  private def kCodes: Int = codebooks(0).length
+  private def sub: Int = codebooks(0)(0).length
+
+  override def equals(other: Any): Boolean = other match {
+    case that: AdcLut =>
+      child == that.child &&
+        java.util.Arrays.deepEquals(
+          codebooks.asInstanceOf[Array[AnyRef]],
+          that.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(
+      child,
+      Integer.valueOf(java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])))
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"adc_lut needs an array<float|double> input, got ${other.simpleString}")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != m * sub)
+      throw new IllegalArgumentException(
+        s"adc_lut: input vector has $n elements but codebooks expect ${m * sub} " +
+          s"($m books x $sub dims)")
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      xs(i) = if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Double](m * kCodes)
+    var b = 0
+    while (b < m) {
+      val book = codebooks(b)
+      val off = b * sub
+      var c = 0
+      while (c < kCodes) {
+        val w = book(c)
+        var acc = 0.0
+        var j = 0
+        while (j < sub) { acc += xs(off + j) * w(j); j += 1 }
+        out(b * kCodes + c) = acc
+        c += 1
+      }
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val getter =
+      if (elemIsFloat) (a: String, i: String) => s"(double) $a.getFloat($i)"
+      else (a: String, i: String) => s"$a.getDouble($i)"
+    val n = ctx.freshName("n")
+    val xs = ctx.freshName("xs")
+    val out = ctx.freshName("out")
+    val book = ctx.freshName("book")
+    val w = ctx.freshName("w")
+    val acc = ctx.freshName("acc")
+    val off = ctx.freshName("off")
+    val i = ctx.freshName("i")
+    val b = ctx.freshName("b")
+    val c = ctx.freshName("c")
+    val j = ctx.freshName("j")
+    val anyNull = ctx.freshName("anyNull")
+    val mV = m; val kV = kCodes; val subV = sub
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${childGen.isNull}) {
+          int $n = ${childGen.value}.numElements();
+          if ($n != $mV * $subV) {
+            throw new IllegalArgumentException(
+              "adc_lut: input vector has " + $n + " elements but codebooks expect " +
+              ($mV * $subV) + " ($mV books x $subV dims)");
+          }
+          boolean $anyNull = false;
+          double[] $xs = new double[$n];
+          for (int $i = 0; $i < $n; $i++) {
+            if (${childGen.value}.isNullAt($i)) { $anyNull = true; break; }
+            $xs[$i] = ${getter(childGen.value.toString, i)};
+          }
+          if (!$anyNull) {
+            double[] $out = new double[$mV * $kV];
+            for (int $b = 0; $b < $mV; $b++) {
+              double[][] $book = $cbRef[$b];
+              int $off = $b * $subV;
+              for (int $c = 0; $c < $kV; $c++) {
+                double[] $w = $book[$c];
+                double $acc = 0.0;
+                for (int $j = 0; $j < $subV; $j++) { $acc += $xs[$off + $j] * $w[$j]; }
+                $out[$b * $kV + $c] = $acc;
+              }
+            }
+            ${ev.isNull} = false;
+            ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+              .fromPrimitiveArray($out);
+          }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdcLut =
+    copy(child = newChild)
+}
+
+/** Native codegen'd LUT-free PQ-ADC score: given a query vector (length
+  * m·sub) and a candidate's PQ code array (m ints), reconstruct the
+  * asymmetric distance Σ_b vec[b·sub..]·cb[b][codes[b]] directly from the
+  * codebook tensor (a plan reference). The large-codebook sibling of
+  * [[AdcLut]]: the LUT amortizes the per-book dot products across a cell's
+  * candidates but costs 8·m·k bytes PER PROBE ROW through the shuffle join
+  * (16 KB at m=8, k=256 — 32× the d=64 query vector it replaces), so past
+  * `m·k ≈ d` the join payload, not the arithmetic, is the bottleneck.
+  * This expression lets the probe side carry only the 8·d-byte vector;
+  * per pair it spends m·sub = d multiplies (exact-dot arithmetic) while
+  * the CANDIDATE side still ships m-byte codes instead of 8·d-byte
+  * vectors — the payload asymmetry that is the whole point of PQ on a
+  * corpus-sized candidate side.
+  *
+  * Bit parity with the [[AdcLut]] path by construction: each book's dot
+  * accumulates ascending-j into its own partial (one LUT entry), partials
+  * add book-ascending (the `element_at` sum order). Null vector/codes or
+  * any null element → NULL; wrong vector length or a code outside
+  * [0, k) fails fast. Array fields ⇒ deep equals/hashCode.
+  */
+case class AdcScore(
+    left: Expression,  // query vector, array<float|double> of length m·sub
+    right: Expression, // candidate codes, array<int> of length m
+    codebooks: Array[Array[Array[Double]]]
+) extends BinaryExpression {
+
+  private def m: Int = codebooks.length
+  private def kCodes: Int = codebooks(0).length
+  private def sub: Int = codebooks(0)(0).length
+
+  override def equals(other: Any): Boolean = other match {
+    case that: AdcScore =>
+      left == that.left && right == that.right &&
+        java.util.Arrays.deepEquals(
+          codebooks.asInstanceOf[Array[AnyRef]],
+          that.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(
+      left, right,
+      Integer.valueOf(java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])))
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val vecOk = left.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val codesOk = right.dataType match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    }
+    if (vecOk && codesOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"adc_score needs (array<float|double>, array<int>), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def elemIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: InternalRow): Any = {
+    val v = left.eval(input)
+    if (v == null) return null
+    val cd = right.eval(input)
+    if (cd == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    val codes = cd.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != m * sub)
+      throw new IllegalArgumentException(
+        s"adc_score: query vector has $n elements but codebooks expect ${m * sub}")
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"adc_score: code array has ${codes.numElements()} elements but there are $m books")
+    var acc = 0.0
+    var b = 0
+    while (b < m) {
+      if (codes.isNullAt(b)) return null
+      val c = codes.getInt(b)
+      if (c < 0 || c >= kCodes)
+        throw new IllegalArgumentException(
+          s"adc_score: code $c out of range [0, $kCodes) in book $b")
+      val w = codebooks(b)(c)
+      val off = b * sub
+      var part = 0.0
+      var j = 0
+      while (j < sub) {
+        if (a.isNullAt(off + j)) return null
+        val x = if (elemIsFloat) a.getFloat(off + j).toDouble else a.getDouble(off + j)
+        part += x * w(j)
+        j += 1
+      }
+      acc += part
+      b += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val getter =
+      if (elemIsFloat) (a: String, i: String) => s"(double) $a.getFloat($i)"
+      else (a: String, i: String) => s"$a.getDouble($i)"
+    val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc")
+    val part = ctx.freshName("part")
+    val w = ctx.freshName("w")
+    val off = ctx.freshName("off")
+    val b = ctx.freshName("b")
+    val c = ctx.freshName("c")
+    val j = ctx.freshName("j")
+    val anyNull = ctx.freshName("anyNull")
+    val mV = m; val kV = kCodes; val subV = sub
+    val code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${leftGen.isNull} && !${rightGen.isNull}) {
+          int $n = ${leftGen.value}.numElements();
+          if ($n != $mV * $subV) {
+            throw new IllegalArgumentException(
+              "adc_score: query vector has " + $n + " elements but codebooks expect " +
+              ($mV * $subV));
+          }
+          if (${rightGen.value}.numElements() != $mV) {
+            throw new IllegalArgumentException(
+              "adc_score: code array has " + ${rightGen.value}.numElements() +
+              " elements but there are " + $mV + " books");
+          }
+          boolean $anyNull = false;
+          double $acc = 0.0;
+          for (int $b = 0; $b < $mV && !$anyNull; $b++) {
+            if (${rightGen.value}.isNullAt($b)) { $anyNull = true; break; }
+            int $c = ${rightGen.value}.getInt($b);
+            if ($c < 0 || $c >= $kV) {
+              throw new IllegalArgumentException(
+                "adc_score: code " + $c + " out of range [0, " + $kV + ") in book " + $b);
+            }
+            double[] $w = $cbRef[$b][$c];
+            int $off = $b * $subV;
+            double $part = 0.0;
+            for (int $j = 0; $j < $subV; $j++) {
+              if (${leftGen.value}.isNullAt($off + $j)) { $anyNull = true; break; }
+              $part += ${getter(leftGen.value.toString, s"$off + $j")} * $w[$j];
+            }
+            $acc += $part;
+          }
+          if (!$anyNull) { ${ev.isNull} = false; ${ev.value} = $acc; }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Codegen'd `Σ a_i · b_i` over two `array<float|double>` columns. */
   def dotProduct(a: Column, b: Column): Column = {
@@ -634,6 +961,41 @@ object VectorExprs {
     import org.apache.spark.sql.GraftInternal
     GraftInternal.columnOf(
       NearestCells(GraftInternal.expressionOf(vec), cents, norms, nprobe))
+  }
+
+  /** Codegen'd PQ-ADC LUT: all m·k codeword dot products in one tight loop,
+    * book-major layout (`lut[b·k+c]`), codebooks as a plan reference (plan
+    * size O(1) in m·k — see [[AdcLut]]). */
+  def adcLut(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    require(codebooks.nonEmpty, "codebooks must be non-empty")
+    require(codebooks.forall(_.length == codebooks(0).length),
+      s"all codebooks must have the same codeword count, got " +
+        codebooks.map(_.length).distinct.mkString(","))
+    require(codebooks(0).nonEmpty, "each codebook needs at least one codeword")
+    require(codebooks.forall(_.forall(_.length == codebooks(0)(0).length)),
+      s"all codewords must share one sub-dimension, got " +
+        codebooks.flatMap(_.map(_.length)).distinct.mkString(","))
+    import org.apache.spark.sql.GraftInternal
+    GraftInternal.columnOf(AdcLut(GraftInternal.expressionOf(vec), codebooks))
+  }
+
+  /** Codegen'd LUT-free PQ-ADC score from (query vector, candidate codes)
+    * with the codebook tensor as a plan reference — the large-codebook
+    * path where shipping the m·k LUT would dominate the join payload
+    * (see [[AdcScore]]). Bit-identical to `element_at`-summing an
+    * [[adcLut]] array. */
+  def adcScore(vec: Column, codes: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    require(codebooks.nonEmpty, "codebooks must be non-empty")
+    require(codebooks.forall(_.length == codebooks(0).length),
+      s"all codebooks must have the same codeword count, got " +
+        codebooks.map(_.length).distinct.mkString(","))
+    require(codebooks(0).nonEmpty, "each codebook needs at least one codeword")
+    require(codebooks.forall(_.forall(_.length == codebooks(0)(0).length)),
+      s"all codewords must share one sub-dimension, got " +
+        codebooks.flatMap(_.map(_.length)).distinct.mkString(","))
+    import org.apache.spark.sql.GraftInternal
+    GraftInternal.columnOf(AdcScore(
+      GraftInternal.expressionOf(vec), GraftInternal.expressionOf(codes), codebooks))
   }
 
   /** Codegen'd affine projection `mat·(x − shift)` (k×d matrix as a plan

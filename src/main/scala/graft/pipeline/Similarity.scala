@@ -593,28 +593,39 @@ object Similarity {
     // projects BEFORE the probe-cell explode so it is computed once per
     // QUERY, not once per probe row (the Generate only copies the bound
     // array per probe — m·k doubles — instead of re-running m·k·d
-    // multiplies ×nprobe); binding it as an attribute also keeps the HOF
-    // sums from re-deriving per candidate (HOF lambdas get no CSE).
-    val lut = array((for (b <- 0 until m; c <- 0 until kCodes) yield {
-      val w = codebooks(b)(c)
-      aggregate(
-        zip_with(
-          slice(col("vec"), b * sub + 1, sub),
-          array(w.toIndexedSeq.map(lit(_)): _*),
-          (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
-    }): _*)
+    // multiplies ×nprobe). One codegen'd AdcLut expression with the
+    // codebook tensor as a plan reference — the previous m·k separate
+    // zip_with+aggregate HOF spelling made plan size and per-row dispatch
+    // grow with the codebook (k=64 measured ~6× the exact join).
+    // Two payload regimes, switched on the LUT's join footprint vs the
+    // vector's (both paths bit-identical by construction — same
+    // accumulation order — so the switch never changes results):
+    //  - m·k ≤ 2d: ship the LUT, score pairs with m array lookups.
+    //  - m·k > 2d (production codebooks, k = 256): the 8·m·k-byte LUT per
+    //    probe row dominates the shuffle (16 KB vs the 8·d-byte vector at
+    //    m=8, k=256, d=64 — measured slower than the exact join at 200k);
+    //    ship the vector and score pairs with the LUT-free [[AdcScore]]
+    //    (m·sub = d multiplies — exact-dot arithmetic, but the CANDIDATE
+    //    side still ships m-byte codes instead of 8·d-byte vectors, the
+    //    payload asymmetry that matters when the corpus is the big side).
+    val useLut = m.toLong * kCodes <= 2L * m * sub
+    val qPayload =
+      if (useLut) graft.functions.VectorExprs.adcLut(col("vec"), codebooks)
+      else col("vec")
     val probes = base.select(
         col("id").as("query_id"),
-        lut.as("lut"),
+        qPayload.as("qp"),
         graft.functions.VectorExprs
           .nearestCells(col("vec"), centArr, nprobe).as("cells"))
-      .select(col("query_id"), col("lut"), explode(col("cells")).as("cell"))
-    // ADC: per pair, m array lookups + adds — no per-dim arithmetic
-    val adc = (0 until m)
-      .map(b => element_at(col("lut"),
-        lit(b * kCodes + 1) + element_at(col("codes"), b + 1)))
-      .reduce(_ + _)
+      .select(col("query_id"), col("qp"), explode(col("cells")).as("cell"))
+    // ADC: per pair, m array lookups + adds (LUT) or d multiplies (direct)
+    val adc =
+      if (useLut)
+        (0 until m)
+          .map(b => element_at(col("qp"),
+            lit(b * kCodes + 1) + element_at(col("codes"), b + 1)))
+          .reduce(_ + _)
+      else graft.functions.VectorExprs.adcScore(col("qp"), col("codes"), codebooks)
     val wApprox = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     val short = probes.join(assigned, Seq("cell"))

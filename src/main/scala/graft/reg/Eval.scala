@@ -13,12 +13,59 @@ import org.apache.spark.sql.functions._
   * U = Σ_s pos_s · (cumNeg(<s) + ½·neg_s), AUC = U / (P·N), computed over
   * the DISTINCT-SCORE aggregate. The corpus-sized work is ONE partial+
   * final hash aggregate keyed by score; the window cumsum then runs over
-  * distinct scores only. With a continuous score, pass `quantize` to round
-  * to d digits first (the standard binned-AUC estimate) so the
-  * distinct-score table — and the single-partition window over it — stays
-  * bounded no matter the corpus size.
+  * distinct scores only. The whole rank/CDF family (AUC, KS, Spearman,
+  * Mann–Whitney) guards that window's cardinality through [[boundedCuts]]:
+  * bounded-cardinality columns keep the bit-exact algebra, continuous ones
+  * auto-route to `buckets` equal-frequency bins (histogram-CDF cuts — no
+  * sort anywhere), and `exact`/`quantize` remain the explicit overrides.
   */
 object Eval {
+
+  /** Decide the exact-vs-bucketed regime for a rank/CDF metric whose
+    * cumulative window runs over the DISTINCT-value table (AUC, KS,
+    * Spearman, Mann–Whitney) — the scale guard for the metric family.
+    *
+    * The exact path is only safe when that distinct table is bounded: on a
+    * continuous column at corpus scale it IS row-scale, and the
+    * single-partition `Window.orderBy` over it is the solved NTILE cliff in
+    * new clothes (measured 1118 s vs 2.7 s at 180M for the equivalent
+    * binning). So, mirroring `liftCurve`'s bucketed default:
+    *
+    *  - `exact = Some(true)`: caller vouches for bounded cardinality
+    *    (categorical scores, pre-quantized columns, oracle parity) — no
+    *    probe, no cuts, today's bit-exact algebra.
+    *  - `exact = Some(false)`: always bucket into `buckets` equal-frequency
+    *    bins via the histogram-CDF cuts (`Dbbinsreg.quantileCutBins` — two
+    *    narrow scans, ≤ 2^20-row driver state, no sort anywhere).
+    *  - `exact = None` (default): ONE cheap `approx_count_distinct` probe
+    *    picks the regime — exact when the distinct table is under
+    *    `maxExactDistinct` rows (a window that size is trivial), bucketed
+    *    past it. Deterministic for fixed data (HLL++ is order-insensitive),
+    *    and small/categorical inputs keep bit-exact results with no caller
+    *    change.
+    *
+    * Returns None → run exact (group by raw value); Some(cuts) → group by
+    * `caseChainBin(v, cuts)` (≤ 64 cuts: literal chain; above: codegen'd
+    * binary search — O(log B) per row, O(1) plan size). Within-bin value
+    * differences then count as ties, which is the standard binned estimate
+    * for every metric in the family (error ≤ one bin of probability mass).
+    */
+  private def boundedCuts(
+      base: DataFrame,
+      valueCol: String,
+      exact: Option[Boolean],
+      buckets: Int,
+      maxExactDistinct: Int,
+      relErr: Double
+  ): Option[Array[Double]] = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    val wantExact = exact.getOrElse {
+      base.agg(approx_count_distinct(col(valueCol)).as("__d"))
+        .collect()(0).getLong(0) <= maxExactDistinct
+    }
+    if (wantExact) None
+    else graft.binsreg.Dbbinsreg.quantileCutBins(base, valueCol, buckets, relErr)
+  }
 
   /** Per-query ranking-quality metrics over an already-ranked candidate
     * list — the retrieval-eval half of a RAG pipeline (NDCG@k, MRR@k,
@@ -78,30 +125,50 @@ object Eval {
   }
 
   /** Area under the ROC curve of `score` predicting boolean/0-1 `label`.
-    * One scan; ties get half credit (the exact Mann-Whitney convention). */
+    * One scan; ties get half credit (the exact Mann-Whitney convention).
+    * Regime selection (exact vs `buckets` quantile bins) per
+    * [[boundedCuts]] — the default auto-probe keeps bounded-cardinality
+    * scores bit-exact and caps a continuous score's distinct-value window
+    * at `buckets` rows (binned AUC, bias ≤ ~1/(2·buckets)). */
   def auc(
       df: DataFrame,
       score: Column,
       label: Column,
-      quantize: Option[Int] = None
-  ): Double = aucDF(df, score, label, quantize).collect()(0).getDouble(0)
+      quantize: Option[Int] = None,
+      exact: Option[Boolean] = None,
+      buckets: Int = 256,
+      maxExactDistinct: Int = 1 << 17,
+      relErr: Double = 1e-3
+  ): Double =
+    aucDF(df, score, label, quantize, exact, buckets, maxExactDistinct, relErr)
+      .collect()(0).getDouble(0)
 
   /** [[auc]] as a 1-row DataFrame (column `auc`), for plan composition. */
   def aucDF(
       df: DataFrame,
       score: Column,
       label: Column,
-      quantize: Option[Int] = None
+      quantize: Option[Int] = None,
+      exact: Option[Boolean] = None,
+      buckets: Int = 256,
+      maxExactDistinct: Int = 1 << 17,
+      relErr: Double = 1e-3
   ): DataFrame = {
     val s = quantize.fold(score.cast("double"))(d => round(score.cast("double"), d))
     val y = label.cast("double")
-    val g = df
+    val base = df
       .filter(score.isNotNull && label.isNotNull)
       .select(s.as("__s"), y.as("__y"))
-      .groupBy("__s")
+    val key = boundedCuts(base, "__s", exact, buckets, maxExactDistinct, relErr)
+      .fold(col("__s"))(cuts =>
+        graft.binsreg.Dbbinsreg.caseChainBin(col("__s"), cuts).cast("double"))
+    val g = base
+      .select(key.as("__k"), col("__y"))
+      .groupBy("__k")
       .agg(sum(col("__y")).as("__pos"), sum(lit(1.0) - col("__y")).as("__neg"))
-    // window over DISTINCT scores only (bounded after the aggregate)
-    val w = Window.orderBy(col("__s"))
+    // window over DISTINCT keys only (bounded after the aggregate: distinct
+    // scores in the exact regime, ≤ buckets + 1 bins in the bucketed one)
+    val w = Window.orderBy(col("__k"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val u = g
       .withColumn("__cumneg", coalesce(sum(col("__neg")).over(w), lit(0.0)))
@@ -165,11 +232,32 @@ object Eval {
   def spearman(
       df: DataFrame,
       x: Column,
-      y: Column
+      y: Column,
+      exact: Option[Boolean] = None,
+      buckets: Int = 256,
+      maxExactDistinct: Int = 1 << 17,
+      relErr: Double = 1e-3
   ): DataFrame = {
-    val base = df
+    val base0 = df
       .filter(x.isNotNull && y.isNotNull)
       .select(x.cast("double").as("__x"), y.cast("double").as("__y"))
+    // per-variable regime: only an unbounded column pays the binning (its
+    // within-bin values become rank ties — the standard binned estimate);
+    // one fused probe job decides both in auto mode
+    val (exactX, exactY) = exact match {
+      case Some(e) => (Some(e), Some(e))
+      case None =>
+        val r = base0.agg(
+          approx_count_distinct(col("__x")).as("__dx"),
+          approx_count_distinct(col("__y")).as("__dy")).collect()(0)
+        (Some(r.getLong(0) <= maxExactDistinct), Some(r.getLong(1) <= maxExactDistinct))
+    }
+    def keyOf(c: String, e: Option[Boolean]) =
+      boundedCuts(base0, c, e, buckets, maxExactDistinct, relErr)
+        .fold(col(c))(cuts =>
+          graft.binsreg.Dbbinsreg.caseChainBin(col(c), cuts).cast("double"))
+    val base = base0.select(
+      keyOf("__x", exactX).as("__x"), keyOf("__y", exactY).as("__y"))
     def ranks(c: String) = {
       val w = Window.orderBy(col(c)).rowsBetween(Window.unboundedPreceding, -1)
       base
@@ -257,13 +345,24 @@ object Eval {
       ref: DataFrame,
       cur: DataFrame,
       value: Column,
-      quantize: Option[Int] = None
+      quantize: Option[Int] = None,
+      exact: Option[Boolean] = None,
+      buckets: Int = 256,
+      maxExactDistinct: Int = 1 << 17,
+      relErr: Double = 1e-3
   ): DataFrame = {
     val v = quantize.fold(value.cast("double"))(d => round(value.cast("double"), d))
     def side(df: DataFrame, flag: Int) = df
       .filter(value.isNotNull)
       .select(v.as("__v"), lit(flag).as("__side"))
-    val g = side(ref, 0).unionAll(side(cur, 1))
+    val both = side(ref, 0).unionAll(side(cur, 1))
+    // cuts come from the POOLED sample so both CDFs are read on one grid;
+    // binned D underestimates by at most one bin of pooled mass
+    val key = boundedCuts(both, "__v", exact, buckets, maxExactDistinct, relErr)
+      .fold(col("__v"))(cuts =>
+        graft.binsreg.Dbbinsreg.caseChainBin(col("__v"), cuts).cast("double"))
+    val g = both
+      .select(key.as("__v"), col("__side"))
       .groupBy("__v")
       .agg(
         sum(when(col("__side") === 0, 1.0).otherwise(0.0)).as("__r"),
@@ -346,10 +445,23 @@ object Eval {
     * single shared value (σ = 0). Returns one row
     * (n_a, n_b, u, z, p) where u counts pairs won by arm A (+½ per tie).
     */
-  def mannWhitney(df: DataFrame, flag: Column, value: Column): DataFrame = {
-    val g = df
+  def mannWhitney(
+      df: DataFrame,
+      flag: Column,
+      value: Column,
+      exact: Option[Boolean] = None,
+      buckets: Int = 256,
+      maxExactDistinct: Int = 1 << 17,
+      relErr: Double = 1e-3
+  ): DataFrame = {
+    val base = df
       .filter(flag.isNotNull && value.isNotNull)
       .select(flag.cast("boolean").as("__f"), value.cast("double").as("__v"))
+    val key = boundedCuts(base, "__v", exact, buckets, maxExactDistinct, relErr)
+      .fold(col("__v"))(cuts =>
+        graft.binsreg.Dbbinsreg.caseChainBin(col("__v"), cuts).cast("double"))
+    val g = base
+      .select(col("__f"), key.as("__v"))
       .groupBy("__v")
       .agg(sum(when(col("__f"), 1L).otherwise(0L)).cast("double").as("__a"),
         sum(when(!col("__f"), 1L).otherwise(0L)).cast("double").as("__b"))

@@ -150,6 +150,24 @@ class KnnJoinSpec extends SparkTestBase {
     assert(got === brute)
   }
 
+  test("pqRerank large-codebook (LUT-free AdcScore) path equals brute too") {
+    // m·k = 2·5 = 10 > 2d = 8 flips the internal payload switch to the
+    // vector-carrying AdcScore path; exhaustive probing + corpus-wide
+    // shortlist again reduces the result to knnJoinBrute, so this pins the
+    // direct path end-to-end (the bit-parity of AdcScore vs the LUT is
+    // pinned separately in VectorExprsSpec)
+    val books = Similarity.pqTrain(pqClustered, "id", "vec", m = 2, k = 5,
+      iters = 1, dim = 4)
+    val got = Similarity.pqRerankTopK(pqClustered, "id", "vec", 2, books,
+      nCentroids = 4, nprobe = 4, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val brute = Similarity.knnJoinBrute(pqClustered, "id", "vec", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(got === brute)
+  }
+
   test("pqRerank: tight shortlist still finds cluster-mates on separated geometry") {
     val books = Similarity.pqTrain(pqClustered, "id", "vec", m = 2, k = 3,
       iters = 1, dim = 4)

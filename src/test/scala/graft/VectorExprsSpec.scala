@@ -131,6 +131,80 @@ class VectorExprsSpec extends SparkTestBase {
     assert(a != c)
   }
 
+  test("adcLut is bit-identical to the m·k zip_with/aggregate HOF spelling") {
+    val rng = new scala.util.Random(11)
+    val m = 4; val kc = 5; val sub = 8
+    val books = Array.fill(m, kc, sub)(rng.nextDouble() - 0.5)
+    val df = Seq.fill(20)(Array.fill(m * sub)(rng.nextFloat())).toDF("v")
+    // the previous implementation: one HOF aggregate per LUT entry
+    val hofLut = array((for (b <- 0 until m; c <- 0 until kc) yield {
+      aggregate(
+        zip_with(
+          slice(col("v"), b * sub + 1, sub),
+          array(books(b)(c).toIndexedSeq.map(lit(_)): _*),
+          (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+    }): _*)
+    val got = df.select(
+      VectorExprs.adcLut(col("v"), books).as("native"), hofLut.as("hof")).collect()
+    got.foreach { r =>
+      val a = r.getSeq[Double](0); val b = r.getSeq[Double](1)
+      assert(a.length == m * kc && b.length == m * kc)
+      a.zip(b).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) ==
+          java.lang.Double.doubleToLongBits(y))
+      }
+    }
+  }
+
+  test("adcScore is bit-identical to element_at sums over the adcLut array") {
+    val rng = new scala.util.Random(12)
+    val m = 3; val kc = 7; val sub = 4
+    val books = Array.fill(m, kc, sub)(rng.nextDouble() - 0.5)
+    val df = Seq.fill(25)((
+      Array.fill(m * sub)(rng.nextFloat()),
+      Array.fill(m)(rng.nextInt(kc)))).toDF("v", "codes")
+    val viaLut = (0 until m)
+      .map(b => element_at(VectorExprs.adcLut(col("v"), books),
+        lit(b * kc + 1) + element_at(col("codes"), b + 1)))
+      .reduce(_ + _)
+    val got = df.select(
+      VectorExprs.adcScore(col("v"), col("codes"), books).as("native"),
+      viaLut.as("lut")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("adcLut/adcScore null and validation behavior") {
+    val books = Array.fill(2, 3, 2)(0.5)
+    val dfNull = Seq((null.asInstanceOf[Array[Double]], Array(0, 1)))
+      .toDF("v", "codes")
+    val r = dfNull.select(
+      VectorExprs.adcLut(col("v"), books),
+      VectorExprs.adcScore(col("v"), col("codes"), books)).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // wrong vector length fails fast rather than truncating
+    val bad = Seq((Array(1.0, 2.0, 3.0), Array(0, 1))).toDF("v", "codes")
+    val e1 = intercept[Exception] {
+      bad.select(VectorExprs.adcLut(col("v"), books)).collect()
+    }
+    assert(e1.getMessage.contains("adc_lut") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("adc_lut"))
+    // out-of-range code fails fast
+    val oob = Seq((Array(1.0, 2.0, 3.0, 4.0), Array(0, 9))).toDF("v", "codes")
+    val e2 = intercept[Exception] {
+      oob.select(VectorExprs.adcScore(col("v"), col("codes"), books)).collect()
+    }
+    assert(e2.getMessage.contains("adc_score") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("adc_score"))
+    // ragged codebooks are rejected at construction
+    intercept[IllegalArgumentException] {
+      VectorExprs.adcLut(col("v"), Array(Array(Array(1.0)), Array(Array(1.0, 2.0))))
+    }
+  }
+
   test("meanPool equals the collected per-group mean; misfit rows skipped") {
     import graft.pipeline.Similarity
     val emb = sf("sf0.001", "embeddings")
