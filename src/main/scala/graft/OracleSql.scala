@@ -162,6 +162,30 @@ object OracleSql {
       |        / (SELECT c3.c FROM qcum c3 WHERE c3.b = qsel.b)) AS cut
       |  FROM qsel, qstats st)""".stripMargin
 
+  /** Parametric generalization of [[DecileCutCtes]]: the `bins − 1`
+    * interior equal-frequency cut points of a caller-supplied `v(s, …)`
+    * table via the identical 1024-bucket histogram-CDF algebra the
+    * engine's `Dbbinsreg.quantileCutBins` runs (every step the same
+    * IEEE-double expression, the q69/q197 pin). The caller prepends its
+    * own `v AS (…)` CTE; this yields `cuts(cut)`. */
+  private def quantileCutCtesFromV(bins: Int): String =
+    s"""qstats AS (SELECT min(s) AS mn, max(s) AS mx,
+       |    CAST(count(*) AS DOUBLE) AS n FROM v),
+       |qhist AS (SELECT CAST(least(floor((s - st.mn)
+       |      / ((st.mx - st.mn) / 1024)), 1023) AS INT) AS b,
+       |    CAST(count(*) AS DOUBLE) AS c
+       |  FROM v, qstats st GROUP BY 1),
+       |qcum AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum FROM qhist),
+       |qprobs AS (SELECT CAST(unnest(range(1, $bins)) AS DOUBLE) / $bins AS prob),
+       |qsel AS (SELECT p.prob, min(h.b) AS b
+       |  FROM qprobs p JOIN qcum h ON h.cum >= p.prob * (SELECT n FROM qstats)
+       |  GROUP BY p.prob),
+       |cuts AS (SELECT st.mn + ((st.mx - st.mn) / 1024) * (qsel.b
+       |      + (qsel.prob * st.n
+       |         - COALESCE((SELECT max(c2.cum) FROM qcum c2 WHERE c2.b < qsel.b), 0))
+       |        / (SELECT c3.c FROM qcum c3 WHERE c3.b = qsel.b)) AS cut
+       |  FROM qsel, qstats st)""".stripMargin
+
   /** distinct (id, bigram-shingle) pairs over documents. */
   private val ShingleSets =
     s"""sh AS (SELECT DISTINCT doc_id AS id, unnest(${bigrams(toks("text"))}) AS shingle
@@ -2456,6 +2480,26 @@ object OracleSql {
         |SELECT (sum(pos*(cumneg + 0.5*neg))
         |  / ((SELECT sum(pos) FROM g) * (SELECT sum(neg) FROM g)))::REAL AS auc
         |FROM w""".stripMargin,
+
+    // bucketed AUC: the engine's forced-bucket regime on a continuous
+    // score — identical 256-bin histogram-CDF cut algebra (the q197 pin),
+    // count-below bin assignment, then the same tie-half-credit U over
+    // the ≤257-bin aggregate
+    "q227_auc_bucketed" ->
+      s"""WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) s,
+         |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END y
+         |  FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+         |${quantileCutCtesFromV(256)},
+         |r AS (SELECT 1 + (SELECT count(*) FROM cuts WHERE v.s > cuts.cut)
+         |    AS k, v.y FROM v),
+         |g AS (SELECT k, sum(y) pos, sum(1.0 - y) neg FROM r GROUP BY k),
+         |w AS (SELECT k, pos, neg,
+         |    coalesce(sum(neg) OVER (ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cumneg FROM g)
+         |SELECT (sum(pos*(cumneg + 0.5*neg))
+         |  / ((SELECT sum(pos) FROM g) * (SELECT sum(neg) FROM g)))::REAL AS auc
+         |FROM w""".stripMargin,
 
     // weighted isotonic fit by the minimax formula
     // ŷ(s) = max_{j≤s} min_{k≥s} (Σ_{j..k} y)/(Σ_{j..k} n) — evaluated by

@@ -2738,6 +2738,18 @@ object Queries {
         .select(col("side"), col("id"),
           col("factor").cast("float").as("factor"))
         .orderBy("side", "id")),
+
+    // bucketed AUC on a CONTINUOUS score (the scale regime): forced
+    // exact=false routes through the 256-bin histogram-CDF cuts — the
+    // oracle replicates the identical cut algebra (the q197 pin) and the
+    // count-below bin assignment, so the binned estimate is bit-comparable
+    // cross-engine. The exact regime stays pinned by q111.
+    "q227_auc_bucketed" -> ((s, dir) =>
+      graft.reg.Eval.aucDF(li(s, dir),
+        score = col("l_extendedprice"),
+        label = col("l_returnflag") === "R",
+        exact = Some(false), buckets = 256)
+        .select(col("auc").cast("float").as("auc"))),
   )
 
   /** Operator family per battery query (round-8 verdict item #7): the
@@ -2834,6 +2846,7 @@ object Queries {
         "q186_expectations", "q190_corr_matrix", "q193_histogram",
         "q194_mann_whitney", "q195_chisq_gof", "q197_lift_curve_bucketed",
         "q198_woe_bins_bucketed", "q217_ranking_metrics",
+        "q227_auc_bucketed",
         "q220_anova_oneway", "q224_mutual_info"),
       "timeseries-ml" -> Seq(
         "q221_ses_forecast", "q222_acf", "q223_stump_splits",

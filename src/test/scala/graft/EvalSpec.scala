@@ -53,6 +53,68 @@ class EvalSpec extends SparkTestBase {
     assert(exact != binned)
   }
 
+  test("bucketed regime: forced bucketing approximates exact on continuous scores") {
+    // a continuous score with signal: exact vs exact=Some(false) (forced
+    // 256-bin histogram-CDF path) must agree within the binned-estimate
+    // error, and the KS/Spearman/Mann-Whitney siblings likewise
+    val rng = new scala.util.Random(99)
+    val data = (1 to 3000).map { _ =>
+      val label = rng.nextBoolean()
+      val score = rng.nextGaussian() + (if (label) 0.8 else 0.0)
+      (score, label)
+    }
+    val df = data.toDF("score", "label")
+    val exact = Eval.auc(df, col("score"), col("label"), exact = Some(true))
+    val binned = Eval.auc(df, col("score"), col("label"), exact = Some(false))
+    assert(math.abs(exact - binned) < 0.01, s"$exact vs $binned")
+    // auto mode picks exact here (3000 distinct « the bound): bit-identical
+    val auto = Eval.auc(df, col("score"), col("label"))
+    assert(java.lang.Double.doubleToLongBits(auto) ==
+      java.lang.Double.doubleToLongBits(exact))
+
+    val xy = (1 to 3000).map { _ =>
+      val x = rng.nextGaussian(); (x, 0.7 * x + 0.3 * rng.nextGaussian())
+    }
+    val dxy = xy.toDF("x", "y")
+    val rhoE = Eval.spearman(dxy, col("x"), col("y"), exact = Some(true))
+      .head.getDouble(0)
+    val rhoB = Eval.spearman(dxy, col("x"), col("y"), exact = Some(false))
+      .head.getDouble(0)
+    assert(math.abs(rhoE - rhoB) < 0.01, s"$rhoE vs $rhoB")
+
+    val ref = xy.map(_._1).toDF("v")
+    val cur = xy.map(t => t._1 + 0.3).toDF("v")
+    val dE = Eval.ksTest(ref, cur, col("v"), exact = Some(true)).head.getDouble(0)
+    val dB = Eval.ksTest(ref, cur, col("v"), exact = Some(false)).head.getDouble(0)
+    // binned D underestimates by at most ~one bin of pooled mass (1/256)
+    assert(dB <= dE + 1e-12 && dE - dB < 0.01, s"$dE vs $dB")
+
+    val mwd = data.map { case (s, l) => (l, s) }.toDF("f", "v")
+    val zE = Eval.mannWhitney(mwd, col("f"), col("v"), exact = Some(true))
+      .head.getAs[Double]("z")
+    val zB = Eval.mannWhitney(mwd, col("f"), col("v"), exact = Some(false))
+      .head.getAs[Double]("z")
+    // z is O(sqrt(n))-scaled; compare the implied effect u/(na*nb)
+    assert(math.abs(zE - zB) / math.sqrt(3000.0) < 0.02, s"$zE vs $zB")
+  }
+
+  test("bucketed regime plan pin: window keys on the binary-search bin, not raw scores") {
+    val rng = new scala.util.Random(7)
+    // repartition keeps the projection in the plan (a bare local Seq gets
+    // constant-folded into a LocalTableScan, hiding the bin expression)
+    val df = (1 to 500).map(_ => (rng.nextGaussian(), rng.nextBoolean()))
+      .toDF("score", "label").repartition(2)
+    val bucketed = Eval.aucDF(df, col("score"), col("label"),
+      exact = Some(false), buckets = 256)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    // the scale contract: the cumulative window's input is the hash
+    // aggregate keyed by the codegen'd binary-search bin (≤ buckets + 1
+    // rows), never the raw distinct-score table
+    assert(plan.toLowerCase.contains("bucketbin"),
+      s"bucketed AUC must bin via BucketBin:\n$plan")
+    assert(!plan.contains("ntile"), s"no NTILE anywhere:\n$plan")
+  }
+
   test("null scores and labels are excluded") {
     val df = Seq(
       (Some(2.0), Some(true)), (Some(1.0), Some(false)),

@@ -168,6 +168,32 @@ class KnnJoinSpec extends SparkTestBase {
     assert(got === brute)
   }
 
+  test("pqRerank plan pins: one AdcLut (small codebooks) / AdcScore carrying the vector (large)") {
+    // repartition keeps projections in the plan (a bare local Seq gets
+    // constant-folded into a LocalTableScan, hiding the expressions)
+    val corpus = pqClustered.repartition(2)
+    val small = Similarity.pqTrain(corpus, "id", "vec", m = 2, k = 3,
+      iters = 1, dim = 4)
+    val planSmall = Similarity.pqRerankTopK(corpus, "id", "vec", 2, small,
+      nCentroids = 4, nprobe = 2, shortlist = 4)
+      .queryExecution.executedPlan.toString.toLowerCase
+    // the LUT is ONE codegen'd expression, not m·k HOF aggregates
+    assert(planSmall.contains("adclut"), s"LUT path must use AdcLut:\n$planSmall")
+    assert(!planSmall.contains("zip_with"),
+      s"no HOF LUT construction remains:\n$planSmall")
+    val big = Similarity.pqTrain(corpus, "id", "vec", m = 2, k = 5,
+      iters = 1, dim = 4)
+    val planBig = Similarity.pqRerankTopK(corpus, "id", "vec", 2, big,
+      nCentroids = 4, nprobe = 2, shortlist = 4)
+      .queryExecution.executedPlan.toString.toLowerCase
+    // past m·k > 2d the probe side ships the vector, scored by AdcScore —
+    // no m·k-entry LUT array rides the candidate join
+    assert(planBig.contains("adcscore"),
+      s"large-codebook path must use AdcScore:\n$planBig")
+    assert(!planBig.contains("adclut"),
+      s"no LUT payload on the large-codebook path:\n$planBig")
+  }
+
   test("pqRerank: tight shortlist still finds cluster-mates on separated geometry") {
     val books = Similarity.pqTrain(pqClustered, "id", "vec", m = 2, k = 3,
       iters = 1, dim = 4)
