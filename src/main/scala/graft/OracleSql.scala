@@ -2501,6 +2501,86 @@ object OracleSql {
          |  / ((SELECT sum(pos) FROM g) * (SELECT sum(neg) FROM g)))::REAL AS auc
          |FROM w""".stripMargin,
 
+    // batch BM25: three queries in one corpus pass — postings restricted
+    // to the term UNION (per-token df/tf are unchanged by widening the
+    // restriction, so per-query scores equal q117 with that term set),
+    // per-(query, doc) contrib sums, per-query top-10 by (bm25 DESC, id)
+    "q228_bm25_batch" ->
+      s"""WITH q AS (SELECT * FROM (VALUES
+         |    (0, ['hash', 'join']),
+         |    (1, ['stream', 'vector']),
+         |    (2, ['hash', 'vector', 'stream'])) AS t(query_id, terms)),
+         |qt AS (SELECT DISTINCT query_id, unnest(terms) AS token FROM q),
+         |tk AS (SELECT doc_id AS id, ${toks("text")} AS t FROM documents),
+         |l AS (SELECT id, len(t)::DOUBLE AS dl FROM tk),
+         |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM l),
+         |tok AS (SELECT id, unnest(t) AS token FROM tk),
+         |p AS (SELECT id, token, count(*)::DOUBLE AS tf FROM tok
+         |  WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+         |dfc AS (SELECT token, count(*)::DOUBLE AS df FROM p GROUP BY 1),
+         |sc AS (SELECT qt.query_id, p.id,
+         |    sum(ln((st.n_docs - dfc.df + 0.5)/(dfc.df + 0.5) + 1.0)
+         |        * p.tf * (1.2 + 1.0)
+         |        / (p.tf + 1.2*(1.0 - 0.75 + 0.75*l.dl/st.avgdl))) AS bm25,
+         |    count(*) AS n_matched
+         |  FROM p JOIN dfc USING (token) JOIN l ON p.id = l.id
+         |    JOIN qt USING (token) CROSS JOIN st
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, id, bm25, n_matched, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY bm25 DESC, id) AS bm25_rank
+         |  FROM sc)
+         |SELECT query_id, id, bm25::REAL AS bm25, n_matched, bm25_rank
+         |FROM r WHERE bm25_rank <= 10
+         |ORDER BY query_id, id""".stripMargin,
+
+    // batch hybrid RRF: the q215 fusion per query — lexical candidates =
+    // batch BM25 top-15, semantic candidates = cosine top-15 against each
+    // query vector (vec_id 0..2), reciprocal-rank fuse keyed by query
+    "q229_hybrid_batch" ->
+      s"""WITH q AS (SELECT * FROM (VALUES
+         |    (0, ['hash', 'join']),
+         |    (1, ['stream', 'vector']),
+         |    (2, ['hash', 'vector', 'stream'])) AS t(query_id, terms)),
+         |qt AS (SELECT DISTINCT query_id, unnest(terms) AS token FROM q),
+         |tk AS (SELECT doc_id AS id, ${toks("text")} AS t FROM documents),
+         |l AS (SELECT id, len(t)::DOUBLE AS dl FROM tk),
+         |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM l),
+         |tok AS (SELECT id, unnest(t) AS token FROM tk),
+         |p AS (SELECT id, token, count(*)::DOUBLE AS tf FROM tok
+         |  WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+         |dfc AS (SELECT token, count(*)::DOUBLE AS df FROM p GROUP BY 1),
+         |sc AS (SELECT qt.query_id, p.id,
+         |    sum(ln((st.n_docs - dfc.df + 0.5)/(dfc.df + 0.5) + 1.0)
+         |        * p.tf * (1.2 + 1.0)
+         |        / (p.tf + 1.2*(1.0 - 0.75 + 0.75*l.dl/st.avgdl))) AS bm25
+         |  FROM p JOIN dfc USING (token) JOIN l ON p.id = l.id
+         |    JOIN qt USING (token) CROSS JOIN st
+         |  GROUP BY 1, 2),
+         |lex AS (SELECT query_id, id, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY bm25 DESC, id) AS lex_rank
+         |  FROM sc QUALIFY lex_rank <= 15),
+         |qv AS (SELECT vec_id AS query_id, embedding AS v FROM embeddings
+         |  WHERE vec_id < 3),
+         |cs AS (SELECT qv.query_id, e.vec_id AS id,
+         |    ${cosSql("e.embedding", "qv.v")} AS cos
+         |  FROM embeddings e CROSS JOIN qv
+         |  WHERE list_sum(list_transform(range(1, len(e.embedding)+1),
+         |    i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) > 0),
+         |sem AS (SELECT query_id, id, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY cos DESC, id) AS sem_rank
+         |  FROM cs QUALIFY sem_rank <= 15),
+         |f AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+         |    coalesce(lex.id, sem.id) AS id, lex_rank, sem_rank,
+         |    coalesce(1.0::DOUBLE/(60 + lex_rank), 0.0)
+         |      + coalesce(1.0::DOUBLE/(60 + sem_rank), 0.0) AS rrf
+         |  FROM lex FULL OUTER JOIN sem
+         |    ON lex.query_id = sem.query_id AND lex.id = sem.id),
+         |top AS (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY rrf DESC, id) AS rr FROM f
+         |  QUALIFY rr <= 10)
+         |SELECT query_id, id, lex_rank, sem_rank, rrf::REAL AS rrf
+         |FROM top ORDER BY query_id, id""".stripMargin,
+
     // weighted isotonic fit by the minimax formula
     // ŷ(s) = max_{j≤s} min_{k≥s} (Σ_{j..k} y)/(Σ_{j..k} n) — evaluated by
     // self-joins over the 50-row distinct-score table (PAV equals this by

@@ -2750,6 +2750,50 @@ object Queries {
         label = col("l_returnflag") === "R",
         exact = Some(false), buckets = 256)
         .select(col("auc").cast("float").as("auc"))),
+
+    // batch BM25: THREE queries scored against the corpus in ONE scan —
+    // postings prune to the term UNION before any shuffle, per-(doc,token)
+    // contribs fan out to queries via a broadcast join, per-query top-10
+    // via the sharded two-phase window (no corpus-sized window partition).
+    // Per-query rows are row-identical to q117 run with that term set.
+    "q228_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(
+        (0L, Seq("hash", "join")),
+        (1L, Seq("stream", "vector")),
+        (2L, Seq("hash", "vector", "stream"))).toDF("query_id", "terms")
+      graft.pipeline.Retrieval.bm25TopKBatch(
+          docs(s, dir), "doc_id", "text", q, "query_id", "terms", k = 10)
+        .select(col("query_id"), col("id"),
+          col("bm25").cast("float").as("bm25"), col("n_matched"),
+          col("bm25_rank"))
+        .orderBy("query_id", "id")
+    }),
+
+    // batch hybrid retrieval: the q215 BM25 ⊕ cosine ⊕ RRF fusion for
+    // THREE queries at once — one corpus scan per branch for all queries
+    // (query vectors broadcast against the embeddings; lexical candidates
+    // from the batch BM25), per-query fusion keyed by query_id
+    "q229_hybrid_batch" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val qvecs = e.filter(col("vec_id") < 3L)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Number](1).toArray.map(_.doubleValue).toSeq))
+      val terms = Map(
+        0L -> Seq("hash", "join"),
+        1L -> Seq("stream", "vector"),
+        2L -> Seq("hash", "vector", "stream"))
+      val q = qvecs.toSeq.map { case (qid, qv) => (qid, terms(qid), qv) }
+        .toDF("query_id", "terms", "qvec")
+      graft.pipeline.Retrieval.hybridTopKBatch(
+          docs(s, dir), "doc_id", "text", q, "query_id", "terms", "qvec",
+          e, "vec_id", "embedding", k = 10, candidateK = 15, rrfK = 60)
+        .select(col("query_id"), col("id"), col("lex_rank"), col("sem_rank"),
+          col("rrf").cast("float").as("rrf"))
+        .orderBy("query_id", "id")
+    }),
   )
 
   /** Operator family per battery query (round-8 verdict item #7): the
@@ -2801,7 +2845,7 @@ object Queries {
         "q203_knn_join_brute", "q204_knn_join",
         "q82_int8_quantize", "q92_vector_index", "q113_label_centroids",
         "q196_pq_mse", "q212_pq_rerank", "q215_hybrid_rrf",
-        "q216_silhouette", "q218_mmr_rerank"),
+        "q216_silhouette", "q218_mmr_rerank", "q229_hybrid_batch"),
       "text" -> Seq(
         "q37_text_analysis", "q38_text_quality_agg", "q42_vocab_topk",
         "q45_json_extract", "q46_lm_score", "q55_tfidf_top_term",
@@ -2809,7 +2853,7 @@ object Queries {
         "q75_url_domains", "q77_ccnet_buckets", "q84_pack_sequences",
         "q86_token_entropy", "q91_strip_markup", "q98_gopher_rules",
         "q100_curation_pipeline", "q102_nfc_normalize", "q117_bm25_topk",
-        "q219_prf_expansion", "q225_textrank",
+        "q219_prf_expansion", "q225_textrank", "q228_bm25_batch",
         "q119_token_chi2", "q121_pmi_collocations", "q122_zipf_spectrum",
         "q126_js_divergence", "q134_bpe_train", "q135_bpe_segment",
         "q136_repetition_signals", "q145_dsir_scores", "q149_phrase_search",

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.Staging.StagedFrame
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -159,6 +160,166 @@ object Retrieval {
     selected.toSeq.zipWithIndex
       .map { case ((id, mmr, rel), i) => (id, i + 1, mmr, rel) }
       .toDF(idCol, "mmr_rank", "mmr", relCol)
+  }
+
+  /** Exact per-query top-k via a query-partitioned rank window. The
+    * NTILE-cliff rule does NOT bite here even when the per-query candidate
+    * set is corpus-sized: because the rank is immediately filtered to
+    * ≤ k, Spark plans a PARTIAL `WindowGroupLimit` on the map side — each
+    * upstream partition keeps only its own top k per query (a bounded
+    * heap-style cut) BEFORE the exchange, so the final per-query sort sees
+    * ≤ k·num_upstream_partitions rows, never the corpus. The spec pins
+    * this shape (`RetrievalSpec`: partial+final WindowGroupLimit, no
+    * rangepartitioning). Requires k ≤
+    * `spark.sql.window.group.limit.threshold` (default 1000) — above
+    * that, cut candidates upstream first. Ordering: score desc, id asc
+    * (the [[Similarity.knnJoinBrute]] tie rule). */
+  private def perQueryTopK(
+      df: DataFrame,
+      qidCol: String,
+      idCol: String,
+      scoreCol: String,
+      k: Int,
+      rankName: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn(rankName, row_number().over(w))
+      .filter(col(rankName) <= k)
+  }
+
+  /** Batch Okapi BM25: score N queries against the corpus in ONE corpus
+    * scan. `queries` is a (query-id, term-array) table — model-sized by
+    * contract, like k-means centroids: the distinct term union reaches the
+    * driver so postings prune BEFORE any shuffle (BM25 needs the term set
+    * at plan-build time; a retrieval eval ships thousands of queries, not
+    * millions). Returns (query_id, id, bm25, n_matched, bm25_rank) with
+    * per-query top `k`, ties → lowest id — per-query results are
+    * row-identical to [[TextOps.bm25TopK]] run with that query's terms
+    * (df/idf/avgdl are per-token/corpus stats, unchanged by the union).
+    *
+    * Scale shape: one corpus scan into the staged pruned-postings base
+    * (id, dl, matched-terms — the [[TextOps.bm25TopK]] shape with an
+    * `InSet` term filter); corpus stats and per-token df broadcast;
+    * query fan-out happens AFTER per-(doc, token) scoring via a broadcast
+    * join against the (query, token) table, so the corpus never scans or
+    * shuffles per query; per-query top-k via the group-limited rank
+    * window (map-side partial cut — no corpus-global sort, no
+    * corpus-sized final sort partition). */
+  def bm25TopKBatch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      termsCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(k > 0, s"top-k must be positive, got $k")
+    val qterms = queries
+      .select(col(qidCol).as("query_id"), explode(col(termsCol)).as("token"))
+      .distinct()
+    val termSet = qterms.select("token").distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(termSet.nonEmpty, "batch query table has no terms")
+    val base = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__t"))
+      .select(
+        col("id"),
+        size(col("__t")).cast("double").as("dl"),
+        filter(col("__t"), t => t.isInCollection(termSet)).as("qt"))
+      .staged
+    val lens = base.select(col("id"), col("dl"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val posts = base
+      .select(col("id"), explode(col("qt")).as("token"))
+      .groupBy("id", "token")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfc = posts.groupBy("token")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val perQuery = posts
+      .join(broadcast(dfc), "token")
+      .join(lens, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .join(broadcast(qterms), "token")
+      .groupBy("query_id", "id")
+      .agg(sum(col("contrib")).as("bm25"), count(lit(1)).as("n_matched"))
+    perQueryTopK(perQuery, "query_id", "id", "bm25", k, "bm25_rank")
+      .select("query_id", "id", "bm25", "n_matched", "bm25_rank")
+  }
+
+  /** Batch hybrid retrieval: BM25 ⊕ embedding-cosine for N queries in one
+    * pass each. `queries` carries (query-id, term-array, query-vector);
+    * returns (query_id, id, lex_rank, sem_rank, rrf) — per-query RRF top
+    * `k`, null rank = absent from that branch's candidate list, the
+    * [[hybridTopK]] contract keyed by query.
+    *
+    * Scale shape: the lexical branch is [[bm25TopKBatch]] (one corpus
+    * scan for all queries); the semantic branch broadcasts the N query
+    * vectors against the nonzero-norm corpus — one corpus scan computing
+    * N cosines per row — with per-query candidates cut by the sharded
+    * two-phase top-k (no corpus-sized window partition). Pass
+    * `semCandidates` (query_id, id, sem_rank; ranks from 1) to source the
+    * semantic branch from a persisted ANN index instead
+    * ([[graft.pipeline.VectorIndex]] / [[Similarity.ivfTopK]] renamed to
+    * the same columns) — the fusion plan downstream is identical, and the
+    * exact scan never runs. */
+  def hybridTopKBatch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      termsCol: String,
+      qvecCol: String,
+      emb: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      k: Int,
+      candidateK: Int = 60,
+      rrfK: Int = 60,
+      semCandidates: Option[DataFrame] = None
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(candidateK >= k, s"candidateK ($candidateK) must be >= k ($k)")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    val lex = bm25TopKBatch(docs, idCol, textCol,
+        queries.select(col(qidCol).as("query_id"), col(termsCol).as("terms")),
+        "query_id", "terms", candidateK)
+      .select(col("query_id"), col("id"), col("bm25_rank").as("lex_rank"))
+    val sem = semCandidates.getOrElse {
+      val qv = broadcast(
+        queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qvec")))
+      val scored = emb
+        .filter(graft.functions.VectorExprs
+          .dotProduct(col(vecCol), col(vecCol)) > 0)
+        .select(col(embIdCol).as("id"), col(vecCol).as("vec"))
+        .crossJoin(qv)
+        .select(col("query_id"), col("id"),
+          Similarity.cosine(col("vec"), col("qvec")).as("__cos"))
+      perQueryTopK(scored, "query_id", "id", "__cos", candidateK,
+        "sem_rank")
+    }.select(col("query_id"), col("id"), col("sem_rank"))
+    val fused = lex.join(sem, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)))
+          .as("rrf"))
+    // fusion input is ≤ 2·candidateK rows per query already — a plain
+    // per-query window is bounded; rank then cut to k
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("id").asc)
+    fused.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select("query_id", "id", "lex_rank", "sem_rank", "rrf")
   }
 
   /** BM25 ⊕ embedding-cosine hybrid top-k for ONE query (`terms` +

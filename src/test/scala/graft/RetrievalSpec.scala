@@ -74,6 +74,94 @@ class RetrievalSpec extends SparkTestBase {
     assert(out.count() <= 5)
   }
 
+  test("bm25TopKBatch: per-query rows identical to single-query bm25TopK") {
+    val docs = sf("sf0.001", "documents")
+    val queries = Seq(
+      (0L, Seq("hash", "join")),
+      (1L, Seq("stream", "vector")),
+      (2L, Seq("hash", "vector", "stream"))).toDF("query_id", "terms")
+    val batch = Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+        queries, "query_id", "terms", k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    for ((qid, terms) <- Seq(0L -> Seq("hash", "join"),
+        1L -> Seq("stream", "vector"),
+        2L -> Seq("hash", "vector", "stream"))) {
+      val single = graft.pipeline.TextOps
+        .bm25TopK(docs, "doc_id", "text", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      val got = batch(qid).sortBy(t => (-t._3, t._2))
+        .map(t => (t._2, t._3, t._4)).toSeq
+      assert(got.map(_._1) === single.map(_._1).toSeq, s"query $qid ids")
+      got.zip(single).foreach { case (g, s) =>
+        assert(math.abs(g._2 - s._2) < 1e-12, s"query $qid bm25")
+        assert(g._3 === s._3, s"query $qid n_matched")
+      }
+    }
+  }
+
+  test("bm25TopKBatch plan: one staged corpus scan, group-limited window, no global sort") {
+    val docs = sf("sf0.001", "documents")
+    val queries = Seq(
+      (0L, Seq("hash", "join")),
+      (1L, Seq("stream", "vector"))).toDF("query_id", "terms")
+    val out = Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+      queries, "query_id", "terms", k = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    // corpus flows from the ONE staged pruned-postings base — the
+    // documents parquet is never re-scanned downstream of it
+    assert(!plan.contains("Scan parquet"), plan.take(3000))
+    // no global sort anywhere: the final orderBy is absent, candidate
+    // cuts are rank windows, fusion keys hash-partition
+    assert(!plan.contains("rangepartitioning"), plan.take(3000))
+    // the rank-filter top-k must plan as partial+final WindowGroupLimit:
+    // the map side cuts each upstream partition to its own top k BEFORE
+    // the exchange, so no corpus-sized partition is ever sorted (the
+    // perQueryTopK contract)
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(plan.contains("Partial"), plan.take(3000))
+  }
+
+  test("hybridTopKBatch: per-query rows match hybridTopK; semCandidates override is used") {
+    val docs = sf("sf0.001", "documents")
+    val emb = sf("sf0.001", "embeddings")
+    val qv = emb.filter(col("vec_id") < 2L)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Number](1).toArray.map(_.doubleValue)))
+    val terms = Map(0L -> Seq("hash", "join"), 1L -> Seq("stream", "vector"))
+    val queries = qv.toSeq
+      .map { case (qid, v) => (qid, terms(qid), v.toSeq) }
+      .toDF("query_id", "terms", "qvec")
+    val batch = Retrieval.hybridTopKBatch(docs, "doc_id", "text",
+        queries, "query_id", "terms", "qvec",
+        emb, "vec_id", "embedding", k = 8, candidateK = 12)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)), r.getDouble(4)))
+      .groupBy(_._1)
+    for ((qid, v) <- qv) {
+      val single = Retrieval.hybridTopK(docs, "doc_id", "text", terms(qid),
+          emb, "vec_id", "embedding", v, k = 8, candidateK = 12)
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+          r.getDouble(3)))
+        .sortBy(_._1)
+      val got = batch(qid).map(t => (t._2, t._3, t._4, t._5)).sortBy(_._1).toSeq
+      assert(got === single.toSeq, s"query $qid")
+    }
+    // a pre-ranked semantic list (e.g. from the persisted IVF index)
+    // replaces the exact scan: fusion must consume it verbatim
+    val semPre = Seq((0L, 42L, 1), (1L, 43L, 1)).toDF("query_id", "id", "sem_rank")
+    val fused = Retrieval.hybridTopKBatch(docs, "doc_id", "text",
+        queries, "query_id", "terms", "qvec",
+        emb, "vec_id", "embedding", k = 8, candidateK = 12,
+        semCandidates = Some(semPre))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(3))))
+    assert(fused.filter(_._3.isDefined).map(t => (t._1, t._2)).toSet ===
+      Set((0L, 42L), (1L, 43L)))
+  }
+
   test("prfExpandedTopK: feedback terms retrieve docs the raw query misses") {
     val docs = Seq(
       (1L, "apple banana banana"),
