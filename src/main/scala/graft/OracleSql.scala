@@ -168,11 +168,18 @@ object OracleSql {
     * engine's `Dbbinsreg.quantileCutBins` runs (every step the same
     * IEEE-double expression, the q69/q197 pin). The caller prepends its
     * own `v AS (…)` CTE; this yields `cuts(cut)`. */
-  private def quantileCutCtesFromV(bins: Int): String =
+  /** Histogram-CDF quantile cuts over a CTE `v(s)` — the DuckDB mirror of
+    * `Dbbinsreg.histQuantiles`. The histogram bucket count is derived
+    * from `relErr` with the ENGINE'S formula (min(2^20, max(1024,
+    * ceil(1/relErr)))) so the two stay bit-comparable for any relErr a
+    * query pins — the default 1e-3 maps to exactly 1024. A query using
+    * this CTE must pass the same relErr it passes the Spark call. */
+  private def quantileCutCtesFromV(bins: Int, relErr: Double = 1e-3): String = {
+    val hb = math.min(1L << 20, math.max(1024L, math.ceil(1.0 / relErr).toLong))
     s"""qstats AS (SELECT min(s) AS mn, max(s) AS mx,
        |    CAST(count(*) AS DOUBLE) AS n FROM v),
        |qhist AS (SELECT CAST(least(floor((s - st.mn)
-       |      / ((st.mx - st.mn) / 1024)), 1023) AS INT) AS b,
+       |      / ((st.mx - st.mn) / $hb)), ${hb - 1}) AS INT) AS b,
        |    CAST(count(*) AS DOUBLE) AS c
        |  FROM v, qstats st GROUP BY 1),
        |qcum AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum FROM qhist),
@@ -180,11 +187,12 @@ object OracleSql {
        |qsel AS (SELECT p.prob, min(h.b) AS b
        |  FROM qprobs p JOIN qcum h ON h.cum >= p.prob * (SELECT n FROM qstats)
        |  GROUP BY p.prob),
-       |cuts AS (SELECT st.mn + ((st.mx - st.mn) / 1024) * (qsel.b
+       |cuts AS (SELECT st.mn + ((st.mx - st.mn) / $hb) * (qsel.b
        |      + (qsel.prob * st.n
        |         - COALESCE((SELECT max(c2.cum) FROM qcum c2 WHERE c2.b < qsel.b), 0))
        |        / (SELECT c3.c FROM qcum c3 WHERE c3.b = qsel.b)) AS cut
        |  FROM qsel, qstats st)""".stripMargin
+  }
 
   /** distinct (id, bigram-shingle) pairs over documents. */
   private val ShingleSets =

@@ -33,8 +33,8 @@ object ProfEval {
     val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
     // deterministic row-unique jitter: replicas differ in (orderkey,
     // linenumber, suppkey) triples after ScaleUp's key-shifting
-    val jitter = (abs(xxhash64(col("l_orderkey"), col("l_linenumber"),
-      col("l_suppkey"), col("l_partkey"))) % 1000000L).cast("double") / 1e9
+    val jitter = pmod(xxhash64(col("l_orderkey"), col("l_linenumber"),
+      col("l_suppkey"), col("l_partkey")), lit(1000000L)).cast("double") / 1e9
     val li = li0.select(
       (col("l_extendedprice") + jitter).as("score"),
       (col("l_quantity").cast("double") + jitter * 7.0).as("score2"),

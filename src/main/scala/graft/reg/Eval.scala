@@ -21,6 +21,34 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** A probed-once regime decision for the rank/CDF metric family:
+    * `cuts = None` → exact (group by raw value), `cuts = Some(c)` →
+    * bucketed on the interior cut points `c`. Build one with
+    * [[probeRegime]] and pass it to [[aucDF]]/[[ksTest]]/[[spearman]]/
+    * [[mannWhitney]] to score k metrics on the same column for ONE
+    * probe + cut computation instead of k — and to keep those calls
+    * free of plan-build-time driver jobs (see the regime note on
+    * [[aucDF]]). */
+  final case class ScoreRegime(cuts: Option[Array[Double]])
+
+  /** Run the [[boundedCuts]] probe ONCE for a column and freeze the
+    * decision as a [[ScoreRegime]]: exact when the approx distinct count
+    * is under `maxExactDistinct` (or `exact = Some(true)`), otherwise
+    * `buckets` equal-frequency histogram-CDF cuts. Cuts reflect the
+    * data at probe time — re-probe if the underlying data changes. */
+  def probeRegime(
+      df: DataFrame,
+      value: Column,
+      exact: Option[Boolean] = None,
+      buckets: Int = 256,
+      maxExactDistinct: Int = 1 << 17,
+      relErr: Double = 1e-3
+  ): ScoreRegime = {
+    val base = df.filter(value.isNotNull)
+      .select(value.cast("double").as("__v"))
+    ScoreRegime(boundedCuts(base, "__v", exact, buckets, maxExactDistinct, relErr))
+  }
+
   /** Decide the exact-vs-bucketed regime for a rank/CDF metric whose
     * cumulative window runs over the DISTINCT-value table (AUC, KS,
     * Spearman, Mann–Whitney) — the scale guard for the metric family.
@@ -138,12 +166,24 @@ object Eval {
       exact: Option[Boolean] = None,
       buckets: Int = 256,
       maxExactDistinct: Int = 1 << 17,
-      relErr: Double = 1e-3
+      relErr: Double = 1e-3,
+      regime: Option[ScoreRegime] = None
   ): Double =
-    aucDF(df, score, label, quantize, exact, buckets, maxExactDistinct, relErr)
+    aucDF(df, score, label, quantize, exact, buckets, maxExactDistinct,
+      relErr, regime)
       .collect()(0).getDouble(0)
 
-  /** [[auc]] as a 1-row DataFrame (column `auc`), for plan composition. */
+  /** [[auc]] as a 1-row DataFrame (column `auc`), for plan composition.
+    *
+    * Regime note: in the default auto mode (`exact = None`,
+    * `regime = None`) the [[boundedCuts]] guard runs EAGER driver jobs at
+    * plan-BUILD time — the `approx_count_distinct` probe plus, on the
+    * bucketed route, two narrow cut scans — and the cut points are frozen
+    * then, so a DataFrame built once and acted on after the underlying
+    * data changes reads stale bins. For pure lazy composition, or to
+    * score several metrics on one column with a single probe, pass
+    * `exact = Some(...)` or a probed-once [[ScoreRegime]] (which this
+    * method then uses verbatim, running no jobs of its own). */
   def aucDF(
       df: DataFrame,
       score: Column,
@@ -152,14 +192,16 @@ object Eval {
       exact: Option[Boolean] = None,
       buckets: Int = 256,
       maxExactDistinct: Int = 1 << 17,
-      relErr: Double = 1e-3
+      relErr: Double = 1e-3,
+      regime: Option[ScoreRegime] = None
   ): DataFrame = {
     val s = quantize.fold(score.cast("double"))(d => round(score.cast("double"), d))
     val y = label.cast("double")
     val base = df
       .filter(score.isNotNull && label.isNotNull)
       .select(s.as("__s"), y.as("__y"))
-    val key = boundedCuts(base, "__s", exact, buckets, maxExactDistinct, relErr)
+    val key = regime.map(_.cuts)
+      .getOrElse(boundedCuts(base, "__s", exact, buckets, maxExactDistinct, relErr))
       .fold(col("__s"))(cuts =>
         graft.binsreg.Dbbinsreg.caseChainBin(col("__s"), cuts).cast("double"))
     val g = base
@@ -236,28 +278,34 @@ object Eval {
       exact: Option[Boolean] = None,
       buckets: Int = 256,
       maxExactDistinct: Int = 1 << 17,
-      relErr: Double = 1e-3
+      relErr: Double = 1e-3,
+      regimeX: Option[ScoreRegime] = None,
+      regimeY: Option[ScoreRegime] = None
   ): DataFrame = {
     val base0 = df
       .filter(x.isNotNull && y.isNotNull)
       .select(x.cast("double").as("__x"), y.cast("double").as("__y"))
     // per-variable regime: only an unbounded column pays the binning (its
     // within-bin values become rank ties — the standard binned estimate);
-    // one fused probe job decides both in auto mode
+    // one fused probe job decides both in auto mode (eager at build time —
+    // the aucDF regime note; probed-once regimes skip it per column)
     val (exactX, exactY) = exact match {
       case Some(e) => (Some(e), Some(e))
+      case None if regimeX.isDefined && regimeY.isDefined => (None, None)
       case None =>
         val r = base0.agg(
           approx_count_distinct(col("__x")).as("__dx"),
           approx_count_distinct(col("__y")).as("__dy")).collect()(0)
         (Some(r.getLong(0) <= maxExactDistinct), Some(r.getLong(1) <= maxExactDistinct))
     }
-    def keyOf(c: String, e: Option[Boolean]) =
-      boundedCuts(base0, c, e, buckets, maxExactDistinct, relErr)
+    def keyOf(c: String, e: Option[Boolean], pre: Option[ScoreRegime]) =
+      pre.map(_.cuts)
+        .getOrElse(boundedCuts(base0, c, e, buckets, maxExactDistinct, relErr))
         .fold(col(c))(cuts =>
           graft.binsreg.Dbbinsreg.caseChainBin(col(c), cuts).cast("double"))
     val base = base0.select(
-      keyOf("__x", exactX).as("__x"), keyOf("__y", exactY).as("__y"))
+      keyOf("__x", exactX, regimeX).as("__x"),
+      keyOf("__y", exactY, regimeY).as("__y"))
     def ranks(c: String) = {
       val w = Window.orderBy(col(c)).rowsBetween(Window.unboundedPreceding, -1)
       base
@@ -349,16 +397,21 @@ object Eval {
       exact: Option[Boolean] = None,
       buckets: Int = 256,
       maxExactDistinct: Int = 1 << 17,
-      relErr: Double = 1e-3
+      relErr: Double = 1e-3,
+      regime: Option[ScoreRegime] = None
   ): DataFrame = {
     val v = quantize.fold(value.cast("double"))(d => round(value.cast("double"), d))
     def side(df: DataFrame, flag: Int) = df
       .filter(value.isNotNull)
       .select(v.as("__v"), lit(flag).as("__side"))
     val both = side(ref, 0).unionAll(side(cur, 1))
-    // cuts come from the POOLED sample so both CDFs are read on one grid;
-    // binned D underestimates by at most one bin of pooled mass
-    val key = boundedCuts(both, "__v", exact, buckets, maxExactDistinct, relErr)
+    // cuts come from the POOLED sample so both CDFs are read on one grid
+    // (a supplied regime should be probed on the pooled data too); binned
+    // D underestimates by at most one bin of pooled mass. Auto mode runs
+    // eager probe/cut jobs at build time — the aucDF regime note; note
+    // the probe here rescans BOTH inputs, so a shared regime saves most.
+    val key = regime.map(_.cuts)
+      .getOrElse(boundedCuts(both, "__v", exact, buckets, maxExactDistinct, relErr))
       .fold(col("__v"))(cuts =>
         graft.binsreg.Dbbinsreg.caseChainBin(col("__v"), cuts).cast("double"))
     val g = both
@@ -452,12 +505,16 @@ object Eval {
       exact: Option[Boolean] = None,
       buckets: Int = 256,
       maxExactDistinct: Int = 1 << 17,
-      relErr: Double = 1e-3
+      relErr: Double = 1e-3,
+      regime: Option[ScoreRegime] = None
   ): DataFrame = {
     val base = df
       .filter(flag.isNotNull && value.isNotNull)
       .select(flag.cast("boolean").as("__f"), value.cast("double").as("__v"))
-    val key = boundedCuts(base, "__v", exact, buckets, maxExactDistinct, relErr)
+    // auto mode runs eager probe/cut jobs at build time (aucDF regime
+    // note); pass a probed-once ScoreRegime to skip them
+    val key = regime.map(_.cuts)
+      .getOrElse(boundedCuts(base, "__v", exact, buckets, maxExactDistinct, relErr))
       .fold(col("__v"))(cuts =>
         graft.binsreg.Dbbinsreg.caseChainBin(col("__v"), cuts).cast("double"))
     val g = base

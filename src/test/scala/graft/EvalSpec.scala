@@ -98,6 +98,60 @@ class EvalSpec extends SparkTestBase {
     assert(math.abs(zE - zB) / math.sqrt(3000.0) < 0.02, s"$zE vs $zB")
   }
 
+  test("shared ScoreRegime: one probe serves the whole metric family, bit-identical") {
+    val rng = new scala.util.Random(7)
+    val data = (1 to 2000).map { _ =>
+      val label = rng.nextBoolean()
+      (rng.nextGaussian() + (if (label) 0.6 else 0.0), label)
+    }
+    val df = data.toDF("score", "label")
+    // probe ONCE; every metric with the regime must equal its own
+    // auto-mode result bit-for-bit (same probe, same cuts algebra)
+    for (forced <- Seq(None, Some(false))) {
+      val regime = Eval.probeRegime(df, col("score"), exact = forced)
+      val aucAuto = Eval.auc(df, col("score"), col("label"), exact = forced)
+      val aucPre = Eval.auc(df, col("score"), col("label"),
+        regime = Some(regime))
+      assert(java.lang.Double.doubleToLongBits(aucAuto) ==
+        java.lang.Double.doubleToLongBits(aucPre), s"forced=$forced")
+      val mwAuto = Eval.mannWhitney(df, col("label"), col("score"),
+        exact = forced).head.getAs[Double]("z")
+      val mwPre = Eval.mannWhitney(df, col("label"), col("score"),
+        regime = Some(regime)).head.getAs[Double]("z")
+      assert(java.lang.Double.doubleToLongBits(mwAuto) ==
+        java.lang.Double.doubleToLongBits(mwPre), s"forced=$forced")
+    }
+    // a supplied regime runs NO probe/cut jobs inside the metric call:
+    // building the plan on an empty-but-typed frame must not throw even
+    // though auto mode's probe would see zero rows
+    val empty = df.filter(lit(false))
+    val regime = Eval.probeRegime(df, col("score"), exact = Some(false))
+    Eval.aucDF(empty, col("score"), col("label"), regime = Some(regime))
+    // spearman: per-column regimes reproduce auto (both continuous-forced)
+    val xy = (1 to 2000).map { _ =>
+      val x = rng.nextGaussian(); (x, 0.5 * x + rng.nextGaussian())
+    }.toDF("x", "y")
+    val rx = Eval.probeRegime(xy, col("x"), exact = Some(false))
+    val ry = Eval.probeRegime(xy, col("y"), exact = Some(false))
+    val rhoAuto = Eval.spearman(xy, col("x"), col("y"), exact = Some(false))
+      .head.getDouble(0)
+    val rhoPre = Eval.spearman(xy, col("x"), col("y"),
+      regimeX = Some(rx), regimeY = Some(ry)).head.getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(rhoAuto) ==
+      java.lang.Double.doubleToLongBits(rhoPre))
+    // ksTest: regime probed on the POOLED sample
+    val ref = xy.select(col("x").as("v"))
+    val cur = xy.select((col("x") + 0.2).as("v"))
+    val pooled = ref.unionAll(cur)
+    val rk = Eval.probeRegime(pooled, col("v"), exact = Some(false))
+    val dAuto = Eval.ksTest(ref, cur, col("v"), exact = Some(false))
+      .head.getDouble(0)
+    val dPre = Eval.ksTest(ref, cur, col("v"), regime = Some(rk))
+      .head.getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(dAuto) ==
+      java.lang.Double.doubleToLongBits(dPre))
+  }
+
   test("bucketed regime plan pin: window keys on the binary-search bin, not raw scores") {
     val rng = new scala.util.Random(7)
     // repartition keeps the projection in the plan (a bare local Seq gets
