@@ -225,6 +225,25 @@ object Similarity {
     * Default cells are the C lowest-id vectors (deterministic,
     * oracle-able — the [[ivfTopK]] convention); pass [[kmeans]] centroids
     * via `trainedCentroids` for real recall at the same plan shape.
+    *
+    * Recall recipe (measured, round 10, driver embeddings 2k×64f with
+    * 2-iter k-means centroids — weakly clustered; the ×100 near-uniform
+    * replica is the worst case and runs ~2-4× lower at equal scan):
+    * recall@10 tracks the SCAN FRACTION nprobe/C, and at a fixed scan
+    * fraction MORE cells is strictly better (finer quantization): 25 %
+    * scan = 0.53 recall at C=16 but 0.66 at C=64; 50 % = 0.78 vs 0.87.
+    * Pick C ≈ n/30 (≥16), then nprobe by target:
+    *
+    *   recall@10 ≥ 0.65 → nprobe ≈ C/4  (25 % scan)
+    *   recall@10 ≥ 0.85 → nprobe ≈ C/2  (50 % scan)
+    *   recall@10 ≥ 0.93 → nprobe ≈ 5C/8 (62.5 % scan)
+    *
+    * Wall grows sub-linearly in nprobe until candidate volume dominates.
+    * On corpora with REAL cluster structure (the common production case)
+    * the same targets land at several-fold smaller scan fractions — q41's
+    * reference point is 0.92 recall@5 at 25 % scan; re-measure with
+    * `ProfKnn`'s `PROF_RECALL_SWEEP` before committing to a budget.
+    * `KnnJoinSpec` pins the C/2 and 5C/8 rows on the fixture corpus.
     * `maxCellSize` is the skew valve for degenerate centroid sets (all
     * vectors in one cell ⇒ the join degrades toward n²): oversized cells
     * are excluded from the CANDIDATE side, so results lose those

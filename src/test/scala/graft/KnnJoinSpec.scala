@@ -135,6 +135,36 @@ class KnnJoinSpec extends SparkTestBase {
     (22L, Array(0.05f, 0.04f, 1.1f, 0.95f))
   ).toDF("id", "vec")
 
+  test("recall recipe rows hold on the fixture corpus (C/2 and 5C/8 scan)") {
+    // the knnJoin scaladoc's recipe table, pinned on the sf0.001 driver
+    // embeddings (500 × 64f, weakly clustered — the data the recipe was
+    // measured on at sf0.1). Deterministic: k-means seeds from the k
+    // lowest ids, ties break by id everywhere.
+    val emb = sf("sf0.001", "embeddings")
+    val k = 10
+    val cells = 16
+    val (_, cents) = Similarity.kmeans(emb, "vec_id", "embedding",
+      cells, iters = 2, dim = 64)
+    val truth = Similarity.knnJoinBrute(emb, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val tot = truth.count()
+    def recallAt(nprobe: Int): Double = {
+      val approx = Similarity.knnJoin(emb, "vec_id", "embedding", k,
+        nCentroids = cells, nprobe = nprobe, trainedCentroids = Some(cents))
+        .select(col("query_id"), col("neighbor_id"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble / tot
+    }
+    // recipe: nprobe = C/2 → recall@10 ≥ 0.85; 5C/8 → ≥ 0.93 at sf0.1
+    // (2k vectors, C=64). The 500-vector fixture with C=16 measures a
+    // notch lower (0.877 at 62.5 % — fewer cells, coarser structure);
+    // floors sit under the FIXTURE values. Everything is deterministic
+    // (lowest-id k-means seed, id tie-breaks), so a drop below a floor
+    // means the blocking or centroid train broke, not noise.
+    assert(recallAt(cells / 2) >= 0.78, s"recall at 50% scan")
+    assert(recallAt(5 * cells / 8) >= 0.85, s"recall at 62.5% scan")
+  }
+
   test("pqRerank with exhaustive probing and corpus-wide shortlist equals brute") {
     // shortlist ≥ corpus ⇒ the ADC ordering is irrelevant — the exact
     // re-rank sees every candidate, so the result must be knnJoinBrute

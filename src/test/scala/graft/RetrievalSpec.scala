@@ -162,6 +162,51 @@ class RetrievalSpec extends SparkTestBase {
       Set((0L, 42L), (1L, 43L)))
   }
 
+  test("hybridTopKBatch over the persisted IVF index: pruned scan serves the semantic branch") {
+    val docs = sf("sf0.001", "documents")
+    val emb = sf("sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vindex-hybrid").toString
+    graft.pipeline.VectorIndex.build(emb, "vec_id", "embedding", dir,
+      k = 8, iters = 2)
+    val qv = emb.filter(col("vec_id") < 2L)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Number](1).toArray.map(_.doubleValue)))
+    val terms = Map(0L -> Seq("hash", "join"), 1L -> Seq("stream", "vector"))
+    val queries = qv.toSeq
+      .map { case (qid, v) => (qid, terms(qid), v.toSeq) }
+      .toDF("query_id", "terms", "qvec")
+    // semantic candidates come from the INDEX: only probed cell
+    // directories are read, and the fusion consumes the index ranks
+    val sem = graft.pipeline.VectorIndex.topK(spark, dir,
+        emb.filter(col("vec_id") < 2L), "vec_id", "embedding",
+        k = 12, nprobe = 3)
+      .select(col("query_id"), col("neighbor_id").as("id"),
+        col("rank").as("sem_rank"))
+    val fused = Retrieval.hybridTopKBatch(docs, "doc_id", "text",
+      queries, "query_id", "terms", "qvec",
+      emb, "vec_id", "embedding", k = 10, candidateK = 12,
+      semCandidates = Some(sem))
+    // the composed plan still carries the index's partition pruning
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition filter in composed plan:\n${plan.take(2000)}")
+    // sem_rank in the fused output IS the index rank, and rrf is the
+    // reciprocal-rank sum of the two branch ranks
+    val semRanks = sem.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val rows = fused.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val qid = r.getLong(0); val id = r.getLong(1)
+      val lex = Option(r.get(2)).map(_.asInstanceOf[Int])
+      val s = Option(r.get(3)).map(_.asInstanceOf[Int])
+      s.foreach(sr => assert(semRanks((qid, id)) === sr, s"($qid,$id)"))
+      val expect = lex.map(v => 1.0 / (60 + v)).getOrElse(0.0) +
+        s.map(v => 1.0 / (60 + v)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(4) - expect) < 1e-15)
+    }
+  }
+
   test("prfExpandedTopK: feedback terms retrieve docs the raw query misses") {
     val docs = Seq(
       (1L, "apple banana banana"),

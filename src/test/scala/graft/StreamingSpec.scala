@@ -738,6 +738,57 @@ class StreamingSpec extends SparkTestBase {
     assert(reaches === Set(("A", 1), ("A", 2)))
   }
 
+  test("SES forecast through a stream equals batch (mergeable period-sum state)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Events
+    // the corpus-sized half of sesForecast is its leading (type, period)
+    // value-sum aggregation — a plain mergeable streaming agg; the SES
+    // weighting then runs on the BOUNDED period table per trigger. The
+    // same split serves acf (its state is the (type, period) count agg).
+    val periodUs = 100L
+    val input = MemoryStream[(String, Long, Double)]
+    val agg = input.toDF().toDF("event_type", "tus", "value")
+      .select(col("event_type"),
+        expr(s"tus DIV ${periodUs}L").as("period"),
+        col("value").cast("double").as("v"))
+      .groupBy("event_type", "period").agg(sum("v").as("y"))
+    val q = agg.writeStream.format("memory").queryName("ses_state")
+      .outputMode("complete").start()
+    val batch1 = Seq(("a", 10L, 1.0), ("a", 120L, 2.0), ("b", 10L, 5.0))
+    val batch2 = Seq(("a", 130L, 3.0), ("a", 250L, 4.0), ("b", 350L, 6.0))
+    input.addData(batch1: _*); q.processAllAvailable()
+    input.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    // finish on the streamed state: one synthetic event per (type,
+    // period) at the period boundary reuses the production operator
+    // unchanged (its leading agg is idempotent on an already-aggregated
+    // series)
+    val state = spark.table("ses_state")
+    val streamed = Events.sesForecast(
+        state.select(col("event_type"),
+          (col("period") * periodUs).as("tus"), col("y").as("value")),
+        "event_type", "tus", "value", periodUs, alpha = 0.3)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val direct = Events.sesForecast((batch1 ++ batch2).toDF("event_type", "tus", "value"),
+        "event_type", "tus", "value", periodUs, alpha = 0.3)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(streamed.keySet === direct.keySet)
+    streamed.keySet.foreach { t =>
+      assert(streamed(t)._1 === direct(t)._1, s"$t n_periods")
+      assert(java.lang.Double.doubleToLongBits(streamed(t)._2) ==
+        java.lang.Double.doubleToLongBits(direct(t)._2), s"$t last_y")
+      assert(java.lang.Double.doubleToLongBits(streamed(t)._3) ==
+        java.lang.Double.doubleToLongBits(direct(t)._3), s"$t level")
+    }
+    // hand value: series a = periods 0,1,2 with y = 1, 5, 4; alpha .3
+    // level = .3*4 + .7*(.3*5 + .7*1) = 2.74
+    assert(math.abs(streamed("a")._3 - 2.74) < 1e-12)
+  }
+
   test("streaming rolling actives match exact per-window distincts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
