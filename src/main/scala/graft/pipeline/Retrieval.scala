@@ -51,6 +51,35 @@ object Retrieval {
       .limit(k)
   }
 
+  /** [[rrfFuse]] keyed by query: fuse N per-query ranked lists — each
+    * carrying (`qidCol`, `idCol`, `rankCol`, ranks from 1) — into the
+    * per-query RRF top `k`. The batch companion of [[rrfFuse]]: feed it
+    * any mix of pre-ranked lists (batch BM25, a persisted-index kNN, a
+    * recency ranking) and it returns (query_id, id, rrf, n_lists) per
+    * query, ordered within the contract of [[hybridTopKBatch]] (rrf
+    * desc, id asc). Scale shape: one union + one (query, id) hash agg
+    * over ≤ Σ|lists| rows (candidate-bounded, never corpus-bounded) +
+    * the group-limited rank window. */
+  def rrfFuseKeyed(
+      lists: Seq[DataFrame],
+      qidCol: String,
+      idCol: String,
+      rankCol: String,
+      k: Int,
+      rrfK: Int = 60
+  ): DataFrame = {
+    require(lists.nonEmpty, "rrfFuseKeyed needs at least one ranked list")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    val fused = lists
+      .map(_.select(col(qidCol).as("query_id"), col(idCol).as("id"),
+        (lit(1.0) / (lit(rrfK) + col(rankCol).cast("double"))).as("__c")))
+      .reduce(_ unionAll _)
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("__c")).as("rrf"), count(lit(1)).as("n_lists"))
+    perQueryTopK(fused, "query_id", "id", "rrf", k, "__r").drop("__r")
+  }
+
   /** Pseudo-relevance-feedback query expansion (the RM3 shape, Lavrenko
     * & Croft 2001 simplified to counts): run BM25 once, take the top
     * `fbDocs` results as the feedback set, add the `fbTerms` most

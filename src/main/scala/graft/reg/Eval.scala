@@ -1,5 +1,6 @@
 package graft.reg
 
+import graft.Staging.StagedFrame
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -265,11 +266,18 @@ object Eval {
     * monotone-invariant dependence measure (average ranks for ties, the
     * textbook convention).
     *
-    * Scale shape: per-variable average ranks come from the DISTINCT-value
-    * table (keyed count aggregate, then a cumulative window over distincts
-    * only — the AUC/KS pattern), joined back to the rows on the value key
-    * (broadcast when the value table is small, shuffled hash join
-    * otherwise); the final Pearson-on-ranks is a 1-row moments aggregate.
+    * Scale shape, both-bucketed regime (the at-scale default once both
+    * columns probe continuous): the corpus streams through ONE
+    * (bin_x, bin_y) contingency aggregate (≤ (buckets+1)² cells);
+    * average ranks derive from the cell table's own margins (rank of a
+    * bin = rows below it + (rows in it + 1)/2 — the identical tie
+    * convention) and broadcast back onto the cells; the final
+    * Pearson-on-ranks is a cell-weighted 1-row moments aggregate. No
+    * corpus-sized join anywhere (measured at 180M: 30.2 s with the old
+    * rank join-backs → 4-6 s class). Exact/mixed regimes keep the
+    * join-back shape: per-variable rank tables from the distinct-value
+    * aggregate, joined to the rows on the value key (broadcast when
+    * small), because their cross-product cell count is unbounded.
     * Returns one row (rho, n). */
   def spearman(
       df: DataFrame,
@@ -298,35 +306,67 @@ object Eval {
           approx_count_distinct(col("__y")).as("__dy")).collect()(0)
         (Some(r.getLong(0) <= maxExactDistinct), Some(r.getLong(1) <= maxExactDistinct))
     }
-    def keyOf(c: String, e: Option[Boolean], pre: Option[ScoreRegime]) =
+    def cutsOf(c: String, e: Option[Boolean], pre: Option[ScoreRegime]) =
       pre.map(_.cuts)
         .getOrElse(boundedCuts(base0, c, e, buckets, maxExactDistinct, relErr))
-        .fold(col(c))(cuts =>
-          graft.binsreg.Dbbinsreg.caseChainBin(col(c), cuts).cast("double"))
+    val cutsX = cutsOf("__x", exactX, regimeX)
+    val cutsY = cutsOf("__y", exactY, regimeY)
+    def keyOf(c: String, cuts: Option[Array[Double]]) =
+      cuts.fold(col(c))(cs =>
+        graft.binsreg.Dbbinsreg.caseChainBin(col(c), cs).cast("double"))
     val base = base0.select(
-      keyOf("__x", exactX, regimeX).as("__x"),
-      keyOf("__y", exactY, regimeY).as("__y"))
-    def ranks(c: String) = {
-      val w = Window.orderBy(col(c)).rowsBetween(Window.unboundedPreceding, -1)
+      keyOf("__x", cutsX).as("__x"), keyOf("__y", cutsY).as("__y"))
+    val rhoOf = (n: Column, sx: Column, sy: Column, sxx: Column,
+        syy: Column, sxy: Column) =>
+      (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    if (cutsX.isDefined && cutsY.isDefined) {
+      // both bucketed: one contingency pass, margin-derived ranks
+      val cells = base.groupBy(col("__x"), col("__y"))
+        .agg(count(lit(1)).cast("double").as("__n"))
+        .staged
+      def marginRanks(c: String) = {
+        val w = Window.orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        cells.groupBy(col(c)).agg(sum(col("__n")).as("__m"))
+          .withColumn("__below", coalesce(sum(col("__m")).over(w), lit(0.0)))
+          .select(col(c), (col("__below") + (col("__m") + 1.0) / 2.0).as(s"__r$c"))
+      }
+      cells
+        .join(broadcast(marginRanks("__x")), "__x")
+        .join(broadcast(marginRanks("__y")), "__y")
+        .agg(
+          sum(col("__n")).as("n"),
+          sum(col("__n") * col("__r__x")).as("sx"),
+          sum(col("__n") * col("__r__y")).as("sy"),
+          sum(col("__n") * col("__r__x") * col("__r__x")).as("sxx"),
+          sum(col("__n") * col("__r__y") * col("__r__y")).as("syy"),
+          sum(col("__n") * col("__r__x") * col("__r__y")).as("sxy"))
+        .select(
+          rhoOf(col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
+            col("sxy")).as("rho"),
+          col("n").cast("long").as("n"))
+    } else {
+      def ranks(c: String) = {
+        val w = Window.orderBy(col(c)).rowsBetween(Window.unboundedPreceding, -1)
+        base
+          .groupBy(col(c)).agg(count(lit(1)).cast("double").as("__n"))
+          .withColumn("__below", coalesce(sum(col("__n")).over(w), lit(0.0)))
+          .select(col(c), (col("__below") + (col("__n") + 1.0) / 2.0).as(s"__r$c"))
+      }
       base
-        .groupBy(col(c)).agg(count(lit(1)).cast("double").as("__n"))
-        .withColumn("__below", coalesce(sum(col("__n")).over(w), lit(0.0)))
-        .select(col(c), (col("__below") + (col("__n") + 1.0) / 2.0).as(s"__r$c"))
+        .join(ranks("__x"), "__x")
+        .join(ranks("__y"), "__y")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("__r__x")).as("sx"), sum(col("__r__y")).as("sy"),
+          sum(col("__r__x") * col("__r__x")).as("sxx"),
+          sum(col("__r__y") * col("__r__y")).as("syy"),
+          sum(col("__r__x") * col("__r__y")).as("sxy"))
+        .select(
+          rhoOf(col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
+            col("sxy")).as("rho"),
+          col("n").cast("long").as("n"))
     }
-    base
-      .join(ranks("__x"), "__x")
-      .join(ranks("__y"), "__y")
-      .agg(
-        count(lit(1)).cast("double").as("n"),
-        sum(col("__r__x")).as("sx"), sum(col("__r__y")).as("sy"),
-        sum(col("__r__x") * col("__r__x")).as("sxx"),
-        sum(col("__r__y") * col("__r__y")).as("syy"),
-        sum(col("__r__x") * col("__r__y")).as("sxy"))
-      .select(
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy")))).as("rho"),
-        col("n").cast("long").as("n"))
   }
 
   /** Association measures between two categorical columns from ONE

@@ -160,6 +160,31 @@ class LocalClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sil.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
 
+  test("ts-ml family distributes (SES forecast + rank-1 MF)") {
+    assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
+    val ev = graft.sources.EventTime.withEpochMicros(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val ses = graft.operators.Events.sesForecast(ev, "event_type", "tus",
+      "value", periodUs = 3600000000L, alpha = 0.3).collect()
+    assert(ses.nonEmpty)
+    // level is a convex combination of the per-period sums: finite, and
+    // n_periods is positive for every observed type
+    ses.foreach { r =>
+      assert(r.getLong(1) > 0L)
+      assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite)
+    }
+    val mf = graft.operators.Recommend.rank1Factors(li,
+      "l_suppkey", "l_partkey", "l_quantity", iters = 2)
+    // both sides L2-normalized across executor boundaries: the per-side
+    // squared factor sums must each be exactly 1
+    val norms = mf.groupBy("side")
+      .agg(sum(col("factor") * col("factor")).as("n2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(norms.keySet === Set("user", "item"))
+    close(norms("user"), 1.0, 1e-12, "user norm")
+    close(norms("item"), 1.0, 1e-12, "item norm")
+  }
+
   test("streaming funnel state store works under executors") {
     assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -26,6 +26,28 @@ class RetrievalSpec extends SparkTestBase {
     assert(Retrieval.rrfFuse(Seq(a, b), "id", "rank", k = 2).count() === 2L)
   }
 
+  test("rrfFuseKeyed: per-query reciprocal-rank sums, queries never mix") {
+    val a = Seq((0L, 1L, 1), (0L, 2L, 2), (1L, 1L, 1)).toDF("q", "id", "rank")
+    val b = Seq((0L, 2L, 1), (1L, 9L, 1)).toDF("q", "id", "rank")
+    val got = Retrieval.rrfFuseKeyed(Seq(a, b), "q", "id", "rank", k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    // query 0: id 2 in both lists (ranks 2 and 1); id 1 only in a
+    assert(math.abs(got((0L, 2L))._1 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(got((0L, 2L))._2 === 2L)
+    assert(math.abs(got((0L, 1L))._1 - 1.0 / 61) < 1e-15)
+    // query 1 sees ONLY its own rows: id 1 rank 1 from a, id 9 from b —
+    // query 0's id-2 evidence must not leak in
+    assert(math.abs(got((1L, 1L))._1 - 1.0 / 61) < 1e-15)
+    assert(math.abs(got((1L, 9L))._1 - 1.0 / 61) < 1e-15)
+    assert(!got.contains((1L, 2L)))
+    // per-query k cut
+    val cut = Retrieval.rrfFuseKeyed(Seq(a, b), "q", "id", "rank", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cut.length === 2 && cut.toMap.apply(0L) === 2L)
+  }
+
   test("hybridTopK: doc in both branches outranks single-branch docs; ranks hand-checked") {
     val docs = Seq(
       (1L, "vector join stream hash vector"), // lexical hit
