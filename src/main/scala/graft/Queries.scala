@@ -634,9 +634,14 @@ object Queries {
 
     // dependence: Spearman rank correlation (average ranks for ties) —
     // distinct-value rank windows + value-keyed joins + 1-row moments
+    // exact = Some(true): this query pins the EXACT average-rank algebra
+    // cross-engine at every SF (l_extendedprice crosses the auto probe's
+    // 2^17 distinct bound at sf0.1, where auto would route bucketed and
+    // diverge from the exact oracle); the bucketed regime is pinned by
+    // q227 and EvalSpec
     "q127_spearman" -> ((s, dir) =>
       graft.reg.Eval.spearman(li(s, dir),
-        col("l_quantity"), col("l_extendedprice"))
+        col("l_quantity"), col("l_extendedprice"), exact = Some(true))
         .select(col("rho").cast("float").as("rho"), col("n"))),
 
     // dependence: chi2 / Cramer's V / mutual information between two
@@ -655,10 +660,12 @@ object Queries {
         concat_ws("_", col("l_orderkey"), col("l_linenumber")))
       val dealt = graft.sources.ScaleOps.hashSplit(d, "rid",
         Seq("ref" -> 0.5, "cur" -> 0.5), salt = "q125")
+      // exact = Some(true): pins the exact CDF algebra at every SF (the
+      // q127 rationale — l_extendedprice crosses the auto bound at sf0.1)
       graft.reg.Eval.ksTest(
         dealt.filter(col("split") === "ref"),
         dealt.filter(col("split") === "cur"),
-        col("l_extendedprice"))
+        col("l_extendedprice"), exact = Some(true))
         .select(col("d").cast("float").as("d"), col("n_ref"), col("n_cur"))
     }),
 
