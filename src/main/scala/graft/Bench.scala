@@ -147,8 +147,16 @@ object Bench {
 
     // warmup: touch parquet footers, JIT/codegen every workload's codepath,
     // and materialize the persisted intermediates some pipelines share —
-    // the timed iterations then measure warm steady-state throughput
-    li.count(); docs.count(); emb.count()
+    // the timed iterations then measure warm steady-state throughput.
+    // Tables are only touched when the selected subset needs them, so a
+    // partial replica dir (e.g. a ×300 lineitem-only dir with
+    // BENCH_ONLY=fit_ — the documented 180M recipe) works.
+    def needs(prefixes: String*) = selected.exists { case (n, _) =>
+      prefixes.exists(n.startsWith)
+    }
+    li.count()
+    if (needs("dedup", "text")) docs.count()
+    if (needs("knn")) emb.count()
     Dbreg.fit("l_extendedprice ~ l_quantity", li, strategy = "moments")
     selected.foreach { case (name, fn) =>
       try fn()
