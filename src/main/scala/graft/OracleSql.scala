@@ -2589,6 +2589,98 @@ object OracleSql {
          |SELECT query_id, id, lex_rank, sem_rank, rrf::REAL AS rrf
          |FROM top ORDER BY query_id, id""".stripMargin,
 
+    // batch PRF: the q219 two-round expansion keyed by query — round-1
+    // batch BM25 → per-query top-5 feedback docs → per-query 2 most
+    // frequent NEW feedback tokens (count DESC, token ASC) join that
+    // query's terms → round-2 batch BM25, per-query top-10
+    "q230_prf_batch" ->
+      s"""WITH q AS (SELECT * FROM (VALUES
+         |    (0, ['hash', 'join']),
+         |    (1, ['stream', 'vector']),
+         |    (2, ['hash', 'vector', 'stream'])) AS t(query_id, terms)),
+         |qt AS (SELECT DISTINCT query_id, unnest(terms) AS token FROM q),
+         |tk AS (SELECT doc_id AS id, ${toks("text")} AS t FROM documents),
+         |l AS (SELECT id, len(t)::DOUBLE AS dl FROM tk),
+         |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM l),
+         |tok AS (SELECT id, unnest(t) AS token FROM tk),
+         |p1 AS (SELECT id, token, count(*)::DOUBLE AS tf FROM tok
+         |  WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+         |dfc1 AS (SELECT token, count(*)::DOUBLE AS df FROM p1 GROUP BY 1),
+         |sc1 AS (SELECT qt.query_id, p1.id,
+         |    sum(ln((st.n_docs - dfc1.df + 0.5)/(dfc1.df + 0.5) + 1.0)
+         |        * p1.tf * (1.2 + 1.0)
+         |        / (p1.tf + 1.2*(1.0 - 0.75 + 0.75*l.dl/st.avgdl))) AS bm25
+         |  FROM p1 JOIN dfc1 USING (token) JOIN l ON p1.id = l.id
+         |    JOIN qt USING (token) CROSS JOIN st
+         |  GROUP BY 1, 2),
+         |fb AS (SELECT query_id, id FROM (SELECT query_id, id, row_number()
+         |    OVER (PARTITION BY query_id ORDER BY bm25 DESC, id) AS r
+         |  FROM sc1) WHERE r <= 5),
+         |fbtok AS (SELECT fb.query_id, tok.token, count(*) AS c
+         |  FROM tok JOIN fb USING (id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM qt
+         |    WHERE qt.query_id = fb.query_id AND qt.token = tok.token)
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT query_id, token FROM (SELECT query_id, token,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY c DESC, token ASC) AS r
+         |  FROM fbtok) WHERE r <= 2),
+         |qt2 AS (SELECT query_id, token FROM qt
+         |  UNION ALL SELECT query_id, token FROM ex),
+         |p2 AS (SELECT id, token, count(*)::DOUBLE AS tf FROM tok
+         |  WHERE token IN (SELECT token FROM qt2) GROUP BY 1, 2),
+         |dfc2 AS (SELECT token, count(*)::DOUBLE AS df FROM p2 GROUP BY 1),
+         |sc2 AS (SELECT qt2.query_id, p2.id,
+         |    sum(ln((st.n_docs - dfc2.df + 0.5)/(dfc2.df + 0.5) + 1.0)
+         |        * p2.tf * (1.2 + 1.0)
+         |        / (p2.tf + 1.2*(1.0 - 0.75 + 0.75*l.dl/st.avgdl))) AS bm25,
+         |    count(*) AS n_matched
+         |  FROM p2 JOIN dfc2 USING (token) JOIN l ON p2.id = l.id
+         |    JOIN qt2 USING (token) CROSS JOIN st
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, id, bm25, n_matched, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY bm25 DESC, id) AS bm25_rank
+         |  FROM sc2)
+         |SELECT query_id, id, bm25::REAL AS bm25, n_matched, bm25_rank
+         |FROM r WHERE bm25_rank <= 10
+         |ORDER BY query_id, id""".stripMargin,
+
+    // batch MMR: the q218 greedy recursive-CTE replay run once per query
+    // (vec 0 and vec 1), λ=0.7, per-query top-8 shortlist, 4 picks each
+    "q231_mmr_batch" -> {
+      def chain(qid: Int) =
+        s"""qv$qid AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid),
+           |craw$qid AS (SELECT e.vec_id AS id,
+           |    ${cosSql("e.embedding", s"q.qv")} AS rel, e.embedding AS v
+           |  FROM embeddings e CROSS JOIN qv$qid q WHERE e.vec_id <> $qid),
+           |cand$qid AS (SELECT * FROM craw$qid ORDER BY rel DESC, id LIMIT 8),
+           |pairs$qid AS (SELECT a.id AS ia, b.id AS ib,
+           |    ${cosSql("a.v", "b.v")} AS cos
+           |  FROM cand$qid a JOIN cand$qid b ON a.id <> b.id),
+           |sel$qid(step, id, mmr, rel, ids) AS (
+           |  SELECT 1, id, 0.7::DOUBLE * rel, rel, [id]
+           |  FROM (SELECT * FROM cand$qid ORDER BY rel DESC, id LIMIT 1)
+           |  UNION ALL
+           |  SELECT s.step + 1, t.id, t.mmr, t.rel, list_append(s.ids, t.id)
+           |  FROM sel$qid s, LATERAL (
+           |    SELECT c.id, 0.7::DOUBLE * c.rel
+           |        - (1.0::DOUBLE - 0.7::DOUBLE) * (
+           |          SELECT max(p.cos) FROM pairs$qid p
+           |          WHERE p.ia = c.id AND list_contains(s.ids, p.ib)) AS mmr,
+           |      c.rel
+           |    FROM cand$qid c WHERE NOT list_contains(s.ids, c.id)
+           |    ORDER BY mmr DESC, c.id LIMIT 1) t
+           |  WHERE s.step < 4)""".stripMargin
+      s"""WITH RECURSIVE
+         |${chain(0)},
+         |${chain(1)}
+         |SELECT query_id, id AS vec_id, step AS mmr_rank, mmr::REAL AS mmr,
+         |  rel::REAL AS rel
+         |FROM (SELECT 0 AS query_id, * FROM sel0
+         |  UNION ALL SELECT 1, * FROM sel1)
+         |ORDER BY query_id, mmr_rank""".stripMargin
+    },
+
     // weighted isotonic fit by the minimax formula
     // ŷ(s) = max_{j≤s} min_{k≥s} (Σ_{j..k} y)/(Σ_{j..k} n) — evaluated by
     // self-joins over the 50-row distinct-score table (PAV equals this by

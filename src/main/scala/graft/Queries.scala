@@ -2801,6 +2801,52 @@ object Queries {
           col("rrf").cast("float").as("rrf"))
         .orderBy("query_id", "id")
     }),
+
+    // batch PRF: the q219 two-round expansion for THREE queries at once —
+    // each BM25 round is one corpus scan for all queries, feedback-token
+    // counts are one keyed agg over the 15 feedback docs, only 3×2
+    // expansion strings reach the driver
+    "q230_prf_batch" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(
+        (0L, Seq("hash", "join")),
+        (1L, Seq("stream", "vector")),
+        (2L, Seq("hash", "vector", "stream"))).toDF("query_id", "terms")
+      graft.pipeline.Retrieval.prfExpandedTopKBatch(
+          docs(s, dir), "doc_id", "text", q, "query_id", "terms",
+          k = 10, fbDocs = 5, fbTerms = 2)
+        .select(col("query_id"), col("id"),
+          col("bm25").cast("float").as("bm25"), col("n_matched"),
+          col("bm25_rank"))
+        .orderBy("query_id", "id")
+    }),
+
+    // batch MMR: greedy diversified re-rank for TWO queries — per-query
+    // top-8 semantic shortlists cut distributed, greedy λ=0.7 pick of 4
+    // driver-local per query (the bounded-shortlist contract)
+    "q231_mmr_batch" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val qvecs = e.filter(col("vec_id") < 2L)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Number](1).toArray.map(_.doubleValue)))
+      val cand = qvecs.map { case (qid, qv) =>
+        val qvc = array(qv.toIndexedSeq.map(lit(_)): _*)
+        e.filter(col("vec_id") =!= qid)
+          .select(lit(qid).as("query_id"), col("vec_id"),
+            Similarity.cosine(col("embedding"), qvc).as("rel"),
+            col("embedding"))
+          .orderBy(col("rel").desc, col("vec_id"))
+          .limit(8)
+      }.reduce(_ unionAll _)
+      graft.pipeline.Retrieval.mmrRerankBatch(cand, "query_id", "vec_id",
+          "rel", "embedding", k = 4, lambda = 0.7)
+        .select(col("query_id"), col("vec_id"), col("mmr_rank"),
+          col("mmr").cast("float").as("mmr"),
+          col("rel").cast("float").as("rel"))
+        .orderBy("query_id", "mmr_rank")
+    }),
   )
 
   /** Operator family per battery query (round-8 verdict item #7): the
@@ -2852,7 +2898,8 @@ object Queries {
         "q203_knn_join_brute", "q204_knn_join",
         "q82_int8_quantize", "q92_vector_index", "q113_label_centroids",
         "q196_pq_mse", "q212_pq_rerank", "q215_hybrid_rrf",
-        "q216_silhouette", "q218_mmr_rerank", "q229_hybrid_batch"),
+        "q216_silhouette", "q218_mmr_rerank", "q229_hybrid_batch",
+        "q231_mmr_batch"),
       "text" -> Seq(
         "q37_text_analysis", "q38_text_quality_agg", "q42_vocab_topk",
         "q45_json_extract", "q46_lm_score", "q55_tfidf_top_term",
@@ -2861,6 +2908,7 @@ object Queries {
         "q86_token_entropy", "q91_strip_markup", "q98_gopher_rules",
         "q100_curation_pipeline", "q102_nfc_normalize", "q117_bm25_topk",
         "q219_prf_expansion", "q225_textrank", "q228_bm25_batch",
+        "q230_prf_batch",
         "q119_token_chi2", "q121_pmi_collocations", "q122_zipf_spectrum",
         "q126_js_divergence", "q134_bpe_train", "q135_bpe_segment",
         "q136_repetition_signals", "q145_dsir_scores", "q149_phrase_search",

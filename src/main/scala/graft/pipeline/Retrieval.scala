@@ -116,6 +116,134 @@ object Retrieval {
     TextOps.bm25TopK(docs, idCol, textCol, terms ++ expansion, k)
   }
 
+  /** [[prfExpandedTopK]] for a QUERY TABLE (integral query ids): both BM25
+    * rounds run as [[bm25TopKBatch]] (one corpus scan each for ALL
+    * queries), the per-query feedback-token counts are one keyed
+    * aggregate over the N·fbDocs feedback docs, and only the N·fbTerms
+    * expansion strings reach the driver (the query table is model-sized
+    * by contract, so collecting it to splice the expansions is the
+    * BPE/centroid bound, not a row-level collect). Per-query results are
+    * row-identical to [[prfExpandedTopK]] with that query's terms.
+    * Returns (query_id, id, bm25, n_matched, bm25_rank). */
+  def prfExpandedTopKBatch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      termsCol: String,
+      k: Int,
+      fbDocs: Int = 10,
+      fbTerms: Int = 5
+  ): DataFrame = {
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(fbTerms >= 1, s"fbTerms must be >= 1, got $fbTerms")
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+      col(termsCol).as("__terms"))
+    val fb = bm25TopKBatch(docs, idCol, textCol,
+        q.select(col("query_id"), col("__terms").as("terms")),
+        "query_id", "terms", fbDocs)
+      .select(col("query_id"), col("id"))
+    val counts = docs
+      .join(broadcast(fb), col(idCol) === col("id"))
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"),
+        explode(TextOps.tokens(col(textCol))).as("token"), col("__terms"))
+      .filter(!array_contains(col("__terms"), col("token")))
+      .groupBy("query_id", "token").agg(count(lit(1)).as("__c"))
+    val expansions = perQueryTopK(counts, "query_id", "token", "__c",
+        fbTerms, "__r")
+      .select("query_id", "token").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    val expanded = {
+      import docs.sparkSession.implicits._
+      q.collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toSeq))
+        .map { case (qid, ts) => (qid, ts ++ expansions.getOrElse(qid, Nil)) }
+        .toSeq.toDF("query_id", "terms")
+    }
+    bm25TopKBatch(docs, idCol, textCol, expanded, "query_id", "terms", k)
+  }
+
+  /** The greedy MMR selection over a bounded, id-sorted candidate array —
+    * shared by [[mmrRerank]] and [[mmrRerankBatch]]. Returns
+    * (id, rank from 1, mmr, rel) in pick order. */
+  private def greedyMmr(
+      cand: Array[(Long, Double, Array[Double])],
+      k: Int,
+      lambda: Double
+  ): Seq[(Long, Int, Double, Double)] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val picked = scala.collection.mutable.Set.empty[Long]
+    while (selected.length < math.min(k, cand.length)) {
+      var best: Option[(Long, Double, Double)] = None
+      cand.foreach { case (id, rel, vec) =>
+        if (!picked.contains(id)) {
+          val maxSim =
+            if (picked.isEmpty) 0.0
+            else cand.iterator.filter(c => picked.contains(c._1))
+              .map(c => cos(vec, c._3)).max
+          val mmr = lambda * rel - (1.0 - lambda) * maxSim
+          // strict > keeps the LOWEST id on ties (cand is id-sorted)
+          if (best.isEmpty || mmr > best.get._2) best = Some((id, mmr, rel))
+        }
+      }
+      val b = best.get
+      picked += b._1
+      selected += b
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((id, mmr, rel), i) => (id, i + 1, mmr, rel) }
+  }
+
+  /** [[mmrRerank]] for per-query candidate shortlists (integral query and
+    * doc ids): the greedy loops run driver-local per query over the
+    * BOUNDED shortlists (each ≤ `maxCandidates` — the same refusal), in
+    * query-id order; candidate production stays distributed. Returns
+    * (query_id, id, mmr_rank, mmr, rel) — per query, exactly
+    * [[mmrRerank]]'s rows on that query's shortlist. */
+  def mmrRerankBatch(
+      candidates: DataFrame,
+      qidCol: String,
+      idCol: String,
+      relCol: String,
+      vecCol: String,
+      k: Int,
+      lambda: Double,
+      maxCandidates: Int = 4096
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda must be in (0, 1], got $lambda")
+    val rows = candidates
+      .select(col(qidCol).cast("long"), col(idCol).cast("long"),
+        col(relCol).cast("double"), col(vecCol))
+      .collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.foreach { case (qid, rs) =>
+      require(rs.length <= maxCandidates,
+        s"mmrRerankBatch: query $qid has ${rs.length} candidates, " +
+          s"over maxCandidates=$maxCandidates — cut with a top-k first " +
+          "(the shortlist contract)")
+    }
+    import candidates.sparkSession.implicits._
+    byQuery.toSeq.sortBy(_._1)
+      .flatMap { case (qid, rs) =>
+        val cand = rs.map(r => (r.getLong(1), r.getDouble(2),
+          r.getSeq[Number](3).toArray.map(_.doubleValue))).sortBy(_._1)
+        greedyMmr(cand, k, lambda)
+          .map { case (id, rank, mmr, rel) => (qid, id, rank, mmr, rel) }
+      }
+      .toDF(qidCol, idCol, "mmr_rank", "mmr", relCol)
+  }
+
   /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein 1998):
     * greedily pick `k` results from a BOUNDED candidate shortlist,
     * trading relevance against redundancy —
@@ -159,36 +287,8 @@ object Retrieval {
       (r.getLong(0), r.getDouble(1),
         r.getSeq[Number](2).toArray.map(_.doubleValue))
     }.sortBy(_._1)
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
-    val picked = scala.collection.mutable.Set.empty[Long]
-    while (selected.length < math.min(k, cand.length)) {
-      var best: Option[(Long, Double, Double)] = None
-      cand.foreach { case (id, rel, vec) =>
-        if (!picked.contains(id)) {
-          val maxSim =
-            if (picked.isEmpty) 0.0
-            else cand.iterator.filter(c => picked.contains(c._1))
-              .map(c => cos(vec, c._3)).max
-          val mmr = lambda * rel - (1.0 - lambda) * maxSim
-          // strict > keeps the LOWEST id on ties (cand is id-sorted)
-          if (best.isEmpty || mmr > best.get._2) best = Some((id, mmr, rel))
-        }
-      }
-      val b = best.get
-      picked += b._1
-      selected += b
-    }
     import candidates.sparkSession.implicits._
-    selected.toSeq.zipWithIndex
-      .map { case ((id, mmr, rel), i) => (id, i + 1, mmr, rel) }
-      .toDF(idCol, "mmr_rank", "mmr", relCol)
+    greedyMmr(cand, k, lambda).toDF(idCol, "mmr_rank", "mmr", relCol)
   }
 
   /** Exact per-query top-k via a query-partitioned rank window. The

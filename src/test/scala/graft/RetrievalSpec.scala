@@ -229,6 +229,57 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("prfExpandedTopKBatch: per-query rows identical to single-query PRF") {
+    val docs = sf("sf0.001", "documents")
+    val terms = Seq(0L -> Seq("hash", "join"), 1L -> Seq("stream", "vector"))
+    val queries = terms.toDF("query_id", "terms")
+    val batch = Retrieval.prfExpandedTopKBatch(docs, "doc_id", "text",
+        queries, "query_id", "terms", k = 8, fbDocs = 4, fbTerms = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    for ((qid, ts) <- terms) {
+      val single = Retrieval.prfExpandedTopK(docs, "doc_id", "text", ts,
+          k = 8, fbDocs = 4, fbTerms = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      val got = batch(qid).sortBy(t => (-t._3, t._2))
+        .map(t => (t._2, t._3, t._4)).toSeq
+      assert(got.map(_._1) === single.map(_._1).toSeq, s"query $qid ids")
+      got.zip(single).foreach { case (g, s) =>
+        assert(math.abs(g._2 - s._2) < 1e-12, s"query $qid bm25")
+        assert(g._3 === s._3, s"query $qid n_matched")
+      }
+    }
+  }
+
+  test("mmrRerankBatch: per-query picks identical to mmrRerank; per-query bound enforced") {
+    val cand = Seq(
+      (0L, 1L, 1.0, Array(1.0f, 0.0f)),
+      (0L, 2L, 0.990, Array(0.99f, 0.141f)),
+      (0L, 3L, 0.6, Array(0.6f, 0.8f)),
+      (1L, 1L, 0.5, Array(1.0f, 0.0f)),   // same ids, different query:
+      (1L, 7L, 0.9, Array(0.0f, 1.0f))    // rankings must not leak
+    ).toDF("q", "id", "rel", "vec")
+    val batch = Retrieval.mmrRerankBatch(cand, "q", "id", "rel", "vec",
+        k = 3, lambda = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1)
+    for (qid <- Seq(0L, 1L)) {
+      val single = Retrieval.mmrRerank(cand.filter(col("q") === qid),
+          "id", "rel", "vec", k = 3, lambda = 0.3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val got = batch(qid).sortBy(_._3).map(t => (t._2, t._3, t._4))
+      assert(got.toSeq === single.sortBy(_._2).toSeq, s"query $qid")
+    }
+    // the near-dup demotion inside query 0 (the mmrRerank geometry)
+    assert(batch(0L).sortBy(_._3).map(_._2).toSeq === Seq(1L, 3L, 2L))
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrRerankBatch(cand, "q", "id", "rel", "vec", 2, 0.5,
+        maxCandidates = 2)
+    }
+  }
+
   test("prfExpandedTopK: feedback terms retrieve docs the raw query misses") {
     val docs = Seq(
       (1L, "apple banana banana"),
