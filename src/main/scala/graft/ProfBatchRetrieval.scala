@@ -69,6 +69,33 @@ object ProfBatchRetrieval {
         noop(TextOps.bm25TopK(docs, "doc_id", "text", ts, 10))).sum
     }
 
+    // PROF_HYBRID=1 (needs embeddings.parquet in the dir): the batch
+    // hybrid with its BRUTE semantic branch — N cosines per corpus row —
+    // vs the same N queries through per-query hybridTopK. The point at
+    // which the brute batch branch should yield to the persisted IVF
+    // index (semCandidates) is where this wall stops being acceptable.
+    if (sys.env.contains("PROF_HYBRID")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      println(s"[prof] vectors=${emb.count()}")
+      val qvecs = emb.orderBy("vec_id").limit(nq)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getSeq[Number](1).toArray.map(_.doubleValue))
+      val hq = termSets.zip(qvecs).zipWithIndex
+        .map { case ((ts, qv), i) => (i.toLong, ts, qv.toSeq) }
+        .toDF("query_id", "terms", "qvec")
+      time(s"hybrid_batch_${nq}q") {
+        noop(graft.pipeline.Retrieval.hybridTopKBatch(docs, "doc_id",
+          "text", hq, "query_id", "terms", "qvec",
+          emb, "vec_id", "embedding", k = 10, candidateK = 30))
+      }
+      time(s"hybrid_loop_${nq}q") {
+        termSets.zip(qvecs).map { case (ts, qv) =>
+          noop(graft.pipeline.Retrieval.hybridTopK(docs, "doc_id", "text",
+            ts, emb, "vec_id", "embedding", qv, k = 10, candidateK = 30))
+        }.sum
+      }
+    }
+
     spark.stop()
   }
 }
