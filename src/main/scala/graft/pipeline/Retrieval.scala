@@ -326,6 +326,9 @@ object Retrieval {
     * per-query top `k`, ties → lowest id — per-query results are
     * row-identical to [[TextOps.bm25TopK]] run with that query's terms
     * (df/idf/avgdl are per-token/corpus stats, unchanged by the union).
+    * A query whose term array is empty (or whose terms match no
+    * document) contributes no output rows — the batch analogue of the
+    * single-query empty result, not an error.
     *
     * Scale shape: one corpus scan into the staged pruned-postings base
     * (id, dl, matched-terms — the [[TextOps.bm25TopK]] shape with an
