@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Scratch: throughput of the stateful streaming family at the ×100
+  * events point (10M rows, 150k users) — the one family with correctness
+  * parity specs but no recorded scale numbers. Drives the REAL
+  * micro-batch machinery (parquet file source → state store →
+  * foreachBatch) with Trigger.AvailableNow in two regimes: one
+  * all-files batch (state-store overhead vs the batch twin) and
+  * maxFilesPerTrigger=8 (8 micro-batches — cross-batch state handoff,
+  * the production cadence shape). Watermark is set past the replica's
+  * 8.5-year span so no event is late-dropped and no timeout fires:
+  * output is deterministic and state holds its true bound (≤1 open
+  * session per user; one row per (hour, event_type) window). Not part
+  * of the driver contract. */
+object ProfStreaming {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_EV_DIR", "/tmp/x100")
+    val iters = sys.env.getOrElse("PROF_ITERS", "2").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val nIn = spark.read.parquet(path).count()
+    println(s"[prof] dir=$dir events=$nIn")
+
+    def stream(maxFiles: Option[Int]): DataFrame = {
+      val r = spark.readStream.schema(schema)
+      maxFiles.fold(r)(m => r.option("maxFilesPerTrigger", m)).parquet(path)
+    }
+
+    // far past the replica's max event time: nothing late, no timeouts
+    val wm = "200000 hours"
+
+    def run(name: String, mk: DataFrame => DataFrame,
+            mode: String, maxFiles: Option[Int]): Unit = {
+      val ts = (1 to iters).map { i =>
+        var rows = 0L
+        var batches = 0L
+        val ckpt = s"/tmp/profstream_ckpt/${name}_${i}_${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        val q = mk(stream(maxFiles)).writeStream
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            rows += b.count(); batches += 1
+          }
+          .start()
+        q.awaitTermination()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[prof] $name: $dt%.2f s out_rows=$rows batches=$batches " +
+          f"in_rows/s=${nIn / dt}%.0f")
+        dt
+      }
+      println(f"[prof] $name MIN: ${ts.min}%.2f s " +
+        f"(${nIn / ts.min / 1e6}%.2f M rows/s)")
+    }
+
+    // 1. custom-state flagship: gap sessionization (flatMapGroupsWithState)
+    run("sessionize_1batch",
+      df => streaming.StreamingReg.streamingSessionize(
+        df, "ts", "user_id", "value", gapMs = 30L * 60 * 1000, watermark = wm),
+      "append", None)
+    run("sessionize_8batch",
+      df => streaming.StreamingReg.streamingSessionize(
+        df, "ts", "user_id", "value", gapMs = 30L * 60 * 1000, watermark = wm),
+      "append", Some(8))
+
+    // 2. built-in watermarked tumbling-window agg (hour × event_type)
+    run("windowed_agg_1batch",
+      df => streaming.StreamingReg.windowedEventAgg(
+        df, "ts", "event_type", "value", window_ = "1 hour", watermark = wm),
+      "update", None)
+    run("windowed_agg_8batch",
+      df => streaming.StreamingReg.windowedEventAgg(
+        df, "ts", "event_type", "value", window_ = "1 hour", watermark = wm),
+      "update", Some(8))
+
+    // 3. bounded-state exact dedup (user × type × day fingerprint)
+    val fp = md5(concat_ws("|",
+      col("user_id"), col("event_type"), date_trunc("day", col("ts"))))
+    run("dedup_1batch",
+      df => streaming.StreamingReg.streamingDedup(df, "ts", fp, watermark = wm),
+      "append", None)
+
+    // batch twin of the sessionization for context: lag window + running
+    // session index + per-session agg — same output cardinality
+    val t0 = System.nanoTime()
+    import org.apache.spark.sql.expressions.Window
+    val ev = spark.read.parquet(path)
+      .select(col("user_id").cast("string").as("k"),
+        col("ts").cast("timestamp").as("ts"), col("value").as("v"))
+    val w = Window.partitionBy("k").orderBy("ts")
+    val nBatchSessions = ev
+      .withColumn("__gap",
+        when(unix_millis(col("ts")) -
+          unix_millis(lag("ts", 1).over(w)) > 30L * 60 * 1000 ||
+          lag("ts", 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("__sid", sum("__gap").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("k", "__sid")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .count()
+    val dtB = (System.nanoTime() - t0) / 1e9
+    println(f"[prof] sessionize_batch_twin: $dtB%.2f s sessions=$nBatchSessions")
+    spark.stop()
+  }
+}
