@@ -92,6 +92,58 @@ object ProfStreaming {
       df => streaming.StreamingReg.streamingDedup(df, "ts", fp, watermark = wm),
       "append", None)
 
+    // ordered replay: a time-range-partitioned copy (part-00000 holds the
+    // earliest range; the file source lists ties in path order) makes the
+    // 8-batch replay arrive time-ordered ACROSS batches, so a realistic
+    // watermark is semantically exact: emitted rows must equal the
+    // 1-batch run's (cross-batch state handoff + event-time timeouts
+    // exercised for real, zero late drops by construction)
+    if (sys.env.get("PROF_ORDERED").contains("1")) {
+      val sortedPath = s"$dir/events_tsorted.parquet"
+      if (!new java.io.File(s"$sortedPath/_SUCCESS").exists()) {
+        spark.read.parquet(path)
+          .repartitionByRange(64, col("ts"))
+          .sortWithinPartitions("ts")
+          .write.mode("overwrite").parquet(sortedPath)
+        // the file source lists by (mtime, path); all parts share one
+        // mtime, so stamp strictly increasing mtimes in range order to
+        // guarantee batch k's files precede batch k+1's in event time
+        val parts = new java.io.File(sortedPath).listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        val base = System.currentTimeMillis() - parts.length * 2000L
+        parts.zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(base + i * 2000L)
+        }
+      }
+      def orderedStream(maxFiles: Int): DataFrame =
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", maxFiles).parquet(sortedPath)
+      val ts = (1 to iters).map { i =>
+        var rows = 0L
+        var batches = 0L
+        val ckpt = s"/tmp/profstream_ckpt/ordered_${i}_${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        val q = streaming.StreamingReg.streamingSessionize(
+            orderedStream(8), "ts", "user_id", "value",
+            gapMs = 30L * 60 * 1000, watermark = "1 hour")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            rows += b.count(); batches += 1
+          }
+          .start()
+        q.awaitTermination()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[prof] sessionize_8batch_ordered: $dt%.2f s out_rows=$rows " +
+          f"batches=$batches in_rows/s=${nIn / dt}%.0f")
+        dt
+      }
+      println(f"[prof] sessionize_8batch_ordered MIN: ${ts.min}%.2f s " +
+        f"(${nIn / ts.min / 1e6}%.2f M rows/s)")
+    }
+
     // batch twin of the sessionization for context: lag window + running
     // session index + per-session agg — same output cardinality
     val t0 = System.nanoTime()

@@ -228,9 +228,21 @@ object StreamingReg {
               }
             }
             cur.foreach { s =>
-              state.update(s)
-              // close the open session once event time passes end + gap
-              state.setTimeoutTimestamp(s.endMs + gapMs)
+              // close the open session once event time passes end + gap.
+              // A timeout at/below the current watermark would throw and
+              // kill the query (Spark refuses past timestamps — reached
+              // when a batch delivers events older than the watermark,
+              // e.g. a late replay): the watermark passing the horizon
+              // means the gap window is already over, so finalize now,
+              // exactly as the event-time timeout would have.
+              val horizon = s.endMs + gapMs
+              if (horizon <= state.getCurrentWatermarkMs()) {
+                out += Session(key, s.startMs, s.endMs, s.n, s.sumV)
+                if (state.exists) state.remove()
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(horizon)
+              }
             }
             out.iterator
           }

@@ -339,6 +339,53 @@ class StreamingSpec extends SparkTestBase {
     assert(!rows.exists { case (k, _, sv) => k == "A" && sv >= 9.0 })
   }
 
+  test("streaming sessionization survives a late replay behind the watermark") {
+    // regression (found replaying a ×100 file stream): when data batches
+    // chain back-to-back, the LATE-event filter uses the previous batch's
+    // watermark while getCurrentWatermarkMs is the advanced one — so a
+    // session extended by a straggler event can have horizon ≤ current
+    // watermark, and setTimeoutTimestamp below the watermark throws and
+    // KILLS THE QUERY. (A MemoryStream can't reach this: the engine's
+    // timeout-sweep batch between adds evicts the stale state first; a
+    // file source with queued files goes straight to the next batch.)
+    // The fix finalizes the session immediately, as the timeout would.
+    import java.io.File
+    val dir = java.nio.file.Files.createTempDirectory("sessstale").toFile
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def writeFile(name: String, rows: Seq[(Timestamp, String, Double)],
+                  mtime: Long): Unit = {
+      val stage = new File(dir, s"_stage_$name")
+      spark.createDataFrame(rows).toDF("ts", "user", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+      val dst = new File(dir, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime))
+    }
+    val base = System.currentTimeMillis() - 60000L
+    // batch 1: A opens at 10:00 (horizon 10:30); Z at 14:00 pushes the
+    // post-batch watermark to 13:50
+    writeFile("f1.parquet", Seq((t(10, 0), "A", 1.0), (t(14, 0), "Z", 2.0)), base)
+    // batch 2: A's straggler at 10:20 — not late vs batch 1's watermark
+    // (0), merges into the open session, horizon 10:50 ≤ 13:50 → pre-fix
+    // setTimeoutTimestamp threw StreamingQueryException here
+    writeFile("f2.parquet", Seq((t(10, 20), "A", 5.0)), base + 10000L)
+    val schema = spark.read.parquet(new File(dir, "f1.parquet").getPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getPath)
+    val sess = StreamingReg.streamingSessionize(stream, "ts", "user", "value",
+      gapMs = 30L * 60L * 1000L, watermark = "10 minutes")
+    val q = sess.writeStream.format("memory").queryName("sessstale")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("sessstale").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getDouble(4))).toSet
+    assert(rows.contains(("A", 2L, 6.0)), s"merged session not finalized in $rows")
+    assert(!rows.exists(_._1 == "Z"), s"Z should still be open in $rows")
+  }
+
   test("weighted sample and int8 quantization run unchanged on a stream") {
     // both are narrow (a filter projection / HOF projections), so the same
     // code drives batch and streaming — prove stream ≡ batch on shared rows
