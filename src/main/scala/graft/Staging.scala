@@ -9,14 +9,29 @@ import org.apache.spark.sql.DataFrame
   * cells) truncate lineage so re-reads don't re-run the upstream plan.
   * HOW they truncate is a deployment decision, not an operator decision:
   *
-  *   - single-node / ephemeral runs: `localCheckpoint(eager = false)` —
-  *     blocks persist executor-locally during the first materialization,
-  *     zero extra jobs;
-  *   - long multi-executor jobs: a RELIABLE `checkpoint(eager = false)`
-  *     into the configured checkpoint dir — localCheckpoint blocks die
-  *     with their executor and have no lineage to recompute from, so
-  *     executor loss (routine preemption at 1000-executor scale) would
-  *     otherwise kill the job.
+  *   - single-node / ephemeral runs: `localCheckpoint` — blocks persist
+  *     executor-locally;
+  *   - long multi-executor jobs: a RELIABLE `checkpoint` into the
+  *     configured checkpoint dir — localCheckpoint blocks die with their
+  *     executor and have no lineage to recompute from, so executor loss
+  *     (routine preemption at 1000-executor scale) would otherwise kill
+  *     the job.
+  *
+  * Both paths checkpoint EAGERLY. Lazy (`eager = false`) marking defers
+  * `doCheckpoint` to the end of whichever job first materializes the
+  * marked RDD — under AQE that can be a broadcast-exchange thread
+  * broadcasting a sub-plan that embeds the staged frame, and Spark's
+  * lock order there (`RDDCheckpointData$` class lock → RDD lock)
+  * inverts the DAGScheduler's job-submission order (RDD lock via
+  * getCacheLocs → `RDDCheckpointData$` via rdd.partitions): a
+  * Java-level deadlock that froze a real run of this suite (jstack:
+  * `broadcast-exchange-88` in RDDCheckpointData.checkpoint vs
+  * `dag-scheduler-event-loop` in getMissingParentStages). Eager
+  * checkpointing materializes in a single controlled query before any
+  * later query can embed the frame, so no concurrent submission can
+  * race the first `doCheckpoint`. For reliable mode eager is also
+  * strictly cheaper: a lazily-marked reliable checkpoint recomputes the
+  * whole plan in a second write-out job at first-action end.
   *
   * `spark.graft.checkpointMode` selects the policy for EVERY staged frame
   * in the library (the same gate `Dedup.duplicateClusters` applies to its
@@ -38,14 +53,14 @@ object Staging {
     val hasDir = session.sparkContext.getCheckpointDir.isDefined
     mode match {
       case "off" => df
-      case "local" => df.localCheckpoint(eager = false)
+      case "local" => df.localCheckpoint(eager = true)
       case "reliable" =>
         require(hasDir,
           "spark.graft.checkpointMode=reliable requires sc.setCheckpointDir(...)")
-        df.checkpoint(eager = false)
+        df.checkpoint(eager = true)
       case "auto" =>
-        if (hasDir) df.checkpoint(eager = false)
-        else df.localCheckpoint(eager = false)
+        if (hasDir) df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true)
       case other =>
         throw new IllegalArgumentException(
           s"unknown spark.graft.checkpointMode '$other' " +

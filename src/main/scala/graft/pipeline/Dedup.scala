@@ -90,7 +90,7 @@ object Dedup {
     // `maxShingleDocFreq` docs BEFORE the self-join — hot shingles dominate
     // the O(freq²) pair fan-out while carrying almost no similarity signal.
     // Jaccard is then computed over the filtered shingle sets.
-    // lazily staged (Staging.stage), not persist: the shingle table feeds both the
+    // staged (Staging.stage), not persist: the shingle table feeds both the
     // sizes agg and the self-join, so it materializes once; checkpoint
     // blocks are context-cleaner-released when the result frame is dropped
     // (a persist here would leak a CacheManager entry per call — nobody can

@@ -424,7 +424,7 @@ object Similarity {
       maxCellSize: Option[Long] = Some(100000L)
   ): DataFrame = {
     val (assigned, _) = kmeans(emb, idCol, vecCol, k, iters, dim)
-    // lazily staged (Staging.stage), not persist: (id, cell, vec) is read three times
+    // staged (Staging.stage), not persist: (id, cell, vec) is read three times
     // (valve count + both sides of the cell self-join) so it materializes
     // once, and the blocks are context-cleaner-released with the result
     // frame — persist here would leak a CacheManager entry per call.

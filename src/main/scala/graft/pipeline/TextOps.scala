@@ -560,7 +560,7 @@ object TextOps {
     * Scale shape: the corpus is scanned ONCE — a single narrow projection
     * (id, doc length, query-term tokens only: the array filter runs BEFORE
     * the explode, so nothing vocabulary-sized ever leaves the scan) is
-    * lazily staged via Staging.stage (mode-gated lineage truncation, the Dedup
+    * staged via Staging.stage (mode-gated lineage truncation, the Dedup
     * pattern — ~1% of corpus bytes) and every downstream consumer (postings
     * aggregate, df counts, corpus stats) reads the checkpoint, not the
     * text. Postings shuffle volume is O(matching docs · |terms|). Corpus
