@@ -118,30 +118,40 @@ object ProfStreaming {
       def orderedStream(maxFiles: Int): DataFrame =
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", maxFiles).parquet(sortedPath)
-      val ts = (1 to iters).map { i =>
-        var rows = 0L
-        var batches = 0L
-        val ckpt = s"/tmp/profstream_ckpt/ordered_${i}_${System.nanoTime()}"
-        val t0 = System.nanoTime()
-        val q = streaming.StreamingReg.streamingSessionize(
-            orderedStream(8), "ts", "user_id", "value",
-            gapMs = 30L * 60 * 1000, watermark = "1 hour")
-          .writeStream
-          .outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            rows += b.count(); batches += 1
-          }
-          .start()
-        q.awaitTermination()
-        val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[prof] sessionize_8batch_ordered: $dt%.2f s out_rows=$rows " +
-          f"batches=$batches in_rows/s=${nIn / dt}%.0f")
-        dt
+      // A/B the state-store provider: the default HDFS-backed store
+      // rewrites a full snapshot per batch; RocksDB maintains incremental
+      // SST state — the production choice for large keyed state
+      for (store <- Seq("hdfs", "rocksdb")) {
+        if (store == "rocksdb")
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        else spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        val ts = (1 to iters).map { i =>
+          var rows = 0L
+          var batches = 0L
+          val ckpt = s"/tmp/profstream_ckpt/ordered_${store}_${i}_${System.nanoTime()}"
+          val t0 = System.nanoTime()
+          val q = streaming.StreamingReg.streamingSessionize(
+              orderedStream(8), "ts", "user_id", "value",
+              gapMs = 30L * 60 * 1000, watermark = "1 hour")
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              rows += b.count(); batches += 1
+            }
+            .start()
+          q.awaitTermination()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"[prof] sessionize_8batch_ordered[$store]: $dt%.2f s " +
+            f"out_rows=$rows batches=$batches in_rows/s=${nIn / dt}%.0f")
+          dt
+        }
+        println(f"[prof] sessionize_8batch_ordered[$store] MIN: ${ts.min}%.2f s " +
+          f"(${nIn / ts.min / 1e6}%.2f M rows/s)")
       }
-      println(f"[prof] sessionize_8batch_ordered MIN: ${ts.min}%.2f s " +
-        f"(${nIn / ts.min / 1e6}%.2f M rows/s)")
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
 
     // batch twin of the sessionization for context: lag window + running
