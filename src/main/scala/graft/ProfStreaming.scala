@@ -75,6 +75,14 @@ object ProfStreaming {
         df, "ts", "user_id", "value", gapMs = 30L * 60 * 1000, watermark = wm),
       "append", Some(8))
 
+    // 1b. the other custom-state op: 3-step funnel (view → click →
+    // purchase), state = first order-respecting match time per step
+    run("funnel_1batch",
+      df => streaming.StreamingReg.streamingFunnel(
+        df, "ts", "user_id", "event_type",
+        Seq("view", "click", "purchase"), watermark = wm),
+      "append", None)
+
     // 2. built-in watermarked tumbling-window agg (hour × event_type)
     run("windowed_agg_1batch",
       df => streaming.StreamingReg.windowedEventAgg(
