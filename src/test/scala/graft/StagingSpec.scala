@@ -59,19 +59,25 @@ class StagingSpec extends SparkTestBase {
     }
   }
 
-  test("auto with a checkpoint dir writes reliable checkpoint files on first use") {
+  test("auto with a checkpoint dir writes reliable checkpoint files EAGERLY") {
     val dir = Files.createTempDirectory("graft-ckpt-").toFile
     val sc = spark.sparkContext
     try {
       sc.setCheckpointDir(dir.getAbsolutePath)
       withMode(None) {
         val staged = Staging.stage(sample)
-        assert(staged.count() === 100L) // first action materializes the checkpoint
+        // EAGER pin (deadlock guard): the checkpoint must exist BEFORE any
+        // caller action — lazy marking defers doCheckpoint into whichever
+        // later query first embeds the frame, where an AQE broadcast
+        // thread and the DAGScheduler can deadlock on RDDCheckpointData$
+        // (see Staging scaladoc / PLANS.md r10)
         def files(f: java.io.File): Seq[java.io.File] = {
           val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
           kids ++ kids.filter(_.isDirectory).flatMap(files)
         }
-        assert(files(dir).exists(_.isFile), "expected reliable checkpoint files")
+        assert(files(dir).exists(_.isFile),
+          "expected reliable checkpoint files to exist before any action")
+        assert(staged.count() === 100L)
         // the checkpointed frame stays readable from the reliable blocks
         assert(staged.count() === 100L)
       }
