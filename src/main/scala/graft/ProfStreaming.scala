@@ -83,6 +83,36 @@ object ProfStreaming {
         Seq("view", "click", "purchase"), watermark = wm),
       "append", None)
 
+    // 1c. stream-stream bucketized range join: every purchase joins the
+    // same user's clicks in the preceding 10 minutes (~2M × ~2M events)
+    if (sys.env.get("PROF_ATTRIB").contains("1")) {
+      val ts = (1 to iters).map { i =>
+        var rows = 0L
+        val ckpt = s"/tmp/profstream_ckpt/attrib_${i}_${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        def side(et: String, prefix: String): DataFrame =
+          stream(None).filter(col("event_type") === et)
+            .select(col("ts"), col("user_id").as(s"${prefix}_user"),
+              col("event_id").as(s"${prefix}_id"))
+        val joined = streaming.StreamingReg.streamingAttribution(
+            side("purchase", "p"), side("click", "t"), "ts",
+            windowUs = 600000000L, watermark = wm)
+          .filter(col("p_user") === col("t_user"))
+        val q = joined.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) => rows += b.count() }
+          .start()
+        q.awaitTermination()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[prof] attribution_1batch: $dt%.2f s out_rows=$rows " +
+          f"in_rows/s=${nIn / dt}%.0f")
+        dt
+      }
+      println(f"[prof] attribution_1batch MIN: ${ts.min}%.2f s")
+    }
+
     // 2. built-in watermarked tumbling-window agg (hour × event_type)
     run("windowed_agg_1batch",
       df => streaming.StreamingReg.windowedEventAgg(
