@@ -1785,6 +1785,21 @@ object OracleSql {
          |  ((cum - n_tokens) % 512)::BIGINT AS offset
          |FROM c ORDER BY id""".stripMargin,
 
+    // sharded packing: q84's cumsum algebra PARTITIONed BY the shard —
+    // pack ids count from 0 within each lang
+    "q232_pack_sharded" ->
+      s"""WITH t AS (SELECT doc_id AS id, lang,
+         |    len(${toks("text")}) AS n_tokens,
+         |    ${hash32("'q232' || doc_id::VARCHAR")} AS u
+         |  FROM documents),
+         |c AS (SELECT *, sum(n_tokens) OVER
+         |    (PARTITION BY lang ORDER BY u, id ROWS UNBOUNDED PRECEDING)
+         |    AS cum FROM t)
+         |SELECT id, n_tokens::BIGINT AS n_tokens,
+         |  ((cum - n_tokens) // 512)::BIGINT AS pack_id,
+         |  ((cum - n_tokens) % 512)::BIGINT AS offset, lang
+         |FROM c ORDER BY id""".stripMargin,
+
     // approximate mixture: same count/target math as q81, then a pure
     // Bernoulli filter at rate take/n per domain (no rank window)
     "q85_sample_mix_approx" ->

@@ -1356,6 +1356,13 @@ object Queries {
         salt = "q84")
         .orderBy("id")),
 
+    // packing, sharded: the 100 TB layout path — pack ids count within
+    // each lang shard, so the global-cumsum sort parallelizes per shard
+    "q232_pack_sharded" -> ((s, dir) =>
+      TextOps.packSequences(docs(s, dir), "doc_id", "text", window = 512,
+        salt = "q232", shardCol = Some("lang"))
+        .orderBy("id")),
+
     // sampling: window-free approximate mixture (per-domain Bernoulli at
     // rate take/n — the scale path when a domain is too hot to sort)
     "q85_sample_mix_approx" -> ((s, dir) =>
@@ -2905,6 +2912,7 @@ object Queries {
         "q45_json_extract", "q46_lm_score", "q55_tfidf_top_term",
         "q71_repetition", "q73_pii_scrub", "q74_chunking",
         "q75_url_domains", "q77_ccnet_buckets", "q84_pack_sequences",
+        "q232_pack_sharded",
         "q86_token_entropy", "q91_strip_markup", "q98_gopher_rules",
         "q100_curation_pipeline", "q102_nfc_normalize", "q117_bm25_topk",
         "q219_prf_expansion", "q225_textrank", "q228_bm25_batch",
