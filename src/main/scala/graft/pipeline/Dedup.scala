@@ -690,7 +690,18 @@ object Dedup {
     * pigeonhole guarantee — split into maxHamming+1 equal bit bands; any
     * pair within distance maxHamming agrees on ≥1 whole band, so recall
     * is exact (modulo the bucket valve). Same candidate/verify/expansion
-    * structure as [[simhashPairs]] (which delegates here). */
+    * structure as [[simhashPairs]] (which delegates here).
+    *
+    * Output-size caveat: the signature-class collapse keeps the banded
+    * JOIN linear in distinct hashes, but the final expansion returns the
+    * contract's ALL-PAIRS answer — a corpus of k-member duplicate
+    * classes has O(k²) true pairs per class (measured: 500k docs with
+    * 256 distinct hashes is a correct ~0.5-billion-row result). The
+    * production shape: run EXACT dedup first ([[exactGroups]] keep-one)
+    * so identical-content classes collapse to one
+    * representative, then near-dup pairs over the uniques — the
+    * remaining pair set is the genuine near-duplicate graph, not the
+    * within-class quadratic blow-up. */
   def hammingPairs(
       df: DataFrame,
       idCol: String,
