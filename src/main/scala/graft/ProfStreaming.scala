@@ -192,6 +192,40 @@ object ProfStreaming {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
 
+    // big-state store crossover: hour × USER windowed agg (~9.7M state
+    // rows vs sessionize's 150k) over the ordered 8-batch replay — the
+    // regime where incremental SST maintenance should beat full
+    // in-memory-map snapshots
+    if (sys.env.get("PROF_BIGSTATE").contains("1")) {
+      val sortedPath = s"$dir/events_tsorted.parquet"
+      require(new java.io.File(s"$sortedPath/_SUCCESS").exists(),
+        "run PROF_ORDERED=1 first to build the sorted replica")
+      for (store <- Seq("hdfs", "rocksdb")) {
+        if (store == "rocksdb")
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        else spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        var rows = 0L
+        val ckpt = s"/tmp/profstream_ckpt/big_${store}_${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        val q = streaming.StreamingReg.windowedEventAgg(
+            spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 8).parquet(sortedPath),
+            "ts", "user_id", "value", window_ = "1 hour", watermark = wm)
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) => rows += b.count() }
+          .start()
+        q.awaitTermination()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[prof] bigstate_windowed_user[$store]: $dt%.2f s " +
+          f"out_rows=$rows in_rows/s=${nIn / dt}%.0f")
+      }
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
     // batch twin of the sessionization for context: lag window + running
     // session index + per-session agg — same output cardinality
     val t0 = System.nanoTime()
