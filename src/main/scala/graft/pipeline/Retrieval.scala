@@ -222,16 +222,25 @@ object Retrieval {
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(lambda > 0.0 && lambda <= 1.0, s"lambda must be in (0, 1], got $lambda")
+    // enforce the shortlist bound BEFORE anything reaches the driver (the
+    // single-query op's limit(maxCandidates+1) guard, keyed by query): a
+    // group-limited rank window caps the collect at N·(maxCandidates+1)
+    // rows, so an oversized/unbounded candidate frame refuses instead of
+    // OOMing the driver
     val rows = candidates
-      .select(col(qidCol).cast("long"), col(idCol).cast("long"),
-        col(relCol).cast("double"), col(vecCol))
+      .select(col(qidCol).cast("long").as("__qid"),
+        col(idCol).cast("long").as("__id"),
+        col(relCol).cast("double").as("__rel"), col(vecCol).as("__vec"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__qid")).orderBy(col("__id"))))
+      .filter(col("__rn") <= maxCandidates + 1)
+      .drop("__rn")
       .collect()
     val byQuery = rows.groupBy(_.getLong(0))
     byQuery.foreach { case (qid, rs) =>
       require(rs.length <= maxCandidates,
-        s"mmrRerankBatch: query $qid has ${rs.length} candidates, " +
-          s"over maxCandidates=$maxCandidates — cut with a top-k first " +
-          "(the shortlist contract)")
+        s"mmrRerankBatch: query $qid has > maxCandidates=$maxCandidates " +
+          "candidates — cut with a top-k first (the shortlist contract)")
     }
     import candidates.sparkSession.implicits._
     byQuery.toSeq.sortBy(_._1)
@@ -353,9 +362,13 @@ object Retrieval {
     val qterms = queries
       .select(col(qidCol).as("query_id"), explode(col(termsCol)).as("token"))
       .distinct()
+    // an all-empty batch (every term array empty, or an empty query
+    // table) is the documented no-output case, not an error: the empty
+    // termSet makes `isInCollection` a constant-false filter, the
+    // postings and (query, token) tables come out empty, and the plan
+    // yields zero rows with the contract schema
     val termSet = qterms.select("token").distinct()
       .collect().map(_.getString(0)).toSeq
-    require(termSet.nonEmpty, "batch query table has no terms")
     val base = docs
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__t"))
       .select(

@@ -299,12 +299,23 @@ object Eval {
     // the aucDF regime note; probed-once regimes skip it per column)
     val (exactX, exactY) = exact match {
       case Some(e) => (Some(e), Some(e))
-      case None if regimeX.isDefined && regimeY.isDefined => (None, None)
-      case None =>
-        val r = base0.agg(
-          approx_count_distinct(col("__x")).as("__dx"),
-          approx_count_distinct(col("__y")).as("__dy")).collect()(0)
-        (Some(r.getLong(0) <= maxExactDistinct), Some(r.getLong(1) <= maxExactDistinct))
+      case None => (regimeX, regimeY) match {
+        case (Some(_), Some(_)) => (None, None)
+        case (Some(_), None) => // probe ONLY the un-regimed column
+          val d = base0.agg(approx_count_distinct(col("__y")))
+            .collect()(0).getLong(0)
+          (None, Some(d <= maxExactDistinct))
+        case (None, Some(_)) =>
+          val d = base0.agg(approx_count_distinct(col("__x")))
+            .collect()(0).getLong(0)
+          (Some(d <= maxExactDistinct), None)
+        case (None, None) =>
+          val r = base0.agg(
+            approx_count_distinct(col("__x")).as("__dx"),
+            approx_count_distinct(col("__y")).as("__dy")).collect()(0)
+          (Some(r.getLong(0) <= maxExactDistinct),
+            Some(r.getLong(1) <= maxExactDistinct))
+      }
     }
     def cutsOf(c: String, e: Option[Boolean], pre: Option[ScoreRegime]) =
       pre.map(_.cuts)

@@ -139,6 +139,18 @@ class EvalSpec extends SparkTestBase {
       regimeX = Some(rx), regimeY = Some(ry)).head.getDouble(0)
     assert(java.lang.Double.doubleToLongBits(rhoAuto) ==
       java.lang.Double.doubleToLongBits(rhoPre))
+    // supplying exactly ONE regime probes only the other column (r11);
+    // maxExactDistinct=100 routes the probed column bucketed (2000
+    // distincts), whose deterministic cuts equal the pre-built regime's —
+    // so each mixed call must reproduce the both-regime result
+    // bit-for-bit
+    for (rhoMixed <- Seq(
+        Eval.spearman(xy, col("x"), col("y"), maxExactDistinct = 100,
+          regimeX = Some(rx)).head.getDouble(0),
+        Eval.spearman(xy, col("x"), col("y"), maxExactDistinct = 100,
+          regimeY = Some(ry)).head.getDouble(0)))
+      assert(java.lang.Double.doubleToLongBits(rhoMixed) ==
+        java.lang.Double.doubleToLongBits(rhoPre))
     // ksTest: regime probed on the POOLED sample
     val ref = xy.select(col("x").as("v"))
     val cur = xy.select((col("x") + 0.2).as("v"))

@@ -280,6 +280,36 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("mmrRerankBatch: oversized candidate frame refuses WITHOUT collecting it") {
+    // 200k candidates on one query: the group-limited rank window must
+    // cap what reaches the driver at maxCandidates+1 rows per query, so
+    // the refusal fires without materializing the frame driver-side
+    val big = spark.range(200000L).select(
+      lit(0L).as("q"), col("id"),
+      (col("id") % 97).cast("double").as("rel"),
+      array(lit(1.0f), lit(0.0f)).as("vec"))
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.mmrRerankBatch(big, "q", "id", "rel", "vec",
+        k = 2, lambda = 0.5, maxCandidates = 8)
+    }
+    assert(ex.getMessage.contains("maxCandidates"))
+  }
+
+  test("bm25TopKBatch: all-empty term batch yields zero rows, contract schema, no error") {
+    val docs = sf("sf0.001", "documents")
+    val queries = Seq(
+      (0L, Seq.empty[String]),
+      (1L, Seq.empty[String])).toDF("query_id", "terms")
+    val out = Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+      queries, "query_id", "terms", k = 5)
+    assert(out.columns.toSeq ===
+      Seq("query_id", "id", "bm25", "n_matched", "bm25_rank"))
+    assert(out.count() === 0L)
+    // empty query TABLE too
+    assert(Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+      queries.limit(0), "query_id", "terms", k = 5).count() === 0L)
+  }
+
   test("prfExpandedTopK: feedback terms retrieve docs the raw query misses") {
     val docs = Seq(
       (1L, "apple banana banana"),
