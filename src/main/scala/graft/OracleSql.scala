@@ -1870,6 +1870,58 @@ object OracleSql {
          |WHERE ${hash32("'q80' || id::VARCHAR")} / 4294967296.0 < w
          |ORDER BY id""".stripMargin,
 
+    // exact-substring removal (Lee et al. 2022): every duplicated 5-token
+    // window keeps its first (id, pos) occurrence; the rest mask their
+    // positions; docs reconstruct from unmasked tokens
+    "q233_dedup_span_removal" ->
+      s"""WITH t AS (SELECT doc_id AS id, ${toks("text")} AS toks FROM documents),
+         |w0 AS (SELECT id, unnest(range(1, len(toks) - 3)) AS i FROM t),
+         |w AS (SELECT w0.id, (i - 1)::BIGINT AS pos,
+         |    md5(array_to_string(t.toks[i:i+4], ' ')) AS k
+         |  FROM w0 JOIN t USING (id)),
+         |o AS (SELECT w.*, count(*) OVER (PARTITION BY k) AS c,
+         |    row_number() OVER (PARTITION BY k ORDER BY id, pos) AS rn
+         |  FROM w),
+         |m AS (SELECT id, pos FROM o WHERE c > 1 AND rn > 1),
+         |mp AS (SELECT id, unnest(range(pos, pos + 5)) AS p FROM m),
+         |mk AS (SELECT id, list(DISTINCT p) AS mask FROM mp GROUP BY id),
+         |f AS (SELECT t.id, t.toks,
+         |    list_filter(range(1, len(t.toks) + 1),
+         |      i -> mk.mask IS NULL OR NOT list_contains(mk.mask, i - 1)) AS kept
+         |  FROM t LEFT JOIN mk ON t.id = mk.id)
+         |SELECT id, len(toks)::BIGINT AS n_tokens,
+         |  (len(toks) - len(kept))::BIGINT AS n_removed,
+         |  coalesce(array_to_string(list_transform(kept, i -> toks[i]), ' '),
+         |    '') AS text_clean
+         |FROM f ORDER BY id""".stripMargin,
+
+    // token-budget mixture: keep docs in (hash, id) order within the
+    // domain while the EXCLUSIVE running token sum is under the budget
+    "q234_token_budget_mix" ->
+      s"""WITH b(lang, budget) AS (VALUES ('en', 4000), ('de', 1500), ('zh', 900)),
+         |t AS (SELECT doc_id, lang, len(${toks("text")})::BIGINT AS nt,
+         |    ${hash32("'q234' || doc_id::VARCHAR")} / 4294967296.0 AS u
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, nt,
+         |    coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY u, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM t)
+         |SELECT r.doc_id AS id, r.lang, r.nt AS n_tokens
+         |FROM r JOIN b USING (lang) WHERE cum < budget ORDER BY id""".stripMargin,
+
+    // approx token budget: Bernoulli keep at rate min(1, budget/total_d)
+    "q235_token_budget_approx" ->
+      s"""WITH b(lang, budget) AS (VALUES ('en', 4000), ('de', 1500), ('zh', 900)),
+         |t AS (SELECT doc_id, lang, len(${toks("text")})::BIGINT AS nt
+         |  FROM documents),
+         |tot AS (SELECT lang, sum(nt) AS tt FROM t GROUP BY lang),
+         |r AS (SELECT t.doc_id, t.lang, t.nt,
+         |    least(1.0, budget::DOUBLE / tt::DOUBLE) AS rate
+         |  FROM t JOIN tot USING (lang) JOIN b USING (lang))
+         |SELECT doc_id AS id, lang, nt AS n_tokens FROM r
+         |WHERE ${hash32("'q235' || doc_id::VARCHAR")} / 4294967296.0 < rate
+         |ORDER BY id""".stripMargin,
+
     // deterministic domain mixture: n_out = floor(min(n_d/share_d)), each
     // domain keeps its floor(share_d * n_out) lowest-hash rows
     "q81_sample_mix" ->

@@ -1363,6 +1363,34 @@ object Queries {
         salt = "q232", shardCol = Some("lang"))
         .orderBy("id")),
 
+    // dedup: Lee et al. 2022 exact-substring REMOVAL — keep the first
+    // corpus occurrence of every duplicated 5-token span, strip every
+    // other occurrence, reconstruct the cleaned text
+    "q233_dedup_span_removal" -> ((s, dir) =>
+      Dedup.removeDupSpans(docs(s, dir), "doc_id", "text", width = 5)
+        .orderBy("id")),
+
+    // sampling: per-domain TOKEN budgets (the "N billion tokens of web"
+    // training-mix cut) — exact two-phase histogram-CDF form, keep set
+    // identical to the naive per-domain cumulative window
+    "q234_token_budget_mix" -> ((s, dir) =>
+      graft.sources.ScaleOps.sampleToTokenBudget(docs(s, dir), "lang",
+          "doc_id", TextOps.tokenCount(col("text")),
+          Seq("en" -> 4000L, "de" -> 1500L, "zh" -> 900L), salt = "q234")
+        .select(col("doc_id").as("id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("id")),
+
+    // sampling: the window-free approx twin — per-domain Bernoulli at
+    // rate budget/total_tokens, token mass correct in expectation
+    "q235_token_budget_approx" -> ((s, dir) =>
+      graft.sources.ScaleOps.sampleToTokenBudgetApprox(docs(s, dir), "lang",
+          "doc_id", TextOps.tokenCount(col("text")),
+          Seq("en" -> 4000L, "de" -> 1500L, "zh" -> 900L), salt = "q235")
+        .select(col("doc_id").as("id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("id")),
+
     // sampling: window-free approximate mixture (per-domain Bernoulli at
     // rate take/n — the scale path when a domain is too hot to sort)
     "q85_sample_mix_approx" -> ((s, dir) =>

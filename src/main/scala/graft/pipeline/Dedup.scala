@@ -920,4 +920,83 @@ object Dedup {
           col("n_dup").cast("double") / col("n_windows").cast("double"))
           .otherwise(lit(0.0)).as("dup_frac"))
   }
+
+  /** Exact-substring dedup with span REMOVAL — the action step of Lee et
+    * al. 2022 (arXiv:2107.06499 §3: delete all but one occurrence of any
+    * `width`-token span that repeats corpus-wide) on [[dupSpans]]'s
+    * fingerprint algebra. Each `width`-token sliding window is
+    * md5-fingerprinted; for a fingerprint occurring more than once
+    * (including twice inside one document) the FIRST occurrence — smallest
+    * (doc id, start position) — survives, and every other occurrence masks
+    * its `width` token positions. A document's cleaned text is its tokens
+    * with all masked positions dropped, space-joined (whitespace is not
+    * preserved — the tokenizer's normalization, same as every operator
+    * here). Documents shorter than `width` tokens pass through unchanged.
+    *
+    * Returns (id, n_tokens, n_removed, text_clean); `n_removed` counts
+    * dropped token positions, so `n_removed = 0` ⇔ `text_clean` is the
+    * space-joined original.
+    *
+    * Scale shape: the window explode is narrow (no shuffle); duplicated
+    * fingerprints come from one hash groupBy; the first-occurrence pick is
+    * `min(struct(id, pos))` in that SAME aggregate — never a rank window,
+    * so a boilerplate span occurring 10⁸ times corpus-wide costs one
+    * hash-agg cell, not a hot sorted partition. Masked positions flow back
+    * through one (id)-keyed aggregate into a per-doc position set
+    * (bounded by the doc's own token count), and reconstruction is one
+    * `array_except` projection — O(tokens + masked) per row via its
+    * hash-set build, no per-token array scan. Nothing corpus-sized
+    * reaches the driver.
+    *
+    * Reference: the detection half mirrors `dupSpans`
+    * (Lee et al. 2022); removal semantics follow the paper's
+    * keep-one-occurrence rule with (id, pos) order as "first". */
+  def removeDupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 8
+  ): DataFrame = {
+    require(width >= 2, s"width must be >= 2, got $width")
+    val t = df
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .staged
+    val wins = t
+      .select(col("id"),
+        posexplode(TextOps.wordShingles(col("toks"), width))
+          .as(Seq("pos", "win")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        md5(col("win")).as("k"))
+    // duplicated fingerprints + their first occurrence, ONE aggregate
+    val firsts = wins.groupBy("k")
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("id"), col("pos"))).as("__first"))
+      .filter(col("__c") > 1)
+      .select(col("k"), col("__first.id").as("__fid"),
+        col("__first.pos").as("__fpos"))
+    val masked = wins
+      .join(firsts, "k")
+      .filter(!(col("id") === col("__fid") && col("pos") === col("__fpos")))
+    val masks = masked
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(width.toLong - 1)))
+          .as("mp"))
+      .groupBy("id")
+      .agg(collect_set(col("mp")).as("__mask"))
+    t.join(masks, Seq("id"), "left")
+      .select(col("id"), col("toks"),
+        coalesce(col("__mask"), array().cast("array<long>")).as("__mask"))
+      .withColumn("__kept",
+        when(size(col("toks")) === 0, array().cast("array<long>"))
+          .otherwise(array_except(
+            sequence(lit(0L), size(col("toks")).cast("long") - 1L),
+            col("__mask"))))
+      .select(
+        col("id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("__kept"))).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(col("__kept"),
+            p => element_at(col("toks"), (p + 1L).cast("int")))).as("text_clean"))
+  }
 }

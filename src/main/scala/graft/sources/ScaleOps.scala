@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.Staging.StagedFrame
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -359,6 +360,144 @@ object ScaleOps {
     val counts = domainCounts(df, domainCol)
     sampleToMixApproxCore(df, domainCol, keyCol,
       mixTakesFrom(counts, temperatureSharesFrom(counts, alpha)), salt)
+  }
+
+  /** Token-budget mixture construction: per domain d, keep documents in
+    * deterministic hash order until `budget_d` TOKENS are reached — the
+    * "give me 50B tokens of web and 10B of code" training-mix cut, where
+    * [[sampleToMix]] counts ROWS. A row is kept iff the EXCLUSIVE running
+    * token sum of the rows before it (hash order: md5-uniform asc, key
+    * asc, within its domain) is still under the budget, so the document
+    * that crosses the budget is the last one kept, at least one document
+    * survives per positive-budget domain with rows, and the output
+    * overshoots by less than one document. Domains absent from `budgets`
+    * are dropped; null token counts consume 0 budget; budgets must be
+    * positive. Returns the kept rows of `df` unchanged.
+    *
+    * Scale shape — NOT the naive per-domain cumulative window (a
+    * corpus-hot domain would sort on one reducer; the NTILE-cliff class):
+    * a histogram-CDF two-phase cut, bit-identical to the naive
+    * definition. Phase 1 buckets the hash uniform into `buckets`
+    * equal-width cells and aggregates per-(domain, bucket) token sums —
+    * one hash agg, ≤ |domains|·`buckets` rows to the driver. Each
+    * domain's crossing bucket is found driver-side with exact integer
+    * cumsums: every bucket strictly below it keeps ALL rows (a pure
+    * filter — any row there has exclusive cum < its bucket's inclusive
+    * cumsum ≤ budget), every bucket above drops all rows, and ONLY the
+    * crossing bucket's rows (≈ 1/`buckets` of the domain) pay the exact
+    * cumulative window, seeded with the exact token cumsum below the
+    * bucket. All token arithmetic is integral (longs) end-to-end, so the
+    * keep set matches the naive window — and the SQL oracle — exactly. */
+  def sampleToTokenBudget(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      tokens: Column,
+      budgets: Seq[(String, Long)],
+      salt: String = "",
+      buckets: Int = 1024
+  ): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.forall(_._2 > 0), s"budgets must be positive: $budgets")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val u = graft.pipeline.TextOps
+      .hash32(concat(lit(salt), col(keyCol).cast("string")))
+      .cast("double") / lit(4294967296.0)
+    val tok = coalesce(tokens.cast("long"), lit(0L))
+    val bucket = floor(u * lit(buckets.toDouble)).cast("int")
+    val budgetOf = budgets.tail.foldLeft(
+      when(col(domainCol) === budgets.head._1, lit(budgets.head._2))) {
+      case (acc, (d, b)) => acc.when(col(domainCol) === d, lit(b))
+    }
+    val base = df
+      .withColumn("__budget", budgetOf)
+      .filter(col("__budget").isNotNull)
+      .withColumn("__u", u)
+      .withColumn("__tok", tok)
+      .withColumn("__bkt", bucket)
+      .staged
+    // phase 1: per-(domain, bucket) token sums → driver (model-sized)
+    val hist = base.groupBy(col(domainCol).as("__d"), col("__bkt"))
+      .agg(sum(col("__tok")).as("__t"))
+      .collect()
+      .map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    // per domain: crossing bucket + exact token cumsum below it
+    val cross: Map[Any, (Int, Long)] = hist.map { case (d, rows) =>
+      val budget = budgets.toMap.apply(d.asInstanceOf[String])
+      val byBkt = rows.sortBy(_._2)
+      var cum = 0L
+      var cb = buckets // past the end: whole domain fits the budget
+      var below = 0L
+      var i = 0
+      // crossing = first bucket whose INCLUSIVE cumsum reaches the
+      // budget (>=, not >: a zero-token row sitting exactly at an
+      // exhausted budget must route through the exact window, where the
+      // strict `< budget` test drops it — the naive rule's behavior)
+      while (i < byBkt.length && cb == buckets) {
+        if (cum + byBkt(i)._3 >= budget) { cb = byBkt(i)._2; below = cum }
+        else cum += byBkt(i)._3
+        i += 1
+      }
+      d -> (cb, below)
+    }
+    val crossBkt = cross.toSeq.foldLeft(lit(null).cast("int")) {
+      case (acc, (d, (cb, _))) =>
+        when(col(domainCol) === lit(d), lit(cb)).otherwise(acc)
+    }
+    val belowTok = cross.toSeq.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, (_, below))) =>
+        when(col(domainCol) === lit(d), lit(below)).otherwise(acc)
+    }
+    val keepAll = base.filter(col("__bkt") < crossBkt)
+    // phase 2: the exact window runs ONLY on the crossing bucket's sliver
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col("__u").asc, col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val boundary = base.filter(col("__bkt") === crossBkt)
+      .withColumn("__cum", belowTok + coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .filter(col("__cum") < col("__budget"))
+      .drop("__cum")
+    keepAll.unionByName(boundary)
+      .drop("__budget", "__u", "__tok", "__bkt")
+  }
+
+  /** The window-free approximate form of [[sampleToTokenBudget]]: keep
+    * each row with probability budget_d / total_tokens_d (clamped to 1)
+    * via [[weightedSample]], so each domain's OUTPUT TOKEN MASS equals
+    * min(budget, total) in expectation. One domain-keyed token-sum
+    * aggregate (model-sized collect) derives the rates; the plan is then
+    * a pure filter — no window, no shuffle — for corpora where even the
+    * boundary-bucket window of the exact form is unwelcome. Same
+    * determinism (salted md5 uniforms) and domain-dropping semantics. */
+  def sampleToTokenBudgetApprox(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      tokens: Column,
+      budgets: Seq[(String, Long)],
+      salt: String = ""
+  ): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.forall(_._2 > 0), s"budgets must be positive: $budgets")
+    val totals = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol))
+      .agg(sum(coalesce(tokens.cast("long"), lit(0L))).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1).toSeq
+    val tm = totals.toMap
+    val rates = budgets.flatMap { case (d, b) =>
+      tm.get(d).map(t =>
+        d -> (if (t <= 0L) 1.0 else math.min(1.0, b.toDouble / t.toDouble)))
+    }
+    require(rates.nonEmpty,
+      s"no budget domain present in the data (have: ${totals.map(_._1).mkString(", ")})")
+    val rate = rates.tail.foldLeft(
+      when(col(domainCol) === rates.head._1, lit(rates.head._2))) {
+      case (acc, (d, r)) => acc.when(col(domainCol) === d, lit(r))
+    }
+    weightedSample(df, keyCol, rate, salt)
   }
 
   /** Per-domain row counts (model-sized collect), name-sorted so every

@@ -768,6 +768,48 @@ class PipelineSpec extends SparkTestBase {
     assert(out(4L) == ((0L, 0L)), s"got ${out(4L)}")
   }
 
+  test("removeDupSpans: keep-first removal, within-doc repeats, reconstruction") {
+    val d = Seq(
+      (1L, "a b c d e x y"),   // first occurrence of "a b c" and "b c d"
+      (2L, "z a b c d q"),     // repeats both → masks pos 1..3 ∪ 2..4
+      (3L, "short one"),       // shorter than width → no windows, unchanged
+      (4L, "r r r r")          // within-doc repeat: "r r r" at pos 0 and 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(d, "doc_id", "text", width = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // doc 1 is the first occurrence of every duplicated span: untouched
+    assert(out(1L) == ((7L, 0L, "a b c d e x y")), s"got ${out(1L)}")
+    // doc 2: masked positions {1,2,3} ∪ {2,3,4} leave tokens 0 and 5
+    assert(out(2L) == ((6L, 4L, "z q")), s"got ${out(2L)}")
+    assert(out(3L) == ((2L, 0L, "short one")), s"got ${out(3L)}")
+    // doc 4: second "r r r" (pos 1) masks {1,2,3}; the pos-0 copy stays
+    assert(out(4L) == ((4L, 3L, "r")), s"got ${out(4L)}")
+  }
+
+  test("removeDupSpans agrees with dupSpans on the real corpus") {
+    val rm = Dedup.removeDupSpans(docs, "doc_id", "text", width = 5)
+    val spans = Dedup.dupSpans(docs, "doc_id", "text", width = 5)
+    val joined = rm.join(spans, "id")
+      .select("id", "n_tokens", "n_removed", "n_dup", "text_clean")
+      .collect()
+    assert(joined.nonEmpty)
+    var removedAny = false
+    joined.foreach { r =>
+      val (nTok, nRem, nDup) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // a doc loses tokens iff it carries a duplicated window that is
+      // not globally first — so n_removed > 0 requires n_dup > 0, and
+      // zero dup windows means bit-identical reconstruction
+      assert(nRem <= nTok, s"doc ${r.getLong(0)}")
+      if (nRem > 0) { removedAny = true; assert(nDup > 0, s"doc ${r.getLong(0)}") }
+      if (nDup == 0)
+        assert(r.getString(4).split("\\s+").filter(_.nonEmpty).length == nTok,
+          s"doc ${r.getLong(0)} reconstruction")
+    }
+    assert(removedAny, "fixture corpus should contain cross-doc spans")
+  }
+
   test("edit-distance pairs: planted one-char edit found at distance 1") {
     val base = docs.limit(6)
     val edited = base

@@ -255,6 +255,103 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("token budget: two-phase cut equals the naive per-domain window, any bucket count") {
+    val docs = sf("sf0.001", "documents")
+    val budgets = Seq("en" -> 4000L, "de" -> 1500L, "zh" -> 900L)
+    val tok = graft.pipeline.TextOps.tokenCount(col("text"))
+    // naive definition: exclusive running token sum in (hash, key) order
+    // within the domain, keep while under budget
+    val u = graft.pipeline.TextOps
+      .hash32(concat(lit("tb"), col("doc_id").cast("string")))
+      .cast("double") / lit(4294967296.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(u.asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val budgetCase = budgets.tail.foldLeft(
+      when(col("lang") === budgets.head._1, lit(budgets.head._2))) {
+      case (acc, (d, b)) => acc.when(col("lang") === d, lit(b))
+    }
+    val naive = docs
+      .withColumn("__cum", coalesce(sum(tok.cast("long")).over(w), lit(0L)))
+      .withColumn("__b", budgetCase)
+      .filter(col("__b").isNotNull && col("__cum") < col("__b"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (buckets <- Seq(2, 16, 1024)) {
+      val got = ScaleOps.sampleToTokenBudget(docs, "lang", "doc_id", tok,
+          budgets, salt = "tb", buckets = buckets)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == naive, s"buckets=$buckets: ${got.size} vs ${naive.size}")
+    }
+    // kept token mass: under budget + less than one doc of overshoot,
+    // and at least one doc per domain
+    val kept = ScaleOps.sampleToTokenBudget(docs, "lang", "doc_id", tok,
+      budgets, salt = "tb")
+    val mass = kept.groupBy("lang").agg(
+        sum(tok.cast("long")).as("t"), count(lit(1)).as("n"),
+        max(tok.cast("long")).as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    budgets.foreach { case (d, b) =>
+      val (t, n, mx) = mass(d)
+      assert(n >= 1, s"$d empty")
+      assert(t < b + mx, s"$d overshoot: $t vs budget $b (max doc $mx)")
+    }
+    // unlisted domains are dropped
+    assert(kept.filter(!col("lang").isin("en", "de", "zh")).count() == 0)
+  }
+
+  test("token budget: whole-domain budgets, single-doc budgets, null tokens free") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L),
+      ("b", 4L, 5L), ("b", 5L, 5L)
+    ).toDF("dom", "id", "nt")
+    // budget >= domain total: everything kept
+    val all = ScaleOps.sampleToTokenBudget(d, "dom", "id", col("nt"),
+      Seq("a" -> 100L, "b" -> 100L), salt = "s1")
+    assert(all.count() == 5)
+    // budget of 1 token: exactly the first doc in hash order survives
+    // (its exclusive cum is 0 < 1); everything after is over budget
+    val one = ScaleOps.sampleToTokenBudget(d, "dom", "id", col("nt"),
+      Seq("a" -> 1L), salt = "s1")
+    assert(one.count() == 1)
+    assert(one.select("dom").head.getString(0) == "a")
+    // null token counts consume no budget: a null-token row never
+    // pushes a later row over
+    val dn = Seq(("a", 1L, Option.empty[Long]), ("a", 2L, Some(3L)),
+      ("a", 3L, Some(3L))).toDF("dom", "id", "nt")
+    val got = ScaleOps.sampleToTokenBudget(dn, "dom", "id", col("nt"),
+      Seq("a" -> 6L), salt = "s2")
+    assert(got.count() == 3, "3+3 tokens fit a budget of 6 with a free null row")
+    intercept[IllegalArgumentException] {
+      ScaleOps.sampleToTokenBudget(d, "dom", "id", col("nt"), Seq("a" -> 0L))
+    }
+  }
+
+  test("approx token budget: expected token mass tracks the budget, no window in plan") {
+    val docs = sf("sf0.001", "documents")
+    val tok = graft.pipeline.TextOps.tokenCount(col("text"))
+    val budgets = Seq("en" -> 4000L, "de" -> 1500L)
+    val approx = ScaleOps.sampleToTokenBudgetApprox(docs, "lang", "doc_id",
+      tok, budgets, salt = "ta")
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Sort"), plan.take(2000))
+    val mass = approx.groupBy("lang").agg(sum(tok.cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    budgets.foreach { case (d, b) =>
+      assert(mass(d) > b / 2 && mass(d) < b * 2,
+        s"$d token mass ${mass(d)} vs expected $b")
+    }
+    // a budget above the domain total clamps the rate at 1: all rows kept
+    val clamped = ScaleOps.sampleToTokenBudgetApprox(docs, "lang", "doc_id",
+      tok, Seq("de" -> 100000000L), salt = "ta")
+    assert(clamped.count() == docs.filter(col("lang") === "de").count())
+    // deterministic
+    assert(approx.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      ScaleOps.sampleToTokenBudgetApprox(docs, "lang", "doc_id", tok,
+        budgets, salt = "ta").select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("temperature mixture: hand-computed takes, alpha=1 is the natural distribution") {
     import spark.implicits._
     // a: 16 rows, b: 4. alpha=0.5 → weights (4, 2), shares (2/3, 1/3),
