@@ -1922,6 +1922,26 @@ object OracleSql {
          |WHERE ${hash32("'q235' || doc_id::VARCHAR")} / 4294967296.0 < rate
          |ORDER BY id""".stripMargin,
 
+    // z-order key: equal-width 8-bit buckets from exact min/max, bit b of
+    // bucket j interleaved to position b*2 + j (same IEEE float algebra
+    // and integer bit ops as the engine)
+    "q236_zorder_key" -> {
+      val bitsExpr = (0 until 8).map(b =>
+        s"(((bx >> $b) & 1) << ${2 * b}) | (((by >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" | ")
+      s"""WITH t AS (SELECT doc_id AS id, n_chars::DOUBLE AS nc,
+         |    len(${toks("text")})::DOUBLE AS nt FROM documents),
+         |mm AS (SELECT min(nc) mnc, max(nc) mxc, min(nt) mnt, max(nt) mxt
+         |  FROM t),
+         |b AS (SELECT id,
+         |    least(255, greatest(0,
+         |      floor((nc - mnc) / (mxc - mnc) * 256.0)::BIGINT)) AS bx,
+         |    least(255, greatest(0,
+         |      floor((nt - mnt) / (mxt - mnt) * 256.0)::BIGINT)) AS by
+         |  FROM t CROSS JOIN mm)
+         |SELECT id, ($bitsExpr)::BIGINT AS zkey FROM b ORDER BY id""".stripMargin
+    },
+
     // deterministic domain mixture: n_out = floor(min(n_d/share_d)), each
     // domain keeps its floor(share_d * n_out) lowest-hash rows
     "q81_sample_mix" ->

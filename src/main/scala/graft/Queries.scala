@@ -1391,6 +1391,21 @@ object Queries {
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("id")),
 
+    // layout: Morton/z-order interleave key over (n_chars, token count)
+    // equal-width buckets — the multi-column clustering key zorderWrite
+    // sorts by; pure integer bit algebra, bit-identical cross-engine
+    "q236_zorder_key" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").as("id"),
+        col("n_chars").cast("double").as("nc"),
+        TextOps.tokenCount(col("text")).cast("double").as("nt"))
+      val mm = d.agg(min("nc"), max("nc"), min("nt"), max("nt")).collect()(0)
+      d.select(col("id"),
+          graft.sources.ScaleOps.zorderKey(Seq(col("nc"), col("nt")),
+            Seq((mm.getDouble(0), mm.getDouble(1)),
+              (mm.getDouble(2), mm.getDouble(3))), bits = 8).as("zkey"))
+        .orderBy("id")
+    }),
+
     // sampling: window-free approximate mixture (per-domain Bernoulli at
     // rate take/n — the scale path when a domain is too hot to sort)
     "q85_sample_mix_approx" -> ((s, dir) =>

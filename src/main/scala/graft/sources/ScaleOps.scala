@@ -1,6 +1,5 @@
 package graft.sources
 
-import graft.Staging.StagedFrame
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -38,6 +37,118 @@ object ScaleOps {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Z-order (Morton) interleave key over equal-width bucket indices: each
+    * column v_j maps to bucket_j = clamp(⌊(v_j − min_j)/(max_j − min_j) ·
+    * 2^bits⌋, 0, 2^bits − 1) (nulls and degenerate min = max ranges land in
+    * bucket 0), and the key interleaves the buckets' bits —
+    * bit b of bucket j lands at position b·k + j — so nearby keys are
+    * nearby in EVERY dimension at once. Pure native shift/and/or
+    * arithmetic (codegen'd, no UDF), and bit-identical cross-engine: the
+    * same integer algebra is expressible in ANSI SQL. `bits · k` must fit
+    * a long (≤ 62). */
+  def zorderKey(
+      cols: Seq[Column],
+      minMax: Seq[(Double, Double)],
+      bits: Int
+  ): Column = {
+    val k = cols.size
+    require(k >= 1, "zorderKey needs at least one column")
+    require(minMax.size == k, s"minMax size ${minMax.size} != $k columns")
+    require(bits >= 1 && bits * k <= 62,
+      s"bits*cols must be in [1, 62], got $bits*$k")
+    val cells = (1L << bits).toDouble
+    val buckets = cols.zip(minMax).map { case (c, (lo, hi)) =>
+      val v = c.cast("double")
+      if (hi <= lo) lit(0L)
+      else least(
+        lit((1L << bits) - 1L),
+        greatest(lit(0L),
+          floor((coalesce(v, lit(lo)) - lit(lo)) / lit(hi - lo) * lit(cells))
+            .cast("long")))
+    }
+    val terms = for {
+      b <- 0 until bits
+      j <- 0 until k
+    } yield shiftleft(shiftright(buckets(j), b).bitwiseAND(lit(1L)), b * k + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order clustered parquet sink + per-file min/max manifest — the
+    * multi-column data-skipping layout ([[writePartitioned]] prunes on ONE
+    * low-cardinality column; this clusters on several numeric ones at
+    * once). Rows are range-partitioned and sorted by [[zorderKey]], so
+    * each output file covers a small hyper-rectangle of the `zcols` space;
+    * a `_zmanifest` parquet (underscore-prefixed — invisible to normal
+    * parquet reads of `path`) records each file's min/max per zcol.
+    * [[zorderScan]] prunes files against the manifest driver-side (the
+    * manifest is file-count-sized) and pushes the residual predicate into
+    * the surviving files' scans — the plain-parquet form of lakehouse
+    * file-skipping stats.
+    *
+    * Scale shape: one exact min/max aggregate over the input (narrow), one
+    * range-partitioned sorted write (the sort parallelizes across
+    * `numFiles` range partitions — never a global single-partition sort),
+    * and one post-write scan of the written files to build the manifest.
+    * Clustering uses equal-WIDTH buckets from the exact min/max: heavy
+    * value skew concentrates keys in few cells and weakens (never breaks)
+    * the pruning — pre-transform a skewed column (log, rank) if its raw
+    * distribution is pathological. */
+  def zorderWrite(
+      df: DataFrame,
+      path: String,
+      zcols: Seq[String],
+      bits: Int = 8,
+      numFiles: Int = 32
+  ): Unit = {
+    require(zcols.size >= 2, "zorderWrite needs >= 2 cluster columns " +
+      "(use writePartitioned/sort for one)")
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val mmAggs = zcols.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val mmRow = df.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
+    // an empty frame / all-null column degenerates to bucket 0 everywhere
+    val minMax = zcols.indices.map(i =>
+      if (mmRow.isNullAt(2 * i)) (0.0, 0.0)
+      else (mmRow.getDouble(2 * i), mmRow.getDouble(2 * i + 1))).toSeq
+    val zk = zorderKey(zcols.map(col), minMax, bits)
+    df.repartitionByRange(numFiles, zk)
+      .sortWithinPartitions(zk)
+      .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    val written = spark.read.parquet(path)
+    val aggs = zcols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"min_$c"),
+      max(col(c).cast("double")).as(s"max_$c")))
+    written.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_zmanifest")
+  }
+
+  /** Manifest-pruned read of a [[zorderWrite]] layout: keep only the
+    * files whose min/max boxes overlap every `(col, lo, hi)` bound
+    * (closed intervals), then apply the exact predicate to the surviving
+    * rows — identical rows to filtering a full scan, reading only the
+    * overlapping files. The manifest collect is file-count-sized. */
+  def zorderScan(
+      spark: SparkSession,
+      path: String,
+      bounds: Seq[(String, Double, Double)]
+  ): DataFrame = {
+    require(bounds.nonEmpty, "zorderScan needs at least one bound")
+    val manifest = spark.read.parquet(s"$path/_zmanifest")
+    val keep = bounds.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    val files = manifest.filter(keep)
+      .select("file").collect().map(_.getString(0))
+    val pred = bounds.map { case (c, lo, hi) =>
+      col(c).cast("double") >= lit(lo) && col(c).cast("double") <= lit(hi)
+    }.reduce(_ && _)
+    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files: _*).filter(pred)
+  }
 
   /** Raise a source's partition count to at least `minPartitions` so every
     * core participates in the scan-side work.
@@ -409,13 +520,16 @@ object ScaleOps {
       when(col(domainCol) === budgets.head._1, lit(budgets.head._2))) {
       case (acc, (d, b)) => acc.when(col(domainCol) === d, lit(b))
     }
+    // base is a pure deterministic projection of df — consumed by three
+    // jobs (histogram, keep-all filter, boundary window) and deliberately
+    // NOT staged: re-deriving a codegen'd projection from the scan is far
+    // cheaper than checkpoint-writing the corpus (the rank-1-MF lesson)
     val base = df
       .withColumn("__budget", budgetOf)
       .filter(col("__budget").isNotNull)
       .withColumn("__u", u)
       .withColumn("__tok", tok)
       .withColumn("__bkt", bucket)
-      .staged
     // phase 1: per-(domain, bucket) token sums → driver (model-sized)
     val hist = base.groupBy(col(domainCol).as("__d"), col("__bkt"))
       .agg(sum(col("__tok")).as("__t"))

@@ -185,6 +185,30 @@ class LocalClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     close(norms("item"), 1.0, 1e-12, "item norm")
   }
 
+  test("span removal + token budget distribute (r11 ops)") {
+    assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
+    val rm = graft.pipeline.Dedup
+      .removeDupSpans(docs, "doc_id", "text", width = 5).collect()
+    assert(rm.length === docs.count())
+    // accounting holds across executor boundaries: cleaned token count
+    // = n_tokens - n_removed for every doc
+    rm.foreach { r =>
+      val kept = r.getString(3).split("\\s+").count(_.nonEmpty)
+      assert(kept === (r.getLong(1) - r.getLong(2)).toInt, s"doc ${r.getLong(0)}")
+    }
+    assert(rm.exists(_.getLong(2) > 0), "corpus should contain dup spans")
+    val tok = graft.pipeline.TextOps.tokenCount(col("text"))
+    val kept = graft.sources.ScaleOps.sampleToTokenBudget(
+      docs, "lang", "doc_id", tok, Seq("en" -> 2000L, "de" -> 800L),
+      salt = "lc")
+    val mass = kept.groupBy("lang").agg(
+        sum(tok.cast("long")).as("t"), max(tok.cast("long")).as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(mass.keySet === Set("en", "de"))
+    assert(mass("en")._1 < 2000L + mass("en")._2)
+    assert(mass("de")._1 < 800L + mass("de")._2)
+  }
+
   test("streaming funnel state store works under executors") {
     assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -788,6 +788,14 @@ class PipelineSpec extends SparkTestBase {
     assert(out(4L) == ((4L, 3L, "r")), s"got ${out(4L)}")
   }
 
+  test("removeDupSpans plan: no window anywhere — first-occurrence picks ride the hash agg") {
+    val out = Dedup.removeDupSpans(docs, "doc_id", "text", width = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    // the scale contract: a boilerplate span occurring 10^8 times must
+    // cost one aggregate cell, never a per-fingerprint sorted partition
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
   test("removeDupSpans agrees with dupSpans on the real corpus") {
     val rm = Dedup.removeDupSpans(docs, "doc_id", "text", width = 5)
     val spans = Dedup.dupSpans(docs, "doc_id", "text", width = 5)

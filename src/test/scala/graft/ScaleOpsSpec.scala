@@ -299,6 +299,90 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(kept.filter(!col("lang").isin("en", "de", "zh")).count() == 0)
   }
 
+  test("zorder layout: scan equals full filter, prunes files, clusters both dims") {
+    val li = sf("sf0.01", "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+        "l_quantity")
+    val dir = Files.createTempDirectory("graft_zorder").toString + "/li"
+    ScaleOps.zorderWrite(li, dir, Seq("l_extendedprice", "l_quantity"),
+      bits = 8, numFiles = 16)
+    val bounds = Seq(("l_extendedprice", 10000.0, 20000.0),
+      ("l_quantity", 10.0, 20.0))
+    val pruned = ScaleOps.zorderScan(spark, dir, bounds)
+    val full = spark.read.parquet(dir)
+      .filter(col("l_extendedprice").between(10000.0, 20000.0) &&
+        col("l_quantity").between(10.0, 20.0))
+    // identical rows to the unpruned filter
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getInt(1))
+    assert(pruned.collect().map(key).toSet == full.collect().map(key).toSet)
+    assert(pruned.count() > 0, "fixture box should be non-empty")
+    // the manifest must actually drop files for a small box
+    val allFiles = spark.read.parquet(s"$dir/_zmanifest").count()
+    val readFiles = pruned.select(input_file_name()).distinct().count()
+    assert(allFiles >= 8, s"expected a multi-file layout, got $allFiles")
+    assert(readFiles < allFiles,
+      s"$readFiles of $allFiles files — no skipping happened")
+    // clustering quality: the mean per-file span must be well under the
+    // global span in BOTH dimensions (the point of z-order vs sort-by-one)
+    val m = spark.read.parquet(s"$dir/_zmanifest")
+      .agg(avg(col("max_l_extendedprice") - col("min_l_extendedprice")).as("sp"),
+        avg(col("max_l_quantity") - col("min_l_quantity")).as("sq"))
+      .collect()(0)
+    val g = li.agg(
+        (max("l_extendedprice") - min("l_extendedprice")).cast("double"),
+        (max("l_quantity") - min("l_quantity")).cast("double"))
+      .collect()(0)
+    assert(m.getDouble(0) < g.getDouble(0) * 0.5,
+      s"price span ${m.getDouble(0)} vs global ${g.getDouble(0)}")
+    assert(m.getDouble(1) < g.getDouble(1) * 0.5,
+      s"quantity span ${m.getDouble(1)} vs global ${g.getDouble(1)}")
+    // a box outside the data reads nothing and stays schema-correct
+    val empty = ScaleOps.zorderScan(spark, dir,
+      Seq(("l_quantity", 1e9, 2e9)))
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == li.columns.toSeq)
+  }
+
+  test("zorderKey: hand-computed interleave, null/degenerate buckets, bounds") {
+    import spark.implicits._
+    val d = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0),
+      (0.5, 0.25)).toDF("x", "y")
+    // bits=2, ranges [0,1]: buckets x,y in 0..3; z interleaves
+    // bit b of bucket j at position b*2+j
+    val got = d.select(ScaleOps.zorderKey(Seq(col("x"), col("y")),
+        Seq((0.0, 1.0), (0.0, 1.0)), bits = 2).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    def z(bx: Long, by: Long) =
+      (0 until 2).map(b => (((bx >> b) & 1L) << (2 * b)) |
+        (((by >> b) & 1L) << (2 * b + 1))).reduce(_ | _)
+    // x=1.0 clamps into the top bucket (3); 0.5 -> bucket 2; 0.25 -> 1
+    assert(got == Seq(z(0, 0), z(3, 0), z(0, 3), z(3, 3), z(2, 1)), got)
+    // degenerate range and nulls land in bucket 0, never crash
+    val dn = Seq((Some(5.0), Option.empty[Double])).toDF("x", "y")
+    assert(dn.select(ScaleOps.zorderKey(Seq(col("x"), col("y")),
+      Seq((5.0, 5.0), (0.0, 1.0)), bits = 4)).head.getLong(0) == 0L)
+    intercept[IllegalArgumentException] {
+      ScaleOps.zorderKey(Seq(col("x"), col("y")),
+        Seq((0.0, 1.0), (0.0, 1.0)), bits = 32)
+    }
+  }
+
+  test("token budget plan: the one window runs on the crossing-bucket sliver only") {
+    val docs = sf("sf0.001", "documents")
+    val tok = graft.pipeline.TextOps.tokenCount(col("text"))
+    val out = ScaleOps.sampleToTokenBudget(docs, "lang", "doc_id", tok,
+      Seq("en" -> 4000L, "de" -> 1500L), salt = "pp")
+    val plan = out.queryExecution.executedPlan.toString
+    // exactly ONE cumulative window in the whole plan...
+    assert(plan.sliding(7).count(_ == "Window ") == 1, plan.take(3000))
+    // ...fed by its own bucket-filtered scan: the keep-all branch and the
+    // boundary sliver are two scans of the source, each with the FLOOR
+    // bucket arithmetic pushed into the scan's data filters — nothing is
+    // staged, nothing corpus-sized is sorted
+    assert(plan.sliding(8).count(_ == "FileScan") == 2, plan.take(3000))
+    assert(plan.contains("FLOOR"), plan.take(3000))
+  }
+
   test("token budget: whole-domain budgets, single-doc budgets, null tokens free") {
     import spark.implicits._
     val d = Seq(
