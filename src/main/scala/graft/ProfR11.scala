@@ -84,6 +84,26 @@ object ProfR11 {
         .filter(col("__b").isNotNull && col("__cum") < col("__b"))
         .drop("__cum", "__b")
     })
+    // PROF_ZORDER_DIR: z-order write + manifest-pruned scan vs full scan
+    sys.env.get("PROF_ZORDER_DIR").foreach { zdir =>
+      val zd = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        tok.cast("long").as("nt"), col("text"))
+      time("zorder_write")({
+        ScaleOps.zorderWrite(zd, zdir, Seq("n_chars", "nt"),
+          bits = 8, numFiles = 64)
+        spark.read.parquet(s"$zdir/_zmanifest").count()
+      })
+      val bounds = Seq(("n_chars", 200.0, 400.0), ("nt", 30.0, 60.0))
+      time("zorder_pruned_scan")(noop(ScaleOps.zorderScan(spark, zdir, bounds)))
+      time("zorder_full_filter")(noop(
+        spark.read.parquet(zdir)
+          .filter(col("n_chars").between(200, 400) && col("nt").between(30, 60))))
+      val nFiles = spark.read.parquet(s"$zdir/_zmanifest").count()
+      val nRead = ScaleOps.zorderScan(spark, zdir, bounds)
+        .select(input_file_name()).distinct().count()
+      println(s"[prof] zorder files read $nRead / $nFiles")
+    }
+
     // PROF_LI_DIR: the 180M-row point — token budgets over lineitem,
     // domain = l_returnflag (3 domains → 60M-row per-domain sorts for
     // the naive window; the scale where the two-phase filter should win)

@@ -416,6 +416,39 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed.size < rows.size) // filter really ran
   }
 
+  test("approx token budget applies to a stream from a frozen batch inventory") {
+    // the deployment shape: the per-domain rate comes from a REFERENCE
+    // batch inventory (sampleToTokenBudgetApprox's own derivation —
+    // aggregates don't run on an unbounded stream), and the cut itself
+    // is weightedSample's stateless filter, identical on stream and batch
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.ScaleOps
+    val rows = (0L until 60L).map(i => (i, if (i % 3 == 0) "en" else "de",
+      (i % 7 + 1).toInt))
+    val batchDf = spark.createDataFrame(rows).toDF("id", "dom", "nt")
+    val budgets = Seq("en" -> 30L, "de" -> 50L)
+    val expected = ScaleOps.sampleToTokenBudgetApprox(batchDf, "dom", "id",
+        col("nt"), budgets, salt = "stb")
+      .collect().map(_.getLong(0)).toSet
+    // freeze the rates from the batch inventory, replay them on a stream
+    val totals = batchDf.groupBy("dom").agg(sum(col("nt")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rate = when(col("dom") === "en",
+        lit(math.min(1.0, 30.0 / totals("en"))))
+      .when(col("dom") === "de", lit(math.min(1.0, 50.0 / totals("de"))))
+    val input = MemoryStream[(Long, String, Int)]
+    val q = ScaleOps.weightedSample(
+        input.toDF().toDF("id", "dom", "nt"), "id", rate, salt = "stb")
+      .writeStream.format("memory").queryName("stb")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("stb").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(streamed == expected)
+    assert(streamed.nonEmpty && streamed.size < rows.size)
+  }
+
   test("Count-Min sketch accumulates across micro-batches (mergeable state)") {
     // the sketch's elementwise-add merge is exactly what streaming state
     // needs: complete-mode estimates over two batches equal one batch of
