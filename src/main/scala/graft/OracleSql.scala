@@ -1922,6 +1922,30 @@ object OracleSql {
          |WHERE ${hash32("'q235' || doc_id::VARCHAR")} / 4294967296.0 < rate
          |ORDER BY id""".stripMargin,
 
+    // priority token budget: keep docs in (quality DESC, id) order within
+    // the domain while the EXCLUSIVE running token sum is under budget
+    // (same quality term order as q80)
+    "q237_top_token_budget" ->
+      s"""WITH b(lang, budget) AS (VALUES ('en', 4000), ('de', 1500), ('zh', 900)),
+         |tk AS (SELECT doc_id AS id, lang, text, ${toks("text")} AS t
+         |  FROM documents),
+         |q AS (SELECT id, lang, len(t)::BIGINT AS nt,
+         |   least(len(text)::DOUBLE / 500.0, 1.0) * 0.5
+         | + least((CASE WHEN len(t) = 0 THEN 0.0 ELSE
+         |     len(list_filter(t, x -> list_contains(
+         |       ['the','a','an','and','of','to','in','is','was','for','on',
+         |        'with','that','it'], x)))::DOUBLE / len(t) END) * 5.0, 1.0) * 0.3
+         | + (1.0 - least((len(regexp_replace(text,
+         |     '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE
+         |     / greatest(len(text), 1)) * 4.0, 1.0)) * 0.2 AS w
+         |  FROM tk),
+         |r AS (SELECT id, lang, nt,
+         |    coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY w DESC, id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM q)
+         |SELECT r.id, r.lang, r.nt AS n_tokens
+         |FROM r JOIN b USING (lang) WHERE cum < budget ORDER BY id""".stripMargin,
+
     // z-order key: equal-width 8-bit buckets from exact min/max, bit b of
     // bucket j interleaved to position b*2 + j (same IEEE float algebra
     // and integer bit ops as the engine)

@@ -123,6 +123,9 @@ object ProfR11 {
       time("li_token_budget_approx")(noop(
         ScaleOps.sampleToTokenBudgetApprox(li, "l_returnflag", "lid", ltok,
           lb, salt = "p11")))
+      time("li_top_token_budget")(noop(
+        ScaleOps.takeTopTokenBudget(li, "l_returnflag", "lid", ltok,
+          col("l_extendedprice"), lb)))
       time("li_token_budget_naive_window")(noop {
         val u = TextOps.hash32(concat(lit("p11"), col("lid").cast("string")))
           .cast("double") / lit(4294967296.0)

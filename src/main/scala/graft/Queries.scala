@@ -1391,6 +1391,18 @@ object Queries {
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("id")),
 
+    // sampling: priority token budget — keep the HIGHEST-quality docs per
+    // domain until the token budget (two-phase quantile-bin cut, keep set
+    // identical to the naive priority window)
+    "q237_top_token_budget" -> ((s, dir) =>
+      graft.sources.ScaleOps.takeTopTokenBudget(docs(s, dir), "lang",
+          "doc_id", TextOps.tokenCount(col("text")),
+          TextOps.qualityScore(col("text")),
+          Seq("en" -> 4000L, "de" -> 1500L, "zh" -> 900L))
+        .select(col("doc_id").as("id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("id")),
+
     // layout: Morton/z-order interleave key over (n_chars, token count)
     // equal-width buckets — the multi-column clustering key zorderWrite
     // sorts by; pure integer bit algebra, bit-identical cross-engine

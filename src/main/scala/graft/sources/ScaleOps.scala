@@ -577,6 +577,106 @@ object ScaleOps {
       .drop("__budget", "__u", "__tok", "__bkt")
   }
 
+  /** Priority token-budget cut: per domain keep the HIGHEST-`priority`
+    * rows — order (priority desc, key asc), null priority = lowest — until
+    * `budget_d` tokens, the "best N billion tokens per domain" curation
+    * primitive ([[sampleToTokenBudget]] keeps a hash-RANDOM sample; this
+    * keeps the TOP of a quality ranking). Same keep rule: a row survives
+    * iff the exclusive running token sum of the higher-priority rows in
+    * its domain is under the budget. Returns the kept rows unchanged.
+    *
+    * Scale shape — the same two-phase cut as [[sampleToTokenBudget]],
+    * with the uniform-hash buckets replaced by `buckets` equal-frequency
+    * priority bins from ONE histogram-CDF probe
+    * (`Dbbinsreg.quantileCutBins` — two narrow scans, bounded driver
+    * state, no sort; the bin key is the codegen'd binary-search
+    * `BucketBin` past 64 cuts): per-(domain, bin) token sums to the
+    * driver, bins above the crossing keep as a pure filter, and only the
+    * crossing bin's sliver pays the (priority desc, key) window, seeded
+    * with the exact above-sum. Bucketing is monotone in priority, so the
+    * keep set is bit-identical to the naive per-domain window whatever
+    * the cuts — a heavily tied priority column only grows the sliver
+    * (degenerating to the naive window when every row ties), never the
+    * answer. Token arithmetic is integral end-to-end. */
+  def takeTopTokenBudget(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      tokens: Column,
+      priority: Column,
+      budgets: Seq[(String, Long)],
+      buckets: Int = 1024,
+      relErr: Double = 1e-3
+  ): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.forall(_._2 > 0), s"budgets must be positive: $budgets")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val budgetOf = budgets.tail.foldLeft(
+      when(col(domainCol) === budgets.head._1, lit(budgets.head._2))) {
+      case (acc, (d, b)) => acc.when(col(domainCol) === d, lit(b))
+    }
+    // pure deterministic projection — consumed by the probe, the
+    // histogram, the keep-all filter and the boundary window; NOT staged
+    // (the rank-1-MF lesson)
+    val base = df
+      .withColumn("__budget", budgetOf)
+      .filter(col("__budget").isNotNull)
+      .withColumn("__p", priority.cast("double"))
+      .withColumn("__tok", coalesce(tokens.cast("long"), lit(0L)))
+    // nulls must not reach the quantile probe (they'd poison the
+    // histogram bounds); they get sentinel bin 0 — BELOW every real bin,
+    // so the descending crossing walk visits them last, exactly their
+    // (priority desc → nulls last) position in the naive order
+    val cuts = graft.binsreg.Dbbinsreg
+      .quantileCutBins(base.filter(col("__p").isNotNull), "__p",
+        buckets, relErr)
+      .getOrElse(Array.empty[Double])
+    val bkt = when(col("__p").isNull, lit(0))
+      .otherwise(graft.binsreg.Dbbinsreg.caseChainBin(col("__p"), cuts))
+    val withBkt = base.withColumn("__bkt", bkt.cast("int"))
+    val hist = withBkt.groupBy(col(domainCol).as("__d"), col("__bkt"))
+      .agg(sum(col("__tok")).as("__t"))
+      .collect()
+      .map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    // per domain: walk bins from the TOP; crossing = first bin whose
+    // inclusive cumsum >= budget (same >= rule as sampleToTokenBudget);
+    // sentinel 0 = the whole domain fits the budget (bins start at 1)
+    val cross: Map[Any, (Int, Long)] = hist.map { case (d, rows) =>
+      val budget = budgets.toMap.apply(d.asInstanceOf[String])
+      val byBkt = rows.sortBy(-_._2)
+      var cum = 0L
+      var cb = 0
+      var above = 0L
+      var i = 0
+      while (i < byBkt.length && cb == 0) {
+        if (cum + byBkt(i)._3 >= budget) { cb = byBkt(i)._2; above = cum }
+        else cum += byBkt(i)._3
+        i += 1
+      }
+      d -> (cb, above)
+    }
+    val crossBkt = cross.toSeq.foldLeft(lit(null).cast("int")) {
+      case (acc, (d, (cb, _))) =>
+        when(col(domainCol) === lit(d), lit(cb)).otherwise(acc)
+    }
+    val aboveTok = cross.toSeq.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, (_, above))) =>
+        when(col(domainCol) === lit(d), lit(above)).otherwise(acc)
+    }
+    val keepAll = withBkt.filter(col("__bkt") > crossBkt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col("__p").desc, col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val boundary = withBkt.filter(col("__bkt") === crossBkt)
+      .withColumn("__cum", aboveTok + coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .filter(col("__cum") < col("__budget"))
+      .drop("__cum")
+    keepAll.unionByName(boundary)
+      .drop("__budget", "__p", "__tok", "__bkt")
+  }
+
   /** The window-free approximate form of [[sampleToTokenBudget]]: keep
     * each row with probability budget_d / total_tokens_d (clamped to 1)
     * via [[weightedSample]], so each domain's OUTPUT TOKEN MASS equals

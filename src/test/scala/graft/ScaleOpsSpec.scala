@@ -367,6 +367,75 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("top token budget: two-phase equals the naive priority window") {
+    val docs = sf("sf0.001", "documents")
+    val budgets = Seq("en" -> 4000L, "de" -> 1500L, "zh" -> 900L)
+    val tok = graft.pipeline.TextOps.tokenCount(col("text"))
+    val q = graft.pipeline.TextOps.qualityScore(col("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("__q").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val budgetCase = budgets.tail.foldLeft(
+      when(col("lang") === budgets.head._1, lit(budgets.head._2))) {
+      case (acc, (d, b)) => acc.when(col("lang") === d, lit(b))
+    }
+    val naive = docs.withColumn("__q", q)
+      .withColumn("__cum", coalesce(sum(tok.cast("long")).over(w), lit(0L)))
+      .withColumn("__b", budgetCase)
+      .filter(col("__b").isNotNull && col("__cum") < col("__b"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (buckets <- Seq(2, 64, 1024)) {
+      val got = ScaleOps.takeTopTokenBudget(docs, "lang", "doc_id", tok, q,
+          budgets, buckets = buckets)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == naive, s"buckets=$buckets: ${got.size} vs ${naive.size}")
+    }
+    // it really keeps the TOP of the ranking: the kept set's minimum
+    // quality must be >= the dropped set's maximum within each domain
+    // (up to the one boundary doc that crossed the budget)
+    val scored = docs.withColumn("__q", q)
+      .select(col("doc_id"), col("lang"), col("__q"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    for (d <- Seq("en", "de", "zh")) {
+      val keptQ = naive.toSeq.map(scored).filter(_._1 == d).map(_._2).sorted
+      val dropQ = scored.values.filter(_._1 == d).map(_._2).toSeq
+        .sorted.reverse.drop(keptQ.size)
+      if (keptQ.nonEmpty && dropQ.nonEmpty)
+        assert(keptQ.min >= dropQ.max - 1e-15, s"$d not top-ranked")
+    }
+  }
+
+  test("top token budget: hand ordering, all-tied degenerate, null priority last") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", 1L, 10L, 0.9), ("a", 2L, 10L, 0.5), ("a", 3L, 10L, 0.7),
+      ("a", 4L, 10L, 0.99)
+    ).toDF("dom", "id", "nt", "q")
+    // budget 25: docs in quality order 4(.99), 1(.9), 3(.7) — cum 0,10,20
+    // all < 25; doc 2 (cum 30) is over
+    val got = ScaleOps.takeTopTokenBudget(d, "dom", "id", col("nt"),
+      col("q"), Seq("a" -> 25L)).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(4L, 1L, 3L))
+    // all-tied priority: one bin, degenerates to the exact window —
+    // ties break by key asc, so ids 1..2 fit a 25-token budget
+    val tied = Seq(("a", 1L, 10L, 0.5), ("a", 2L, 10L, 0.5),
+      ("a", 3L, 10L, 0.5)).toDF("dom", "id", "nt", "q")
+    assert(ScaleOps.takeTopTokenBudget(tied, "dom", "id", col("nt"),
+      col("q"), Seq("a" -> 25L)).count() == 3)
+    assert(ScaleOps.takeTopTokenBudget(tied, "dom", "id", col("nt"),
+      col("q"), Seq("a" -> 20L)).count() == 2)
+    // null priority sorts below everything: kept only while budget lasts
+    val dn = Seq(("a", 1L, Some(0.9), 10L), ("a", 2L, Option.empty[Double], 10L),
+      ("a", 3L, Some(0.5), 10L)).toDF("dom", "id", "q", "nt")
+    val keptN = ScaleOps.takeTopTokenBudget(dn, "dom", "id", col("nt"),
+      col("q"), Seq("a" -> 25L)).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptN == Set(1L, 3L, 2L) || keptN == Set(1L, 3L),
+      s"got $keptN") // 0.9, 0.5 first; null doc only if budget remains
+    assert(keptN == Set(1L, 3L, 2L), "25-token budget has room for the null doc")
+  }
+
   test("token budget plan: the one window runs on the crossing-bucket sliver only") {
     val docs = sf("sf0.001", "documents")
     val tok = graft.pipeline.TextOps.tokenCount(col("text"))
