@@ -2954,7 +2954,8 @@ object Queries {
         "q72_simhash_pairs", "q78_semdedup", "q79_dup_spans",
         "q83_containment_pairs", "q87_edit_distance_pairs",
         "q88_containment_dedup", "q94_dedup_against", "q167_setsim_join",
-        "q170_canonical_docs", "q171_record_linkage"),
+        "q170_canonical_docs", "q171_record_linkage",
+        "q233_dedup_span_removal"),
       "similarity" -> Seq(
         "q35_knn_brute", "q36_knn_lsh", "q41_knn_ivf", "q56_kmeans_cells",
         "q203_knn_join_brute", "q204_knn_join",
@@ -2984,7 +2985,9 @@ object Queries {
         "q21_hash_sample", "q44_stratified_topk", "q76_hash_split",
         "q80_weighted_sample", "q81_sample_mix", "q85_sample_mix_approx",
         "q158_priority_sample", "q177_stratified_sample",
-        "q211_temperature_mix", "q213_temperature_mix_approx"),
+        "q211_temperature_mix", "q213_temperature_mix_approx",
+        "q234_token_budget_mix", "q235_token_budget_approx",
+        "q236_zorder_key", "q237_top_token_budget"),
       "events" -> Seq(
         "q40_event_windows", "q54_sessionize", "q58_asof_join",
         "q89_range_join", "q90_interval_overlap", "q137_funnel",
