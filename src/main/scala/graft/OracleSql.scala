@@ -1946,6 +1946,47 @@ object OracleSql {
          |SELECT r.id, r.lang, r.nt AS n_tokens
          |FROM r JOIN b USING (lang) WHERE cum < budget ORDER BY id""".stripMargin,
 
+    // composed curation v2: q233's span-removal chain, then q237's
+    // priority-window budget — quality and token counts on the CLEANED
+    // text (whose tokens are exactly the kept token list)
+    "q238_clean_then_budget" ->
+      s"""WITH t AS (SELECT doc_id AS id, lang, ${toks("text")} AS toks
+         |  FROM documents),
+         |w0 AS (SELECT id, unnest(range(1, len(toks) - 3)) AS i FROM t),
+         |w AS (SELECT w0.id, (i - 1)::BIGINT AS pos,
+         |    md5(array_to_string(t.toks[i:i+4], ' ')) AS k
+         |  FROM w0 JOIN t USING (id)),
+         |o AS (SELECT w.*, count(*) OVER (PARTITION BY k) AS c,
+         |    row_number() OVER (PARTITION BY k ORDER BY id, pos) AS rn
+         |  FROM w),
+         |m AS (SELECT id, pos FROM o WHERE c > 1 AND rn > 1),
+         |mp AS (SELECT id, unnest(range(pos, pos + 5)) AS p FROM m),
+         |mk AS (SELECT id, list(DISTINCT p) AS mask FROM mp GROUP BY id),
+         |f AS (SELECT t.id, t.lang,
+         |    list_transform(list_filter(range(1, len(t.toks) + 1),
+         |      i -> mk.mask IS NULL OR NOT list_contains(mk.mask, i - 1)),
+         |      i -> t.toks[i]) AS kt
+         |  FROM t LEFT JOIN mk ON t.id = mk.id),
+         |c AS (SELECT id, lang, array_to_string(kt, ' ') AS text, kt AS tt,
+         |    len(kt)::BIGINT AS nt FROM f WHERE len(kt) > 0),
+         |q AS (SELECT id, lang, nt,
+         |   least(len(text)::DOUBLE / 500.0, 1.0) * 0.5
+         | + least((CASE WHEN len(tt) = 0 THEN 0.0 ELSE
+         |     len(list_filter(tt, x -> list_contains(
+         |       ['the','a','an','and','of','to','in','is','was','for','on',
+         |        'with','that','it'], x)))::DOUBLE / len(tt) END) * 5.0, 1.0) * 0.3
+         | + (1.0 - least((len(regexp_replace(text,
+         |     '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE
+         |     / greatest(len(text), 1)) * 4.0, 1.0)) * 0.2 AS wq
+         |  FROM c),
+         |r AS (SELECT id, lang, nt,
+         |    coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY wq DESC, id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM q),
+         |b(lang, budget) AS (VALUES ('en', 3000), ('de', 1200))
+         |SELECT r.id, r.lang, r.nt AS n_tokens_clean
+         |FROM r JOIN b USING (lang) WHERE cum < budget ORDER BY id""".stripMargin,
+
     // z-order key: equal-width 8-bit buckets from exact min/max, bit b of
     // bucket j interleaved to position b*2 + j (same IEEE float algebra
     // and integer bit ops as the engine)

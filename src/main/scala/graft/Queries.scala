@@ -1403,6 +1403,23 @@ object Queries {
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("id")),
 
+    // composed curation v2: strip duplicated spans FIRST, then keep each
+    // language's best docs — quality and token counts measured on the
+    // CLEANED text — until the per-language token budget
+    "q238_clean_then_budget" -> ((s, dir) => {
+      val cleaned = Dedup
+        .removeDupSpans(docs(s, dir), "doc_id", "text", width = 5)
+        .join(docs(s, dir).select(col("doc_id").as("id"), col("lang")), "id")
+        .filter(col("n_tokens") > col("n_removed")) // fully-dup docs drop out
+      graft.sources.ScaleOps.takeTopTokenBudget(cleaned, "lang", "id",
+          TextOps.tokenCount(col("text_clean")),
+          TextOps.qualityScore(col("text_clean")),
+          Seq("en" -> 3000L, "de" -> 1200L))
+        .select(col("id"), col("lang"),
+          TextOps.tokenCount(col("text_clean")).cast("long").as("n_tokens_clean"))
+        .orderBy("id")
+    }),
+
     // layout: Morton/z-order interleave key over (n_chars, token count)
     // equal-width buckets — the multi-column clustering key zorderWrite
     // sorts by; pure integer bit algebra, bit-identical cross-engine
@@ -2987,7 +3004,8 @@ object Queries {
         "q158_priority_sample", "q177_stratified_sample",
         "q211_temperature_mix", "q213_temperature_mix_approx",
         "q234_token_budget_mix", "q235_token_budget_approx",
-        "q236_zorder_key", "q237_top_token_budget"),
+        "q236_zorder_key", "q237_top_token_budget",
+        "q238_clean_then_budget"),
       "events" -> Seq(
         "q40_event_windows", "q54_sessionize", "q58_asof_join",
         "q89_range_join", "q90_interval_overlap", "q137_funnel",

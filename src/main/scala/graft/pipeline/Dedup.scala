@@ -929,9 +929,11 @@ object Dedup {
     * (including twice inside one document) the FIRST occurrence — smallest
     * (doc id, start position) — survives, and every other occurrence masks
     * its `width` token positions. A document's cleaned text is its tokens
-    * with all masked positions dropped, space-joined (whitespace is not
-    * preserved — the tokenizer's normalization, same as every operator
-    * here). Documents shorter than `width` tokens pass through unchanged.
+    * with all masked positions dropped, space-joined — in [[TextOps.tokens]]
+    * normalization (lowercased, whitespace-split), so `text_clean` is a
+    * token stream for downstream pipeline stages, not a byte-faithful edit
+    * of the original. Documents shorter than `width` tokens pass through
+    * unchanged modulo that normalization.
     *
     * Returns (id, n_tokens, n_removed, text_clean); `n_removed` counts
     * dropped token positions, so `n_removed = 0` ⇔ `text_clean` is the
