@@ -510,6 +510,8 @@ object ScaleOps {
   ): DataFrame = {
     require(budgets.nonEmpty, "budgets must be non-empty")
     require(budgets.forall(_._2 > 0), s"budgets must be positive: $budgets")
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      s"duplicate domains in budgets: $budgets")
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val u = graft.pipeline.TextOps
       .hash32(concat(lit(salt), col(keyCol).cast("string")))
@@ -610,6 +612,8 @@ object ScaleOps {
   ): DataFrame = {
     require(budgets.nonEmpty, "budgets must be non-empty")
     require(budgets.forall(_._2 > 0), s"budgets must be positive: $budgets")
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      s"duplicate domains in budgets: $budgets")
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val budgetOf = budgets.tail.foldLeft(
       when(col(domainCol) === budgets.head._1, lit(budgets.head._2))) {
@@ -695,6 +699,8 @@ object ScaleOps {
   ): DataFrame = {
     require(budgets.nonEmpty, "budgets must be non-empty")
     require(budgets.forall(_._2 > 0), s"budgets must be positive: $budgets")
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      s"duplicate domains in budgets: $budgets")
     val totals = df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol))
       .agg(sum(coalesce(tokens.cast("long"), lit(0L))).as("__t"))
