@@ -482,8 +482,10 @@ object ScaleOps {
     * that crosses the budget is the last one kept, at least one document
     * survives per positive-budget domain with rows, and the output
     * overshoots by less than one document. Domains absent from `budgets`
-    * are dropped; null token counts consume 0 budget; budgets must be
-    * positive. Returns the kept rows of `df` unchanged.
+    * are dropped; a budget for a domain with NO rows refuses (the
+    * [[sampleToMix]] contract — a config error, not an empty sample);
+    * null token counts consume 0 budget; budgets must be positive.
+    * Returns the kept rows of `df` unchanged.
     *
     * Scale shape — NOT the naive per-domain cumulative window (a
     * corpus-hot domain would sort on one reducer; the NTILE-cliff class):
@@ -539,6 +541,12 @@ object ScaleOps {
       .map(r => (r.get(0), r.getInt(1), r.getLong(2)))
       .groupBy(_._1)
     // per domain: crossing bucket + exact token cumsum below it
+    val absent = budgets.map(_._1).toSet --
+      hist.keySet.map(_.asInstanceOf[String])
+    require(absent.isEmpty,
+      s"budget domains with no rows: ${absent.toSeq.sorted.mkString(", ")} " +
+        "(the sampleToMix contract: a budget for an absent domain is a " +
+        "config error, not an empty sample)")
     val cross: Map[Any, (Int, Long)] = hist.map { case (d, rows) =>
       val budget = budgets.toMap.apply(d.asInstanceOf[String])
       val byBkt = rows.sortBy(_._2)
@@ -585,7 +593,9 @@ object ScaleOps {
     * primitive ([[sampleToTokenBudget]] keeps a hash-RANDOM sample; this
     * keeps the TOP of a quality ranking). Same keep rule: a row survives
     * iff the exclusive running token sum of the higher-priority rows in
-    * its domain is under the budget. Returns the kept rows unchanged.
+    * its domain is under the budget. Same domain-dropping and
+    * absent-domain-refusal semantics as [[sampleToTokenBudget]]. Returns
+    * the kept rows unchanged.
     *
     * Scale shape — the same two-phase cut as [[sampleToTokenBudget]],
     * with the uniform-hash buckets replaced by `buckets` equal-frequency
@@ -646,6 +656,12 @@ object ScaleOps {
     // per domain: walk bins from the TOP; crossing = first bin whose
     // inclusive cumsum >= budget (same >= rule as sampleToTokenBudget);
     // sentinel 0 = the whole domain fits the budget (bins start at 1)
+    val absent = budgets.map(_._1).toSet --
+      hist.keySet.map(_.asInstanceOf[String])
+    require(absent.isEmpty,
+      s"budget domains with no rows: ${absent.toSeq.sorted.mkString(", ")} " +
+        "(the sampleToMix contract: a budget for an absent domain is a " +
+        "config error, not an empty sample)")
     val cross: Map[Any, (Int, Long)] = hist.map { case (d, rows) =>
       val budget = budgets.toMap.apply(d.asInstanceOf[String])
       val byBkt = rows.sortBy(-_._2)
@@ -688,7 +704,8 @@ object ScaleOps {
     * aggregate (model-sized collect) derives the rates; the plan is then
     * a pure filter — no window, no shuffle — for corpora where even the
     * boundary-bucket window of the exact form is unwelcome. Same
-    * determinism (salted md5 uniforms) and domain-dropping semantics. */
+    * determinism (salted md5 uniforms), domain-dropping, and
+    * absent-domain-refusal semantics as the exact form. */
   def sampleToTokenBudgetApprox(
       df: DataFrame,
       domainCol: String,
@@ -707,12 +724,15 @@ object ScaleOps {
       .collect().map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1).toSeq
     val tm = totals.toMap
-    val rates = budgets.flatMap { case (d, b) =>
-      tm.get(d).map(t =>
-        d -> (if (t <= 0L) 1.0 else math.min(1.0, b.toDouble / t.toDouble)))
+    val absent = budgets.map(_._1).toSet -- tm.keySet
+    require(absent.isEmpty,
+      s"budget domains with no rows: ${absent.toSeq.sorted.mkString(", ")} " +
+        "(the sampleToMix contract: a budget for an absent domain is a " +
+        "config error, not an empty sample)")
+    val rates = budgets.map { case (d, b) =>
+      val t = tm(d)
+      d -> (if (t <= 0L) 1.0 else math.min(1.0, b.toDouble / t.toDouble))
     }
-    require(rates.nonEmpty,
-      s"no budget domain present in the data (have: ${totals.map(_._1).mkString(", ")})")
     val rate = rates.tail.foldLeft(
       when(col(domainCol) === rates.head._1, lit(rates.head._2))) {
       case (acc, (d, r)) => acc.when(col(domainCol) === d, lit(r))

@@ -478,6 +478,25 @@ class ScaleOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       ScaleOps.sampleToTokenBudget(d, "dom", "id", col("nt"), Seq("a" -> 0L))
     }
+    // a budget for an absent domain refuses loudly (the sampleToMix
+    // contract) — in all three variants
+    intercept[IllegalArgumentException] {
+      ScaleOps.sampleToTokenBudget(d, "dom", "id", col("nt"),
+        Seq("a" -> 10L, "nope" -> 10L))
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.sampleToTokenBudgetApprox(d, "dom", "id", col("nt"),
+        Seq("nope" -> 10L))
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.takeTopTokenBudget(d, "dom", "id", col("nt"), col("nt"),
+        Seq("a" -> 10L, "nope" -> 10L))
+    }
+    // duplicate domains refuse too (CASE chain vs toMap would disagree)
+    intercept[IllegalArgumentException] {
+      ScaleOps.sampleToTokenBudget(d, "dom", "id", col("nt"),
+        Seq("a" -> 10L, "a" -> 20L))
+    }
   }
 
   test("approx token budget: expected token mass tracks the budget, no window in plan") {
