@@ -1946,6 +1946,16 @@ object OracleSql {
          |SELECT r.id, r.lang, r.nt AS n_tokens
          |FROM r JOIN b USING (lang) WHERE cum < budget ORDER BY id""".stripMargin,
 
+    // z-order scan is semantically invisible: the pruned read equals the
+    // plain box filter
+    "q239_zorder_scan" ->
+      s"""SELECT doc_id AS id, lang, n_chars,
+         |  len(${toks("text")})::BIGINT AS n_tokens
+         |FROM documents
+         |WHERE n_chars BETWEEN 200 AND 600
+         |  AND len(${toks("text")}) BETWEEN 30 AND 90
+         |ORDER BY id""".stripMargin,
+
     // composed curation v2: q233's span-removal chain, then q237's
     // priority-window budget — quality and token counts on the CLEANED
     // text (whose tokens are exactly the kept token list)

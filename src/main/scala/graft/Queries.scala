@@ -1403,6 +1403,23 @@ object Queries {
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("id")),
 
+    // layout end-to-end: z-order write → manifest-pruned scan must return
+    // EXACTLY the rows a plain filter returns (the file skipping is
+    // invisible to semantics) — oracle is the plain box predicate
+    "q239_zorder_scan" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars"), TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      val zdir = java.nio.file.Files
+        .createTempDirectory("graft-zorder").toString + "/docs"
+      graft.sources.ScaleOps.zorderWrite(d, zdir, Seq("n_chars", "nt"),
+        bits = 8, numFiles = 16)
+      graft.sources.ScaleOps.zorderScan(s, zdir,
+          Seq(("n_chars", 200.0, 600.0), ("nt", 30.0, 90.0)))
+        .select(col("doc_id").as("id"), col("lang"),
+          col("n_chars"), col("nt").as("n_tokens"))
+        .orderBy("id")
+    }),
+
     // composed curation v2: strip duplicated spans FIRST, then keep each
     // language's best docs — quality and token counts measured on the
     // CLEANED text — until the per-language token budget
@@ -3005,7 +3022,7 @@ object Queries {
         "q211_temperature_mix", "q213_temperature_mix_approx",
         "q234_token_budget_mix", "q235_token_budget_approx",
         "q236_zorder_key", "q237_top_token_budget",
-        "q238_clean_then_budget"),
+        "q238_clean_then_budget", "q239_zorder_scan"),
       "events" -> Seq(
         "q40_event_windows", "q54_sessionize", "q58_asof_join",
         "q89_range_join", "q90_interval_overlap", "q137_funnel",
