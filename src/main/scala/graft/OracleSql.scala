@@ -1946,6 +1946,37 @@ object OracleSql {
          |SELECT r.id, r.lang, r.nt AS n_tokens
          |FROM r JOIN b USING (lang) WHERE cum < budget ORDER BY id""".stripMargin,
 
+    // incremental span removal: corpus fingerprints mask EVERY shard
+    // occurrence; within-shard repeats keep the shard's first (id, pos)
+    "q240_span_removal_incremental" ->
+      s"""WITH fresh AS (SELECT doc_id AS id, ${toks("text")} AS toks
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |ct AS (SELECT ${toks("text")} AS toks FROM documents
+         |  WHERE doc_id % 10 <> 0),
+         |cw0 AS (SELECT unnest(range(1, len(toks) - 3)) AS i, toks FROM ct),
+         |cw AS (SELECT DISTINCT md5(array_to_string(toks[i:i+4], ' ')) AS k
+         |  FROM cw0),
+         |w0 AS (SELECT id, unnest(range(1, len(toks) - 3)) AS i FROM fresh),
+         |w AS (SELECT w0.id, (i - 1)::BIGINT AS pos,
+         |    md5(array_to_string(f.toks[i:i+4], ' ')) AS k
+         |  FROM w0 JOIN fresh f USING (id)),
+         |o AS (SELECT w.*, count(*) OVER (PARTITION BY k) AS c,
+         |    row_number() OVER (PARTITION BY k ORDER BY id, pos) AS rn
+         |  FROM w),
+         |m AS (SELECT o.id, o.pos FROM o LEFT JOIN cw ON o.k = cw.k
+         |  WHERE cw.k IS NOT NULL OR (o.c > 1 AND o.rn > 1)),
+         |mp AS (SELECT id, unnest(range(pos, pos + 5)) AS p FROM m),
+         |mk AS (SELECT id, list(DISTINCT p) AS mask FROM mp GROUP BY id),
+         |f AS (SELECT t.id, t.toks,
+         |    list_filter(range(1, len(t.toks) + 1),
+         |      i -> mk.mask IS NULL OR NOT list_contains(mk.mask, i - 1)) AS kept
+         |  FROM fresh t LEFT JOIN mk ON t.id = mk.id)
+         |SELECT id, len(toks)::BIGINT AS n_tokens,
+         |  (len(toks) - len(kept))::BIGINT AS n_removed,
+         |  coalesce(array_to_string(list_transform(kept, i -> toks[i]), ' '),
+         |    '') AS text_clean
+         |FROM f ORDER BY id""".stripMargin,
+
     // z-order scan is semantically invisible: the pruned read equals the
     // plain box filter
     "q239_zorder_scan" ->

@@ -1403,6 +1403,18 @@ object Queries {
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("id")),
 
+    // dedup: incremental span removal — clean an incoming shard against
+    // the corpus's persisted span-fingerprint set (corpus spans strip
+    // fully; within-shard repeats keep the shard's first occurrence)
+    "q240_span_removal_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      val fresh = d.filter(col("doc_id") % 10 === 0)
+      val fps = Dedup.spanFingerprints(corpus, "doc_id", "text", width = 5)
+      Dedup.removeDupSpansAgainst(fps, fresh, "doc_id", "text", width = 5)
+        .orderBy("id")
+    }),
+
     // layout end-to-end: z-order write → manifest-pruned scan must return
     // EXACTLY the rows a plain filter returns (the file skipping is
     // invisible to semantics) — oracle is the plain box predicate
@@ -2989,7 +3001,7 @@ object Queries {
         "q83_containment_pairs", "q87_edit_distance_pairs",
         "q88_containment_dedup", "q94_dedup_against", "q167_setsim_join",
         "q170_canonical_docs", "q171_record_linkage",
-        "q233_dedup_span_removal"),
+        "q233_dedup_span_removal", "q240_span_removal_incremental"),
       "similarity" -> Seq(
         "q35_knn_brute", "q36_knn_lsh", "q41_knn_ivf", "q56_kmeans_cells",
         "q203_knn_join_brute", "q204_knn_join",

@@ -979,6 +979,89 @@ object Dedup {
     val masked = wins
       .join(firsts, "k")
       .filter(!(col("id") === col("__fid") && col("pos") === col("__fpos")))
+    rebuildFromMasked(t, masked, width)
+  }
+
+  /** Distinct md5 fingerprints of every `width`-token sliding window — the
+    * persistable corpus state for [[removeDupSpansAgainst]] (write it
+    * partitioned/bucketed by `fp`; refresh it as the corpus grows by
+    * unioning the new shard's fingerprints and re-distincting — the
+    * [[dedupAgainst]] ingest pattern). One narrow explode + one distinct
+    * hash agg; nothing corpus-sized is collected. Returns one `fp`
+    * column. */
+  def spanFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 8
+  ): DataFrame = {
+    require(width >= 2, s"width must be >= 2, got $width")
+    df.select(TextOps.tokens(col(textCol)).as("toks"))
+      .select(explode(TextOps.wordShingles(col("toks"), width)).as("win"))
+      .select(md5(col("win")).as("fp"))
+      .distinct()
+  }
+
+  /** Incremental-ingest form of [[removeDupSpans]]: clean a NEW shard
+    * against an existing corpus's span-fingerprint set
+    * ([[spanFingerprints]] output, column `fp`). A shard window is
+    * removed when its fingerprint exists in the corpus (the corpus
+    * already holds that span — EVERY shard occurrence is masked), or
+    * when it repeats within the shard itself (the shard's first
+    * (id, pos) occurrence survives, the [[removeDupSpans]] rule). With
+    * an empty fingerprint table this is exactly `removeDupSpans(shard)`.
+    * Returns the shard in (id, n_tokens, n_removed, text_clean) shape;
+    * corpus documents are not touched or returned.
+    *
+    * Scale shape: the corpus contributes ONE key-equi join on the
+    * fingerprint (shuffled hash join on `fp`; bucketed corpus state
+    * joins without a corpus-side shuffle); the within-shard rule is the
+    * same single hash agg as [[removeDupSpans]] — shard-sized, not
+    * corpus-sized. */
+  def removeDupSpansAgainst(
+      corpusFps: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 8
+  ): DataFrame = {
+    require(width >= 2, s"width must be >= 2, got $width")
+    require(corpusFps.columns.contains("fp"),
+      "corpusFps must carry the spanFingerprints 'fp' column")
+    val t = newDocs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .staged
+    val wins = t
+      .select(col("id"),
+        posexplode(TextOps.wordShingles(col("toks"), width))
+          .as(Seq("pos", "win")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        md5(col("win")).as("k"))
+    val firsts = wins.groupBy("k")
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("id"), col("pos"))).as("__first"))
+      .filter(col("__c") > 1)
+      .select(col("k"), col("__first.id").as("__fid"),
+        col("__first.pos").as("__fpos"))
+    val masked = wins
+      .join(corpusFps.select(col("fp").as("k"), lit(true).as("__inC"))
+        .distinct(), Seq("k"), "left")
+      .join(firsts, Seq("k"), "left")
+      .filter(coalesce(col("__inC"), lit(false)) ||
+        (col("__fid").isNotNull &&
+          !(col("id") === col("__fid") && col("pos") === col("__fpos"))))
+    rebuildFromMasked(t, masked, width)
+  }
+
+  /** Shared tail of the span-removal family: expand masked window
+    * occurrences (id, pos) to per-doc position sets and rebuild each
+    * doc's cleaned text from the unmasked tokens (`array_except` — one
+    * hash-set pass per row). */
+  private def rebuildFromMasked(
+      t: DataFrame,
+      masked: DataFrame,
+      width: Int
+  ): DataFrame = {
     val masks = masked
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + lit(width.toLong - 1)))

@@ -788,6 +788,36 @@ class PipelineSpec extends SparkTestBase {
     assert(out(4L) == ((4L, 3L, "r")), s"got ${out(4L)}")
   }
 
+  test("removeDupSpansAgainst: corpus spans strip fully, shard dups keep first, empty corpus = removeDupSpans") {
+    val corpus = Seq((1L, "alpha beta gamma delta common span here")).toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, "x y common span here z"),  // corpus span: ALL occurrences go
+      (11L, "p q r p q r p q"),         // shard-internal dup: first stays
+      (12L, "totally fresh words only") // untouched
+    ).toDF("doc_id", "text")
+    val fps = Dedup.spanFingerprints(corpus, "doc_id", "text", width = 3)
+    val out = Dedup.removeDupSpansAgainst(fps, shard, "doc_id", "text",
+        width = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // "common span here" is in the corpus: masked even as the shard's
+    // first occurrence — positions 2..4 drop
+    assert(out(10L) == ((6L, 3L, "x y z")), s"got ${out(10L)}")
+    // same within-shard rule as removeDupSpans (doc 11 fixture from the
+    // batch test: all windows repeat, the pos-0 "p q r" survives)
+    assert(out(11L)._2 > 0 && out(11L)._3.startsWith("p q r"), s"got ${out(11L)}")
+    assert(out(12L) == ((4L, 0L, "totally fresh words only")), s"got ${out(12L)}")
+    // empty fingerprint table degenerates to removeDupSpans exactly
+    val emptyFps = fps.limit(0)
+    val viaAgainst = Dedup.removeDupSpansAgainst(emptyFps, shard,
+        "doc_id", "text", width = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    val direct = Dedup.removeDupSpans(shard, "doc_id", "text", width = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(viaAgainst == direct)
+  }
+
   test("removeDupSpans plan: no window anywhere — first-occurrence picks ride the hash agg") {
     val out = Dedup.removeDupSpans(docs, "doc_id", "text", width = 5)
     val plan = out.queryExecution.executedPlan.toString
