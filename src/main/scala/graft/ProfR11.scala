@@ -58,6 +58,13 @@ object ProfR11 {
       Dedup.removeDupSpans(docs, "doc_id", "text", width = 5)))
     time("span_removal_w8")(noop(
       Dedup.removeDupSpans(docs, "doc_id", "text", width = 8)))
+    time("span_removal_incremental")({
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 10 === 0)
+      val fps = Dedup.spanFingerprints(corpus, "doc_id", "text", width = 5)
+      noop(Dedup.removeDupSpansAgainst(fps, fresh, "doc_id", "text",
+        width = 5))
+    })
     time("token_budget_exact")(noop(
       ScaleOps.sampleToTokenBudget(docs, "lang", "doc_id", tok, budgets,
         salt = "p11")))
