@@ -824,6 +824,10 @@ class PipelineSpec extends SparkTestBase {
     // the scale contract: a boilerplate span occurring 10^8 times must
     // cost one aggregate cell, never a per-fingerprint sorted partition
     assert(!plan.contains("Window"), plan.take(3000))
+    // same pin for the ingest mode (corpus join must not add one either)
+    val fps = Dedup.spanFingerprints(docs.limit(50), "doc_id", "text", 5)
+    val incr = Dedup.removeDupSpansAgainst(fps, docs, "doc_id", "text", 5)
+    assert(!incr.queryExecution.executedPlan.toString.contains("Window"))
   }
 
   test("removeDupSpans agrees with dupSpans on the real corpus") {
