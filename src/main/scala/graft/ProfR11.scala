@@ -51,7 +51,8 @@ object ProfR11 {
     // budgets at ~1/3 of each domain's token mass (inventory agg once)
     val budgets = docs.filter(col("lang").isNotNull)
       .groupBy("lang").agg(sum(tok.cast("long")).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1) / 3).toSeq.sortBy(_._1)
+      .collect().map(r => r.getString(0) -> math.max(1L, r.getLong(1) / 3))
+      .toSeq.sortBy(_._1)
     println(s"[prof] budgets=$budgets")
 
     time("span_removal_w5")(noop(
@@ -122,7 +123,8 @@ object ProfR11 {
       val ltok = col("l_quantity")
       val lb = li.groupBy("l_returnflag")
         .agg(sum(ltok.cast("long")).as("t"))
-        .collect().map(r => r.getString(0) -> r.getLong(1) / 3).toSeq.sortBy(_._1)
+        .collect().map(r => r.getString(0) -> math.max(1L, r.getLong(1) / 3))
+        .toSeq.sortBy(_._1)
       println(s"[prof] li budgets=$lb")
       time("li_token_budget_exact")(noop(
         ScaleOps.sampleToTokenBudget(li, "l_returnflag", "lid", ltok, lb,

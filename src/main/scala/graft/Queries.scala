@@ -1421,8 +1421,10 @@ object Queries {
     "q239_zorder_scan" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("lang"),
         col("n_chars"), TextOps.tokenCount(col("text")).cast("long").as("nt"))
-      val zdir = java.nio.file.Files
-        .createTempDirectory("graft-zorder").toString + "/docs"
+      // fixed per-SF path, overwritten on each run — repeated gate runs
+      // must not accumulate corpus-sized temp copies
+      val zdir = s"${System.getProperty("java.io.tmpdir")}/graft-zorder-q239-" +
+        s"${dir.hashCode.toHexString}/docs"
       graft.sources.ScaleOps.zorderWrite(d, zdir, Seq("n_chars", "nt"),
         bits = 8, numFiles = 16)
       graft.sources.ScaleOps.zorderScan(s, zdir,

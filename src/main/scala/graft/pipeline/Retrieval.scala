@@ -233,7 +233,7 @@ object Retrieval {
         col(relCol).cast("double").as("__rel"), col(vecCol).as("__vec"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__qid")).orderBy(col("__id"))))
-      .filter(col("__rn") <= maxCandidates + 1)
+      .filter(col("__rn") <= lit(maxCandidates.toLong + 1L)) // long: no Int.MaxValue overflow
       .drop("__rn")
       .collect()
     val byQuery = rows.groupBy(_.getLong(0))

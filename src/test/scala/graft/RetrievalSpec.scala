@@ -278,6 +278,10 @@ class RetrievalSpec extends SparkTestBase {
       Retrieval.mmrRerankBatch(cand, "q", "id", "rel", "vec", 2, 0.5,
         maxCandidates = 2)
     }
+    // maxCandidates = Int.MaxValue disables the bound — the +1 cap must
+    // not overflow Int and silently return an empty frame
+    assert(Retrieval.mmrRerankBatch(cand, "q", "id", "rel", "vec",
+      k = 3, lambda = 0.3, maxCandidates = Int.MaxValue).count() > 0)
   }
 
   test("mmrRerankBatch: oversized candidate frame refuses WITHOUT collecting it") {
