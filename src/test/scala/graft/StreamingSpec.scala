@@ -212,6 +212,43 @@ class StreamingSpec extends SparkTestBase {
     assert(!streamed.exists(t => t._3.contains("script") || t._3.contains("<p>")))
   }
 
+  test("incremental span removal runs per micro-batch via foreachBatch, equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    // the ingest shape: corpus span fingerprints are the frozen static
+    // state; each micro-batch shard cleans against them exactly as the
+    // batch operator would (removeDupSpansAgainst is aggs + joins, so the
+    // streaming composition is foreachBatch — the dedupAgainst pattern)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val fps = Dedup.spanFingerprints(corpus, "doc_id", "text", width = 3)
+      .cache()
+    val shard = Seq(
+      (10L, "x alpha beta gamma y"), // corpus span strips
+      (11L, "fresh words only here") // untouched
+    )
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = Dedup.removeDupSpansAgainst(fps, batch, "doc_id", "text",
+            width = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+        got.synchronized { got ++= out }; ()
+      }
+      .start()
+    input.addData(shard: _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = Dedup.removeDupSpansAgainst(fps,
+        shard.toDF("doc_id", "text"), "doc_id", "text", width = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(got.toSet == expected)
+    // the corpus span really stripped through the stream path
+    val doc10 = got.find(_._1 == 10L).get
+    assert(doc10._2 == 3L && doc10._3 == "x y", s"got $doc10")
+  }
+
   test("incremental dedup runs per micro-batch via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Dedup
