@@ -75,6 +75,9 @@ object ProfR11 {
     time("token_budget_approx")(noop(
       ScaleOps.sampleToTokenBudgetApprox(docs, "lang", "doc_id", tok,
         budgets, salt = "p11")))
+    time("top_token_budget")(noop(
+      ScaleOps.takeTopTokenBudget(docs, "lang", "doc_id", tok,
+        TextOps.qualityScore(col("text")), budgets)))
     // the naive window form, for the measured A/B the design claim rests on
     time("token_budget_naive_window")(noop {
       val u = TextOps.hash32(concat(lit("p11"), col("doc_id").cast("string")))

@@ -595,7 +595,11 @@ object ScaleOps {
     * iff the exclusive running token sum of the higher-priority rows in
     * its domain is under the budget. Same domain-dropping and
     * absent-domain-refusal semantics as [[sampleToTokenBudget]]. Returns
-    * the kept rows unchanged.
+    * the kept rows unchanged. The `priority` expression evaluates in each
+    * of the operator's scans (probe, histogram, keep-filter, sliver
+    * window) — materialize an EXPENSIVE priority (e.g.
+    * `TextOps.qualityScore`) into a stored column first (measured ×8.7 at
+    * 500k docs; BENCH_NOTES r11).
     *
     * Scale shape — the same two-phase cut as [[sampleToTokenBudget]],
     * with the uniform-hash buckets replaced by `buckets` equal-frequency
