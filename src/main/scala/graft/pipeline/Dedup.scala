@@ -958,11 +958,28 @@ object Dedup {
       idCol: String,
       textCol: String,
       width: Int = 8
+  ): DataFrame =
+    removeDupSpansImpl(df, idCol, textCol, width,
+      stageTokens = DefaultStageTokens)
+
+  /** Whether the span-removal family checkpoints the tokenized corpus
+    * before fanning it out to its three consumers (window explode for the
+    * duplicate agg, window explode for the mask join, rebuild join). The
+    * A/B at ×100/×1000 docs, w ∈ {5, 8} (BENCH_NOTES r12) decides the
+    * default; [[removeDupSpansImpl]] keeps both arms measurable. */
+  private[graft] val DefaultStageTokens = true
+
+  private[graft] def removeDupSpansImpl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int,
+      stageTokens: Boolean
   ): DataFrame = {
     require(width >= 2, s"width must be >= 2, got $width")
-    val t = df
+    val t0 = df
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .staged
+    val t = if (stageTokens) t0.staged else t0
     val wins = t
       .select(col("id"),
         posexplode(TextOps.wordShingles(col("toks"), width))
@@ -1017,20 +1034,37 @@ object Dedup {
     * fingerprint (shuffled hash join on `fp`; bucketed corpus state
     * joins without a corpus-side shuffle); the within-shard rule is the
     * same single hash agg as [[removeDupSpans]] — shard-sized, not
-    * corpus-sized. */
+    * corpus-sized. `corpusFps` rows are TRUSTED distinct (the
+    * [[spanFingerprints]] contract; keep it by re-distincting on
+    * refresh) — no defensive re-distinct runs here, and a violated
+    * contract only inflates the mask explode (collect_set dedups
+    * downstream), never changes the result. Persist the state bucketed
+    * by `fp` ([[graft.sources.ScaleOps.writeBucketed]]) and the per-shard
+    * join needs no corpus-side shuffle at all. */
   def removeDupSpansAgainst(
       corpusFps: DataFrame,
       newDocs: DataFrame,
       idCol: String,
       textCol: String,
       width: Int = 8
+  ): DataFrame =
+    removeDupSpansAgainstImpl(corpusFps, newDocs, idCol, textCol, width,
+      stageTokens = DefaultStageTokens)
+
+  private[graft] def removeDupSpansAgainstImpl(
+      corpusFps: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int,
+      stageTokens: Boolean
   ): DataFrame = {
     require(width >= 2, s"width must be >= 2, got $width")
     require(corpusFps.columns.contains("fp"),
       "corpusFps must carry the spanFingerprints 'fp' column")
-    val t = newDocs
+    val t0 = newDocs
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .staged
+    val t = if (stageTokens) t0.staged else t0
     val wins = t
       .select(col("id"),
         posexplode(TextOps.wordShingles(col("toks"), width))
@@ -1043,9 +1077,16 @@ object Dedup {
       .filter(col("__c") > 1)
       .select(col("k"), col("__first.id").as("__fid"),
         col("__first.pos").as("__fpos"))
+    // corpusFps is TRUSTED distinct (the spanFingerprints contract — its
+    // own `.distinct()` is the state's construction step). No defensive
+    // re-distinct here: with fp-bucketed state that agg would be a free
+    // pass, but on plain state it is one corpus-sized hash agg PER SHARD.
+    // Duplicate fps cannot change the result anyway — they only duplicate
+    // masked (id, pos) rows, which the rebuild's collect_set dedups —
+    // so a violated contract costs inflation, never correctness.
     val masked = wins
-      .join(corpusFps.select(col("fp").as("k"), lit(true).as("__inC"))
-        .distinct(), Seq("k"), "left")
+      .join(corpusFps.select(col("fp").as("k"), lit(true).as("__inC")),
+        Seq("k"), "left")
       .join(firsts, Seq("k"), "left")
       .filter(coalesce(col("__inC"), lit(false)) ||
         (col("__fid").isNotNull &&

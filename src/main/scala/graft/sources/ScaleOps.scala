@@ -86,6 +86,14 @@ object ScaleOps {
     * the surviving files' scans — the plain-parquet form of lakehouse
     * file-skipping stats.
     *
+    * The manifest stores file names RELATIVE to `path` (basenames), so a
+    * layout copied or relocated wholesale — the routine object-storage
+    * move — stays self-describing; [[zorderScan]] resolves names against
+    * the `path` it is given. The layout is WRITE-ONCE: appending data
+    * files to `path` without re-running zorderWrite leaves them absent
+    * from the manifest and silently unread — rewrite (or extend the
+    * manifest) on any change, never append in place.
+    *
     * Scale shape: one exact min/max aggregate over the input (narrow), one
     * range-partitioned sorted write (the sort parallelizes across
     * `numFiles` range partitions — never a global single-partition sort),
@@ -120,7 +128,10 @@ object ScaleOps {
     val aggs = zcols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"min_$c"),
       max(col(c).cast("double")).as(s"max_$c")))
-    written.groupBy(input_file_name().as("file"))
+    // relative (basename) file names: the layout survives being copied or
+    // relocated wholesale — zorderScan resolves against its own `path`
+    written.groupBy(
+        substring_index(input_file_name(), "/", -1).as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_zmanifest")
@@ -142,7 +153,9 @@ object ScaleOps {
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)
     val files = manifest.filter(keep)
-      .select("file").collect().map(_.getString(0))
+      .select("file").collect()
+      .map(r => s"${path.stripSuffix("/")}/${r.getString(0)}")
+      .toIndexedSeq
     val pred = bounds.map { case (c, lo, hi) =>
       col(c).cast("double") >= lit(lo) && col(c).cast("double") <= lit(hi)
     }.reduce(_ && _)
@@ -500,7 +513,22 @@ object ScaleOps {
     * crossing bucket's rows (≈ 1/`buckets` of the domain) pay the exact
     * cumulative window, seeded with the exact token cumsum below the
     * bucket. All token arithmetic is integral (longs) end-to-end, so the
-    * keep set matches the naive window — and the SQL oracle — exactly. */
+    * keep set matches the naive window — and the SQL oracle — exactly.
+    *
+    * NULL keys hash to NULL and are DROPPED, in all variants (the
+    * [[weightedSample]] / [[hashSplit]] hash-sampler convention); the
+    * bit-identity claim is over non-null keys — a naive asc-nulls-first
+    * window would instead sort a null-key row first and keep it. Filter
+    * or surrogate null keys upstream if they carry token mass. The domain
+    * column must be StringType (budgets are keyed by string; cast first).
+    *
+    * Sizing `buckets` under domain SKEW: the crossing sliver is
+    * ≈ n_d/`buckets` rows of the largest budgeted domain on ONE reducer,
+    * so size buckets ≈ n_hot / (rows one reducer sorts comfortably,
+    * ~10⁷) — the driver histogram is |domains|·buckets rows, so even
+    * 131072 stays driver-trivial for model-sized domain counts (measured
+    * skew table in BENCH_NOTES r12). Correctness is bucket-invariant
+    * (spec-pinned); only the sliver's sort size changes. */
   def sampleToTokenBudget(
       df: DataFrame,
       domainCol: String,
@@ -510,69 +538,13 @@ object ScaleOps {
       salt: String = "",
       buckets: Int = 1024
   ): DataFrame = {
-    require(budgets.nonEmpty, "budgets must be non-empty")
-    require(budgets.forall(_._2 > 0), s"budgets must be positive: $budgets")
-    require(budgets.map(_._1).distinct.size == budgets.size,
-      s"duplicate domains in budgets: $budgets")
-    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val u = graft.pipeline.TextOps
-      .hash32(concat(lit(salt), col(keyCol).cast("string")))
-      .cast("double") / lit(4294967296.0)
-    val tok = coalesce(tokens.cast("long"), lit(0L))
-    val bucket = floor(u * lit(buckets.toDouble)).cast("int")
-    val budgetOf = budgets.tail.foldLeft(
-      when(col(domainCol) === budgets.head._1, lit(budgets.head._2))) {
-      case (acc, (d, b)) => acc.when(col(domainCol) === d, lit(b))
-    }
-    // base is a pure deterministic projection of df — consumed by three
-    // jobs (histogram, keep-all filter, boundary window) and deliberately
-    // NOT staged: re-deriving a codegen'd projection from the scan is far
-    // cheaper than checkpoint-writing the corpus (the rank-1-MF lesson)
-    val base = df
-      .withColumn("__budget", budgetOf)
-      .filter(col("__budget").isNotNull)
-      .withColumn("__u", u)
-      .withColumn("__tok", tok)
-      .withColumn("__bkt", bucket)
-    // phase 1: per-(domain, bucket) token sums → driver (model-sized)
-    val hist = base.groupBy(col(domainCol).as("__d"), col("__bkt"))
-      .agg(sum(col("__tok")).as("__t"))
-      .collect()
-      .map(r => (r.get(0), r.getInt(1), r.getLong(2)))
-      .groupBy(_._1)
-    // per domain: crossing bucket + exact token cumsum below it
-    val absent = budgets.map(_._1).toSet --
-      hist.keySet.map(_.asInstanceOf[String])
-    require(absent.isEmpty,
-      s"budget domains with no rows: ${absent.toSeq.sorted.mkString(", ")} " +
-        "(the sampleToMix contract: a budget for an absent domain is a " +
-        "config error, not an empty sample)")
-    val cross: Map[Any, (Int, Long)] = hist.map { case (d, rows) =>
-      val budget = budgets.toMap.apply(d.asInstanceOf[String])
-      val byBkt = rows.sortBy(_._2)
-      var cum = 0L
-      var cb = buckets // past the end: whole domain fits the budget
-      var below = 0L
-      var i = 0
-      // crossing = first bucket whose INCLUSIVE cumsum reaches the
-      // budget (>=, not >: a zero-token row sitting exactly at an
-      // exhausted budget must route through the exact window, where the
-      // strict `< budget` test drops it — the naive rule's behavior)
-      while (i < byBkt.length && cb == buckets) {
-        if (cum + byBkt(i)._3 >= budget) { cb = byBkt(i)._2; below = cum }
-        else cum += byBkt(i)._3
-        i += 1
-      }
-      d -> (cb, below)
-    }
-    val crossBkt = cross.toSeq.foldLeft(lit(null).cast("int")) {
-      case (acc, (d, (cb, _))) =>
-        when(col(domainCol) === lit(d), lit(cb)).otherwise(acc)
-    }
-    val belowTok = cross.toSeq.foldLeft(lit(null).cast("long")) {
-      case (acc, (d, (_, below))) =>
-        when(col(domainCol) === lit(d), lit(below)).otherwise(acc)
-    }
+    val base = tokenBudgetBase(df, domainCol, keyCol, tokens, budgets,
+      salt, buckets)
+    val cross = tokenBudgetCross(base, domainCol, budgets, buckets)
+    val crossBkt = domainCase(cross.map { case (d, (cb, _)) => d -> cb },
+      domainCol, "int")
+    val belowTok = domainCase(cross.map { case (d, (_, b)) => d -> b },
+      domainCol, "long")
     val keepAll = base.filter(col("__bkt") < crossBkt)
     // phase 2: the exact window runs ONLY on the crossing bucket's sliver
     val w = org.apache.spark.sql.expressions.Window
@@ -587,6 +559,227 @@ object ScaleOps {
       .drop("__budget", "__u", "__tok", "__bkt")
   }
 
+  /** Shared validated projection of the exact token-budget cut: `df` plus
+    * `__budget` (CASE over `budgets`, null-budget domains filtered out),
+    * `__u` (salted md5 uniform of the key), `__tok` (long token count,
+    * null → 0) and `__bkt` (⌊u·buckets⌋). A pure deterministic projection
+    * — consumed by several jobs (histogram, keep-all filter, boundary
+    * window) and deliberately NOT staged: re-deriving a codegen'd
+    * projection from the scan is far cheaper than checkpoint-writing the
+    * corpus (the rank-1-MF lesson). */
+  private def tokenBudgetBase(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      tokens: Column,
+      budgets: Seq[(String, Long)],
+      salt: String,
+      buckets: Int
+  ): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.forall(_._2 > 0), s"budgets must be positive: $budgets")
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      s"duplicate domains in budgets: $budgets")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    requireStringDomain(df, domainCol)
+    val u = graft.pipeline.TextOps
+      .hash32(concat(lit(salt), col(keyCol).cast("string")))
+      .cast("double") / lit(4294967296.0)
+    val budgetOf = budgets.tail.foldLeft(
+      when(col(domainCol) === budgets.head._1, lit(budgets.head._2))) {
+      case (acc, (d, b)) => acc.when(col(domainCol) === d, lit(b))
+    }
+    df.withColumn("__budget", budgetOf)
+      .filter(col("__budget").isNotNull)
+      .withColumn("__u", u)
+      .withColumn("__tok", coalesce(tokens.cast("long"), lit(0L)))
+      .withColumn("__bkt", floor(u * lit(buckets.toDouble)).cast("int"))
+  }
+
+  /** Phase 1 of the exact token-budget cut: one per-(domain, bucket)
+    * token-sum hash agg → driver (≤ |domains|·buckets rows), then each
+    * domain's crossing bucket + the exact token cumsum below it, by
+    * integral arithmetic. Crossing = the FIRST bucket whose INCLUSIVE
+    * cumsum reaches the budget (`>=`, not `>`: a zero-token row sitting
+    * exactly at an exhausted budget must route through the exact window,
+    * where the strict `< budget` test drops it — the naive rule's
+    * behavior); `buckets` (past the end) means the whole domain fits. */
+  private def tokenBudgetCross(
+      base: DataFrame,
+      domainCol: String,
+      budgets: Seq[(String, Long)],
+      buckets: Int
+  ): Map[String, (Int, Long)] = {
+    val hist = base.groupBy(col(domainCol).as("__d"), col("__bkt"))
+      .agg(sum(col("__tok")).as("__t"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    val absent = budgets.map(_._1).toSet -- hist.keySet
+    require(absent.isEmpty,
+      s"budget domains with no rows: ${absent.toSeq.sorted.mkString(", ")} " +
+        "(the sampleToMix contract: a budget for an absent domain is a " +
+        "config error, not an empty sample)")
+    hist.map { case (d, rows) =>
+      val budget = budgets.toMap.apply(d)
+      val byBkt = rows.sortBy(_._2)
+      var cum = 0L
+      var cb = buckets // past the end: whole domain fits the budget
+      var below = 0L
+      var i = 0
+      while (i < byBkt.length && cb == buckets) {
+        if (cum + byBkt(i)._3 >= budget) { cb = byBkt(i)._2; below = cum }
+        else cum += byBkt(i)._3
+        i += 1
+      }
+      d -> (cb, below)
+    }
+  }
+
+  /** Domain-keyed literal CASE chain (the ≤64-level lookup-table tier —
+    * model-sized domain maps never warrant a join). */
+  private def domainCase[T](
+      m: Map[String, T],
+      domainCol: String,
+      castTo: String
+  ): Column =
+    m.toSeq.foldLeft(lit(null).cast(castTo)) {
+      case (acc, (d, v)) =>
+        when(col(domainCol) === lit(d), lit(v)).otherwise(acc)
+    }
+
+  /** Frozen phase-1 state of [[sampleToTokenBudget]], for incremental /
+    * streaming application via [[sampleToTokenBudgetAgainst]] (the
+    * [[graft.pipeline.Dedup.spanFingerprints]] pattern: persistable
+    * DataFrame state, shard-sized work per application). One row per
+    * crossing-bucket ("sliver") row of each budgeted domain — (domain,
+    * u, key, tok) — plus, for a domain whose whole inventory fits its
+    * budget, a single meta-only row (null u/key/tok); every row carries
+    * the domain's crossing bucket, exact below-crossing token cumsum,
+    * budget, and the (salt, n_buckets) the state was built with —
+    * application reads them FROM the state, so its bucket arithmetic can
+    * never disagree with the freeze.
+    * State size ≈ Σ_d n_d/buckets rows — persist it like any table and
+    * refresh by REBUILDING (one hash-agg pass over the grown corpus;
+    * crossing buckets move as inventory grows, so the state is never
+    * unioned incrementally). */
+  def tokenBudgetState(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      tokens: Column,
+      budgets: Seq[(String, Long)],
+      salt: String = "",
+      buckets: Int = 1024
+  ): DataFrame = {
+    val base = tokenBudgetBase(df, domainCol, keyCol, tokens, budgets,
+      salt, buckets)
+    val cross = tokenBudgetCross(base, domainCol, budgets, buckets)
+    val crossBkt = domainCase(cross.map { case (d, (cb, _)) => d -> cb },
+      domainCol, "int")
+    val belowTok = domainCase(cross.map { case (d, (_, b)) => d -> b },
+      domainCol, "long")
+    val sliver = base.filter(col("__bkt") === crossBkt)
+      .select(col(domainCol).as("domain"), crossBkt.as("cross_bkt"),
+        belowTok.as("below_tok"), col("__budget").as("budget"),
+        col("__u").as("u"), col(keyCol).as("key"), col("__tok").as("tok"))
+    // a domain whose whole inventory fits its budget has no sliver rows
+    // (cross_bkt = buckets, past the end) but still needs its meta row —
+    // application must keep ALL its rows, not drop an unknown domain
+    val keyType = df.schema(keyCol).dataType
+    val session = df.sparkSession
+    import session.implicits._
+    val fits = cross.toSeq.collect { case (d, (cb, below)) if cb == buckets =>
+      (d, cb, below, budgets.toMap.apply(d))
+    }.sortBy(_._1)
+    val meta = fits.toDF("domain", "cross_bkt", "below_tok", "budget")
+      .withColumn("u", lit(null).cast("double"))
+      .withColumn("key", lit(null).cast(keyType))
+      .withColumn("tok", lit(null).cast("long"))
+    sliver.unionByName(meta)
+      .withColumn("salt", lit(salt))
+      .withColumn("n_buckets", lit(buckets))
+  }
+
+  /** Apply a frozen [[tokenBudgetState]] to new rows: keep row r iff the
+    * token mass of the FROZEN inventory's rows ordered before r (hash
+    * order: u asc, key asc, within r's domain) is under the domain's
+    * budget — a pure per-row function of the frozen state, so shards
+    * clean independently (union of per-shard applications ≡ one
+    * application to the union) and micro-batches stream through it in
+    * `foreachBatch` (parity spec'd in StreamingSpec — the streaming story
+    * for the EXACT cut; the approx form needs no state at all). Applying
+    * a corpus's own state back to that corpus reproduces
+    * [[sampleToTokenBudget]] bit-for-bit (spec-pinned). Rows from domains
+    * absent in the state are dropped (the budget-CASE convention); NULL
+    * keys are dropped as in the batch form; `keyCol` must have the
+    * state's key type. On a u-tie between a new row and the SAME key's
+    * frozen twin the twin is not counted (that is what makes
+    * self-application exact); distinct keys tie-break by key asc, as in
+    * the batch form.
+    *
+    * Scale shape: one broadcast of the |domains|-row meta, a pure filter
+    * for every non-crossing bucket, and ONE window over (new crossing
+    * rows ∪ frozen sliver) — sliver-sized on both sides, never the
+    * corpus. */
+  def sampleToTokenBudgetAgainst(
+      state: DataFrame,
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      tokens: Column
+  ): DataFrame = {
+    requireStringDomain(df, domainCol)
+    val stateCols = Seq("domain", "cross_bkt", "below_tok", "budget",
+      "u", "key", "tok", "salt", "n_buckets")
+    require(stateCols.forall(state.columns.contains),
+      s"state must carry tokenBudgetState columns $stateCols, " +
+        s"got ${state.columns.toSeq}")
+    val head = state.select("salt", "n_buckets").head()
+    val salt = head.getString(0)
+    val buckets = head.getInt(1)
+    val u = graft.pipeline.TextOps
+      .hash32(concat(lit(salt), col(keyCol).cast("string")))
+      .cast("double") / lit(4294967296.0)
+    val meta = state.groupBy("domain")
+      .agg(first("cross_bkt").as("__cb"), first("below_tok").as("__below"),
+        first("budget").as("__bgt"))
+    val joined = df
+      .withColumn("__u", u)
+      .withColumn("__tok", coalesce(tokens.cast("long"), lit(0L)))
+      .withColumn("__bkt",
+        floor(col("__u") * lit(buckets.toDouble)).cast("int"))
+      .join(broadcast(meta), col(domainCol) === col("domain"), "inner")
+      .drop("domain")
+    val outCols = df.columns.toSeq
+    val keepAll = joined.filter(col("__bkt") < col("__cb"))
+      .select(outCols.map(col): _*)
+    // crossing-bucket rows: exclusive cumsum of FROZEN tokens over the
+    // union; new rows carry __tag 0 and sort before a frozen row with
+    // the same (u, key), so a row's own frozen twin is never counted
+    val cand = joined.filter(col("__bkt") === col("__cb"))
+      .select(col(domainCol).as("__d"), col("__u"),
+        col(keyCol).as("__k"), lit(0L).as("__ftok"), lit(0).as("__tag"),
+        col("__below"), col("__bgt"),
+        struct(outCols.map(col): _*).as("__row"))
+    val frozen = state.filter(col("u").isNotNull)
+      .select(col("domain").as("__d"), col("u").as("__u"),
+        col("key").as("__k"), col("tok").as("__ftok"), lit(1).as("__tag"),
+        lit(null).cast("long").as("__below"),
+        lit(null).cast("long").as("__bgt"),
+        lit(null).cast(cand.schema("__row").dataType).as("__row"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__d"))
+      .orderBy(col("__u").asc, col("__k").asc, col("__tag").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val boundary = cand.unionByName(frozen)
+      .withColumn("__cum", coalesce(sum(col("__ftok")).over(w), lit(0L)))
+      .filter(col("__tag") === 0 &&
+        col("__below") + col("__cum") < col("__bgt"))
+      .select(outCols.map(c => col(s"__row.`$c`").as(c)): _*)
+    keepAll.unionByName(boundary)
+  }
+
   /** Priority token-budget cut: per domain keep the HIGHEST-`priority`
     * rows — order (priority desc, key asc), null priority = lowest — until
     * `budget_d` tokens, the "best N billion tokens per domain" curation
@@ -597,9 +790,18 @@ object ScaleOps {
     * absent-domain-refusal semantics as [[sampleToTokenBudget]]. Returns
     * the kept rows unchanged. The `priority` expression evaluates in each
     * of the operator's scans (probe, histogram, keep-filter, sliver
-    * window) — materialize an EXPENSIVE priority (e.g.
-    * `TextOps.qualityScore`) into a stored column first (measured ×8.7 at
-    * 500k docs; BENCH_NOTES r11).
+    * window) — an EXPENSIVE priority (e.g. `TextOps.qualityScore`) pays
+    * ×8.7 at 500k docs (BENCH_NOTES r11). Two remedies: materialize the
+    * priority into a stored column yourself, or pass
+    * `materializePriority = true` — the operator then stages ONE slim
+    * (domain, key, tok, priority) projection (4 narrow columns, NOT the
+    * corpus — the rank-1-MF anti-lesson doesn't apply at that width),
+    * runs the whole cut on it, and left-semi joins the kept keys back.
+    * The flag requires UNIQUE keys (the semi-join would otherwise keep
+    * every copy of a kept key; the priority order is keyed anyway) and
+    * trades one corpus-sized key join for re-evaluating the priority in
+    * 3-4 scans — worth it only when the priority dominates the scan
+    * (measured A/B in BENCH_NOTES r12); the default evaluates in-scan.
     *
     * Scale shape — the same two-phase cut as [[sampleToTokenBudget]],
     * with the uniform-hash buckets replaced by `buckets` equal-frequency
@@ -622,13 +824,29 @@ object ScaleOps {
       priority: Column,
       budgets: Seq[(String, Long)],
       buckets: Int = 1024,
-      relErr: Double = 1e-3
+      relErr: Double = 1e-3,
+      materializePriority: Boolean = false
   ): DataFrame = {
     require(budgets.nonEmpty, "budgets must be non-empty")
     require(budgets.forall(_._2 > 0), s"budgets must be positive: $budgets")
     require(budgets.map(_._1).distinct.size == budgets.size,
       s"duplicate domains in budgets: $budgets")
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    requireStringDomain(df, domainCol)
+    if (materializePriority) {
+      // evaluate the priority ONCE: stage the slim 4-column projection,
+      // run the identical cut on it, semi-join the kept keys back (keys
+      // must be unique — the priority order is keyed anyway)
+      import graft.Staging.StagedFrame
+      val slim = df.select(col(domainCol), col(keyCol),
+          tokens.cast("long").as("__mtok"),
+          priority.cast("double").as("__mp"))
+        .staged
+      val kept = takeTopTokenBudget(slim, domainCol, keyCol,
+          col("__mtok"), col("__mp"), budgets, buckets, relErr)
+        .select(col(keyCol))
+      return df.join(kept, Seq(keyCol), "left_semi")
+    }
     val budgetOf = budgets.tail.foldLeft(
       when(col(domainCol) === budgets.head._1, lit(budgets.head._2))) {
       case (acc, (d, b)) => acc.when(col(domainCol) === d, lit(b))
@@ -655,19 +873,18 @@ object ScaleOps {
     val hist = withBkt.groupBy(col(domainCol).as("__d"), col("__bkt"))
       .agg(sum(col("__tok")).as("__t"))
       .collect()
-      .map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
       .groupBy(_._1)
     // per domain: walk bins from the TOP; crossing = first bin whose
     // inclusive cumsum >= budget (same >= rule as sampleToTokenBudget);
     // sentinel 0 = the whole domain fits the budget (bins start at 1)
-    val absent = budgets.map(_._1).toSet --
-      hist.keySet.map(_.asInstanceOf[String])
+    val absent = budgets.map(_._1).toSet -- hist.keySet
     require(absent.isEmpty,
       s"budget domains with no rows: ${absent.toSeq.sorted.mkString(", ")} " +
         "(the sampleToMix contract: a budget for an absent domain is a " +
         "config error, not an empty sample)")
-    val cross: Map[Any, (Int, Long)] = hist.map { case (d, rows) =>
-      val budget = budgets.toMap.apply(d.asInstanceOf[String])
+    val cross: Map[String, (Int, Long)] = hist.map { case (d, rows) =>
+      val budget = budgets.toMap.apply(d)
       val byBkt = rows.sortBy(-_._2)
       var cum = 0L
       var cb = 0
@@ -680,14 +897,10 @@ object ScaleOps {
       }
       d -> (cb, above)
     }
-    val crossBkt = cross.toSeq.foldLeft(lit(null).cast("int")) {
-      case (acc, (d, (cb, _))) =>
-        when(col(domainCol) === lit(d), lit(cb)).otherwise(acc)
-    }
-    val aboveTok = cross.toSeq.foldLeft(lit(null).cast("long")) {
-      case (acc, (d, (_, above))) =>
-        when(col(domainCol) === lit(d), lit(above)).otherwise(acc)
-    }
+    val crossBkt = domainCase(cross.map { case (d, (cb, _)) => d -> cb },
+      domainCol, "int")
+    val aboveTok = domainCase(cross.map { case (d, (_, a)) => d -> a },
+      domainCol, "long")
     val keepAll = withBkt.filter(col("__bkt") > crossBkt)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol))
@@ -722,6 +935,7 @@ object ScaleOps {
     require(budgets.forall(_._2 > 0), s"budgets must be positive: $budgets")
     require(budgets.map(_._1).distinct.size == budgets.size,
       s"duplicate domains in budgets: $budgets")
+    requireStringDomain(df, domainCol)
     val totals = df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol))
       .agg(sum(coalesce(tokens.cast("long"), lit(0L))).as("__t"))
@@ -744,6 +958,19 @@ object ScaleOps {
     weightedSample(df, keyCol, rate, salt)
   }
 
+  /** The domain-keyed samplers key their budgets/shares by STRING, and
+    * their driver-side collects read the domain column as a string — a
+    * non-string domain would hash/collect inconsistently between variants
+    * (an int domain coerces in the `===` CASE chain but throws in the
+    * collect). One loud contract for the whole family: cast first. */
+  private def requireStringDomain(df: DataFrame, domainCol: String): Unit = {
+    val dt = df.schema(domainCol).dataType
+    require(dt == org.apache.spark.sql.types.StringType,
+      s"domain column '$domainCol' must be StringType (got " +
+        s"${dt.simpleString}) — budgets/shares are keyed by string; " +
+        s"cast the column first")
+  }
+
   /** Per-domain row counts (model-sized collect), name-sorted so every
     * downstream floating-point fold is layout-invariant. NULL domains are
     * dropped — they can never match a share entry, and the other samplers
@@ -751,11 +978,13 @@ object ScaleOps {
   private def domainCounts(
       df: DataFrame,
       domainCol: String
-  ): Seq[(String, Long)] =
+  ): Seq[(String, Long)] = {
+    requireStringDomain(df, domainCol)
     df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1).toSeq
+  }
 
   private def temperatureSharesFrom(
       counts: Seq[(String, Long)],

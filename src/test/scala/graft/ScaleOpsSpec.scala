@@ -716,4 +716,140 @@ class ScaleOpsSpec extends SparkTestBase {
       ScaleOps.prioritySample(d, "id", col("w"), k = 0)
     }
   }
+
+  test("frozen token-budget state: self-application ≡ batch, shards decompose, fits keep all") {
+    val docs = sf("sf0.001", "documents")
+    val tok = graft.pipeline.TextOps.tokenCount(col("text"))
+    val budgets = Seq("en" -> 4000L, "de" -> 1500L, "zh" -> 900L)
+    for (buckets <- Seq(2, 1024)) {
+      val state = ScaleOps.tokenBudgetState(docs, "lang", "doc_id", tok,
+        budgets, salt = "fz", buckets = buckets)
+      val batch = ScaleOps.sampleToTokenBudget(docs, "lang", "doc_id", tok,
+          budgets, salt = "fz", buckets = buckets)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // applying the corpus's own state back to the corpus is bit-exact
+      val self = ScaleOps.sampleToTokenBudgetAgainst(state, docs,
+          "lang", "doc_id", tok)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(self == batch, s"buckets=$buckets: ${self.size} vs ${batch.size}")
+      // per-row purity: shard applications union to the whole
+      val s0 = ScaleOps.sampleToTokenBudgetAgainst(state,
+        docs.filter(col("doc_id") % 2 === 0), "lang", "doc_id", tok)
+      val s1 = ScaleOps.sampleToTokenBudgetAgainst(state,
+        docs.filter(col("doc_id") % 2 === 1), "lang", "doc_id", tok)
+      val sharded = s0.unionByName(s1)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sharded == batch, s"buckets=$buckets sharded mismatch")
+    }
+    // a domain whose whole inventory fits its budget gets a meta-only
+    // state row (no sliver) and application keeps ALL its rows
+    val bigBudget = Seq("de" -> 100000000L)
+    val st = ScaleOps.tokenBudgetState(docs, "lang", "doc_id", tok,
+      bigBudget, salt = "fz")
+    assert(st.filter(col("u").isNull).count() == 1, "expected meta-only row")
+    val kept = ScaleOps.sampleToTokenBudgetAgainst(st, docs, "lang",
+      "doc_id", tok)
+    assert(kept.count() == docs.filter(col("lang") === "de").count())
+    // domains absent from the state are dropped (budget-CASE convention)
+    assert(kept.filter(col("lang") =!= "de").count() == 0)
+    // the application's one window runs on sliver-sized inputs only: the
+    // plan's single window is fed by the bucket-filtered scan + state
+    val applied = ScaleOps.sampleToTokenBudgetAgainst(
+      ScaleOps.tokenBudgetState(docs, "lang", "doc_id", tok,
+        Seq("en" -> 4000L), salt = "fz"),
+      docs, "lang", "doc_id", tok)
+    val plan = applied.queryExecution.executedPlan.toString
+    assert(plan.sliding(7).count(_ == "Window ") == 1, plan.take(3000))
+  }
+
+  test("top token budget: materialized priority ≡ in-scan priority") {
+    val docs = sf("sf0.001", "documents")
+    val tok = graft.pipeline.TextOps.tokenCount(col("text"))
+    val q = graft.pipeline.TextOps.qualityScore(col("text"))
+    val budgets = Seq("en" -> 4000L, "de" -> 1500L, "zh" -> 900L)
+    val inScan = ScaleOps.takeTopTokenBudget(docs, "lang", "doc_id", tok, q,
+      budgets).select("doc_id").collect().map(_.getLong(0)).toSet
+    val mat = ScaleOps.takeTopTokenBudget(docs, "lang", "doc_id", tok, q,
+        budgets, materializePriority = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mat == inScan, s"${mat.size} vs ${inScan.size}")
+    // flag returns the caller's rows unchanged (full schema)
+    val out = ScaleOps.takeTopTokenBudget(docs, "lang", "doc_id", tok, q,
+      budgets, materializePriority = true)
+    assert(out.columns.toSeq == docs.columns.toSeq)
+  }
+
+  test("domain samplers refuse non-string domain columns loudly") {
+    import spark.implicits._
+    val d = Seq((1, 1L, 10L), (2, 2L, 10L)).toDF("dom", "id", "nt")
+    intercept[IllegalArgumentException] {
+      ScaleOps.sampleToTokenBudget(d, "dom", "id", col("nt"), Seq("1" -> 5L))
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.sampleToTokenBudgetApprox(d, "dom", "id", col("nt"),
+        Seq("1" -> 5L))
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.takeTopTokenBudget(d, "dom", "id", col("nt"), col("nt"),
+        Seq("1" -> 5L))
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.sampleToMix(d, "dom", "id", Seq("1" -> 1.0))
+    }
+  }
+
+  test("zorder manifest is relative: a relocated layout scans identically") {
+    val li = sf("sf0.001", "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+    val root = Files.createTempDirectory("graft_zmove")
+    val dir = s"$root/orig"
+    ScaleOps.zorderWrite(li, dir, Seq("l_extendedprice", "l_quantity"),
+      bits = 6, numFiles = 8)
+    // manifest stores basenames, not absolute URIs
+    val names = spark.read.parquet(s"$dir/_zmanifest")
+      .select("file").collect().map(_.getString(0))
+    assert(names.forall(n => !n.contains("/") && !n.contains(":")),
+      s"expected relative basenames, got ${names.take(3).mkString(", ")}")
+    val bounds = Seq(("l_extendedprice", 10000.0, 30000.0),
+      ("l_quantity", 5.0, 25.0))
+    val before = ScaleOps.zorderScan(spark, dir, bounds)
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // relocate the whole layout (the object-storage copy) and re-scan
+    val moved = s"$root/moved"
+    assert(new java.io.File(dir).renameTo(new java.io.File(moved)))
+    val after = ScaleOps.zorderScan(spark, moved, bounds)
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after == before && after.nonEmpty)
+  }
+
+  test("zorder scan composes into the exact token-budget cut: pruned ≡ full") {
+    // the layout's value in a PIPELINE: a box-selective budget cut reads
+    // only the overlapping files, and the kept set is bit-identical to
+    // running the same cut over a full scan + filter
+    val docs = sf("sf0.001", "documents")
+    val tok = graft.pipeline.TextOps.tokenCount(col("text"))
+    val slim = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      tok.cast("long").as("nt"))
+    val dir = Files.createTempDirectory("graft_zbudget").toString + "/docs"
+    ScaleOps.zorderWrite(slim, dir, Seq("n_chars", "nt"),
+      bits = 8, numFiles = 16)
+    val bounds = Seq(("n_chars", 200.0, 600.0), ("nt", 30.0, 90.0))
+    val budgets = Seq("en" -> 1500L, "de" -> 700L)
+    val pruned = ScaleOps.zorderScan(spark, dir, bounds)
+    val cutPruned = ScaleOps.sampleToTokenBudget(pruned, "lang", "doc_id",
+        col("nt"), budgets, salt = "zb")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = spark.read.parquet(dir)
+      .filter(col("n_chars").between(200.0, 600.0) && col("nt").between(30.0, 90.0))
+    val cutFull = ScaleOps.sampleToTokenBudget(full, "lang", "doc_id",
+        col("nt"), budgets, salt = "zb")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cutPruned == cutFull && cutPruned.nonEmpty)
+    // and the pipeline really read fewer files than the layout holds
+    val allFiles = spark.read.parquet(s"$dir/_zmanifest").count()
+    val readFiles = pruned.select(input_file_name()).distinct().count()
+    assert(readFiles < allFiles, s"$readFiles of $allFiles — no skipping")
+  }
 }
