@@ -1977,6 +1977,61 @@ object OracleSql {
          |    '') AS text_clean
          |FROM f ORDER BY id""".stripMargin,
 
+    // layout → consumer pipeline: pruned zorderScan feeding the exact
+    // token-budget cut ≡ plain box filter + the naive per-domain window
+    "q241_zorder_budget" ->
+      s"""WITH b(lang, budget) AS (VALUES ('en', 1500), ('de', 700)),
+         |t AS (SELECT doc_id, lang, n_chars,
+         |    len(${toks("text")})::BIGINT AS nt,
+         |    ${hash32("'q241' || doc_id::VARCHAR")} / 4294967296.0 AS u
+         |  FROM documents),
+         |f AS (SELECT * FROM t
+         |  WHERE n_chars BETWEEN 200 AND 600 AND nt BETWEEN 30 AND 90),
+         |r AS (SELECT doc_id, lang, nt,
+         |    coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY u, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM f)
+         |SELECT r.doc_id AS id, r.lang, r.nt AS n_tokens
+         |FROM r JOIN b USING (lang) WHERE cum < budget ORDER BY id""".stripMargin,
+
+    // frozen-state incremental budget: shard rows judged against the FULL
+    // corpus inventory ≡ full-corpus naive window cut restricted to shard
+    "q242_token_budget_incremental" ->
+      s"""WITH b(lang, budget) AS (VALUES ('en', 4000), ('de', 1500), ('zh', 900)),
+         |t AS (SELECT doc_id, lang, len(${toks("text")})::BIGINT AS nt,
+         |    ${hash32("'q242' || doc_id::VARCHAR")} / 4294967296.0 AS u
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, nt,
+         |    coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY u, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM t)
+         |SELECT r.doc_id AS id, r.lang, r.nt AS n_tokens
+         |FROM r JOIN b USING (lang)
+         |WHERE cum < budget AND doc_id % 10 = 0 ORDER BY id""".stripMargin,
+
+    // materialized-priority top budget: identical naive priority window as
+    // q237 (the flag must not change the keep set), different budgets
+    "q243_top_budget_materialized" ->
+      s"""WITH b(lang, budget) AS (VALUES ('en', 3000), ('de', 1000), ('zh', 700)),
+         |tk AS (SELECT doc_id AS id, lang, text, ${toks("text")} AS t
+         |  FROM documents),
+         |q AS (SELECT id, lang, len(t)::BIGINT AS nt,
+         |   least(len(text)::DOUBLE / 500.0, 1.0) * 0.5
+         | + least((CASE WHEN len(t) = 0 THEN 0.0 ELSE
+         |     len(list_filter(t, x -> list_contains(
+         |       ['the','a','an','and','of','to','in','is','was','for','on',
+         |        'with','that','it'], x)))::DOUBLE / len(t) END) * 5.0, 1.0) * 0.3
+         | + (1.0 - least((len(regexp_replace(text,
+         |     '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE
+         |     / greatest(len(text), 1)) * 4.0, 1.0)) * 0.2 AS w
+         |  FROM tk),
+         |r AS (SELECT id, lang, nt,
+         |    coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY w DESC, id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM q)
+         |SELECT r.id, r.lang, r.nt AS n_tokens
+         |FROM r JOIN b USING (lang) WHERE cum < budget ORDER BY id""".stripMargin,
+
     // z-order scan is semantically invisible: the pruned read equals the
     // plain box filter
     "q239_zorder_scan" ->

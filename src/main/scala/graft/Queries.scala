@@ -21,6 +21,17 @@ object Queries {
   private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
   private def ev(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
 
+  /** Fixed per-(SF dir, query) temp layout path for the z-order queries:
+    * overwritten each run (no corpus-sized temp accumulation) and keyed on
+    * the sanitized SF basename PLUS its hash — two SF dirs can never
+    * collide even under concurrent gate runs (an Int hashCode alone
+    * could). */
+  private def zorderTmpDir(dir: String, q: String): String = {
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft-zorder-$q-" +
+      s"$base-${dir.hashCode.toHexString}/docs"
+  }
+
   private val y = col("l_extendedprice").cast("double")
   private val x1 = col("l_quantity").cast("double")
   private val x2 = col("l_discount").cast("double")
@@ -1421,18 +1432,61 @@ object Queries {
     "q239_zorder_scan" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("lang"),
         col("n_chars"), TextOps.tokenCount(col("text")).cast("long").as("nt"))
-      // fixed per-SF path, overwritten on each run — repeated gate runs
-      // must not accumulate corpus-sized temp copies
-      val zdir = s"${System.getProperty("java.io.tmpdir")}/graft-zorder-q239-" +
-        s"${dir.hashCode.toHexString}/docs"
-      graft.sources.ScaleOps.zorderWrite(d, zdir, Seq("n_chars", "nt"),
-        bits = 8, numFiles = 16)
-      graft.sources.ScaleOps.zorderScan(s, zdir,
+      graft.sources.ScaleOps.zorderWrite(d, zorderTmpDir(dir, "q239"),
+        bits = 8, numFiles = 16, zcols = Seq("n_chars", "nt"))
+      graft.sources.ScaleOps.zorderScan(s, zorderTmpDir(dir, "q239"),
           Seq(("n_chars", 200.0, 600.0), ("nt", 30.0, 90.0)))
         .select(col("doc_id").as("id"), col("lang"),
           col("n_chars"), col("nt").as("n_tokens"))
         .orderBy("id")
     }),
+
+    // layout → consumer pipeline: the manifest-pruned zorderScan FEEDS the
+    // exact token-budget cut — file skipping must be invisible to the kept
+    // set (oracle: plain box filter, then the naive per-domain window)
+    "q241_zorder_budget" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars"), TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      graft.sources.ScaleOps.zorderWrite(d, zorderTmpDir(dir, "q241"),
+        bits = 8, numFiles = 16, zcols = Seq("n_chars", "nt"))
+      val pruned = graft.sources.ScaleOps.zorderScan(s,
+        zorderTmpDir(dir, "q241"),
+        Seq(("n_chars", 200.0, 600.0), ("nt", 30.0, 90.0)))
+      graft.sources.ScaleOps.sampleToTokenBudget(pruned, "lang", "doc_id",
+          col("nt"), Seq("en" -> 1500L, "de" -> 700L), salt = "q241")
+        .select(col("doc_id").as("id"), col("lang"), col("nt").as("n_tokens"))
+        .orderBy("id")
+    }),
+
+    // sampling: frozen-state incremental token budget — a shard's rows are
+    // judged against the FULL corpus inventory's frozen phase-1 state, so
+    // the kept shard rows are exactly the full-corpus cut ∩ shard
+    "q242_token_budget_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tok = TextOps.tokenCount(col("text"))
+      val state = graft.sources.ScaleOps.tokenBudgetState(d, "lang",
+        "doc_id", tok, Seq("en" -> 4000L, "de" -> 1500L, "zh" -> 900L),
+        salt = "q242")
+      val shard = d.filter(col("doc_id") % 10 === 0)
+      graft.sources.ScaleOps.sampleToTokenBudgetAgainst(state, shard,
+          "lang", "doc_id", tok)
+        .select(col("doc_id").as("id"), col("lang"),
+          tok.cast("long").as("n_tokens"))
+        .orderBy("id")
+    }),
+
+    // sampling: materialized-priority top-token-budget — the flag stages
+    // one slim (domain, key, tok, p) projection and semi-joins the kept
+    // keys back; the keep set is identical to in-scan priority evaluation
+    "q243_top_budget_materialized" -> ((s, dir) =>
+      graft.sources.ScaleOps.takeTopTokenBudget(docs(s, dir), "lang",
+          "doc_id", TextOps.tokenCount(col("text")),
+          TextOps.qualityScore(col("text")),
+          Seq("en" -> 3000L, "de" -> 1000L, "zh" -> 700L),
+          materializePriority = true)
+        .select(col("doc_id").as("id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("id")),
 
     // composed curation v2: strip duplicated spans FIRST, then keep each
     // language's best docs — quality and token counts measured on the
@@ -3036,7 +3090,9 @@ object Queries {
         "q211_temperature_mix", "q213_temperature_mix_approx",
         "q234_token_budget_mix", "q235_token_budget_approx",
         "q236_zorder_key", "q237_top_token_budget",
-        "q238_clean_then_budget", "q239_zorder_scan"),
+        "q238_clean_then_budget", "q239_zorder_scan",
+        "q241_zorder_budget", "q242_token_budget_incremental",
+        "q243_top_budget_materialized"),
       "events" -> Seq(
         "q40_event_windows", "q54_sessionize", "q58_asof_join",
         "q89_range_join", "q90_interval_overlap", "q137_funnel",

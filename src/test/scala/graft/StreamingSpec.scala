@@ -486,6 +486,44 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed.size < rows.size)
   }
 
+  test("EXACT token budget streams from a frozen state via foreachBatch, equals batch") {
+    // the exact cut's streaming story (the removeDupSpansAgainst pattern):
+    // phase-1 state — crossing bucket, below-sum, sliver rows — is frozen
+    // from the reference inventory by tokenBudgetState; each micro-batch
+    // then applies sampleToTokenBudgetAgainst, a pure per-row function of
+    // that state, so replaying the corpus through micro-batches reproduces
+    // the batch operator's keep set bit-for-bit
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.ScaleOps
+    val rows = (0L until 80L).map(i => (i, if (i % 3 == 0) "en" else "de",
+      (i % 7 + 1).toInt))
+    val corpus = spark.createDataFrame(rows).toDF("id", "dom", "nt")
+    val budgets = Seq("en" -> 30L, "de" -> 50L)
+    val state = ScaleOps.tokenBudgetState(corpus, "dom", "id", col("nt"),
+      budgets, salt = "etb", buckets = 8).cache()
+    val expected = ScaleOps.sampleToTokenBudget(corpus, "dom", "id",
+        col("nt"), budgets, salt = "etb", buckets = 8)
+      .collect().map(_.getLong(0)).toSet
+    val input = MemoryStream[(Long, String, Int)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = input.toDF().toDF("id", "dom", "nt").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = ScaleOps.sampleToTokenBudgetAgainst(state, batch,
+            "dom", "id", col("nt"))
+          .collect().map(_.getLong(0))
+        got.synchronized { got ++= kept }; ()
+      }
+      .start()
+    val (h1, h2) = rows.splitAt(37)
+    input.addData(h1: _*)
+    q.processAllAvailable()
+    input.addData(h2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == expected, s"${got.size} vs ${expected.size}")
+    assert(expected.nonEmpty && expected.size < rows.size)
+  }
+
   test("Count-Min sketch accumulates across micro-batches (mergeable state)") {
     // the sketch's elementwise-add merge is exactly what streaming state
     // needs: complete-mode estimates over two batches equal one batch of
