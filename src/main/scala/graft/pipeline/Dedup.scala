@@ -964,10 +964,18 @@ object Dedup {
 
   /** Whether the span-removal family checkpoints the tokenized corpus
     * before fanning it out to its three consumers (window explode for the
-    * duplicate agg, window explode for the mask join, rebuild join). The
-    * A/B at ×100/×1000 docs, w ∈ {5, 8} (BENCH_NOTES r12) decides the
-    * default; [[removeDupSpansImpl]] keeps both arms measurable. */
-  private[graft] val DefaultStageTokens = true
+    * duplicate agg, window explode for the mask join, rebuild join).
+    * UNSTAGED, by measurement (BENCH_NOTES r12, min-statistic): at 5M
+    * docs staged/unstaged is 208.9/115.3 s (w=5) and 168.6/95.1 s (w=8)
+    * — re-deriving the codegen'd tokenize projection from the scan beats
+    * checkpoint-writing the tokenized corpus ~1.8× (the rank-1-MF /
+    * token-budget-base lesson, third confirmation); at 500k docs the gap
+    * is ~10% the same way, and the ingest mode is staging-insensitive
+    * (48.9 vs 47.0 s — its tokenized SHARD is small). In reliable
+    * checkpoint mode staging would also write the whole tokenized corpus
+    * to the checkpoint dir per call — the dominant I/O at 100 TB.
+    * [[removeDupSpansImpl]] keeps both arms measurable. */
+  private[graft] val DefaultStageTokens = false
 
   private[graft] def removeDupSpansImpl(
       df: DataFrame,

@@ -523,12 +523,16 @@ object ScaleOps {
     * column must be StringType (budgets are keyed by string; cast first).
     *
     * Sizing `buckets` under domain SKEW: the crossing sliver is
-    * ≈ n_d/`buckets` rows of the largest budgeted domain on ONE reducer,
-    * so size buckets ≈ n_hot / (rows one reducer sorts comfortably,
-    * ~10⁷) — the driver histogram is |domains|·buckets rows, so even
-    * 131072 stays driver-trivial for model-sized domain counts (measured
-    * skew table in BENCH_NOTES r12). Correctness is bucket-invariant
-    * (spec-pinned); only the sliver's sort size changes. */
+    * ≈ n_hot/`buckets` rows of the hottest budgeted domain on ONE
+    * reducer — keep it ≲ 10⁷ (buckets ≈ n_hot/10⁷) and NO larger:
+    * oversizing only pays per-(domain, bucket) hash-agg cardinality
+    * (measured 90/9/1 skew table, BENCH_NOTES r12: B=1024 is free at a
+    * 162M-row hot domain, B=131072 costs +22%; undersizing costs the
+    * sliver sort — B=64 at 60M-row domains is +31%). The default 1024
+    * covers a hot domain to ~10¹⁰ rows; the driver histogram is
+    * |domains|·buckets rows, driver-trivial for model-sized domain
+    * counts. Correctness is bucket-invariant (spec-pinned); only the
+    * sliver's sort size changes. */
   def sampleToTokenBudget(
       df: DataFrame,
       domainCol: String,
@@ -741,7 +745,10 @@ object ScaleOps {
     val u = graft.pipeline.TextOps
       .hash32(concat(lit(salt), col(keyCol).cast("string")))
       .cast("double") / lit(4294967296.0)
-    val meta = state.groupBy("domain")
+    // every state row of a domain repeats the same meta values, so the
+    // unordered first() is deterministic here; the rename keeps a caller
+    // domain column literally named "domain" unambiguous
+    val meta = state.groupBy(col("domain").as("__mdom"))
       .agg(first("cross_bkt").as("__cb"), first("below_tok").as("__below"),
         first("budget").as("__bgt"))
     val joined = df
@@ -749,8 +756,8 @@ object ScaleOps {
       .withColumn("__tok", coalesce(tokens.cast("long"), lit(0L)))
       .withColumn("__bkt",
         floor(col("__u") * lit(buckets.toDouble)).cast("int"))
-      .join(broadcast(meta), col(domainCol) === col("domain"), "inner")
-      .drop("domain")
+      .join(broadcast(meta), col(domainCol) === col("__mdom"), "inner")
+      .drop("__mdom")
     val outCols = df.columns.toSeq
     val keepAll = joined.filter(col("__bkt") < col("__cb"))
       .select(outCols.map(col): _*)

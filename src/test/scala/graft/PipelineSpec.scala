@@ -818,6 +818,40 @@ class PipelineSpec extends SparkTestBase {
     assert(viaAgainst == direct)
   }
 
+  test("bucketed span-fingerprint state: shard ingest exploits the bucket layout, same result") {
+    // the documented 100 TB state layout: spanFingerprints persisted
+    // bucketed by fp (writeBucketed) — the per-shard fp join then reads
+    // the corpus state AS BUCKETS (no corpus-side exchange; only the
+    // shard side, which is shard-sized, shuffles to match)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val shard = docs.filter(col("doc_id") % 10 === 0)
+    val t = "graft_spanfps_b"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(loc)
+    }
+    val fps = Dedup.spanFingerprints(corpus, "doc_id", "text", width = 5)
+    graft.sources.ScaleOps.writeBucketed(fps, t, Seq("fp"), 8)
+    val bucketed = Dedup.removeDupSpansAgainst(spark.table(t), shard,
+      "doc_id", "text", width = 5)
+    val plain = Dedup.removeDupSpansAgainst(fps, shard,
+        "doc_id", "text", width = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    val got = bucketed
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(got == plain && got.nonEmpty)
+    // the state scan really ran bucketed (the planner reports Bucketed:
+    // true only when it exploits the layout in place of an exchange)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+  }
+
   test("removeDupSpans plan: no window anywhere — first-occurrence picks ride the hash agg") {
     val out = Dedup.removeDupSpans(docs, "doc_id", "text", width = 5)
     val plan = out.queryExecution.executedPlan.toString
