@@ -209,6 +209,35 @@ class LocalClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mass("de")._1 < 800L + mass("de")._2)
   }
 
+  test("frozen-state budget + materialized priority distribute (r12 ops)") {
+    assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
+    val tok = graft.pipeline.TextOps.tokenCount(col("text"))
+    val budgets = Seq("en" -> 2000L, "de" -> 800L)
+    // frozen state applied to the corpus itself must reproduce the batch
+    // cut exactly across executor boundaries (broadcast meta + the
+    // sliver-union window both cross JVMs here)
+    val state = graft.sources.ScaleOps.tokenBudgetState(
+      docs, "lang", "doc_id", tok, budgets, salt = "lc12")
+    val viaState = graft.sources.ScaleOps.sampleToTokenBudgetAgainst(
+        state, docs, "lang", "doc_id", tok)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = graft.sources.ScaleOps.sampleToTokenBudget(
+        docs, "lang", "doc_id", tok, budgets, salt = "lc12")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaState === batch)
+    assert(batch.nonEmpty)
+    // the materialized-priority cut (staged slim frame + semi join) must
+    // match the in-scan evaluation under executors too
+    val q = graft.pipeline.TextOps.qualityScore(col("text"))
+    val mat = graft.sources.ScaleOps.takeTopTokenBudget(docs, "lang",
+        "doc_id", tok, q, budgets, materializePriority = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val inScan = graft.sources.ScaleOps.takeTopTokenBudget(docs, "lang",
+        "doc_id", tok, q, budgets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mat === inScan)
+  }
+
   test("streaming funnel state store works under executors") {
     assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -762,6 +762,30 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(plan.sliding(7).count(_ == "Window ") == 1, plan.take(3000))
   }
 
+  test("frozen token-budget state round-trips through parquet (persistable corpus state)") {
+    // the deployment shape: build the state once per inventory refresh,
+    // persist it, load it in the ingest job — the spanFingerprints pattern
+    val docs = sf("sf0.001", "documents")
+    val tok = graft.pipeline.TextOps.tokenCount(col("text"))
+    val budgets = Seq("en" -> 4000L, "de" -> 1500L)
+    val state = ScaleOps.tokenBudgetState(docs, "lang", "doc_id", tok,
+      budgets, salt = "rt")
+    val dir = Files.createTempDirectory("graft_tbstate").toString + "/state"
+    state.write.parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val viaLoaded = ScaleOps.sampleToTokenBudgetAgainst(loaded, docs,
+        "lang", "doc_id", tok)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = ScaleOps.sampleToTokenBudget(docs, "lang", "doc_id", tok,
+        budgets, salt = "rt")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaLoaded == batch && batch.nonEmpty)
+    // a frame missing the state columns refuses loudly
+    intercept[IllegalArgumentException] {
+      ScaleOps.sampleToTokenBudgetAgainst(docs, docs, "lang", "doc_id", tok)
+    }
+  }
+
   test("top token budget: materialized priority ≡ in-scan priority") {
     val docs = sf("sf0.001", "documents")
     val tok = graft.pipeline.TextOps.tokenCount(col("text"))
