@@ -2009,6 +2009,31 @@ object OracleSql {
          |FROM r JOIN b USING (lang)
          |WHERE cum < budget AND doc_id % 10 = 0 ORDER BY id""".stripMargin,
 
+    // frozen-state incremental PRIORITY budget: shard rows judged against
+    // the FULL corpus ranking ≡ full-corpus priority cut restricted to
+    // the shard (same quality algebra as q237)
+    "q244_top_budget_incremental" ->
+      s"""WITH b(lang, budget) AS (VALUES ('en', 3500), ('de', 1100), ('zh', 800)),
+         |tk AS (SELECT doc_id AS id, lang, text, ${toks("text")} AS t
+         |  FROM documents),
+         |q AS (SELECT id, lang, len(t)::BIGINT AS nt,
+         |   least(len(text)::DOUBLE / 500.0, 1.0) * 0.5
+         | + least((CASE WHEN len(t) = 0 THEN 0.0 ELSE
+         |     len(list_filter(t, x -> list_contains(
+         |       ['the','a','an','and','of','to','in','is','was','for','on',
+         |        'with','that','it'], x)))::DOUBLE / len(t) END) * 5.0, 1.0) * 0.3
+         | + (1.0 - least((len(regexp_replace(text,
+         |     '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE
+         |     / greatest(len(text), 1)) * 4.0, 1.0)) * 0.2 AS w
+         |  FROM tk),
+         |r AS (SELECT id, lang, nt,
+         |    coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY w DESC, id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM q)
+         |SELECT r.id, r.lang, r.nt AS n_tokens
+         |FROM r JOIN b USING (lang)
+         |WHERE cum < budget AND id % 10 = 0 ORDER BY id""".stripMargin,
+
     // materialized-priority top budget: identical naive priority window as
     // q237 (the flag must not change the keep set), different budgets
     "q243_top_budget_materialized" ->

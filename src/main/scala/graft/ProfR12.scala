@@ -116,6 +116,42 @@ object ProfR12 {
       n
     })
 
+    // 4b. priority-cut frozen state (the takeTopTokenBudget twin)
+    time("top_budget_state_build")(noop(
+      ScaleOps.topTokenBudgetState(docs, "lang", "doc_id", tok,
+        TextOps.qualityScore(col("text")), budgets)))
+    time("top_budget_state_apply_shard")({
+      val state = ScaleOps.topTokenBudgetState(docs, "lang", "doc_id", tok,
+        TextOps.qualityScore(col("text")), budgets).cache()
+      state.count()
+      val shard = docs.filter(col("doc_id") % 10 === 0)
+      val n = noop(ScaleOps.takeTopTokenBudgetAgainst(state, shard,
+        "lang", "doc_id", tok, TextOps.qualityScore(col("text"))))
+      state.unpersist()
+      n
+    })
+
+    // 4c. the saturating-score tie-break pattern from the scaladoc: a
+    // deterministic epsilon below score resolution thins the sliver from
+    // the tied class back to ~n/buckets
+    // epsilon BELOW the probe's cell width (span·relErr ≈ 1e-3): the tied
+    // class lands in one histogram cell and cannot split — sliver stays fat
+    time("top_budget_state_build_tiebroken_1e9")(noop(
+      ScaleOps.topTokenBudgetState(docs, "lang", "doc_id", tok,
+        TextOps.qualityScore(col("text")) +
+          TextOps.hash32(col("doc_id").cast("string")).cast("double") /
+            lit(4294967296.0) * lit(1e-9),
+        budgets)))
+    // epsilon ABOVE the probe resolution (1e-5 with relErr = 1e-6 → cell
+    // width 1e-6): ties spread across ~10 cells, interpolation is valid
+    // again, sliver thins back to ≈ n/buckets
+    time("top_budget_state_build_tiebroken_1e5")(noop(
+      ScaleOps.topTokenBudgetState(docs, "lang", "doc_id", tok,
+        TextOps.qualityScore(col("text")) +
+          TextOps.hash32(col("doc_id").cast("string")).cast("double") /
+            lit(4294967296.0) * lit(1e-5),
+        budgets, relErr = 1e-6)))
+
     // 5. 180M-row point: real 90/9/1 domain skew + B sweep + minima re-runs
     sys.env.get("PROF_LI_DIR").foreach { liDir =>
       val li = spark.read.parquet(s"$liDir/lineitem.parquet")

@@ -1475,6 +1475,24 @@ object Queries {
         .orderBy("id")
     }),
 
+    // sampling: frozen-state incremental PRIORITY budget — shard rows are
+    // judged against the full corpus inventory's frozen quality ranking,
+    // so the kept shard rows are exactly the full-corpus priority cut ∩
+    // shard (the q242 pattern for takeTopTokenBudget)
+    "q244_top_budget_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tok = TextOps.tokenCount(col("text"))
+      val q = TextOps.qualityScore(col("text"))
+      val state = graft.sources.ScaleOps.topTokenBudgetState(d, "lang",
+        "doc_id", tok, q, Seq("en" -> 3500L, "de" -> 1100L, "zh" -> 800L))
+      val shard = d.filter(col("doc_id") % 10 === 0)
+      graft.sources.ScaleOps.takeTopTokenBudgetAgainst(state, shard,
+          "lang", "doc_id", tok, q)
+        .select(col("doc_id").as("id"), col("lang"),
+          tok.cast("long").as("n_tokens"))
+        .orderBy("id")
+    }),
+
     // sampling: materialized-priority top-token-budget — the flag stages
     // one slim (domain, key, tok, p) projection and semi-joins the kept
     // keys back; the keep set is identical to in-scan priority evaluation
@@ -3092,7 +3110,7 @@ object Queries {
         "q236_zorder_key", "q237_top_token_budget",
         "q238_clean_then_budget", "q239_zorder_scan",
         "q241_zorder_budget", "q242_token_budget_incremental",
-        "q243_top_budget_materialized"),
+        "q243_top_budget_materialized", "q244_top_budget_incremental"),
       "events" -> Seq(
         "q40_event_windows", "q54_sessionize", "q58_asof_join",
         "q89_range_join", "q90_interval_overlap", "q137_funnel",

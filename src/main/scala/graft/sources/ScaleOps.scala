@@ -822,7 +822,24 @@ object ScaleOps {
     * keep set is bit-identical to the naive per-domain window whatever
     * the cuts — a heavily tied priority column only grows the sliver
     * (degenerating to the naive window when every row ties), never the
-    * answer. Token arithmetic is integral end-to-end. */
+    * answer. Token arithmetic is integral end-to-end.
+    *
+    * Tied-class caveat (measured): SATURATING scores produce fat tied
+    * classes — `TextOps.qualityScore`'s capped terms put 43% of the ×100
+    * docs corpus at exactly 0.7, and when the budget crosses inside a
+    * tied class the sliver IS that class (215k rows there; BENCH_NOTES
+    * r12). If the sliver matters, compose a deterministic hash
+    * tie-breaker into the priority AND size it to the quantile probe:
+    * the probe's histogram cell is span·`relErr` wide, so the epsilon
+    * must exceed that or the tied class still lands in one cell (cuts
+    * interpolate uniformly within a cell — valid only when the epsilon
+    * spreads the ties across cells). Measured: `p + hash32(key)/2³²·1e-5`
+    * with `relErr = 1e-6` thins the state 464× (215,696 → 465 rows,
+    * ≈ n/buckets); the same hash at 1e-9 under the default relErr
+    * changes nothing. The epsilon DEFINES the within-tie order (replacing
+    * key order) and perturbs genuine score gaps smaller than itself —
+    * acceptable for curation cuts, size it below the gaps you care
+    * about. */
   def takeTopTokenBudget(
       df: DataFrame,
       domainCol: String,
@@ -854,22 +871,56 @@ object ScaleOps {
         .select(col(keyCol))
       return df.join(kept, Seq(keyCol), "left_semi")
     }
+    val (withBkt, cross, _) = topBudgetPhase1(df, domainCol, keyCol,
+      tokens, priority, budgets, buckets, relErr)
+    val crossBkt = domainCase(cross.map { case (d, (cb, _)) => d -> cb },
+      domainCol, "int")
+    val aboveTok = domainCase(cross.map { case (d, (_, a)) => d -> a },
+      domainCol, "long")
+    val keepAll = withBkt.filter(col("__bkt") > crossBkt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col("__p").desc, col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val boundary = withBkt.filter(col("__bkt") === crossBkt)
+      .withColumn("__cum", aboveTok + coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .filter(col("__cum") < col("__budget"))
+      .drop("__cum")
+    keepAll.unionByName(boundary)
+      .drop("__budget", "__p", "__tok", "__bkt")
+  }
+
+  /** Shared phase 1 of the priority cut: the validated (__budget, __p,
+    * __tok, __bkt) projection (pure, NOT staged — the rank-1-MF lesson),
+    * the per-(domain, bin) token histogram, and each domain's crossing
+    * bin + exact above-crossing token cumsum. Null priorities skip the
+    * quantile probe (they would poison the histogram bounds) and take
+    * sentinel bin 0 — BELOW every real bin, so the descending crossing
+    * walk visits them last, exactly their (priority desc → nulls last)
+    * position in the naive order; crossing = the first bin (walking from
+    * the top) whose inclusive cumsum reaches the budget, and cb = 0
+    * covers both "crossed inside the null bin" and "whole domain fits"
+    * (above distinguishes them). Returns (withBkt, cross, hist-presence
+    * per domain). */
+  private def topBudgetPhase1(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      tokens: Column,
+      priority: Column,
+      budgets: Seq[(String, Long)],
+      buckets: Int,
+      relErr: Double
+  ): (DataFrame, Map[String, (Int, Long)], Map[String, Set[Int]]) = {
     val budgetOf = budgets.tail.foldLeft(
       when(col(domainCol) === budgets.head._1, lit(budgets.head._2))) {
       case (acc, (d, b)) => acc.when(col(domainCol) === d, lit(b))
     }
-    // pure deterministic projection — consumed by the probe, the
-    // histogram, the keep-all filter and the boundary window; NOT staged
-    // (the rank-1-MF lesson)
     val base = df
       .withColumn("__budget", budgetOf)
       .filter(col("__budget").isNotNull)
       .withColumn("__p", priority.cast("double"))
       .withColumn("__tok", coalesce(tokens.cast("long"), lit(0L)))
-    // nulls must not reach the quantile probe (they'd poison the
-    // histogram bounds); they get sentinel bin 0 — BELOW every real bin,
-    // so the descending crossing walk visits them last, exactly their
-    // (priority desc → nulls last) position in the naive order
     val cuts = graft.binsreg.Dbbinsreg
       .quantileCutBins(base.filter(col("__p").isNotNull), "__p",
         buckets, relErr)
@@ -882,9 +933,6 @@ object ScaleOps {
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
       .groupBy(_._1)
-    // per domain: walk bins from the TOP; crossing = first bin whose
-    // inclusive cumsum >= budget (same >= rule as sampleToTokenBudget);
-    // sentinel 0 = the whole domain fits the budget (bins start at 1)
     val absent = budgets.map(_._1).toSet -- hist.keySet
     require(absent.isEmpty,
       s"budget domains with no rows: ${absent.toSeq.sorted.mkString(", ")} " +
@@ -904,21 +952,141 @@ object ScaleOps {
       }
       d -> (cb, above)
     }
+    (withBkt, cross, hist.map { case (d, rows) => d -> rows.map(_._2).toSet })
+  }
+
+  /** Frozen phase-1 state of [[takeTopTokenBudget]] — the priority cut's
+    * ingest/streaming story, the [[tokenBudgetState]] twin. One row per
+    * crossing-BIN ("sliver") row of each budgeted domain — (domain, p,
+    * key, tok) — plus a meta-only row (null p/key/tok) for a domain whose
+    * sliver is empty (its whole inventory fits the budget and it has no
+    * null-priority rows); every row carries the domain's crossing bin,
+    * exact above-crossing token cumsum, and budget. Application needs no
+    * bin cuts: a new row routes against the sliver's own priority range
+    * (see [[takeTopTokenBudgetAgainst]]), so the state is
+    * cut-representation-free and persists like any table. The caller
+    * must apply the SAME priority semantics at application time (the
+    * `tokens` contract) — priorities are compared as doubles. State size
+    * = the crossing sliver: ≈ n/buckets normally, but the whole tied
+    * class when the budget crosses inside one (the saturating-score
+    * caveat on [[takeTopTokenBudget]] — tie-break a saturating priority
+    * to keep the state thin). */
+  def topTokenBudgetState(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      tokens: Column,
+      priority: Column,
+      budgets: Seq[(String, Long)],
+      buckets: Int = 1024,
+      relErr: Double = 1e-3
+  ): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.forall(_._2 > 0), s"budgets must be positive: $budgets")
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      s"duplicate domains in budgets: $budgets")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    requireStringDomain(df, domainCol)
+    val (withBkt, cross, bins) = topBudgetPhase1(df, domainCol, keyCol,
+      tokens, priority, budgets, buckets, relErr)
     val crossBkt = domainCase(cross.map { case (d, (cb, _)) => d -> cb },
       domainCol, "int")
     val aboveTok = domainCase(cross.map { case (d, (_, a)) => d -> a },
       domainCol, "long")
-    val keepAll = withBkt.filter(col("__bkt") > crossBkt)
+    val sliver = withBkt.filter(col("__bkt") === crossBkt)
+      .select(col(domainCol).as("domain"), crossBkt.as("cross_bin"),
+        aboveTok.as("above_tok"), col("__budget").as("budget"),
+        col("__p").as("p"), col(keyCol).as("key"), col("__tok").as("tok"))
+    // a domain whose crossing bin holds NO rows (whole inventory fits and
+    // no null-priority rows exist) still needs its meta row
+    val keyType = df.schema(keyCol).dataType
+    val session = df.sparkSession
+    import session.implicits._
+    val fits = cross.toSeq.collect {
+      case (d, (cb, above)) if !bins(d).contains(cb) =>
+        (d, cb, above, budgets.toMap.apply(d))
+    }.sortBy(_._1)
+    val meta = fits.toDF("domain", "cross_bin", "above_tok", "budget")
+      .withColumn("p", lit(null).cast("double"))
+      .withColumn("key", lit(null).cast(keyType))
+      .withColumn("tok", lit(null).cast("long"))
+    sliver.unionByName(meta)
+  }
+
+  /** Apply a frozen [[topTokenBudgetState]] to new rows: keep row r iff
+    * the token mass of the FROZEN inventory's rows ranked above it
+    * (priority desc, key asc, nulls last, within r's domain) is under
+    * the domain's budget — a pure per-row function of the frozen state
+    * (shards decompose; foreachBatch streams it; parity spec'd).
+    * Applying a corpus's own state back to that corpus reproduces
+    * [[takeTopTokenBudget]] bit-for-bit (spec-pinned).
+    *
+    * Routing needs no frozen bin cuts — bins are monotone in priority,
+    * so the sliver's own range decides: a non-null priority ABOVE the
+    * sliver's max outranks at most the above-crossing mass (< budget —
+    * keep); one BELOW the sliver's min is outranked by at least the
+    * inclusive crossing mass (≥ budget — drop); inside the range (and
+    * null-priority rows when the crossing sits in the null bin) the
+    * exact window runs over (new rows ∪ frozen sliver) — sliver-sized,
+    * new rows ordered before frozen twins on full ties so
+    * self-application is exact. Null-priority new rows drop whenever the
+    * budget is exhausted inside non-null mass (cross_bin ≥ 1). Rows from
+    * domains absent in the state are dropped (the budget-CASE
+    * convention). */
+  def takeTopTokenBudgetAgainst(
+      state: DataFrame,
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      tokens: Column,
+      priority: Column
+  ): DataFrame = {
+    requireStringDomain(df, domainCol)
+    val stateCols = Seq("domain", "cross_bin", "above_tok", "budget",
+      "p", "key", "tok")
+    require(stateCols.forall(state.columns.contains),
+      s"state must carry topTokenBudgetState columns $stateCols, " +
+        s"got ${state.columns.toSeq}")
+    // min/max ignore nulls: a null-bin sliver (cross_bin = 0 with
+    // null-priority rows) or a meta-only row yields null bounds, and the
+    // cb = 0 routing below never consults them
+    val meta = state.groupBy(col("domain").as("__mdom"))
+      .agg(first("cross_bin").as("__cb"), first("above_tok").as("__above"),
+        first("budget").as("__bgt"),
+        min("p").as("__plo"), max("p").as("__phi"))
+    val joined = df
+      .withColumn("__p", priority.cast("double"))
+      .withColumn("__tok", coalesce(tokens.cast("long"), lit(0L)))
+      .join(broadcast(meta), col(domainCol) === col("__mdom"), "inner")
+      .drop("__mdom")
+    val outCols = df.columns.toSeq
+    val pNew = col("__p")
+    val keepFast = (col("__cb") === 0 && pNew.isNotNull) ||
+      (pNew.isNotNull && col("__phi").isNotNull && pNew > col("__phi"))
+    val dropFast = (col("__cb") > 0 && pNew.isNull) ||
+      (pNew.isNotNull && col("__plo").isNotNull && pNew < col("__plo"))
+    val keepAll = joined.filter(keepFast).select(outCols.map(col): _*)
+    val cand = joined.filter(!keepFast && !dropFast)
+      .select(col(domainCol).as("__d"), col("__p"),
+        col(keyCol).as("__k"), lit(0L).as("__ftok"), lit(0).as("__tag"),
+        col("__above"), col("__bgt"),
+        struct(outCols.map(col): _*).as("__row"))
+    val frozen = state.filter(col("key").isNotNull || col("p").isNotNull)
+      .select(col("domain").as("__d"), col("p").as("__p"),
+        col("key").as("__k"), col("tok").as("__ftok"), lit(1).as("__tag"),
+        lit(null).cast("long").as("__above"),
+        lit(null).cast("long").as("__bgt"),
+        lit(null).cast(cand.schema("__row").dataType).as("__row"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(domainCol))
-      .orderBy(col("__p").desc, col(keyCol).asc)
+      .partitionBy(col("__d"))
+      .orderBy(col("__p").desc, col("__k").asc, col("__tag").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val boundary = withBkt.filter(col("__bkt") === crossBkt)
-      .withColumn("__cum", aboveTok + coalesce(sum(col("__tok")).over(w), lit(0L)))
-      .filter(col("__cum") < col("__budget"))
-      .drop("__cum")
+    val boundary = cand.unionByName(frozen)
+      .withColumn("__cum", coalesce(sum(col("__ftok")).over(w), lit(0L)))
+      .filter(col("__tag") === 0 &&
+        col("__above") + col("__cum") < col("__bgt"))
+      .select(outCols.map(c => col(s"__row.`$c`").as(c)): _*)
     keepAll.unionByName(boundary)
-      .drop("__budget", "__p", "__tok", "__bkt")
   }
 
   /** The window-free approximate form of [[sampleToTokenBudget]]: keep

@@ -786,6 +786,114 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("frozen priority-budget state: self-application ≡ batch, shards decompose") {
+    val docs = sf("sf0.001", "documents")
+    val tok = graft.pipeline.TextOps.tokenCount(col("text"))
+    val q = graft.pipeline.TextOps.qualityScore(col("text"))
+    val budgets = Seq("en" -> 4000L, "de" -> 1500L, "zh" -> 900L)
+    for (buckets <- Seq(2, 1024)) {
+      val state = ScaleOps.topTokenBudgetState(docs, "lang", "doc_id", tok,
+        q, budgets, buckets = buckets)
+      val batch = ScaleOps.takeTopTokenBudget(docs, "lang", "doc_id", tok,
+          q, budgets, buckets = buckets)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val self = ScaleOps.takeTopTokenBudgetAgainst(state, docs,
+          "lang", "doc_id", tok, q)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(self == batch, s"buckets=$buckets: ${self.size} vs ${batch.size}")
+      val s0 = ScaleOps.takeTopTokenBudgetAgainst(state,
+        docs.filter(col("doc_id") % 2 === 0), "lang", "doc_id", tok, q)
+      val s1 = ScaleOps.takeTopTokenBudgetAgainst(state,
+        docs.filter(col("doc_id") % 2 === 1), "lang", "doc_id", tok, q)
+      val sharded = s0.unionByName(s1)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sharded == batch, s"buckets=$buckets sharded mismatch")
+    }
+    // a domain whose whole inventory fits gets a meta-only row and
+    // application keeps all its rows; absent domains drop
+    val st = ScaleOps.topTokenBudgetState(docs, "lang", "doc_id", tok, q,
+      Seq("de" -> 100000000L))
+    assert(st.filter(col("key").isNull && col("p").isNull).count() == 1)
+    val kept = ScaleOps.takeTopTokenBudgetAgainst(st, docs, "lang",
+      "doc_id", tok, q)
+    assert(kept.count() == docs.filter(col("lang") === "de").count())
+    assert(kept.filter(col("lang") =!= "de").count() == 0)
+  }
+
+  test("frozen priority-budget state: null priorities route exactly (null-bin crossing and drop)") {
+    import spark.implicits._
+    // budget exhausts INSIDE the nulls: cross_bin = 0, the null rows are
+    // the sliver, non-null rows keep outright
+    val d = Seq(
+      ("a", 1L, 10L, Some(0.9)), ("a", 2L, 10L, Some(0.5)),
+      ("a", 3L, 10L, None), ("a", 4L, 10L, None), ("a", 5L, 10L, None)
+    ).toDF("dom", "id", "nt", "q")
+    for (budget <- Seq(35L, 15L)) {
+      val batch = ScaleOps.takeTopTokenBudget(d, "dom", "id", col("nt"),
+          col("q"), Seq("a" -> budget))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val state = ScaleOps.topTokenBudgetState(d, "dom", "id", col("nt"),
+        col("q"), Seq("a" -> budget))
+      val self = ScaleOps.takeTopTokenBudgetAgainst(state, d, "dom", "id",
+          col("nt"), col("q"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(self == batch, s"budget=$budget: $self vs $batch")
+    }
+    // budget 35 (exclusive cums 0,10,20,30,40): ids 1,2 then nulls in key
+    // order 3,4 keep (30 < 35), 5 drops — the crossing sits in the null
+    // bin; budget 15 crosses inside the non-nulls (ids 1,2 keep)
+    val b35 = ScaleOps.takeTopTokenBudget(d, "dom", "id", col("nt"),
+      col("q"), Seq("a" -> 35L)).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(b35 == Set(1L, 2L, 3L, 4L), s"got $b35")
+    // and a fresh null-priority row against a cb >= 1 state drops
+    val state15 = ScaleOps.topTokenBudgetState(d, "dom", "id", col("nt"),
+      col("q"), Seq("a" -> 15L))
+    val freshNull = Seq(("a", 99L, 10L, Option.empty[Double]))
+      .toDF("dom", "id", "nt", "q")
+    assert(ScaleOps.takeTopTokenBudgetAgainst(state15, freshNull, "dom",
+      "id", col("nt"), col("q")).count() == 0)
+  }
+
+  test("priority state: probe-scaled tie-break thins a saturated tied class") {
+    // qualityScore saturates (capped terms) — a large share of any corpus
+    // scores exactly 0.7, and a budget crossing inside that class makes
+    // the sliver the whole class; the documented remedy (epsilon above
+    // the probe's span·relErr cell width) must thin the state back toward
+    // n/buckets
+    import spark.implicits._
+    // synthetic saturation (the ×100 corpus shape at spec scale): 60% of
+    // rows score exactly 0.7, the rest spread below; the budget crosses
+    // inside the tied class
+    val d = (1L to 2000L).map(i =>
+      ("a", i, 10L, if (i % 5 < 3) 0.7 else 0.1 + (i % 97) * 0.005))
+      .toDF("dom", "id", "nt", "q")
+    val budgets = Seq("a" -> 6000L) // 600 docs — inside the 1200-row class
+    val plainN = ScaleOps.topTokenBudgetState(d, "dom", "id", col("nt"),
+      col("q"), budgets).count()
+    assert(plainN > 1000, s"fixture should produce a fat tied sliver: $plainN")
+    val qTb = col("q") + graft.pipeline.TextOps
+      .hash32(col("id").cast("string")).cast("double") /
+      lit(4294967296.0) * lit(1e-5)
+    val tbN = ScaleOps.topTokenBudgetState(d, "dom", "id", col("nt"),
+      qTb, budgets, relErr = 1e-6).count()
+    assert(tbN * 5 < plainN,
+      s"tie-break did not thin the state: $tbN vs $plainN")
+    // the under-scaled epsilon from the scaladoc warning really is inert:
+    // below the probe's span·relErr cell width the class cannot split
+    val inertN = ScaleOps.topTokenBudgetState(d, "dom", "id", col("nt"),
+      col("q") + graft.pipeline.TextOps
+        .hash32(col("id").cast("string")).cast("double") /
+        lit(4294967296.0) * lit(1e-9),
+      budgets).count()
+    assert(inertN == plainN, s"$inertN vs $plainN")
+    // the tie-broken cut still returns a valid budget cut (mass bound,
+    // exactly 600 of the 10-token docs)
+    val kept = ScaleOps.takeTopTokenBudget(d, "dom", "id", col("nt"),
+      qTb, budgets, relErr = 1e-6)
+    assert(kept.count() == 600)
+  }
+
   test("top token budget: materialized priority ≡ in-scan priority") {
     val docs = sf("sf0.001", "documents")
     val tok = graft.pipeline.TextOps.tokenCount(col("text"))

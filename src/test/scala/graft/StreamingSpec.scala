@@ -524,6 +524,42 @@ class StreamingSpec extends SparkTestBase {
     assert(expected.nonEmpty && expected.size < rows.size)
   }
 
+  test("PRIORITY token budget streams from a frozen state via foreachBatch, equals batch") {
+    // the takeTopTokenBudget twin of the exact-cut streaming story:
+    // topTokenBudgetState freezes the reference inventory's quality
+    // ranking (crossing bin, above-sum, sliver); each micro-batch applies
+    // takeTopTokenBudgetAgainst, a pure per-row function of that state
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.ScaleOps
+    val rows = (0L until 80L).map(i => (i, if (i % 3 == 0) "en" else "de",
+      (i % 7 + 1).toInt, (i * 37 % 101).toDouble))
+    val corpus = spark.createDataFrame(rows).toDF("id", "dom", "nt", "q")
+    val budgets = Seq("en" -> 30L, "de" -> 50L)
+    val state = ScaleOps.topTokenBudgetState(corpus, "dom", "id", col("nt"),
+      col("q"), budgets, buckets = 8).cache()
+    val expected = ScaleOps.takeTopTokenBudget(corpus, "dom", "id",
+        col("nt"), col("q"), budgets, buckets = 8)
+      .collect().map(_.getLong(0)).toSet
+    val input = MemoryStream[(Long, String, Int, Double)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = input.toDF().toDF("id", "dom", "nt", "q").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = ScaleOps.takeTopTokenBudgetAgainst(state, batch,
+            "dom", "id", col("nt"), col("q"))
+          .collect().map(_.getLong(0))
+        got.synchronized { got ++= kept }; ()
+      }
+      .start()
+    val (h1, h2) = rows.splitAt(29)
+    input.addData(h1: _*)
+    q.processAllAvailable()
+    input.addData(h2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == expected, s"${got.size} vs ${expected.size}")
+    assert(expected.nonEmpty && expected.size < rows.size)
+  }
+
   test("Count-Min sketch accumulates across micro-batches (mergeable state)") {
     // the sketch's elementwise-add merge is exactly what streaming state
     // needs: complete-mode estimates over two batches equal one batch of
