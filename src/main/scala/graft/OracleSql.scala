@@ -199,6 +199,16 @@ object OracleSql {
     s"""sh AS (SELECT DISTINCT doc_id AS id, unnest(${bigrams(toks("text"))}) AS shingle
        |       FROM documents)""".stripMargin
 
+  /** 5-token chunk "lines" per document — the Queries.mlDocs synthesis
+    * replayed (the corpus has no newlines, so the line-dedup queries
+    * manufacture line structure identically on both sides). */
+  private val LineChunks =
+    s"""t0 AS (SELECT doc_id AS id, ${toks("text")} AS tk FROM documents),
+       |t1 AS (SELECT id, list_transform(
+       |    range(0, greatest(CAST(ceil(len(tk) / 5.0) AS BIGINT), 1)),
+       |    i -> array_to_string(tk[(i*5+1):(i*5+5)], ' ')) AS lines
+       |  FROM t0)""".stripMargin
+
   /** list-based cosine between two FLOAT[] columns. */
   private def cosSql(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, len($b)+1),
@@ -2012,6 +2022,117 @@ object OracleSql {
     // frozen-state incremental PRIORITY budget: shard rows judged against
     // the FULL corpus ranking ≡ full-corpus priority cut restricted to
     // the shard (same quality algebra as q237)
+    // RefinedWeb-style line dedup with removal: the mlDocs 5-token chunk
+    // synthesis replayed, then the naive-window keep-first formulation
+    // (the engine uses a single counting hash agg instead)
+    "q245_line_dedup_removal" ->
+      s"""WITH $LineChunks,
+         |lx AS (SELECT id, unnest(range(1, len(lines) + 1)) AS i FROM t1),
+         |l AS (SELECT lx.id, (i - 1)::BIGINT AS pos, t1.lines[i] AS line
+         |  FROM lx JOIN t1 USING (id)),
+         |k AS (SELECT id, pos, md5(line) AS k FROM l WHERE trim(line) <> ''),
+         |o AS (SELECT k.*, count(*) OVER (PARTITION BY k) AS c,
+         |    row_number() OVER (PARTITION BY k ORDER BY id, pos) AS rn
+         |  FROM k),
+         |m AS (SELECT id, list(DISTINCT pos) AS mask FROM o
+         |  WHERE c >= 2 AND rn > 1 GROUP BY id),
+         |f AS (SELECT t1.id, t1.lines,
+         |    list_filter(range(1, len(t1.lines) + 1),
+         |      i -> m.mask IS NULL OR NOT list_contains(m.mask,
+         |        (i - 1)::BIGINT)) AS kept
+         |  FROM t1 LEFT JOIN m ON t1.id = m.id)
+         |SELECT id, len(lines)::BIGINT AS n_lines,
+         |  (len(lines) - len(kept))::BIGINT AS n_removed,
+         |  coalesce(array_to_string(list_transform(kept, i -> lines[i]),
+         |    chr(10)), '') AS text_clean
+         |FROM f ORDER BY id""".stripMargin,
+
+    // incremental line dedup: corpus fingerprints mask EVERY shard
+    // occurrence; within-shard repeats keep the shard's first (id, pos)
+    "q248_line_dedup_incremental" ->
+      s"""WITH $LineChunks,
+         |fresh AS (SELECT * FROM t1 WHERE id % 10 = 0),
+         |cl AS (SELECT unnest(lines) AS line FROM t1 WHERE id % 10 <> 0),
+         |cfp AS (SELECT DISTINCT md5(line) AS k FROM cl
+         |  WHERE trim(line) <> ''),
+         |lx AS (SELECT id, unnest(range(1, len(lines) + 1)) AS i FROM fresh),
+         |l AS (SELECT lx.id, (i - 1)::BIGINT AS pos, f.lines[i] AS line
+         |  FROM lx JOIN fresh f USING (id)),
+         |k AS (SELECT id, pos, md5(line) AS k FROM l WHERE trim(line) <> ''),
+         |o AS (SELECT k.*, count(*) OVER (PARTITION BY k) AS c,
+         |    row_number() OVER (PARTITION BY k ORDER BY id, pos) AS rn
+         |  FROM k),
+         |m AS (SELECT o.id, o.pos FROM o LEFT JOIN cfp ON o.k = cfp.k
+         |  WHERE cfp.k IS NOT NULL OR (o.c >= 2 AND o.rn > 1)),
+         |mk AS (SELECT id, list(DISTINCT pos) AS mask FROM m GROUP BY id),
+         |f2 AS (SELECT t.id, t.lines,
+         |    list_filter(range(1, len(t.lines) + 1),
+         |      i -> mk.mask IS NULL OR NOT list_contains(mk.mask,
+         |        (i - 1)::BIGINT)) AS kept
+         |  FROM fresh t LEFT JOIN mk ON t.id = mk.id)
+         |SELECT id, len(lines)::BIGINT AS n_lines,
+         |  (len(lines) - len(kept))::BIGINT AS n_removed,
+         |  coalesce(array_to_string(list_transform(kept, i -> lines[i]),
+         |    chr(10)), '') AS text_clean
+         |FROM f2 ORDER BY id""".stripMargin,
+
+    // epoch-repeat token budget: full epochs emit every row, the
+    // remainder is the naive per-domain window at epoch = e
+    "q246_repeat_token_budget" ->
+      s"""WITH b(lang, budget) AS (VALUES ('en', 30000), ('de', 9000), ('zh', 2000)),
+         |t AS (SELECT doc_id, lang, len(${toks("text")})::BIGINT AS nt,
+         |    ${hash32("'q246' || doc_id::VARCHAR")} / 4294967296.0 AS u
+         |  FROM documents),
+         |tot AS (SELECT lang, sum(nt) AS tt FROM t GROUP BY lang),
+         |p AS (SELECT b.lang, budget, tt, (budget // tt)::BIGINT AS e,
+         |    (budget - (budget // tt) * tt)::BIGINT AS rem
+         |  FROM b JOIN tot USING (lang)),
+         |fp AS (SELECT t.doc_id, t.lang, t.nt, unnest(range(0, e)) AS epoch
+         |  FROM t JOIN p USING (lang) WHERE e >= 1),
+         |r AS (SELECT t.doc_id, t.lang, t.nt, p.e, p.rem,
+         |    coalesce(sum(nt) OVER (PARTITION BY t.lang ORDER BY u, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM t JOIN p USING (lang)),
+         |pp AS (SELECT doc_id, lang, nt, e AS epoch FROM r
+         |  WHERE rem > 0 AND cum < rem)
+         |SELECT doc_id AS id, lang, nt AS n_tokens, epoch::INT AS epoch
+         |FROM (SELECT * FROM fp UNION ALL SELECT * FROM pp)
+         |ORDER BY id, epoch""".stripMargin,
+
+    // keep-best dedup: q43's cluster algebra, representative = highest
+    // token count (ties to lowest id), everything else dropped
+    "q247_dedup_keep_best" ->
+      s"""WITH $ShingleSets,
+         |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+         |common AS (SELECT a.id id1, b.id id2, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id1, id2 FROM common
+         |  JOIN sizes s1 ON common.id1 = s1.id
+         |  JOIN sizes s2 ON common.id2 = s2.id
+         |  WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.4),
+         |edges AS (SELECT id1 a, id2 b FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |comp AS (
+         |  WITH RECURSIVE reach(id, label) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+         |  )
+         |  SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+         |ntab AS (SELECT doc_id AS id, lang,
+         |    len(${toks("text")})::BIGINT AS nt FROM documents),
+         |mem AS (SELECT comp.id, comp.cluster, ntab.nt
+         |  FROM comp JOIN ntab USING (id)),
+         |bp AS (SELECT cluster, max(nt) AS bp FROM mem GROUP BY cluster),
+         |keep AS (SELECT cluster, min(id) AS keep_id
+         |  FROM mem JOIN bp USING (cluster) WHERE nt = bp GROUP BY cluster),
+         |dropx AS (SELECT mem.id FROM mem JOIN keep USING (cluster)
+         |  WHERE mem.id <> keep_id)
+         |SELECT n.id, n.lang, n.nt AS n_tokens FROM ntab n
+         |WHERE n.id NOT IN (SELECT id FROM dropx) ORDER BY n.id""".stripMargin,
+
     "q244_top_budget_incremental" ->
       s"""WITH b(lang, budget) AS (VALUES ('en', 3500), ('de', 1100), ('zh', 800)),
          |tk AS (SELECT doc_id AS id, lang, text, ${toks("text")} AS t

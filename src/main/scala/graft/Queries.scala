@@ -18,6 +18,20 @@ object Queries {
   private def li(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
   private def ord(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
   private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+
+  /** documents with a synthesized MULTI-LINE text column for the
+    * line-dedup queries (the corpus has no newlines): 5-token chunk
+    * "lines" joined with '\n' — the identical arithmetic is replayed in
+    * the DuckDB oracles, and no chunk can itself contain a newline, so
+    * split-after-join round-trips exactly. */
+  private def mlDocs(s: SparkSession, dir: String) = {
+    val tk = TextOps.tokens(col("text"))
+    val nChunks = greatest(ceil(size(tk) / lit(5.0)).cast("int"), lit(1))
+    docs(s, dir).select(col("doc_id"), col("lang"),
+      array_join(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(tk, i * lit(5) + 1, lit(5)), " ")), "\n")
+        .as("mltext"))
+  }
   private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
   private def ev(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
 
@@ -1505,6 +1519,48 @@ object Queries {
         .select(col("doc_id").as("id"), col("lang"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("id")),
+
+    // dedup: RefinedWeb-style exact LINE dedup with removal — every
+    // duplicated line (5-token chunk) keeps its first (id, pos)
+    // occurrence corpus-wide; byte-faithful reconstruction of survivors
+    "q245_line_dedup_removal" -> ((s, dir) =>
+      Dedup.removeDupLines(mlDocs(s, dir), "doc_id", "mltext")
+        .orderBy("id")),
+
+    // sampling: epoch-repeat token budgets — the UPSAMPLING mixture
+    // ("2.4 epochs of wiki"): full epochs emit every row, the remainder
+    // is the exact cut under the same hash order at epoch = e
+    "q246_repeat_token_budget" -> ((s, dir) =>
+      graft.sources.ScaleOps.repeatToTokenBudget(docs(s, dir), "lang",
+          "doc_id", TextOps.tokenCount(col("text")),
+          Seq("en" -> 30000L, "de" -> 9000L, "zh" -> 2000L), salt = "q246")
+        .select(col("doc_id").as("id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          col("epoch"))
+        .orderBy("id", "epoch")),
+
+    // dedup: keep the BEST member of each near-duplicate cluster (highest
+    // token count, ties to lowest id) instead of the canonical min-id
+    "q247_dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupCorpusKeepBest(d, "doc_id",
+          Dedup.jaccardPairs(d, "doc_id", "text", n = 2, threshold = 0.4),
+          TextOps.tokenCount(col("text")))
+        .select(col("doc_id").as("id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("id")
+    }),
+
+    // dedup: incremental line dedup — corpus line fingerprints strip
+    // EVERY shard occurrence; within-shard repeats keep the shard's first
+    "q248_line_dedup_incremental" -> ((s, dir) => {
+      val ml = mlDocs(s, dir)
+      Dedup.removeDupLinesAgainst(
+          Dedup.lineFingerprints(
+            ml.filter(col("doc_id") % 10 =!= 0), "doc_id", "mltext"),
+          ml.filter(col("doc_id") % 10 === 0), "doc_id", "mltext")
+        .orderBy("id")
+    }),
 
     // composed curation v2: strip duplicated spans FIRST, then keep each
     // language's best docs — quality and token counts measured on the
@@ -3075,7 +3131,9 @@ object Queries {
         "q83_containment_pairs", "q87_edit_distance_pairs",
         "q88_containment_dedup", "q94_dedup_against", "q167_setsim_join",
         "q170_canonical_docs", "q171_record_linkage",
-        "q233_dedup_span_removal", "q240_span_removal_incremental"),
+        "q233_dedup_span_removal", "q240_span_removal_incremental",
+        "q245_line_dedup_removal", "q247_dedup_keep_best",
+        "q248_line_dedup_incremental"),
       "similarity" -> Seq(
         "q35_knn_brute", "q36_knn_lsh", "q41_knn_ivf", "q56_kmeans_cells",
         "q203_knn_join_brute", "q204_knn_join",
@@ -3110,7 +3168,8 @@ object Queries {
         "q236_zorder_key", "q237_top_token_budget",
         "q238_clean_then_budget", "q239_zorder_scan",
         "q241_zorder_budget", "q242_token_budget_incremental",
-        "q243_top_budget_materialized", "q244_top_budget_incremental"),
+        "q243_top_budget_materialized", "q244_top_budget_incremental",
+        "q246_repeat_token_budget"),
       "events" -> Seq(
         "q40_event_windows", "q54_sessionize", "q58_asof_join",
         "q89_range_join", "q90_interval_overlap", "q137_funnel",

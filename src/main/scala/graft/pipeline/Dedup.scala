@@ -1133,4 +1133,199 @@ object Dedup {
           transform(col("__kept"),
             p => element_at(col("toks"), (p + 1L).cast("int")))).as("text_clean"))
   }
+
+  // ------------------------------------------------------------------
+  // Line/paragraph-granularity exact dedup (RefinedWeb / Dolma style)
+  // ------------------------------------------------------------------
+
+  /** Exact LINE-level dedup with removal — the RefinedWeb/Dolma curation
+    * step (Penedo et al. 2023 §G; Soldaini et al. 2024): a text unit
+    * ("line" — anything between `delim` occurrences, by default `"\n"`)
+    * that repeats corpus-wide at least `minRepeat` times keeps only its
+    * first (doc id, position) occurrence (`keepFirst = true`) or is
+    * scrubbed from EVERY document (`keepFirst = false` — the boilerplate
+    * mode for nav bars / cookie banners). Unlike [[removeDupSpans]] (fixed
+    * token windows, token-normalized output) the unit here is variable-
+    * length and the reconstruction is byte-faithful: surviving lines keep
+    * their original bytes — case, punctuation, inner whitespace — and are
+    * re-joined with `delim`. Blank lines (empty or whitespace-only, e.g.
+    * paragraph separators) are never fingerprinted and always survive.
+    *
+    * Returns (id, n_lines, n_removed, text_clean); `n_removed` counts
+    * dropped line positions, so `n_removed = 0` ⇔ `text_clean` is the
+    * delim-rejoined original.
+    *
+    * Scale shape (the [[removeDupSpans]] skeleton): the line explode is
+    * narrow; duplicated fingerprints and their first occurrence come from
+    * ONE hash groupBy (`min(struct(id, pos))` inside the counting agg —
+    * never a per-fingerprint rank window, so a cookie banner on 10⁸ pages
+    * costs one agg cell); masks flow back through one (id)-keyed agg and
+    * the rebuild is one `array_except` hash-set projection. Nothing
+    * corpus-sized reaches the driver. */
+  def removeDupLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n",
+      minRepeat: Int = 2,
+      keepFirst: Boolean = true
+  ): DataFrame = {
+    require(minRepeat >= 2, s"minRepeat must be >= 2, got $minRepeat")
+    val t = linesOf(df, idCol, textCol, delim)
+    val keyed = lineKeys(t)
+    val dups = keyed.groupBy("k")
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("id"), col("pos"))).as("__first"))
+      .filter(col("__c") >= minRepeat)
+      .select(col("k"), col("__first.id").as("__fid"),
+        col("__first.pos").as("__fpos"))
+    val masked = keyed.join(dups, "k")
+      .filter(
+        if (keepFirst)
+          !(col("id") === col("__fid") && col("pos") === col("__fpos"))
+        else lit(true))
+    rebuildLines(t, masked, delim)
+  }
+
+  /** Distinct md5 fingerprints of every non-blank line — the persistable
+    * corpus state for [[removeDupLinesAgainst]] (the [[spanFingerprints]]
+    * pattern: write it bucketed by `fp`, refresh by union + re-distinct).
+    * One narrow explode + one distinct hash agg; returns one `fp` column. */
+  def lineFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n"
+  ): DataFrame =
+    lineKeys(linesOf(df, idCol, textCol, delim))
+      .select(col("k").as("fp"))
+      .distinct()
+
+  /** Incremental-ingest form of [[removeDupLines]]: clean a NEW shard
+    * against an existing corpus's line-fingerprint set
+    * ([[lineFingerprints]] output, column `fp`). A shard line is removed
+    * when its fingerprint exists in the corpus (EVERY shard occurrence is
+    * masked — the corpus already carries that line), or when it repeats
+    * within the shard at least `minRepeat` times (the shard's first
+    * (id, pos) occurrence survives — the [[removeDupLines]] rule). With an
+    * empty fingerprint table this is exactly `removeDupLines(shard)`.
+    * Corpus documents are not touched or returned.
+    *
+    * Scale shape: the corpus contributes ONE fingerprint-keyed equi join
+    * (fp-bucketed state joins without a corpus-side shuffle — the
+    * [[removeDupSpansAgainst]] layout); everything else is shard-sized.
+    * `corpusFps` rows are TRUSTED distinct (the [[lineFingerprints]]
+    * contract); a violated contract only duplicates masked (id, pos) rows,
+    * which the rebuild's collect_set dedups — inflation, never a wrong
+    * answer. */
+  def removeDupLinesAgainst(
+      corpusFps: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n",
+      minRepeat: Int = 2
+  ): DataFrame = {
+    require(minRepeat >= 2, s"minRepeat must be >= 2, got $minRepeat")
+    require(corpusFps.columns.contains("fp"),
+      "corpusFps must carry the lineFingerprints 'fp' column")
+    val t = linesOf(newDocs, idCol, textCol, delim)
+    val keyed = lineKeys(t)
+    val dups = keyed.groupBy("k")
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("id"), col("pos"))).as("__first"))
+      .filter(col("__c") >= minRepeat)
+      .select(col("k"), col("__first.id").as("__fid"),
+        col("__first.pos").as("__fpos"))
+    val masked = keyed
+      .join(corpusFps.select(col("fp").as("k"), lit(true).as("__inC")),
+        Seq("k"), "left")
+      .join(dups, Seq("k"), "left")
+      .filter(coalesce(col("__inC"), lit(false)) ||
+        (col("__fid").isNotNull &&
+          !(col("id") === col("__fid") && col("pos") === col("__fpos"))))
+    rebuildLines(t, masked, delim)
+  }
+
+  /** (id, lines) projection: literal-delimiter split, trailing empty
+    * segments KEPT (`limit = -1`) so reconstruction is byte-faithful. */
+  private def linesOf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String
+  ): DataFrame =
+    df.select(col(idCol).as("id"),
+      split(col(textCol), java.util.regex.Pattern.quote(delim), -1)
+        .as("lines"))
+
+  /** Fingerprinted non-blank line occurrences: (id, pos, k). Blank lines
+    * never enter the dup algebra (always survive). */
+  private def lineKeys(t: DataFrame): DataFrame =
+    t.select(col("id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      .filter(trim(col("line")) =!= "")
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        md5(col("line")).as("k"))
+
+  /** Shared tail of the line-removal family: masked (id, pos) occurrences
+    * → per-doc position sets → byte-faithful rebuild of surviving lines. */
+  private def rebuildLines(
+      t: DataFrame,
+      masked: DataFrame,
+      delim: String
+  ): DataFrame = {
+    val masks = masked
+      .select(col("id"), col("pos"))
+      .groupBy("id")
+      .agg(collect_set(col("pos")).as("__mask"))
+    t.join(masks, Seq("id"), "left")
+      .select(col("id"), col("lines"),
+        coalesce(col("__mask"), array().cast("array<long>")).as("__mask"))
+      .withColumn("__kept",
+        when(size(col("lines")) === 0, array().cast("array<long>"))
+          .otherwise(array_except(
+            sequence(lit(0L), size(col("lines")).cast("long") - 1L),
+            col("__mask"))))
+      .select(
+        col("id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        (size(col("lines")) - size(col("__kept"))).cast("long").as("n_removed"),
+        concat_ws(delim,
+          transform(col("__kept"),
+            p => element_at(col("lines"), (p + 1L).cast("int"))))
+          .as("text_clean"))
+  }
+
+  /** [[dedupCorpus]] with a chosen representative: keep the HIGHEST-
+    * `priority` member of each near-duplicate cluster (ties → lowest id;
+    * null priority = lowest) instead of the minimum id — the "keep the
+    * best copy" curation rule (longest text, highest quality score,
+    * freshest crawl). `pairs` is any near-duplicate pair list over `df`'s
+    * ids; clusters close transitively via [[duplicateClusters]].
+    *
+    * Scale shape: clusters are edge-node-sized (never corpus-sized); the
+    * representative pick is two cluster-keyed hash aggs + one cluster-keyed
+    * join on that small frame (max-priority, then min-id among the tied —
+    * an argmax without any window); the corpus itself is touched only by
+    * the final id-keyed left-anti join, exactly like [[dedupCorpus]]. */
+  def dedupCorpusKeepBest(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      priority: Column
+  ): DataFrame = {
+    val pr = df.select(col(idCol).as("id"),
+      coalesce(priority.cast("double"), lit(Double.NegativeInfinity))
+        .as("__p"))
+    val mem = duplicateClusters(pairs).join(pr, "id")
+    val bestP = mem.groupBy("cluster").agg(max(col("__p")).as("__bp"))
+    val keep = mem.join(bestP, "cluster")
+      .filter(col("__p") === col("__bp"))
+      .groupBy("cluster")
+      .agg(min(col("id")).as("__keep"))
+    val drop = mem.join(keep, "cluster")
+      .filter(col("id") =!= col("__keep"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -563,6 +563,107 @@ object ScaleOps {
       .drop("__budget", "__u", "__tok", "__bkt")
   }
 
+  /** Epoch-repeat token-budget mixture — the UPSAMPLING half of the
+    * training-mix arithmetic ("2.4 epochs of Wikipedia, 0.3 epochs of
+    * web"): where [[sampleToTokenBudget]] can only cut a domain DOWN to
+    * its budget, this repeats a domain whose budget EXCEEDS its inventory.
+    * With per-domain inventory T_d and budget B_d, every row of domain d
+    * is emitted ⌊B_d/T_d⌋ times (`epoch` = 0 … ⌊B_d/T_d⌋−1) and the
+    * remaining B_d − ⌊B_d/T_d⌋·T_d tokens come from one final
+    * [[sampleToTokenBudget]] pass (`epoch` = ⌊B_d/T_d⌋) under the SAME
+    * salted hash order — so the partial epoch is a deterministic PREFIX of
+    * the full-epoch order, sub-budgets nest, and B_d < T_d degenerates to
+    * exactly the plain cut with `epoch` = 0. Exact-multiple budgets emit
+    * no partial epoch. Per-epoch token mass is exact (each full epoch is
+    * the whole inventory; the partial pass overshoots by < 1 row — the
+    * [[sampleToTokenBudget]] contract). Returns `df`'s columns plus
+    * `epoch` (int).
+    *
+    * Refusals: a budgeted domain with no rows, or with a ZERO token
+    * inventory (nothing to repeat), or wanting more than `maxEpochs` full
+    * epochs (a config-error guard — a mistyped budget would otherwise
+    * silently explode the output 10⁶×) all refuse loudly. NULL keys are
+    * dropped in BOTH parts (the hash-sampler convention); null token
+    * counts consume 0 budget.
+    *
+    * Scale shape: the inventory is ONE per-domain hash agg collecting
+    * |domains| rows; full epochs are a pure projection + a ≤`maxEpochs`-
+    * element `sequence` explode (no shuffle, no window — output size is
+    * the contract, not a plan hazard); the partial epoch reuses the
+    * two-phase histogram-CDF cut. Nothing new sorts, shuffles, or reaches
+    * the driver beyond |domains|-sized state. */
+  def repeatToTokenBudget(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      tokens: Column,
+      budgets: Seq[(String, Long)],
+      salt: String = "",
+      buckets: Int = 1024,
+      maxEpochs: Int = 1000
+  ): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.forall(_._2 > 0), s"budgets must be positive: $budgets")
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      s"duplicate domains in budgets: $budgets")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    requireStringDomain(df, domainCol)
+    val tok = coalesce(tokens.cast("long"), lit(0L))
+    val budgetOf = domainCase(budgets.toMap, domainCol, "long")
+    val inDomain = df.filter(budgetOf.isNotNull && col(keyCol).isNotNull)
+    val inv = inDomain.groupBy(col(domainCol).as("__d"))
+      .agg(sum(tok).as("__t"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val absent = budgets.map(_._1).toSet -- inv.keySet
+    require(absent.isEmpty,
+      s"budget domains with no rows: ${absent.toSeq.sorted.mkString(", ")} " +
+        "(the sampleToMix contract: a budget for an absent domain is a " +
+        "config error, not an empty sample)")
+    val plan = budgets.map { case (d, b) =>
+      val t = inv(d)
+      require(t > 0,
+        s"domain '$d' has a zero token inventory; it cannot be repeated " +
+          "to a token budget")
+      val e = b / t
+      require(e <= maxEpochs,
+        s"domain '$d' wants $e full epochs (budget $b over $t tokens) > " +
+          s"maxEpochs $maxEpochs — raise maxEpochs deliberately if this " +
+          "is intended")
+      (d, e.toInt, b - e * t)
+    }
+    val fullDomains = plan.filter(_._2 >= 1)
+    val full =
+      if (fullDomains.isEmpty) None
+      else {
+        val eCase = domainCase(
+          fullDomains.map { case (d, e, _) => d -> e }.toMap,
+          domainCol, "int")
+        Some(inDomain.filter(eCase.isNotNull)
+          .withColumn("epoch", explode(sequence(lit(0), eCase - 1))))
+      }
+    val partDomains = plan.filter(_._3 > 0)
+    val part =
+      if (partDomains.isEmpty) None
+      else {
+        val cut = sampleToTokenBudget(df, domainCol, keyCol, tokens,
+          partDomains.map { case (d, _, r) => d -> r }, salt, buckets)
+        val eCase = domainCase(
+          partDomains.map { case (d, e, _) => d -> e }.toMap,
+          domainCol, "int")
+        Some(cut.withColumn("epoch", eCase))
+      }
+    (full, part) match {
+      case (Some(f), Some(p)) => f.unionByName(p)
+      case (Some(f), None)    => f
+      case (None, Some(p))    => p
+      // unreachable: every budget is positive and every inventory is
+      // positive, so e >= 1 or the remainder is > 0
+      case (None, None)       => df.limit(0).withColumn("epoch", lit(0))
+    }
+  }
+
   /** Shared validated projection of the exact token-budget cut: `df` plus
     * `__budget` (CASE over `budgets`, null-budget domains filtered out),
     * `__u` (salted md5 uniform of the key), `__tok` (long token count,

@@ -1400,4 +1400,102 @@ class PipelineSpec extends SparkTestBase {
       Seq("apple", "cherry"), k = 2).collect().map(_.getLong(0)).toSet
     assert(cut == Set(2L, 4L))
   }
+
+  test("removeDupLines: keep-first, blank lines survive, byte-faithful rebuild") {
+    val d = Seq(
+      (1L, "The SAME Line!\n\nunique one"),        // first occurrence
+      (2L, "intro text\nThe SAME Line!\noutro"),   // dup → masked here
+      (3L, "The SAME Line!"),                       // dup again → masked
+      (4L, "only\n\n\nblanks between")              // blanks never masked
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupLines(d, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // doc 1 holds the first occurrence: untouched, case/punct intact,
+    // the blank separator line survives byte-for-byte
+    assert(out(1L) == ((3L, 0L, "The SAME Line!\n\nunique one")), s"got ${out(1L)}")
+    assert(out(2L) == ((3L, 1L, "intro text\noutro")), s"got ${out(2L)}")
+    // a doc that was ONLY the duplicated line rebuilds to empty
+    assert(out(3L) == ((1L, 1L, "")), s"got ${out(3L)}")
+    // consecutive blanks are duplicated as strings but never fingerprinted
+    assert(out(4L) == ((4L, 0L, "only\n\n\nblanks between")), s"got ${out(4L)}")
+  }
+
+  test("removeDupLines: within-doc repeats, boilerplate mode, minRepeat") {
+    val d = Seq(
+      (1L, "chorus\nverse\nchorus"),   // within-doc repeat: first stays
+      (2L, "chorus\nbridge")           // third occurrence corpus-wide
+    ).toDF("doc_id", "text")
+    val keepFirst = Dedup.removeDupLines(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(keepFirst(1L) == "chorus\nverse")
+    assert(keepFirst(2L) == "bridge")
+    // boilerplate mode: EVERY occurrence of the duplicated line goes
+    val scrub = Dedup.removeDupLines(d, "doc_id", "text", keepFirst = false)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(scrub(1L) == "verse" && scrub(2L) == "bridge")
+    // minRepeat above the observed count leaves everything in place
+    val loose = Dedup.removeDupLines(d, "doc_id", "text", minRepeat = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(loose(1L) == "chorus\nverse\nchorus" && loose(2L) == "chorus\nbridge")
+  }
+
+  test("removeDupLinesAgainst: corpus lines strip fully, empty corpus = removeDupLines") {
+    val corpus = Seq((1L, "cookie banner\nreal content here")).toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, "cookie banner\nfresh words"),  // corpus line: stripped
+      (11L, "dup me\nother\ndup me"),       // shard-internal: first stays
+      (12L, "untouched page")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.lineFingerprints(corpus, "doc_id", "text")
+    val out = Dedup.removeDupLinesAgainst(fps, shard, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(10L) == ((2L, 1L, "fresh words")), s"got ${out(10L)}")
+    assert(out(11L) == ((3L, 1L, "dup me\nother")), s"got ${out(11L)}")
+    assert(out(12L) == ((1L, 0L, "untouched page")), s"got ${out(12L)}")
+    // empty fingerprint table degenerates to removeDupLines exactly
+    val viaAgainst = Dedup.removeDupLinesAgainst(fps.limit(0), shard,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    val direct = Dedup.removeDupLines(shard, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(viaAgainst == direct)
+  }
+
+  test("removeDupLines plan: no window — first-occurrence picks ride the hash agg") {
+    val ml = docs.select(col("doc_id"),
+      regexp_replace(col("text"), " ", "\n").as("text"))
+    val out = Dedup.removeDupLines(ml, "doc_id", "text")
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    val fps = Dedup.lineFingerprints(ml.limit(50), "doc_id", "text")
+    val incr = Dedup.removeDupLinesAgainst(fps, ml, "doc_id", "text")
+    assert(!incr.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("dedupCorpusKeepBest: highest priority survives, ties to lowest id, null lowest") {
+    // two exact-duplicate families → two clusters via jaccardPairs
+    val d = Seq(
+      (1L, "alpha beta gamma delta", 2.0),
+      (2L, "alpha beta gamma delta", 9.0),   // best of cluster {1,2,3}
+      (3L, "alpha beta gamma delta", 9.0),   // tied but higher id
+      (4L, "one two three four five", 1.0),  // best of {4,5} (5 is null)
+      (5L, "one two three four five", -1.0),
+      (6L, "completely different words here", 0.0) // singleton: untouched
+    ).toDF("doc_id", "text", "pr")
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 2, threshold = 0.9)
+    val withNull = d.withColumn("pr",
+      when(col("doc_id") === 5L, lit(null)).otherwise(col("pr")))
+    val kept = Dedup.dedupCorpusKeepBest(withNull, "doc_id", pairs, col("pr"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L), s"got $kept")
+    // priority = -id reproduces the canonical min-id rule (dedupCorpus)
+    val viaBest = Dedup.dedupCorpusKeepBest(d, "doc_id", pairs, -col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val viaMin = Dedup.dedupCorpus(d, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaBest == viaMin)
+  }
 }

@@ -984,4 +984,76 @@ class ScaleOpsSpec extends SparkTestBase {
     val readFiles = pruned.select(input_file_name()).distinct().count()
     assert(readFiles < allFiles, s"$readFiles of $allFiles — no skipping")
   }
+
+  test("repeatToTokenBudget: full epochs exact, partial is the nested prefix cut") {
+    val docs = sf("sf0.001", "documents")
+    val tok = graft.pipeline.TextOps.tokenCount(col("text"))
+    val inv = docs.groupBy("lang").agg(sum(tok.cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en gets 2 full epochs + a remainder; de exactly 1 epoch (no
+    // partial); zh a pure downsample (0 full epochs)
+    val enB = 2 * inv("en") + inv("en") / 3
+    val deB = inv("de")
+    val zhB = inv("zh") / 2
+    val budgets = Seq("en" -> enB, "de" -> deB, "zh" -> zhB)
+    val out = ScaleOps.repeatToTokenBudget(docs, "lang", "doc_id", tok,
+      budgets, salt = "rb")
+    val byEpoch = out.groupBy("lang", "epoch")
+      .agg(sum(tok.cast("long")).as("t"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val nEn = docs.filter(col("lang") === "en").count()
+    // epochs 0 and 1 of en are the complete inventory, bit-for-bit
+    assert(byEpoch(("en", 0)) == ((inv("en"), nEn)))
+    assert(byEpoch(("en", 1)) == ((inv("en"), nEn)))
+    // the partial epoch is exactly the plain cut at the remainder budget
+    val rem = enB - 2 * inv("en")
+    val partGot = out.filter(col("lang") === "en" && col("epoch") === 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val partWant = ScaleOps.sampleToTokenBudget(docs, "lang", "doc_id", tok,
+        Seq("en" -> rem), salt = "rb")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(partGot == partWant && partGot.nonEmpty)
+    // de: exactly one full epoch, nothing at epoch 1 (exact multiple)
+    assert(byEpoch(("de", 0))._1 == inv("de"))
+    assert(!byEpoch.contains(("de", 1)))
+    // zh: pure downsample ≡ plain cut, epoch 0
+    val zhGot = out.filter(col("lang") === "zh")
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val zhWant = ScaleOps.sampleToTokenBudget(docs, "lang", "doc_id", tok,
+        Seq("zh" -> zhB), salt = "rb")
+      .select("doc_id").collect().map(r => (r.getLong(0), 0)).toSet
+    assert(zhGot == zhWant)
+    // unlisted domains never appear
+    assert(out.filter(!col("lang").isin("en", "de", "zh")).count() == 0)
+  }
+
+  test("repeatToTokenBudget: refusals (zero inventory, epoch guard) and plan shape") {
+    val docs = sf("sf0.001", "documents")
+    val tok = graft.pipeline.TextOps.tokenCount(col("text"))
+    // zero token inventory cannot be repeated to a budget
+    val zeroTok = docs.withColumn("z",
+      when(col("lang") === "en", lit(0L)).otherwise(tok.cast("long")))
+    val e1 = intercept[IllegalArgumentException] {
+      ScaleOps.repeatToTokenBudget(zeroTok, "lang", "doc_id", col("z"),
+        Seq("en" -> 100L))
+    }
+    assert(e1.getMessage.contains("zero token inventory"))
+    // a mistyped budget wanting 10^6 epochs refuses at the guard
+    val e2 = intercept[IllegalArgumentException] {
+      ScaleOps.repeatToTokenBudget(docs, "lang", "doc_id", tok,
+        Seq("en" -> 1000000000000L))
+    }
+    assert(e2.getMessage.contains("maxEpochs"))
+    // plan: the full-epoch branch adds no window/sort — the only window
+    // is the partial cut's crossing sliver (≤ 1 in the whole plan)
+    val out = ScaleOps.repeatToTokenBudget(docs, "lang", "doc_id", tok,
+      Seq("en" -> 30000L, "zh" -> 2000L), salt = "rb2")
+    val plan = out.queryExecution.executedPlan.toString
+    val windows = "(?m)^\\s*[*+:-]*\\s*Window ".r.findAllIn(plan).size
+    assert(windows <= 1, s"windows=$windows\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }

@@ -249,6 +249,39 @@ class StreamingSpec extends SparkTestBase {
     assert(doc10._2 == 3L && doc10._3 == "x y", s"got $doc10")
   }
 
+  test("incremental line dedup runs per micro-batch via foreachBatch, equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    // same ingest shape as span removal: the corpus line-fingerprint set
+    // is the frozen static state, each micro-batch shard cleans against it
+    val corpus = Seq(
+      (1L, "cookie banner\nreal content")).toDF("doc_id", "text")
+    val fps = Dedup.lineFingerprints(corpus, "doc_id", "text").cache()
+    val shard = Seq(
+      (10L, "cookie banner\nfresh words"), // corpus line strips
+      (11L, "dup me\nother\ndup me"),      // within-shard: first stays
+      (12L, "untouched page")
+    )
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = Dedup.removeDupLinesAgainst(fps, batch, "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+        got.synchronized { got ++= out }; ()
+      }
+      .start()
+    input.addData(shard: _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = Dedup.removeDupLinesAgainst(fps,
+        shard.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(got.toSet == expected)
+    val doc10 = got.find(_._1 == 10L).get
+    assert(doc10._2 == 1L && doc10._3 == "fresh words", s"got $doc10")
+  }
+
   test("incremental dedup runs per micro-batch via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Dedup
