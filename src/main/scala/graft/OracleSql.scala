@@ -2099,6 +2099,31 @@ object OracleSql {
          |FROM (SELECT * FROM fp UNION ALL SELECT * FROM pp)
          |ORDER BY id, epoch""".stripMargin,
 
+    // frozen-state incremental repeat budget: shard rows get every full
+    // epoch of the FULL-corpus plan plus the full-corpus remainder window
+    // restricted to the shard (the q242 pattern with epochs)
+    "q249_repeat_budget_incremental" ->
+      s"""WITH b(lang, budget) AS (VALUES ('en', 25000), ('de', 8000), ('zh', 1800)),
+         |t AS (SELECT doc_id, lang, len(${toks("text")})::BIGINT AS nt,
+         |    ${hash32("'q249' || doc_id::VARCHAR")} / 4294967296.0 AS u
+         |  FROM documents),
+         |tot AS (SELECT lang, sum(nt) AS tt FROM t GROUP BY lang),
+         |p AS (SELECT b.lang, budget, tt, (budget // tt)::BIGINT AS e,
+         |    (budget - (budget // tt) * tt)::BIGINT AS rem
+         |  FROM b JOIN tot USING (lang)),
+         |fp AS (SELECT t.doc_id, t.lang, t.nt, unnest(range(0, e)) AS epoch
+         |  FROM t JOIN p USING (lang) WHERE e >= 1),
+         |r AS (SELECT t.doc_id, t.lang, t.nt, p.e, p.rem,
+         |    coalesce(sum(nt) OVER (PARTITION BY t.lang ORDER BY u, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM t JOIN p USING (lang)),
+         |pp AS (SELECT doc_id, lang, nt, e AS epoch FROM r
+         |  WHERE rem > 0 AND cum < rem)
+         |SELECT doc_id AS id, lang, nt AS n_tokens, epoch::INT AS epoch
+         |FROM (SELECT * FROM fp UNION ALL SELECT * FROM pp)
+         |WHERE doc_id % 10 = 0
+         |ORDER BY id, epoch""".stripMargin,
+
     // keep-best dedup: q43's cluster algebra, representative = highest
     // token count (ties to lowest id), everything else dropped
     "q247_dedup_keep_best" ->

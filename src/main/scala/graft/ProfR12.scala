@@ -152,6 +152,32 @@ object ProfR12 {
             lit(4294967296.0) * lit(1e-5),
         budgets, relErr = 1e-6)))
 
+    // 6. round-12 second batch: line dedup (removal + ingest) and the
+    // epoch-repeat budget, on the same corpora. Line structure is
+    // synthesized from the flat text (~10-token chunk "lines") — the
+    // operator's cost is in the explode/agg/rebuild, not the chunking.
+    lazy val mlText = {
+      val tk = TextOps.tokens(col("text"))
+      val nChunks = greatest(ceil(size(tk) / lit(10.0)).cast("int"), lit(1))
+      docs.select(col("doc_id"), col("lang"),
+        array_join(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(tk, i * lit(10) + 1, lit(10)), " ")), "\n")
+          .as("text"))
+    }
+    time("line_dedup_removal")(noop(
+      Dedup.removeDupLines(mlText, "doc_id", "text")))
+    time("line_dedup_incremental")({
+      val corpus = mlText.filter(col("doc_id") % 10 =!= 0)
+      val fresh = mlText.filter(col("doc_id") % 10 === 0)
+      val fps = Dedup.lineFingerprints(corpus, "doc_id", "text")
+      noop(Dedup.removeDupLinesAgainst(fps, fresh, "doc_id", "text"))
+    })
+    // epoch-repeat budget: 7·(T/3) ≈ 2.33 epochs per domain — 2 full
+    // passes (pure projection + explode) + one remainder cut
+    time("repeat_token_budget")(noop(
+      ScaleOps.repeatToTokenBudget(docs, "lang", "doc_id", tok,
+        budgets.map { case (d, b) => d -> b * 7 })))
+
     // 5. 180M-row point: real 90/9/1 domain skew + B sweep + minima re-runs
     sys.env.get("PROF_LI_DIR").foreach { liDir =>
       val li = spark.read.parquet(s"$liDir/lineitem.parquet")
@@ -183,6 +209,10 @@ object ProfR12 {
       time("li_token_budget_exact_b64")(noop(
         ScaleOps.sampleToTokenBudget(li, "l_returnflag", "lid", ltok, lb,
           salt = "p11", buckets = 64)))
+      // epoch-repeat budget at 180M: 2 full epochs + remainder per domain
+      time("li_repeat_token_budget")(noop(
+        ScaleOps.repeatToTokenBudget(li, "l_returnflag", "lid", ltok,
+          lb.map { case (d, b) => d -> b * 7 }, salt = "p12")))
     }
     spark.stop()
   }

@@ -1562,6 +1562,23 @@ object Queries {
         .orderBy("id")
     }),
 
+    // sampling: frozen-state incremental epoch-repeat budget — shard rows
+    // get every full epoch plus the frozen remainder cut, so the output
+    // is exactly the full-corpus repeat mixture restricted to the shard
+    "q249_repeat_budget_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tok = TextOps.tokenCount(col("text"))
+      val state = graft.sources.ScaleOps.repeatBudgetState(d, "lang",
+        "doc_id", tok, Seq("en" -> 25000L, "de" -> 8000L, "zh" -> 1800L),
+        salt = "q249")
+      val shard = d.filter(col("doc_id") % 10 === 0)
+      graft.sources.ScaleOps.repeatToTokenBudgetAgainst(state, shard,
+          "lang", "doc_id", tok)
+        .select(col("doc_id").as("id"), col("lang"),
+          tok.cast("long").as("n_tokens"), col("epoch"))
+        .orderBy("id", "epoch")
+    }),
+
     // composed curation v2: strip duplicated spans FIRST, then keep each
     // language's best docs — quality and token counts measured on the
     // CLEANED text — until the per-language token budget
@@ -3169,7 +3186,7 @@ object Queries {
         "q238_clean_then_budget", "q239_zorder_scan",
         "q241_zorder_budget", "q242_token_budget_incremental",
         "q243_top_budget_materialized", "q244_top_budget_incremental",
-        "q246_repeat_token_budget"),
+        "q246_repeat_token_budget", "q249_repeat_budget_incremental"),
       "events" -> Seq(
         "q40_event_windows", "q54_sessionize", "q58_asof_join",
         "q89_range_join", "q90_interval_overlap", "q137_funnel",

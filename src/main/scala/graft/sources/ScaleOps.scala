@@ -602,38 +602,11 @@ object ScaleOps {
       buckets: Int = 1024,
       maxEpochs: Int = 1000
   ): DataFrame = {
-    require(budgets.nonEmpty, "budgets must be non-empty")
-    require(budgets.forall(_._2 > 0), s"budgets must be positive: $budgets")
-    require(budgets.map(_._1).distinct.size == budgets.size,
-      s"duplicate domains in budgets: $budgets")
-    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
-    requireStringDomain(df, domainCol)
+    val plan = repeatPlan(df, domainCol, keyCol, tokens, budgets, maxEpochs)
+    val fullDomains = plan.filter(_._2 >= 1)
     val tok = coalesce(tokens.cast("long"), lit(0L))
     val budgetOf = domainCase(budgets.toMap, domainCol, "long")
     val inDomain = df.filter(budgetOf.isNotNull && col(keyCol).isNotNull)
-    val inv = inDomain.groupBy(col(domainCol).as("__d"))
-      .agg(sum(tok).as("__t"))
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-      .toMap
-    val absent = budgets.map(_._1).toSet -- inv.keySet
-    require(absent.isEmpty,
-      s"budget domains with no rows: ${absent.toSeq.sorted.mkString(", ")} " +
-        "(the sampleToMix contract: a budget for an absent domain is a " +
-        "config error, not an empty sample)")
-    val plan = budgets.map { case (d, b) =>
-      val t = inv(d)
-      require(t > 0,
-        s"domain '$d' has a zero token inventory; it cannot be repeated " +
-          "to a token budget")
-      val e = b / t
-      require(e <= maxEpochs,
-        s"domain '$d' wants $e full epochs (budget $b over $t tokens) > " +
-          s"maxEpochs $maxEpochs — raise maxEpochs deliberately if this " +
-          "is intended")
-      (d, e.toInt, b - e * t)
-    }
-    val fullDomains = plan.filter(_._2 >= 1)
     val full =
       if (fullDomains.isEmpty) None
       else {
@@ -660,6 +633,163 @@ object ScaleOps {
       case (None, Some(p))    => p
       // unreachable: every budget is positive and every inventory is
       // positive, so e >= 1 or the remainder is > 0
+      case (None, None)       => df.limit(0).withColumn("epoch", lit(0))
+    }
+  }
+
+  /** Per-domain epoch arithmetic shared by [[repeatToTokenBudget]] and
+    * [[repeatBudgetState]]: validate the budgets, aggregate the token
+    * inventory (ONE hash agg, |domains| rows to the driver), and return
+    * (domain, fullEpochs, remainderTokens) with the zero-inventory /
+    * runaway-epoch / absent-domain refusals. */
+  private def repeatPlan(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      tokens: Column,
+      budgets: Seq[(String, Long)],
+      maxEpochs: Int
+  ): Seq[(String, Int, Long)] = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.forall(_._2 > 0), s"budgets must be positive: $budgets")
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      s"duplicate domains in budgets: $budgets")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(!df.columns.contains("epoch"),
+      "df already carries an 'epoch' column — the repeat mixture appends " +
+        "its own; rename or drop the existing one")
+    requireStringDomain(df, domainCol)
+    val tok = coalesce(tokens.cast("long"), lit(0L))
+    val budgetOf = domainCase(budgets.toMap, domainCol, "long")
+    val inv = df.filter(budgetOf.isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(domainCol).as("__d"))
+      .agg(sum(tok).as("__t"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val absent = budgets.map(_._1).toSet -- inv.keySet
+    require(absent.isEmpty,
+      s"budget domains with no rows: ${absent.toSeq.sorted.mkString(", ")} " +
+        "(the sampleToMix contract: a budget for an absent domain is a " +
+        "config error, not an empty sample)")
+    budgets.map { case (d, b) =>
+      val t = inv(d)
+      require(t > 0,
+        s"domain '$d' has a zero token inventory; it cannot be repeated " +
+          "to a token budget")
+      val e = b / t
+      require(e <= maxEpochs,
+        s"domain '$d' wants $e full epochs (budget $b over $t tokens) > " +
+          s"maxEpochs $maxEpochs — raise maxEpochs deliberately if this " +
+          "is intended")
+      (d, e.toInt, b - e * t)
+    }
+  }
+
+  /** Frozen state for [[repeatToTokenBudgetAgainst]] — the
+    * [[tokenBudgetState]] pattern for the epoch-repeat mixture. The state
+    * is the REMAINDER cut's frozen phase-1 state (crossing bucket, exact
+    * below-sum, sliver rows) with one extra per-domain column `epochs`
+    * (the full-epoch count ⌊B_d/T_d⌋); a domain whose budget is an exact
+    * multiple of its inventory has no remainder pass and carries one
+    * meta-only row with the sentinel `cross_bkt = -1`. Persist it like
+    * any state frame; refresh by rebuilding when the inventory grows. */
+  def repeatBudgetState(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      tokens: Column,
+      budgets: Seq[(String, Long)],
+      salt: String = "",
+      buckets: Int = 1024,
+      maxEpochs: Int = 1000
+  ): DataFrame = {
+    val plan = repeatPlan(df, domainCol, keyCol, tokens, budgets, maxEpochs)
+    val partDomains = plan.filter(_._3 > 0)
+    val eCase = domainCase(
+      plan.map { case (d, e, _) => d -> e }.toMap, "domain", "int")
+    val part =
+      if (partDomains.isEmpty) None
+      else Some(tokenBudgetState(df, domainCol, keyCol, tokens,
+        partDomains.map { case (d, _, r) => d -> r }, salt, buckets))
+    val exactDomains = plan.filter(_._3 == 0L)
+    val exact =
+      if (exactDomains.isEmpty) None
+      else {
+        val keyType = df.schema(keyCol).dataType
+        val session = df.sparkSession
+        import session.implicits._
+        Some(exactDomains.map { case (d, _, _) => (d, -1, 0L, 0L) }
+          .sortBy(_._1)
+          .toDF("domain", "cross_bkt", "below_tok", "budget")
+          .withColumn("u", lit(null).cast("double"))
+          .withColumn("key", lit(null).cast(keyType))
+          .withColumn("tok", lit(null).cast("long"))
+          .withColumn("salt", lit(salt))
+          .withColumn("n_buckets", lit(buckets)))
+      }
+    val base = (part, exact) match {
+      case (Some(p), Some(x)) => p.unionByName(x)
+      case (Some(p), None)    => p
+      case (None, Some(x))    => x
+      case (None, None)       =>
+        // unreachable: every plan entry has e >= 1 or remainder > 0
+        sys.error("repeatBudgetState: empty plan")
+    }
+    base.withColumn("epochs", eCase)
+  }
+
+  /** Apply a frozen [[repeatBudgetState]] to new rows: every row of a
+    * state domain is emitted once per FULL epoch (`epoch` = 0 … e−1 — a
+    * pure broadcast-map + bounded explode), and the remainder pass is
+    * [[sampleToTokenBudgetAgainst]] against the embedded remainder state
+    * at `epoch` = e. Self-application reproduces [[repeatToTokenBudget]]
+    * bit-for-bit, shards decompose, and micro-batches stream through
+    * `foreachBatch` (both spec-pinned) — the ingest/streaming story for
+    * the upsampling mixture. Rows from domains absent in the state are
+    * dropped; NULL keys are dropped as in the batch form. */
+  def repeatToTokenBudgetAgainst(
+      state: DataFrame,
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      tokens: Column
+  ): DataFrame = {
+    requireStringDomain(df, domainCol)
+    require(state.columns.contains("epochs"),
+      "state must carry the repeatBudgetState 'epochs' column " +
+        s"(got ${state.columns.toSeq})")
+    require(!df.columns.contains("epoch"),
+      "df already carries an 'epoch' column — the repeat mixture appends " +
+        "its own; rename or drop the existing one")
+    // |domains|-sized driver state, same class as a budgets argument
+    val em = state.groupBy(col("domain"))
+      .agg(first("epochs").as("__e"), max(col("cross_bkt")).as("__cb"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2))))
+      .toMap
+    val fullDomains = em.collect { case (d, (e, _)) if e >= 1 => d -> e }
+    val full =
+      if (fullDomains.isEmpty) None
+      else {
+        val eCase = domainCase(fullDomains.toMap, domainCol, "int")
+        Some(df.filter(eCase.isNotNull && col(keyCol).isNotNull)
+          .withColumn("epoch", explode(sequence(lit(0), eCase - 1))))
+      }
+    val partDomains = em.collect { case (d, (e, cb)) if cb >= 0 => d -> e }
+    val part =
+      if (partDomains.isEmpty) None
+      else {
+        val eCase = domainCase(partDomains.toMap, domainCol, "int")
+        Some(sampleToTokenBudgetAgainst(
+            state.filter(col("cross_bkt") >= 0), df,
+            domainCol, keyCol, tokens)
+          .withColumn("epoch", eCase))
+      }
+    (full, part) match {
+      case (Some(f), Some(p)) => f.unionByName(p)
+      case (Some(f), None)    => f
+      case (None, Some(p))    => p
       case (None, None)       => df.limit(0).withColumn("epoch", lit(0))
     }
   }

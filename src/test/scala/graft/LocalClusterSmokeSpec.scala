@@ -238,6 +238,48 @@ class LocalClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mat === inScan)
   }
 
+  test("line dedup + repeat budget distribute (r12 session-2 ops)") {
+    assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
+    // line dedup: the counting agg, mask agg, and rebuild join all cross
+    // executor boundaries; n_removed must balance against the duplicated
+    // occurrences exactly as in local mode
+    val ml = docs.select(col("doc_id"), col("lang"),
+      regexp_replace(col("text"), "(\\w+ \\w+ \\w+ \\w+) ", "$1\n")
+        .as("text"))
+    val out = graft.pipeline.Dedup.removeDupLines(ml, "doc_id", "text")
+    val tot = out.agg(sum("n_removed"), sum("n_lines")).collect()(0)
+    assert(tot.getLong(0) > 0 && tot.getLong(0) < tot.getLong(1))
+    // empty-state ingest ≡ batch under executors
+    val viaIngest = graft.pipeline.Dedup.removeDupLinesAgainst(
+        graft.pipeline.Dedup.lineFingerprints(ml.limit(0), "doc_id", "text"),
+        ml, "doc_id", "text")
+      .select("id", "n_removed").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = out.select("id", "n_removed").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIngest === direct)
+    // frozen repeat-budget state applied to the corpus itself reproduces
+    // the batch mixture across JVMs (broadcast epoch map + remainder
+    // window both distribute)
+    val tok = graft.pipeline.TextOps.tokenCount(col("text"))
+    val inv = docs.groupBy("lang").agg(sum(tok.cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budgets = Seq("en" -> (2 * inv("en") + inv("en") / 3),
+      "de" -> inv("de") / 2)
+    val state = graft.sources.ScaleOps.repeatBudgetState(docs, "lang",
+      "doc_id", tok, budgets, salt = "lc12b")
+    val viaState = graft.sources.ScaleOps.repeatToTokenBudgetAgainst(
+        state, docs, "lang", "doc_id", tok)
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val batch = graft.sources.ScaleOps.repeatToTokenBudget(docs, "lang",
+        "doc_id", tok, budgets, salt = "lc12b")
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(viaState === batch)
+    assert(batch.exists(_._2 == 2)) // the partial epoch really exists
+  }
+
   test("streaming funnel state store works under executors") {
     assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

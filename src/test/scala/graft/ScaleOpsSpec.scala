@@ -1030,6 +1030,54 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(out.filter(!col("lang").isin("en", "de", "zh")).count() == 0)
   }
 
+  test("frozen repeat-budget state: self ≡ batch, shards decompose, exact-multiple sentinel") {
+    val docs = sf("sf0.001", "documents")
+    val tok = graft.pipeline.TextOps.tokenCount(col("text"))
+    val inv = docs.groupBy("lang").agg(sum(tok.cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en: 2 epochs + remainder; de: exact multiple (sentinel row, no
+    // partial); zh: pure downsample
+    val budgets = Seq("en" -> (2 * inv("en") + inv("en") / 3),
+      "de" -> 2 * inv("de"), "zh" -> inv("zh") / 2)
+    def keySet(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "epoch").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val batch = keySet(ScaleOps.repeatToTokenBudget(docs, "lang", "doc_id",
+      tok, budgets, salt = "rs"))
+    for (buckets <- Seq(2, 1024)) {
+      val state = ScaleOps.repeatBudgetState(docs, "lang", "doc_id", tok,
+        budgets, salt = "rs", buckets = buckets)
+      // self-application reproduces the batch cut bit-for-bit
+      val self = keySet(ScaleOps.repeatToTokenBudgetAgainst(state, docs,
+        "lang", "doc_id", tok))
+      assert(self == batch, s"buckets=$buckets")
+      // shards decompose: per-shard applications union to the whole
+      val s0 = ScaleOps.repeatToTokenBudgetAgainst(state,
+        docs.filter(col("doc_id") % 2 === 0), "lang", "doc_id", tok)
+      val s1 = ScaleOps.repeatToTokenBudgetAgainst(state,
+        docs.filter(col("doc_id") % 2 === 1), "lang", "doc_id", tok)
+      assert((keySet(s0) ++ keySet(s1)) == batch, s"buckets=$buckets")
+    }
+    // the exact-multiple domain carries the -1 sentinel and emits both
+    // full epochs with NO partial pass
+    val state = ScaleOps.repeatBudgetState(docs, "lang", "doc_id", tok,
+      budgets, salt = "rs")
+    val deRows = state.filter(col("domain") === "de").collect()
+    assert(deRows.length == 1 && deRows(0).getAs[Int]("cross_bkt") == -1)
+    assert(deRows(0).getAs[Int]("epochs") == 2)
+    val deOut = ScaleOps.repeatToTokenBudgetAgainst(state, docs,
+        "lang", "doc_id", tok)
+      .filter(col("lang") === "de")
+    assert(deOut.agg(max("epoch")).collect()(0).getInt(0) == 1)
+    assert(deOut.count() == 2 * docs.filter(col("lang") === "de").count())
+    // state round-trips through parquet (persistable corpus state)
+    val dir = Files.createTempDirectory("graft_rbstate").toString
+    state.write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    assert(keySet(ScaleOps.repeatToTokenBudgetAgainst(loaded, docs,
+      "lang", "doc_id", tok)) == batch)
+  }
+
   test("repeatToTokenBudget: refusals (zero inventory, epoch guard) and plan shape") {
     val docs = sf("sf0.001", "documents")
     val tok = graft.pipeline.TextOps.tokenCount(col("text"))

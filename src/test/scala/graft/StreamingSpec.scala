@@ -557,6 +557,46 @@ class StreamingSpec extends SparkTestBase {
     assert(expected.nonEmpty && expected.size < rows.size)
   }
 
+  test("REPEAT token budget streams from a frozen state via foreachBatch, equals batch") {
+    // the upsampling mixture's streaming story: repeatBudgetState freezes
+    // the per-domain epoch counts plus the remainder cut's phase-1 state;
+    // each micro-batch emits its full epochs and applies the frozen
+    // remainder window — replaying the corpus reproduces the batch mixture
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.ScaleOps
+    val rows = (0L until 80L).map(i => (i, if (i % 3 == 0) "en" else "de",
+      (i % 7 + 1).toInt))
+    val corpus = spark.createDataFrame(rows).toDF("id", "dom", "nt")
+    // en: upsampled past 2 epochs; de: downsampled (0 full epochs)
+    val budgets = Seq("en" -> 260L, "de" -> 50L)
+    val state = ScaleOps.repeatBudgetState(corpus, "dom", "id", col("nt"),
+      budgets, salt = "rtb", buckets = 8).cache()
+    val expected = ScaleOps.repeatToTokenBudget(corpus, "dom", "id",
+        col("nt"), budgets, salt = "rtb", buckets = 8)
+      .select("id", "epoch")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val input = MemoryStream[(Long, String, Int)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val q = input.toDF().toDF("id", "dom", "nt").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = ScaleOps.repeatToTokenBudgetAgainst(state, batch,
+            "dom", "id", col("nt"))
+          .select("id", "epoch")
+          .collect().map(r => (r.getLong(0), r.getInt(1)))
+        got.synchronized { got ++= kept }; ()
+      }
+      .start()
+    val (h1, h2) = rows.splitAt(41)
+    input.addData(h1: _*)
+    q.processAllAvailable()
+    input.addData(h2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == expected, s"${got.size} vs ${expected.size}")
+    // the en side really upsampled (epoch 1 exists), de downsampled
+    assert(expected.exists(_._2 == 1) && expected.size > rows.size)
+  }
+
   test("PRIORITY token budget streams from a frozen state via foreachBatch, equals batch") {
     // the takeTopTokenBudget twin of the exact-cut streaming story:
     // topTokenBudgetState freezes the reference inventory's quality
