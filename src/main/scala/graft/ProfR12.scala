@@ -177,6 +177,19 @@ object ProfR12 {
     time("repeat_token_budget")(noop(
       ScaleOps.repeatToTokenBudget(docs, "lang", "doc_id", tok,
         budgets.map { case (d, b) => d -> b * 7 })))
+    // global sequence packing after the two-phase rewrite (the global
+    // cumsum no longer runs on one reducer — driver-seeded per-bucket
+    // windows; old single-partition-window numbers in the r4 table) —
+    // both staging arms of the slim (id, n_tokens, u) frame
+    for (st <- Seq(false, true)) {
+      val tag = if (st) "staged" else "unstaged"
+      time(s"pack_global_$tag")(noop(
+        TextOps.packSequencesImpl(docs, "doc_id", "text", 512, "p",
+          None, 1024, stageSlim = st)))
+      time(s"pack_sharded_$tag")(noop(
+        TextOps.packSequencesImpl(docs, "doc_id", "text", 512, "p",
+          Some("lang"), 1024, stageSlim = st)))
+    }
 
     // 5. 180M-row point: real 90/9/1 domain skew + B sweep + minima re-runs
     sys.env.get("PROF_LI_DIR").foreach { liDir =>

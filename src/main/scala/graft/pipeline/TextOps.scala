@@ -425,13 +425,25 @@ object TextOps {
     * with [[chunkDocs]] to pre-split long docs so no doc exceeds one
     * window). Returns (id, n_tokens, pack_id, offset).
     *
-    * Scale shape: one global running sum — a range-partitioned sort, the
-    * honest cost of a globally consistent layout. For corpora where even
-    * that is too hot, pass `shardCol`: the layout becomes per-shard (pack
-    * ids count from 0 WITHIN each shard — address packs as (shard,
-    * pack_id)), the sort parallelizes across shards, and the output keeps
-    * the shard column. Deterministic across engines, partitionings and
-    * reruns (same guarantees as [[graft.sources.ScaleOps.hashSplit]]).
+    * Scale shape: the global running sum is computed WITHOUT a global
+    * window (a `Window.partitionBy()` would move the whole corpus to one
+    * reducer — the NTILE-cliff class): the hash-uniform order is bucketed
+    * into `buckets` equal-width cells, per-bucket token sums aggregate to
+    * the driver (≤ `buckets` rows, exclusive prefix sums computed there —
+    * exact integer arithmetic), and each bucket's rows get their
+    * within-bucket cumulative sum from a window PARTITIONED BY BUCKET
+    * (parallel across buckets, ≈ n/`buckets` rows each) seeded with the
+    * bucket's exact global prefix. Buckets partition the u order (a
+    * bucket is a monotone function of u), so the result is bit-identical
+    * to the single global window — same `buckets` sizing rule as
+    * `ScaleOps.sampleToTokenBudget` (sliver ≈ n/buckets on one reducer;
+    * the default covers ~10¹⁰-row corpora). With `shardCol` the layout
+    * becomes per-shard (pack ids count from 0 WITHIN each shard —
+    * address packs as (shard, pack_id)), the same two-phase shape keyed
+    * by (shard, bucket); the driver histogram is |shards|·`buckets` rows
+    * (shard columns are model-sized mixture keys by contract).
+    * Deterministic across engines, partitionings and reruns (same
+    * guarantees as [[graft.sources.ScaleOps.hashSplit]]).
     */
   def packSequences(
       df: org.apache.spark.sql.DataFrame,
@@ -439,20 +451,78 @@ object TextOps {
       textCol: String,
       window: Int,
       salt: String = "",
-      shardCol: Option[String] = None
+      shardCol: Option[String] = None,
+      buckets: Int = 1024
+  ): org.apache.spark.sql.DataFrame =
+    packSequencesImpl(df, idCol, textCol, window, salt, shardCol, buckets,
+      stageSlim = PackStageSlim)
+
+  /** Whether [[packSequences]] stages the slim (id, n_tokens, u, shard?)
+    * frame consumed by both phases — the narrow-frame staging question
+    * (see the A/B table in BENCH_NOTES r12; both arms measurable via
+    * [[packSequencesImpl]]). */
+  private[graft] val PackStageSlim = false
+
+  private[graft] def packSequencesImpl(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      salt: String,
+      shardCol: Option[String],
+      buckets: Int,
+      stageSlim: Boolean
   ): org.apache.spark.sql.DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val u = hash32(concat(lit(salt), col(idCol).cast("string")))
-    val spec0 = shardCol match {
-      case Some(s) => org.apache.spark.sql.expressions.Window.partitionBy(col(s))
-      case None => org.apache.spark.sql.expressions.Window.partitionBy()
-    }
-    val w = spec0.orderBy(col("__u").asc, col("id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val keep = shardCol.map(col).toSeq
-    df.select((Seq(col(idCol).as("id"),
-        tokenCount(col(textCol)).as("n_tokens"), u.as("__u")) ++ keep): _*)
-      .withColumn("__cum", sum(col("n_tokens")).over(w))
+    val keepNames = shardCol.toSeq
+    // __u ∈ [0, 2^32): integer bucket arithmetic, exact and codegen'd
+    import graft.Staging.StagedFrame
+    val base0 = df.select((Seq(col(idCol).as("id"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        u.as("__u")) ++ keep): _*)
+      .withColumn("__bkt",
+        shiftright(col("__u") * lit(buckets.toLong), 32).cast("int"))
+    val base = if (stageSlim) base0.staged else base0
+    // phase 1: per-(shard, bucket) token sums → driver; exclusive prefix
+    // per shard in bucket order = each bucket's exact global seed. Shards
+    // key the driver map by a sentinel-coalesced string (a NULL shard is
+    // a legitimate per-shard layout group, as under the old partitionBy).
+    val nullTag = " <null-shard>"
+    val gKeys = keepNames :+ "__bkt"
+    val hist = base.groupBy(gKeys.map(col): _*)
+      .agg(sum(col("n_tokens")).as("__t"))
+      .collect()
+      .map { r =>
+        val shard = keepNames.headOption
+          .map(n => Option(r.getAs[Any](n)).map(String.valueOf).getOrElse(nullTag))
+          .getOrElse("")
+        (shard, r.getAs[Int]("__bkt"), r.getAs[Long]("__t"))
+      }
+    val session = df.sparkSession
+    import session.implicits._
+    val seeds = hist.groupBy(_._1).toSeq.flatMap { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).map { case (_, bkt, t) =>
+        val s = cum; cum += t; (shard, bkt, s)
+      }
+    }
+    val seedDf = seeds.toDF("__shard", "__sbkt", "__seed")
+    val joinCond = shardCol match {
+      case Some(s) =>
+        coalesce(col(s).cast("string"), lit(nullTag)) === col("__shard") &&
+          col("__bkt") === col("__sbkt")
+      case None => col("__bkt") === col("__sbkt")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gKeys.map(col): _*)
+      .orderBy(col("__u").asc, col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base
+      .join(org.apache.spark.sql.functions.broadcast(seedDf), joinCond)
+      .withColumn("__cum", col("__seed") + sum(col("n_tokens")).over(w))
       .select((Seq(
         col("id"),
         col("n_tokens").cast("long").as("n_tokens"),

@@ -962,6 +962,31 @@ class PipelineSpec extends SparkTestBase {
     assert(cum == base.map(_._2).sum)
   }
 
+  test("sequence packing: bucket-invariant and never a single-partition window") {
+    // the global layout must NOT move the corpus to one reducer: the
+    // two-phase cumsum (driver-seeded per-bucket windows) is bit-identical
+    // to the naive global window at ANY bucket count, and the plan's only
+    // exchange for the window is hash-partitioned by bucket
+    def layout(buckets: Int) =
+      TextOps.packSequences(docs, "doc_id", "text", 128, salt = "b",
+          buckets = buckets)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val b2 = layout(2)
+    val b64 = layout(64)
+    val b1024 = layout(1024)
+    assert(b2 == b64 && b64 == b1024)
+    val plan = TextOps.packSequences(docs, "doc_id", "text", 128, salt = "b")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+    // sharded mode gets the same guarantee
+    val shardedPlan = TextOps.packSequences(docs, "doc_id", "text", 128,
+        salt = "b", shardCol = Some("lang"))
+      .queryExecution.executedPlan.toString
+    assert(!shardedPlan.contains("Exchange SinglePartition"),
+      shardedPlan.take(3000))
+  }
+
   test("int8 quantization: zero vector takes the scale-0 branch cleanly") {
     // max 127 -> scale exactly 1.0, so the -63.5 half-tie is FP-exact
     val z = Seq((1L, Array(0.0f, 0.0f, 0.0f)), (2L, Array(127.0f, -63.5f, 0.0f)))
