@@ -490,7 +490,7 @@ object TextOps {
     // per shard in bucket order = each bucket's exact global seed. Shards
     // key the driver map by a sentinel-coalesced string (a NULL shard is
     // a legitimate per-shard layout group, as under the old partitionBy).
-    val nullTag = " <null-shard>"
+    val nullTag = "\u0000<null-shard>"
     val gKeys = keepNames :+ "__bkt"
     val hist = base.groupBy(gKeys.map(col): _*)
       .agg(sum(col("n_tokens")).as("__t"))
