@@ -2019,9 +2019,6 @@ object OracleSql {
          |FROM r JOIN b USING (lang)
          |WHERE cum < budget AND doc_id % 10 = 0 ORDER BY id""".stripMargin,
 
-    // frozen-state incremental PRIORITY budget: shard rows judged against
-    // the FULL corpus ranking ≡ full-corpus priority cut restricted to
-    // the shard (same quality algebra as q237)
     // RefinedWeb-style line dedup with removal: the mlDocs 5-token chunk
     // synthesis replayed, then the naive-window keep-first formulation
     // (the engine uses a single counting hash agg instead)
@@ -2158,6 +2155,9 @@ object OracleSql {
          |SELECT n.id, n.lang, n.nt AS n_tokens FROM ntab n
          |WHERE n.id NOT IN (SELECT id FROM dropx) ORDER BY n.id""".stripMargin,
 
+    // frozen-state incremental PRIORITY budget: shard rows judged against
+    // the FULL corpus ranking ≡ full-corpus priority cut restricted to
+    // the shard (same quality algebra as q237)
     "q244_top_budget_incremental" ->
       s"""WITH b(lang, budget) AS (VALUES ('en', 3500), ('de', 1100), ('zh', 800)),
          |tk AS (SELECT doc_id AS id, lang, text, ${toks("text")} AS t

@@ -156,14 +156,8 @@ object ProfR12 {
     // epoch-repeat budget, on the same corpora. Line structure is
     // synthesized from the flat text (~10-token chunk "lines") — the
     // operator's cost is in the explode/agg/rebuild, not the chunking.
-    lazy val mlText = {
-      val tk = TextOps.tokens(col("text"))
-      val nChunks = greatest(ceil(size(tk) / lit(10.0)).cast("int"), lit(1))
-      docs.select(col("doc_id"), col("lang"),
-        array_join(transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(tk, i * lit(10) + 1, lit(10)), " ")), "\n")
-          .as("text"))
-    }
+    lazy val mlText = docs.select(col("doc_id"), col("lang"),
+      TextOps.tokenChunkLines(col("text"), 10).as("text"))
     time("line_dedup_removal")(noop(
       Dedup.removeDupLines(mlText, "doc_id", "text")))
     time("line_dedup_incremental")({

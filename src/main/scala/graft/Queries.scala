@@ -21,17 +21,11 @@ object Queries {
 
   /** documents with a synthesized MULTI-LINE text column for the
     * line-dedup queries (the corpus has no newlines): 5-token chunk
-    * "lines" joined with '\n' — the identical arithmetic is replayed in
-    * the DuckDB oracles, and no chunk can itself contain a newline, so
-    * split-after-join round-trips exactly. */
-  private def mlDocs(s: SparkSession, dir: String) = {
-    val tk = TextOps.tokens(col("text"))
-    val nChunks = greatest(ceil(size(tk) / lit(5.0)).cast("int"), lit(1))
+    * "lines" via [[TextOps.tokenChunkLines]] — the identical arithmetic
+    * is replayed in the DuckDB oracles' LineChunks CTE. */
+  private def mlDocs(s: SparkSession, dir: String) =
     docs(s, dir).select(col("doc_id"), col("lang"),
-      array_join(transform(sequence(lit(0), nChunks - 1),
-        i => array_join(slice(tk, i * lit(5) + 1, lit(5)), " ")), "\n")
-        .as("mltext"))
-  }
+      TextOps.tokenChunkLines(col("text"), 5).as("mltext"))
   private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
   private def ev(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
 

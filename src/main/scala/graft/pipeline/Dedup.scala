@@ -1248,7 +1248,10 @@ object Dedup {
   }
 
   /** (id, lines) projection: literal-delimiter split, trailing empty
-    * segments KEPT (`limit = -1`) so reconstruction is byte-faithful. */
+    * segments KEPT (`limit = -1`) so reconstruction is byte-faithful.
+    * NULL text is treated as empty (one blank line — n_lines = 1,
+    * n_removed = 0, text_clean = "" — rather than null counters that
+    * would silently break the `n_removed = 0 ⇔ unchanged` contract). */
   private def linesOf(
       df: DataFrame,
       idCol: String,
@@ -1256,8 +1259,8 @@ object Dedup {
       delim: String
   ): DataFrame =
     df.select(col(idCol).as("id"),
-      split(col(textCol), java.util.regex.Pattern.quote(delim), -1)
-        .as("lines"))
+      split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(delim), -1).as("lines"))
 
   /** Fingerprinted non-blank line occurrences: (id, pos, k). Blank lines
     * never enter the dup algebra (always survive). */
@@ -1298,10 +1301,13 @@ object Dedup {
 
   /** [[dedupCorpus]] with a chosen representative: keep the HIGHEST-
     * `priority` member of each near-duplicate cluster (ties → lowest id;
-    * null priority = lowest) instead of the minimum id — the "keep the
-    * best copy" curation rule (longest text, highest quality score,
-    * freshest crawl). `pairs` is any near-duplicate pair list over `df`'s
-    * ids; clusters close transitively via [[duplicateClusters]].
+    * null priority = lowest, an all-null cluster degenerates to the
+    * min-id rule) instead of the minimum id — the "keep the best copy"
+    * curation rule (longest text, highest quality score, freshest
+    * crawl). The priority compares in its NATIVE type (no double cast —
+    * long priorities above 2⁵³ stay exact). `pairs` is any
+    * near-duplicate pair list over `df`'s ids; clusters close
+    * transitively via [[duplicateClusters]].
     *
     * Scale shape: clusters are edge-node-sized (never corpus-sized); the
     * representative pick is two cluster-keyed hash aggs + one cluster-keyed
@@ -1314,13 +1320,14 @@ object Dedup {
       pairs: DataFrame,
       priority: Column
   ): DataFrame = {
-    val pr = df.select(col(idCol).as("id"),
-      coalesce(priority.cast("double"), lit(Double.NegativeInfinity))
-        .as("__p"))
+    val pr = df.select(col(idCol).as("id"), priority.as("__p"))
     val mem = duplicateClusters(pairs).join(pr, "id")
+    // max() ignores nulls, so null priorities can never win; a cluster
+    // where EVERY priority is null has a null __bp and falls through to
+    // the min-id rule via the isNull arm
     val bestP = mem.groupBy("cluster").agg(max(col("__p")).as("__bp"))
     val keep = mem.join(bestP, "cluster")
-      .filter(col("__p") === col("__bp"))
+      .filter(col("__p") === col("__bp") || col("__bp").isNull)
       .groupBy("cluster")
       .agg(min(col("id")).as("__keep"))
     val drop = mem.join(keep, "cluster")

@@ -407,6 +407,22 @@ object TextOps {
         size(col("__c")).as("n_chunk_tokens"))
   }
 
+  /** Synthesize `width`-token chunk "lines": the token stream cut into
+    * `width`-token chunks, each space-joined, all newline-joined — the
+    * single source of truth for manufacturing line structure over a
+    * flat-text corpus (the line-dedup queries and profilers; the DuckDB
+    * oracle's LineChunks CTE replays the identical arithmetic, including
+    * the one-blank-line empty-doc case). No chunk can contain a newline,
+    * so a newline split after this join round-trips exactly. */
+  def tokenChunkLines(text: Column, width: Int): Column = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val tk = tokens(text)
+    val nChunks = greatest(
+      ceil(size(tk) / lit(width.toDouble)).cast("int"), lit(1))
+    array_join(transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(tk, i * lit(width) + 1, lit(width)), " ")), "\n")
+  }
+
   /** Exact content fingerprint: md5 of whitespace-normalized lowercase text.
     * (Identical expression exists in every SQL engine ⇒ oracle-friendly.) */
   def fingerprint(text: Column): Column =
@@ -477,28 +493,34 @@ object TextOps {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val u = hash32(concat(lit(salt), col(idCol).cast("string")))
     val keep = shardCol.map(col).toSeq
-    val keepNames = shardCol.toSeq
-    // __u ∈ [0, 2^32): integer bucket arithmetic, exact and codegen'd
+    // __u ∈ [0, 2^32): integer bucket arithmetic, exact and codegen'd.
+    // NULL ids are dropped (the hash-sampler convention — a null id
+    // hashes to a null bucket, which would corrupt the driver seed map).
+    // Shards key BOTH the phase-1 group and the seed join by the SAME
+    // Spark-side string expression (__shardKey), so the driver-side and
+    // engine-side representations can never disagree; a NULL shard is a
+    // legitimate layout group (as under a window partitionBy), carried by
+    // the sentinel.
     import graft.Staging.StagedFrame
-    val base0 = df.select((Seq(col(idCol).as("id"),
+    val nullTag = "\u0000<null-shard>"
+    val shardKey = shardCol.map(s =>
+      coalesce(col(s).cast("string"), lit(nullTag)).as("__shardKey")).toSeq
+    val base0 = df.filter(col(idCol).isNotNull)
+      .select((Seq(col(idCol).as("id"),
         tokenCount(col(textCol)).cast("long").as("n_tokens"),
-        u.as("__u")) ++ keep): _*)
+        u.as("__u")) ++ keep ++ shardKey): _*)
       .withColumn("__bkt",
         shiftright(col("__u") * lit(buckets.toLong), 32).cast("int"))
     val base = if (stageSlim) base0.staged else base0
     // phase 1: per-(shard, bucket) token sums → driver; exclusive prefix
-    // per shard in bucket order = each bucket's exact global seed. Shards
-    // key the driver map by a sentinel-coalesced string (a NULL shard is
-    // a legitimate per-shard layout group, as under the old partitionBy).
-    val nullTag = "\u0000<null-shard>"
-    val gKeys = keepNames :+ "__bkt"
+    // per shard in bucket order = each bucket's exact global seed
+    val gKeys = (if (shardKey.isEmpty) Nil else Seq("__shardKey")) :+ "__bkt"
     val hist = base.groupBy(gKeys.map(col): _*)
       .agg(sum(col("n_tokens")).as("__t"))
       .collect()
       .map { r =>
-        val shard = keepNames.headOption
-          .map(n => Option(r.getAs[Any](n)).map(String.valueOf).getOrElse(nullTag))
-          .getOrElse("")
+        val shard =
+          if (shardKey.isEmpty) "" else r.getAs[String]("__shardKey")
         (shard, r.getAs[Int]("__bkt"), r.getAs[Long]("__t"))
       }
     val session = df.sparkSession
@@ -510,12 +532,10 @@ object TextOps {
       }
     }
     val seedDf = seeds.toDF("__shard", "__sbkt", "__seed")
-    val joinCond = shardCol match {
-      case Some(s) =>
-        coalesce(col(s).cast("string"), lit(nullTag)) === col("__shard") &&
-          col("__bkt") === col("__sbkt")
-      case None => col("__bkt") === col("__sbkt")
-    }
+    val joinCond =
+      if (shardKey.isEmpty) col("__bkt") === col("__sbkt")
+      else col("__shardKey") === col("__shard") &&
+        col("__bkt") === col("__sbkt")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(gKeys.map(col): _*)
       .orderBy(col("__u").asc, col("id").asc)

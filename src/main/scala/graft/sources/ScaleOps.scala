@@ -604,7 +604,6 @@ object ScaleOps {
   ): DataFrame = {
     val plan = repeatPlan(df, domainCol, keyCol, tokens, budgets, maxEpochs)
     val fullDomains = plan.filter(_._2 >= 1)
-    val tok = coalesce(tokens.cast("long"), lit(0L))
     val budgetOf = domainCase(budgets.toMap, domainCol, "long")
     val inDomain = df.filter(budgetOf.isNotNull && col(keyCol).isNotNull)
     val full =

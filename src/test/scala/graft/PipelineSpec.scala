@@ -987,6 +987,39 @@ class PipelineSpec extends SparkTestBase {
       shardedPlan.take(3000))
   }
 
+  test("sequence packing: null ids dropped, non-string shards keyed consistently") {
+    // a null id hashes to a null bucket — it must be dropped (the
+    // hash-sampler convention), never decoded as bucket 0 in the seed map
+    val withNull = docs.limit(20).select(
+      when(col("doc_id") === docs.limit(20).agg(min("doc_id"))
+        .collect()(0).getLong(0), lit(null).cast("long"))
+        .otherwise(col("doc_id")).as("doc_id"),
+      col("text"), col("lang"))
+    val out = TextOps.packSequences(withNull, "doc_id", "text", 128, "n")
+    assert(out.count() == 19 && out.filter(col("id").isNull).count() == 0)
+    // an INT shard column: the phase-1 driver map and the seed join must
+    // share one representation (a JVM-vs-Spark stringify mismatch would
+    // silently drop every row)
+    val intShard = docs.withColumn("grp", (col("doc_id") % 3).cast("int"))
+    val sharded = TextOps.packSequences(intShard, "doc_id", "text", 128,
+        salt = "i", shardCol = Some("grp"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(sharded.size == docs.count())
+    // and equals packing each shard separately (the per-shard contract)
+    val solo = TextOps.packSequences(
+        intShard.filter(col("grp") === 1), "doc_id", "text", 128, salt = "i")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    solo.foreach { case (id, po) => assert(sharded(id) == po, s"id=$id") }
+    // a NULL shard is a legitimate layout group of its own
+    val nullShard = docs.withColumn("grp",
+      when(col("doc_id") % 2 === 0, lit(null).cast("string"))
+        .otherwise(lit("a")))
+    val ns = TextOps.packSequences(nullShard, "doc_id", "text", 128,
+      salt = "i", shardCol = Some("grp"))
+    assert(ns.count() == docs.count())
+    assert(ns.filter(col("grp").isNull).count() == docs.filter(col("doc_id") % 2 === 0).count())
+  }
+
   test("int8 quantization: zero vector takes the scale-0 branch cleanly") {
     // max 127 -> scale exactly 1.0, so the -63.5 half-tie is FP-exact
     val z = Seq((1L, Array(0.0f, 0.0f, 0.0f)), (2L, Array(127.0f, -63.5f, 0.0f)))
@@ -1445,6 +1478,12 @@ class PipelineSpec extends SparkTestBase {
     assert(out(3L) == ((1L, 1L, "")), s"got ${out(3L)}")
     // consecutive blanks are duplicated as strings but never fingerprinted
     assert(out(4L) == ((4L, 0L, "only\n\n\nblanks between")), s"got ${out(4L)}")
+    // NULL text is treated as empty — counters stay non-null (the
+    // n_removed = 0 ⇔ unchanged contract survives)
+    val n = Dedup.removeDupLines(
+        Seq((9L, null: String)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert((n.getLong(1), n.getLong(2), n.getString(3)) == ((1L, 0L, "")))
   }
 
   test("removeDupLines: within-doc repeats, boilerplate mode, minRepeat") {
@@ -1522,5 +1561,22 @@ class PipelineSpec extends SparkTestBase {
     val viaMin = Dedup.dedupCorpus(d, "doc_id", pairs)
       .collect().map(_.getLong(0)).toSet
     assert(viaBest == viaMin)
+    // native-type comparison: long priorities one apart above 2^53 (where
+    // doubles collapse) must still pick the genuinely larger one
+    val big = d.withColumn("pr",
+      when(col("doc_id") === 1L, lit(9007199254740993L))   // 2^53 + 1
+        .when(col("doc_id") === 2L, lit(9007199254740992L)) // 2^53
+        .when(col("doc_id") === 3L, lit(0L))
+        .otherwise(col("doc_id").cast("long")))
+    val keptBig = Dedup.dedupCorpusKeepBest(big, "doc_id", pairs, col("pr"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptBig.contains(1L) && !keptBig.contains(2L), s"got $keptBig")
+    // an ALL-null cluster degenerates to the min-id rule
+    val allNull = d.withColumn("pr",
+      when(col("doc_id").isin(1L, 2L, 3L), lit(null).cast("double"))
+        .otherwise(col("pr")))
+    val keptNull = Dedup.dedupCorpusKeepBest(allNull, "doc_id", pairs, col("pr"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptNull.contains(1L) && !keptNull.contains(2L) && !keptNull.contains(3L))
   }
 }
