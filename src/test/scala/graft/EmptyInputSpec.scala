@@ -47,6 +47,17 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Dedup.dedupAgainst(corpus, d, "doc_id", "text").count() === 0L)
     assert(Dedup.dedupAgainst(d, corpus, "doc_id", "text")
       .filter(col("dup_of").isNotNull).count() === 0L)
+    // line family: empty corpus in, empty out; empty shard vs real state
+    assert(Dedup.removeDupLines(d, "doc_id", "text").count() === 0L)
+    assert(Dedup.lineFingerprints(d, "doc_id", "text").count() === 0L)
+    assert(Dedup.removeDupLinesAgainst(
+      Dedup.lineFingerprints(corpus, "doc_id", "text"),
+      d, "doc_id", "text").count() === 0L)
+    assert(Dedup.dedupCorpusKeepBest(d, "doc_id",
+      noPairs.withColumn("jaccard", lit(1.0)), lit(1.0)).count() === 0L)
+    // keep-best with empty pairs over a REAL corpus drops nothing
+    assert(Dedup.dedupCorpusKeepBest(corpus, "doc_id",
+      noPairs.withColumn("jaccard", lit(1.0)), lit(1.0)).count() === 1L)
   }
 
   test("text operators return empty results on an empty corpus") {
