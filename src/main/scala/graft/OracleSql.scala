@@ -2019,6 +2019,33 @@ object OracleSql {
          |FROM r JOIN b USING (lang)
          |WHERE cum < budget AND doc_id % 10 = 0 ORDER BY id""".stripMargin,
 
+    // frozen-state MinHash ingest dedup: q94's full-pairwise best-match
+    // algebra at threshold 0.5 (the state path must not change results)
+    "q250_dedup_against_state" ->
+      s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents
+         |  WHERE doc_id % 10 <> 0),
+         |fresh AS (SELECT doc_id + 1000000 AS id, text FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |shc AS (SELECT DISTINCT id, unnest(${bigrams(toks("text"))}) AS shingle
+         |  FROM corpus),
+         |shn AS (SELECT DISTINCT id, unnest(${bigrams(toks("text"))}) AS shingle
+         |  FROM fresh),
+         |szc AS (SELECT id, count(*) sz FROM shc GROUP BY id),
+         |szn AS (SELECT id, count(*) sz FROM shn GROUP BY id),
+         |common AS (SELECT n.id, c.id AS cid, count(*) AS c
+         |  FROM shn n JOIN shc c ON n.shingle = c.shingle GROUP BY 1, 2),
+         |j AS (SELECT common.id, cid,
+         |    c::DOUBLE / (szn.sz + szc.sz - c) AS jaccard
+         |  FROM common JOIN szn ON common.id = szn.id
+         |    JOIN szc ON common.cid = szc.id
+         |  WHERE c::DOUBLE / (szn.sz + szc.sz - c) >= 0.5),
+         |best AS (SELECT id, cid AS dup_of, jaccard, row_number() OVER
+         |    (PARTITION BY id ORDER BY jaccard DESC, cid ASC) AS r FROM j)
+         |SELECT f.id, b.dup_of, b.jaccard
+         |FROM fresh f LEFT JOIN (SELECT * FROM best WHERE r = 1) b
+         |  ON f.id = b.id
+         |ORDER BY f.id""".stripMargin,
+
     // RefinedWeb-style line dedup with removal: the mlDocs 5-token chunk
     // synthesis replayed, then the naive-window keep-first formulation
     // (the engine uses a single counting hash agg instead)

@@ -1556,6 +1556,20 @@ object Queries {
         .orderBy("id")
     }),
 
+    // dedup: frozen-state MinHash ingest — the corpus representative and
+    // bucket tables built ONCE (minhashDedupState) and the shard applied
+    // against them; oracle is the full pairwise best-match ≥ threshold
+    "q250_dedup_against_state" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val state = Dedup.minhashDedupState(
+        d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 2)
+      val fresh = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.dedupAgainstState(state, fresh, "doc_id", "text", n = 2,
+          threshold = 0.5)
+        .orderBy("id")
+    }),
+
     // sampling: frozen-state incremental epoch-repeat budget — shard rows
     // get every full epoch plus the frozen remainder cut, so the output
     // is exactly the full-corpus repeat mixture restricted to the shard
@@ -3144,7 +3158,7 @@ object Queries {
         "q170_canonical_docs", "q171_record_linkage",
         "q233_dedup_span_removal", "q240_span_removal_incremental",
         "q245_line_dedup_removal", "q247_dedup_keep_best",
-        "q248_line_dedup_incremental"),
+        "q248_line_dedup_incremental", "q250_dedup_against_state"),
       "similarity" -> Seq(
         "q35_knn_brute", "q36_knn_lsh", "q41_knn_ivf", "q56_kmeans_cells",
         "q203_knn_join_brute", "q204_knn_join",

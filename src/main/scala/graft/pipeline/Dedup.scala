@@ -434,10 +434,10 @@ object Dedup {
     * caught by a fingerprint equi-join that BYPASSES the bucket valve —
     * a new copy of a document whose bucket is boilerplate-hot must still
     * be flagged (the valve only costs near-dup recall in saturated
-    * buckets, mirroring minhashPairs semantics). At steady state the
-    * corpus-side representative/bucket tables are recomputed per call;
-    * persist them to the lake for a true incremental pipeline (the
-    * operators compose — both sides are plain DataFrames).
+    * buckets, mirroring minhashPairs semantics). At steady state, build
+    * the corpus-side representative/bucket tables ONCE with
+    * [[minhashDedupState]] and apply shards via [[dedupAgainstState]] —
+    * this convenience form rebuilds them per call.
     *
     * Returns one row per NEW doc: (id, dup_of, jaccard) — `dup_of` the
     * best-matching corpus id (highest Jaccard, ties to lowest id; NULL
@@ -451,22 +451,47 @@ object Dedup {
       n: Int = 2,
       threshold: Double = 0.5,
       maxBucketSize: Option[Long] = Some(DefaultMaxBucketSize)
-  ): DataFrame = {
-    def keyedSets(df: DataFrame) = shingleArrays(df, idCol, textCol, n)
-      .withColumn("__fp", md5(concat_ws("", array_sort(col("sharr")))))
+  ): DataFrame =
+    dedupAgainstState(
+      minhashDedupState(corpus, idCol, textCol, n, maxBucketSize),
+      newDocs, idCol, textCol, n, threshold)
+
+  /** Frozen corpus-side state for [[dedupAgainstState]] — the MinHash
+    * ingest family's persistable state (the [[spanFingerprints]] /
+    * `tokenBudgetState` pattern): `reps` holds one representative per
+    * distinct shingle set (`__fp` exact-match fingerprint, `cid`
+    * representative id, `csharr` the verification shingle array — any
+    * member's array is valid by set-level invariance) and `buckets` the
+    * representatives' LSH keys (`band`, `bucket`, `cid`) with the
+    * bucket-size valve ALREADY applied (a corpus property, so it freezes
+    * with the corpus). Persist both — `reps` bucketed by `__fp`,
+    * `buckets` by (`band`, `bucket`) — and shard ingest joins them
+    * without a corpus-side shuffle. Refresh as the corpus grows by
+    * re-aggregating `reps` over the union with a new shard's keyed sets
+    * and unioning the NEW representatives' buckets (both steps
+    * shard-sized except the `__fp` re-agg, which is exchange-free on
+    * bucketed state). */
+  final case class MinhashDedupState(reps: DataFrame, buckets: DataFrame)
+
+  /** Build [[MinhashDedupState]] from a corpus: one distinct-set agg +
+    * one signature/bucket pass over the representatives. */
+  def minhashDedupState(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      maxBucketSize: Option[Long] = Some(DefaultMaxBucketSize)
+  ): MinhashDedupState = {
     // corpus: one representative per distinct shingle set (set-level
     // invariants make any member's array valid)
-    val crep = keyedSets(corpus).groupBy("__fp")
+    val crep = keyedShingleSets(corpus, idCol, textCol, n).groupBy("__fp")
       .agg(min(col("id")).as("cid"), min_by(col("sharr"), col("id")).as("csharr"))
-      .staged // reused: exact join, buckets, verification
-    val ns = keyedSets(newDocs).staged // reused: 3 branches
-    // exact fingerprint match — valve-immune by design
-    val exact = ns.select(col("id"), col("__fp"))
-      .join(crep.select(col("__fp"), col("cid")), "__fp")
-      .select(col("id"), col("cid"), lit(1.0).as("jaccard"))
-    // near: shared-bucket candidates, valve on the CORPUS bucket size
-    val cb0 = lshBuckets(withSig(crep.select(col("cid").as("id"), col("csharr").as("sharr")), Seq("id")))
+      .staged // reused: the bucket pass here + exact/verify joins at apply
+    val cb0 = lshBuckets(withSig(
+        crep.select(col("cid").as("id"), col("csharr").as("sharr")),
+        Seq("id")))
       .withColumnRenamed("id", "cid")
+    // valve on the CORPUS bucket size — frozen into the state
     val cb = maxBucketSize match {
       case None => cb0
       case Some(cap) =>
@@ -475,11 +500,44 @@ object Dedup {
           .select("band", "bucket")
         cb0.join(ok, Seq("band", "bucket"), "left_semi")
     }
+    MinhashDedupState(crep, cb)
+  }
+
+  /** Apply a frozen [[MinhashDedupState]] to a NEW shard — the
+    * steady-state ingest form of [[dedupAgainst]] (identical semantics;
+    * that convenience wrapper IS `dedupAgainstState(minhashDedupState(
+    * corpus), shard)`). Per shard the corpus contributes three key-equi
+    * joins on persisted state (exact `__fp`, candidate (`band`,
+    * `bucket`), verification `cid`) — nothing corpus-sized recomputes,
+    * shuffles, or reaches the driver; micro-batches stream through
+    * `foreachBatch` (parity spec'd in StreamingSpec). `n` must match the
+    * state's shingle width. */
+  def dedupAgainstState(
+      state: MinhashDedupState,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(Seq("__fp", "cid", "csharr")
+        .forall(state.reps.columns.contains),
+      s"state.reps must carry (__fp, cid, csharr), got ${state.reps.columns.toSeq}")
+    require(Seq("band", "bucket", "cid")
+        .forall(state.buckets.columns.contains),
+      s"state.buckets must carry (band, bucket, cid), got ${state.buckets.columns.toSeq}")
+    val ns = keyedShingleSets(newDocs, idCol, textCol, n)
+      .staged // reused: 3 branches
+    // exact fingerprint match — valve-immune by design
+    val exact = ns.select(col("id"), col("__fp"))
+      .join(state.reps.select(col("__fp"), col("cid")), "__fp")
+      .select(col("id"), col("cid"), lit(1.0).as("jaccard"))
     val nb = lshBuckets(withSig(ns, Seq("id")))
-    val near = nb.join(cb, Seq("band", "bucket"))
+    val near = nb.join(state.buckets.select("band", "bucket", "cid"),
+        Seq("band", "bucket"))
       .select(col("id"), col("cid")).distinct()
       .join(ns.select(col("id"), col("sharr")), "id")
-      .join(crep.select(col("cid"), col("csharr")), "cid")
+      .join(state.reps.select(col("cid"), col("csharr")), "cid")
       .withColumn("common", size(array_intersect(col("sharr"), col("csharr"))))
       .withColumn("jaccard",
         col("common").cast("double") /
@@ -493,6 +551,17 @@ object Dedup {
       .select(col("id"), col("cid").as("dup_of"), col("jaccard"))
     ns.select(col("id")).join(best, Seq("id"), "left")
   }
+
+  /** (id, sharr, __fp) keyed shingle sets — the shared projection of the
+    * MinHash ingest family (set fingerprint = md5 of the sorted array). */
+  private def keyedShingleSets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame =
+    shingleArrays(df, idCol, textCol, n)
+      .withColumn("__fp", md5(concat_ws("", array_sort(col("sharr")))))
 
   /** Benchmark-contamination check (the GPT-3-style train/test
     * decontamination measure, Brown et al. 2020 appendix C): for every

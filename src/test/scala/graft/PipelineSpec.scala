@@ -1529,6 +1529,31 @@ class PipelineSpec extends SparkTestBase {
     assert(viaAgainst == direct)
   }
 
+  test("minhash dedup state: parquet round-trip applies identically to the convenience form") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val direct = Dedup.dedupAgainst(corpus, fresh, "doc_id", "text",
+        n = 2, threshold = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toSet
+    // freeze the corpus state, persist BOTH frames, reload, apply
+    val state = Dedup.minhashDedupState(corpus, "doc_id", "text", n = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhstate").toString
+    state.reps.write.mode("overwrite").parquet(s"$dir/reps")
+    state.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    val loaded = Dedup.MinhashDedupState(
+      spark.read.parquet(s"$dir/reps"),
+      spark.read.parquet(s"$dir/buckets"))
+    val viaState = Dedup.dedupAgainstState(loaded, fresh, "doc_id", "text",
+        n = 2, threshold = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toSet
+    assert(viaState == direct && direct.nonEmpty)
+    // the state really carries dup signal (some shard doc matched)
+    assert(direct.exists(_._2.isDefined))
+  }
+
   test("removeDupLines plan: no window — first-occurrence picks ride the hash agg") {
     val ml = docs.select(col("doc_id"),
       regexp_replace(col("text"), " ", "\n").as("text"))

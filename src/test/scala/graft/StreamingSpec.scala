@@ -249,6 +249,46 @@ class StreamingSpec extends SparkTestBase {
     assert(doc10._2 == 3L && doc10._3 == "x y", s"got $doc10")
   }
 
+  test("minhash ingest dedup streams from a frozen state via foreachBatch, equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    // steady-state shape: the corpus rep/bucket tables are built ONCE
+    // (minhashDedupState) and every micro-batch applies against them —
+    // no corpus-side recompute per batch
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val state = Dedup.minhashDedupState(corpus, "doc_id", "text")
+    state.reps.cache().count()
+    state.buckets.cache().count()
+    val shard = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup
+      (11L, "one two three four five six seven nine"),        // near dup
+      (12L, "totally different words entirely here now"))
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = Dedup.dedupAgainstState(state, batch, "doc_id", "text")
+          .collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        got.synchronized { got ++= out }; ()
+      }
+      .start()
+    input.addData(shard: _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = Dedup.dedupAgainstState(state,
+        shard.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(got.toSet == expected)
+    assert(expected.contains((10L, Some(1L))) &&
+      expected.contains((12L, None)))
+  }
+
   test("incremental line dedup runs per micro-batch via foreachBatch, equals batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Dedup
