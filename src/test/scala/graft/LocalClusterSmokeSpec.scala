@@ -278,6 +278,18 @@ class LocalClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(viaState === batch)
     assert(batch.exists(_._2 == 2)) // the partial epoch really exists
+    // frozen MinHash state applies across executors ≡ the convenience form
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val mh = graft.pipeline.Dedup.minhashDedupState(corpus, "doc_id", "text")
+    val viaMh = graft.pipeline.Dedup.dedupAgainstState(mh, fresh,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toSet
+    val directMh = graft.pipeline.Dedup.dedupAgainst(corpus, fresh,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toSet
+    assert(viaMh === directMh)
   }
 
   test("streaming funnel state store works under executors") {

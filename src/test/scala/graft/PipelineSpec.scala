@@ -1529,6 +1529,39 @@ class PipelineSpec extends SparkTestBase {
     assert(viaAgainst == direct)
   }
 
+  test("bucketed line-fingerprint state: shard ingest exploits the bucket layout, same result") {
+    // the documented 100 TB state layout for the LINE family (the span
+    // family's bucketed-state pin, same mechanics): lineFingerprints
+    // persisted bucketed by fp — the per-shard join reads the corpus
+    // state AS BUCKETS, only the shard side shuffles
+    val ml = docs.select(col("doc_id"),
+      graft.pipeline.TextOps.tokenChunkLines(col("text"), 5).as("text"))
+    val corpus = ml.filter(col("doc_id") % 10 =!= 0)
+    val shard = ml.filter(col("doc_id") % 10 === 0)
+    val t = "graft_linefps_b"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(loc)
+    }
+    val fps = Dedup.lineFingerprints(corpus, "doc_id", "text")
+    graft.sources.ScaleOps.writeBucketed(fps, t, Seq("fp"), 8)
+    val bucketed = Dedup.removeDupLinesAgainst(spark.table(t), shard,
+      "doc_id", "text")
+    val plain = Dedup.removeDupLinesAgainst(fps, shard, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    val got = bucketed
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(got == plain && got.nonEmpty)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+  }
+
   test("minhash dedup state: parquet round-trip applies identically to the convenience form") {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val fresh = docs.filter(col("doc_id") % 10 === 0)
