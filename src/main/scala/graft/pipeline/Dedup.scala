@@ -246,11 +246,13 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucketSize: Option[Long] = Some(DefaultMaxBucketSize)
   ): DataFrame = {
-    val sh = shingleArrays(df, idCol, textCol, n)
     // exact-class collapse: canonical fingerprint of the (sorted) shingle
-    // set; one representative (min id) per class enters LSH
-    val keyed = sh
-      .withColumn("__fp", md5(concat_ws("", array_sort(col("sharr")))))
+    // set; one representative (min id) per class enters LSH. Shared with
+    // the dedupAgainst/state family; docs with NO shingles (fewer than n
+    // tokens) carry no n-gram evidence and never pair (fingerprinting the
+    // empty set would unite every short doc into one spurious "exact"
+    // class, which the pairwise oracle algebra rightly denies).
+    val keyed = keyedShingleSets(df, idCol, textCol, n)
       .staged // not persist: lazily-returned, see PLANS.md §22
     val memb = keyed.select(col("__fp"), col("id"))
     // one keyed agg picks the representative AND carries its shingle array
@@ -466,11 +468,20 @@ object Dedup {
     * bucket-size valve ALREADY applied (a corpus property, so it freezes
     * with the corpus). Persist both — `reps` bucketed by `__fp`,
     * `buckets` by (`band`, `bucket`) — and shard ingest joins them
-    * without a corpus-side shuffle. Refresh as the corpus grows by
-    * re-aggregating `reps` over the union with a new shard's keyed sets
-    * and unioning the NEW representatives' buckets (both steps
-    * shard-sized except the `__fp` re-agg, which is exchange-free on
-    * bucketed state). */
+    * without a corpus-side shuffle.
+    *
+    * Refreshing as the corpus grows must keep the two tables CONSISTENT
+    * (every `buckets.cid` must exist in `reps.cid`), so the sound
+    * incremental recipe is FIRST-WRITER-WINS: keep the existing rep for
+    * every `__fp` already in the state
+    * (`reps ← reps ∪ (shardReps ⟕anti reps on __fp)` — never re-minimize
+    * cid over the union, which would orphan the untouched bucket rows),
+    * append ONLY the genuinely-new fingerprints' bucket keys, and re-run
+    * the size valve over the bucket table (bucket-table-sized agg —
+    * cheap; skipping it lets hot buckets drift past the cap as the
+    * corpus grows). When in doubt, rebuild both tables from the corpus —
+    * the build is one distinct-set agg + one signature pass
+    * (measured 8.5 s at a 450k-doc corpus; BENCH_NOTES r12 §6b). */
   final case class MinhashDedupState(reps: DataFrame, buckets: DataFrame)
 
   /** Build [[MinhashDedupState]] from a corpus: one distinct-set agg +
@@ -486,6 +497,7 @@ object Dedup {
     // invariants make any member's array valid)
     val crep = keyedShingleSets(corpus, idCol, textCol, n).groupBy("__fp")
       .agg(min(col("id")).as("cid"), min_by(col("sharr"), col("id")).as("csharr"))
+      .withColumn("shingle_n", lit(n)) // config frozen into the state
       .staged // reused: the bucket pass here + exact/verify joins at apply
     val cb0 = lshBuckets(withSig(
         crep.select(col("cid").as("id"), col("csharr").as("sharr")),
@@ -520,12 +532,19 @@ object Dedup {
       n: Int = 2,
       threshold: Double = 0.5
   ): DataFrame = {
-    require(Seq("__fp", "cid", "csharr")
+    require(Seq("__fp", "cid", "csharr", "shingle_n")
         .forall(state.reps.columns.contains),
-      s"state.reps must carry (__fp, cid, csharr), got ${state.reps.columns.toSeq}")
+      s"state.reps must carry (__fp, cid, csharr, shingle_n), got ${state.reps.columns.toSeq}")
     require(Seq("band", "bucket", "cid")
         .forall(state.buckets.columns.contains),
       s"state.buckets must carry (band, bucket, cid), got ${state.buckets.columns.toSeq}")
+    // the shingle width is frozen into the state: a mismatched n would
+    // otherwise SILENTLY report every shard doc unique (2-gram
+    // fingerprints/buckets never meet 3-gram state)
+    state.reps.select("shingle_n").take(1).foreach { r =>
+      require(r.getInt(0) == n,
+        s"state was built with n = ${r.getInt(0)}, apply called with n = $n")
+    }
     val ns = keyedShingleSets(newDocs, idCol, textCol, n)
       .staged // reused: 3 branches
     // exact fingerprint match — valve-immune by design
@@ -549,11 +568,17 @@ object Dedup {
     val best = exact.unionByName(near)
       .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
       .select(col("id"), col("cid").as("dup_of"), col("jaccard"))
-    ns.select(col("id")).join(best, Seq("id"), "left")
+    // EVERY shard doc appears in the output — including sub-n-token docs,
+    // which carry no shingles and are unique by construction
+    newDocs.select(col(idCol).as("id")).join(best, Seq("id"), "left")
   }
 
   /** (id, sharr, __fp) keyed shingle sets — the shared projection of the
-    * MinHash ingest family (set fingerprint = md5 of the sorted array). */
+    * MinHash families (set fingerprint = md5 of the sorted array).
+    * Docs with NO shingles (fewer than `n` tokens) are EXCLUDED: they
+    * carry no n-gram evidence, and fingerprinting the empty set would
+    * unite every sub-n-token doc into one spurious "exact" class (the
+    * pairwise oracle algebra has no row for them either). */
   private def keyedShingleSets(
       df: DataFrame,
       idCol: String,
@@ -561,7 +586,13 @@ object Dedup {
       n: Int
   ): DataFrame =
     shingleArrays(df, idCol, textCol, n)
-      .withColumn("__fp", md5(concat_ws("", array_sort(col("sharr")))))
+      .filter(size(col("sharr")) > 0)
+      // \u0001 separator: an empty separator is ambiguous under
+      // concatenation (["a","bc"] and ["ab","c"] would share a
+      // fingerprint); tokens come from whitespace splits, so the control
+      // byte cannot appear at a shingle boundary
+      .withColumn("__fp",
+        md5(concat_ws("\u0001", array_sort(col("sharr")))))
 
   /** Benchmark-contamination check (the GPT-3-style train/test
     * decontamination measure, Brown et al. 2020 appendix C): for every

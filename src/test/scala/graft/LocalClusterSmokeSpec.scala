@@ -278,18 +278,27 @@ class LocalClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(viaState === batch)
     assert(batch.exists(_._2 == 2)) // the partial epoch really exists
-    // frozen MinHash state applies across executors ≡ the convenience form
+    // frozen MinHash state round-trips through parquet and applies across
+    // executors identically to the in-memory state (the convenience form
+    // shares the state path by construction, so the serialization
+    // boundary is the non-tautological thing to pin here)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val fresh = docs.filter(col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + 1000000L)
     val mh = graft.pipeline.Dedup.minhashDedupState(corpus, "doc_id", "text")
-    val viaMh = graft.pipeline.Dedup.dedupAgainstState(mh, fresh,
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc_mh").toString
+    mh.reps.write.mode("overwrite").parquet(s"$dir/reps")
+    mh.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    val loadedMh = graft.pipeline.Dedup.MinhashDedupState(
+      spark.read.parquet(s"$dir/reps"), spark.read.parquet(s"$dir/buckets"))
+    val viaMh = graft.pipeline.Dedup.dedupAgainstState(loadedMh, fresh,
         "doc_id", "text")
       .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toSet
-    val directMh = graft.pipeline.Dedup.dedupAgainst(corpus, fresh,
+    val inMemMh = graft.pipeline.Dedup.dedupAgainstState(mh, fresh,
         "doc_id", "text")
       .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toSet
-    assert(viaMh === directMh)
+    assert(viaMh === inMemMh)
+    assert(viaMh.exists(_._2.isDefined))
   }
 
   test("streaming funnel state store works under executors") {

@@ -818,17 +818,16 @@ class PipelineSpec extends SparkTestBase {
     assert(viaAgainst == direct)
   }
 
-  test("bucketed span-fingerprint state: shard ingest exploits the bucket layout, same result") {
-    // the documented 100 TB state layout: spanFingerprints persisted
-    // bucketed by fp (writeBucketed) — the per-shard fp join then reads
-    // the corpus state AS BUCKETS (no corpus-side exchange; only the
-    // shard side, which is shard-sized, shuffles to match)
-    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    val shard = docs.filter(col("doc_id") % 10 === 0)
-    val t = "graft_spanfps_b"
-    spark.sql(s"DROP TABLE IF EXISTS $t")
+  /** Drop-recreate a bucketed warehouse table and hand it back as a
+    * DataFrame — the shared setup of the bucketed-state pins. */
+  private def withBucketedTable(
+      name: String,
+      df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String],
+      buckets: Int): org.apache.spark.sql.DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
     val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
     if (loc.exists()) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
@@ -836,9 +835,20 @@ class PipelineSpec extends SparkTestBase {
       }
       rm(loc)
     }
+    graft.sources.ScaleOps.writeBucketed(df, name, cols, buckets)
+    spark.table(name)
+  }
+
+  test("bucketed span-fingerprint state: shard ingest exploits the bucket layout, same result") {
+    // the documented 100 TB state layout: spanFingerprints persisted
+    // bucketed by fp (writeBucketed) — the per-shard fp join then reads
+    // the corpus state AS BUCKETS (no corpus-side exchange; only the
+    // shard side, which is shard-sized, shuffles to match)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val shard = docs.filter(col("doc_id") % 10 === 0)
     val fps = Dedup.spanFingerprints(corpus, "doc_id", "text", width = 5)
-    graft.sources.ScaleOps.writeBucketed(fps, t, Seq("fp"), 8)
-    val bucketed = Dedup.removeDupSpansAgainst(spark.table(t), shard,
+    val state = withBucketedTable("graft_spanfps_b", fps, Seq("fp"), 8)
+    val bucketed = Dedup.removeDupSpansAgainst(state, shard,
       "doc_id", "text", width = 5)
     val plain = Dedup.removeDupSpansAgainst(fps, shard,
         "doc_id", "text", width = 5)
@@ -1538,20 +1548,9 @@ class PipelineSpec extends SparkTestBase {
       graft.pipeline.TextOps.tokenChunkLines(col("text"), 5).as("text"))
     val corpus = ml.filter(col("doc_id") % 10 =!= 0)
     val shard = ml.filter(col("doc_id") % 10 === 0)
-    val t = "graft_linefps_b"
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(loc)
-    }
     val fps = Dedup.lineFingerprints(corpus, "doc_id", "text")
-    graft.sources.ScaleOps.writeBucketed(fps, t, Seq("fp"), 8)
-    val bucketed = Dedup.removeDupLinesAgainst(spark.table(t), shard,
+    val state = withBucketedTable("graft_linefps_b", fps, Seq("fp"), 8)
+    val bucketed = Dedup.removeDupLinesAgainst(state, shard,
       "doc_id", "text")
     val plain = Dedup.removeDupLinesAgainst(fps, shard, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
@@ -1585,6 +1584,33 @@ class PipelineSpec extends SparkTestBase {
     assert(viaState == direct && direct.nonEmpty)
     // the state really carries dup signal (some shard doc matched)
     assert(direct.exists(_._2.isDefined))
+    // a mismatched shingle width refuses loudly (frozen into the state —
+    // it would otherwise silently report every shard doc unique)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstState(loaded, fresh, "doc_id", "text", n = 3)
+    }
+    assert(e.getMessage.contains("built with n = 2"))
+  }
+
+  test("sub-n-token docs never pair: no md5-of-empty-set exact class") {
+    // two unrelated one-token docs have NO bigram evidence — they must
+    // not be declared exact duplicates of each other (the pairwise
+    // oracle algebra has no row for them), and they still appear in the
+    // ingest output as unique
+    val corpus = Seq((1L, "hello"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val fresh = Seq((10L, "goodbye"), (11L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(corpus, fresh, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(10L).isEmpty, s"short doc spuriously matched: ${out(10L)}")
+    assert(out(11L).contains(2L))
+    assert(out.size == 2) // every shard doc appears, short ones included
+    // same rule inside minhashPairs (the within-class expansion)
+    val all = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(all, "doc_id", "text").count() == 0)
   }
 
   test("removeDupLines plan: no window — first-occurrence picks ride the hash agg") {
