@@ -254,6 +254,7 @@ object Dedup {
     // class, which the pairwise oracle algebra rightly denies).
     val keyed = keyedShingleSets(df, idCol, textCol, n)
       .staged // not persist: lazily-returned, see PLANS.md §22
+      .filter(col("__fp").isNotNull) // post-barrier: no pushdown recompute
     val memb = keyed.select(col("__fp"), col("id"))
     // one keyed agg picks the representative AND carries its shingle array
     // (any member's works: signature/Jaccard are set-level invariants) —
@@ -499,6 +500,7 @@ object Dedup {
       .agg(min(col("id")).as("cid"), min_by(col("sharr"), col("id")).as("csharr"))
       .withColumn("shingle_n", lit(n)) // config frozen into the state
       .staged // reused: the bucket pass here + exact/verify joins at apply
+      .filter(col("__fp").isNotNull) // post-barrier: drop the empty-set group
     val cb0 = lshBuckets(withSig(
         crep.select(col("cid").as("id"), col("csharr").as("sharr")),
         Seq("id")))
@@ -547,6 +549,7 @@ object Dedup {
     }
     val ns = keyedShingleSets(newDocs, idCol, textCol, n)
       .staged // reused: 3 branches
+      .filter(col("__fp").isNotNull) // post-barrier: no pushdown recompute
     // exact fingerprint match — valve-immune by design
     val exact = ns.select(col("id"), col("__fp"))
       .join(state.reps.select(col("__fp"), col("cid")), "__fp")
@@ -585,14 +588,19 @@ object Dedup {
       textCol: String,
       n: Int
   ): DataFrame =
+    // a shingle-less doc gets a NULL fingerprint (not a filter: Catalyst
+    // pushes a size() predicate BELOW the projection by substitution,
+    // re-evaluating the whole tokenize+shingle pipeline per row — the
+    // documented HOF-lambda trap; consumers drop null-fp rows AFTER
+    // their staging barrier, where the filter costs a materialized-array
+    // null test). \u0001 separator: an empty separator is ambiguous
+    // under concatenation (["a","bc"] and ["ab","c"] would share a
+    // fingerprint); tokens come from whitespace splits, so the control
+    // byte cannot appear at a shingle boundary.
     shingleArrays(df, idCol, textCol, n)
-      .filter(size(col("sharr")) > 0)
-      // \u0001 separator: an empty separator is ambiguous under
-      // concatenation (["a","bc"] and ["ab","c"] would share a
-      // fingerprint); tokens come from whitespace splits, so the control
-      // byte cannot appear at a shingle boundary
       .withColumn("__fp",
-        md5(concat_ws("\u0001", array_sort(col("sharr")))))
+        when(size(col("sharr")) > 0,
+          md5(concat_ws("\u0001", array_sort(col("sharr"))))))
 
   /** Benchmark-contamination check (the GPT-3-style train/test
     * decontamination measure, Brown et al. 2020 appendix C): for every
