@@ -2046,6 +2046,66 @@ object OracleSql {
          |  ON f.id = b.id
          |ORDER BY f.id""".stripMargin,
 
+    // refreshed-state MinHash ingest: the state path (build on the base,
+    // first-writer-wins refresh with the growth shard) must reproduce the
+    // full pairwise best-match algebra over the GROWN corpus at 0.5
+    "q251_dedup_refreshed_state" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |    WHERE doc_id % 10 NOT IN (0, 9)
+         |  UNION ALL
+         |  SELECT doc_id + 10000000 AS id, text FROM documents
+         |    WHERE doc_id % 10 = 9),
+         |fresh AS (SELECT doc_id + 20000000 AS id, text FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |shc AS (SELECT DISTINCT id, unnest(${bigrams(toks("text"))}) AS shingle
+         |  FROM corpus),
+         |shn AS (SELECT DISTINCT id, unnest(${bigrams(toks("text"))}) AS shingle
+         |  FROM fresh),
+         |szc AS (SELECT id, count(*) sz FROM shc GROUP BY id),
+         |szn AS (SELECT id, count(*) sz FROM shn GROUP BY id),
+         |common AS (SELECT n.id, c.id AS cid, count(*) AS c
+         |  FROM shn n JOIN shc c ON n.shingle = c.shingle GROUP BY 1, 2),
+         |j AS (SELECT common.id, cid,
+         |    c::DOUBLE / (szn.sz + szc.sz - c) AS jaccard
+         |  FROM common JOIN szn ON common.id = szn.id
+         |    JOIN szc ON common.cid = szc.id
+         |  WHERE c::DOUBLE / (szn.sz + szc.sz - c) >= 0.5),
+         |best AS (SELECT id, cid AS dup_of, jaccard, row_number() OVER
+         |    (PARTITION BY id ORDER BY jaccard DESC, cid ASC) AS r FROM j)
+         |SELECT f.id, b.dup_of, b.jaccard
+         |FROM fresh f LEFT JOIN (SELECT * FROM best WHERE r = 1) b
+         |  ON f.id = b.id
+         |ORDER BY f.id""".stripMargin,
+
+    // boilerplate-mode incremental line dedup: corpus fingerprints mask
+    // every shard occurrence; within-shard repeats are scrubbed ENTIRELY
+    // (q248 without the keep-first rn > 1 survivor)
+    "q252_line_scrub_incremental" ->
+      s"""WITH $LineChunks,
+         |fresh AS (SELECT * FROM t1 WHERE id % 10 = 0),
+         |cl AS (SELECT unnest(lines) AS line FROM t1 WHERE id % 10 <> 0),
+         |cfp AS (SELECT DISTINCT md5(line) AS k FROM cl
+         |  WHERE trim(line) <> ''),
+         |lx AS (SELECT id, unnest(range(1, len(lines) + 1)) AS i FROM fresh),
+         |l AS (SELECT lx.id, (i - 1)::BIGINT AS pos, f.lines[i] AS line
+         |  FROM lx JOIN fresh f USING (id)),
+         |k AS (SELECT id, pos, md5(line) AS k FROM l WHERE trim(line) <> ''),
+         |o AS (SELECT k.*, count(*) OVER (PARTITION BY k) AS c FROM k),
+         |m AS (SELECT o.id, o.pos FROM o LEFT JOIN cfp ON o.k = cfp.k
+         |  WHERE cfp.k IS NOT NULL OR c >= 2),
+         |mk AS (SELECT id, list(DISTINCT pos) AS mask FROM m GROUP BY id),
+         |f2 AS (SELECT t.id, t.lines,
+         |    list_filter(range(1, len(t.lines) + 1),
+         |      i -> mk.mask IS NULL OR NOT list_contains(mk.mask,
+         |        (i - 1)::BIGINT)) AS kept
+         |  FROM fresh t LEFT JOIN mk ON t.id = mk.id)
+         |SELECT id, len(lines)::BIGINT AS n_lines,
+         |  (len(lines) - len(kept))::BIGINT AS n_removed,
+         |  coalesce(array_to_string(list_transform(kept, i -> lines[i]),
+         |    chr(10)), '') AS text_clean
+         |FROM f2 ORDER BY id""".stripMargin,
+
     // RefinedWeb-style line dedup with removal: the mlDocs 5-token chunk
     // synthesis replayed, then the naive-window keep-first formulation
     // (the engine uses a single counting hash agg instead)

@@ -1570,6 +1570,39 @@ object Queries {
         .orderBy("id")
     }),
 
+    // dedup: REFRESHED MinHash state — the first-writer-wins incremental
+    // refresh folds a growth shard into a frozen state (tombstoned
+    // valve, config read from the state); applying the refreshed state
+    // must equal the full pairwise algebra over the GROWN corpus
+    "q251_dedup_refreshed_state" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 9)
+      val grow = d.filter(col("doc_id") % 10 === 9)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      val refreshed = Dedup.minhashDedupStateRefresh(
+        Dedup.minhashDedupState(base, "doc_id", "text", n = 2),
+        grow, "doc_id", "text")
+      val fresh = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000000L)
+      Dedup.dedupAgainstState(refreshed, fresh, "doc_id", "text", n = 2,
+          threshold = 0.5)
+        .orderBy("id")
+    }),
+
+    // dedup: incremental line dedup in BOILERPLATE mode — corpus
+    // fingerprints strip every shard occurrence AND within-shard repeats
+    // are scrubbed entirely (no first-occurrence survivor): the
+    // nav-bar/cookie-banner scrub composed with ingest
+    "q252_line_scrub_incremental" -> ((s, dir) => {
+      val ml = mlDocs(s, dir)
+      Dedup.removeDupLinesAgainst(
+          Dedup.lineFingerprints(
+            ml.filter(col("doc_id") % 10 =!= 0), "doc_id", "mltext"),
+          ml.filter(col("doc_id") % 10 === 0), "doc_id", "mltext",
+          keepFirst = false)
+        .orderBy("id")
+    }),
+
     // sampling: frozen-state incremental epoch-repeat budget — shard rows
     // get every full epoch plus the frozen remainder cut, so the output
     // is exactly the full-corpus repeat mixture restricted to the shard
@@ -3158,7 +3191,8 @@ object Queries {
         "q170_canonical_docs", "q171_record_linkage",
         "q233_dedup_span_removal", "q240_span_removal_incremental",
         "q245_line_dedup_removal", "q247_dedup_keep_best",
-        "q248_line_dedup_incremental", "q250_dedup_against_state"),
+        "q248_line_dedup_incremental", "q250_dedup_against_state",
+        "q251_dedup_refreshed_state", "q252_line_scrub_incremental"),
       "similarity" -> Seq(
         "q35_knn_brute", "q36_knn_lsh", "q41_knn_ivf", "q56_kmeans_cells",
         "q203_knn_join_brute", "q204_knn_join",

@@ -472,18 +472,40 @@ object Dedup {
     * without a corpus-side shuffle.
     *
     * Refreshing as the corpus grows must keep the two tables CONSISTENT
-    * (every `buckets.cid` must exist in `reps.cid`), so the sound
-    * incremental recipe is FIRST-WRITER-WINS: keep the existing rep for
-    * every `__fp` already in the state
-    * (`reps ← reps ∪ (shardReps ⟕anti reps on __fp)` — never re-minimize
-    * cid over the union, which would orphan the untouched bucket rows),
-    * append ONLY the genuinely-new fingerprints' bucket keys, and re-run
-    * the size valve over the bucket table (bucket-table-sized agg —
-    * cheap; skipping it lets hot buckets drift past the cap as the
-    * corpus grows). When in doubt, rebuild both tables from the corpus —
-    * the build is one distinct-set agg + one signature pass
-    * (measured 8.5 s at a 450k-doc corpus; BENCH_NOTES r12 §6b). */
-  final case class MinhashDedupState(reps: DataFrame, buckets: DataFrame)
+    * (every `buckets.cid` must exist in `reps.cid`) —
+    * [[minhashDedupStateRefresh]] implements the sound FIRST-WRITER-WINS
+    * recipe (keep the existing rep for every `__fp` already in the
+    * state; never re-minimize cid over the union, which would orphan the
+    * untouched bucket rows; append only the genuinely-new fingerprints'
+    * bucket keys; re-run the size valve over the whole bucket table).
+    * When in doubt, rebuild both tables from the corpus — the build is
+    * one distinct-set agg + one signature pass (measured 8.5 s at a
+    * 450k-doc corpus; BENCH_NOTES r12 §6b; refresh-vs-rebuild measured
+    * in BENCH_NOTES r13). */
+  final case class MinhashDedupState(reps: DataFrame, buckets: DataFrame) {
+    /** (shingle width, valve cap) frozen into the state, read ONCE per
+      * state object and cached driver-side (every `reps` row repeats
+      * them, so `take(1)` is deterministic; the probe is one
+      * sliver-sized job — a streaming `foreachBatch` loop reusing one
+      * state object pays it once, not per micro-batch). `None` ⇔ `reps`
+      * is EMPTY: a corpus with no ≥n-token docs freezes no config. A
+      * state persisted before the `max_bucket` column existed reads a
+      * `None` cap (refresh separately refuses such states). */
+    private[pipeline] lazy val frozenMeta: Option[(Int, Option[Long])] =
+      if (reps.columns.contains("max_bucket"))
+        reps.select("shingle_n", "max_bucket").take(1).headOption.map { r =>
+          (r.getInt(0), if (r.getLong(1) < 0L) None else Some(r.getLong(1)))
+        }
+      else
+        reps.select("shingle_n").take(1).headOption.map(r => (r.getInt(0), None))
+
+    /** Shingle width frozen into the state — `None` ⇔ `reps` is EMPTY
+      * (an empty corpus freezes no width; [[dedupAgainstState]] then
+      * skips the width check and reports every shard doc unique, which
+      * is correct for an empty corpus and the only sound reading of a
+      * width-less state). */
+    lazy val shingleN: Option[Int] = frozenMeta.map(_._1)
+  }
 
   /** Build [[MinhashDedupState]] from a corpus: one distinct-set agg +
     * one signature/bucket pass over the representatives. */
@@ -498,23 +520,112 @@ object Dedup {
     // invariants make any member's array valid)
     val crep = keyedShingleSets(corpus, idCol, textCol, n).groupBy("__fp")
       .agg(min(col("id")).as("cid"), min_by(col("sharr"), col("id")).as("csharr"))
-      .withColumn("shingle_n", lit(n)) // config frozen into the state
+      // config frozen into the state (-1 = unvalved): apply and refresh
+      // read width and cap FROM the state, so neither can be
+      // mis-parameterized against the freeze
+      .withColumn("shingle_n", lit(n))
+      .withColumn("max_bucket", lit(maxBucketSize.getOrElse(-1L)))
       .staged // reused: the bucket pass here + exact/verify joins at apply
       .filter(col("__fp").isNotNull) // post-barrier: drop the empty-set group
     val cb0 = lshBuckets(withSig(
         crep.select(col("cid").as("id"), col("csharr").as("sharr")),
         Seq("id")))
       .withColumnRenamed("id", "cid")
-    // valve on the CORPUS bucket size — frozen into the state
+    // valve on the CORPUS bucket size — frozen into the state. Over-cap
+    // buckets leave a TOMBSTONE (one null-cid row) instead of vanishing:
+    // apply skips them (null cid matches no rep), but
+    // [[minhashDedupStateRefresh]] needs to know the bucket was
+    // saturated — otherwise a refresh would "resurrect" a
+    // boilerplate-hot bucket from its new members alone and diverge
+    // from a rebuild. Tombstone count is bounded by the hot-bucket
+    // count, never corpus-sized.
     val cb = maxBucketSize match {
       case None => cb0
       case Some(cap) =>
-        val ok = cb0.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") <= cap)
+        val hot = cb0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > cap)
           .select("band", "bucket")
-        cb0.join(ok, Seq("band", "bucket"), "left_semi")
+        cb0.join(hot, Seq("band", "bucket"), "left_anti")
+          .unionByName(hot.withColumn("cid",
+            lit(null).cast(cb0.schema("cid").dataType)))
     }
     MinhashDedupState(crep, cb)
+  }
+
+  /** FIRST-WRITER-WINS incremental refresh of a [[MinhashDedupState]] —
+    * fold a NEW shard's fingerprint classes into a frozen state without
+    * touching the existing representatives (the recipe documented on
+    * [[MinhashDedupState]], as code): every `__fp` already in the state
+    * keeps its representative, so `dup_of` labels stay STABLE across
+    * refreshes (a rebuild re-minimizes ids and can relabel); only
+    * genuinely-NEW fingerprints contribute reps and bucket keys; the
+    * size valve re-runs over the whole bucket table under the cap frozen
+    * into the state, with tombstoned (previously saturated) buckets
+    * staying saturated.
+    *
+    * Refresh ≡ rebuild (spec-pinned): applying the refreshed state
+    * equals applying `minhashDedupState(corpus ∪ shard)` whenever shard
+    * ids don't undercut an existing class representative (the routine
+    * monotone-id ingest); a lower new id in an EXISTING class changes
+    * only the `dup_of` LABEL, never the keep/drop partition (reps,
+    * signatures, and buckets are set-level invariants).
+    *
+    * Scale shape: shard-sized shingle pass, ONE left-anti fp join
+    * against the (fp-bucketable) reps, a signature pass over the new
+    * classes only, and a bucket-table-sized valve agg — nothing
+    * corpus-sized recomputes, shuffles, or reaches the driver. All
+    * config (shingle width, valve cap) reads from the state itself.
+    * Refuses an EMPTY state (nothing frozen to refresh — build with
+    * [[minhashDedupState]] instead) and a pre-tombstone state (no
+    * `max_bucket` meta: rebuild once — the fingerprint encoding changed
+    * in the same library version). */
+  def minhashDedupStateRefresh(
+      state: MinhashDedupState,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String
+  ): MinhashDedupState = {
+    require(state.reps.columns.contains("max_bucket"),
+      "state carries no frozen max_bucket meta (persisted by a " +
+        "pre-refresh library version) — rebuild it with minhashDedupState")
+    val (n, cap) = state.frozenMeta.getOrElse(throw new IllegalArgumentException(
+      "cannot refresh an EMPTY state (no frozen shingle width) — " +
+        "build with minhashDedupState instead"))
+    val sreps = keyedShingleSets(newDocs, idCol, textCol, n).groupBy("__fp")
+      .agg(min(col("id")).as("cid"), min_by(col("sharr"), col("id")).as("csharr"))
+      .withColumn("shingle_n", lit(n))
+      .withColumn("max_bucket", lit(cap.getOrElse(-1L)))
+      .staged // reused: the anti join + the returned union
+      .filter(col("__fp").isNotNull)
+    // first-writer-wins: only fingerprints the state has never seen
+    // enter; an existing class keeps its rep and its bucket rows intact
+    val freshReps = sreps
+      .join(state.reps.select("__fp"), Seq("__fp"), "left_anti")
+      .staged // reused: bucket pass + returned union
+    val freshBk = lshBuckets(withSig(
+        freshReps.select(col("cid").as("id"), col("csharr").as("sharr")),
+        Seq("id")))
+      .withColumnRenamed("id", "cid")
+    val oldBk = state.buckets.select(col("band"), col("bucket"), col("cid"))
+    val union = oldBk
+      .unionByName(freshBk.select(col("band"), col("bucket"), col("cid")))
+    val valved = cap match {
+      case None => union
+      case Some(c) =>
+        val u = union.staged // reused: valve agg + keep filter
+        // a bucket is saturated iff its LIVE member count exceeds the cap
+        // or it carries a tombstone (its pre-freeze members were dropped
+        // but counted — exactly what a rebuild over the union would see)
+        val sz = u.groupBy("band", "bucket")
+          .agg(count(col("cid")).as("__live"), count(lit(1)).as("__all"))
+        val hot = sz
+          .filter(col("__all") > col("__live") || col("__live") > c)
+          .select("band", "bucket")
+        u.join(hot, Seq("band", "bucket"), "left_anti")
+          .unionByName(hot.withColumn("cid",
+            lit(null).cast(oldBk.schema("cid").dataType)))
+    }
+    MinhashDedupState(state.reps.unionByName(freshReps), valved)
   }
 
   /** Apply a frozen [[MinhashDedupState]] to a NEW shard — the
@@ -542,10 +653,12 @@ object Dedup {
       s"state.buckets must carry (band, bucket, cid), got ${state.buckets.columns.toSeq}")
     // the shingle width is frozen into the state: a mismatched n would
     // otherwise SILENTLY report every shard doc unique (2-gram
-    // fingerprints/buckets never meet 3-gram state)
-    state.reps.select("shingle_n").take(1).foreach { r =>
-      require(r.getInt(0) == n,
-        s"state was built with n = ${r.getInt(0)}, apply called with n = $n")
+    // fingerprints/buckets never meet 3-gram state). The probe is cached
+    // on the state object (lazy val — once per state, not per call);
+    // None = empty reps, documented on [[MinhashDedupState.shingleN]]
+    state.shingleN.foreach { sn =>
+      require(sn == n,
+        s"state was built with n = $sn, apply called with n = $n")
     }
     val ns = keyedShingleSets(newDocs, idCol, textCol, n)
       .staged // reused: 3 branches
@@ -555,7 +668,10 @@ object Dedup {
       .join(state.reps.select(col("__fp"), col("cid")), "__fp")
       .select(col("id"), col("cid"), lit(1.0).as("jaccard"))
     val nb = lshBuckets(withSig(ns, Seq("id")))
-    val near = nb.join(state.buckets.select("band", "bucket", "cid"),
+    // tombstones (null-cid rows marking valved-out hot buckets — refresh
+    // bookkeeping) match no candidate: filter them out explicitly
+    val near = nb.join(state.buckets.select("band", "bucket", "cid")
+          .filter(col("cid").isNotNull),
         Seq("band", "bucket"))
       .select(col("id"), col("cid")).distinct()
       .join(ns.select(col("id"), col("sharr")), "id")
@@ -593,14 +709,22 @@ object Dedup {
     // re-evaluating the whole tokenize+shingle pipeline per row — the
     // documented HOF-lambda trap; consumers drop null-fp rows AFTER
     // their staging barrier, where the filter costs a materialized-array
-    // null test). \u0001 separator: an empty separator is ambiguous
-    // under concatenation (["a","bc"] and ["ab","c"] would share a
-    // fingerprint); tokens come from whitespace splits, so the control
-    // byte cannot appear at a shingle boundary.
+    // null test). Each shingle is LENGTH-PREFIXED ("len:shingle") before
+    // the \u0001 join: a bare separator would be ambiguous when a token
+    // itself contains U+0001 (whitespace-split tokens may carry any
+    // non-space byte — n=1: token "a\u0001b" vs tokens ["a","b"]), while
+    // the prefix-free length code makes the concatenation injective, so
+    // two DISTINCT shingle sets can never share a pre-image (only an md5
+    // collision could pair them). Changing this encoding changes the
+    // __fp VALUES (not the grouping), so states persisted by an older
+    // [[minhashDedupState]] must be rebuilt across this library change —
+    // the fp is an internal key, never part of a result.
     shingleArrays(df, idCol, textCol, n)
       .withColumn("__fp",
         when(size(col("sharr")) > 0,
-          md5(concat_ws("\u0001", array_sort(col("sharr"))))))
+          md5(concat_ws("\u0001",
+            transform(array_sort(col("sharr")),
+              s => concat(length(s).cast("string"), lit(":"), s))))))
 
   /** Benchmark-contamination check (the GPT-3-style train/test
     * decontamination measure, Brown et al. 2020 appendix C): for every
@@ -1315,9 +1439,13 @@ object Dedup {
     * when its fingerprint exists in the corpus (EVERY shard occurrence is
     * masked — the corpus already carries that line), or when it repeats
     * within the shard at least `minRepeat` times (the shard's first
-    * (id, pos) occurrence survives — the [[removeDupLines]] rule). With an
-    * empty fingerprint table this is exactly `removeDupLines(shard)`.
-    * Corpus documents are not touched or returned.
+    * (id, pos) occurrence survives — the [[removeDupLines]] rule;
+    * `keepFirst = false` is the BOILERPLATE mode, scrubbing every
+    * occurrence of a within-shard repeat exactly like the batch form's
+    * flag, so the nav-bar/cookie-banner scrub composes with incremental
+    * ingest). With an empty fingerprint table this is exactly
+    * `removeDupLines(shard)`. Corpus documents are not touched or
+    * returned.
     *
     * Scale shape: the corpus contributes ONE fingerprint-keyed equi join
     * (fp-bucketed state joins without a corpus-side shuffle — the
@@ -1332,7 +1460,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       delim: String = "\n",
-      minRepeat: Int = 2
+      minRepeat: Int = 2,
+      keepFirst: Boolean = true
   ): DataFrame = {
     require(minRepeat >= 2, s"minRepeat must be >= 2, got $minRepeat")
     require(corpusFps.columns.contains("fp"),
@@ -1351,7 +1480,9 @@ object Dedup {
       .join(dups, Seq("k"), "left")
       .filter(coalesce(col("__inC"), lit(false)) ||
         (col("__fid").isNotNull &&
-          !(col("id") === col("__fid") && col("pos") === col("__fpos"))))
+          (if (keepFirst)
+            !(col("id") === col("__fid") && col("pos") === col("__fpos"))
+          else lit(true))))
     rebuildLines(t, masked, delim)
   }
 

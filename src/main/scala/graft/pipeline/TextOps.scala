@@ -505,9 +505,15 @@ object TextOps {
     val nullTag = "\u0000<null-shard>"
     val shardKey = shardCol.map(s =>
       coalesce(col(s).cast("string"), lit(nullTag)).as("__shardKey")).toSeq
+    // n_tokens is coalesced AT THE PROJECTION so no later aggregate can
+    // see a NULL: the phase-1 driver seed read (getAs[Long]) would
+    // silently unbox a null bucket sum to 0 — numerically the same
+    // today, but an implicit dependency on JVM unboxing the seed
+    // arithmetic must never carry
     val base0 = df.filter(col(idCol).isNotNull)
       .select((Seq(col(idCol).as("id"),
-        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        coalesce(tokenCount(col(textCol)).cast("long"), lit(0L))
+          .as("n_tokens"),
         u.as("__u")) ++ keep ++ shardKey): _*)
       .withColumn("__bkt",
         shiftright(col("__u") * lit(buckets.toLong), 32).cast("int"))

@@ -89,10 +89,11 @@ object ScaleOps {
     * The manifest stores file names RELATIVE to `path` (basenames), so a
     * layout copied or relocated wholesale — the routine object-storage
     * move — stays self-describing; [[zorderScan]] resolves names against
-    * the `path` it is given. The layout is WRITE-ONCE: appending data
-    * files to `path` without re-running zorderWrite leaves them absent
-    * from the manifest and silently unread — rewrite (or extend the
-    * manifest) on any change, never append in place.
+    * the `path` it is given. The layout is WRITE-ONCE, and the contract
+    * is ENFORCED: [[zorderScan]] cross-checks the directory listing
+    * against the manifest and refuses loudly on any appended or
+    * vanished data file — rewrite (rerun zorderWrite) on any change,
+    * never append in place.
     *
     * Scale shape: one exact min/max aggregate over the input (narrow), one
     * range-partitioned sorted write (the sort parallelizes across
@@ -141,7 +142,17 @@ object ScaleOps {
     * files whose min/max boxes overlap every `(col, lo, hi)` bound
     * (closed intervals), then apply the exact predicate to the surviving
     * rows — identical rows to filtering a full scan, reading only the
-    * overlapping files. The manifest collect is file-count-sized. */
+    * overlapping files. The manifest collect is file-count-sized.
+    *
+    * The write-once contract is ENFORCED, not just documented: the
+    * layout's data files are listed (one driver-side directory listing,
+    * file-count-sized) and cross-checked against the manifest's name
+    * set — a file appended to `path` after [[zorderWrite]] (absent from
+    * the manifest: it would be SILENTLY UNREAD) or a manifest entry
+    * whose file has vanished (the scan would fail or, worse, a stale
+    * manifest could mask a partial rewrite) refuses loudly with the
+    * offending names. Rewrite the layout (or rerun zorderWrite) on any
+    * change. */
   def zorderScan(
       spark: SparkSession,
       path: String,
@@ -149,6 +160,30 @@ object ScaleOps {
   ): DataFrame = {
     require(bounds.nonEmpty, "zorderScan needs at least one bound")
     val manifest = spark.read.parquet(s"$path/_zmanifest")
+    val manifestNames = manifest.select("file").collect()
+      .map(_.getString(0)).toSet
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // data files live directly under `path`; metadata (_zmanifest/,
+    // _SUCCESS, checksums) is underscore- or dot-prefixed by convention
+    val onDisk = fs.listStatus(dir).filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .toSet
+    val appended = onDisk -- manifestNames
+    val vanished = manifestNames -- onDisk
+    require(appended.isEmpty && vanished.isEmpty,
+      "zorder layout violates the write-once contract" +
+        (if (appended.nonEmpty)
+          s"; data files absent from the manifest (appended after " +
+            s"zorderWrite — they would be silently unread): " +
+            appended.toSeq.sorted.take(5).mkString(", ")
+        else "") +
+        (if (vanished.nonEmpty)
+          s"; manifest entries with no data file: " +
+            vanished.toSeq.sorted.take(5).mkString(", ")
+        else "") +
+        " — rerun zorderWrite on the current data")
     val keep = bounds.map { case (c, lo, hi) =>
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)
@@ -962,16 +997,44 @@ object ScaleOps {
       domainCol: String,
       keyCol: String,
       tokens: Column
-  ): DataFrame = {
-    requireStringDomain(df, domainCol)
-    val stateCols = Seq("domain", "cross_bkt", "below_tok", "budget",
-      "u", "key", "tok", "salt", "n_buckets")
+  ): DataFrame =
+    sampleToTokenBudgetAgainst(PreparedTokenBudgetState(state), df,
+      domainCol, keyCol, tokens)
+
+  /** A [[tokenBudgetState]] frame with its driver-side meta (salt,
+    * n_buckets) read ONCE and cached — wrap the state before a
+    * high-frequency `foreachBatch` loop so the meta `head()` probe costs
+    * one driver job per STATE, not one per micro-batch (the convenience
+    * `sampleToTokenBudgetAgainst(state, …)` overload wraps per call and
+    * pays the probe each time — fine for batch, wasteful in a tight
+    * streaming loop). Column validation happens at construction; the
+    * meta probe on first use. */
+  final case class PreparedTokenBudgetState(state: DataFrame) {
+    private val stateCols = Seq("domain", "cross_bkt", "below_tok",
+      "budget", "u", "key", "tok", "salt", "n_buckets")
     require(stateCols.forall(state.columns.contains),
       s"state must carry tokenBudgetState columns $stateCols, " +
         s"got ${state.columns.toSeq}")
-    val head = state.select("salt", "n_buckets").head()
-    val salt = head.getString(0)
-    val buckets = head.getInt(1)
+    /** (salt, n_buckets) frozen into the state — every row repeats them,
+      * so the unordered head() is deterministic. */
+    lazy val saltBuckets: (String, Int) = {
+      val head = state.select("salt", "n_buckets").head()
+      (head.getString(0), head.getInt(1))
+    }
+  }
+
+  /** [[sampleToTokenBudgetAgainst]] over a [[PreparedTokenBudgetState]] —
+    * identical semantics, meta probe amortized across calls. */
+  def sampleToTokenBudgetAgainst(
+      prepared: PreparedTokenBudgetState,
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      tokens: Column
+  ): DataFrame = {
+    requireStringDomain(df, domainCol)
+    val state = prepared.state
+    val (salt, buckets) = prepared.saltBuckets
     val u = graft.pipeline.TextOps
       .hash32(concat(lit(salt), col(keyCol).cast("string")))
       .cast("double") / lit(4294967296.0)
@@ -1034,8 +1097,9 @@ object ScaleOps {
     * (domain, key, tok, priority) projection (4 narrow columns, NOT the
     * corpus — the rank-1-MF anti-lesson doesn't apply at that width),
     * runs the whole cut on it, and left-semi joins the kept keys back.
-    * The flag requires UNIQUE keys (the semi-join would otherwise keep
-    * every copy of a kept key; the priority order is keyed anyway) and
+    * The flag requires UNIQUE, NON-NULL keys — ENFORCED by one agg on
+    * the staged slim frame (a duplicate key would silently keep every
+    * copy of a kept key; a null key would silently vanish) — and
     * trades one corpus-sized key join for re-evaluating the priority in
     * 3-4 scans — worth it only when the priority dominates the scan
     * (measured A/B in BENCH_NOTES r12); the default evaluates in-scan.
@@ -1096,6 +1160,22 @@ object ScaleOps {
           tokens.cast("long").as("__mtok"),
           priority.cast("double").as("__mp"))
         .staged
+      // the semi-join back requires UNIQUE, NON-NULL keys (a duplicate
+      // key would silently keep EVERY copy of a kept key; a null key
+      // never matches the semi-join and would silently vanish) — one
+      // cheap agg on the already-staged slim frame enforces it
+      val chk = slim.agg(count(lit(1)).as("__n"),
+        count(col(keyCol)).as("__nk"),
+        countDistinct(col(keyCol)).as("__nd")).head()
+      require(chk.getLong(0) == chk.getLong(1),
+        s"materializePriority requires non-null keys: " +
+          s"${chk.getLong(0) - chk.getLong(1)} null `$keyCol` rows " +
+          "(the kept-key semi-join cannot match them)")
+      require(chk.getLong(1) == chk.getLong(2),
+        s"materializePriority requires unique keys: `$keyCol` has " +
+          s"${chk.getLong(1)} rows but only ${chk.getLong(2)} distinct " +
+          "values (the kept-key semi-join would keep every copy of a " +
+          "kept key) — deduplicate or use the default in-scan priority")
       val kept = takeTopTokenBudget(slim, domainCol, keyCol,
           col("__mtok"), col("__mp"), budgets, buckets, relErr)
         .select(col(keyCol))

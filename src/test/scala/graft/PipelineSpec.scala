@@ -1663,4 +1663,157 @@ class PipelineSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(keptNull.contains(1L) && !keptNull.contains(2L) && !keptNull.contains(3L))
   }
+
+  test("minhash state refresh: first-writer-wins matches rebuild on a grown corpus") {
+    // base corpus, then a refresh shard with MONOTONE ids (the routine
+    // ingest); the refreshed state must apply identically to a state
+    // rebuilt from the union, and its tables must match row-for-row
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (4L, "red orange yellow green blue indigo violet ultraviolet")
+    ).toDF("doc_id", "text")
+    val grow = Seq(
+      (10L, "one two three four five six seven nine"),  // near-dup of 2
+      (11L, (1 to 20).map(i => s"nv$i").mkString(" ")), // a novel class
+      (12L, "alpha beta gamma delta epsilon zeta eta theta") // exact dup of 1
+    ).toDF("doc_id", "text")
+    val refreshed = Dedup.minhashDedupStateRefresh(
+      Dedup.minhashDedupState(base, "doc_id", "text"), grow, "doc_id", "text")
+    val rebuilt = Dedup.minhashDedupState(base.unionByName(grow),
+      "doc_id", "text")
+    def repSet(st: Dedup.MinhashDedupState) = st.reps
+      .select("__fp", "cid").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    def bkSet(st: Dedup.MinhashDedupState) = st.buckets.collect()
+      .map(r => (r.getInt(r.fieldIndex("band")),
+        r.getAs[Any]("bucket").toString,
+        if (r.isNullAt(r.fieldIndex("cid"))) -1L
+        else r.getAs[Long]("cid"))).toSet
+    assert(repSet(refreshed) == repSet(rebuilt))
+    assert(bkSet(refreshed) == bkSet(rebuilt))
+    // apply parity on a probe shard touching every class
+    val probe = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven nine"),
+      (102L, ((1 to 19).map(i => s"nv$i") :+ "nvx").mkString(" ")),
+      (103L, "none of these tokens were ever seen")).toDF("doc_id", "text")
+    def out(st: Dedup.MinhashDedupState) =
+      Dedup.dedupAgainstState(st, probe, "doc_id", "text", threshold = 0.4)
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    val got = out(refreshed)
+    assert(got == out(rebuilt))
+    // the refresh really carries signal from BOTH generations
+    assert(got.contains((100L, Some(1L))) && got.contains((103L, None)))
+    assert(got.exists { case (id, d) => id == 102L && d.contains(11L) })
+  }
+
+  test("minhash state refresh: tombstones keep valved-out hot buckets saturated") {
+    // cap = 1: docs A and B are distinct near-identical classes, so every
+    // bucket they share is hot at freeze time and must STAY saturated
+    // after a refresh adds near-dup C — without tombstones the refresh
+    // would "resurrect" those buckets from C's rows alone and diverge
+    // from a rebuild
+    val toks = (1 to 20).map(i => s"t$i")
+    def doc(swap: Int, to: String) =
+      toks.updated(swap - 1, to).mkString(" ")
+    val base = Seq((1L, toks.mkString(" ")), (2L, doc(20, "zz")))
+      .toDF("doc_id", "text")
+    val grow = Seq((10L, doc(19, "yy"))).toDF("doc_id", "text")
+    val cap = Some(1L)
+    val st0 = Dedup.minhashDedupState(base, "doc_id", "text",
+      maxBucketSize = cap)
+    // the fixture really produces >= 1 shared (hot -> tombstoned) bucket
+    val tombs0 = st0.buckets.filter(col("cid").isNull).count()
+    assert(tombs0 >= 1, s"fixture too weak: no hot bucket (tombs=$tombs0)")
+    val refreshed = Dedup.minhashDedupStateRefresh(st0, grow, "doc_id", "text")
+    val rebuilt = Dedup.minhashDedupState(base.unionByName(grow),
+      "doc_id", "text", maxBucketSize = cap)
+    def bkSet(st: Dedup.MinhashDedupState) = st.buckets.collect()
+      .map(r => (r.getInt(r.fieldIndex("band")),
+        r.getAs[Any]("bucket").toString,
+        if (r.isNullAt(r.fieldIndex("cid"))) -1L
+        else r.getAs[Long]("cid"))).toSet
+    assert(bkSet(refreshed) == bkSet(rebuilt))
+    val probe = Seq((100L, doc(19, "yy"))).toDF("doc_id", "text")
+    def out(st: Dedup.MinhashDedupState) =
+      Dedup.dedupAgainstState(st, probe, "doc_id", "text", threshold = 0.4)
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(out(refreshed) == out(rebuilt))
+  }
+
+  test("minhash state: empty corpus applies as all-unique; refresh refuses") {
+    // a corpus with no >= n-token docs freezes no config: apply treats
+    // every shard doc as unique (correct for an empty corpus, documented
+    // on MinhashDedupState.shingleN); refresh refuses loudly — there is
+    // nothing frozen to refresh against
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val st = Dedup.minhashDedupState(empty, "doc_id", "text")
+    assert(st.shingleN.isEmpty)
+    val shard = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstState(st, shard, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1)))
+    assert(out.toSeq == Seq((1L, true)))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashDedupStateRefresh(st, shard, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("EMPTY state"))
+    // a pre-tombstone persisted state (no max_bucket meta) also refuses
+    val legacy = Dedup.MinhashDedupState(
+      Dedup.minhashDedupState(shard, "doc_id", "text")
+        .reps.drop("max_bucket"),
+      Dedup.minhashDedupState(shard, "doc_id", "text").buckets)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.minhashDedupStateRefresh(legacy, shard, "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("max_bucket"))
+  }
+
+  test("shingle fingerprints are injective: a U+0001 inside a token cannot collide") {
+    // under the old bare-separator encoding the 1-gram sets {"a\u0001b"}
+    // and {"a","b"} concatenated to the same pre-image; the length-prefix
+    // code keeps them distinct, so the exact path never declares them
+    // duplicates
+    val corpus = Seq((1L, "a\u0001b")).toDF("doc_id", "text")
+    val fresh = Seq((10L, "a b")).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(corpus, fresh, "doc_id", "text", n = 1)
+      .collect().map(r => (r.getLong(0), r.isNullAt(1)))
+    assert(out.toSeq == Seq((10L, true)), s"spurious exact match: ${out.toSeq}")
+    // sanity: genuinely identical 1-gram sets still pair exactly
+    val out2 = Dedup.dedupAgainst(corpus, Seq((11L, "a\u0001b"))
+        .toDF("doc_id", "text"), "doc_id", "text", n = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out2.toSeq == Seq((11L, 1L, 1.0)))
+  }
+
+  test("removeDupLinesAgainst boilerplate mode scrubs every within-shard repeat") {
+    // corpus knows "cookie banner"; the shard brings its own nav bar
+    // repeated on every page — keepFirst = false must scrub ALL of it
+    // (the batch form's boilerplate flag, now composing with ingest)
+    val corpus = Seq((1L, "cookie banner\nreal corpus text"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.lineFingerprints(corpus, "doc_id", "text")
+    val shard = Seq(
+      (10L, "nav bar\ncookie banner\npage one body"),
+      (11L, "nav bar\npage two body"),
+      (12L, "only unique content here")).toDF("doc_id", "text")
+    val out = Dedup.removeDupLinesAgainst(fps, shard, "doc_id", "text",
+        keepFirst = false)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // corpus line gone everywhere; "nav bar" gone from BOTH docs (no
+    // first-occurrence survivor); unique lines untouched
+    assert(out(10L) == "page one body", s"got ${out(10L)}")
+    assert(out(11L) == "page two body", s"got ${out(11L)}")
+    assert(out(12L) == "only unique content here")
+    // default keepFirst = true keeps the shard's first nav bar
+    val kept = Dedup.removeDupLinesAgainst(fps, shard, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(kept(10L) == "nav bar\npage one body", s"got ${kept(10L)}")
+    assert(kept(11L) == "page two body")
+  }
 }

@@ -1104,4 +1104,120 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(windows <= 1, s"windows=$windows\n${plan.take(3000)}")
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
+
+  test("zorder scan enforces write-once: appended or vanished files refuse loudly") {
+    val li = sf("sf0.001", "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_quantity")
+    val dir = Files.createTempDirectory("graft_zonce").toString + "/z"
+    ScaleOps.zorderWrite(li, dir, Seq("l_extendedprice", "l_quantity"),
+      bits = 6, numFiles = 4)
+    val bounds = Seq(("l_extendedprice", 10000.0, 30000.0))
+    assert(ScaleOps.zorderScan(spark, dir, bounds).count() > 0)
+    // append a data file behind the manifest's back — before this round
+    // it was SILENTLY UNREAD; now the scan refuses with the file name
+    li.limit(5).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/__tmp_extra")
+    val extra = new java.io.File(s"$dir/__tmp_extra").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val planted = new java.io.File(dir, "part-appended.parquet")
+    java.nio.file.Files.copy(extra.toPath, planted.toPath)
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.zorderScan(spark, dir, bounds)
+    }
+    assert(e.getMessage.contains("write-once") &&
+      e.getMessage.contains("part-appended.parquet"))
+    // removing it restores the layout
+    assert(planted.delete())
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dir/__tmp_extra"))
+    assert(ScaleOps.zorderScan(spark, dir, bounds).count() > 0)
+    // a manifest entry whose data file vanished also refuses
+    val victim = new java.io.File(dir).listFiles()
+      .find(f => f.isFile && f.getName.endsWith(".parquet")).get
+    assert(victim.delete())
+    val e2 = intercept[IllegalArgumentException] {
+      ScaleOps.zorderScan(spark, dir, bounds)
+    }
+    assert(e2.getMessage.contains("no data file"))
+  }
+
+  test("materializePriority refuses duplicate and null keys (enforced contract)") {
+    val docs = sf("sf0.001", "documents").limit(200)
+    val tok = graft.pipeline.TextOps.tokenCount(col("text"))
+    val q = graft.pipeline.TextOps.qualityScore(col("text"))
+    val budgets = Seq("en" -> 2000L, "de" -> 800L, "zh" -> 500L)
+    // duplicate keys: the semi-join would keep every copy of a kept key
+    val dup = docs.withColumn("doc_id", col("doc_id") % 50)
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.takeTopTokenBudget(dup, "lang", "doc_id", tok, q, budgets,
+        materializePriority = true)
+    }
+    assert(e.getMessage.contains("unique keys"))
+    // null keys: they can never match the semi-join back
+    val withNull = docs.withColumn("doc_id",
+      when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("doc_id")))
+    val e2 = intercept[IllegalArgumentException] {
+      ScaleOps.takeTopTokenBudget(withNull, "lang", "doc_id", tok, q,
+        budgets, materializePriority = true)
+    }
+    assert(e2.getMessage.contains("non-null keys"))
+    // the default in-scan path accepts the same frames unchanged
+    assert(ScaleOps.takeTopTokenBudget(dup, "lang", "doc_id", tok, q,
+      budgets).count() > 0)
+  }
+
+  test("prepared token-budget state: parity with per-call form, meta probed once") {
+    val rows = (0L until 60L).map(i =>
+      (i, if (i % 3 == 0) "en" else "de", (i % 5 + 1).toInt))
+    val corpus = spark.createDataFrame(rows).toDF("id", "dom", "nt")
+    val budgets = Seq("en" -> 25L, "de" -> 40L)
+    val state = ScaleOps.tokenBudgetState(corpus, "dom", "id", col("nt"),
+      budgets, salt = "pp", buckets = 8).cache()
+    state.count()
+    val shard = corpus.filter(col("id") % 2 === 0)
+    val prepared = ScaleOps.PreparedTokenBudgetState(state)
+    val viaPrepared = ScaleOps.sampleToTokenBudgetAgainst(prepared, shard,
+      "dom", "id", col("nt")).collect().map(_.getLong(0)).toSet
+    val viaPlain = ScaleOps.sampleToTokenBudgetAgainst(state, shard,
+      "dom", "id", col("nt")).collect().map(_.getLong(0)).toSet
+    assert(viaPrepared == viaPlain && viaPrepared.nonEmpty)
+    // the meta probe is cached on the wrapper: repeated applications run
+    // no further probe jobs (count Spark jobs around a second apply —
+    // the prepared form must launch exactly the apply's own jobs, one
+    // fewer than the convenience form's probe + apply)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    def countJobs(f: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        jobs = 0
+        f
+        // listener events are async: wait for the bus to drain
+        val deadline = System.nanoTime() + 10_000_000_000L
+        var last = -1
+        while (System.nanoTime() < deadline && jobs != last) {
+          last = jobs; Thread.sleep(200)
+        }
+        jobs
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    prepared.saltBuckets // force + cache the probe
+    val jPrepared = countJobs {
+      ScaleOps.sampleToTokenBudgetAgainst(prepared, shard, "dom", "id",
+        col("nt")).collect()
+    }
+    val jPlain = countJobs {
+      ScaleOps.sampleToTokenBudgetAgainst(state, shard, "dom", "id",
+        col("nt")).collect()
+    }
+    assert(jPrepared == jPlain - 1,
+      s"prepared ran $jPrepared jobs, per-call form $jPlain")
+  }
 }

@@ -574,6 +574,9 @@ class StreamingSpec extends SparkTestBase {
     val budgets = Seq("en" -> 30L, "de" -> 50L)
     val state = ScaleOps.tokenBudgetState(corpus, "dom", "id", col("nt"),
       budgets, salt = "etb", buckets = 8).cache()
+    // wrap ONCE outside the micro-batch loop: the (salt, n_buckets) meta
+    // probe then costs one driver job per state, not one per batch
+    val prepared = ScaleOps.PreparedTokenBudgetState(state)
     val expected = ScaleOps.sampleToTokenBudget(corpus, "dom", "id",
         col("nt"), budgets, salt = "etb", buckets = 8)
       .collect().map(_.getLong(0)).toSet
@@ -581,7 +584,7 @@ class StreamingSpec extends SparkTestBase {
     val got = scala.collection.mutable.ArrayBuffer.empty[Long]
     val q = input.toDF().toDF("id", "dom", "nt").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val kept = ScaleOps.sampleToTokenBudgetAgainst(state, batch,
+        val kept = ScaleOps.sampleToTokenBudgetAgainst(prepared, batch,
             "dom", "id", col("nt"))
           .collect().map(_.getLong(0))
         got.synchronized { got ++= kept }; ()
