@@ -135,15 +135,83 @@ object Bench {
       })
     )
 
+    // ---- curation workload (round-13 addition) ----
+    // A SECOND fixed total covering the curation/state family, which the
+    // 13-query headline set never touches: state builds/applies, line
+    // dedup, budget cuts, sequence packing. The headline set stays
+    // byte-untouched for cross-round comparability; this group gets its
+    // own total (`curation_total`) and noise band (BENCH_NOTES r13).
+    // Budgets derive from the corpus's own per-lang token inventory
+    // (probed once, setup — not timed) so the workload is SF-independent:
+    // exact cut at 30% of each lang's mass, repeat mixture at 240%
+    // (2 full epochs + a 40% remainder pass).
+    import graft.sources.ScaleOps
+    val tok = TextOps.tokenCount(org.apache.spark.sql.functions.col("text"))
+    lazy val corpus =
+      docsWide.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0)
+    lazy val shard =
+      docsWide.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+    lazy val langTotals: Seq[(String, Long)] = {
+      import org.apache.spark.sql.functions.{col, sum}
+      docs.groupBy("lang").agg(sum(tok.cast("long")).as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    }
+    lazy val cutBudgets = langTotals.map { case (l, t) =>
+      l -> math.max(1L, (t * 0.3).toLong)
+    }
+    lazy val repeatBudgets = langTotals.map { case (l, t) =>
+      l -> math.max(1L, (t * 2.4).toLong)
+    }
+    // frozen states for the apply arms: built ONCE in setup (not timed —
+    // the build arms time their own construction), cached like persisted
+    // lake state at steady state
+    lazy val mhState = {
+      val st = Dedup.minhashDedupState(corpus, "doc_id", "text")
+      Dedup.MinhashDedupState(st.reps.cache(), st.buckets.cache())
+    }
+    lazy val tbPrepared = ScaleOps.PreparedTokenBudgetState(
+      ScaleOps.tokenBudgetState(docs, "lang", "doc_id", tok, cutBudgets,
+        salt = "bench").cache())
+    def docsML = docsWide.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      TextOps.tokenChunkLines(
+        org.apache.spark.sql.functions.col("text"), 5).as("mltext"))
+
+    val curation: Seq[(String, () => Unit)] = Seq(
+      "cur_minhash_state_build" -> (() => {
+        val st = Dedup.minhashDedupState(corpus, "doc_id", "text")
+        sink(st.reps); sink(st.buckets)
+      }),
+      "cur_minhash_state_apply" -> (() =>
+        sink(Dedup.dedupAgainstState(mhState, shard, "doc_id", "text"))),
+      "cur_token_budget_build" -> (() =>
+        sink(ScaleOps.tokenBudgetState(docs, "lang", "doc_id", tok,
+          cutBudgets, salt = "bench"))),
+      "cur_token_budget_apply" -> (() =>
+        sink(ScaleOps.sampleToTokenBudgetAgainst(tbPrepared, shard,
+          "lang", "doc_id", tok))),
+      "cur_line_dedup" -> (() =>
+        sink(Dedup.removeDupLines(docsML, "doc_id", "mltext"))),
+      "cur_repeat_budget" -> (() =>
+        sink(ScaleOps.repeatToTokenBudget(docsWide, "lang", "doc_id", tok,
+          repeatBudgets, salt = "bench"))),
+      "cur_pack_global" -> (() =>
+        sink(TextOps.packSequences(docsWide, "doc_id", "text",
+          window = 2048, salt = "bench")))
+    )
+
     // optional subset selector for big-SF runs (e.g. the 180M-row baseline
     // replication only needs the fit queries): comma-separated names or
     // prefixes; unset = full workload
-    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
-      case None => workload
-      case Some(sel) =>
-        val keys = sel.split(",").map(_.trim).filter(_.nonEmpty)
-        workload.filter { case (name, _) => keys.exists(name.startsWith) }
-    }
+    def select(ws: Seq[(String, () => Unit)]) =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+        case None => ws
+        case Some(sel) =>
+          val keys = sel.split(",").map(_.trim).filter(_.nonEmpty)
+          ws.filter { case (name, _) => keys.exists(name.startsWith) }
+      }
+    val selected = select(workload)
+    val selectedCur = select(curation)
 
     // warmup: touch parquet footers, JIT/codegen every workload's codepath,
     // and materialize the persisted intermediates some pipelines share —
@@ -151,19 +219,25 @@ object Bench {
     // Tables are only touched when the selected subset needs them, so a
     // partial replica dir (e.g. a ×300 lineitem-only dir with
     // BENCH_ONLY=fit_ — the documented 180M recipe) works.
-    def needs(prefixes: String*) = selected.exists { case (n, _) =>
-      prefixes.exists(n.startsWith)
+    def needs(prefixes: String*) = (selected ++ selectedCur).exists {
+      case (n, _) => prefixes.exists(n.startsWith)
     }
     li.count()
-    if (needs("dedup", "text")) docs.count()
+    if (needs("dedup", "text", "cur_")) docs.count()
     if (needs("knn")) emb.count()
     Dbreg.fit("l_extendedprice ~ l_quantity", li, strategy = "moments")
-    selected.foreach { case (name, fn) =>
+    if (selectedCur.exists(_._1.startsWith("cur_minhash_state_apply"))) {
+      mhState.reps.count(); mhState.buckets.count(); ()
+    }
+    if (selectedCur.exists(_._1.startsWith("cur_token_budget_apply"))) {
+      tbPrepared.state.count(); tbPrepared.saltBuckets; ()
+    }
+    (selected ++ selectedCur).foreach { case (name, fn) =>
       try fn()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
     }
 
-    val results = selected.map { case (name, fn) =>
+    def timed(ws: Seq[(String, () => Unit)]) = ws.map { case (name, fn) =>
       val times = (1 to Iters).map { _ =>
         val t0 = System.nanoTime()
         try fn()
@@ -172,10 +246,14 @@ object Bench {
       }.sorted
       name -> times.head // min — see protocol note above
     }
+    val results = timed(selected)
+    val curResults = timed(selectedCur)
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
+    def js(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val curTotal = curResults.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${js(results)},"curation":${js(curResults)},"curation_total":$curTotal%.4f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, TextOps}
+import graft.sources.ScaleOps
+
+/** Round-13 scale profiler — the measurements this round's claims rest on:
+  *
+  *   1. `minhashDedupStateRefresh` vs full rebuild on a grown corpus
+  *      (the verdict's refresh-vs-rebuild point): state frozen from a 90%
+  *      base, a 10% growth shard folded in — refresh must beat rebuilding
+  *      both tables from the union, and the gap is the steady-state
+  *      ingest dividend. Run with `SPARK_GRAFT_SF_DIR` at the ×100
+  *      documents replica (500k docs).
+  *   2. `repeatToTokenBudgetAgainst` COMPOSED end-to-end (epoch explode +
+  *      frozen remainder cut per shard) — the r12 verdict measured its
+  *      components but not the composition; run at the ×1000 replica
+  *      (5M docs).
+  *
+  * `PROF_ITERS` iterations, min-statistic (BENCH_NOTES methodology —
+  * bursty host steal). `PROF_ONLY` filters by name prefix.
+  */
+object ProfR13 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val iters = sys.env.getOrElse("PROF_ITERS", "3").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def noop(df: DataFrame): Long =
+      df.queryExecution.toRdd
+        .mapPartitions(it => Iterator.single(it.size.toLong)).sum().toLong
+
+    val only = sys.env.get("PROF_ONLY").map(_.split(",").map(_.trim).toSeq)
+    def time(name: String)(f: => Long): Unit = {
+      if (only.exists(ps => !ps.exists(name.startsWith))) return
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        val n = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[prof] $name: $dt%.2f s (rows=$n)")
+        dt
+      }
+      println(f"[prof] $name MIN: ${times.min}%.2f s")
+    }
+
+    lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"[prof] dir=$sfDir docs=${docs.count()}")
+
+    // 1. refresh vs rebuild: base = 90% of the corpus (state frozen and
+    // cached — the persisted-lake steady state), growth shard = the
+    // remaining 10%. Both arms materialize BOTH output tables.
+    lazy val base = docs.filter(col("doc_id") % 10 =!= 9)
+    lazy val grow = docs.filter(col("doc_id") % 10 === 9)
+    lazy val frozenState = {
+      val st = Dedup.minhashDedupState(base, "doc_id", "text")
+      val c = Dedup.MinhashDedupState(st.reps.cache(), st.buckets.cache())
+      c.reps.count(); c.buckets.count()
+      c
+    }
+    if (!only.exists(ps => !ps.exists("mh_refresh".startsWith)))
+      frozenState // force the setup OUTSIDE the timed arm
+    time("mh_refresh")({
+      val st = Dedup.minhashDedupStateRefresh(frozenState, grow,
+        "doc_id", "text")
+      noop(st.reps) + noop(st.buckets)
+    })
+    time("mh_rebuild")({
+      val st = Dedup.minhashDedupState(docs, "doc_id", "text")
+      noop(st.reps) + noop(st.buckets)
+    })
+
+    // 2. composed repeat-budget ingest: frozen state (setup, cached),
+    // then the full shard application — epoch explode UNION remainder
+    // cut — in one timed plan. Budgets at 240% of each lang's inventory:
+    // 2 full epochs + a 40% remainder pass, the upsampling shape.
+    val tok = TextOps.tokenCount(col("text"))
+    lazy val repeatBudgets = docs.groupBy("lang")
+      .agg(sum(tok.cast("long")).as("t")).collect()
+      .map(r => r.getString(0) -> math.max(1L, (r.getLong(1) * 2.4).toLong))
+      .toSeq.sortBy(_._1)
+    lazy val repeatState = {
+      val st = ScaleOps.repeatBudgetState(docs, "lang", "doc_id", tok,
+        repeatBudgets, salt = "p13").cache()
+      st.count()
+      st
+    }
+    if (!only.exists(ps => !ps.exists("repeat_against_composed".startsWith)))
+      repeatState // force the setup OUTSIDE the timed arm
+    time("repeat_against_composed")({
+      val shard = docs.filter(col("doc_id") % 10 === 0)
+      noop(ScaleOps.repeatToTokenBudgetAgainst(repeatState, shard,
+        "lang", "doc_id", tok))
+    })
+
+    spark.stop()
+  }
+}

@@ -299,6 +299,23 @@ class LocalClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toSet
     assert(viaMh === inMemMh)
     assert(viaMh.exists(_._2.isDefined))
+    // r13: first-writer-wins refresh of the PARQUET-LOADED state equals a
+    // rebuild from the grown corpus when applied across executors (the
+    // refresh reads its config — shingle width, valve cap — from the
+    // loaded state, so the round-trip must preserve it)
+    val grow = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    val refreshed = graft.pipeline.Dedup.minhashDedupStateRefresh(
+      loadedMh, grow, "doc_id", "text")
+    val rebuilt = graft.pipeline.Dedup.minhashDedupState(
+      corpus.unionByName(grow), "doc_id", "text")
+    val probe = fresh.withColumn("doc_id", col("doc_id") + 3000000L)
+    def applyState(st: graft.pipeline.Dedup.MinhashDedupState) =
+      graft.pipeline.Dedup.dedupAgainstState(st, probe, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toSet
+    val viaRefreshed = applyState(refreshed)
+    assert(viaRefreshed === applyState(rebuilt))
+    assert(viaRefreshed.exists(_._2.isDefined))
   }
 
   test("streaming funnel state store works under executors") {
