@@ -1709,6 +1709,64 @@ object OracleSql {
          |FROM a3 a LEFT JOIN dup d ON a.id = d.id ORDER BY a.id""".stripMargin
     },
 
+    // frozen-state SemDeDup ingest: q78's deterministic k-means chain on
+    // the CORPUS only, fresh vectors assigned to the final centroids,
+    // best within-cell corpus match at cosine >= 0.45 (ties lowest id)
+    "q253_semdedup_incremental" -> {
+      def assign(cf: String, out: String) =
+        s"""p_$out AS (SELECT ef.id, c.cell, sum(ef.x * c.w) AS dot,
+           |    sqrt(sum(c.w * c.w)) AS nc
+           |  FROM ef JOIN $cf c USING (i) GROUP BY 1, 2),
+           |s_$out AS (SELECT p.id, p.cell, p.dot / (en.nv * p.nc) AS cos
+           |  FROM p_$out p JOIN en ON p.id = en.id),
+           |$out AS (SELECT id, cell FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY id ORDER BY cos DESC, cell ASC) AS rn FROM s_$out)
+           |  WHERE rn = 1)""".stripMargin
+      def update(a: String, prev: String, out: String) =
+        s"""${out}_raw AS (SELECT a.cell, ef.i, avg(ef.x) AS w
+           |  FROM $a a JOIN ef ON a.id = ef.id GROUP BY 1, 2),
+           |$out AS (SELECT p.cell, p.i, coalesce(r.w, p.w) AS w
+           |  FROM $prev p LEFT JOIN ${out}_raw r
+           |    ON p.cell = r.cell AND p.i = r.i)""".stripMargin
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |  WHERE vec_id % 10 <> 0),
+         |fresh AS (SELECT vec_id + 1000000 AS id, embedding AS vec
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |dims AS (SELECT unnest(range(1, 65)) AS i),
+         |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, vec
+         |  FROM (SELECT id, vec FROM e ORDER BY id LIMIT 8) t),
+         |c0f AS (SELECT cell, i, vec[i]::DOUBLE AS w FROM c0, dims),
+         |ef AS (SELECT id, i, vec[i]::DOUBLE AS x FROM e, dims),
+         |en AS (SELECT id, sqrt(sum(x*x)) AS nv FROM ef GROUP BY id),
+         |${assign("c0f", "a1")},
+         |${update("a1", "c0f", "c1f")},
+         |${assign("c1f", "a2")},
+         |${update("a2", "c1f", "c2f")},
+         |${assign("c2f", "a3")},
+         |eff AS (SELECT id, i, vec[i]::DOUBLE AS x FROM fresh, dims),
+         |enf AS (SELECT id, sqrt(sum(x*x)) AS nv FROM eff GROUP BY id),
+         |pf AS (SELECT eff.id, c.cell, sum(eff.x * c.w) AS dot,
+         |    sqrt(sum(c.w * c.w)) AS nc
+         |  FROM eff JOIN c2f c USING (i) GROUP BY 1, 2),
+         |sfr AS (SELECT p.id, p.cell, p.dot / (enf.nv * p.nc) AS cos
+         |  FROM pf p JOIN enf ON p.id = enf.id),
+         |af AS (SELECT id, cell FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY id ORDER BY cos DESC, cell ASC) AS rn FROM sfr)
+         |  WHERE rn = 1),
+         |cand AS (SELECT af.id, a3.id AS cid,
+         |    ${cosSql("fx.vec", "cx.vec")} AS cos
+         |  FROM af JOIN a3 ON af.cell = a3.cell
+         |    JOIN fresh fx ON fx.id = af.id
+         |    JOIN e cx ON cx.id = a3.id
+         |  WHERE ${cosSql("fx.vec", "cx.vec")} >= 0.45),
+         |best AS (SELECT id, cid AS dup_of, cos, row_number() OVER
+         |    (PARTITION BY id ORDER BY cos DESC, cid ASC) AS r FROM cand)
+         |SELECT f.id, b.dup_of, b.cos
+         |FROM fresh f LEFT JOIN (SELECT * FROM best WHERE r = 1) b
+         |  ON f.id = b.id
+         |ORDER BY f.id""".stripMargin
+    },
+
     // duplicated 5-token spans: window text occurring more than once
     // corpus-wide (multiplicity preserved — within-doc repeats count)
     "q79_dup_spans" ->

@@ -1603,6 +1603,22 @@ object Queries {
         .orderBy("id")
     }),
 
+    // similarity: frozen-state SemDeDup ingest — the embedding-modality
+    // state twin: k-means codebook + valved cell members frozen from the
+    // corpus, shard vectors route to their nearest frozen cell and
+    // report their best corpus match at cosine >= 0.45
+    "q253_semdedup_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val state = Similarity.semDedupState(
+        e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        k = 8, iters = 2, dim = 64)
+      val fresh = e.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      Similarity.semDedupAgainst(state, fresh, "vec_id", "embedding",
+          threshold = 0.45)
+        .orderBy("id")
+    }),
+
     // sampling: frozen-state incremental epoch-repeat budget — shard rows
     // get every full epoch plus the frozen remainder cut, so the output
     // is exactly the full-corpus repeat mixture restricted to the shard
@@ -3199,7 +3215,7 @@ object Queries {
         "q82_int8_quantize", "q92_vector_index", "q113_label_centroids",
         "q196_pq_mse", "q212_pq_rerank", "q215_hybrid_rrf",
         "q216_silhouette", "q218_mmr_rerank", "q229_hybrid_batch",
-        "q231_mmr_batch"),
+        "q231_mmr_batch", "q253_semdedup_incremental"),
       "text" -> Seq(
         "q37_text_analysis", "q38_text_quality_agg", "q42_vocab_topk",
         "q45_json_extract", "q46_lm_score", "q55_tfidf_top_term",

@@ -450,6 +450,106 @@ object Similarity {
         coalesce(!col("__dup"), lit(true)).as("keep"))
   }
 
+  /** Frozen corpus-side state for [[semDedupAgainst]] — SemDeDup's
+    * ingest/streaming twin and the EMBEDDING-modality member of the
+    * frozen-state family (README state matrix): `centroids` holds the
+    * trained k-means codebook as a (cell, w) table — k·dim doubles,
+    * persist like any table, the apply reads it once per state object —
+    * and `members` the corpus's (id, cell, vec) assignments with
+    * over-cap cells ALREADY valved out (a corpus property, so it
+    * freezes with the corpus — the [[graft.pipeline.Dedup.MinhashDedupState]]
+    * valve pattern; a shard doc landing in a valved cell reports unique,
+    * mirroring [[semDedup]]'s within-corpus semantics). Persist
+    * `members` bucketed by `cell`. Refresh by REBUILDING: centroids
+    * drift with the corpus and Lloyd iterations are global — unlike the
+    * fingerprint families there is no sound incremental union. */
+  final case class SemDedupState(centroids: DataFrame, members: DataFrame) {
+    /** Codebook read ONCE per state object and cached driver-side (k·dim
+      * doubles — model-sized). Empty ⇔ the state froze an empty corpus:
+      * [[semDedupAgainst]] then reports every shard vector unique. */
+    lazy val centroidArray: Array[Array[Double]] =
+      centroids.orderBy("cell").collect()
+        .map(_.getSeq[Number](1).toArray.map(_.doubleValue))
+  }
+
+  /** Build [[SemDedupState]]: one deterministic [[kmeans]] fit (same
+    * init/iteration chain as [[semDedup]]/q56 — the SQL-replayable
+    * codebook) + the assignment join, cell valve applied. */
+  def semDedupState(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2,
+      dim: Int = 64,
+      maxCellSize: Option[Long] = Some(100000L)
+  ): SemDedupState = {
+    val (assigned, cents) = kmeans(emb, idCol, vecCol, k, iters, dim)
+    val av = assigned
+      .join(emb.select(col(idCol).as("id"), col(vecCol).as("vec")), Seq("id"))
+      .staged // reused: valve count + kept members
+    val members = maxCellSize match {
+      case None => av
+      case Some(cap) =>
+        val ok = av.groupBy("cell").agg(count(lit(1)).as("__csz"))
+          .filter(col("__csz") <= cap).select("cell")
+        av.join(ok, Seq("cell"), "left_semi")
+    }
+    val session = emb.sparkSession
+    import session.implicits._
+    val cdf = cents.zipWithIndex
+      .map { case (w, c) => (c, w.toSeq) }.toSeq.toDF("cell", "w")
+    SemDedupState(cdf, members.select(col("id"), col("cell"), col("vec")))
+  }
+
+  /** Apply a frozen [[SemDedupState]] to a NEW shard of embeddings: each
+    * shard vector routes to its nearest frozen centroid (the codegen'd
+    * argmax — a broadcast-free narrow projection; the codebook is a plan
+    * reference), joins ONLY that cell's frozen members, and reports its
+    * best corpus match at cosine ≥ `threshold` (ties → lowest corpus
+    * id; NULL = unique). Every shard vector appears in the output.
+    * Shards decompose (the apply is a pure per-row function of the
+    * frozen state) and micro-batches stream through `foreachBatch` —
+    * the SemDeDup curation step at daily-ingest steady state, without
+    * re-clustering the corpus per shard.
+    *
+    * Scale shape: one narrow assignment projection on the shard, ONE
+    * cell-keyed equi join against cell-bucketable members (never
+    * corpus × corpus — the cell structure is the valve), and a
+    * shard-sized best-match window. PRECONDITION: ids unique within and
+    * across the two inputs. */
+  def semDedupAgainst(
+      state: SemDedupState,
+      newEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    require(Seq("cell", "w").forall(state.centroids.columns.contains),
+      s"state.centroids must carry (cell, w), got ${state.centroids.columns.toSeq}")
+    require(Seq("id", "cell", "vec").forall(state.members.columns.contains),
+      s"state.members must carry (id, cell, vec), got ${state.members.columns.toSeq}")
+    val base = newEmb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cents = state.centroidArray
+    val idType = newEmb.schema(idCol).dataType
+    if (cents.isEmpty) // empty corpus: every shard vector is unique
+      return base.select(col("id"),
+        lit(null).cast(idType).as("dup_of"),
+        lit(null).cast("double").as("cos"))
+    val asg = base.withColumn("cell",
+      graft.functions.VectorExprs.nearestCentroid(col("vec"), cents))
+    val cand = asg
+      .join(state.members.select(col("cell"), col("id").as("cid"),
+        col("vec").as("cvec")), Seq("cell"))
+      .withColumn("cos", cosine(col("vec"), col("cvec")))
+      .filter(col("cos") >= threshold)
+    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("cid").asc)
+    val best = cand
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("id"), col("cid").as("dup_of"), col("cos"))
+    base.select(col("id")).join(best, Seq("id"), "left")
+  }
+
   /** Symmetric per-vector int8 scalar quantization (the FAISS "SQ8" storage
     * form): scale = max|xᵢ|/127, qᵢ = round(xᵢ/scale) ∈ [−127, 127]. At
     * 100 TB the embedding column is usually the widest thing in the corpus;

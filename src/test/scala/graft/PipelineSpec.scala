@@ -1816,4 +1816,101 @@ class PipelineSpec extends SparkTestBase {
     assert(kept(10L) == "nav bar\npage one body", s"got ${kept(10L)}")
     assert(kept(11L) == "page two body")
   }
+
+  test("bucketed minhash state: shard apply exploits the bucket layout, same result") {
+    // the 100 TB state layout for the MinHash family (the span/line
+    // families' bucketed-state pin, same mechanics): reps persisted
+    // bucketed by __fp — the apply-side exact-match join reads the
+    // corpus state AS BUCKETS; only the shard side shuffles to match.
+    // Broadcast is disabled for the assertion because at test scale the
+    // planner would broadcast the SHARD side — at 100 TB neither side of
+    // the state join is broadcastable, and the bucketed scan is what
+    // replaces the state-side exchange.
+    val base = docs.filter(col("doc_id") % 10 =!= 9)
+    val shard = docs.filter(col("doc_id") % 10 === 9)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val st = Dedup.minhashDedupState(base, "doc_id", "text")
+    val bucketedReps = withBucketedTable("graft_mhreps_b", st.reps,
+      Seq("__fp"), 8)
+    val bucketedState = Dedup.MinhashDedupState(bucketedReps, st.buckets)
+    def outSet(x: Dedup.MinhashDedupState) =
+      Dedup.dedupAgainstState(x, shard, "doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    // parity: the warehouse round-trip (catalog table) applies identically
+    val viaBucketed = outSet(bucketedState)
+    assert(viaBucketed == outSet(st) && viaBucketed.nonEmpty)
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Dedup.dedupAgainstState(bucketedState, shard,
+        "doc_id", "text").queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(3000))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("semDedupAgainst: frozen codebook + members round-trip, flags shard near-dups") {
+    // corpus from real embeddings; shard = two planted vectors — one a
+    // near-copy of a corpus vector, one random-orthogonal-ish
+    val corpus = embs.filter(col("vec_id") % 10 =!= 0)
+    val state = Similarity.semDedupState(corpus, "vec_id", "embedding",
+      k = 8, iters = 2, dim = 64)
+    val shard = embs.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val direct = Similarity.semDedupAgainst(state, shard, "vec_id",
+        "embedding", threshold = 0.45)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    // every shard vector appears exactly once
+    assert(direct.size == shard.count())
+    // parquet round-trip applies identically (persistable state)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdstate").toString
+    state.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    state.members.write.mode("overwrite").parquet(s"$dir/members")
+    val loaded = Similarity.SemDedupState(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/members"))
+    val viaLoaded = Similarity.semDedupAgainst(loaded, shard, "vec_id",
+        "embedding", threshold = 0.45)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(viaLoaded == direct)
+    // an exact copy of a corpus vector must flag as that vector's dup
+    val copied = corpus.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding")).collect()(0)
+    val planted = Seq((9999999L, copied.getSeq[Float](1)))
+      .toDF("vec_id", "embedding")
+    val hit = Similarity.semDedupAgainst(state, planted, "vec_id",
+        "embedding", threshold = 0.45).collect()(0)
+    assert(!hit.isNullAt(1) && hit.getLong(1) == copied.getLong(0),
+      s"exact copy not flagged: $hit")
+    assert(math.abs(hit.getDouble(2) - 1.0) < 1e-9)
+    // shards decompose: union of two half-shard applies == whole apply
+    val h1 = Similarity.semDedupAgainst(state,
+        shard.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", 0.45)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    val h2 = Similarity.semDedupAgainst(state,
+        shard.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", 0.45)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert((h1 ++ h2) == direct)
+  }
+
+  test("semDedupAgainst: empty-corpus state reports every shard vector unique") {
+    val empty = embs.filter(lit(false))
+    val state = Similarity.semDedupState(empty, "vec_id", "embedding",
+      k = 8, iters = 2, dim = 64)
+    assert(state.centroidArray.isEmpty)
+    val out = Similarity.semDedupAgainst(state, embs.limit(5), "vec_id",
+        "embedding", threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.isNullAt(1)))
+    assert(out.length == 5 && out.forall(_._2))
+  }
 }
