@@ -2266,6 +2266,44 @@ object OracleSql {
          |WHERE doc_id % 10 = 0
          |ORDER BY id, epoch""".stripMargin,
 
+    // UniMax mixture: integer waterfilling over domains sorted by
+    // inventory (asc, ties by name) — each takes min(3·T, rem // left) —
+    // then the q246 epoch-repeat algebra under the allocation
+    "q254_unimax_mixture" ->
+      s"""WITH t AS (SELECT doc_id, lang, len(${toks("text")})::BIGINT AS nt,
+         |    ${hash32("'q254' || doc_id::VARCHAR")} / 4294967296.0 AS u
+         |  FROM documents),
+         |tot AS (SELECT lang, sum(nt)::BIGINT AS tt FROM t GROUP BY lang),
+         |ordd AS (SELECT lang, tt,
+         |    row_number() OVER (ORDER BY tt, lang) AS i,
+         |    (SELECT count(*) FROM tot WHERE tt > 0) AS n
+         |  FROM tot WHERE tt > 0),
+         |walk AS (
+         |  WITH RECURSIVE w(i, rem, lang, a) AS (
+         |    SELECT 0, 50000::BIGINT, NULL::VARCHAR, 0::BIGINT
+         |    UNION ALL
+         |    SELECT o.i,
+         |      w.rem - least(3 * o.tt, w.rem // (o.n - w.i)),
+         |      o.lang,
+         |      least(3 * o.tt, w.rem // (o.n - w.i))
+         |    FROM w JOIN ordd o ON o.i = w.i + 1)
+         |  SELECT lang, a AS budget FROM w WHERE i >= 1 AND a > 0),
+         |b AS (SELECT lang, budget FROM walk),
+         |p AS (SELECT b.lang, budget, tt, (budget // tt)::BIGINT AS e,
+         |    (budget - (budget // tt) * tt)::BIGINT AS rem
+         |  FROM b JOIN tot USING (lang)),
+         |fp AS (SELECT t.doc_id, t.lang, t.nt, unnest(range(0, e)) AS epoch
+         |  FROM t JOIN p USING (lang) WHERE e >= 1),
+         |r AS (SELECT t.doc_id, t.lang, t.nt, p.e, p.rem,
+         |    coalesce(sum(nt) OVER (PARTITION BY t.lang ORDER BY u, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM t JOIN p USING (lang)),
+         |pp AS (SELECT doc_id, lang, nt, e AS epoch FROM r
+         |  WHERE rem > 0 AND cum < rem)
+         |SELECT doc_id AS id, lang, nt AS n_tokens, epoch::INT AS epoch
+         |FROM (SELECT * FROM fp UNION ALL SELECT * FROM pp)
+         |ORDER BY id, epoch""".stripMargin,
+
     // keep-best dedup: q43's cluster algebra, representative = highest
     // token count (ties to lowest id), everything else dropped
     "q247_dedup_keep_best" ->

@@ -1603,6 +1603,21 @@ object Queries {
         .orderBy("id")
     }),
 
+    // sampling: UniMax mixture — a TOTAL budget waterfilled across
+    // languages (even shares, capped at 3 epochs of each language's
+    // inventory), then the epoch-repeat mixture under the allocation
+    "q254_unimax_mixture" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tok = TextOps.tokenCount(col("text"))
+      val budgets = graft.sources.ScaleOps.uniMaxBudgets(d, "lang", tok,
+        totalBudget = 50000L, maxEpochs = 3)
+      graft.sources.ScaleOps.repeatToTokenBudget(d, "lang", "doc_id", tok,
+          budgets, salt = "q254")
+        .select(col("doc_id").as("id"), col("lang"),
+          tok.cast("long").as("n_tokens"), col("epoch"))
+        .orderBy("id", "epoch")
+    }),
+
     // similarity: frozen-state SemDeDup ingest — the embedding-modality
     // state twin: k-means codebook + valved cell members frozen from the
     // corpus, shard vectors route to their nearest frozen cell and
@@ -3244,7 +3259,8 @@ object Queries {
         "q238_clean_then_budget", "q239_zorder_scan",
         "q241_zorder_budget", "q242_token_budget_incremental",
         "q243_top_budget_materialized", "q244_top_budget_incremental",
-        "q246_repeat_token_budget", "q249_repeat_budget_incremental"),
+        "q246_repeat_token_budget", "q249_repeat_budget_incremental",
+        "q254_unimax_mixture"),
       "events" -> Seq(
         "q40_event_windows", "q54_sessionize", "q58_asof_join",
         "q89_range_join", "q90_interval_overlap", "q137_funnel",

@@ -1399,6 +1399,53 @@ object ScaleOps {
     keepAll.unionByName(boundary)
   }
 
+  /** UniMax token allocation (Chung et al. 2023): split a TOTAL token
+    * budget across domains as evenly as possible while capping every
+    * domain at `maxEpochs` passes over its inventory — the multilingual
+    * -pretraining mixture rule that needs no temperature tuning and
+    * never over-epochs a low-resource language. Waterfilling over
+    * domains sorted by inventory (ascending, ties by name): each takes
+    * min(maxEpochs · T_d, ⌊remaining / domains-left⌋); integer
+    * arithmetic end-to-end, so the allocation carries an exact SQL
+    * oracle (a |domains|-step recursion). NULL-domain and zero-inventory
+    * rows are excluded before allocation; a domain allocated 0 tokens
+    * (total exhausted by smaller domains' caps never happens — the even
+    * share only shrinks as domains drop off — but a sub-|domains| total
+    * can) is EXCLUDED from the result, honoring the budget-positivity
+    * contract of the cut operators.
+    *
+    * Returns the |domains|-sized `budgets` list — feed it to
+    * [[repeatToTokenBudget]] (upsampling, `maxEpochs` > 1) or
+    * [[sampleToTokenBudget]] (pure downsampling, `maxEpochs` = 1). One
+    * domain-keyed token-sum aggregate (model-sized collect) — the same
+    * driver-state class as every budgets argument. */
+  def uniMaxBudgets(
+      df: DataFrame,
+      domainCol: String,
+      tokens: Column,
+      totalBudget: Long,
+      maxEpochs: Int = 1
+  ): Seq[(String, Long)] = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    requireStringDomain(df, domainCol)
+    val inv = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol))
+      .agg(sum(coalesce(tokens.cast("long"), lit(0L))).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._2 > 0L)
+      .sortBy { case (d, t) => (t, d) }
+    var rem = totalBudget
+    val out = Seq.newBuilder[(String, Long)]
+    inv.zipWithIndex.foreach { case ((d, t), i) =>
+      val share = rem / (inv.length - i)
+      val a = math.min(maxEpochs.toLong * t, share)
+      if (a > 0L) out += (d -> a)
+      rem -= a
+    }
+    out.result()
+  }
+
   /** The window-free approximate form of [[sampleToTokenBudget]]: keep
     * each row with probability budget_d / total_tokens_d (clamped to 1)
     * via [[weightedSample]], so each domain's OUTPUT TOKEN MASS equals

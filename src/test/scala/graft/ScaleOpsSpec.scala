@@ -1220,4 +1220,43 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(jPrepared == jPlain - 1,
       s"prepared ran $jPrepared jobs, per-call form $jPlain")
   }
+
+  test("uniMaxBudgets: hand-computed waterfilling, caps, exclusions, refusals") {
+    import spark.implicits._
+    // inventories: a=100, b=1000, c=10000 tokens. total=6000, maxEpochs=2:
+    //   a (smallest): min(200, 6000/3=2000) = 200, rem 5800
+    //   b: min(2000, 5800/2=2900) = 2000, rem 3800
+    //   c: min(20000, 3800/1) = 3800
+    val rows =
+      Seq(("a", 100L), ("b", 1000L), ("c", 10000L)).flatMap { case (d, t) =>
+        Seq((d, t / 2), (d, t - t / 2)) // two docs per domain
+      }
+    val df = rows.toDF("dom", "nt")
+    val got = ScaleOps.uniMaxBudgets(df, "dom", col("nt"), 6000L, 2)
+    assert(got.toMap == Map("a" -> 200L, "b" -> 2000L, "c" -> 3800L), got)
+    // abundant total: everyone hits the epoch cap
+    val capped = ScaleOps.uniMaxBudgets(df, "dom", col("nt"), 1000000L, 2)
+    assert(capped.toMap == Map("a" -> 200L, "b" -> 2000L, "c" -> 20000L))
+    // tiny total: the even share can floor to 0 for the first domains —
+    // they are excluded (budget-positivity contract of the cut operators)
+    val tiny = ScaleOps.uniMaxBudgets(df, "dom", col("nt"), 2L, 1)
+    assert(tiny.forall(_._2 > 0) && tiny.map(_._2).sum <= 2L)
+    // null domains and zero-inventory domains never enter the allocation
+    val withJunk = df.unionByName(Seq((null: String, 50L), ("z", 0L))
+      .toDF("dom", "nt"))
+    assert(ScaleOps.uniMaxBudgets(withJunk, "dom", col("nt"), 6000L, 2)
+      .toMap == got.toMap)
+    // the allocation feeds the cut operators directly
+    val mixed = ScaleOps.sampleToTokenBudget(
+      df.withColumn("id", monotonically_increasing_id()),
+      "dom", "id", col("nt"),
+      ScaleOps.uniMaxBudgets(df, "dom", col("nt"), 6000L, 1))
+    assert(mixed.count() > 0)
+    intercept[IllegalArgumentException] {
+      ScaleOps.uniMaxBudgets(df, "dom", col("nt"), 0L, 1)
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.uniMaxBudgets(df, "dom", col("nt"), 100L, 0)
+    }
+  }
 }

@@ -289,6 +289,47 @@ class StreamingSpec extends SparkTestBase {
       expected.contains((12L, None)))
   }
 
+  test("SemDeDup ingest streams from a frozen state via foreachBatch, equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Similarity
+    // the embedding-modality frozen state: codebook + valved members
+    // built ONCE, each micro-batch of shard vectors applies against them
+    val corpus = sf("sf0.001", "embeddings")
+      .filter(col("vec_id") % 10 =!= 0)
+    val state = Similarity.semDedupState(corpus, "vec_id", "embedding",
+      k = 8, iters = 2, dim = 64)
+    state.members.cache().count()
+    val shardRows = sf("sf0.001", "embeddings")
+      .filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = Similarity.semDedupAgainst(state, batch, "vec_id",
+            "embedding", threshold = 0.45)
+          .collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        got.synchronized { got ++= out }; ()
+      }
+      .start()
+    val (h1, h2) = shardRows.splitAt(shardRows.length / 2)
+    input.addData(h1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    input.addData(h2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = Similarity.semDedupAgainst(state,
+        shardRows.toIndexedSeq.toDF("vec_id", "embedding"), "vec_id",
+        "embedding", threshold = 0.45)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(got.toSet == expected && expected.nonEmpty)
+  }
+
   test("incremental line dedup runs per micro-batch via foreachBatch, equals batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Dedup
