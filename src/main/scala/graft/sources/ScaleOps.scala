@@ -788,20 +788,50 @@ object ScaleOps {
       domainCol: String,
       keyCol: String,
       tokens: Column
-  ): DataFrame = {
-    requireStringDomain(df, domainCol)
+  ): DataFrame =
+    repeatToTokenBudgetAgainst(PreparedRepeatBudgetState(state), df,
+      domainCol, keyCol, tokens)
+
+  /** A [[repeatBudgetState]] frame with its driver-side meta cached —
+    * the [[PreparedTokenBudgetState]] pattern for the repeat mixture:
+    * the per-domain (epochs, crossing-bucket) map AND the embedded
+    * remainder state's (salt, n_buckets) are probed once per STATE, not
+    * once per micro-batch (the convenience DataFrame overload wraps per
+    * call — two extra driver jobs per batch in a tight streaming
+    * loop). */
+  final case class PreparedRepeatBudgetState(state: DataFrame) {
     require(state.columns.contains("epochs"),
       "state must carry the repeatBudgetState 'epochs' column " +
         s"(got ${state.columns.toSeq})")
+    /** |domains|-sized driver meta, same class as a budgets argument. */
+    lazy val epochMeta: Map[String, (Int, Int)] =
+      state.groupBy(col("domain"))
+        .agg(first("epochs").as("__e"), max(col("cross_bkt")).as("__cb"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2))))
+        .toMap
+    /** The embedded remainder cut's prepared state (absent when every
+      * domain's budget is an exact inventory multiple). */
+    lazy val remainder: Option[PreparedTokenBudgetState] =
+      if (epochMeta.valuesIterator.exists(_._2 >= 0))
+        Some(PreparedTokenBudgetState(state.filter(col("cross_bkt") >= 0)))
+      else None
+  }
+
+  /** [[repeatToTokenBudgetAgainst]] over a [[PreparedRepeatBudgetState]]
+    * — identical semantics, meta probes amortized across calls. */
+  def repeatToTokenBudgetAgainst(
+      prepared: PreparedRepeatBudgetState,
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      tokens: Column
+  ): DataFrame = {
+    requireStringDomain(df, domainCol)
     require(!df.columns.contains("epoch"),
       "df already carries an 'epoch' column — the repeat mixture appends " +
         "its own; rename or drop the existing one")
-    // |domains|-sized driver state, same class as a budgets argument
-    val em = state.groupBy(col("domain"))
-      .agg(first("epochs").as("__e"), max(col("cross_bkt")).as("__cb"))
-      .collect()
-      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2))))
-      .toMap
+    val em = prepared.epochMeta
     val fullDomains = em.collect { case (d, (e, _)) if e >= 1 => d -> e }
     val full =
       if (fullDomains.isEmpty) None
@@ -815,8 +845,7 @@ object ScaleOps {
       if (partDomains.isEmpty) None
       else {
         val eCase = domainCase(partDomains.toMap, domainCol, "int")
-        Some(sampleToTokenBudgetAgainst(
-            state.filter(col("cross_bkt") >= 0), df,
+        Some(sampleToTokenBudgetAgainst(prepared.remainder.get, df,
             domainCol, keyCol, tokens)
           .withColumn("epoch", eCase))
       }

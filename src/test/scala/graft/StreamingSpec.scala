@@ -655,6 +655,9 @@ class StreamingSpec extends SparkTestBase {
     val budgets = Seq("en" -> 260L, "de" -> 50L)
     val state = ScaleOps.repeatBudgetState(corpus, "dom", "id", col("nt"),
       budgets, salt = "rtb", buckets = 8).cache()
+    // wrap ONCE outside the micro-batch loop (the PreparedTokenBudgetState
+    // recipe): the epoch map and remainder meta probe once per state
+    val prepared = ScaleOps.PreparedRepeatBudgetState(state)
     val expected = ScaleOps.repeatToTokenBudget(corpus, "dom", "id",
         col("nt"), budgets, salt = "rtb", buckets = 8)
       .select("id", "epoch")
@@ -663,7 +666,7 @@ class StreamingSpec extends SparkTestBase {
     val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
     val q = input.toDF().toDF("id", "dom", "nt").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val kept = ScaleOps.repeatToTokenBudgetAgainst(state, batch,
+        val kept = ScaleOps.repeatToTokenBudgetAgainst(prepared, batch,
             "dom", "id", col("nt"))
           .select("id", "epoch")
           .collect().map(r => (r.getLong(0), r.getInt(1)))
