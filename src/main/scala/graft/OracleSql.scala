@@ -2396,6 +2396,16 @@ object OracleSql {
          |  AND len(${toks("text")}) BETWEEN 30 AND 90
          |ORDER BY id""".stripMargin,
 
+    // zorder append is semantically invisible: the grown layout's pruned
+    // read equals the plain box filter over ALL documents
+    "q255_zorder_append" ->
+      s"""SELECT doc_id AS id, lang, n_chars,
+         |  len(${toks("text")})::BIGINT AS n_tokens
+         |FROM documents
+         |WHERE n_chars BETWEEN 250 AND 550
+         |  AND len(${toks("text")}) BETWEEN 40 AND 80
+         |ORDER BY id""".stripMargin,
+
     // composed curation v2: q233's span-removal chain, then q237's
     // priority-window budget — quality and token counts on the CLEANED
     // text (whose tokens are exactly the kept token list)

@@ -1449,6 +1449,30 @@ object Queries {
         .orderBy("id")
     }),
 
+    // layout growth: base z-order write, then TWO zorderAppend batches
+    // (each clustered within itself, manifest extended with their
+    // per-file stats) — the pruned scan over the grown layout must
+    // return exactly the plain box filter over ALL documents
+    "q255_zorder_append" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars"), TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      val tmp = zorderTmpDir(dir, "q255")
+      graft.sources.ScaleOps.zorderWrite(
+        d.filter(col("doc_id") % 3 =!= 0), tmp,
+        zcols = Seq("n_chars", "nt"), bits = 8, numFiles = 12)
+      graft.sources.ScaleOps.zorderAppend(
+        d.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0), tmp,
+        zcols = Seq("n_chars", "nt"), bits = 8, numFiles = 3)
+      graft.sources.ScaleOps.zorderAppend(
+        d.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0), tmp,
+        zcols = Seq("n_chars", "nt"), bits = 8, numFiles = 3)
+      graft.sources.ScaleOps.zorderScan(s, tmp,
+          Seq(("n_chars", 250.0, 550.0), ("nt", 40.0, 80.0)))
+        .select(col("doc_id").as("id"), col("lang"),
+          col("n_chars"), col("nt").as("n_tokens"))
+        .orderBy("id")
+    }),
+
     // layout → consumer pipeline: the manifest-pruned zorderScan FEEDS the
     // exact token-budget cut — file skipping must be invisible to the kept
     // set (oracle: plain box filter, then the naive per-domain window)
@@ -3258,6 +3282,7 @@ object Queries {
         "q236_zorder_key", "q237_top_token_budget",
         "q238_clean_then_budget", "q239_zorder_scan",
         "q241_zorder_budget", "q242_token_budget_incremental",
+        "q255_zorder_append",
         "q243_top_budget_materialized", "q244_top_budget_incremental",
         "q246_repeat_token_budget", "q249_repeat_budget_incremental",
         "q254_unimax_mixture"),

@@ -138,6 +138,95 @@ object ScaleOps {
       .write.mode("overwrite").parquet(s"$path/_zmanifest")
   }
 
+  /** Append a new batch to an existing [[zorderWrite]] layout WITHOUT
+    * rewriting it — the sanctioned alternative to the bare append that
+    * [[zorderScan]] refuses: the batch is z-order clustered WITHIN
+    * ITSELF (its own exact min/max over the same `zcols`), its files
+    * land beside the existing ones (parquet append naming — no
+    * collisions), and the manifest is rewritten as old entries ∪ the
+    * new files' per-file min/max. Pruning CORRECTNESS only needs
+    * per-file stats, so segments clustered under different value ranges
+    * coexist soundly; clustering QUALITY degrades as segments
+    * accumulate (each append is its own little z-space, so files from
+    * different segments overlap in value space) — compact periodically
+    * by re-running [[zorderWrite]] over a full scan, exactly the
+    * lakehouse OPTIMIZE cadence.
+    *
+    * Refuses a layout z-ordered on different columns (manifest schema
+    * check) and a layout already violating the write-once contract
+    * (appending to it would launder the violation). All driver-side
+    * work is file-count-sized: the listing diff identifies the new
+    * files, and only THEY are re-read for stats. */
+  def zorderAppend(
+      df: DataFrame,
+      path: String,
+      zcols: Seq[String],
+      bits: Int = 8,
+      numFiles: Int = 32
+  ): Unit = {
+    require(zcols.size >= 2, "zorderAppend needs >= 2 cluster columns")
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val spark = df.sparkSession
+    val manifest = spark.read.parquet(s"$path/_zmanifest")
+    val expectedCols = zcols.flatMap(c => Seq(s"min_$c", s"max_$c")).toSet + "file"
+    require(manifest.columns.toSet == expectedCols,
+      s"layout at $path is z-ordered on different columns: manifest has " +
+        s"${manifest.columns.sorted.mkString(", ")}, append asked for " +
+        s"${zcols.mkString(", ")}")
+    val oldRows = manifest.collect() // file-count-sized
+    val manifestNames = oldRows.map(_.getAs[String]("file")).toSet
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(): Set[String] = fs.listStatus(dir).filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .toSet
+    val before = dataFiles()
+    require(before == manifestNames,
+      "layout already violates the write-once contract (data files and " +
+        "manifest disagree) — rerun zorderWrite before appending")
+    // cluster the batch within itself, same key recipe as zorderWrite
+    val mmAggs = zcols.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val mmRow = df.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
+    val minMax = zcols.indices.map(i =>
+      if (mmRow.isNullAt(2 * i)) (0.0, 0.0)
+      else (mmRow.getDouble(2 * i), mmRow.getDouble(2 * i + 1))).toSeq
+    val zk = zorderKey(zcols.map(col), minMax, bits)
+    df.repartitionByRange(numFiles, zk)
+      .sortWithinPartitions(zk)
+      .write.mode("append").parquet(path)
+    val fresh = (dataFiles() -- before).toSeq.sorted
+    if (fresh.isEmpty) return // empty batch: layout and manifest unchanged
+    val freshDf = spark.read.parquet(
+      fresh.map(n => s"${path.stripSuffix("/")}/$n"): _*)
+    val aggs = zcols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"min_$c"),
+      max(col(c).cast("double")).as(s"max_$c")))
+    // collected: needed driver-side anyway to reconcile zero-row files
+    val freshStats = freshDf.groupBy(
+        substring_index(input_file_name(), "/", -1).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(manifest.columns.map(col): _*)
+      .collect()
+    // a ZERO-ROW part file (an empty batch/partition still emits one
+    // schema-only file) contributes no stats row — delete it rather than
+    // leave an unmanifested file that would trip the write-once check
+    val statNames = freshStats.map(_.getAs[String]("file")).toSet
+    (fresh.toSet -- statNames).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, n), false); ()
+    }
+    if (statNames.isEmpty) return // nothing but empty files: no-op
+    // rewritten manifest = frozen old rows ∪ new stats (both collected,
+    // so overwriting their source directory is safe)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (oldRows ++ freshStats).toIndexedSeq, 1),
+        manifest.schema)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_zmanifest")
+  }
+
   /** Manifest-pruned read of a [[zorderWrite]] layout: keep only the
     * files whose min/max boxes overlap every `(col, lo, hi)` bound
     * (closed intervals), then apply the exact predicate to the surviving
@@ -151,8 +240,8 @@ object ScaleOps {
     * the manifest: it would be SILENTLY UNREAD) or a manifest entry
     * whose file has vanished (the scan would fail or, worse, a stale
     * manifest could mask a partial rewrite) refuses loudly with the
-    * offending names. Rewrite the layout (or rerun zorderWrite) on any
-    * change. */
+    * offending names. Grow a layout with [[zorderAppend]]; rewrite it
+    * with [[zorderWrite]] on any other change. */
   def zorderScan(
       spark: SparkSession,
       path: String,

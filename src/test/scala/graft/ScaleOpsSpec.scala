@@ -1259,4 +1259,56 @@ class ScaleOpsSpec extends SparkTestBase {
       ScaleOps.uniMaxBudgets(df, "dom", col("nt"), 100L, 0)
     }
   }
+
+  test("zorderAppend: grows the layout, scan stays exact and still prunes") {
+    val li = sf("sf0.001", "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+    val base = li.filter(col("l_orderkey") % 3 =!= 0)
+    val batch1 = li.filter(col("l_orderkey") % 3 === 0 &&
+      col("l_orderkey") % 2 === 0)
+    val batch2 = li.filter(col("l_orderkey") % 3 === 0 &&
+      col("l_orderkey") % 2 =!= 0)
+    val dir = Files.createTempDirectory("graft_zapp").toString + "/z"
+    val zc = Seq("l_extendedprice", "l_quantity")
+    ScaleOps.zorderWrite(base, dir, zc, bits = 6, numFiles = 8)
+    ScaleOps.zorderAppend(batch1, dir, zc, bits = 6, numFiles = 2)
+    ScaleOps.zorderAppend(batch2, dir, zc, bits = 6, numFiles = 2)
+    val bounds = Seq(("l_extendedprice", 10000.0, 30000.0),
+      ("l_quantity", 5.0, 25.0))
+    val pruned = ScaleOps.zorderScan(spark, dir, bounds)
+    val got = pruned.select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = li.filter(
+        col("l_extendedprice").between(10000.0, 30000.0) &&
+          col("l_quantity").between(5.0, 25.0))
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // the appended rows really flow through the pruned scan
+    assert(got.exists(_._1 % 3 == 0))
+    // and the manifest still skips files on a selective box
+    val tight = ScaleOps.zorderScan(spark, dir,
+      Seq(("l_extendedprice", 900.0, 1100.0), ("l_quantity", 1.0, 2.0)))
+    val all = spark.read.parquet(s"$dir/_zmanifest").count()
+    val read = tight.select(input_file_name()).distinct().count()
+    assert(read < all, s"$read of $all files — no skipping after append")
+    // empty append is a no-op
+    ScaleOps.zorderAppend(li.filter(lit(false)), dir, zc)
+    assert(ScaleOps.zorderScan(spark, dir, bounds)
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet == want)
+    // mismatched cluster columns refuse (manifest schema check)
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.zorderAppend(batch1, dir, Seq("l_extendedprice", "l_linenumber"))
+    }
+    assert(e.getMessage.contains("different columns"))
+    // appending onto a violated layout refuses instead of laundering it
+    val victim = new java.io.File(dir).listFiles()
+      .find(f => f.isFile && f.getName.endsWith(".parquet")).get
+    assert(victim.delete())
+    val e2 = intercept[IllegalArgumentException] {
+      ScaleOps.zorderAppend(batch1, dir, zc)
+    }
+    assert(e2.getMessage.contains("write-once"))
+  }
 }
