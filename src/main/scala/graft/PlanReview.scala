@@ -345,6 +345,25 @@ object PlanReview {
       graft.operators.Recommend.rank1Factors(
         li.limit(100000), "l_suppkey", "l_partkey", "l_quantity", iters = 1)
     }
+    // round 13: SemDeDup frozen-state ingest — shard-side narrow argmax
+    // assignment (codebook is a plan reference, not literals), ONE
+    // cell-keyed join against the members table, shard-sized best-match
+    // window; nothing corpus-sized recomputes
+    show("semDedupAgainst (assignment + cell join + shard window)") {
+      val st = graft.pipeline.Similarity.semDedupState(
+        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        k = 8, iters = 2, dim = 64)
+      graft.pipeline.Similarity.semDedupAgainst(st,
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", 0.45)
+    }
+    // round 13: MinHash state refresh — shard-sized shingle pass, one
+    // fp-keyed anti join against reps, bucket-table-sized valve agg
+    show("minhashDedupStateRefresh (anti join + valve agg)") {
+      val st = graft.pipeline.Dedup.minhashDedupState(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      graft.pipeline.Dedup.minhashDedupStateRefresh(st,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text").buckets
+    }
     spark.stop()
   }
 }

@@ -316,6 +316,28 @@ class LocalClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaRefreshed = applyState(refreshed)
     assert(viaRefreshed === applyState(rebuilt))
     assert(viaRefreshed.exists(_._2.isDefined))
+    // r13: the EMBEDDING-modality frozen state (SemDeDup ingest) also
+    // round-trips through parquet and applies across executors — the
+    // codebook collects driver-side and re-broadcasts into the codegen'd
+    // nearest-centroid argmax, which is the serialization-sensitive part
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vcorpus = vecs.filter(col("vec_id") % 10 =!= 0)
+    val sd = graft.pipeline.Similarity.semDedupState(
+      vcorpus, "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+    val sdDir = java.nio.file.Files.createTempDirectory("graft_lc_sd").toString
+    sd.centroids.write.mode("overwrite").parquet(s"$sdDir/centroids")
+    sd.members.write.mode("overwrite").parquet(s"$sdDir/members")
+    val loadedSd = graft.pipeline.Similarity.SemDedupState(
+      spark.read.parquet(s"$sdDir/centroids"),
+      spark.read.parquet(s"$sdDir/members"))
+    val vfresh = vecs.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    def sdApply(st: graft.pipeline.Similarity.SemDedupState) =
+      graft.pipeline.Similarity.semDedupAgainst(st, vfresh, "vec_id",
+          "embedding", threshold = 0.45)
+        .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toSet
+    val viaSd = sdApply(loadedSd)
+    assert(viaSd === sdApply(sd) && viaSd.nonEmpty)
   }
 
   test("streaming funnel state store works under executors") {
