@@ -141,6 +141,64 @@ object ProfR13 {
         "embedding", threshold = 0.6))
     })
 
+    // 4. the COMPOSED daily-ingest path — the whole point of the frozen
+    // -state family in one number: a 10% shard arrives and, against
+    // nothing but persisted state, is (a) line-scrubbed against corpus
+    // fingerprints, (b) near-dup-flagged against the MinHash state and
+    // filtered to unique docs, (c) cut to the frozen token budget, and
+    // (d) packed into training sequences. No stage recomputes anything
+    // corpus-sized; state is parquet, as on a lake. Run at ×100 docs.
+    lazy val ingestSetup = {
+      val d = s"/tmp/graft_prof13_ingest"
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.lineFingerprints(
+          corpus.select(col("doc_id"),
+            TextOps.tokenChunkLines(col("text"), 10).as("text")),
+          "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d/linefps")
+      val mh = Dedup.minhashDedupState(corpus, "doc_id", "text")
+      mh.reps.write.mode("overwrite").parquet(s"$d/reps")
+      mh.buckets.write.mode("overwrite").parquet(s"$d/buckets")
+      val budgets = corpus.groupBy("lang")
+        .agg(sum(tok.cast("long")).as("t")).collect()
+        .map(r => r.getString(0) -> math.max(1L, (r.getLong(1) * 3) / 10))
+        .toSeq.sortBy(_._1)
+      ScaleOps.tokenBudgetState(corpus, "lang", "doc_id", tok, budgets,
+          salt = "p13i")
+        .write.mode("overwrite").parquet(s"$d/tbstate")
+      (Dedup.MinhashDedupState(
+          spark.read.parquet(s"$d/reps"),
+          spark.read.parquet(s"$d/buckets")),
+        spark.read.parquet(s"$d/linefps"),
+        ScaleOps.PreparedTokenBudgetState(spark.read.parquet(s"$d/tbstate")))
+    }
+    if (runs("daily_ingest_composed")) ingestSetup
+    time("daily_ingest_composed")({
+      val (mh, linefps, tb) = ingestSetup
+      val shard = docs.filter(col("doc_id") % 10 === 0)
+      // (a) boilerplate/line scrub against the corpus line fingerprints
+      // shard-sized intermediate consumed by three branches (dedup flag,
+      // semi-join, budget cut) — staged, the narrow-frame rule
+      import graft.Staging.StagedFrame
+      val scrubbed = Dedup.removeDupLinesAgainst(linefps,
+          shard.select(col("doc_id"), col("lang"),
+            TextOps.tokenChunkLines(col("text"), 10).as("text")),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("text_clean").as("text"))
+        .join(shard.select(col("doc_id"), col("lang")), "doc_id")
+        .staged
+      // (b) near-dup flag against the frozen MinHash state; keep uniques
+      val uniq = scrubbed.join(
+        Dedup.dedupAgainstState(mh, scrubbed, "doc_id", "text")
+          .filter(col("dup_of").isNull).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      // (c) frozen token-budget cut, (d) sequence packing
+      val kept = ScaleOps.sampleToTokenBudgetAgainst(tb, uniq, "lang",
+        "doc_id", TextOps.tokenCount(col("text")))
+      noop(TextOps.packSequences(kept, "doc_id", "text", window = 2048,
+        salt = "p13i"))
+    })
+
     spark.stop()
   }
 }
