@@ -2674,6 +2674,46 @@ object OracleSql {
          |SELECT query_id, neighbor_id, cos, rank FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // persisted-index append: q41's IVF algebra with centroids trained on
+    // the CORPUS only (16 lowest corpus ids, iters = 0) and the grown
+    // corpus (corpus + id-shifted shard) assigned under them
+    "q256_vector_index_append" ->
+      s"""WITH grown AS (
+         |  SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |    WHERE vec_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS id, embedding AS vec FROM embeddings
+         |    WHERE vec_id % 10 = 0),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id % 10 <> 0
+         |  ORDER BY vec_id LIMIT 16),
+         |cr AS (SELECT cent_id, cvec,
+         |    row_number() OVER (ORDER BY cent_id) - 1 AS cell FROM cents),
+         |av AS (SELECT g.id, g.vec, c.cell,
+         |    ${cosSql("g.vec", "c.cvec")} AS cos_c
+         |  FROM grown g CROSS JOIN cr c),
+         |assigned AS (SELECT id, vec, cell FROM (
+         |   SELECT *, row_number() OVER
+         |     (PARTITION BY id ORDER BY cos_c DESC, cell ASC) AS r FROM av) t
+         |  WHERE r = 1),
+         |qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+         |  WHERE vec_id IN (1,2,3,4,6)),
+         |pav AS (SELECT q.query_id, q.qvec, c.cell,
+         |    ${cosSql("q.qvec", "c.cvec")} AS cos_c
+         |  FROM qv q CROSS JOIN cr c),
+         |pr AS (SELECT query_id, qvec, cell FROM (
+         |   SELECT *, row_number() OVER
+         |     (PARTITION BY query_id ORDER BY cos_c DESC, cell ASC) AS r
+         |   FROM pav) t WHERE r <= 4),
+         |scored AS (SELECT p.query_id, a.id AS neighbor_id,
+         |    ${cosSql("p.qvec", "a.vec")} AS cos
+         |  FROM assigned a JOIN pr p ON a.cell = p.cell AND a.id <> p.query_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q203_knn_join_brute" ->
       s"""WITH scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |    ${cosSql("a.embedding", "b.embedding")} AS cos

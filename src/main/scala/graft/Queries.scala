@@ -1642,6 +1642,27 @@ object Queries {
         .orderBy("id", "epoch")
     }),
 
+    // similarity: persisted-index APPEND — shard vectors assigned by the
+    // FROZEN centroids land beside the existing cell partitions; the
+    // pruned top-k over the grown index must equal the in-memory IVF
+    // search over the grown corpus under the same codebook
+    "q256_vector_index_append" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-vindex-app").toString
+      graft.pipeline.VectorIndex.build(
+        e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", idx,
+        k = 16, iters = 0)
+      graft.pipeline.VectorIndex.append(
+        e.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L),
+        "vec_id", "embedding", idx)
+      graft.pipeline.VectorIndex.topK(s, idx,
+          e.filter(col("vec_id").isin(1L, 2L, 3L, 4L, 6L)),
+          "vec_id", "embedding", k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // similarity: frozen-state SemDeDup ingest — the embedding-modality
     // state twin: k-means codebook + valved cell members frozen from the
     // corpus, shard vectors route to their nearest frozen cell and
@@ -3254,7 +3275,8 @@ object Queries {
         "q82_int8_quantize", "q92_vector_index", "q113_label_centroids",
         "q196_pq_mse", "q212_pq_rerank", "q215_hybrid_rrf",
         "q216_silhouette", "q218_mmr_rerank", "q229_hybrid_batch",
-        "q231_mmr_batch", "q253_semdedup_incremental"),
+        "q231_mmr_batch", "q253_semdedup_incremental",
+        "q256_vector_index_append"),
       "text" -> Seq(
         "q37_text_analysis", "q38_text_quality_agg", "q42_vocab_topk",
         "q45_json_extract", "q46_lm_score", "q55_tfidf_top_term",

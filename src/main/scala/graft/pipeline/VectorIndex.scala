@@ -57,6 +57,41 @@ object VectorIndex {
     cents
   }
 
+  /** Append new vectors to a built index WITHOUT retraining: assign them
+    * with the PERSISTED centroids (read once, k·dim doubles) and append
+    * their cell-partitioned files beside the existing ones. Sound
+    * because query CORRECTNESS never depends on centroid optimality:
+    * probes rank cells by the same frozen centroids that assigned every
+    * vector — appended vectors are found exactly as same-cell originals
+    * are, and [[topK]] over the grown index equals the in-memory
+    * `ivfTopK(trainedCentroids = …)` over the grown corpus
+    * (spec-pinned). What DOES decay as the corpus drifts from the
+    * training distribution is recall-vs-scan-fraction (cells skew and
+    * fatten), so retrain with [[build]] on the usual compaction cadence
+    * — the [[graft.sources.ScaleOps.zorderAppend]] story for the vector
+    * modality. Parquet append naming cannot collide; a crashed append
+    * leaves only orphan files in cell directories (re-run it —
+    * vector-id dedup is the caller's contract, as in [[build]]). */
+  def append(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String
+  ): Unit = {
+    val spark = emb.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Number](1).toArray.map(_.doubleValue))
+    require(cents.nonEmpty, s"no centroids at $dir — build the index first")
+    emb
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        graft.functions.VectorExprs.nearestCentroid(col(vecCol), cents)
+          .as("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/assigned.parquet")
+  }
+
   /** Top-k cosine neighbors from a built index for each query row.
     * Probe ranking, scoring, and tie order are identical to
     * [[Similarity.ivfTopK]] (cos desc, id asc; a query never matches its

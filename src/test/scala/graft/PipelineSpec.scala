@@ -1913,4 +1913,48 @@ class PipelineSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.isNullAt(1)))
     assert(out.length == 5 && out.forall(_._2))
   }
+
+  test("refresh ≡ rebuild property: random corpora, hot buckets, sub-n docs") {
+    // randomized pin over the fixture tests: tiny vocab forces exact
+    // classes, near-dups, AND hot buckets (cap 2 → tombstones), docs of
+    // length 0-9 cover the sub-n/null-fp path; growth ids are monotone
+    // (the ingest convention), so refreshed and rebuilt states must
+    // agree table-for-table and apply identically. Seed fixed.
+    val rng = new scala.util.Random(13)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    def doc() = (0 until rng.nextInt(10))
+      .map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+    for (round <- 1 to 5) {
+      val nBase = 12 + rng.nextInt(12)
+      val base = (1 to nBase).map(i => (i.toLong, doc()))
+        .toDF("doc_id", "text")
+      val grow = (1 to 6 + rng.nextInt(6))
+        .map(i => ((1000 + i).toLong, doc())).toDF("doc_id", "text")
+      val cap = Some(2L)
+      val refreshed = Dedup.minhashDedupStateRefresh(
+        Dedup.minhashDedupState(base, "doc_id", "text", maxBucketSize = cap),
+        grow, "doc_id", "text")
+      val rebuilt = Dedup.minhashDedupState(base.unionByName(grow),
+        "doc_id", "text", maxBucketSize = cap)
+      def repSet(st: Dedup.MinhashDedupState) = st.reps
+        .select("__fp", "cid").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      def bkSet(st: Dedup.MinhashDedupState) = st.buckets.collect()
+        .map(r => (r.getInt(r.fieldIndex("band")),
+          r.getAs[Any]("bucket").toString,
+          if (r.isNullAt(r.fieldIndex("cid"))) -1L
+          else r.getAs[Long]("cid"))).toSet
+      assert(repSet(refreshed) == repSet(rebuilt), s"reps differ (round $round)")
+      assert(bkSet(refreshed) == bkSet(rebuilt), s"buckets differ (round $round)")
+      val probe = (1 to 8).map(i => ((5000 + i).toLong, doc()))
+        .toDF("doc_id", "text")
+      def out(st: Dedup.MinhashDedupState) =
+        Dedup.dedupAgainstState(st, probe, "doc_id", "text", threshold = 0.4)
+          .collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+      assert(out(refreshed) == out(rebuilt), s"apply differs (round $round)")
+    }
+  }
 }

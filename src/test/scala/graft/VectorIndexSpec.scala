@@ -44,4 +44,41 @@ class VectorIndexSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
       s"no partition filter in plan:\n${plan.take(2000)}")
   }
+
+  test("append grows the index: topK equals in-memory ivfTopK over the grown corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("vindex-append").toString
+    val corpus = embs.filter(col("vec_id") % 10 =!= 0)
+    val shard = embs.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val cents = VectorIndex.build(corpus, "vec_id", "embedding", dir,
+      k = 8, iters = 2)
+    VectorIndex.append(shard, "vec_id", "embedding", dir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))
+    val queries = embs.filter(col("vec_id").isin(1L, 2L, 3L))
+    val fromIndex = VectorIndex.topK(spark, dir, queries,
+      "vec_id", "embedding", k = 10, nprobe = 3)
+      .collect().map(key).toMap
+    // the frozen centroids assign the grown corpus identically in memory
+    val inMemory = Similarity.ivfTopK(corpus.unionByName(shard), "vec_id",
+        "embedding", Seq(1L, 2L, 3L), 10, nprobe = 3,
+        trainedCentroids = Some(cents))
+      .collect().map(key).toMap
+    assert(fromIndex.nonEmpty && fromIndex == inMemory)
+    // appended vectors are actually retrievable (some neighbor id > 1M)
+    assert(fromIndex.values.exists(_._1 > 1000000L),
+      "no appended vector surfaced in any top-10")
+    // partition pruning survives the append
+    val assigned = spark.read.parquet(s"$dir/assigned.parquet")
+    val allFiles = assigned.inputFiles.length
+    val pruned = assigned.filter(col("cell").isInCollection(Seq(0, 1)))
+      .select(input_file_name()).distinct().count()
+    assert(pruned < allFiles, s"$pruned of $allFiles — pruning lost")
+    // appending to a missing index refuses
+    val e = intercept[Exception] {
+      VectorIndex.append(shard, "vec_id", "embedding",
+        dir + "/nonexistent")
+    }
+    assert(e != null)
+  }
 }
