@@ -141,6 +141,32 @@ object ProfR13 {
         "embedding", threshold = 0.6))
     })
 
+    // 3b. persisted-index append vs rebuild at ×100 embeddings: the
+    // vector modality's growth dividend (run with SPARK_GRAFT_SF_DIR at
+    // the ×100 embeddings replica)
+    lazy val vidxDir = {
+      val d = "/tmp/graft_prof13_vindex"
+      graft.pipeline.VectorIndex.build(
+        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", d,
+        k = sdK, iters = 2)
+      d
+    }
+    if (runs("vindex_append")) vidxDir
+    // NOTE: iterations append cumulatively into the same layout — the
+    // per-append cost is independent of resident files, so the timing is
+    // valid and duplicate ids are irrelevant to it
+    time("vindex_append")({
+      graft.pipeline.VectorIndex.append(
+        emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", vidxDir)
+      0L
+    })
+    time("vindex_rebuild")({
+      graft.pipeline.VectorIndex.build(emb, "vec_id", "embedding",
+        "/tmp/graft_prof13_vindex_rebuild", k = sdK, iters = 2)
+      0L
+    })
+
     // 4. the COMPOSED daily-ingest path — the whole point of the frozen
     // -state family in one number: a 10% shard arrives and, against
     // nothing but persisted state, is (a) line-scrubbed against corpus
