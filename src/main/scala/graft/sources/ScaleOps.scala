@@ -156,7 +156,14 @@ object ScaleOps {
     * check) and a layout already violating the write-once contract
     * (appending to it would launder the violation). All driver-side
     * work is file-count-sized: the listing diff identifies the new
-    * files, and only THEY are re-read for stats. */
+    * files, and only THEY are re-read for stats.
+    *
+    * Failure mode: a crash between the data write and the manifest
+    * rewrite leaves the new files unmanifested — every subsequent
+    * [[zorderScan]] (and this method's own pre-check) then refuses
+    * LOUDLY rather than silently dropping data; recover by re-running
+    * [[zorderWrite]] over a full scan. Single-writer discipline is
+    * assumed, as everywhere in the layout family. */
   def zorderAppend(
       df: DataFrame,
       path: String,
