@@ -1311,4 +1311,39 @@ class ScaleOpsSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("write-once"))
   }
+
+  test("uniMaxBudgets invariants hold on random inventories") {
+    import spark.implicits._
+    // waterfilling invariants, randomized (seed fixed): (1) every
+    // allocation is positive and <= maxEpochs * inventory; (2) the total
+    // never exceeds the budget; (3) the budget is EXHAUSTED whenever the
+    // caps allow it (sum a = min(total, sum caps) up to integer-division
+    // slack of at most one token per domain); (4) fairness — a domain
+    // that did NOT hit its cap received at least as much as every
+    // SMALLER-inventory domain (the even share only shrinks as domains
+    // drop off the waterfilling walk)
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val n = 2 + rng.nextInt(5)
+      val inv = (0 until n).map(i =>
+        (s"d$i", 1L + rng.nextInt(10000).toLong))
+      val rows = inv.flatMap { case (d, t) => Seq((d, t / 2), (d, t - t / 2)) }
+      val df = rows.toDF("dom", "nt")
+      val total = 1L + rng.nextInt(30000).toLong
+      val maxE = 1 + rng.nextInt(3)
+      val got = ScaleOps.uniMaxBudgets(df, "dom", col("nt"), total, maxE)
+      val invMap = inv.toMap
+      assert(got.forall { case (d, a) => a > 0 && a <= maxE * invMap(d) })
+      val sumA = got.map(_._2).sum
+      assert(sumA <= total)
+      val capSum = inv.map { case (_, t) => maxE * t }.sum
+      assert(sumA >= math.min(total, capSum) - n,
+        s"left tokens on the table: $sumA of min($total, $capSum)")
+      val gotMap = got.toMap
+      val uncapped = got.filter { case (d, a) => a < maxE * invMap(d) }
+      for ((d, a) <- uncapped; (d2, t2) <- inv if t2 < invMap(d))
+        assert(gotMap.getOrElse(d2, 0L) <= a + 1,
+          s"unfair: $d2 (inv $t2) got ${gotMap.getOrElse(d2, 0L)} > $d's $a")
+    }
+  }
 }
