@@ -2714,6 +2714,36 @@ object OracleSql {
          |SELECT query_id, neighbor_id, cos, rank FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // index drift monitor: corpus-trained codebook (16 lowest corpus
+    // ids, iters = 0), mean best-cell cosine per side, one row
+    "q257_index_drift" ->
+      s"""WITH corpus AS (SELECT vec_id AS id, embedding AS vec
+         |  FROM embeddings WHERE vec_id % 10 <> 0),
+         |shard AS (SELECT vec_id AS id, embedding AS vec
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id % 10 <> 0
+         |  ORDER BY vec_id LIMIT 16),
+         |cr AS (SELECT cent_id, cvec,
+         |    row_number() OVER (ORDER BY cent_id) - 1 AS cell FROM cents),
+         |avc AS (SELECT g.id, c.cell, ${cosSql("g.vec", "c.cvec")} AS cos
+         |  FROM corpus g CROSS JOIN cr c),
+         |bc AS (SELECT id, cos FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY id ORDER BY cos DESC, cell ASC) AS r FROM avc) t
+         |  WHERE r = 1),
+         |corp AS (SELECT count(*)::BIGINT AS n_corpus,
+         |    avg(cos) AS corpus_mean_cos FROM bc),
+         |avs AS (SELECT g.id, c.cell, ${cosSql("g.vec", "c.cvec")} AS cos
+         |  FROM shard g CROSS JOIN cr c),
+         |bs AS (SELECT id, cos FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY id ORDER BY cos DESC, cell ASC) AS r FROM avs) t
+         |  WHERE r = 1),
+         |shd AS (SELECT count(*)::BIGINT AS n_shard,
+         |    avg(cos) AS shard_mean_cos FROM bs)
+         |SELECT n_corpus, n_shard, corpus_mean_cos, shard_mean_cos,
+         |  corpus_mean_cos - shard_mean_cos AS drift
+         |FROM corp, shd""".stripMargin,
+
     "q203_knn_join_brute" ->
       s"""WITH scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |    ${cosSql("a.embedding", "b.embedding")} AS cos

@@ -1663,6 +1663,20 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    // similarity: index drift monitor — the retrain signal for the
+    // append workflow: mean best-cell cosine of the resident corpus vs
+    // an incoming shard under the frozen codebook
+    "q257_index_drift" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-vindex-drift").toString
+      graft.pipeline.VectorIndex.build(
+        e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", idx,
+        k = 16, iters = 0)
+      graft.pipeline.VectorIndex.driftCheck(s, idx,
+        e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding")
+    }),
+
     // similarity: frozen-state SemDeDup ingest — the embedding-modality
     // state twin: k-means codebook + valved cell members frozen from the
     // corpus, shard vectors route to their nearest frozen cell and
@@ -3276,7 +3290,7 @@ object Queries {
         "q196_pq_mse", "q212_pq_rerank", "q215_hybrid_rrf",
         "q216_silhouette", "q218_mmr_rerank", "q229_hybrid_batch",
         "q231_mmr_batch", "q253_semdedup_incremental",
-        "q256_vector_index_append"),
+        "q256_vector_index_append", "q257_index_drift"),
       "text" -> Seq(
         "q37_text_analysis", "q38_text_quality_agg", "q42_vocab_topk",
         "q45_json_extract", "q46_lm_score", "q55_tfidf_top_term",

@@ -92,6 +92,52 @@ object VectorIndex {
       .parquet(s"$dir/assigned.parquet")
   }
 
+  /** Centroid-drift monitor — the "when to retrain" signal that
+    * completes the [[append]] story: appended vectors are always
+    * FINDABLE, but as the corpus drifts from the training distribution
+    * they sit farther from every centroid and recall-per-probe decays.
+    * This compares the best-cell cosine of a candidate shard against the
+    * resident corpus: one row (n_corpus, n_shard, corpus_mean_cos,
+    * shard_mean_cos, drift = corpus − shard). Near-zero drift → the
+    * shard looks like the training distribution, append freely;
+    * a persistent positive gap → schedule a [[build]] retrain (pick the
+    * threshold from your recall SLO — drift is in cosine units).
+    *
+    * Scale shape: the resident side is one pruning-free narrow scan of
+    * `assigned` joined to the BROADCAST k-row centroid table + one
+    * 1-row aggregate (map-side partials); the shard side is the same
+    * after the codegen'd assignment projection. Nothing collects but
+    * two 1-row frames. */
+  def driftCheck(
+      spark: SparkSession,
+      dir: String,
+      shard: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val cdf = spark.read.parquet(s"$dir/centroids.parquet")
+    val cents = cdf.orderBy("cell").collect()
+      .map(_.getSeq[Number](1).toArray.map(_.doubleValue))
+    require(cents.nonEmpty, s"no centroids at $dir — build the index first")
+    def meanCos(assigned: DataFrame, nName: String, mName: String) =
+      assigned.join(broadcast(cdf), Seq("cell"))
+        .agg(count(lit(1)).as(nName),
+          avg(Similarity.cosine(col("vec"), col("cvec"))).as(mName))
+    val corpusSide = meanCos(
+      spark.read.parquet(s"$dir/assigned.parquet").select("cell", "vec"),
+      "n_corpus", "corpus_mean_cos")
+    val shardSide = meanCos(
+      shard.select(
+        graft.functions.VectorExprs.nearestCentroid(col(vecCol), cents)
+          .as("cell"),
+        col(vecCol).as("vec")),
+      "n_shard", "shard_mean_cos")
+    corpusSide.crossJoin(shardSide)
+      .select(col("n_corpus"), col("n_shard"),
+        col("corpus_mean_cos"), col("shard_mean_cos"),
+        (col("corpus_mean_cos") - col("shard_mean_cos")).as("drift"))
+  }
+
   /** Top-k cosine neighbors from a built index for each query row.
     * Probe ranking, scoring, and tie order are identical to
     * [[Similarity.ivfTopK]] (cos desc, id asc; a query never matches its

@@ -81,4 +81,32 @@ class VectorIndexSpec extends SparkTestBase {
     }
     assert(e != null)
   }
+
+  test("driftCheck: in-distribution shard near zero, out-of-distribution drifts") {
+    val dir = java.nio.file.Files.createTempDirectory("vindex-drift").toString
+    val corpus = embs.filter(col("vec_id") % 10 =!= 0)
+    VectorIndex.build(corpus, "vec_id", "embedding", dir, k = 8, iters = 2)
+    // a shard drawn from the same distribution: drift about zero
+    val inDist = embs.filter(col("vec_id") % 10 === 0)
+    val r1 = VectorIndex.driftCheck(spark, dir, inDist, "vec_id", "embedding")
+      .collect()(0)
+    assert(r1.getLong(0) > 0 && r1.getLong(1) > 0)
+    val driftIn = r1.getDouble(4)
+    // a structurally different shard: one-hot axis vectors concentrate
+    // all mass on a single dimension — nothing in the training
+    // distribution looks like that, best-cell cosines collapse toward
+    // |c_j|/||c||, drift goes clearly positive
+    val oneHot = inDist.select(col("vec_id"),
+      transform(col("embedding"),
+        (_, i) => when(i === pmod(col("vec_id"), lit(64)).cast("int"),
+          lit(1.0f)).otherwise(lit(0.0f))).as("embedding"))
+    val driftOut = VectorIndex.driftCheck(spark, dir, oneHot,
+      "vec_id", "embedding").collect()(0).getDouble(4)
+    // the synthetic embeddings are near-isotropic, so absolute cosine
+    // gaps are small at k = 8 — the pin is the ORDERING, with a margin
+    // above host/sampling noise
+    assert(driftOut > driftIn + 0.02,
+      s"one-hot shard should drift: in=$driftIn out=$driftOut")
+    assert(math.abs(driftIn) < 0.1, s"in-distribution drift too large: $driftIn")
+  }
 }
