@@ -273,4 +273,42 @@ class EmptyInputSpec extends SparkTestBase {
       Seq((1L, "v")).toDF("sk", "val"), "sk",
       xxhash64(col("rid")), 4).count() === 0L)
   }
+
+  test("round-13 operators tolerate empty/degenerate inputs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    // refresh with an EMPTY growth shard leaves the state unchanged
+    val st = Dedup.minhashDedupState(docs, "doc_id", "text")
+    val refreshed = Dedup.minhashDedupStateRefresh(st, emptyDocs,
+      "doc_id", "text")
+    assert(refreshed.reps.count() == st.reps.count())
+    assert(refreshed.buckets.count() == st.buckets.count())
+    // semDedupAgainst with an EMPTY shard returns an empty frame with
+    // the right schema
+    val vecs = Seq((1L, Seq.fill(4)(1.0f)), (2L, Seq.fill(4)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val sd = Similarity.semDedupState(vecs, "vec_id", "embedding",
+      k = 2, iters = 1, dim = 4)
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val out = Similarity.semDedupAgainst(sd, emptyVecs, "vec_id",
+      "embedding", 0.5)
+    assert(out.count() == 0 &&
+      out.columns.toSeq == Seq("id", "dup_of", "cos"))
+    // uniMaxBudgets over an empty / all-null-domain frame allocates
+    // nothing (and the downstream cut operators refuse the empty
+    // budgets list loudly — budget-positivity contract)
+    assert(ScaleOps.uniMaxBudgets(emptyDocs.withColumn("nt", lit(1L)),
+      "text", col("nt"), 100L).isEmpty)
+    val nullDom = Seq((1L, null: String, 5L)).toDF("id", "dom", "nt")
+    assert(ScaleOps.uniMaxBudgets(nullDom, "dom", col("nt"), 100L).isEmpty)
+    intercept[IllegalArgumentException] {
+      ScaleOps.sampleToTokenBudget(nullDom, "dom", "id", col("nt"),
+        ScaleOps.uniMaxBudgets(nullDom, "dom", col("nt"), 100L))
+    }
+    // boilerplate-mode line-dedup ingest over an empty shard is empty
+    val fps = Dedup.lineFingerprints(docs, "doc_id", "text")
+    assert(Dedup.removeDupLinesAgainst(fps, emptyDocs, "doc_id", "text",
+      keepFirst = false).count() == 0)
+  }
 }
