@@ -612,16 +612,21 @@ object Dedup {
     val valved = cap match {
       case None => union
       case Some(c) =>
-        val u = union.staged // reused: valve agg + keep filter
+        // the union is consumed twice (valve agg + keep filter) but NOT
+        // staged: it is bucket-table-scale (≈ corpus × bands rows), and
+        // staging would WRITE all of it per refresh where the second
+        // consumer only re-pays one columnar scan of the persisted old
+        // buckets plus a signature pass over the already-staged new reps
+        // — the span-removal staging lesson (BENCH_NOTES r12)
         // a bucket is saturated iff its LIVE member count exceeds the cap
         // or it carries a tombstone (its pre-freeze members were dropped
         // but counted — exactly what a rebuild over the union would see)
-        val sz = u.groupBy("band", "bucket")
+        val sz = union.groupBy("band", "bucket")
           .agg(count(col("cid")).as("__live"), count(lit(1)).as("__all"))
         val hot = sz
           .filter(col("__all") > col("__live") || col("__live") > c)
           .select("band", "bucket")
-        u.join(hot, Seq("band", "bucket"), "left_anti")
+        union.join(hot, Seq("band", "bucket"), "left_anti")
           .unionByName(hot.withColumn("cid",
             lit(null).cast(oldBk.schema("cid").dataType)))
     }
