@@ -1767,6 +1767,79 @@ object OracleSql {
          |ORDER BY f.id""".stripMargin
     },
 
+    // frozen-codebook SemDeDup APPEND: the q253 k-means chain on the
+    // FIRST corpus slice only (the codebook never retrains), the second
+    // slice assigned under that final codebook and unioned into the
+    // member set, then the q253 apply algebra against the grown members
+    "q259_semdedup_append" -> {
+      def assign(cf: String, out: String) =
+        s"""p_$out AS (SELECT ef.id, c.cell, sum(ef.x * c.w) AS dot,
+           |    sqrt(sum(c.w * c.w)) AS nc
+           |  FROM ef JOIN $cf c USING (i) GROUP BY 1, 2),
+           |s_$out AS (SELECT p.id, p.cell, p.dot / (en.nv * p.nc) AS cos
+           |  FROM p_$out p JOIN en ON p.id = en.id),
+           |$out AS (SELECT id, cell FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY id ORDER BY cos DESC, cell ASC) AS rn FROM s_$out)
+           |  WHERE rn = 1)""".stripMargin
+      def update(a: String, prev: String, out: String) =
+        s"""${out}_raw AS (SELECT a.cell, ef.i, avg(ef.x) AS w
+           |  FROM $a a JOIN ef ON a.id = ef.id GROUP BY 1, 2),
+           |$out AS (SELECT p.cell, p.i, coalesce(r.w, p.w) AS w
+           |  FROM $prev p LEFT JOIN ${out}_raw r
+           |    ON p.cell = r.cell AND p.i = r.i)""".stripMargin
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |  WHERE vec_id % 10 <> 0 AND vec_id % 10 <> 5),
+         |appb AS (SELECT vec_id + 2000000 AS id, embedding AS vec
+         |  FROM embeddings WHERE vec_id % 10 = 5),
+         |fresh AS (SELECT vec_id + 1000000 AS id, embedding AS vec
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |dims AS (SELECT unnest(range(1, 65)) AS i),
+         |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, vec
+         |  FROM (SELECT id, vec FROM e ORDER BY id LIMIT 8) t),
+         |c0f AS (SELECT cell, i, vec[i]::DOUBLE AS w FROM c0, dims),
+         |ef AS (SELECT id, i, vec[i]::DOUBLE AS x FROM e, dims),
+         |en AS (SELECT id, sqrt(sum(x*x)) AS nv FROM ef GROUP BY id),
+         |${assign("c0f", "a1")},
+         |${update("a1", "c0f", "c1f")},
+         |${assign("c1f", "a2")},
+         |${update("a2", "c1f", "c2f")},
+         |${assign("c2f", "a3")},
+         |ebf AS (SELECT id, i, vec[i]::DOUBLE AS x FROM appb, dims),
+         |enb AS (SELECT id, sqrt(sum(x*x)) AS nv FROM ebf GROUP BY id),
+         |pb AS (SELECT ebf.id, c.cell, sum(ebf.x * c.w) AS dot,
+         |    sqrt(sum(c.w * c.w)) AS nc
+         |  FROM ebf JOIN c2f c USING (i) GROUP BY 1, 2),
+         |sb AS (SELECT p.id, p.cell, p.dot / (enb.nv * p.nc) AS cos
+         |  FROM pb p JOIN enb ON p.id = enb.id),
+         |ab AS (SELECT id, cell FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY id ORDER BY cos DESC, cell ASC) AS rn FROM sb)
+         |  WHERE rn = 1),
+         |mem AS (SELECT id, cell FROM a3 UNION ALL SELECT id, cell FROM ab),
+         |allvec AS (SELECT id, vec FROM e UNION ALL SELECT id, vec FROM appb),
+         |eff AS (SELECT id, i, vec[i]::DOUBLE AS x FROM fresh, dims),
+         |enf AS (SELECT id, sqrt(sum(x*x)) AS nv FROM eff GROUP BY id),
+         |pf AS (SELECT eff.id, c.cell, sum(eff.x * c.w) AS dot,
+         |    sqrt(sum(c.w * c.w)) AS nc
+         |  FROM eff JOIN c2f c USING (i) GROUP BY 1, 2),
+         |sfr AS (SELECT p.id, p.cell, p.dot / (enf.nv * p.nc) AS cos
+         |  FROM pf p JOIN enf ON p.id = enf.id),
+         |af AS (SELECT id, cell FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY id ORDER BY cos DESC, cell ASC) AS rn FROM sfr)
+         |  WHERE rn = 1),
+         |cand AS (SELECT af.id, mem.id AS cid,
+         |    ${cosSql("fx.vec", "cx.vec")} AS cos
+         |  FROM af JOIN mem ON af.cell = mem.cell
+         |    JOIN fresh fx ON fx.id = af.id
+         |    JOIN allvec cx ON cx.id = mem.id
+         |  WHERE ${cosSql("fx.vec", "cx.vec")} >= 0.45),
+         |best AS (SELECT id, cid AS dup_of, cos, row_number() OVER
+         |    (PARTITION BY id ORDER BY cos DESC, cid ASC) AS r FROM cand)
+         |SELECT f.id, b.dup_of, b.cos
+         |FROM fresh f LEFT JOIN (SELECT * FROM best WHERE r = 1) b
+         |  ON f.id = b.id
+         |ORDER BY f.id""".stripMargin
+    },
+
     // duplicated 5-token spans: window text occurring more than once
     // corpus-wide (multiplicity preserved — within-doc repeats count)
     "q79_dup_spans" ->
@@ -2304,6 +2377,31 @@ object OracleSql {
          |FROM (SELECT * FROM fp UNION ALL SELECT * FROM pp)
          |ORDER BY id, epoch""".stripMargin,
 
+    // UniMax allocation from the frozen inventory: the q254 waterfill
+    // walk alone (budget 30000, epoch cap 2), with per-domain provenance
+    "q258_unimax_allocation" ->
+      s"""WITH t AS (SELECT doc_id, lang, len(${toks("text")})::BIGINT AS nt
+         |  FROM documents),
+         |tot AS (SELECT lang, sum(nt)::BIGINT AS tt FROM t GROUP BY lang),
+         |ordd AS (SELECT lang, tt,
+         |    row_number() OVER (ORDER BY tt, lang) AS i,
+         |    (SELECT count(*) FROM tot WHERE tt > 0) AS n
+         |  FROM tot WHERE tt > 0),
+         |walk AS (
+         |  WITH RECURSIVE w(i, rem, lang, a) AS (
+         |    SELECT 0, 30000::BIGINT, NULL::VARCHAR, 0::BIGINT
+         |    UNION ALL
+         |    SELECT o.i,
+         |      w.rem - least(2 * o.tt, w.rem // (o.n - w.i)),
+         |      o.lang,
+         |      least(2 * o.tt, w.rem // (o.n - w.i))
+         |    FROM w JOIN ordd o ON o.i = w.i + 1)
+         |  SELECT lang, a AS budget FROM w WHERE i >= 1 AND a > 0)
+         |SELECT walk.lang AS domain, tot.tt AS tok, walk.budget,
+         |  walk.budget::DOUBLE / tot.tt::DOUBLE AS epochs
+         |FROM walk JOIN tot USING (lang)
+         |ORDER BY domain""".stripMargin,
+
     // keep-best dedup: q43's cluster algebra, representative = highest
     // token count (ties to lowest id), everything else dropped
     "q247_dedup_keep_best" ->
@@ -2732,16 +2830,49 @@ object OracleSql {
          |    (PARTITION BY id ORDER BY cos DESC, cell ASC) AS r FROM avc) t
          |  WHERE r = 1),
          |corp AS (SELECT count(*)::BIGINT AS n_corpus,
-         |    avg(cos) AS corpus_mean_cos FROM bc),
+         |    avg(cos) AS corpus_mean_cos, var_samp(cos) AS v_c FROM bc),
          |avs AS (SELECT g.id, c.cell, ${cosSql("g.vec", "c.cvec")} AS cos
          |  FROM shard g CROSS JOIN cr c),
          |bs AS (SELECT id, cos FROM (SELECT *, row_number() OVER
          |    (PARTITION BY id ORDER BY cos DESC, cell ASC) AS r FROM avs) t
          |  WHERE r = 1),
          |shd AS (SELECT count(*)::BIGINT AS n_shard,
-         |    avg(cos) AS shard_mean_cos FROM bs)
+         |    avg(cos) AS shard_mean_cos, var_samp(cos) AS v_s FROM bs)
          |SELECT n_corpus, n_shard, corpus_mean_cos, shard_mean_cos,
-         |  corpus_mean_cos - shard_mean_cos AS drift
+         |  corpus_mean_cos - shard_mean_cos AS drift,
+         |  sqrt(v_c / n_corpus + v_s / n_shard) AS se
+         |FROM corp, shd""".stripMargin,
+
+    // sampled drift monitor: identical algebra with the RESIDENT side
+    // restricted to the deterministic md5 half-sample the engine uses
+    "q260_index_drift_sampled" ->
+      s"""WITH corpus AS (SELECT vec_id AS id, embedding AS vec
+         |  FROM embeddings WHERE vec_id % 10 <> 0
+         |    AND ${hash32("'q260' || vec_id::VARCHAR")} / 4294967296.0 < 0.5),
+         |shard AS (SELECT vec_id AS id, embedding AS vec
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id % 10 <> 0
+         |  ORDER BY vec_id LIMIT 16),
+         |cr AS (SELECT cent_id, cvec,
+         |    row_number() OVER (ORDER BY cent_id) - 1 AS cell FROM cents),
+         |avc AS (SELECT g.id, c.cell, ${cosSql("g.vec", "c.cvec")} AS cos
+         |  FROM corpus g CROSS JOIN cr c),
+         |bc AS (SELECT id, cos FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY id ORDER BY cos DESC, cell ASC) AS r FROM avc) t
+         |  WHERE r = 1),
+         |corp AS (SELECT count(*)::BIGINT AS n_corpus,
+         |    avg(cos) AS corpus_mean_cos, var_samp(cos) AS v_c FROM bc),
+         |avs AS (SELECT g.id, c.cell, ${cosSql("g.vec", "c.cvec")} AS cos
+         |  FROM shard g CROSS JOIN cr c),
+         |bs AS (SELECT id, cos FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY id ORDER BY cos DESC, cell ASC) AS r FROM avs) t
+         |  WHERE r = 1),
+         |shd AS (SELECT count(*)::BIGINT AS n_shard,
+         |    avg(cos) AS shard_mean_cos, var_samp(cos) AS v_s FROM bs)
+         |SELECT n_corpus, n_shard, corpus_mean_cos, shard_mean_cos,
+         |  corpus_mean_cos - shard_mean_cos AS drift,
+         |  sqrt(v_c / n_corpus + v_s / n_shard) AS se
          |FROM corp, shd""".stripMargin,
 
     "q203_knn_join_brute" ->

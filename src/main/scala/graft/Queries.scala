@@ -1630,6 +1630,18 @@ object Queries {
     // sampling: UniMax mixture — a TOTAL budget waterfilled across
     // languages (even shares, capped at 3 epochs of each language's
     // inventory), then the epoch-repeat mixture under the allocation
+    // sampling: UniMax allocation from a FROZEN inventory state — the
+    // daily-ingest form: the |domains|-sized token-sum sliver persists,
+    // allocations re-cut from it with per-domain epochs provenance
+    "q258_unimax_allocation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tok = TextOps.tokenCount(col("text"))
+      val state = graft.sources.ScaleOps.uniMaxState(d, "lang", tok)
+      graft.sources.ScaleOps.uniMaxAllocation(state,
+          totalBudget = 30000L, maxEpochs = 2)
+        .orderBy("domain")
+    }),
+
     "q254_unimax_mixture" -> ((s, dir) => {
       val d = docs(s, dir)
       val tok = TextOps.tokenCount(col("text"))
@@ -1675,6 +1687,41 @@ object Queries {
         k = 16, iters = 0)
       graft.pipeline.VectorIndex.driftCheck(s, idx,
         e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding")
+    }),
+
+    // similarity: index drift monitor, SAMPLED resident side — the
+    // routine-monitoring form: a deterministic md5-hash half-sample of
+    // the resident corpus, with the drift's own standard error beside it
+    "q260_index_drift_sampled" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-vindex-sdrift").toString
+      graft.pipeline.VectorIndex.build(
+        e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", idx,
+        k = 16, iters = 0)
+      graft.pipeline.VectorIndex.driftCheck(s, idx,
+        e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        sampleFraction = 0.5, salt = "q260")
+    }),
+
+    // similarity: frozen-codebook SemDeDup state APPEND — a second corpus
+    // slice folds into the state WITHOUT retraining (assignment is a pure
+    // function of the codebook), then the shard applies against the grown
+    // members: must equal applying a state rebuilt under the same codebook
+    "q259_semdedup_append" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val state = Similarity.semDedupState(
+        e.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 5),
+        "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+      val grown = Similarity.semDedupStateAppend(state,
+        e.filter(col("vec_id") % 10 === 5)
+          .withColumn("vec_id", col("vec_id") + 2000000L),
+        "vec_id", "embedding")
+      val fresh = e.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      Similarity.semDedupAgainst(grown, fresh, "vec_id", "embedding",
+          threshold = 0.45)
+        .orderBy("id")
     }),
 
     // similarity: frozen-state SemDeDup ingest — the embedding-modality
@@ -3290,7 +3337,8 @@ object Queries {
         "q196_pq_mse", "q212_pq_rerank", "q215_hybrid_rrf",
         "q216_silhouette", "q218_mmr_rerank", "q229_hybrid_batch",
         "q231_mmr_batch", "q253_semdedup_incremental",
-        "q256_vector_index_append", "q257_index_drift"),
+        "q256_vector_index_append", "q257_index_drift",
+        "q259_semdedup_append", "q260_index_drift_sampled"),
       "text" -> Seq(
         "q37_text_analysis", "q38_text_quality_agg", "q42_vocab_topk",
         "q45_json_extract", "q46_lm_score", "q55_tfidf_top_term",
@@ -3321,7 +3369,7 @@ object Queries {
         "q255_zorder_append",
         "q243_top_budget_materialized", "q244_top_budget_incremental",
         "q246_repeat_token_budget", "q249_repeat_budget_incremental",
-        "q254_unimax_mixture"),
+        "q254_unimax_mixture", "q258_unimax_allocation"),
       "events" -> Seq(
         "q40_event_windows", "q54_sessionize", "q58_asof_join",
         "q89_range_join", "q90_interval_overlap", "q137_funnel",

@@ -591,17 +591,24 @@ object Dedup {
     val (n, cap) = state.frozenMeta.getOrElse(throw new IllegalArgumentException(
       "cannot refresh an EMPTY state (no frozen shingle width) — " +
         "build with minhashDedupState instead"))
+    // NOT staged: the shard class table has exactly ONE consumer (the
+    // anti join feeding freshReps, which is itself staged) — a barrier
+    // here would write a shard-sized checkpoint per refresh for nothing
     val sreps = keyedShingleSets(newDocs, idCol, textCol, n).groupBy("__fp")
       .agg(min(col("id")).as("cid"), min_by(col("sharr"), col("id")).as("csharr"))
       .withColumn("shingle_n", lit(n))
       .withColumn("max_bucket", lit(cap.getOrElse(-1L)))
-      .staged // reused: the anti join + the returned union
-      .filter(col("__fp").isNotNull)
     // first-writer-wins: only fingerprints the state has never seen
-    // enter; an existing class keeps its rep and its bucket rows intact
+    // enter; an existing class keeps its rep and its bucket rows intact.
+    // The null-fp (empty-set) group filters AFTER freshReps's staging
+    // barrier — pre-barrier the IsNotNull would push below the shingle
+    // projection and re-run the HOF pipeline per row (keyedShingleSets'
+    // documented trap); the anti join passes the one null-fp row through
+    // untouched (a null key never matches)
     val freshReps = sreps
       .join(state.reps.select("__fp"), Seq("__fp"), "left_anti")
       .staged // reused: bucket pass + returned union
+      .filter(col("__fp").isNotNull)
     val freshBk = lshBuckets(withSig(
         freshReps.select(col("cid").as("id"), col("csharr").as("sharr")),
         Seq("id")))
@@ -653,6 +660,15 @@ object Dedup {
     require(Seq("__fp", "cid", "csharr", "shingle_n")
         .forall(state.reps.columns.contains),
       s"state.reps must carry (__fp, cid, csharr, shingle_n), got ${state.reps.columns.toSeq}")
+    // `max_bucket` doubles as the version marker for the length-prefixed
+    // shingle-fingerprint encoding: a state persisted by a pre-tombstone
+    // library version froze fingerprints the current encoding can never
+    // match, so the exact __fp join would SILENTLY report every legacy
+    // exact duplicate unique — refuse loudly, as the refresh does
+    require(state.reps.columns.contains("max_bucket"),
+      "state carries no frozen max_bucket meta (persisted by a " +
+        "pre-refresh library version whose fingerprint encoding differs) " +
+        "— rebuild it with minhashDedupState")
     require(Seq("band", "bucket", "cid")
         .forall(state.buckets.columns.contains),
       s"state.buckets must carry (band, bucket, cid), got ${state.buckets.columns.toSeq}")

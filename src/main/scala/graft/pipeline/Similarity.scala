@@ -453,28 +453,37 @@ object Similarity {
   /** Frozen corpus-side state for [[semDedupAgainst]] — SemDeDup's
     * ingest/streaming twin and the EMBEDDING-modality member of the
     * frozen-state family (README state matrix): `centroids` holds the
-    * trained k-means codebook as a (cell, w) table — k·dim doubles,
-    * persist like any table, the apply reads it once per state object —
-    * and `members` the corpus's (id, cell, vec) assignments with
-    * over-cap cells ALREADY valved out (a corpus property, so it
-    * freezes with the corpus — the [[graft.pipeline.Dedup.MinhashDedupState]]
-    * valve pattern; a shard doc landing in a valved cell reports unique,
-    * mirroring [[semDedup]]'s within-corpus semantics). Persist
-    * `members` bucketed by `cell`. Refresh by REBUILDING: centroids
-    * drift with the corpus and Lloyd iterations are global — unlike the
-    * fingerprint families there is no sound incremental union. */
+    * trained k-means codebook as a (cell, cvec, max_cell, n_members)
+    * table — the SAME (cell, cvec) layout [[VectorIndex]] persists, so
+    * codebooks are interchangeable between the two embedding states;
+    * k·dim doubles plus two k-sized meta columns (the valve cap frozen
+    * into the state, -1 = unvalved, and each cell's FULL pre-valve
+    * member count — what [[semDedupStateAppend]] needs to re-run the
+    * valve exactly as a rebuild would). `members` carries the corpus's
+    * (id, cell, vec) assignments with over-cap cells ALREADY valved out
+    * (a corpus property, so it freezes with the corpus — the
+    * [[graft.pipeline.Dedup.MinhashDedupState]] valve pattern; a shard
+    * doc landing in a valved cell reports unique, mirroring
+    * [[semDedup]]'s within-corpus semantics). Persist `members` bucketed
+    * by `cell`. Grow under the FROZEN codebook with
+    * [[semDedupStateAppend]]; RETRAIN (centroids drift with the corpus
+    * and Lloyd iterations are global) by rebuilding on the usual
+    * compaction cadence — the [[VectorIndex]] append/retrain story. */
   final case class SemDedupState(centroids: DataFrame, members: DataFrame) {
     /** Codebook read ONCE per state object and cached driver-side (k·dim
-      * doubles — model-sized). Empty ⇔ the state froze an empty corpus:
-      * [[semDedupAgainst]] then reports every shard vector unique. */
+      * doubles — model-sized). Projected BY NAME before collecting — a
+      * loaded centroid frame with reordered columns reads correctly.
+      * Empty ⇔ the state froze an empty corpus: [[semDedupAgainst]] then
+      * reports every shard vector unique. */
     lazy val centroidArray: Array[Array[Double]] =
-      centroids.orderBy("cell").collect()
+      centroids.select("cell", "cvec").orderBy("cell").collect()
         .map(_.getSeq[Number](1).toArray.map(_.doubleValue))
   }
 
   /** Build [[SemDedupState]]: one deterministic [[kmeans]] fit (same
     * init/iteration chain as [[semDedup]]/q56 — the SQL-replayable
-    * codebook) + the assignment join, cell valve applied. */
+    * codebook), then freeze under that codebook via
+    * [[semDedupStateWithCodebook]]. */
   def semDedupState(
       emb: DataFrame,
       idCol: String,
@@ -484,22 +493,124 @@ object Similarity {
       dim: Int = 64,
       maxCellSize: Option[Long] = Some(100000L)
   ): SemDedupState = {
-    val (assigned, cents) = kmeans(emb, idCol, vecCol, k, iters, dim)
-    val av = assigned
-      .join(emb.select(col(idCol).as("id"), col(vecCol).as("vec")), Seq("id"))
-      .staged // reused: valve count + kept members
-    val members = maxCellSize match {
-      case None => av
-      case Some(cap) =>
-        val ok = av.groupBy("cell").agg(count(lit(1)).as("__csz"))
-          .filter(col("__csz") <= cap).select("cell")
-        av.join(ok, Seq("cell"), "left_semi")
-    }
+    val (_, cents) = kmeans(emb, idCol, vecCol, k, iters, dim)
+    semDedupStateWithCodebook(emb, idCol, vecCol, cents, maxCellSize)
+  }
+
+  /** Freeze a [[SemDedupState]] under a GIVEN codebook — the shared
+    * tail of [[semDedupState]] (which trains the codebook first) and
+    * the interop path for reusing a [[VectorIndex]] codebook
+    * (`centroids.parquet` is the same (cell, cvec) layout; read it,
+    * collect via the state's own projection, and freeze). Assignment is
+    * one narrow codegen'd argmax projection — NO join, no shuffle; the
+    * only driver traffic is the ≤ k-row per-cell count used for both
+    * the valve and the frozen `n_members` meta. */
+  def semDedupStateWithCodebook(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Double]],
+      maxCellSize: Option[Long] = Some(100000L)
+  ): SemDedupState = {
     val session = emb.sparkSession
     import session.implicits._
+    val cap = maxCellSize.getOrElse(-1L)
+    if (cents.isEmpty) // empty corpus: empty codebook, no members
+      return SemDedupState(
+        Seq.empty[(Int, Seq[Double], Long, Long)]
+          .toDF("cell", "cvec", "max_cell", "n_members"),
+        emb.select(col(idCol).as("id"), lit(0).as("cell"),
+          col(vecCol).as("vec")).filter(lit(false)))
+    val av = emb.select(col(idCol).as("id"),
+      graft.functions.VectorExprs.nearestCentroid(col(vecCol), cents)
+        .as("cell"),
+      col(vecCol).as("vec"))
+    // k-sized collect: full pre-valve per-cell counts — the valve input
+    // here AND the meta a later append re-runs the valve against
+    val counts: Map[Int, Long] = av.groupBy("cell")
+      .agg(count(lit(1)).as("__csz")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val okCells = counts.keys.filter(c => cap < 0 || counts(c) <= cap).toSeq
+    // members stays LAZY and unstaged: av is a narrow projection over the
+    // source (no join since the codebook became a plan reference), so a
+    // re-read costs one scan — the same price a staging barrier would pay
+    // to write, with none of the checkpoint lifecycle
+    val members = av.filter(col("cell").isInCollection(okCells))
     val cdf = cents.zipWithIndex
-      .map { case (w, c) => (c, w.toSeq) }.toSeq.toDF("cell", "w")
+      .map { case (v, c) => (c, v.toSeq, cap, counts.getOrElse(c, 0L)) }
+      .toSeq.toDF("cell", "cvec", "max_cell", "n_members")
     SemDedupState(cdf, members.select(col("id"), col("cell"), col("vec")))
+  }
+
+  /** Append a shard to a [[SemDedupState]] under its FROZEN codebook —
+    * the embedding-modality analogue of
+    * [[graft.pipeline.Dedup.minhashDedupStateRefresh]], sound by
+    * precisely the [[VectorIndex.append]] argument: assignment is a pure
+    * per-row function of the codebook, so appended ≡ rebuilt under the
+    * same codebook (spec-pinned via [[semDedupStateWithCodebook]]). The
+    * cell valve re-runs over the UNION counts using the frozen
+    * `n_members` meta — a cell that CROSSES the cap on this append drops
+    * its resident members too (exactly the rebuild semantics; the
+    * per-cell count doubles as the minhash family's tombstone, so a
+    * saturated cell can never be "resurrected" from its shard members
+    * alone). What append cannot do is move the centroids: as the corpus
+    * drifts from the training distribution the cells fatten and the
+    * within-cell dedup misses more cross-cell near-dups — retrain with
+    * [[semDedupState]] on the compaction cadence, watching
+    * [[VectorIndex.driftCheck]] under a shared codebook.
+    *
+    * Scale shape: one narrow assignment projection on the shard, one
+    * ≤ k-row count collect, and a cell-filtered union — nothing
+    * corpus-sized recomputes, shuffles, or reaches the driver.
+    * PRECONDITION: ids unique within and across state and shard.
+    * Refuses a state without the (max_cell, n_members) meta (persisted
+    * by a pre-append library version): rebuild it with
+    * [[semDedupState]] once. */
+  def semDedupStateAppend(
+      state: SemDedupState,
+      newEmb: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): SemDedupState = {
+    require(Seq("cell", "cvec", "max_cell", "n_members")
+        .forall(state.centroids.columns.contains),
+      "state.centroids carries no frozen (max_cell, n_members) meta " +
+        "(persisted by a pre-append library version) — rebuild it with " +
+        s"semDedupState; got ${state.centroids.columns.toSeq}")
+    require(Seq("id", "cell", "vec").forall(state.members.columns.contains),
+      s"state.members must carry (id, cell, vec), got ${state.members.columns.toSeq}")
+    val session = newEmb.sparkSession
+    import session.implicits._
+    // k-sized meta collect, projected BY NAME (loaded frames may reorder)
+    val meta = state.centroids
+      .select("cell", "cvec", "max_cell", "n_members").orderBy("cell")
+      .collect()
+    require(meta.nonEmpty,
+      "cannot append to an EMPTY state (no frozen codebook) — build with " +
+        "semDedupState instead")
+    val cap = meta.head.getLong(2)
+    val cents = meta.map(_.getSeq[Number](1).toArray.map(_.doubleValue))
+    val asg = newEmb.select(col(idCol).as("id"),
+      graft.functions.VectorExprs.nearestCentroid(col(vecCol), cents)
+        .as("cell"),
+      col(vecCol).as("vec"))
+    val shardCounts: Map[Int, Long] = asg.groupBy("cell")
+      .agg(count(lit(1)).as("__csz")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val newCounts: Map[Int, Long] = meta.map { r =>
+      val c = r.getInt(0)
+      c -> (r.getLong(3) + shardCounts.getOrElse(c, 0L))
+    }.toMap
+    val okCells = newCounts.keys.filter(c => cap < 0 || newCounts(c) <= cap).toSeq
+    val members =
+      state.members.select(col("id"), col("cell"), col("vec"))
+        .filter(col("cell").isInCollection(okCells))
+        .unionByName(asg.filter(col("cell").isInCollection(okCells)))
+    val cdf = meta.map { r =>
+      val c = r.getInt(0)
+      (c, r.getSeq[Number](1).map(_.doubleValue), cap, newCounts(c))
+    }.toSeq.toDF("cell", "cvec", "max_cell", "n_members")
+    SemDedupState(cdf, members)
   }
 
   /** Apply a frozen [[SemDedupState]] to a NEW shard of embeddings: each
@@ -525,8 +636,8 @@ object Similarity {
       vecCol: String,
       threshold: Double
   ): DataFrame = {
-    require(Seq("cell", "w").forall(state.centroids.columns.contains),
-      s"state.centroids must carry (cell, w), got ${state.centroids.columns.toSeq}")
+    require(Seq("cell", "cvec").forall(state.centroids.columns.contains),
+      s"state.centroids must carry (cell, cvec), got ${state.centroids.columns.toSeq}")
     require(Seq("id", "cell", "vec").forall(state.members.columns.contains),
       s"state.members must carry (id, cell, vec), got ${state.members.columns.toSeq}")
     val base = newEmb.select(col(idCol).as("id"), col(vecCol).as("vec"))

@@ -20,14 +20,97 @@ import org.apache.spark.sql.functions._
   * cells per query, one BOUNDED driver collect of ≤ |queries|·nprobe cell
   * ids (needed as literals — partition pruning only sees foldable
   * predicates), then a pruned scan joined to the broadcast queries.
+  *
+  * The write-once-per-writer contract is ENFORCED via a file manifest
+  * (`<dir>/_vmanifest`, the [[graft.sources.ScaleOps.zorderWrite]]
+  * `_zmanifest` pattern): [[build]] and [[append]] record exactly the
+  * cell files they wrote, and every reader ([[topK]], [[driftCheck]])
+  * plus [[append]]'s own pre-check cross-checks the directory listing
+  * against it — a file a crashed append left behind (it would otherwise
+  * be SILENTLY READ, possibly duplicating ids) or a manifest entry whose
+  * file vanished refuses loudly with the offending names. Recover by
+  * re-running [[build]]. Single-writer discipline is assumed, as in the
+  * zorder family.
   */
 object VectorIndex {
+
+  /** Relative paths (e.g. `cell=3/part-…parquet`) of every data file
+    * under `<dir>/assigned.parquet`, skipping metadata (underscore/dot
+    * prefixed names at any path level). Driver-side, file-count-sized. */
+  private def listDataFiles(
+      spark: SparkSession, dir: String): Set[String] = {
+    val base = new org.apache.hadoop.fs.Path(s"$dir/assigned.parquet")
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return Set.empty
+    val out = Set.newBuilder[String]
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val rel = base.toUri.relativize(st.getPath.toUri).getPath
+        val parts = rel.split("/")
+        if (parts.forall(p => !p.startsWith("_") && !p.startsWith(".")))
+          out += rel
+      }
+    }
+    out.result()
+  }
+
+  private def writeManifest(
+      spark: SparkSession, dir: String, files: Set[String]): Unit = {
+    import spark.implicits._
+    files.toSeq.sorted.toDF("file")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_vmanifest")
+  }
+
+  private def manifestNames(
+      spark: SparkSession, dir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_vmanifest")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"no _vmanifest at $dir — the index was built by a pre-manifest " +
+        "library version or a build crashed before manifesting; rebuild " +
+        "with VectorIndex.build")
+    spark.read.parquet(s"$dir/_vmanifest")
+      .select("file").collect().map(_.getString(0)).toSet
+  }
+
+  /** Refuse unless the on-disk cell files match the manifest EXACTLY —
+    * the loud-failure gate every reader and [[append]] runs first. */
+  private def checkManifest(spark: SparkSession, dir: String): Set[String] = {
+    val manifested = manifestNames(spark, dir)
+    val onDisk = listDataFiles(spark, dir)
+    val orphans = onDisk -- manifested
+    val vanished = manifested -- onDisk
+    require(orphans.isEmpty && vanished.isEmpty,
+      s"index at $dir violates the write-once contract" +
+        (if (orphans.nonEmpty)
+          s"; unmanifested cell files (a crashed append — they would be " +
+            s"silently read): ${orphans.toSeq.sorted.take(5).mkString(", ")}"
+        else "") +
+        (if (vanished.nonEmpty)
+          s"; manifest entries with no data file: " +
+            vanished.toSeq.sorted.take(5).mkString(", ")
+        else "") +
+        " — rebuild with VectorIndex.build")
+    manifested
+  }
+
+  /** The persisted codebook, collected BY NAME (a relocated or re-read
+    * centroid frame with reordered columns still reads correctly). */
+  private def loadCentroids(
+      spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids.parquet")
+      .select("cell", "cvec").orderBy("cell").collect()
+      .map(_.getSeq[Number](1).toArray.map(_.doubleValue))
 
   /** Train k-means (`iters = 0` keeps the deterministic k-lowest-id seed —
     * the [[Similarity.ivfTopK]] default), assign every vector with the
     * codegen'd NearestCentroid projection (narrow, no shuffle), and write:
     *   - `<dir>/centroids.parquet` — (cell, cvec), k rows
     *   - `<dir>/assigned.parquet`  — (id, vec), hive-partitioned by `cell`
+    *   - `<dir>/_vmanifest`       — the cell files just written
     * Returns the trained centroids (also on disk) for callers composing
     * with ivfTopK directly. One file per cell by default — raise
     * `spark.sql.shuffle.partitions` or pre-salt for multi-file cells at
@@ -54,12 +137,14 @@ object VectorIndex {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/assigned.parquet")
+    writeManifest(spark, dir, listDataFiles(spark, dir))
     cents
   }
 
   /** Append new vectors to a built index WITHOUT retraining: assign them
-    * with the PERSISTED centroids (read once, k·dim doubles) and append
-    * their cell-partitioned files beside the existing ones. Sound
+    * with the PERSISTED centroids (read once, k·dim doubles), append
+    * their cell-partitioned files beside the existing ones, and extend
+    * the manifest with exactly the files this append wrote. Sound
     * because query CORRECTNESS never depends on centroid optimality:
     * probes rank cells by the same frozen centroids that assigned every
     * vector — appended vectors are found exactly as same-cell originals
@@ -69,9 +154,11 @@ object VectorIndex {
     * training distribution is recall-vs-scan-fraction (cells skew and
     * fatten), so retrain with [[build]] on the usual compaction cadence
     * — the [[graft.sources.ScaleOps.zorderAppend]] story for the vector
-    * modality. Parquet append naming cannot collide; a crashed append
-    * leaves only orphan files in cell directories (re-run it —
-    * vector-id dedup is the caller's contract, as in [[build]]). */
+    * modality. Crash recovery is ENFORCED, not a caller contract: a
+    * crash between the data write and the manifest rewrite leaves the
+    * new files unmanifested, and every reader (plus this method's own
+    * pre-check) then refuses LOUDLY instead of silently reading them —
+    * recover by re-running [[build]]. */
   def append(
       emb: DataFrame,
       idCol: String,
@@ -79,9 +166,8 @@ object VectorIndex {
       dir: String
   ): Unit = {
     val spark = emb.sparkSession
-    val cents = spark.read.parquet(s"$dir/centroids.parquet")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Number](1).toArray.map(_.doubleValue))
+    val before = checkManifest(spark, dir)
+    val cents = loadCentroids(spark, dir)
     require(cents.nonEmpty, s"no centroids at $dir — build the index first")
     emb
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
@@ -90,6 +176,7 @@ object VectorIndex {
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/assigned.parquet")
+    writeManifest(spark, dir, before ++ (listDataFiles(spark, dir) -- before))
   }
 
   /** Centroid-drift monitor — the "when to retrain" signal that
@@ -98,44 +185,71 @@ object VectorIndex {
     * they sit farther from every centroid and recall-per-probe decays.
     * This compares the best-cell cosine of a candidate shard against the
     * resident corpus: one row (n_corpus, n_shard, corpus_mean_cos,
-    * shard_mean_cos, drift = corpus − shard). Near-zero drift → the
+    * shard_mean_cos, drift = corpus − shard, se). Near-zero drift → the
     * shard looks like the training distribution, append freely;
-    * a persistent positive gap → schedule a [[build]] retrain (pick the
-    * threshold from your recall SLO — drift is in cosine units).
+    * a persistent positive gap (vs its own `se`) → schedule a [[build]]
+    * retrain (pick the threshold from your recall SLO — drift is in
+    * cosine units).
     *
-    * Scale shape: the resident side is one pruning-free narrow scan of
-    * `assigned` joined to the BROADCAST k-row centroid table + one
-    * 1-row aggregate (map-side partials); the shard side is the same
-    * after the codegen'd assignment projection. Nothing collects but
-    * two 1-row frames. */
+    * `sampleFraction` < 1 reads a DETERMINISTIC md5-hash sample of the
+    * RESIDENT side (same salted-uniform family as
+    * [[graft.sources.ScaleOps.weightedSample]] — reproducible across
+    * runs, partitions, and engines), so a routine monitor costs a
+    * fraction of a corpus scan instead of all of it; the shard side is
+    * shard-sized already and never sampled. `n_corpus` reports the rows
+    * actually USED. `se = sqrt(s²_corpus/n_corpus + s²_shard/n_shard)`
+    * (sample stddevs) is the standard error OF THE DRIFT — the reading
+    * carries its own precision, so callers can pick `sampleFraction` to
+    * the precision their retrain threshold needs.
+    *
+    * Scale shape: the resident side is one narrow scan of `assigned`
+    * (a hash filter when sampled) joined to the BROADCAST k-row centroid
+    * table + one 1-row aggregate (map-side partials); the shard side is
+    * the same after the codegen'd assignment projection. Nothing
+    * collects but two 1-row frames. */
   def driftCheck(
       spark: SparkSession,
       dir: String,
       shard: DataFrame,
       idCol: String,
-      vecCol: String
+      vecCol: String,
+      sampleFraction: Double = 1.0,
+      salt: String = ""
   ): DataFrame = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    checkManifest(spark, dir)
     val cdf = spark.read.parquet(s"$dir/centroids.parquet")
-    val cents = cdf.orderBy("cell").collect()
-      .map(_.getSeq[Number](1).toArray.map(_.doubleValue))
+      .select("cell", "cvec")
+    val cents = loadCentroids(spark, dir)
     require(cents.nonEmpty, s"no centroids at $dir — build the index first")
-    def meanCos(assigned: DataFrame, nName: String, mName: String) =
+    def meanCos(assigned: DataFrame, side: String) =
       assigned.join(broadcast(cdf), Seq("cell"))
-        .agg(count(lit(1)).as(nName),
-          avg(Similarity.cosine(col("vec"), col("cvec"))).as(mName))
-    val corpusSide = meanCos(
-      spark.read.parquet(s"$dir/assigned.parquet").select("cell", "vec"),
-      "n_corpus", "corpus_mean_cos")
+        .agg(count(lit(1)).as(s"n_$side"),
+          avg(Similarity.cosine(col("vec"), col("cvec")))
+            .as(s"${side}_mean_cos"),
+          stddev_samp(Similarity.cosine(col("vec"), col("cvec")))
+            .as(s"__sd_$side"))
+    val resident0 = spark.read.parquet(s"$dir/assigned.parquet")
+      .select("cell", "vec", "id")
+    val resident =
+      if (sampleFraction >= 1.0) resident0
+      else resident0.filter(
+        TextOps.hash32(concat(lit(salt), col("id").cast("string")))
+          .cast("double") / lit(4294967296.0) < lit(sampleFraction))
+    val corpusSide = meanCos(resident.select("cell", "vec"), "corpus")
     val shardSide = meanCos(
       shard.select(
         graft.functions.VectorExprs.nearestCentroid(col(vecCol), cents)
           .as("cell"),
         col(vecCol).as("vec")),
-      "n_shard", "shard_mean_cos")
+      "shard")
     corpusSide.crossJoin(shardSide)
       .select(col("n_corpus"), col("n_shard"),
         col("corpus_mean_cos"), col("shard_mean_cos"),
-        (col("corpus_mean_cos") - col("shard_mean_cos")).as("drift"))
+        (col("corpus_mean_cos") - col("shard_mean_cos")).as("drift"),
+        sqrt(col("__sd_corpus") * col("__sd_corpus") / col("n_corpus") +
+          col("__sd_shard") * col("__sd_shard") / col("n_shard")).as("se"))
   }
 
   /** Top-k cosine neighbors from a built index for each query row.
@@ -152,6 +266,7 @@ object VectorIndex {
       k: Int,
       nprobe: Int = 4
   ): DataFrame = {
+    checkManifest(spark, dir)
     val cents = spark.read.parquet(s"$dir/centroids.parquet")
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("cos_c").desc, col("cell").asc)

@@ -221,7 +221,12 @@ object ScaleOps {
     // leave an unmanifested file that would trip the write-once check
     val statNames = freshStats.map(_.getAs[String]("file")).toSet
     (fresh.toSet -- statNames).foreach { n =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir, n), false); ()
+      // a failed delete (permissions, transient FS error) would leave an
+      // unmanifested data file that bricks every later zorderScan/append
+      // until a full rebuild — fail loudly instead of proceeding
+      require(fs.delete(new org.apache.hadoop.fs.Path(dir, n), false),
+        s"could not remove zero-row part file $n — rerun zorderAppend " +
+          "(or zorderWrite) once the filesystem cooperates")
     }
     if (statNames.isEmpty) return // nothing but empty files: no-op
     // rewritten manifest = frozen old rows ∪ new stats (both collected,
@@ -1550,13 +1555,43 @@ object ScaleOps {
       tokens: Column,
       totalBudget: Long,
       maxEpochs: Int = 1
+  ): Seq[(String, Long)] =
+    uniMaxBudgetsFromState(
+      uniMaxState(df, domainCol, tokens), totalBudget, maxEpochs)
+
+  /** Frozen token-inventory state for the UniMax family — the
+    * |domains|-sized (domain, tok) sliver [[uniMaxBudgets]] probes the
+    * live frame for, persisted once so a daily-ingest caller can re-cut
+    * allocations (different totals, different epoch caps) WITHOUT
+    * re-scanning the corpus — the same frozen-inventory shape as every
+    * other budget-family state (README state matrix). One domain-keyed
+    * token-sum aggregate (map-side partials); NULL domains excluded,
+    * zero-inventory domains kept in the state (allocation drops them —
+    * the state records the inventory, the policy lives in the cut). */
+  def uniMaxState(
+      df: DataFrame,
+      domainCol: String,
+      tokens: Column
+  ): DataFrame = {
+    requireStringDomain(df, domainCol)
+    df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).as("domain"))
+      .agg(sum(coalesce(tokens.cast("long"), lit(0L))).as("tok"))
+  }
+
+  /** UniMax waterfill from a frozen [[uniMaxState]] inventory — the
+    * state twin of [[uniMaxBudgets]] (identical allocation, spec-pinned):
+    * |domains|-sized collect + a |domains|-step driver fold. */
+  def uniMaxBudgetsFromState(
+      state: DataFrame,
+      totalBudget: Long,
+      maxEpochs: Int = 1
   ): Seq[(String, Long)] = {
     require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
     require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
-    requireStringDomain(df, domainCol)
-    val inv = df.filter(col(domainCol).isNotNull)
-      .groupBy(col(domainCol))
-      .agg(sum(coalesce(tokens.cast("long"), lit(0L))).as("__t"))
+    require(Seq("domain", "tok").forall(state.columns.contains),
+      s"uniMax state must carry (domain, tok), got ${state.columns.toSeq}")
+    val inv = state.select(col("domain"), col("tok"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
       .filter(_._2 > 0L)
       .sortBy { case (d, t) => (t, d) }
@@ -1569,6 +1604,27 @@ object ScaleOps {
       rem -= a
     }
     out.result()
+  }
+
+  /** The [[uniMaxBudgetsFromState]] allocation as a FRAME with per-domain
+    * provenance — (domain, tok, budget, epochs = budget/tok) — for
+    * logging/audit beside the mixture cut (the allocation a training run
+    * actually used is worth persisting with the run). Built driver-side
+    * from the |domains|-sized waterfill; zero-budget domains are absent,
+    * honoring the budget-positivity contract of the cut operators. */
+  def uniMaxAllocation(
+      state: DataFrame,
+      totalBudget: Long,
+      maxEpochs: Int = 1
+  ): DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    val budgets = uniMaxBudgetsFromState(state, totalBudget, maxEpochs).toMap
+    val inv = state.select(col("domain"), col("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    inv.collect { case (d, t) if budgets.contains(d) =>
+      (d, t, budgets(d), budgets(d).toDouble / t.toDouble)
+    }.toDF("domain", "tok", "budget", "epochs")
   }
 
   /** The window-free approximate form of [[sampleToTokenBudget]]: keep
