@@ -39,9 +39,12 @@ object VectorIndex {
     * prefixed names at any path level). Driver-side, file-count-sized. */
   private def listDataFiles(
       spark: SparkSession, dir: String): Set[String] = {
-    val base = new org.apache.hadoop.fs.Path(s"$dir/assigned.parquet")
-    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(base)) return Set.empty
+    val base0 = new org.apache.hadoop.fs.Path(s"$dir/assigned.parquet")
+    val fs = base0.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base0)) return Set.empty
+    // qualified base, or URI.relativize no-ops on the scheme mismatch
+    // against the listing's fully-qualified paths
+    val base = fs.makeQualified(base0)
     val out = Set.newBuilder[String]
     val it = fs.listFiles(base, true)
     while (it.hasNext) {

@@ -18,15 +18,14 @@ import graft.reg.Dbreg
   * would.
   *
   * Env-gated like the big-replica profilers — run as
-  * `GRAFT_LOCAL_CLUSTER=1 SPARK_SCALA_VERSION=2.13 sbt "testOnly
-  * graft.LocalClusterSmokeSpec"` — and MUST run standalone because a JVM
-  * holds one SparkContext and every other suite shares the `local[4]`
-  * one. SPARK_SCALA_VERSION matters: the in-process Worker builds the
-  * executor launch command through the launcher library, whose
-  * scala-version probe otherwise walks the SOURCE-build layout
-  * (`$SPARK_HOME/launcher/target/scala-*`) and dies with "Cannot find
-  * any build directories" on a plain distribution. Executor JVMs get
-  * the app classes via
+  * `GRAFT_LOCAL_CLUSTER=1 sbt "testOnly graft.LocalClusterSmokeSpec"` —
+  * and MUST run standalone because a JVM holds one SparkContext and
+  * every other suite shares the `local[4]` one. The suite sets
+  * `spark.executorEnv.SPARK_SCALA_VERSION=2.13` itself (clean shells
+  * don't export it, and the launcher's scala-version probe otherwise
+  * walks the SOURCE-build layout `$SPARK_HOME/launcher/target/scala-*`
+  * and dies with "Cannot find any build directories" on a plain
+  * distribution). Executor JVMs get the app classes via
   * `spark.executor.extraClassPath` and the JDK17 module opens via
   * `spark.executor.extraJavaOptions`; operator pipelines here are pure
   * Column/main-code plans, so no scalatest classes ever cross the wire.
@@ -54,6 +53,15 @@ class LocalClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.executor.memory", "1g")
       .config("spark.executor.extraClassPath", classes)
       .config("spark.executor.extraJavaOptions", addOpens)
+      // the in-process Worker builds the executor command through the
+      // launcher library, whose scala-version probe reads
+      // SPARK_SCALA_VERSION from the COMMAND env before the process env
+      // (AbstractCommandBuilder.getenv: childEnv first; WorkerCommandBuilder
+      // copies Command.environment = sc.executorEnvs = spark.executorEnv.*
+      // into childEnv) — setting it here makes the smoke robust to clean
+      // shells, where the probe otherwise walks the SOURCE-build layout
+      // and dies with "Cannot find any build directories"
+      .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -1590,6 +1590,15 @@ class PipelineSpec extends SparkTestBase {
       Dedup.dedupAgainstState(loaded, fresh, "doc_id", "text", n = 3)
     }
     assert(e.getMessage.contains("built with n = 2"))
+    // a state persisted by a pre-tombstone library version (no max_bucket
+    // meta — the fingerprint encoding changed with it) refuses at APPLY
+    // too, not only at refresh: its exact-fp join would silently miss
+    val legacy = Dedup.MinhashDedupState(
+      loaded.reps.drop("max_bucket"), loaded.buckets)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstState(legacy, fresh, "doc_id", "text", n = 2)
+    }
+    assert(e2.getMessage.contains("rebuild"))
   }
 
   test("sub-n-token docs never pair: no md5-of-empty-set exact class") {
@@ -1901,6 +1910,109 @@ class PipelineSpec extends SparkTestBase {
       .map(r => (r.getLong(0),
         if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
     assert((h1 ++ h2) == direct)
+  }
+
+  test("semDedupStateAppend: appended == rebuilt under the same codebook") {
+    val a = embs.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 5)
+    val b = embs.filter(col("vec_id") % 10 === 5)
+      .withColumn("vec_id", col("vec_id") + 2000000L)
+    val state = Similarity.semDedupState(a, "vec_id", "embedding",
+      k = 8, iters = 2, dim = 64)
+    val grown = Similarity.semDedupStateAppend(state, b, "vec_id", "embedding")
+    // the codebook is FROZEN: byte-identical centroid vectors
+    assert(grown.centroidArray.map(_.toSeq).toSeq ==
+      state.centroidArray.map(_.toSeq).toSeq)
+    // rebuild under the same codebook over a ∪ b: identical members and
+    // identical n_members meta
+    val rebuilt = Similarity.semDedupStateWithCodebook(
+      a.unionByName(b), "vec_id", "embedding", state.centroidArray)
+    def memberSet(st: Similarity.SemDedupState) =
+      st.members.select("id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(memberSet(grown) == memberSet(rebuilt) && memberSet(grown).nonEmpty)
+    def metaSet(st: Similarity.SemDedupState) =
+      st.centroids.select("cell", "max_cell", "n_members").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(metaSet(grown) == metaSet(rebuilt))
+    // and applying the grown state equals applying the rebuilt one
+    val shard = embs.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    def apply(st: Similarity.SemDedupState) =
+      Similarity.semDedupAgainst(st, shard, "vec_id", "embedding", 0.45)
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(apply(grown) == apply(rebuilt))
+    // an appended vector is findable: its exact copy flags as its dup
+    val copied = b.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding")).collect()(0)
+    val planted = Seq((9999999L, copied.getSeq[Float](1)))
+      .toDF("vec_id", "embedding")
+    val hit = Similarity.semDedupAgainst(grown, planted, "vec_id",
+      "embedding", 0.45).collect()(0)
+    assert(!hit.isNullAt(1) && hit.getLong(1) == copied.getLong(0))
+  }
+
+  test("semDedupStateAppend: valve re-runs over union counts (cap crossing + tombstone)") {
+    // one degenerate direction so everything lands in one cell: cap 4,
+    // corpus 3 members (under cap), append 3 more -> 6 > 4: the cell
+    // CROSSES the cap and drops its RESIDENT members too, exactly as a
+    // rebuild over the union would
+    val vec = array((0 until 64).map(i => lit(if (i == 0) 1.0f else 0.0f)): _*)
+    def mk(ids: Seq[Long]) = ids.toDF("vec_id")
+      .select(col("vec_id"), vec.as("embedding"))
+    val state = Similarity.semDedupStateWithCodebook(
+      mk(Seq(1L, 2L, 3L)), "vec_id", "embedding",
+      Array(Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)),
+      maxCellSize = Some(4L))
+    assert(state.members.count() == 3)
+    val grown = Similarity.semDedupStateAppend(state, mk(Seq(11L, 12L, 13L)),
+      "vec_id", "embedding")
+    assert(grown.members.count() == 0, "cap crossing must drop residents too")
+    // the n_members meta remembers the saturation: a FURTHER append can
+    // never resurrect the cell from its own shard members alone
+    val again = Similarity.semDedupStateAppend(grown, mk(Seq(21L)),
+      "vec_id", "embedding")
+    assert(again.members.count() == 0)
+    assert(again.centroids.select("n_members").collect()(0).getLong(0) == 7L)
+    // a shard vector landing in the valved cell reports unique
+    val out = Similarity.semDedupAgainst(grown, mk(Seq(31L)), "vec_id",
+      "embedding", 0.1).collect()(0)
+    assert(out.isNullAt(1))
+  }
+
+  test("semDedupStateAppend: refusals and codebook interop") {
+    val corpus = embs.filter(col("vec_id") % 10 =!= 0)
+    val state = Similarity.semDedupState(corpus, "vec_id", "embedding",
+      k = 8, iters = 1, dim = 64)
+    // a legacy state without the (max_cell, n_members) meta refuses with
+    // the rebuild hint
+    val legacy = Similarity.SemDedupState(
+      state.centroids.select("cell", "cvec"), state.members)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedupStateAppend(legacy, corpus.limit(1), "vec_id",
+        "embedding")
+    }
+    assert(e.getMessage.contains("rebuild"))
+    // an EMPTY state refuses (no frozen codebook)
+    val empty = Similarity.semDedupState(embs.filter(lit(false)),
+      "vec_id", "embedding", k = 4, iters = 0, dim = 64)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.semDedupStateAppend(empty, corpus.limit(1), "vec_id",
+        "embedding")
+    }
+    assert(e2.getMessage.contains("EMPTY"))
+    // interop: a VectorIndex codebook (same (cell, cvec) layout) freezes a
+    // SemDedup state directly
+    val dir = java.nio.file.Files.createTempDirectory("sd-interop").toString
+    graft.pipeline.VectorIndex.build(corpus, "vec_id", "embedding", dir,
+      k = 8, iters = 1)
+    val cb = spark.read.parquet(s"$dir/centroids.parquet")
+      .select("cell", "cvec").orderBy("cell").collect()
+      .map(_.getSeq[Number](1).toArray.map(_.doubleValue))
+    val viaIndex = Similarity.semDedupStateWithCodebook(
+      corpus, "vec_id", "embedding", cb)
+    assert(viaIndex.members.count() == corpus.count())
   }
 
   test("semDedupAgainst: empty-corpus state reports every shard vector unique") {

@@ -1260,6 +1260,40 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("uniMaxState: frozen-inventory twin matches the live allocation") {
+    import spark.implicits._
+    val rows =
+      Seq(("a", 100L), ("b", 1000L), ("c", 10000L)).flatMap { case (d, t) =>
+        Seq((d, t / 2), (d, t - t / 2))
+      }
+    val df = rows.toDF("dom", "nt")
+    val state = ScaleOps.uniMaxState(df, "dom", col("nt"))
+    // the state is the |domains|-sized inventory sliver
+    assert(state.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 100L, "b" -> 1000L, "c" -> 10000L))
+    // allocation from the state == allocation from the live frame, across
+    // totals and epoch caps — including a parquet round-trip of the state
+    val dir = Files.createTempDirectory("graft_umstate").toString
+    state.write.mode("overwrite").parquet(s"$dir/um")
+    val loaded = spark.read.parquet(s"$dir/um")
+    for ((tot, me) <- Seq((6000L, 2), (1000000L, 2), (2L, 1), (777L, 3)))
+      assert(ScaleOps.uniMaxBudgetsFromState(loaded, tot, me) ==
+        ScaleOps.uniMaxBudgets(df, "dom", col("nt"), tot, me), s"$tot/$me")
+    // the allocation frame carries provenance: budget/tok epochs, only
+    // budgeted domains present
+    val alloc = ScaleOps.uniMaxAllocation(loaded, 6000L, 2)
+      .orderBy("domain").collect()
+    assert(alloc.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 100L, 200L), ("b", 1000L, 2000L), ("c", 10000L, 3800L)))
+    assert(math.abs(alloc(0).getDouble(3) - 2.0) < 1e-12)
+    assert(math.abs(alloc(2).getDouble(3) - 0.38) < 1e-12)
+    // a malformed state refuses by name
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.uniMaxBudgetsFromState(df, 100L, 1)
+    }
+    assert(e.getMessage.contains("domain"))
+  }
+
   test("zorderAppend: grows the layout, scan stays exact and still prunes") {
     val li = sf("sf0.001", "lineitem")
       .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")

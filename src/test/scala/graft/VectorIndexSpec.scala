@@ -109,4 +109,86 @@ class VectorIndexSpec extends SparkTestBase {
       s"one-hot shard should drift: in=$driftIn out=$driftOut")
     assert(math.abs(driftIn) < 0.1, s"in-distribution drift too large: $driftIn")
   }
+
+  test("manifest enforces write-once: orphan and vanished files refuse loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("vindex-manifest").toString
+    VectorIndex.build(embs, "vec_id", "embedding", dir, k = 8, iters = 1)
+    // the manifest exists and names every cell file
+    val manifested = spark.read.parquet(s"$dir/_vmanifest")
+      .collect().map(_.getString(0)).toSet
+    assert(manifested.nonEmpty && manifested.forall(_.startsWith("cell=")))
+    val queries = embs.filter(col("vec_id") < 3)
+    // clean index reads fine
+    assert(VectorIndex.topK(spark, dir, queries, "vec_id", "embedding",
+      k = 3, nprobe = 2).count() > 0)
+    // plant an orphan (what a crashed append leaves): every reader and
+    // append's own pre-check must refuse — the file would otherwise be
+    // silently read
+    val cellDir = java.nio.file.Paths.get(s"$dir/assigned.parquet")
+      .toFile.listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith("cell=")).head
+    val victim = cellDir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val orphan = new java.io.File(cellDir, "part-orphan.parquet")
+    java.nio.file.Files.copy(victim.toPath, orphan.toPath)
+    val e1 = intercept[IllegalArgumentException] {
+      VectorIndex.topK(spark, dir, queries, "vec_id", "embedding", 3, 2)
+    }
+    assert(e1.getMessage.contains("unmanifested") &&
+      e1.getMessage.contains("part-orphan.parquet"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndex.append(embs.limit(3), "vec_id", "embedding", dir)
+    }
+    assert(e2.getMessage.contains("unmanifested"))
+    val e3 = intercept[IllegalArgumentException] {
+      VectorIndex.driftCheck(spark, dir, queries, "vec_id", "embedding")
+    }
+    assert(e3.getMessage.contains("unmanifested"))
+    // a vanished file (manifest entry with no data) also refuses
+    assert(orphan.delete() && victim.delete())
+    val e4 = intercept[IllegalArgumentException] {
+      VectorIndex.topK(spark, dir, queries, "vec_id", "embedding", 3, 2)
+    }
+    assert(e4.getMessage.contains("no data file"))
+    // a pre-manifest (or crashed-build) index refuses with the rebuild hint
+    val bare = java.nio.file.Files.createTempDirectory("vindex-bare").toString
+    embs.limit(5).select(col("vec_id").as("cell")).write
+      .parquet(s"$bare/centroids.parquet") // wrong everything — never read
+    val e5 = intercept[IllegalArgumentException] {
+      VectorIndex.topK(spark, bare, queries, "vec_id", "embedding", 3, 2)
+    }
+    assert(e5.getMessage.contains("no _vmanifest"))
+  }
+
+  test("driftCheck sampling: deterministic, se-calibrated, fraction 1.0 unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("vindex-sdrift").toString
+    val corpus = embs.filter(col("vec_id") % 10 =!= 0)
+    VectorIndex.build(corpus, "vec_id", "embedding", dir, k = 8, iters = 1)
+    val shard = embs.filter(col("vec_id") % 10 === 0)
+    val full = VectorIndex.driftCheck(spark, dir, shard, "vec_id", "embedding")
+      .collect()(0)
+    assert(full.schema.fieldNames.toSeq ==
+      Seq("n_corpus", "n_shard", "corpus_mean_cos", "shard_mean_cos",
+        "drift", "se"))
+    assert(full.getDouble(5) > 0.0, "se must be positive")
+    // fraction 1.0 IS the full scan (same rows, same numbers)
+    val f1 = VectorIndex.driftCheck(spark, dir, shard, "vec_id", "embedding",
+      sampleFraction = 1.0, salt = "ignored").collect()(0)
+    assert(f1.getLong(0) == full.getLong(0) &&
+      f1.getDouble(4) == full.getDouble(4))
+    // a half-sample: deterministic across reruns, n_corpus reports rows
+    // USED, and the sampled mean sits within a few combined-se of the
+    // full-scan mean (the se column is the advertised precision)
+    val s1 = VectorIndex.driftCheck(spark, dir, shard, "vec_id", "embedding",
+      sampleFraction = 0.5, salt = "spec").collect()(0)
+    val s2 = VectorIndex.driftCheck(spark, dir, shard, "vec_id", "embedding",
+      sampleFraction = 0.5, salt = "spec").collect()(0)
+    assert(s1 == s2, "hash sample must be deterministic")
+    assert(s1.getLong(0) < full.getLong(0) && s1.getLong(0) > 0)
+    assert(s1.getLong(1) == full.getLong(1), "shard side is never sampled")
+    val tol = 4.0 * math.max(s1.getDouble(5), 1e-12)
+    assert(math.abs(s1.getDouble(2) - full.getDouble(2)) <= tol,
+      s"sampled corpus mean ${s1.getDouble(2)} vs full ${full.getDouble(2)} " +
+        s"beyond 4*se=$tol")
+  }
 }
