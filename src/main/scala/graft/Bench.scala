@@ -200,6 +200,98 @@ object Bench {
           window = 2048, salt = "bench")))
     )
 
+    // ---- maintenance workload (round-14 addition) ----
+    // A THIRD fixed total for the state/layout MAINTENANCE paths the
+    // headline and curation groups never touch: incremental state refresh,
+    // the SemDeDup frozen-state apply, persisted-index append/serve, and
+    // z-order layout growth + pruned scan. The r12 pushdown incident
+    // proved plan regressions hide between hand-run profiles — these are
+    // the round-13 family's heaviest paths, now under the same per-round
+    // tripwire (`maint_total`, band in BENCH_NOTES).
+    // States persist to parquet in setup (not timed) and are read back,
+    // so every apply/refresh arm pays the honest lake-state scan. The
+    // append arms APPEND: the target grows by one warmup + Iters batches
+    // per run — a fixed, deterministic protocol, comparable across rounds.
+    lazy val maintDir = java.nio.file.Files
+      .createTempDirectory("graft-bench-maint").toString
+    lazy val mhStateDirs: String = {
+      val st = Dedup.minhashDedupState(corpus, "doc_id", "text")
+      st.reps.write.mode("overwrite").parquet(s"$maintDir/mh/reps")
+      st.buckets.write.mode("overwrite").parquet(s"$maintDir/mh/buckets")
+      s"$maintDir/mh"
+    }
+    lazy val mhParquetState = Dedup.MinhashDedupState(
+      spark.read.parquet(s"$mhStateDirs/reps"),
+      spark.read.parquet(s"$mhStateDirs/buckets"))
+    lazy val refreshShard = shard.select(
+      (org.apache.spark.sql.functions.col("doc_id") + 10000000L).as("doc_id"),
+      org.apache.spark.sql.functions.col("text"))
+    lazy val embCorpus =
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 10 =!= 0)
+    lazy val embShard =
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0)
+        .select((org.apache.spark.sql.functions.col("vec_id") + 10000000L)
+          .as("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+    lazy val sdStateDir: String = {
+      val st = Similarity.semDedupState(embCorpus, "vec_id", "embedding",
+        k = 16, iters = 1, dim = 64)
+      st.centroids.write.mode("overwrite").parquet(s"$maintDir/sd/centroids")
+      st.members.write.mode("overwrite").parquet(s"$maintDir/sd/members")
+      s"$maintDir/sd"
+    }
+    lazy val sdParquetState = graft.pipeline.Similarity.SemDedupState(
+      spark.read.parquet(s"$sdStateDir/centroids"),
+      spark.read.parquet(s"$sdStateDir/members"))
+    lazy val vindexDir: String = {
+      val d = s"$maintDir/vindex"
+      graft.pipeline.VectorIndex.build(embCorpus, "vec_id", "embedding", d,
+        k = 16, iters = 1, dim = 64)
+      d
+    }
+    lazy val zorderDir: String = {
+      import org.apache.spark.sql.functions.col
+      val d = s"$maintDir/zorder"
+      graft.sources.ScaleOps.zorderWrite(
+        li.filter(col("l_orderkey") % 10 =!= 0)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice",
+            "l_quantity"),
+        d, Seq("l_extendedprice", "l_quantity"), bits = 8, numFiles = 16)
+      d
+    }
+    lazy val zorderBatch = {
+      import org.apache.spark.sql.functions.col
+      li.filter(col("l_orderkey") % 10 === 0)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_quantity")
+    }
+
+    val maint: Seq[(String, () => Unit)] = Seq(
+      "mnt_minhash_refresh" -> (() => {
+        val st = Dedup.minhashDedupStateRefresh(mhParquetState,
+          refreshShard, "doc_id", "text")
+        sink(st.reps); sink(st.buckets)
+      }),
+      "mnt_semdedup_apply" -> (() =>
+        sink(Similarity.semDedupAgainst(sdParquetState, embShard,
+          "vec_id", "embedding", threshold = 0.45))),
+      "mnt_vindex_append" -> (() =>
+        graft.pipeline.VectorIndex.append(embShard, "vec_id", "embedding",
+          vindexDir)),
+      "mnt_vindex_topk" -> (() =>
+        sink(graft.pipeline.VectorIndex.topK(spark, vindexDir,
+          emb.filter(org.apache.spark.sql.functions.col("vec_id")
+            .isin(0L, 1L, 2L, 3L, 4L)),
+          "vec_id", "embedding", k = 10, nprobe = 4))),
+      "mnt_zorder_append" -> (() =>
+        graft.sources.ScaleOps.zorderAppend(zorderBatch, zorderDir,
+          Seq("l_extendedprice", "l_quantity"), bits = 8, numFiles = 4)),
+      "mnt_zorder_scan" -> (() =>
+        sink(graft.sources.ScaleOps.zorderScan(spark, zorderDir,
+          Seq(("l_extendedprice", 10000.0, 30000.0),
+            ("l_quantity", 5.0, 25.0)))))
+    )
+
     // optional subset selector for big-SF runs (e.g. the 180M-row baseline
     // replication only needs the fit queries): comma-separated names or
     // prefixes; unset = full workload
@@ -212,6 +304,7 @@ object Bench {
       }
     val selected = select(workload)
     val selectedCur = select(curation)
+    val selectedMnt = select(maint)
 
     // warmup: touch parquet footers, JIT/codegen every workload's codepath,
     // and materialize the persisted intermediates some pipelines share —
@@ -219,12 +312,13 @@ object Bench {
     // Tables are only touched when the selected subset needs them, so a
     // partial replica dir (e.g. a ×300 lineitem-only dir with
     // BENCH_ONLY=fit_ — the documented 180M recipe) works.
-    def needs(prefixes: String*) = (selected ++ selectedCur).exists {
-      case (n, _) => prefixes.exists(n.startsWith)
-    }
+    def needs(prefixes: String*) =
+      (selected ++ selectedCur ++ selectedMnt).exists {
+        case (n, _) => prefixes.exists(n.startsWith)
+      }
     li.count()
-    if (needs("dedup", "text", "cur_")) docs.count()
-    if (needs("knn")) emb.count()
+    if (needs("dedup", "text", "cur_", "mnt_minhash")) docs.count()
+    if (needs("knn", "mnt_semdedup", "mnt_vindex")) emb.count()
     Dbreg.fit("l_extendedprice ~ l_quantity", li, strategy = "moments")
     if (selectedCur.exists(_._1.startsWith("cur_minhash_state_apply"))) {
       mhState.reps.count(); mhState.buckets.count(); ()
@@ -232,7 +326,12 @@ object Bench {
     if (selectedCur.exists(_._1.startsWith("cur_token_budget_apply"))) {
       tbPrepared.state.count(); tbPrepared.saltBuckets; ()
     }
-    (selected ++ selectedCur).foreach { case (name, fn) =>
+    // maint setup (untimed): persist the lake states the arms read back
+    if (needs("mnt_minhash")) { mhStateDirs; () }
+    if (needs("mnt_semdedup")) { sdStateDir; () }
+    if (needs("mnt_vindex")) { vindexDir; () }
+    if (needs("mnt_zorder")) { zorderDir; () }
+    (selected ++ selectedCur ++ selectedMnt).foreach { case (name, fn) =>
       try fn()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
     }
@@ -248,12 +347,14 @@ object Bench {
     }
     val results = timed(selected)
     val curResults = timed(selectedCur)
+    val mntResults = timed(selectedMnt)
 
     def js(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val curTotal = curResults.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${js(results)},"curation":${js(curResults)},"curation_total":$curTotal%.4f,"sf":"$sfDir"}""")
+    val mntTotal = mntResults.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${js(results)},"curation":${js(curResults)},"curation_total":$curTotal%.4f,"maint":${js(mntResults)},"maint_total":$mntTotal%.4f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
