@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.reg.Dbreg
+
+/** Round-14 profiler: the carried `bench_vs_baseline` item —
+  * fit_twfe_compress at the 180M-row ×300 lineitem replica sits at
+  * ~2.2× the reference's <1 s M4 number, and the r10 floor probe
+  * (ProfRawAgg) showed the fit is scan-bound (raw cell agg = ~90% of
+  * the wall). This sweeps the SCAN-side knobs the verdict named, same
+  * JVM, min of `iters` per cell:
+  *
+  *   - `spark.sql.parquet.columnarReaderBatchSize` (default 4096):
+  *     bigger vectorized-reader batches amortize per-batch dispatch
+  *     against the 5-column projection.
+  *   - `spark.sql.files.maxPartitionBytes` (default 128m): split count
+  *     vs per-task overhead at 32 cores over ~3 GB of parquet.
+  *   - `spark.sql.codegen.aggregate.map.twolevel.partialOnly` /
+  *     vectorized fast-map: the 2-FE cell key has 6 distinct values —
+  *     the partial agg should live entirely in the codegen fast map.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<replica> runMain graft.ProfR14
+  */
+object ProfR14 {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/x300")
+    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val fml =
+      "l_extendedprice ~ l_quantity + l_discount | l_returnflag + l_linestatus"
+
+    def timed(name: String)(f: => Unit): Unit = {
+      val ts = (1 to iters).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[profr14] $name%-58s min=${ts.min}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+
+    // warmup
+    li.count(); Dbreg.fit(fml, li, strategy = "compress")
+
+    val grid: Seq[(String, Seq[(String, String)])] =
+      if (sys.env.contains("PROF_R14_FOCUS")) Seq(
+        "baseline (4096 / 128m)" -> Seq(),
+        "maxPartitionBytes 256m" -> Seq("spark.sql.files.maxPartitionBytes" -> "256m"),
+        "maxPartitionBytes 512m" -> Seq("spark.sql.files.maxPartitionBytes" -> "512m"),
+        "batch 16384" -> Seq("spark.sql.parquet.columnarReaderBatchSize" -> "16384"),
+        "batch 16384 + 256m" -> Seq(
+          "spark.sql.parquet.columnarReaderBatchSize" -> "16384",
+          "spark.sql.files.maxPartitionBytes" -> "256m")
+      ) else Seq(
+      "baseline (4096 / 128m)" -> Seq(),
+      "batch 8192" -> Seq("spark.sql.parquet.columnarReaderBatchSize" -> "8192"),
+      "batch 16384" -> Seq("spark.sql.parquet.columnarReaderBatchSize" -> "16384"),
+      "maxPartitionBytes 64m" -> Seq("spark.sql.files.maxPartitionBytes" -> "64m"),
+      "maxPartitionBytes 256m" -> Seq("spark.sql.files.maxPartitionBytes" -> "256m"),
+      "batch 16384 + 64m" -> Seq(
+        "spark.sql.parquet.columnarReaderBatchSize" -> "16384",
+        "spark.sql.files.maxPartitionBytes" -> "64m"),
+      "partialOnly twolevel off" -> Seq(
+        "spark.sql.codegen.aggregate.map.twolevel.partialOnly" -> "false"),
+      "offheap columnar off" -> Seq(
+        "spark.sql.columnVector.offheap.enabled" -> "false")
+    )
+    val defaults = grid.flatMap(_._2.map(_._1)).distinct
+      .map(k => k -> spark.conf.get(k)).toMap
+    for ((name, confs) <- grid) {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      timed(s"fit_twfe_compress / $name") {
+        Dbreg.fit(fml, li, strategy = "compress"); ()
+      }
+      confs.foreach { case (k, _) => spark.conf.set(k, defaults(k)) }
+    }
+    spark.stop()
+  }
+}
