@@ -2402,6 +2402,31 @@ object OracleSql {
          |FROM walk JOIN tot USING (lang)
          |ORDER BY domain""".stripMargin,
 
+    // merged-inventory UniMax allocation: sums are additive, so the
+    // merged-state walk IS the full-inventory walk (budget 45000, cap 3)
+    "q262_unimax_merged_allocation" ->
+      s"""WITH t AS (SELECT doc_id, lang, len(${toks("text")})::BIGINT AS nt
+         |  FROM documents),
+         |tot AS (SELECT lang, sum(nt)::BIGINT AS tt FROM t GROUP BY lang),
+         |ordd AS (SELECT lang, tt,
+         |    row_number() OVER (ORDER BY tt, lang) AS i,
+         |    (SELECT count(*) FROM tot WHERE tt > 0) AS n
+         |  FROM tot WHERE tt > 0),
+         |walk AS (
+         |  WITH RECURSIVE w(i, rem, lang, a) AS (
+         |    SELECT 0, 45000::BIGINT, NULL::VARCHAR, 0::BIGINT
+         |    UNION ALL
+         |    SELECT o.i,
+         |      w.rem - least(3 * o.tt, w.rem // (o.n - w.i)),
+         |      o.lang,
+         |      least(3 * o.tt, w.rem // (o.n - w.i))
+         |    FROM w JOIN ordd o ON o.i = w.i + 1)
+         |  SELECT lang, a AS budget FROM w WHERE i >= 1 AND a > 0)
+         |SELECT walk.lang AS domain, tot.tt AS tok, walk.budget,
+         |  walk.budget::DOUBLE / tot.tt::DOUBLE AS epochs
+         |FROM walk JOIN tot USING (lang)
+         |ORDER BY domain""".stripMargin,
+
     // keep-best dedup: q43's cluster algebra, representative = highest
     // token count (ties to lowest id), everything else dropped
     "q247_dedup_keep_best" ->
@@ -2842,6 +2867,42 @@ object OracleSql {
          |  corpus_mean_cos - shard_mean_cos AS drift,
          |  sqrt(v_c / n_corpus + v_s / n_shard) AS se
          |FROM corp, shd""".stripMargin,
+
+    // SemDeDup state frozen from the persisted index (iters = 0 codebook
+    // = the 16 lowest-id corpus vectors): corpus assigned once, fresh
+    // vectors route to their best cell, best within-cell match >= 0.45
+    "q261_semdedup_from_index" ->
+      s"""WITH corpus AS (SELECT vec_id AS id, embedding AS vec
+         |  FROM embeddings WHERE vec_id % 10 <> 0),
+         |fresh AS (SELECT vec_id + 1000000 AS id, embedding AS vec
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id % 10 <> 0
+         |  ORDER BY vec_id LIMIT 16),
+         |cr AS (SELECT cent_id, cvec,
+         |    row_number() OVER (ORDER BY cent_id) - 1 AS cell FROM cents),
+         |avc AS (SELECT g.id, c.cell, ${cosSql("g.vec", "c.cvec")} AS cos
+         |  FROM corpus g CROSS JOIN cr c),
+         |ac AS (SELECT id, cell FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY id ORDER BY cos DESC, cell ASC) AS r FROM avc) t
+         |  WHERE r = 1),
+         |avf AS (SELECT g.id, c.cell, ${cosSql("g.vec", "c.cvec")} AS cos
+         |  FROM fresh g CROSS JOIN cr c),
+         |af AS (SELECT id, cell FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY id ORDER BY cos DESC, cell ASC) AS r FROM avf) t
+         |  WHERE r = 1),
+         |cand AS (SELECT af.id, ac.id AS cid,
+         |    ${cosSql("fx.vec", "cx.vec")} AS cos
+         |  FROM af JOIN ac ON af.cell = ac.cell
+         |    JOIN fresh fx ON fx.id = af.id
+         |    JOIN corpus cx ON cx.id = ac.id
+         |  WHERE ${cosSql("fx.vec", "cx.vec")} >= 0.45),
+         |best AS (SELECT id, cid AS dup_of, cos, row_number() OVER
+         |    (PARTITION BY id ORDER BY cos DESC, cid ASC) AS r FROM cand)
+         |SELECT f.id, b.dup_of, b.cos
+         |FROM fresh f LEFT JOIN (SELECT * FROM best WHERE r = 1) b
+         |  ON f.id = b.id
+         |ORDER BY f.id""".stripMargin,
 
     // sampled drift monitor: identical algebra with the RESIDENT side
     // restricted to the deterministic md5 half-sample the engine uses

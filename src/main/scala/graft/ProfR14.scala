@@ -83,3 +83,66 @@ object ProfR14 {
     spark.stop()
   }
 }
+
+/** SemDeDup frozen-codebook append vs rebuild at replica scale — the
+  * measured growth-dividend point for `semDedupStateAppend` (verdict
+  * item 3): run with SPARK_GRAFT_SF_DIR at a ScaleUp embeddings replica
+  * (×100 = 200k vectors, ×1000 = 2M). Three arms, min of iters:
+  * full retrain (`semDedupState`, the Lloyd rebuild), rebuild under the
+  * FROZEN codebook (`semDedupStateWithCodebook` over corpus ∪ shard —
+  * what append is spec-pinned to equal), and the append itself (shard
+  * assignment + k-row counts + cell-filtered union). */
+object ProfR14Sd {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/x100e")
+    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    val k = math.max(8, (n / 1000L).toInt) // the SemDeDup k ≈ n/1000 regime
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val union = emb // corpus ∪ shard by construction
+    val shard = emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000000L)
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(name: String)(f: => Unit): Unit = {
+      val ts = (1 to iters).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[profr14sd] $name%-44s n=$n k=$k min=${ts.min}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    // the frozen state the append folds into (setup, untimed)
+    val state = Similarity.semDedupState(corpus, "vec_id", "embedding",
+      k = k, iters = 2, dim = 64)
+    val cached = Similarity.SemDedupState(
+      state.centroids, state.members.cache())
+    cached.members.count(); cached.centroidArray
+
+    timed("sd_full_retrain (semDedupState over union)") {
+      val st = Similarity.semDedupState(union, "vec_id", "embedding",
+        k = k, iters = 2, dim = 64)
+      noop(st.members)
+    }
+    timed("sd_rebuild_same_codebook (union)") {
+      val st = Similarity.semDedupStateWithCodebook(union, "vec_id",
+        "embedding", cached.centroidArray)
+      noop(st.members)
+    }
+    timed("sd_state_append (10% shard)") {
+      val st = Similarity.semDedupStateAppend(cached, shard, "vec_id",
+        "embedding")
+      noop(st.members)
+    }
+    spark.stop()
+  }
+}

@@ -1642,6 +1642,22 @@ object Queries {
         .orderBy("domain")
     }),
 
+    // sampling: UniMax allocation from MERGED shard inventories — token
+    // sums are additive, so two shard states re-sum into the union state
+    // (the monotone daily refresh); allocation must equal the live frame's
+    "q262_unimax_merged_allocation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tok = TextOps.tokenCount(col("text"))
+      val st = graft.sources.ScaleOps.uniMaxStateMerge(
+        graft.sources.ScaleOps.uniMaxState(
+          d.filter(col("doc_id") % 2 === 0), "lang", tok),
+        graft.sources.ScaleOps.uniMaxState(
+          d.filter(col("doc_id") % 2 =!= 0), "lang", tok))
+      graft.sources.ScaleOps.uniMaxAllocation(st,
+          totalBudget = 45000L, maxEpochs = 3)
+        .orderBy("domain")
+    }),
+
     "q254_unimax_mixture" -> ((s, dir) => {
       val d = docs(s, dir)
       val tok = TextOps.tokenCount(col("text"))
@@ -1702,6 +1718,25 @@ object Queries {
       graft.pipeline.VectorIndex.driftCheck(s, idx,
         e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
         sampleFraction = 0.5, salt = "q260")
+    }),
+
+    // similarity: SemDeDup state frozen FROM a persisted IVF index — the
+    // shared (cell, cvec) layout means the index's assigned table IS the
+    // member set: zero re-assignment, one k-row count agg, then the
+    // standard apply (valve filter = a partition filter on the layout)
+    "q261_semdedup_from_index" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-vindex-freeze").toString
+      graft.pipeline.VectorIndex.build(
+        e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", idx,
+        k = 16, iters = 0)
+      val state = graft.pipeline.VectorIndex.freezeSemDedupState(s, idx)
+      val fresh = e.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      Similarity.semDedupAgainst(state, fresh, "vec_id", "embedding",
+          threshold = 0.45)
+        .orderBy("id")
     }),
 
     // similarity: frozen-codebook SemDeDup state APPEND — a second corpus
@@ -3338,7 +3373,8 @@ object Queries {
         "q216_silhouette", "q218_mmr_rerank", "q229_hybrid_batch",
         "q231_mmr_batch", "q253_semdedup_incremental",
         "q256_vector_index_append", "q257_index_drift",
-        "q259_semdedup_append", "q260_index_drift_sampled"),
+        "q259_semdedup_append", "q260_index_drift_sampled",
+        "q261_semdedup_from_index"),
       "text" -> Seq(
         "q37_text_analysis", "q38_text_quality_agg", "q42_vocab_topk",
         "q45_json_extract", "q46_lm_score", "q55_tfidf_top_term",
@@ -3369,7 +3405,8 @@ object Queries {
         "q255_zorder_append",
         "q243_top_budget_materialized", "q244_top_budget_incremental",
         "q246_repeat_token_budget", "q249_repeat_budget_incremental",
-        "q254_unimax_mixture", "q258_unimax_allocation"),
+        "q254_unimax_mixture", "q258_unimax_allocation",
+        "q262_unimax_merged_allocation"),
       "events" -> Seq(
         "q40_event_windows", "q54_sessionize", "q58_asof_join",
         "q89_range_join", "q90_interval_overlap", "q137_funnel",

@@ -255,6 +255,40 @@ object VectorIndex {
           col("__sd_shard") * col("__sd_shard") / col("n_shard")).as("se"))
   }
 
+  /** Freeze a [[Similarity.SemDedupState]] directly FROM a built index —
+    * the payoff of the shared (cell, cvec) codebook layout: the index's
+    * `assigned` table already carries every (id, cell, vec), so freezing
+    * the embedding-dedup state costs ONE ≤ k-row count aggregate and
+    * zero re-assignment (the argmax never re-runs). The cell valve
+    * applies as in [[Similarity.semDedupStateWithCodebook]] (spec-pinned
+    * equal), with a layout bonus: the members' `cell` filter is a
+    * PARTITION filter on the hive layout, so a valved cell's files are
+    * never even read by the downstream apply join. Manifest-checked like
+    * every reader. */
+  def freezeSemDedupState(
+      spark: SparkSession,
+      dir: String,
+      maxCellSize: Option[Long] = Some(100000L)
+  ): Similarity.SemDedupState = {
+    import spark.implicits._
+    checkManifest(spark, dir)
+    val cap = maxCellSize.getOrElse(-1L)
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+      .select("cell", "cvec").orderBy("cell").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Number](1).map(_.doubleValue))
+    val members0 = spark.read.parquet(s"$dir/assigned.parquet")
+      .select(col("id"), col("cell"), col("vec"))
+    val counts: Map[Int, Long] = members0.groupBy("cell")
+      .agg(count(lit(1)).as("__csz")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val okCells = counts.keys.filter(c => cap < 0 || counts(c) <= cap).toSeq
+    val cdf = cents
+      .map { case (c, v) => (c, v, cap, counts.getOrElse(c, 0L)) }
+      .toSeq.toDF("cell", "cvec", "max_cell", "n_members")
+    Similarity.SemDedupState(cdf,
+      members0.filter(col("cell").isInCollection(okCells)))
+  }
+
   /** Top-k cosine neighbors from a built index for each query row.
     * Probe ranking, scoring, and tie order are identical to
     * [[Similarity.ivfTopK]] (cos desc, id asc; a query never matches its

@@ -1579,6 +1579,22 @@ object ScaleOps {
       .agg(sum(coalesce(tokens.cast("long"), lit(0L))).as("tok"))
   }
 
+  /** Monotone refresh of a [[uniMaxState]] inventory: token sums are
+    * additive, so the union state is one domain-keyed re-sum of the two
+    * slivers — |domains|-sized work, nothing corpus-sized recomputes.
+    * Fold a daily shard in as
+    * `uniMaxStateMerge(state, uniMaxState(shard, …))`; spec-pinned equal
+    * to rebuilding over the union. */
+  def uniMaxStateMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    require(Seq("domain", "tok").forall(a.columns.contains) &&
+        Seq("domain", "tok").forall(b.columns.contains),
+      s"uniMax states must carry (domain, tok), got ${a.columns.toSeq} / ${b.columns.toSeq}")
+    a.select(col("domain"), col("tok"))
+      .unionByName(b.select(col("domain"), col("tok")))
+      .groupBy("domain")
+      .agg(sum(col("tok")).as("tok"))
+  }
+
   /** UniMax waterfill from a frozen [[uniMaxState]] inventory — the
     * state twin of [[uniMaxBudgets]] (identical allocation, spec-pinned):
     * |domains|-sized collect + a |domains|-step driver fold. */

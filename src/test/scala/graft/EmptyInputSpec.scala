@@ -310,5 +310,24 @@ class EmptyInputSpec extends SparkTestBase {
     val fps = Dedup.lineFingerprints(docs, "doc_id", "text")
     assert(Dedup.removeDupLinesAgainst(fps, emptyDocs, "doc_id", "text",
       keepFirst = false).count() == 0)
+    // semDedupStateAppend with an EMPTY shard leaves the state unchanged
+    // (members, codebook, and the frozen n_members meta)
+    val sdGrown = Similarity.semDedupStateAppend(sd, emptyVecs, "vec_id",
+      "embedding")
+    assert(sdGrown.members.count() == sd.members.count())
+    assert(sdGrown.centroidArray.map(_.toSeq).toSeq ==
+      sd.centroidArray.map(_.toSeq).toSeq)
+    assert(sdGrown.centroids.select("n_members").collect().map(_.getLong(0)).sorted.toSeq ==
+      sd.centroids.select("n_members").collect().map(_.getLong(0)).sorted.toSeq)
+    // uniMax state family over empty inputs: empty state allocates
+    // nothing; merging with an empty state is the identity
+    val emptyState = ScaleOps.uniMaxState(
+      emptyDocs.withColumn("nt", lit(1L)), "text", col("nt"))
+    assert(ScaleOps.uniMaxBudgetsFromState(emptyState, 100L).isEmpty)
+    assert(ScaleOps.uniMaxAllocation(emptyState, 100L).count() == 0)
+    val someState = ScaleOps.uniMaxState(
+      Seq(("en", 7L)).toDF("dom", "nt"), "dom", col("nt"))
+    assert(ScaleOps.uniMaxStateMerge(someState, emptyState).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq == Seq("en" -> 7L))
   }
 }

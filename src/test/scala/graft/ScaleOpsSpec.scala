@@ -1292,6 +1292,21 @@ class ScaleOpsSpec extends SparkTestBase {
       ScaleOps.uniMaxBudgetsFromState(df, 100L, 1)
     }
     assert(e.getMessage.contains("domain"))
+    // monotone refresh: merging two shard states == the union's state
+    // (token sums are additive), so the daily-ingest caller never
+    // re-scans the resident corpus
+    val h1 = Seq(("a", 50L), ("b", 500L), ("c", 5000L)).toDF("dom", "nt")
+    val h2 = Seq(("a", 50L), ("b", 500L), ("c", 5000L)).toDF("dom", "nt")
+    val merged = ScaleOps.uniMaxStateMerge(
+      ScaleOps.uniMaxState(h1, "dom", col("nt")),
+      ScaleOps.uniMaxState(h2, "dom", col("nt")))
+    assert(merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      state.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(ScaleOps.uniMaxBudgetsFromState(merged, 6000L, 2) ==
+      ScaleOps.uniMaxBudgetsFromState(state, 6000L, 2))
+    intercept[IllegalArgumentException] {
+      ScaleOps.uniMaxStateMerge(state, df)
+    }
   }
 
   test("zorderAppend: grows the layout, scan stays exact and still prunes") {

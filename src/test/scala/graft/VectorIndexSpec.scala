@@ -191,4 +191,53 @@ class VectorIndexSpec extends SparkTestBase {
       s"sampled corpus mean ${s1.getDouble(2)} vs full ${full.getDouble(2)} " +
         s"beyond 4*se=$tol")
   }
+
+  test("freezeSemDedupState: index-frozen state == withCodebook, valve prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("vindex-freeze").toString
+    val corpus = embs.filter(col("vec_id") % 10 =!= 0)
+    VectorIndex.build(corpus, "vec_id", "embedding", dir, k = 8, iters = 2)
+    val fromIndex = VectorIndex.freezeSemDedupState(spark, dir)
+    val cb = fromIndex.centroidArray
+    val direct = Similarity.semDedupStateWithCodebook(
+      corpus, "vec_id", "embedding", cb)
+    def memberSet(st: Similarity.SemDedupState) =
+      st.members.select("id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(memberSet(fromIndex) == memberSet(direct) &&
+      memberSet(fromIndex).nonEmpty)
+    def metaSet(st: Similarity.SemDedupState) =
+      st.centroids.select("cell", "max_cell", "n_members").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(metaSet(fromIndex) == metaSet(direct))
+    // the apply path is identical through either freeze
+    val shard = embs.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    def apply(st: Similarity.SemDedupState) =
+      Similarity.semDedupAgainst(st, shard, "vec_id", "embedding", 0.45)
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(apply(fromIndex) == apply(direct))
+    // the layout bonus: the members' valve filter is a PARTITION filter —
+    // a valved cell's files never get read. Cap = largest cell size − 1,
+    // so at least one cell valves out and (cells are not all equal-sized
+    // here) at least one survives to keep a real scan in the plan
+    val sizes = spark.read.parquet(s"$dir/assigned.parquet")
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    assert(sizes.distinct.length > 1, "degenerate: all cells equal-sized")
+    val tiny = VectorIndex.freezeSemDedupState(spark, dir,
+      maxCellSize = Some(sizes.max - 1))
+    val plan = tiny.members.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"valve filter did not reach the partition layer:\n${plan.take(1500)}")
+    val tinyCount = tiny.members.count()
+    assert(tinyCount > 0 && tinyCount < sizes.sum)
+    // and it grows like any state: append then apply still equals the
+    // withCodebook rebuild over the union
+    val grown = Similarity.semDedupStateAppend(fromIndex, shard, "vec_id",
+      "embedding")
+    val rebuilt = Similarity.semDedupStateWithCodebook(
+      corpus.unionByName(shard), "vec_id", "embedding", cb)
+    assert(memberSet(grown) == memberSet(rebuilt))
+  }
 }
