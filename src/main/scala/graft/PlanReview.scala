@@ -364,6 +364,41 @@ object PlanReview {
       graft.pipeline.Dedup.minhashDedupStateRefresh(st,
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text").buckets
     }
+    // round 14: SemDeDup frozen-codebook append — the members plan is a
+    // cell-filtered union of the resident members and a narrow shard
+    // assignment; nothing corpus-sized shuffles, no join at all
+    show("semDedupStateAppend members (filtered union, no join)") {
+      val st = graft.pipeline.Similarity.semDedupState(
+        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        k = 8, iters = 1, dim = 64)
+      graft.pipeline.Similarity.semDedupStateAppend(st,
+        emb.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L),
+        "vec_id", "embedding").members
+    }
+    // round 14: state frozen FROM the persisted index — the member scan
+    // carries the valve as a PartitionFilter on the hive cell layout
+    show("freezeSemDedupState members (valve = partition filter)") {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-plan-vidx").toString
+      graft.pipeline.VectorIndex.build(
+        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", d,
+        k = 8, iters = 1)
+      graft.pipeline.VectorIndex.freezeSemDedupState(spark, d,
+        maxCellSize = Some(60L)).members
+    }
+    // round 14: sampled drift monitor — the resident side is a narrow
+    // hash-filtered scan + broadcast k-row join + 1-row aggregate
+    show("driftCheck sampled (hash filter + broadcast + 1-row agg)") {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-plan-drift").toString
+      graft.pipeline.VectorIndex.build(
+        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", d,
+        k = 8, iters = 1)
+      graft.pipeline.VectorIndex.driftCheck(spark, d,
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        sampleFraction = 0.25, salt = "plan")
+    }
     spark.stop()
   }
 }

@@ -348,6 +348,34 @@ class LocalClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSd === sdApply(sd) && viaSd.nonEmpty)
   }
 
+  test("r14 state ops distribute (manifested index, freeze, append, sampled drift)") {
+    assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
+    // the manifested index writes/reads across executor boundaries, the
+    // index-frozen SemDeDup state applies, the frozen-codebook append
+    // folds a shard in, and the sampled drift monitor aggregates — the
+    // round-14 surface end-to-end under real executors
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = vecs.filter(col("vec_id") % 10 =!= 0)
+    val shard = vecs.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val idx = java.nio.file.Files.createTempDirectory("graft_lc_vidx").toString
+    graft.pipeline.VectorIndex.build(corpus, "vec_id", "embedding", idx,
+      k = 8, iters = 1)
+    val frozen = graft.pipeline.VectorIndex.freezeSemDedupState(spark, idx)
+    val grown = graft.pipeline.Similarity.semDedupStateAppend(frozen,
+      shard, "vec_id", "embedding")
+    val applied = graft.pipeline.Similarity.semDedupAgainst(grown,
+        vecs.filter(col("vec_id") < 20), "vec_id", "embedding", 0.45)
+      .collect()
+    assert(applied.length == 20 && applied.exists(!_.isNullAt(1)))
+    graft.pipeline.VectorIndex.append(shard, "vec_id", "embedding", idx)
+    val drift = graft.pipeline.VectorIndex.driftCheck(spark, idx,
+      vecs.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+      sampleFraction = 0.5, salt = "lc").collect()(0)
+    assert(drift.getLong(0) > 0 && drift.getLong(1) > 0 &&
+      !drift.isNullAt(5))
+  }
+
   test("streaming funnel state store works under executors") {
     assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

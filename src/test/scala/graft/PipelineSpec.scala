@@ -1981,6 +1981,48 @@ class PipelineSpec extends SparkTestBase {
     assert(out.isNullAt(1))
   }
 
+  test("semDedupStateAppend: sequential micro-batch appends == one append") {
+    // the foreachBatch ingest shape: folding daily shards in one at a
+    // time must equal folding their union once (n_members is additive
+    // and the valve is a pure function of the final counts)
+    val a = embs.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 5)
+    val b1 = embs.filter(col("vec_id") % 10 === 5)
+      .withColumn("vec_id", col("vec_id") + 2000000L)
+    val b2 = embs.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 3000000L)
+    val s0 = Similarity.semDedupState(a, "vec_id", "embedding",
+      k = 8, iters = 1, dim = 64)
+    val seq2 = Similarity.semDedupStateAppend(
+      Similarity.semDedupStateAppend(s0, b1, "vec_id", "embedding"),
+      b2, "vec_id", "embedding")
+    val once = Similarity.semDedupStateAppend(s0, b1.unionByName(b2),
+      "vec_id", "embedding")
+    def memberSet(st: Similarity.SemDedupState) =
+      st.members.select("id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    def metaSet(st: Similarity.SemDedupState) =
+      st.centroids.select("cell", "max_cell", "n_members").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(memberSet(seq2) == memberSet(once) && memberSet(seq2).nonEmpty)
+    assert(metaSet(seq2) == metaSet(once))
+    // a cap crossed MID-sequence converges to the same valved end state
+    val vec = array((0 until 64).map(i => lit(if (i == 0) 1.0f else 0.0f)): _*)
+    def mk(ids: Seq[Long]) = ids.toDF("vec_id")
+      .select(col("vec_id"), vec.as("embedding"))
+    val tiny = Similarity.semDedupStateWithCodebook(
+      mk(Seq(1L, 2L, 3L)), "vec_id", "embedding",
+      Array(Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)),
+      maxCellSize = Some(4L))
+    val tseq = Similarity.semDedupStateAppend(
+      Similarity.semDedupStateAppend(tiny, mk(Seq(11L)), "vec_id",
+        "embedding"), // 4 <= cap: still live
+      mk(Seq(12L)), "vec_id", "embedding") // 5 > cap: valved
+    val tonce = Similarity.semDedupStateAppend(tiny,
+      mk(Seq(11L, 12L)), "vec_id", "embedding")
+    assert(memberSet(tseq) == memberSet(tonce) && memberSet(tseq).isEmpty)
+    assert(metaSet(tseq) == metaSet(tonce))
+  }
+
   test("semDedupStateAppend: refusals and codebook interop") {
     val corpus = embs.filter(col("vec_id") % 10 =!= 0)
     val state = Similarity.semDedupState(corpus, "vec_id", "embedding",
