@@ -1509,6 +1509,53 @@ object OracleSql {
          |WHERE n_contaminated::DOUBLE / n_shingles >= 0.8
          |ORDER BY id""".stripMargin,
 
+    // decontamination ingest: merged two-suite shingle state, shard probe
+    "q263_contamination_ingest" ->
+      s"""WITH $ShingleSets,
+         |bsh AS (SELECT DISTINCT shingle FROM sh
+         |        WHERE id % 37 = 0 OR id % 41 = 0),
+         |ssh AS (SELECT id, shingle FROM sh WHERE id % 5 = 1),
+         |h AS (SELECT s.id, count(*) AS n_shingles,
+         |             count(b.shingle) AS n_contaminated
+         |      FROM ssh s LEFT JOIN bsh b ON s.shingle = b.shingle
+         |      GROUP BY s.id)
+         |SELECT id, n_shingles, n_contaminated,
+         |  n_contaminated::DOUBLE / n_shingles AS contamination
+         |FROM h
+         |ORDER BY id""".stripMargin,
+
+    // leakage-safe split: q43's transitive-cluster algebra at the 0.4
+    // Jaccard threshold, then the md5 hash split keyed on the cluster
+    // representative (singletons key on their own id)
+    "q264_leakage_safe_split" ->
+      s"""WITH $ShingleSets,
+         |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+         |common AS (SELECT a.id id1, b.id id2, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id1, id2 FROM common
+         |  JOIN sizes s1 ON common.id1 = s1.id
+         |  JOIN sizes s2 ON common.id2 = s2.id
+         |  WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.4),
+         |edges AS (SELECT id1 a, id2 b FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |comp AS (
+         |  WITH RECURSIVE reach(id, label) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+         |  )
+         |  SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+         |keyed AS (SELECT d.doc_id,
+         |    coalesce(c.cluster, d.doc_id) AS k
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id AS id,
+         |  CASE WHEN ${hash32("'q264' || k::VARCHAR")} / 4294967296.0 < 0.8
+         |    THEN 'train' ELSE 'eval' END AS split
+         |FROM keyed
+         |ORDER BY id""".stripMargin,
+
     "q71_repetition" ->
       s"""WITH t AS (SELECT doc_id AS id, ${toks("text")} AS t FROM documents),
          |tok AS (SELECT id, unnest(t) AS tok FROM t),

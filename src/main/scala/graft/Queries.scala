@@ -1642,6 +1642,35 @@ object Queries {
         .orderBy("domain")
     }),
 
+    // dedup: decontamination as INGEST — two eval suites freeze into one
+    // merged shingle state, a corpus shard probes it map-side (the state
+    // broadcasts; shard shingles never shuffle)
+    "q263_contamination_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val st = Dedup.contaminationStateMerge(
+        Dedup.contaminationState(
+          d.filter(col("doc_id") % 37 === 0), "doc_id", "text", n = 2),
+        Dedup.contaminationState(
+          d.filter(col("doc_id") % 41 === 0), "doc_id", "text", n = 2))
+      Dedup.contaminationAgainst(st, d.filter(col("doc_id") % 5 === 1),
+          "doc_id", "text", n = 2)
+        .orderBy("id")
+    }),
+
+    // sampling: leakage-safe train/eval split — the hash split keyed on
+    // the duplicate-cluster representative, so near-duplicates never
+    // straddle the boundary; pairs from the exact Jaccard producer here
+    // (the oracle-able one; minhashPairs is the same contract at scale)
+    "q264_leakage_safe_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+        n = 2, threshold = 0.4)
+      graft.sources.ScaleOps.leakageSafeSplit(d, "doc_id", pairs,
+          Seq("train" -> 0.8, "eval" -> 0.2), salt = "q264")
+        .select(col("doc_id").as("id"), col("split"))
+        .orderBy("id")
+    }),
+
     // sampling: UniMax allocation from MERGED shard inventories — token
     // sums are additive, so two shard states re-sum into the union state
     // (the monotone daily refresh); allocation must equal the live frame's
@@ -3364,7 +3393,8 @@ object Queries {
         "q233_dedup_span_removal", "q240_span_removal_incremental",
         "q245_line_dedup_removal", "q247_dedup_keep_best",
         "q248_line_dedup_incremental", "q250_dedup_against_state",
-        "q251_dedup_refreshed_state", "q252_line_scrub_incremental"),
+        "q251_dedup_refreshed_state", "q252_line_scrub_incremental",
+        "q263_contamination_ingest"),
       "similarity" -> Seq(
         "q35_knn_brute", "q36_knn_lsh", "q41_knn_ivf", "q56_kmeans_cells",
         "q203_knn_join_brute", "q204_knn_join",
@@ -3406,7 +3436,7 @@ object Queries {
         "q243_top_budget_materialized", "q244_top_budget_incremental",
         "q246_repeat_token_budget", "q249_repeat_budget_incremental",
         "q254_unimax_mixture", "q258_unimax_allocation",
-        "q262_unimax_merged_allocation"),
+        "q262_unimax_merged_allocation", "q264_leakage_safe_split"),
       "events" -> Seq(
         "q40_event_windows", "q54_sessionize", "q58_asof_join",
         "q89_range_join", "q90_interval_overlap", "q137_funnel",

@@ -773,14 +773,89 @@ object Dedup {
       textCol: String,
       n: Int = 2,
       broadcastBenchmark: Boolean = true
+  ): DataFrame =
+    contaminationAgainst(
+      contaminationState(benchmark, idCol, textCol, n),
+      corpus, idCol, textCol, n, broadcastBenchmark)
+
+  /** Frozen benchmark-side state for [[contaminationAgainst]] — the
+    * decontamination member of the frozen-state family (README state
+    * matrix): the eval suite's DISTINCT shingle set, with the shingle
+    * width frozen in (`shingle_n` — a mismatched apply width would
+    * otherwise SILENTLY report zero contamination, the
+    * [[dedupAgainstState]] trap class). Benchmark suites are tiny next
+    * to a training corpus, so the state is sliver-sized and broadcast at
+    * apply; persist as plain parquet and fold new eval suites in with
+    * [[contaminationStateMerge]] (the shingle set is monotone — the
+    * span/line fingerprint refresh rule). */
+  final case class ContaminationState(shingles: DataFrame) {
+    /** Width frozen into the state; None ⇔ empty benchmark (nothing can
+      * be contaminated — apply reports 0 everywhere, which is correct). */
+    lazy val shingleN: Option[Int] =
+      shingles.select("shingle_n").take(1).headOption.map(_.getInt(0))
+  }
+
+  /** Build [[ContaminationState]]: one distinct over the benchmark's
+    * n-gram shingles. */
+  def contaminationState(
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2
+  ): ContaminationState =
+    ContaminationState(
+      shingleSets(benchmark, idCol, textCol, n)
+        .select(col("shingle")).distinct()
+        .withColumn("shingle_n", lit(n)))
+
+  /** Fold a new eval suite into a [[ContaminationState]]: the shingle
+    * set is monotone, so the union state is one distinct over the two
+    * slivers. Refuses mismatched frozen widths (2-gram and 3-gram sets
+    * measure different things; an empty side adopts the other's width). */
+  def contaminationStateMerge(
+      a: ContaminationState,
+      b: ContaminationState
+  ): ContaminationState = {
+    (a.shingleN, b.shingleN) match {
+      case (Some(x), Some(y)) =>
+        require(x == y, s"cannot merge contamination states of different " +
+          s"shingle widths ($x vs $y) — rebuild one at the other's width")
+      case _ => ()
+    }
+    ContaminationState(
+      a.shingles.unionByName(b.shingles).select("shingle", "shingle_n")
+        .distinct())
+  }
+
+  /** Apply a frozen [[ContaminationState]] to a corpus shard — the
+    * steady-state ingest form of [[contamination]] (identical semantics;
+    * that convenience wrapper IS
+    * `contaminationAgainst(contaminationState(benchmark), corpus)`):
+    * per-doc fraction of distinct n-gram shingles appearing anywhere in
+    * the frozen eval suite. The state broadcasts (sliver-sized) and the
+    * shard streams through a map-side left probe — shard shingles never
+    * shuffle; the only shuffle is the final doc-keyed aggregate. `n`
+    * must match the state's frozen width. Micro-batches stream through
+    * `foreachBatch` (shards decompose — the probe is per-row). */
+  def contaminationAgainst(
+      state: ContaminationState,
+      shard: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      broadcastState: Boolean = true
   ): DataFrame = {
-    val cs = shingleSets(corpus, idCol, textCol, n)
-    val bs0 = shingleSets(benchmark, idCol, textCol, n)
-      .select(col("shingle"))
-      .distinct()
-    val bs = (if (broadcastBenchmark) broadcast(bs0) else bs0)
+    require(Seq("shingle", "shingle_n").forall(state.shingles.columns.contains),
+      s"state must carry (shingle, shingle_n), got ${state.shingles.columns.toSeq}")
+    state.shingleN.foreach { sn =>
+      require(sn == n,
+        s"state was built with n = $sn, apply called with n = $n")
+    }
+    val cs = shingleSets(shard, idCol, textCol, n)
+    val bs0 = state.shingles.select(col("shingle"))
+    val bs = (if (broadcastState) broadcast(bs0) else bs0)
       .withColumn("__hit", lit(1L))
-    // benchmark side is distinct ⇒ the left join preserves corpus-shingle
+    // state side is distinct ⇒ the left join preserves shard-shingle
     // multiplicity exactly; count/sum then aggregate per doc map-side first
     cs.join(bs, Seq("shingle"), "left")
       .groupBy("id")

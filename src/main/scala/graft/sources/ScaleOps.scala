@@ -410,6 +410,45 @@ object ScaleOps {
     df.withColumn(splitCol, label)
   }
 
+  /** [[hashSplit]] keyed on the DUPLICATE-CLUSTER representative instead
+    * of the row id, so near-duplicate documents can never straddle a
+    * train/eval boundary — the leakage guard every training-data split
+    * needs (a test doc whose near-copy sits in train silently inflates
+    * eval; Lee et al. 2022, arXiv:2107.06499 §6 measure the effect).
+    *
+    * `pairs` is a caller-supplied (id1, id2, …) near-duplicate pair list
+    * from ANY producer at the leakage threshold you care about —
+    * [[graft.pipeline.Dedup.jaccardPairs]] (exact),
+    * [[graft.pipeline.Dedup.minhashPairs]] (LSH, the 100 TB path),
+    * [[graft.pipeline.Similarity.cosineNearDupPairs]] (embedding) — the
+    * same contract as [[graft.pipeline.Dedup.duplicateClusters]], which
+    * this composes: pairs → transitive clusters (pointer-jumping CC) →
+    * one left join of the corpus to the (dup-only) label table → the
+    * deterministic hash split on `coalesce(cluster, id)`. Singletons key
+    * on their own id, so the split keeps [[hashSplit]]'s guarantees
+    * (deterministic, layout-independent, adding rows never moves
+    * existing ones — and adding a PAIR only ever moves the higher
+    * cluster's members to the lower's split). Scale shape: CC runs on
+    * the pair list (dup-sized, not corpus-sized); the corpus itself sees
+    * one broadcast-able join + a narrow projection. */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      weights: Seq[(String, Double)],
+      salt: String = "",
+      splitCol: String = "split"
+  ): DataFrame = {
+    val clusters = graft.pipeline.Dedup.duplicateClusters(pairs)
+      .withColumnRenamed("id", "__lsid")
+      .withColumnRenamed("cluster", "__lscluster")
+    val keyed = df
+      .join(clusters, col(idCol) === col("__lsid"), "left")
+      .withColumn("__lskey", coalesce(col("__lscluster"), col(idCol)))
+    hashSplit(keyed, "__lskey", weights, salt, splitCol)
+      .drop("__lsid", "__lscluster", "__lskey")
+  }
+
   /** Deterministic Bernoulli sampling with a PER-ROW keep probability —
     * the importance/quality-weighted subsampling step of training-data
     * pipelines (DSIR-style resampling, Xie et al. 2023 arXiv:2302.03169;

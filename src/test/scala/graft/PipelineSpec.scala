@@ -1981,6 +1981,51 @@ class PipelineSpec extends SparkTestBase {
     assert(out.isNullAt(1))
   }
 
+  test("contamination state: round-trip, merge parity, width refusal, empty suite") {
+    val d = docs
+    val suiteA = d.filter(col("doc_id") % 37 === 0)
+    val suiteB = d.filter(col("doc_id") % 41 === 0)
+    val shard = d.filter(col("doc_id") % 5 === 1)
+    def res(st: Dedup.ContaminationState) =
+      Dedup.contaminationAgainst(st, shard, "doc_id", "text", n = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // merged state == state over the unioned suites
+    val merged = Dedup.contaminationStateMerge(
+      Dedup.contaminationState(suiteA, "doc_id", "text", n = 2),
+      Dedup.contaminationState(suiteB, "doc_id", "text", n = 2))
+    val whole = Dedup.contaminationState(suiteA.unionByName(suiteB),
+      "doc_id", "text", n = 2)
+    assert(res(merged) == res(whole) && res(merged).nonEmpty)
+    // the wrapper IS the state pair (byte-equal results)
+    val viaWrapper = Dedup.contamination(shard, suiteA, "doc_id", "text",
+        n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaWrapper ==
+      res(Dedup.contaminationState(suiteA, "doc_id", "text", n = 2)))
+    // parquet round-trip applies identically (persistable eval-suite state)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctstate").toString
+    merged.shingles.write.mode("overwrite").parquet(s"$dir/sh")
+    val loaded = Dedup.ContaminationState(spark.read.parquet(s"$dir/sh"))
+    assert(res(loaded) == res(merged))
+    // a mismatched apply width refuses loudly (it would silently report
+    // zero contamination), and mismatched merges refuse too
+    val e = intercept[IllegalArgumentException] {
+      Dedup.contaminationAgainst(merged, shard, "doc_id", "text", n = 3)
+    }
+    assert(e.getMessage.contains("built with n = 2"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.contaminationStateMerge(merged,
+        Dedup.contaminationState(suiteB, "doc_id", "text", n = 3))
+    }
+    assert(e2.getMessage.contains("widths"))
+    // an empty eval suite contaminates nothing (and merges as identity)
+    val empty = Dedup.contaminationState(d.filter(lit(false)),
+      "doc_id", "text", n = 2)
+    assert(Dedup.contaminationAgainst(empty, shard, "doc_id", "text", n = 2)
+      .filter(col("n_contaminated") > 0).count() == 0)
+    assert(res(Dedup.contaminationStateMerge(merged, empty)) == res(merged))
+  }
+
   test("semDedupStateAppend: sequential micro-batch appends == one append") {
     // the foreachBatch ingest shape: folding daily shards in one at a
     // time must equal folding their union once (n_members is additive

@@ -1309,6 +1309,51 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle the boundary") {
+    import spark.implicits._
+    // three exact-duplicate pairs + singletons; pairs from the exact
+    // Jaccard producer at 0.9
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // dup of 1
+      (3L, "one two three four five six"),
+      (4L, "one two three four five six"), // dup of 3
+      (5L, "totally unrelated text body here"),
+      (6L, "another unrelated document content"),
+      (7L, "seven eight nine ten eleven"),
+      (8L, "seven eight nine ten eleven") // dup of 7
+    ).toDF("doc_id", "text")
+    val pairs = graft.pipeline.Dedup.jaccardPairs(d, "doc_id", "text",
+      n = 2, threshold = 0.9)
+    assert(pairs.count() == 3)
+    for (salt <- Seq("", "a", "b", "c")) {
+      val split = ScaleOps.leakageSafeSplit(d, "doc_id", pairs,
+          Seq("train" -> 0.5, "eval" -> 0.5), salt = salt)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(split.size == 8)
+      // every dup pair lands on the SAME side, whatever the salt deals
+      assert(split(1L) == split(2L) && split(3L) == split(4L) &&
+        split(7L) == split(8L), s"salt=$salt: $split")
+      // cluster members split by the REPRESENTATIVE's hash; singletons
+      // by their own id — both equal plain hashSplit on that key
+      val expect = ScaleOps.hashSplit(
+        d.withColumn("__k",
+          when(col("doc_id") === 2L, 1L)
+            .when(col("doc_id") === 4L, 3L)
+            .when(col("doc_id") === 8L, 7L)
+            .otherwise(col("doc_id"))),
+        "__k", Seq("train" -> 0.5, "eval" -> 0.5), salt = salt)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(split == expect, s"salt=$salt")
+    }
+    // schema passes through: no helper columns survive
+    assert(ScaleOps.leakageSafeSplit(d, "doc_id", pairs,
+        Seq("train" -> 0.5, "eval" -> 0.5)).columns.toSeq ==
+      Seq("doc_id", "text", "split"))
+  }
+
   test("zorderAppend: grows the layout, scan stays exact and still prunes") {
     val li = sf("sf0.001", "lineitem")
       .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
