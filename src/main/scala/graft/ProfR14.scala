@@ -84,6 +84,58 @@ object ProfR14 {
   }
 }
 
+/** Round-14 curation ops at the ×100 documents replica (500k docs):
+  * decontamination ingest (eval-suite state broadcast-probed by the full
+  * replica) and the leakage-safe split (LSH pairs → CC → cluster-keyed
+  * hash split over the corpus). Run with SPARK_GRAFT_SF_DIR at the
+  * replica dir; the eval suite is the driver-shipped sf0.1 documents
+  * (5k docs — a realistic benchmark-suite size). */
+object ProfR14Curation {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/x100d")
+    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.Dedup
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val suite = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+    val n = corpus.count()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(name: String)(f: => Unit): Unit = {
+      val ts = (1 to iters).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[profr14c] $name%-44s n=$n min=${ts.min}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    // frozen suite state (setup, untimed — persists like lake state)
+    val state = Dedup.contaminationState(suite, "doc_id", "text", n = 2)
+    state.shingles.cache().count()
+    timed("contamination_state_build (5k suite)") {
+      noop(Dedup.contaminationState(suite, "doc_id", "text", n = 2).shingles)
+    }
+    timed("contamination_ingest (500k shard vs suite)") {
+      noop(Dedup.contaminationAgainst(state, corpus, "doc_id", "text", n = 2))
+    }
+    timed("leakage_safe_split (LSH pairs + CC + split)") {
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+        n = 2, threshold = 0.5)
+      noop(graft.sources.ScaleOps.leakageSafeSplit(corpus, "doc_id", pairs,
+        Seq("train" -> 0.98, "eval" -> 0.02), salt = "p14"))
+    }
+    spark.stop()
+  }
+}
+
 /** SemDeDup frozen-codebook append vs rebuild at replica scale — the
   * measured growth-dividend point for `semDedupStateAppend` (verdict
   * item 3): run with SPARK_GRAFT_SF_DIR at a ScaleUp embeddings replica

@@ -363,6 +363,45 @@ class StreamingSpec extends SparkTestBase {
     assert(doc10._2 == 1L && doc10._3 == "fresh words", s"got $doc10")
   }
 
+  test("contamination ingest streams from a frozen state via foreachBatch, equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    // the decontamination member of the frozen-state family: the eval
+    // suite's shingle set is the static broadcast state, each micro-batch
+    // shard probes it map-side (per-row measure, so shards decompose)
+    val suite = Seq(
+      (1L, "question answer pair benchmark text")).toDF("doc_id", "text")
+    val state = Dedup.contaminationState(suite, "doc_id", "text", n = 2)
+    state.shingles.cache().count()
+    val shard = Seq(
+      (10L, "question answer pair from the eval set"), // overlaps
+      (11L, "completely fresh training document"),
+      (12L, "answer pair benchmark")                   // overlaps more
+    )
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = Dedup.contaminationAgainst(state, batch, "doc_id", "text",
+            n = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        got.synchronized { got ++= out }; ()
+      }
+      .start()
+    val (h1, h2) = shard.splitAt(2)
+    input.addData(h1: _*)
+    q.processAllAvailable()
+    input.addData(h2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = Dedup.contaminationAgainst(state,
+        shard.toDF("doc_id", "text"), "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.toSet == expected && expected.nonEmpty)
+    assert(got.find(_._1 == 11L).exists(_._3 == 0L))
+    assert(got.find(_._1 == 12L).exists(_._3 > 0L))
+  }
+
   test("incremental dedup runs per micro-batch via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Dedup
