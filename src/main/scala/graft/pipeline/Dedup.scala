@@ -852,7 +852,12 @@ object Dedup {
         s"state was built with n = $sn, apply called with n = $n")
     }
     val cs = shingleSets(shard, idCol, textCol, n)
-    val bs0 = state.shingles.select(col("shingle"))
+    // re-distinct defensively: the state layout is "plain parquet", so a
+    // hand-unioned state (bypassing contaminationStateMerge) could carry
+    // duplicate shingles, and a non-distinct probe side would silently
+    // double-count matches; on a well-formed state this is a no-op agg
+    // over the sliver
+    val bs0 = state.shingles.select(col("shingle")).distinct()
     val bs = (if (broadcastState) broadcast(bs0) else bs0)
       .withColumn("__hit", lit(1L))
     // state side is distinct ⇒ the left join preserves shard-shingle

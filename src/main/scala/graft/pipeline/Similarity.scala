@@ -514,28 +514,48 @@ object Similarity {
   ): SemDedupState = {
     val session = emb.sparkSession
     import session.implicits._
-    val cap = maxCellSize.getOrElse(-1L)
     if (cents.isEmpty) // empty corpus: empty codebook, no members
       return SemDedupState(
         Seq.empty[(Int, Seq[Double], Long, Long)]
           .toDF("cell", "cvec", "max_cell", "n_members"),
         emb.select(col(idCol).as("id"), lit(0).as("cell"),
           col(vecCol).as("vec")).filter(lit(false)))
+    // PRECONDITION (the whole k-means family's): `emb` is deterministic
+    // across re-reads — kmeans upstream already re-scans it per
+    // iteration, and the members here stay LAZY (av is a narrow
+    // projection, no join since the codebook became a plan reference),
+    // so the valve counts and a later members materialization are two
+    // reads of the same pure function of the source. A nondeterministic
+    // frame (unseeded sample, unsorted limit) breaks kmeans before it
+    // breaks this — stabilize it (persist/checkpoint) first.
     val av = emb.select(col(idCol).as("id"),
       graft.functions.VectorExprs.nearestCentroid(col(vecCol), cents)
         .as("cell"),
       col(vecCol).as("vec"))
+    semDedupStateFromAssigned(session, av, cents, maxCellSize)
+  }
+
+  /** Shared tail of the SemDeDup state freezes ([[semDedupStateWithCodebook]]
+    * and [[VectorIndex.freezeSemDedupState]] — ONE implementation of the
+    * valve + n_members meta, so the spec-pinned-equal pair can never
+    * de-synchronize): per-cell counts (≤ k-row collect), over-cap cells
+    * valved out of `members`, the FULL pre-valve counts frozen into the
+    * centroid meta. `assigned` must carry (id, cell, vec). */
+  private[pipeline] def semDedupStateFromAssigned(
+      session: org.apache.spark.sql.SparkSession,
+      assigned: DataFrame,
+      cents: Array[Array[Double]],
+      maxCellSize: Option[Long]
+  ): SemDedupState = {
+    import session.implicits._
+    val cap = maxCellSize.getOrElse(-1L)
     // k-sized collect: full pre-valve per-cell counts — the valve input
     // here AND the meta a later append re-runs the valve against
-    val counts: Map[Int, Long] = av.groupBy("cell")
+    val counts: Map[Int, Long] = assigned.groupBy("cell")
       .agg(count(lit(1)).as("__csz")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val okCells = counts.keys.filter(c => cap < 0 || counts(c) <= cap).toSeq
-    // members stays LAZY and unstaged: av is a narrow projection over the
-    // source (no join since the codebook became a plan reference), so a
-    // re-read costs one scan — the same price a staging barrier would pay
-    // to write, with none of the checkpoint lifecycle
-    val members = av.filter(col("cell").isInCollection(okCells))
+    val members = assigned.filter(col("cell").isInCollection(okCells))
     val cdf = cents.zipWithIndex
       .map { case (v, c) => (c, v.toSeq, cap, counts.getOrElse(c, 0L)) }
       .toSeq.toDF("cell", "cvec", "max_cell", "n_members")

@@ -134,6 +134,16 @@ object VectorIndex {
       .toDF("cell", "cvec")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    // clear the assigned layout EXPLICITLY before writing: under
+    // spark.sql.sources.partitionOverwriteMode=dynamic (a common session
+    // setting) mode("overwrite") only replaces the partitions this build
+    // writes, so a rebuild over a corpus that vacated a cell would leave
+    // the old cell's files on disk — and the post-write listing below
+    // would MANIFEST them, blessing exactly the stale silent-read the
+    // manifest exists to refuse
+    val assignedPath = new org.apache.hadoop.fs.Path(s"$dir/assigned.parquet")
+    val fs = assignedPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(assignedPath)) fs.delete(assignedPath, true)
     emb
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         graft.functions.VectorExprs.nearestCentroid(col(vecCol), cents).as("cell"))
@@ -247,12 +257,25 @@ object VectorIndex {
           .as("cell"),
         col(vecCol).as("vec")),
       "shard")
+    // an EMPTY side would yield null means → a monitor evaluating
+    // `drift > threshold` silently reads "no drift" — refuse at
+    // execution instead (raise_error keeps the plan lazy and narrow)
+    val nonEmpty = col("n_corpus") > 0 && col("n_shard") > 0
+    val emptyMsg = concat(
+      lit("driftCheck sample is empty (n_corpus="), col("n_corpus"),
+      lit(", n_shard="), col("n_shard"),
+      lit(") — raise sampleFraction or check the inputs"))
+    def guarded(c: org.apache.spark.sql.Column) =
+      when(nonEmpty, c)
+        .otherwise(raise_error(emptyMsg).cast("double"))
     corpusSide.crossJoin(shardSide)
       .select(col("n_corpus"), col("n_shard"),
-        col("corpus_mean_cos"), col("shard_mean_cos"),
-        (col("corpus_mean_cos") - col("shard_mean_cos")).as("drift"),
-        sqrt(col("__sd_corpus") * col("__sd_corpus") / col("n_corpus") +
-          col("__sd_shard") * col("__sd_shard") / col("n_shard")).as("se"))
+        guarded(col("corpus_mean_cos")).as("corpus_mean_cos"),
+        guarded(col("shard_mean_cos")).as("shard_mean_cos"),
+        guarded(col("corpus_mean_cos") - col("shard_mean_cos")).as("drift"),
+        guarded(sqrt(
+          col("__sd_corpus") * col("__sd_corpus") / col("n_corpus") +
+          col("__sd_shard") * col("__sd_shard") / col("n_shard"))).as("se"))
   }
 
   /** Freeze a [[Similarity.SemDedupState]] directly FROM a built index —
@@ -270,23 +293,13 @@ object VectorIndex {
       dir: String,
       maxCellSize: Option[Long] = Some(100000L)
   ): Similarity.SemDedupState = {
-    import spark.implicits._
     checkManifest(spark, dir)
-    val cap = maxCellSize.getOrElse(-1L)
-    val cents = spark.read.parquet(s"$dir/centroids.parquet")
-      .select("cell", "cvec").orderBy("cell").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Number](1).map(_.doubleValue))
+    val cents = loadCentroids(spark, dir)
     val members0 = spark.read.parquet(s"$dir/assigned.parquet")
       .select(col("id"), col("cell"), col("vec"))
-    val counts: Map[Int, Long] = members0.groupBy("cell")
-      .agg(count(lit(1)).as("__csz")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val okCells = counts.keys.filter(c => cap < 0 || counts(c) <= cap).toSeq
-    val cdf = cents
-      .map { case (c, v) => (c, v, cap, counts.getOrElse(c, 0L)) }
-      .toSeq.toDF("cell", "cvec", "max_cell", "n_members")
-    Similarity.SemDedupState(cdf,
-      members0.filter(col("cell").isInCollection(okCells)))
+    // the shared valve/meta tail — ONE implementation with
+    // semDedupStateWithCodebook, so the spec-pinned-equal pair can't drift
+    Similarity.semDedupStateFromAssigned(spark, members0, cents, maxCellSize)
   }
 
   /** Top-k cosine neighbors from a built index for each query row.

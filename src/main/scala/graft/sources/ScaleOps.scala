@@ -224,9 +224,14 @@ object ScaleOps {
       // a failed delete (permissions, transient FS error) would leave an
       // unmanifested data file that bricks every later zorderScan/append
       // until a full rebuild — fail loudly instead of proceeding
+      // the throw happens AFTER the batch's data files appended but
+      // BEFORE the manifest rewrite, so the layout is left in the loud
+      // unmanifested state — only a full zorderWrite rebuild recovers
+      // (re-running zorderAppend would hit its own pre-check AND
+      // re-append the batch)
       require(fs.delete(new org.apache.hadoop.fs.Path(dir, n), false),
-        s"could not remove zero-row part file $n — rerun zorderAppend " +
-          "(or zorderWrite) once the filesystem cooperates")
+        s"could not remove zero-row part file $n — the appended batch is " +
+          "unmanifested; rerun zorderWrite over the full data to rebuild")
     }
     if (statNames.isEmpty) return // nothing but empty files: no-op
     // rewritten manifest = frozen old rows ∪ new stats (both collected,
@@ -1641,15 +1646,29 @@ object ScaleOps {
       state: DataFrame,
       totalBudget: Long,
       maxEpochs: Int = 1
+  ): Seq[(String, Long)] =
+    uniMaxWaterfill(collectUniMaxState(state), totalBudget, maxEpochs)
+
+  /** The |domains|-sized state collect the UniMax entry points share —
+    * validated by name so a malformed frame refuses loudly. */
+  private def collectUniMaxState(state: DataFrame): Seq[(String, Long)] = {
+    require(Seq("domain", "tok").forall(state.columns.contains),
+      s"uniMax state must carry (domain, tok), got ${state.columns.toSeq}")
+    state.select(col("domain"), col("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+  }
+
+  /** The pure waterfill over a collected inventory (Chung et al. 2023):
+    * ascending-inventory order (ties by name), each domain takes
+    * min(maxEpochs·T, ⌊remaining / domains-left⌋), integer end-to-end. */
+  private def uniMaxWaterfill(
+      inventory: Seq[(String, Long)],
+      totalBudget: Long,
+      maxEpochs: Int
   ): Seq[(String, Long)] = {
     require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
     require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
-    require(Seq("domain", "tok").forall(state.columns.contains),
-      s"uniMax state must carry (domain, tok), got ${state.columns.toSeq}")
-    val inv = state.select(col("domain"), col("tok"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-      .filter(_._2 > 0L)
-      .sortBy { case (d, t) => (t, d) }
+    val inv = inventory.filter(_._2 > 0L).sortBy { case (d, t) => (t, d) }
     var rem = totalBudget
     val out = Seq.newBuilder[(String, Long)]
     inv.zipWithIndex.foreach { case ((d, t), i) =>
@@ -1674,9 +1693,10 @@ object ScaleOps {
   ): DataFrame = {
     val spark = state.sparkSession
     import spark.implicits._
-    val budgets = uniMaxBudgetsFromState(state, totalBudget, maxEpochs).toMap
-    val inv = state.select(col("domain"), col("tok"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // ONE state aggregation/collect feeds both the waterfill and the
+    // provenance columns — a live (unpersisted) state scans once
+    val inv = collectUniMaxState(state)
+    val budgets = uniMaxWaterfill(inv, totalBudget, maxEpochs).toMap
     inv.collect { case (d, t) if budgets.contains(d) =>
       (d, t, budgets(d), budgets(d).toDouble / t.toDouble)
     }.toDF("domain", "tok", "budget", "epochs")

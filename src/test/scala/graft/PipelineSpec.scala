@@ -2018,6 +2018,12 @@ class PipelineSpec extends SparkTestBase {
         Dedup.contaminationState(suiteB, "doc_id", "text", n = 3))
     }
     assert(e2.getMessage.contains("widths"))
+    // a hand-duplicated state (plain union instead of
+    // contaminationStateMerge) must not double-count — the apply
+    // re-distincts the probe side defensively
+    val dup = Dedup.ContaminationState(
+      merged.shingles.unionByName(merged.shingles))
+    assert(res(dup) == res(merged))
     // an empty eval suite contaminates nothing (and merges as identity)
     val empty = Dedup.contaminationState(d.filter(lit(false)),
       "doc_id", "text", n = 2)

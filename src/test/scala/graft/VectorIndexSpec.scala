@@ -192,6 +192,56 @@ class VectorIndexSpec extends SparkTestBase {
         s"beyond 4*se=$tol")
   }
 
+  test("driftCheck refuses an empty sample loudly (no null-drift monitor)") {
+    val dir = java.nio.file.Files.createTempDirectory("vindex-esample").toString
+    VectorIndex.build(embs.limit(20), "vec_id", "embedding", dir,
+      k = 4, iters = 1)
+    val e = intercept[Exception] {
+      VectorIndex.driftCheck(spark, dir, embs.limit(5), "vec_id",
+        "embedding", sampleFraction = 1e-9, salt = "none").collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(e).contains("sample is empty"), chain(e).take(500))
+  }
+
+  test("build clears stale cell files under dynamic partition overwrite") {
+    // two well-separated clusters so both cells populate; then rebuild at
+    // the same dir (dynamic overwrite mode) with a corpus that vacates
+    // cell 1 — without the explicit pre-delete, the old cell-1 files
+    // would survive AND get manifested, silently serving the old corpus
+    import spark.implicits._
+    def oneHot(axis: Int, ids: Seq[Long]) = ids.toDF("vec_id")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.array(
+          (0 until 64).map(i =>
+            lit(if (i == axis) 1.0f else 0.0f)): _*).as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("vindex-dyn").toString
+    val both = oneHot(0, Seq(1L, 3L, 5L)).unionByName(oneHot(7, Seq(2L, 4L)))
+    VectorIndex.build(both, "vec_id", "embedding", dir, k = 2, iters = 1)
+    val cells0 = spark.read.parquet(s"$dir/assigned.parquet")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells0.size == 2)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      VectorIndex.build(oneHot(0, Seq(11L, 12L, 13L)), "vec_id",
+        "embedding", dir, k = 2, iters = 0)
+      val ids = spark.read.parquet(s"$dir/assigned.parquet")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(11L, 12L, 13L),
+        s"stale vectors survived the rebuild: $ids")
+      // and the manifest agrees with the cleaned listing (reads pass)
+      assert(VectorIndex.topK(spark, dir, oneHot(0, Seq(99L)), "vec_id",
+        "embedding", k = 3, nprobe = 2).count() > 0)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("freezeSemDedupState: index-frozen state == withCodebook, valve prunes partitions") {
     val dir = java.nio.file.Files.createTempDirectory("vindex-freeze").toString
     val corpus = embs.filter(col("vec_id") % 10 =!= 0)
