@@ -265,6 +265,17 @@ object Bench {
         .select("l_orderkey", "l_linenumber", "l_extendedprice",
           "l_quantity")
     }
+    // eval-suite contamination state (the q70 suite recipe), persisted
+    // and read back like the other maint states
+    lazy val ctStateDir: String = {
+      val st = Dedup.contaminationState(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 2)
+      st.shingles.write.mode("overwrite").parquet(s"$maintDir/ct")
+      s"$maintDir/ct"
+    }
+    lazy val ctState = Dedup.ContaminationState(
+      spark.read.parquet(ctStateDir))
 
     val maint: Seq[(String, () => Unit)] = Seq(
       "mnt_minhash_refresh" -> (() => {
@@ -289,7 +300,23 @@ object Bench {
       "mnt_zorder_scan" -> (() =>
         sink(graft.sources.ScaleOps.zorderScan(spark, zorderDir,
           Seq(("l_extendedprice", 10000.0, 30000.0),
-            ("l_quantity", 5.0, 25.0)))))
+            ("l_quantity", 5.0, 25.0))))),
+      // round-14 additions: the new heaviest paths get their tripwire in
+      // the same round they ship
+      "mnt_semdedup_append" -> (() => {
+        val st = Similarity.semDedupStateAppend(sdParquetState, embShard,
+          "vec_id", "embedding")
+        sink(st.members)
+      }),
+      "mnt_contamination" -> (() =>
+        sink(Dedup.contaminationAgainst(ctState, docsWide,
+          "doc_id", "text", n = 2))),
+      "mnt_leakage_split" -> (() => {
+        val pairs = Dedup.minhashPairs(docsWide, "doc_id", "text",
+          n = 2, threshold = 0.5)
+        sink(graft.sources.ScaleOps.leakageSafeSplit(docsWide, "doc_id",
+          pairs, Seq("train" -> 0.98, "eval" -> 0.02), salt = "bench"))
+      })
     )
 
     // optional subset selector for big-SF runs (e.g. the 180M-row baseline
@@ -331,6 +358,7 @@ object Bench {
     if (needs("mnt_semdedup")) { sdStateDir; () }
     if (needs("mnt_vindex")) { vindexDir; () }
     if (needs("mnt_zorder")) { zorderDir; () }
+    if (needs("mnt_contamination")) { ctStateDir; () }
     (selected ++ selectedCur ++ selectedMnt).foreach { case (name, fn) =>
       try fn()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
