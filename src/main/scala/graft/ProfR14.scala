@@ -132,6 +132,76 @@ object ProfR14Curation {
       noop(graft.sources.ScaleOps.leakageSafeSplit(corpus, "doc_id", pairs,
         Seq("train" -> 0.98, "eval" -> 0.02), salt = "p14"))
     }
+
+    // the r13 composed daily-ingest chain EXTENDED with the round-14
+    // eval-hygiene steps — the full curation day against nothing but
+    // persisted state: scrub → DECONTAMINATE → dedup-vs-state → budget
+    // cut → LEAKAGE-SAFE SPLIT → pack the train split. 10% shard vs 90%
+    // resident corpus, states parquet as on a lake.
+    import graft.pipeline.TextOps
+    import graft.sources.ScaleOps
+    val tok = TextOps.tokenCount(col("text"))
+    lazy val ingestSetup = {
+      val d = "/tmp/graft_prof14_ingest"
+      val resident = corpus.filter(col("doc_id") % 10 =!= 0)
+      Dedup.lineFingerprints(
+          resident.select(col("doc_id"),
+            TextOps.tokenChunkLines(col("text"), 10).as("text")),
+          "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d/linefps")
+      val mh = Dedup.minhashDedupState(resident, "doc_id", "text")
+      mh.reps.write.mode("overwrite").parquet(s"$d/reps")
+      mh.buckets.write.mode("overwrite").parquet(s"$d/buckets")
+      val budgets = resident.groupBy("lang")
+        .agg(org.apache.spark.sql.functions.sum(tok.cast("long")).as("t"))
+        .collect()
+        .map(r => r.getString(0) -> math.max(1L, (r.getLong(1) * 3) / 10))
+        .toSeq.sortBy(_._1)
+      ScaleOps.tokenBudgetState(resident, "lang", "doc_id", tok, budgets,
+          salt = "p14i")
+        .write.mode("overwrite").parquet(s"$d/tbstate")
+      state.shingles.write.mode("overwrite").parquet(s"$d/ctstate")
+      (Dedup.MinhashDedupState(
+          spark.read.parquet(s"$d/reps"),
+          spark.read.parquet(s"$d/buckets")),
+        spark.read.parquet(s"$d/linefps"),
+        ScaleOps.PreparedTokenBudgetState(spark.read.parquet(s"$d/tbstate")),
+        Dedup.ContaminationState(spark.read.parquet(s"$d/ctstate")))
+    }
+    { ingestSetup; () } // force setup outside the timed arm
+    timed("daily_ingest_r14 (scrub+decon+dedup+cut+split+pack)") {
+      val (mh, linefps, tb, ct) = ingestSetup
+      val shard = corpus.filter(col("doc_id") % 10 === 0)
+      import graft.Staging.StagedFrame
+      val scrubbed = Dedup.removeDupLinesAgainst(linefps,
+          shard.select(col("doc_id"), col("lang"),
+            TextOps.tokenChunkLines(col("text"), 10).as("text")),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("text_clean").as("text"))
+        .join(shard.select(col("doc_id"), col("lang")), "doc_id")
+        .staged // consumed by decon join + dedup flag + budget cut
+      // NEW: drop shard docs sharing > 20% of their shingles with the
+      // frozen eval suite (one broadcast probe against persisted state)
+      val clean = scrubbed.join(
+        Dedup.contaminationAgainst(ct, scrubbed, "doc_id", "text", n = 2)
+          .filter(col("contamination") <= 0.2)
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val uniq = clean.join(
+        Dedup.dedupAgainstState(mh, clean, "doc_id", "text")
+          .filter(col("dup_of").isNull).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val kept = ScaleOps.sampleToTokenBudgetAgainst(tb, uniq, "lang",
+        "doc_id", tok).staged // consumed by pairs + split
+      // NEW: leakage-safe split over the kept shard (within-shard pairs)
+      val pairs = Dedup.minhashPairs(kept, "doc_id", "text",
+        n = 2, threshold = 0.5)
+      val split = ScaleOps.leakageSafeSplit(kept, "doc_id", pairs,
+        Seq("train" -> 0.98, "eval" -> 0.02), salt = "p14i")
+      noop(TextOps.packSequences(
+        split.filter(col("split") === "train"), "doc_id", "text",
+        window = 2048, salt = "p14i"))
+    }
     spark.stop()
   }
 }
