@@ -2030,6 +2030,22 @@ class PipelineSpec extends SparkTestBase {
     assert(Dedup.contaminationAgainst(empty, shard, "doc_id", "text", n = 2)
       .filter(col("n_contaminated") > 0).count() == 0)
     assert(res(Dedup.contaminationStateMerge(merged, empty)) == res(merged))
+    // monotonicity: growing the suite never DECREASES any doc's
+    // contamination (the measure is an overlap fraction against a
+    // monotone set), and it stays in [0, 1] with n_shingles fixed
+    def byId(st: Dedup.ContaminationState) =
+      Dedup.contaminationAgainst(st, shard, "doc_id", "text", n = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    val one = byId(Dedup.contaminationState(suiteA, "doc_id", "text", n = 2))
+    val two = byId(merged)
+    assert(one.keySet == two.keySet)
+    one.foreach { case (id, (n1, c1)) =>
+      val (n2, c2) = two(id)
+      assert(n1 == n2, s"doc $id: n_shingles moved $n1 -> $n2")
+      assert(c2 >= c1, s"doc $id: contamination shrank $c1 -> $c2")
+      assert(c2 >= 0L && c2 <= n2)
+    }
   }
 
   test("semDedupStateAppend: sequential micro-batch appends == one append") {

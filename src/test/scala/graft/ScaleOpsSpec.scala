@@ -1352,6 +1352,23 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(ScaleOps.leakageSafeSplit(d, "doc_id", pairs,
         Seq("train" -> 0.5, "eval" -> 0.5)).columns.toSeq ==
       Seq("doc_id", "text", "split"))
+    // the scaladoc'd stability claim: ADDING a pair only ever moves the
+    // higher cluster's members to the lower's split — everyone keyed on
+    // an unchanged representative stays put
+    val morePairs = pairs.unionByName(
+      Seq((1L, 7L, 1.0)).toDF("id1", "id2", "jaccard"))
+    val before = ScaleOps.leakageSafeSplit(d, "doc_id", pairs,
+        Seq("train" -> 0.5, "eval" -> 0.5), salt = "stab")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = ScaleOps.leakageSafeSplit(d, "doc_id", morePairs,
+        Seq("train" -> 0.5, "eval" -> 0.5), salt = "stab")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // cluster {7,8} merged into {1,2} (rep 1 < 7): 7 and 8 now follow 1
+    assert(after(7L) == before(1L) && after(8L) == before(1L))
+    // everyone whose representative didn't change keeps their split
+    assert(Seq(1L, 2L, 3L, 4L, 5L, 6L).forall(i => after(i) == before(i)))
   }
 
   test("zorderAppend: grows the layout, scan stays exact and still prunes") {
