@@ -16,6 +16,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Plan-envelope ceiling for driver-collected cell-id lists that become
+    * plan predicates (`isInCollection` → an InSet of literals). The design
+    * keeps every such list MODEL-SIZED — ≤ k codebook cells for the
+    * SemDeDup valves, ≤ |queries|·nprobe for an index probe batch — so
+    * the ceiling is never a constraint in the stated envelope; it exists
+    * to turn a future misuse (a corpus-sized "codebook", an unbatched
+    * million-query probe) into a LOUD message instead of a
+    * driver-OOM/codegen-limit surprise deep inside Catalyst. */
+  private[graft] val MaxCellLiterals = 65536
+
+  private[graft] def requireModelSizedCells(n: Int, what: String): Unit =
+    require(n <= MaxCellLiterals,
+      s"$what has $n entries — above the $MaxCellLiterals plan-literal " +
+        "envelope (cell lists are collected to the driver and embedded " +
+        "in the plan as an InSet); use a model-sized codebook, or batch " +
+        "the queries, instead")
+
   /** Codegen'd native expression (graft.functions.DotProduct): the HOF
     * spelling `aggregate(zip_with(a,b,_*_), 0.0, _+_)` is CodegenFallback
     * and pays interpreted lambda dispatch per element in the similarity
@@ -555,6 +572,7 @@ object Similarity {
       .agg(count(lit(1)).as("__csz")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val okCells = counts.keys.filter(c => cap < 0 || counts(c) <= cap).toSeq
+    requireModelSizedCells(okCells.size, "SemDedup valve cell list")
     val members = assigned.filter(col("cell").isInCollection(okCells))
     val cdf = cents.zipWithIndex
       .map { case (v, c) => (c, v.toSeq, cap, counts.getOrElse(c, 0L)) }
@@ -582,9 +600,15 @@ object Similarity {
     * Scale shape: one narrow assignment projection on the shard, one
     * ≤ k-row count collect, and a cell-filtered union — nothing
     * corpus-sized recomputes, shuffles, or reaches the driver.
-    * PRECONDITION: ids unique within and across state and shard.
-    * Refuses a state without the (max_cell, n_members) meta (persisted
-    * by a pre-append library version): rebuild it with
+    * PRECONDITIONS: ids unique within and across state and shard; and
+    * `newEmb` must be DETERMINISTIC across re-reads (the
+    * [[semDedupStateWithCodebook]] contract restated — the shard is
+    * evaluated twice here, once for the valve-count collect and again
+    * when the lazy member union materializes, so a nondeterministic
+    * frame (unseeded sample, unsorted limit) would freeze valve counts
+    * inconsistent with the members; persist/checkpoint such a frame
+    * first). Refuses a state without the (max_cell, n_members) meta
+    * (persisted by a pre-append library version): rebuild it with
     * [[semDedupState]] once. */
   def semDedupStateAppend(
       state: SemDedupState,
@@ -622,6 +646,7 @@ object Similarity {
       c -> (r.getLong(3) + shardCounts.getOrElse(c, 0L))
     }.toMap
     val okCells = newCounts.keys.filter(c => cap < 0 || newCounts(c) <= cap).toSeq
+    requireModelSizedCells(okCells.size, "SemDedup valve cell list")
     val members =
       state.members.select(col("id"), col("cell"), col("vec"))
         .filter(col("cell").isInCollection(okCells))

@@ -75,7 +75,10 @@ object VectorIndex {
       s"no _vmanifest at $dir — the index was built by a pre-manifest " +
         "library version or a build crashed before manifesting; rebuild " +
         "with VectorIndex.build")
-    spark.read.parquet(s"$dir/_vmanifest")
+    // explicit part-file read: passing the underscore dir itself would
+    // log a benign "All paths were ignored" WARN per read (see
+    // ScaleOps.readMetaDir)
+    graft.sources.ScaleOps.readMetaDir(spark, s"$dir/_vmanifest")
       .select("file").collect().map(_.getString(0)).toSet
   }
 
@@ -213,7 +216,11 @@ object VectorIndex {
     * actually USED. `se = sqrt(s²_corpus/n_corpus + s²_shard/n_shard)`
     * (sample stddevs) is the standard error OF THE DRIFT — the reading
     * carries its own precision, so callers can pick `sampleFraction` to
-    * the precision their retrain threshold needs.
+    * the precision their retrain threshold needs. `se` needs BOTH sides
+    * at n > 1 (a sample stddev is undefined for one row); a single-row
+    * side refuses at execution like the empty case — a silently-null
+    * precision would read as "infinitely precise" to a monitor
+    * comparing `drift` against `se`.
     *
     * Scale shape: the resident side is one narrow scan of `assigned`
     * (a hash filter when sampled) joined to the BROADCAST k-row centroid
@@ -268,12 +275,25 @@ object VectorIndex {
     def guarded(c: org.apache.spark.sql.Column) =
       when(nonEmpty, c)
         .otherwise(raise_error(emptyMsg).cast("double"))
+    // the means are defined from n = 1, but stddev_samp is NULL for a
+    // single row — `se` would come back silently null while `drift` is
+    // non-null, and a monitor comparing drift against se reads a null
+    // precision as no constraint at all; refuse loudly instead
+    val seDefined = col("n_corpus") > 1 && col("n_shard") > 1
+    val seMsg = concat(
+      lit("driftCheck se is undefined for a single-row side (n_corpus="),
+      col("n_corpus"), lit(", n_shard="), col("n_shard"),
+      lit(") — a sample stddev needs n > 1; raise sampleFraction or send " +
+        "a bigger shard"))
+    def seGuarded(c: org.apache.spark.sql.Column) =
+      when(nonEmpty && seDefined, c)
+        .otherwise(raise_error(seMsg).cast("double"))
     corpusSide.crossJoin(shardSide)
       .select(col("n_corpus"), col("n_shard"),
         guarded(col("corpus_mean_cos")).as("corpus_mean_cos"),
         guarded(col("shard_mean_cos")).as("shard_mean_cos"),
         guarded(col("corpus_mean_cos") - col("shard_mean_cos")).as("drift"),
-        guarded(sqrt(
+        seGuarded(sqrt(
           col("__sd_corpus") * col("__sd_corpus") / col("n_corpus") +
           col("__sd_shard") * col("__sd_shard") / col("n_shard"))).as("se"))
   }
@@ -333,6 +353,8 @@ object VectorIndex {
     // prune directories.
     val probeCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
+    Similarity.requireModelSizedCells(probeCells.size,
+      "index probe cell list (distinct cells over |queries| x nprobe)")
     val scan = spark.read.parquet(s"$dir/assigned.parquet")
       .filter(col("cell").isInCollection(probeCells))
     val w = Window.partitionBy("query_id")

@@ -164,6 +164,28 @@ object ScaleOps {
     * LOUDLY rather than silently dropping data; recover by re-running
     * [[zorderWrite]] over a full scan. Single-writer discipline is
     * assumed, as everywhere in the layout family. */
+  /** Read a metadata directory (a `_`-prefixed name like `_zmanifest`)
+    * via its EXPLICIT part-file list: passing the directory itself to
+    * `spark.read.parquet` trips the DataSource hidden-path filter on the
+    * underscore name and logs a benign-but-noisy "All paths were
+    * ignored" WARN per read (the read still works — the filter keeps
+    * the original path when nothing survives). Listing the part files
+    * driver-side (file-count-sized, an RPC the manifest readers already
+    * pay for the data listing) hands Spark only unhidden names. */
+  private[graft] def readMetaDir(
+      spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(p).filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .sorted
+      .map(n => s"${dir.stripSuffix("/")}/$n")
+      .toIndexedSeq
+    require(files.nonEmpty, s"no data files under metadata dir $dir")
+    spark.read.parquet(files: _*)
+  }
+
   def zorderAppend(
       df: DataFrame,
       path: String,
@@ -174,7 +196,7 @@ object ScaleOps {
     require(zcols.size >= 2, "zorderAppend needs >= 2 cluster columns")
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val spark = df.sparkSession
-    val manifest = spark.read.parquet(s"$path/_zmanifest")
+    val manifest = readMetaDir(spark, s"$path/_zmanifest")
     val expectedCols = zcols.flatMap(c => Seq(s"min_$c", s"max_$c")).toSet + "file"
     require(manifest.columns.toSet == expectedCols,
       s"layout at $path is z-ordered on different columns: manifest has " +
@@ -229,7 +251,12 @@ object ScaleOps {
       // unmanifested state — only a full zorderWrite rebuild recovers
       // (re-running zorderAppend would hit its own pre-check AND
       // re-append the batch)
-      require(fs.delete(new org.apache.hadoop.fs.Path(dir, n), false),
+      val p = new org.apache.hadoop.fs.Path(dir, n)
+      // FileSystem.delete returns false BOTH on genuine failure and when
+      // the path is already absent — absence is success here (the goal
+      // state is "file gone"), so only a file that still exists after a
+      // failed delete should brick the append
+      require(fs.delete(p, false) || !fs.exists(p),
         s"could not remove zero-row part file $n — the appended batch is " +
           "unmanifested; rerun zorderWrite over the full data to rebuild")
     }
@@ -265,7 +292,7 @@ object ScaleOps {
       bounds: Seq[(String, Double, Double)]
   ): DataFrame = {
     require(bounds.nonEmpty, "zorderScan needs at least one bound")
-    val manifest = spark.read.parquet(s"$path/_zmanifest")
+    val manifest = readMetaDir(spark, s"$path/_zmanifest")
     val manifestNames = manifest.select("file").collect()
       .map(_.getString(0)).toSet
     val dir = new org.apache.hadoop.fs.Path(path)
