@@ -276,6 +276,19 @@ object Bench {
     }
     lazy val ctState = Dedup.ContaminationState(
       spark.read.parquet(ctStateDir))
+    // frozen duplicate-cluster state (the mnt_leakage_split pair list,
+    // CC'd once in setup) — the against-state arm prices what a daily
+    // split ACTUALLY costs at steady state: one corpus join + the hash
+    // projection, no pair production, no CC
+    lazy val dcStateDir: String = {
+      val pairs = Dedup.minhashPairs(docsWide, "doc_id", "text",
+        n = 2, threshold = 0.5)
+      Dedup.dupClusterState(pairs).clusters
+        .write.mode("overwrite").parquet(s"$maintDir/dc")
+      s"$maintDir/dc"
+    }
+    lazy val dcState = Dedup.DupClusterState(
+      spark.read.parquet(dcStateDir))
 
     val maint: Seq[(String, () => Unit)] = Seq(
       "mnt_minhash_refresh" -> (() => {
@@ -316,7 +329,15 @@ object Bench {
           n = 2, threshold = 0.5)
         sink(graft.sources.ScaleOps.leakageSafeSplit(docsWide, "doc_id",
           pairs, Seq("train" -> 0.98, "eval" -> 0.02), salt = "bench"))
-      })
+      }),
+      // round-15 addition: the same split from the FROZEN cluster state
+      // (parquet, built once in setup) — the steady-state ingest path;
+      // the gap vs mnt_leakage_split is the per-call pairs+CC cost the
+      // state amortizes
+      "mnt_leakage_split_state" -> (() =>
+        sink(graft.sources.ScaleOps.leakageSafeSplitAgainst(dcState,
+          docsWide, "doc_id", Seq("train" -> 0.98, "eval" -> 0.02),
+          salt = "bench")))
     )
 
     // optional subset selector for big-SF runs (e.g. the 180M-row baseline
@@ -359,6 +380,7 @@ object Bench {
     if (needs("mnt_vindex")) { vindexDir; () }
     if (needs("mnt_zorder")) { zorderDir; () }
     if (needs("mnt_contamination")) { ctStateDir; () }
+    if (needs("mnt_leakage_split_state")) { dcStateDir; () }
     (selected ++ selectedCur ++ selectedMnt).foreach { case (name, fn) =>
       try fn()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }

@@ -1556,6 +1556,41 @@ object OracleSql {
          |FROM keyed
          |ORDER BY id""".stripMargin,
 
+    // leakage split against a merged frozen cluster state: pairs produced
+    // within each PARITY subcorpus only (state = even-pairs CC, merge folds
+    // in the odd pairs), so the oracle's candidate join is parity-equal —
+    // CC then runs over the union pair list, split keyed on the component
+    // minimum (merged ≡ rebuilt is the engine-side guarantee under test)
+    "q265_leakage_split_merged_state" ->
+      s"""WITH $ShingleSets,
+         |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+         |common AS (SELECT a.id id1, b.id id2, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |    AND a.id % 2 = b.id % 2
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id1, id2 FROM common
+         |  JOIN sizes s1 ON common.id1 = s1.id
+         |  JOIN sizes s2 ON common.id2 = s2.id
+         |  WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.4),
+         |edges AS (SELECT id1 a, id2 b FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |comp AS (
+         |  WITH RECURSIVE reach(id, label) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+         |  )
+         |  SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+         |keyed AS (SELECT d.doc_id,
+         |    coalesce(c.cluster, d.doc_id) AS k
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id AS id,
+         |  CASE WHEN ${hash32("'q265' || k::VARCHAR")} / 4294967296.0 < 0.8
+         |    THEN 'train' ELSE 'eval' END AS split
+         |FROM keyed
+         |ORDER BY id""".stripMargin,
+
     "q71_repetition" ->
       s"""WITH t AS (SELECT doc_id AS id, ${toks("text")} AS t FROM documents),
          |tok AS (SELECT id, unnest(t) AS tok FROM t),

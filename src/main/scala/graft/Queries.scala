@@ -1671,6 +1671,27 @@ object Queries {
         .orderBy("id")
     }),
 
+    // sampling: leakage-safe split against a MERGED frozen cluster state —
+    // the daily-ingest form: CC freezes once per pair batch (state =
+    // dup-sized (id, cluster) map), new pair discoveries fold in with the
+    // monotone min-rep merge, and the split is one corpus join + the hash
+    // projection, no per-call CC. Pairs here come from the two parity
+    // subcorpora (the oracle-able partial-pair shape: merged CC over two
+    // partial lists differs from CC over either alone)
+    "q265_leakage_split_merged_state" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val st = Dedup.dupClusterStateMerge(
+        Dedup.dupClusterState(
+          Dedup.jaccardPairs(d.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", n = 2, threshold = 0.4)),
+        Dedup.jaccardPairs(d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", n = 2, threshold = 0.4))
+      graft.sources.ScaleOps.leakageSafeSplitAgainst(st, d, "doc_id",
+          Seq("train" -> 0.8, "eval" -> 0.2), salt = "q265")
+        .select(col("doc_id").as("id"), col("split"))
+        .orderBy("id")
+    }),
+
     // sampling: UniMax allocation from MERGED shard inventories — token
     // sums are additive, so two shard states re-sum into the union state
     // (the monotone daily refresh); allocation must equal the live frame's

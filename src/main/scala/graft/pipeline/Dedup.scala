@@ -425,6 +425,57 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Frozen duplicate-cluster state — the persisted
+    * [[duplicateClusters]] output (one (id, cluster) row per document
+    * that appears in a near-duplicate pair; cluster = the component's
+    * minimum id, the representative). The leakage-safe-split member of
+    * the frozen-state family (README state matrix): CC over the pair
+    * list is the expensive step of
+    * [[graft.sources.ScaleOps.leakageSafeSplit]] (pair production + the
+    * iterative pointer-jumping joins), and the cluster map it yields is
+    * dup-sized, not corpus-sized — freeze it once, split any frame
+    * against it with [[graft.sources.ScaleOps.leakageSafeSplitAgainst]],
+    * and fold new pair discoveries in with [[dupClusterStateMerge]]
+    * instead of re-running pairs+CC per split. Persist `clusters` as
+    * plain parquet (bucket by `id` if the downstream split join can't
+    * broadcast it). */
+  final case class DupClusterState(clusters: DataFrame)
+
+  /** Build [[DupClusterState]]: one [[duplicateClusters]] run over the
+    * pair list (same contract — pairs from ANY producer at the leakage
+    * threshold you care about). */
+  def dupClusterState(pairs: DataFrame): DupClusterState =
+    DupClusterState(duplicateClusters(pairs))
+
+  /** Fold NEW near-duplicate pairs into a [[DupClusterState]] — the
+    * monotone min-rep union: the state's own (id, cluster) rows are
+    * edges that preserve every old component's connectivity AND its
+    * full node set (each non-representative row carries the member,
+    * each representative appears as some row's cluster), so CC over
+    * (state rows ∪ new pairs) has exactly the components — and, the
+    * representative being the component MINIMUM id, exactly the labels
+    * — of CC over (old pairs ∪ new pairs). Spec-pinned: merged ≡
+    * rebuilt, and sequential merges ≡ one merge. New pairs can only
+    * join clusters (never split them — edges are monotone), which is
+    * what makes the split stability guarantee composable: a merge only
+    * ever moves the HIGHER merged cluster's members to the lower's
+    * split, never re-deals untouched keys.
+    *
+    * Scale shape: the CC re-run is over (state + new-pair)-sized edges
+    * — dup-sized, never corpus-sized; nothing here touches a corpus. */
+  def dupClusterStateMerge(
+      state: DupClusterState,
+      newPairs: DataFrame
+  ): DupClusterState = {
+    require(Seq("id", "cluster").forall(state.clusters.columns.contains),
+      s"state must carry (id, cluster), got ${state.clusters.columns.toSeq}")
+    val stateEdges = state.clusters
+      .filter(col("id") =!= col("cluster")) // self-loops add nothing
+      .select(col("id").as("id1"), col("cluster").as("id2"))
+    DupClusterState(duplicateClusters(
+      stateEdges.unionByName(newPairs.select(col("id1"), col("id2")))))
+  }
+
   /** Incremental dedup: flag every NEW document that exactly or nearly
     * duplicates the EXISTING corpus — the daily-ingest shape (dedup the
     * shard against what's already in the lake), distinct from within-

@@ -470,10 +470,41 @@ object ScaleOps {
       weights: Seq[(String, Double)],
       salt: String = "",
       splitCol: String = "split"
+  ): DataFrame =
+    leakageSafeSplitAgainst(
+      graft.pipeline.Dedup.dupClusterState(pairs),
+      df, idCol, weights, salt, splitCol)
+
+  /** [[leakageSafeSplit]] against a FROZEN
+    * [[graft.pipeline.Dedup.DupClusterState]] — the steady-state ingest
+    * form: the convenience wrapper above re-runs pair CC per call, but
+    * the cluster map is a pure function of the pair list, so freeze it
+    * once ([[graft.pipeline.Dedup.dupClusterState]], persisted as plain
+    * parquet), split any frame against it here, and fold new pair
+    * discoveries in with
+    * [[graft.pipeline.Dedup.dupClusterStateMerge]]. Identical result to
+    * the wrapper under the same pairs (spec-pinned — this IS its
+    * implementation tail), and the [[hashSplit]] guarantees compose:
+    * deterministic, layout-independent, adding corpus rows never moves
+    * existing ones, and merging new pairs only ever moves the higher
+    * merged cluster's members into the lower's split.
+    *
+    * Scale shape: ONE left equi-join of the corpus to the dup-sized
+    * cluster map (broadcast-able when dups are sparse; AQE picks it up,
+    * or bucket the persisted state by `id`) + the narrow hash-split
+    * projection — no CC joins, no pair production, nothing iterative. */
+  def leakageSafeSplitAgainst(
+      state: graft.pipeline.Dedup.DupClusterState,
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[(String, Double)],
+      salt: String = "",
+      splitCol: String = "split"
   ): DataFrame = {
-    val clusters = graft.pipeline.Dedup.duplicateClusters(pairs)
-      .withColumnRenamed("id", "__lsid")
-      .withColumnRenamed("cluster", "__lscluster")
+    require(Seq("id", "cluster").forall(state.clusters.columns.contains),
+      s"state must carry (id, cluster), got ${state.clusters.columns.toSeq}")
+    val clusters = state.clusters
+      .select(col("id").as("__lsid"), col("cluster").as("__lscluster"))
     val keyed = df
       .join(clusters, col(idCol) === col("__lsid"), "left")
       .withColumn("__lskey", coalesce(col("__lscluster"), col(idCol)))

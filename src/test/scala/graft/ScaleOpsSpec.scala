@@ -1371,6 +1371,79 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(Seq(1L, 2L, 3L, 4L, 5L, 6L).forall(i => after(i) == before(i)))
   }
 
+  test("dupClusterState: merged == rebuilt, merges compose, split against " +
+      "the frozen state == the wrapper") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    def pdf(ps: (Long, Long)*) = ps.toSeq.toDF("id1", "id2")
+    def cmap(st: Dedup.DupClusterState) = st.clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pairsB both bridges two pairsA clusters ((2,7) joins {1,2} with
+    // {7,8}) and opens a new one ({5,6})
+    val pairsA = pdf(1L -> 2L, 3L -> 4L, 7L -> 8L)
+    val pairsB = pdf(2L -> 7L, 5L -> 6L)
+    val merged = Dedup.dupClusterStateMerge(
+      Dedup.dupClusterState(pairsA), pairsB)
+    val rebuilt = Dedup.dupClusterState(pairsA.unionByName(pairsB))
+    assert(cmap(merged) == cmap(rebuilt))
+    assert(cmap(merged) == Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 8L -> 1L,
+      3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L))
+    // sequential micro-merges == one rebuild over the union
+    val pairsC = pdf(4L -> 9L)
+    val seq2 = Dedup.dupClusterStateMerge(merged, pairsC)
+    val rebuilt3 = Dedup.dupClusterState(
+      pairsA.unionByName(pairsB).unionByName(pairsC))
+    assert(cmap(seq2) == cmap(rebuilt3))
+    // the against form == the wrapper under the same pairs, through a
+    // parquet roundtrip (the persisted-lake-state shape)
+    val d = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val stDir = Files.createTempDirectory("graft_dcs").toString
+    merged.clusters.write.mode("overwrite").parquet(stDir)
+    val loaded = Dedup.DupClusterState(spark.read.parquet(stDir))
+    for (salt <- Seq("", "x", "y")) {
+      val viaState = ScaleOps.leakageSafeSplitAgainst(loaded, d, "doc_id",
+          Seq("train" -> 0.7, "eval" -> 0.3), salt = salt)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val viaPairs = ScaleOps.leakageSafeSplit(d, "doc_id",
+          pairsA.unionByName(pairsB), Seq("train" -> 0.7, "eval" -> 0.3),
+          salt = salt)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(viaState == viaPairs, s"salt=$salt")
+      // never straddle, via the frozen state
+      assert(viaState(2L) == viaState(1L) && viaState(7L) == viaState(1L)
+        && viaState(8L) == viaState(1L) && viaState(4L) == viaState(3L)
+        && viaState(6L) == viaState(5L), s"salt=$salt")
+    }
+    // merge stability: keys whose representative survived the merge
+    // keep their split; the bridged cluster's members follow the lower rep
+    val before = ScaleOps.leakageSafeSplitAgainst(
+        Dedup.dupClusterState(pairsA), d, "doc_id",
+        Seq("train" -> 0.5, "eval" -> 0.5), salt = "stab")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = ScaleOps.leakageSafeSplitAgainst(merged, d, "doc_id",
+        Seq("train" -> 0.5, "eval" -> 0.5), salt = "stab")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(7L) == before(1L) && after(8L) == before(1L))
+    // 5/6 gained a cluster keyed on rep 5 — 5 itself stays (it was its
+    // own key), 6 follows it; every other unchanged-rep key stays put
+    assert(Seq(1L, 2L, 3L, 4L, 5L, 9L, 10L, 11L, 12L)
+      .forall(i => after(i) == before(i)))
+    assert(after(6L) == after(5L))
+    // malformed states refuse by name in both consumers
+    val bad = Dedup.DupClusterState(Seq((1L, 1L)).toDF("id", "rep"))
+    assert(intercept[IllegalArgumentException] {
+      ScaleOps.leakageSafeSplitAgainst(bad, d, "doc_id",
+        Seq("train" -> 1.0))
+    }.getMessage.contains("cluster"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.dupClusterStateMerge(bad, pairsA)
+    }.getMessage.contains("cluster"))
+  }
+
   test("zorderAppend: grows the layout, scan stays exact and still prunes") {
     val li = sf("sf0.001", "lineitem")
       .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
