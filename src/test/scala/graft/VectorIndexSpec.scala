@@ -290,4 +290,69 @@ class VectorIndexSpec extends SparkTestBase {
       corpus.unionByName(shard), "vec_id", "embedding", cb)
     assert(memberSet(grown) == memberSet(rebuilt))
   }
+
+  test("handle: check once serve many — one listing for N queries, " +
+      "bit-identical to the one-shot API, revalidate picks up appends") {
+    val dir = java.nio.file.Files.createTempDirectory("vindex-handle").toString
+    VectorIndex.build(embs, "vec_id", "embedding", dir, k = 8, iters = 1)
+    val queries = embs.filter(col("vec_id") < 5)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))
+    // one-shot API: every call pays a fresh manifest listing
+    VectorIndex.listingCount.set(0L)
+    val oneShot = (1 to 3).map(_ =>
+      VectorIndex.topK(spark, dir, queries, "vec_id", "embedding",
+        k = 10, nprobe = 3).collect().map(key).toMap)
+    assert(VectorIndex.listingCount.get == 3L,
+      s"one-shot listings: ${VectorIndex.listingCount.get}")
+    assert(oneShot.forall(_ == oneShot.head))
+    // handle: ONE listing at open; queries, drift, and freeze add none
+    VectorIndex.listingCount.set(0L)
+    val h = VectorIndex.open(spark, dir)
+    val viaHandle = (1 to 3).map(_ =>
+      h.topK(queries, "vec_id", "embedding", k = 10, nprobe = 3)
+        .collect().map(key).toMap)
+    h.driftCheck(embs.filter(col("vec_id") % 7 === 0), "vec_id",
+      "embedding").collect()
+    h.freezeSemDedupState().members.count()
+    assert(VectorIndex.listingCount.get == 1L,
+      s"handle listings: ${VectorIndex.listingCount.get}")
+    assert(viaHandle.forall(_ == oneShot.head), "handle != one-shot")
+    // drift + freeze match their one-shot twins over the same files
+    val hd = h.driftCheck(embs.filter(col("vec_id") % 7 === 0), "vec_id",
+      "embedding").collect()(0)
+    val od = VectorIndex.driftCheck(spark, dir,
+      embs.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
+      .collect()(0)
+    assert(hd == od)
+    def memberSet(st: Similarity.SemDedupState) =
+      st.members.select("id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(memberSet(h.freezeSemDedupState()) ==
+      memberSet(VectorIndex.freezeSemDedupState(spark, dir)))
+    // append AFTER open: the handle serves the files it VALIDATED (the
+    // documented pin — never torn, possibly stale) until revalidate()
+    val shard = embs.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    VectorIndex.append(shard, "vec_id", "embedding", dir)
+    val pinned = h.topK(queries, "vec_id", "embedding", k = 10, nprobe = 3)
+      .collect().map(key).toMap
+    assert(pinned == oneShot.head, "handle should still serve the pinned files")
+    h.revalidate()
+    val afterRe = h.topK(queries, "vec_id", "embedding", k = 10, nprobe = 3)
+      .collect().map(key).toMap
+    val oneShotAfter = VectorIndex.topK(spark, dir, queries,
+      "vec_id", "embedding", k = 10, nprobe = 3).collect().map(key).toMap
+    assert(afterRe == oneShotAfter, "revalidated handle != one-shot")
+    assert(afterRe != oneShot.head,
+      "append should change the top-10 (exact duplicates landed)")
+    // a violated layout refuses at revalidate exactly like every reader
+    val assignedDir = new java.io.File(s"$dir/assigned.parquet")
+    val cellDir = assignedDir.listFiles().filter(_.isDirectory).head
+    val orphan = new java.io.File(cellDir, "part-orphan.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val e = intercept[IllegalArgumentException] { h.revalidate() }
+    assert(e.getMessage.contains("write-once"))
+    orphan.delete()
+  }
 }
