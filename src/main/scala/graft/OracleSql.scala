@@ -1524,6 +1524,56 @@ object OracleSql {
          |FROM h
          |ORDER BY id""".stripMargin,
 
+    // per-suite contamination attribution: each suite keeps its own
+    // distinct shingle sliver (a shared shingle counts once PER SUITE);
+    // one row per (doc, suite) pair with >= 1 hit
+    "q266_contamination_by_suite" ->
+      s"""WITH $ShingleSets,
+         |bsh AS (
+         |  SELECT shingle, 's37' AS suite_id FROM
+         |    (SELECT DISTINCT shingle FROM sh WHERE id % 37 = 0)
+         |  UNION ALL
+         |  SELECT shingle, 's41' AS suite_id FROM
+         |    (SELECT DISTINCT shingle FROM sh WHERE id % 41 = 0)),
+         |ssh AS (SELECT id, shingle FROM sh WHERE id % 5 = 1),
+         |tot AS (SELECT id, count(*) AS n_shingles FROM ssh GROUP BY id),
+         |hits AS (SELECT s.id, b.suite_id, count(*) AS n_contaminated
+         |         FROM ssh s JOIN bsh b ON s.shingle = b.shingle
+         |         GROUP BY 1, 2)
+         |SELECT h.id, h.suite_id, t.n_shingles, h.n_contaminated,
+         |  h.n_contaminated::DOUBLE / t.n_shingles AS contamination
+         |FROM hits h JOIN tot t ON h.id = t.id
+         |ORDER BY h.id, h.suite_id""".stripMargin,
+
+    // decontamination scrub: EVERY 5-token window of a shard doc whose
+    // space-joined shingle appears anywhere in the suite is masked (no
+    // first-occurrence survivor — suite text must not survive at all),
+    // text rebuilt from the unmasked positions (the q233 rebuild algebra)
+    "q267_decontaminate_scrub" ->
+      s"""WITH fresh AS (SELECT doc_id AS id, ${toks("text")} AS toks
+         |  FROM documents WHERE doc_id % 5 = 1),
+         |st AS (SELECT ${toks("text")} AS toks FROM documents
+         |  WHERE doc_id % 37 = 0),
+         |sw0 AS (SELECT unnest(range(1, len(toks) - 3)) AS i, toks FROM st),
+         |sw AS (SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS s
+         |  FROM sw0),
+         |w0 AS (SELECT id, unnest(range(1, len(toks) - 3)) AS i FROM fresh),
+         |w AS (SELECT w0.id, (i - 1)::BIGINT AS pos,
+         |    array_to_string(f.toks[i:i+4], ' ') AS s
+         |  FROM w0 JOIN fresh f USING (id)),
+         |m AS (SELECT w.id, w.pos FROM w JOIN sw USING (s)),
+         |mp AS (SELECT id, unnest(range(pos, pos + 5)) AS p FROM m),
+         |mk AS (SELECT id, list(DISTINCT p) AS mask FROM mp GROUP BY id),
+         |f AS (SELECT t.id, t.toks,
+         |    list_filter(range(1, len(t.toks) + 1),
+         |      i -> mk.mask IS NULL OR NOT list_contains(mk.mask, i - 1)) AS kept
+         |  FROM fresh t LEFT JOIN mk ON t.id = mk.id)
+         |SELECT id, len(toks)::BIGINT AS n_tokens,
+         |  (len(toks) - len(kept))::BIGINT AS n_removed,
+         |  coalesce(array_to_string(list_transform(kept, i -> toks[i]), ' '),
+         |    '') AS text_clean
+         |FROM f ORDER BY id""".stripMargin,
+
     // leakage-safe split: q43's transitive-cluster algebra at the 0.4
     // Jaccard threshold, then the md5 hash split keyed on the cluster
     // representative (singletons key on their own id)

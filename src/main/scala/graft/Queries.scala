@@ -1649,11 +1649,45 @@ object Queries {
       val d = docs(s, dir)
       val st = Dedup.contaminationStateMerge(
         Dedup.contaminationState(
-          d.filter(col("doc_id") % 37 === 0), "doc_id", "text", n = 2),
+          d.filter(col("doc_id") % 37 === 0), "doc_id", "text", n = 2,
+          suite = "s37"),
         Dedup.contaminationState(
-          d.filter(col("doc_id") % 41 === 0), "doc_id", "text", n = 2))
+          d.filter(col("doc_id") % 41 === 0), "doc_id", "text", n = 2,
+          suite = "s41"))
       Dedup.contaminationAgainst(st, d.filter(col("doc_id") % 5 === 1),
           "doc_id", "text", n = 2)
+        .orderBy("id")
+    }),
+
+    // dedup: per-SUITE contamination attribution — the merged two-suite
+    // state answers WHICH benchmark leaked into each doc (one row per
+    // (doc, suite) with >= 1 shared shingle); the aggregate q263 measure
+    // is the any-suite view of the same state
+    "q266_contamination_by_suite" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val st = Dedup.contaminationStateMerge(
+        Dedup.contaminationState(
+          d.filter(col("doc_id") % 37 === 0), "doc_id", "text", n = 2,
+          suite = "s37"),
+        Dedup.contaminationState(
+          d.filter(col("doc_id") % 41 === 0), "doc_id", "text", n = 2,
+          suite = "s41"))
+      Dedup.contaminationBySuite(st, d.filter(col("doc_id") % 5 === 1),
+          "doc_id", "text", n = 2)
+        .orderBy("id", "suite_id")
+    }),
+
+    // dedup: decontamination SCRUB — contaminated 5-token spans (any
+    // window appearing anywhere in the eval suite) are REMOVED from the
+    // shard docs, every occurrence, and the text rebuilt — the Lee et al.
+    // action step for docs worth keeping rather than dropping
+    "q267_decontaminate_scrub" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val st = Dedup.contaminationState(
+        d.filter(col("doc_id") % 37 === 0), "doc_id", "text", n = 5,
+        suite = "s37")
+      Dedup.decontaminate(st, d.filter(col("doc_id") % 5 === 1),
+          "doc_id", "text")
         .orderBy("id")
     }),
 

@@ -834,11 +834,13 @@ object Dedup {
     * matrix): the eval suite's DISTINCT shingle set, with the shingle
     * width frozen in (`shingle_n` — a mismatched apply width would
     * otherwise SILENTLY report zero contamination, the
-    * [[dedupAgainstState]] trap class). Benchmark suites are tiny next
-    * to a training corpus, so the state is sliver-sized and broadcast at
-    * apply; persist as plain parquet and fold new eval suites in with
-    * [[contaminationStateMerge]] (the shingle set is monotone — the
-    * span/line fingerprint refresh rule). */
+    * [[dedupAgainstState]] trap class) and per-suite provenance
+    * (`suite_id` — a merged multi-suite state can answer WHICH benchmark
+    * leaked via [[contaminationBySuite]], not just whether one did).
+    * Benchmark suites are tiny next to a training corpus, so the state
+    * is sliver-sized and broadcast at apply; persist as plain parquet
+    * and fold new eval suites in with [[contaminationStateMerge]] (the
+    * shingle set is monotone — the span/line fingerprint refresh rule). */
   final case class ContaminationState(shingles: DataFrame) {
     /** Width frozen into the state; None ⇔ empty benchmark (nothing can
       * be contaminated — apply reports 0 everywhere, which is correct). */
@@ -847,22 +849,31 @@ object Dedup {
   }
 
   /** Build [[ContaminationState]]: one distinct over the benchmark's
-    * n-gram shingles. */
+    * n-gram shingles, stamped with the suite's name (`suite` — keep it
+    * stable across rebuilds; it is the attribution key
+    * [[contaminationBySuite]] reports). */
   def contaminationState(
       benchmark: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int = 2
+      n: Int = 2,
+      suite: String = "suite"
   ): ContaminationState =
     ContaminationState(
       shingleSets(benchmark, idCol, textCol, n)
         .select(col("shingle")).distinct()
-        .withColumn("shingle_n", lit(n)))
+        .withColumn("shingle_n", lit(n))
+        .withColumn("suite_id", lit(suite)))
 
   /** Fold a new eval suite into a [[ContaminationState]]: the shingle
     * set is monotone, so the union state is one distinct over the two
-    * slivers. Refuses mismatched frozen widths (2-gram and 3-gram sets
-    * measure different things; an empty side adopts the other's width). */
+    * slivers — per (shingle, suite_id), so a shingle two suites share
+    * keeps BOTH provenance rows (each ≤ suite-sized; the aggregate
+    * apply re-distincts on the shingle alone and is unaffected).
+    * Refuses mismatched frozen widths (2-gram and 3-gram sets measure
+    * different things; an empty side adopts the other's width) and
+    * states persisted before the provenance column (rebuild once with
+    * [[contaminationState]] — suites are sliver-sized). */
   def contaminationStateMerge(
       a: ContaminationState,
       b: ContaminationState
@@ -873,8 +884,15 @@ object Dedup {
           s"shingle widths ($x vs $y) — rebuild one at the other's width")
       case _ => ()
     }
+    Seq(a, b).foreach { st =>
+      require(st.shingles.columns.contains("suite_id"),
+        "state carries no suite_id provenance (persisted by a pre-" +
+          "provenance library version) — rebuild it with " +
+          s"contaminationState; got ${st.shingles.columns.toSeq}")
+    }
     ContaminationState(
-      a.shingles.unionByName(b.shingles).select("shingle", "shingle_n")
+      a.shingles.unionByName(b.shingles)
+        .select("shingle", "shingle_n", "suite_id")
         .distinct())
   }
 
@@ -921,6 +939,108 @@ object Dedup {
       .withColumn(
         "contamination",
         col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** Per-SUITE contamination attribution — the answer to "WHICH
+    * benchmark leaked": for every (corpus doc, suite) pair with at least
+    * one shared shingle, the fraction of the doc's distinct n-gram
+    * shingles appearing in THAT suite. The state must carry `suite_id`
+    * provenance ([[contaminationState]] stamps it; merged states keep
+    * per-suite rows) — a pre-provenance state refuses loudly. Pick a
+    * per-doc "worst suite" downstream with a max/row_number over
+    * `contamination`; [[contaminationAgainst]] remains the aggregate
+    * (any-suite) measure and is NOT the per-suite sum (a shingle shared
+    * by two suites counts once there, once per suite here).
+    *
+    * Scale shape: identical to the aggregate apply — the (shingle,
+    * suite) sliver broadcasts, shard shingles stream through a map-side
+    * probe (inner join: only hits survive to the shuffle), and two
+    * doc-keyed aggregates (total + per-suite hits) meet in one id-keyed
+    * join. Only suites a doc actually touches produce rows, so the
+    * output is hits-sized, not |docs|·|suites|. */
+  def contaminationBySuite(
+      state: ContaminationState,
+      shard: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      broadcastState: Boolean = true
+  ): DataFrame = {
+    require(Seq("shingle", "shingle_n", "suite_id")
+        .forall(state.shingles.columns.contains),
+      "state must carry (shingle, shingle_n, suite_id) — a pre-provenance " +
+        "state has no suite attribution; rebuild it with " +
+        s"contaminationState. Got ${state.shingles.columns.toSeq}")
+    state.shingleN.foreach { sn =>
+      require(sn == n,
+        s"state was built with n = $sn, apply called with n = $n")
+    }
+    val cs = shingleSets(shard, idCol, textCol, n).staged
+    // defensive re-distinct per (shingle, suite): a hand-unioned state
+    // could carry duplicate rows that would double-count that suite's hits
+    val bs0 = state.shingles.select(col("shingle"), col("suite_id")).distinct()
+    val bs = if (broadcastState) broadcast(bs0) else bs0
+    val totals = cs.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val hits = cs.join(bs, Seq("shingle"))
+      .groupBy("id", "suite_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+    hits.join(totals, Seq("id"))
+      .select(col("id"), col("suite_id"), col("n_shingles"),
+        col("n_contaminated"),
+        (col("n_contaminated").cast("double") /
+          col("n_shingles").cast("double")).as("contamination"))
+  }
+
+  /** Decontamination SCRUB — the action step that completes the Lee et
+    * al. pipeline for docs worth keeping: instead of flagging/dropping a
+    * contaminated document ([[contaminationAgainst]] + a threshold),
+    * remove the contaminated SPANS themselves. Every `state.shingleN`
+    * -token window of a shard document whose shingle appears anywhere in
+    * the frozen eval-suite state is masked (EVERY occurrence — suite
+    * text must not survive at all, the [[removeDupLines]]
+    * `keepFirst = false` boilerplate rule, not the span family's
+    * first-occurrence rule), and the cleaned text is rebuilt from the
+    * unmasked tokens exactly as in [[removeDupSpans]] (same shared
+    * tail): (id, n_tokens, n_removed, text_clean) in [[TextOps.tokens]]
+    * normalization. Flag/scrub consistency is spec-pinned: a doc has
+    * `n_removed > 0` here iff [[contaminationAgainst]] reports
+    * `n_contaminated > 0` (a distinct shingle is in the suite iff some
+    * window occurrence of it is). An EMPTY state scrubs nothing (docs
+    * pass through in output shape, `n_removed = 0`), matching the
+    * aggregate form's "empty suite ⇒ zero contamination".
+    *
+    * Scale shape: the suite sliver broadcasts and the shard's window
+    * explode streams through a map-side LEFT SEMI probe — no corpus-side
+    * shuffle at all before the (id)-keyed mask aggregate; the rebuild is
+    * the one `array_except` hash-set projection. Note the scrub matches
+    * on the RAW shingle strings the state already stores (no md5 —
+    * the state is the fingerprint), so one persisted state serves flag,
+    * attribution, and scrub. */
+  def decontaminate(
+      state: ContaminationState,
+      shard: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val t = shard
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+    state.shingleN match {
+      case None => // empty suite: nothing to scrub, output shape kept
+        t.select(col("id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          lit(0L).as("n_removed"),
+          concat_ws(" ", col("toks")).as("text_clean"))
+      case Some(width) =>
+        val wins = t
+          .select(col("id"),
+            posexplode(TextOps.wordShingles(col("toks"), width))
+              .as(Seq("pos", "win")))
+          .select(col("id"), col("pos").cast("long").as("pos"), col("win"))
+        val bs = broadcast(
+          state.shingles.select(col("shingle").as("win")).distinct())
+        val masked = wins.join(bs, Seq("win"), "left_semi")
+        rebuildFromMasked(t, masked, width)
+    }
   }
 
   /** Corpus snapshot diff: classify every document id across two corpus

@@ -2048,6 +2048,117 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("contamination provenance: per-suite attribution == per-state union, " +
+      "aggregate bounds, legacy states refuse") {
+    val d = docs
+    val suiteA = d.filter(col("doc_id") % 37 === 0)
+    val suiteB = d.filter(col("doc_id") % 41 === 0)
+    val shard = d.filter(col("doc_id") % 5 === 1)
+    val stA = Dedup.contaminationState(suiteA, "doc_id", "text", n = 2,
+      suite = "sA")
+    val stB = Dedup.contaminationState(suiteB, "doc_id", "text", n = 2,
+      suite = "sB")
+    val merged = Dedup.contaminationStateMerge(stA, stB)
+    def bySuite(st: Dedup.ContaminationState) =
+      Dedup.contaminationBySuite(st, shard, "doc_id", "text", n = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+    // merged attribution == the union of the single-suite attributions
+    // (suites are independent slivers; merging adds rows, never mixes them)
+    val m = bySuite(merged)
+    assert(m == bySuite(stA) ++ bySuite(stB) && m.nonEmpty)
+    assert(m.keys.exists(_._2 == "sA") && m.keys.exists(_._2 == "sB"),
+      "fixture degenerate: a suite never attributes")
+    // aggregate (any-suite) vs per-suite: for every contaminated doc,
+    // max-per-suite <= any-suite count <= sum-over-suites (a shingle in
+    // both suites counts once in the aggregate, once per suite here)
+    val agg = Dedup.contaminationAgainst(merged, shard, "doc_id", "text",
+        n = 2)
+      .filter(col("n_contaminated") > 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val perDoc = m.toSeq.groupBy(_._1._1)
+      .map { case (id, rows) => id -> rows.map(_._2._2) }
+    assert(agg.keySet == perDoc.keySet)
+    perDoc.foreach { case (id, counts) =>
+      assert(agg(id) <= counts.sum && agg(id) >= counts.max, s"doc $id")
+    }
+    // parquet roundtrip keeps provenance
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctprov").toString
+    merged.shingles.write.mode("overwrite").parquet(s"$dir/sh")
+    assert(bySuite(Dedup.ContaminationState(
+      spark.read.parquet(s"$dir/sh"))) == m)
+    // a pre-provenance state refuses in the attribution + merge paths by
+    // name, and still serves the aggregate measure (the migration note)
+    val legacy = Dedup.ContaminationState(
+      merged.shingles.select("shingle", "shingle_n").distinct())
+    assert(intercept[IllegalArgumentException] {
+      Dedup.contaminationBySuite(legacy, shard, "doc_id", "text", n = 2)
+    }.getMessage.contains("suite"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.contaminationStateMerge(legacy, stA)
+    }.getMessage.contains("suite"))
+    val aggLegacy = Dedup.contaminationAgainst(legacy, shard, "doc_id",
+        "text", n = 2)
+      .filter(col("n_contaminated") > 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(aggLegacy == agg)
+    // width refusal covers the attribution path too
+    assert(intercept[IllegalArgumentException] {
+      Dedup.contaminationBySuite(merged, shard, "doc_id", "text", n = 3)
+    }.getMessage.contains("built with n = 2"))
+  }
+
+  test("decontaminate: every suite-span occurrence scrubbed, flag/scrub " +
+      "consistent, empty state passthrough") {
+    import spark.implicits._
+    val suite = Seq((100L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val st5 = Dedup.contaminationState(suite, "doc_id", "text", n = 5,
+      suite = "s")
+    val shard = Seq(
+      // the suite 5-gram twice: BOTH occurrences scrubbed (no survivor)
+      (1L, "xx aa bb cc dd ee yy aa bb cc dd ee"),
+      (2L, "xx yy zz"), // no overlap: untouched
+      (3L, "aa bb cc dd") // shorter than the width: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(st5, shard, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((12L, 10L, "xx yy")))
+    assert(out(2L) == ((3L, 0L, "xx yy zz")))
+    assert(out(3L) == ((4L, 0L, "aa bb cc dd")))
+    // one hit masks exactly its width positions (the trailing token that
+    // shares no contaminated WINDOW survives)
+    val one = Dedup.decontaminate(st5,
+      Seq((4L, "aa bb cc dd ee ff")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    assert(one.getLong(2) == 5L && one.getString(3) == "ff")
+    // flag/scrub consistency on the real corpus: a doc loses tokens here
+    // iff the aggregate measure flags it (>= 1 contaminated shingle)
+    val d = docs
+    val st2 = Dedup.contaminationState(d.filter(col("doc_id") % 37 === 0),
+      "doc_id", "text", n = 2, suite = "r")
+    val shardR = d.filter(col("doc_id") % 5 === 1)
+    val flags = Dedup.contaminationAgainst(st2, shardR, "doc_id", "text",
+        n = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val scrub = Dedup.decontaminate(st2, shardR, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(flags.nonEmpty && flags.values.exists(_ > 0))
+    flags.foreach { case (id, c) =>
+      assert((scrub(id) > 0) == (c > 0), s"doc $id: flag $c, scrub ${scrub(id)}")
+    }
+    // empty suite: output shape kept, nothing removed, token stream intact
+    val empty = Dedup.contaminationState(d.filter(lit(false)), "doc_id",
+      "text", n = 5)
+    val pass = Dedup.decontaminate(empty, shard, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(pass(1L) == ((0L, "xx aa bb cc dd ee yy aa bb cc dd ee")))
+    assert(pass(3L) == ((0L, "aa bb cc dd")))
+  }
+
   test("semDedupStateAppend: sequential micro-batch appends == one append") {
     // the foreachBatch ingest shape: folding daily shards in one at a
     // time must equal folding their union once (n_members is additive
