@@ -30,12 +30,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Scan-protocol knob (BENCH_NOTES "180M protocol v2"): ProfR14's
+    // two-JVM sweep measured spark.sql.files.maxPartitionBytes=256m as a
+    // reproducible −10-14 % on the 180M scan-bound fit workload (a task
+    // owns ~5 of the ~47 MB replica files instead of ~2 — the scan is
+    // memory-bandwidth-bound, fewer concurrent decompressors contend
+    // less). UNSET keeps Spark's 128m default = the byte-frozen v1
+    // protocol every historical band was recorded under; the 180M
+    // baseline-replication recipe sets 256m EXPLICITLY so the adopted
+    // knob is a documented protocol version, not a silent conf drift.
+    val maxPartitionBytes = sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    maxPartitionBytes.foreach(v =>
+      builder.config("spark.sql.files.maxPartitionBytes", v))
+    val spark = builder
       // The lazy-localCheckpoint staging the pipeline ops use races the
       // ContextCleaner's accumulator unregistration: late task-end events
       // from a checkpoint-materializing stage log benign-but-loud

@@ -3449,7 +3449,8 @@ object Queries {
         "q245_line_dedup_removal", "q247_dedup_keep_best",
         "q248_line_dedup_incremental", "q250_dedup_against_state",
         "q251_dedup_refreshed_state", "q252_line_scrub_incremental",
-        "q263_contamination_ingest"),
+        "q263_contamination_ingest", "q266_contamination_by_suite",
+        "q267_decontaminate_scrub"),
       "similarity" -> Seq(
         "q35_knn_brute", "q36_knn_lsh", "q41_knn_ivf", "q56_kmeans_cells",
         "q203_knn_join_brute", "q204_knn_join",
@@ -3491,7 +3492,8 @@ object Queries {
         "q243_top_budget_materialized", "q244_top_budget_incremental",
         "q246_repeat_token_budget", "q249_repeat_budget_incremental",
         "q254_unimax_mixture", "q258_unimax_allocation",
-        "q262_unimax_merged_allocation", "q264_leakage_safe_split"),
+        "q262_unimax_merged_allocation", "q264_leakage_safe_split",
+        "q265_leakage_split_merged_state"),
       "events" -> Seq(
         "q40_event_windows", "q54_sessionize", "q58_asof_join",
         "q89_range_join", "q90_interval_overlap", "q137_funnel",
