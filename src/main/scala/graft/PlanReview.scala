@@ -399,6 +399,27 @@ object PlanReview {
         emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
         sampleFraction = 0.25, salt = "plan")
     }
+    // round 15: split against the frozen cluster state — ONE join of the
+    // corpus to the dup-sized map + the narrow hash-split projection; no
+    // CC iterations, no pair producer anywhere in the plan
+    show("leakageSafeSplitAgainst (one join + projection, no CC)") {
+      val pairs = graft.pipeline.Dedup.jaccardPairs(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        n = 2, threshold = 0.5)
+      val st = graft.pipeline.Dedup.dupClusterState(pairs)
+      graft.sources.ScaleOps.leakageSafeSplitAgainst(st, docs, "doc_id",
+        Seq("train" -> 0.9, "eval" -> 0.1), salt = "plan")
+    }
+    // round 15: decontamination scrub — suite sliver broadcasts into a
+    // LEFT SEMI probe of the shard's window explode; the only shuffle is
+    // the (id)-keyed mask aggregate and the rebuild join
+    show("decontaminate (broadcast semi probe + mask agg)") {
+      val st = graft.pipeline.Dedup.contaminationState(
+        docs.filter(col("doc_id") % 37 === 0), "doc_id", "text", n = 5,
+        suite = "plan")
+      graft.pipeline.Dedup.decontaminate(st,
+        docs.filter(col("doc_id") % 5 === 1), "doc_id", "text")
+    }
     spark.stop()
   }
 }

@@ -49,9 +49,11 @@ object ProfR15 {
 
     val tmp = java.nio.file.Files.createTempDirectory("profr15").toString
     val weights = Seq("train" -> 0.98, "eval" -> 0.02)
+    val ctOnly = sys.env.contains("PROF_R15_CT_ONLY")
 
     docs.count() // warmup footers
 
+    if (!ctOnly) {
     // -- arm 1: the per-call shape (pairs + CC every split) --
     timed("leakage_split per-call (pairs+CC, r14 shape)") {
       val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
@@ -83,6 +85,7 @@ object ProfR15 {
       val newPairs = Dedup.minhashPairs(shard, "doc_id", "text",
         n = 2, threshold = 0.5)
       sink(Dedup.dupClusterStateMerge(state, newPairs).clusters)
+    }
     }
 
     // -- contamination family: aggregate vs per-suite vs scrub --

@@ -975,7 +975,12 @@ object Dedup {
       require(sn == n,
         s"state was built with n = $sn, apply called with n = $n")
     }
-    val cs = shingleSets(shard, idCol, textCol, n).staged
+    // UNSTAGED two consumers (totals + hits), by measurement: at 500k
+    // docs staged/unstaged is 9.9/5.3 s — checkpoint-writing the exploded
+    // shingle table costs ~2x re-deriving the codegen'd tokenize+shingle
+    // projection from the scan for the second consumer (the
+    // removeDupSpans staging lesson, fourth confirmation; ProfR15)
+    val cs = shingleSets(shard, idCol, textCol, n)
     // defensive re-distinct per (shingle, suite): a hand-unioned state
     // could carry duplicate rows that would double-count that suite's hits
     val bs0 = state.shingles.select(col("shingle"), col("suite_id")).distinct()
