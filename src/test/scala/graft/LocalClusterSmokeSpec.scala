@@ -376,6 +376,67 @@ class LocalClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       !drift.isNullAt(5))
   }
 
+  test("r15 state ops distribute (serving handle, cluster-state split, " +
+      "suite attribution + scrub)") {
+    assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
+    // the check-once handle serves across executor boundaries and agrees
+    // with the one-shot API; the frozen duplicate-cluster state splits a
+    // corpus without per-call CC; the provenance state attributes and
+    // scrubs — the round-15 surface end-to-end under real executors
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_lc_h").toString
+    graft.pipeline.VectorIndex.build(vecs, "vec_id", "embedding", idx,
+      k = 8, iters = 1)
+    val h = graft.pipeline.VectorIndex.open(spark, idx)
+    val queries = vecs.filter(col("vec_id") < 3)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))
+    val viaHandle = h.topK(queries, "vec_id", "embedding", k = 5, nprobe = 3)
+      .collect().map(key).toMap
+    val oneShot = graft.pipeline.VectorIndex.topK(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 3).collect().map(key).toMap
+    assert(viaHandle == oneShot && viaHandle.nonEmpty)
+    // frozen cluster state: parquet roundtrip, merged split ≡ wrapper
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairsA = graft.pipeline.Dedup.jaccardPairs(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", 2, 0.4)
+    val pairsB = graft.pipeline.Dedup.jaccardPairs(
+      d.filter(col("doc_id") % 2 === 1), "doc_id", "text", 2, 0.4)
+    val dcDir = java.nio.file.Files.createTempDirectory("graft_lc_dc").toString
+    graft.pipeline.Dedup.dupClusterStateMerge(
+        graft.pipeline.Dedup.dupClusterState(pairsA), pairsB)
+      .clusters.write.mode("overwrite").parquet(dcDir)
+    val st = graft.pipeline.Dedup.DupClusterState(spark.read.parquet(dcDir))
+    def smap(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaState = smap(graft.sources.ScaleOps.leakageSafeSplitAgainst(st,
+      d, "doc_id", Seq("train" -> 0.8, "eval" -> 0.2), salt = "lc"))
+    val viaPairs = smap(graft.sources.ScaleOps.leakageSafeSplit(d, "doc_id",
+      pairsA.unionByName(pairsB), Seq("train" -> 0.8, "eval" -> 0.2),
+      salt = "lc"))
+    assert(viaState == viaPairs && viaState.nonEmpty)
+    // provenance state: attribution + scrub consistency under executors
+    val ct = graft.pipeline.Dedup.contaminationStateMerge(
+      graft.pipeline.Dedup.contaminationState(
+        d.filter(col("doc_id") % 37 === 0), "doc_id", "text", 2, "s37"),
+      graft.pipeline.Dedup.contaminationState(
+        d.filter(col("doc_id") % 41 === 0), "doc_id", "text", 2, "s41"))
+    val shardD = d.filter(col("doc_id") % 5 === 1)
+    val attributed = graft.pipeline.Dedup.contaminationBySuite(ct, shardD,
+      "doc_id", "text", n = 2).collect()
+    assert(attributed.nonEmpty &&
+      attributed.map(_.getString(1)).toSet.subsetOf(Set("s37", "s41")))
+    val scrubbed = graft.pipeline.Dedup.decontaminate(ct, shardD,
+      "doc_id", "text").collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val flagged = graft.pipeline.Dedup.contaminationAgainst(ct, shardD,
+      "doc_id", "text", n = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    flagged.foreach { case (id, c) =>
+      assert((scrubbed(id) > 0) == (c > 0), s"doc $id")
+    }
+  }
+
   test("streaming funnel state store works under executors") {
     assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -402,6 +402,49 @@ class StreamingSpec extends SparkTestBase {
     assert(got.find(_._1 == 12L).exists(_._3 > 0L))
   }
 
+  test("decontamination scrub streams via foreachBatch, equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    // the scrub is a pure per-row function of the frozen suite state
+    // (mask + rebuild never cross documents), so shards decompose
+    val suite = Seq((1L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val state = Dedup.contaminationState(suite, "doc_id", "text", n = 5,
+      suite = "s")
+    state.shingles.cache().count()
+    val shard = Seq(
+      (10L, "xx aa bb cc dd ee yy"), // one span hit: 5 tokens scrubbed
+      (11L, "completely fresh training document"),
+      (12L, "aa bb cc dd ee aa bb cc dd ee") // two hits: all scrubbed
+    )
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = Dedup.decontaminate(state, batch, "doc_id", "text")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3)))
+        got.synchronized { got ++= out }; ()
+      }
+      .start()
+    val (h1, h2) = shard.splitAt(2)
+    input.addData(h1: _*)
+    q.processAllAvailable()
+    input.addData(h2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = Dedup.decontaminate(state, shard.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got.toSet == expected && expected.nonEmpty)
+    assert(got.find(_._1 == 10L).exists(o => o._3 == 5L && o._4 == "xx yy"))
+    assert(got.find(_._1 == 11L).exists(_._3 == 0L))
+    assert(got.find(_._1 == 12L).exists(o => o._3 == 10L && o._4 == ""))
+  }
+
   test("incremental dedup runs per micro-batch via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Dedup
