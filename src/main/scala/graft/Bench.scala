@@ -315,6 +315,13 @@ object Bench {
       "mnt_vindex_append" -> (() =>
         graft.pipeline.VectorIndex.append(embShard, "vec_id", "embedding",
           vindexDir)),
+      // NOTE: no mnt_vindex_topk_handle arm — under this protocol the
+      // append arm grows the index between warmup (where a lazy handle
+      // would pin its validated listing) and the timed top-k, so a handle
+      // arm would serve a DIFFERENT (stale) file set than the one-shot
+      // arm beside it; the listing amortization is pinned by the
+      // VectorIndexSpec listing-count test instead, and at this file
+      // count the per-call listing is ms-scale.
       "mnt_vindex_topk" -> (() =>
         sink(graft.pipeline.VectorIndex.topK(spark, vindexDir,
           emb.filter(org.apache.spark.sql.functions.col("vec_id")
