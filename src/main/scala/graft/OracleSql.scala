@@ -1641,6 +1641,45 @@ object OracleSql {
          |FROM keyed
          |ORDER BY id""".stripMargin,
 
+    // composed: q265's cluster-keyed split (salt q268) -> train side ->
+    // q234's exact per-domain token-budget window over the survivors
+    "q268_split_then_budget" ->
+      s"""WITH $ShingleSets,
+         |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+         |common AS (SELECT a.id id1, b.id id2, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |    AND a.id % 2 = b.id % 2
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id1, id2 FROM common
+         |  JOIN sizes s1 ON common.id1 = s1.id
+         |  JOIN sizes s2 ON common.id2 = s2.id
+         |  WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.4),
+         |edges AS (SELECT id1 a, id2 b FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |comp AS (
+         |  WITH RECURSIVE reach(id, label) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+         |  )
+         |  SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+         |train AS (SELECT d.doc_id, d.lang, d.text
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |  WHERE ${hash32(
+              "'q268' || coalesce(c.cluster, d.doc_id)::VARCHAR")}
+         |    / 4294967296.0 < 0.8),
+         |b(lang, budget) AS (VALUES ('en', 3000), ('de', 1200), ('zh', 700)),
+         |t AS (SELECT doc_id, lang, len(${toks("text")})::BIGINT AS nt,
+         |    ${hash32("'q268' || doc_id::VARCHAR")} / 4294967296.0 AS u
+         |  FROM train),
+         |r AS (SELECT doc_id, lang, nt,
+         |    coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY u, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM t)
+         |SELECT r.doc_id AS id, r.lang, r.nt AS n_tokens
+         |FROM r JOIN b USING (lang) WHERE cum < budget ORDER BY id""".stripMargin,
+
     "q71_repetition" ->
       s"""WITH t AS (SELECT doc_id AS id, ${toks("text")} AS t FROM documents),
          |tok AS (SELECT id, unnest(t) AS tok FROM t),

@@ -1726,6 +1726,29 @@ object Queries {
         .orderBy("id")
     }),
 
+    // sampling: COMPOSED curation through the frozen cluster state —
+    // leakage-safe split (merged parity-pair state), keep the train side
+    // only, then the exact per-domain token budget over the survivors:
+    // the "assemble a training mix without eval leakage" day, one plan
+    "q268_split_then_budget" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val st = Dedup.dupClusterStateMerge(
+        Dedup.dupClusterState(
+          Dedup.jaccardPairs(d.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", n = 2, threshold = 0.4)),
+        Dedup.jaccardPairs(d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", n = 2, threshold = 0.4))
+      val train = graft.sources.ScaleOps.leakageSafeSplitAgainst(st, d,
+          "doc_id", Seq("train" -> 0.8, "eval" -> 0.2), salt = "q268")
+        .filter(col("split") === "train")
+      graft.sources.ScaleOps.sampleToTokenBudget(train, "lang",
+          "doc_id", TextOps.tokenCount(col("text")),
+          Seq("en" -> 3000L, "de" -> 1200L, "zh" -> 700L), salt = "q268")
+        .select(col("doc_id").as("id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("id")
+    }),
+
     // sampling: UniMax allocation from MERGED shard inventories — token
     // sums are additive, so two shard states re-sum into the union state
     // (the monotone daily refresh); allocation must equal the live frame's
@@ -3493,7 +3516,7 @@ object Queries {
         "q246_repeat_token_budget", "q249_repeat_budget_incremental",
         "q254_unimax_mixture", "q258_unimax_allocation",
         "q262_unimax_merged_allocation", "q264_leakage_safe_split",
-        "q265_leakage_split_merged_state"),
+        "q265_leakage_split_merged_state", "q268_split_then_budget"),
       "events" -> Seq(
         "q40_event_windows", "q54_sessionize", "q58_asof_join",
         "q89_range_join", "q90_interval_overlap", "q137_funnel",

@@ -444,26 +444,35 @@ final class VectorIndexHandle private[pipeline] (
     spark: SparkSession, val dir: String) {
   import org.apache.spark.sql.functions.col
 
-  private var centroidFrame: DataFrame = _
-  private var cents: Array[Array[Double]] = _
-  private var assigned: DataFrame = _
+  /** The validated state, pinned as ONE immutable value so a concurrent
+    * [[revalidate]] can never hand a serving thread a torn mix of old
+    * centroids and new files — readers grab the volatile reference once
+    * and every frame they touch came from the same validation. */
+  private final case class Pinned(
+      centroidFrame: DataFrame,
+      cents: Array[Array[Double]],
+      assigned: DataFrame)
+  @volatile private var pinned: Pinned = _
   revalidate()
 
   /** Re-run the manifest cross-check and re-pin the codebook + cell-file
     * relation — call after an append (or on a schedule in a long-lived
     * server). Refuses exactly like every other reader on a violated
-    * write-once contract. */
+    * write-once contract; on refusal the handle keeps serving its LAST
+    * validated state (the swap is all-or-nothing). */
   def revalidate(): Unit = {
     VectorIndex.validateForHandle(spark, dir)
-    centroidFrame = spark.read.parquet(s"$dir/centroids.parquet")
-    cents = centroidFrame.select("cell", "cvec").orderBy("cell").collect()
+    val centroidFrame = spark.read.parquet(s"$dir/centroids.parquet")
+    val cents = centroidFrame.select("cell", "cvec").orderBy("cell")
+      .collect()
       .map(_.getSeq[Number](1).toArray.map(_.doubleValue))
     require(cents.nonEmpty, s"no centroids at $dir — build the index first")
     // ONE resolved relation: its file index (the recursive listing) is
     // built here and reused by every downstream plan; the per-query
     // probe-cell filter still prunes partitions at planning time from
     // the cached listing
-    assigned = spark.read.parquet(s"$dir/assigned.parquet")
+    pinned = Pinned(centroidFrame, cents,
+      spark.read.parquet(s"$dir/assigned.parquet"))
   }
 
   /** [[VectorIndex.topK]] from the pinned state — same result, no
@@ -474,9 +483,11 @@ final class VectorIndexHandle private[pipeline] (
       qVecCol: String,
       k: Int,
       nprobe: Int = 4
-  ): DataFrame =
-    VectorIndex.topKImpl(centroidFrame, assigned, queries,
+  ): DataFrame = {
+    val p = pinned
+    VectorIndex.topKImpl(p.centroidFrame, p.assigned, queries,
       qIdCol, qVecCol, k, nprobe)
+  }
 
   /** [[VectorIndex.driftCheck]] from the pinned state. */
   def driftCheck(
@@ -488,15 +499,18 @@ final class VectorIndexHandle private[pipeline] (
   ): DataFrame = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
-    VectorIndex.driftCheckImpl(centroidFrame.select("cell", "cvec"),
-      cents, assigned, shard, vecCol, sampleFraction, salt)
+    val p = pinned
+    VectorIndex.driftCheckImpl(p.centroidFrame.select("cell", "cvec"),
+      p.cents, p.assigned, shard, vecCol, sampleFraction, salt)
   }
 
   /** [[VectorIndex.freezeSemDedupState]] from the pinned state. */
   def freezeSemDedupState(
       maxCellSize: Option[Long] = Some(100000L)
-  ): Similarity.SemDedupState =
+  ): Similarity.SemDedupState = {
+    val p = pinned
     Similarity.semDedupStateFromAssigned(spark,
-      assigned.select(col("id"), col("cell"), col("vec")),
-      cents, maxCellSize)
+      p.assigned.select(col("id"), col("cell"), col("vec")),
+      p.cents, maxCellSize)
+  }
 }

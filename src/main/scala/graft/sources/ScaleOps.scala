@@ -176,6 +176,10 @@ object ScaleOps {
       spark: SparkSession, dir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"no metadata dir at $dir — the layout was never written here, or " +
+        "it was written by a pre-manifest library version; (re)write it " +
+        "with the matching writer (zorderWrite / VectorIndex.build)")
     val files = fs.listStatus(p).filter(_.isFile)
       .map(_.getPath.getName)
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
