@@ -89,12 +89,20 @@ object ProfR15 {
     }
 
     // -- contamination family: aggregate vs per-suite vs scrub --
+    // PROF_R15_SLIVER restricts the suites to the replica's BASE slice
+    // (doc_id < 5000): on a ×N replica the plain %37 "suite" spans every
+    // copy and its shingle set saturates toward the whole corpus's — an
+    // adversarial stress, not the steady-state eval-suite-vs-corpus
+    // ratio; the sliver mode measures the realistic sliver-state shape
+    val sliver = sys.env.contains("PROF_R15_SLIVER")
+    def suiteOf(m: Int) = {
+      val f = col("doc_id") % m === 0
+      docs.filter(if (sliver) f && col("doc_id") < 5000L else f)
+    }
     val stA = Dedup.contaminationState(
-      docs.filter(col("doc_id") % 37 === 0), "doc_id", "text", n = 2,
-      suite = "s37")
+      suiteOf(37), "doc_id", "text", n = 2, suite = "s37")
     val stB = Dedup.contaminationState(
-      docs.filter(col("doc_id") % 41 === 0), "doc_id", "text", n = 2,
-      suite = "s41")
+      suiteOf(41), "doc_id", "text", n = 2, suite = "s41")
     Dedup.contaminationStateMerge(stA, stB).shingles
       .write.mode("overwrite").parquet(s"$tmp/ct")
     val ct = Dedup.ContaminationState(spark.read.parquet(s"$tmp/ct"))
