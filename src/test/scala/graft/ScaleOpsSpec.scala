@@ -1444,6 +1444,49 @@ class ScaleOpsSpec extends SparkTestBase {
     }.getMessage.contains("cluster"))
   }
 
+  test("dupClusterStateMerge == rebuild on seeded random pair graphs") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    // property loop (the repo's seeded-scalacheck pattern): random edge
+    // sets split at a random point into "old" and "new" pairs — merged
+    // state must equal CC over the union, labels included, on shapes the
+    // fixture can't cover (bridges, chains, late-arriving low ids that
+    // re-label whole components)
+    val rnd = new scala.util.Random(1515)
+    def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      // brute reference CC: min reachable id per node
+      val adj = edges.foldLeft(
+        Map.empty[Long, Set[Long]].withDefaultValue(Set.empty[Long])) {
+        case (m, (a, b)) => m.updated(a, m(a) + b).updated(b, m(b) + a)
+      }
+      adj.keys.map { v =>
+        var seen = Set(v); var frontier = Set(v)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj) -- seen
+          seen ++= frontier
+        }
+        v -> seen.min
+      }.toMap
+    }
+    val configs = Seq((14, 0.12), (24, 0.05), (10, 0.5))
+    configs.foreach { case (n, p) =>
+      val edges = for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+        if rnd.nextDouble() < p
+      } yield (a, b)
+      if (edges.size >= 2) {
+        val cut = 1 + rnd.nextInt(edges.size - 1)
+        val (oldP, newP) = edges.splitAt(cut)
+        val merged = Dedup.dupClusterStateMerge(
+            Dedup.dupClusterState(oldP.toDF("id1", "id2")),
+            newP.toDF("id1", "id2"))
+          .clusters.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(merged == cc(edges), s"config ($n, $p), cut $cut")
+      }
+    }
+  }
+
   test("zorderAppend: grows the layout, scan stays exact and still prunes") {
     val li = sf("sf0.001", "lineitem")
       .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
