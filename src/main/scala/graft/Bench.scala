@@ -30,15 +30,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Scan-protocol knob (BENCH_NOTES "180M protocol v2"): ProfR14's
-    // two-JVM sweep measured spark.sql.files.maxPartitionBytes=256m as a
-    // reproducible −10-14 % on the 180M scan-bound fit workload (a task
-    // owns ~5 of the ~47 MB replica files instead of ~2 — the scan is
-    // memory-bandwidth-bound, fewer concurrent decompressors contend
-    // less). UNSET keeps Spark's 128m default = the byte-frozen v1
-    // protocol every historical band was recorded under; the 180M
-    // baseline-replication recipe sets 256m EXPLICITLY so the adopted
-    // knob is a documented protocol version, not a silent conf drift.
+    // Scan-protocol knob (BENCH_NOTES "Round-15: 180M protocol v2
+    // attempt"): exposed for deployment experimentation with
+    // spark.sql.files.maxPartitionBytes. ProfR14's initial two-JVM sweep
+    // suggested 256m as a −10-14 % win on the 180M scan-bound fit, but
+    // the round-15 replication attempt measured a NULL result (v2 never
+    // won one of four fresh-JVM pairs, nor a within-JVM A/B on the
+    // quietest host day) — no protocol v2 was declared. UNSET keeps
+    // Spark's 128m default = the byte-frozen v1 protocol every
+    // historical band was recorded under, and the default stands.
     val maxPartitionBytes = sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -283,7 +283,7 @@ object Bench {
     lazy val ctStateDir: String = {
       val st = Dedup.contaminationState(
         docs.filter(org.apache.spark.sql.functions.col("doc_id") % 37 === 0),
-        "doc_id", "text", n = 2)
+        "doc_id", "text", n = 2, suite = "s37")
       st.shingles.write.mode("overwrite").parquet(s"$maintDir/ct")
       s"$maintDir/ct"
     }

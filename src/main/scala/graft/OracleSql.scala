@@ -1680,6 +1680,126 @@ object OracleSql {
          |SELECT r.doc_id AS id, r.lang, r.nt AS n_tokens
          |FROM r JOIN b USING (lang) WHERE cum < budget ORDER BY id""".stripMargin,
 
+    // all-matches incremental dedup: EVERY above-threshold (fresh doc,
+    // corpus representative) pair. Candidate algebra = q94's exact-class
+    // fingerprints (rep = min corpus id per distinct shingle set) plus
+    // q33's minhash-LSH banding (per-doc signatures are set-level
+    // invariants, so per-doc collisions equal the engine's rep-bucket
+    // collisions); verification is exact Jaccard vs the rep's set
+    "q269_dedup_against_all" ->
+      s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents
+         |  WHERE doc_id % 10 <> 0),
+         |fresh AS (SELECT doc_id + 1000000 AS id, text FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |$MinhashTable,
+         |shc AS (SELECT DISTINCT id, unnest(${bigrams(toks("text"))}) AS shingle
+         |  FROM corpus),
+         |shn AS (SELECT DISTINCT id, unnest(${bigrams(toks("text"))}) AS shingle
+         |  FROM fresh),
+         |fpc AS (SELECT id, string_agg(shingle, chr(1) ORDER BY shingle) AS fp
+         |  FROM shc GROUP BY id),
+         |fpn AS (SELECT id, string_agg(shingle, chr(1) ORDER BY shingle) AS fp
+         |  FROM shn GROUP BY id),
+         |reps AS (SELECT fp, min(id) AS cid FROM fpc GROUP BY fp),
+         |exact AS (SELECT n.id, r.cid FROM fpn n JOIN reps r USING (fp)),
+         |hxc AS (SELECT id, ${hash32("shingle")} % ${Dedup.MinhashP} AS x FROM shc),
+         |mhc AS (SELECT id, i, min((x * a + b) % ${Dedup.MinhashP}) AS h
+         |  FROM hxc CROSS JOIN hashes GROUP BY id, i),
+         |bkc AS (SELECT id, i // ${Dedup.BandRows} AS band,
+         |         string_agg(h::VARCHAR, ',' ORDER BY i) AS bucket
+         |       FROM mhc GROUP BY id, i // ${Dedup.BandRows}),
+         |hxn AS (SELECT id, ${hash32("shingle")} % ${Dedup.MinhashP} AS x FROM shn),
+         |mhn AS (SELECT id, i, min((x * a + b) % ${Dedup.MinhashP}) AS h
+         |  FROM hxn CROSS JOIN hashes GROUP BY id, i),
+         |bkn AS (SELECT id, i // ${Dedup.BandRows} AS band,
+         |         string_agg(h::VARCHAR, ',' ORDER BY i) AS bucket
+         |       FROM mhn GROUP BY id, i // ${Dedup.BandRows}),
+         |nearc AS (SELECT DISTINCT n.id, r.cid
+         |  FROM bkn n JOIN bkc c ON n.band = c.band AND n.bucket = c.bucket
+         |  JOIN fpc fc ON fc.id = c.id JOIN reps r ON r.fp = fc.fp),
+         |cand AS (SELECT id, cid FROM exact UNION SELECT id, cid FROM nearc),
+         |szn AS (SELECT id, count(*) sz FROM shn GROUP BY id),
+         |szc AS (SELECT id, count(*) sz FROM shc GROUP BY id),
+         |common AS (SELECT cd.id, cd.cid, count(*) AS c
+         |  FROM cand cd JOIN shn n ON n.id = cd.id
+         |    JOIN shc c2 ON c2.id = cd.cid AND c2.shingle = n.shingle
+         |  GROUP BY 1, 2)
+         |SELECT common.id, cid AS dup_of,
+         |  c::DOUBLE / (szn.sz + szc.sz - c) AS jaccard
+         |FROM common JOIN szn ON common.id = szn.id
+         |  JOIN szc ON common.cid = szc.id
+         |WHERE c::DOUBLE / (szn.sz + szc.sz - c) >= 0.4
+         |ORDER BY common.id, dup_of""".stripMargin,
+
+    // complete daily-refresh recipe oracle: a FROM-SCRATCH rebuild over
+    // resident ∪ relabeled shard — q201's minhash-LSH verified pair
+    // algebra at the 0.4 threshold feeding the recursive-CTE connected
+    // components; the engine side must reach the identical cluster map
+    // from (frozen resident state + shard pairs + cross all-matches)
+    "q270_cluster_refresh_cross" ->
+      s"""WITH udocs AS (SELECT CASE WHEN doc_id % 10 = 0
+         |    THEN doc_id + 1000000 ELSE doc_id END AS id, text
+         |  FROM documents),
+         |$MinhashTable,
+         |sh AS (SELECT DISTINCT id, unnest(${bigrams(toks("text"))}) AS shingle
+         |  FROM udocs),
+         |hx AS (SELECT id, ${hash32("shingle")} % ${Dedup.MinhashP} AS x FROM sh),
+         |mh AS (SELECT id, i, min((x * a + b) % ${Dedup.MinhashP}) AS h
+         |  FROM hx CROSS JOIN hashes GROUP BY id, i),
+         |bk AS (SELECT id, i // ${Dedup.BandRows} AS band,
+         |         string_agg(h::VARCHAR, ',' ORDER BY i) AS bucket
+         |       FROM mh GROUP BY id, i // ${Dedup.BandRows}),
+         |cand AS (SELECT DISTINCT a.id id1, b.id id2
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+         |common AS (SELECT c.id1, c.id2, count(*) AS common
+         |  FROM cand c JOIN sh a ON a.id = c.id1 JOIN sh b ON b.id = c.id2
+         |    AND a.shingle = b.shingle
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id1, id2 FROM common
+         |  JOIN sizes s1 ON common.id1 = s1.id
+         |  JOIN sizes s2 ON common.id2 = s2.id
+         |  WHERE common::DOUBLE / (s1.sz + s2.sz - common) >= 0.4),
+         |edges AS (SELECT id1 a, id2 b FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |comp AS (
+         |  WITH RECURSIVE reach(id, label) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+         |  )
+         |  SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+         |SELECT id, cluster FROM comp ORDER BY id""".stripMargin,
+
+    // per-suite decontamination report: each suite's own distinct
+    // window set masks positions independently (q267's window algebra,
+    // q266's per-suite provenance); count of distinct masked positions
+    // per (doc, suite), hits-sized
+    "q271_decontaminate_by_suite" ->
+      s"""WITH fresh AS (SELECT doc_id AS id, ${toks("text")} AS toks
+         |  FROM documents WHERE doc_id % 5 = 1),
+         |stA AS (SELECT ${toks("text")} AS toks FROM documents
+         |  WHERE doc_id % 37 = 0),
+         |stB AS (SELECT ${toks("text")} AS toks FROM documents
+         |  WHERE doc_id % 41 = 0),
+         |swA AS (SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS s
+         |  FROM (SELECT unnest(range(1, len(toks) - 3)) AS i, toks FROM stA)),
+         |swB AS (SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS s
+         |  FROM (SELECT unnest(range(1, len(toks) - 3)) AS i, toks FROM stB)),
+         |sw AS (SELECT s, 's37' AS suite_id FROM swA
+         |  UNION ALL SELECT s, 's41' AS suite_id FROM swB),
+         |w0 AS (SELECT id, unnest(range(1, len(toks) - 3)) AS i FROM fresh),
+         |w AS (SELECT w0.id, (i - 1)::BIGINT AS pos,
+         |    array_to_string(f.toks[i:i+4], ' ') AS s
+         |  FROM w0 JOIN fresh f USING (id)),
+         |m AS (SELECT w.id, sw.suite_id, w.pos FROM w JOIN sw USING (s)),
+         |mp0 AS (SELECT id, suite_id, unnest(range(pos, pos + 5)) AS p FROM m),
+         |mp AS (SELECT DISTINCT id, suite_id, p FROM mp0)
+         |SELECT id, suite_id, count(*) AS n_removed
+         |FROM mp GROUP BY 1, 2 ORDER BY id, suite_id""".stripMargin,
+
     "q71_repetition" ->
       s"""WITH t AS (SELECT doc_id AS id, ${toks("text")} AS t FROM documents),
          |tok AS (SELECT id, unnest(t) AS tok FROM t),

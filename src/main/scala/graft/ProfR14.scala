@@ -118,10 +118,10 @@ object ProfR14Curation {
       println(f"[profr14c] $name%-44s n=$n min=${ts.min}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
     // frozen suite state (setup, untimed — persists like lake state)
-    val state = Dedup.contaminationState(suite, "doc_id", "text", n = 2)
+    val state = Dedup.contaminationState(suite, "doc_id", "text", n = 2, suite = "s37")
     state.shingles.cache().count()
     timed("contamination_state_build (5k suite)") {
-      noop(Dedup.contaminationState(suite, "doc_id", "text", n = 2).shingles)
+      noop(Dedup.contaminationState(suite, "doc_id", "text", n = 2, suite = "s37").shingles)
     }
     timed("contamination_ingest (500k shard vs suite)") {
       noop(Dedup.contaminationAgainst(state, corpus, "doc_id", "text", n = 2))

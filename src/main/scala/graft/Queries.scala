@@ -1749,6 +1749,60 @@ object Queries {
         .orderBy("id")
     }),
 
+    // incremental dedup, ALL-MATCHES mode: EVERY above-threshold
+    // (new doc, resident representative) pair, not just the best — the
+    // cross-corpus edge producer for the DupClusterState daily refresh
+    // (the top-1 dup_of under-connects when one new doc bridges two
+    // distinct resident clusters). Hits-sized: unmatched docs emit no row
+    "q269_dedup_against_all" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      val fresh = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.dedupAgainstStateAll(
+          Dedup.minhashDedupState(corpus, "doc_id", "text", n = 2),
+          fresh, "doc_id", "text", n = 2, threshold = 0.4)
+        .orderBy("id", "dup_of")
+    }),
+
+    // dedup: the COMPLETE DupClusterState daily-refresh recipe — fold a
+    // shard's internal pairs AND its cross-corpus matches (all-matches
+    // mode against the frozen resident MinHash state) into the frozen
+    // cluster map; result must equal a from-scratch rebuild over
+    // resident ∪ shard (the oracle computes exactly that rebuild), so a
+    // new near-dup of a resident doc can never straddle a later split
+    "q270_cluster_refresh_cross" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val resident = d.filter(col("doc_id") % 10 =!= 0)
+      val shard = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val clusterSt = Dedup.dupClusterState(
+        Dedup.minhashPairs(resident, "doc_id", "text",
+          n = 2, threshold = 0.4))
+      val mhSt = Dedup.minhashDedupState(resident, "doc_id", "text", n = 2)
+      Dedup.dupClusterStateIngest(clusterSt, mhSt, shard, "doc_id", "text",
+          n = 2, threshold = 0.4)
+        .clusters
+        .orderBy("id")
+    }),
+
+    // dedup: per-SUITE decontamination report — which benchmark's spans
+    // the scrub cut: token positions masked per (doc, suite), hits-sized
+    // (the union of per-suite masks is q267's n_removed, not their sum)
+    "q271_decontaminate_by_suite" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val st = Dedup.contaminationStateMerge(
+        Dedup.contaminationState(
+          d.filter(col("doc_id") % 37 === 0), "doc_id", "text", n = 5,
+          suite = "s37"),
+        Dedup.contaminationState(
+          d.filter(col("doc_id") % 41 === 0), "doc_id", "text", n = 5,
+          suite = "s41"))
+      Dedup.decontaminateBySuite(st, d.filter(col("doc_id") % 5 === 1),
+          "doc_id", "text")
+        .orderBy("id", "suite_id")
+    }),
+
     // sampling: UniMax allocation from MERGED shard inventories — token
     // sums are additive, so two shard states re-sum into the union state
     // (the monotone daily refresh); allocation must equal the live frame's
@@ -3473,7 +3527,8 @@ object Queries {
         "q248_line_dedup_incremental", "q250_dedup_against_state",
         "q251_dedup_refreshed_state", "q252_line_scrub_incremental",
         "q263_contamination_ingest", "q266_contamination_by_suite",
-        "q267_decontaminate_scrub"),
+        "q267_decontaminate_scrub", "q269_dedup_against_all",
+        "q270_cluster_refresh_cross", "q271_decontaminate_by_suite"),
       "similarity" -> Seq(
         "q35_knn_brute", "q36_knn_lsh", "q41_knn_ivf", "q56_kmeans_cells",
         "q203_knn_join_brute", "q204_knn_join",

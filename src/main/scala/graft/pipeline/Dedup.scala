@@ -708,6 +708,67 @@ object Dedup {
       n: Int = 2,
       threshold: Double = 0.5
   ): DataFrame = {
+    val raw = againstStateMatches(state, newDocs, idCol, textCol, n, threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("jaccard").desc, col("cid").asc)
+    val best = raw
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("id"), col("cid").as("dup_of"), col("jaccard"))
+    // EVERY shard doc appears in the output — including sub-n-token docs,
+    // which carry no shingles and are unique by construction
+    newDocs.select(col(idCol).as("id")).join(best, Seq("id"), "left")
+  }
+
+  /** ALL-MATCHES form of [[dedupAgainstState]]: EVERY above-threshold
+    * (new doc, resident representative) match, not just the best —
+    * one row per (`id`, `dup_of`) pair with the verified Jaccard
+    * (exact fingerprint matches carry 1.0). Hits-sized output: a shard
+    * doc matching nothing has NO row (use [[dedupAgainstState]] for the
+    * per-doc keep/drop verdict).
+    *
+    * This is the CROSS-CORPUS EDGE PRODUCER for the [[DupClusterState]]
+    * daily refresh: the top-1 `dup_of` under-connects when one new doc
+    * bridges two distinct resident clusters — fed only the best match,
+    * [[dupClusterStateMerge]] would leave the second cluster unmerged
+    * and [[graft.sources.ScaleOps.leakageSafeSplitAgainst]] could deal
+    * its members to the opposite side of the split from their near-twin
+    * (exactly the leakage the family exists to prevent). Feed ALL
+    * matches as edges instead — [[dupClusterStateIngest]] composes the
+    * full recipe and is spec-pinned ≡ a from-scratch rebuild over
+    * resident ∪ shard, including the bridge case.
+    *
+    * Scale shape: identical to [[dedupAgainstState]] minus the window —
+    * three key-equi joins against persisted state, then one (id, cid)
+    * hash-agg; nothing corpus-sized recomputes or reaches the driver. */
+  def dedupAgainstStateAll(
+      state: MinhashDedupState,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      threshold: Double = 0.5
+  ): DataFrame =
+    // exact (lit 1.0) and near (verified 1.0) paths can both surface the
+    // same pair — collapse per (id, cid); max keeps the exact 1.0 over
+    // any float-rounded verification of the identical set
+    againstStateMatches(state, newDocs, idCol, textCol, n, threshold)
+      .groupBy("id", "cid")
+      .agg(max(col("jaccard")).as("jaccard"))
+      .select(col("id"), col("cid").as("dup_of"), col("jaccard"))
+
+  /** Shared match core of [[dedupAgainstState]] /
+    * [[dedupAgainstStateAll]]: every (id, cid, jaccard) candidate match
+    * at or above the threshold (exact fingerprint ∪ verified LSH
+    * candidates; a pair found by both paths may appear twice — callers
+    * collapse with their own top-1 window or (id, cid) agg). */
+  private def againstStateMatches(
+      state: MinhashDedupState,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double
+  ): DataFrame = {
     require(Seq("__fp", "cid", "csharr", "shingle_n")
         .forall(state.reps.columns.contains),
       s"state.reps must carry (__fp, cid, csharr, shingle_n), got ${state.reps.columns.toSeq}")
@@ -754,14 +815,54 @@ object Dedup {
           (size(col("sharr")) + size(col("csharr")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id"), col("cid"), col("jaccard"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("jaccard").desc, col("cid").asc)
-    val best = exact.unionByName(near)
-      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-      .select(col("id"), col("cid").as("dup_of"), col("jaccard"))
-    // EVERY shard doc appears in the output — including sub-n-token docs,
-    // which carry no shingles and are unique by construction
-    newDocs.select(col(idCol).as("id")).join(best, Seq("id"), "left")
+    exact.unionByName(near)
+  }
+
+  /** The complete DAILY-REFRESH recipe for a [[DupClusterState]]: fold a
+    * new shard's duplicate evidence — BOTH the shard's internal
+    * near-duplicate pairs AND its cross-corpus matches against the
+    * frozen resident [[MinhashDedupState]] — into the frozen cluster
+    * map, so [[graft.sources.ScaleOps.leakageSafeSplitAgainst]] keeps
+    * its guarantee as the corpus grows. Shard-internal pairs alone are
+    * NOT enough: a new doc that near-duplicates a RESIDENT doc
+    * contributes no edge from the shard's own pair list, keys the split
+    * on its own id, and can land on the opposite side of the split from
+    * its resident near-twin — the exact leakage the family exists to
+    * prevent. The cross edges come from [[dedupAgainstStateAll]]
+    * (EVERY above-threshold match, not the top-1 `dup_of` — one new doc
+    * bridging two distinct resident clusters must merge them).
+    *
+    * Spec-pinned: the result equals `dupClusterState(minhashPairs(
+    * resident ∪ shard))` — a from-scratch rebuild over the union —
+    * including the two-cluster bridge case, provided both frozen states
+    * were built from the same resident corpus at the same (n,
+    * threshold) and no LSH bucket crosses the size valve (testdata
+    * stays far below it; at the valve the recipe and the rebuild both
+    * degrade recall the same way only when saturation is
+    * corpus-stable).
+    *
+    * Scale shape: prices ONLY the shard — `minhashPairs` over the shard
+    * (shard², bucket-capped), three key-equi probes of the persisted
+    * MinHash state (never corpus×corpus), and one CC re-run over
+    * dup-sized edges; the resident corpus is never re-paired, re-read,
+    * or shuffled. Measured vs full re-pair in BENCH_NOTES (ProfR16). */
+  def dupClusterStateIngest(
+      state: DupClusterState,
+      mhState: MinhashDedupState,
+      shard: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      threshold: Double = 0.5,
+      maxBucketSize: Option[Long] = Some(DefaultMaxBucketSize)
+  ): DupClusterState = {
+    val shardPairs = minhashPairs(shard, idCol, textCol, n, threshold,
+        maxBucketSize)
+      .select(col("id1"), col("id2"))
+    val crossPairs =
+      dedupAgainstStateAll(mhState, shard, idCol, textCol, n, threshold)
+        .select(col("id").as("id1"), col("dup_of").as("id2"))
+    dupClusterStateMerge(state, shardPairs.unionByName(crossPairs))
   }
 
   /** (id, sharr, __fp) keyed shingle sets — the shared projection of the
@@ -826,7 +927,9 @@ object Dedup {
       broadcastBenchmark: Boolean = true
   ): DataFrame =
     contaminationAgainst(
-      contaminationState(benchmark, idCol, textCol, n),
+      // one anonymous ad-hoc suite: the aggregate measure never reads
+      // the label, and the ephemeral state is not meant to be merged
+      contaminationState(benchmark, idCol, textCol, n, suite = "adhoc"),
       corpus, idCol, textCol, n, broadcastBenchmark)
 
   /** Frozen benchmark-side state for [[contaminationAgainst]] — the
@@ -851,13 +954,19 @@ object Dedup {
   /** Build [[ContaminationState]]: one distinct over the benchmark's
     * n-gram shingles, stamped with the suite's name (`suite` — keep it
     * stable across rebuilds; it is the attribution key
-    * [[contaminationBySuite]] reports). */
+    * [[contaminationBySuite]] reports). `suite` has NO default on
+    * purpose: two states built under a shared default name would merge
+    * into one attribution label and silently conflate two different
+    * benchmarks — name each suite explicitly. (Merging two states that
+    * deliberately share a name — an incremental re-build of the SAME
+    * suite — remains fine: the per-(shingle, suite) distinct absorbs
+    * the overlap.) */
   def contaminationState(
       benchmark: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 2,
-      suite: String = "suite"
+      suite: String
   ): ContaminationState =
     ContaminationState(
       shingleSets(benchmark, idCol, textCol, n)
@@ -957,7 +1066,12 @@ object Dedup {
     * probe (inner join: only hits survive to the shuffle), and two
     * doc-keyed aggregates (total + per-suite hits) meet in one id-keyed
     * join. Only suites a doc actually touches produce rows, so the
-    * output is hits-sized, not |docs|·|suites|. */
+    * output is hits-sized, not |docs|·|suites|.
+    *
+    * PRECONDITION: the shard frame must be DETERMINISTIC — it is
+    * evaluated twice (the totals aggregate and the hits probe); a
+    * nondeterministic source (unseeded sample, changing view) could
+    * count totals over one row set and hits over another. */
   def contaminationBySuite(
       state: ContaminationState,
       shard: DataFrame,
@@ -1014,18 +1128,27 @@ object Dedup {
     * pass through in output shape, `n_removed = 0`), matching the
     * aggregate form's "empty suite ⇒ zero contamination".
     *
-    * Scale shape: the suite sliver broadcasts and the shard's window
-    * explode streams through a map-side LEFT SEMI probe — no corpus-side
-    * shuffle at all before the (id)-keyed mask aggregate; the rebuild is
-    * the one `array_except` hash-set projection. Note the scrub matches
+    * Scale shape: the suite sliver broadcasts (`broadcastState = false`
+    * degrades to a shuffled semi join for an oversized,
+    * contract-violating state — same escape hatch as
+    * [[contaminationAgainst]]) and the shard's window explode streams
+    * through a map-side LEFT SEMI probe — no corpus-side shuffle at all
+    * before the (id)-keyed mask aggregate; the rebuild is the one
+    * `array_except` hash-set projection. Note the scrub matches
     * on the RAW shingle strings the state already stores (no md5 —
     * the state is the fingerprint), so one persisted state serves flag,
-    * attribution, and scrub. */
+    * attribution, and scrub.
+    *
+    * PRECONDITION: the shard frame must be DETERMINISTIC — it is
+    * evaluated twice (the window explode and the rebuild side of the
+    * mask join); a nondeterministic source (unseeded sample, changing
+    * view) could rebuild text inconsistent with the mask. */
   def decontaminate(
       state: ContaminationState,
       shard: DataFrame,
       idCol: String,
-      textCol: String
+      textCol: String,
+      broadcastState: Boolean = true
   ): DataFrame = {
     val t = shard
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
@@ -1041,10 +1164,62 @@ object Dedup {
             posexplode(TextOps.wordShingles(col("toks"), width))
               .as(Seq("pos", "win")))
           .select(col("id"), col("pos").cast("long").as("pos"), col("win"))
-        val bs = broadcast(
-          state.shingles.select(col("shingle").as("win")).distinct())
+        val bs0 = state.shingles.select(col("shingle").as("win")).distinct()
+        val bs = if (broadcastState) broadcast(bs0) else bs0
         val masked = wins.join(bs, Seq("win"), "left_semi")
         rebuildFromMasked(t, masked, width)
+    }
+  }
+
+  /** Per-SUITE decontamination report — which benchmark's spans the
+    * scrub cut: for every (shard doc, suite) pair, the count of token
+    * positions that suite's windows mask (`n_removed`, the number of
+    * tokens [[decontaminate]] would remove if that suite were the whole
+    * state). Hits-sized like [[contaminationBySuite]]: only (doc, suite)
+    * pairs with ≥ 1 masked position produce a row — absence of a row
+    * means "this suite cut nothing from this doc", NOT a missing doc.
+    * Per-suite counts OVERLAP where suites share windows: the union of
+    * the per-suite masks is [[decontaminate]]'s `n_removed`, not their
+    * sum (spec-pinned). An empty state reports nothing.
+    *
+    * Scale shape: the (window, suite) sliver broadcasts, the shard's
+    * window explode streams through a map-side INNER probe (only hits
+    * survive to the shuffle), and one (id, suite)-keyed distinct+agg
+    * counts each suite's masked positions — hits-sized all the way
+    * down. Same shard-determinism precondition as [[decontaminate]]
+    * does not apply: the shard is evaluated ONCE here. */
+  def decontaminateBySuite(
+      state: ContaminationState,
+      shard: DataFrame,
+      idCol: String,
+      textCol: String,
+      broadcastState: Boolean = true
+  ): DataFrame = {
+    require(state.shingles.columns.contains("suite_id"),
+      "state carries no suite_id provenance (persisted by a pre-" +
+        "provenance library version) — rebuild it with " +
+        s"contaminationState; got ${state.shingles.columns.toSeq}")
+    state.shingleN match {
+      case None => // empty state: nothing was cut from anything
+        shard.select(col(idCol).as("id"), lit("").as("suite_id"),
+          lit(0L).as("n_removed")).limit(0)
+      case Some(width) =>
+        val wins = shard
+          .select(col(idCol).as("id"),
+            posexplode(TextOps.wordShingles(
+              TextOps.tokens(col(textCol)), width)).as(Seq("pos", "win")))
+          .select(col("id"), col("pos").cast("long").as("pos"), col("win"))
+        // defensive per-(window, suite) distinct, as in contaminationBySuite
+        val bs0 = state.shingles
+          .select(col("shingle").as("win"), col("suite_id")).distinct()
+        val bs = if (broadcastState) broadcast(bs0) else bs0
+        wins.join(bs, Seq("win"))
+          .select(col("id"), col("suite_id"),
+            explode(sequence(col("pos"), col("pos") + lit(width - 1)))
+              .as("p"))
+          .distinct() // a position two windows of one suite cover counts once
+          .groupBy("id", "suite_id")
+          .agg(count(lit(1)).as("n_removed"))
     }
   }
 

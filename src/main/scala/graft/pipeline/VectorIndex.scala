@@ -380,8 +380,13 @@ object VectorIndex {
     // prune directories.
     val probeCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
+    // the distinct collapses |queries| x nprobe down to at most k (the
+    // codebook size) — this can only trip for a k > MaxCellLiterals
+    // codebook, i.e. a codebook that should not have been built
     Similarity.requireModelSizedCells(probeCells.size,
-      "index probe cell list (distinct cells over |queries| x nprobe)")
+      "index probe cell list (distinct probed cells — bounded by the " +
+        "codebook size k, so this means the index was built with an " +
+        "over-large codebook; rebuild with a model-sized k)")
     val scan = assigned.filter(col("cell").isInCollection(probeCells))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -1800,6 +1800,134 @@ class PipelineSpec extends SparkTestBase {
     assert(out2.toSeq == Seq((11L, 1L, 1.0)))
   }
 
+  // Shared bridge fixture: two distinct resident clusters {1,2} and
+  // {5,6}; doc X = A's tokens ++ B's tokens sits at Jaccard 19/39 ≈ 0.487
+  // to BOTH reps. The token suffixes are chosen so that the ~0.49 bridge
+  // pairs deterministically share an LSH band with both reps (at 4×4
+  // bands, recall at j≈0.5 is partial — the fixture is searched once
+  // offline over the FIXED minhash coefficients, so the test is exact).
+  private def bridgeTokensA = (0 to 19).map(i => s"a${i}x22")
+  private def bridgeTokensB = (0 to 19).map(i => s"b${i}x22")
+  private def bridgeCorpus = Seq(
+    (1L, bridgeTokensA.mkString(" ")),
+    (2L, (bridgeTokensA.dropRight(1) :+ "zz22").mkString(" ")),
+    (5L, bridgeTokensB.mkString(" ")),
+    (6L, (bridgeTokensB.dropRight(1) :+ "yy22").mkString(" "))
+  ).toDF("doc_id", "text")
+  private def bridgeText = (bridgeTokensA ++ bridgeTokensB).mkString(" ")
+
+  test("dedupAgainstStateAll: every above-threshold match, top-1 consistent, hits-sized") {
+    val st = Dedup.minhashDedupState(bridgeCorpus, "doc_id", "text")
+    val bridge = Seq((100L, bridgeText)).toDF("doc_id", "text")
+    val all = Dedup.dedupAgainstStateAll(st, bridge, "doc_id", "text",
+        threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // BOTH resident clusters matched — every member is its own exact
+    // class here, so X reports all four above-threshold reps (19/39 ≈
+    // 0.487 to each cluster head, 18/40 = 0.45 to each variant); the
+    // top-1 form can only name one of them
+    assert(all.map(t => (t._1, t._2)).toSet ==
+      Set((100L, 1L), (100L, 2L), (100L, 5L), (100L, 6L)),
+      s"got ${all.toSeq}")
+    assert(all.forall(t => t._3 >= 0.4 && t._3 <= 1.0))
+    // top-1 consistency: dup_of is the all-matches argmax under
+    // (jaccard desc, cid asc) — here a jaccard TIE broken to cid 1
+    val best = Dedup.dedupAgainstState(st, bridge, "doc_id", "text",
+        threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(best == Seq((100L, 1L)))
+    // an exact duplicate appears ONCE per rep with jaccard exactly 1.0
+    // (the exact and near paths both surface it; the (id, cid) collapse
+    // must not emit two rows)
+    val exact = Seq((200L, bridgeTokensA.mkString(" "))).toDF("doc_id", "text")
+    val ea = Dedup.dedupAgainstStateAll(st, exact, "doc_id", "text",
+        threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ea.count(t => t._1 == 200L && t._2 == 1L) == 1)
+    assert(ea.find(t => t._2 == 1L).get._3 == 1.0)
+    // hits-sized: an unmatched doc has NO row (unlike the top-1 form's
+    // null-dup_of row)
+    val none = Seq((300L, "totally unrelated q w e r t y u i o p"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dedupAgainstStateAll(st, none, "doc_id", "text").count() == 0)
+    assert(Dedup.dedupAgainstState(st, none, "doc_id", "text").count() == 1)
+  }
+
+  test("dupClusterStateIngest == from-scratch rebuild incl. the cross-corpus bridge") {
+    val corpus = bridgeCorpus
+    val clusterSt = Dedup.dupClusterState(
+      Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.4))
+    def cmap(st: Dedup.DupClusterState) =
+      st.clusters.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // sanity: two distinct resident clusters before ingest
+    assert(cmap(clusterSt) == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+    val mhSt = Dedup.minhashDedupState(corpus, "doc_id", "text")
+    val sToks = (0 to 19).map(i => s"s${i}v0")
+    val shard = Seq(
+      (100L, bridgeText), // near-dups BOTH resident clusters: must merge them
+      (101L, sToks.mkString(" ")), // shard-internal pair
+      (102L, (sToks.dropRight(1) :+ "ww0").mkString(" ")),
+      (103L, "unique shard content nothing like anything else")
+    ).toDF("doc_id", "text")
+    val merged = Dedup.dupClusterStateIngest(clusterSt, mhSt, shard,
+      "doc_id", "text", threshold = 0.4)
+    val rebuilt = Dedup.dupClusterState(
+      Dedup.minhashPairs(corpus.unionByName(shard), "doc_id", "text",
+        threshold = 0.4))
+    val m = cmap(merged)
+    assert(m == cmap(rebuilt))
+    // the bridge genuinely merged the two resident clusters under the
+    // component minimum, and pulled the bridge doc in with them
+    assert(m(5L) == 1L && m(6L) == 1L && m(100L) == 1L && m(2L) == 1L)
+    // shard-internal pair clustered under its own minimum; the unique
+    // doc is a non-node (no row — it keys on itself at split time)
+    assert(m(101L) == 101L && m(102L) == 101L && !m.contains(103L))
+    // the shard-internal-only recipe (the r15 demo shape) MISSES the
+    // bridge — resident clusters stay split: the hole the cross edges
+    // close, and exactly the train/eval leakage the family must prevent
+    val internalOnly = Dedup.dupClusterStateMerge(clusterSt,
+      Dedup.minhashPairs(shard, "doc_id", "text", threshold = 0.4)
+        .select("id1", "id2"))
+    val mi = cmap(internalOnly)
+    assert(mi(5L) == 5L && mi(6L) == 5L && !mi.contains(100L))
+  }
+
+  test("leakageSafeSplitAgainst: bucketed sort-merge path == broadcast path") {
+    import graft.sources.ScaleOps
+    // the 100 TB shape the scaladoc promises: a cluster state too big to
+    // broadcast lives as a parquet table BUCKETED BY id, and the split
+    // join degrades to a sort-merge join whose state side is read
+    // pre-partitioned (no state-side shuffle). Forced here via the
+    // broadcast threshold; result parity vs the default path is the pin
+    val d = docs
+    val st = Dedup.dupClusterState(
+      Dedup.jaccardPairs(d, "doc_id", "text", n = 2, threshold = 0.4))
+    val weights = Seq("train" -> 0.8, "eval" -> 0.2)
+    def smap(out: org.apache.spark.sql.DataFrame) =
+      out.select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaDefault = smap(
+      ScaleOps.leakageSafeSplitAgainst(st, d, "doc_id", weights, salt = "nb"))
+    assert(viaDefault.values.toSet == Set("train", "eval")) // non-degenerate
+    val bucketed = Dedup.DupClusterState(
+      withBucketedTable("graft_dcs_bucketed", st.clusters, Seq("id"), 4))
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = ScaleOps.leakageSafeSplitAgainst(bucketed, d, "doc_id",
+        weights, salt = "nb")
+      assert(smap(out) == viaDefault) // parity under the forced SMJ
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(3000))
+      assert(plan.contains("Bucketed: true"), plan.take(3000))
+      // the ONLY shuffle is the corpus side aligning to the state's
+      // buckets — the persisted state itself never re-shuffles
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        plan.take(3000))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("removeDupLinesAgainst boilerplate mode scrubs every within-shard repeat") {
     // corpus knows "cookie banner"; the shard brings its own nav bar
     // repeated on every page — keepFirst = false must scrub ALL of it
@@ -1991,17 +2119,20 @@ class PipelineSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // merged state == state over the unioned suites
     val merged = Dedup.contaminationStateMerge(
-      Dedup.contaminationState(suiteA, "doc_id", "text", n = 2),
-      Dedup.contaminationState(suiteB, "doc_id", "text", n = 2))
+      Dedup.contaminationState(suiteA, "doc_id", "text", n = 2,
+        suite = "sa"),
+      Dedup.contaminationState(suiteB, "doc_id", "text", n = 2,
+        suite = "sb"))
     val whole = Dedup.contaminationState(suiteA.unionByName(suiteB),
-      "doc_id", "text", n = 2)
+      "doc_id", "text", n = 2, suite = "w")
     assert(res(merged) == res(whole) && res(merged).nonEmpty)
     // the wrapper IS the state pair (byte-equal results)
     val viaWrapper = Dedup.contamination(shard, suiteA, "doc_id", "text",
         n = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaWrapper ==
-      res(Dedup.contaminationState(suiteA, "doc_id", "text", n = 2)))
+      res(Dedup.contaminationState(suiteA, "doc_id", "text", n = 2,
+        suite = "sa")))
     // parquet round-trip applies identically (persistable eval-suite state)
     val dir = java.nio.file.Files.createTempDirectory("graft_ctstate").toString
     merged.shingles.write.mode("overwrite").parquet(s"$dir/sh")
@@ -2015,7 +2146,8 @@ class PipelineSpec extends SparkTestBase {
     assert(e.getMessage.contains("built with n = 2"))
     val e2 = intercept[IllegalArgumentException] {
       Dedup.contaminationStateMerge(merged,
-        Dedup.contaminationState(suiteB, "doc_id", "text", n = 3))
+        Dedup.contaminationState(suiteB, "doc_id", "text", n = 3,
+          suite = "sb"))
     }
     assert(e2.getMessage.contains("widths"))
     // a hand-duplicated state (plain union instead of
@@ -2026,7 +2158,7 @@ class PipelineSpec extends SparkTestBase {
     assert(res(dup) == res(merged))
     // an empty eval suite contaminates nothing (and merges as identity)
     val empty = Dedup.contaminationState(d.filter(lit(false)),
-      "doc_id", "text", n = 2)
+      "doc_id", "text", n = 2, suite = "e")
     assert(Dedup.contaminationAgainst(empty, shard, "doc_id", "text", n = 2)
       .filter(col("n_contaminated") > 0).count() == 0)
     assert(res(Dedup.contaminationStateMerge(merged, empty)) == res(merged))
@@ -2037,7 +2169,8 @@ class PipelineSpec extends SparkTestBase {
       Dedup.contaminationAgainst(st, shard, "doc_id", "text", n = 2)
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
         .toMap
-    val one = byId(Dedup.contaminationState(suiteA, "doc_id", "text", n = 2))
+    val one = byId(Dedup.contaminationState(suiteA, "doc_id", "text", n = 2,
+      suite = "sa"))
     val two = byId(merged)
     assert(one.keySet == two.keySet)
     one.foreach { case (id, (n1, c1)) =>
@@ -2151,12 +2284,57 @@ class PipelineSpec extends SparkTestBase {
     }
     // empty suite: output shape kept, nothing removed, token stream intact
     val empty = Dedup.contaminationState(d.filter(lit(false)), "doc_id",
-      "text", n = 5)
+      "text", n = 5, suite = "e")
     val pass = Dedup.decontaminate(empty, shard, "doc_id", "text")
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
     assert(pass(1L) == ((0L, "xx aa bb cc dd ee yy aa bb cc dd ee")))
     assert(pass(3L) == ((0L, "aa bb cc dd")))
+  }
+
+  test("decontaminateBySuite: per-suite masks, union == total scrub, hits-sized") {
+    import spark.implicits._
+    val suiteA = Seq((100L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val suiteB = Seq((200L, "cc dd ee ff gg")).toDF("doc_id", "text")
+    val st = Dedup.contaminationStateMerge(
+      Dedup.contaminationState(suiteA, "doc_id", "text", n = 5, suite = "sa"),
+      Dedup.contaminationState(suiteB, "doc_id", "text", n = 5, suite = "sb"))
+    val shard = Seq(
+      // windows of BOTH suites, overlapping: sa masks pos 1-5, sb 3-7
+      (1L, "xx aa bb cc dd ee ff gg yy"),
+      (2L, "aa bb cc dd ee"), // sa only
+      (3L, "nothing shared here at all ok")
+    ).toDF("doc_id", "text")
+    def repOf(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val rep = repOf(Dedup.decontaminateBySuite(st, shard, "doc_id", "text"))
+    assert(rep((1L, "sa")) == 5L && rep((1L, "sb")) == 5L)
+    assert(rep((2L, "sa")) == 5L)
+    // hits-sized: no (2, sb) row, no doc-3 rows at all
+    assert(!rep.contains((2L, "sb")) && !rep.exists(_._1._1 == 3L))
+    // overlap rule: the UNION of per-suite masks is the scrub's
+    // n_removed — the per-suite sum double-counts shared positions
+    val tot = Dedup.decontaminate(st, shard, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tot(1L) == 7L)
+    assert(rep((1L, "sa")) + rep((1L, "sb")) > tot(1L))
+    // non-broadcast escape hatch: identical results on both operators
+    assert(repOf(Dedup.decontaminateBySuite(st, shard, "doc_id", "text",
+      broadcastState = false)) == rep)
+    val nbTot = Dedup.decontaminate(st, shard, "doc_id", "text",
+        broadcastState = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(nbTot == tot)
+    // empty state: nothing was cut from anything — zero rows
+    val empty = Dedup.contaminationState(shard.filter(lit(false)),
+      "doc_id", "text", n = 5, suite = "e")
+    assert(Dedup.decontaminateBySuite(empty, shard, "doc_id", "text")
+      .count() == 0)
+    // pre-provenance state refuses by name
+    val legacy = Dedup.ContaminationState(st.shingles.drop("suite_id"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.decontaminateBySuite(legacy, shard, "doc_id", "text")
+    }.getMessage.contains("suite_id"))
   }
 
   test("semDedupStateAppend: sequential micro-batch appends == one append") {

@@ -371,7 +371,8 @@ class StreamingSpec extends SparkTestBase {
     // shard probes it map-side (per-row measure, so shards decompose)
     val suite = Seq(
       (1L, "question answer pair benchmark text")).toDF("doc_id", "text")
-    val state = Dedup.contaminationState(suite, "doc_id", "text", n = 2)
+    val state = Dedup.contaminationState(suite, "doc_id", "text", n = 2,
+      suite = "s")
     state.shingles.cache().count()
     val shard = Seq(
       (10L, "question answer pair from the eval set"), // overlaps
@@ -443,6 +444,46 @@ class StreamingSpec extends SparkTestBase {
     assert(got.find(_._1 == 10L).exists(o => o._3 == 5L && o._4 == "xx yy"))
     assert(got.find(_._1 == 11L).exists(_._3 == 0L))
     assert(got.find(_._1 == 12L).exists(o => o._3 == 10L && o._4 == ""))
+  }
+
+  test("leakage-safe split streams against a frozen cluster state via foreachBatch, equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    import graft.sources.ScaleOps
+    // the against-state split is a STATELESS deterministic projection of
+    // each row (one frozen-state join + the salted hash) — shards
+    // decompose, and members of one cluster keep landing on the same
+    // side even when they arrive in DIFFERENT micro-batches
+    val state = Dedup.dupClusterState(
+      Seq((1L, 2L), (5L, 6L)).toDF("id1", "id2"))
+    state.clusters.cache().count()
+    val weights = Seq("train" -> 0.5, "eval" -> 0.5)
+    val corpus = Seq((1L, "a"), (2L, "b"), (5L, "c"), (6L, "d"),
+      (9L, "e"), (10L, "f"))
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = ScaleOps.leakageSafeSplitAgainst(state, batch, "doc_id",
+            weights, salt = "stream")
+          .select("doc_id", "split").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        got.synchronized { got ++= out }; ()
+      }
+      .start()
+    // split the cluster pairs ACROSS micro-batches on purpose
+    input.addData(corpus.take(1): _*) // 1 alone
+    q.processAllAvailable()
+    input.addData(corpus.drop(1): _*) // 2 arrives later; must follow 1
+    q.processAllAvailable()
+    q.stop()
+    val expected = ScaleOps.leakageSafeSplitAgainst(state,
+        corpus.toDF("doc_id", "text"), "doc_id", weights, salt = "stream")
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.toSet == expected && got.size == corpus.size)
+    val m = got.toMap
+    assert(m(2L) == m(1L) && m(6L) == m(5L)) // never straddle, cross-batch
   }
 
   test("incremental dedup runs per micro-batch via foreachBatch") {
