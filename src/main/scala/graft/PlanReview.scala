@@ -420,6 +420,27 @@ object PlanReview {
       graft.pipeline.Dedup.decontaminate(st,
         docs.filter(col("doc_id") % 5 === 1), "doc_id", "text")
     }
+    // round 16: all-matches ingest dedup — the same three key-equi
+    // state probes as the top-1 form, but the collapse is an (id, cid)
+    // hash-agg: NO window (no per-id sort) anywhere in the plan
+    show("dedupAgainstStateAll (state probes + hash-agg, no Window)") {
+      val st = graft.pipeline.Dedup.minhashDedupState(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 2)
+      graft.pipeline.Dedup.dedupAgainstStateAll(st,
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L),
+        "doc_id", "text", n = 2, threshold = 0.4)
+    }
+    // round 16: per-suite scrub report — (window, suite) sliver
+    // broadcasts into an INNER probe, positions explode only for HITS,
+    // one (id, suite)-keyed distinct + count
+    show("decontaminateBySuite (broadcast inner probe + keyed distinct)") {
+      val st = graft.pipeline.Dedup.contaminationState(
+        docs.filter(col("doc_id") % 37 === 0), "doc_id", "text", n = 5,
+        suite = "plan")
+      graft.pipeline.Dedup.decontaminateBySuite(st,
+        docs.filter(col("doc_id") % 5 === 1), "doc_id", "text")
+    }
     spark.stop()
   }
 }

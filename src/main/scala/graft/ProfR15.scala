@@ -79,6 +79,12 @@ object ProfR15 {
     }
 
     // -- arm 4: daily refresh — fold a 10% shard's new pairs in --
+    // NOTE (r16): this arm folds shard-INTERNAL pairs only and is kept
+    // as the historical r15 measurement. It is NOT the complete refresh
+    // recipe — a new doc near-dupping a RESIDENT doc contributes no
+    // edge here and could straddle a later split. The complete recipe
+    // (internal + cross-corpus all-matches edges) is
+    // Dedup.dupClusterStateIngest, priced in ProfR16.
     val shard = docs.filter(col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + 10000000L)
     timed("dupClusterStateMerge (10% shard's pairs folded in)") {
