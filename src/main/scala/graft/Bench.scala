@@ -302,6 +302,19 @@ object Bench {
     }
     lazy val dcState = Dedup.DupClusterState(
       spark.read.parquet(dcStateDir))
+    // frozen cluster state over the RESIDENT corpus only (the ingest
+    // arm's resident side must match mhParquetState's corpus so the
+    // recipe is the spec-pinned one: both frozen states from the same
+    // resident, shard disjoint)
+    lazy val dcCorpusStateDir: String = {
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+        n = 2, threshold = 0.5)
+      Dedup.dupClusterState(pairs).clusters
+        .write.mode("overwrite").parquet(s"$maintDir/dcc")
+      s"$maintDir/dcc"
+    }
+    lazy val dcCorpusState = Dedup.DupClusterState(
+      spark.read.parquet(dcCorpusStateDir))
 
     val maint: Seq[(String, () => Unit)] = Seq(
       "mnt_minhash_refresh" -> (() => {
@@ -357,7 +370,16 @@ object Bench {
       "mnt_leakage_split_state" -> (() =>
         sink(graft.sources.ScaleOps.leakageSafeSplitAgainst(dcState,
           docsWide, "doc_id", Seq("train" -> 0.98, "eval" -> 0.02),
-          salt = "bench")))
+          salt = "bench"))),
+      // round-16 addition: the COMPLETE cluster-state daily refresh
+      // (shard-internal pairs + cross-corpus all-matches edges + the
+      // monotone merge) — prices what closing the r15 leakage hole
+      // costs per shard at steady state; both frozen states read back
+      // from parquet (built once in setup over the resident corpus)
+      "mnt_cluster_ingest" -> (() =>
+        sink(Dedup.dupClusterStateIngest(dcCorpusState, mhParquetState,
+          refreshShard, "doc_id", "text", n = 2, threshold = 0.5)
+          .clusters))
     )
 
     // optional subset selector for big-SF runs (e.g. the 180M-row baseline

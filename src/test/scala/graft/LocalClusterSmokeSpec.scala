@@ -437,6 +437,73 @@ class LocalClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("r16 state ops distribute (all-matches ingest, complete cluster " +
+      "refresh, per-suite scrub report)") {
+    assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
+    // the all-matches cross-corpus edge producer, the complete
+    // daily-refresh recipe (≡ a from-scratch rebuild), and the per-suite
+    // removal report — the round-16 surface end-to-end under real
+    // executors, all states through their parquet round-trip
+    import graft.pipeline.Dedup
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val resident = d.filter(col("doc_id") % 10 =!= 0)
+    val shard = d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc_r16").toString
+    val mh = Dedup.minhashDedupState(resident, "doc_id", "text", n = 2)
+    mh.reps.write.mode("overwrite").parquet(s"$dir/reps")
+    mh.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    val loadedMh = Dedup.MinhashDedupState(
+      spark.read.parquet(s"$dir/reps"), spark.read.parquet(s"$dir/buckets"))
+    // all-matches: every row verified, and the top-1 form is its argmax
+    val all = Dedup.dedupAgainstStateAll(loadedMh, shard, "doc_id", "text",
+        n = 2, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(all.nonEmpty && all.forall(_._3 >= 0.4))
+    val bestOfAll = all.groupBy(_._1).map { case (id, ms) =>
+      id -> ms.map(m => (m._3, -m._2)).max // jaccard desc, cid asc
+    }
+    Dedup.dedupAgainstState(loadedMh, shard, "doc_id", "text",
+        n = 2, threshold = 0.4)
+      .filter(col("dup_of").isNotNull).collect()
+      .foreach { r =>
+        val (j, negCid) = bestOfAll(r.getLong(0))
+        assert(r.getLong(1) == -negCid && r.getDouble(2) == j,
+          s"top-1 disagrees with all-matches argmax for doc ${r.getLong(0)}")
+      }
+    // complete refresh ≡ from-scratch rebuild over resident ∪ shard
+    Dedup.dupClusterState(Dedup.minhashPairs(resident, "doc_id", "text",
+        n = 2, threshold = 0.4))
+      .clusters.write.mode("overwrite").parquet(s"$dir/dc")
+    val loadedDc = Dedup.DupClusterState(spark.read.parquet(s"$dir/dc"))
+    def cmap(st: Dedup.DupClusterState) = st.clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = cmap(Dedup.dupClusterStateIngest(loadedDc, loadedMh,
+      shard, "doc_id", "text", n = 2, threshold = 0.4))
+    val rebuilt = cmap(Dedup.dupClusterState(
+      Dedup.minhashPairs(resident.unionByName(shard), "doc_id", "text",
+        n = 2, threshold = 0.4)))
+    assert(merged == rebuilt && merged.nonEmpty)
+    // per-suite scrub report: per-suite masks bound the any-suite scrub
+    val ct = Dedup.contaminationStateMerge(
+      Dedup.contaminationState(
+        d.filter(col("doc_id") % 37 === 0), "doc_id", "text", 2, "s37"),
+      Dedup.contaminationState(
+        d.filter(col("doc_id") % 41 === 0), "doc_id", "text", 2, "s41"))
+    val shardD = d.filter(col("doc_id") % 5 === 1)
+    val perSuite = Dedup.decontaminateBySuite(ct, shardD, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val total = Dedup.decontaminate(ct, shardD, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(perSuite.nonEmpty)
+    perSuite.groupBy(_._1._1).foreach { case (id, rows) =>
+      val counts = rows.values
+      assert(counts.max <= total(id) && total(id) <= counts.sum,
+        s"doc $id: per-suite $counts vs total ${total(id)}")
+    }
+  }
+
   test("streaming funnel state store works under executors") {
     assume(enabled, "set GRAFT_LOCAL_CLUSTER=1 to run the cluster smoke")
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -1892,6 +1892,51 @@ class PipelineSpec extends SparkTestBase {
     assert(mi(5L) == 5L && mi(6L) == 5L && !mi.contains(100L))
   }
 
+  test("dupClusterStateIngest == rebuild on seeded random document corpora") {
+    // property loop (the repo's seeded pattern): random docs over a
+    // small vocabulary with planted near-dup mutations, split into
+    // resident/shard — the complete refresh recipe must equal a
+    // from-scratch rebuild over the union on shapes the hand fixture
+    // can't cover (mutation chains, shard docs bridging resident docs,
+    // exact copies landing in either half). LSH is deterministic (fixed
+    // minhash coefficients), so equality is exact, not probabilistic.
+    val rnd = new scala.util.Random(4242)
+    val vocab = (0 until 30).map(i => s"w$i")
+    def freshDoc() =
+      Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def mutate(text: String) = {
+      val t = text.split(" ").toBuffer
+      t(rnd.nextInt(t.size)) = vocab(rnd.nextInt(vocab.size))
+      t.mkString(" ")
+    }
+    for (round <- 1 to 3) {
+      val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+      (0 until 50).foreach { _ =>
+        val r = rnd.nextDouble()
+        if (texts.isEmpty || r < 0.4) texts += freshDoc()
+        else if (r < 0.7) texts += texts(rnd.nextInt(texts.size)) // exact copy
+        else texts += mutate(texts(rnd.nextInt(texts.size)))      // near-dup
+      }
+      val all = texts.zipWithIndex
+        .map { case (t, i) => ((i + 1).toLong, t) }.toSeq
+      val d = all.toDF("doc_id", "text")
+      val resident = d.filter(col("doc_id") <= 35)
+      val shard = d.filter(col("doc_id") > 35)
+      val merged = Dedup.dupClusterStateIngest(
+        Dedup.dupClusterState(Dedup.minhashPairs(resident, "doc_id",
+          "text", n = 2, threshold = 0.5)),
+        Dedup.minhashDedupState(resident, "doc_id", "text", n = 2),
+        shard, "doc_id", "text", n = 2, threshold = 0.5)
+      val rebuilt = Dedup.dupClusterState(Dedup.minhashPairs(d, "doc_id",
+        "text", n = 2, threshold = 0.5))
+      def cmap(st: Dedup.DupClusterState) = st.clusters.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val m = cmap(merged)
+      assert(m == cmap(rebuilt), s"round $round")
+      assert(m.nonEmpty, s"round $round: fixture produced no dup pairs")
+    }
+  }
+
   test("leakageSafeSplitAgainst: bucketed sort-merge path == broadcast path") {
     import graft.sources.ScaleOps
     // the 100 TB shape the scaladoc promises: a cluster state too big to
