@@ -845,7 +845,20 @@ object Dedup {
     * (shard², bucket-capped), three key-equi probes of the persisted
     * MinHash state (never corpus×corpus), and one CC re-run over
     * dup-sized edges; the resident corpus is never re-paired, re-read,
-    * or shuffled. Measured vs full re-pair in BENCH_NOTES (ProfR16). */
+    * or shuffled. Measured vs full re-pair in BENCH_NOTES (ProfR16).
+    *
+    * SEQUENTIAL multi-shard refreshes must ALSO refresh the MinHash
+    * state between shards ([[minhashDedupStateRefresh]]) — shard 2's
+    * cross matches probe `mhState`, so a stale state (resident only)
+    * would miss shard1×shard2 near-duplicates, the same
+    * boundary-straddling hole this recipe closes for resident×shard.
+    * The sound daily loop is therefore a PAIR of folds per shard:
+    * {{{
+    * clusterSt = dupClusterStateIngest(clusterSt, mhState, shard, ...)
+    * mhState   = minhashDedupStateRefresh(mhState, shard, ...)
+    * }}}
+    * Spec-pinned: two shards folded through this loop equal one rebuild
+    * over resident ∪ shard1 ∪ shard2. */
   def dupClusterStateIngest(
       state: DupClusterState,
       mhState: MinhashDedupState,

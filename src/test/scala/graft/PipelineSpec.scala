@@ -1937,6 +1937,54 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("sequential two-shard ingest loop (cluster + minhash refresh) == one rebuild") {
+    // the multi-shard daily loop: each shard folds into BOTH states —
+    // the cluster map (dupClusterStateIngest) AND the MinHash state
+    // (minhashDedupStateRefresh) — because shard 2's cross matches probe
+    // the MinHash state, and a stale (resident-only) state would miss
+    // shard1×shard2 near-dups: the same boundary-straddling hole the
+    // cross edges close for resident×shard. The fixture plants exactly
+    // that pair: s2 near-dups s1 (different shards) and nothing resident
+    val rnd = new scala.util.Random(1616)
+    val vocab = (0 until 30).map(i => s"v$i")
+    def doc() = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val xToks = (0 to 19).map(i => s"x$i")
+    val resident = ((1L to 20L).map(i => (i, doc())) :+
+      (21L, xToks.take(10).mkString(" "))).toDF("doc_id", "text")
+    val s1text = (0 to 19).map(i => s"q$i").mkString(" ")
+    val shard1 = Seq((101L, s1text), (102L, doc())).toDF("doc_id", "text")
+    val s2text = ((0 to 18).map(i => s"q$i") :+ "qq").mkString(" ")
+    val shard2 = Seq((201L, s2text), (202L, doc())).toDF("doc_id", "text")
+    var clusterSt = Dedup.dupClusterState(
+      Dedup.minhashPairs(resident, "doc_id", "text", n = 2, threshold = 0.5))
+    var mhState = Dedup.minhashDedupState(resident, "doc_id", "text", n = 2)
+    for (shard <- Seq(shard1, shard2)) {
+      clusterSt = Dedup.dupClusterStateIngest(clusterSt, mhState, shard,
+        "doc_id", "text", n = 2, threshold = 0.5)
+      mhState = Dedup.minhashDedupStateRefresh(mhState, shard,
+        "doc_id", "text")
+    }
+    val union = resident.unionByName(shard1).unionByName(shard2)
+    val rebuilt = Dedup.dupClusterState(
+      Dedup.minhashPairs(union, "doc_id", "text", n = 2, threshold = 0.5))
+    def cmap(st: Dedup.DupClusterState) = st.clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = cmap(clusterSt)
+    assert(m == cmap(rebuilt))
+    // the planted cross-shard pair really clustered (101 from shard 1,
+    // 201 from shard 2 — only the refreshed MinHash state can link them)
+    assert(m.get(201L) == Some(101L), s"cross-shard near-dup missed: $m")
+    // counter-demo: the STALE-state loop (no MinHash refresh between
+    // shards) misses exactly that pair
+    var staleCluster = Dedup.dupClusterState(
+      Dedup.minhashPairs(resident, "doc_id", "text", n = 2, threshold = 0.5))
+    val mh0 = Dedup.minhashDedupState(resident, "doc_id", "text", n = 2)
+    for (shard <- Seq(shard1, shard2))
+      staleCluster = Dedup.dupClusterStateIngest(staleCluster, mh0, shard,
+        "doc_id", "text", n = 2, threshold = 0.5)
+    assert(!cmap(staleCluster).contains(201L))
+  }
+
   test("leakageSafeSplitAgainst: bucketed sort-merge path == broadcast path") {
     import graft.sources.ScaleOps
     // the 100 TB shape the scaladoc promises: a cluster state too big to
