@@ -304,15 +304,25 @@ object Dbbinsreg {
     val binned = base.withColumn("__bin", binCol)
 
     // ---- bin geometry (A14) ----
-    val geo = binned
+    // sum(y) rides the SAME aggregate: the demean strategies re-add the
+    // grand outcome mean as the plot offset, and deriving it here
+    // (Σ per-bin y-sums / Σ n) removes the separate full-corpus avg(y)
+    // scan those fits paid (r16, guide §2.4 — one pass, not two; the
+    // per-bin partial-sum regrouping is within float tolerance of the
+    // one-shot avg, whose own partial order was partition-arbitrary)
+    val yd = col(f.y).cast("double")
+    val geoRows = binned
       .groupBy("__bin")
       .agg(min(x).as("left"), max(x).as("right"), avg(x).as("xmean"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"), sum(yd).as("ysum"))
       .orderBy("__bin")
       .collect()
+    val geo = geoRows
       .map(r => BinInfo(r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
       .toSeq
     val nobs = geo.map(_.n).sum
+    val grandMean =
+      if (nobs > 0) geoRows.map(_.getDouble(5)).sum / nobs else 0.0
     val interiorKnots = (1 until b).map(breaks(_))
 
     // control means for evaluation (binsreg evaluates at covariate means)
@@ -332,9 +342,9 @@ object Dbbinsreg {
     val cbOpt = if (cb && smoothness == 0) Some((cbSims, cbSeed)) else None
 
     if (smoothness == 0) fitUnconstrained(f, binned, geo, degree, vcov, level, lineGrid,
-      controls.map(_.label), controlMeans, interiorKnots, nobs, cbOpt)
+      controls.map(_.label), controlMeans, interiorKnots, nobs, cbOpt, grandMean)
     else fitConstrained(f, binned, geo, degree, smoothness, interiorKnots, vcov, level,
-      lineGrid, controls.map(_.label), controlMeans, nobs, xvar)
+      lineGrid, controls.map(_.label), controlMeans, nobs, xvar, grandMean)
   }
 
   /** s = 0: per-bin polynomial in u = (x − left)/h, all bins independent
@@ -352,7 +362,8 @@ object Dbbinsreg {
       controlMeans: Map[String, Double],
       knots: Seq[Double],
       nobs: Long,
-      cbOpt: Option[(Int, Long)]
+      cbOpt: Option[(Int, Long)],
+      grandMean: Double
   ): BinsregResult = {
     val x = col(f.terms.head.parts.head).cast("double")
     val width = math.max(2, geo.map(_.bin).max.toString.length)
@@ -377,13 +388,19 @@ object Dbbinsreg {
       if (degree == 0) "compress"
       else if (f.fe.isEmpty) "moments"
       else if (f.fe.length <= 2) "demean" else "compress"
-    val model = Dbreg.fit(fmlStr, dfb, vcov = vcov, strategy = strategy)
+    // the __binf level set is KNOWN (constructed two lines up from the bin
+    // geometry — zero-padded, so sorted = bin order): hint it to the fit
+    // instead of paying the per-fit distinct-probe job (ModelMatrix r16)
+    val binfLevels = geo.map(g =>
+      "b" + g.bin.toString.reverse.padTo(width, '0').reverse).sorted
+    val model = graft.model.ModelMatrix.withLevelHint(
+      Map("__binf" -> binfLevels)) {
+      Dbreg.fit(fmlStr, dfb, vcov = vcov, strategy = strategy)
+    }
     // demean absorbs the level into the FEs: re-add the grand mean so points
-    // plot on the outcome scale (standard absorbed-FE binscatter practice)
-    val offset =
-      if (model.strategy == "demean")
-        dfb.agg(avg(col(f.y).cast("double"))).collect()(0).getDouble(0)
-      else 0.0
+    // plot on the outcome scale (standard absorbed-FE binscatter practice).
+    // The mean was folded into the bin-geometry aggregate (no extra scan).
+    val offset = if (model.strategy == "demean") grandMean else 0.0
 
     def label(bin: Int) = "b" + bin.toString.reverse.padTo(width, '0').reverse
     // weight vector for evaluation at (bin, x)
@@ -417,7 +434,8 @@ object Dbbinsreg {
       controlTerms: Seq[String],
       controlMeans: Map[String, Double],
       nobs: Long,
-      xvar: String
+      xvar: String,
+      grandMean: Double
   ): BinsregResult = {
     val x = col(xvar).cast("double")
     var dfb = binned
@@ -437,10 +455,8 @@ object Dbbinsreg {
     val strategy =
       if (f.fe.isEmpty) "moments" else if (f.fe.length <= 2) "demean" else "compress"
     val model = Dbreg.fit(fmlStr, dfb, vcov = vcov, strategy = strategy)
-    val offset =
-      if (model.strategy == "demean")
-        dfb.agg(avg(col(f.y).cast("double"))).collect()(0).getDouble(0)
-      else 0.0
+    // grand mean from the geometry aggregate — see fitUnconstrained
+    val offset = if (model.strategy == "demean") grandMean else 0.0
 
     def wRow(bin: Int, xv: Double): DenseVector[Double] =
       DenseVector(model.terms.map { t =>

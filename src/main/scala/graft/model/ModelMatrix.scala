@@ -57,6 +57,22 @@ object ModelMatrix {
       case _ => false
     }
 
+  /** Scoped factor-level hint: an operator that CONSTRUCTS its own factor
+    * column (Dbbinsreg's `__binf` bin labels) already knows the exact,
+    * sorted level set — probing it back out of the data costs one
+    * distinct-collect job per fit for information the caller had in hand.
+    * `withLevelHint` brackets a fit so [[expand]] reads the hinted vars'
+    * levels instead of probing (r16, guide §2.4: remove the redundant
+    * pass). Thread-scoped (plan construction is synchronous on the calling
+    * thread) and exception-safe via DynamicVariable.withValue; hints must
+    * be the SORTED distinct level list — exactly what [[factorLevels]]
+    * would have returned. */
+  private val levelHints =
+    new scala.util.DynamicVariable[Map[String, Seq[String]]](Map.empty)
+
+  private[graft] def withLevelHint[T](hints: Map[String, Seq[String]])(body: => T): T =
+    levelHints.withValue(levelHints.value ++ hints)(body)
+
   /** Distinct non-null levels, capped + sorted (reference probes
     * `SELECT DISTINCT v FROM (… LIMIT 100000) ORDER BY v`). One small
     * collect per factor var; levels are assumed stable for the fit. */
@@ -135,8 +151,10 @@ object ModelMatrix {
       expandMains: Boolean = true
   ): Expansion = {
     val vars = terms.flatMap(_.parts).distinct
+    val hints = levelHints.value
     val levels: Map[String, Seq[String]] =
-      vars.filter(isFactor(df, _)).map(v => v -> factorLevels(df, v, maxLevels)).toMap
+      vars.filter(isFactor(df, _))
+        .map(v => v -> hints.getOrElse(v, factorLevels(df, v, maxLevels))).toMap
     val st = expandStructure(terms, levels, feVars, intercept, expandMains)
     Expansion(st.cols.map(renderCol), st.factorLevels)
   }

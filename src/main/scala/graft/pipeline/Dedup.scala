@@ -347,12 +347,33 @@ object Dedup {
     // the analyzer re-walk that subtree 2×4^k per round — measured 232 s
     // vs 8 s on the q208 composition. stageForIteration handles the
     // `off`-mode persist fallback so iterations still reuse blocks.
+    // PRE-PARTITIONED on `b`, the per-round probe key: the propagate join
+    // requires HashPartitioning(b), and the staged frame keeps its
+    // partitioning (LogicalRDD preserves it; persist keeps the plan), so
+    // EVERY round's join reads the edge table exchange-free — one staged
+    // dup-sized shuffle replaces one per round (guide §2.4, r16).
     val edges = Staging.stageForIteration(pairs
       .select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b"))))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .repartition(col("b")))
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 1-row exact-decimal label sum — the convergence probe. Label updates
+    // are MONOTONE (every round takes a min over a multiset containing the
+    // row's own label), so the total label sum strictly decreases iff any
+    // label changed this round; comparing round sums replaces the old
+    // updated×labels convergence join (−2 exchanges and a join per round).
+    // decimal(38,0) keeps the sum exact for any realistic id range/count
+    // (null = empty graph, handled as equal-sums ⇒ converged).
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) None else Some(r.getDecimal(0))
+    }
+    var prevSum = labelSum(labels) // also eagerly materializes the persist
+    // the persisted/checkpointed handle backing `labels` — what release
+    // bookkeeping operates on (labels itself may be a projection over it)
+    var labelsHandle: DataFrame = labels
     // frames whose cached blocks may still back `labels`' lineage; released
     // at the next eager checkpoint (which cuts the lineage) or left to the
     // context cleaner at exit
@@ -360,16 +381,17 @@ object Dedup {
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      // (1) propagate: min label over graph neighbors
-      val neighborMin = edges
+      // (1) propagate: min label over graph neighbors AND the row's own
+      // label in ONE aggregate — the self branch rides the union into the
+      // map-side partial agg, so the old labels⋈neighborMin join (and its
+      // exchange) disappears; every node keeps a row via its self branch
+      val prop = edges
         .join(labels.withColumnRenamed("id", "nbr"), col("b") === col("nbr"))
+        .select(col("a"), col("label"))
+        .unionAll(labels.select(col("id").as("a"), col("label")))
         .groupBy(col("a"))
-        .agg(min(col("label")).as("nlabel"))
-      val prop = labels
-        .join(neighborMin, labels("id") === neighborMin("a"), "left")
-        .select(
-          labels("id"),
-          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+        .agg(min(col("label")).as("label"))
+        .withColumnRenamed("a", "id")
       // (2) shortcut: label ← min(label, label(label)) — pointer jumping
       val lbl2 = prop.select(col("id").as("__lid"), col("label").as("__llabel"))
       val raw = prop
@@ -385,25 +407,22 @@ object Dedup {
           if (raw.sparkSession.sparkContext.getCheckpointDir.isDefined) raw.checkpoint()
           else raw.localCheckpoint()
         } else raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.as("u")
-        .join(labels.as("l"), "id")
-        .filter(col("u.label") =!= col("l.label"))
-        .limit(1)
-        .count()
+      val newSum = labelSum(updated) // one 1-row agg; materializes the persist
       if (ckptRound) {
         // `updated` is fully materialized with no lineage: every older frame
         // (including earlier checkpoints) is now safe to release
-        (labels :: pendingRelease).foreach(_.unpersist())
+        (labelsHandle :: pendingRelease).foreach(_.unpersist())
         pendingRelease = Nil
       } else {
-        // a lazily-persisted `updated` may still recompute partitions from
-        // `labels` (the convergence probe's limit(1) short-circuits), so
-        // defer the release; at most checkpointEvery-1 small label frames
-        // are ever held
-        pendingRelease ::= labels
+        // the 1-row agg above fully materialized the lazily-persisted
+        // `updated`, but its blocks still back later lineage until the next
+        // eager checkpoint truncates it; defer the release as before
+        pendingRelease ::= labelsHandle
       }
+      labelsHandle = updated
       labels = updated
-      converged = changed == 0
+      converged = newSum == prevSum
+      prevSum = newSum
       i += 1
     }
     // persist-fallback (off mode) blocks release here; checkpoint blocks
@@ -709,11 +728,17 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     val raw = againstStateMatches(state, newDocs, idCol, textCol, n, threshold)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("jaccard").desc, col("cid").asc)
+    // best match = argmin over (−jaccard, cid) — a single partial+final
+    // hash AGGREGATE (min_by with a lexicographic struct key) instead of a
+    // rank window: same (jaccard desc, cid asc) winner, but no per-id sort
+    // and map-side partials absorb the hits before the shuffle (r16,
+    // guide §2.3 "aggregate before you shuffle"; a window is a full sort
+    // of the hit table at scale)
     val best = raw
-      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-      .select(col("id"), col("cid").as("dup_of"), col("jaccard"))
+      .groupBy("id")
+      .agg(min_by(struct(col("cid"), col("jaccard")),
+        struct((-col("jaccard")).as("nj"), col("cid"))).as("__b"))
+      .select(col("id"), col("__b.cid").as("dup_of"), col("__b.jaccard"))
     // EVERY shard doc appears in the output — including sub-n-token docs,
     // which carry no shingles and are unique by construction
     newDocs.select(col(idCol).as("id")).join(best, Seq("id"), "left")
@@ -760,7 +785,7 @@ object Dedup {
     * [[dedupAgainstStateAll]]: every (id, cid, jaccard) candidate match
     * at or above the threshold (exact fingerprint ∪ verified LSH
     * candidates; a pair found by both paths may appear twice — callers
-    * collapse with their own top-1 window or (id, cid) agg). */
+    * collapse with their own top-1 argmax or (id, cid) agg). */
   private def againstStateMatches(
       state: MinhashDedupState,
       newDocs: DataFrame,

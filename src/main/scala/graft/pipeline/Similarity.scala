@@ -672,7 +672,7 @@ object Similarity {
     * Scale shape: one narrow assignment projection on the shard, ONE
     * cell-keyed equi join against cell-bucketable members (never
     * corpus × corpus — the cell structure is the valve), and a
-    * shard-sized best-match window. PRECONDITION: ids unique within and
+    * shard-sized best-match argmax aggregate. PRECONDITION: ids unique within and
     * across the two inputs. */
   def semDedupAgainst(
       state: SemDedupState,
@@ -699,10 +699,15 @@ object Similarity {
         col("vec").as("cvec")), Seq("cell"))
       .withColumn("cos", cosine(col("vec"), col("cvec")))
       .filter(col("cos") >= threshold)
-    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("cid").asc)
+    // best match = argmin over (−cos, cid): one partial+final hash
+    // aggregate instead of a rank window — same (cos desc, cid asc)
+    // winner, no per-id sort, and map-side partials absorb the cell-join
+    // fan-out before the shuffle (r16, guide §2.3)
     val best = cand
-      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-      .select(col("id"), col("cid").as("dup_of"), col("cos"))
+      .groupBy("id")
+      .agg(min_by(struct(col("cid"), col("cos")),
+        struct((-col("cos")).as("nc"), col("cid"))).as("__b"))
+      .select(col("id"), col("__b.cid").as("dup_of"), col("__b.cos"))
     base.select(col("id")).join(best, Seq("id"), "left")
   }
 
