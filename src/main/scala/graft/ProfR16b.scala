@@ -303,8 +303,12 @@ object ProfR16b {
     val selected = arms.filter { case (n, _) =>
       only.isEmpty || only.exists(n.startsWith) }
 
-    // setup (untimed): force the lazies the selected arms need
-    li.count(); docs.count(); emb.count()
+    // setup (untimed): force the lazies the selected arms need (partial
+    // replica dirs may lack some tables — a missing one only matters if a
+    // selected arm touches it)
+    Seq(() => li.count(), () => docs.count(), () => emb.count()).foreach { f =>
+      try { f(); () } catch { case _: Throwable => () }
+    }
     selected.foreach { case (name, fn) =>
       try fn()
       catch { case e: Throwable => System.err.println(s"[prof16b] warmup $name: $e") }

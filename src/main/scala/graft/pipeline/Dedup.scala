@@ -263,12 +263,22 @@ object Dedup {
       .agg(min(col("id")).as("id"), min_by(col("sharr"), col("id")).as("sharr"))
       .staged // not persist: lazily-returned, see PLANS.md §22
     val sigs = withSig(repSh, Seq("id"))
-    val bk0 = lshBuckets(sigs)
+    // STAGED under a valve: the bucket table feeds both the valve's size
+    // agg and the candidate side of the semi join, and each consumer
+    // would otherwise re-run the 16-hash signature projection (the md5 +
+    // 16 affine array passes — the dominant per-row CPU of the LSH side)
+    // from the repSh checkpoint. The staged rows are narrow (id, band,
+    // bucket), so one checkpoint write costs far less than a second
+    // signature pass (r16 A/B in OPTIMIZATION_r16.md; the r12 staging
+    // lesson cuts the other way for WIDE frames like the refresh union).
+    // Unvalved (None) keeps one consumer — no barrier.
+    val bk0raw = lshBuckets(sigs)
     // bucket-size valve (post-collapse): drop residual hot buckets before
     // the O(bucket²) self-join, mirroring the jaccardPairs shingle valve
     val bk = maxBucketSize match {
-      case None => bk0
+      case None => bk0raw
       case Some(cap) =>
+        val bk0 = bk0raw.staged
         val ok = bk0.groupBy("band", "bucket")
           .agg(count(lit(1)).as("__bsz"))
           .filter(col("__bsz") <= cap)
@@ -597,7 +607,7 @@ object Dedup {
       .withColumn("max_bucket", lit(maxBucketSize.getOrElse(-1L)))
       .staged // reused: the bucket pass here + exact/verify joins at apply
       .filter(col("__fp").isNotNull) // post-barrier: drop the empty-set group
-    val cb0 = lshBuckets(withSig(
+    val cb0raw = lshBuckets(withSig(
         crep.select(col("cid").as("id"), col("csharr").as("sharr")),
         Seq("id")))
       .withColumnRenamed("id", "cid")
@@ -610,8 +620,12 @@ object Dedup {
     // from a rebuild. Tombstone count is bounded by the hot-bucket
     // count, never corpus-sized.
     val cb = maxBucketSize match {
-      case None => cb0
+      case None => cb0raw
       case Some(cap) =>
+        // staged for the same reason as minhashPairs' bucket table: the
+        // valve consumes it twice (hot agg + anti join) and re-deriving it
+        // means a second full signature pass; staged rows are narrow (r16)
+        val cb0 = cb0raw.staged
         val hot = cb0.groupBy("band", "bucket")
           .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > cap)
           .select("band", "bucket")
