@@ -274,6 +274,15 @@ object ProfR16b {
           refreshShard, "doc_id", "text", n = 2, threshold = 0.5)
           .clusters)),
       // sub-component arms (not bench arms — decomposition of the heavy ones)
+      "sub_tokens_only" -> (() =>
+        sink(docsWide.select(col("doc_id"), TextOps.tokens(col("text")).as("t")))),
+      "sub_shingles_only" -> (() =>
+        sink(docsWide
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+          .select(col("doc_id"),
+            array_distinct(TextOps.wordShingles(col("__toks"), 2)).as("sh")))),
+      "sub_sig_only" -> (() =>
+        sink(Dedup.minhashSignatures(docsWide, "doc_id", "text", n = 2))),
       "sub_minhash_pairs_docsWide" -> (() =>
         sink(Dedup.minhashPairs(docsWide, "doc_id", "text",
           n = 2, threshold = 0.5))),

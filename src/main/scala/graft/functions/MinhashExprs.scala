@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native one-pass MinHash signature over a string array.
+  *
+  * The HOF spelling — `transform(sharr, s => hash32(s) % P)` staged into a
+  * bound attribute, then 16 separate `array_min(transform(xs, x =>
+  * (x·aᵢ + bᵢ) % P))` — is CodegenFallback: every row pays interpreted
+  * lambda dispatch for 17 lambdas and materializes two intermediate
+  * arrays, and it sits on the dominant CPU pass of the whole MinHash
+  * family (every signature build/apply/refresh). This expression walks
+  * the array ONCE: per element, md5 → first-4-bytes unsigned → mod P,
+  * then 16 running minima updated in a tight loop (r16, guide §4).
+  *
+  * Semantics are EXACTLY the HOF spelling's, element for element:
+  *   xᵢ = conv(substring(md5(s), 1, 8), 16, 10) % P   (integer, exact)
+  *   sig(j) = min over non-null elements of (xᵢ·a(j) + b(j)) % P
+  * A null element contributes nothing (array_min skips nulls); an empty
+  * array (or one with only null elements) yields a signature of k nulls
+  * (array_min of an empty array is null) — and so does a NULL input
+  * array, because the HOF spelling wrapped the per-hash nulls in a
+  * non-null `array(...)` constructor (array_min(transform(null)) = null
+  * per slot, but the outer array is never null). Identical to the
+  * previous output, so every oracle hash is unchanged. Integer ranges: x < P ≤
+  * 2²⁰, a(j) ≤ ~1.2e5 ⇒ x·a + b < 2⁴¹, no overflow.
+  */
+case class MinhashSig(
+    child: Expression,
+    p: Long,
+    as: Seq[Long],
+    bs: Seq[Long]
+) extends UnaryExpression {
+  require(as.length == bs.length && as.nonEmpty,
+    s"coefficient arrays must be same-length and non-empty: ${as.length}/${bs.length}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  // never null: a NULL/empty input yields the all-null-slot signature,
+  // exactly like the HOF spelling's outer array(...) constructor
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig needs array<string>, got ${other.simpleString}")
+    }
+
+  private val aArr = as.toArray
+  private val bArr = bs.toArray
+
+  /** Shared by eval and codegen: one pass, k running minima. */
+  def compute(arr: ArrayData): ArrayData = {
+    val k = aArr.length
+    val mins = new Array[Any](k)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = MinhashSig.hash32(arr.getUTF8String(i)) % p
+        var j = 0
+        while (j < k) {
+          val v = (x * aArr(j) + bArr(j)) % p
+          val cur = mins(j)
+          if (cur == null || v < cur.asInstanceOf[Long]) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  private val emptyInput: ArrayData = new GenericArrayData(Array.empty[Any])
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    compute(if (v == null) emptyInput else v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinhashSig].getName)
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = false;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $ref.compute(${childGen.isNull} ? $ref.emptyInputForCodegen()
+            : ${childGen.value});
+      """
+    ev.copy(code = code)
+  }
+
+  /** codegen helper: the shared empty input for the NULL-array branch */
+  def emptyInputForCodegen(): ArrayData = emptyInput
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinhashSig {
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 md5 hex chars as an unsigned 32-bit value — bit-identical to
+    * `conv(substring(md5(s), 1, 8), 16, 10)::long` (TextOps.hash32):
+    * the first 8 hex chars ARE the first 4 digest bytes. */
+  def hash32(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  def apply(sharr: Column, p: Long, as: Seq[Long], bs: Seq[Long]): Column = {
+    import org.apache.spark.sql.GraftInternal
+    GraftInternal.columnOf(
+      new MinhashSig(GraftInternal.expressionOf(sharr), p, as, bs))
+  }
+}

@@ -146,30 +146,26 @@ object Dedup {
         col("id"),
         array_distinct(TextOps.wordShingles(col("__toks"), n)).as("sharr"))
 
-  /** MinHash signature column from a shingle-array column: hash each
-    * shingle once, then NumHashes `array_min`s of affine re-hashes. Pure
-    * per-row expressions — computing signatures is a narrow map, no
-    * explode/groupBy/shuffle at any scale. */
-  def minhashSigCol(sharr: Column): Column = {
-    val xs = transform(sharr, s => TextOps.hash32(s) % MinhashP)
-    array((0 until NumHashes).map { i =>
-      array_min(transform(xs, x => (x * minhashA(i) + minhashB(i)) % MinhashP))
-    }: _*)
-  }
+  /** MinHash signature column from a shingle-array column: ONE codegen'd
+    * pass computing all NumHashes minima
+    * ([[graft.functions.MinhashSig]] — bit-identical to the previous
+    * hash-then-16-array_min HOF spelling, whose 17 interpreted lambdas
+    * were the dominant per-row CPU of the family; r16, guide §4). A
+    * narrow map — no explode/groupBy/shuffle at any scale. */
+  def minhashSigCol(sharr: Column): Column =
+    graft.functions.MinhashSig(sharr, MinhashP,
+      (0 until NumHashes).map(minhashA),
+      (0 until NumHashes).map(minhashB))
 
-  /** Staged signature projection over a frame holding a `sharr` column:
-    * hash every shingle ONCE into a bound attribute, then take the 16
-    * affine minima from it. Passing [[minhashSigCol]] inline instead would
-    * re-evaluate the md5 hashing 16× per row — the hash array is referenced
-    * by every `array_min`, and top-level projections get no CSE across
-    * expressions (measured 16× the md5 cost at sf10). The multi-use
-    * attribute also blocks CollapseProject from re-inlining. */
+  /** Signature projection over a frame holding a `sharr` column — the
+    * one-pass codegen'd [[minhashSigCol]]. (The old two-step staged
+    * projection — hash into a bound `__xs` attribute, then 16 array_mins
+    * — existed to keep the HOF spelling from re-running the md5 16× per
+    * row; the native expression hashes each element exactly once by
+    * construction, so the staging scaffold is gone with the lambdas.) */
   private def withSig(sharrFrame: DataFrame, keep: Seq[String]): DataFrame =
     sharrFrame
-      .select(keep.map(col) :+ transform(col("sharr"), s => TextOps.hash32(s) % MinhashP).as("__xs"): _*)
-      .select(keep.map(col) :+ array((0 until NumHashes).map { i =>
-        array_min(transform(col("__xs"), x => (x * minhashA(i) + minhashB(i)) % MinhashP))
-      }: _*).as("sig"): _*)
+      .select(keep.map(col) :+ minhashSigCol(col("sharr")).as("sig"): _*)
 
   /** MinHash signatures: one row per doc, `sig` = array of NumHashes minima. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =

@@ -84,8 +84,12 @@ object VectorIndex {
         "with VectorIndex.build")
     // explicit part-file read: passing the underscore dir itself would
     // log a benign "All paths were ignored" WARN per read (see
-    // ScaleOps.readMetaDir)
-    graft.sources.ScaleOps.readMetaDir(spark, s"$dir/_vmanifest")
+    // ScaleOps.readMetaDir). The schema is fixed by writeManifest (one
+    // string column), so passing it skips the per-read inference job (r16)
+    graft.sources.ScaleOps.readMetaDir(spark, s"$dir/_vmanifest",
+        Some(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("file",
+            org.apache.spark.sql.types.StringType)))))
       .select("file").collect().map(_.getString(0)).toSet
   }
 
@@ -118,11 +122,27 @@ object VectorIndex {
     checkManifest(spark, dir); ()
   }
 
+  /** The codebook schema [[build]] writes — fixed by its own
+    * `toDF("cell", "cvec")`, so readers pass it and skip the per-read
+    * schema-inference job (r16). */
+  private[pipeline] val CentroidSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+
+  /** The persisted codebook frame (schema pinned — no inference job). */
+  private[pipeline] def centroidFrame(
+      spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(CentroidSchema).parquet(s"$dir/centroids.parquet")
+
   /** The persisted codebook, collected BY NAME (a relocated or re-read
     * centroid frame with reordered columns still reads correctly). */
   private def loadCentroids(
       spark: SparkSession, dir: String): Array[Array[Double]] =
-    spark.read.parquet(s"$dir/centroids.parquet")
+    centroidFrame(spark, dir)
       .select("cell", "cvec").orderBy("cell").collect()
       .map(_.getSeq[Number](1).toArray.map(_.doubleValue))
 
@@ -254,7 +274,7 @@ object VectorIndex {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
     checkManifest(spark, dir)
-    val cdf = spark.read.parquet(s"$dir/centroids.parquet")
+    val cdf = centroidFrame(spark, dir)
       .select("cell", "cvec")
     val cents = loadCentroids(spark, dir)
     require(cents.nonEmpty, s"no centroids at $dir — build the index first")
@@ -414,7 +434,7 @@ object VectorIndex {
       nprobe: Int = 4
   ): DataFrame = {
     checkManifest(spark, dir)
-    topKImpl(spark.read.parquet(s"$dir/centroids.parquet"),
+    topKImpl(centroidFrame(spark, dir),
       spark.read.parquet(s"$dir/assigned.parquet"),
       queries, qIdCol, qVecCol, k, nprobe)
   }
@@ -467,7 +487,7 @@ final class VectorIndexHandle private[pipeline] (
     * validated state (the swap is all-or-nothing). */
   def revalidate(): Unit = {
     VectorIndex.validateForHandle(spark, dir)
-    val centroidFrame = spark.read.parquet(s"$dir/centroids.parquet")
+    val centroidFrame = VectorIndex.centroidFrame(spark, dir)
     val cents = centroidFrame.select("cell", "cvec").orderBy("cell")
       .collect()
       .map(_.getSeq[Number](1).toArray.map(_.doubleValue))

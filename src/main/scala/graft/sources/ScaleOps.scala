@@ -173,7 +173,9 @@ object ScaleOps {
     * driver-side (file-count-sized, an RPC the manifest readers already
     * pay for the data listing) hands Spark only unhidden names. */
   private[graft] def readMetaDir(
-      spark: SparkSession, dir: String): DataFrame = {
+      spark: SparkSession, dir: String,
+      knownSchema: Option[org.apache.spark.sql.types.StructType] = None
+  ): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(p),
@@ -187,7 +189,14 @@ object ScaleOps {
       .map(n => s"${dir.stripSuffix("/")}/$n")
       .toIndexedSeq
     require(files.nonEmpty, s"no data files under metadata dir $dir")
-    spark.read.parquet(files: _*)
+    // a caller whose manifest schema is FIXED by its own writer (the
+    // vindex `_vmanifest`: one string column) passes it and skips the
+    // per-read schema-inference job; callers that VALIDATE the on-disk
+    // schema (zorderAppend's column check) keep inference (r16)
+    knownSchema match {
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
   }
 
   def zorderAppend(
@@ -297,8 +306,12 @@ object ScaleOps {
   ): DataFrame = {
     require(bounds.nonEmpty, "zorderScan needs at least one bound")
     val manifest = readMetaDir(spark, s"$path/_zmanifest")
-    val manifestNames = manifest.select("file").collect()
-      .map(_.getString(0)).toSet
+    // ONE file-count-sized collect; the name cross-check AND the box
+    // pruning both run driver-side over these rows (previously two
+    // separate collect jobs over the same tiny manifest — r16)
+    val manifestRows = manifest.collect()
+    val manifestNames = manifestRows
+      .map(_.getAs[String]("file")).toSet
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     // data files live directly under `path`; metadata (_zmanifest/,
@@ -321,13 +334,17 @@ object ScaleOps {
             vanished.toSeq.sorted.take(5).mkString(", ")
         else "") +
         " — rerun zorderWrite on the current data")
-    val keep = bounds.map { case (c, lo, hi) =>
-      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
-    }.reduce(_ && _)
-    val files = manifest.filter(keep)
-      .select("file").collect()
-      .map(r => s"${path.stripSuffix("/")}/${r.getString(0)}")
-      .toIndexedSeq
+    // driver-side box pruning over the collected rows — same three-valued
+    // semantics as the previous Column filter (a NULL stat never keeps)
+    def overlaps(r: org.apache.spark.sql.Row): Boolean =
+      bounds.forall { case (c, lo, hi) =>
+        val iMax = r.fieldIndex(s"max_$c"); val iMin = r.fieldIndex(s"min_$c")
+        !r.isNullAt(iMax) && !r.isNullAt(iMin) &&
+          r.getDouble(iMax) >= lo && r.getDouble(iMin) <= hi
+      }
+    val files = manifestRows.filter(overlaps)
+      .map(r => s"${path.stripSuffix("/")}/${r.getAs[String]("file")}")
+      .toIndexedSeq.sorted
     val pred = bounds.map { case (c, lo, hi) =>
       col(c).cast("double") >= lit(lo) && col(c).cast("double") <= lit(hi)
     }.reduce(_ && _)
