@@ -59,10 +59,120 @@ object UnicodeNormalize {
   val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
 }
 
+/** Native one-pass word n-gram shingles over a token array (n ≥ 2).
+  *
+  * The HOF spelling —
+  * `when(size(toks) < n, []).otherwise(transform(sequence(1, size−n+1),
+  * i => concat_ws(" ", element_at(toks, i), …, element_at(toks, i+n−1))))`
+  * — is CodegenFallback: interpreted lambda dispatch per shingle plus an
+  * n-way element_at/concat_ws expression tree per element, on the
+  * projection every shingle-family operator (MinHash, contamination,
+  * span/window dedup) runs over the whole corpus. This walks the token
+  * array once and emits `size − n + 1` space-joined shingles (r16,
+  * guide §4).
+  *
+  * Semantics are EXACTLY the HOF spelling's under the session defaults:
+  * fewer than n tokens → the EMPTY array (non-null); a NULL token array
+  * → the one-empty-shingle array [""] (size(null) is null under the
+  * Spark 4 ANSI default, so the HOF fell through to its otherwise
+  * branch, where greatest(null, 1) = 1 drives one concat_ws over null
+  * element_ats = ""); null elements are SKIPPED by the join with no
+  * separator (UTF8String.concatWs = the concat_ws builtin's own
+  * implementation). */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, s"WordShingles needs n >= 2 (n = 1 is the identity), got $n")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  // never null: the HOF's when(...).otherwise(...) always yields an array
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingles needs array<string>, got ${other.simpleString}")
+    }
+
+  /** Shared by eval and codegen. */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val size = arr.numElements()
+    if (size < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val sep = WordShingles.Space
+    val m = size - n + 1
+    val out = new Array[Any](m)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i < m) {
+      var k = 0
+      while (k < n) {
+        // concat_ws skips nulls — UTF8String.concatWs implements exactly that
+        window(k) = if (arr.isNullAt(i + k)) null
+          else arr.getUTF8String(i + k)
+        k += 1
+      }
+      out(i) = UTF8String.concatWs(sep, window: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  // the HOF's NULL-array result: one empty-string shingle (see scaladoc)
+  private val nullInputResult =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](UTF8String.EMPTY_UTF8))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) nullInputResult
+    else compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("wordShingles", this,
+      classOf[WordShingles].getName)
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = false;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${childGen.isNull} ? $ref.emptyForCodegen()
+            : $ref.compute(${childGen.value});
+      """
+    ev.copy(code = code)
+  }
+
+  /** codegen helper: the [""] result for the NULL-array branch */
+  def emptyForCodegen(): org.apache.spark.sql.catalyst.util.ArrayData =
+    nullInputResult
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+  private val Space = UTF8String.fromString(" ")
+}
+
 object TextExprs {
   /** Unicode-normalize a string column (default NFC). Codegen'd; NULL in,
     * NULL out. */
   def unicodeNormalize(c: Column, form: String = "NFC"): Column =
     org.apache.spark.sql.GraftInternal.columnOf(
       UnicodeNormalize(org.apache.spark.sql.GraftInternal.expressionOf(c), form))
+
+  /** Word n-gram shingles (n ≥ 2) — the codegen'd [[WordShingles]]. */
+  def wordShingles(toks: Column, n: Int): Column =
+    org.apache.spark.sql.GraftInternal.columnOf(
+      WordShingles(org.apache.spark.sql.GraftInternal.expressionOf(toks), n))
 }

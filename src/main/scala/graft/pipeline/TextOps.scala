@@ -17,18 +17,15 @@ object TextOps {
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   /** Word n-gram shingles (space-joined) from a token array. Empty for
-    * docs with fewer than n tokens — `sequence(1, stop)` DESCENDS when
-    * stop < 1 (yielding [1, 0] and an out-of-bounds element_at), so the
-    * short-doc case must branch before the sequence, not clamp inside it. */
+    * docs with fewer than n tokens. One codegen'd pass over the array
+    * ([[graft.functions.WordShingles]] — bit-identical to the previous
+    * when/sequence/transform/concat_ws HOF spelling, whose interpreted
+    * per-shingle lambdas sat on the corpus-wide projection of every
+    * shingle-family operator; r16, guide §4). */
   def wordShingles(toks: Column, n: Int): Column = {
     require(n >= 1)
     if (n == 1) toks
-    else
-      when(size(toks) < n, array().cast("array<string>")).otherwise(
-        transform(
-          sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)
-        ))
+    else graft.functions.TextExprs.wordShingles(toks, n)
   }
 
   /** Whitespace token count. */
