@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native one-pass MinHash signature over a string array.
   *
@@ -110,11 +111,54 @@ case class MinhashSig(
   override def prettyName: String = "minhash_sig"
 }
 
+/** Native 32-bit md5-prefix hash: the first 8 md5 hex chars of the UTF-8
+  * bytes as a BIGINT in [0, 2³²) — bit-identical to the builtin chain
+  * `conv(substring(md5(s), 1, 8), 16, 10)::long` (TextOps.hash32: the
+  * first 8 hex chars ARE the first 4 digest bytes), without
+  * materializing the 32-char hex string, the substring copy, or the
+  * base-16 re-parse. This hash sits in every deterministic
+  * sampling/split/bucketing filter and the SimHash token loop (r16,
+  * guide §4). NULL in, NULL out (same as the builtin chain). */
+case class Hash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hash32 needs a string input, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashSig.hash32(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinhashSig.javaHash32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash32 =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_hash32"
+}
+
+object Hash32 {
+  def apply(s: Column): Column = {
+    import org.apache.spark.sql.GraftInternal
+    GraftInternal.columnOf(new Hash32(GraftInternal.expressionOf(s)))
+  }
+}
+
 object MinhashSig {
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+
+  /** Java-callable static forwarder for codegen ([[Hash32]]). */
+  def javaHash32(s: org.apache.spark.unsafe.types.UTF8String): Long = hash32(s)
 
   /** First 8 md5 hex chars as an unsigned 32-bit value — bit-identical to
     * `conv(substring(md5(s), 1, 8), 16, 10)::long` (TextOps.hash32):

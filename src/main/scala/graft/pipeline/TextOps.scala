@@ -426,9 +426,13 @@ object TextOps {
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
   /** First 8 md5 hex chars as a BIGINT in [0, 2^32) — the deterministic,
-    * cross-engine numeric hash used by MinHash/SimHash. */
-  def hash32(s: Column): Column =
-    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+    * cross-engine numeric hash used by MinHash/SimHash and every
+    * deterministic sampling/split filter. One codegen'd digest
+    * ([[graft.functions.Hash32]] — bit-identical to the previous
+    * `conv(substring(md5(s), 1, 8), 16, 10)::long` builtin chain, minus
+    * the 32-char hex materialization, substring copy, and base-16
+    * re-parse; r16, guide §4). */
+  def hash32(s: Column): Column = graft.functions.Hash32(s)
 
   /** GPT-style sequence packing: lay the corpus out as one deterministic
     * token stream (docs ordered by md5-hash of the id — a stable,

@@ -70,6 +70,24 @@ class MinhashSigSpec extends SparkTestBase {
       got.getSeq[Any](0).forall(_ == null))
   }
 
+  test("Hash32 is bit-identical to the conv(substring(md5)) builtin chain") {
+    val rng = new scala.util.Random(41)
+    val rows = Seq.fill(60)(rng.alphanumeric.take(rng.nextInt(30)).mkString) ++
+      Seq("", " ", "héllo wörld ünïcode", "", "日本語テキスト")
+    val df = rows.toDF("s")
+    val got = df.select(
+      graft.functions.Hash32(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("chain"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+    // null in, null out — same as the chain
+    val nr = Seq(1).toDF("id").withColumn("s", lit(null).cast("string"))
+      .select(graft.functions.Hash32(col("s")).as("native"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("chain"))
+      .collect()(0)
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
   test("interpreted eval matches codegen (filter context forces eval paths)") {
     val rng = new scala.util.Random(23)
     val rows = Seq.fill(30)(
