@@ -136,6 +136,31 @@ object PlansR16 {
         threshold = 0.5))
 
     // ------------------------------------------------------------------
+    // 2b. simhash: explode + 16-aggregate groupBy (one full shuffle of
+    //     the token table) → narrow one-pass generator, NO exchange
+    // ------------------------------------------------------------------
+    locally {
+      import graft.pipeline.TextOps
+      val bits = Dedup.SimhashBits
+      // BEFORE (verbatim pre-r16 shape)
+      val tok = docs
+        .select(col("doc_id").as("id"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .withColumn("x", TextOps.hash32(col("tok")))
+      val bitSums = (0 until bits).map { k =>
+        sum(when(shiftright(col("x"), k) % 2 === 1, 1).otherwise(-1)).as(s"b$k")
+      }
+      dump("simhash_before")(
+        tok.groupBy("id")
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("id"),
+            (0 until bits)
+              .map(k => when(col(s"b$k") > 0, 1L << k).otherwise(0L))
+              .reduce((a, b) => a + b).as("simhash")))
+      dump("simhash_after")(Dedup.simhash(docs, "doc_id", "text"))
+    }
+
+    // ------------------------------------------------------------------
     // 3. semDedupAgainst: rank window → min_by argmax aggregate
     // ------------------------------------------------------------------
     val embCorpus = emb.filter(col("vec_id") % 10 =!= 0)

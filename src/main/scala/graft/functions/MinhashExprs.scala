@@ -151,6 +151,112 @@ object Hash32 {
   }
 }
 
+/** Native one-pass SimHash over a token array, wrapped for a generator:
+  * returns a 0-or-1-element array<long> so `explode(SimhashArr(toks))`
+  * reproduces the old explode+groupBy semantics EXACTLY — a doc with no
+  * tokens (or a NULL token array) emits NO row, every other doc emits
+  * its signature — while evaluating the tokens exactly once (Generate
+  * evaluates its generator input once per row; a separate
+  * size/isnotnull filter would be pushdown-substituted below the
+  * projection and re-run the token pipeline per row, the documented
+  * HOF-pushdown trap).
+  *
+  * The old shape exploded every token and shuffled the full (id, hash)
+  * token table into a 16-aggregate groupBy — at corpus scale that
+  * shuffle carries |tokens| rows for a per-doc-computable value. This
+  * is the guide-§2.4 removal: SimHash becomes a narrow projection with
+  * NO exchange anywhere (r16).
+  *
+  * Bit arithmetic is the old aggregate's exactly: bit k of the
+  * signature is set iff Σ_tokens (bit k of hash32(token) ? +1 : −1) is
+  * strictly positive; a null token element contributes −1 to every bit
+  * (the old `when(null % 2 === 1, 1).otherwise(-1)` branch). */
+case class SimhashArr(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 32, s"simhash bits must be in [1,32], got $bits")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_arr needs array<string>, got ${other.simpleString}")
+    }
+
+  /** Shared by eval and codegen. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return SimhashArr.Empty
+    val sums = new Array[Long](bits)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        // old aggregate: a null hash falls to the otherwise(-1) branch
+        var k = 0
+        while (k < bits) { sums(k) -= 1; k += 1 }
+      } else {
+        val x = MinhashSig.hash32(arr.getUTF8String(i))
+        var k = 0
+        while (k < bits) {
+          if (((x >>> k) & 1L) == 1L) sums(k) += 1 else sums(k) -= 1
+          k += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < bits) {
+      if (sums(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    new GenericArrayData(Array[Any](sig))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) SimhashArr.Empty // explode of a null array emits no row
+    else compute(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashArr", this, classOf[SimhashArr].getName)
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = false;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${childGen.isNull} ? graft.functions.SimhashArr.javaEmpty()
+            : $ref.compute(${childGen.value});
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashArr =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_arr"
+}
+
+object SimhashArr {
+  private[functions] val Empty: ArrayData =
+    new GenericArrayData(Array.empty[Any])
+
+  /** Java-callable for codegen. */
+  def javaEmpty(): ArrayData = Empty
+
+  def apply(toks: Column, bits: Int): Column = {
+    import org.apache.spark.sql.GraftInternal
+    GraftInternal.columnOf(
+      new SimhashArr(GraftInternal.expressionOf(toks), bits))
+  }
+}
+
 object MinhashSig {
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

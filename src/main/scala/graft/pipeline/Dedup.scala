@@ -1343,28 +1343,22 @@ object Dedup {
     * `bits = 32` (wider buckets — see the Scaladoc there). */
   val SimhashBits = 16
 
-  /** SimHash signature per document: one explode + one groupBy (map-side
-    * partials), so the corpus is shuffled once, keyed on the doc id. Bit k
-    * (k < bits ≤ 32) is taken from bit k of the 32-bit token hash, so
-    * narrowing `bits` is a pure truncation — the default 16-bit signature
-    * is the low half of the 32-bit one. */
+  /** SimHash signature per document: ONE narrow codegen'd pass over the
+    * token array ([[graft.functions.SimhashArr]] inside a generator) —
+    * no explode of the token table, NO shuffle anywhere (the old shape
+    * shuffled every (id, token-hash) row into a 16-aggregate groupBy; a
+    * SimHash is a per-doc-computable value, so that exchange carried
+    * |tokens| rows for nothing — removed, r16 guide §2.4). Identical
+    * rows: a doc with no tokens emits no row (the generator's empty
+    * array = the old explode's no-rows), every bit matches the old
+    * aggregate exactly. Bit k (k < bits ≤ 32) is taken from bit k of
+    * the 32-bit token hash, so narrowing `bits` is a pure truncation —
+    * the default 16-bit signature is the low half of the 32-bit one. */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = SimhashBits): DataFrame = {
     require(bits >= 1 && bits <= 32, s"simhash bits must be in [1,32], got $bits")
-    val tok = df
-      .select(col(idCol).as("id"),
-        explode(TextOps.tokens(col(textCol))).as("tok"))
-      .withColumn("x", TextOps.hash32(col("tok")))
-    val bitSums = (0 until bits).map { k =>
-      sum(when(shiftright(col("x"), k) % 2 === 1, 1).otherwise(-1)).as(s"b$k")
-    }
-    tok.groupBy("id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(
-        col("id"),
-        (0 until bits)
-          .map(k => when(col(s"b$k") > 0, 1L << k).otherwise(0L))
-          .reduce((a, b) => a + b)
-          .as("simhash"))
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.SimhashArr(
+        TextOps.tokens(col(textCol)), bits)).as("simhash"))
   }
 
   /** SimHash near-duplicate pairs within Hamming distance `maxHamming`,
