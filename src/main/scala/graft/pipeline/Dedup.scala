@@ -1630,7 +1630,8 @@ object Dedup {
     // repeated inside one doc is duplicated by definition
     val wins = t.select(col("id"),
         explode(TextOps.wordShingles(col("toks"), width)).as("win"))
-      .select(col("id"), md5(col("win")).as("k"))
+      // internal key: md5 bytes, not hex (r16 guide §2.3)
+      .select(col("id"), unhex(md5(col("win"))).as("k"))
     val counts = wins.groupBy("k").agg(count(lit(1)).as("__c"))
     val perDoc = wins.join(counts, "k")
       .groupBy("id")
@@ -1718,8 +1719,11 @@ object Dedup {
       .select(col("id"),
         posexplode(TextOps.wordShingles(col("toks"), width))
           .as(Seq("pos", "win")))
+      // internal key: md5 BYTES, not hex — same fingerprint, half the
+      // key bytes on the window exchange (r16 guide §2.3; the against
+      // form keeps hex to match persisted spanFingerprints state)
       .select(col("id"), col("pos").cast("long").as("pos"),
-        md5(col("win")).as("k"))
+        unhex(md5(col("win"))).as("k"))
     // duplicated fingerprints + their first occurrence, ONE aggregate
     val firsts = wins.groupBy("k")
       .agg(count(lit(1)).as("__c"),
@@ -1898,7 +1902,7 @@ object Dedup {
   ): DataFrame = {
     require(minRepeat >= 2, s"minRepeat must be >= 2, got $minRepeat")
     val t = linesOf(df, idCol, textCol, delim)
-    val keyed = lineKeys(t)
+    val keyed = lineKeys(t, binaryKey = true) // internal key: see lineKeys
     val dups = keyed.groupBy("k")
       .agg(count(lit(1)).as("__c"),
         min(struct(col("id"), col("pos"))).as("__first"))
@@ -1996,12 +2000,18 @@ object Dedup {
         java.util.regex.Pattern.quote(delim), -1).as("lines"))
 
   /** Fingerprinted non-blank line occurrences: (id, pos, k). Blank lines
-    * never enter the dup algebra (always survive). */
-  private def lineKeys(t: DataFrame): DataFrame =
+    * never enter the dup algebra (always survive). `binaryKey` shuffles
+    * the 16-byte md5 BYTES instead of the 32-char hex string — a
+    * bijection of the same fingerprint, so grouping/joins are identical
+    * while the dominant exchange of the line family carries half the key
+    * bytes (r16, guide §2.3). Only the BATCH form uses it: the
+    * against/state forms join persisted [[lineFingerprints]] state,
+    * whose hex encoding is frozen on disk. */
+  private def lineKeys(t: DataFrame, binaryKey: Boolean = false): DataFrame =
     t.select(col("id"), posexplode(col("lines")).as(Seq("pos", "line")))
       .filter(trim(col("line")) =!= "")
       .select(col("id"), col("pos").cast("long").as("pos"),
-        md5(col("line")).as("k"))
+        (if (binaryKey) unhex(md5(col("line"))) else md5(col("line"))).as("k"))
 
   /** Shared tail of the line-removal family: masked (id, pos) occurrences
     * → per-doc position sets → byte-faithful rebuild of surviving lines. */
