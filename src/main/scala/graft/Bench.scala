@@ -27,6 +27,36 @@ object Bench {
   private val Iters =
     sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(5)
 
+  /** Per-arm structural counters (jobs / stages / tasks / shuffle-write
+    * bytes / input bytes) via a SparkListener — the ProfR16b instrument,
+    * embedded in the bench output (r17, VERDICT r16 item 2): counts are
+    * noise-immune, so plan-shape changes stay verifiable on a host whose
+    * wall-clock is poisoned by CPU steal. */
+  private final class ArmCounts extends org.apache.spark.scheduler.SparkListener {
+    private val jobs = new java.util.concurrent.atomic.AtomicLong
+    private val stages = new java.util.concurrent.atomic.AtomicLong
+    private val tasks = new java.util.concurrent.atomic.AtomicLong
+    private val shufW = new java.util.concurrent.atomic.AtomicLong
+    private val input = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); ()
+    }
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      tasks.addAndGet(s.stageInfo.numTasks)
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        input.addAndGet(m.inputMetrics.bytesRead)
+      }
+      ()
+    }
+    def snap(): Seq[Long] =
+      Seq(jobs.get, stages.get, tasks.get, shufW.get, input.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,6 +89,8 @@ object Bench {
       .config("spark.cleaner.referenceTracking", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val armCounts = new ArmCounts
+    spark.sparkContext.addSparkListener(armCounts)
     // Even with the ContextCleaner off, AccumulatorContext holds WEAK
     // references: a finished plan's SQL-metric accumulators can be
     // garbage-collected while a straggler task-end event still carries
@@ -429,24 +461,51 @@ object Bench {
     }
 
     def timed(ws: Seq[(String, () => Unit)]) = ws.map { case (name, fn) =>
+      var prof: Seq[Long] = Nil // structural counters from the LAST iter
       val times = (1 to Iters).map { _ =>
+        val before = armCounts.snap()
         val t0 = System.nanoTime()
         try fn()
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        prof = armCounts.snap().zip(before).map { case (a, b) => a - b }
+        dt
       }.sorted
-      name -> times.head // min — see protocol note above
+      (name, times.head, prof) // min — see protocol note above
     }
     val results = timed(selected)
     val curResults = timed(selectedCur)
     val mntResults = timed(selectedMnt)
 
-    def js(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
+    def js(rs: Seq[(String, Double, Seq[Long])]) =
+      rs.map { case (k, v, _) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
+    def profJs(rs: Seq[(String, Double, Seq[Long])]) =
+      rs.map { case (k, _, p) =>
+        "\"" + k + "\":{\"jobs\":" + p(0) + ",\"stages\":" + p(1) +
+          ",\"tasks\":" + p(2) + ",\"shuffle_write_bytes\":" + p(3) +
+          ",\"input_bytes\":" + p(4) + "}"
+      }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val curTotal = curResults.map(_._2).sum
     val mntTotal = mntResults.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${js(results)},"curation":${js(curResults)},"curation_total":$curTotal%.4f,"maint":${js(mntResults)},"maint_total":$mntTotal%.4f,"sf":"$sfDir"}""")
+    val all = results ++ curResults ++ mntResults
+    // the round-13 rich line, unchanged keys + additive prof/cpus (old
+    // consumers that tolerated curation/maint tolerate these too)
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${js(results)},"curation":${js(curResults)},"curation_total":$curTotal%.4f,"maint":${js(mntResults)},"maint_total":$mntTotal%.4f,"sf":"$sfDir","cpus":$cpus,"prof":${profJs(all)}}""")
+    // FLAT single-line JSON (r17, VERDICT r16 item 1 — the driver's
+    // comparator could not parse the nested line for two rounds): every
+    // arm name → seconds in ONE flat object, no nesting, printed as the
+    // final stdout line AND written to bench_out.json so sbt log framing
+    // can never corrupt it.
+    val flat = (all.map { case (k, v, _) => "\"" + k + f"\":$v%.4f" } ++
+      Seq(f""""total":$total%.4f""", f""""curation_total":$curTotal%.4f""",
+        f""""maint_total":$mntTotal%.4f""", s""""cpus":$cpus""",
+        s""""sf":"$sfDir"""")).mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (flat.dropRight(1) + s""","prof":${profJs(all)}}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(flat)
     spark.stop()
   }
 }
