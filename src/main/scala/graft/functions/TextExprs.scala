@@ -164,6 +164,84 @@ object WordShingles {
   private val Space = UTF8String.fromString(" ")
 }
 
+/** Native one-pass whitespace tokenizer: the maximal runs of
+  * non-whitespace bytes, in order — bit-identical to
+  * `filter(split(s, "\\s+"), t => length(t) > 0)`, whose ArrayFilter HOF
+  * is CodegenFallback (an interpreted lambda per element on the
+  * tokenization EVERY text-family operator runs corpus-wide) and whose
+  * split pays a regex matcher plus the empty leading/trailing tokens the
+  * filter then discards (r17, guide §4).
+  *
+  * Whitespace = Java regex `\s` without UNICODE_CHARACTER_CLASS, exactly
+  * as the split spelling: { space, \t, \n, \x0B, \f, \r } — six ASCII
+  * bytes, which in UTF-8 never occur inside a multi-byte sequence, so a
+  * byte-level scan splits identically to the regex (unicode whitespace
+  * like U+00A0 does NOT split, matching `\s`). Empty/whitespace-only
+  * input → empty array; NULL → NULL (split/filter both propagate). */
+case class WhitespaceTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"whitespace_tokens needs a string input, got ${child.dataType.simpleString}")
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  /** Shared by eval and codegen. */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // pass 1: count tokens (branch-cheap; bytes stay in cache for pass 2)
+    var count = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) count += 1
+      while (i < n && !isWs(bytes(i))) i += 1
+    }
+    if (count == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    // pass 2: slice tokens over the shared byte array (fromBytes wraps,
+    // no per-token copy)
+    val out = new Array[Any](count)
+    var k = 0
+    i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        out(k) = UTF8String.fromBytes(bytes, start, i - start)
+        k += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("whitespaceTokens", this,
+      classOf[WhitespaceTokens].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WhitespaceTokens =
+    copy(child = newChild)
+
+  override def prettyName: String = "whitespace_tokens"
+}
+
 object TextExprs {
   /** Unicode-normalize a string column (default NFC). Codegen'd; NULL in,
     * NULL out. */
@@ -175,4 +253,9 @@ object TextExprs {
   def wordShingles(toks: Column, n: Int): Column =
     org.apache.spark.sql.GraftInternal.columnOf(
       WordShingles(org.apache.spark.sql.GraftInternal.expressionOf(toks), n))
+
+  /** Non-empty whitespace tokens — the codegen'd [[WhitespaceTokens]]. */
+  def whitespaceTokens(s: Column): Column =
+    org.apache.spark.sql.GraftInternal.columnOf(
+      WhitespaceTokens(org.apache.spark.sql.GraftInternal.expressionOf(s)))
 }

@@ -234,6 +234,17 @@ object Dedup {
     * document size is bounded, so the per-pair cost is constant and the
     * join fan-out is bounded by capped bucket sizes (the standard web-scale
     * dedup shape). */
+  /** The valved bucket table's staging, behind a live-JVM toggle
+    * (`-Dgraft.lsh.stageBuckets=false` disables it) so the staged-vs-
+    * recompute decision can be A/B'd INTERLEAVED in one JVM (ProfR17;
+    * the r16 A/B's samples overlapped on a bursting host — VERDICT item
+    * 6). Default = staged, the shipping configuration: the valve
+    * consumes the table twice and re-deriving it re-runs the 16-hash
+    * signature pass. */
+  private[graft] def stageBucketTable(df: DataFrame): DataFrame =
+    if (sys.props.get("graft.lsh.stageBuckets").contains("false")) df
+    else df.staged
+
   def minhashPairs(
       df: DataFrame,
       idCol: String,
@@ -274,7 +285,7 @@ object Dedup {
     val bk = maxBucketSize match {
       case None => bk0raw
       case Some(cap) =>
-        val bk0 = bk0raw.staged
+        val bk0 = stageBucketTable(bk0raw)
         val ok = bk0.groupBy("band", "bucket")
           .agg(count(lit(1)).as("__bsz"))
           .filter(col("__bsz") <= cap)
@@ -371,12 +382,28 @@ object Dedup {
     // label changed this round; comparing round sums replaces the old
     // updated×labels convergence join (−2 exchanges and a join per round).
     // decimal(38,0) keeps the sum exact for any realistic id range/count
-    // (null = empty graph, handled as equal-sums ⇒ converged).
+    // (null = empty graph, handled as equal-sums ⇒ converged; a sum that
+    // OVERFLOWED 38 digits would also be null and could false-converge,
+    // but that needs ~1e19 total label mass — unreachable for ids that
+    // themselves fit the 38-digit cast).
+    // TYPE GATE (r17, ADVICE): the sum probe is only sound for integral
+    // label types — a string id would throw CAST_INVALID_INPUT under the
+    // Spark 4 ANSI default (or cast to null without ANSI and silently
+    // "converge" after one round), and a fractional id would round, so two
+    // different label states could sum equal. Non-integral id types fall
+    // back to the type-agnostic changed-row join probe (the pre-r16 form).
+    import org.apache.spark.sql.types._
+    val sumProbeOk = edges.schema("a").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0
+      case _ => false
+    }
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] = {
       val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
       if (r.isNullAt(0)) None else Some(r.getDecimal(0))
     }
-    var prevSum = labelSum(labels) // also eagerly materializes the persist
+    // eagerly materialize the persist (the sum probe doubles as the action)
+    var prevSum = if (sumProbeOk) labelSum(labels) else { labels.count(); None }
     // the persisted/checkpointed handle backing `labels` — what release
     // bookkeeping operates on (labels itself may be a projection over it)
     var labelsHandle: DataFrame = labels
@@ -390,7 +417,15 @@ object Dedup {
       // (1) propagate: min label over graph neighbors AND the row's own
       // label in ONE aggregate — the self branch rides the union into the
       // map-side partial agg, so the old labels⋈neighborMin join (and its
-      // exchange) disappears; every node keeps a row via its self branch
+      // exchange) disappears; every node keeps a row via its self branch.
+      // PERSISTED: the pointer-jump self-join below references prop twice,
+      // and differing pushed-down null filters give the two subtrees
+      // different canonical forms, so without the persist Spark planned —
+      // and RAN — the whole edges⋈labels propagate join + aggregate TWICE
+      // per round (verified in plans/r16/cc_propagate_round_after.txt:
+      // operators 1–22 ≡ 23–39). The cache also feeds the jump's build
+      // side exchange-free: the aggregate output is hash(a)-partitioned,
+      // exactly the __lid join key (r17, guide §2.4).
       val prop = edges
         .join(labels.withColumnRenamed("id", "nbr"), col("b") === col("nbr"))
         .select(col("a"), col("label"))
@@ -398,6 +433,7 @@ object Dedup {
         .groupBy(col("a"))
         .agg(min(col("label")).as("label"))
         .withColumnRenamed("a", "id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // (2) shortcut: label ← min(label, label(label)) — pointer jumping
       val lbl2 = prop.select(col("id").as("__lid"), col("label").as("__llabel"))
       val raw = prop
@@ -413,21 +449,35 @@ object Dedup {
           if (raw.sparkSession.sparkContext.getCheckpointDir.isDefined) raw.checkpoint()
           else raw.localCheckpoint()
         } else raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val newSum = labelSum(updated) // one 1-row agg; materializes the persist
+      // sum probe: one 1-row agg that also materializes the persist.
+      // Fallback (non-integral ids): changed-row join against the previous
+      // labels — limit(1) short-circuits, so on persist rounds `updated`
+      // may only partially materialize (the deferred release below covers
+      // that, exactly as pre-r16).
+      val newSum = if (sumProbeOk) labelSum(updated) else None
+      val roundConverged =
+        if (sumProbeOk) newSum == prevSum
+        else updated.as("u")
+          .join(labels.as("l"), "id")
+          .filter(col("u.label") =!= col("l.label"))
+          .limit(1)
+          .count() == 0L
       if (ckptRound) {
         // `updated` is fully materialized with no lineage: every older frame
-        // (including earlier checkpoints) is now safe to release
-        (labelsHandle :: pendingRelease).foreach(_.unpersist())
+        // (including earlier checkpoints and this round's prop cache) is
+        // now safe to release
+        (prop :: labelsHandle :: pendingRelease).foreach(_.unpersist())
         pendingRelease = Nil
       } else {
         // the 1-row agg above fully materialized the lazily-persisted
-        // `updated`, but its blocks still back later lineage until the next
-        // eager checkpoint truncates it; defer the release as before
-        pendingRelease ::= labelsHandle
+        // `updated`, but its blocks (and the prop cache backing them) still
+        // back later lineage until the next eager checkpoint truncates it;
+        // defer the release as before
+        pendingRelease = prop :: labelsHandle :: pendingRelease
       }
       labelsHandle = updated
       labels = updated
-      converged = newSum == prevSum
+      converged = roundConverged
       prevSum = newSum
       i += 1
     }
@@ -621,7 +671,7 @@ object Dedup {
         // staged for the same reason as minhashPairs' bucket table: the
         // valve consumes it twice (hot agg + anti join) and re-deriving it
         // means a second full signature pass; staged rows are narrow (r16)
-        val cb0 = cb0raw.staged
+        val cb0 = stageBucketTable(cb0raw)
         val hot = cb0.groupBy("band", "bucket")
           .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > cap)
           .select("band", "bucket")

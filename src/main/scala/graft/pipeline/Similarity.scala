@@ -697,8 +697,19 @@ object Similarity {
     val cand = asg
       .join(state.members.select(col("cell"), col("id").as("cid"),
         col("vec").as("cvec")), Seq("cell"))
-      .withColumn("cos", cosine(col("vec"), col("cvec")))
+      // Zero-norm guard (r17; spec-pinned): cos against a zero-norm vector
+      // is 0/0 — a DIVIDE_BY_ZERO error under the Spark 4 ANSI default,
+      // and NaN (which sorts LARGEST, passing >= threshold and, under the
+      // pre-r16 rank window, even winning the argmax) without ANSI. A
+      // degenerate vector is not a match: the CaseWhen evaluates the
+      // division lazily, yields NULL on a zero norm product, and the
+      // three-valued >= filter drops it in both modes.
+      .withColumn("__np", norm(col("vec")) * norm(col("cvec")))
+      .withColumn("cos",
+        when(col("__np") === 0.0, lit(null).cast("double"))
+          .otherwise(dot(col("vec"), col("cvec")) / col("__np")))
       .filter(col("cos") >= threshold)
+      .drop("__np")
     // best match = argmin over (−cos, cid): one partial+final hash
     // aggregate instead of a rank window — same (cos desc, cid asc)
     // winner, no per-id sort, and map-side partials absorb the cell-join

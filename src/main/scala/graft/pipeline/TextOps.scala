@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Lowercased whitespace tokens, empties removed. */
+  /** Lowercased whitespace tokens, empties removed. One codegen'd pass
+    * ([[graft.functions.WhitespaceTokens]] — bit-identical to the previous
+    * `filter(split(lower(text), "\\s+"), t => length(t) > 0)` spelling,
+    * whose ArrayFilter lambda was the last CodegenFallback on the
+    * corpus-wide tokenization path; r17, guide §4). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    graft.functions.TextExprs.whitespaceTokens(lower(text))
 
   /** Word n-gram shingles (space-joined) from a token array. Empty for
     * docs with fewer than n tokens. One codegen'd pass over the array
@@ -518,7 +522,14 @@ object TextOps {
         u.as("__u")) ++ keep ++ shardKey): _*)
       .withColumn("__bkt",
         shiftright(col("__u") * lit(buckets.toLong), 32).cast("int"))
-    val base = if (stageSlim) base0.staged else base0
+    // staged form (r17): PRE-PARTITIONED on __bkt before the checkpoint
+    // (the CC edge-table pattern, guide §2.4) — hash(__bkt) satisfies the
+    // clustered distribution of BOTH consumers (the phase-1 (shard?, bkt)
+    // aggregate and the phase-2 window partitioned by the same keys), so
+    // the tokenize projection runs ONCE and the window reads the staged
+    // partitioning exchange-free, instead of two full tokenize passes
+    // plus a window exchange.
+    val base = if (stageSlim) base0.repartition(col("__bkt")).staged else base0
     // phase 1: per-(shard, bucket) token sums → driver; exclusive prefix
     // per shard in bucket order = each bucket's exact global seed
     val gKeys = (if (shardKey.isEmpty) Nil else Seq("__shardKey")) :+ "__bkt"

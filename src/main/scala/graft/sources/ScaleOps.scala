@@ -804,6 +804,21 @@ object ScaleOps {
     val base = tokenBudgetBase(df, domainCol, keyCol, tokens, budgets,
       salt, buckets)
     val cross = tokenBudgetCross(base, domainCol, budgets, buckets)
+    tokenBudgetKeep(base, domainCol, keyCol, cross)
+  }
+
+  /** Phase 2 of the exact token-budget cut, given each domain's crossing
+    * bucket + exact below-crossing cumsum: every bucket strictly below
+    * crosses whole (pure filter), ONLY the crossing bucket's sliver pays
+    * the exact cumulative window. Extracted verbatim from
+    * [[sampleToTokenBudget]] (r17) so [[repeatToTokenBudget]] can reuse it
+    * with crossings derived from its fused histogram. */
+  private def tokenBudgetKeep(
+      base: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      cross: Map[String, (Int, Long)]
+  ): DataFrame = {
     val crossBkt = domainCase(cross.map { case (d, (cb, _)) => d -> cb },
       domainCol, "int")
     val belowTok = domainCase(cross.map { case (d, (_, b)) => d -> b },
@@ -861,7 +876,30 @@ object ScaleOps {
       buckets: Int = 1024,
       maxEpochs: Int = 1000
   ): DataFrame = {
-    val plan = repeatPlan(df, domainCol, keyCol, tokens, budgets, maxEpochs)
+    validateRepeatArgs(df, domainCol, budgets, maxEpochs)
+    // FUSED phase 0+1 (r17, guide §2.4): ONE per-(domain, bucket)
+    // token-sum histogram serves BOTH the epoch arithmetic (inventory =
+    // the per-domain total over buckets) and the remainder cut's
+    // crossing-bucket search — the old shape paid two full corpus
+    // tokenize+aggregate passes (repeatPlan's inventory agg, then
+    // sampleToTokenBudget's phase-1 agg) for the same information.
+    // keyCol.isNotNull matches the old inventory filter exactly; the old
+    // remainder histogram had no such filter, but a null key in a
+    // budgeted domain made its getInt(crossing read) throw, so the two
+    // shapes agree on every input the old one accepted.
+    val hist: Map[String, Seq[(Int, Long)]] =
+      tokenBudgetBase(df, domainCol, keyCol, tokens, budgets, salt, buckets)
+        .filter(col(keyCol).isNotNull)
+        .groupBy(col(domainCol).as("__d"), col("__bkt"))
+        .agg(sum(col("__tok")).as("__t"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (d, rows) =>
+          d -> rows.map(t => (t._2, t._3)).sortBy(_._1).toSeq
+        }
+    val inv = hist.map { case (d, rows) => d -> rows.map(_._2).sum }
+    val plan = repeatPlanFrom(inv, budgets, maxEpochs)
     val fullDomains = plan.filter(_._2 >= 1)
     val budgetOf = domainCase(budgets.toMap, domainCol, "long")
     val inDomain = df.filter(budgetOf.isNotNull && col(keyCol).isNotNull)
@@ -878,8 +916,15 @@ object ScaleOps {
     val part =
       if (partDomains.isEmpty) None
       else {
-        val cut = sampleToTokenBudget(df, domainCol, keyCol, tokens,
-          partDomains.map { case (d, _, r) => d -> r }, salt, buckets)
+        // remainder crossings from the SAME histogram (no second phase-1
+        // agg); the keep/boundary assembly is sampleToTokenBudget's own
+        val partBudgets = partDomains.map { case (d, _, r) => d -> r }
+        val cross = partBudgets.map { case (d, r) =>
+          d -> crossingOf(hist(d), r, buckets)
+        }.toMap
+        val baseRem = tokenBudgetBase(df, domainCol, keyCol, tokens,
+          partBudgets, salt, buckets)
+        val cut = tokenBudgetKeep(baseRem, domainCol, keyCol, cross)
         val eCase = domainCase(
           partDomains.map { case (d, e, _) => d -> e }.toMap,
           domainCol, "int")
@@ -908,6 +953,26 @@ object ScaleOps {
       budgets: Seq[(String, Long)],
       maxEpochs: Int
   ): Seq[(String, Int, Long)] = {
+    validateRepeatArgs(df, domainCol, budgets, maxEpochs)
+    val tok = coalesce(tokens.cast("long"), lit(0L))
+    val budgetOf = domainCase(budgets.toMap, domainCol, "long")
+    val inv = df.filter(budgetOf.isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(domainCol).as("__d"))
+      .agg(sum(tok).as("__t"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    repeatPlanFrom(inv, budgets, maxEpochs)
+  }
+
+  /** The argument refusals shared by [[repeatToTokenBudget]] (fused
+    * histogram) and [[repeatPlan]]. */
+  private def validateRepeatArgs(
+      df: DataFrame,
+      domainCol: String,
+      budgets: Seq[(String, Long)],
+      maxEpochs: Int
+  ): Unit = {
     require(budgets.nonEmpty, "budgets must be non-empty")
     require(budgets.forall(_._2 > 0), s"budgets must be positive: $budgets")
     require(budgets.map(_._1).distinct.size == budgets.size,
@@ -917,14 +982,15 @@ object ScaleOps {
       "df already carries an 'epoch' column — the repeat mixture appends " +
         "its own; rename or drop the existing one")
     requireStringDomain(df, domainCol)
-    val tok = coalesce(tokens.cast("long"), lit(0L))
-    val budgetOf = domainCase(budgets.toMap, domainCol, "long")
-    val inv = df.filter(budgetOf.isNotNull && col(keyCol).isNotNull)
-      .groupBy(col(domainCol).as("__d"))
-      .agg(sum(tok).as("__t"))
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-      .toMap
+  }
+
+  /** The per-domain epoch arithmetic given the token inventory — the
+    * zero-inventory / runaway-epoch / absent-domain refusals. */
+  private def repeatPlanFrom(
+      inv: Map[String, Long],
+      budgets: Seq[(String, Long)],
+      maxEpochs: Int
+  ): Seq[(String, Int, Long)] = {
     val absent = budgets.map(_._1).toSet -- inv.keySet
     require(absent.isEmpty,
       s"budget domains with no rows: ${absent.toSeq.sorted.mkString(", ")} " +
@@ -1143,19 +1209,29 @@ object ScaleOps {
         "(the sampleToMix contract: a budget for an absent domain is a " +
         "config error, not an empty sample)")
     hist.map { case (d, rows) =>
-      val budget = budgets.toMap.apply(d)
-      val byBkt = rows.sortBy(_._2)
-      var cum = 0L
-      var cb = buckets // past the end: whole domain fits the budget
-      var below = 0L
-      var i = 0
-      while (i < byBkt.length && cb == buckets) {
-        if (cum + byBkt(i)._3 >= budget) { cb = byBkt(i)._2; below = cum }
-        else cum += byBkt(i)._3
-        i += 1
-      }
-      d -> (cb, below)
+      d -> crossingOf(rows.map(t => (t._2, t._3)).sortBy(_._1), budgets.toMap.apply(d), buckets)
     }
+  }
+
+  /** The crossing-bucket scan shared by [[tokenBudgetCross]] and the
+    * fused histogram in [[repeatToTokenBudget]]: first bucket whose
+    * INCLUSIVE cumsum reaches the budget, plus the exact cumsum below it.
+    * `rows` must be (bucket, tokenSum) sorted by bucket. */
+  private def crossingOf(
+      rows: Seq[(Int, Long)],
+      budget: Long,
+      buckets: Int
+  ): (Int, Long) = {
+    var cum = 0L
+    var cb = buckets // past the end: whole domain fits the budget
+    var below = 0L
+    var i = 0
+    while (i < rows.length && cb == buckets) {
+      if (cum + rows(i)._2 >= budget) { cb = rows(i)._1; below = cum }
+      else cum += rows(i)._2
+      i += 1
+    }
+    (cb, below)
   }
 
   /** Domain-keyed literal CASE chain (the ≤64-level lookup-table tier —

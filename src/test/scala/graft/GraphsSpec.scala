@@ -63,6 +63,31 @@ class GraphsSpec extends SparkTestBase {
       7L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponents: string node ids (non-integral convergence probe)") {
+    // the r16 decimal-sum convergence probe would CAST_INVALID_INPUT on
+    // string labels under ANSI (or null-out and false-converge without it);
+    // the type gate must route these through the changed-row join probe.
+    // Path a-b-c-d needs >1 propagate round, so a premature first-round
+    // "convergence" would be visible as wrong clusters.
+    val edges = Seq(("b", "a"), ("b", "c"), ("d", "c"), ("z", "y"))
+      .toDF("s", "t")
+    val got = Graphs.connectedComponents(edges, "s", "t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "y" -> "y", "z" -> "y"))
+  }
+
+  test("connectedComponents: fractional node ids (sum probe would round)") {
+    // 0.25 + 0.75 == 0.5 + 0.5 under any rounding scheme that truncates to
+    // integers — fractional ids must use the changed-row probe, not sums
+    val edges = Seq((2.5, 1.25), (2.5, 3.75), (4.5, 3.75), (9.5, 7.25))
+      .toDF("s", "t")
+    val got = Graphs.connectedComponents(edges, "s", "t")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1.25 -> 1.25, 2.5 -> 1.25, 3.75 -> 1.25,
+      4.5 -> 1.25, 7.25 -> 7.25, 9.5 -> 7.25))
+  }
+
   test("connectedComponents: long path converges via pointer jumping") {
     val edges = (1L until 40L).map(i => (i, i + 1)).toDF("s", "t")
     val got = Graphs.connectedComponents(edges, "s", "t")

@@ -2133,6 +2133,43 @@ class PipelineSpec extends SparkTestBase {
     assert((h1 ++ h2) == direct)
   }
 
+  test("semDedupAgainst: zero-norm vectors never match (NaN cosine dropped)") {
+    // cosine against a zero-norm vector is 0/0 = NaN, which Spark sorts
+    // LARGEST — unguarded it passes the >= threshold filter. Pinned rule
+    // (r17): NaN candidates are dropped outright, so a zero-norm shard
+    // vector is unique (dup_of null) and a zero-norm corpus member can
+    // never be anyone's best match.
+    val corpus = embs.filter(col("vec_id") % 10 =!= 0)
+    val state = Similarity.semDedupState(corpus, "vec_id", "embedding",
+      k = 8, iters = 2, dim = 64)
+    val zeroVec = Seq.fill(64)(0.0f)
+    // (a) zero-norm SHARD vector → every candidate cosine is NaN → unique
+    val zShard = Seq((7777777L, zeroVec)).toDF("vec_id", "embedding")
+    val zOut = Similarity.semDedupAgainst(state, zShard, "vec_id",
+      "embedding", threshold = 0.45).collect()
+    assert(zOut.length == 1 && zOut(0).isNullAt(1) && zOut(0).isNullAt(2),
+      s"zero-norm shard vector must be unique: ${zOut.toSeq}")
+    // (b) zero-norm CORPUS member with the SMALLEST id in a state built
+    // over it: a real shard copy of a corpus vector must still match its
+    // true twin, not the NaN row (under the old rank-window order the NaN
+    // sorted first and won)
+    val copied = corpus.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding")).collect()(0)
+    // plant the NaN row in the SAME cell the copy routes to (its twin's)
+    val poisoned = Similarity.SemDedupState(
+      state.centroids,
+      state.members.unionByName(
+        state.members.filter(col("id") === copied.getLong(0)).select(
+          lit(-1L).as("id"), col("cell"),
+          typedLit(zeroVec).as("vec"))))
+    val planted = Seq((9999999L, copied.getSeq[Float](1)))
+      .toDF("vec_id", "embedding")
+    val hits = Similarity.semDedupAgainst(poisoned, planted, "vec_id",
+      "embedding", threshold = 0.45).collect()
+    assert(hits.forall(r => r.isNullAt(1) || r.getLong(1) != -1L),
+      s"NaN-cosine corpus member must never win: ${hits.toSeq}")
+  }
+
   test("semDedupStateAppend: appended == rebuilt under the same codebook") {
     val a = embs.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 5)
     val b = embs.filter(col("vec_id") % 10 === 5)
