@@ -242,6 +242,133 @@ case class WhitespaceTokens(child: Expression) extends UnaryExpression {
   override def prettyName: String = "whitespace_tokens"
 }
 
+/** Native count of array elements contained in a fixed string set —
+  * bit-identical to `size(filter(arr, x => x.isInCollection(values)))`,
+  * whose ArrayFilter lambda is CodegenFallback (interpreted dispatch per
+  * token on the language-ID / stopword projections every text-quality
+  * pass runs corpus-wide; r17, guide §4). NULL elements are skipped (the
+  * filter's three-valued predicate dropped them); NULL array → NULL
+  * (size(null) is null under the Spark 4 ANSI default). Membership is
+  * UTF8String binary equality, exactly isInCollection's under the
+  * default collation. */
+case class CountInSet(child: Expression, values: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"count_in_set needs array<string>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](values.size * 2)
+    values.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+
+  /** Shared by eval and codegen. */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("countInSet", this,
+      classOf[CountInSet].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSet =
+    copy(child = newChild)
+
+  override def prettyName: String = "count_in_set"
+}
+
+/** Native total character length of a string array — bit-identical to
+  * `aggregate(arr, 0L, (acc, x) => acc + length(x))`, whose interpreted
+  * fold sat on the mean-token-length projections (r17, guide §4):
+  * length() counts CODEPOINTS (UTF8String.numChars); a NULL element
+  * poisons the accumulator (acc + null = null) so the whole result is
+  * NULL from that element on, exactly as the fold; empty array → 0;
+  * NULL array → NULL. */
+case class SumCharLength(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sum_char_length needs array<string>, got ${other.simpleString}")
+    }
+
+  /** Shared by eval and codegen; boxed Long or null. */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Long = {
+    val n = arr.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      s += arr.getUTF8String(i).numChars()
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("sumCharLength", this,
+      classOf[SumCharLength].getName)
+    val childGen = child.genCode(ctx)
+    val boxed = ctx.freshName("boxedSum")
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = -1L;
+        if (!${childGen.isNull}) {
+          java.lang.Long $boxed = $ref.compute(${childGen.value});
+          if ($boxed != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = $boxed.longValue();
+          }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SumCharLength =
+    copy(child = newChild)
+
+  override def prettyName: String = "sum_char_length"
+}
+
 object TextExprs {
   /** Unicode-normalize a string column (default NFC). Codegen'd; NULL in,
     * NULL out. */
@@ -258,4 +385,15 @@ object TextExprs {
   def whitespaceTokens(s: Column): Column =
     org.apache.spark.sql.GraftInternal.columnOf(
       WhitespaceTokens(org.apache.spark.sql.GraftInternal.expressionOf(s)))
+
+  /** Count of array elements in a fixed set — the codegen'd [[CountInSet]]. */
+  def countInSet(arr: Column, values: Seq[String]): Column =
+    org.apache.spark.sql.GraftInternal.columnOf(
+      CountInSet(org.apache.spark.sql.GraftInternal.expressionOf(arr), values))
+
+  /** Total codepoint length of a string array — the codegen'd
+    * [[SumCharLength]]. */
+  def sumCharLength(arr: Column): Column =
+    org.apache.spark.sql.GraftInternal.columnOf(
+      SumCharLength(org.apache.spark.sql.GraftInternal.expressionOf(arr)))
 }

@@ -418,22 +418,24 @@ object Dedup {
       // label in ONE aggregate — the self branch rides the union into the
       // map-side partial agg, so the old labels⋈neighborMin join (and its
       // exchange) disappears; every node keeps a row via its self branch.
-      // PERSISTED: the pointer-jump self-join below references prop twice,
-      // and differing pushed-down null filters give the two subtrees
-      // different canonical forms, so without the persist Spark planned —
-      // and RAN — the whole edges⋈labels propagate join + aggregate TWICE
-      // per round (verified in plans/r16/cc_propagate_round_after.txt:
-      // operators 1–22 ≡ 23–39). The cache also feeds the jump's build
-      // side exchange-free: the aggregate output is hash(a)-partitioned,
-      // exactly the __lid join key (r17, guide §2.4).
-      val prop = edges
+      // STAGED: the pointer-jump self-join below references prop twice,
+      // and without a materialization barrier Spark planned — and RAN —
+      // the whole edges⋈labels propagate join + aggregate TWICE per round
+      // (verified in plans/r16/cc_propagate_round_after.txt: operators
+      // 1–22 ≡ 23–39; a persist alone does NOT fix it — the analyzer's
+      // self-join deduplication clones the right subtree into a form the
+      // cache lookup no longer matches, plans/r17 persist experiment).
+      // The eager checkpoint runs the propagate ONCE per round and both
+      // join sides read the materialized blocks; the kept hash(a)
+      // partitioning also feeds the jump's build side (__lid = a)
+      // exchange-free (r17, guide §2.4).
+      val prop = Staging.stageForIteration(edges
         .join(labels.withColumnRenamed("id", "nbr"), col("b") === col("nbr"))
         .select(col("a"), col("label"))
         .unionAll(labels.select(col("id").as("a"), col("label")))
         .groupBy(col("a"))
         .agg(min(col("label")).as("label"))
-        .withColumnRenamed("a", "id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .withColumnRenamed("a", "id"))
       // (2) shortcut: label ← min(label, label(label)) — pointer jumping
       val lbl2 = prop.select(col("id").as("__lid"), col("label").as("__llabel"))
       val raw = prop

@@ -46,11 +46,14 @@ object TextOps {
     punct.cast("double") / greatest(length(text), lit(1)).cast("double")
   }
 
-  /** Mean token length. */
+  /** Mean token length. One codegen'd pass over the array
+    * ([[graft.functions.SumCharLength]] — bit-identical to the previous
+    * interpreted `aggregate(t, 0L, (acc, x) => acc + length(x))` fold;
+    * r17, guide §4). */
   def meanTokenLen(text: Column): Column = {
     val t = tokens(text)
     when(size(t) === 0, 0.0).otherwise(
-      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+      graft.functions.TextExprs.sumCharLength(t).cast("double") /
         size(t).cast("double"))
   }
 
@@ -65,7 +68,7 @@ object TextOps {
 
   def stopwordRatioT(t: Column): Column =
     when(size(t) === 0, 0.0).otherwise(
-      size(filter(t, x => x.isInCollection(EnglishStopwords))).cast("double") /
+      graft.functions.TextExprs.countInSet(t, EnglishStopwords).cast("double") /
         size(t).cast("double"))
 
   /** Marker-word sets for the n-gram/stopword language-ID heuristic. */
@@ -80,10 +83,15 @@ object TextOps {
   def langScore(text: Column, lang: String): Column =
     langScoreT(tokens(text), lang)
 
+  /** Marker/stopword counting is one codegen'd set-membership pass
+    * ([[graft.functions.CountInSet]] — bit-identical to the previous
+    * `size(filter(t, _.isInCollection(markers)))`, whose ArrayFilter
+    * lambda was interpreted on the corpus-wide language-ID and quality
+    * projections; r17, guide §4). */
   def langScoreT(t: Column, lang: String): Column = {
     val markers = LangMarkers.toMap.apply(lang)
     when(size(t) === 0, 0.0).otherwise(
-      size(filter(t, x => x.isInCollection(markers))).cast("double") /
+      graft.functions.TextExprs.countInSet(t, markers).cast("double") /
         size(t).cast("double"))
   }
 
@@ -133,7 +141,7 @@ object TextOps {
     val nWords = size(t).cast("long")
     val wordsD = greatest(size(t), lit(1)).cast("double")
     val meanLen =
-      aggregate(t, lit(0L), (a, x) => a + length(x)).cast("double") / wordsD
+      graft.functions.TextExprs.sumCharLength(t).cast("double") / wordsD
     val symRatio = regexp_count(text, lit("#|\\.\\.\\.")).cast("double") / wordsD
     val lines = split(text, "\n")
     val nLines = greatest(size(lines), lit(1)).cast("double")
@@ -479,10 +487,14 @@ object TextOps {
       stageSlim = PackStageSlim)
 
   /** Whether [[packSequences]] stages the slim (id, n_tokens, u, shard?)
-    * frame consumed by both phases — the narrow-frame staging question
-    * (see the A/B table in BENCH_NOTES r12; both arms measurable via
-    * [[packSequencesImpl]]). */
-  private[graft] val PackStageSlim = false
+    * frame consumed by both phases — ON since r17: with the stage now
+    * PRE-PARTITIONED on the bucket key (so the phase-2 window also loses
+    * its exchange) the interleaved A/B flipped decisively in favor of
+    * staging (sf0.1: min 0.90 vs 0.98 s; ×10 docs: min 2.49 vs 4.46 s,
+    * mean 4.19 vs 6.64 — BENCH_NOTES r17; the r12 stage-slim null result
+    * predates the repartition and the native Hash32/tokenizer). Both
+    * arms stay measurable via [[packSequencesImpl]]. */
+  private[graft] val PackStageSlim = true
 
   private[graft] def packSequencesImpl(
       df: org.apache.spark.sql.DataFrame,
